@@ -1,0 +1,29 @@
+from polaroam_spark.functions.distance import (
+    euclidean_m,
+    grid_snap,
+    haversine_m,
+)
+from polaroam_spark.functions.datetimes import (
+    epoch_seconds,
+    iso_weekday,
+    local_time,
+    date_trunc_str,
+)
+from polaroam_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+__all__ = [
+    "haversine_m",
+    "euclidean_m",
+    "grid_snap",
+    "iso_weekday",
+    "epoch_seconds",
+    "local_time",
+    "date_trunc_str",
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+]

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for correctness + scale:
+- session timezone pinned to UTC so epoch<->timestamp functions are
+  deterministic regardless of host tz (the reference bakes local wall
+  time into epochs explicitly; see sources/io.py:localize_timestamps);
+- AQE on (runtime coalescing, skew-join splitting);
+- Arrow on (grouped-map pandas UDFs transfer columnar batches).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "polaroam-spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when the env var
+    is set, else ``local[*]``. On a real cluster, pass ``master=None``
+    and set ``spark.master`` externally (spark-submit); the builder only
+    sets master when it resolves to a non-empty value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Stop detection / clustering never needs more than a few hundred
+        # MB per task; keep scan splits at the default 128MB and let AQE
+        # coalesce small shuffle outputs.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
