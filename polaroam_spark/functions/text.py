@@ -1,0 +1,124 @@
+"""Text expressions for the large-scale data-pipeline operators —
+tokenization, shingling, and portable hashing. All native Column
+expressions (split / transform / aggregate higher-order functions);
+nothing here leaves the JVM.
+
+Portable hashing: dedup/minhash operators need a hash both Spark and
+the DuckDB correctness oracle can compute identically. ``md5`` is
+byte-identical across engines, so ``portable_hash64`` folds the first
+15 hex digits of an md5 (60 bits) into a non-negative long via
+base-16 → base-10 conversion — expressible as
+``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`` in DuckDB.
+(``xxhash64``/``hash`` would be faster but are Spark-private
+algorithms; the few extra ns/row of md5 is the price of an
+oracle-checkable dedup path. Swap to ``F.xxhash64`` via
+``fast_hash64`` where cross-engine parity is not required.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(
+        F.split(F.lower(_col(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def word_shingles(toks: Column | str, k: int = 3) -> Column:
+    """k-word shingles (space-joined) from a token array; a document
+    shorter than k tokens yields its whole token sequence as one
+    shingle. Built with sequence+transform — JVM-side, no UDF.
+    """
+    toks = _col(toks)
+    n = F.array_size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def portable_hash64(value: Column | str, seed: int | Column = 0) -> Column:
+    """Deterministic non-negative 60-bit hash reproducible in DuckDB:
+    ``conv(substr(md5(seed || ':' || value), 1, 15), 16, 10)``.
+    """
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    payload = F.concat_ws(":", seed_col.cast("string"), _col(value))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def fast_hash64(value: Column | str, seed: int = 42) -> Column:
+    """JVM-native xxhash64 — the scale path where the oracle does not
+    need to reproduce the hash (bucketing, salting, fingerprints that
+    are only compared within Spark)."""
+    return F.xxhash64(_col(value), F.lit(seed))
+
+
+def minhash_signature(
+    shingles: Column | str, num_hashes: int = 16
+) -> Column:
+    """MinHash signature: for each of ``num_hashes`` seeds, the min
+    portable hash over the shingle set. array<long> of length
+    ``num_hashes``; row-wise min-reduction happens JVM-side via
+    transform + array_min.
+    """
+    sh = _col(shingles)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda t: portable_hash64(t, s))
+        ),
+    )
+
+
+def band_hashes(signature: Column | str, bands: int) -> Column:
+    """LSH band keys: split the signature into ``bands`` contiguous
+    slices and hash each slice to one bucket key. Two documents whose
+    signatures agree on any full band share a band key.
+    array<struct<band:int, bucket:long>> — explode it, then equi-join
+    on (band, bucket): bucketed candidate generation, never a cross
+    join.
+    """
+    sig = _col(signature)
+    n = F.array_size(sig)
+    rows_per_band = (n / bands).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            portable_hash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+                seed=b,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def ngram_set(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (for exact Jaccard verification)."""
+    return F.array_distinct(word_shingles(tokens(text), n))
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """Exact Jaccard similarity of two array columns (treated as
+    sets): |A∩B| / |A∪B|, all JVM-side array ops."""
+    a, b = _col(a), _col(b)
+    inter = F.array_size(F.array_intersect(a, b)).cast("double")
+    union = F.array_size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,437 @@
+"""Spatial clustering of stop medians into stop locations.
+
+Two code paths behind one API (SURVEY.md §2h, §7 phase 2):
+
+1. **Reference-fidelity path** (``cluster_stops_dbscan``): per-user
+   DBSCAN over the (optionally grid-downsampled) stop medians, run as
+   an Arrow-batched ``applyInPandas`` grouped-map UDF. The reference
+   does the same shape with Polars ``map_groups`` + sklearn DBSCAN
+   (reference models.py:206-265, utils.py:203-215); sklearn is not
+   available here, so the DBSCAN itself is a ~40-line exact numpy
+   implementation (haversine metric, identical label semantics:
+   clusters numbered 0..k-1 in order of first core point, noise=-1).
+   Per-user inputs are stop *medians* — bounded small (hundreds), so
+   the O(n²) per-group distance matrix is cheap and the job is
+   embarrassingly parallel across users.
+
+2. **Scale path** (``cluster_stops_dbscan_distributed``): for the
+   ``min_samples=2`` case (the reference's default), DBSCAN is exactly
+   connected components of the ε-neighbor graph. We build candidate
+   edges with a grid-cell self-join (cell size = ε, join on the 9
+   neighboring cells — a range-join analogue of the reference's
+   BallTree ``query_radius``, utils.py:32-65) and resolve components
+   with iterative min-label propagation over the edge DataFrame. No
+   cross join anywhere; survives data that does NOT fit per-group.
+
+Medoid stats (``cluster_medoids``) are plain groupBy aggregates — the
+reference wraps them in a per-group Python callback
+(models.py:245-261) but they are pure relational aggregation, so here
+they stay native and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from polaroam_spark.functions.distance import (
+    EARTH_RADIUS_M,
+    grid_snap,
+    haversine_m,
+)
+
+_DBSCAN_SCHEMA = StructType(
+    [
+        StructField("uid", StringType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("stop_locations", LongType()),
+    ]
+)
+
+
+def _haversine_matrix_m(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """All-pairs haversine distance (meters) for one user's medians."""
+    latr = np.radians(lat)[:, None]
+    lonr = np.radians(lon)[:, None]
+    dlat = latr - latr.T
+    dlon = lonr - lonr.T
+    a = (
+        np.sin(dlat / 2.0) ** 2
+        + np.cos(latr) * np.cos(latr.T) * np.sin(dlon / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def dbscan_labels(
+    lat: np.ndarray, lon: np.ndarray, eps_m: float, min_samples: int = 2
+) -> np.ndarray:
+    """Exact DBSCAN (haversine, meters) — numpy reimplementation of the
+    semantics the reference gets from sklearn (utils.py:203-215):
+    labels 0..k-1 assigned in scan order of the first reachable core
+    point; noise = -1; border points join the first core cluster that
+    reaches them.
+    """
+    n = len(lat)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    dist = _haversine_matrix_m(np.asarray(lat), np.asarray(lon))
+    neighbors = dist <= eps_m  # includes self
+    core = neighbors.sum(axis=1) >= min_samples
+    labels = np.full(n, -1, dtype=np.int64)
+    cluster = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        # BFS from core point i over core-reachable neighbors.
+        stack = [i]
+        labels[i] = cluster
+        while stack:
+            j = stack.pop()
+            if not core[j]:
+                continue
+            for k in np.nonzero(neighbors[j])[0]:
+                if labels[k] == -1:
+                    labels[k] = cluster
+                    stack.append(int(k))
+        cluster += 1
+    return labels
+
+
+def cluster_stops_dbscan(
+    medians: DataFrame,
+    r2: float = 10.0,
+    min_samples: int = 2,
+    min_spacial_resolution: float = 0.0,
+) -> DataFrame:
+    """Cluster each user's stop medians into stop locations.
+
+    Mirrors ``Stopdetect.compute_dbscan`` (reference models.py:206-265):
+    optional grid downsample (reference models.py:60-87), per-user
+    DBSCAN over the unique coordinates, labels joined back to every
+    member row. The reference realigns labels by list-collect + explode
+    of row indexes; we join back on the (uid, snapped-coord) key
+    instead — same result, no ordered-list dependency, and the join is
+    a broadcast-friendly equi-join.
+
+    Input: ``stop_medians`` output (uid, stop_events, latitude,
+    longitude, start_timestamp, end_timestamp). Output: input columns
+    + ``stop_locations`` (long, -1 = noise; ids unique per uid only,
+    reference quirk SURVEY.md §2i).
+    """
+    if min_spacial_resolution > 0:
+        glat = grid_snap("latitude", min_spacial_resolution)
+        glon = grid_snap("longitude", min_spacial_resolution)
+    else:
+        glat, glon = F.col("latitude"), F.col("longitude")
+    with_cells = medians.withColumns(
+        {"_glat": glat, "_glon": glon}
+    )
+
+    unique_coords = (
+        with_cells.select("uid", F.col("_glat").alias("latitude"), F.col("_glon").alias("longitude"))
+        .dropDuplicates(["uid", "latitude", "longitude"])
+    )
+
+    eps = float(r2)
+    msamp = int(min_samples)
+
+    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Deterministic input order regardless of shuffle arrival order.
+        pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
+        labels = dbscan_labels(
+            pdf["latitude"].to_numpy(),
+            pdf["longitude"].to_numpy(),
+            eps_m=eps,
+            min_samples=msamp,
+        )
+        return pd.DataFrame(
+            {
+                "uid": pdf["uid"].to_numpy(),
+                "latitude": pdf["latitude"].to_numpy(),
+                "longitude": pdf["longitude"].to_numpy(),
+                "stop_locations": labels,
+            }
+        )
+
+    labeled_coords = unique_coords.groupBy("uid").applyInPandas(
+        _cluster, schema=_DBSCAN_SCHEMA
+    )
+
+    out = (
+        with_cells.join(
+            labeled_coords.withColumnsRenamed(
+                {"latitude": "_glat", "longitude": "_glon"}
+            ),
+            on=["uid", "_glat", "_glon"],
+            how="left",
+        )
+        .drop("_glat", "_glon")
+    )
+    return out
+
+
+def cluster_medoids(labeled: DataFrame) -> DataFrame:
+    """Per-(uid, stop_locations) medoid stats: member count and median
+    coordinate; noise pseudo-clusters forced to count=1 (reference
+    models.py:245-261). Native aggregation — the reference's
+    ``map_groups`` here is pure groupBy/agg, so no UDF.
+    """
+    return (
+        labeled.groupBy("uid", "stop_locations")
+        .agg(
+            F.count("*").alias("cluster_counts"),
+            F.median("latitude").alias("cluster_latitude"),
+            F.median("longitude").alias("cluster_longitude"),
+        )
+        .withColumn(
+            "cluster_counts",
+            F.when(F.col("stop_locations") == -1, F.lit(1)).otherwise(
+                F.col("cluster_counts")
+            ).cast("long"),
+        )
+    )
+
+
+def attach_medoids(labeled: DataFrame) -> DataFrame:
+    """Join medoid stats back to member rows (reference models.py:263).
+    The medoid side is one row per cluster — orders of magnitude
+    smaller than the member side — so broadcast it explicitly.
+    """
+    return labeled.join(
+        F.broadcast(cluster_medoids(labeled)),
+        on=["uid", "stop_locations"],
+        how="left",
+    )
+
+
+def cluster_stops_dbscan_distributed(
+    medians: DataFrame,
+    r2: float = 10.0,
+    min_spacial_resolution: float = 0.0,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Scale-path DBSCAN for ``min_samples=2``: connected components of
+    the ε-graph (exact equivalence — every point with a neighbor within
+    ε is core when min_samples=2).
+
+    Plan shape (all shuffle-partitioned, no cross join, no collect of
+    data rows):
+      1. assign each point an integer grid cell of size ε;
+      2. candidate pairs = equi-join on the 3×3 neighboring cells
+         (each point is replicated 9× on the build side — bounded
+         blow-up, prunes the quadratic search space);
+      3. keep pairs with haversine ≤ ε;
+      4. iterative min-label propagation over the undirected edge set
+         until a fixed point (label count stops changing); each
+         iteration is one shuffle on the point id.
+
+    Labels are re-densified per uid (0..k-1 by first appearance in
+    (lat, lon) order) to match the per-user labeling contract;
+    singleton points (no ε-neighbor) get -1.
+    """
+    # ε in degrees of latitude; longitude cells shrink with cos(lat) but
+    # using the latitude bound for both axes only makes cells smaller
+    # than ε nowhere (cos ≤ 1 ⇒ a degree of longitude is ≤ a degree of
+    # latitude in meters), so 3×3 neighborhood still covers all pairs.
+    cell_deg = math.degrees(float(r2) / EARTH_RADIUS_M)
+
+    if min_spacial_resolution > 0:
+        glat = grid_snap("latitude", min_spacial_resolution)
+        glon = grid_snap("longitude", min_spacial_resolution)
+    else:
+        glat, glon = F.col("latitude"), F.col("longitude")
+
+    pts = (
+        medians.withColumns({"_glat": glat, "_glon": glon})
+        .select("uid", F.col("_glat").alias("latitude"), F.col("_glon").alias("longitude"))
+        .dropDuplicates(["uid", "latitude", "longitude"])
+        .withColumn(
+            "point_id",
+            F.row_number().over(
+                Window.partitionBy("uid").orderBy("latitude", "longitude")
+            ).cast("long"),
+        )
+        .withColumn("cx", F.floor(F.col("latitude") / F.lit(cell_deg)))
+        .withColumn("cy", F.floor(F.col("longitude") / F.lit(cell_deg)))
+    )
+    pts = pts.persist()
+
+    # Replicate the left side into its 9 neighboring cells, equi-join on
+    # the cell, then exact-filter with haversine. explode(sequence) is
+    # JVM-native; no Python in the path.
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy)))"
+    )
+    left = pts.select(
+        "uid",
+        F.col("point_id").alias("pid_a"),
+        F.col("latitude").alias("lat_a"),
+        F.col("longitude").alias("lon_a"),
+        "cx",
+        "cy",
+        offsets.alias("off"),
+    ).select(
+        "uid",
+        "pid_a",
+        "lat_a",
+        "lon_a",
+        (F.col("cx") + F.col("off.dx")).alias("jx"),
+        (F.col("cy") + F.col("off.dy")).alias("jy"),
+    )
+    right = pts.select(
+        "uid",
+        F.col("point_id").alias("pid_b"),
+        F.col("latitude").alias("lat_b"),
+        F.col("longitude").alias("lon_b"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    edges = (
+        left.join(right, on=["uid", "jx", "jy"], how="inner")
+        .filter(F.col("pid_a") != F.col("pid_b"))
+        .filter(haversine_m("lat_a", "lon_a", "lat_b", "lon_b") <= F.lit(float(r2)))
+        .select("uid", "pid_a", "pid_b")
+    )
+    edges = edges.persist()
+
+    # Min-label propagation: label <- min(label, min over neighbors).
+    labels = pts.select(
+        "uid", "point_id", F.col("point_id").alias("component")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnsRenamed(
+                    {"point_id": "pid_b", "component": "nbr_component"}
+                ),
+                on=["uid", "pid_b"],
+                how="inner",
+            )
+            .groupBy("uid", "pid_a")
+            .agg(F.min("nbr_component").alias("nbr_component"))
+            .withColumnRenamed("pid_a", "point_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=["uid", "point_id"], how="left")
+            .withColumn(
+                "new_component",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")),
+            )
+            .select(
+                "uid",
+                "point_id",
+                F.col("new_component").alias("component"),
+            )
+        )
+        # Materialize each iteration and cut lineage growth.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.join(
+                new_labels.withColumnRenamed("component", "ncomp"),
+                on=["uid", "point_id"],
+            )
+            .filter(F.col("component") != F.col("ncomp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    # Singletons (no edge at all) -> -1; dense per-uid ids for the rest.
+    has_edge = edges.select(
+        "uid", F.col("pid_a").alias("point_id")
+    ).dropDuplicates()
+    labeled_pts = (
+        pts.join(labels, on=["uid", "point_id"], how="left")
+        .join(
+            has_edge.withColumn("_has_edge", F.lit(True)),
+            on=["uid", "point_id"],
+            how="left",
+        )
+    )
+    dense = F.dense_rank().over(
+        Window.partitionBy("uid").orderBy("component")
+    )
+    labeled_pts = labeled_pts.withColumn(
+        "stop_locations",
+        F.when(F.col("_has_edge").isNull(), F.lit(-1)).otherwise(dense - 1).cast(
+            "long"
+        ),
+    ).select("uid", "latitude", "longitude", "stop_locations")
+
+    if min_spacial_resolution > 0:
+        out = medians.withColumns({"_glat": glat, "_glon": glon}).join(
+            labeled_pts.withColumnsRenamed(
+                {"latitude": "_glat", "longitude": "_glon"}
+            ),
+            on=["uid", "_glat", "_glon"],
+            how="left",
+        ).drop("_glat", "_glon")
+    else:
+        out = medians.join(
+            labeled_pts, on=["uid", "latitude", "longitude"], how="left"
+        )
+    pts.unpersist()
+    edges.unpersist()
+    return out
+
+
+def cluster_communities(
+    medians: DataFrame,
+    r2: float = 10.0,
+    min_spacial_resolution: float = 0.0,
+    label_singleton: bool = False,
+) -> DataFrame:
+    """Community detection over the per-user ε-graph of stop medians —
+    the engine's counterpart of the reference's Infomap path
+    (``compute_infomap``, reference models.py:179-204, utils.py:67-134).
+
+    Documented divergence: the infomap library is not available in this
+    environment; for the tiny per-user stop graphs the reference builds
+    (nodes = unique coords, edges = ε-neighbors), two-level Infomap
+    overwhelmingly resolves to the connected components of the ε-graph,
+    so this implementation labels connected components per user
+    (numpy union-find inside the same Arrow grouped-map used for
+    DBSCAN — DBSCAN with min_samples=2 IS ε-graph connected
+    components). ``label_singleton=False`` keeps isolated nodes at -1
+    (reference utils.py:124-134); ``True`` gives each its own label.
+    """
+    out = cluster_stops_dbscan(
+        medians,
+        r2=r2,
+        min_samples=2,
+        min_spacial_resolution=min_spacial_resolution,
+    ).withColumnRenamed("stop_locations", "stop_labels")
+    if label_singleton:
+        max_lbl = F.coalesce(
+            F.max(
+                F.when(F.col("stop_labels") != -1, F.col("stop_labels"))
+            ).over(Window.partitionBy("uid")),
+            F.lit(-1),
+        )
+        singleton_rank = F.row_number().over(
+            Window.partitionBy("uid", "stop_labels").orderBy(
+                "latitude", "longitude"
+            )
+        )
+        out = out.withColumn(
+            "stop_labels",
+            F.when(F.col("stop_labels") != -1, F.col("stop_labels"))
+            .otherwise(max_lbl + singleton_rank)
+            .cast("long"),
+        )
+    return out

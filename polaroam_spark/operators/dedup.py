@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup strategies over a documents table (``doc_id, text, ...``),
+each designed around one rule: **candidate generation is always a
+bucketed equi-join** — hash buckets (exact), LSH band buckets
+(MinHash), simhash chunk buckets, or token buckets (n-gram Jaccard).
+No all-pairs comparison ever materializes, so every path survives a
+100 TB corpus: the shuffle key is the bucket, skew is bounded by
+bucket width, and verification cost is proportional to candidate
+pairs, not n².
+
+No reference counterpart (the reference is a mobility engine); these
+are the beyond-reference components required by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polaroam_spark.functions.text import (
+    band_hashes,
+    jaccard,
+    minhash_signature,
+    ngram_set,
+    portable_hash64,
+    tokens,
+    word_shingles,
+)
+
+
+def normalize_text(text_col) -> F.Column:
+    """Canonical text form for exact dedup: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the smallest-id document per (normalized)
+    text. groupBy on the text hash — one shuffle, map-side partial
+    aggregation, deterministic representative.
+
+    Returns the surviving rows of ``docs``.
+    """
+    key = normalize_text(text_col) if normalized else F.col(text_col)
+    keep = (
+        docs.withColumn("_key", key)
+        .groupBy("_key")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Plan: shingle → minhash signature (arrays, JVM-side) → explode
+    band keys → self-equi-join on (band, bucket) → dedupe candidate
+    pairs → verify with exact Jaccard on distinct shingle sets.
+    Output: ``id_a, id_b, jaccard_sim`` with id_a < id_b and
+    jaccard_sim ≥ threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            word_shingles(tokens(text_col), shingle_k)
+        ).alias("_shingles"),
+    ).withColumn(
+        "_sig", minhash_signature("_shingles", num_hashes)
+    )
+    sh = sh.persist()
+
+    banded = sh.select(
+        "_id", F.explode(band_hashes("_sig", bands)).alias("_band")
+    ).select("_id", "_band.band", "_band.bucket")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=["band", "bucket"],
+            how="inner",
+        )
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("_id").alias("id_a"),
+                F.col("_shingles").alias("_sh_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sh.select(
+                F.col("_id").alias("id_b"),
+                F.col("_shingles").alias("_sh_b"),
+            ),
+            on="id_b",
+        )
+        .withColumn("jaccard_sim", jaccard("_sh_a", "_sh_b"))
+        .filter(F.col("jaccard_sim") >= F.lit(jaccard_threshold))
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: any document with a verified duplicate of
+    smaller id is removed (greedy min-id representative; transitive
+    chains collapse toward the smallest id in one pass over pairs —
+    for full transitive closure feed the pairs to connected
+    components, the same primitive as
+    clustering.cluster_stops_dbscan_distributed).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint per document: sign-sum of per-token hash
+    bits. For each bit b, count tokens whose hash has bit b set vs
+    unset; fingerprint bit b = 1 iff set-count > unset-count. Built
+    from explode + groupBy-sum (two narrow shuffles keyed by doc id)
+    rather than per-row loops, so it is pure codegen.
+    Output: ``doc_id, simhash`` (long).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).withColumn("_h", portable_hash64("_tok", 7))
+    bit_contrib = [
+        F.sum(
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_contrib)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(2 ** b)).otherwise(0)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(
+        F.col(id_col), fingerprint.cast("long").alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one
+    of ``chunks`` fingerprint chunks (pigeonhole: any pair within
+    hamming distance < chunks shares a chunk), verified by exact
+    hamming distance via bit_count(xor).
+    Output: ``id_a, id_b, hamming`` (≤ max_hamming).
+    """
+    fp = simhash_fingerprint(docs, text_col, id_col, bits)
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = fp.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.val")
+    cand = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), on=["chunk", "val"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("_fa"),
+            F.col("b.simhash").alias("_fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs via an inverted-index
+    join: explode distinct n-grams, self-join on the n-gram (the
+    inverted index), count shared grams per pair, then
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. Fully relational — this is the
+    oracle-checkable twin of the MinHash path. ``block_col``
+    optionally restricts candidates to equal blocking keys to bound
+    the index fan-out on huge corpora.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.explode(ngram_set(text_col, n)).alias("_gram"),
+    )
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
+    join_keys = ["_gram"] + (["_blk"] if block_col else [])
+    shared = (
+        grams.alias("a")
+        .join(grams.alias("b"), on=join_keys, how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard_sim",
+            F.col("_inter")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.98,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed cosine. Candidates
+    share a random-hyperplane sign bucket (deterministic pseudo-random
+    planes), verified with exact cosine. See
+    operators/similarity.py for the bucketing primitive.
+    """
+    from polaroam_spark.operators.similarity import add_lsh_bucket
+    from polaroam_spark.functions.vectors import cosine_similarity
+
+    b = add_lsh_bucket(embeddings, vec_col, num_planes)
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), on="lsh_bucket", how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+    )
+    return (
+        cand.withColumn("cosine", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cosine") >= F.lit(cosine_threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, one contract (query vectors → top-k neighbors by cosine):
+
+- ``cosine_topk`` — brute-force baseline. The query side is
+  broadcast (it is small by definition: a query batch), so the "cross
+  join" is a broadcast nested-loop over data partitions — no shuffle
+  of the big side at all; cost is a single scan. Correct at any data
+  scale as long as the *query* set stays broadcast-sized.
+- ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  on both sides, equi-join on the bucket, exact cosine only within
+  buckets. Recall < 1.0 by construction; raise ``num_probes`` (bucket
+  bit-flips probed) for better recall at more candidate cost.
+
+Hyperplanes are deterministic pseudo-random (sin-based formula) so
+runs are reproducible across sessions/engines without shipping a
+weights file; components are computed with JVM math functions —
+no UDF anywhere in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polaroam_spark.functions.vectors import cosine_similarity
+
+
+def _plane_component(p: int | Column, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    sin(p * 7919 + d * 104729). Reproducible anywhere with a sin()."""
+    p = F.lit(p) if isinstance(p, int) else p
+    return F.sin(p * F.lit(7919.0) + d.cast("double") * F.lit(104729.0))
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8
+) -> DataFrame:
+    """Append ``lsh_bucket`` (long): sign bits of the vector's dot
+    product with ``num_planes`` deterministic hyperplanes. All array
+    higher-order functions — runs inside codegen.
+    """
+    v = F.col(vec_col)
+    dims = F.sequence(F.lit(0), F.array_size(v) - 1)
+
+    def plane_dot(p: Column) -> Column:
+        prods = F.zip_with(
+            v,
+            F.transform(dims, lambda d: _plane_component(p, d)),
+            lambda x, w: x.cast("double") * w,
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2
+        + F.when(plane_dot(p) >= 0, 1).otherwise(0).cast("long"),
+    )
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast — the plan is scan(data) × broadcast,
+    one pass over the big side, then a per-query top-k window on the
+    (|queries| × k)-bounded candidate set.
+    Output: ``query_id, vec_id, cosine, rank``.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = data.select(
+        F.col(data_id), F.col(vec_col).alias("_dvec")
+    ).crossJoin(q).withColumn(
+        "cosine", cosine_similarity("_dvec", "_qvec")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(data_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, data_id, "cosine", "rank")
+    )
+
+
+def ann_lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_probes: int = 1,
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, exact cosine within
+    bucket. ``num_probes > 1`` also probes buckets at hamming
+    distance 1 from the query's bucket (multi-probe LSH) to recover
+    neighbors split across a hyperplane.
+    Output: ``query_id, vec_id, cosine, rank`` (rank within probed
+    candidates).
+    """
+    d = add_lsh_bucket(
+        data.select(F.col(data_id), F.col(vec_col).alias("_dvec")),
+        "_dvec",
+        num_planes,
+    )
+    q = add_lsh_bucket(
+        queries.select(F.col(query_id), F.col(vec_col).alias("_qvec")),
+        "_qvec",
+        num_planes,
+    )
+    if num_probes > 1:
+        # Probe the exact bucket + single-bit flips (hamming-1).
+        flips = min(num_probes - 1, num_planes)
+        probe_buckets = F.array(
+            F.col("lsh_bucket"),
+            *[
+                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(flips)
+            ],
+        )
+        q = q.withColumn(
+            "lsh_bucket", F.explode(probe_buckets)
+        )
+    joined = d.join(F.broadcast(q), on="lsh_bucket", how="inner")
+    scored = joined.withColumn(
+        "cosine", cosine_similarity("_dvec", "_qvec")
+    ).dropDuplicates([query_id, data_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(data_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, data_id, "cosine", "rank")
+    )

@@ -1,0 +1,149 @@
+"""Text analysis operators — language ID, quality scoring, token
+counting, fingerprinting. All native Column expressions (regex,
+split, array higher-order functions); designed as cheap single-pass
+map-side transforms: no shuffle, no UDF, trivially scale-linear.
+
+Beyond-reference components required by the build brief (the
+reference is a mobility engine with no text surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polaroam_spark.functions.text import portable_hash64, tokens
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language ID. Deliberately small + hardcoded: language ID at corpus
+#: scale must not depend on an external model file.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "que", "pour"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.array_size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish subword count: word-piece regex split — runs of
+    letters, runs of digits, and single punctuation marks each count
+    as one token (a cheap stand-in for a real tokenizer's token count,
+    good for corpus budgeting)."""
+    pieces = F.regexp_extract_all(
+        F.lower(_col(text)), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1
+    )
+    return F.array_size(pieces).cast("long")
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.array_size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def detect_language(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose stopword list matches
+    the largest fraction of tokens; ``und`` (undetermined) when
+    nothing matches. Pure expression — a greatest-of-structs trick
+    picks the argmax without a UDF."""
+    toks = tokens(text)
+    n = F.greatest(F.array_size(toks), F.lit(1)).cast("double")
+
+    def _lang_score(lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.filter(toks, lambda t: F.array_contains(sw, t))
+        return F.struct(
+            (F.array_size(hits).cast("double") / n).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+
+    scored = [_lang_score(lang) for lang in STOPWORDS]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append per-document quality features:
+
+    - ``n_tokens``: whitespace token count;
+    - ``mean_token_len``: characters per token;
+    - ``alpha_ratio``: fraction of characters that are letters;
+    - ``digit_ratio``, ``punct_ratio``: same for digits/punctuation;
+    - ``stopword_ratio``: English stopword fraction of tokens;
+    - ``quality_score``: [0,1] heuristic — penalizes texts that are
+      too short, digit-heavy, punctuation-heavy, or stopword-free
+      (boilerplate/gibberish signals used by C4/Gopher-style filters).
+    """
+    text = F.col(text_col)
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    n_alpha = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(
+        F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")
+    )
+    n_tok = token_count(text)
+    sw_ratio = stopword_hits(text, "en").cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+
+    df = df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_token_len": n_chars
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            "alpha_ratio": n_alpha.cast("double") / n_chars,
+            "digit_ratio": n_digit.cast("double") / n_chars,
+            "punct_ratio": n_punct.cast("double") / n_chars,
+            "stopword_ratio": sw_ratio,
+        }
+    )
+    length_ok = F.when(F.col("n_tokens") >= 10, 1.0).otherwise(
+        F.col("n_tokens").cast("double") / 10.0
+    )
+    score = (
+        length_ok
+        * F.col("alpha_ratio")
+        * (1.0 - F.least(F.col("digit_ratio") * 2, F.lit(1.0)))
+        * (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+        * (0.5 + F.least(F.col("stopword_ratio") * 2, F.lit(0.5)))
+    )
+    return df.withColumn("quality_score", score)
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Append two content fingerprints:
+
+    - ``md5_fingerprint``: md5 of the normalized text (exact-dup id,
+      portable to any engine);
+    - ``rolling_fingerprint``: min of the portable hashes of the
+      document's word 5-grams — a 1-hash MinHash over a rolling
+      window, stable under small appends/prepends (winnowing-style).
+    """
+    from polaroam_spark.functions.text import word_shingles
+    from polaroam_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(text_col)
+    grams = word_shingles(tokens(text_col), 5)
+    return df.withColumns(
+        {
+            "md5_fingerprint": F.md5(norm),
+            "rolling_fingerprint": F.array_min(
+                F.transform(grams, lambda g: portable_hash64(g, 11))
+            ),
+        }
+    )

@@ -31,8 +31,17 @@ def get_spark(
     sets master when it resolves to a non-empty value.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None and "SPARK_MASTER" not in os.environ:
-        master = f"local[{cpus}]" if cpus else "local[*]"
+    if master is None and "SPARK_MASTER" in os.environ:
+        master = os.environ["SPARK_MASTER"]
+    if master is None:
+        # Respect a master configured externally (spark-submit --master
+        # lands in spark.master via SparkConf); only default to local
+        # when nothing is configured anywhere, so cluster deployments
+        # never silently fall back to local mode.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]" if cpus else "local[*]"
 
     b = SparkSession.builder.appName(app_name)
     if master:

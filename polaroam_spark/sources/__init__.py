@@ -1,0 +1,17 @@
+from polaroam_spark.sources.io import (
+    hash_uid,
+    localize_timestamps,
+    read_pings_csv,
+    read_pings_parquet,
+    users_with_min_days,
+    write_partitioned,
+)
+
+__all__ = [
+    "read_pings_parquet",
+    "read_pings_csv",
+    "localize_timestamps",
+    "hash_uid",
+    "users_with_min_days",
+    "write_partitioned",
+]

@@ -1,0 +1,165 @@
+"""Ingest / localize / partitioned write — the reference's entry path
+(reference read_localize_write.py) re-expressed Spark-first.
+
+Every step stays declarative so Catalyst pushes the projection and the
+``error < threshold`` predicate into the parquet/CSV scan (check with
+``.explain``: PushedFilters + pruned ReadSchema), and the partitioned
+write is the built-in dynamic-partition parquet writer instead of the
+reference's polario HiveDataset.
+
+The timezone idiom (reference read_localize_write.py:19-27) is subtle
+and preserved exactly: the UTC instant is converted to local wall
+clock, the wall clock is re-stamped as UTC, and THAT epoch becomes the
+canonical ``timestamp`` — i.e. downstream hour-of-day logic sees local
+time while the column stays a plain epoch. With the session timezone
+pinned to UTC (session.py), ``unix_timestamp(from_utc_timestamp(ts,
+tz))`` is that exact composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: vendor column layout of the parquet sample (reference
+#: read_localize_write.py:11-13)
+PARQUET_VENDOR_COLUMNS = {
+    "_c0": "uid",
+    "_c2": "latitude",
+    "_c3": "longitude",
+    "_c5": "timestamp",
+    "_c4": "error",
+}
+
+#: vendor column layout of the headerless CSV sample (reference
+#: read_localize_write.py:53-55); Spark names headerless CSV columns
+#: _c0.. while Polars names them column_1.., hence the offset.
+CSV_VENDOR_COLUMNS = {
+    "_c0": "uid",
+    "_c2": "latitude",
+    "_c3": "longitude",
+    "_c5": "timestamp",
+    "_c4": "error",
+}
+
+
+def _rename_project(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    return df.select(
+        *[F.col(src).alias(dst) for src, dst in columns.items()]
+    )
+
+
+def read_pings_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: dict[str, str] | None = None,
+    max_error: float | None = 20.0,
+) -> DataFrame:
+    """Scan vendor parquet, rename to the canonical ping schema, and
+    filter by GPS accuracy (reference read_localize_write.py:8-17).
+    Glob paths work as in the reference; prefer partition-column
+    filters over path globs so Catalyst prunes partitions.
+    """
+    df = spark.read.parquet(path)
+    if columns:
+        df = _rename_project(df, columns)
+    if max_error is not None and "error" in df.columns:
+        df = df.filter(F.col("error") < F.lit(float(max_error)))
+    return df
+
+
+def read_pings_csv(
+    spark: SparkSession,
+    path: str,
+    columns: dict[str, str] | None = None,
+    sep: str = ",",
+    max_error: float | None = 30.0,
+    timestamp_unit: str = "ms",
+) -> DataFrame:
+    """Scan headerless (optionally gzipped — Spark decompresses by
+    extension) vendor CSV (reference read_localize_write.py:50-59).
+    Millisecond vendor timestamps are scaled to seconds
+    (reference's ``timestamp / 1000``).
+    """
+    df = spark.read.csv(path, sep=sep, header=False, inferSchema=True)
+    if columns:
+        df = _rename_project(df, columns)
+    if max_error is not None and "error" in df.columns:
+        df = df.filter(F.col("error") < F.lit(float(max_error)))
+    if timestamp_unit == "ms":
+        df = df.withColumn(
+            "timestamp", (F.col("timestamp") / 1000).cast("long")
+        )
+    return df
+
+
+def localize_timestamps(df: DataFrame, tz: str) -> DataFrame:
+    """Bake local wall-clock time into the epoch ``timestamp`` and add
+    the ``date_trunc`` partition key (reference
+    read_localize_write.py:19-27; see module docstring).
+    """
+    local = F.from_utc_timestamp(F.timestamp_seconds("timestamp"), tz)
+    return df.withColumns(
+        {
+            "timestamp": F.unix_timestamp(local),
+            "date_trunc": F.date_format(local, "yyyy-MM-dd"),
+        }
+    )
+
+
+def hash_uid(df: DataFrame, uid_col: str = "uid") -> DataFrame:
+    """Deterministic 63-bit integer uid from the string uid.
+
+    The reference intends ``sha256(uid) % 2**63`` but actually hashes
+    the literal string ``"uid"`` for every row — a bug that collapses
+    all users to one id (reference read_localize_write.py:38-46, 57).
+    We implement the clear intent: sha-256 of the *column value*,
+    folded to a non-negative long by taking the top 15 hex digits
+    (60 bits). Divergence documented; the exact modulus differs from
+    the reference's ``% 2**63`` but both are stable injective-enough
+    fingerprints.
+    """
+    return df.withColumn(
+        uid_col,
+        F.conv(F.substring(F.sha2(F.col(uid_col).cast("string"), 256), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+
+
+def users_with_min_days(
+    df: DataFrame, min_days: int = 7, date_col: str = "date_trunc"
+) -> DataFrame:
+    """Keep users observed on more than ``min_days - 1`` distinct days
+    (reference read_localize_write.py:62-83: n_unique > 6 ⇒ ≥ 7).
+    Implemented as a semi join against the qualifying-uid set — the
+    reference's inner join + drop adds a column only to drop it.
+    """
+    qualifying = (
+        df.groupBy("uid")
+        .agg(F.countDistinct(date_col).alias("n_days"))
+        .filter(F.col("n_days") >= F.lit(int(min_days)))
+        .select("uid")
+    )
+    return df.join(qualifying, on="uid", how="left_semi")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date_trunc",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet write (reference
+    read_localize_write.py:29-33 via polario; here the built-in
+    dynamic-partition writer). Snappy parquet, one directory per
+    ``partition_col`` value.
+    """
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite"
+) -> None:
+    """CSV sink (reference get_stops_and_clusters.py:168, 185)."""
+    df.write.mode(mode).option("sep", sep).option("header", True).csv(path)
