@@ -1,38 +1,2098 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship mobility pipeline on sf0.001.
+``queries()`` registers one DataFrame callable per implemented
+operator from SURVEY.md §2 (keys are prefixed with the SURVEY ids);
+``oracle_sql()`` returns the DuckDB twin for every SQL-expressible
+query. Trajectory operators run over a deterministic pseudo-pings
+view derived from the ``events`` table (the driver's testdata has no
+GPS table): lat/lon are exact arithmetic on ``event_id`` so Spark and
+DuckDB compute bit-identical doubles, and the epoch timestamp is the
+floor of the event time. Floats in outputs are rounded to 6 decimals
+on both sides before hashing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# plumbing
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read it as long nanos and rebuild a seconds-precision
+        # timestamp (the oracle floors epoch() the same way).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer division: exact at 1e18 magnitudes where double isn't
+        return ev.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-GPS trajectory from the events table.
+    All arithmetic is exact int ops + double literals so DuckDB's
+    twin CTE produces bit-identical values."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("uid"),
+        (
+            F.lit(10.0) + (F.col("event_id") % 37).cast("double") * F.lit(0.00002)
+        ).alias("latitude"),
+        (
+            F.lit(20.0)
+            + ((F.col("event_id") * 7) % 41).cast("double") * F.lit(0.00002)
+        ).alias("longitude"),
+        F.unix_timestamp("ts").alias("timestamp"),
+        F.col("event_id").alias("ping_id"),
+    )
+
+
+_PINGS_CTE = """
+pings AS (
+  -- all literals cast to DOUBLE: DuckDB would otherwise run DECIMAL
+  -- arithmetic and drift from Spark's double-by-construction values
+  SELECT CAST(user_id AS VARCHAR) AS uid,
+         CAST(10.0 AS DOUBLE) + (event_id % 37) * CAST(0.00002 AS DOUBLE)
+           AS latitude,
+         CAST(20.0 AS DOUBLE) + ((event_id * 7) % 41) * CAST(0.00002 AS DOUBLE)
+           AS longitude,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS timestamp,
+         event_id AS ping_id
+  FROM events
+)
+"""
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB haversine mirroring functions/distance.py:haversine_m
+    term-for-term (radians applied per coordinate, then differenced,
+    so floating-point evaluation order matches Spark's)."""
+    return (
+        f"2.0 * 6371000.0 * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / 2.0), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1})) / 2.0), 2)))"
+    )
+
+
+# Sessionization CTE chain shared by W4/M2/M6/M7/W8 oracles — the
+# DuckDB twin of operators/stops.py:detect_stops with r1=60 m.
+_STOPS_CTE = (
+    _PINGS_CTE
+    + """,
+led AS (
+  SELECT uid, latitude, longitude, timestamp, ping_id,
+         lead(latitude)  OVER w AS nlat,
+         lead(longitude) OVER w AS nlon,
+         lead(timestamp) OVER w AS nts
+  FROM pings
+  WINDOW w AS (PARTITION BY uid ORDER BY timestamp, ping_id)
+),
+dist AS (
+  SELECT *, """
+    + _hav_sql("latitude", "longitude", "nlat", "nlon")
+    + """ AS distance,
+         nts - timestamp AS time_diff
+  FROM led
+),
+stat AS (
+  SELECT *, COALESCE(distance <= 60.0 AND (time_diff IS NULL OR time_diff <= 86400), FALSE) AS stationary
+  FROM dist
+),
+edges AS (
+  SELECT *, stationary AND NOT COALESCE(lag(stationary) OVER w, FALSE) AS rising
+  FROM stat
+  WINDOW w AS (PARTITION BY uid ORDER BY timestamp, ping_id)
+),
+runs AS (
+  SELECT *, CASE WHEN stationary THEN
+           sum(CASE WHEN rising THEN 1 ELSE 0 END)
+             OVER (PARTITION BY uid ORDER BY timestamp, ping_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ELSE -1 END AS event_id
+  FROM edges
+),
+stops AS (
+  SELECT uid, latitude, longitude, timestamp,
+         CASE WHEN event_id != -1
+                   AND count(*) OVER we >= 2
+                   AND sum(time_diff) OVER we >= 300
+              THEN event_id ELSE -1 END AS stop_events
+  FROM runs
+  WINDOW we AS (PARTITION BY uid, event_id)
+),
+medians AS (
+  SELECT uid, stop_events,
+         median(latitude)  AS latitude,
+         median(longitude) AS longitude,
+         min(timestamp) AS start_timestamp,
+         max(timestamp) AS end_timestamp
+  FROM stops WHERE stop_events != -1
+  GROUP BY uid, stop_events
+)
+"""
+)
+
+
+def _detect_stops_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polaroam_spark.operators.stops import detect_stops
+
+    return detect_stops(
+        _pings(spark, sf_dir),
+        r1=60.0,
+        min_size=2,
+        min_staying_time=300,
+        max_time_between=86400,
+        tiebreaker="ping_id",
+    )
+
+
+def _medians_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polaroam_spark.operators.stops import stop_medians
+
+    return stop_medians(_detect_stops_df(spark, sf_dir))
+
+
+# Grid-cell "clusters" for the SQL-checkable labeling pipeline: the
+# cluster id is a dense rank of the 0.0002-degree cell per user —
+# deterministic and expressible identically in DuckDB (C4/M5-M7
+# oracles run over these instead of the UDF DBSCAN labels).
+_CELL = 0.0002
+
+
+def _grid_labeled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    med = _medians_df(spark, sf_dir)
+    cellx = F.floor(F.col("latitude") / F.lit(_CELL))
+    celly = F.floor(F.col("longitude") / F.lit(_CELL))
+    w = Window.partitionBy("uid").orderBy("cellx", "celly")
+    return (
+        med.withColumns({"cellx": cellx, "celly": celly})
+        .withColumn(
+            "stop_locations", (F.dense_rank().over(w) - 1).cast("long")
+        )
+        .drop("cellx", "celly")
+    )
+
+
+_GRID_CTE = (
+    _STOPS_CTE
+    + """,
+grid AS (
+  SELECT *, CAST(dense_rank() OVER (PARTITION BY uid
+             ORDER BY floor(latitude / 0.0002), floor(longitude / 0.0002))
+             - 1 AS BIGINT) AS stop_locations
+  FROM medians
+)
+"""
+)
+
+_PREP_CTE = (
+    _GRID_CTE
+    + """,
+prep AS (
+  SELECT *,
+         to_timestamp(start_timestamp) AS t_start,
+         CAST(year(to_timestamp(start_timestamp)) AS INT) AS year,
+         CAST(month(to_timestamp(start_timestamp)) AS INT) AS month,
+         CAST(day(to_timestamp(start_timestamp)) AS INT) AS day,
+         CAST(hour(to_timestamp(start_timestamp)) AS INT) AS hour,
+         CAST(to_timestamp(start_timestamp) AS DATE) AS date,
+         CAST(isodow(to_timestamp(start_timestamp)) AS INT) AS weekday,
+         end_timestamp - start_timestamp AS duration
+  FROM grid
+)
+"""
+)
+
+
+def _prep_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polaroam_spark.operators.homework import prepare_labeling
+
+    return prepare_labeling(_grid_labeled_df(spark, sf_dir))
+
+
+# Home-labeling SQL twin of operators/homework.py:detect_home with
+# total_days=30, thresholds 0.1/0.02 (chosen so clusters qualify on
+# the synthetic data).
+_HOME_PARAMS = dict(min_periods=0.1, span=0.02, total_days=30)
+
+_HOME_CTE = (
+    _PREP_CTE
+    + """,
+home_tmp AS (
+  SELECT * FROM prep
+  WHERE (hour >= 21 OR hour <= 6 OR weekday BETWEEN 6 AND 7)
+    AND stop_locations != -1
+),
+home_uid_counts AS (
+  SELECT uid, count(DISTINCT date) AS total_dates FROM home_tmp GROUP BY uid
+),
+home_cluster_counts AS (
+  SELECT uid, stop_locations, count(DISTINCT date) AS cluster_dates
+  FROM home_tmp GROUP BY uid, stop_locations
+),
+home_stats AS (
+  SELECT c.uid, c.stop_locations,
+         c.cluster_dates / CAST(u.total_dates AS DOUBLE) AS date_percentage,
+         c.cluster_dates / 30.0 AS all_percentage
+  FROM home_cluster_counts c JOIN home_uid_counts u ON c.uid = u.uid
+),
+home_labels AS (
+  SELECT uid, stop_locations, stop_locations AS home_label
+  FROM home_stats
+  WHERE date_percentage >= 0.1 AND all_percentage >= 0.02
+)
+"""
+)
+
+
+def _home_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polaroam_spark.operators.homework import detect_home
+
+    return detect_home(
+        _prep_df(spark, sf_dir),
+        start_hour_day=6,
+        end_hour_day=21,
+        min_periods_over_window=_HOME_PARAMS["min_periods"],
+        span_period=_HOME_PARAMS["span"],
+        total_days=_HOME_PARAMS["total_days"],
+    )
+
+
+_WORK_CTE = (
+    _HOME_CTE
+    + """,
+homed AS (
+  SELECT p.*,
+         CASE WHEN h.home_label IS NOT NULL THEN 'H' ELSE 'O' END AS location_type,
+         COALESCE(h.home_label, -1) AS home_label
+  FROM prep p LEFT JOIN home_labels h
+    ON p.uid = h.uid AND p.stop_locations = h.stop_locations
+),
+work_tmp AS (
+  SELECT * FROM homed
+  WHERE hour >= 8 AND hour <= 18 AND weekday BETWEEN 1 AND 5
+    AND location_type != 'H' AND stop_locations != -1
+),
+work_uid_counts AS (
+  SELECT uid, count(DISTINCT date) AS total_dates FROM work_tmp GROUP BY uid
+),
+work_cluster_counts AS (
+  SELECT uid, stop_locations, count(DISTINCT date) AS cluster_dates
+  FROM work_tmp GROUP BY uid, stop_locations
+),
+work_stats AS (
+  SELECT c.uid, c.stop_locations,
+         c.cluster_dates / CAST(u.total_dates AS DOUBLE) AS date_percentage,
+         c.cluster_dates / 30.0 AS all_percentage
+  FROM work_cluster_counts c JOIN work_uid_counts u ON c.uid = u.uid
+),
+work_labels AS (
+  SELECT uid, stop_locations, stop_locations AS work_label
+  FROM work_stats
+  WHERE date_percentage >= 0.1 AND all_percentage >= 0.02
+),
+worked AS (
+  SELECT h.uid, h.stop_locations,
+         CASE WHEN h.location_type != 'H' AND w.work_label IS NOT NULL
+              THEN 'W' ELSE h.location_type END AS location_type,
+         h.home_label,
+         CASE WHEN h.location_type != 'H' AND w.work_label IS NOT NULL
+              THEN w.work_label ELSE -1 END AS work_label,
+         h.start_timestamp, h.hour, h.weekday
+  FROM homed h LEFT JOIN work_labels w
+    ON h.uid = w.uid AND h.stop_locations = w.stop_locations
+)
+"""
+)
+
+
+def _work_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polaroam_spark.operators.homework import detect_work
+
+    return detect_work(
+        _home_df(spark, sf_dir),
+        start_working_hour=8,
+        end_working_hour=18,
+        min_periods_over_window=_HOME_PARAMS["min_periods"],
+        span_period=_HOME_PARAMS["span"],
+        total_days=_HOME_PARAMS["total_days"],
+    )
+
+
+# --------------------------------------------------------------------------
+# S — scans / sinks
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "s1_parquet_scan_filter",
+    "SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS qty "
+    "FROM lineitem WHERE l_quantity < 5",
+)
+def s1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 6).alias("qty"),
+        )
+    )
+
+
+@_q(
+    "s2_parquet_read_agg",
+    "SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total FROM orders",
+)
+def s2(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@_q(
+    "s3_csv_gz_roundtrip",
+    "SELECT count(*) AS n, sum(o_orderkey) AS key_sum FROM orders "
+    "WHERE o_orderkey < 500",
+)
+def s3(spark, sf_dir):
+    import os
+    import tempfile
+
+    sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(dir="/root/repo/.scratch"), "orders_csv"
+    )
+    sub.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    return back.agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@_q(
+    "s4_pandas_interchange",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def s4(spark, sf_dir):
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/region.parquet")
+    return spark.createDataFrame(pdf).select("r_regionkey", "r_name")
+
+
+@_q(
+    "s5_parquet_sink_roundtrip",
+    "SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM customer",
+)
+def s5(spark, sf_dir):
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.mkdtemp(dir="/root/repo/.scratch"), "cust_parquet"
+    )
+    _t(spark, sf_dir, "customer").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).agg(
+        F.count("*").alias("n"), F.sum("c_custkey").alias("key_sum")
+    )
+
+
+@_q(
+    "s6_partitioned_write",
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def s6(spark, sf_dir):
+    import os
+    import tempfile
+
+    from polaroam_spark.sources.io import write_partitioned
+
+    path = os.path.join(
+        tempfile.mkdtemp(dir="/root/repo/.scratch"), "orders_part"
+    )
+    write_partitioned(
+        _t(spark, sf_dir, "orders"), path, partition_col="o_orderstatus"
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "n"
+        )
+    )
+
+
+@_q(
+    "s7_csv_sink_roundtrip",
+    "SELECT count(*) AS n, sum(n_nationkey) AS key_sum FROM nation",
+)
+def s7(spark, sf_dir):
+    import os
+    import tempfile
+
+    from polaroam_spark.sources.io import write_csv
+
+    path = os.path.join(tempfile.mkdtemp(dir="/root/repo/.scratch"), "nation_csv")
+    write_csv(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"), path
+    )
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    return back.agg(
+        F.count("*").alias("n"), F.sum("n_nationkey").alias("key_sum")
+    )
+
+
+# --------------------------------------------------------------------------
+# P — projections / filters
+# --------------------------------------------------------------------------
+
+
+@_q("p1_projection", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def p1(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_q(
+    "p2_rename",
+    "SELECT c_custkey AS custkey, c_name AS name FROM customer",
+)
+def p2(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumnsRenamed({"c_custkey": "custkey", "c_name": "name"})
+        .select("custkey", "name")
+    )
+
+
+@_q(
+    "p3_computed_columns",
+    "SELECT l_orderkey, l_linenumber, "
+    "round(l_extendedprice * (1 - l_discount), 6) AS revenue FROM lineitem",
+)
+def p3(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+        ).alias("revenue"),
+    )
+
+
+@_q(
+    "p4_drop_column",
+    "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+)
+def p4(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").drop("c_acctbal")
+
+
+@_q(
+    "p5_numeric_filter",
+    "SELECT event_id, round(value, 6) AS value FROM events WHERE value < 20",
+)
+def p5(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") < 20)
+        .select("event_id", F.round("value", 6).alias("value"))
+    )
+
+
+@_q(
+    "p6_compound_filter",
+    "SELECT o_orderkey FROM orders WHERE (o_orderstatus = 'F' AND "
+    "o_totalprice > 100000) OR o_orderpriority = '1-URGENT'",
+)
+def p6(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000))
+        | (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey")
+
+
+@_q(
+    "p7_range_predicate",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity BETWEEN 5 AND 10",
+)
+def p7(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(5, 10))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "p8_string_inequality",
+    "SELECT c_custkey FROM customer WHERE c_mktsegment != 'BUILDING'",
+)
+def p8(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") != "BUILDING")
+        .select("c_custkey")
+    )
+
+
+@_q(
+    "p9_membership",
+    "SELECT n_nationkey, n_name FROM nation WHERE n_name IN "
+    "('CHINA', 'FRANCE', 'PERU')",
+)
+def p9(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("CHINA", "FRANCE", "PERU"))
+        .select("n_nationkey", "n_name")
+    )
+
+
+@_q(
+    "p10_null_checks",
+    "SELECT count(CASE WHEN v IS NULL THEN 1 END) AS n_null, "
+    "count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_notnull FROM "
+    "(SELECT CASE WHEN value > 100 THEN value END AS v FROM events)",
+)
+def p10(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") > 100, F.col("value"))
+    )
+    return ev.agg(
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_notnull"),
+    )
+
+
+@_q(
+    "p11_key_equality",
+    "SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem "
+    "WHERE l_orderkey = 42",
+)
+def p11(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J — joins
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "j1_left_join_composite",
+    "SELECT e.event_id, s.n_type FROM events e LEFT JOIN "
+    "(SELECT user_id, event_type, count(*) AS n_type FROM events "
+    "GROUP BY user_id, event_type) s "
+    "ON e.user_id = s.user_id AND e.event_type = s.event_type",
+)
+def j1(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_type")
+    )
+    return ev.join(
+        stats, on=["user_id", "event_type"], how="left"
+    ).select("event_id", "n_type")
+
+
+@_q(
+    "j2_left_join_single",
+    "SELECT o.o_orderkey, c.c_name FROM orders o LEFT JOIN customer c "
+    "ON o.o_custkey = c.c_custkey",
+)
+def j2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left"
+    ).select("o_orderkey", "c_name")
+
+
+@_q(
+    "j3_semi_join",
+    "SELECT c_custkey FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)",
+)
+def j3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(big, on="c_custkey", how="left_semi").select("c_custkey")
+
+
+@_q(
+    "j4_left_join_sentinel",
+    "SELECT o.o_orderkey, COALESCE(r.c_custkey, -1) AS rich_cust FROM orders o "
+    "LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) r "
+    "ON o.o_custkey = r.c_custkey",
+)
+def j4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    return o.join(
+        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left"
+    ).select(
+        "o_orderkey", F.coalesce("c_custkey", F.lit(-1)).alias("rich_cust")
+    )
+
+
+@_q(
+    "j5_cross_broadcast_scalar",
+    "SELECT o_orderstatus, round(count(*) / CAST(t.total AS DOUBLE), 6) AS frac "
+    "FROM orders CROSS JOIN (SELECT count(*) AS total FROM orders) t "
+    "GROUP BY o_orderstatus, t.total",
+)
+def j5(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    total = o.agg(F.count("*").alias("total"))
+    return (
+        o.crossJoin(F.broadcast(total))
+        .groupBy("o_orderstatus", "total")
+        .agg(
+            F.round(
+                F.count("*") / F.col("total").cast("double"), 6
+            ).alias("frac")
+        )
+        .select("o_orderstatus", "frac")
+    )
+
+
+@_q(
+    "j6_medoid_joinback",
+    """WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid,
+         CAST(event_id % 23 AS BIGINT) AS stop_locations,
+         value AS latitude, value + 1.0 AS longitude
+  FROM events
+), medoids AS (
+  SELECT uid, stop_locations, count(*) AS cluster_counts,
+         round(median(latitude), 6) AS cluster_latitude,
+         round(median(longitude), 6) AS cluster_longitude
+  FROM cells GROUP BY uid, stop_locations
+)
+SELECT c.uid, c.stop_locations, round(c.latitude, 6) AS latitude,
+       m.cluster_counts, m.cluster_latitude, m.cluster_longitude
+FROM cells c LEFT JOIN medoids m
+  ON c.uid = m.uid AND c.stop_locations = m.stop_locations""",
+)
+def j6(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        F.col("user_id").cast("string").alias("uid"),
+        (F.col("event_id") % 23).cast("long").alias("stop_locations"),
+        F.col("value").alias("latitude"),
+        (F.col("value") + 1.0).alias("longitude"),
+    )
+    medoids = (
+        cells.groupBy("uid", "stop_locations")
+        .agg(
+            F.count("*").alias("cluster_counts"),
+            F.round(F.median("latitude"), 6).alias("cluster_latitude"),
+            F.round(F.median("longitude"), 6).alias("cluster_longitude"),
+        )
+    )
+    return (
+        cells.join(
+            F.broadcast(medoids), on=["uid", "stop_locations"], how="left"
+        )
+        .select(
+            "uid",
+            "stop_locations",
+            F.round("latitude", 6).alias("latitude"),
+            "cluster_counts",
+            "cluster_latitude",
+            "cluster_longitude",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A — aggregations
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "a1_groupby_count",
+    "SELECT event_type, count(event_id) AS n FROM events GROUP BY event_type",
+)
+def a1(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("event_id").alias("n"))
+    )
+
+
+@_q(
+    "a2_groupby_sum",
+    "SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a2(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+@_q(
+    "a3_groupby_median",
+    "SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty, "
+    "round(median(l_extendedprice), 6) AS med_price "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a3(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        )
+    )
+
+
+@_q(
+    "a4_groupby_minmax",
+    "SELECT l_returnflag, strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship, "
+    "strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a4(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias(
+                "first_ship"
+            ),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias(
+                "last_ship"
+            ),
+        )
+    )
+
+
+@_q(
+    "a5_count_per_group",
+    "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def a5(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "a6_count_distinct",
+    "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def a6(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@_q(
+    "a7_first_per_group",
+    "SELECT c_nationkey, arg_min(c_name, c_custkey) AS first_name "
+    "FROM customer GROUP BY c_nationkey",
+)
+def a7(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.min_by("c_name", "c_custkey").alias("first_name"))
+    )
+
+
+@_q(
+    "a8_collect_list",
+    "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') "
+    "AS linenumbers FROM lineitem GROUP BY l_orderkey",
+)
+def a8(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")), ","
+            ).alias("linenumbers")
+        )
+    )
+
+
+@_q(
+    "a9_grouped_udf",
+    "SELECT user_id, round((max(value) - min(value)) / count(*), 6) AS spread "
+    "FROM events GROUP BY user_id",
+)
+def a9(spark, sf_dir):
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("spread", DoubleType()),
+        ]
+    )
+
+    def _spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        # no rounding in Python: round() is half-to-even, Spark/DuckDB
+        # round is half-up — round JVM-side after the UDF instead
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "spread": [(v.max() - v.min()) / len(v)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_spread, schema=schema)
+        .select("user_id", F.round("spread", 6).alias("spread"))
+    )
+
+
+@_q(
+    "a10_ratio_aggregates",
+    "SELECT user_id, round(count(DISTINCT CAST(ts AS DATE)) / 31.0, 6) "
+    "AS day_ratio FROM events GROUP BY user_id",
+)
+def a10(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.countDistinct(F.to_date("ts")) / F.lit(31.0), 6
+            ).alias("day_ratio")
+        )
+    )
+
+
+@_q(
+    "a11_having",
+    "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+    "HAVING count(*) >= 5",
+)
+def a11(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@_q(
+    "a12_global_minmax",
+    "SELECT round(min(o_totalprice), 6) AS min_price, "
+    "round(max(o_totalprice), 6) AS max_price, "
+    "round(max(o_totalprice) - min(o_totalprice), 6) AS price_span FROM orders",
+)
+def a12(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.round(F.max("o_totalprice") - F.min("o_totalprice"), 6).alias(
+            "price_span"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# W — window / sequential operators
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "w1_lead",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT uid, ping_id, lead(timestamp) OVER "
+    "(PARTITION BY uid ORDER BY timestamp, ping_id) - timestamp AS gap "
+    "FROM pings",
+)
+def w1(spark, sf_dir):
+    p = _pings(spark, sf_dir)
+    w = Window.partitionBy("uid").orderBy("timestamp", "ping_id")
+    return p.select(
+        "uid",
+        "ping_id",
+        (F.lead("timestamp").over(w) - F.col("timestamp")).alias("gap"),
+    )
+
+
+@_q(
+    "w2_lag_fill",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT uid, ping_id, COALESCE(lag(value_flag) OVER "
+    "(PARTITION BY uid ORDER BY timestamp, ping_id), FALSE) AS prev_flag "
+    "FROM (SELECT *, latitude > 10.0003 AS value_flag FROM pings)",
+)
+def w2(spark, sf_dir):
+    p = _pings(spark, sf_dir).withColumn(
+        "value_flag", F.col("latitude") > 10.0003
+    )
+    w = Window.partitionBy("uid").orderBy("timestamp", "ping_id")
+    return p.select(
+        "uid",
+        "ping_id",
+        F.lag("value_flag", 1, False).over(w).alias("prev_flag"),
+    )
+
+
+@_q(
+    "w3_gated_cumsum",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + ", flags AS (SELECT *, latitude > 10.0003 AS flag FROM pings) "
+    "SELECT uid, ping_id, CASE WHEN flag THEN "
+    "sum(CASE WHEN flag THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY uid ORDER BY timestamp, ping_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ELSE -1 END AS run_id "
+    "FROM flags",
+)
+def w3(spark, sf_dir):
+    p = _pings(spark, sf_dir).withColumn(
+        "flag", F.col("latitude") > 10.0003
+    )
+    w = Window.partitionBy("uid").orderBy("timestamp", "ping_id")
+    cum = F.sum(F.col("flag").cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return p.select(
+        "uid",
+        "ping_id",
+        F.when(F.col("flag"), cum).otherwise(F.lit(-1)).alias("run_id"),
+    )
+
+
+@_q(
+    "w4_detect_stops",
+    "WITH "
+    + _STOPS_CTE.strip()
+    + " SELECT uid, stop_events, round(latitude, 6) AS latitude, "
+    "round(longitude, 6) AS longitude, timestamp FROM stops",
+)
+def w4(spark, sf_dir):
+    df = _detect_stops_df(spark, sf_dir)
+    return df.select(
+        "uid",
+        "stop_events",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "timestamp",
+    )
+
+
+@_q(
+    "w5_rolling_range_window",
+    "SELECT user_id, event_id, round(sum(value) OVER "
+    "(PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 "
+    "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_value "
+    "FROM events",
+)
+def w5(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_day", (F.unix_timestamp("ts") / 86400).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_day")
+        .rangeBetween(-6, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_value"),
+    )
+
+
+@_q(
+    "w6_row_index",
+    "SELECT user_id, event_id, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS idx FROM events",
+)
+def w6(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id", F.row_number().over(w).alias("idx")
+        )
+    )
+
+
+@_q(
+    "w7_keep_first",
+    "SELECT user_id, event_id, round(value, 6) AS value FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY value DESC, event_id) AS rn FROM events) WHERE rn = 1",
+)
+def w7(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+@_q(
+    "w8_compute_intervals",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + """,
+labeled AS (
+  SELECT uid, timestamp, ping_id,
+         CAST(floor(latitude * 1000) AS BIGINT) AS label
+  FROM pings
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(label) OVER w IS NULL
+                 OR label != lag(label) OVER w
+                 OR timestamp - lag(timestamp) OVER w >= 86400
+            THEN 1 ELSE 0 END AS new_interval
+  FROM labeled
+  WINDOW w AS (PARTITION BY uid ORDER BY timestamp, ping_id)
+),
+runs AS (
+  SELECT *, sum(new_interval) OVER
+    (PARTITION BY uid ORDER BY timestamp, ping_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_id
+  FROM flagged
+)
+SELECT uid, arbitrary(label) AS label, min(timestamp) AS t_start,
+       max(timestamp) AS t_end
+FROM runs GROUP BY uid, interval_id""",
+)
+def w8(spark, sf_dir):
+    from polaroam_spark.operators.postprocess import compute_intervals
+
+    labeled = _pings(spark, sf_dir).withColumn(
+        "label", F.floor(F.col("latitude") * 1000).cast("long")
+    )
+    return compute_intervals(
+        labeled,
+        label_col="label",
+        time_col="timestamp",
+        max_time_between=86400,
+    )
+
+
+# --------------------------------------------------------------------------
+# R — sorts / distinct / explode / pivot / limit
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "r1_multi_sort_rank",
+    "SELECT o_orderkey, rnk FROM (SELECT o_orderkey, row_number() OVER "
+    "(ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) "
+    "WHERE rnk <= 100",
+)
+def r1(spark, sf_dir):
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("o_orderkey", "rnk")
+    )
+
+
+@_q(
+    "r2_distinct_subset",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def r2(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+@_q(
+    "r3_drop_nulls",
+    "SELECT event_id, round(v, 6) AS v FROM (SELECT event_id, CASE WHEN "
+    "value > 100 THEN value END AS v FROM events) WHERE v IS NOT NULL",
+)
+def r3(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("v", F.when(F.col("value") > 100, F.col("value")))
+        .select("event_id", "v")
+        .na.drop(subset=["v"])
+        .select("event_id", F.round("v", 6).alias("v"))
+    )
+
+
+@_q(
+    "r4_explode",
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) "
+    "AS token FROM documents WHERE doc_id < 50",
+)
+def r4(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+    )
+
+
+@_q(
+    "r5_pivot",
+    "SELECT o_orderpriority, "
+    "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o, "
+    "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f, "
+    "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def r5(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .withColumnsRenamed({"O": "cnt_o", "F": "cnt_f", "P": "cnt_p"})
+    )
+
+
+@_q(
+    "r6_limit",
+    "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def r6(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# F — scalar functions
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "f1_haversine",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT ping_id, round("
+    + _hav_sql("latitude", "longitude", "latitude + 0.01", "longitude + 0.01")
+    + ", 4) AS dist_m FROM pings",
+)
+def f1(spark, sf_dir):
+    from polaroam_spark.functions.distance import haversine_m
+
+    p = _pings(spark, sf_dir)
+    return p.select(
+        "ping_id",
+        F.round(
+            haversine_m(
+                "latitude",
+                "longitude",
+                F.col("latitude") + 0.01,
+                F.col("longitude") + 0.01,
+            ),
+            4,
+        ).alias("dist_m"),
+    )
+
+
+@_q(
+    "f2_euclidean",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT ping_id, round(sqrt(pow(0.01, 2) + pow(0.02, 2)) "
+    "* (latitude / latitude), 9) AS dist FROM pings",
+)
+def f2(spark, sf_dir):
+    from polaroam_spark.functions.distance import euclidean_m
+
+    p = _pings(spark, sf_dir)
+    return p.select(
+        "ping_id",
+        F.round(
+            euclidean_m(
+                "latitude",
+                "longitude",
+                F.col("latitude") + 0.01,
+                F.col("longitude") + 0.02,
+            )
+            * (F.col("latitude") / F.col("latitude")),
+            9,
+        ).alias("dist"),
+    )
+
+
+@_q(
+    "f3_grid_snap",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT ping_id, round(round(latitude / 0.05, 0) * 0.05, 6) AS snapped "
+    "FROM pings",
+)
+def f3(spark, sf_dir):
+    from polaroam_spark.functions.distance import grid_snap
+
+    return _pings(spark, sf_dir).select(
+        "ping_id",
+        F.round(grid_snap("latitude", 0.05), 6).alias("snapped"),
+    )
+
+
+@_q(
+    "f4_f5_array_construct_get",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT ping_id, round(([latitude, longitude])[1], 6) AS lat_back, "
+    "len([latitude, longitude]) AS arr_len FROM pings",
+)
+def f45(spark, sf_dir):
+    p = _pings(spark, sf_dir).withColumn(
+        "coords", F.array("latitude", "longitude")
+    )
+    return p.select(
+        "ping_id",
+        F.round(F.col("coords").getItem(0), 6).alias("lat_back"),
+        F.array_size("coords").cast("long").alias("arr_len"),
+    )
+
+
+@_q(
+    "f6_when_otherwise",
+    "SELECT event_id, CASE WHEN value > 150 THEN 'high' WHEN value > 50 "
+    "THEN 'mid' ELSE 'low' END AS bucket FROM events",
+)
+def f6(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 150, "high")
+        .when(F.col("value") > 50, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+
+
+@_q(
+    "f7_literal_cast",
+    "SELECT event_id, CAST(floor(value) AS BIGINT) AS value_int, "
+    "'tag' AS tag, CAST(1 AS BIGINT) AS one FROM events",
+)
+def f7(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor("value").cast("long").alias("value_int"),
+        F.lit("tag").alias("tag"),
+        F.lit(1).cast("long").alias("one"),
+    )
+
+
+@_q(
+    "f8_fill_null",
+    "SELECT event_id, round(COALESCE(CASE WHEN value > 100 THEN value END, "
+    "-1.0), 6) AS v FROM events",
+)
+def f8(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(
+            F.coalesce(
+                F.when(F.col("value") > 100, F.col("value")), F.lit(-1.0)
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+@_q(
+    "f9_epoch_to_timestamp",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT ping_id, strftime(to_timestamp(timestamp), "
+    "'%Y-%m-%d %H:%M:%S') AS ts_str FROM pings",
+)
+def f9(spark, sf_dir):
+    from polaroam_spark.functions.datetimes import from_epoch
+
+    return _pings(spark, sf_dir).select(
+        "ping_id",
+        F.date_format(from_epoch("timestamp"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_str"
+        ),
+    )
+
+
+@_q(
+    "f10_timestamp_to_epoch",
+    "SELECT event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS epoch_s FROM events",
+)
+def f10(spark, sf_dir):
+    from polaroam_spark.functions.datetimes import epoch_seconds
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", epoch_seconds("ts").alias("epoch_s")
+    )
+
+
+@_q(
+    "f11_tz_convert",
+    "SELECT event_id, strftime(timezone('America/Mexico_City', "
+    "ts::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS local_str FROM events",
+)
+def f11(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/Mexico_City"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("local_str"),
+    )
+
+
+@_q(
+    "f12_tz_restamp",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + " SELECT ping_id, CAST(floor(epoch(timezone('America/Mexico_City', "
+    "to_timestamp(timestamp)::TIMESTAMPTZ))) AS BIGINT) AS local_epoch "
+    "FROM pings",
+)
+def f12(spark, sf_dir):
+    from polaroam_spark.sources.io import localize_timestamps
+
+    p = _pings(spark, sf_dir)
+    return localize_timestamps(p, "America/Mexico_City").select(
+        "ping_id", F.col("timestamp").alias("local_epoch")
+    )
+
+
+@_q(
+    "f13_datetime_parts",
+    "SELECT event_id, CAST(year(ts) AS BIGINT) AS y, "
+    "CAST(month(ts) AS BIGINT) AS mo, CAST(day(ts) AS BIGINT) AS d, "
+    "CAST(hour(ts) AS BIGINT) AS h, strftime(CAST(ts AS DATE), '%Y-%m-%d') "
+    "AS date_str FROM events",
+)
+def f13(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date_str"),
+    )
+
+
+@_q(
+    "f14_iso_weekday",
+    "SELECT event_id, CAST(isodow(ts) AS BIGINT) AS iso_wd FROM events",
+)
+def f14(spark, sf_dir):
+    from polaroam_spark.functions.datetimes import iso_weekday
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", iso_weekday("ts").cast("long").alias("iso_wd")
+    )
+
+
+@_q(
+    "f15_date_diff_days",
+    "SELECT user_id, CAST(date_diff('day', min(CAST(ts AS DATE)), "
+    "max(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days "
+    "FROM events GROUP BY user_id",
+)
+def f15(spark, sf_dir):
+    from polaroam_spark.functions.datetimes import date_diff_days
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("_max"),
+            F.min(F.to_date("ts")).alias("_min"),
+        )
+        .select(
+            "user_id", date_diff_days("_max", "_min").alias("span_days")
+        )
+    )
+
+
+@_q(
+    "f16_date_trunc_str",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d') AS date_trunc FROM events",
+)
+def f16(spark, sf_dir):
+    from polaroam_spark.functions.datetimes import date_trunc_str
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", date_trunc_str("ts").alias("date_trunc")
+    )
+
+
+@_q(
+    "f17_sha_uid_hash",
+    "SELECT user_id, CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), "
+    "1, 15)) AS BIGINT) AS uid_hash FROM (SELECT DISTINCT user_id FROM events)",
+)
+def f17(spark, sf_dir):
+    from polaroam_spark.sources.io import hash_uid
+
+    distinct_users = (
+        _t(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    return hash_uid(
+        distinct_users.withColumn("uid", F.col("user_id")), "uid"
+    ).select("user_id", F.col("uid").alias("uid_hash"))
+
+
+@_q(
+    "f18_boolean_algebra",
+    "SELECT event_id, (value > 50 AND NOT (value > 150)) OR event_type = "
+    "'signup' AS flag FROM events",
+)
+def f18(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        (
+            ((F.col("value") > 50) & ~(F.col("value") > 150))
+            | (F.col("event_type") == "signup")
+        ).alias("flag"),
+    )
+
+
+@_q(
+    "f19_string_ops",
+    "SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix, "
+    "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_key "
+    "FROM customer",
+)
+def f19(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws(
+            "-", "c_mktsegment", F.col("c_nationkey").cast("string")
+        ).alias("seg_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C / M — clustering + pipeline composites
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "c1_grid_neighbor_pairs",
+    "WITH "
+    + _STOPS_CTE.strip()
+    + """,
+cells AS (
+  SELECT uid, latitude, longitude,
+         CAST(floor(latitude / 0.0002) AS BIGINT) AS cx,
+         CAST(floor(longitude / 0.0002) AS BIGINT) AS cy,
+         row_number() OVER (PARTITION BY uid ORDER BY latitude, longitude,
+                            start_timestamp) AS pid
+  FROM medians
+)
+SELECT a.uid, a.pid AS pid_a, b.pid AS pid_b
+FROM cells a JOIN cells b ON a.uid = b.uid AND a.cx = b.cx AND a.cy = b.cy
+WHERE a.pid < b.pid AND """
+    + _hav_sql("a.latitude", "a.longitude", "b.latitude", "b.longitude")
+    + " <= 25.0",
+)
+def c1(spark, sf_dir):
+    from polaroam_spark.functions.distance import haversine_m
+
+    med = _medians_df(spark, sf_dir)
+    cells = med.select(
+        "uid",
+        "latitude",
+        "longitude",
+        F.floor(F.col("latitude") / F.lit(_CELL)).cast("long").alias("cx"),
+        F.floor(F.col("longitude") / F.lit(_CELL)).cast("long").alias("cy"),
+        F.row_number()
+        .over(
+            Window.partitionBy("uid").orderBy(
+                "latitude", "longitude", "start_timestamp"
+            )
+        )
+        .alias("pid"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(b, on=["uid", "cx", "cy"], how="inner")
+        .filter(F.col("a.pid") < F.col("b.pid"))
+        .filter(
+            haversine_m(
+                F.col("a.latitude"),
+                F.col("a.longitude"),
+                F.col("b.latitude"),
+                F.col("b.longitude"),
+            )
+            <= 25.0
+        )
+        .select(
+            F.col("a.uid").alias("uid"),
+            F.col("a.pid").alias("pid_a"),
+            F.col("b.pid").alias("pid_b"),
+        )
+    )
+
+
+@_q("c3_dbscan_per_user")  # UDF clustering — rows-only check
+def c3(spark, sf_dir):
+    from polaroam_spark.operators.clustering import cluster_stops_dbscan
+
+    med = _medians_df(spark, sf_dir)
+    return cluster_stops_dbscan(med, r2=25.0, min_samples=2).select(
+        "uid",
+        "stop_events",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "stop_locations",
+    )
+
+
+@_q("c3b_dbscan_distributed")  # scale-path clustering — rows-only check
+def c3b(spark, sf_dir):
+    from polaroam_spark.operators.clustering import (
+        cluster_stops_dbscan_distributed,
+    )
+
+    med = _medians_df(spark, sf_dir)
+    return cluster_stops_dbscan_distributed(med, r2=25.0).select(
+        "uid",
+        "stop_events",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "stop_locations",
+    )
+
+
+@_q(
+    "c4_cluster_medoids",
+    "WITH "
+    + _GRID_CTE.strip()
+    + """
+SELECT uid, stop_locations,
+       CASE WHEN stop_locations = -1 THEN 1 ELSE count(*) END AS cluster_counts,
+       round(median(latitude), 6) AS cluster_latitude,
+       round(median(longitude), 6) AS cluster_longitude
+FROM grid GROUP BY uid, stop_locations""",
+)
+def c4(spark, sf_dir):
+    from polaroam_spark.operators.clustering import cluster_medoids
+
+    grid = _grid_labeled_df(spark, sf_dir)
+    return cluster_medoids(grid).select(
+        "uid",
+        "stop_locations",
+        "cluster_counts",
+        F.round("cluster_latitude", 6).alias("cluster_latitude"),
+        F.round("cluster_longitude", 6).alias("cluster_longitude"),
+    )
+
+
+@_q(
+    "c6_max_pairwise_distance",
+    "WITH "
+    + _STOPS_CTE.strip()
+    + " SELECT a.uid, round(max("
+    + _hav_sql("a.latitude", "a.longitude", "b.latitude", "b.longitude")
+    + "), 4) AS max_dist FROM medians a JOIN medians b ON a.uid = b.uid "
+    "GROUP BY a.uid",
+)
+def c6(spark, sf_dir):
+    from polaroam_spark.functions.distance import haversine_m
+
+    med = _medians_df(spark, sf_dir).select("uid", "latitude", "longitude")
+    a, b = med.alias("a"), med.alias("b")
+    return (
+        a.join(b, on="uid", how="inner")
+        .groupBy("uid")
+        .agg(
+            F.round(
+                F.max(
+                    haversine_m(
+                        F.col("a.latitude"),
+                        F.col("a.longitude"),
+                        F.col("b.latitude"),
+                        F.col("b.longitude"),
+                    )
+                ),
+                4,
+            ).alias("max_dist")
+        )
+    )
+
+
+@_q(
+    "m2_stop_medians",
+    "WITH "
+    + _STOPS_CTE.strip()
+    + " SELECT uid, stop_events, round(latitude, 6) AS latitude, "
+    "round(longitude, 6) AS longitude, start_timestamp, end_timestamp "
+    "FROM medians",
+)
+def m2(spark, sf_dir):
+    return _medians_df(spark, sf_dir).select(
+        "uid",
+        "stop_events",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "start_timestamp",
+        "end_timestamp",
+    )
+
+
+@_q("m3_communities")  # infomap-substitute clustering — rows-only check
+def m3(spark, sf_dir):
+    from polaroam_spark.operators.clustering import cluster_communities
+
+    med = _medians_df(spark, sf_dir)
+    return cluster_communities(med, r2=25.0, label_singleton=True).select(
+        "uid",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "stop_labels",
+    )
+
+
+@_q(
+    "m5_prepare_labeling",
+    "WITH "
+    + _PREP_CTE.strip()
+    + " SELECT uid, stop_locations, year, month, day, hour, "
+    "strftime(date, '%Y-%m-%d') AS date_str, weekday, duration, "
+    "'O' AS location_type, CAST(-1 AS BIGINT) AS home_label "
+    "FROM prep",
+)
+def m5(spark, sf_dir):
+    return _prep_df(spark, sf_dir).select(
+        "uid",
+        "stop_locations",
+        "year",
+        "month",
+        "day",
+        "hour",
+        F.date_format("date", "yyyy-MM-dd").alias("date_str"),
+        "weekday",
+        "duration",
+        "location_type",
+        "home_label",
+    )
+
+
+@_q(
+    "m6_detect_home",
+    "WITH "
+    + _HOME_CTE.strip()
+    + """
+SELECT p.uid, p.stop_locations, p.start_timestamp,
+       CASE WHEN h.home_label IS NOT NULL THEN 'H' ELSE 'O' END AS location_type,
+       COALESCE(h.home_label, -1) AS home_label
+FROM prep p LEFT JOIN home_labels h
+  ON p.uid = h.uid AND p.stop_locations = h.stop_locations""",
+)
+def m6(spark, sf_dir):
+    return _home_df(spark, sf_dir).select(
+        "uid",
+        "stop_locations",
+        "start_timestamp",
+        "location_type",
+        "home_label",
+    )
+
+
+@_q(
+    "m7_detect_work",
+    "WITH "
+    + _WORK_CTE.strip()
+    + " SELECT uid, stop_locations, start_timestamp, location_type, "
+    "home_label, work_label FROM worked",
+)
+def m7(spark, sf_dir):
+    return _work_df(spark, sf_dir).select(
+        "uid",
+        "stop_locations",
+        "start_timestamp",
+        "location_type",
+        "home_label",
+        "work_label",
+    )
+
+
+# --------------------------------------------------------------------------
+# D / N / T — dedup, similarity, text (beyond-reference)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "d1_dedup_exact",
+    "SELECT doc_id FROM documents WHERE doc_id IN ("
+    "SELECT min(doc_id) FROM documents "
+    "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))",
+)
+def d1(spark, sf_dir):
+    from polaroam_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+@_q("d2_minhash_lsh_pairs")  # LSH banding — rows-only check
+def d2(spark, sf_dir):
+    from polaroam_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8
+    ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@_q("d3_simhash_pairs")  # rows-only check
+def d3(spark, sf_dir):
+    from polaroam_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=2
+    ).select("id_a", "id_b", "hamming")
+
+
+@_q(
+    "d4_ngram_jaccard_pairs",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       round(s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE), 6) AS jaccard_sim
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5""",
+)
+def d4(spark, sf_dir):
+    from polaroam_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@_q("d5_embedding_neardup")  # LSH bucketing — rows-only check
+def d5(spark, sf_dir):
+    from polaroam_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        cosine_threshold=0.95,
+        num_planes=6,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@_q(
+    "n1_cosine_topk",
+    """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qvec),
+                                   p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                           x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qvec, x -> x * x)))), 6)
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine, rnk AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 10""",
+)
+def n1(spark, sf_dir):
+    from polaroam_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # round cosine BEFORE ranking so Spark and the oracle rank the
+    # same values (float ties resolved identically by vec_id).
+    from polaroam_spark.functions.vectors import cosine_similarity
+
+    scored = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("_dvec"))
+        .crossJoin(
+            F.broadcast(q.withColumnRenamed("embedding", "_qvec"))
+        )
+        .withColumn(
+            "cosine", F.round(cosine_similarity("_dvec", "_qvec"), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@_q("n2_ann_lsh_topk")  # sin()-seeded planes — rows-only check
+def n2(spark, sf_dir):
+    from polaroam_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(
+        emb, q, k=10, num_planes=6, num_probes=3
+    ).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@_q(
+    "t1_token_count",
+    "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), "
+    "'\\s+'), t -> t != '')) AS BIGINT) AS n_tokens FROM documents",
+)
+def t1(spark, sf_dir):
+    from polaroam_spark.operators.textstats import token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+@_q(
+    "t2_quality_features",
+    """SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t != '')) AS BIGINT) AS n_tokens,
+       round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio
+FROM documents""",
+)
+def t2(spark, sf_dir):
+    from polaroam_spark.operators.textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+    )
+
+
+@_q(
+    "t3_stopword_scores",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  round(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is',
+    'that','for','with','as'))) / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+    AS en_score,
+  round(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un',
+    'por','con','los'))) / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
+    AS es_score
+FROM toks""",
+)
+def t3(spark, sf_dir):
+    from polaroam_spark.functions.text import tokens
+    from polaroam_spark.operators.textstats import STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", tokens("text")
+    )
+    n = F.greatest(F.array_size("_toks"), F.lit(1)).cast("double")
+
+    def score(lang):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.round(
+            F.array_size(
+                F.filter(F.col("_toks"), lambda t: F.array_contains(sw, t))
+            ).cast("double")
+            / n,
+            6,
+        )
+
+    return docs.select(
+        "doc_id",
+        score("en").alias("en_score"),
+        score("es").alias("es_score"),
+    )
+
+
+@_q(
+    "t4_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+    "AS md5_fingerprint FROM documents",
+)
+def t4(spark, sf_dir):
+    from polaroam_spark.operators.textstats import document_fingerprint
+
+    return document_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "md5_fingerprint"
+    )
+
+
+@_q("mm1_media_features")  # mapInPandas plumbing — rows-only check
+def mm1(spark, sf_dir):
+    from polaroam_spark.operators.multimodal import (
+        attach_media_meta,
+        extract_media_features,
+    )
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    media = attach_media_meta(media, kind="image", fmt="fake")
+    return extract_media_features(media).select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full mobility pipeline (stops → medians →
+    DBSCAN stop locations → medoids) on sf0.001 pseudo-pings."""
+    from polaroam_spark.operators.clustering import (
+        attach_medoids,
+        cluster_stops_dbscan,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    med = _medians_df(spark, sf_dir)
+    labeled = cluster_stops_dbscan(med, r2=25.0, min_samples=2)
+    return attach_medoids(labeled)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql
+        for name, (_fn, sql) in _REGISTRY.items()
+        if sql is not None
+    }

@@ -141,8 +141,9 @@ def label_locations(df: DataFrame, label_col: str) -> DataFrame:
     module docstring).
     """
     order = [
-        F.col("cluster_counts").desc_nulls_last(),
-        F.col("date_percentage").desc_nulls_last(),
+        F.col(c).desc_nulls_last()
+        for c in ("cluster_counts", "date_percentage")
+        if c in df.columns
     ]
     w = Window.partitionBy("uid", "stop_locations").orderBy(*order)
     return (

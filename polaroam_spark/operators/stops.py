@@ -47,6 +47,7 @@ def detect_stops(
     min_staying_time: int = 300,
     max_time_between: int = 86400,
     distance_metric: str = "haversine",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """Segment each user's trajectory into stop events.
 
@@ -54,10 +55,18 @@ def detect_stops(
     extra columns are dropped, reference models.py:143).
     Output: ``uid, stop_events, latitude, longitude, timestamp`` with
     ``stop_events = -1`` for transit/noise pings.
-    """
-    w = Window.partitionBy("uid").orderBy("timestamp")
 
-    df = pings.select("uid", "latitude", "longitude", "timestamp")
+    ``tiebreaker`` names an extra column used as a secondary sort key
+    so duplicate timestamps order deterministically (the reference
+    relies on Polars' stable input order, which Spark does not have).
+    """
+    order = ["timestamp"] + ([tiebreaker] if tiebreaker else [])
+    w = Window.partitionBy("uid").orderBy(*order)
+
+    keep = ["uid", "latitude", "longitude", "timestamp"] + (
+        [tiebreaker] if tiebreaker else []
+    )
+    df = pings.select(*keep)
 
     lead_lat = F.lead("latitude").over(w)
     lead_lon = F.lead("longitude").over(w)
