@@ -1,0 +1,168 @@
+"""Clustering property tests (SURVEY.md §5): numpy DBSCAN semantics,
+fidelity-path vs distributed-path equivalence, medoid rules."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from polaroam_spark.operators.clustering import (
+    cluster_medoids,
+    cluster_stops_dbscan,
+    cluster_stops_dbscan_distributed,
+    dbscan_labels,
+)
+
+
+# ---------- pure numpy unit/property tests (no Spark) ----------
+
+
+def test_dbscan_noise_and_clusters():
+    lat = np.array([10.0, 10.00001, 10.00002, 11.0])
+    lon = np.array([10.0, 10.0, 10.0, 10.0])
+    labels = dbscan_labels(lat, lon, eps_m=10, min_samples=2)
+    assert labels[3] == -1  # isolated point is noise
+    assert labels[0] == labels[1] == labels[2] != -1
+
+
+def test_dbscan_chain_transitivity():
+    # chain of points each ~8m apart: min_samples=2 connects them all
+    lat = 10.0 + np.arange(5) * 0.00007
+    lon = np.full(5, 10.0)
+    labels = dbscan_labels(lat, lon, eps_m=10, min_samples=2)
+    assert len(set(labels)) == 1 and labels[0] != -1
+
+
+def test_dbscan_min_samples_three():
+    # tight trio (each has >= 3 neighbors incl. self -> core) + an
+    # isolated pair (2 neighbors each < 3 -> both noise)
+    lat = np.array([10.0, 10.00002, 10.00004, 10.001, 10.001005])
+    lon = np.full(5, 10.0)
+    labels = dbscan_labels(lat, lon, eps_m=10, min_samples=3)
+    assert labels[0] == labels[1] == labels[2] != -1
+    assert labels[3] == -1 and labels[4] == -1
+
+def test_dbscan_border_point_joins_cluster():
+    # p3 within eps of only the cluster-edge point p2 (not core itself,
+    # 2 neighbors incl. self < 3) -> border point, joins p2's cluster
+    lat = np.array([10.0, 10.00004, 10.00008, 10.00015])
+    lon = np.full(4, 10.0)
+    labels = dbscan_labels(lat, lon, eps_m=10, min_samples=3)
+    assert labels[0] == labels[1] == labels[2] != -1
+    assert labels[3] == labels[2]
+
+
+def _components_bruteforce(lat, lon, eps_m):
+    from polaroam_spark.operators.clustering import _haversine_matrix_m
+
+    n = len(lat)
+    adj = _haversine_matrix_m(lat, lon) <= eps_m
+    seen = np.full(n, -1)
+    comp = 0
+    for i in range(n):
+        if seen[i] != -1:
+            continue
+        stack = [i]
+        members = []
+        while stack:
+            j = stack.pop()
+            if seen[j] != -1:
+                continue
+            seen[j] = comp
+            members.append(j)
+            stack.extend(np.nonzero(adj[j])[0].tolist())
+        if len(members) == 1:
+            seen[members[0]] = -2  # singleton
+        comp += 1
+    return seen
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=10.0, max_value=10.001),
+            st.floats(min_value=10.0, max_value=10.001),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dbscan_min_samples_2_equals_connected_components(coords):
+    lat = np.array([c[0] for c in coords])
+    lon = np.array([c[1] for c in coords])
+    labels = dbscan_labels(lat, lon, eps_m=30, min_samples=2)
+    comps = _components_bruteforce(lat, lon, eps_m=30)
+    # identical partitioning: noise iff singleton, same groupings
+    assert np.array_equal(labels == -1, comps == -2)
+    for a in range(len(lat)):
+        for b in range(a + 1, len(lat)):
+            if labels[a] == -1 or labels[b] == -1:
+                continue
+            assert (labels[a] == labels[b]) == (comps[a] == comps[b])
+
+
+# ---------- Spark path equivalence ----------
+
+
+def _medians_fixture(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for uid in ["u1", "u2"]:
+        # two tight clumps ~25m apart within each, plus strays
+        for cx, cy in [(10.0, 10.0), (10.01, 10.01)]:
+            for k in range(4):
+                rows.append(
+                    (
+                        uid,
+                        int(k),
+                        cx + rng.uniform(0, 1e-4),
+                        cy + rng.uniform(0, 1e-4),
+                        1700000000 + k,
+                        1700000400 + k,
+                    )
+                )
+        rows.append((uid, 99, 11.5, 11.5, 1700000000, 1700000300))
+    return spark.createDataFrame(
+        rows,
+        "uid string, stop_events long, latitude double, longitude double, "
+        "start_timestamp long, end_timestamp long",
+    )
+
+
+def _canonical(labeled_rows):
+    """Partition as frozensets of member coords, noise separately —
+    label-permutation invariant comparison."""
+    clusters = {}
+    noise = set()
+    for r in labeled_rows:
+        key = (r.uid, round(r.latitude, 9), round(r.longitude, 9))
+        if r.stop_locations == -1:
+            noise.add(key)
+        else:
+            clusters.setdefault((r.uid, r.stop_locations), set()).add(key)
+    return {frozenset(v) for v in clusters.values()}, noise
+
+
+@pytest.mark.slow
+def test_dbscan_fidelity_vs_distributed(spark):
+    med = _medians_fixture(spark)
+    a = cluster_stops_dbscan(med, r2=25.0, min_samples=2).collect()
+    b = cluster_stops_dbscan_distributed(med, r2=25.0).collect()
+    assert _canonical(a) == _canonical(b)
+
+
+def test_medoid_noise_count_is_one(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", -1, 10.0, 10.0),
+            ("A", -1, 11.0, 11.0),
+            ("A", 0, 10.0, 10.0),
+            ("A", 0, 10.2, 10.2),
+        ],
+        "uid string, stop_locations long, latitude double, longitude double",
+    )
+    med = {r.stop_locations: r for r in cluster_medoids(df).collect()}
+    assert med[-1].cluster_counts == 1  # forced (reference models.py:256-260)
+    assert med[0].cluster_counts == 2
+    assert abs(med[0].cluster_latitude - 10.1) < 1e-9

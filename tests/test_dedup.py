@@ -1,0 +1,99 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup — small corpora with planted duplicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the late afternoon sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, "The  quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the late afternoon sun"),
+        # near-duplicate: one word changed
+        (3, BASE.replace("afternoon", "morning")),
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution with vectorized operators"),
+        (5, "another unrelated document mentioning parquet files shuffle "
+            "partitions and adaptive query execution in big clusters"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r.doc_id for r in dedup_exact(docs).collect()}
+    assert 0 in kept and 1 not in kept
+    # normalization collapses whitespace/case: doc 2 is also a dup of 0
+    assert 2 not in kept
+    assert {3, 4, 5} <= kept
+
+
+def test_exact_dedup_unnormalized(docs):
+    kept = {r.doc_id for r in dedup_exact(docs, normalized=False).collect()}
+    assert 2 in kept  # raw text differs
+
+
+def test_minhash_finds_near_duplicate(docs):
+    pairs = minhash_lsh_pairs(
+        docs, shingle_k=3, num_hashes=16, bands=8, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 3) in found  # one-word edit keeps jaccard high
+    assert not any({a, b} == {4, 5} for a, b in found)
+
+
+def test_dedup_minhash_removes_losers(docs):
+    kept = {
+        r.doc_id
+        for r in dedup_minhash_lsh(
+            docs, shingle_k=3, num_hashes=16, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert 0 in kept and 1 not in kept and 3 not in kept
+    assert {4, 5} <= kept
+
+
+def test_simhash_pairs(docs):
+    pairs = simhash_pairs(docs, bits=32, max_hamming=3, chunks=4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 1)] == 0  # identical text, identical fingerprint
+
+
+def test_ngram_jaccard_value(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    sim = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs}
+    assert sim[(0, 1)] == 1.0
+    assert 0.4 <= sim[(0, 3)] < 1.0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(
+        emb, cosine_threshold=0.99, num_planes=2
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert found == {(0, 1)}

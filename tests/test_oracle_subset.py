@@ -1,0 +1,68 @@
+"""Mini oracle harness: a representative subset of the driver's
+correctness gate (full set lives in __spark_entry__ and is exercised
+by the round driver; this keeps a fast regression signal in pytest).
+"""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "w4_detect_stops",
+    "m2_stop_medians",
+    "c4_cluster_medoids",
+    "m6_detect_home",
+    "w8_compute_intervals",
+    "d1_dedup_exact",
+    "n1_cosine_topk",
+    "t1_token_count",
+    "f14_iso_weekday",
+    "j5_cross_broadcast_scalar",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as em
+
+    fn = em.queries()[name]
+    sql = em.oracle_sql()[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    odf = duck.execute(sql).fetchdf()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    pd.testing.assert_frame_equal(
+        _norm(sdf), _norm(odf), check_dtype=False, check_exact=False,
+        rtol=0, atol=1e-9,
+    )

@@ -1,0 +1,80 @@
+"""Similarity search: brute-force exactness, ANN recall properties."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.operators.similarity import (
+    add_lsh_bucket,
+    ann_lsh_topk,
+    cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, (rng.standard_normal(8) / 4).tolist()) for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_bruteforce_self_is_rank_one(vectors):
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(vectors, q, k=5).collect()
+    rank1 = {r.query_id: (r.vec_id, r.cosine) for r in out if r.rank == 1}
+    for qid, (vid, cos) in rank1.items():
+        assert vid == qid
+        assert abs(cos - 1.0) < 1e-9
+
+
+def test_bruteforce_matches_python(vectors):
+    data = {r.vec_id: r.embedding for r in vectors.collect()}
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sorted(
+        [(r.rank, r.vec_id) for r in cosine_topk(vectors, q, k=3).collect()]
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    expected = sorted(
+        data, key=lambda v: (-cos(data[0], data[v]), v)
+    )[:3]
+    assert [v for _, v in out] == expected
+
+
+def test_lsh_bucket_deterministic(vectors):
+    a = {r.vec_id: r.lsh_bucket for r in add_lsh_bucket(vectors).collect()}
+    b = {r.vec_id: r.lsh_bucket for r in add_lsh_bucket(vectors).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())  # 8 planes -> 8 bits
+
+
+def test_ann_results_are_true_cosines(vectors):
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(vectors, q, k=40).collect()
+    }
+    ann = ann_lsh_topk(vectors, q, k=5, num_planes=4, num_probes=3).collect()
+    for r in ann:
+        assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    # self always lands in its own bucket -> rank 1 is the query itself
+    rank1 = {r.query_id: r.vec_id for r in ann if r.rank == 1}
+    assert all(qid == vid for qid, vid in rank1.items())

@@ -1,0 +1,75 @@
+"""Text analysis operators: counts, quality, language ID, fingerprints."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.operators.textstats import (
+    bpe_ish_token_count,
+    detect_language,
+    document_fingerprint,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog slept in the sun"),
+        (1, "el perro corre por la calle y el gato duerme en la casa"),
+        (2, "12345 67890 11111 22222 33333"),
+        (3, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    out = {r.doc_id: r.n for r in docs.select(
+        "doc_id", token_count("text").alias("n")).collect()}
+    assert out[0] == 13
+    assert out[3] == 1
+
+
+def test_bpe_ish_count(spark):
+    df = spark.createDataFrame([(0, "hello, world42!")], "i long, text string")
+    n = df.select(bpe_ish_token_count("text").alias("n")).first().n
+    # hello / , / world / 42 / !
+    assert n == 5
+
+
+def test_language_id(docs):
+    out = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id", detect_language("text").alias("lang")
+        ).collect()
+    }
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"  # digits only -> no stopword hits
+
+
+def test_quality_score_ordering(docs):
+    out = {
+        r.doc_id: r.quality_score
+        for r in quality_features(docs).collect()
+    }
+    # prose beats digit-soup beats single char
+    assert out[0] > out[2]
+    assert out[0] > out[3]
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_fingerprint_stability_and_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Hello   World this is a test of fingerprints"),
+            (1, "hello world this is a test of fingerprints"),
+            (2, "entirely different content in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in document_fingerprint(df).collect()}
+    assert out[0].md5_fingerprint == out[1].md5_fingerprint
+    assert out[0].md5_fingerprint != out[2].md5_fingerprint
+    assert out[0].rolling_fingerprint == out[1].rolling_fingerprint
