@@ -1,0 +1,159 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (scan -> plan -> execute) with a noop
+sink so every output column is computed but nothing is written.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def main() -> None:
+    from polaroam_spark import get_spark
+
+    spark = get_spark(app_name="polaroam-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def q_stop_detection():
+        # M1+M2: full sessionization -> per-event medians
+        run(em._medians_df(spark, SF_DIR))
+
+    def q_dbscan_clustering():
+        # M4: per-user DBSCAN of medians + medoid stats joined back
+        from polaroam_spark.operators.clustering import (
+            attach_medoids,
+            cluster_stops_dbscan,
+        )
+
+        med = em._medians_df(spark, SF_DIR)
+        run(attach_medoids(cluster_stops_dbscan(med, r2=25.0)))
+
+    def q_homework_labeling():
+        # M5-M7 over grid-labeled stops
+        run(em._work_df(spark, SF_DIR))
+
+    def q_interval_compaction():
+        fn = em.queries()["w8_compute_intervals"]
+        run(fn(spark, SF_DIR))
+
+    def q_tpch_agg():
+        li = em._t(spark, SF_DIR, "lineitem")
+        run(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("sum_revenue"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def q_tpch_join():
+        o = em._t(spark, SF_DIR, "orders")
+        c = em._t(spark, SF_DIR, "customer")
+        li = em._t(spark, SF_DIR, "lineitem")
+        run(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue")
+            )
+        )
+
+    def q_dedup_minhash():
+        from polaroam_spark.operators.dedup import minhash_lsh_pairs
+
+        run(
+            minhash_lsh_pairs(
+                em._t(spark, SF_DIR, "documents"), jaccard_threshold=0.8
+            )
+        )
+
+    def q_ann_topk():
+        from polaroam_spark.operators.similarity import ann_lsh_topk
+
+        emb = em._t(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        run(ann_lsh_topk(emb, q, k=10, num_planes=8, num_probes=3))
+
+    def q_text_quality():
+        from polaroam_spark.operators.textstats import quality_features
+
+        run(
+            quality_features(em._t(spark, SF_DIR, "documents")).select(
+                "doc_id", "n_tokens", "quality_score"
+            )
+        )
+
+    queries = {
+        "stop_detection": q_stop_detection,
+        "dbscan_clustering": q_dbscan_clustering,
+        "homework_labeling": q_homework_labeling,
+        "interval_compaction": q_interval_compaction,
+        "tpch_agg": q_tpch_agg,
+        "tpch_join": q_tpch_join,
+        "dedup_minhash": q_dedup_minhash,
+        "ann_topk": q_ann_topk,
+        "text_quality": q_text_quality,
+    }
+
+    # one warm-up pass on a cheap query to absorb JVM/codegen startup
+    t0 = time.time()
+    em._t(spark, SF_DIR, "region").count()
+    warmup = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "warmup_sec": round(warmup, 3),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

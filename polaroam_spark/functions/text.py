@@ -65,18 +65,26 @@ def fast_hash64(value: Column | str, seed: int = 42) -> Column:
 
 
 def minhash_signature(
-    shingles: Column | str, num_hashes: int = 16
+    shingles: Column | str, num_hashes: int = 16, portable: bool = False
 ) -> Column:
     """MinHash signature: for each of ``num_hashes`` seeds, the min
-    portable hash over the shingle set. array<long> of length
-    ``num_hashes``; row-wise min-reduction happens JVM-side via
-    transform + array_min.
+    hash over the shingle set. array<long> of length ``num_hashes``;
+    row-wise min-reduction happens JVM-side via transform + array_min.
+
+    Default hash is ``xxhash64`` seeded per signature row — the fast
+    JVM-native path (~10x cheaper than md5). ``portable=True`` swaps
+    in the md5-based :func:`portable_hash64` when a DuckDB oracle must
+    reproduce the signature bit-for-bit.
     """
     sh = _col(shingles)
+    if portable:
+        hash_fn = lambda t, s: portable_hash64(t, s)  # noqa: E731
+    else:
+        hash_fn = lambda t, s: F.xxhash64(t, s)  # noqa: E731
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.array_min(
-            F.transform(sh, lambda t: portable_hash64(t, s))
+            F.transform(sh, lambda t: hash_fn(t, s))
         ),
     )
 

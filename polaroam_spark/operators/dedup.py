@@ -23,7 +23,6 @@ from polaroam_spark.functions.text import (
     jaccard,
     minhash_signature,
     ngram_set,
-    portable_hash64,
     tokens,
     word_shingles,
 )
@@ -159,7 +158,7 @@ def simhash_fingerprint(
     tok = docs.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("_tok"),
-    ).withColumn("_h", portable_hash64("_tok", 7))
+    ).withColumn("_h", F.xxhash64("_tok", F.lit(7)))
     bit_contrib = [
         F.sum(
             F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1)
