@@ -1674,6 +1674,19 @@ def c4(spark, sf_dir):
     )
 
 
+@_q("c5_convex_hull")  # geometric UDF — rows-only check
+def c5(spark, sf_dir):
+    from polaroam_spark.operators.clustering import convex_hull
+
+    med = _medians_df(spark, sf_dir)
+    return convex_hull(med).select(
+        "uid",
+        "vertex_order",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+    )
+
+
 @_q(
     "c6_max_pairwise_distance",
     "WITH "

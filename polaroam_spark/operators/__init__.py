@@ -5,6 +5,8 @@ from polaroam_spark.operators.clustering import (
     cluster_medoids,
     cluster_stops_dbscan,
     cluster_stops_dbscan_distributed,
+    convex_hull,
+    max_pairwise_distance,
 )
 from polaroam_spark.operators.homework import (
     calculate_total_days,
@@ -52,6 +54,8 @@ __all__ = [
     "cluster_communities",
     "cluster_medoids",
     "attach_medoids",
+    "convex_hull",
+    "max_pairwise_distance",
     "prepare_labeling",
     "detect_home",
     "detect_work",

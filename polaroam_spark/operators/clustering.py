@@ -390,6 +390,104 @@ def cluster_stops_dbscan_distributed(
     return out
 
 
+_HULL_SCHEMA = StructType(
+    [
+        StructField("uid", StringType()),
+        StructField("vertex_order", LongType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+    ]
+)
+
+
+def _monotone_chain(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain convex hull on (n, 2) points; returns
+    hull vertices in counter-clockwise order. Pure numpy — the
+    reference uses scipy's ConvexHull (utils.py:151-165), unavailable
+    here; the algorithm is the textbook public-domain one."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def convex_hull(
+    df: DataFrame,
+    square_padding_deg: float = 0.0001,
+) -> DataFrame:
+    """Per-user convex hull of stop coordinates (reference
+    utils.py:151-165, C5). Degenerate inputs (<3 distinct points, or
+    all collinear) fall back to a padded bounding square around the
+    points, mirroring the reference's square fallback.
+
+    Output: one row per hull vertex — ``uid, vertex_order, latitude,
+    longitude``. Runs as an Arrow grouped-map per uid (per-user stop
+    counts are bounded small; the hull is not a relational op).
+    """
+    pad = float(square_padding_deg)
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[["latitude", "longitude"]].to_numpy()
+        hull = _monotone_chain(pts)
+        if len(hull) < 3:
+            lat_min, lon_min = pts.min(axis=0)
+            lat_max, lon_max = pts.max(axis=0)
+            hull = np.array(
+                [
+                    [lat_min - pad, lon_min - pad],
+                    [lat_min - pad, lon_max + pad],
+                    [lat_max + pad, lon_max + pad],
+                    [lat_max + pad, lon_min - pad],
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "uid": pdf["uid"].iloc[0],
+                "vertex_order": np.arange(len(hull), dtype=np.int64),
+                "latitude": hull[:, 0],
+                "longitude": hull[:, 1],
+            }
+        )
+
+    return (
+        df.select("uid", "latitude", "longitude")
+        .groupBy("uid")
+        .applyInPandas(_hull, schema=_HULL_SCHEMA)
+    )
+
+
+def max_pairwise_distance(df: DataFrame) -> DataFrame:
+    """Per-user maximum pairwise haversine distance between stop
+    coordinates (reference utils.py:136-149, C6) — expressed as a
+    self-equi-join on uid + max aggregate: relational, shuffle-keyed
+    by uid, no UDF, unlike the reference's O(n²) numpy loop."""
+    a = df.select("uid", F.col("latitude").alias("_lat_a"), F.col("longitude").alias("_lon_a"))
+    b = df.select("uid", F.col("latitude").alias("_lat_b"), F.col("longitude").alias("_lon_b"))
+    return (
+        a.join(b, on="uid", how="inner")
+        .groupBy("uid")
+        .agg(
+            F.max(
+                haversine_m("_lat_a", "_lon_a", "_lat_b", "_lon_b")
+            ).alias("max_distance_m")
+        )
+    )
+
+
 def cluster_communities(
     medians: DataFrame,
     r2: float = 10.0,

@@ -102,9 +102,19 @@ def detect_stops(
         F.when(F.col("stationary"), run_id).otherwise(F.lit(-1)).cast("long"),
     )
 
-    # Event validity via a second window (HAVING semantics,
-    # reference utils.py:383-400) — count/sum over (uid, event_id).
-    we = Window.partitionBy("uid", "event_id")
+    # Event validity (HAVING semantics, reference utils.py:383-400):
+    # count/sum per (uid, event_id). Partitioning by (uid, event_id)
+    # would force a SECOND full shuffle of the ping table; instead keep
+    # the existing uid partitioning and use a RANGE frame over
+    # event_id — CURRENT ROW..CURRENT ROW in RANGE mode spans all
+    # peer rows with the same event_id, i.e. exactly the per-event
+    # aggregate, at the cost of one in-partition sort. One Exchange
+    # total for the whole operator (verified via .explain).
+    we = (
+        Window.partitionBy("uid")
+        .orderBy("event_id")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     valid = (
         (F.col("event_id") != -1)
         & (F.count("*").over(we) >= F.lit(int(min_size)))

@@ -1,0 +1,6 @@
+from polaroam_spark.streaming.sessionize import (
+    streaming_event_counts,
+    streaming_stop_detection,
+)
+
+__all__ = ["streaming_event_counts", "streaming_stop_detection"]

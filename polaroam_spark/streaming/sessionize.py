@@ -1,0 +1,216 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (its "streaming" is Polars' out-of-core
+collect, SURVEY.md §2a S8 — not event streams). These operators are
+the beyond-reference streaming surface the build brief asks for:
+
+- ``streaming_event_counts``: watermarked sliding-window aggregation
+  over an event stream — the canonical late-data-tolerant rollup,
+  entirely built-in (no UDF, incremental state managed by Spark).
+- ``streaming_stop_detection``: per-user stateful sessionization via
+  ``applyInPandasWithState`` — the streaming twin of
+  operators/stops.py:detect_stops. State per uid holds the tail of
+  the trajectory (last ping + open run aggregates); each micro-batch
+  extends or closes stop events with the same thresholds as batch.
+  Closed stops are emitted; state times out after
+  ``max_time_between`` seconds of event-time silence, flushing the
+  open run as transit.
+
+Both take/return streaming DataFrames — callers attach sources
+(``spark.readStream.schema(...).parquet/kafka/...``) and sinks
+(``writeStream``); tests drive them with a file source and the
+``availableNow`` trigger.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    slide_duration: str | None = None,
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked (sliding) window counts per group over an event
+    stream. Late rows beyond the watermark are dropped and window
+    state is garbage-collected — bounded state at any scale.
+    """
+    win = F.window(F.col(ts_col), window_duration, slide_duration)
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(win, F.col(group_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n",
+        )
+    )
+
+
+_STOP_OUTPUT = StructType(
+    [
+        StructField("uid", StringType()),
+        StructField("stop_event", LongType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("start_timestamp", LongType()),
+        StructField("end_timestamp", LongType()),
+        StructField("n_pings", LongType()),
+    ]
+)
+
+# state: last ping + open-run aggregates + emitted-event counter
+_STOP_STATE = StructType(
+    [
+        StructField("last_lat", DoubleType()),
+        StructField("last_lon", DoubleType()),
+        StructField("last_ts", LongType()),
+        StructField("run_start_ts", LongType()),
+        StructField("run_n", LongType()),
+        StructField("run_lat_sum", DoubleType()),
+        StructField("run_lon_sum", DoubleType()),
+        StructField("next_event_id", LongType()),
+    ]
+)
+
+
+def streaming_stop_detection(
+    pings: DataFrame,
+    r1: float = 10.0,
+    min_size: int = 2,
+    min_staying_time: int = 300,
+    max_time_between: int = 86400,
+    watermark_delay: str = "1 hour",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming per-user stop detection.
+
+    Input stream columns: ``uid string, latitude double, longitude
+    double, timestamp long`` plus an event-time timestamp column
+    ``ts_col`` for watermarking. Emits one row per CLOSED stop event
+    (a stop closes when the user moves away, the gap exceeds
+    ``max_time_between``, or state times out). The emitted centroid
+    is the running mean of the stop's pings (a streaming-friendly
+    stand-in for the batch median — documented divergence; medians
+    need the full multiset).
+
+    State is one fixed-size row per active uid — bounded by the
+    active-user cardinality, the minimum any per-user sessionizer can
+    hold, and evicted on event-time timeout.
+    """
+    import math
+
+    r1 = float(r1)
+
+    def _haversine(lat1, lon1, lat2, lon2) -> float:
+        la1, lo1, la2, lo2 = map(math.radians, (lat1, lon1, lat2, lon2))
+        a = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+    def _close_run(st: tuple, force_min_checks: bool = True):
+        (_, _, last_ts, run_start, run_n, lat_sum, lon_sum, next_id) = st
+        duration = last_ts - run_start
+        if run_n >= min_size and duration >= min_staying_time:
+            return {
+                "stop_event": next_id,
+                "latitude": lat_sum / run_n,
+                "longitude": lon_sum / run_n,
+                "start_timestamp": run_start,
+                "end_timestamp": last_ts,
+                "n_pings": run_n,
+            }
+        return None
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        out = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                closed = _close_run(tuple(state.get))
+                if closed:
+                    out.append({"uid": uid, **closed})
+                state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in _STOP_OUTPUT.fields])
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("timestamp")
+        if state.exists:
+            (llat, llon, lts, rstart, rn, lat_s, lon_s, nid) = tuple(
+                state.get
+            )
+        else:
+            llat = llon = None
+            lts = rstart = None
+            rn = 0
+            lat_s = lon_s = 0.0
+            nid = 1
+
+        for r in rows.itertuples():
+            lat, lon, ts = r.latitude, r.longitude, int(r.timestamp)
+            if llat is None:
+                rstart, rn, lat_s, lon_s = ts, 1, lat, lon
+            else:
+                near = _haversine(llat, llon, lat, lon) <= r1
+                in_time = (ts - lts) <= max_time_between
+                if near and in_time:
+                    rn += 1
+                    lat_s += lat
+                    lon_s += lon
+                else:
+                    closed = _close_run(
+                        (llat, llon, lts, rstart, rn, lat_s, lon_s, nid)
+                    )
+                    if closed:
+                        out.append({"uid": uid, **closed})
+                        nid += 1
+                    rstart, rn, lat_s, lon_s = ts, 1, lat, lon
+            llat, llon, lts = lat, lon, ts
+
+        state.update((llat, llon, lts, rstart, rn, lat_s, lon_s, nid))
+        state.setTimeoutTimestamp(
+            (lts + max_time_between) * 1000
+        )
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _STOP_OUTPUT.fields]
+            )
+
+    return (
+        pings.withWatermark(ts_col, watermark_delay)
+        .groupBy("uid")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_STOP_OUTPUT,
+            stateStructType=_STOP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

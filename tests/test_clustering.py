@@ -152,6 +152,38 @@ def test_dbscan_fidelity_vs_distributed(spark):
     assert _canonical(a) == _canonical(b)
 
 
+def test_convex_hull_square_and_triangle(spark):
+    from polaroam_spark.operators.clustering import convex_hull
+
+    df = spark.createDataFrame(
+        [
+            # user A: 4 corners + interior point -> square hull (4 vertices)
+            ("A", 0.0, 0.0), ("A", 0.0, 1.0), ("A", 1.0, 0.0),
+            ("A", 1.0, 1.0), ("A", 0.5, 0.5),
+            # user B: 2 points -> degenerate -> padded square fallback
+            ("B", 5.0, 5.0), ("B", 5.0, 6.0),
+        ],
+        "uid string, latitude double, longitude double",
+    )
+    hull = convex_hull(df).collect()
+    a = [(r.latitude, r.longitude) for r in hull if r.uid == "A"]
+    b = [(r.latitude, r.longitude) for r in hull if r.uid == "B"]
+    assert len(a) == 4 and (0.5, 0.5) not in a
+    assert len(b) == 4  # square fallback (reference utils.py:151-165)
+
+
+def test_max_pairwise_distance(spark):
+    from polaroam_spark.operators.clustering import max_pairwise_distance
+
+    df = spark.createDataFrame(
+        [("A", 10.0, 10.0), ("A", 10.0, 10.001), ("A", 10.0, 10.0005)],
+        "uid string, latitude double, longitude double",
+    )
+    out = max_pairwise_distance(df).first()
+    # 0.001 deg longitude at lat 10 ~= 109.6 m
+    assert 100 < out.max_distance_m < 120
+
+
 def test_medoid_noise_count_is_one(spark):
     df = spark.createDataFrame(
         [

@@ -1,0 +1,85 @@
+"""Structured Streaming tests — file source + availableNow trigger +
+memory sink (bounded micro-batch run, no long-lived stream)."""
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.streaming import (
+    streaming_event_counts,
+    streaming_stop_detection,
+)
+
+T0 = 1700006400
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(dir="/root/repo/.scratch")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_event_counts(spark, tmpdir):
+    src = f"{tmpdir}/events"
+    batch = spark.createDataFrame(
+        [(i, "click" if i % 2 else "view") for i in range(20)],
+        "i long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(T0) + F.col("i") * 60))
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    counts = streaming_event_counts(
+        stream, window_duration="10 minutes", watermark_delay="5 minutes"
+    )
+    _run_stream(counts, "evt_counts")
+    out = spark.sql("select * from evt_counts").collect()
+    # append mode emits only watermark-closed windows; the final
+    # window stays open, so totals cover the closed prefix
+    assert len(out) > 0
+    assert all(r.n > 0 for r in out)
+    assert {r.event_type for r in out} <= {"click", "view"}
+
+
+def test_streaming_stop_detection_closes_stops(spark, tmpdir):
+    src = f"{tmpdir}/pings"
+    rows = []
+    # stay 1: 5 pings at (10,10); move; stay 2 open-ended
+    for i in range(5):
+        rows.append(("A", 10.0, 10.0, T0 + i * 120))
+    rows.append(("A", 10.5, 10.5, T0 + 1000))
+    for i in range(5):
+        rows.append(("A", 11.0, 11.0, T0 + 2000 + i * 120))
+    batch = spark.createDataFrame(
+        rows, "uid string, latitude double, longitude double, timestamp long"
+    ).withColumn("event_ts", F.timestamp_seconds("timestamp"))
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    stops = streaming_stop_detection(
+        stream, r1=50, min_size=2, min_staying_time=300, max_time_between=3600
+    )
+    _run_stream(stops, "stops_stream")
+    out = spark.sql("select * from stops_stream order by start_timestamp").collect()
+    # stay 1 closed by the move; stay 2 still open in state (one batch,
+    # no timeout fired) -> exactly one emitted stop
+    assert len(out) == 1
+    r = out[0]
+    assert r.uid == "A"
+    assert r.n_pings == 5
+    assert r.latitude == 10.0 and r.longitude == 10.0
+    assert r.start_timestamp == T0 and r.end_timestamp == T0 + 480
