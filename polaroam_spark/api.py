@@ -52,6 +52,7 @@ class StopDetect:
         min_spacial_resolution: float = 0.0,
         distance_metric: str = "haversine",
         distributed_clustering: bool = False,
+        tiebreaker: str | None = None,
     ) -> None:
         self._r1 = r1
         self._r2 = r2
@@ -62,6 +63,7 @@ class StopDetect:
         self._min_spacial_resolution = min_spacial_resolution
         self._distance_metric = distance_metric
         self._distributed = distributed_clustering
+        self._tiebreaker = tiebreaker
         self._results: DataFrame | None = None
         self._median_coords: DataFrame | None = None
         self._stop_labels: DataFrame | None = None
@@ -82,6 +84,7 @@ class StopDetect:
             min_staying_time=self._min_staying_time,
             max_time_between=self._max_time_between,
             distance_metric=self._distance_metric,
+            tiebreaker=self._tiebreaker,
         )
         return self._results
 

@@ -30,6 +30,7 @@ from polaroam_spark.operators.dedup import (
 )
 from polaroam_spark.operators.similarity import (
     add_lsh_bucket,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
 )
@@ -74,6 +75,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "add_lsh_bucket",
     "detect_language",
     "quality_features",

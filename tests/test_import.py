@@ -21,6 +21,8 @@ def test_entry_module_contract():
     # every oracle-less query is a documented UDF/LSH path
     rows_only = set(qs) - set(sqls)
     assert all(
-        k.startswith(("c3", "c5", "m3", "d2", "d3", "d5", "n2", "mm"))
+        k.startswith(
+            ("c3", "c5", "m3", "m4", "d2", "d3", "d5", "n2", "n3", "mm")
+        )
         for k in rows_only
     ), rows_only

@@ -64,6 +64,28 @@ def test_lsh_bucket_deterministic(vectors):
     assert all(0 <= v < 256 for v in a.values())  # 8 planes -> 8 bits
 
 
+def test_ivf_results_are_true_cosines(vectors):
+    from polaroam_spark.operators.similarity import ann_ivf_topk
+
+    q = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(vectors, q, k=40).collect()
+    }
+    ivf = ann_ivf_topk(
+        vectors, q, k=5, num_centroids=8, num_probes=3
+    ).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert abs(exact[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+    # the query vector itself lives in its own nearest-centroid list,
+    # which is always probed -> self at rank 1
+    rank1 = {r.query_id: r.vec_id for r in ivf if r.rank == 1}
+    assert all(qid == vid for qid, vid in rank1.items())
+
+
 def test_ann_results_are_true_cosines(vectors):
     q = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
