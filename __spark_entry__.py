@@ -341,6 +341,15 @@ def _work_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _scratch_dir() -> str:
+    import os
+    import tempfile
+
+    base = "/root/repo/.scratch"
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(dir=base)
+
 # --------------------------------------------------------------------------
 # S — scans / sinks
 # --------------------------------------------------------------------------
@@ -381,14 +390,11 @@ def s2(spark, sf_dir):
 )
 def s3(spark, sf_dir):
     import os
-    import tempfile
 
     sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500).select(
         "o_orderkey", "o_orderstatus"
     )
-    path = os.path.join(
-        tempfile.mkdtemp(dir="/root/repo/.scratch"), "orders_csv"
-    )
+    path = os.path.join(_scratch_dir(), "orders_csv")
     sub.write.mode("overwrite").option("compression", "gzip").option(
         "header", True
     ).csv(path)
@@ -415,11 +421,8 @@ def s4(spark, sf_dir):
 )
 def s5(spark, sf_dir):
     import os
-    import tempfile
 
-    path = os.path.join(
-        tempfile.mkdtemp(dir="/root/repo/.scratch"), "cust_parquet"
-    )
+    path = os.path.join(_scratch_dir(), "cust_parquet")
     _t(spark, sf_dir, "customer").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).agg(
         F.count("*").alias("n"), F.sum("c_custkey").alias("key_sum")
@@ -432,13 +435,10 @@ def s5(spark, sf_dir):
 )
 def s6(spark, sf_dir):
     import os
-    import tempfile
 
     from polaroam_spark.sources.io import write_partitioned
 
-    path = os.path.join(
-        tempfile.mkdtemp(dir="/root/repo/.scratch"), "orders_part"
-    )
+    path = os.path.join(_scratch_dir(), "orders_part")
     write_partitioned(
         _t(spark, sf_dir, "orders"), path, partition_col="o_orderstatus"
     )
@@ -458,17 +458,37 @@ def s6(spark, sf_dir):
 )
 def s7(spark, sf_dir):
     import os
-    import tempfile
 
     from polaroam_spark.sources.io import write_csv
 
-    path = os.path.join(tempfile.mkdtemp(dir="/root/repo/.scratch"), "nation_csv")
+    path = os.path.join(_scratch_dir(), "nation_csv")
     write_csv(
         _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"), path
     )
     back = spark.read.csv(path, header=True, inferSchema=True)
     return back.agg(
         F.count("*").alias("n"), F.sum("n_nationkey").alias("key_sum")
+    )
+
+
+@_q(
+    "s9_users_with_min_days",
+    "SELECT user_id, n_days FROM (SELECT user_id, count(DISTINCT "
+    "strftime(ts, '%Y-%m-%d')) AS n_days FROM events GROUP BY user_id) "
+    "WHERE n_days >= 7",
+)
+def s9(spark, sf_dir):
+    from polaroam_spark.sources.io import users_with_min_days
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_trunc"),
+    )
+    filtered = users_with_min_days(ev, min_days=7)
+    return (
+        filtered.groupBy("uid")
+        .agg(F.countDistinct("date_trunc").alias("n_days"))
+        .select(F.col("uid").alias("user_id"), "n_days")
     )
 
 

@@ -17,6 +17,9 @@ T0 = 1700006400
 
 @pytest.fixture()
 def tmpdir():
+    import os
+
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
     d = tempfile.mkdtemp(dir="/root/repo/.scratch")
     yield d
     shutil.rmtree(d, ignore_errors=True)
