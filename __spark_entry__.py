@@ -1933,7 +1933,7 @@ def r4b(spark, sf_dir):
     "d1_dedup_exact",
     "SELECT doc_id FROM documents WHERE doc_id IN ("
     "SELECT min(doc_id) FROM documents "
-    "GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))",
+    "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))",
 )
 def d1(spark, sf_dir):
     from polaroam_spark.operators.dedup import dedup_exact

@@ -48,8 +48,10 @@ def dedup_exact(
     Returns the surviving rows of ``docs``.
     """
     key = normalize_text(text_col) if normalized else F.col(text_col)
+    # shuffle the 32-byte md5 of the text, not the text itself — at
+    # corpus scale the dedup shuffle must not carry document bodies
     keep = (
-        docs.withColumn("_key", key)
+        docs.withColumn("_key", F.md5(key))
         .groupBy("_key")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)

@@ -1,0 +1,120 @@
+"""Ingest-path tests: CSV.gz vendor reads, tz localization epochs,
+partitioned writes, uid hashing, min-days filter."""
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.sources.io import (
+    CSV_VENDOR_COLUMNS,
+    hash_uid,
+    localize_timestamps,
+    read_pings_csv,
+    users_with_min_days,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    d = tempfile.mkdtemp(dir="/root/repo/.scratch")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_pings_csv_gz(spark, tmpdir):
+    # vendor layout: _c0=uid, _c2=lat, _c3=lon, _c5=ts(ms), _c4=error
+    raw = spark.createDataFrame(
+        [
+            ("u1", "x", 10.0, 20.0, 5.0, 1700000000000),
+            ("u2", "x", 11.0, 21.0, 99.0, 1700000001000),  # error >= 30
+        ],
+        "_c0 string, _c1 string, _c2 double, _c3 double, _c4 double, _c5 long",
+    )
+    path = f"{tmpdir}/vendor_csv"
+    raw.write.option("compression", "gzip").csv(path)
+    back = read_pings_csv(
+        spark, path, columns=CSV_VENDOR_COLUMNS, max_error=30.0
+    )
+    rows = back.collect()
+    assert len(rows) == 1  # error filter dropped u2
+    r = rows[0]
+    assert r.uid == "u1"
+    assert r.timestamp == 1700000000  # ms -> s
+    assert r.latitude == 10.0 and r.error == 5.0
+
+
+def test_localize_timestamps_bakes_wall_clock(spark):
+    df = spark.createDataFrame(
+        [("u", 1.0, 2.0, 1700006400)],  # 2023-11-15 00:00:00 UTC
+        "uid string, latitude double, longitude double, timestamp long",
+    )
+    out = localize_timestamps(df, "America/Mexico_City").first()
+    assert out.timestamp == 1700006400 - 6 * 3600  # UTC-6 wall clock
+    assert out.date_trunc == "2023-11-14"
+
+
+def test_write_partitioned_layout(spark, tmpdir):
+    df = spark.createDataFrame(
+        [("u", 1.0, "2023-11-14"), ("u", 2.0, "2023-11-15")],
+        "uid string, v double, date_trunc string",
+    )
+    path = f"{tmpdir}/parts"
+    write_partitioned(df, path)
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("date_trunc=")
+    )
+    assert dirs == ["date_trunc=2023-11-14", "date_trunc=2023-11-15"]
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_hash_uid_distinct_and_stable(spark):
+    df = spark.createDataFrame(
+        [("alice",), ("bob",), ("alice",)], "uid string"
+    )
+    out = [r.uid for r in hash_uid(df).collect()]
+    assert out[0] == out[2] != out[1]
+    assert all(isinstance(v, int) and v >= 0 for v in out)
+
+
+def test_users_with_min_days(spark):
+    rows = [("a", f"2024-01-{d:02d}") for d in range(1, 8)]  # 7 days
+    rows += [("b", "2024-01-01"), ("b", "2024-01-02")]  # 2 days
+    df = spark.createDataFrame(rows, "uid string, date_trunc string")
+    kept = {r.uid for r in users_with_min_days(df, min_days=7).collect()}
+    assert kept == {"a"}
+
+
+def test_compute_infomap_api_and_singletons(spark):
+    from polaroam_spark.api import StopDetect
+    from polaroam_spark.operators.clustering import cluster_communities
+
+    med = spark.createDataFrame(
+        [
+            ("A", 0, 10.0, 10.0, 0, 1),
+            ("A", 1, 10.00001, 10.0, 2, 3),  # ~1m from first -> community
+            ("A", 2, 12.0, 12.0, 4, 5),  # isolated
+        ],
+        "uid string, stop_events long, latitude double, longitude double, "
+        "start_timestamp long, end_timestamp long",
+    )
+    out = {
+        (r.stop_events): r.stop_labels
+        for r in cluster_communities(
+            med, r2=25.0, label_singleton=True
+        ).collect()
+    }
+    assert out[0] == out[1] != -1
+    assert out[2] not in (-1, out[0])  # singleton got its own label
+
+    no_singleton = {
+        r.stop_events: r.stop_labels
+        for r in cluster_communities(
+            med, r2=25.0, label_singleton=False
+        ).collect()
+    }
+    assert no_singleton[2] == -1
