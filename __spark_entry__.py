@@ -168,10 +168,32 @@ def _detect_stops_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATERIALIZED_MEDIANS: dict[str, str] = {}
+
+
 def _medians_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop medians, disk-materialized once per process.
+
+    A dozen registered queries build on this frame; recomputing the
+    sessionization lineage for each is wasted work, and ``persist()``
+    is measurably worse (the InMemoryRelation boundary blocks codegen
+    and AQE — see BASELINE.md). A parquet round-trip is the reference's
+    own pattern (its batch driver writes stage outputs to disk and
+    re-scans, reference get_stops_and_clusters.py:68-75) and keeps the
+    consumer side a plain pruned columnar scan.
+    """
     from polaroam_spark.operators.stops import stop_medians
 
-    return stop_medians(_detect_stops_df(spark, sf_dir))
+    path = _MATERIALIZED_MEDIANS.get(sf_dir)
+    if path is None:
+        import os
+
+        path = os.path.join(_scratch_dir(), "medians.parquet")
+        stop_medians(_detect_stops_df(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _MATERIALIZED_MEDIANS[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 # Grid-cell "clusters" for the SQL-checkable labeling pipeline: the
