@@ -5,6 +5,7 @@ from polaroam_spark.sources.io import (
     read_pings_parquet,
     users_with_min_days,
     write_partitioned,
+    write_sorted_partitioned,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "hash_uid",
     "users_with_min_days",
     "write_partitioned",
+    "write_sorted_partitioned",
 ]

@@ -158,6 +158,30 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def write_sorted_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date_trunc",
+    sort_cols: tuple[str, ...] = ("uid", "timestamp"),
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write with rows clustered and sorted inside each
+    output file: repartition by the partition column (one shuffle, so
+    each task owns whole partitions — no small-file explosion from
+    every task writing every partition) and sort within partitions by
+    ``sort_cols``. Sorted (uid, timestamp) runs compress far better
+    (RLE/dictionary) and give downstream per-user scans row-group
+    locality — at 100 TB the difference between a layout and a heap.
+    """
+    (
+        df.repartition(partition_col)
+        .sortWithinPartitions(partition_col, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def write_csv(
     df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite"
 ) -> None:

@@ -72,6 +72,33 @@ def test_write_partitioned_layout(spark, tmpdir):
     assert spark.read.parquet(path).count() == 2
 
 
+def test_write_sorted_partitioned(spark, tmpdir):
+    from polaroam_spark.sources.io import write_sorted_partitioned
+
+    rows = [
+        ("b", 3, "2024-01-01"),
+        ("a", 2, "2024-01-01"),
+        ("a", 1, "2024-01-01"),
+        ("c", 9, "2024-01-02"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid string, timestamp long, date_trunc string"
+    )
+    path = f"{tmpdir}/sorted"
+    write_sorted_partitioned(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    # rows inside the day-1 file must be sorted by (uid, timestamp)
+    import pyarrow.parquet as pq
+
+    part = f"{path}/date_trunc=2024-01-01"
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    tbl = pq.read_table(os.path.join(part, files[0])).to_pydict()
+    assert list(zip(tbl["uid"], tbl["timestamp"])) == [
+        ("a", 1), ("a", 2), ("b", 3),
+    ]
+
+
 def test_hash_uid_distinct_and_stable(spark):
     df = spark.createDataFrame(
         [("alice",), ("bob",), ("alice",)], "uid string"

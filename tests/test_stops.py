@@ -96,6 +96,27 @@ def test_stop_medians_values(spark):
     assert m.start_timestamp == T0 and m.end_timestamp == T0 + 400
 
 
+def test_null_coordinates_become_transit(spark):
+    rows = [
+        ("A", 10.0, 10.0, T0),
+        ("A", None, 10.0, T0 + 200),  # corrupt ping
+        ("A", 10.0, 10.0, T0 + 400),
+        ("A", 10.0, 10.0, T0 + 600),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "uid string, latitude double, longitude double, timestamp long",
+    )
+    out = events_of(detect_stops(df, r1=20))
+    labels = [e for _, _, e in out]
+    # null distance -> three-valued logic -> not stationary; the pings
+    # around the corrupt one can't bridge it
+    assert labels[0] == -1 and labels[1] == -1
+    # rows 2,3: row 2 stationary, row 3 is last -> single-row event
+    # fails min_size -> all -1 (no crash, no null labels)
+    assert all(e is not None for e in labels)
+
+
 def test_duplicate_timestamp_determinism(spark):
     rows = [
         ("A", 10.0, 10.0, T0),
