@@ -4,6 +4,7 @@ from polaroam_spark.sources.io import (
     read_pings_csv,
     read_pings_parquet,
     users_with_min_days,
+    write_bucketed_table,
     write_partitioned,
     write_sorted_partitioned,
 )
@@ -16,4 +17,5 @@ __all__ = [
     "users_with_min_days",
     "write_partitioned",
     "write_sorted_partitioned",
+    "write_bucketed_table",
 ]

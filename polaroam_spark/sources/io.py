@@ -182,6 +182,33 @@ def write_sorted_partitioned(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "uid",
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed + sorted managed table: rows are hashed
+    into ``num_buckets`` files per partition by ``bucket_col`` and
+    sorted within each bucket.
+
+    Two tables bucketed the same way join WITHOUT a shuffle — Spark
+    recognizes the co-located layout and plans a sort-merge join with
+    zero Exchange on either side (verified in tests via .explain).
+    At 100 TB this converts the dominant join cost (shuffling both
+    sides) into a local merge. Bucketing requires the table catalog
+    (``saveAsTable``), not a bare path.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_csv(
     df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite"
 ) -> None:

@@ -145,3 +145,37 @@ def test_compute_infomap_api_and_singletons(spark):
         ).collect()
     }
     assert no_singleton[2] == -1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmpdir):
+    from polaroam_spark.sources.io import write_bucketed_table
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = spark.createDataFrame(
+        [(f"u{i}", float(i)) for i in range(100)], "uid string, v double"
+    )
+    right = spark.createDataFrame(
+        [(f"u{i}", i * 10) for i in range(100)], "uid string, w long"
+    )
+    write_bucketed_table(left, "bk_left", num_buckets=8)
+    write_bucketed_table(right, "bk_right", num_buckets=8)
+    try:
+        joined = spark.table("bk_left").join(
+            spark.table("bk_right"), on="uid"
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
