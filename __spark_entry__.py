@@ -2201,6 +2201,133 @@ def t4(spark, sf_dir):
     )
 
 
+@_q(
+    "t5_scrub_text",
+    "SELECT doc_id, md5(regexp_replace(regexp_replace(text || "
+    "' reach me: john.doe@example.com or https://ex.com/a?b=1 end', "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'https?://[^\\s]+', '<URL>', 'g')) AS scrubbed_md5 FROM documents",
+)
+def t5(spark, sf_dir):
+    from polaroam_spark.operators.textstats import scrub_text
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me: john.doe@example.com or https://ex.com/a?b=1 end"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.md5(scrub_text("text")).alias("scrubbed_md5")
+    )
+
+
+@_q(
+    "t6_repetition_ratio",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents WHERE doc_id < 100
+),
+grams AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+    [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+    ELSE [array_to_string(toks, ' ')] END AS gram_list
+  FROM toks
+),
+exploded AS (
+  SELECT doc_id, len(gram_list) AS total, unnest(gram_list) AS gram
+  FROM grams
+),
+counts AS (
+  SELECT doc_id, total, gram, count(*) AS c
+  FROM exploded GROUP BY doc_id, total, gram
+)
+SELECT doc_id, round(max(c) / CAST(greatest(total, 1) AS DOUBLE), 6)
+       AS top_ngram_ratio
+FROM counts GROUP BY doc_id, total""",
+)
+def t6(spark, sf_dir):
+    from polaroam_spark.operators.textstats import repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return repetition_ratio(docs, n=2).select(
+        "doc_id",
+        F.round("top_ngram_ratio", 6).alias("top_ngram_ratio"),
+    )
+
+
+@_q(
+    "t7_quality_stratified",
+    """WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY n_tokens DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS total
+  FROM scored
+)
+SELECT doc_id, source, n_tokens FROM ranked
+WHERE rnk <= greatest(CAST(floor(total * 0.5) AS BIGINT), 1)""",
+)
+def t7(spark, sf_dir):
+    from polaroam_spark.operators.textstats import (
+        quality_stratified_filter,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    # rank by token count with doc_id tiebreak for cross-engine
+    # determinism (quality_score ties would be resolved arbitrarily)
+    w_df = docs.withColumn(
+        "_key",
+        F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return quality_stratified_filter(
+        w_df, score_col="_key", strata_col="source", keep_fraction=0.5
+    ).select("doc_id", "source", "n_tokens")
+
+
+@_q(
+    "smp1_sample_by_hash",
+    "SELECT doc_id FROM documents WHERE "
+    "CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) / 1152921504606846976.0 < 0.3",
+)
+def smp1(spark, sf_dir):
+    from polaroam_spark.operators.sampling import sample_by_hash
+
+    return sample_by_hash(
+        _t(spark, sf_dir, "documents"), key="doc_id", fraction=0.3, seed=17
+    ).select("doc_id")
+
+
+@_q(
+    "smp2_train_test_split",
+    "SELECT CASE WHEN CAST(('0x' || substr(md5('29:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0 "
+    "< 0.2 THEN 'test' ELSE 'train' END AS side, count(*) AS n "
+    "FROM documents GROUP BY 1",
+)
+def smp2(spark, sf_dir):
+    from polaroam_spark.operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train, test = train_test_split(
+        docs, key="doc_id", test_fraction=0.2, seed=29
+    )
+    return train.select(F.lit("train").alias("side")).unionByName(
+        test.select(F.lit("test").alias("side"))
+    ).groupBy("side").agg(F.count("*").alias("n"))
+
+
 @_q("mm1_media_features")  # mapInPandas plumbing — rows-only check
 def mm1(spark, sf_dir):
     from polaroam_spark.operators.multimodal import (

@@ -1,0 +1,53 @@
+"""Deterministic sampling / splitting for corpus construction.
+
+``df.sample()`` draws from a per-partition RNG: resampling after any
+repartition, filter, or code change yields a different subset, which
+makes corpus experiments unreproducible. These operators derive the
+decision from a **content/key hash**, so membership is a pure function
+of the row — stable across runs, partitionings, cluster sizes, and
+engines (portable md5 path available for oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polaroam_spark.functions.text import portable_hash64
+
+#: portable_hash64 yields 60-bit non-negative values
+_HASH_SPACE = float(1 << 60)
+
+
+def _unit_hash(key: Column | str, seed: int) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from a key column."""
+    c = F.col(key) if isinstance(key, str) else key
+    return portable_hash64(c.cast("string"), seed) / F.lit(_HASH_SPACE)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key: str,
+    fraction: float,
+    seed: int = 17,
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` — a reproducible
+    Bernoulli sample keyed on ``key`` (same key ⇒ same decision, so
+    sampling is also consistent across tables sharing the key)."""
+    return df.filter(_unit_hash(key, seed) < F.lit(float(fraction)))
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    test_fraction: float = 0.1,
+    seed: int = 29,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split by key hash. Deterministic and leakage-safe:
+    every row of a given key lands on the same side, so grouped
+    entities (all pings of a user, all chunks of a document) never
+    straddle the split."""
+    h = _unit_hash(key, seed)
+    test = df.filter(h < F.lit(float(test_fraction)))
+    train = df.filter(h >= F.lit(float(test_fraction)))
+    return train, test

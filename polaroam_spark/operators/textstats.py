@@ -9,7 +9,7 @@ reference is a mobility engine with no text surface).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polaroam_spark.functions.text import portable_hash64, tokens
@@ -121,6 +121,95 @@ def quality_features(
         * (0.5 + F.least(F.col("stopword_ratio") * 2, F.lit(0.5)))
     )
     return df.withColumn("quality_score", score)
+
+
+#: scrub patterns applied in order: (regex, replacement token)
+SCRUB_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d{3}[ -]?\d{2}[ -]?\d{4}\b", "<SSN>"),
+]
+
+
+def scrub_text(text: Column | str) -> Column:
+    """Replace emails / URLs / card-like and SSN-like digit runs with
+    typed placeholder tokens — the standard pre-training scrub pass.
+    A chain of JVM regexp_replace calls; order matters (emails before
+    URLs so `mailto:`-ish strings don't half-match)."""
+    c = _col(text)
+    for pat, repl in SCRUB_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document counts of each scrubbable pattern (how much
+    PII-shaped content a doc carries — a filtering signal on its own).
+    Counted via regexp_count, no extraction materialized."""
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(
+                F.col(text_col), F.lit(SCRUB_PATTERNS[0][0])
+            ).cast("long"),
+            "n_urls": F.regexp_count(
+                F.col(text_col), F.lit(SCRUB_PATTERNS[1][0])
+            ).cast("long"),
+        }
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Append ``top_ngram_ratio``: the fraction of a document's word
+    n-grams taken by its single most frequent n-gram (Gopher-style
+    repetition signal; boilerplate and spam score high). Computed with
+    array expressions only — the n-gram histogram never leaves the
+    row: aggregate over distinct grams counting occurrences via
+    filter+size."""
+    from polaroam_spark.functions.text import tokens, word_shingles
+
+    grams = word_shingles(tokens(text_col), n)
+    distinct = F.array_distinct(grams)
+    total = F.greatest(F.array_size(grams), F.lit(1)).cast("double")
+    max_count = F.array_max(
+        F.transform(
+            distinct,
+            lambda g: F.array_size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return df.withColumn(
+        "top_ngram_ratio", max_count.cast("double") / total
+    )
+
+
+def quality_stratified_filter(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    strata_col: str = "source",
+    keep_fraction: float = 0.5,
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of documents per stratum by
+    score (quality filtering that preserves the source mix instead of
+    letting one high-scoring domain crowd out the corpus). One window
+    per stratum: rank / count <= fraction."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc_nulls_last()
+    )
+    total = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_total", F.count("*").over(total))
+        .filter(
+            F.col("_rank")
+            <= F.greatest(
+                (F.col("_total") * F.lit(keep_fraction)).cast("long"),
+                F.lit(1),
+            )
+        )
+        .drop("_rank", "_total")
+    )
 
 
 def document_fingerprint(

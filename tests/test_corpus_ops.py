@@ -1,0 +1,98 @@
+"""Corpus-construction operators: scrubbing, repetition, stratified
+quality filtering, deterministic sampling/splits."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.operators.sampling import (
+    sample_by_hash,
+    train_test_split,
+)
+from polaroam_spark.operators.textstats import (
+    pii_counts,
+    quality_stratified_filter,
+    repetition_ratio,
+    scrub_text,
+)
+
+
+def test_scrub_text(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith@corp.io or visit https://a.b/c?d=1 now"),
+            (1, "card 4111 1111 1111 1111 and ssn 123-45-6789 here"),
+            (2, "nothing sensitive in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.s for r in df.select(
+        "doc_id", scrub_text("text").alias("s")).collect()}
+    assert "<EMAIL>" in out[0] and "<URL>" in out[0]
+    assert "bob.smith" not in out[0] and "https" not in out[0]
+    assert "<CARD>" in out[1] and "<SSN>" in out[1]
+    assert out[2] == "nothing sensitive in this one"
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a@b.co c@d.eu and http://x.y plus https://z.w")],
+        "doc_id long, text string",
+    )
+    r = pii_counts(df).first()
+    assert r.n_emails == 2 and r.n_urls == 2
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # one repeated 2-gram
+            (1, "every word here is totally unique today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.top_ngram_ratio for r in repetition_ratio(df).collect()}
+    assert out[0] == 1.0
+    assert out[1] < 0.5
+
+
+def test_quality_stratified_filter(spark):
+    rows = [(i, "a", float(i)) for i in range(10)]
+    rows += [(100 + i, "b", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    kept = quality_stratified_filter(
+        df, score_col="q", strata_col="source", keep_fraction=0.5
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.q)
+    assert len(by_src["a"]) == 5 and min(by_src["a"]) == 5.0  # top half
+    assert len(by_src["b"]) == 2 and min(by_src["b"]) == 2.0
+
+
+def test_sample_by_hash_deterministic_and_stable(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long"
+    )
+    a = {r.doc_id for r in sample_by_hash(df, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in sample_by_hash(df.repartition(7), "doc_id", 0.3).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert 0.2 < len(a) / 1000 < 0.4  # roughly the asked fraction
+    # monotone: a smaller fraction is a subset of a larger one
+    c = {r.doc_id for r in sample_by_hash(df, "doc_id", 0.1).collect()}
+    assert c <= a
+
+
+def test_train_test_split_partition_and_leakage(spark):
+    df = spark.createDataFrame(
+        [(i % 50, i) for i in range(500)], "user long, row long"
+    )
+    train, test = train_test_split(df, key="user", test_fraction=0.2)
+    tr = train.select("user").distinct()
+    te = test.select("user").distinct()
+    # exact partition: no key on both sides, none lost
+    assert tr.intersect(te).count() == 0
+    assert tr.count() + te.count() == 50
+    assert train.count() + test.count() == 500
