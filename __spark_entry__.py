@@ -1598,6 +1598,34 @@ def f19(spark, sf_dir):
     )
 
 
+@_q(
+    "f20_json_extract",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val "
+    "FROM events",
+)
+def f20(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@_q(
+    "a13_exact_percentiles",
+    "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 6) AS p25, "
+    "round(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+    "round(quantile_cont(l_quantity, 0.75), 6) AS p75 "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a13(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
 # --------------------------------------------------------------------------
 # C / M — clustering + pipeline composites
 # --------------------------------------------------------------------------

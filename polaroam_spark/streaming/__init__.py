@@ -1,6 +1,11 @@
 from polaroam_spark.streaming.sessionize import (
+    streaming_dedup,
     streaming_event_counts,
     streaming_stop_detection,
 )
 
-__all__ = ["streaming_event_counts", "streaming_stop_detection"]
+__all__ = [
+    "streaming_event_counts",
+    "streaming_stop_detection",
+    "streaming_dedup",
+]

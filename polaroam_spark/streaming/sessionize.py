@@ -66,6 +66,22 @@ def streaming_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("event_id",),
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``),
+    so state is bounded by the horizon instead of growing forever —
+    the streaming twin of operators/dedup.py:dedup_exact for
+    at-least-once sources (Kafka replays, file re-lists).
+    """
+    return events.withWatermark(ts_col, watermark_delay)\
+        .dropDuplicatesWithinWatermark(list(key_cols))
+
+
 _STOP_OUTPUT = StructType(
     [
         StructField("uid", StringType()),

@@ -86,3 +86,19 @@ def test_streaming_stop_detection_closes_stops(spark, tmpdir):
     assert r.n_pings == 5
     assert r.latitude == 10.0 and r.longitude == 10.0
     assert r.start_timestamp == T0 and r.end_timestamp == T0 + 480
+
+
+def test_streaming_dedup(spark, tmpdir):
+    from polaroam_spark.streaming import streaming_dedup
+
+    src = f"{tmpdir}/dups"
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "c")],
+        "event_id long, payload string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(T0)))
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    deduped = streaming_dedup(stream, key_cols=("event_id",))
+    _run_stream(deduped, "dedup_stream")
+    out = spark.sql("select event_id from dedup_stream").collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
