@@ -99,10 +99,15 @@ def deterministic_fake_decode(content: bytes, kind: str) -> dict:
     entropy = -sum(
         (c / n) * math.log2(c / n) for c in counts if c
     )
+    import hashlib
+
+    # md5-derived, NOT hash(): Python's bytes hash is salted per
+    # process, which would break the "deterministic fake" contract
+    digest = hashlib.md5(content).digest()
     return {
         "byte_mean": total / n,
         "byte_entropy": entropy,
-        "feature_hash": hash(content) & 0x7FFFFFFFFFFFFFFF,
+        "feature_hash": int.from_bytes(digest[:8], "big") >> 1,
     }
 
 
