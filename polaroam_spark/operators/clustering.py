@@ -148,7 +148,20 @@ def cluster_stops_dbscan(
     eps = float(r2)
     msamp = int(min_samples)
 
+    # O(n^2) distance matrix per user: 20k points ~= 3.2 GB of doubles.
+    # Beyond that the task would silently eat executor memory — fail
+    # loudly and point at the remedies instead.
+    max_group = 20_000
+
     def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group:
+            raise ValueError(
+                f"user {pdf['uid'].iloc[0]!r} has {len(pdf)} unique stop"
+                f" coordinates (> {max_group}); the per-user DBSCAN path"
+                " builds an O(n^2) distance matrix. Use"
+                " cluster_stops_dbscan_distributed, or raise"
+                " min_spacial_resolution to downsample first."
+            )
         # Deterministic input order regardless of shuffle arrival order.
         pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
         labels = dbscan_labels(
@@ -337,6 +350,9 @@ def cluster_stops_dbscan_distributed(
             )
         )
         # Materialize each iteration and cut lineage growth.
+        # localCheckpoint stores blocks on executors (non-replicated):
+        # fine in local mode; on a lossy cluster prefer a reliable
+        # checkpoint dir (sc.setCheckpointDir + .checkpoint()).
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             labels.join(

@@ -84,6 +84,11 @@ def minhash_lsh_pairs(
     ).withColumn(
         "_sig", minhash_signature("_shingles", num_hashes)
     )
+    # persist is load-bearing: the signature arrays are referenced on
+    # BOTH sides of the band self-join and both verification joins;
+    # without it the hash computation runs 4x (measured 10x slower at
+    # sf0.1). Unlike cheap window lineages (see BASELINE.md), here the
+    # lineage above the reuse point is expensive per-row compute.
     sh = sh.persist()
 
     banded = sh.select(
