@@ -2356,6 +2356,97 @@ def smp2(spark, sf_dir):
     ).groupBy("side").agg(F.count("*").alias("n"))
 
 
+@_q(
+    "k1_chunk_documents",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents WHERE doc_id < 200
+),
+chunks AS (
+  SELECT doc_id, i - 1 AS chunk_id,
+         array_to_string(toks[(i-1)*64+1 : (i-1)*64+64], ' ') AS chunk_text,
+         len(toks[(i-1)*64+1 : (i-1)*64+64]) AS n_tokens
+  FROM toks, unnest(range(1, CAST(greatest(ceil(len(toks) / 64.0), 1)
+                                  AS BIGINT) + 1)) AS u(i)
+)
+SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5, n_tokens
+FROM chunks WHERE n_tokens > 0""",
+)
+def k1(spark, sf_dir):
+    from polaroam_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_documents(docs, chunk_tokens=64).select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+@_q(
+    "k2_packing_plan",
+    """WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM toks""",
+)
+def k2(spark, sf_dir):
+    from polaroam_spark.operators.chunking import packing_plan
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return packing_plan(
+        docs,
+        budget_tokens=512,
+        id_cols=("doc_id",),
+        strata_col="source",
+    ).select("doc_id", "n_tokens", "pack_id")
+
+
+@_q(
+    "k3_corpus_vocabulary",
+    """WITH exploded AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t != '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS n FROM exploded GROUP BY token)
+SELECT token, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts)
+WHERE rk <= 50""",
+)
+def k3(spark, sf_dir):
+    from polaroam_spark.operators.chunking import corpus_vocabulary
+
+    return corpus_vocabulary(
+        _t(spark, sf_dir, "documents"), top_k=50
+    )
+
+
+@_q("k4_duplicate_components")  # iterative CC — rows-only check
+def k4(spark, sf_dir):
+    from polaroam_spark.operators.dedup import (
+        duplicate_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return duplicate_components(pairs)
+
+
 @_q("mm1_media_features")  # mapInPandas plumbing — rows-only check
 def mm1(spark, sf_dir):
     from polaroam_spark.operators.multimodal import (

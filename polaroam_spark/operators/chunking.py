@@ -1,0 +1,101 @@
+"""Document chunking and sequence-packing plans — the last mile
+between a cleaned corpus and a training dataloader.
+
+- ``chunk_documents``: split each document into fixed-size token
+  chunks (whitespace tokens as the unit; swap the tokenizer by
+  passing a different token-array column). Pure array expressions:
+  slice + posexplode, no UDF, shuffle-free.
+- ``packing_plan``: assign chunks to fixed-budget bins (context
+  windows) with a deterministic cumulative-sum rule per stratum —
+  the distributed stand-in for greedy bin packing: bin id =
+  floor(running token total / budget). Within ±1 chunk of greedy
+  first-fit for near-uniform chunks, fully relational, reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polaroam_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """One row per (document, chunk): ``doc_id, chunk_id, chunk_text,
+    n_tokens``. The last chunk of a document may be short."""
+    toks = tokens(text_col)
+    n = F.array_size(toks)
+    n_chunks = F.greatest(F.ceil(n / F.lit(chunk_tokens)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_chunk_toks"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", "_chunk_toks").alias("chunk_text"),
+        F.array_size("_chunk_toks").cast("long").alias("n_tokens"),
+    )
+    if drop_empty:
+        out = out.filter(F.col("n_tokens") > 0)
+    return out
+
+
+def packing_plan(
+    chunks: DataFrame,
+    budget_tokens: int = 2048,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    n_tokens_col: str = "n_tokens",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Append ``pack_id``: the context-window bin each chunk lands in.
+
+    Deterministic rule: order chunks by id within the stratum, take
+    the running token total, ``pack_id = floor((cumsum - n) /
+    budget)`` — i.e. a bin closes when the NEXT chunk would not have
+    started inside the budget. Oversized single chunks (> budget) get
+    their own bin. One window per stratum; no driver-side loop.
+    """
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(
+        *[F.col(c) for c in id_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(n_tokens_col).over(w)
+    return chunks.withColumn(
+        "pack_id",
+        ((running - F.col(n_tokens_col)) / F.lit(budget_tokens))
+        .cast("long"),
+    )
+
+
+def corpus_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token frequency table: ``token, n`` for the ``top_k``
+    most frequent tokens with at least ``min_count`` occurrences.
+    explode → groupBy (map-side combined) → top-k by a single window
+    over the (small) aggregated table."""
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )

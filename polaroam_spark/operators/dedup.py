@@ -149,6 +149,67 @@ def dedup_minhash_lsh(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Transitive closure of a duplicate-pair table: iterative
+    min-label propagation over the undirected pair graph (the same
+    primitive as the distributed DBSCAN path). Output: ``doc_id,
+    representative`` where representative is the smallest id in each
+    connected component — turns pairwise near-dup hits into proper
+    duplicate CLUSTERS (a-b, b-c ⇒ {a,b,c} all map to a).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).dropDuplicates()
+    edges = edges.persist()
+
+    labels = edges.select(F.col("src").alias("node")).dropDuplicates()\
+        .withColumn("representative", F.col("node"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.withColumnsRenamed(
+                    {"node": "dst", "representative": "nbr_rep"}
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_rep").alias("nbr_rep"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("representative"),
+                    F.coalesce("nbr_rep", "representative"),
+                ).alias("representative"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.join(
+                new_labels.withColumnRenamed("representative", "nrep"),
+                on="node",
+            )
+            .filter(F.col("representative") != F.col("nrep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("node", "doc_id")
+
+
 def simhash_fingerprint(
     docs: DataFrame,
     text_col: str = "text",

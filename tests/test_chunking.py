@@ -1,0 +1,59 @@
+"""Chunking / packing / vocabulary / transitive-dedup operators."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polaroam_spark.operators.chunking import (
+    chunk_documents,
+    corpus_vocabulary,
+    packing_plan,
+)
+from polaroam_spark.operators.dedup import duplicate_components
+
+
+def test_chunk_documents_roundtrip(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(0, text), (1, "short doc")],
+                               "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=64).orderBy(
+        "doc_id", "chunk_id").collect()
+    doc0 = [c for c in chunks if c.doc_id == 0]
+    assert [c.n_tokens for c in doc0] == [64, 64, 22]
+    # concatenating chunks reproduces the token stream
+    rejoined = " ".join(c.chunk_text for c in doc0)
+    assert rejoined == text
+    doc1 = [c for c in chunks if c.doc_id == 1]
+    assert len(doc1) == 1 and doc1[0].n_tokens == 2
+
+
+def test_packing_plan_budget(spark):
+    rows = [(i, 100) for i in range(10)]  # 10 chunks x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = packing_plan(
+        df, budget_tokens=250, id_cols=("doc_id",)
+    ).collect()
+    bins = {}
+    for r in packed:
+        bins.setdefault(r.pack_id, 0)
+        bins[r.pack_id] += r.n_tokens
+    # every bin holds <= budget + one chunk overhang; ids contiguous
+    assert set(bins) == {0, 1, 2, 3}
+    assert all(v <= 300 for v in bins.values())
+    assert sum(bins.values()) == 1000  # nothing lost
+
+
+def test_corpus_vocabulary(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    vocab = {r.token: r.n for r in corpus_vocabulary(df, top_k=3).collect()}
+    assert vocab == {"a": 4, "b": 3, "c": 1}  # top-3, ties by token
+
+
+def test_duplicate_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    comp = {r.doc_id: r.representative
+            for r in duplicate_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
