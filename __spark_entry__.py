@@ -793,6 +793,67 @@ def j6(spark, sf_dir):
     )
 
 
+@_q(
+    "j7_asof_join",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + """,
+marks AS (
+  SELECT uid, timestamp, min(round(latitude, 6)) AS mark_lat
+  FROM pings WHERE ping_id % 10 = 0 GROUP BY uid, timestamp
+)
+SELECT p.uid, p.ping_id, m.mark_lat
+FROM (SELECT * FROM pings WHERE ping_id % 10 != 0) p
+ASOF LEFT JOIN marks m
+  ON p.uid = m.uid AND p.timestamp >= m.timestamp""",
+)
+def j7(spark, sf_dir):
+    from polaroam_spark.operators.joins import asof_join
+
+    pings = _pings(spark, sf_dir)
+    # one mark per (uid, timestamp): as-of tie-breaking among equal
+    # right timestamps is engine-arbitrary, so pre-aggregate
+    marks = (
+        pings.filter(F.col("ping_id") % 10 == 0)
+        .groupBy("uid", "timestamp")
+        .agg(F.min(F.round("latitude", 6)).alias("mark_lat"))
+    )
+    left = pings.filter(F.col("ping_id") % 10 != 0).select(
+        "uid", "timestamp", "ping_id"
+    )
+    return asof_join(left, marks, on="uid").select(
+        "uid", "ping_id", "mark_lat"
+    )
+
+
+@_q(
+    "j8_point_in_interval",
+    "WITH "
+    + _STOPS_CTE.strip()
+    + """
+SELECT p.uid, p.ping_id, m.stop_events
+FROM pings p
+JOIN medians m
+  ON p.uid = m.uid AND p.timestamp >= m.start_timestamp
+  AND p.timestamp <= m.end_timestamp""",
+)
+def j8(spark, sf_dir):
+    from polaroam_spark.operators.joins import point_in_interval_join
+
+    points = _pings(spark, sf_dir).select("uid", "timestamp", "ping_id")
+    intervals = _medians_df(spark, sf_dir).select(
+        "uid", "start_timestamp", "end_timestamp", "stop_events"
+    )
+    return point_in_interval_join(
+        points,
+        intervals,
+        on="uid",
+        start_col="start_timestamp",
+        end_col="end_timestamp",
+        bucket_size=86400,
+    ).select("uid", "ping_id", "stop_events")
+
+
 # --------------------------------------------------------------------------
 # A — aggregations
 # --------------------------------------------------------------------------

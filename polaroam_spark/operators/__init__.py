@@ -29,6 +29,10 @@ from polaroam_spark.operators.dedup import (
     simhash_fingerprint,
     simhash_pairs,
 )
+from polaroam_spark.operators.joins import (
+    asof_join,
+    point_in_interval_join,
+)
 from polaroam_spark.operators.chunking import (
     chunk_documents,
     corpus_vocabulary,
@@ -90,6 +94,8 @@ __all__ = [
     "chunk_documents",
     "packing_plan",
     "corpus_vocabulary",
+    "asof_join",
+    "point_in_interval_join",
     "embedding_neardup_pairs",
     "cosine_topk",
     "ann_lsh_topk",

@@ -1,0 +1,139 @@
+"""Temporal join operators Spark lacks natively — as-of join and
+point-in-interval join — built as shuffle-efficient compositions of
+DataFrame ops (SURVEY.md §2c notes the reference has neither; these
+are the custom-operator extensions the build brief calls for).
+
+- ``asof_join``: for each left row, the most recent right row at or
+  before its timestamp (per key). Implemented with the union +
+  last-non-null-propagation idiom: ONE shuffle on the key, one
+  in-partition sort, no join explosion — the classic
+  merge-as-you-sort plan, which beats the naive
+  join-then-rank-then-filter (that one materializes every candidate
+  pair).
+- ``point_in_interval_join``: match point rows to interval rows that
+  contain them. Intervals are replicated onto fixed-size time buckets
+  (explode over the covered bucket range), points map to exactly one
+  bucket, candidates equi-join on (key, bucket) and exact-filter —
+  the standard range-bucketing rewrite that keeps the join an
+  equi-join at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join (backward): append the latest right row with
+    ``right_ts <= left_ts`` per ``on`` key; unmatched left rows keep
+    nulls. ``tolerance`` (same unit as the timestamps) drops matches
+    older than ``left_ts - tolerance``.
+
+    Ties: a right row at exactly ``left_ts`` matches (right sorts
+    before left at equal timestamps).
+    """
+    rpayload = [c for c in right.columns if c != on]
+    payload = F.struct(*[F.col(c) for c in rpayload])
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+    )
+    lcols = left.columns
+    l = left.select(
+        "*",
+        F.col(left_ts).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+    )
+
+    # Build union frames with identical schemas explicitly.
+    l2 = l.withColumn(
+        "_payload", F.lit(None).cast(r.schema["_payload"].dataType)
+    )
+    r2 = r.select(
+        *[
+            F.col(on).alias(c) if c == on else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in lcols
+        ],
+        "_ts",
+        "_side",
+        "_payload",
+    )
+    combined = l2.unionByName(r2)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = combined.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_match",
+            F.when(
+                F.col(f"_match.{right_ts}")
+                >= F.col("_ts") - F.lit(int(tolerance)),
+                F.col("_match"),
+            ),
+        )
+
+    out_cols = [F.col(c) for c in lcols]
+    for c in rpayload:
+        name = f"{c}{suffix}" if c in lcols else c
+        out_cols.append(F.col(f"_match.{c}").alias(name))
+    return matched.select(*out_cols)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None = None,
+    point_ts: str = "timestamp",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bucket_size: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to the interval rows containing them
+    (``start <= point <= end``), optionally also keyed by ``on``.
+
+    ``bucket_size`` trades replication for candidate pruning: each
+    interval appears in ``(len / bucket_size) + 1`` buckets; pick it
+    near the typical interval length.
+    """
+    b = int(bucket_size)
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                (F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bucket", (F.col(point_ts) / b).cast("long")
+    )
+    keys = ["_bucket"] + ([on] if on else [])
+    joined = pts.join(ivals, on=keys, how=how)
+    cond = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
+    )
+    if how == "inner":
+        return joined.filter(cond).drop("_bucket")
+    return joined.filter(cond | F.col(start_col).isNull()).drop("_bucket")
