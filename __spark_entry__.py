@@ -1066,6 +1066,88 @@ def a12(spark, sf_dir):
     )
 
 
+@_q(
+    "a14_time_rollup",
+    "SELECT epoch_ns(ts) // 1000000000 // 3600 AS hour_bucket, event_type, "
+    "count(*) AS n, round(sum(value), 4) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+def a14(spark, sf_dir):
+    """Hypertable-style continuous rollup: fixed time buckets x type.
+    At scale this is the materialized downsample layer — one map-side
+    combined groupBy keyed by (bucket, type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour_bucket", F.expr("unix_timestamp(ts) div 3600")
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@_q("a15_approx_distinct")  # HLL sketches differ per engine — rows-only
+def a15(spark, sf_dir):
+    """approx_count_distinct: sketch-based distinct count. Engines
+    implement different HLL variants, so this is rows-only checked by
+    the driver; tests/test_sketches.py bounds the relative error
+    against the exact count instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@_q(
+    "evt1_signup_purchase_funnel",
+    """WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+             THEN epoch_ns(ts) // 1000000000 END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase'
+             THEN epoch_ns(ts) // 1000000000 END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS n_signed,
+       count(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT
+             NULL AND first_purchase >= first_signup THEN 1 END)
+         AS n_converted
+FROM firsts""",
+)
+def evt1(spark, sf_dir):
+    """Funnel: users whose first purchase happens at/after their first
+    signup — the canonical event-sequence rollup, one aggregation."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch", F.expr("unix_timestamp(ts)")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("epoch"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("epoch"))
+        ).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias(
+            "n_signed"
+        ),
+        F.count(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") >= F.col("first_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # W — window / sequential operators
 # --------------------------------------------------------------------------

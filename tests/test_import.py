@@ -22,7 +22,7 @@ def test_entry_module_contract():
     rows_only = set(qs) - set(sqls)
     assert all(
         k.startswith(
-            ("c3", "c5", "k4", "m3", "m4", "d2", "d3", "d5", "n2", "n3", "mm")
+            ("a15", "c3", "c5", "k4", "m3", "m4", "d2", "d3", "d5", "n2", "n3", "mm")
         )
         for k in rows_only
     ), rows_only
