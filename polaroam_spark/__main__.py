@@ -28,6 +28,7 @@ def _spark(args):
 
 def cmd_ingest(args) -> None:
     from polaroam_spark.sources.io import (
+        CSV_VENDOR_COLUMNS,
         PARQUET_VENDOR_COLUMNS,
         hash_uid,
         localize_timestamps,
@@ -39,7 +40,10 @@ def cmd_ingest(args) -> None:
 
     spark = _spark(args)
     if args.format == "csv":
-        df = read_pings_csv(spark, args.input, max_error=args.max_error)
+        columns = CSV_VENDOR_COLUMNS if args.vendor_columns else None
+        df = read_pings_csv(
+            spark, args.input, columns=columns, max_error=args.max_error
+        )
     else:
         columns = PARQUET_VENDOR_COLUMNS if args.vendor_columns else None
         df = read_pings_parquet(

@@ -99,22 +99,35 @@ def band_hashes(signature: Column | str, bands: int) -> Column:
     """
     sig = _col(signature)
     n = F.array_size(sig)
-    rows_per_band = (n / bands).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            portable_hash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
+    # ceil so every signature element lands in some band (floor would
+    # silently ignore the tail when bands doesn't divide the length;
+    # slice past the end just yields a shorter final band). An empty
+    # band (bands > length) would hash every doc to one bucket and
+    # degenerate the band join into an all-pairs product — guard.
+    rows_per_band = F.ceil(n / bands).cast("int")
+    band_slice = lambda b: F.slice(  # noqa: E731
+        sig, b * rows_per_band + 1, rows_per_band
+    )
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.when(
+                    F.array_size(band_slice(b)) > 0,
+                    portable_hash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                band_slice(b), lambda v: v.cast("string")
+                            ),
+                        ),
+                        seed=b,
                     ),
-                ),
-                seed=b,
-            ).alias("bucket"),
+                ).alias("bucket"),
+            ),
         ),
+        lambda s: s["bucket"].isNotNull(),
     )
 
 

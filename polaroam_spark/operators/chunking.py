@@ -63,18 +63,37 @@ def packing_plan(
     the running token total, ``pack_id = floor((cumsum - n) /
     budget)`` — i.e. a bin closes when the NEXT chunk would not have
     started inside the budget. Oversized single chunks (> budget) get
-    their own bin. One window per stratum; no driver-side loop.
+    their own bin.
+
+    Without a ``strata_col`` the cumsum is sharded by a deterministic
+    hash of the id columns (1024 shards) — a single global ordered
+    window would collapse the whole corpus into one task. Pack ids
+    are globally unique either way (stratum-local id composed with a
+    shard offset).
     """
-    part = [strata_col] if strata_col else []
-    w = Window.partitionBy(*part).orderBy(
+    if strata_col is None:
+        shard = F.pmod(
+            F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(1024)
+        )
+        chunks = chunks.withColumn("_shard", shard)
+        part_col = "_shard"
+    else:
+        part_col = strata_col
+    w = Window.partitionBy(part_col).orderBy(
         *[F.col(c) for c in id_cols]
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     running = F.sum(n_tokens_col).over(w)
-    return chunks.withColumn(
-        "pack_id",
-        ((running - F.col(n_tokens_col)) / F.lit(budget_tokens))
-        .cast("long"),
-    )
+    local_pack = (
+        (running - F.col(n_tokens_col)) / F.lit(budget_tokens)
+    ).cast("long")
+    if strata_col is None:
+        out = chunks.withColumn(
+            "pack_id",
+            (F.col("_shard") * F.lit(1 << 40) + local_pack).cast("long"),
+        ).drop("_shard")
+    else:
+        out = chunks.withColumn("pack_id", local_pack)
+    return out
 
 
 def corpus_vocabulary(

@@ -255,10 +255,13 @@ def cluster_stops_dbscan_distributed(
     (lat, lon) order) to match the per-user labeling contract;
     singleton points (no ε-neighbor) get -1.
     """
-    # ε in degrees of latitude; longitude cells shrink with cos(lat) but
-    # using the latitude bound for both axes only makes cells smaller
-    # than ε nowhere (cos ≤ 1 ⇒ a degree of longitude is ≤ a degree of
-    # latitude in meters), so 3×3 neighborhood still covers all pairs.
+    # ε in degrees of latitude. A degree of LONGITUDE spans only
+    # cos(lat) of that, so ε-close east-west pairs can sit 2+
+    # lat-sized cells apart at high latitudes and escape a 3×3
+    # neighbor join. Size the longitude cell by the worst (smallest)
+    # cos in the data — one scalar aggregate — so every ε-pair is
+    # within one cell in each axis; wider cells only add candidates,
+    # never lose pairs.
     cell_deg = math.degrees(float(r2) / EARTH_RADIUS_M)
 
     if min_spacial_resolution > 0:
@@ -266,6 +269,12 @@ def cluster_stops_dbscan_distributed(
         glon = grid_snap("longitude", min_spacial_resolution)
     else:
         glat, glon = F.col("latitude"), F.col("longitude")
+
+    max_abs_lat = (
+        medians.agg(F.max(F.abs(F.col("latitude")))).first()[0] or 0.0
+    )
+    cos_floor = max(math.cos(math.radians(min(max_abs_lat, 89.0))), 0.02)
+    lon_cell_deg = cell_deg / cos_floor
 
     pts = (
         medians.withColumns({"_glat": glat, "_glon": glon})
@@ -278,7 +287,7 @@ def cluster_stops_dbscan_distributed(
             ).cast("long"),
         )
         .withColumn("cx", F.floor(F.col("latitude") / F.lit(cell_deg)))
-        .withColumn("cy", F.floor(F.col("longitude") / F.lit(cell_deg)))
+        .withColumn("cy", F.floor(F.col("longitude") / F.lit(lon_cell_deg)))
     )
     pts = pts.persist()
 
@@ -324,6 +333,7 @@ def cluster_stops_dbscan_distributed(
     labels = pts.select(
         "uid", "point_id", F.col("point_id").alias("component")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -365,29 +375,43 @@ def cluster_stops_dbscan_distributed(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent truncation would emit one physical cluster as several
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} "
+            "iterations (an ε-chain longer than that exists); raise "
+            "max_iterations"
+        )
 
-    # Singletons (no edge at all) -> -1; dense per-uid ids for the rest.
+    # Singletons (no edge at all) -> -1; dense per-uid ids 0..k-1 for
+    # the rest. Rank ONLY the connected points — ranking singleton
+    # components too would shift real cluster ids and break parity
+    # with the per-user DBSCAN path.
     has_edge = edges.select(
         "uid", F.col("pid_a").alias("point_id")
     ).dropDuplicates()
-    labeled_pts = (
-        pts.join(labels, on=["uid", "point_id"], how="left")
-        .join(
-            has_edge.withColumn("_has_edge", F.lit(True)),
-            on=["uid", "point_id"],
-            how="left",
-        )
+    joined = pts.join(labels, on=["uid", "point_id"], how="left").join(
+        has_edge.withColumn("_has_edge", F.lit(True)),
+        on=["uid", "point_id"],
+        how="left",
     )
-    dense = F.dense_rank().over(
-        Window.partitionBy("uid").orderBy("component")
-    )
-    labeled_pts = labeled_pts.withColumn(
+    connected = joined.filter(F.col("_has_edge")).withColumn(
         "stop_locations",
-        F.when(F.col("_has_edge").isNull(), F.lit(-1)).otherwise(dense - 1).cast(
-            "long"
-        ),
-    ).select("uid", "latitude", "longitude", "stop_locations")
+        (
+            F.dense_rank().over(
+                Window.partitionBy("uid").orderBy("component")
+            )
+            - 1
+        ).cast("long"),
+    )
+    singletons = joined.filter(F.col("_has_edge").isNull()).withColumn(
+        "stop_locations", F.lit(-1).cast("long")
+    )
+    labeled_pts = connected.unionByName(singletons).select(
+        "uid", "latitude", "longitude", "stop_locations"
+    )
 
     if min_spacial_resolution > 0:
         out = medians.withColumns({"_glat": glat, "_glon": glon}).join(

@@ -171,7 +171,10 @@ def duplicate_components(
 
     labels = edges.select(F.col("src").alias("node")).dropDuplicates()\
         .withColumn("representative", F.col("node"))
+    converged = len(labels.take(1)) == 0  # empty graph is converged
     for _ in range(max_iterations):
+        if converged:
+            break
         nbr_min = (
             edges.join(
                 labels.withColumnsRenamed(
@@ -205,8 +208,15 @@ def duplicate_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate-component propagation did not converge in "
+            f"{max_iterations} iterations (a near-dup chain longer than "
+            "that exists); raise max_iterations"
+        )
     return labels.withColumnRenamed("node", "doc_id")
 
 

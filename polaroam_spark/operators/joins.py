@@ -83,10 +83,12 @@ def asof_join(
     ).filter(F.col("_side") == 1)
 
     if tolerance is not None:
+        # cast: the payload keeps the right timestamp in its original
+        # type (possibly TIMESTAMP) while _ts is already long
         matched = matched.withColumn(
             "_match",
             F.when(
-                F.col(f"_match.{right_ts}")
+                F.col(f"_match.{right_ts}").cast("long")
                 >= F.col("_ts") - F.lit(int(tolerance)),
                 F.col("_match"),
             ),
@@ -107,14 +109,19 @@ def point_in_interval_join(
     start_col: str = "t_start",
     end_col: str = "t_end",
     bucket_size: int = 86400,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join point rows to the interval rows containing them
+    """Inner-join point rows to the interval rows containing them
     (``start <= point <= end``), optionally also keyed by ``on``.
 
     ``bucket_size`` trades replication for candidate pruning: each
     interval appears in ``(len / bucket_size) + 1`` buckets; pick it
     near the typical interval length.
+
+    Inner semantics only: a bucketed left join cannot distinguish "no
+    interval in my bucket" from "bucket-mates that fail containment"
+    without a unique point key, and would silently drop rows. Callers
+    wanting left semantics should left-join this result back on their
+    own point key.
     """
     b = int(bucket_size)
     ivals = intervals.withColumn(
@@ -130,10 +137,8 @@ def point_in_interval_join(
         "_bucket", (F.col(point_ts) / b).cast("long")
     )
     keys = ["_bucket"] + ([on] if on else [])
-    joined = pts.join(ivals, on=keys, how=how)
+    joined = pts.join(ivals, on=keys, how="inner")
     cond = (F.col(point_ts) >= F.col(start_col)) & (
         F.col(point_ts) <= F.col(end_col)
     )
-    if how == "inner":
-        return joined.filter(cond).drop("_bucket")
-    return joined.filter(cond | F.col(start_col).isNull()).drop("_bucket")
+    return joined.filter(cond).drop("_bucket")

@@ -176,18 +176,25 @@ def media_repartition(
     target_bytes_per_partition: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """Repartition media rows so each partition holds roughly
-    ``target_bytes_per_partition`` of payload: rows are range-bucketed
-    by cumulative byte size (a running sum over a size-ordered window)
-    — the correct sizing for blob columns where row count is a
-    meaningless proxy.
+    ``target_bytes_per_partition`` of payload — the correct sizing
+    for blob columns where row count is a meaningless proxy.
+
+    The byte cumsum runs per hash-shard (256 shards), NOT in one
+    global window: a global ordered window would funnel every blob
+    through a single task — an OOM at exactly the scale this helper
+    exists for. Each shard range-partitions its own buckets;
+    ``repartitionByRange`` keeps (shard, bucket) pairs in distinct
+    partitions instead of hash-colliding them.
     """
     from pyspark.sql import Window
 
     sized = media.withColumn(
         "_sz", F.coalesce(F.col("meta.n_bytes"), F.lit(0))
-    )
-    w = Window.orderBy(F.col("_sz").desc(), F.col("media_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ).withColumn("_shard", F.pmod(F.xxhash64("media_id"), F.lit(256)))
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col("_sz").desc(), F.col("media_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bucketed = sized.withColumn(
         "_bucket",
@@ -195,10 +202,11 @@ def media_repartition(
             "long"
         ),
     )
-    n = bucketed.agg(F.max("_bucket")).first()[0]
-    num_parts = int(n or 0) + 1
+    n = bucketed.select("_shard", "_bucket").dropDuplicates().count()
     return (
-        bucketed.repartition(num_parts, "_bucket").drop("_sz", "_bucket")
+        bucketed.repartitionByRange(
+            max(int(n), 1), "_shard", "_bucket"
+        ).drop("_sz", "_shard", "_bucket")
     )
 
 

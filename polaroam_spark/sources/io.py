@@ -86,7 +86,9 @@ def read_pings_csv(
         df = _rename_project(df, columns)
     if max_error is not None and "error" in df.columns:
         df = df.filter(F.col("error") < F.lit(float(max_error)))
-    if timestamp_unit == "ms":
+    # only scale when the canonical column exists — without a rename
+    # map the columns are still _c0.. and there is nothing to scale
+    if timestamp_unit == "ms" and "timestamp" in df.columns:
         df = df.withColumn(
             "timestamp", (F.col("timestamp") / 1000).cast("long")
         )

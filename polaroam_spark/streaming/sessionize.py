@@ -178,6 +178,11 @@ def streaming_stop_detection(
             return
 
         rows = pd.concat(list(pdfs)).sort_values("timestamp")
+        # the timeout must be anchored to the SAME clock as the
+        # watermark (ts_col), not the payload epoch — the two can
+        # diverge for backfilled uploads, and a timeout at/behind the
+        # watermark is an error in Spark
+        event_clock_ms = int(rows[ts_col].max().timestamp() * 1000)
         if state.exists:
             (llat, llon, lts, rstart, rn, lat_s, lon_s, nid) = tuple(
                 state.get
@@ -212,7 +217,7 @@ def streaming_stop_detection(
 
         state.update((llat, llon, lts, rstart, rn, lat_s, lon_s, nid))
         state.setTimeoutTimestamp(
-            (lts + max_time_between) * 1000
+            event_clock_ms + max_time_between * 1000
         )
         if out:
             yield pd.DataFrame(

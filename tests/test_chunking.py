@@ -36,10 +36,25 @@ def test_packing_plan_budget(spark):
     for r in packed:
         bins.setdefault(r.pack_id, 0)
         bins[r.pack_id] += r.n_tokens
-    # every bin holds <= budget + one chunk overhang; ids contiguous
-    assert set(bins) == {0, 1, 2, 3}
+    # every bin holds <= budget + one chunk overhang; nothing lost
     assert all(v <= 300 for v in bins.values())
-    assert sum(bins.values()) == 1000  # nothing lost
+    assert sum(bins.values()) == 1000
+    # deterministic across partitionings
+    packed2 = packing_plan(
+        df.repartition(5), budget_tokens=250, id_cols=("doc_id",)
+    ).collect()
+    assert {(r.doc_id, r.pack_id) for r in packed} == {
+        (r.doc_id, r.pack_id) for r in packed2
+    }
+
+
+def test_packing_plan_with_stratum_is_contiguous(spark):
+    rows = [(i, "s", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens long")
+    packed = packing_plan(
+        df, budget_tokens=250, id_cols=("doc_id",), strata_col="src"
+    ).collect()
+    assert {r.pack_id for r in packed} == {0, 1, 2, 3}
 
 
 def test_corpus_vocabulary(spark):

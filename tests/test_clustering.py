@@ -184,6 +184,57 @@ def test_max_pairwise_distance(spark):
     assert 100 < out.max_distance_m < 120
 
 
+def test_distributed_dbscan_high_latitude_eastwest(spark):
+    """Review regression: east-west ε-pairs at high latitude escaped
+    the lat-degree-sized grid cells (a longitude degree is cos(lat)
+    shorter); cells are now widened by the data's worst cos(lat)."""
+    from polaroam_spark.operators.clustering import (
+        cluster_stops_dbscan,
+        cluster_stops_dbscan_distributed,
+    )
+
+    # 9.9 m apart east-west at latitude 60 (cos = 0.5)
+    dlon = 9.9 / (111_320.0 * 0.5)
+    med = spark.createDataFrame(
+        [
+            ("u", 0, 60.0, 10.0, 0, 1),
+            ("u", 1, 60.0, 10.0 + dlon, 2, 3),
+        ],
+        "uid string, stop_events long, latitude double, longitude double, "
+        "start_timestamp long, end_timestamp long",
+    )
+    a = {(r.longitude, r.stop_locations)
+         for r in cluster_stops_dbscan(med, r2=10.0).collect()}
+    b = {(r.longitude, r.stop_locations)
+         for r in cluster_stops_dbscan_distributed(med, r2=10.0).collect()}
+    assert a == b
+    assert all(lbl == 0 for _, lbl in b)
+
+
+def test_distributed_dbscan_dense_ids_skip_singletons(spark):
+    """Review regression: singleton components consumed dense-rank
+    slots, shifting real cluster ids off the fidelity path's 0..k-1."""
+    from polaroam_spark.operators.clustering import (
+        cluster_stops_dbscan,
+        cluster_stops_dbscan_distributed,
+    )
+
+    med = spark.createDataFrame(
+        [
+            ("u", 0, 10.0, 10.0, 0, 1),        # isolated -> -1
+            ("u", 1, 20.0, 20.0, 2, 3),        # pair -> cluster 0
+            ("u", 2, 20.00001, 20.0, 4, 5),
+        ],
+        "uid string, stop_events long, latitude double, longitude double, "
+        "start_timestamp long, end_timestamp long",
+    )
+    a = {r.stop_events: r.stop_locations
+         for r in cluster_stops_dbscan(med, r2=10.0).collect()}
+    b = {r.stop_events: r.stop_locations
+         for r in cluster_stops_dbscan_distributed(med, r2=10.0).collect()}
+    assert a == b == {0: -1, 1: 0, 2: 0}
+
+
 def test_medoid_noise_count_is_one(spark):
     df = spark.createDataFrame(
         [

@@ -82,6 +82,40 @@ def test_point_in_interval(spark):
     assert ("u1", 50) not in got
 
 
+def test_asof_tolerance_on_timestamp_type(spark):
+    """Review regression: tolerance compared TIMESTAMP payload against
+    BIGINT and threw DATATYPE_MISMATCH."""
+    left = spark.createDataFrame(
+        [("u", 100, "x")], "uid string, epoch long, v string"
+    ).select("uid", F.timestamp_seconds("epoch").alias("timestamp"), "v")
+    right = spark.createDataFrame(
+        [("u", 40, 1.0)], "uid string, epoch long, px double"
+    ).select("uid", F.timestamp_seconds("epoch").alias("timestamp"), "px")
+    out = asof_join(left, right, on="uid", tolerance=50).first()
+    assert out.px is None  # 100-40=60 > 50
+    out2 = asof_join(left, right, on="uid", tolerance=70).first()
+    assert out2.px == 1.0
+
+
+def test_band_hashes_non_dividing_and_oversized(spark):
+    """Review regression: bands not dividing num_hashes dropped the
+    signature tail; bands > length hashed everyone into one bucket."""
+    from polaroam_spark.functions.text import band_hashes
+
+    df = spark.createDataFrame(
+        [(list(range(16)),), (list(range(16, 32)),)],
+        "sig array<long>",
+    )
+    out = df.select(band_hashes("sig", 5).alias("b")).collect()
+    # ceil(16/5)=4 rows/band -> bands cover all 16 elements, none empty
+    assert all(len(r.b) == 4 for r in out)  # 5th band slice empty -> filtered
+    covered = 4 * 4
+    assert covered == 16
+    # oversized bands: every slice shorter, but no empty-string bucket
+    out2 = df.select(band_hashes("sig", 32).alias("b")).first()
+    assert all(s.bucket is not None for s in out2.b)
+
+
 def test_point_in_interval_bucket_boundary(spark):
     # interval spanning multiple buckets must match points in each
     points = spark.createDataFrame(
