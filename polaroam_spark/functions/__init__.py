@@ -11,8 +11,11 @@ from polaroam_spark.functions.datetimes import (
 )
 from polaroam_spark.functions.vectors import (
     cosine_similarity,
+    dequantize_int8,
     dot_product,
     l2_norm,
+    l2_normalize,
+    quantize_int8,
 )
 
 __all__ = [
@@ -26,4 +29,7 @@ __all__ = [
     "cosine_similarity",
     "dot_product",
     "l2_norm",
+    "l2_normalize",
+    "quantize_int8",
+    "dequantize_int8",
 ]

@@ -36,3 +36,40 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize a vector (cosine becomes a plain dot product
+    downstream — the standard pre-step before ANN indexing). Zero
+    vectors pass through unchanged rather than dividing by zero."""
+    v = _col(a)
+    n = l2_norm(v)
+    return F.when(
+        n > 0, F.transform(v, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: scale by 127/max|x|
+    and round — 4x storage reduction for embedding columns. Returns
+    ``struct<codes: array<tinyint>, scale: double>``; dequantize with
+    :func:`dequantize_int8`. Constant-zero vectors get scale 0."""
+    v = _col(a)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    codes = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0, F.round(x.cast("double") / scale, 0)
+        ).otherwise(F.lit(0.0)).cast("tinyint"),
+    )
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8` (lossy: max abs error is
+    scale/2 per component)."""
+    q = _col(q)
+    return F.transform(
+        q["codes"], lambda c: c.cast("double") * q["scale"]
+    )
