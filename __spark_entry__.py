@@ -2374,10 +2374,14 @@ def t4(spark, sf_dir):
 
 @_q(
     "t5_scrub_text",
-    "SELECT doc_id, md5(regexp_replace(regexp_replace(text || "
+    "SELECT doc_id, md5(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(text || "
     "' reach me: john.doe@example.com or https://ex.com/a?b=1 end', "
     "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-    "'https?://[^\\s]+', '<URL>', 'g')) AS scrubbed_md5 FROM documents",
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'\\b(?:\\d[ -]?){13,16}\\b', '<CARD>', 'g'), "
+    "'\\b\\d{3}[ -]?\\d{2}[ -]?\\d{4}\\b', '<SSN>', 'g')) "
+    "AS scrubbed_md5 FROM documents",
 )
 def t5(spark, sf_dir):
     from polaroam_spark.operators.textstats import scrub_text

@@ -99,9 +99,17 @@ def salted_join_hot_keys(
     Hot path: big-side rows get a deterministic salt in [0, buckets);
     the small side is exploded ``buckets``x for hot keys only; join on
     (key, salt). Cold path: plain join. Union of both preserves exact
-    join semantics; the hot key's rows now spread over ``buckets``
-    reducers instead of one straggler.
+    join semantics for ``inner`` and ``left`` (big-side-preserving)
+    joins; ``right``/``full`` are rejected — an unmatched hot small
+    row exists ``buckets`` times on the salted path and would be
+    emitted once per replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join_hot_keys supports how='inner'|'left' only; "
+            "right/full would duplicate unmatched exploded small-side "
+            "rows"
+        )
     hot = F.broadcast(hot.select(key).withColumn("_hot", F.lit(True)))
 
     big_flagged = big.join(hot, on=key, how="left")

@@ -61,9 +61,11 @@ def packing_plan(
 
     Deterministic rule: order chunks by id within the stratum, take
     the running token total, ``pack_id = floor((cumsum - n) /
-    budget)`` — i.e. a bin closes when the NEXT chunk would not have
-    started inside the budget. Oversized single chunks (> budget) get
-    their own bin.
+    budget)`` — a chunk joins the bin its START offset falls in, so a
+    bin's total can overflow the budget by up to one chunk (bounded by
+    ``budget + max_chunk - 1`` when every chunk is ≤ budget — pair
+    with ``chunk_documents(chunk_tokens ≤ budget)`` and truncate or
+    split the final over-budget chunk loader-side).
 
     Without a ``strata_col`` the cumsum is sharded by a deterministic
     hash of the id columns (1024 shards) — a single global ordered

@@ -52,14 +52,17 @@ from polaroam_spark.functions.distance import (
     haversine_m,
 )
 
-_DBSCAN_SCHEMA = StructType(
-    [
-        StructField("uid", StringType()),
-        StructField("latitude", DoubleType()),
-        StructField("longitude", DoubleType()),
-        StructField("stop_locations", LongType()),
-    ]
-)
+def _dbscan_schema(df: DataFrame) -> StructType:
+    """Output schema with the uid field typed as in the input — uids
+    may be strings or hashed longs (sources/io.py:hash_uid)."""
+    return StructType(
+        [
+            df.schema["uid"],
+            StructField("latitude", DoubleType()),
+            StructField("longitude", DoubleType()),
+            StructField("stop_locations", LongType()),
+        ]
+    )
 
 
 def _haversine_matrix_m(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
@@ -180,7 +183,7 @@ def cluster_stops_dbscan(
         )
 
     labeled_coords = unique_coords.groupBy("uid").applyInPandas(
-        _cluster, schema=_DBSCAN_SCHEMA
+        _cluster, schema=_dbscan_schema(unique_coords)
     )
 
     out = (
@@ -412,6 +415,10 @@ def cluster_stops_dbscan_distributed(
     labeled_pts = connected.unionByName(singletons).select(
         "uid", "latitude", "longitude", "stop_locations"
     )
+    # materialize the (small) label table BEFORE releasing the cached
+    # pts/edges it derives from — otherwise the caller's first action
+    # would recompute the expensive cell-replication join from scratch
+    labeled_pts = labeled_pts.localCheckpoint(eager=True)
 
     if min_spacial_resolution > 0:
         out = medians.withColumns({"_glat": glat, "_glon": glon}).join(
@@ -430,14 +437,15 @@ def cluster_stops_dbscan_distributed(
     return out
 
 
-_HULL_SCHEMA = StructType(
-    [
-        StructField("uid", StringType()),
-        StructField("vertex_order", LongType()),
-        StructField("latitude", DoubleType()),
-        StructField("longitude", DoubleType()),
-    ]
-)
+def _hull_schema(df: DataFrame) -> StructType:
+    return StructType(
+        [
+            df.schema["uid"],
+            StructField("vertex_order", LongType()),
+            StructField("latitude", DoubleType()),
+            StructField("longitude", DoubleType()),
+        ]
+    )
 
 
 def _monotone_chain(points: np.ndarray) -> np.ndarray:
@@ -506,7 +514,7 @@ def convex_hull(
     return (
         df.select("uid", "latitude", "longitude")
         .groupBy("uid")
-        .applyInPandas(_hull, schema=_HULL_SCHEMA)
+        .applyInPandas(_hull, schema=_hull_schema(df))
     )
 
 
@@ -561,7 +569,9 @@ def cluster_communities(
             ).over(Window.partitionBy("uid")),
             F.lit(-1),
         )
-        singleton_rank = F.row_number().over(
+        # dense_rank, not row_number: member rows sharing one snapped
+        # coordinate are ONE singleton node and must share a label
+        singleton_rank = F.dense_rank().over(
             Window.partitionBy("uid", "stop_labels").orderBy(
                 "latitude", "longitude"
             )

@@ -89,6 +89,10 @@ def minhash_lsh_pairs(
     # without it the hash computation runs 4x (measured 10x slower at
     # sf0.1). Unlike cheap window lineages (see BASELINE.md), here the
     # lineage above the reuse point is expensive per-row compute.
+    # Known limitation: the cache lives until session GC/eviction (the
+    # lazily returned frame still references it, so it cannot be
+    # unpersisted here); call spark.catalog.clearCache() between large
+    # corpus passes if storage pressure matters.
     sh = sh.persist()
 
     banded = sh.select(

@@ -49,6 +49,12 @@ def asof_join(
         F.lit(0).alias("_side"),
         payload.alias("_payload"),
     )
+    # multiple right rows at the same (key, ts) would be unordered
+    # window peers and last() would pick one nondeterministically —
+    # collapse to the struct-max payload (arbitrary but stable)
+    r = r.groupBy(on, "_ts", "_side").agg(
+        F.max("_payload").alias("_payload")
+    )
     lcols = left.columns
     l = left.select(
         "*",

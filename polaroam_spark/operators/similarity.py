@@ -85,11 +85,12 @@ def ann_ivf_topk(
     The expensive exact scoring touches ~``num_probes/num_centroids``
     of the data — the IVF contract. All JVM expressions, no UDF.
     """
-    n = data.count()
-    stride = max(n // num_centroids, 1)
+    # deterministic pseudo-random sample by hash rank: works for any
+    # id type/distribution (a `% stride` scheme assumes dense numeric
+    # ids and silently yields zero centroids otherwise); orderBy+limit
+    # compiles to a distributed top-k, not a full sort
     centroids = (
-        data.filter((F.col(data_id) % stride == 0))
-        .orderBy(data_id)
+        data.orderBy(F.xxhash64(F.col(data_id).cast("string")))
         .limit(num_centroids)
         .select(
             F.col(data_id).alias("centroid_id"),

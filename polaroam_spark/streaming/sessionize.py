@@ -123,6 +123,8 @@ def streaming_stop_detection(
     Input stream columns: ``uid string, latitude double, longitude
     double, timestamp long`` plus an event-time timestamp column
     ``ts_col`` for watermarking. Emits one row per CLOSED stop event
+    with ``stop_event`` = the stop's start epoch (unique per physical
+    stop even across state timeouts, unlike a per-uid counter)
     (a stop closes when the user moves away, the gap exceeds
     ``max_time_between``, or state times out). The emitted centroid
     is the running mean of the stop's pings (a streaming-friendly
@@ -149,8 +151,10 @@ def streaming_stop_detection(
         (_, _, last_ts, run_start, run_n, lat_sum, lon_sum, next_id) = st
         duration = last_ts - run_start
         if run_n >= min_size and duration >= min_staying_time:
+            # id = run start epoch: unique per physical stop even when
+            # state times out and the per-uid counter would reset
             return {
-                "stop_event": next_id,
+                "stop_event": run_start,
                 "latitude": lat_sum / run_n,
                 "longitude": lon_sum / run_n,
                 "start_timestamp": run_start,
