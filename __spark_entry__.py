@@ -127,9 +127,9 @@ edges AS (
 ),
 runs AS (
   SELECT *, CASE WHEN stationary THEN
-           sum(CASE WHEN rising THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN rising THEN 1 ELSE 0 END)
              OVER (PARTITION BY uid ORDER BY timestamp, ping_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            ELSE -1 END AS event_id
   FROM edges
 ),
@@ -407,7 +407,7 @@ def s2(spark, sf_dir):
 
 @_q(
     "s3_csv_gz_roundtrip",
-    "SELECT count(*) AS n, sum(o_orderkey) AS key_sum FROM orders "
+    "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders "
     "WHERE o_orderkey < 500",
 )
 def s3(spark, sf_dir):
@@ -439,7 +439,7 @@ def s4(spark, sf_dir):
 
 @_q(
     "s5_parquet_sink_roundtrip",
-    "SELECT count(*) AS n, sum(c_custkey) AS key_sum FROM customer",
+    "SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer",
 )
 def s5(spark, sf_dir):
     import os
@@ -476,7 +476,7 @@ def s6(spark, sf_dir):
 
 @_q(
     "s7_csv_sink_roundtrip",
-    "SELECT count(*) AS n, sum(n_nationkey) AS key_sum FROM nation",
+    "SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation",
 )
 def s7(spark, sf_dir):
     import os
@@ -1197,9 +1197,9 @@ def w2(spark, sf_dir):
     + _PINGS_CTE.strip()
     + ", flags AS (SELECT *, latitude > 10.0003 AS flag FROM pings) "
     "SELECT uid, ping_id, CASE WHEN flag THEN "
-    "sum(CASE WHEN flag THEN 1 ELSE 0 END) OVER "
+    "CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) OVER "
     "(PARTITION BY uid ORDER BY timestamp, ping_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ELSE -1 END AS run_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) ELSE -1 END AS run_id "
     "FROM flags",
 )
 def w3(spark, sf_dir):

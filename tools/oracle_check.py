@@ -75,6 +75,19 @@ for name, fn in qs.items():
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)
     if scols != ocols:
         problems.append(f"cols {scols} vs {ocols}")
+    else:
+        # Driver's hash stringifies rendered values, so an integer sum
+        # that DuckDB widens to HUGEINT (-> float64 in pandas, '3.0')
+        # hash-mismatches Spark's BIGINT ('3') even when values agree.
+        # Flag any int-vs-float dtype-kind split per column.
+        for c in scols:
+            sk = sdf[c].dtype.kind
+            ok = odf[c].dtype.kind
+            if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
+                problems.append(
+                    f"dtype-kind col {c}: spark {sdf[c].dtype} vs oracle "
+                    f"{odf[c].dtype} (HUGEINT render trap — CAST oracle expr)"
+                )
     if not problems:
         a, b = norm(sdf), norm(odf)
         try:
