@@ -106,17 +106,16 @@ def corpus_vocabulary(
 ) -> DataFrame:
     """Corpus token frequency table: ``token, n`` for the ``top_k``
     most frequent tokens with at least ``min_count`` occurrences.
-    explode → groupBy (map-side combined) → top-k by a single window
-    over the (small) aggregated table."""
+    explode → groupBy (map-side combined) → ``orderBy(...).limit(k)``,
+    which Catalyst compiles to TakeOrderedAndProject: each partition
+    keeps its local top-k and only k rows per partition reach the
+    driver-side merge. (A global unpartitioned window here would pull
+    the entire distinct-token table — billions of rows at corpus
+    scale — through one task.)"""
     counts = (
         docs.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_k)
-        .drop("_rk")
-    )
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)

@@ -164,23 +164,35 @@ def repetition_ratio(
 ) -> DataFrame:
     """Append ``top_ngram_ratio``: the fraction of a document's word
     n-grams taken by its single most frequent n-gram (Gopher-style
-    repetition signal; boilerplate and spam score high). Computed with
-    array expressions only — the n-gram histogram never leaves the
-    row: aggregate over distinct grams counting occurrences via
-    filter+size."""
+    repetition signal; boilerplate and spam score high).
+
+    Linear in document length: posexplode the gram array, build the
+    per-(doc, gram) histogram with a map-side-combined groupBy, take
+    ``max(count)/sum(count)`` per doc, and join the scalar back on
+    ``id_col`` (which must uniquely key ``df``'s rows). Two narrow
+    shuffles keyed by doc id — the earlier all-in-one-row variant
+    (``transform(distinct, g -> size(filter(grams, = g)))``) was
+    O(distinct·total) per document and melted on long web documents.
+    """
     from polaroam_spark.functions.text import tokens, word_shingles
 
     grams = word_shingles(tokens(text_col), n)
-    distinct = F.array_distinct(grams)
-    total = F.greatest(F.array_size(grams), F.lit(1)).cast("double")
-    max_count = F.array_max(
-        F.transform(
-            distinct,
-            lambda g: F.array_size(F.filter(grams, lambda x: x == g)),
-        )
+    hist = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count("*").alias("_c"))
     )
-    return df.withColumn(
-        "top_ngram_ratio", max_count.cast("double") / total
+    nn = F.when(F.col("_gram").isNotNull(), F.col("_c"))
+    ratio = hist.groupBy(id_col).agg(
+        (
+            F.max(nn).cast("double")
+            / F.greatest(
+                F.coalesce(F.sum(nn), F.lit(0)), F.lit(1)
+            ).cast("double")
+        ).alias("top_ngram_ratio")
+    )
+    return df.join(ratio, on=id_col, how="left").select(
+        *df.columns, "top_ngram_ratio"
     )
 
 
