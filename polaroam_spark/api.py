@@ -51,6 +51,8 @@ class StopDetect:
         min_size: int = 2,
         min_spacial_resolution: float = 0.0,
         distance_metric: str = "haversine",
+        weighted: bool = False,
+        weight_exponent: float = 1.0,
         distributed_clustering: bool = False,
         tiebreaker: str | None = None,
     ) -> None:
@@ -62,6 +64,8 @@ class StopDetect:
         self._min_size = min_size
         self._min_spacial_resolution = min_spacial_resolution
         self._distance_metric = distance_metric
+        self._weighted = weighted
+        self._weight_exponent = weight_exponent
         self._distributed = distributed_clustering
         self._tiebreaker = tiebreaker
         self._results: DataFrame | None = None
@@ -113,15 +117,18 @@ class StopDetect:
         return self._stop_labels
 
     def compute_infomap(self) -> DataFrame:
-        """Community labels over the ε-graph (reference
-        models.py:179-204; see cluster_communities for the documented
-        infomap→connected-components divergence)."""
+        """Infomap community labels over the weighted ε-graph
+        (reference models.py:179-204): deterministic two-level
+        map-equation optimization per uid, edge weights
+        max(counts)·d^-weight_exponent when ``weighted``."""
         self._assert_fitted(self._median_coords)
         self._stop_labels = cluster_communities(
             self._median_coords,
             r2=self._r2,
             min_spacial_resolution=self._min_spacial_resolution,
             label_singleton=self._label_singleton,
+            weighted=self._weighted,
+            weight_exponent=self._weight_exponent,
         )
         return self._stop_labels
 

@@ -536,50 +536,276 @@ def max_pairwise_distance(df: DataFrame) -> DataFrame:
     )
 
 
+def _plogp(x: float) -> float:
+    """x*log2(x) with plogp(0)=0 — the map equation's unit term."""
+    return x * math.log2(x) if x > 0.0 else 0.0
+
+
+def _mapeq_local_moves(
+    adj: list, strength: np.ndarray, tot_w: float, tol: float = 1e-12
+) -> np.ndarray:
+    """One Louvain-style level of greedy map-equation minimization.
+
+    Every node starts in its own module; nodes are visited in fixed
+    ascending order (no RNG — Spark task retries and oracle runs must
+    see identical labels) and moved to the neighboring module that
+    most decreases the two-level map equation
+
+        L(M) = plogp(Q) - 2*sum_m plogp(q_m)
+               - sum_a plogp(p_a) + sum_m plogp(q_m + P_m)
+
+    (Rosvall & Bergstrom, PNAS 105(4):1118, 2008; undirected flow:
+    p_a = strength_a / tot_w, q_m = cut_m / tot_w). The node term is
+    partition-independent, so deltas touch only the q/P terms of the
+    two modules involved. Passes repeat until a full pass moves
+    nothing. Returns the module id per node (not densified).
+    """
+    n = len(adj)
+    module = np.arange(n)
+    p = strength / tot_w
+    ext = np.array([sum(d.values()) for d in adj], dtype=np.float64)
+    # Per-module state, in weight units for cuts (divide by tot_w when
+    # entering the formula): singleton modules start with cut = ext.
+    P = p.copy()
+    CUT = ext.copy()
+    Q = float(CUT.sum()) / tot_w
+
+    for _ in range(200):
+        moved = False
+        for i in range(n):
+            if not adj[i]:
+                continue
+            a = int(module[i])
+            w_to: dict = {}
+            for j, w in adj[i].items():
+                m = int(module[j])
+                w_to[m] = w_to.get(m, 0.0) + w
+            w_i_a = w_to.get(a, 0.0)
+            cands = sorted(m for m in w_to if m != a)
+            if not cands:
+                continue
+            q_a, P_a = CUT[a] / tot_w, P[a]
+            q_a2 = (CUT[a] - ext[i] + 2.0 * w_i_a) / tot_w
+            P_a2 = P_a - p[i]
+            base_old = -2.0 * _plogp(q_a) + _plogp(q_a + P_a)
+            base_new = -2.0 * _plogp(q_a2) + _plogp(q_a2 + P_a2)
+            best_delta, best_b = -tol, -1
+            for b in cands:
+                q_b, P_b = CUT[b] / tot_w, P[b]
+                q_b2 = (CUT[b] + ext[i] - 2.0 * w_to[b]) / tot_w
+                P_b2 = P_b + p[i]
+                delta = (
+                    _plogp(Q + q_a2 - q_a + q_b2 - q_b)
+                    - _plogp(Q)
+                    + base_new
+                    - base_old
+                    - 2.0 * _plogp(q_b2)
+                    + 2.0 * _plogp(q_b)
+                    + _plogp(q_b2 + P_b2)
+                    - _plogp(q_b + P_b)
+                )
+                if delta < best_delta:
+                    best_delta, best_b = delta, b
+            if best_b >= 0:
+                b = best_b
+                Q += (
+                    (CUT[a] - ext[i] + 2.0 * w_i_a)
+                    + (CUT[b] + ext[i] - 2.0 * w_to[b])
+                    - CUT[a]
+                    - CUT[b]
+                ) / tot_w
+                CUT[a] = CUT[a] - ext[i] + 2.0 * w_i_a
+                CUT[b] = CUT[b] + ext[i] - 2.0 * w_to[b]
+                P[a] -= p[i]
+                P[b] += p[i]
+                module[i] = b
+                moved = True
+        if not moved:
+            break
+    return module
+
+
+def two_level_infomap(
+    n: int, edges: np.ndarray, weights: np.ndarray
+) -> np.ndarray:
+    """Deterministic two-level Infomap: minimize the map equation by
+    greedy local moves + module aggregation until stable (the public
+    core algorithm of Rosvall & Bergstrom 2008 — same objective the
+    reference optimizes through the ``infomap`` C library,
+    reference utils.py:67-99; this is an independent numpy
+    implementation, deterministic where the library seeds an RNG).
+
+    ``edges`` is an (m, 2) int array (undirected, no self-loops,
+    each pair once), ``weights`` an (m,) float array. Returns an
+    (n,) int64 module label per node; labels are arbitrary ints,
+    dense-ranked by callers.
+    """
+    labels = np.arange(n, dtype=np.int64)
+    if n == 0 or len(edges) == 0:
+        return labels
+    adj: list = [dict() for _ in range(n)]
+    for (i, j), w in zip(edges, weights):
+        i, j, w = int(i), int(j), float(w)
+        adj[i][j] = adj[i].get(j, 0.0) + w
+        adj[j][i] = adj[j].get(i, 0.0) + w
+    strength = np.array([sum(d.values()) for d in adj], dtype=np.float64)
+    tot_w = float(strength.sum())  # constant across levels
+    if tot_w <= 0.0:
+        return labels
+
+    while True:
+        module = _mapeq_local_moves(adj, strength, tot_w)
+        uniq, dense = np.unique(module, return_inverse=True)
+        if len(uniq) == len(adj):  # nothing merged: converged
+            break
+        labels = dense[labels]
+        if len(uniq) == 1:
+            break
+        # Aggregate modules into super-nodes. Intra-module weight
+        # stays inside the super-node: it contributes to strength
+        # (visit rate) but never to a cut, so only inter-module
+        # edges enter the new adjacency.
+        new_strength = np.zeros(len(uniq))
+        np.add.at(new_strength, dense, strength)
+        new_adj: list = [dict() for _ in range(len(uniq))]
+        for i, d in enumerate(adj):
+            mi = int(dense[i])
+            for j, w in d.items():
+                mj = int(dense[j])
+                if mi != mj:
+                    new_adj[mi][mj] = new_adj[mi].get(mj, 0.0) + w
+        adj, strength = new_adj, new_strength
+    return labels
+
+
+def _communities_schema(df: DataFrame) -> StructType:
+    return StructType(
+        [
+            df.schema["uid"],
+            StructField("latitude", DoubleType()),
+            StructField("longitude", DoubleType()),
+            StructField("stop_labels", LongType()),
+        ]
+    )
+
+
 def cluster_communities(
     medians: DataFrame,
     r2: float = 10.0,
     min_spacial_resolution: float = 0.0,
     label_singleton: bool = False,
+    weighted: bool = False,
+    weight_exponent: float = 1.0,
 ) -> DataFrame:
-    """Community detection over the per-user ε-graph of stop medians —
-    the engine's counterpart of the reference's Infomap path
-    (``compute_infomap``, reference models.py:179-204, utils.py:67-134).
+    """Infomap community detection over the per-user ε-graph of stop
+    medians — the engine's counterpart of the reference's
+    ``compute_infomap`` (reference models.py:179-204, utils.py:67-134).
 
-    Documented divergence: the infomap library is not available in this
-    environment; for the tiny per-user stop graphs the reference builds
-    (nodes = unique coords, edges = ε-neighbors), two-level Infomap
-    overwhelmingly resolves to the connected components of the ε-graph,
-    so this implementation labels connected components per user
-    (numpy union-find inside the same Arrow grouped-map used for
-    DBSCAN — DBSCAN with min_samples=2 IS ε-graph connected
-    components). ``label_singleton=False`` keeps isolated nodes at -1
-    (reference utils.py:124-134); ``True`` gives each its own label.
+    Graph construction mirrors the reference: nodes are the unique
+    (optionally grid-downsampled) coordinates of one user, edges
+    connect pairs within ``r2`` meters, and the edge weight is
+    ``max(count_a, count_b)`` — the visit multiplicity of the busier
+    endpoint (reference utils.py:110-121) — times ``d^-weight_exponent``
+    when ``weighted`` (distance in meters, utils.py:115-117). Nodes
+    with no ε-neighbor are singletons: label -1, or their own labels
+    after the real modules when ``label_singleton`` (utils.py:124-134).
+
+    Modules come from a deterministic two-level map-equation
+    optimization (``two_level_infomap``) — a real Infomap, not a
+    connected-components approximation: a dumbbell graph (two dense
+    blobs joined by one weak edge) is split into two modules where CC
+    would merge it (tests/test_clustering.py exercises exactly that).
+    Runs per uid as an Arrow grouped-map with the same O(n²) matrix
+    guard as the DBSCAN path; per-user unique stop coordinates are
+    bounded small.
     """
-    out = cluster_stops_dbscan(
-        medians,
-        r2=r2,
-        min_samples=2,
-        min_spacial_resolution=min_spacial_resolution,
-    ).withColumnRenamed("stop_locations", "stop_labels")
-    if label_singleton:
-        max_lbl = F.coalesce(
-            F.max(
-                F.when(F.col("stop_labels") != -1, F.col("stop_labels"))
-            ).over(Window.partitionBy("uid")),
-            F.lit(-1),
+    if min_spacial_resolution > 0:
+        glat = grid_snap("latitude", min_spacial_resolution)
+        glon = grid_snap("longitude", min_spacial_resolution)
+    else:
+        glat, glon = F.col("latitude"), F.col("longitude")
+    with_cells = medians.withColumns({"_glat": glat, "_glon": glon})
+
+    # Unique coordinate nodes + visit multiplicity (the reference's
+    # `count` column from _downsample, models.py:60-87).
+    unique_coords = (
+        with_cells.groupBy(
+            "uid",
+            F.col("_glat").alias("latitude"),
+            F.col("_glon").alias("longitude"),
         )
-        # dense_rank, not row_number: member rows sharing one snapped
-        # coordinate are ONE singleton node and must share a label
-        singleton_rank = F.dense_rank().over(
-            Window.partitionBy("uid", "stop_labels").orderBy(
-                "latitude", "longitude"
+        .agg(F.count("*").alias("n_members"))
+    )
+
+    eps = float(r2)
+    w_exp = float(weight_exponent)
+    use_weights = bool(weighted)
+    singles_own_label = bool(label_singleton)
+    max_group = 20_000
+
+    def _communities(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group:
+            raise ValueError(
+                f"user {pdf['uid'].iloc[0]!r} has {len(pdf)} unique stop"
+                f" coordinates (> {max_group}); the per-user Infomap path"
+                " builds an O(n^2) distance matrix. Raise"
+                " min_spacial_resolution to downsample first."
             )
+        pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
+        lat = pdf["latitude"].to_numpy()
+        lon = pdf["longitude"].to_numpy()
+        counts = pdf["n_members"].to_numpy()
+        n = len(pdf)
+        dist = _haversine_matrix_m(lat, lon)
+        iu, ju = np.triu_indices(n, k=1)
+        near = dist[iu, ju] <= eps
+        ei, ej, ed = iu[near], ju[near], dist[iu, ju][near]
+        w = np.maximum(counts[ei], counts[ej]).astype(np.float64)
+        if use_weights:
+            w = w * np.power(np.maximum(ed, 1e-9), -w_exp)
+        connected = np.zeros(n, dtype=bool)
+        connected[ei] = True
+        connected[ej] = True
+        labels = np.full(n, -1, dtype=np.int64)
+        if connected.any():
+            modules = two_level_infomap(
+                n, np.column_stack([ei, ej]), w
+            )
+            # Dense 0..k-1 in scan order of first member, like the
+            # DBSCAN path's label semantics.
+            order: dict = {}
+            for i in range(n):
+                if connected[i]:
+                    m = int(modules[i])
+                    if m not in order:
+                        order[m] = len(order)
+                    labels[i] = order[m]
+        if singles_own_label:
+            nxt = labels.max() + 1
+            for i in range(n):
+                if not connected[i]:
+                    labels[i] = nxt
+                    nxt += 1
+        return pd.DataFrame(
+            {
+                "uid": pdf["uid"].to_numpy(),
+                "latitude": lat,
+                "longitude": lon,
+                "stop_labels": labels,
+            }
         )
-        out = out.withColumn(
-            "stop_labels",
-            F.when(F.col("stop_labels") != -1, F.col("stop_labels"))
-            .otherwise(max_lbl + singleton_rank)
-            .cast("long"),
+
+    labeled_coords = unique_coords.groupBy("uid").applyInPandas(
+        _communities, schema=_communities_schema(unique_coords)
+    )
+
+    return (
+        with_cells.join(
+            labeled_coords.withColumnsRenamed(
+                {"latitude": "_glat", "longitude": "_glon"}
+            ),
+            on=["uid", "_glat", "_glon"],
+            how="left",
         )
-    return out
+        .drop("_glat", "_glon")
+    )

@@ -249,3 +249,122 @@ def test_medoid_noise_count_is_one(spark):
     assert med[-1].cluster_counts == 1  # forced (reference models.py:256-260)
     assert med[0].cluster_counts == 2
     assert abs(med[0].cluster_latitude - 10.1) < 1e-9
+
+
+# ---------- two-level Infomap (map equation) ----------
+
+
+def _clique(nodes):
+    return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1 :]]
+
+
+def test_infomap_dumbbell_splits_where_cc_cannot():
+    """Two 5-cliques joined by a single bridge edge are ONE connected
+    component but TWO map-equation modules — the semantic gap between
+    Infomap and a CC approximation (reference utils.py:67-99)."""
+    from polaroam_spark.operators.clustering import two_level_infomap
+
+    edges = _clique(range(5)) + _clique(range(5, 10)) + [(4, 5)]
+    labels = two_level_infomap(10, np.array(edges), np.ones(len(edges)))
+    assert len(set(labels[:5])) == 1
+    assert len(set(labels[5:])) == 1
+    assert labels[0] != labels[9]
+
+
+def test_infomap_disconnected_components_stay_separate():
+    from polaroam_spark.operators.clustering import two_level_infomap
+
+    edges = _clique(range(3)) + _clique(range(3, 6))
+    labels = two_level_infomap(6, np.array(edges), np.ones(len(edges)))
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+
+
+def test_infomap_deterministic():
+    from polaroam_spark.operators.clustering import two_level_infomap
+
+    edges = np.array(_clique(range(4)) + _clique(range(4, 8)) + [(3, 4)])
+    w = np.ones(len(edges))
+    a = two_level_infomap(8, edges, w)
+    b = two_level_infomap(8, edges, w)
+    assert (a == b).all()
+
+
+def test_cluster_communities_dumbbell_geo(spark):
+    """End-to-end: two tight 5-point blobs 30 m apart with bridging
+    ε-edges (r2=25). DBSCAN/CC merges them into one stop location;
+    cluster_communities must yield two stop_labels."""
+    from polaroam_spark.operators.clustering import cluster_communities
+
+    m_per_deg = 111320.0
+    xs = [0, 2, 4, 6, 8, 30, 32, 34, 36, 38]
+    rows = [
+        ("u", i, 10.0 + x / m_per_deg, 10.0, i, i + 1)
+        for i, x in enumerate(xs)
+    ]
+    med = spark.createDataFrame(
+        rows,
+        "uid string, stop_events long, latitude double, longitude "
+        "double, start_timestamp long, end_timestamp long",
+    )
+    # sanity: the ε-graph is one connected component
+    cc = {
+        r.stop_events: r.stop_locations
+        for r in cluster_stops_dbscan(med, r2=25.0, min_samples=2).collect()
+    }
+    assert len(set(cc.values())) == 1
+
+    out = {
+        r.stop_events: r.stop_labels
+        for r in cluster_communities(med, r2=25.0).collect()
+    }
+    left = {out[i] for i in range(5)}
+    right = {out[i] for i in range(5, 10)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert -1 not in left | right
+
+    # weighted mode (weight = max(counts) * d^-exponent) splits too
+    outw = {
+        r.stop_events: r.stop_labels
+        for r in cluster_communities(
+            med, r2=25.0, weighted=True, weight_exponent=1.0
+        ).collect()
+    }
+    assert {outw[i] for i in range(5)} != {outw[i] for i in range(5, 10)}
+
+
+def test_cluster_communities_matches_cc_on_separated_blobs(spark):
+    """Clear-cut case: well-separated blobs — Infomap modules must
+    coincide with the ε-graph connected components."""
+    from polaroam_spark.operators.clustering import cluster_communities
+
+    rows = []
+    i = 0
+    for base in (10.0, 10.01, 10.02):  # blobs ~1.1 km apart
+        for off in (0.0, 0.00001, 0.00002):
+            rows.append(("u", i, base + off, 10.0, i, i + 1))
+            i += 1
+    med = spark.createDataFrame(
+        rows,
+        "uid string, stop_events long, latitude double, longitude "
+        "double, start_timestamp long, end_timestamp long",
+    )
+    info = {
+        r.stop_events: r.stop_labels
+        for r in cluster_communities(med, r2=25.0).collect()
+    }
+    cc = {
+        r.stop_events: r.stop_locations
+        for r in cluster_stops_dbscan(med, r2=25.0, min_samples=2).collect()
+    }
+    # same partition (labels may differ in id, compare groupings)
+    from collections import defaultdict
+
+    def groups(d):
+        g = defaultdict(set)
+        for k, v in d.items():
+            g[v].add(k)
+        return {frozenset(s) for s in g.values()}
+
+    assert groups(info) == groups(cc)
