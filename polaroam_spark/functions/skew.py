@@ -25,11 +25,22 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Append a uniform random-ish salt in [0, buckets) derived from a
-    stable per-row hash (xxhash64 of all columns) — deterministic for
-    a given row, no RNG state."""
+    """Append a uniform salt in [0, buckets) from xxhash64 of all
+    columns mixed with ``monotonically_increasing_id`` — the id term
+    spreads byte-identical duplicate rows (a bot emitting the same
+    ping 10^9 times) across buckets, which a pure content hash cannot.
+
+    Tradeoff: the id depends on partition layout, so salt values are
+    not stable across reruns/retries. That is safe everywhere a salt
+    is used here — two-stage algebraic aggregation and hot-key joins
+    (small side replicated to every bucket) are correct under ANY salt
+    assignment; the salt only shapes the shuffle distribution."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+        col_name,
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), *df.columns),
+            F.lit(buckets),
+        ),
     )
 
 
@@ -120,9 +131,10 @@ def salted_join_hot_keys(
     small_hot = small_flagged.filter(F.col("_hot")).drop("_hot")
     small_cold = small_flagged.filter(F.col("_hot").isNull()).drop("_hot")
 
-    big_salted = big_hot.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big_hot.columns), F.lit(buckets))
-    )
+    # mix in a per-row id so duplicate hot-key rows spread (see
+    # with_salt); any salt assignment joins correctly because the
+    # small side is replicated to every bucket
+    big_salted = with_salt(big_hot, buckets)
     small_salted = small_hot.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

@@ -67,6 +67,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -75,6 +76,20 @@ def minhash_lsh_pairs(
     pairs → verify with exact Jaccard on distinct shingle sets.
     Output: ``id_a, id_b, jaccard_sim`` with id_a < id_b and
     jaccard_sim ≥ threshold.
+
+    Degenerate-bucket guard: a bucket holding B documents (constant
+    boilerplate — cookie banners, license headers — lands thousands
+    of near-identical docs in one band bucket) would emit B²/2
+    candidate pairs from ONE join task. Buckets larger than
+    ``max_bucket_size`` therefore switch to a star topology: every
+    member pairs with the bucket's min-id representative only (B-1
+    candidates, still exact-Jaccard-verified). Direct member-member
+    pairs inside a hot bucket are not emitted, but they collapse to
+    the same representative, so dedup semantics survive; feed the
+    pairs to :func:`duplicate_components` for the full transitive
+    closure. Bucket sizes come from a partition-only window — no
+    driver-side key collection, no extra shuffle beyond the bucket
+    key the join shuffles on anyway.
     """
     sh = docs.select(
         F.col(id_col).alias("_id"),
@@ -98,11 +113,20 @@ def minhash_lsh_pairs(
     banded = sh.select(
         "_id", F.explode(band_hashes("_sig", bands)).alias("_band")
     ).select("_id", "_band.band", "_band.bucket")
+    bucket_w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumns(
+        {
+            "_bn": F.count("*").over(bucket_w),
+            "_rep": F.min("_id").over(bucket_w),
+        }
+    )
+    normal = banded.filter(F.col("_bn") <= max_bucket_size)
+    hot = banded.filter(F.col("_bn") > max_bucket_size)
 
-    cand = (
-        banded.alias("a")
+    cand_normal = (
+        normal.alias("a")
         .join(
-            banded.alias("b"),
+            normal.alias("b"),
             on=["band", "bucket"],
             how="inner",
         )
@@ -110,7 +134,12 @@ def minhash_lsh_pairs(
         .select(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_hot = hot.filter(F.col("_id") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("_id").alias("id_b")
+    )
+    cand = cand_normal.unionByName(cand_hot).dropDuplicates(
+        ["id_a", "id_b"]
     )
 
     verified = (

@@ -97,3 +97,38 @@ def test_embedding_neardup(spark):
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert found == {(0, 1)}
+
+
+def test_minhash_lsh_hot_bucket_guard(spark):
+    """1k byte-identical boilerplate docs: the degenerate band buckets
+    must take the star path (B-1 representative pairs, not B²/2), and
+    dedup must still collapse the pile to one survivor."""
+    from polaroam_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        minhash_lsh_pairs,
+    )
+
+    boiler = "accept all cookies to continue reading this article now"
+    rows = [(i, boiler) for i in range(1000)]
+    # plus one unrelated pair of near-duplicates on the normal path
+    rows += [
+        (2000, "the quick brown fox jumps over the lazy sleeping dog"),
+        (2001, "the quick brown fox jumps over the lazy sleeping dog!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_size=100
+    ).collect()
+    boiler_pairs = [p for p in pairs if p.id_a < 2000]
+    # star topology: every boilerplate doc pairs with doc 0 only
+    assert len(boiler_pairs) == 999
+    assert all(p.id_a == 0 and p.jaccard_sim == 1.0 for p in boiler_pairs)
+    # the normal path still finds the planted near-dup
+    assert any(p.id_a == 2000 and p.id_b == 2001 for p in pairs)
+
+    survivors = dedup_minhash_lsh(
+        docs, jaccard_threshold=0.5, max_bucket_size=100
+    )
+    kept = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert 0 in kept and len(kept & set(range(1000))) == 1
