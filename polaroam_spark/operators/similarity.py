@@ -33,14 +33,10 @@ def _plane_component(p: int | Column, d: Column) -> Column:
     return F.sin(p * F.lit(7919.0) + d.cast("double") * F.lit(104729.0))
 
 
-def add_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8
-) -> DataFrame:
-    """Append ``lsh_bucket`` (long): sign bits of the vector's dot
-    product with ``num_planes`` deterministic hyperplanes. All array
-    higher-order functions — runs inside codegen.
-    """
-    v = F.col(vec_col)
+def _plane_dots(v: Column, num_planes: int) -> Column:
+    """Array of the vector's dot products with the ``num_planes``
+    deterministic hyperplanes — sign gives the bucket bit, magnitude
+    the margin (how close the vector sits to the boundary)."""
     dims = F.sequence(F.lit(0), F.array_size(v) - 1)
 
     def plane_dot(p: Column) -> Column:
@@ -51,13 +47,34 @@ def add_lsh_bucket(
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_planes - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc * 2
-        + F.when(plane_dot(p) >= 0, 1).otherwise(0).cast("long"),
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)), plane_dot
     )
-    return df.withColumn("lsh_bucket", bucket)
+
+
+def _bucket_from_dots(dots: Column) -> Column:
+    """Bucket id from sign bits: plane p sets bit p (LSB-first).
+    2^p via pow is exact in double up to p=52 — far beyond any
+    sane plane count."""
+    bits = F.transform(
+        dots,
+        lambda d, i: F.when(d >= 0, F.pow(F.lit(2.0), i)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("long")
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8
+) -> DataFrame:
+    """Append ``lsh_bucket`` (long): sign bits of the vector's dot
+    product with ``num_planes`` deterministic hyperplanes. All array
+    higher-order functions — runs inside codegen.
+    """
+    return df.withColumn(
+        "lsh_bucket", _bucket_from_dots(_plane_dots(F.col(vec_col), num_planes))
+    )
 
 
 def ann_ivf_topk(
@@ -69,13 +86,20 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     num_probes: int = 2,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     beside LSH.
 
     1. Pick ``num_centroids`` coarse centroids deterministically
-       (stride-sampled by id — a k-means-free quantizer; swap in
-       trained centroids for better recall without changing the plan).
+       (hash-rank-sampled data vectors), optionally refined by
+       ``kmeans_iterations`` rounds of Lloyd's algorithm — each round
+       is one broadcast-assign pass plus a per-dimension mean
+       (posexplode → groupBy(centroid, dim) → avg, then re-assembled
+       into an array); the centroid table never leaves broadcast
+       size. Trained centroids track the data distribution, so
+       inverted lists even out and recall rises at the same probe
+       budget.
     2. Assign every data vector to its nearest centroid — one
        broadcast join against the tiny centroid set + a max-of-struct
        aggregate (no window, one shuffle keyed by the vector id).
@@ -121,6 +145,39 @@ def ann_ivf_topk(
 
     d = data.select(F.col(data_id), F.col(vec_col).alias("_dvec"))
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+
+    for _ in range(int(kmeans_iterations)):
+        assigned = (
+            d.crossJoin(F.broadcast(centroids))
+            .withColumn("_ccos", cosine_similarity("_dvec", "_cvec"))
+            .groupBy(data_id)
+            .agg(F.max(F.struct("_ccos", "centroid_id")).alias("_best"))
+            .select(
+                data_id, F.col("_best.centroid_id").alias("centroid_id")
+            )
+        )
+        centroids = (
+            d.join(assigned, on=data_id)
+            .select(
+                "centroid_id",
+                F.posexplode("_dvec").alias("_pos", "_val"),
+            )
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_val").alias("_mean"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_mean"))
+                ).alias("_dims")
+            )
+            .select(
+                "centroid_id",
+                F.transform(
+                    F.col("_dims"), lambda s: s["_mean"]
+                ).alias("_cvec"),
+            )
+        )
+
     d_assign = _assign(d, data_id, "_dvec", 1)
     q_probe = _assign(q, query_id, "_qvec", num_probes)
 
@@ -199,24 +256,83 @@ def ann_lsh_topk(
         "_dvec",
         num_planes,
     )
-    q = add_lsh_bucket(
-        queries.select(F.col(query_id), F.col(vec_col).alias("_qvec")),
-        "_qvec",
-        num_planes,
-    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    ).withColumn("_dots", _plane_dots(F.col("_qvec"), num_planes))
+    q = q.withColumn("lsh_bucket", _bucket_from_dots(F.col("_dots")))
     if num_probes > 1:
-        # Probe the exact bucket + single-bit flips (hamming-1).
-        flips = min(num_probes - 1, num_planes)
-        probe_buckets = F.array(
-            F.col("lsh_bucket"),
-            *[
-                F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(flips)
-            ],
+        # Multi-probe (Lv et al., VLDB 2007): perturb the bits whose
+        # hyperplane the query sits CLOSEST to — those boundaries are
+        # the ones most likely to have split off true neighbors. Probe
+        # buckets are all non-empty subsets of the `base` most
+        # marginal bits, visited in order of summed margin (smallest
+        # total displacement first), truncated to num_probes-1. A
+        # fixed flip order would probe mostly useless buckets.
+        base = 1
+        while (1 << base) - 1 < num_probes - 1 and base < min(
+            num_planes, 6
+        ):
+            base += 1
+        by_margin = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("_dots"),
+                    lambda d, i: F.struct(
+                        F.abs(d).alias("m"), i.alias("p")
+                    ),
+                )
+            ),
+            1,
+            base,
         )
-        q = q.withColumn(
-            "lsh_bucket", F.explode(probe_buckets)
+        sz = F.array_size(by_margin)
+
+        def subset_field(s: Column, field: str, cast: str) -> Column:
+            # sum of by_margin[i].<field> over the bits set in s
+            return F.aggregate(
+                F.sequence(F.lit(0), sz - 1),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.when(
+                    (s.cast("long").bitwiseAND(
+                        F.pow(F.lit(2.0), i).cast("long")
+                    ))
+                    > 0,
+                    F.element_at(by_margin, i + 1)[field].cast(
+                        "double"
+                    )
+                    if field == "m"
+                    else F.pow(
+                        F.lit(2.0), F.element_at(by_margin, i + 1)[field]
+                    ),
+                ).otherwise(F.lit(0.0)),
+            ).cast(cast)
+
+        perturbations = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.pow(F.lit(2.0), sz).cast("int") - 1,
+                    ),
+                    lambda s: F.struct(
+                        subset_field(s, "m", "double").alias("msum"),
+                        subset_field(s, "p", "long").alias("mask"),
+                    ),
+                )
+            ),
+            1,
+            num_probes - 1,
         )
+        probe_buckets = F.concat(
+            F.array(F.col("lsh_bucket")),
+            F.transform(
+                perturbations,
+                lambda s: F.col("lsh_bucket").bitwiseXOR(s["mask"]),
+            ),
+        )
+        q = q.withColumn("lsh_bucket", F.explode(probe_buckets))
+    q = q.drop("_dots")
     joined = d.join(F.broadcast(q), on="lsh_bucket", how="inner")
     scored = joined.withColumn(
         "cosine", cosine_similarity("_dvec", "_qvec")

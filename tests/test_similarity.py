@@ -100,3 +100,65 @@ def test_ann_results_are_true_cosines(vectors):
     # self always lands in its own bucket -> rank 1 is the query itself
     rank1 = {r.query_id: r.vec_id for r in ann if r.rank == 1}
     assert all(qid == vid for qid, vid in rank1.items())
+
+
+@pytest.fixture(scope="module")
+def sf_embeddings(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+
+
+def _topsets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def _recall(exact, approx, k=10):
+    return sum(
+        len(exact[q] & approx.get(q, set())) for q in exact
+    ) / (k * len(exact))
+
+
+def test_ann_recall_floors(spark, sf_embeddings):
+    """recall@10 of the ANN paths vs brute force on the synthetic
+    embeddings — floors make probe-parameter regressions visible
+    (everything is deterministic, so these numbers are stable)."""
+    from polaroam_spark.operators.similarity import ann_ivf_topk
+
+    q = sf_embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _topsets(cosine_topk(sf_embeddings, q, k=10))
+
+    lsh1 = _topsets(
+        ann_lsh_topk(sf_embeddings, q, k=10, num_planes=5, num_probes=1)
+    )
+    lsh = _topsets(
+        ann_lsh_topk(sf_embeddings, q, k=10, num_planes=5, num_probes=12)
+    )
+    r_lsh1, r_lsh = _recall(exact, lsh1), _recall(exact, lsh)
+    # multi-probe must strictly beat the single-bucket probe
+    assert r_lsh > r_lsh1
+    assert r_lsh >= 0.6, f"LSH recall@10 regressed: {r_lsh}"
+
+    ivf0 = _topsets(
+        ann_ivf_topk(
+            sf_embeddings, q, k=10, num_centroids=8, num_probes=4
+        )
+    )
+    ivf3 = _topsets(
+        ann_ivf_topk(
+            sf_embeddings,
+            q,
+            k=10,
+            num_centroids=8,
+            num_probes=4,
+            kmeans_iterations=3,
+        )
+    )
+    r_ivf0, r_ivf3 = _recall(exact, ivf0), _recall(exact, ivf3)
+    assert r_ivf3 >= 0.7, f"IVF recall@10 regressed: {r_ivf3}"
+    assert r_ivf3 >= r_ivf0  # Lloyd training must not hurt
