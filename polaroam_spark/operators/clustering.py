@@ -51,6 +51,7 @@ from polaroam_spark.functions.distance import (
     grid_snap,
     haversine_m,
 )
+from polaroam_spark.session import materialize
 
 def _dbscan_schema(df: DataFrame) -> StructType:
     """Output schema with the uid field typed as in the input — uids
@@ -362,11 +363,10 @@ def cluster_stops_dbscan_distributed(
                 F.col("new_component").alias("component"),
             )
         )
-        # Materialize each iteration and cut lineage growth.
-        # localCheckpoint stores blocks on executors (non-replicated):
-        # fine in local mode; on a lossy cluster prefer a reliable
-        # checkpoint dir (sc.setCheckpointDir + .checkpoint()).
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Materialize each iteration and cut lineage growth; uses a
+        # reliable checkpoint automatically when the session has a
+        # checkpoint dir configured (see session.materialize).
+        new_labels = materialize(new_labels)
         changed = (
             labels.join(
                 new_labels.withColumnRenamed("component", "ncomp"),
@@ -418,7 +418,7 @@ def cluster_stops_dbscan_distributed(
     # materialize the (small) label table BEFORE releasing the cached
     # pts/edges it derives from — otherwise the caller's first action
     # would recompute the expensive cell-replication join from scratch
-    labeled_pts = labeled_pts.localCheckpoint(eager=True)
+    labeled_pts = materialize(labeled_pts)
 
     if min_spacial_resolution > 0:
         out = medians.withColumns({"_glat": glat, "_glon": glon}).join(

@@ -26,6 +26,7 @@ from polaroam_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from polaroam_spark.session import materialize
 
 
 def normalize_text(text_col) -> F.Column:
@@ -228,8 +229,10 @@ def duplicate_components(
                     F.coalesce("nbr_rep", "representative"),
                 ).alias("representative"),
             )
-            .localCheckpoint(eager=True)
         )
+        # lineage cut per iteration; reliable checkpoint when a
+        # checkpoint dir is configured (session.materialize)
+        new_labels = materialize(new_labels)
         changed = (
             labels.join(
                 new_labels.withColumnRenamed("representative", "nrep"),

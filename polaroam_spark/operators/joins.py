@@ -41,6 +41,15 @@ def asof_join(
     Ties: a right row at exactly ``left_ts`` matches (right sorts
     before left at equal timestamps).
     """
+    reserved = {"_ts", "_side", "_payload", "_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        # silent collision would produce ambiguous columns or a wrong
+        # union, not an error — fail loudly instead
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} in the input frames first"
+        )
     rpayload = [c for c in right.columns if c != on]
     payload = F.struct(*[F.col(c) for c in rpayload])
     r = right.select(
@@ -129,6 +138,12 @@ def point_in_interval_join(
     wanting left semantics should left-join this result back on their
     own point key.
     """
+    clash = {"_bucket"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            "point_in_interval_join reserves column name '_bucket'; "
+            "rename it in the input frames first"
+        )
     b = int(bucket_size)
     ivals = intervals.withColumn(
         "_bucket",

@@ -66,3 +66,23 @@ def get_spark(
     for k, v in conf.items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def materialize(df):
+    """Eagerly materialize a DataFrame and cut its lineage — the
+    per-iteration step of the label-propagation loops
+    (clustering.cluster_stops_dbscan_distributed,
+    dedup.duplicate_components).
+
+    Uses a RELIABLE checkpoint when the session has a checkpoint
+    directory configured (``sc.setCheckpointDir`` pointing at
+    HDFS/object storage) — on a lossy cluster an executor failure
+    cannot then force a full lineage recompute. Falls back to
+    ``localCheckpoint`` (executor-local blocks, non-replicated)
+    otherwise, which is the right call in local mode and on
+    preemption-free clusters.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
