@@ -133,13 +133,32 @@ def main() -> None:
     em._t(spark, SF_DIR, "region").count()
     warmup = time.time() - t0
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    # median-of-N SUITE PASSES: BASELINE.md documents a 23-51 s suite
+    # spread under external load; a single sample is too noisy to
+    # compare rounds against. The whole suite repeats as a unit so the
+    # intra-pass staging reuse (stop medians are disk-materialized
+    # once and consumed by three queries — the reference driver's own
+    # pattern) is preserved, while the memo + Spark caches are cleared
+    # BETWEEN passes so every pass pays the full cold cost.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in queries}
+    for _ in range(runs):
+        em._MATERIALIZED_MEDIANS.clear()
+        spark.catalog.clearCache()
+        for name, fn in queries.items():
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+    timings = {
+        name: round(sorted(s)[len(s) // 2], 3)
+        for name, s in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
     print(
         json.dumps(
             {
@@ -149,6 +168,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "warmup_sec": round(warmup, 3),
+                "runs_per_query": runs,
+                "load1": load1,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
             }
         )
