@@ -2637,6 +2637,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return attach_medoids(labeled)
 
 
+@_q(
+    "skw1_salted_agg",
+    "SELECT user_id, count(*) AS n, round(sum(value), 4) AS val_sum "
+    "FROM events GROUP BY user_id",
+)
+def skw1(spark, sf_dir):
+    """Two-stage salted aggregation must equal the plain groupBy —
+    functions/skew.py:salted_groupby_agg under the SQL oracle."""
+    from polaroam_spark.functions.skew import salted_groupby_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_groupby_agg(
+        ev,
+        ["user_id"],
+        {"n": ("*", "count"), "val_sum": ("value", "sum")},
+        buckets=8,
+    )
+    return out.select(
+        "user_id", "n", F.round("val_sum", 4).alias("val_sum")
+    )
+
+
+@_q(
+    "skw2_salted_hot_join",
+    "SELECT o_orderpriority, count(*) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority",
+)
+def skw2(spark, sf_dir):
+    """Hot-key salted join must preserve exact inner-join semantics —
+    functions/skew.py:salted_join_hot_keys under the SQL oracle
+    (every lineitem orderkey above the threshold takes the salted
+    path; the rest take the cold path)."""
+    from polaroam_spark.functions.skew import (
+        hot_keys,
+        salted_join_hot_keys,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    hot = hot_keys(li, "l_orderkey", threshold_rows=4)
+    joined = salted_join_hot_keys(li, o, "l_orderkey", hot, buckets=4)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "t8_pii_counts",
+    r"SELECT doc_id, "
+    r"CAST(len(regexp_extract_all(text, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) "
+    r"AS n_emails, "
+    r"CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) "
+    r"AS n_urls "
+    r"FROM documents WHERE doc_id < 300",
+)
+def t8(spark, sf_dir):
+    """PII pattern counts (operators/textstats.py:pii_counts) vs
+    DuckDB regexp_extract_all lengths."""
+    from polaroam_spark.operators.textstats import pii_counts
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return pii_counts(docs).select("doc_id", "n_emails", "n_urls")
+
+
+@_q(
+    "v1_vector_normalize",
+    """SELECT vec_id,
+  round(sqrt(list_sum(list_transform(
+      list_transform(embedding::DOUBLE[], x -> x / sqrt(list_sum(
+          list_transform(embedding::DOUBLE[], y -> y * y)))),
+      z -> z * z))), 6) AS unit_norm,
+  round(embedding[1] / sqrt(list_sum(list_transform(
+      embedding::DOUBLE[], y -> y * y))), 6) AS first_comp
+FROM embeddings WHERE vec_id < 100""",
+)
+def v1(spark, sf_dir):
+    """l2_normalize / l2_norm (functions/vectors.py) against a DuckDB
+    list-math twin: unit vectors have norm 1 and matching components."""
+    from polaroam_spark.functions.vectors import l2_norm, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    unit = l2_normalize("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(unit), 6).alias("unit_norm"),
+        F.round(F.element_at(unit, 1), 6).alias("first_comp"),
+    )
+
+
 # The correctness driver checks queries in dict order and may only cover
 # a prefix of the registry (round 2 stopped at the 48th entry, leaving the
 # flagship pipelines unscored).  Surface the highest-risk queries first:
@@ -2664,6 +2757,8 @@ _PRIORITY = [
     "w6_row_index", "w7_keep_first", "w8_compute_intervals",
     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
     "s7_csv_sink_roundtrip",
+    "skw1_salted_agg", "skw2_salted_hot_join", "t8_pii_counts",
+    "v1_vector_normalize",
 ]
 
 

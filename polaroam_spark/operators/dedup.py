@@ -121,6 +121,11 @@ def minhash_lsh_pairs(
             "_rep": F.min("_id").over(bucket_w),
         }
     )
+    # persist: referenced by both self-join sides AND the hot path —
+    # without it the explode + band-hash + window chain runs three
+    # times (verified via .explain; same justification as the
+    # signature persist above, and the frame is five narrow columns)
+    banded = banded.persist()
     normal = banded.filter(F.col("_bn") <= max_bucket_size)
     hot = banded.filter(F.col("_bn") > max_bucket_size)
 
