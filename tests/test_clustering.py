@@ -368,3 +368,51 @@ def test_cluster_communities_matches_cc_on_separated_blobs(spark):
         return {frozenset(s) for s in g.values()}
 
     assert groups(info) == groups(cc)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_infomap_modules_respect_components(raw_edges):
+    """Map-equation modules can split a connected component but can
+    NEVER merge nodes from different components (no flow crosses a
+    gap) — and the optimizer is deterministic."""
+    from polaroam_spark.operators.clustering import two_level_infomap
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    n = 12
+    labels = two_level_infomap(
+        n, np.array(edges or np.empty((0, 2))), np.ones(len(edges))
+    )
+    labels2 = two_level_infomap(
+        n, np.array(edges or np.empty((0, 2))), np.ones(len(edges))
+    )
+    assert (labels == labels2).all()
+
+    # union-find ground-truth components
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if labels[i] == labels[j] and (edges and True):
+                # same module => same component (unless both isolated
+                # singletons, which keep their own initial labels)
+                if find(i) != find(j):
+                    deg_i = sum(1 for a, b in edges if i in (a, b))
+                    deg_j = sum(1 for a, b in edges if j in (a, b))
+                    assert deg_i == 0 or deg_j == 0, (
+                        f"module spans components: {i},{j} ({labels})"
+                    )
