@@ -302,12 +302,22 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one
     of ``chunks`` fingerprint chunks (pigeonhole: any pair within
     hamming distance < chunks shares a chunk), verified by exact
     hamming distance via bit_count(xor).
     Output: ``id_a, id_b, hamming`` (≤ max_hamming).
+
+    Same degenerate-bucket guard as :func:`minhash_lsh_pairs`: a
+    (chunk, value) bucket holding B documents — boilerplate drives a
+    chunk of the fingerprint to a constant — would emit B²/2
+    candidates from one task. Buckets over ``max_bucket_size`` switch
+    to star pairs against the bucket's min-id member (still
+    hamming-verified); member-member pairs inside a hot bucket
+    collapse through the representative via
+    :func:`duplicate_components`.
     """
     fp = simhash_fingerprint(docs, text_col, id_col, bits)
     chunk_bits = bits // chunks
@@ -329,9 +339,24 @@ def simhash_pairs(
             )
         ).alias("_c"),
     ).select("_id", "simhash", "_c.chunk", "_c.val")
-    cand = (
-        chunked.alias("a")
-        .join(chunked.alias("b"), on=["chunk", "val"], how="inner")
+    bucket_w = Window.partitionBy("chunk", "val")
+    chunked = chunked.withColumns(
+        {
+            "_bn": F.count("*").over(bucket_w),
+            # struct-min: the representative's id AND fingerprint in
+            # one pass (ids are distinct, so simhash never compares)
+            "_rep": F.min(F.struct("_id", "simhash")).over(bucket_w),
+        }
+    )
+    # referenced by both self-join sides + the hot path (see the
+    # minhash persist note)
+    chunked = chunked.persist()
+    normal = chunked.filter(F.col("_bn") <= max_bucket_size)
+    hot = chunked.filter(F.col("_bn") > max_bucket_size)
+
+    cand_normal = (
+        normal.alias("a")
+        .join(normal.alias("b"), on=["chunk", "val"], how="inner")
         .filter(F.col("a._id") < F.col("b._id"))
         .select(
             F.col("a._id").alias("id_a"),
@@ -339,7 +364,15 @@ def simhash_pairs(
             F.col("a.simhash").alias("_fa"),
             F.col("b.simhash").alias("_fb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_hot = hot.filter(F.col("_id") != F.col("_rep._id")).select(
+        F.col("_rep._id").alias("id_a"),
+        F.col("_id").alias("id_b"),
+        F.col("_rep.simhash").alias("_fa"),
+        F.col("simhash").alias("_fb"),
+    )
+    cand = cand_normal.unionByName(cand_hot).dropDuplicates(
+        ["id_a", "id_b"]
     )
     return (
         cand.withColumn(
@@ -358,6 +391,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs via an inverted-index
     join: explode distinct n-grams, self-join on the n-gram (the
@@ -366,13 +400,30 @@ def ngram_jaccard_pairs(
     oracle-checkable twin of the MinHash path. ``block_col``
     optionally restricts candidates to equal blocking keys to bound
     the index fan-out on huge corpora.
-    """
+
+    ``max_gram_df`` prunes grams whose document frequency exceeds the
+    cap from the INDEX side only (a gram in B docs contributes B²/2
+    index join rows — "the of the" melts the join at corpus scale).
+    Denominator sizes still count every gram, so reported
+    ``jaccard_sim`` becomes a LOWER bound for pairs that share pruned
+    grams — safe for a ≥-threshold filter in the sense that no false
+    positives appear, at the cost of possibly missing pairs whose
+    overlap is mostly stop-grams. Default off (exact semantics; the
+    oracle twin assumes it)."""
     grams = docs.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         F.explode(ngram_set(text_col, n)).alias("_gram"),
     )
     sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("_gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= int(max_gram_df))
+            .select("_gram")
+        )
+        grams = grams.join(rare, on="_gram", how="left_semi")
     join_keys = ["_gram"] + (["_blk"] if block_col else [])
     shared = (
         grams.alias("a")
@@ -408,26 +459,58 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     cosine_threshold: float = 0.98,
     num_planes: int = 8,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed cosine. Candidates
     share a random-hyperplane sign bucket (deterministic pseudo-random
     planes), verified with exact cosine. See
     operators/similarity.py for the bucketing primitive.
+
+    Hot buckets (> ``max_bucket_size`` vectors — e.g. a pile of
+    zero-ish or template embeddings hashing identically) take star
+    pairs against the bucket's min-id vector instead of the B²/2
+    self-join, mirroring :func:`minhash_lsh_pairs`.
     """
     from polaroam_spark.operators.similarity import add_lsh_bucket
     from polaroam_spark.functions.vectors import cosine_similarity
 
-    b = add_lsh_bucket(embeddings, vec_col, num_planes)
-    cand = (
-        b.alias("a")
-        .join(b.alias("b"), on="lsh_bucket", how="inner")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    b = add_lsh_bucket(
+        embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        ),
+        "_vec",
+        num_planes,
+    )
+    bucket_w = Window.partitionBy("lsh_bucket")
+    b = b.withColumns(
+        {
+            "_bn": F.count("*").over(bucket_w),
+            "_rep": F.min(F.struct("_id", "_vec")).over(bucket_w),
+        }
+    )
+    b = b.persist()  # both self-join sides + hot path
+    normal = b.filter(F.col("_bn") <= max_bucket_size)
+    hot = b.filter(F.col("_bn") > max_bucket_size)
+
+    cand_normal = (
+        normal.alias("a")
+        .join(normal.alias("b"), on="lsh_bucket", how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._vec").alias("_va"),
+            F.col("b._vec").alias("_vb"),
         )
+    )
+    cand_hot = hot.filter(F.col("_id") != F.col("_rep._id")).select(
+        F.col("_rep._id").alias("id_a"),
+        F.col("_id").alias("id_b"),
+        F.col("_rep._vec").alias("_va"),
+        F.col("_vec").alias("_vb"),
+    )
+    cand = cand_normal.unionByName(cand_hot).dropDuplicates(
+        ["id_a", "id_b"]
     )
     return (
         cand.withColumn("cosine", cosine_similarity("_va", "_vb"))

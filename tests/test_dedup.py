@@ -132,3 +132,57 @@ def test_minhash_lsh_hot_bucket_guard(spark):
     )
     kept = {r.doc_id for r in survivors.select("doc_id").collect()}
     assert 0 in kept and len(kept & set(range(1000))) == 1
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """Identical boilerplate docs share every fingerprint chunk; with a
+    small max_bucket_size the pairs must come out as a star around the
+    min id, not an all-pairs blowup."""
+    from polaroam_spark.operators.dedup import simhash_pairs
+
+    boiler = "click here to subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(300)], "doc_id long, text string"
+    )
+    pairs = simhash_pairs(docs, max_bucket_size=50).collect()
+    assert len(pairs) == 299
+    assert all(p.id_a == 0 and p.hamming == 0 for p in pairs)
+
+
+def test_embedding_neardup_hot_bucket_guard(spark):
+    from polaroam_spark.operators.dedup import embedding_neardup_pairs
+
+    vec = [0.5, -0.25, 0.125, 1.0]
+    docs = spark.createDataFrame(
+        [(i, vec) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(docs, max_bucket_size=50).collect()
+    assert len(pairs) == 299
+    assert all(
+        p.id_a == 0 and abs(p.cosine - 1.0) < 1e-9 for p in pairs
+    )
+
+
+def test_ngram_jaccard_max_gram_df(spark):
+    """DF-capped index: a gram present in every doc is pruned from the
+    index, so docs whose overlap is ONLY that gram produce no pair,
+    while genuinely duplicated docs still match (lower-bound score)."""
+    from polaroam_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (0, "alpha beta gamma common token run"),
+        (1, "alpha beta gamma common token run"),  # true dup of 0
+        (2, "common token run delta epsilon zeta"),
+        (3, "common token run eta theta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'common token run' appears in all 4 docs -> df=4 > cap=2
+    pairs = {
+        (p.id_a, p.id_b): p.jaccard_sim
+        for p in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_gram_df=2
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(a == 0 and b == 1 for (a, b) in pairs)
