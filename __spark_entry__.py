@@ -2706,6 +2706,62 @@ def t8(spark, sf_dir):
 
 
 @_q(
+    "t9_detect_language",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is',
+      'that','for','with','as'))) / CAST(greatest(len(toks), 1) AS DOUBLE)
+      AS en,
+    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un',
+      'por','con','los'))) / CAST(greatest(len(toks), 1) AS DOUBLE) AS es,
+    len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','en',
+      'un','que','pour'))) / CAST(greatest(len(toks), 1) AS DOUBLE) AS fr,
+    len(list_filter(toks, t -> t IN ('der','die','und','das','von','zu',
+      'mit','den','ist','im'))) / CAST(greatest(len(toks), 1) AS DOUBLE)
+      AS de
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, es, fr, de) <= 0 THEN 'und'
+       WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+       WHEN es = greatest(en, es, fr, de) THEN 'es'
+       WHEN en = greatest(en, es, fr, de) THEN 'en'
+       ELSE 'de' END AS lang_id
+FROM scores""",
+)
+def t9(spark, sf_dir):
+    """detect_language (operators/textstats.py) vs a CASE-argmax
+    oracle with the same tie rule (greatest-of-structs breaks score
+    ties by the lexicographically largest language code)."""
+    from polaroam_spark.operators.textstats import detect_language
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", detect_language("text").alias("lang_id")
+    )
+
+
+@_q(
+    "t10_bpe_token_count",
+    r"SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+    r"'([a-z]+|[0-9]+|[^a-z0-9\s])')) AS BIGINT) AS n_subwords "
+    r"FROM documents",
+)
+def t10(spark, sf_dir):
+    """bpe_ish_token_count (operators/textstats.py) vs DuckDB
+    regexp_extract_all length."""
+    from polaroam_spark.operators.textstats import bpe_ish_token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_ish_token_count("text").alias("n_subwords")
+    )
+
+
+@_q(
     "v1_vector_normalize",
     """SELECT vec_id,
   round(sqrt(list_sum(list_transform(
@@ -2758,7 +2814,7 @@ _PRIORITY = [
     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
     "s7_csv_sink_roundtrip",
     "skw1_salted_agg", "skw2_salted_hot_join", "t8_pii_counts",
-    "v1_vector_normalize",
+    "t9_detect_language", "t10_bpe_token_count", "v1_vector_normalize",
 ]
 
 
