@@ -2786,6 +2786,55 @@ def v1(spark, sf_dir):
     )
 
 
+@_q(
+    "v2_quantize_roundtrip",
+    """SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS n_dims,
+  list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+      / 127.0 <= 0.0 OR
+  list_max(list_transform(
+      list_zip(embedding::DOUBLE[],
+               list_transform(embedding::DOUBLE[],
+                 x -> round(x / (list_max(list_transform(
+                        embedding::DOUBLE[], y -> abs(y))) / 127.0), 0)
+                      * (list_max(list_transform(
+                        embedding::DOUBLE[], y -> abs(y))) / 127.0))),
+      p -> abs(p[1] - p[2])))
+  <= list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0
+     * 0.5 + 1e-12 AS within_bound
+FROM embeddings WHERE vec_id < 200""",
+)
+def v2(spark, sf_dir):
+    """int8 quantization roundtrip (functions/vectors.py): max
+    per-component reconstruction error must stay within scale/2. The
+    boolean formulation is rounding-mode-agnostic (Spark HALF_UP vs
+    DuckDB HALF_EVEN differ only on exact .5 code boundaries, and a
+    one-code difference still satisfies the bound)."""
+    from polaroam_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = quantize_int8("embedding")
+    dq = dequantize_int8(q)
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            dq,
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.array_size("embedding").cast("long").alias("n_dims"),
+        (
+            (q["scale"] <= 0.0)
+            | (err <= q["scale"] * 0.5 + F.lit(1e-12))
+        ).alias("within_bound"),
+    )
+
+
 # The correctness driver checks queries in dict order and may only cover
 # a prefix of the registry (round 2 stopped at the 48th entry, leaving the
 # flagship pipelines unscored).  Surface the highest-risk queries first:
@@ -2815,6 +2864,7 @@ _PRIORITY = [
     "s7_csv_sink_roundtrip",
     "skw1_salted_agg", "skw2_salted_hot_join", "t8_pii_counts",
     "t9_detect_language", "t10_bpe_token_count", "v1_vector_normalize",
+    "v2_quantize_roundtrip",
 ]
 
 
