@@ -24,6 +24,10 @@ SUBSET = [
     "t1_token_count",
     "f14_iso_weekday",
     "j5_cross_broadcast_scalar",
+    "skw1_salted_agg",
+    "t9_detect_language",
+    "v1_vector_normalize",
+    "v2_quantize_roundtrip",
 ]
 
 
