@@ -2485,6 +2485,32 @@ def smp1(spark, sf_dir):
 
 
 @_q(
+    "smp3_stratified_sample",
+    "SELECT doc_id, source FROM documents WHERE "
+    "CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) / 1152921504606846976.0 < "
+    "CASE WHEN source = 'src0' THEN 1.0 "
+    "WHEN source = 'src1' THEN 0.5 "
+    "WHEN source = 'src2' THEN 0.1 ELSE 0.05 END",
+)
+def smp3(spark, sf_dir):
+    """Per-stratum deterministic corpus mixing
+    (operators/sampling.py:stratified_sample_by_hash)."""
+    from polaroam_spark.operators.sampling import (
+        stratified_sample_by_hash,
+    )
+
+    return stratified_sample_by_hash(
+        _t(spark, sf_dir, "documents"),
+        key="doc_id",
+        strata_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_fraction=0.05,
+        seed=17,
+    ).select("doc_id", "source")
+
+
+@_q(
     "smp2_train_test_split",
     "SELECT CASE WHEN CAST(('0x' || substr(md5('29:' || "
     "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0 "
@@ -2856,6 +2882,7 @@ _PRIORITY = [
     "t7_quality_stratified",
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "smp1_sample_by_hash", "smp2_train_test_split",
+    "smp3_stratified_sample",
     "mm1_media_features",
     "j7_asof_join", "j8_point_in_interval",
     "w1_lead", "w2_lag_fill", "w3_gated_cumsum", "w5_rolling_range_window",

@@ -37,6 +37,31 @@ def sample_by_hash(
     return df.filter(_unit_hash(key, seed) < F.lit(float(fraction)))
 
 
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 17,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep rows whose key hashes
+    below their stratum's fraction — the corpus-mixing primitive
+    ("keep 100% of books, 10% of common-crawl") with the same
+    reproducibility contract as :func:`sample_by_hash`. Strata absent
+    from ``fractions`` fall back to ``default_fraction``. The
+    per-stratum threshold is a broadcast map lookup (a small literal
+    CASE chain — no join, no shuffle); membership stays a pure
+    function of (key, stratum)."""
+    h = _unit_hash(key, seed)
+    frac = F.lit(float(default_fraction))
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == stratum, F.lit(float(f))
+        ).otherwise(frac)
+    return df.filter(h < frac)
+
+
 def train_test_split(
     df: DataFrame,
     key: str,

@@ -96,3 +96,46 @@ def test_train_test_split_partition_and_leakage(spark):
     assert tr.intersect(te).count() == 0
     assert tr.count() + te.count() == 50
     assert train.count() + test.count() == 500
+
+
+def test_stratified_sample_by_hash(spark):
+    """Per-stratum fractions hold (hash-deterministic), membership is
+    stable across repartitionings, and full-keep strata keep all."""
+    from polaroam_spark.operators.sampling import (
+        sample_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    rows = [(i, "keep_all" if i % 3 == 0 else ("half" if i % 3 == 1 else "rare"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample_by_hash(
+        df, key="doc_id", strata_col="source",
+        fractions={"keep_all": 1.0, "half": 0.5}, default_fraction=0.0,
+    )
+    got = {r.source: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got.get("keep_all") == 200
+    assert 60 <= got.get("half", 0) <= 140  # ~100 expected
+    assert "rare" not in got  # default fraction 0 drops the stratum
+
+    # same membership after repartition
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in stratified_sample_by_hash(
+            df.repartition(13), key="doc_id", strata_col="source",
+            fractions={"keep_all": 1.0, "half": 0.5},
+        ).collect()
+    }
+    assert ids1 == ids2
+    # a stratum sampled at fraction f matches sample_by_hash(f) there
+    half_ids = {r.doc_id for r in out.filter("source = 'half'").collect()}
+    plain = {
+        r.doc_id
+        for r in sample_by_hash(
+            df.filter("source = 'half'"), key="doc_id", fraction=0.5
+        ).collect()
+    }
+    assert half_ids == plain
