@@ -106,7 +106,16 @@ class StopDetect:
             if self._distributed
             else cluster_stops_dbscan
         )
-        kwargs = {} if self._distributed else {"min_samples": 2}
+        # the distributed grid-join path sizes cells in degrees from a
+        # meter radius — haversine-only by construction
+        kwargs = (
+            {}
+            if self._distributed
+            else {
+                "min_samples": 2,
+                "distance_metric": self._distance_metric,
+            }
+        )
         labeled = cluster(
             self._median_coords,
             r2=self._r2,
@@ -129,6 +138,7 @@ class StopDetect:
             label_singleton=self._label_singleton,
             weighted=self._weighted,
             weight_exponent=self._weight_exponent,
+            distance_metric=self._distance_metric,
         )
         return self._stop_labels
 

@@ -79,19 +79,41 @@ def _haversine_matrix_m(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
-def dbscan_labels(
-    lat: np.ndarray, lon: np.ndarray, eps_m: float, min_samples: int = 2
+def _distance_matrix(
+    lat: np.ndarray, lon: np.ndarray, distance_metric: str
 ) -> np.ndarray:
-    """Exact DBSCAN (haversine, meters) — numpy reimplementation of the
-    semantics the reference gets from sklearn (utils.py:203-215):
-    labels 0..k-1 assigned in scan order of the first reachable core
-    point; noise = -1; border points join the first core cluster that
-    reaches them.
+    """All-pairs distance in the metric's native units: meters for
+    haversine, raw coordinate units for euclidean (projected data —
+    the reference's convention, utils.py:17-18 / 203-215: eps passes
+    through unscaled for euclidean)."""
+    if distance_metric == "haversine":
+        return _haversine_matrix_m(lat, lon)
+    if distance_metric == "euclidean":
+        dx = lat[:, None] - lat[None, :]
+        dy = lon[:, None] - lon[None, :]
+        return np.sqrt(dx * dx + dy * dy)
+    raise ValueError(f"Unsupported distance metric: {distance_metric}")
+
+
+def dbscan_labels(
+    lat: np.ndarray,
+    lon: np.ndarray,
+    eps_m: float,
+    min_samples: int = 2,
+    distance_metric: str = "haversine",
+) -> np.ndarray:
+    """Exact DBSCAN — numpy reimplementation of the semantics the
+    reference gets from sklearn (utils.py:203-215): labels 0..k-1
+    assigned in scan order of the first reachable core point; noise =
+    -1; border points join the first core cluster that reaches them.
+    ``eps_m`` is meters for haversine, coordinate units for euclidean.
     """
     n = len(lat)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    dist = _haversine_matrix_m(np.asarray(lat), np.asarray(lon))
+    dist = _distance_matrix(
+        np.asarray(lat), np.asarray(lon), distance_metric
+    )
     neighbors = dist <= eps_m  # includes self
     core = neighbors.sum(axis=1) >= min_samples
     labels = np.full(n, -1, dtype=np.int64)
@@ -119,6 +141,7 @@ def cluster_stops_dbscan(
     r2: float = 10.0,
     min_samples: int = 2,
     min_spacial_resolution: float = 0.0,
+    distance_metric: str = "haversine",
 ) -> DataFrame:
     """Cluster each user's stop medians into stop locations.
 
@@ -151,6 +174,9 @@ def cluster_stops_dbscan(
 
     eps = float(r2)
     msamp = int(min_samples)
+    metric = str(distance_metric)
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"Unsupported distance metric: {metric}")
 
     # O(n^2) distance matrix per user: 20k points ~= 3.2 GB of doubles.
     # Beyond that the task would silently eat executor memory — fail
@@ -173,6 +199,7 @@ def cluster_stops_dbscan(
             pdf["longitude"].to_numpy(),
             eps_m=eps,
             min_samples=msamp,
+            distance_metric=metric,
         )
         return pd.DataFrame(
             {
@@ -696,6 +723,7 @@ def cluster_communities(
     label_singleton: bool = False,
     weighted: bool = False,
     weight_exponent: float = 1.0,
+    distance_metric: str = "haversine",
 ) -> DataFrame:
     """Infomap community detection over the per-user ε-graph of stop
     medians — the engine's counterpart of the reference's
@@ -741,6 +769,9 @@ def cluster_communities(
     w_exp = float(weight_exponent)
     use_weights = bool(weighted)
     singles_own_label = bool(label_singleton)
+    metric = str(distance_metric)
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"Unsupported distance metric: {metric}")
     max_group = 20_000
 
     def _communities(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -756,7 +787,7 @@ def cluster_communities(
         lon = pdf["longitude"].to_numpy()
         counts = pdf["n_members"].to_numpy()
         n = len(pdf)
-        dist = _haversine_matrix_m(lat, lon)
+        dist = _distance_matrix(lat, lon, metric)
         iu, ju = np.triu_indices(n, k=1)
         near = dist[iu, ju] <= eps
         ei, ej, ed = iu[near], ju[near], dist[iu, ju][near]

@@ -416,3 +416,38 @@ def test_infomap_modules_respect_components(raw_edges):
                     assert deg_i == 0 or deg_j == 0, (
                         f"module spans components: {i},{j} ({labels})"
                     )
+
+
+def test_dbscan_euclidean_metric():
+    """Euclidean eps is in raw coordinate units (reference passes r2
+    unscaled for projected data, utils.py:203-215)."""
+    lat = np.array([0.0, 3.0, 100.0])
+    lon = np.array([0.0, 4.0, 100.0])
+    labels = dbscan_labels(
+        lat, lon, eps_m=5.0, min_samples=2, distance_metric="euclidean"
+    )
+    assert labels[0] == labels[1] != -1  # distance exactly 5
+    assert labels[2] == -1
+
+    with pytest.raises(ValueError, match="metric"):
+        dbscan_labels(lat, lon, eps_m=5.0, distance_metric="chebyshev")
+
+
+def test_cluster_stops_euclidean(spark):
+    med = spark.createDataFrame(
+        [
+            ("u", 0, 0.0, 0.0, 0, 1),
+            ("u", 1, 3.0, 4.0, 2, 3),
+            ("u", 2, 100.0, 100.0, 4, 5),
+        ],
+        "uid string, stop_events long, latitude double, longitude double, "
+        "start_timestamp long, end_timestamp long",
+    )
+    out = {
+        r.stop_events: r.stop_locations
+        for r in cluster_stops_dbscan(
+            med, r2=5.0, distance_metric="euclidean"
+        ).collect()
+    }
+    assert out[0] == out[1] != -1
+    assert out[2] == -1
