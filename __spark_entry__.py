@@ -2190,10 +2190,25 @@ def d4(spark, sf_dir):
 
 @_q("d5_embedding_neardup")  # LSH bucketing — rows-only check
 def d5(spark, sf_dir):
+    """Plants near-duplicates (ids < 40 cloned at +1_000_000 with a
+    small first-component perturbation, cosine ≈ 0.9999) so the
+    rows-only check sees the LSH path actually recover pairs — the
+    synthetic corpus has no natural cosine-0.95 neighbors, which made
+    the round-2 run return 0 rows (a vacuous signal)."""
     from polaroam_spark.operators.dedup import embedding_neardup_pairs
 
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        emb.unionByName(planted),
         cosine_threshold=0.95,
         num_planes=6,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
