@@ -2215,6 +2215,69 @@ def d5(spark, sf_dir):
 
 
 @_q(
+    "d6_near_dedup_survivors",
+    """WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup_pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup_pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl
+  FROM edges e JOIN reach r ON e.dst = r.node
+),
+rep AS (SELECT node, min(lbl) AS representative FROM reach GROUP BY node),
+losers AS (SELECT node FROM rep WHERE node != representative)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d
+LEFT JOIN losers l ON d.doc_id = l.node
+WHERE l.node IS NULL""",
+)
+def d6(spark, sf_dir):
+    """Composed corpus dedup — pairs → transitive closure → survivors
+    — with the n-gram Jaccard generator so the ENTIRE pipeline incl.
+    the connected-components closure is SQL-checkable (the oracle
+    computes the closure with a recursive CTE over reachable labels).
+    """
+    from polaroam_spark.operators.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(
+        _t(spark, sf_dir, "documents"),
+        method="ngram",
+        transitive=True,
+        n=3,
+        threshold=0.5,
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@_q(
     "n1_cosine_topk",
     """WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -2890,7 +2953,7 @@ _PRIORITY = [
     "w4_detect_stops",
     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-    "k4_duplicate_components",
+    "d6_near_dedup_survivors", "k4_duplicate_components",
     "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",

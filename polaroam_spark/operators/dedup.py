@@ -188,6 +188,52 @@ def dedup_minhash_lsh(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def near_dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    transitive: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """End-to-end corpus near-deduplication: candidate pairs →
+    transitive closure → survivors. This is the composed operation a
+    training-data pipeline actually runs — one canonical document
+    (the component's smallest id) survives per duplicate CLUSTER, so
+    a~b, b~c collapses {a,b,c} to {a} even when a and c were never a
+    candidate pair.
+
+    ``method`` picks the pair generator: ``minhash`` (probabilistic,
+    the 100 TB path) or ``ngram`` (exact n-gram Jaccard — fully
+    SQL-expressible, so the whole pipeline including the closure is
+    oracle-checkable). Extra kwargs flow to the generator.
+
+    ``transitive=False`` degrades to the greedy one-pass rule (drop
+    any doc with a verified smaller-id duplicate) — cheaper (no
+    iteration) but chain-sensitive: with pairs (a,c),(b,c) only, the
+    greedy rule keeps both a and b; the closure collapses to a.
+
+    Scale shape: pair generation is bucket-keyed (see module
+    docstring), the closure shuffles (node, label) pairs per
+    iteration, and the final step is a left-anti join of the corpus
+    against the loser-id set — document bodies are never shuffled.
+    """
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(docs, text_col, id_col, **kwargs)
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(docs, text_col, id_col, **kwargs)
+    else:
+        raise ValueError(f"Unsupported near-dedup method: {method}")
+    if not transitive:
+        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        return docs.join(losers, on=id_col, how="left_anti")
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("representative")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -186,3 +186,67 @@ def test_ngram_jaccard_max_gram_df(spark):
     }
     assert (0, 1) in pairs
     assert all(a == 0 and b == 1 for (a, b) in pairs)
+
+
+def test_near_dedup_corpus_transitive_vs_greedy(spark):
+    """Shared-neighbor chain: a~c and b~c but a!~b. The greedy rule
+    keeps both a and b (only c has a smaller-id duplicate); the
+    transitive closure collapses the whole component to min-id a."""
+    from polaroam_spark.operators.dedup import near_dedup_corpus
+
+    a = BASE
+    c = BASE.replace("afternoon", "morning")  # 1 word from a
+    b = c.replace("quick", "slow")  # 1 word from c, 2 from a
+    docs = spark.createDataFrame(
+        [(10, a), (11, b), (12, c),
+         (13, "entirely unrelated text about columnar shuffle plans "
+              "and adaptive execution in distributed query engines")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    assert pairs == {(10, 12), (11, 12)}
+
+    greedy = {
+        r.doc_id
+        for r in near_dedup_corpus(
+            docs, method="ngram", transitive=False, n=3, threshold=0.7
+        ).collect()
+    }
+    assert greedy == {10, 11, 13}
+
+    closed = {
+        r.doc_id
+        for r in near_dedup_corpus(
+            docs, method="ngram", transitive=True, n=3, threshold=0.7
+        ).collect()
+    }
+    assert closed == {10, 13}
+
+
+def test_near_dedup_corpus_minhash_path(docs):
+    """The production MinHash path drops the planted dup cluster
+    {0,1,2,3} down to its min id."""
+    from polaroam_spark.operators.dedup import near_dedup_corpus
+
+    kept = {
+        r.doc_id
+        for r in near_dedup_corpus(
+            docs,
+            method="minhash",
+            shingle_k=3,
+            num_hashes=16,
+            bands=8,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert kept == {0, 4, 5}
+
+
+def test_near_dedup_corpus_bad_method(docs):
+    from polaroam_spark.operators.dedup import near_dedup_corpus
+
+    with pytest.raises(ValueError, match="method"):
+        near_dedup_corpus(docs, method="levenshtein")
