@@ -102,12 +102,14 @@ _STOPS_CTE = (
     _PINGS_CTE
     + """,
 led AS (
+  -- windows get unique names (w_led/w_edge): DuckDB's WITH RECURSIVE
+  -- parser scopes named windows per-statement, not per-SELECT
   SELECT uid, latitude, longitude, timestamp, ping_id,
-         lead(latitude)  OVER w AS nlat,
-         lead(longitude) OVER w AS nlon,
-         lead(timestamp) OVER w AS nts
+         lead(latitude)  OVER w_led AS nlat,
+         lead(longitude) OVER w_led AS nlon,
+         lead(timestamp) OVER w_led AS nts
   FROM pings
-  WINDOW w AS (PARTITION BY uid ORDER BY timestamp, ping_id)
+  WINDOW w_led AS (PARTITION BY uid ORDER BY timestamp, ping_id)
 ),
 dist AS (
   SELECT *, """
@@ -121,9 +123,9 @@ stat AS (
   FROM dist
 ),
 edges AS (
-  SELECT *, stationary AND NOT COALESCE(lag(stationary) OVER w, FALSE) AS rising
+  SELECT *, stationary AND NOT COALESCE(lag(stationary) OVER w_edge, FALSE) AS rising
   FROM stat
-  WINDOW w AS (PARTITION BY uid ORDER BY timestamp, ping_id)
+  WINDOW w_edge AS (PARTITION BY uid ORDER BY timestamp, ping_id)
 ),
 runs AS (
   SELECT *, CASE WHEN stationary THEN
@@ -1833,21 +1835,111 @@ def c1(spark, sf_dir):
     )
 
 
-@_q("c3_dbscan_per_user")  # UDF clustering — rows-only check
+# DBSCAN oracles: with min_samples=2 every non-noise point is core, so
+# DBSCAN clusters are EXACTLY the connected components of the ε-graph
+# (property-tested in tests/test_clustering.py). Cluster ids themselves
+# are arbitrary (scan-order on the Spark side), so the registered
+# queries emit a label-permutation-invariant view: each point's
+# component representative = min row_number within its cluster. DuckDB
+# computes the same representative via a recursive-CTE reachability
+# closure over the ε-pairs — upgrading the whole DBSCAN family from
+# rows-only to hash-checked.
+
+
+def _dbscan_cc_cte(uid_where: str = "TRUE", eps: float = 25.0) -> str:
+    """Recursive connected-components closure over the ε-graph of the
+    distinct stop-median coordinates (DuckDB twin of the DBSCAN
+    min_samples=2 semantics). Exposes ``dcells`` (uid, lat, lon, pid)
+    and ``drep`` (uid, node, rep = min pid of its component)."""
+    return (
+        _STOPS_CTE.strip()
+        + f""",
+dcoords AS (
+  SELECT DISTINCT uid, latitude, longitude FROM medians
+  WHERE {uid_where}
+),
+dcells AS (
+  SELECT uid, latitude, longitude,
+         row_number() OVER (PARTITION BY uid
+                            ORDER BY latitude, longitude) AS pid
+  FROM dcoords
+),
+dpairs AS (
+  SELECT a.uid, a.pid AS pa, b.pid AS pb
+  FROM dcells a JOIN dcells b ON a.uid = b.uid AND a.pid < b.pid
+  WHERE """
+        + _hav_sql("a.latitude", "a.longitude", "b.latitude", "b.longitude")
+        + f""" <= {eps}
+),
+dedges AS (
+  SELECT uid, pa AS src, pb AS dst FROM dpairs
+  UNION
+  SELECT uid, pb AS src, pa AS dst FROM dpairs
+),
+dreach AS (
+  SELECT uid, src AS node, src AS lbl FROM dedges
+  UNION
+  SELECT e.uid, e.src AS node, r.lbl
+  FROM dedges e JOIN dreach r ON e.uid = r.uid AND e.dst = r.node
+),
+drep AS (SELECT uid, node, min(lbl) AS rep FROM dreach GROUP BY uid, node)
+"""
+    )
+
+
+def _dbscan_canonical_cells(labeled: DataFrame) -> DataFrame:
+    """Per distinct coordinate: deterministic pid + the canonical
+    cluster representative (min pid in the DBSCAN cluster, -1 noise)."""
+    coords = labeled.select(
+        "uid", "latitude", "longitude", "stop_locations"
+    ).dropDuplicates(["uid", "latitude", "longitude"])
+    cells = coords.withColumn(
+        "pid",
+        F.row_number()
+        .over(Window.partitionBy("uid").orderBy("latitude", "longitude"))
+        .cast("long"),
+    )
+    rep = (
+        F.when(F.col("stop_locations") == -1, F.lit(-1))
+        .otherwise(
+            F.min("pid").over(Window.partitionBy("uid", "stop_locations"))
+        )
+        .cast("long")
+    )
+    return cells.withColumn("stop_location_rep", rep)
+
+
+_DBSCAN_CELLS_SELECT = """
+SELECT c.uid, c.pid, round(c.latitude, 6) AS latitude,
+       round(c.longitude, 6) AS longitude,
+       COALESCE(r.rep, CAST(-1 AS BIGINT)) AS stop_location_rep
+FROM dcells c LEFT JOIN drep r ON c.uid = r.uid AND c.pid = r.node"""
+
+
+@_q(
+    "c3_dbscan_per_user",
+    "WITH RECURSIVE " + _dbscan_cc_cte() + _DBSCAN_CELLS_SELECT,
+)
 def c3(spark, sf_dir):
     from polaroam_spark.operators.clustering import cluster_stops_dbscan
 
     med = _medians_df(spark, sf_dir)
-    return cluster_stops_dbscan(med, r2=25.0, min_samples=2).select(
+    labeled = cluster_stops_dbscan(med, r2=25.0, min_samples=2)
+    return _dbscan_canonical_cells(labeled).select(
         "uid",
-        "stop_events",
+        "pid",
         F.round("latitude", 6).alias("latitude"),
         F.round("longitude", 6).alias("longitude"),
-        "stop_locations",
+        "stop_location_rep",
     )
 
 
-@_q("c3b_dbscan_distributed")  # scale-path clustering — rows-only check
+@_q(
+    "c3b_dbscan_distributed",
+    "WITH RECURSIVE "
+    + _dbscan_cc_cte(uid_where="CAST(uid AS BIGINT) % 10 = 0")
+    + _DBSCAN_CELLS_SELECT,
+)
 def c3b(spark, sf_dir):
     from polaroam_spark.operators.clustering import (
         cluster_stops_dbscan_distributed,
@@ -1859,12 +1951,13 @@ def c3b(spark, sf_dir):
     med = _medians_df(spark, sf_dir).filter(
         F.col("uid").cast("long") % 10 == 0
     )
-    return cluster_stops_dbscan_distributed(med, r2=25.0).select(
+    labeled = cluster_stops_dbscan_distributed(med, r2=25.0)
+    return _dbscan_canonical_cells(labeled).select(
         "uid",
-        "stop_events",
+        "pid",
         F.round("latitude", 6).alias("latitude"),
         F.round("longitude", 6).alias("longitude"),
-        "stop_locations",
+        "stop_location_rep",
     )
 
 
@@ -2066,7 +2159,31 @@ def m1(spark, sf_dir):
     )
 
 
-@_q("m4_compute_dbscan")  # UDF clustering + medoids — rows-only check
+@_q(
+    "m4_compute_dbscan",
+    "WITH RECURSIVE "
+    + _dbscan_cc_cte()
+    + """,
+dmember AS (
+  SELECT m.uid, m.stop_events, m.latitude, m.longitude,
+         COALESCE(r.rep, CAST(-1 AS BIGINT)) AS rep
+  FROM medians m
+  JOIN dcells c ON m.uid = c.uid AND m.latitude = c.latitude
+               AND m.longitude = c.longitude
+  LEFT JOIN drep r ON c.uid = r.uid AND c.pid = r.node
+),
+dstats AS (
+  SELECT uid, rep,
+         CASE WHEN rep = -1 THEN CAST(1 AS BIGINT) ELSE count(*) END
+           AS cluster_counts,
+         round(median(latitude), 6) AS cluster_latitude,
+         round(median(longitude), 6) AS cluster_longitude
+  FROM dmember GROUP BY uid, rep
+)
+SELECT mem.uid, mem.stop_events, mem.rep AS stop_location_rep,
+       s.cluster_counts, s.cluster_latitude, s.cluster_longitude
+FROM dmember mem JOIN dstats s ON mem.uid = s.uid AND mem.rep = s.rep""",
+)
 def m4(spark, sf_dir):
     from polaroam_spark.operators.clustering import (
         attach_medoids,
@@ -2074,11 +2191,17 @@ def m4(spark, sf_dir):
     )
 
     med = _medians_df(spark, sf_dir)
-    out = attach_medoids(cluster_stops_dbscan(med, r2=25.0))
+    labeled = cluster_stops_dbscan(med, r2=25.0)
+    cells = _dbscan_canonical_cells(labeled)
+    out = attach_medoids(labeled).join(
+        cells.select("uid", "latitude", "longitude", "stop_location_rep"),
+        on=["uid", "latitude", "longitude"],
+        how="left",
+    )
     return out.select(
         "uid",
         "stop_events",
-        "stop_locations",
+        "stop_location_rep",
         "cluster_counts",
         F.round("cluster_latitude", 6).alias("cluster_latitude"),
         F.round("cluster_longitude", 6).alias("cluster_longitude"),
@@ -2134,12 +2257,72 @@ def d1(spark, sf_dir):
     return dedup_exact(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
-@_q("d2_minhash_lsh_pairs")  # LSH banding — rows-only check
+# d2's oracle replicates the ENTIRE MinHash-LSH pipeline in DuckDB —
+# shingles → 16 portable minhashes → 4 band buckets → band self-join →
+# exact-Jaccard verify — using the md5-folded portable_hash64 both
+# engines compute identically (functions/text.py:51). The registered
+# query runs with portable=True; production keeps the xxhash64 default.
+@_q(
+    "d2_minhash_lsh_pairs",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS sh_list
+    FROM toks), unnest(sh_list) AS u(sh)
+),
+minhashes AS (
+  SELECT s.doc_id, seeds.s AS seed,
+         min(CAST(('0x' || substr(md5(seeds.s || ':' || s.sh), 1, 15))
+             AS BIGINT)) AS mh
+  FROM shingles s, (SELECT unnest(range(16)) AS s) seeds
+  GROUP BY s.doc_id, seeds.s
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minhashes
+  GROUP BY doc_id
+),
+bandkeys AS (
+  SELECT doc_id, bb.b AS band,
+         CAST(('0x' || substr(md5(bb.b || ':' ||
+           array_to_string(sig[bb.b * 4 + 1 : bb.b * 4 + 4], ',')),
+           1, 15)) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ssize AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(COALESCE(i.shared, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.shared, 0) AS DOUBLE), 6)
+         AS jaccard_sim
+FROM cand c
+LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN ssize sa ON c.id_a = sa.doc_id
+JOIN ssize sb ON c.id_b = sb.doc_id
+WHERE COALESCE(i.shared, 0)
+      / CAST(sa.n + sb.n - COALESCE(i.shared, 0) AS DOUBLE) >= 0.8""",
+)
 def d2(spark, sf_dir):
     from polaroam_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8, portable=True
     ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 

@@ -69,6 +69,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -98,7 +99,11 @@ def minhash_lsh_pairs(
             word_shingles(tokens(text_col), shingle_k)
         ).alias("_shingles"),
     ).withColumn(
-        "_sig", minhash_signature("_shingles", num_hashes)
+        "_sig",
+        # portable=True swaps the signature hash from xxhash64 to the
+        # md5-folded portable_hash64 a DuckDB oracle can reproduce
+        # bit-for-bit (band buckets already use the portable hash)
+        minhash_signature("_shingles", num_hashes, portable=portable),
     )
     # persist is load-bearing: the signature arrays are referenced on
     # BOTH sides of the band self-join and both verification joins;
