@@ -2326,13 +2326,56 @@ def d2(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-@_q("d3_simhash_pairs")  # rows-only check
+# d3's oracle replicates the SimHash pipeline — per-token portable
+# hash → 32 sign-sum bits → 4 pigeonhole chunks → chunk self-join →
+# bit_count(xor) verify — entirely in integer arithmetic, so the twin
+# is exact (portable=True swaps xxhash64 for the md5-folded hash).
+@_q(
+    "d3_simhash_pairs",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('7:' || tok), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bb.b AS bit,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS contrib
+  FROM hashed, (SELECT unnest(range(32)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN contrib > 0
+                       THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunked AS (
+  SELECT doc_id, simhash, cc.c AS chunk,
+         (simhash >> (cc.c * 8)) & 255 AS val
+  FROM fp, (SELECT unnest(range(4)) AS c) cc
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS fa, b.simhash AS fb
+  FROM chunked a JOIN chunked b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 2""",
+)
 def d3(spark, sf_dir):
     from polaroam_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=2
-    ).select("id_a", "id_b", "hamming")
+        _t(spark, sf_dir, "documents"), max_hamming=2, portable=True
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @_q(
@@ -2868,7 +2911,51 @@ def k3(spark, sf_dir):
     )
 
 
-@_q("k4_duplicate_components")  # iterative CC — rows-only check
+# k4's oracle: the d6 recursive-closure pattern, but emitting the
+# (node, representative) component map itself instead of survivors —
+# the iterative min-label propagation is hash-checked end-to-end.
+@_q(
+    "k4_duplicate_components",
+    r"""WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup_pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup_pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl
+  FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, min(lbl) AS representative
+FROM reach GROUP BY node""",
+)
 def k4(spark, sf_dir):
     from polaroam_spark.operators.dedup import (
         duplicate_components,

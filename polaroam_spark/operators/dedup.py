@@ -317,6 +317,7 @@ def simhash_fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash fingerprint per document: sign-sum of per-token hash
     bits. For each bit b, count tokens whose hash has bit b set vs
@@ -324,11 +325,23 @@ def simhash_fingerprint(
     from explode + groupBy-sum (two narrow shuffles keyed by doc id)
     rather than per-row loops, so it is pure codegen.
     Output: ``doc_id, simhash`` (long).
+
+    ``portable=True`` swaps the token hash from xxhash64 to the
+    md5-folded :func:`~polaroam_spark.functions.text.portable_hash64`
+    (seed 7) so a DuckDB oracle can reproduce the fingerprint
+    bit-for-bit; xxhash64 stays the production default.
     """
+    from polaroam_spark.functions.text import portable_hash64
+
     tok = docs.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok", F.lit(7)))
+    ).withColumn(
+        "_h",
+        portable_hash64("_tok", 7)
+        if portable
+        else F.xxhash64("_tok", F.lit(7)),
+    )
     bit_contrib = [
         F.sum(
             F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -354,6 +367,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket_size: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one
     of ``chunks`` fingerprint chunks (pigeonhole: any pair within
@@ -370,7 +384,7 @@ def simhash_pairs(
     collapse through the representative via
     :func:`duplicate_components`.
     """
-    fp = simhash_fingerprint(docs, text_col, id_col, bits)
+    fp = simhash_fingerprint(docs, text_col, id_col, bits, portable=portable)
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     chunked = fp.select(
