@@ -2414,11 +2414,61 @@ def d4(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-@_q("d5_embedding_neardup")  # LSH bucketing — rows-only check
+# d5's oracle replicates the full embedding-LSH pipeline: the planted
+# union, the 6 quantized sign-plane dots (weights are
+# round(sin(p*7919 + d*104729), 6) — exact across engines, see
+# similarity._plane_component), the bucket self-join, and the exact
+# cosine verify. Fold order matches Spark's left-to-right aggregate
+# (list_reduce with 0.0-seeded first element).
+@_q(
+    "d5_embedding_neardup",
+    """WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([v[1] + 0.01], v[2:len(v)]) AS v
+  FROM base WHERE vec_id < 40
+),
+alls AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+dots AS (
+  SELECT vec_id, v, pp.p AS plane,
+         list_reduce(
+           [v[d + 1] * round(sin(pp.p * 7919.0 + d * 104729.0), 6)
+            for d in range(0, len(v))],
+           (a, b) -> a + b) AS dot
+  FROM alls, (SELECT unnest(range(6)) AS p) pp
+),
+buckets AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN dot >= 0 THEN power(2.0, plane)
+                       ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_reduce([va[i] * vb[i] for i in range(1, len(va) + 1)],
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce([va[i] * va[i]
+                              for i in range(1, len(va) + 1)],
+                             (a, b) -> a + b))
+            * sqrt(list_reduce([vb[i] * vb[i]
+                                for i in range(1, len(vb) + 1)],
+                               (a, b) -> a + b))) AS cosine
+  FROM cand
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= 0.95""",
+)
 def d5(spark, sf_dir):
     """Plants near-duplicates (ids < 40 cloned at +1_000_000 with a
     small first-component perturbation, cosine ≈ 0.9999) so the
-    rows-only check sees the LSH path actually recover pairs — the
+    check sees the LSH path actually recover pairs — the
     synthetic corpus has no natural cosine-0.95 neighbors, which made
     the round-2 run return 0 rows (a vacuous signal)."""
     from polaroam_spark.operators.dedup import embedding_neardup_pairs
