@@ -1985,12 +1985,108 @@ def c4(spark, sf_dir):
     )
 
 
-@_q("c5_convex_hull")  # geometric UDF — rows-only check
+# c5's oracle checks the monotone-chain hull against a declarative
+# twin: a directed pair (a,b) is a hull edge of the STRICT hull iff
+# every other point is strictly left of a->b, or collinear and between
+# a and b; vertices are walked CCW from the lexicographic-min point by
+# a recursive CTE following the unique outgoing edge. The registered
+# query integerizes the coordinates first ((lat-10)*1e5 is an exact
+# small integer for this trajectory grid), so every cross product is
+# EXACT in double on both engines — no float-orientation robustness
+# gap between the chain and the edge test. Degenerate users (<3 hull
+# vertices: <=2 distinct points or all collinear) fall back to the
+# same padded bounding square as the operator (pad=1 keeps integers).
+@_q(
+    "c5_convex_hull",
+    "WITH RECURSIVE "
+    + _STOPS_CTE.strip()
+    + """,
+hpts AS (
+  SELECT DISTINCT uid,
+         round((latitude - 10.0) * 100000.0, 0) AS lat,
+         round((longitude - 20.0) * 100000.0, 0) AS lon
+  FROM medians
+),
+hedges AS (
+  SELECT a.uid, a.lat AS a_lat, a.lon AS a_lon,
+         b.lat AS b_lat, b.lon AS b_lon
+  FROM hpts a JOIN hpts b
+    ON a.uid = b.uid AND (a.lat != b.lat OR a.lon != b.lon)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hpts c
+    WHERE c.uid = a.uid
+      AND NOT (c.lat = a.lat AND c.lon = a.lon)
+      AND NOT (c.lat = b.lat AND c.lon = b.lon)
+      AND NOT (
+        (b.lat - a.lat) * (c.lon - a.lon)
+          - (b.lon - a.lon) * (c.lat - a.lat) > 0
+        OR (
+          (b.lat - a.lat) * (c.lon - a.lon)
+            - (b.lon - a.lon) * (c.lat - a.lat) = 0
+          AND c.lat BETWEEN least(a.lat, b.lat) AND greatest(a.lat, b.lat)
+          AND c.lon BETWEEN least(a.lon, b.lon) AND greatest(a.lon, b.lon)
+        )
+      )
+  )
+),
+hverts AS (SELECT DISTINCT uid, a_lat AS lat, a_lon AS lon FROM hedges),
+hnv AS (SELECT uid, count(*) AS n FROM hverts GROUP BY uid),
+hstart AS (
+  SELECT uid, lat, lon FROM (
+    SELECT uid, lat, lon,
+           row_number() OVER (PARTITION BY uid ORDER BY lat, lon) AS rn
+    FROM hverts) WHERE rn = 1
+),
+hwalk AS (
+  SELECT e.uid, e.a_lat AS lat, e.a_lon AS lon,
+         e.b_lat, e.b_lon, 0 AS ord
+  FROM hedges e
+  JOIN hnv nv ON nv.uid = e.uid AND nv.n >= 3
+  JOIN hstart s ON e.uid = s.uid AND e.a_lat = s.lat AND e.a_lon = s.lon
+  UNION ALL
+  SELECT w.uid, w.b_lat, w.b_lon, e.b_lat, e.b_lon, w.ord + 1
+  FROM hwalk w
+  JOIN hedges e ON e.uid = w.uid AND e.a_lat = w.b_lat
+               AND e.a_lon = w.b_lon
+  JOIN hnv nv ON nv.uid = w.uid
+  WHERE w.ord + 1 < nv.n
+),
+hdeg AS (
+  SELECT p.uid,
+         min(p.lat) AS lat_min, max(p.lat) AS lat_max,
+         min(p.lon) AS lon_min, max(p.lon) AS lon_max
+  FROM hpts p
+  LEFT JOIN hnv nv ON nv.uid = p.uid
+  WHERE COALESCE(nv.n, 0) < 3
+  GROUP BY p.uid
+),
+hsquare AS (
+  SELECT d.uid, v.ord,
+         CASE v.ord WHEN 0 THEN d.lat_min - 1.0 WHEN 1 THEN d.lat_min - 1.0
+                    WHEN 2 THEN d.lat_max + 1.0 ELSE d.lat_max + 1.0 END
+           AS lat,
+         CASE v.ord WHEN 0 THEN d.lon_min - 1.0 WHEN 1 THEN d.lon_max + 1.0
+                    WHEN 2 THEN d.lon_max + 1.0 ELSE d.lon_min - 1.0 END
+           AS lon
+  FROM hdeg d, (SELECT unnest(range(4)) AS ord) v
+)
+SELECT uid, CAST(ord AS BIGINT) AS vertex_order,
+       round(lat, 6) AS latitude, round(lon, 6) AS longitude
+FROM (SELECT uid, ord, lat, lon FROM hwalk
+      UNION ALL SELECT uid, ord, lat, lon FROM hsquare)""",
+)
 def c5(spark, sf_dir):
     from polaroam_spark.operators.clustering import convex_hull
 
     med = _medians_df(spark, sf_dir)
-    return convex_hull(med).select(
+    ints = med.select(
+        "uid",
+        F.round((F.col("latitude") - 10.0) * 100000.0, 0).alias("latitude"),
+        F.round((F.col("longitude") - 20.0) * 100000.0, 0).alias(
+            "longitude"
+        ),
+    )
+    return convex_hull(ints, square_padding_deg=1.0).select(
         "uid",
         "vertex_order",
         F.round("latitude", 6).alias("latitude"),
@@ -3018,7 +3114,32 @@ def k4(spark, sf_dir):
     return duplicate_components(pairs)
 
 
-@_q("mm1_media_features")  # mapInPandas plumbing — rows-only check
+# mm1's oracle recomputes the deterministic-fake-decode byte stats in
+# SQL. The synthetic documents are pure ASCII (verified: max codepoint
+# 121), so utf-8 bytes == codepoints and a per-character explode
+# reproduces the byte histogram; mean/entropy agree with numpy's
+# pairwise sums to ~1e-13, far inside the 6-decimal rounding.
+@_q(
+    "mm1_media_features",
+    """WITH docs AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 100
+),
+chars AS (
+  SELECT media_id, unicode(c) AS byte
+  FROM (SELECT media_id, unnest(split(text, '')) AS c FROM docs)
+),
+hist AS (
+  SELECT media_id, byte, count(*) AS c FROM chars GROUP BY media_id, byte
+),
+tot AS (SELECT media_id, sum(c) AS n FROM hist GROUP BY media_id)
+SELECT h.media_id,
+       CAST(t.n AS BIGINT) AS n_bytes,
+       round(sum(h.c * h.byte) / CAST(t.n AS DOUBLE), 6) AS byte_mean,
+       round(-sum((h.c / CAST(t.n AS DOUBLE))
+                  * log2(h.c / CAST(t.n AS DOUBLE))), 6) AS byte_entropy
+FROM hist h JOIN tot t ON h.media_id = t.media_id
+GROUP BY h.media_id, t.n""",
+)
 def mm1(spark, sf_dir):
     from polaroam_spark.operators.multimodal import (
         attach_media_meta,
