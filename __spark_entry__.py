@@ -2512,10 +2512,10 @@ def d4(spark, sf_dir):
 
 # d5's oracle replicates the full embedding-LSH pipeline: the planted
 # union, the 6 quantized sign-plane dots (weights are
-# round(sin(p*7919 + d*104729), 6) — exact across engines, see
-# similarity._plane_component), the bucket self-join, and the exact
-# cosine verify. Fold order matches Spark's left-to-right aggregate
-# (list_reduce with 0.0-seeded first element).
+# floor(sin(p*7919 + d*104729)*1e6 + 0.5)/1e6 — exact across engines,
+# see similarity._plane_component), the bucket self-join, and the
+# exact cosine verify. Fold order matches Spark's left-to-right
+# aggregate (list_reduce with 0.0-seeded first element).
 @_q(
     "d5_embedding_neardup",
     """WITH base AS (
@@ -2530,7 +2530,8 @@ alls AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
 dots AS (
   SELECT vec_id, v, pp.p AS plane,
          list_reduce(
-           [v[d + 1] * round(sin(pp.p * 7919.0 + d * 104729.0), 6)
+           [v[d + 1] * (floor(sin(pp.p * 7919.0 + d * 104729.0)
+                              * 1000000.0 + 0.5) / 1000000.0)
             for d in range(0, len(v))],
            (a, b) -> a + b) AS dot
   FROM alls, (SELECT unnest(range(6)) AS p) pp

@@ -28,17 +28,20 @@ from polaroam_spark.functions.vectors import cosine_similarity
 
 def _plane_component(p: int | Column, d: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    round(sin(p * 7919 + d * 104729), 6). The 6-decimal quantization
-    costs nothing as a hyperplane (any fixed pseudo-random direction
-    works) but pins the weights to values every engine's libm agrees
-    on bit-for-bit — JVM sin() differs from C libm by 1 ulp on these
-    arguments, and an unquantized weight could flip a sign bucket in
-    a cross-engine oracle; no sin value here sits within 1e-10 of a
-    rounding boundary (measured for p<8, d<256)."""
+    sin(p * 7919 + d * 104729) quantized to 6 decimals via
+    floor(x*1e6 + 0.5)/1e6. The quantization costs nothing as a
+    hyperplane (any fixed pseudo-random direction works) but pins the
+    weights to values every engine agrees on bit-for-bit — JVM sin()
+    differs from C libm by 1 ulp on these arguments, and an
+    unquantized weight could flip a sign bucket in a cross-engine
+    oracle; no sin value here sits within 1e-10 of a quantization
+    boundary (measured for p<8, d<256), so the 1-ulp input wobble
+    never changes the floor. floor-based quantization, NOT F.round:
+    Spark's round() on doubles detours through BigDecimal and
+    measurably doubled the ANN hot path (2.6 s vs 1.4 s at sf0.1)."""
     p = F.lit(p) if isinstance(p, int) else p
-    return F.round(
-        F.sin(p * F.lit(7919.0) + d.cast("double") * F.lit(104729.0)), 6
-    )
+    raw = F.sin(p * F.lit(7919.0) + d.cast("double") * F.lit(104729.0))
+    return F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def _plane_dots(v: Column, num_planes: int) -> Column:

@@ -20,6 +20,11 @@ SUBSET = [
     "m6_detect_home",
     "w8_compute_intervals",
     "d1_dedup_exact",
+    # round-3 upgrades: formerly rows-only paths now hash-checked
+    "c3_dbscan_per_user",
+    "c5_convex_hull",
+    "d3_simhash_pairs",
+    "k4_duplicate_components",
     "n1_cosine_topk",
     "t1_token_count",
     "f14_iso_weekday",
