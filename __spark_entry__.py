@@ -3164,6 +3164,135 @@ def mm1(spark, sf_dir):
     )
 
 
+# Streaming stop detection, hash-checked against a batch SQL twin.
+# The source is written as ONE parquet file, so availableNow runs a
+# single micro-batch: every stop closed by a later ping is emitted,
+# no event-time timeout fires, and each uid's final (still-open) run
+# stays in state — the oracle replays the same sessionization as
+# gaps-and-islands SQL and excludes each uid's last run. Streaming
+# semantics differ from batch detect_stops by design (documented in
+# streaming/sessionize.py): runs break on the previous-ping distance,
+# counts include every ping of the run, the centroid is the running
+# MEAN, and the stop id is the run's start epoch.
+_ST1_SEQ = [0]
+
+
+@_q(
+    "st1_streaming_stops",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + """,
+seq AS (
+  SELECT uid, latitude, longitude, timestamp, ping_id,
+         lag(latitude)  OVER w_seq AS plat,
+         lag(longitude) OVER w_seq AS plon,
+         lag(timestamp) OVER w_seq AS pts
+  FROM pings
+  WINDOW w_seq AS (PARTITION BY uid ORDER BY timestamp, ping_id)
+),
+brk AS (
+  SELECT *, CASE WHEN pts IS NULL THEN 1
+                 WHEN """
+    + _hav_sql("plat", "plon", "latitude", "longitude")
+    + """ > 60.0
+                   OR timestamp - pts > 86400 THEN 1
+                 ELSE 0 END AS brk
+  FROM seq
+),
+sruns AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY uid
+              ORDER BY timestamp, ping_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_id
+  FROM brk
+),
+sstats AS (
+  -- left-fold in replay order, not sum(): the operator accumulates
+  -- the centroid sequentially in Python floats, and an unordered sum
+  -- can land 1 ulp away — enough to flip a 6-decimal rounding when
+  -- the mean sits exactly on a boundary (grid data makes that real)
+  SELECT uid, run_id, count(*) AS n_pings,
+         min(timestamp) AS start_timestamp,
+         max(timestamp) AS end_timestamp,
+         list_reduce(list(latitude ORDER BY timestamp, ping_id),
+                     (a, b) -> a + b) AS lat_sum,
+         list_reduce(list(longitude ORDER BY timestamp, ping_id),
+                     (a, b) -> a + b) AS lon_sum
+  FROM sruns GROUP BY uid, run_id
+),
+slast AS (SELECT uid, max(run_id) AS last_id FROM sstats GROUP BY uid)
+SELECT s.uid, s.start_timestamp AS stop_event,
+       floor((s.lat_sum / s.n_pings) * 1000000.0 + 0.5) / 1000000.0
+         AS latitude,
+       floor((s.lon_sum / s.n_pings) * 1000000.0 + 0.5) / 1000000.0
+         AS longitude,
+       s.start_timestamp, s.end_timestamp,
+       CAST(s.n_pings AS BIGINT) AS n_pings
+FROM sstats s JOIN slast l ON s.uid = l.uid
+WHERE s.run_id < l.last_id
+  AND s.n_pings >= 2
+  AND s.end_timestamp - s.start_timestamp >= 300""",
+)
+def st1(spark, sf_dir):
+    import os
+
+    from polaroam_spark.streaming import streaming_stop_detection
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_pings.parquet")
+    pings = _pings(spark, sf_dir).withColumn(
+        "event_ts", F.timestamp_seconds("timestamp")
+    )
+    # one file -> one availableNow micro-batch (see oracle note above)
+    pings.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(pings.schema).parquet(src)
+    # watermark delay longer than the dataset's time span: the
+    # availableNow commit batch advances the watermark, which would
+    # fire event-time timeouts for long-idle uids and flush their
+    # open runs — emissions would then depend on Spark's timer
+    # mechanics instead of the data. With no timeouts possible, the
+    # emitted set is exactly "runs closed by a later ping".
+    stops = streaming_stop_detection(
+        stream,
+        r1=60.0,
+        min_size=2,
+        min_staying_time=300,
+        max_time_between=86400,
+        watermark_delay="3650 days",
+        tiebreaker="ping_id",
+    )
+    _ST1_SEQ[0] += 1
+    qname = f"st1_stops_sink_{_ST1_SEQ[0]}"
+    q = (
+        stops.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # floor-quantize, not F.round: the running means land EXACTLY on
+    # 6-decimal rounding boundaries (grid step / n), where Spark's
+    # BigDecimal HALF_UP and DuckDB's decimal conversion disagree on
+    # the same double; floor(x*1e6+0.5)/1e6 over bit-identical inputs
+    # is engine-independent (same trick as similarity._plane_component)
+    quant = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+        / F.lit(1000000.0)
+    ).alias(c)
+    return spark.table(qname).select(
+        "uid",
+        "stop_event",
+        quant("latitude"),
+        quant("longitude"),
+        "start_timestamp",
+        "end_timestamp",
+        "n_pings",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3403,7 +3532,7 @@ _PRIORITY = [
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample",
-    "mm1_media_features",
+    "mm1_media_features", "st1_streaming_stops",
     "j7_asof_join", "j8_point_in_interval",
     "w1_lead", "w2_lag_fill", "w3_gated_cumsum", "w5_rolling_range_window",
     "w6_row_index", "w7_keep_first", "w8_compute_intervals",

@@ -117,6 +117,7 @@ def streaming_stop_detection(
     max_time_between: int = 86400,
     watermark_delay: str = "1 hour",
     ts_col: str = "event_ts",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """Streaming per-user stop detection.
 
@@ -181,7 +182,13 @@ def streaming_stop_detection(
                 yield pd.DataFrame(out, columns=[f.name for f in _STOP_OUTPUT.fields])
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("timestamp")
+        # stable sort + optional tiebreaker column: equal timestamps
+        # must replay in a deterministic order or the distance chain
+        # (and thus the emitted stops) depends on shuffle arrival
+        order_cols = ["timestamp"] + ([tiebreaker] if tiebreaker else [])
+        rows = pd.concat(list(pdfs)).sort_values(
+            order_cols, kind="mergesort"
+        )
         # the timeout must be anchored to the SAME clock as the
         # watermark (ts_col), not the payload epoch — the two can
         # diverge for backfilled uploads, and a timeout at/behind the
