@@ -1091,15 +1091,31 @@ def a14(spark, sf_dir):
     )
 
 
-@_q("a15_approx_distinct")  # HLL sketches differ per engine — rows-only
+# Engines implement different HLL variants, so the estimate itself
+# can't be twinned — but the tolerance CHECK can (same pattern as
+# v2_quantize_roundtrip): emit the exact count plus a boolean
+# "estimate within 5% of exact", and let the oracle compute the exact
+# count with the flag pinned TRUE. Spark's estimate is deterministic
+# for fixed data, so the flag is stable run-to-run; a sketch
+# regression (rsd misconfiguration, HLL code change) flips it and
+# fails the hash.
+@_q(
+    "a15_approx_distinct",
+    "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
+    "TRUE AS within_5pct FROM events GROUP BY event_type",
+)
 def a15(spark, sf_dir):
-    """approx_count_distinct: sketch-based distinct count. Engines
-    implement different HLL variants, so this is rows-only checked by
-    the driver; tests/test_sketches.py bounds the relative error
-    against the exact count instead."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                / F.countDistinct("user_id")
+                - 1.0
+            )
+            <= 0.05
+        ).alias("within_5pct"),
     )
 
 
@@ -3293,6 +3309,64 @@ def st1(spark, sf_dir):
     )
 
 
+# Watermarked sliding-window streaming counts, hash-checked against
+# batch SQL. Append mode emits a window only once the watermark
+# passes its end, so with a single availableNow batch the emitted set
+# is exactly "windows whose end <= max(event time) - delay" — plain
+# GROUP BY arithmetic in the twin.
+@_q(
+    "st2_streaming_counts",
+    """WITH ev AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+  FROM events
+),
+wm AS (SELECT max(s) - 1800 AS w FROM ev),
+agg AS (
+  SELECT (s // 600) * 600 AS ws, event_type, count(*) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT a.ws AS window_start_s, a.ws + 600 AS window_end_s,
+       a.event_type, a.n
+FROM agg a, wm WHERE a.ws + 600 <= wm.w""",
+)
+def st2(spark, sf_dir):
+    import os
+
+    from polaroam_spark.streaming import streaming_event_counts
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_events.parquet")
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    counts = streaming_event_counts(
+        stream,
+        window_duration="10 minutes",
+        watermark_delay="30 minutes",
+        ts_col="ts",
+        group_col="event_type",
+    )
+    _ST1_SEQ[0] += 1
+    qname = f"st2_counts_sink_{_ST1_SEQ[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        F.unix_timestamp("window_end").alias("window_end_s"),
+        "event_type",
+        "n",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3532,7 +3606,7 @@ _PRIORITY = [
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample",
-    "mm1_media_features", "st1_streaming_stops",
+    "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",
     "j7_asof_join", "j8_point_in_interval",
     "w1_lead", "w2_lag_fill", "w3_gated_cumsum", "w5_rolling_range_window",
     "w6_row_index", "w7_keep_first", "w8_compute_intervals",
