@@ -981,7 +981,11 @@ def a8(spark, sf_dir):
 
 @_q(
     "a9_grouped_udf",
-    "SELECT user_id, round((max(value) - min(value)) / count(*), 6) AS spread "
+    # floor-quantize, not round(): spreads can land exactly on a
+    # 6-decimal rounding boundary (seen at sf0.1), where Spark and
+    # DuckDB round the same double differently
+    "SELECT user_id, floor((max(value) - min(value)) / count(*) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS spread "
     "FROM events GROUP BY user_id",
 )
 def a9(spark, sf_dir):
@@ -1017,7 +1021,13 @@ def a9(spark, sf_dir):
         .select("user_id", "value")
         .groupBy("user_id")
         .applyInPandas(_spread, schema=schema)
-        .select("user_id", F.round("spread", 6).alias("spread"))
+        .select(
+            "user_id",
+            (
+                F.floor(F.col("spread") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("spread"),
+        )
     )
 
 
