@@ -3377,6 +3377,37 @@ def st2(spark, sf_dir):
     )
 
 
+# Streaming exact dedup (dropDuplicatesWithinWatermark). The kept row
+# per key is whichever arrived first — processing-order-dependent — so
+# the registered output is the KEY ONLY, which is deterministic: the
+# emitted key set equals the distinct key set.
+@_q("st3_streaming_dedup", "SELECT DISTINCT user_id FROM events")
+def st3(spark, sf_dir):
+    import os
+
+    from polaroam_spark.streaming import streaming_dedup
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_users.parquet")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    deduped = streaming_dedup(stream, key_cols=("user_id",), ts_col="ts")
+    _ST1_SEQ[0] += 1
+    qname = f"st3_dedup_sink_{_ST1_SEQ[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select("user_id")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3617,6 +3648,7 @@ _PRIORITY = [
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample",
     "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",
+    "st3_streaming_dedup",
     "j7_asof_join", "j8_point_in_interval",
     "w1_lead", "w2_lag_fill", "w3_gated_cumsum", "w5_rolling_range_window",
     "w6_row_index", "w7_keep_first", "w8_compute_intervals",
