@@ -2172,7 +2172,7 @@ def m2(spark, sf_dir):
     )
 
 
-@_q("m3_communities")  # infomap-substitute clustering — rows-only check
+@_q("m3_communities")  # iterative map-equation optimization — rows-only
 def m3(spark, sf_dir):
     from polaroam_spark.operators.clustering import cluster_communities
 
@@ -2182,6 +2182,76 @@ def m3(spark, sf_dir):
         F.round("latitude", 6).alias("latitude"),
         F.round("longitude", 6).alias("longitude"),
         "stop_labels",
+    )
+
+
+# m3's labels come from an iterative optimization no SQL twin can
+# reproduce, but its STRUCTURE is anchorable: Infomap modules must
+# refine the connected components of the same ε-graph (a module never
+# spans two components — information flow can't cross a missing
+# edge). m3b hash-checks that anchor: per uid, the component count
+# (twinned by the recursive-CTE closure) plus a per-module
+# single-component flag the oracle pins TRUE.
+@_q(
+    "m3b_communities_refine",
+    "WITH RECURSIVE "
+    + _dbscan_cc_cte()
+    + """
+SELECT c.uid,
+       CAST(count(DISTINCT r.rep)
+            + sum(CASE WHEN r.rep IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_components,
+       TRUE AS refine_ok
+FROM dcells c LEFT JOIN drep r ON c.uid = r.uid AND c.pid = r.node
+GROUP BY c.uid""",
+)
+def m3b(spark, sf_dir):
+    from polaroam_spark.operators.clustering import (
+        cluster_communities,
+        cluster_stops_dbscan,
+    )
+
+    med = _medians_df(spark, sf_dir)
+    cells = _dbscan_canonical_cells(
+        cluster_stops_dbscan(med, r2=25.0, min_samples=2)
+    )
+    comp_stats = cells.groupBy("uid").agg(
+        (
+            F.countDistinct(
+                F.when(
+                    F.col("stop_location_rep") != -1,
+                    F.col("stop_location_rep"),
+                )
+            )
+            + F.sum(
+                F.when(F.col("stop_location_rep") == -1, 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_components")
+    )
+    modules = cluster_communities(med, r2=25.0).filter(
+        F.col("stop_labels") != -1
+    )
+    per_module = (
+        modules.join(
+            cells.select(
+                "uid", "latitude", "longitude", "stop_location_rep"
+            ),
+            on=["uid", "latitude", "longitude"],
+        )
+        .groupBy("uid", "stop_labels")
+        .agg(
+            F.countDistinct("stop_location_rep").alias("_nreps")
+        )
+    )
+    mod_ok = per_module.groupBy("uid").agg(
+        F.min(F.col("_nreps") == 1).alias("refine_ok")
+    )
+    return comp_stats.join(mod_ok, on="uid", how="left").select(
+        "uid",
+        "n_components",
+        F.coalesce("refine_ok", F.lit(True)).alias("refine_ok"),
     )
 
 
@@ -3632,6 +3702,7 @@ def v2(spark, sf_dir):
 # operators; cheap scalar projection/function probes go last.
 _PRIORITY = [
     "m1_fit_predict", "m2_stop_medians", "m3_communities",
+    "m3b_communities_refine",
     "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
     "m7_detect_work", "m8_compute_intervals",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c3b_dbscan_distributed",
