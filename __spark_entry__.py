@@ -37,15 +37,22 @@ def _q(name: str, sql: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read it as long nanos and rebuild a seconds-precision
-        # timestamp (the oracle floors epoch() the same way).
+        # events.ts precision varies by testdata generation: parquet
+        # TIMESTAMP(NANOS) (which Spark's reader rejects without
+        # nanosAsLong) or TIMESTAMP(MICROS)/NTZ.  Normalize every
+        # variant to a seconds-precision TIMESTAMP (the oracle floors
+        # epoch_ns() the same way).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: exact at 1e18 magnitudes where double isn't
-        return ev.withColumn(
-            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-        )
+        ts_type = ev.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # integer division: exact at 1e18 magnitudes where double isn't
+            sec = F.expr("ts div 1000000000")
+        else:
+            # TIMESTAMP_NTZ carries the naive wall time; session tz is
+            # UTC so the cast reproduces the oracle's epoch arithmetic
+            sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        return ev.withColumn("ts", F.timestamp_seconds(sec))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
