@@ -2754,6 +2754,55 @@ def d6(spark, sf_dir):
 
 
 @_q(
+    "d7_decontaminate",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+      list_distinct([array_to_string(toks[i:i+7], ' ')
+                     for i in range(1, len(toks) - 6)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_overlap
+  FROM grams g JOIN ev ON g.gram = ev.gram
+  WHERE g.doc_id % 10 != 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) = 0 AS survives
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 10 != 0""",
+)
+def d7(spark, sf_dir):
+    """Benchmark decontamination (dedup.py:ngram_overlap_counts /
+    decontaminate): eval set = every 10th doc, corpus = the rest;
+    8-gram overlap flags the planted cross-split duplicates. The
+    report (per-doc overlap count + survive flag) is richer than the
+    survivor set, so the oracle hashes the counts too."""
+    from polaroam_spark.operators.dedup import ngram_overlap_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    counts = ngram_overlap_counts(corpus, ev, n=8)
+    return corpus.join(counts, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+            "n_overlap"
+        ),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) == 0).alias("survives"),
+    )
+
+
+@_q(
     "n1_cosine_topk",
     """WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -3717,7 +3766,8 @@ _PRIORITY = [
     "w4_detect_stops",
     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-    "d6_near_dedup_survivors", "k4_duplicate_components",
+    "d6_near_dedup_survivors", "d7_decontaminate",
+    "k4_duplicate_components",
     "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",

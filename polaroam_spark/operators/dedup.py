@@ -582,3 +582,84 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= F.lit(cosine_threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ngram_overlap_counts(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document count of distinct word n-grams shared with ANY
+    eval document — the detection side of benchmark decontamination
+    (the n-gram-overlap rule published LLM training pipelines use to
+    keep eval benchmarks out of the training corpus).
+
+    Plan shape (100 TB lens): both sides reduce to DISTINCT 64-bit
+    n-gram hashes before anything joins, so no shuffle carries text.
+    Eval benchmarks are small (1e3-1e6 docs), so their distinct
+    gram-hash set broadcasts and the exploded corpus grams join
+    map-side with no shuffle; the per-doc overlap count is then a
+    map-side-combined groupBy on the doc id. Set
+    ``broadcast_eval=False`` to fall back to a hash-partitioned
+    equi-join when the eval side is genuinely large.
+
+    Returns ``id_col, n_overlap`` for docs with >= 1 shared gram.
+    """
+    from polaroam_spark.functions.text import fast_hash64
+
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), n))
+        ).alias("_gram"),
+    ).select(id_col, fast_hash64("_gram").alias("_gh"))
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(eval_text_col), n))
+            ).alias("_gram")
+        )
+        .select(fast_hash64("_gram").alias("_gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        corpus_grams.join(eval_grams, on="_gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop corpus documents sharing >= ``min_overlap`` distinct word
+    n-grams with the eval set. Returns surviving corpus rows
+    unchanged (left_anti on the id — corpus bodies scan once and
+    never shuffle)."""
+    contaminated = (
+        ngram_overlap_counts(
+            corpus,
+            eval_df,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            eval_text_col=eval_text_col,
+            broadcast_eval=broadcast_eval,
+        )
+        .filter(F.col("n_overlap") >= F.lit(min_overlap))
+        .select(id_col)
+    )
+    return corpus.join(contaminated, on=id_col, how="left_anti")

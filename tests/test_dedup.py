@@ -250,3 +250,62 @@ def test_near_dedup_corpus_bad_method(docs):
 
     with pytest.raises(ValueError, match="method"):
         near_dedup_corpus(docs, method="levenshtein")
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from polaroam_spark.operators.dedup import (
+        decontaminate,
+        ngram_overlap_counts,
+    )
+
+    # eval doc 100 shares an exact 5-gram window with corpus doc 0
+    # (verbatim leak) and nothing with docs 4/5
+    corpus_rows = [
+        (0, BASE),
+        (4, "completely different text about spark query engines and "
+            "distributed columnar execution with vectorized operators"),
+        (5, "another unrelated document mentioning parquet files shuffle "
+            "partitions and adaptive query execution in big clusters"),
+    ]
+    eval_rows = [
+        (100, "quiz: the quick brown fox jumps over the lazy dog "
+              "while nothing else here matches"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    counts = {
+        r.doc_id: r.n_overlap
+        for r in ngram_overlap_counts(corpus, ev, n=5).collect()
+    }
+    # "the quick brown fox jumps" ... "over the lazy dog while" — the
+    # shared 10-token run yields 10-5+1 = 6 shared distinct 5-grams
+    assert counts == {0: 6}
+
+    survivors = {
+        r.doc_id for r in decontaminate(corpus, ev, n=5).collect()
+    }
+    assert survivors == {4, 5}
+    # a higher bar keeps the lightly-overlapping doc
+    survivors_hi = {
+        r.doc_id
+        for r in decontaminate(corpus, ev, n=5, min_overlap=7).collect()
+    }
+    assert survivors_hi == {0, 4, 5}
+
+
+def test_decontaminate_short_doc_whole_gram(spark):
+    from polaroam_spark.operators.dedup import decontaminate
+
+    # docs shorter than n collapse to one whole-doc shingle: they are
+    # dropped only on an exact full-text token match with an eval gram
+    corpus = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "other doc")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, "tiny doc")], "doc_id long, text string"
+    )
+    survivors = {
+        r.doc_id for r in decontaminate(corpus, ev, n=8).collect()
+    }
+    assert survivors == {1}
