@@ -3114,6 +3114,27 @@ def smp3(spark, sf_dir):
 
 
 @_q(
+    "smp4_deterministic_shuffle",
+    "SELECT doc_id, CAST(('0x' || substr(md5('41:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key "
+    "FROM documents",
+)
+def smp4(spark, sf_dir):
+    """Reproducible training-order shuffle
+    (operators/sampling.py:deterministic_shuffle): the driver sorts
+    rows before hashing, so the oracle verifies the permutation via
+    the materialized shuffle_key values (a pure function of
+    (doc_id, seed)); the sharded range-sort path is covered by
+    pytest's partition-ordering assertions."""
+    from polaroam_spark.operators.sampling import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _t(spark, sf_dir, "documents"), key="doc_id", seed=41,
+        num_shards=4,
+    ).select("doc_id", "shuffle_key")
+
+
+@_q(
     "smp2_train_test_split",
     "SELECT CASE WHEN CAST(('0x' || substr(md5('29:' || "
     "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0 "
@@ -3774,7 +3795,7 @@ _PRIORITY = [
     "t7_quality_stratified",
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "smp1_sample_by_hash", "smp2_train_test_split",
-    "smp3_stratified_sample",
+    "smp3_stratified_sample", "smp4_deterministic_shuffle",
     "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",
     "st3_streaming_dedup",
     "j7_asof_join", "j8_point_in_interval",

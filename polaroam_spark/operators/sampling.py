@@ -76,3 +76,35 @@ def train_test_split(
     test = df.filter(h < F.lit(float(test_fraction)))
     train = df.filter(h >= F.lit(float(test_fraction)))
     return train, test
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int = 41,
+    num_shards: int | None = None,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible global shuffle for training-order randomization:
+    rows are ordered by a hash of their key, so the permutation is a
+    pure function of (key, seed) — stable across runs, partitionings,
+    and cluster sizes, unlike ``df.orderBy(rand())``.
+
+    Scale shape: ``orderBy`` over the hash is a range-partitioned
+    distributed sort (sampled range boundaries, no global single-task
+    stage); with ``num_shards`` set, the sort is replaced by
+    ``repartitionByRange(num_shards)`` + within-partition sort —
+    exactly what a sharded training-data writer wants (each output
+    file internally ordered, file set globally ordered), avoiding the
+    total-order merge. The hash column is kept as ``key_col`` so
+    downstream stages (and the correctness oracle) can verify the
+    permutation without re-deriving it.
+    """
+    c = F.col(key)
+    h = portable_hash64(c.cast("string"), seed)
+    out = df.withColumn(key_col, h)
+    if num_shards is not None:
+        return out.repartitionByRange(
+            int(num_shards), F.col(key_col), c
+        ).sortWithinPartitions(F.col(key_col), c)
+    return out.orderBy(F.col(key_col), c)

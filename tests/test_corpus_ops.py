@@ -139,3 +139,41 @@ def test_stratified_sample_by_hash(spark):
         ).collect()
     }
     assert half_ids == plain
+
+
+def test_deterministic_shuffle_stable_and_sharded(spark):
+    from polaroam_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+
+    # global-sort path: permutation is a pure function of (key, seed),
+    # invariant to input partitioning
+    a = [r.doc_id for r in
+         deterministic_shuffle(df, "doc_id", seed=41).collect()]
+    b = [r.doc_id for r in
+         deterministic_shuffle(df.repartition(13), "doc_id", seed=41)
+         .collect()]
+    assert a == b
+    assert sorted(a) == list(range(500))
+    assert a != sorted(a)  # it actually permutes
+    # a different seed yields a different permutation
+    c = [r.doc_id for r in
+         deterministic_shuffle(df, "doc_id", seed=42).collect()]
+    assert a != c
+
+    # sharded path: same row set, each shard internally ordered by the
+    # shuffle key, shard ranges disjoint (range partitioning)
+    sharded = deterministic_shuffle(df, "doc_id", seed=41, num_shards=4)
+    assert sharded.rdd.getNumPartitions() == 4
+    parts = sharded.select("doc_id", "shuffle_key").rdd.glom().collect()
+    seen = []
+    ranges = []
+    for p in parts:
+        keys = [row.shuffle_key for row in p]
+        assert keys == sorted(keys)
+        if keys:
+            ranges.append((keys[0], keys[-1]))
+        seen.extend(row.doc_id for row in p)
+    assert sorted(seen) == list(range(500))
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
