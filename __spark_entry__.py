@@ -2803,6 +2803,53 @@ def d7(spark, sf_dir):
 
 
 @_q(
+    "d8_dedup_lines",
+    """WITH docs2 AS (
+  -- the synthetic docs are single-line; splitting on a frequent word
+  -- synthesizes a deterministic line structure on both engines
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+       unnest(range(1, len(ls) + 1)) AS u(i)
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT DISTINCT doc_id, trim(line) AS line FROM lines
+    WHERE trim(line) != ''
+  ) GROUP BY line HAVING count(*) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l
+  LEFT JOIN boiler b ON trim(l.line) = b.line
+  WHERE b.line IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.text, '') AS text,
+       CAST(len(string_split(d.text, chr(10))) - COALESCE(r.n_kept, 0)
+            AS BIGINT) AS n_lines_removed
+FROM docs2 d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""",
+)
+def d8(spark, sf_dir):
+    """Cross-document line boilerplate removal
+    (dedup.py:dedup_lines): drop lines appearing in >= 2 distinct
+    docs, rebuild text in order. Line structure is synthesized by
+    splitting on a frequent vocabulary word (the testdata is
+    single-line), identically on both engines."""
+    from polaroam_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(r"replace(text, ' table ', '\n')")
+    )
+    return dedup_lines(docs, min_doc_freq=2)
+
+
+@_q(
     "n1_cosine_topk",
     """WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
@@ -3787,7 +3834,7 @@ _PRIORITY = [
     "w4_detect_stops",
     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-    "d6_near_dedup_survivors", "d7_decontaminate",
+    "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
     "k4_duplicate_components",
     "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",

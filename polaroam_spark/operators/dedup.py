@@ -663,3 +663,74 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(contaminated, on=id_col, how="left_anti")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Cross-document line deduplication — the boilerplate-removal
+    step of published web-corpus pipelines: drop every line whose
+    trimmed form appears in >= ``min_doc_freq`` DISTINCT documents
+    (headers, footers, nav chrome), then rebuild each document from
+    its surviving lines in original order.
+
+    Plan shape (100 TB lens): the doc-frequency pass shuffles only
+    (doc_id, 8-byte line hash) pairs; the resulting boilerplate set
+    is tiny (lines repeated across documents) and broadcasts, so the
+    line filter is map-side. The single shuffle that carries text is
+    the per-doc reassembly groupBy — the same cost class as writing
+    the output. Set ``broadcast_boilerplate=False`` for a
+    hash-partitioned anti-join when the boilerplate set is genuinely
+    large (pathological corpora).
+
+    Returns one row per input doc: ``id_col``, rebuilt ``text_col``
+    (empty string when every line was boilerplate), and
+    ``n_lines_removed``.
+    """
+    from polaroam_spark.functions.text import fast_hash64
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_pos", "_line"
+        ),
+    )
+    norm = F.trim(F.col("_line"))
+    hashed = lines.withColumn("_lh", fast_hash64(norm))
+    boiler = (
+        hashed.filter(norm != "")
+        .select(id_col, "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= F.lit(min_doc_freq))
+        .select("_lh")
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    kept = hashed.join(boiler, on="_lh", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_new_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    n_orig = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        docs.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+            (n_orig - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -309,3 +309,45 @@ def test_decontaminate_short_doc_whole_gram(spark):
         r.doc_id for r in decontaminate(corpus, ev, n=8).collect()
     }
     assert survivors == {1}
+
+
+def test_dedup_lines_removes_boilerplate(spark):
+    from polaroam_spark.operators.dedup import dedup_lines
+
+    header = "SITE NAV | home | about"
+    footer = "copyright 2024 example corp"
+    rows = [
+        (0, f"{header}\nunique article body zero\n{footer}"),
+        (1, f"{header}\nanother distinct body one\n{footer}"),
+        (2, f"{header}\n  {footer}  \nonly chrome plus this line"),
+        (3, "standalone document with no chrome at all"),
+        (4, f"{header}\n{footer}"),  # nothing survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(docs, min_doc_freq=2).collect()}
+
+    assert out[0].text == "unique article body zero"
+    assert out[0].n_lines_removed == 2
+    assert out[1].text == "another distinct body one"
+    # trimming matches the padded footer on doc 2
+    assert out[2].text == "only chrome plus this line"
+    assert out[2].n_lines_removed == 2
+    assert out[3].text == rows[3][1]
+    assert out[3].n_lines_removed == 0
+    assert out[4].text == ""
+    assert out[4].n_lines_removed == 2
+    assert len(out) == 5
+
+
+def test_dedup_lines_doc_freq_threshold(spark):
+    from polaroam_spark.operators.dedup import dedup_lines
+
+    # a line repeated WITHIN one doc is not cross-doc boilerplate
+    rows = [
+        (0, "repeat\nrepeat\nbody zero"),
+        (1, "totally different text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(docs, min_doc_freq=2).collect()}
+    assert out[0].text == "repeat\nrepeat\nbody zero"
+    assert out[0].n_lines_removed == 0
