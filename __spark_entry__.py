@@ -2803,6 +2803,99 @@ def d7(spark, sf_dir):
 
 
 @_q(
+    "d9_incremental_dedup_pairs",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS sh_list
+    FROM toks), unnest(sh_list) AS u(sh)
+),
+minhashes AS (
+  SELECT s.doc_id, seeds.s AS seed,
+         min(CAST(('0x' || substr(md5(seeds.s || ':' || s.sh), 1, 15))
+             AS BIGINT)) AS mh
+  FROM shingles s, (SELECT unnest(range(16)) AS s) seeds
+  GROUP BY s.doc_id, seeds.s
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minhashes
+  GROUP BY doc_id
+),
+bandkeys AS (
+  SELECT doc_id, bb.b AS band,
+         CAST(('0x' || substr(md5(bb.b || ':' ||
+           array_to_string(sig[bb.b * 4 + 1 : bb.b * 4 + 4], ',')),
+           1, 15)) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_match,
+         'corpus' AS match_side
+  FROM bandkeys n JOIN bandkeys c
+    ON n.band = c.band AND n.bucket = c.bucket
+  WHERE n.doc_id >= 400 AND c.doc_id < 400
+  UNION
+  SELECT DISTINCT b.doc_id AS id_new, a.doc_id AS id_match,
+         'batch' AS match_side
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE a.doc_id >= 400 AND b.doc_id >= 400
+),
+ssize AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_x, b.doc_id AS id_y, count(*) AS shared
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_new, c.id_match,
+       round(COALESCE(i.shared, 0)
+             / CAST(sn.n + sm.n - COALESCE(i.shared, 0) AS DOUBLE), 6)
+         AS jaccard_sim,
+       c.match_side
+FROM cand c
+LEFT JOIN inter i ON i.id_x = least(c.id_new, c.id_match)
+                 AND i.id_y = greatest(c.id_new, c.id_match)
+JOIN ssize sn ON c.id_new = sn.doc_id
+JOIN ssize sm ON c.id_match = sm.doc_id
+WHERE COALESCE(i.shared, 0)
+      / CAST(sn.n + sm.n - COALESCE(i.shared, 0) AS DOUBLE) >= 0.8""",
+)
+def d9(spark, sf_dir):
+    """Incremental ingest dedup (dedup.py:build_minhash_index /
+    minhash_lsh_pairs_incremental): corpus = doc_id < 400 indexed
+    once, batch = doc_id >= 400 deduped against the index plus
+    itself — the corpus side is never re-paired."""
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index = build_minhash_index(
+        docs.filter(F.col("doc_id") < 400), portable=True
+    )
+    return minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") >= 400),
+        index,
+        jaccard_threshold=0.8,
+        portable=True,
+    ).select(
+        "id_new",
+        "id_match",
+        F.round("jaccard_sim", 6).alias("jaccard_sim"),
+        "match_side",
+    )
+
+
+@_q(
     "d8_dedup_lines",
     """WITH docs2 AS (
   -- the synthetic docs are single-line; splitting on a frequent word
@@ -3835,7 +3928,7 @@ _PRIORITY = [
     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
     "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
-    "k4_duplicate_components",
+    "d9_incremental_dedup_pairs", "k4_duplicate_components",
     "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",

@@ -734,3 +734,152 @@ def dedup_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """Signature index of an accepted corpus for INCREMENTAL dedup:
+    one row per document with its distinct shingle set and MinHash
+    signature. Built once per corpus and persisted (e.g. via
+    ``sources.io.write_bucketed_table`` keyed on ``id_col``); each
+    ingest batch then dedups against the index without recomputing
+    signatures for — or re-pairing — the accepted corpus. The shingle
+    arrays are stored because LSH candidates are verified with exact
+    Jaccard; storage is proportional to corpus token count, the same
+    class as the corpus itself.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            word_shingles(tokens(text_col), shingle_k)
+        ).alias("shingles"),
+    ).withColumn(
+        "sig", minhash_signature("shingles", num_hashes, portable=portable)
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs of an ingest batch against an existing
+    corpus index (``build_minhash_index`` with the SAME shingle_k /
+    num_hashes / portable settings), plus batch-internal pairs.
+
+    The production ingestion pattern at corpus scale: signatures are
+    computed for the NEW batch only; candidate generation is a band
+    equi-join of the batch's band keys against the index's — the
+    accepted corpus is never re-shingled and never self-joined.
+    Index-side boilerplate buckets larger than ``max_bucket_size``
+    collapse to their min-id representative, bounding per-bucket
+    fan-out exactly like :func:`minhash_lsh_pairs`'s star guard.
+
+    Output: ``id_new, id_match, jaccard_sim, match_side`` where
+    match_side is ``'corpus'`` or ``'batch'`` (batch pairs report the
+    smaller id as id_match). Feed ``id_new`` of any row to an
+    anti-join to keep only novel documents.
+    """
+    new_sh = build_minhash_index(
+        new_docs, text_col, id_col, shingle_k, num_hashes, portable
+    ).select(
+        F.col(id_col).alias("_nid"),
+        F.col("shingles").alias("_nsh"),
+        F.col("sig").alias("_nsig"),
+    )
+    new_sh = new_sh.persist()
+
+    new_bands = new_sh.select(
+        "_nid", F.explode(band_hashes("_nsig", bands)).alias("_band")
+    ).select("_nid", "_band.band", "_band.bucket")
+
+    idx_bands = index.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(band_hashes("sig", bands)).alias("_band"),
+    ).select("_cid", "_band.band", "_band.bucket")
+    bucket_w = Window.partitionBy("band", "bucket")
+    idx_bands = idx_bands.withColumns(
+        {
+            "_bn": F.count("*").over(bucket_w),
+            "_rep": F.min("_cid").over(bucket_w),
+        }
+    )
+    # hot corpus buckets (cross-corpus boilerplate) collapse to the
+    # representative row: one candidate per new doc per hot bucket
+    idx_bands = idx_bands.filter(
+        (F.col("_bn") <= F.lit(max_bucket_size))
+        | (F.col("_cid") == F.col("_rep"))
+    ).select("_cid", "band", "bucket")
+
+    cand = (
+        new_bands.join(idx_bands, on=["band", "bucket"])
+        .select("_nid", "_cid")
+        .dropDuplicates(["_nid", "_cid"])
+    )
+    corpus_pairs = (
+        cand.join(new_sh.select("_nid", "_nsh"), on="_nid")
+        .join(
+            index.select(
+                F.col(id_col).alias("_cid"),
+                F.col("shingles").alias("_csh"),
+            ),
+            on="_cid",
+        )
+        .withColumn("jaccard_sim", jaccard("_nsh", "_csh"))
+        .filter(F.col("jaccard_sim") >= F.lit(jaccard_threshold))
+        .select(
+            F.col("_nid").alias("id_new"),
+            F.col("_cid").alias("id_match"),
+            "jaccard_sim",
+            F.lit("corpus").alias("match_side"),
+        )
+    )
+    if not include_batch_pairs:
+        return corpus_pairs
+    batch_pairs = minhash_lsh_pairs(
+        new_docs,
+        text_col,
+        id_col,
+        shingle_k,
+        num_hashes,
+        bands,
+        jaccard_threshold,
+        max_bucket_size,
+        portable,
+    ).select(
+        F.col("id_b").alias("id_new"),
+        F.col("id_a").alias("id_match"),
+        "jaccard_sim",
+        F.lit("batch").alias("match_side"),
+    )
+    return corpus_pairs.unionByName(batch_pairs)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Survivors of an ingest batch against an existing corpus index:
+    drop batch docs near-duplicating the corpus or an earlier
+    (smaller-id) batch doc. Returns surviving ``new_docs`` rows."""
+    pairs = minhash_lsh_pairs_incremental(
+        new_docs, index, id_col=id_col, **kwargs
+    )
+    losers = pairs.select(F.col("id_new").alias(id_col)).dropDuplicates()
+    return new_docs.join(losers, on=id_col, how="left_anti")

@@ -351,3 +351,82 @@ def test_dedup_lines_doc_freq_threshold(spark):
     out = {r.doc_id: r for r in dedup_lines(docs, min_doc_freq=2).collect()}
     assert out[0].text == "repeat\nrepeat\nbody zero"
     assert out[0].n_lines_removed == 0
+
+
+def test_incremental_dedup_against_index(spark):
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_incremental,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE),
+         (1, "established corpus document about distributed query "
+             "planning and columnar storage formats in modern engines")],
+        "doc_id long, text string",
+    )
+    index = build_minhash_index(corpus, num_hashes=16)
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0 (one word changed)
+            (10, BASE.replace("afternoon", "evening")),
+            # batch-internal near-dup pair
+            (11, "fresh batch text describing adaptive shuffle "
+                 "partition coalescing under skewed workloads today"),
+            (12, "fresh batch text describing adaptive shuffle "
+                 "partition coalescing under skewed workloads tonight"),
+            # genuinely novel
+            (13, "completely unrelated musings on garbage collection "
+                 "pauses and arena allocators in native runtimes"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs_incremental(
+        batch, index, num_hashes=16, bands=8, jaccard_threshold=0.5
+    ).collect()
+    sides = {(r.id_new, r.id_match): r.match_side for r in pairs}
+    assert sides.get((10, 0)) == "corpus"
+    assert sides.get((12, 11)) == "batch"
+    assert all(idn != 13 for idn, _ in sides)
+
+    survivors = {
+        r.doc_id
+        for r in dedup_incremental(
+            batch, index, num_hashes=16, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    # 10 dies to the corpus, 12 dies to 11; 11 and 13 survive
+    assert survivors == {11, 13}
+
+
+def test_incremental_matches_full_rerun(spark, docs):
+    """Splitting a corpus and deduping the tail against the head's
+    index finds exactly the cross/batch pairs the full self-join run
+    finds across the split."""
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, shingle_k=3, num_hashes=16, bands=8,
+            jaccard_threshold=0.5,
+        ).collect()
+        if r.id_b >= 3  # pairs with the new side in them
+    }
+    head = docs.filter(F.col("doc_id") < 3)
+    tail = docs.filter(F.col("doc_id") >= 3)
+    inc = {
+        (r.id_match, r.id_new) if r.match_side == "corpus"
+        else (r.id_match, r.id_new)
+        for r in minhash_lsh_pairs_incremental(
+            tail, build_minhash_index(head, num_hashes=16),
+            num_hashes=16, bands=8, jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert inc == full
