@@ -3177,6 +3177,68 @@ def t6(spark, sf_dir):
 
 
 @_q(
+    "t11_calibrate_scores",
+    "SELECT doc_id, source, n_chars, "
+    "round(percent_rank() OVER (PARTITION BY source "
+    "ORDER BY n_chars, doc_id), 6) AS calibrated_score "
+    "FROM documents",
+)
+def t11(spark, sf_dir):
+    """Per-source percentile calibration
+    (textstats.py:calibrate_scores) over the raw n_chars 'score':
+    thresholds become comparable across sources."""
+    from polaroam_spark.operators.textstats import calibrate_scores
+
+    return calibrate_scores(
+        _t(spark, sf_dir, "documents"),
+        score_col="n_chars",
+        strata_col="source",
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("calibrated_score", 6).alias("calibrated_score"),
+    )
+
+
+@_q(
+    "t12_tfidf_top_terms",
+    """WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t != '') AS tl
+        FROM documents), unnest(tl) AS u(tok)
+),
+tf AS (SELECT doc_id, tok, count(*) AS tfn FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS dfn FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS token,
+         tfn * ln(CAST(nd AS DOUBLE) / CAST(dfn AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, token) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, round(tfidf, 6) AS tfidf, term_rank
+FROM ranked WHERE term_rank <= 5""",
+)
+def t12(spark, sf_dir):
+    """Per-document characteristic terms
+    (chunking.py:tfidf_top_terms), the corpus keyword probe."""
+    from polaroam_spark.operators.chunking import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), top_k=5
+    ).select(
+        "doc_id", "token", F.round("tfidf", 6).alias("tfidf"), "term_rank"
+    )
+
+
+@_q(
     "t7_quality_stratified",
     """WITH scored AS (
   SELECT doc_id, source,
@@ -3932,7 +3994,8 @@ _PRIORITY = [
     "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
-    "t7_quality_stratified",
+    "t7_quality_stratified", "t11_calibrate_scores",
+    "t12_tfidf_top_terms",
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample", "smp4_deterministic_shuffle",

@@ -119,3 +119,55 @@ def corpus_vocabulary(
         .filter(F.col("n") >= min_count)
     )
     return counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_k)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by TF-IDF
+    (tf = in-doc count, idf = ln(N / df), df = number of docs
+    containing the term) — the classic keyword/topic-probe over a
+    corpus, useful for mixture auditing and cheap domain tagging.
+
+    Plan shape: tf is a map-side-combined groupBy on (doc, token);
+    df reuses the tf table with a second narrow groupBy on token; the
+    corpus size N is a 1-row aggregate broadcast via cross join (no
+    driver round-trip in the plan); the df table joins back
+    term-partitioned; the final per-doc top-k is a window over the
+    doc's own terms. No stage ever materializes more than
+    (doc, token) granularity.
+
+    Output: ``id_col, token, tfidf, term_rank`` with term_rank 1..k
+    (ties broken by token for determinism).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("_tf"))
+    )
+    df_tab = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(df_tab, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("_tf")
+            * F.log(
+                F.col("_n").cast("double") / F.col("_df").cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= F.lit(top_k))
+        .select(id_col, "token", "tfidf", "term_rank")
+    )

@@ -248,3 +248,30 @@ def document_fingerprint(
             ),
         }
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    strata_col: str = "source",
+    out_col: str = "calibrated_score",
+    tiebreak_col: str | None = "doc_id",
+) -> DataFrame:
+    """Per-stratum percentile calibration: map raw scores to their
+    percent rank WITHIN each stratum, so a threshold means the same
+    thing for every source (quality classifiers are systematically
+    biased per domain; a raw 0.8 on curated text and on web scrape
+    are different animals — their calibrated 0.8 is "top 20% of its
+    source" for both).
+
+    One window per stratum — the same shuffle
+    :func:`quality_stratified_filter` already pays; rows within a
+    stratum sort once. ``tiebreak_col`` makes equal scores rank
+    deterministically (set None to let ties share a rank, the SQL
+    PERCENT_RANK semantics).
+    """
+    order = [F.col(score_col).asc_nulls_first()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return df.withColumn(out_col, F.percent_rank().over(w))

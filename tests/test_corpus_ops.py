@@ -177,3 +177,47 @@ def test_deterministic_shuffle_stable_and_sharded(spark):
     assert sorted(seen) == list(range(500))
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_calibrate_scores_per_stratum_percentile(spark):
+    from polaroam_spark.operators.textstats import calibrate_scores
+
+    rows = [
+        # source A: scores 10 < 20 < 30
+        (0, "a", 30.0), (1, "a", 10.0), (2, "a", 20.0),
+        # source B: very different raw scale — calibration aligns it
+        (3, "b", 0.002), (4, "b", 0.001),
+        (5, "c", 7.0),  # singleton stratum
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score double"
+    )
+    out = {r.doc_id: r.calibrated_score
+           for r in calibrate_scores(df).collect()}
+    assert out[1] == 0.0 and out[2] == 0.5 and out[0] == 1.0
+    assert out[4] == 0.0 and out[3] == 1.0
+    assert out[5] == 0.0  # percent_rank of a single row
+    # a shared threshold now means "same percentile" in both sources
+    assert {d for d, v in out.items() if v >= 0.99} == {0, 3}
+
+
+def test_tfidf_top_terms_surfaces_distinctive_words(spark):
+    from polaroam_spark.operators.chunking import tfidf_top_terms
+
+    rows = [
+        (0, "the the the zebra zebra quantum"),
+        (1, "the the galaxy galaxy galaxy quantum"),
+        (2, "the quantum quantum plasma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    top1 = {r.doc_id: r.token for r in out if r.term_rank == 1}
+    # 'the' appears in every doc (idf = 0) and can never win
+    assert top1 == {0: "zebra", 1: "galaxy", 2: "plasma"}
+    assert all(r.tfidf > 0 for r in out if r.term_rank == 1)
+    # ranks are dense 1..k per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.term_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_doc.values())
