@@ -3414,6 +3414,55 @@ def k2(spark, sf_dir):
 
 
 @_q(
+    "k5_materialize_packs",
+    """WITH toks AS (
+  SELECT doc_id, source, text,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+planned AS (
+  SELECT *,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source || ':' || CAST(pack_id AS VARCHAR) AS pack_key,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM planned GROUP BY source, pack_id""",
+)
+def k5(spark, sf_dir):
+    """Training-sequence construction (chunking.py:materialize_packs)
+    over k2's whole-doc packing plan: each context-window bin's docs
+    concatenate in id order into one sequence row."""
+    from polaroam_spark.operators.chunking import (
+        materialize_packs,
+        packing_plan,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", token_count("text").alias("n_tokens")
+    )
+    planned = packing_plan(
+        docs, budget_tokens=512, id_cols=("doc_id",), strata_col="source"
+    ).withColumn(
+        "pack_key",
+        F.concat_ws(":", "source", F.col("pack_id").cast("string")),
+    )
+    return materialize_packs(
+        planned,
+        id_cols=("doc_id",),
+        text_col="text",
+        pack_col="pack_key",
+    ).select("pack_key", "text", "n_tokens", "n_chunks", "n_docs")
+
+
+@_q(
     "k3_corpus_vocabulary",
     """WITH exploded AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -3997,6 +4046,7 @@ _PRIORITY = [
     "t7_quality_stratified", "t11_calibrate_scores",
     "t12_tfidf_top_terms",
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
+    "k5_materialize_packs",
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample", "smp4_deterministic_shuffle",
     "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",

@@ -171,3 +171,45 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= F.lit(top_k))
         .select(id_col, "token", "tfidf", "term_rank")
     )
+
+
+def materialize_packs(
+    packed_chunks: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    text_col: str = "chunk_text",
+    n_tokens_col: str = "n_tokens",
+    pack_col: str = "pack_id",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Build the actual training sequences from a
+    :func:`packing_plan` output: concatenate each pack's chunks (in
+    id order, joined by ``separator``) into one sequence row.
+
+    One shuffle on ``pack_col`` — text moves exactly once, the same
+    cost class as writing the output. Within a pack the chunks are
+    ordered by ``id_cols`` via an array_sort over (id..., text)
+    structs, so the result is deterministic under any partitioning
+    (the groupBy itself guarantees no order).
+
+    Output: ``pack_id, text, n_tokens, n_chunks, n_docs`` — n_tokens
+    counts corpus tokens only (add separator/EOS token accounting
+    loader-side, where the tokenizer is known).
+    """
+    sort_struct = F.struct(
+        *[F.col(c) for c in id_cols], F.col(text_col).alias("_txt")
+    )
+    return (
+        packed_chunks.groupBy(pack_col)
+        .agg(
+            F.concat_ws(
+                separator,
+                F.transform(
+                    F.array_sort(F.collect_list(sort_struct)),
+                    lambda s: s["_txt"],
+                ),
+            ).alias("text"),
+            F.sum(n_tokens_col).cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct(id_cols[0]).cast("long").alias("n_docs"),
+        )
+    )

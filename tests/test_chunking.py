@@ -72,3 +72,48 @@ def test_duplicate_components_transitive(spark):
     comp = {r.doc_id: r.representative
             for r in duplicate_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_materialize_packs_roundtrip(spark):
+    from polaroam_spark.operators.chunking import (
+        chunk_documents,
+        materialize_packs,
+        packing_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(23))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=10)
+    planned = packing_plan(chunks, budget_tokens=32)
+    packs = materialize_packs(planned, separator=" <sep> ").collect()
+
+    # every input token survives exactly once across all packs
+    all_tokens = []
+    for p in packs:
+        all_tokens.extend(
+            t for t in p.text.split(" ") if t not in ("<sep>",)
+        )
+    assert sorted(all_tokens) == sorted(
+        f"w{i}t{j}" for i in range(40) for j in range(23)
+    )
+    # chunk order within a pack follows (doc_id, chunk_id): each
+    # doc's tokens appear in original order inside its pack
+    for p in packs:
+        toks = [t for t in p.text.split(" ") if t != "<sep>"]
+        pos = {t: k for k, t in enumerate(toks)}
+        by_doc = {}
+        for t in toks:
+            by_doc.setdefault(t.split("t")[0], []).append(pos[t])
+        for positions in by_doc.values():
+            assert positions == sorted(positions)
+    # accounting columns agree with the plan
+    total = {p.pack_id: p for p in packs}
+    replan = planned.groupBy("pack_id").count().collect()
+    assert {r.pack_id: r["count"] for r in replan} == {
+        k: v.n_chunks for k, v in total.items()
+    }
+    # start-offset rule: every pack's token total is bounded by
+    # budget + max_chunk - 1
+    assert all(p.n_tokens <= 32 + 10 - 1 for p in packs)

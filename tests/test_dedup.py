@@ -430,3 +430,31 @@ def test_incremental_matches_full_rerun(spark, docs):
         ).collect()
     }
     assert inc == full
+
+
+def test_decontaminate_idempotent(spark, docs):
+    from polaroam_spark.operators.dedup import decontaminate
+
+    ev = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    once = decontaminate(docs, ev, n=5)
+    twice = decontaminate(once, ev, n=5)
+    assert sorted(r.doc_id for r in once.collect()) == sorted(
+        r.doc_id for r in twice.collect()
+    )
+
+
+def test_dedup_lines_idempotent(spark):
+    from polaroam_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (0, "shared header\nbody zero\nshared footer"),
+        (1, "shared header\nbody one\nshared footer"),
+        (2, "shared header\nbody two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    once = dedup_lines(docs, min_doc_freq=2)
+    twice = dedup_lines(once, min_doc_freq=2)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+    assert a[0] == "body zero"
