@@ -2802,9 +2802,8 @@ def d7(spark, sf_dir):
     )
 
 
-@_q(
-    "d9_incremental_dedup_pairs",
-    r"""WITH toks AS (
+# d9's oracle — also reused (wrapped) by st4's survivor check.
+_D9_SQL = r"""WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
                              t -> t != '') AS toks
   FROM documents
@@ -2866,8 +2865,10 @@ LEFT JOIN inter i ON i.id_x = least(c.id_new, c.id_match)
 JOIN ssize sn ON c.id_new = sn.doc_id
 JOIN ssize sm ON c.id_match = sm.doc_id
 WHERE COALESCE(i.shared, 0)
-      / CAST(sn.n + sm.n - COALESCE(i.shared, 0) AS DOUBLE) >= 0.8""",
-)
+      / CAST(sn.n + sm.n - COALESCE(i.shared, 0) AS DOUBLE) >= 0.8"""
+
+
+@_q("d9_incremental_dedup_pairs", _D9_SQL)
 def d9(spark, sf_dir):
     """Incremental ingest dedup (dedup.py:build_minhash_index /
     minhash_lsh_pairs_incremental): corpus = doc_id < 400 indexed
@@ -3806,6 +3807,49 @@ def st3(spark, sf_dir):
     return spark.table(qname).select("user_id")
 
 
+# Streaming ingestion with near-dup filtering: each micro-batch dedups
+# against the static corpus index (docs < 400) via foreachBatch; the
+# batch side (docs >= 400) arrives as ONE availableNow micro-batch, so
+# survivors equal the batch twin: docs >= 400 minus every id_new the
+# d9 pair query reports.
+@_q(
+    "st4_streaming_incremental_dedup",
+    "SELECT doc_id, source, lang, n_chars FROM documents "
+    "WHERE doc_id >= 400 AND doc_id NOT IN "
+    "(SELECT id_new FROM (" + _D9_SQL + ") p)",
+)
+def st4(spark, sf_dir):
+    import os
+
+    from polaroam_spark.operators.dedup import build_minhash_index
+    from polaroam_spark.streaming import streaming_dedup_incremental
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_docs_src.parquet")
+    out = os.path.join(scratch, "stream_docs_survivors")
+    ck = os.path.join(scratch, "ckpt_st4")
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= 400)
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    index = build_minhash_index(
+        docs.filter(F.col("doc_id") < 400), portable=True
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = streaming_dedup_incremental(
+        stream,
+        index,
+        checkpoint_dir=ck,
+        output_path=out,
+        portable=True,
+        jaccard_threshold=0.8,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4050,7 +4094,7 @@ _PRIORITY = [
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample", "smp4_deterministic_shuffle",
     "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",
-    "st3_streaming_dedup",
+    "st3_streaming_dedup", "st4_streaming_incremental_dedup",
     "j7_asof_join", "j8_point_in_interval",
     "w1_lead", "w2_lag_fill", "w3_gated_cumsum", "w5_rolling_range_window",
     "w6_row_index", "w7_keep_first", "w8_compute_intervals",

@@ -1,5 +1,6 @@
 from polaroam_spark.streaming.sessionize import (
     streaming_dedup,
+    streaming_dedup_incremental,
     streaming_event_counts,
     streaming_stop_detection,
 )
@@ -8,4 +9,5 @@ __all__ = [
     "streaming_event_counts",
     "streaming_stop_detection",
     "streaming_dedup",
+    "streaming_dedup_incremental",
 ]

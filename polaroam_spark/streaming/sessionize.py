@@ -246,3 +246,49 @@ def streaming_stop_detection(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup_incremental(
+    docs_stream: DataFrame,
+    index,
+    checkpoint_dir: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+    **lsh_kwargs,
+):
+    """Continuous corpus ingestion with near-dup filtering: every
+    micro-batch is deduped against the persisted corpus signature
+    index (operators/dedup.py:build_minhash_index) via
+    ``dedup_incremental``, and survivors append to ``output_path``
+    as parquet.
+
+    foreachBatch is the right tool here — LSH banding + the
+    verification join are batch DataFrame ops, and the index is a
+    static table; per-batch they run as a normal batch job with the
+    streaming engine handling source offsets/exactly-once sink
+    bookkeeping. Batch-internal near-dups collapse within each
+    micro-batch; cross-batch dups are caught only against the index,
+    so refresh the index at whatever cadence the accepted corpus is
+    compacted (the standard lambda-ingest tradeoff, documented here
+    rather than hidden).
+
+    Returns the started StreamingQuery.
+    """
+    from polaroam_spark.operators.dedup import dedup_incremental
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup_incremental(
+            batch_df, index, id_col=id_col, text_col=text_col,
+            **lsh_kwargs,
+        )
+        survivors.write.mode("append").parquet(output_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

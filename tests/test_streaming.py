@@ -102,3 +102,41 @@ def test_streaming_dedup(spark, tmpdir):
     _run_stream(deduped, "dedup_stream")
     out = spark.sql("select event_id from dedup_stream").collect()
     assert sorted(r.event_id for r in out) == [1, 2, 3]
+
+
+def test_streaming_incremental_dedup(spark, tmpdir):
+    from polaroam_spark.operators.dedup import build_minhash_index
+    from polaroam_spark.streaming import streaming_dedup_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the late afternoon sun")
+    corpus = spark.createDataFrame(
+        [(0, base)], "doc_id long, text string"
+    )
+    index = build_minhash_index(corpus, num_hashes=16)
+
+    batch = spark.createDataFrame(
+        [
+            (10, base.replace("afternoon", "evening")),  # dup of corpus
+            (11, "novel commentary on vectorized runtimes and columnar "
+                 "layouts for analytical query engines at scale"),
+            (12, "novel commentary on vectorized runtimes and columnar "
+                 "layouts for analytical query engines at night"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    src = f"{tmpdir}/inc_src"
+    out = f"{tmpdir}/inc_out"
+    ck = f"{tmpdir}/inc_ck"
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = streaming_dedup_incremental(
+        stream, index, checkpoint_dir=ck, output_path=out,
+        num_hashes=16, bands=8, jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    )
+    assert survivors == [11]
