@@ -1,0 +1,95 @@
+"""Explain-plan regression tests: pin the scale-critical plan shapes
+of the corpus operators (what makes them 100 TB-viable), so a future
+refactor that silently introduces an extra shuffle or drops a
+broadcast fails loudly."""
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+
+
+def _n_hash_exchanges(plan):
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"alpha beta gamma delta doc{i} epsilon zeta") for i in
+            range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, docs):
+    from polaroam_spark.operators.dedup import ngram_overlap_counts
+
+    ev = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    plan = _plan(ngram_overlap_counts(corpus, ev, n=3))
+    assert "BroadcastExchange" in plan, plan
+    # corpus text must never shuffle: the only hash exchanges are the
+    # eval-side distinct and the per-doc overlap count
+    assert _n_hash_exchanges(plan) <= 2, plan
+
+
+def test_dedup_lines_broadcasts_boilerplate(spark, docs):
+    from polaroam_spark.operators.dedup import dedup_lines
+
+    plan = _plan(dedup_lines(docs))
+    assert "BroadcastExchange" in plan, plan
+    # hash exchanges: doc-freq distinct+count on line hashes, per-doc
+    # reassembly, and the final join back to docs — never more
+    assert _n_hash_exchanges(plan) <= 4, plan
+
+
+def test_deterministic_shuffle_is_range_partitioned(spark, docs):
+    from polaroam_spark.operators.sampling import deterministic_shuffle
+
+    plan = _plan(deterministic_shuffle(docs, "doc_id", num_shards=4))
+    assert "rangepartitioning" in plan.lower(), plan
+    # the sharded writer path must not add a total-order sort: no
+    # global single-partition exchange
+    assert "SinglePartition" not in plan, plan
+
+
+def test_materialize_packs_single_text_shuffle(spark, docs):
+    from polaroam_spark.operators.chunking import (
+        materialize_packs,
+        packing_plan,
+    )
+
+    chunks = docs.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.col("text").alias("chunk_text"),
+        F.lit(7).cast("long").alias("n_tokens"),
+    )
+    planned = packing_plan(chunks, budget_tokens=32)
+    plan = _plan(materialize_packs(planned))
+    # pack text moves once: the groupBy(pack_id) exchange (plus the
+    # window's shard exchange upstream of it)
+    assert _n_hash_exchanges(plan) <= 2, plan
+
+
+def test_corpus_vocabulary_take_ordered(spark, docs):
+    from polaroam_spark.operators.chunking import corpus_vocabulary
+
+    plan = _plan(corpus_vocabulary(docs, top_k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_tfidf_no_cartesian_blowup(spark, docs):
+    from polaroam_spark.operators.chunking import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(docs, top_k=3))
+    # the corpus-size scalar joins via broadcast nested loop over ONE
+    # row; no full CartesianProduct may appear
+    assert "CartesianProduct" not in plan, plan
