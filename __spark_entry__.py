@@ -3181,13 +3181,15 @@ def t6(spark, sf_dir):
     "t11_calibrate_scores",
     "SELECT doc_id, source, n_chars, "
     "round(percent_rank() OVER (PARTITION BY source "
-    "ORDER BY n_chars, doc_id), 6) AS calibrated_score "
+    "ORDER BY n_chars), 6) AS calibrated_score "
     "FROM documents",
 )
 def t11(spark, sf_dir):
     """Per-source percentile calibration
     (textstats.py:calibrate_scores) over the raw n_chars 'score':
-    thresholds become comparable across sources."""
+    thresholds become comparable across sources. Ties share a rank
+    (SQL PERCENT_RANK semantics) on both engines, so the result is
+    deterministic without a tiebreak."""
     from polaroam_spark.operators.textstats import calibrate_scores
 
     return calibrate_scores(
@@ -3844,7 +3846,12 @@ def st4(spark, sf_dir):
         portable=True,
         jaccard_threshold=0.8,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "st4 stream did not finish in 300s; refusing to read a "
+            "partial survivor set"
+        )
     return spark.read.parquet(out).select(
         "doc_id", "source", "lang", "n_chars"
     )

@@ -584,6 +584,43 @@ def embedding_neardup_pairs(
     )
 
 
+def _gram_hits(
+    corpus: DataFrame,
+    eval_subset: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str,
+    broadcast_eval: bool,
+) -> DataFrame:
+    """(id, shared-k-gram count) of corpus docs against one eval
+    subset, both sides shingled at k."""
+    from polaroam_spark.functions.text import fast_hash64
+
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), k))
+        ).alias("_gram"),
+    ).select(id_col, fast_hash64("_gram").alias("_gh"))
+    eval_grams = (
+        eval_subset.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(eval_text_col), k))
+            ).alias("_gram")
+        )
+        .select(fast_hash64("_gram").alias("_gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        corpus_grams.join(eval_grams, on="_gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
 def ngram_overlap_counts(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -592,6 +629,7 @@ def ngram_overlap_counts(
     text_col: str = "text",
     eval_text_col: str = "text",
     broadcast_eval: bool = True,
+    match_short_eval: bool = True,
 ) -> DataFrame:
     """Per-document count of distinct word n-grams shared with ANY
     eval document — the detection side of benchmark decontamination
@@ -607,31 +645,54 @@ def ngram_overlap_counts(
     ``broadcast_eval=False`` to fall back to a hash-partitioned
     equi-join when the eval side is genuinely large.
 
-    Returns ``id_col, n_overlap`` for docs with >= 1 shared gram.
-    """
-    from polaroam_spark.functions.text import fast_hash64
+    Eval items SHORTER than n tokens (short QA answers are common in
+    benchmarks) cannot match any n-gram, so with
+    ``match_short_eval=True`` each distinct short eval length L gets
+    its own pass: corpus L-grams against the length-L eval items'
+    whole text. The distinct short lengths are read driver-side — a
+    bounded (< n rows) scalar action — and each adds one corpus gram
+    explode, so a pathological eval set with every length 1..n-1
+    present costs n-1 extra passes; set ``match_short_eval=False``
+    to skip exact short-item matching where that cost matters.
 
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(tokens(text_col), n))
-        ).alias("_gram"),
-    ).select(id_col, fast_hash64("_gram").alias("_gh"))
-    eval_grams = (
-        eval_df.select(
-            F.explode(
-                F.array_distinct(word_shingles(tokens(eval_text_col), n))
-            ).alias("_gram")
+    Returns ``id_col, n_overlap`` for docs with >= 1 shared gram
+    (counts sum across gram lengths).
+    """
+    eval_len = F.array_size(tokens(eval_text_col))
+    base_eval = eval_df.filter(eval_len >= F.lit(n))
+    hits = [
+        _gram_hits(
+            corpus, base_eval, n, id_col, text_col, eval_text_col,
+            broadcast_eval,
         )
-        .select(fast_hash64("_gram").alias("_gh"))
-        .distinct()
-    )
-    if broadcast_eval:
-        eval_grams = F.broadcast(eval_grams)
-    return (
-        corpus_grams.join(eval_grams, on="_gh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
+    ]
+    if match_short_eval:
+        short_lens = [
+            r[0]
+            for r in eval_df.select(eval_len.alias("_L"))
+            .filter((F.col("_L") > 0) & (F.col("_L") < n))
+            .distinct()
+            .collect()  # bounded: at most n-1 rows
+        ]
+        for length in sorted(short_lens):
+            hits.append(
+                _gram_hits(
+                    corpus,
+                    eval_df.filter(eval_len == F.lit(length)),
+                    length,
+                    id_col,
+                    text_col,
+                    eval_text_col,
+                    broadcast_eval,
+                )
+            )
+    if len(hits) == 1:
+        return hits[0]
+    unioned = hits[0]
+    for h in hits[1:]:
+        unioned = unioned.unionByName(h)
+    return unioned.groupBy(id_col).agg(
+        F.sum("n_overlap").cast("long").alias("n_overlap")
     )
 
 
@@ -644,11 +705,13 @@ def decontaminate(
     text_col: str = "text",
     eval_text_col: str = "text",
     broadcast_eval: bool = True,
+    match_short_eval: bool = True,
 ) -> DataFrame:
     """Drop corpus documents sharing >= ``min_overlap`` distinct word
-    n-grams with the eval set. Returns surviving corpus rows
-    unchanged (left_anti on the id — corpus bodies scan once and
-    never shuffle)."""
+    n-grams with the eval set (eval items shorter than n match by
+    their exact text — see :func:`ngram_overlap_counts`). Returns
+    surviving corpus rows unchanged (left_anti on the id — corpus
+    bodies scan once and never shuffle)."""
     contaminated = (
         ngram_overlap_counts(
             corpus,
@@ -658,6 +721,7 @@ def decontaminate(
             text_col=text_col,
             eval_text_col=eval_text_col,
             broadcast_eval=broadcast_eval,
+            match_short_eval=match_short_eval,
         )
         .filter(F.col("n_overlap") >= F.lit(min_overlap))
         .select(id_col)
@@ -764,49 +828,24 @@ def build_minhash_index(
     )
 
 
-def minhash_lsh_pairs_incremental(
-    new_docs: DataFrame,
+def expand_index_bands(
     index: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 3,
-    num_hashes: int = 16,
     bands: int = 4,
-    jaccard_threshold: float = 0.8,
     max_bucket_size: int = 1000,
-    portable: bool = False,
-    include_batch_pairs: bool = True,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate pairs of an ingest batch against an existing
-    corpus index (``build_minhash_index`` with the SAME shingle_k /
-    num_hashes / portable settings), plus batch-internal pairs.
+    """Exploded, hot-guarded LSH band keys of a corpus index: one row
+    per (corpus doc, band) with hot buckets (cross-corpus boilerplate
+    piles larger than ``max_bucket_size``) collapsed to their min-id
+    representative, bounding per-bucket fan-out exactly like
+    :func:`minhash_lsh_pairs`'s star guard.
 
-    The production ingestion pattern at corpus scale: signatures are
-    computed for the NEW batch only; candidate generation is a band
-    equi-join of the batch's band keys against the index's — the
-    accepted corpus is never re-shingled and never self-joined.
-    Index-side boilerplate buckets larger than ``max_bucket_size``
-    collapse to their min-id representative, bounding per-bucket
-    fan-out exactly like :func:`minhash_lsh_pairs`'s star guard.
-
-    Output: ``id_new, id_match, jaccard_sim, match_side`` where
-    match_side is ``'corpus'`` or ``'batch'`` (batch pairs report the
-    smaller id as id_match). Feed ``id_new`` of any row to an
-    anti-join to keep only novel documents.
+    This table is a pure function of the static index — compute it
+    ONCE per index refresh and persist it (it is three narrow
+    columns); a long-running ingest stream that rebuilt it per
+    micro-batch would pay an O(corpus) window shuffle on every
+    trigger for data that never changes between refreshes.
     """
-    new_sh = build_minhash_index(
-        new_docs, text_col, id_col, shingle_k, num_hashes, portable
-    ).select(
-        F.col(id_col).alias("_nid"),
-        F.col("shingles").alias("_nsh"),
-        F.col("sig").alias("_nsig"),
-    )
-    new_sh = new_sh.persist()
-
-    new_bands = new_sh.select(
-        "_nid", F.explode(band_hashes("_nsig", bands)).alias("_band")
-    ).select("_nid", "_band.band", "_band.bucket")
-
     idx_bands = index.select(
         F.col(id_col).alias("_cid"),
         F.explode(band_hashes("sig", bands)).alias("_band"),
@@ -818,15 +857,32 @@ def minhash_lsh_pairs_incremental(
             "_rep": F.min("_cid").over(bucket_w),
         }
     )
-    # hot corpus buckets (cross-corpus boilerplate) collapse to the
-    # representative row: one candidate per new doc per hot bucket
-    idx_bands = idx_bands.filter(
+    return idx_bands.filter(
         (F.col("_bn") <= F.lit(max_bucket_size))
         | (F.col("_cid") == F.col("_rep"))
     ).select("_cid", "band", "bucket")
 
+
+def _incremental_pairs_from_sigs(
+    new_sh: DataFrame,
+    index: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket_size: int,
+    include_batch_pairs: bool,
+) -> DataFrame:
+    """Pair generation given prepared signatures: ``new_sh`` has
+    columns (_nid, _nsh, _nsig) — caller owns its persistence (it is
+    consumed by the band explode, both verification joins, and the
+    batch self-join)."""
+    new_bands = new_sh.select(
+        "_nid", F.explode(band_hashes("_nsig", bands)).alias("_band")
+    ).select("_nid", "_band.band", "_band.bucket")
+
     cand = (
-        new_bands.join(idx_bands, on=["band", "bucket"])
+        new_bands.join(index_bands, on=["band", "bucket"])
         .select("_nid", "_cid")
         .dropDuplicates(["_nid", "_cid"])
     )
@@ -850,23 +906,135 @@ def minhash_lsh_pairs_incremental(
     )
     if not include_batch_pairs:
         return corpus_pairs
-    batch_pairs = minhash_lsh_pairs(
-        new_docs,
-        text_col,
+
+    # batch-internal pairs from the SAME signature frame — the batch
+    # is never re-shingled or re-signed. Hot batch buckets get the
+    # same star guard as minhash_lsh_pairs.
+    bw = Window.partitionBy("band", "bucket")
+    nb = new_bands.withColumns(
+        {
+            "_bn": F.count("*").over(bw),
+            "_rep": F.min("_nid").over(bw),
+        }
+    )
+    normal = nb.filter(F.col("_bn") <= F.lit(max_bucket_size))
+    bcand_normal = (
+        normal.alias("a")
+        .join(normal.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a._nid") < F.col("b._nid"))
+        .select(
+            F.col("a._nid").alias("id_a"), F.col("b._nid").alias("id_b")
+        )
+    )
+    bcand_hot = (
+        nb.filter(
+            (F.col("_bn") > F.lit(max_bucket_size))
+            & (F.col("_nid") != F.col("_rep"))
+        )
+        .select(F.col("_rep").alias("id_a"), F.col("_nid").alias("id_b"))
+    )
+    bcand = bcand_normal.unionByName(bcand_hot).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    batch_pairs = (
+        bcand.join(
+            new_sh.select(
+                F.col("_nid").alias("id_a"), F.col("_nsh").alias("_sh_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            new_sh.select(
+                F.col("_nid").alias("id_b"), F.col("_nsh").alias("_sh_b")
+            ),
+            on="id_b",
+        )
+        .withColumn("jaccard_sim", jaccard("_sh_a", "_sh_b"))
+        .filter(F.col("jaccard_sim") >= F.lit(jaccard_threshold))
+        .select(
+            F.col("id_b").alias("id_new"),
+            F.col("id_a").alias("id_match"),
+            "jaccard_sim",
+            F.lit("batch").alias("match_side"),
+        )
+    )
+    return corpus_pairs.unionByName(batch_pairs)
+
+
+def _batch_signatures(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    portable: bool,
+) -> DataFrame:
+    return build_minhash_index(
+        new_docs, text_col, id_col, shingle_k, num_hashes, portable
+    ).select(
+        F.col(id_col).alias("_nid"),
+        F.col("shingles").alias("_nsh"),
+        F.col("sig").alias("_nsig"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+    include_batch_pairs: bool = True,
+    index_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs of an ingest batch against an existing
+    corpus index (``build_minhash_index`` with the SAME shingle_k /
+    num_hashes / portable settings), plus batch-internal pairs.
+
+    The production ingestion pattern at corpus scale: signatures are
+    computed for the NEW batch only — once, shared by the corpus join
+    and the batch self-join — and candidate generation is a band
+    equi-join of the batch's band keys against the index's; the
+    accepted corpus is never re-shingled. Pass a persisted
+    ``index_bands`` (:func:`expand_index_bands`) when calling
+    repeatedly against the same index — e.g. from
+    ``streaming_dedup_incremental`` — so the corpus-side band
+    explode + hot-bucket window run once per index refresh instead of
+    once per call.
+
+    Output: ``id_new, id_match, jaccard_sim, match_side`` where
+    match_side is ``'corpus'`` or ``'batch'`` (batch pairs report the
+    smaller id as id_match). Feed ``id_new`` of any row to an
+    anti-join to keep only novel documents.
+
+    The batch signature frame is persisted (consumed by four plan
+    branches); as with :func:`minhash_lsh_pairs`, the cache lives
+    until session GC — long-running callers that materialize the
+    result each call should use the streaming wrapper, which
+    unpersists per batch.
+    """
+    new_sh = _batch_signatures(
+        new_docs, text_col, id_col, shingle_k, num_hashes, portable
+    ).persist()
+    if index_bands is None:
+        index_bands = expand_index_bands(
+            index, bands, max_bucket_size, id_col
+        )
+    return _incremental_pairs_from_sigs(
+        new_sh,
+        index,
+        index_bands,
         id_col,
-        shingle_k,
-        num_hashes,
         bands,
         jaccard_threshold,
         max_bucket_size,
-        portable,
-    ).select(
-        F.col("id_b").alias("id_new"),
-        F.col("id_a").alias("id_match"),
-        "jaccard_sim",
-        F.lit("batch").alias("match_side"),
+        include_batch_pairs,
     )
-    return corpus_pairs.unionByName(batch_pairs)
 
 
 def dedup_incremental(

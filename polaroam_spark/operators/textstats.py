@@ -255,7 +255,7 @@ def calibrate_scores(
     score_col: str = "quality_score",
     strata_col: str = "source",
     out_col: str = "calibrated_score",
-    tiebreak_col: str | None = "doc_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-stratum percentile calibration: map raw scores to their
     percent rank WITHIN each stratum, so a threshold means the same
@@ -266,9 +266,13 @@ def calibrate_scores(
 
     One window per stratum — the same shuffle
     :func:`quality_stratified_filter` already pays; rows within a
-    stratum sort once. ``tiebreak_col`` makes equal scores rank
-    deterministically (set None to let ties share a rank, the SQL
-    PERCENT_RANK semantics).
+    stratum sort once. Ties share a rank by default (SQL PERCENT_RANK
+    semantics): equal raw scores MUST calibrate equally, or a
+    coarse-scored stratum would have byte-identical-quality docs
+    spread across [0, 1] and selected arbitrarily by a threshold.
+    Set ``tiebreak_col`` only where a total order is required and the
+    arbitrary within-tie spread is understood (e.g. exact top-k
+    budgeting).
     """
     order = [F.col(score_col).asc_nulls_first()]
     if tiebreak_col is not None:

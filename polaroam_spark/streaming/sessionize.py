@@ -256,19 +256,31 @@ def streaming_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
-    **lsh_kwargs,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
 ):
     """Continuous corpus ingestion with near-dup filtering: every
     micro-batch is deduped against the persisted corpus signature
-    index (operators/dedup.py:build_minhash_index) via
-    ``dedup_incremental``, and survivors append to ``output_path``
-    as parquet.
+    index (operators/dedup.py:build_minhash_index), and survivors
+    land under ``output_path`` as parquet partitioned by micro-batch.
 
     foreachBatch is the right tool here — LSH banding + the
-    verification join are batch DataFrame ops, and the index is a
-    static table; per-batch they run as a normal batch job with the
-    streaming engine handling source offsets/exactly-once sink
-    bookkeeping. Batch-internal near-dups collapse within each
+    verification join are batch DataFrame ops over a static index —
+    but its sink contract is at-least-once: a batch replayed after a
+    crash re-runs ``_process``. The write is therefore made
+    idempotent by partitioning on ``_batch_id`` with dynamic
+    partition overwrite, so a replay rewrites its own partition
+    instead of appending duplicates. Housekeeping the streaming loop
+    needs and a one-shot batch call doesn't: the index's band table
+    (band explode + hot-bucket window — O(corpus)) is computed ONCE
+    here and persisted across batches, and each batch's signature
+    cache is unpersisted as soon as its write lands, so a long-lived
+    stream neither recomputes the corpus side nor leaks executor
+    storage. Batch-internal near-dups collapse within each
     micro-batch; cross-batch dups are caught only against the index,
     so refresh the index at whatever cadence the accepted corpus is
     compacted (the standard lambda-ingest tradeoff, documented here
@@ -276,14 +288,44 @@ def streaming_dedup_incremental(
 
     Returns the started StreamingQuery.
     """
-    from polaroam_spark.operators.dedup import dedup_incremental
+    from polaroam_spark.operators.dedup import (
+        _batch_signatures,
+        _incremental_pairs_from_sigs,
+        expand_index_bands,
+    )
+
+    index_bands = expand_index_bands(
+        index, bands, max_bucket_size, id_col
+    ).persist()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = dedup_incremental(
-            batch_df, index, id_col=id_col, text_col=text_col,
-            **lsh_kwargs,
-        )
-        survivors.write.mode("append").parquet(output_path)
+        new_sh = _batch_signatures(
+            batch_df, text_col, id_col, shingle_k, num_hashes, portable
+        ).persist()
+        try:
+            pairs = _incremental_pairs_from_sigs(
+                new_sh,
+                index,
+                index_bands,
+                id_col,
+                bands,
+                jaccard_threshold,
+                max_bucket_size,
+                include_batch_pairs=True,
+            )
+            losers = pairs.select(
+                F.col("id_new").alias(id_col)
+            ).dropDuplicates()
+            survivors = batch_df.join(losers, on=id_col, how="left_anti")
+            (
+                survivors.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(output_path)
+            )
+        finally:
+            new_sh.unpersist()
 
     writer = (
         docs_stream.writeStream.foreachBatch(_process)

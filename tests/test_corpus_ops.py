@@ -200,6 +200,17 @@ def test_calibrate_scores_per_stratum_percentile(spark):
     # a shared threshold now means "same percentile" in both sources
     assert {d for d, v in out.items() if v >= 0.99} == {0, 3}
 
+    # coarse scores: ties MUST share a calibrated value (no arbitrary
+    # spread across [0,1] by id)
+    ties = spark.createDataFrame(
+        [(i, "z", 0.5) for i in range(10)] + [(99, "z", 0.9)],
+        "doc_id long, source string, quality_score double",
+    )
+    tied = {r.doc_id: r.calibrated_score
+            for r in calibrate_scores(ties).collect()}
+    assert all(tied[i] == 0.0 for i in range(10))
+    assert tied[99] == 1.0
+
 
 def test_tfidf_top_terms_surfaces_distinctive_words(spark):
     from polaroam_spark.operators.chunking import tfidf_top_terms

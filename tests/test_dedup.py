@@ -294,13 +294,20 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert survivors_hi == {0, 4, 5}
 
 
-def test_decontaminate_short_doc_whole_gram(spark):
+def test_decontaminate_short_eval_items(spark):
     from polaroam_spark.operators.dedup import decontaminate
 
-    # docs shorter than n collapse to one whole-doc shingle: they are
-    # dropped only on an exact full-text token match with an eval gram
+    # eval items shorter than n match by exact text: both the short
+    # corpus doc AND the long corpus doc CONTAINING the short answer
+    # verbatim are contaminated (the QA-answer leak case)
     corpus = spark.createDataFrame(
-        [(0, "tiny doc"), (1, "other doc")], "doc_id long, text string"
+        [
+            (0, "tiny doc"),
+            (1, "other doc"),
+            (2, "a very long treatise that casually embeds the tiny doc "
+                "phrase in the middle of otherwise original prose"),
+        ],
+        "doc_id long, text string",
     )
     ev = spark.createDataFrame(
         [(9, "tiny doc")], "doc_id long, text string"
@@ -309,6 +316,15 @@ def test_decontaminate_short_doc_whole_gram(spark):
         r.doc_id for r in decontaminate(corpus, ev, n=8).collect()
     }
     assert survivors == {1}
+    # opting out restores pure n-gram semantics: the short eval item
+    # matches nothing
+    survivors_off = {
+        r.doc_id
+        for r in decontaminate(
+            corpus, ev, n=8, match_short_eval=False
+        ).collect()
+    }
+    assert survivors_off == {0, 1, 2}
 
 
 def test_dedup_lines_removes_boilerplate(spark):
@@ -421,9 +437,10 @@ def test_incremental_matches_full_rerun(spark, docs):
     }
     head = docs.filter(F.col("doc_id") < 3)
     tail = docs.filter(F.col("doc_id") >= 3)
+    # id_match < id_new holds on both sides (corpus ids precede batch
+    # ids here; batch pairs always report the smaller id as id_match)
     inc = {
-        (r.id_match, r.id_new) if r.match_side == "corpus"
-        else (r.id_match, r.id_new)
+        (r.id_match, r.id_new)
         for r in minhash_lsh_pairs_incremental(
             tail, build_minhash_index(head, num_hashes=16),
             num_hashes=16, bands=8, jaccard_threshold=0.5,

@@ -33,7 +33,7 @@ def _run_stream(df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     return q
 
 
@@ -135,7 +135,7 @@ def test_streaming_incremental_dedup(spark, tmpdir):
         stream, index, checkpoint_dir=ck, output_path=out,
         num_hashes=16, bands=8, jaccard_threshold=0.5,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     survivors = sorted(
         r.doc_id for r in spark.read.parquet(out).collect()
     )
