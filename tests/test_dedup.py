@@ -475,3 +475,38 @@ def test_dedup_lines_idempotent(spark):
     b = {r.doc_id: r.text for r in twice.collect()}
     assert a == b
     assert a[0] == "body zero"
+
+
+def test_incremental_hot_bucket_guards(spark):
+    """Both degenerate-bucket guards of the incremental path: a hot
+    CORPUS bucket (boilerplate pile in the index) collapses to its
+    representative, and a hot BATCH bucket takes the star path."""
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    boiler = "accept all cookies to continue reading this article now"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(500)], "doc_id long, text string"
+    )
+    index = build_minhash_index(corpus)
+
+    spam = "subscribe to our newsletter for weekly updates and offers"
+    batch = spark.createDataFrame(
+        [(1000, boiler)] + [(1100 + i, spam) for i in range(300)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs_incremental(
+        batch, index, jaccard_threshold=0.5, max_bucket_size=100
+    ).collect()
+
+    corpus_hits = [p for p in pairs if p.match_side == "corpus"]
+    # hot corpus bucket: the boilerplate batch doc matches ONLY the
+    # min-id representative, not all 500 corpus copies
+    assert len(corpus_hits) == 1
+    assert corpus_hits[0].id_new == 1000 and corpus_hits[0].id_match == 0
+    batch_hits = [p for p in pairs if p.match_side == "batch"]
+    # hot batch bucket: 300 spam docs -> 299 star pairs to min id 1100
+    assert len(batch_hits) == 299
+    assert all(p.id_match == 1100 for p in batch_hits)
