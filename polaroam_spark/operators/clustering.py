@@ -360,60 +360,24 @@ def cluster_stops_dbscan_distributed(
     )
     edges = edges.persist()
 
-    # Min-label propagation: label <- min(label, min over neighbors).
-    labels = pts.select(
-        "uid", "point_id", F.col("point_id").alias("component")
+    # Components of the per-uid ε-graph via alternating large-star/
+    # small-star contraction (operators/graph.py): O(log n) rounds vs
+    # the O(ε-chain length) of per-hop label propagation — a dense
+    # urban corridor legitimately chains thousands of ε-hops.  Points
+    # without edges are absent from `labels`; coalesced to self below.
+    from polaroam_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        edges,
+        src="pid_a",
+        dst="pid_b",
+        key_cols=["uid"],
+        max_rounds=max_iterations,
+    ).select(
+        "uid",
+        F.col("node").alias("point_id"),
+        F.col("component").alias("component"),
     )
-    converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnsRenamed(
-                    {"point_id": "pid_b", "component": "nbr_component"}
-                ),
-                on=["uid", "pid_b"],
-                how="inner",
-            )
-            .groupBy("uid", "pid_a")
-            .agg(F.min("nbr_component").alias("nbr_component"))
-            .withColumnRenamed("pid_a", "point_id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, on=["uid", "point_id"], how="left")
-            .withColumn(
-                "new_component",
-                F.least(F.col("component"), F.coalesce("nbr_component", "component")),
-            )
-            .select(
-                "uid",
-                "point_id",
-                F.col("new_component").alias("component"),
-            )
-        )
-        # Materialize each iteration and cut lineage growth; uses a
-        # reliable checkpoint automatically when the session has a
-        # checkpoint dir configured (see session.materialize).
-        new_labels = materialize(new_labels)
-        changed = (
-            labels.join(
-                new_labels.withColumnRenamed("component", "ncomp"),
-                on=["uid", "point_id"],
-            )
-            .filter(F.col("component") != F.col("ncomp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # silent truncation would emit one physical cluster as several
-        raise RuntimeError(
-            f"label propagation did not converge in {max_iterations} "
-            "iterations (an ε-chain longer than that exists); raise "
-            "max_iterations"
-        )
 
     # Singletons (no edge at all) -> -1; dense per-uid ids 0..k-1 for
     # the rest. Rank ONLY the connected points — ranking singleton

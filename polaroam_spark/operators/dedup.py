@@ -243,73 +243,31 @@ def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 50,
+    max_iterations: int = 30,
 ) -> DataFrame:
-    """Transitive closure of a duplicate-pair table: iterative
-    min-label propagation over the undirected pair graph (the same
-    primitive as the distributed DBSCAN path). Output: ``doc_id,
+    """Transitive closure of a duplicate-pair table. Output: ``doc_id,
     representative`` where representative is the smallest id in each
     connected component — turns pairwise near-dup hits into proper
     duplicate CLUSTERS (a-b, b-c ⇒ {a,b,c} all map to a).
-    """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).dropDuplicates()
-    edges = edges.persist()
 
-    labels = edges.select(F.col("src").alias("node")).dropDuplicates()\
-        .withColumn("representative", F.col("node"))
-    converged = len(labels.take(1)) == 0  # empty graph is converged
-    for _ in range(max_iterations):
-        if converged:
-            break
-        nbr_min = (
-            edges.join(
-                labels.withColumnsRenamed(
-                    {"node": "dst", "representative": "nbr_rep"}
-                ),
-                on="dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nbr_rep").alias("nbr_rep"))
-            .withColumnRenamed("src", "node")
-        )
-        new_labels = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("representative"),
-                    F.coalesce("nbr_rep", "representative"),
-                ).alias("representative"),
-            )
-        )
-        # lineage cut per iteration; reliable checkpoint when a
-        # checkpoint dir is configured (session.materialize)
-        new_labels = materialize(new_labels)
-        changed = (
-            labels.join(
-                new_labels.withColumnRenamed("representative", "nrep"),
-                on="node",
-            )
-            .filter(F.col("representative") != F.col("nrep"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"duplicate-component propagation did not converge in "
-            f"{max_iterations} iterations (a near-dup chain longer than "
-            "that exists); raise max_iterations"
-        )
-    return labels.withColumnRenamed("node", "doc_id")
+    Runs alternating large-star/small-star contraction
+    (:mod:`polaroam_spark.operators.graph`), which converges in
+    O(log n) rounds rather than the O(chain length) of naive label
+    propagation — a boilerplate-heavy web corpus legitimately chains
+    hundreds of near-dup hops, and per-hop iteration is the scale
+    failure mode there.  ``max_iterations`` bounds star rounds (each
+    round at least halves component-tree height, so the default covers
+    astronomically large components).
+    """
+    from polaroam_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        pairs, src=id_a, dst=id_b, max_rounds=max_iterations
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("representative"),
+    )
 
 
 def simhash_fingerprint(

@@ -1,0 +1,98 @@
+"""Tests for the shared large-star/small-star connected-components
+primitive (operators/graph.py) — the transitive-closure engine behind
+duplicate_components and distributed DBSCAN."""
+
+from pyspark.sql import functions as F
+
+from polaroam_spark.operators.graph import connected_components
+
+
+def test_path_graph_converges_logarithmically(spark):
+    # A 200-node path is the adversarial case for min-label
+    # propagation (needs ~199 hops); star contraction must close it
+    # in O(log n) rounds.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "u long, v long"
+    )
+    rounds = []
+    labels = connected_components(pairs, _rounds_out=rounds)
+    rows = {r.node: r.component for r in labels.collect()}
+    assert rows == {i: 0 for i in range(200)}
+    # ~log2(200) ≈ 8 productive rounds + 1 round that confirms the
+    # fixed point (digest unchanged). Min-label propagation needs 199.
+    assert rounds[0] <= 9, f"took {rounds[0]} rounds on a 200-node path"
+
+
+def test_multiple_components_and_id_gaps(spark):
+    pairs = spark.createDataFrame(
+        [(10, 2), (2, 30), (5, 7), (100, 100)], "u long, v long"
+    )
+    labels = connected_components(pairs)
+    rows = {r.node: r.component for r in labels.collect()}
+    # self-loop (100,100) is dropped, so 100 never enters the output
+    assert rows == {2: 2, 10: 2, 30: 2, 5: 5, 7: 5}
+
+
+def test_keyed_components_never_span_keys(spark):
+    # same node ids in two uid groups: components must stay per-key
+    pairs = spark.createDataFrame(
+        [("a", 1, 2), ("a", 2, 3), ("b", 2, 9)],
+        "uid string, u long, v long",
+    )
+    labels = connected_components(pairs, key_cols=["uid"])
+    rows = {(r.uid, r.node): r.component for r in labels.collect()}
+    assert rows == {
+        ("a", 1): 1, ("a", 2): 1, ("a", 3): 1,
+        ("b", 2): 2, ("b", 9): 2,
+    }
+
+
+def test_string_node_ids(spark):
+    pairs = spark.createDataFrame(
+        [("docB", "docA"), ("docB", "docC")], "u string, v string"
+    )
+    labels = connected_components(pairs)
+    rows = {r.node: r.component for r in labels.collect()}
+    assert rows == {"docA": "docA", "docB": "docA", "docC": "docA"}
+
+
+def test_empty_edge_set(spark):
+    pairs = spark.createDataFrame([], "u long, v long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_random_graph_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(42)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    touched = {x for e in edges for x in e}
+    for x in touched:
+        r = find(x)
+        # canonical min id per component
+        expected.setdefault(r, set()).add(x)
+    want = {}
+    for members in expected.values():
+        m = min(members)
+        for x in members:
+            want[x] = m
+
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    rows = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert rows == want
