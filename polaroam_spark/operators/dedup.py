@@ -26,7 +26,29 @@ from polaroam_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from polaroam_spark.session import materialize
+from polaroam_spark.session import materialize as materialize_df
+
+
+def _finalize_pairs(
+    result: DataFrame, caches: list[DataFrame], eager: bool
+) -> DataFrame:
+    """Cache-lifecycle contract of the pair generators' ``materialize``
+    option. ``eager=False`` (default): return the lazy plan — the
+    intermediate persists (signature / band frames, referenced by
+    multiple plan branches) stay alive until session cache eviction,
+    which is right for interactive reuse. ``eager=True``: compute the
+    result now (lineage cut via session.materialize, so the returned
+    frame no longer references the caches) and unpersist the
+    intermediates before returning — the right call for a long-running
+    ingest loop that would otherwise accumulate executor storage on
+    every batch (streaming_dedup_incremental does exactly this per
+    micro-batch)."""
+    if not eager:
+        return result
+    out = materialize_df(result)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def normalize_text(text_col) -> F.Column:
@@ -70,6 +92,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -110,10 +133,10 @@ def minhash_lsh_pairs(
     # without it the hash computation runs 4x (measured 10x slower at
     # sf0.1). Unlike cheap window lineages (see BASELINE.md), here the
     # lineage above the reuse point is expensive per-row compute.
-    # Known limitation: the cache lives until session GC/eviction (the
-    # lazily returned frame still references it, so it cannot be
-    # unpersisted here); call spark.catalog.clearCache() between large
-    # corpus passes if storage pressure matters.
+    # Cache lifetime: with the default lazy return the cache lives
+    # until session eviction; pass ``materialize=True`` to compute the
+    # result eagerly and release all intermediate caches before
+    # returning (see _finalize_pairs).
     sh = sh.persist()
 
     banded = sh.select(
@@ -172,7 +195,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_sim") >= F.lit(jaccard_threshold))
         .select("id_a", "id_b", "jaccard_sim")
     )
-    return verified
+    return _finalize_pairs(verified, [sh, banded], materialize)
 
 
 def dedup_minhash_lsh(
@@ -326,6 +349,7 @@ def simhash_pairs(
     chunks: int = 4,
     max_bucket_size: int = 1000,
     portable: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one
     of ``chunks`` fingerprint chunks (pigeonhole: any pair within
@@ -397,7 +421,7 @@ def simhash_pairs(
     cand = cand_normal.unionByName(cand_hot).dropDuplicates(
         ["id_a", "id_b"]
     )
-    return (
+    verified = (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))),
@@ -405,6 +429,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+    return _finalize_pairs(verified, [chunked], materialize)
 
 
 def ngram_jaccard_pairs(
@@ -483,6 +508,7 @@ def embedding_neardup_pairs(
     cosine_threshold: float = 0.98,
     num_planes: int = 8,
     max_bucket_size: int = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed cosine. Candidates
     share a random-hyperplane sign bucket (deterministic pseudo-random
@@ -535,11 +561,12 @@ def embedding_neardup_pairs(
     cand = cand_normal.unionByName(cand_hot).dropDuplicates(
         ["id_a", "id_b"]
     )
-    return (
+    verified = (
         cand.withColumn("cosine", cosine_similarity("_va", "_vb"))
         .filter(F.col("cosine") >= F.lit(cosine_threshold))
         .select("id_a", "id_b", "cosine")
     )
+    return _finalize_pairs(verified, [b], materialize)
 
 
 def _gram_hits(
@@ -949,6 +976,7 @@ def minhash_lsh_pairs_incremental(
     portable: bool = False,
     include_batch_pairs: bool = True,
     index_bands: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs of an ingest batch against an existing
     corpus index (``build_minhash_index`` with the SAME shingle_k /
@@ -971,10 +999,12 @@ def minhash_lsh_pairs_incremental(
     anti-join to keep only novel documents.
 
     The batch signature frame is persisted (consumed by four plan
-    branches); as with :func:`minhash_lsh_pairs`, the cache lives
-    until session GC — long-running callers that materialize the
-    result each call should use the streaming wrapper, which
-    unpersists per batch.
+    branches). Pass ``materialize=True`` to compute the result
+    eagerly and unpersist the batch cache before returning — the
+    contract for a long-running per-batch ingest loop (the streaming
+    wrapper does this every micro-batch; a manual ``dedup_incremental``
+    loop should pass it too or executor storage accumulates one batch
+    signature frame per call).
     """
     new_sh = _batch_signatures(
         new_docs, text_col, id_col, shingle_k, num_hashes, portable
@@ -983,7 +1013,7 @@ def minhash_lsh_pairs_incremental(
         index_bands = expand_index_bands(
             index, bands, max_bucket_size, id_col
         )
-    return _incremental_pairs_from_sigs(
+    pairs = _incremental_pairs_from_sigs(
         new_sh,
         index,
         index_bands,
@@ -993,6 +1023,7 @@ def minhash_lsh_pairs_incremental(
         max_bucket_size,
         include_batch_pairs,
     )
+    return _finalize_pairs(pairs, [new_sh], materialize)
 
 
 def dedup_incremental(

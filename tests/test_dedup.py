@@ -510,3 +510,47 @@ def test_incremental_hot_bucket_guards(spark):
     # hot batch bucket: 300 spam docs -> 299 star pairs to min id 1100
     assert len(batch_hits) == 299
     assert all(p.id_match == 1100 for p in batch_hits)
+
+
+def _n_persistent_rdds(spark):
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_materialize_releases_intermediate_caches(spark, docs):
+    # Lazy default: the signature + band caches stay alive (2 extra
+    # persistent RDDs) because the returned plan references them.
+    # materialize=True must release every intermediate cache; only the
+    # lineage-cut result itself (one localCheckpoint RDD) may remain.
+    spark.catalog.clearCache()
+    before = _n_persistent_rdds(spark)
+    pairs = minhash_lsh_pairs(docs, materialize=True)
+    n = pairs.count()
+    assert n >= 1  # the planted near-dups are still found
+    after = _n_persistent_rdds(spark)
+    assert after - before <= 1, (
+        f"minhash_lsh_pairs(materialize=True) leaked "
+        f"{after - before} persistent RDDs (expected <= 1: the "
+        "checkpointed result only)"
+    )
+
+
+def test_materialize_incremental_releases_batch_cache(spark, docs):
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    index = build_minhash_index(docs.filter(F.col("doc_id") <= 2))
+    batch = docs.filter(F.col("doc_id") >= 3)
+    spark.catalog.clearCache()
+    before = _n_persistent_rdds(spark)
+    for _ in range(3):  # per-batch ingest loop: storage must not grow
+        pairs = minhash_lsh_pairs_incremental(
+            batch, index, materialize=True
+        )
+        pairs.count()
+    after = _n_persistent_rdds(spark)
+    assert after - before <= 3, (
+        f"3 materialized incremental calls left {after - before} "
+        "persistent RDDs (expected <= 3: one checkpointed result each)"
+    )
