@@ -2760,25 +2760,55 @@ def d6(spark, sf_dir):
                              t -> t != '') AS toks
   FROM documents
 ),
-grams AS (
-  SELECT doc_id, gram FROM (
-    SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
-      list_distinct([array_to_string(toks[i:i+7], ' ')
-                     for i in range(1, len(toks) - 6)])
-      ELSE [array_to_string(toks, ' ')] END AS gram_list
-    FROM toks), unnest(gram_list) AS u(gram)
+ev_toks AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+c_toks AS (SELECT * FROM toks WHERE doc_id % 10 != 0),
+ev_long AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, len(toks) - 6)]) AS gram
+    FROM ev_toks WHERE len(toks) >= 8)
 ),
-ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
-hits AS (
-  SELECT g.doc_id, count(*) AS n_overlap
-  FROM grams g JOIN ev ON g.gram = ev.gram
-  WHERE g.doc_id % 10 != 0
-  GROUP BY g.doc_id
+c_long AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(toks[i:i+7], ' ')
+       for i in range(1, len(toks) - 6)])) AS gram
+    FROM c_toks WHERE len(toks) >= 8)
+),
+hits_long AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM c_long c JOIN ev_long e USING (gram) GROUP BY c.doc_id
+),
+short_lens AS (
+  SELECT DISTINCT len(toks) AS L FROM ev_toks
+  WHERE len(toks) > 0 AND len(toks) < 8
+),
+ev_short AS (
+  SELECT DISTINCT len(toks) AS L, array_to_string(toks, ' ') AS gram
+  FROM ev_toks WHERE len(toks) > 0 AND len(toks) < 8
+),
+c_short AS (
+  SELECT doc_id, L, gram FROM (
+    SELECT t.doc_id, l.L, unnest(list_distinct(
+      [array_to_string(t.toks[i:i+l.L-1], ' ')
+       for i in range(1, len(t.toks) - l.L + 2)])) AS gram
+    FROM c_toks t CROSS JOIN short_lens l
+    WHERE len(t.toks) >= l.L)
+),
+hits_short AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM c_short c JOIN ev_short e ON c.L = e.L AND c.gram = e.gram
+  GROUP BY c.doc_id
+),
+all_hits AS (
+  SELECT doc_id, sum(n) AS n_overlap FROM (
+    SELECT * FROM hits_long UNION ALL SELECT * FROM hits_short
+  ) GROUP BY doc_id
 )
 SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
        COALESCE(h.n_overlap, 0) = 0 AS survives
 FROM documents d
-LEFT JOIN hits h ON d.doc_id = h.doc_id
+LEFT JOIN all_hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 10 != 0""",
 )
 def d7(spark, sf_dir):
@@ -2786,7 +2816,11 @@ def d7(spark, sf_dir):
     decontaminate): eval set = every 10th doc, corpus = the rest;
     8-gram overlap flags the planted cross-split duplicates. The
     report (per-doc overlap count + survive flag) is richer than the
-    survivor set, so the oracle hashes the counts too."""
+    survivor set, so the oracle hashes the counts too. The oracle
+    models the FULL match_short_eval=True semantics: eval items
+    shorter than 8 tokens match as L-gram sub-spans inside longer
+    corpus docs (one per-length pass, mirroring
+    dedup.ngram_overlap_counts)."""
     from polaroam_spark.operators.dedup import ngram_overlap_counts
 
     docs = _t(spark, sf_dir, "documents")

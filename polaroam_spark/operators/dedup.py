@@ -738,10 +738,16 @@ def dedup_lines(
 
     Returns one row per input doc: ``id_col``, rebuilt ``text_col``
     (empty string when every line was boilerplate), and
-    ``n_lines_removed``.
+    ``n_lines_removed``. A NULL ``text_col`` is treated as the empty
+    document (rebuilt as ``''`` with 0 lines removed) rather than
+    silently yielding a NULL line count — split(NULL) is NULL and
+    would otherwise drop the doc from the explode and NULL the count.
     """
     from polaroam_spark.functions.text import fast_hash64
 
+    docs = docs.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias(

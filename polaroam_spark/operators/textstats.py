@@ -273,9 +273,28 @@ def calibrate_scores(
     Set ``tiebreak_col`` only where a total order is required and the
     arbitrary within-tie spread is understood (e.g. exact top-k
     budgeting).
+
+    NULL scores calibrate to NULL (a classifier that failed to score a
+    doc has no percentile; silently ranking it bottom would let a
+    threshold pass or drop it arbitrarily) and are excluded from the
+    ranking denominator, so non-null percentiles are unaffected by
+    how many nulls a stratum carries.
     """
-    order = [F.col(score_col).asc_nulls_first()]
+    order = [F.col(score_col).asc_nulls_last()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(strata_col).orderBy(*order)
-    return df.withColumn(out_col, F.percent_rank().over(w))
+    # percent_rank over non-null scores only: rank() with NULLS LAST
+    # gives non-null rows ranks 1..m; m = non-null count per stratum
+    # (F.count ignores nulls). (rank-1)/(m-1) reproduces SQL
+    # PERCENT_RANK tie semantics; single-row stratum -> 0.0.
+    m = F.count(score_col).over(Window.partitionBy(strata_col))
+    pr = F.when(
+        m > 1,
+        (F.rank().over(w) - F.lit(1)).cast("double") / (m - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(score_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(pr),
+    )

@@ -232,3 +232,20 @@ def test_tfidf_top_terms_surfaces_distinctive_words(spark):
         by_doc.setdefault(r.doc_id, []).append(r.term_rank)
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in by_doc.values())
+
+
+def test_calibrate_scores_null_propagates(spark):
+    from polaroam_spark.operators.textstats import calibrate_scores
+
+    df = spark.createDataFrame(
+        [("web", 0, 0.2), ("web", 1, 0.8), ("web", 2, 0.5),
+         ("web", 3, None), ("cur", 4, 0.9)],
+        "source string, doc_id long, quality_score double",
+    )
+    out = {r.doc_id: r.calibrated_score
+           for r in calibrate_scores(df).collect()}
+    # null score -> null percentile, and it does NOT dilute the
+    # denominator of the non-null rows (ranks over 3 scored docs)
+    assert out[3] is None
+    assert out[0] == 0.0 and out[2] == 0.5 and out[1] == 1.0
+    assert out[4] == 0.0  # single-row stratum

@@ -554,3 +554,16 @@ def test_materialize_incremental_releases_batch_cache(spark, docs):
         f"3 materialized incremental calls left {after - before} "
         "persistent RDDs (expected <= 3: one checkpointed result each)"
     )
+
+
+def test_dedup_lines_null_text_is_empty_doc(spark):
+    from polaroam_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "keep me\nshared footer"), (1, "other\nshared footer"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs, min_doc_freq=2).collect()}
+    assert out[2].text == "" and out[2].n_lines_removed == 0
+    assert out[0].n_lines_removed == 1
