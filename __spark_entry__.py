@@ -2262,6 +2262,35 @@ def m3b(spark, sf_dir):
     )
 
 
+# m3c hash-checks the Infomap path itself (VERDICT r3 item 4): the
+# SQL-computable ε-graph statistics (node/singleton/component counts,
+# twinned by the same recursive-CTE closure as m3b) ride in the hash
+# alongside booleans certifying the optimizer's output — monotone
+# descent of the map-equation value vs the all-singleton partition,
+# module-count bounds, dense labeling — which the oracle pins TRUE.
+# A broken optimizer (non-descending objective, split/merged modules,
+# label gaps) flips a boolean and the value hash mismatches.
+@_q(
+    "m3c_communities_invariants",
+    "WITH RECURSIVE "
+    + _dbscan_cc_cte()
+    + """
+SELECT c.uid,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN r.rep IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(count(DISTINCT r.rep) AS BIGINT) AS n_components,
+       TRUE AS descent_ok, TRUE AS bounds_ok, TRUE AS dense_ok
+FROM dcells c LEFT JOIN drep r ON c.uid = r.uid AND c.pid = r.node
+GROUP BY c.uid""",
+)
+def m3c(spark, sf_dir):
+    from polaroam_spark.operators.clustering import community_invariants
+
+    med = _medians_df(spark, sf_dir)
+    return community_invariants(med, r2=25.0)
+
+
 @_q(
     "m5_prepare_labeling",
     "WITH "
@@ -3057,6 +3086,78 @@ def n2(spark, sf_dir):
         emb, q, k=10, num_planes=6, num_probes=3
     ).select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _ann_recall_gate(spark, sf_dir, ann_fn) -> DataFrame:
+    """Shared body of the n2b/n3b hash-checked ANN certifications:
+    per query — the query vector ranks 1 in its own result (any
+    correct bucketing finds self), exactly k rows come back, and
+    recall@10 vs the exact scan clears a floor an order of magnitude
+    below measured values (>= 0.5 per query on current testdata;
+    a broken candidate generator scores ~k/N ≈ 0.01). The oracle pins
+    all three booleans TRUE, so a regression value-hash-mismatches."""
+    from polaroam_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    ann = ann_fn(emb, q)
+    hits = exact.join(
+        ann.select("query_id", "vec_id"),
+        on=["query_id", "vec_id"],
+        how="left_semi",
+    ).groupBy("query_id").agg(F.count("*").alias("_n_hit"))
+    stats = ann.groupBy("query_id").agg(
+        F.count("*").alias("_n_rows"),
+        F.max(
+            (F.col("vec_id") == F.col("query_id")) & (F.col("rank") == 1)
+        ).alias("self_ok"),
+    )
+    return (
+        stats.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            "self_ok",
+            (F.col("_n_rows") == 10).alias("k_ok"),
+            (
+                F.coalesce(F.col("_n_hit"), F.lit(0)) >= F.lit(2)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_GATE_SQL = (
+    "SELECT vec_id AS query_id, TRUE AS self_ok, TRUE AS k_ok, "
+    "TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
+
+
+@_q("n2b_ann_lsh_recall", _ANN_GATE_SQL)
+def n2b(spark, sf_dir):
+    from polaroam_spark.operators.similarity import ann_lsh_topk
+
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda emb, q: ann_lsh_topk(
+            emb, q, k=10, num_planes=5, num_probes=12
+        ),
+    )
+
+
+@_q("n3b_ann_ivf_recall", _ANN_GATE_SQL)
+def n3b(spark, sf_dir):
+    from polaroam_spark.operators.similarity import ann_ivf_topk
+
+    return _ann_recall_gate(
+        spark,
+        sf_dir,
+        lambda emb, q: ann_ivf_topk(
+            emb, q, k=10, num_centroids=8, num_probes=4
+        ),
     )
 
 

@@ -20,8 +20,9 @@ Two code paths behind one API (SURVEY.md §2h, §7 phase 2):
    edges with a grid-cell self-join (cell size = ε, join on the 9
    neighboring cells — a range-join analogue of the reference's
    BallTree ``query_radius``, utils.py:32-65) and resolve components
-   with iterative min-label propagation over the edge DataFrame. No
-   cross join anywhere; survives data that does NOT fit per-group.
+   with alternating large-star/small-star contraction
+   (operators/graph.py, O(log n) rounds). No cross join anywhere;
+   survives data that does NOT fit per-group.
 
 Medoid stats (``cluster_medoids``) are plain groupBy aggregates — the
 reference wraps them in a per-group Python callback
@@ -39,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -667,6 +669,187 @@ def two_level_infomap(
                     new_adj[mi][mj] = new_adj[mi].get(mj, 0.0) + w
         adj, strength = new_adj, new_strength
     return labels
+
+
+def map_equation_value(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    modules: np.ndarray,
+) -> float:
+    """Two-level map equation L(M) of a given partition (Rosvall &
+    Bergstrom 2008, eq. 3; undirected flow): the description length in
+    bits per step of a random walk under partition ``modules``. Used
+    by the m3c invariant gate and the Infomap golden tests to compare
+    partitions on equal terms — lower is better.
+
+    Conventions match ``_mapeq_local_moves``: p_a = strength_a /
+    tot_w with tot_w = 2·(total edge weight); q_m = (weight of edges
+    leaving module m) / tot_w. Zero-strength nodes (no incident
+    edges) contribute nothing regardless of their module.
+    """
+    strength = np.zeros(n, dtype=np.float64)
+    for (i, j), w in zip(edges, weights):
+        strength[int(i)] += float(w)
+        strength[int(j)] += float(w)
+    tot_w = float(strength.sum())
+    if tot_w <= 0.0:
+        return 0.0
+    p = strength / tot_w
+    cut: dict = {}
+    for (i, j), w in zip(edges, weights):
+        mi, mj = int(modules[int(i)]), int(modules[int(j)])
+        if mi != mj:
+            cut[mi] = cut.get(mi, 0.0) + float(w)
+            cut[mj] = cut.get(mj, 0.0) + float(w)
+    P: dict = {}
+    for a in range(n):
+        if strength[a] > 0.0:
+            m = int(modules[a])
+            P[m] = P.get(m, 0.0) + p[a]
+    Q = sum(cut.values()) / tot_w
+    L = _plogp(Q) - sum(_plogp(x) for x in p)
+    for m, Pm in P.items():
+        q_m = cut.get(m, 0.0) / tot_w
+        L += -2.0 * _plogp(q_m) + _plogp(q_m + Pm)
+    return float(L)
+
+
+def _invariants_schema(df: DataFrame) -> StructType:
+    return StructType(
+        [
+            df.schema["uid"],
+            StructField("n_nodes", LongType()),
+            StructField("n_singletons", LongType()),
+            StructField("n_components", LongType()),
+            StructField("descent_ok", BooleanType()),
+            StructField("bounds_ok", BooleanType()),
+            StructField("dense_ok", BooleanType()),
+        ]
+    )
+
+
+def community_invariants(
+    medians: DataFrame,
+    r2: float = 10.0,
+    min_spacial_resolution: float = 0.0,
+    distance_metric: str = "haversine",
+) -> DataFrame:
+    """Hash-checkable certification of the Infomap community path: per
+    uid, the SQL-twinnable graph statistics (node / singleton /
+    component counts of the ε-graph — a DuckDB recursive CTE computes
+    the same numbers) plus booleans certifying properties of the
+    ACTUAL ``two_level_infomap`` output that no SQL engine can
+    reproduce directly:
+
+    - ``descent_ok``: L(found partition) <= L(all-singletons) — the
+      optimizer starts from singletons and only takes improving
+      moves, so this holds by construction; a regression breaking
+      monotone descent flips it.
+    - ``bounds_ok``: n_components <= n_modules <= n_connected_nodes
+      (modules refine components and never split below 1 node).
+    - ``dense_ok``: non-noise labels are exactly 0..k-1 and noise
+      (-1) appears exactly on the ε-singleton nodes.
+
+    Same graph construction as :func:`cluster_communities`
+    (unique coords, max-count edge weights); runs per uid as an Arrow
+    grouped map with the same size guard.
+    """
+    if min_spacial_resolution > 0:
+        glat = grid_snap("latitude", min_spacial_resolution)
+        glon = grid_snap("longitude", min_spacial_resolution)
+    else:
+        glat, glon = F.col("latitude"), F.col("longitude")
+    unique_coords = (
+        medians.withColumns({"_glat": glat, "_glon": glon})
+        .groupBy(
+            "uid",
+            F.col("_glat").alias("latitude"),
+            F.col("_glon").alias("longitude"),
+        )
+        .agg(F.count("*").alias("n_members"))
+    )
+    eps = float(r2)
+    metric = str(distance_metric)
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"Unsupported distance metric: {metric}")
+    max_group = 20_000
+
+    def _certify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group:
+            raise ValueError(
+                f"user {pdf['uid'].iloc[0]!r} has {len(pdf)} unique stop"
+                f" coordinates (> {max_group}); raise"
+                " min_spacial_resolution to downsample first."
+            )
+        pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
+        lat = pdf["latitude"].to_numpy()
+        lon = pdf["longitude"].to_numpy()
+        counts = pdf["n_members"].to_numpy()
+        n = len(pdf)
+        dist = _distance_matrix(lat, lon, metric)
+        iu, ju = np.triu_indices(n, k=1)
+        near = dist[iu, ju] <= eps
+        ei, ej = iu[near], ju[near]
+        w = np.maximum(counts[ei], counts[ej]).astype(np.float64)
+        edges = np.column_stack([ei, ej])
+        connected = np.zeros(n, dtype=bool)
+        connected[ei] = True
+        connected[ej] = True
+        n_connected = int(connected.sum())
+
+        # components via union-find (per-user graphs are small)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = int(parent[x])
+            return x
+
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        n_components = len({find(i) for i in range(n) if connected[i]})
+
+        labels = np.full(n, -1, dtype=np.int64)
+        descent_ok = True
+        if n_connected:
+            modules = two_level_infomap(n, edges, w)
+            order: dict = {}
+            for i in range(n):
+                if connected[i]:
+                    m = int(modules[i])
+                    if m not in order:
+                        order[m] = len(order)
+                    labels[i] = order[m]
+            L_found = map_equation_value(n, edges, w, modules)
+            L_single = map_equation_value(
+                n, edges, w, np.arange(n, dtype=np.int64)
+            )
+            descent_ok = bool(L_found <= L_single + 1e-9)
+        n_modules = int(labels.max() + 1) if n_connected else 0
+        bounds_ok = bool(n_components <= n_modules <= n_connected)
+        dense_ok = bool(
+            set(labels[connected].tolist()) == set(range(n_modules))
+            and (labels[~connected] == -1).all()
+        )
+        return pd.DataFrame(
+            {
+                "uid": [pdf["uid"].iloc[0]],
+                "n_nodes": [n],
+                "n_singletons": [n - n_connected],
+                "n_components": [n_components],
+                "descent_ok": [descent_ok],
+                "bounds_ok": [bounds_ok],
+                "dense_ok": [dense_ok],
+            }
+        )
+
+    return unique_coords.groupBy("uid").applyInPandas(
+        _certify, schema=_invariants_schema(unique_coords)
+    )
 
 
 def _communities_schema(df: DataFrame) -> StructType:
