@@ -2635,9 +2635,11 @@ JOIN sizes sb ON s.id_b = sb.doc_id
 WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5""",
 )
 def d4(spark, sf_dir):
-    from polaroam_spark.operators.dedup import ngram_jaccard_pairs
+    # exact variant: the oracle computes true Jaccard on every pair,
+    # so the production default's stop-gram cap must not apply here
+    from polaroam_spark.operators.dedup import ngram_jaccard_pairs_exact
 
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_exact(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
@@ -2779,6 +2781,7 @@ def d6(spark, sf_dir):
         transitive=True,
         n=3,
         threshold=0.5,
+        max_gram_df=None,  # exact semantics — the oracle's closure
     ).select("doc_id", "source", "lang", "n_chars")
 
 
@@ -3668,10 +3671,10 @@ FROM reach GROUP BY node""",
 def k4(spark, sf_dir):
     from polaroam_spark.operators.dedup import (
         duplicate_components,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_exact,
     )
 
-    pairs = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs_exact(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
     return duplicate_components(pairs)

@@ -432,6 +432,14 @@ def simhash_pairs(
     return _finalize_pairs(verified, [chunked], materialize)
 
 
+#: Default document-frequency cap for ngram_jaccard_pairs: one gram
+#: shared by B documents contributes B²/2 inverted-index join rows,
+#: so an uncapped run on web text melts on "the of the". 10k bounds
+#: any single gram's fan-out at ~5e7 rows across the cluster while
+#: leaving every plausibly-discriminative gram intact.
+DEFAULT_MAX_GRAM_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -439,11 +447,11 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None | str = "auto",
 ) -> DataFrame:
-    """Exact n-gram Jaccard duplicate pairs via an inverted-index
-    join: explode distinct n-grams, self-join on the n-gram (the
-    inverted index), count shared grams per pair, then
+    """n-gram Jaccard duplicate pairs via an inverted-index join:
+    explode distinct n-grams, self-join on the n-gram (the inverted
+    index), count shared grams per pair, then
     ``|A∩B| / (|A| + |B| - |A∩B|)``. Fully relational — this is the
     oracle-checkable twin of the MinHash path. ``block_col``
     optionally restricts candidates to equal blocking keys to bound
@@ -454,10 +462,15 @@ def ngram_jaccard_pairs(
     index join rows — "the of the" melts the join at corpus scale).
     Denominator sizes still count every gram, so reported
     ``jaccard_sim`` becomes a LOWER bound for pairs that share pruned
-    grams — safe for a ≥-threshold filter in the sense that no false
-    positives appear, at the cost of possibly missing pairs whose
-    overlap is mostly stop-grams. Default off (exact semantics; the
-    oracle twin assumes it)."""
+    grams — no false positives appear above ``threshold``, at the
+    cost of possibly missing pairs whose overlap is mostly
+    stop-grams. The default ``"auto"`` applies
+    ``DEFAULT_MAX_GRAM_DF`` so a bare production call survives web
+    text; use :func:`ngram_jaccard_pairs_exact` (``max_gram_df=None``)
+    when exact Jaccard on every pair is required — that variant is
+    what the d4/d6/k4 oracle gates pin."""
+    if max_gram_df == "auto":
+        max_gram_df = DEFAULT_MAX_GRAM_DF
     grams = docs.select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
@@ -498,6 +511,31 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact-semantics variant of :func:`ngram_jaccard_pairs`
+    (``max_gram_df=None``): every shared gram counts, so
+    ``jaccard_sim`` is the true Jaccard for every pair. Quadratic in
+    the hottest gram's document frequency — intended for bounded
+    corpora, blocked runs (``block_col``), and oracle twins, not for
+    bare web-scale text."""
+    return ngram_jaccard_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=threshold,
+        block_col=block_col,
+        max_gram_df=None,
     )
 
 

@@ -567,3 +567,39 @@ def test_dedup_lines_null_text_is_empty_doc(spark):
     out = {r.doc_id: r for r in dedup_lines(docs, min_doc_freq=2).collect()}
     assert out[2].text == "" and out[2].n_lines_removed == 0
     assert out[0].n_lines_removed == 1
+
+
+def test_ngram_default_caps_stop_grams(spark):
+    """The production default prunes ubiquitous grams from the index
+    side (lower-bound Jaccard, no false positives); the _exact
+    variant keeps them. Corpus: every doc shares one stop-gram run;
+    only two docs are real near-dups."""
+    from polaroam_spark.operators.dedup import (
+        DEFAULT_MAX_GRAM_DF,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_exact,
+    )
+
+    stop = "the of the and"  # one shared 4-token run => shared 3-grams
+    rows = [(i, f"{stop} unique{i} filler{i} words{i}") for i in range(6)]
+    rows.append((6, "real duplicate candidate text body here okay"))
+    rows.append((7, "real duplicate candidate text body here okay"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r.id_a, r.id_b): r.jaccard_sim
+             for r in ngram_jaccard_pairs_exact(
+                 docs, n=3, threshold=0.2).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard_sim
+              for r in ngram_jaccard_pairs(
+                  docs, n=3, threshold=0.2, max_gram_df=3).collect()}
+    # the stop-gram-only pairs clear 0.2 (2 shared of 8 union grams)
+    assert any(a < 6 and b < 6 for a, b in exact)
+    # capped run: stop-grams (df=6 > 3) pruned from the index, so the
+    # boilerplate pairs vanish; the true duplicate pair survives with
+    # its full (identical-text) similarity
+    assert all(not (a < 6 and b < 6) for a, b in capped)
+    assert capped[(6, 7)] == exact[(6, 7)] == 1.0
+    # lower-bound property: every reported capped sim <= exact sim
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12
+    assert DEFAULT_MAX_GRAM_DF == 10_000
