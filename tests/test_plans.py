@@ -93,3 +93,28 @@ def test_tfidf_no_cartesian_blowup(spark, docs):
     # the corpus-size scalar joins via broadcast nested loop over ONE
     # row; no full CartesianProduct may appear
     assert "CartesianProduct" not in plan, plan
+
+
+def test_homework_labeling_broadcasts_label_joins(spark):
+    """M5-M7 path (prepare_labeling -> detect_home -> detect_work):
+    per-cluster label frames are tiny aggregates and MUST broadcast
+    back onto the stops; the wide stop frame itself must never hit a
+    single-partition exchange or a cartesian product."""
+    from polaroam_spark.operators.homework import (
+        detect_home,
+        detect_work,
+        prepare_labeling,
+    )
+
+    stops = spark.createDataFrame(
+        [("u1", 0, 1700006400 + i * 3600, 1700006400 + i * 3600 + 1800)
+         for i in range(48)],
+        "uid string, stop_locations long, "
+        "start_timestamp long, end_timestamp long",
+    )
+    plan = _plan(detect_work(detect_home(prepare_labeling(stops))))
+    # one broadcast label application per pass (home + work), plus the
+    # broadcast stat joins inside filter_clusters
+    assert plan.count("BroadcastHashJoin LeftOuter") >= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
