@@ -116,16 +116,32 @@ def minhash_lsh_pairs(
     driver-side key collection, no extra shuffle beyond the bucket
     key the join shuffles on anyway.
     """
+    if portable:
+        # portable=True keeps STRING shingles: the signature hash is
+        # the md5-folded portable_hash64 a DuckDB oracle reproduces
+        # bit-for-bit (band buckets already use the portable hash)
+        shingle_set = F.array_distinct(
+            word_shingles(tokens(text_col), shingle_k)
+        )
+    else:
+        # fast path: fold each shingle string to ONE 64-bit hash up
+        # front, then run the seeded signature hashes over the 8-byte
+        # longs instead of re-hashing the ~25-byte string per seed
+        # (~5% wall at sf0.1; grows with num_hashes and shingle
+        # length). The exact-Jaccard verify then intersects long sets
+        # — identical up to 64-bit collisions (~1e-10 at corpus
+        # scale).
+        shingle_set = F.array_distinct(
+            F.transform(
+                word_shingles(tokens(text_col), shingle_k),
+                lambda t: F.xxhash64(t),
+            )
+        )
     sh = docs.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(
-            word_shingles(tokens(text_col), shingle_k)
-        ).alias("_shingles"),
+        shingle_set.alias("_shingles"),
     ).withColumn(
         "_sig",
-        # portable=True swaps the signature hash from xxhash64 to the
-        # md5-folded portable_hash64 a DuckDB oracle can reproduce
-        # bit-for-bit (band buckets already use the portable hash)
         minhash_signature("_shingles", num_hashes, portable=portable),
     )
     # persist is load-bearing: the signature arrays are referenced on
@@ -150,9 +166,12 @@ def minhash_lsh_pairs(
         }
     )
     # persist: referenced by both self-join sides AND the hot path —
-    # without it the explode + band-hash + window chain runs three
-    # times (verified via .explain; same justification as the
-    # signature persist above, and the frame is five narrow columns)
+    # exchange reuse does NOT kick in here (verified on the executed
+    # adaptive plan: 3 Window nodes, 0 ReusedExchange), so without the
+    # persist the explode + band-hash + window shuffle runs three
+    # times. At bench scale that is a wash (AQE coalescing hides it);
+    # at corpus scale three shuffles of the banded table vs one is
+    # not. The frame is five narrow columns.
     banded = banded.persist()
     normal = banded.filter(F.col("_bn") <= max_bucket_size)
     hot = banded.filter(F.col("_bn") > max_bucket_size)
