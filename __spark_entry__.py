@@ -4212,12 +4212,42 @@ def v2(spark, sf_dir):
     )
 
 
-# The correctness driver checks queries in dict order and may only cover
-# a prefix of the registry (round 2 stopped at the 48th entry, leaving the
-# flagship pipelines unscored).  Surface the highest-risk queries first:
-# end-to-end pipelines, clustering, sessionization, then the LLM-pipeline
-# operators; cheap scalar projection/function probes go last.
+# The correctness driver checks queries in dict order and covers a
+# ~50-query prefix of the registry per round. Round-4 rotation
+# (VERDICT r3 item 1): the window is (a) the 35 queries never sampled
+# by any driver round (r2 covered the s/p/j/a/w primitives, r3 the
+# pipeline + LLM operators; these 35 fell between), (b) the three new
+# invariant gates added this round, (c) the five queries whose r2
+# HASH-fail fixes have so far only been verified locally, and (d) the
+# highest-value r2-only primitives to keep their greens fresh.
+# Everything with a green CORRECTNESS_r03 row rides behind.
 _PRIORITY = [
+    # (a) never driver-sampled -------------------------------------
+    "st4_streaming_incremental_dedup",
+    "skw1_salted_agg", "skw2_salted_hot_join",
+    "t8_pii_counts", "t9_detect_language", "t10_bpe_token_count",
+    "v1_vector_normalize", "v2_quantize_roundtrip",
+    "r1_multi_sort_rank", "r2_distinct_subset", "r3_drop_nulls",
+    "r4_explode", "r4b_multi_explode", "r5_pivot", "r6_limit",
+    "f1_haversine", "f2_euclidean", "f3_grid_snap",
+    "f4_f5_array_construct_get", "f6_when_otherwise",
+    "f7_literal_cast", "f8_fill_null", "f9_epoch_to_timestamp",
+    "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
+    "f13_datetime_parts", "f14_iso_weekday", "f15_date_diff_days",
+    "f16_date_trunc_str", "f17_sha_uid_hash", "f18_boolean_algebra",
+    "f19_string_ops", "f20_json_extract",
+    "a13_exact_percentiles",
+    # (b) new round-4 invariant gates ------------------------------
+    "m3c_communities_invariants", "n2b_ann_lsh_recall",
+    "n3b_ann_ivf_recall",
+    # (c) r2 HASH-fails fixed in r3, no hard green row yet ---------
+    "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
+    "s7_csv_sink_roundtrip", "j8_point_in_interval", "w3_gated_cumsum",
+    # (d) r2-only primitives, refreshed ----------------------------
+    "evt1_signup_purchase_funnel", "a9_grouped_udf",
+    "j1_left_join_composite", "j4_left_join_sentinel",
+    "a3_groupby_median", "a14_time_rollup", "s9_users_with_min_days",
+    # ---- below this line: r2/r3 greens, in prior priority order --
     "m1_fit_predict", "m2_stop_medians", "m3_communities",
     "m3b_communities_refine",
     "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
@@ -4239,15 +4269,10 @@ _PRIORITY = [
     "smp1_sample_by_hash", "smp2_train_test_split",
     "smp3_stratified_sample", "smp4_deterministic_shuffle",
     "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",
-    "st3_streaming_dedup", "st4_streaming_incremental_dedup",
-    "j7_asof_join", "j8_point_in_interval",
-    "w1_lead", "w2_lag_fill", "w3_gated_cumsum", "w5_rolling_range_window",
+    "st3_streaming_dedup",
+    "j7_asof_join",
+    "w1_lead", "w2_lag_fill", "w5_rolling_range_window",
     "w6_row_index", "w7_keep_first", "w8_compute_intervals",
-    "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
-    "s7_csv_sink_roundtrip",
-    "skw1_salted_agg", "skw2_salted_hot_join", "t8_pii_counts",
-    "t9_detect_language", "t10_bpe_token_count", "v1_vector_normalize",
-    "v2_quantize_roundtrip",
 ]
 
 
