@@ -280,9 +280,13 @@ def cluster_stops_dbscan_distributed(
          (each point is replicated 9× on the build side — bounded
          blow-up, prunes the quadratic search space);
       3. keep pairs with haversine ≤ ε;
-      4. iterative min-label propagation over the undirected edge set
-         until a fixed point (label count stops changing); each
-         iteration is one shuffle on the point id.
+      4. connected components of the undirected edge set via
+         alternating large-star/small-star contraction
+         (operators/graph.py) — O(log n) rounds of two bucket-keyed
+         shuffles each; ``max_iterations`` bounds STAR ROUNDS (each
+         at least halves component-tree height), not ε-hops, so the
+         default 50 covers any physically possible chain and hitting
+         it means an engine bug, not long input.
 
     Labels are re-densified per uid (0..k-1 by first appearance in
     (lat, lon) order) to match the per-user labeling contract;
@@ -715,6 +719,65 @@ def map_equation_value(
     return float(L)
 
 
+def _user_eps_graph(
+    pdf: pd.DataFrame,
+    eps: float,
+    metric: str,
+    weighted: bool = False,
+    w_exp: float = 1.0,
+    max_group: int = 20_000,
+):
+    """Shared per-user ε-graph construction of the Infomap paths.
+    :func:`cluster_communities` and its m3c certification
+    (:func:`community_invariants`) MUST build bit-identical graphs —
+    a drift between them would make the certification gate check a
+    different graph than production computes — so both call this one
+    helper. Returns ``(sorted pdf, lat, lon, edges (m,2), weights,
+    connected mask)``; edge weight is max(count_a, count_b), times
+    d^-w_exp when ``weighted`` (reference utils.py:110-121).
+    """
+    if len(pdf) > max_group:
+        raise ValueError(
+            f"user {pdf['uid'].iloc[0]!r} has {len(pdf)} unique stop"
+            f" coordinates (> {max_group}); the per-user graph path"
+            " builds an O(n^2) distance matrix. Raise"
+            " min_spacial_resolution to downsample first."
+        )
+    pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
+    lat = pdf["latitude"].to_numpy()
+    lon = pdf["longitude"].to_numpy()
+    counts = pdf["n_members"].to_numpy()
+    n = len(pdf)
+    dist = _distance_matrix(lat, lon, metric)
+    iu, ju = np.triu_indices(n, k=1)
+    near = dist[iu, ju] <= eps
+    ei, ej, ed = iu[near], ju[near], dist[iu, ju][near]
+    w = np.maximum(counts[ei], counts[ej]).astype(np.float64)
+    if weighted:
+        w = w * np.power(np.maximum(ed, 1e-9), -w_exp)
+    connected = np.zeros(n, dtype=bool)
+    connected[ei] = True
+    connected[ej] = True
+    return pdf, lat, lon, np.column_stack([ei, ej]), w, connected
+
+
+def _dense_module_labels(
+    n: int, modules: np.ndarray, connected: np.ndarray
+) -> np.ndarray:
+    """-1 for ε-singletons; connected nodes' modules densified to
+    0..k-1 in scan order of first member (the DBSCAN paths' label
+    contract)."""
+    labels = np.full(n, -1, dtype=np.int64)
+    order: dict = {}
+    for i in range(n):
+        if connected[i]:
+            m = int(modules[i])
+            if m not in order:
+                order[m] = len(order)
+            labels[i] = order[m]
+    return labels
+
+
 def _invariants_schema(df: DataFrame) -> StructType:
     return StructType(
         [
@@ -776,26 +839,10 @@ def community_invariants(
     max_group = 20_000
 
     def _certify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > max_group:
-            raise ValueError(
-                f"user {pdf['uid'].iloc[0]!r} has {len(pdf)} unique stop"
-                f" coordinates (> {max_group}); raise"
-                " min_spacial_resolution to downsample first."
-            )
-        pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
-        lat = pdf["latitude"].to_numpy()
-        lon = pdf["longitude"].to_numpy()
-        counts = pdf["n_members"].to_numpy()
+        pdf, lat, lon, edges, w, connected = _user_eps_graph(
+            pdf, eps, metric, max_group=max_group
+        )
         n = len(pdf)
-        dist = _distance_matrix(lat, lon, metric)
-        iu, ju = np.triu_indices(n, k=1)
-        near = dist[iu, ju] <= eps
-        ei, ej = iu[near], ju[near]
-        w = np.maximum(counts[ei], counts[ej]).astype(np.float64)
-        edges = np.column_stack([ei, ej])
-        connected = np.zeros(n, dtype=bool)
-        connected[ei] = True
-        connected[ej] = True
         n_connected = int(connected.sum())
 
         # components via union-find (per-user graphs are small)
@@ -817,13 +864,7 @@ def community_invariants(
         descent_ok = True
         if n_connected:
             modules = two_level_infomap(n, edges, w)
-            order: dict = {}
-            for i in range(n):
-                if connected[i]:
-                    m = int(modules[i])
-                    if m not in order:
-                        order[m] = len(order)
-                    labels[i] = order[m]
+            labels = _dense_module_labels(n, modules, connected)
             L_found = map_equation_value(n, edges, w, modules)
             L_single = map_equation_value(
                 n, edges, w, np.arange(n, dtype=np.int64)
@@ -922,42 +963,19 @@ def cluster_communities(
     max_group = 20_000
 
     def _communities(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) > max_group:
-            raise ValueError(
-                f"user {pdf['uid'].iloc[0]!r} has {len(pdf)} unique stop"
-                f" coordinates (> {max_group}); the per-user Infomap path"
-                " builds an O(n^2) distance matrix. Raise"
-                " min_spacial_resolution to downsample first."
-            )
-        pdf = pdf.sort_values(["latitude", "longitude"], kind="mergesort")
-        lat = pdf["latitude"].to_numpy()
-        lon = pdf["longitude"].to_numpy()
-        counts = pdf["n_members"].to_numpy()
+        pdf, lat, lon, edges, w, connected = _user_eps_graph(
+            pdf,
+            eps,
+            metric,
+            weighted=use_weights,
+            w_exp=w_exp,
+            max_group=max_group,
+        )
         n = len(pdf)
-        dist = _distance_matrix(lat, lon, metric)
-        iu, ju = np.triu_indices(n, k=1)
-        near = dist[iu, ju] <= eps
-        ei, ej, ed = iu[near], ju[near], dist[iu, ju][near]
-        w = np.maximum(counts[ei], counts[ej]).astype(np.float64)
-        if use_weights:
-            w = w * np.power(np.maximum(ed, 1e-9), -w_exp)
-        connected = np.zeros(n, dtype=bool)
-        connected[ei] = True
-        connected[ej] = True
         labels = np.full(n, -1, dtype=np.int64)
         if connected.any():
-            modules = two_level_infomap(
-                n, np.column_stack([ei, ej]), w
-            )
-            # Dense 0..k-1 in scan order of first member, like the
-            # DBSCAN path's label semantics.
-            order: dict = {}
-            for i in range(n):
-                if connected[i]:
-                    m = int(modules[i])
-                    if m not in order:
-                        order[m] = len(order)
-                    labels[i] = order[m]
+            modules = two_level_infomap(n, edges, w)
+            labels = _dense_module_labels(n, modules, connected)
         if singles_own_label:
             nxt = labels.max() + 1
             for i in range(n):

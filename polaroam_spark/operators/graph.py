@@ -125,24 +125,33 @@ def connected_components(
     halves the height of any component tree, so 30 rounds covers
     components of ~2^30 nodes — hitting the bound indicates a logic
     error, not a long chain, hence the hard raise.
+
+    Storage lifetime: each round checkpoints the contracted edge set
+    (session.materialize — localCheckpoint, or a reliable checkpoint
+    when a checkpoint dir is configured). A round's blocks become
+    unreferenced as soon as the next round lands and are reclaimed
+    asynchronously by Spark's ContextCleaner; only the final star
+    forest and the base pair table stay referenced by the returned
+    (lazy) label frame.
     """
     keys = list(key_cols or [])
-    edges = (
+    # Checkpoint the deduped pair table ONCE, then derive both the
+    # edge set and the node set from it — deriving either from the
+    # lazy input would re-run the caller's entire pair-generation
+    # pipeline (e.g. the full inverted-index join + Jaccard verify of
+    # ngram_jaccard_pairs) once per consumer. Self-loop-only nodes
+    # keep an output row (component = self).
+    base = materialize(
         pairs.select(
             *keys, F.col(src).alias("u"), F.col(dst).alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates()
+        ).dropDuplicates()
     )
-    # Nodes must survive into the output even if every incident edge is
-    # contracted away with them on the minority side.
+    edges = base.filter(F.col("u") != F.col("v"))
     nodes = (
-        _symmetrize(edges, keys)
+        _symmetrize(base, keys)
         .select(*keys, F.col("u").alias("node"))
         .dropDuplicates()
     )
-    nodes = materialize(nodes)
-    edges = materialize(edges)
     prev = _digest(edges, keys)
     rounds = 0
     converged = prev[0] == 0

@@ -29,8 +29,8 @@ def test_multiple_components_and_id_gaps(spark):
     )
     labels = connected_components(pairs)
     rows = {r.node: r.component for r in labels.collect()}
-    # self-loop (100,100) is dropped, so 100 never enters the output
-    assert rows == {2: 2, 10: 2, 30: 2, 5: 5, 7: 5}
+    # a self-loop-only node is its own singleton component
+    assert rows == {2: 2, 10: 2, 30: 2, 5: 5, 7: 5, 100: 100}
 
 
 def test_keyed_components_never_span_keys(spark):
