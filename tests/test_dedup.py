@@ -603,3 +603,25 @@ def test_ngram_default_caps_stop_grams(spark):
     for k, v in capped.items():
         assert v <= exact[k] + 1e-12
     assert DEFAULT_MAX_GRAM_DF == 10_000
+
+
+def test_materialize_simhash_and_embedding_release_caches(spark, docs):
+    import numpy as np
+
+    spark.catalog.clearCache()
+    before = _n_persistent_rdds(spark)
+    simhash_pairs(docs, materialize=True).count()
+    assert _n_persistent_rdds(spark) - before <= 1
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8).tolist()
+    emb = spark.createDataFrame(
+        [(0, base), (1, [x + 1e-4 for x in base]),
+         (2, rng.randn(8).tolist()), (3, rng.randn(8).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    before = _n_persistent_rdds(spark)
+    pairs = embedding_neardup_pairs(emb, cosine_threshold=0.99,
+                                    materialize=True)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+    assert _n_persistent_rdds(spark) - before <= 1
