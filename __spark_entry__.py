@@ -3627,7 +3627,8 @@ def k3(spark, sf_dir):
 
 # k4's oracle: the d6 recursive-closure pattern, but emitting the
 # (node, representative) component map itself instead of survivors —
-# the iterative min-label propagation is hash-checked end-to-end.
+# the star-contraction connected components (operators/graph.py) is
+# hash-checked end-to-end.
 @_q(
     "k4_duplicate_components",
     r"""WITH RECURSIVE toks AS (

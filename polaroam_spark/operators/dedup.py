@@ -261,9 +261,10 @@ def near_dedup_corpus(
     greedy rule keeps both a and b; the closure collapses to a.
 
     Scale shape: pair generation is bucket-keyed (see module
-    docstring), the closure shuffles (node, label) pairs per
-    iteration, and the final step is a left-anti join of the corpus
-    against the loser-id set — document bodies are never shuffled.
+    docstring), the closure is O(log n) rounds of star contraction
+    over (node, node) pairs (operators/graph.py), and the final step
+    is a left-anti join of the corpus against the loser-id set —
+    document bodies are never shuffled.
     """
     if method == "minhash":
         pairs = minhash_lsh_pairs(docs, text_col, id_col, **kwargs)
