@@ -4216,22 +4216,75 @@ def v2(spark, sf_dir):
 
 
 # The correctness driver checks queries in dict order and covers a
-# ~50-query prefix of the registry per round. Round-4 rotation
-# (VERDICT r3 item 1): the window is (a) the 35 queries never sampled
-# by any driver round (r2 covered the s/p/j/a/w primitives, r3 the
-# pipeline + LLM operators; these 35 fell between), (b) the three new
-# invariant gates added this round, (c) the five queries whose r2
-# HASH-fail fixes have so far only been verified locally, and (d) the
-# highest-value r2-only primitives to keep their greens fresh.
-# Everything with a green CORRECTNESS_r03 row rides behind.
+# ~50-query prefix of the registry per round. Round-5 rotation
+# (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
+# DuckDB oracle was added after its r2 rows-only sample and has never
+# been driver-hash-checked, (b) the 36 queries whose latest green
+# driver row is from r2 — now at the 2-round staleness limit, (c) the
+# pipeline queries whose operators were touched by round-4 commits
+# (star-contraction CC, minhash shingle folding, materialize cache
+# lifecycle), and (d) queries whose operators round-5 edits touch
+# (multimodal PIL decode, incremental-index docs, simhash). Everything
+# with a green r3/r4 row and unchanged code rides behind.
 _PRIORITY = [
-    # (a) never driver-sampled -------------------------------------
-    "st4_streaming_incremental_dedup",
+    # (a) oracle never driver-sampled ------------------------------
+    "a15_approx_distinct",
+    # (b) r2-latest greens at the staleness limit ------------------
+    "s1_parquet_scan_filter", "s2_parquet_read_agg",
+    "s4_pandas_interchange", "s6_partitioned_write",
+    "p1_projection", "p2_rename", "p3_computed_columns",
+    "p4_drop_column", "p5_numeric_filter", "p6_compound_filter",
+    "p7_range_predicate", "p8_string_inequality", "p9_membership",
+    "p10_null_checks", "p11_key_equality",
+    "j2_left_join_single", "j3_semi_join",
+    "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
+    "a1_groupby_count", "a2_groupby_sum", "a4_groupby_minmax",
+    "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
+    "a8_collect_list", "a10_ratio_aggregates", "a11_having",
+    "a12_global_minmax",
+    "w1_lead", "w2_lag_fill", "w5_rolling_range_window",
+    "w6_row_index", "w7_keep_first", "w8_compute_intervals",
+    # (c) r3 greens whose operators round-4 commits touched --------
+    "m4_compute_dbscan", "c3_dbscan_per_user", "c3b_dbscan_distributed",
+    "d2_minhash_lsh_pairs", "d6_near_dedup_survivors",
+    "k4_duplicate_components",
+    # (d) operators touched by round-5 edits -----------------------
+    "mm1_media_features", "d9_incremental_dedup_pairs",
+    "d3_simhash_pairs",
+    # ---- below this line: r3/r4 greens, in prior priority order --
+    "m1_fit_predict", "m2_stop_medians", "m3_communities",
+    "m3b_communities_refine", "m3c_communities_invariants",
+    "m5_prepare_labeling", "m6_detect_home",
+    "m7_detect_work", "m8_compute_intervals",
+    "c1_grid_neighbor_pairs",
+    "c4_cluster_medoids", "c5_convex_hull", "c6_max_pairwise_distance",
+    "w3_gated_cumsum", "w4_detect_stops",
+    "d1_dedup_exact",
+    "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
+    "d7_decontaminate", "d8_dedup_lines",
+    "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
+    "n2b_ann_lsh_recall", "n3b_ann_ivf_recall",
+    "t1_token_count", "t2_quality_features", "t3_stopword_scores",
+    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
+    "t7_quality_stratified", "t8_pii_counts", "t9_detect_language",
+    "t10_bpe_token_count", "t11_calibrate_scores",
+    "t12_tfidf_top_terms",
+    "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
+    "k5_materialize_packs",
+    "smp1_sample_by_hash", "smp2_train_test_split",
+    "smp3_stratified_sample", "smp4_deterministic_shuffle",
+    "st1_streaming_stops", "st2_streaming_counts",
+    "st3_streaming_dedup", "st4_streaming_incremental_dedup",
     "skw1_salted_agg", "skw2_salted_hot_join",
-    "t8_pii_counts", "t9_detect_language", "t10_bpe_token_count",
     "v1_vector_normalize", "v2_quantize_roundtrip",
     "r1_multi_sort_rank", "r2_distinct_subset", "r3_drop_nulls",
     "r4_explode", "r4b_multi_explode", "r5_pivot", "r6_limit",
+    "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
+    "s7_csv_sink_roundtrip", "s9_users_with_min_days",
+    "j1_left_join_composite", "j4_left_join_sentinel",
+    "j8_point_in_interval",
+    "a3_groupby_median", "a9_grouped_udf", "a13_exact_percentiles",
+    "a14_time_rollup", "evt1_signup_purchase_funnel",
     "f1_haversine", "f2_euclidean", "f3_grid_snap",
     "f4_f5_array_construct_get", "f6_when_otherwise",
     "f7_literal_cast", "f8_fill_null", "f9_epoch_to_timestamp",
@@ -4239,43 +4292,6 @@ _PRIORITY = [
     "f13_datetime_parts", "f14_iso_weekday", "f15_date_diff_days",
     "f16_date_trunc_str", "f17_sha_uid_hash", "f18_boolean_algebra",
     "f19_string_ops", "f20_json_extract",
-    "a13_exact_percentiles",
-    # (b) new round-4 invariant gates ------------------------------
-    "m3c_communities_invariants", "n2b_ann_lsh_recall",
-    "n3b_ann_ivf_recall",
-    # (c) r2 HASH-fails fixed in r3, no hard green row yet ---------
-    "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
-    "s7_csv_sink_roundtrip", "j8_point_in_interval", "w3_gated_cumsum",
-    # (d) r2-only primitives, refreshed ----------------------------
-    "evt1_signup_purchase_funnel", "a9_grouped_udf",
-    "j1_left_join_composite", "j4_left_join_sentinel",
-    "a3_groupby_median", "a14_time_rollup", "s9_users_with_min_days",
-    # ---- below this line: r2/r3 greens, in prior priority order --
-    "m1_fit_predict", "m2_stop_medians", "m3_communities",
-    "m3b_communities_refine",
-    "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
-    "m7_detect_work", "m8_compute_intervals",
-    "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c3b_dbscan_distributed",
-    "c4_cluster_medoids", "c5_convex_hull", "c6_max_pairwise_distance",
-    "w4_detect_stops",
-    "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-    "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-    "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
-    "d9_incremental_dedup_pairs", "k4_duplicate_components",
-    "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
-    "t1_token_count", "t2_quality_features", "t3_stopword_scores",
-    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
-    "t7_quality_stratified", "t11_calibrate_scores",
-    "t12_tfidf_top_terms",
-    "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
-    "k5_materialize_packs",
-    "smp1_sample_by_hash", "smp2_train_test_split",
-    "smp3_stratified_sample", "smp4_deterministic_shuffle",
-    "mm1_media_features", "st1_streaming_stops", "st2_streaming_counts",
-    "st3_streaming_dedup",
-    "j7_asof_join",
-    "w1_lead", "w2_lag_fill", "w5_rolling_range_window",
-    "w6_row_index", "w7_keep_first", "w8_compute_intervals",
 ]
 
 

@@ -636,6 +636,24 @@ def two_level_infomap(
     each pair once), ``weights`` an (m,) float array. Returns an
     (n,) int64 module label per node; labels are arbitrary ints,
     dense-ranked by callers.
+
+    Fidelity vs the ``infomap`` C library (documented divergences —
+    differential test: tests/test_clustering.py::
+    test_infomap_differential_vs_c_library, skipped when the package
+    is absent):
+
+    - On graphs with a clear modular optimum (cliques joined by weak
+      bridges — the golden fixtures) both find the same grouping.
+    - On AMBIGUOUS graphs several partitions can tie on the map
+      equation within float tolerance; the library breaks ties by RNG
+      seed and trial count, this implementation by deterministic
+      node order. Module MEMBERSHIP may then legitimately differ;
+      the contract is an equal-or-better codelength, not identical
+      labels.
+    - The library's default teleportation (unrecorded, PageRank-style
+      with tau=0.15 on directed input) does not apply here: input is
+      undirected, where visit rates are degree-proportional and
+      teleportation drops out of the two-level map equation.
     """
     labels = np.arange(n, dtype=np.int64)
     if n == 0 or len(edges) == 0:

@@ -51,6 +51,30 @@ def _finalize_pairs(
     return out
 
 
+def _shingle_set(text_col: str, shingle_k: int, portable: bool) -> F.Column:
+    """Distinct shingle set of a document — THE shared representation
+    between :func:`minhash_lsh_pairs` and :func:`build_minhash_index`
+    (batch and index signatures must agree bit-for-bit, see the index
+    version contract there).
+
+    ``portable=True`` keeps STRING shingles: the signature hash is the
+    md5-folded portable_hash64 a DuckDB oracle reproduces bit-for-bit.
+    ``portable=False`` is the fast path: fold each shingle string to
+    ONE 64-bit xxhash64 up front, then run the seeded signature hashes
+    over the 8-byte longs instead of re-hashing the ~25-byte string
+    per seed (~5% wall at sf0.1; grows with num_hashes and shingle
+    length). The exact-Jaccard verify then intersects long sets —
+    identical up to 64-bit collisions (~1e-10 at corpus scale)."""
+    if portable:
+        return F.array_distinct(word_shingles(tokens(text_col), shingle_k))
+    return F.array_distinct(
+        F.transform(
+            word_shingles(tokens(text_col), shingle_k),
+            lambda t: F.xxhash64(t),
+        )
+    )
+
+
 def normalize_text(text_col) -> F.Column:
     """Canonical text form for exact dedup: lowercase, collapse
     whitespace, trim."""
@@ -116,27 +140,7 @@ def minhash_lsh_pairs(
     driver-side key collection, no extra shuffle beyond the bucket
     key the join shuffles on anyway.
     """
-    if portable:
-        # portable=True keeps STRING shingles: the signature hash is
-        # the md5-folded portable_hash64 a DuckDB oracle reproduces
-        # bit-for-bit (band buckets already use the portable hash)
-        shingle_set = F.array_distinct(
-            word_shingles(tokens(text_col), shingle_k)
-        )
-    else:
-        # fast path: fold each shingle string to ONE 64-bit hash up
-        # front, then run the seeded signature hashes over the 8-byte
-        # longs instead of re-hashing the ~25-byte string per seed
-        # (~5% wall at sf0.1; grows with num_hashes and shingle
-        # length). The exact-Jaccard verify then intersects long sets
-        # — identical up to 64-bit collisions (~1e-10 at corpus
-        # scale).
-        shingle_set = F.array_distinct(
-            F.transform(
-                word_shingles(tokens(text_col), shingle_k),
-                lambda t: F.xxhash64(t),
-            )
-        )
+    shingle_set = _shingle_set(text_col, shingle_k, portable)
     sh = docs.select(
         F.col(id_col).alias("_id"),
         shingle_set.alias("_shingles"),
@@ -298,9 +302,17 @@ def duplicate_components(
     O(log n) rounds rather than the O(chain length) of naive label
     propagation — a boilerplate-heavy web corpus legitimately chains
     hundreds of near-dup hops, and per-hop iteration is the scale
-    failure mode there.  ``max_iterations`` bounds star rounds (each
-    round at least halves component-tree height, so the default covers
-    astronomically large components).
+    failure mode there.
+
+    CHANGED (round 4, star-contraction rewrite): ``max_iterations``
+    now bounds STAR ROUNDS (each round at least halves component-tree
+    height — N rounds cover ~2^N-node components) and its default
+    moved 50 → 30. Under the old propagation engine it bounded
+    one-hop label moves, so a small tuned value (say 5, as a cheap
+    chain guard) that formerly converged on shallow graphs now covers
+    only ~32-node components and raises ``RuntimeError`` beyond that.
+    Re-tune legacy small values to ``ceil(log2(max component size)) +
+    2``; the default needs no tuning at any realistic scale.
     """
     from polaroam_spark.operators.graph import connected_components
 
@@ -866,12 +878,25 @@ def build_minhash_index(
     arrays are stored because LSH candidates are verified with exact
     Jaccard; storage is proportional to corpus token count, the same
     class as the corpus itself.
+
+    INDEX VERSION CONTRACT: signature and shingle values are a
+    function of ``shingle_k``, ``num_hashes``, ``portable``, AND the
+    shingle representation (``portable=False`` stores xxhash64-folded
+    long shingles — the fast path shared with
+    :func:`minhash_lsh_pairs`; ``portable=True`` stores string
+    shingles so a SQL oracle can reproduce them). A persisted index is
+    silently incompatible with batches signed under ANY different
+    setting — same-bucket candidates would fail exact-Jaccard verify
+    and duplicates would pass through undetected. Rebuild the index
+    whenever these settings change; batch signatures always agree with
+    a same-setting index because ``_batch_signatures`` is this very
+    function. Indexes persisted before the folded-shingle change
+    (round 4) are string-shingle and must be rebuilt to use
+    ``portable=False`` here.
     """
     return docs.select(
         F.col(id_col),
-        F.array_distinct(
-            word_shingles(tokens(text_col), shingle_k)
-        ).alias("shingles"),
+        _shingle_set(text_col, shingle_k, portable).alias("shingles"),
     ).withColumn(
         "sig", minhash_signature("shingles", num_hashes, portable=portable)
     )

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from polaroam_spark.session import materialize
+from polaroam_spark.session import materialize, release
 
 __all__ = ["connected_components"]
 
@@ -93,7 +93,16 @@ def _small_star(edges: DataFrame, keys: list[str]) -> DataFrame:
 
 def _digest(edges: DataFrame, keys: list[str]) -> tuple:
     """Order-independent digest of the edge set: (count, sum of
-    per-edge hashes).  One scalar aggregate — safe at any scale."""
+    per-edge hashes).  One scalar aggregate — safe at any scale.
+
+    Collision assumption: two DIFFERENT same-size edge sets colliding
+    on the hash sum would end the loop early and emit wrong components
+    silently. The probability is ~2^-64 per round (a sum of xxhash64
+    values over sets that differ in ≥1 edge), i.e. negligible against
+    hardware-error rates; accepted in exchange for keeping the
+    fixed-point check a single tiny scalar aggregate. Note the loop
+    only compares CONSECUTIVE rounds, so a collision must happen on
+    one specific pair, not birthday-style across all rounds."""
     cols = [F.col(c).cast("string") for c in (*keys, "u", "v")]
     # decimal sum: immune to ANSI long-overflow on summed 64-bit hashes
     row = edges.agg(
@@ -128,11 +137,15 @@ def connected_components(
 
     Storage lifetime: each round checkpoints the contracted edge set
     (session.materialize — localCheckpoint, or a reliable checkpoint
-    when a checkpoint dir is configured). A round's blocks become
-    unreferenced as soon as the next round lands and are reclaimed
-    asynchronously by Spark's ContextCleaner; only the final star
-    forest and the base pair table stay referenced by the returned
-    (lazy) label frame.
+    when a checkpoint dir is configured). A round's storage is freed
+    explicitly via ``session.release`` as soon as the next round
+    lands: localCheckpoint blocks are unpersisted eagerly, and
+    reliable checkpoint FILES are deleted (Spark itself never deletes
+    them unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is set, which defaults to false — without the explicit release a
+    22-round run would leave 22 edge-set snapshots in object storage).
+    Only the final star forest and the base pair table stay live,
+    referenced by the returned (lazy) label frame.
     """
     keys = list(key_cols or [])
     # Checkpoint the deduped pair table ONCE, then derive both the
@@ -155,8 +168,12 @@ def connected_components(
     prev = _digest(edges, keys)
     rounds = 0
     converged = prev[0] == 0
+    superseded = None  # round N's checkpoint, freed once N+1 lands
     while not converged and rounds < max_rounds:
         edges = materialize(_small_star(_large_star(edges, keys), keys))
+        if superseded is not None:
+            release(superseded)
+        superseded = edges
         rounds += 1
         cur = _digest(edges, keys)
         if cur == prev:

@@ -4,12 +4,13 @@ columns with typed metadata, processed via Arrow-batched
 
 The Spark-side design is fully real and tested: schemas, batch
 iteration, partition sizing, and UDF signatures are exactly what a
-production pipeline uses. Only the *codec* step is stubbed — the
-image/audio libraries are not in this container — behind
-``decode_fn`` hooks: the default ``deterministic_fake_decode``
-produces a reproducible fake "decoded" payload from the bytes (so the
-plumbing is testable end-to-end), and ``strict_decode`` raises
-``NotImplementedError`` marking where PIL/ffmpeg plug in.
+production pipeline uses. Codecs plug in behind ``decode_fn`` hooks:
+``strict_decode`` really decodes images (Pillow when installed, else
+a pure-stdlib PNG decoder — full filter support, no optional deps)
+and raises a clear ``NotImplementedError`` for audio/video, whose
+libraries are not bundled; ``deterministic_fake_decode`` produces a
+reproducible fake payload from the raw bytes for oracle-gated
+plumbing tests.
 
 Scale design notes:
 - binary payloads ride in parquet binary columns; target partition
@@ -74,11 +75,169 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def strict_decode(content: bytes, kind: str):  # pragma: no cover - stub
-    """Real-codec hook. Plug PIL / soundfile / ffmpeg here."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color_type -> samples per pixel (8-bit, non-palette).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _unfilter_png_scanlines(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> bytes:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/
+    Paeth, PNG spec §6). Sequential per-byte reconstruction — each
+    byte depends on the already-reconstructed left/up neighbors — so
+    this is a plain loop; the PIL path below is the production-speed
+    codec, this one exists so PNG decoding works with zero optional
+    deps."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png_stdlib(content: bytes) -> "tuple":
+    """Decode a non-interlaced 8-bit PNG (greyscale / RGB /
+    grey+alpha / RGBA) with stdlib ``zlib``/``struct`` only. Returns
+    ``(pixels: np.ndarray[h, w, c] uint8, width, height, channels)``.
+    Palette, 16-bit, and interlaced PNGs need Pillow and raise
+    ``NotImplementedError``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG byte stream")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    "stdlib PNG path handles 8-bit non-interlaced only; "
+                    "install Pillow for other variants"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    channels = _PNG_CHANNELS.get(color_type)
+    if width is None or channels is None:
+        raise NotImplementedError(
+            f"unsupported PNG color_type {color_type}; "
+            "install Pillow for palette PNGs"
+        )
+    stride = width * channels
+    flat = _unfilter_png_scanlines(
+        zlib.decompress(bytes(idat)), height, stride, channels
+    )
+    pixels = np.frombuffer(flat, dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    return pixels, width, height, channels
+
+
+def _pixel_features(pixels, width: int, height: int, channels: int) -> dict:
+    """Feature dict over DECODED pixel bytes (same stat definitions as
+    ``deterministic_fake_decode``, but post-codec, so two encodings of
+    the same image agree)."""
+    import hashlib
+
+    import numpy as np
+
+    flat = np.ascontiguousarray(pixels).reshape(-1)
+    counts = np.bincount(flat, minlength=256)
+    p = counts[counts > 0] / flat.size
+    digest = hashlib.md5(flat.tobytes()).digest()
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "byte_mean": float(flat.mean()),
+        "byte_entropy": float(-(p * np.log2(p)).sum()),
+        "feature_hash": int.from_bytes(digest[:8], "big") >> 1,
+    }
+
+
+def decode_image(content: bytes) -> dict:
+    """Real image decode: Pillow when importable (any format PIL
+    reads), else the stdlib PNG decoder above. Raises
+    ``NotImplementedError`` for formats neither path can read."""
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(content)) as img:
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                arr = np.asarray(img.convert("RGB"))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        return _pixel_features(arr, w, h, c)
+    if content[:8] == _PNG_MAGIC:
+        pixels, w, h, c = _decode_png_stdlib(content)
+        return _pixel_features(pixels, w, h, c)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use deterministic_fake_decode for plumbing tests"
+        "no codec for this image format: Pillow is not installed and "
+        "the stdlib fallback reads PNG only"
+    )
+
+
+def strict_decode(content: bytes, kind: str) -> dict:
+    """Real-codec decode hook (the production counterpart of
+    ``deterministic_fake_decode``). Images decode via Pillow or the
+    stdlib PNG path; audio/video codecs (soundfile / ffmpeg) are not
+    bundled and raise with a clear message. The returned dict is a
+    superset of the fake's keys, so it drops into
+    ``extract_media_features(decode_fn=strict_decode)`` unchanged."""
+    if kind == "image":
+        return decode_image(content)
+    raise NotImplementedError(
+        f"no {kind!r} codec available in this environment (audio/video "
+        "decoding requires soundfile/ffmpeg); use "
+        "deterministic_fake_decode for plumbing tests"
     )
 
 

@@ -86,3 +86,42 @@ def materialize(df):
     if sc.getCheckpointDir():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def release(df) -> None:
+    """Free the storage behind a :func:`materialize` result once a
+    later pipeline stage has superseded it (e.g. round N of an
+    iterative contraction after round N+1 lands).
+
+    Why this exists: localCheckpoint BLOCKS are reclaimed
+    asynchronously by Spark's ContextCleaner once unreferenced, but
+    reliable checkpoint FILES are never deleted unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — a 22-round connected-components run would otherwise leave
+    22 edge-set snapshots in HDFS/object storage per call. This deletes
+    the checkpoint directory of a reliably-checkpointed frame, or
+    eagerly unpersists the blocks of a localCheckpoint one.
+
+    Best-effort by design: it reaches the checkpointed RDD through the
+    analyzed plan (``LogicalRDD``), and no-ops if the frame is not a
+    checkpoint result or the accessor shape changes. Never call it on
+    a frame that downstream lazy results still reference.
+    """
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return
+    try:
+        ckpt = jrdd.getCheckpointFile()
+        if ckpt.isDefined():
+            sc = df.sparkSession.sparkContext
+            path = sc._jvm.org.apache.hadoop.fs.Path(ckpt.get())
+            fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+            return
+    except Exception:
+        pass
+    try:
+        jrdd.unpersist(False)
+    except Exception:
+        pass

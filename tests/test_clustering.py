@@ -567,3 +567,48 @@ def test_community_invariants_synthetic(spark):
     assert out["u2"].n_components == 1
     for r in out.values():
         assert r.descent_ok and r.bounds_ok and r.dense_ok
+
+
+# ---- Differential vs the published infomap package (VERDICT r4 item 5) --
+# Compares module PARTITIONS (membership up to relabeling) between
+# two_level_infomap and the `infomap` pip package (the same C library
+# the reference wraps, utils.py:67-99) on the golden graphs. Skipped
+# when the package is absent (it is not bundled in this sandbox);
+# run `pip install infomap` in a full environment to activate.
+# Known legit divergences (documented in two_level_infomap's
+# docstring): ambiguous flat graphs where several partitions tie on
+# the map equation within float tolerance — the comparison therefore
+# accepts either identical grouping OR an equal-or-better map-equation
+# value from our optimizer, which is the actual contract.
+
+
+def test_infomap_differential_vs_c_library():
+    infomap_pkg = pytest.importorskip("infomap")
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        map_equation_value,
+        two_level_infomap,
+    )
+
+    for name, n, edges, _expected in GOLDEN_GRAPHS:
+        im = infomap_pkg.Infomap(
+            two_level=True, silent=True, num_trials=10, seed=42
+        )
+        for a, b in edges:
+            im.add_link(a, b)
+        im.run()
+        ref_labels = np.zeros(n, dtype=np.int64)
+        for node in im.tree:
+            if node.is_leaf:
+                ref_labels[node.node_id] = node.module_id
+        e = np.array(edges)
+        w = np.ones(len(edges))
+        ours = two_level_infomap(n, e, w)
+        same_grouping = _groups(ours, n) == _groups(ref_labels, n)
+        L_ours = map_equation_value(n, e, w, ours)
+        L_ref = map_equation_value(n, e, w, ref_labels)
+        assert same_grouping or L_ours <= L_ref + 1e-9, (
+            f"{name}: grouping differs AND our codelength {L_ours:.6f} "
+            f"is worse than the C library's {L_ref:.6f}"
+        )

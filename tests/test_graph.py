@@ -96,3 +96,37 @@ def test_random_graph_matches_bruteforce(spark):
     pairs = spark.createDataFrame(edges, "u long, v long")
     rows = {r.node: r.component for r in connected_components(pairs).collect()}
     assert rows == want
+
+
+def test_reliable_checkpoint_rounds_are_deleted(spark, tmp_path):
+    """With a checkpoint dir configured, superseded round snapshots
+    must be DELETED (Spark never cleans reliable checkpoint files by
+    default); only the base pair table and the final star forest —
+    both referenced by the returned lazy frame — may remain."""
+    import os
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "cc_ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        # path graph of 40 nodes -> several contraction rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(39)], "u long, v long"
+        )
+        rounds = []
+        labels = connected_components(pairs, _rounds_out=rounds)
+        rows = {r.node: r.component for r in labels.collect()}
+        assert rows == {i: 0 for i in range(40)}
+        assert rounds[0] >= 2  # multiple rounds => something to free
+        rdd_dirs = [
+            d
+            for root, dirs, _ in os.walk(ckdir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        # base + final round only; every superseded round freed
+        assert len(rdd_dirs) == 2, rdd_dirs
+        # the returned frame must still be collectable after cleanup
+        assert len(labels.collect()) == 40
+    finally:
+        sc.setCheckpointDir(None)

@@ -1,20 +1,80 @@
 """Multimodal plumbing: schemas, Arrow batch transforms, byte-sized
-repartitioning, frame-sample planning — with the deterministic fake
-codec (real codecs are stubbed, see operators/multimodal.py)."""
+repartitioning, frame-sample planning — plus the real image decode
+path (stdlib PNG / optional Pillow, see operators/multimodal.py)."""
 
 import math
+import struct
+import zlib
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
 from polaroam_spark.operators.multimodal import (
     attach_media_meta,
+    decode_image,
     deterministic_fake_decode,
     extract_media_features,
     frame_sample_plan,
     media_repartition,
     strict_decode,
 )
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(cur, prev, ftype: int, bpp: int) -> bytes:
+    """Forward-apply a PNG scanline filter (encoder side) so the
+    decoder's reconstruction can be verified against ground truth."""
+    n = len(cur)
+    out = bytearray(n)
+    for i in range(n):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def make_png(pixels: np.ndarray, filters=None) -> bytes:
+    """Encode an (h, w, c) uint8 array as a real PNG, one filter type
+    per scanline (default all-None)."""
+    h, w, c = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y, ftype in zip(range(h), filters):
+        cur = pixels[y].tobytes()
+        raw += bytes([ftype]) + _filter_row(cur, prev, ftype, c)
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 @pytest.fixture(scope="module")
@@ -37,9 +97,58 @@ def test_fake_decode_entropy():
     assert abs(mixed["byte_entropy"] - 8.0) < 1e-9
 
 
-def test_strict_decode_is_stubbed():
+def test_strict_decode_unsupported_raises():
     with pytest.raises(NotImplementedError):
-        strict_decode(b"...", "image")
+        strict_decode(b"...", "image")  # not a PNG, Pillow absent
+    with pytest.raises(NotImplementedError):
+        strict_decode(b"RIFF....WAVE", "audio")
+
+
+def test_strict_decode_1x1_png():
+    png = make_png(np.array([[[255, 0, 0]]], dtype=np.uint8))
+    feats = strict_decode(png, "image")
+    assert (feats["width"], feats["height"], feats["channels"]) == (1, 1, 3)
+    assert feats["byte_mean"] == pytest.approx(85.0)
+    assert feats["feature_hash"] >= 0
+
+
+def test_png_all_filter_types_roundtrip():
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    baseline = decode_image(make_png(pixels))
+    for filters in ([1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        feats = decode_image(make_png(pixels, filters=filters))
+        assert feats == baseline  # same pixels whatever the encoder chose
+
+
+def test_png_greyscale_and_alpha_channels():
+    grey = make_png(np.full((2, 3, 1), 9, dtype=np.uint8))
+    feats = decode_image(grey)
+    assert feats["channels"] == 1 and feats["byte_mean"] == 9.0
+    rgba = make_png(np.zeros((2, 2, 4), dtype=np.uint8))
+    assert decode_image(rgba)["channels"] == 4
+
+
+def test_extract_features_with_strict_decode(spark):
+    imgs = [
+        make_png(np.full((2, 2, 3), fill, dtype=np.uint8))
+        for fill in (0, 128, 255)
+    ]
+    df = spark.createDataFrame(
+        [(i, png) for i, png in enumerate(imgs)],
+        "media_id long, content binary",
+    )
+    media = attach_media_meta(df, kind="image", fmt="png")
+    out = {
+        r.media_id: r
+        for r in extract_media_features(
+            media, decode_fn=strict_decode
+        ).collect()
+    }
+    assert out[1].byte_mean == 128.0  # pixel stats, post-decode
+    assert out[1].byte_entropy == 0.0
+    assert out[0].n_bytes == len(imgs[0])  # encoded size, pre-decode
+    assert len({out[i].feature_hash for i in range(3)}) == 3
 
 
 def test_extract_features(media):
