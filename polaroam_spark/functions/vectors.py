@@ -38,6 +38,42 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_similarity_arrow():
+    """Arrow-batched cosine scorer with the same contract as
+    :func:`cosine_similarity` — the scale path for dot-product-heavy
+    plans (IVF centroid assignment scores n·num_centroids pairs; the
+    interpreted higher-order aggregate measured ~4k dim-64 dots per
+    second per core, while one numpy/BLAS pass per Arrow batch is
+    10-50x that).
+
+    Returns a fresh pandas UDF (built lazily so importing this module
+    never touches pyarrow). Caveat for oracle-gated paths: float
+    summation ORDER differs from the native left-fold (numpy reduces
+    pairwise), so scores agree only to ~1e-15 — keep the native
+    expression wherever a SQL twin must hash-match bit-for-bit; rank
+    flips require two true cosines within that margin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series type hints: this module uses postponed annotation
+    # evaluation, which PySpark's hint-based inference cannot resolve
+    def _cos(a, b):
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    _cos.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    return pandas_udf(_cos, "double")
+
+
 def l2_normalize(a: Column | str) -> Column:
     """Unit-normalize a vector (cosine becomes a plain dot product
     downstream — the standard pre-step before ANN indexing). Zero

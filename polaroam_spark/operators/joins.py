@@ -32,6 +32,7 @@ def asof_join(
     right_ts: str = "timestamp",
     tolerance: int | None = None,
     suffix: str = "_right",
+    time_chunk: int | None = None,
 ) -> DataFrame:
     """Left as-of join (backward): append the latest right row with
     ``right_ts <= left_ts`` per ``on`` key; unmatched left rows keep
@@ -40,8 +41,32 @@ def asof_join(
 
     Ties: a right row at exactly ``left_ts`` matches (right sorts
     before left at equal timestamps).
+
+    ``time_chunk`` is the HOT-KEY GUARD (off by default). The base
+    plan windows over ``partitionBy(on)`` — one task per key, so a key
+    carrying most of the rows becomes a single straggler task (2.3×
+    wall measured at 10M rows with a 50% hot key; linear in hot-key
+    size — see BASELINE.md round-5 probe). With ``time_chunk=C``
+    (same unit as the timestamps) the timeline splits into C-sized
+    chunks and the big window partitions by ``(key, chunk)`` instead:
+
+    1. per (key, chunk) the latest right payload in that chunk — one
+       small aggregate of the right side;
+    2. a per-key prefix scan over CHUNKS (rows = chunks, not data)
+       propagates the latest payload from all earlier chunks into
+       each left-occupied chunk — the carry-in;
+    3. carry-ins enter the main union as synthetic right rows at
+       chunk start, so the (key, chunk) window sees exactly what the
+       (key) window would have seen.
+
+    Identical results to the base plan (property-tested); costs one
+    extra shuffle of the left side (the distinct (key, chunk)
+    request set), so use it when keys are skewed, not by default.
+    Pick C so a hot key's rows-per-chunk is comfortably one task
+    (~1M rows); a burst inside one chunk remains one task.
     """
-    reserved = {"_ts", "_side", "_payload", "_match"}
+    reserved = {"_ts", "_side", "_payload", "_match",
+                "_chunk", "_cside", "_cpay", "_ci"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         # silent collision would produce ambiguous columns or a wrong
@@ -88,11 +113,85 @@ def asof_join(
     )
     combined = l2.unionByName(r2)
 
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if time_chunk is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        C = int(time_chunk)
+        if C <= 0:
+            raise ValueError("time_chunk must be a positive duration")
+        ptype = r.schema["_payload"].dataType
+        # (1) latest right payload per (key, chunk): max-of-struct
+        # picks the row with the greatest _ts (payload max on ties —
+        # same rule as the per-(key, ts) collapse above)
+        carry = (
+            r.withColumn("_chunk", F.floor(F.col("_ts") / C))
+            .groupBy(on, "_chunk")
+            .agg(F.max(F.struct("_ts", "_payload")).alias("_c"))
+            .select(
+                on,
+                "_chunk",
+                F.lit(1).alias("_cside"),
+                F.col("_c._payload").alias("_cpay"),
+            )
+        )
+        # (2) chunks that contain left rows request a carry-in; the
+        # prefix scan runs over CHUNK rows per key (horizon/C rows,
+        # not data rows). A request at chunk c sorts before the carry
+        # produced IN chunk c, so it sees strictly-earlier chunks.
+        requests = (
+            l.select(
+                F.col(on), F.floor(F.col("_ts") / C).alias("_chunk")
+            )
+            .dropDuplicates()
+            .select(
+                on,
+                "_chunk",
+                F.lit(0).alias("_cside"),
+                F.lit(None).cast(ptype).alias("_cpay"),
+            )
+        )
+        cw = (
+            Window.partitionBy(on)
+            .orderBy("_chunk", "_cside")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry_in = (
+            carry.unionByName(requests)
+            .withColumn(
+                "_ci", F.last("_cpay", ignorenulls=True).over(cw)
+            )
+            .filter(
+                (F.col("_cside") == 0) & F.col("_ci").isNotNull()
+            )
+        )
+        # (3) synthetic right rows at chunk start (side -2 sorts
+        # before real in-chunk right rows at the same timestamp)
+        synth = carry_in.select(
+            *[
+                F.col(on).alias(c)
+                if c == on
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+            ],
+            (F.col("_chunk") * C).cast("long").alias("_ts"),
+            F.lit(-2).alias("_side"),
+            F.col("_ci").alias("_payload"),
+            "_chunk",
+        )
+        combined = (
+            combined.withColumn(
+                "_chunk", F.floor(F.col("_ts") / C)
+            ).unionByName(synth)
+        )
+        w = (
+            Window.partitionBy(on, "_chunk")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     matched = combined.withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     ).filter(F.col("_side") == 1)

@@ -14,8 +14,11 @@ Two paths, one contract (query vectors → top-k neighbors by cosine):
 
 Hyperplanes are deterministic pseudo-random (sin-based formula) so
 runs are reproducible across sessions/engines without shipping a
-weights file; components are computed with JVM math functions —
-no UDF anywhere in either path.
+weights file; components are computed with JVM math functions.
+Every path defaults to pure JVM expressions (no UDF — bit-reproducible
+against the SQL oracles); pass ``scorer='arrow'`` to swap the cosine
+hot loop for a numpy/BLAS pandas UDF where throughput matters more
+than float-summation-order reproducibility.
 """
 
 from __future__ import annotations
@@ -23,7 +26,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polaroam_spark.functions.vectors import cosine_similarity
+from polaroam_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_arrow,
+)
+
+
+def _make_scorer(scorer: str):
+    """Resolve a scoring backend: ``native`` = JVM higher-order
+    aggregate (bit-reproducible vs SQL oracles — the default and the
+    only choice for oracle-gated paths); ``arrow`` = numpy/BLAS
+    pandas UDF, 10-50x faster per pair (see
+    functions.vectors.cosine_similarity_arrow for the float-order
+    caveat)."""
+    if scorer == "native":
+        return cosine_similarity
+    if scorer == "arrow":
+        udf = cosine_similarity_arrow()
+
+        def score(a, b):
+            return udf(
+                F.col(a) if isinstance(a, str) else a,
+                F.col(b) if isinstance(b, str) else b,
+            )
+
+        return score
+    raise ValueError(f"unknown scorer {scorer!r}: use 'native' or 'arrow'")
 
 
 def _plane_component(p: int | Column, d: Column) -> Column:
@@ -88,42 +116,75 @@ def add_lsh_bucket(
     )
 
 
-def ann_ivf_topk(
+def _assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vcol: str,
+    keep: int,
+    score,
+) -> DataFrame:
+    """Nearest ``keep`` centroids per vector: broadcast join against
+    the tiny centroid set; argmax via max-of-struct when keep=1 (no
+    window over every row)."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_ccos", score(vcol, "_cvec")
+    )
+    if keep == 1:
+        best = scored.groupBy(id_col).agg(
+            F.max(F.struct("_ccos", "centroid_id")).alias("_best")
+        )
+        return best.select(
+            id_col, F.col("_best.centroid_id").alias("centroid_id")
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .select(id_col, "centroid_id")
+    )
+
+
+def build_ivf_index(
     data: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     data_id: str = "vec_id",
-    query_id: str = "query_id",
     vec_col: str = "embedding",
     num_centroids: int = 16,
-    num_probes: int = 2,
     kmeans_iterations: int = 0,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the second scale path
-    beside LSH.
+    scorer: str = "native",
+) -> tuple[DataFrame, DataFrame]:
+    """ONE-TIME build phase of IVF search: returns ``(centroids,
+    assignment)`` where centroids is ``centroid_id, _cvec`` (broadcast
+    sized) and assignment is ``<data_id>, centroid_id`` (one row per
+    data vector).
 
-    1. Pick ``num_centroids`` coarse centroids deterministically
-       (hash-rank-sampled data vectors), optionally refined by
-       ``kmeans_iterations`` rounds of Lloyd's algorithm — each round
-       is one broadcast-assign pass plus a per-dimension mean
-       (posexplode → groupBy(centroid, dim) → avg, then re-assembled
-       into an array); the centroid table never leaves broadcast
-       size. Trained centroids track the data distribution, so
-       inverted lists even out and recall rises at the same probe
-       budget.
-    2. Assign every data vector to its nearest centroid — one
-       broadcast join against the tiny centroid set + a max-of-struct
-       aggregate (no window, one shuffle keyed by the vector id).
-    3. For each query, probe the ``num_probes`` nearest centroids and
-       exact-score only those inverted lists.
+    This is the expensive half — O(n · num_centroids) scored pairs
+    ((1 + kmeans_iterations)× that with refinement) versus the query
+    phase's O(n · num_probes / num_centroids) per batch. Like
+    ``dedup.build_minhash_index``, build it once per corpus, persist
+    both frames (the assignment is two narrow columns — write it
+    bucketed on ``data_id`` for a shuffle-free join at query time),
+    and serve every query batch from it via
+    ``ann_ivf_topk(..., index=...)``; recomputing the assignment per
+    batch measured 6x the cost of the query itself at 40k vectors.
 
-    The expensive exact scoring touches ~``num_probes/num_centroids``
-    of the data — the IVF contract. All JVM expressions, no UDF.
+    ``scorer='arrow'`` accelerates the build 10-50x (numpy/BLAS per
+    Arrow batch); assignments can differ from ``'native'`` only for
+    vectors whose two nearest centroids tie within float-sum
+    reordering (~1e-15). Keep ``'native'`` where a SQL oracle
+    reproduces the index bit-for-bit.
+
+    Centroid seeds are deterministic hash-rank samples: works for any
+    id type/distribution (a ``% stride`` scheme assumes dense numeric
+    ids and silently yields zero centroids otherwise); orderBy+limit
+    compiles to a distributed top-k, not a full sort. Lloyd rounds are
+    one broadcast-assign pass plus a per-dimension mean (posexplode →
+    groupBy(centroid, dim) → avg, re-assembled into an array); the
+    centroid table never leaves broadcast size.
     """
-    # deterministic pseudo-random sample by hash rank: works for any
-    # id type/distribution (a `% stride` scheme assumes dense numeric
-    # ids and silently yields zero centroids otherwise); orderBy+limit
-    # compiles to a distributed top-k, not a full sort
+    score = _make_scorer(scorer)
     centroids = (
         data.orderBy(F.xxhash64(F.col(data_id).cast("string")))
         .limit(num_centroids)
@@ -132,40 +193,10 @@ def ann_ivf_topk(
             F.col(vec_col).alias("_cvec"),
         )
     )
-
-    def _assign(df: DataFrame, id_col: str, vcol: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "_ccos", cosine_similarity(vcol, "_cvec")
-        )
-        if keep == 1:
-            # argmax via max-of-struct: avoids a window over every row
-            best = scored.groupBy(id_col).agg(
-                F.max(F.struct("_ccos", "centroid_id")).alias("_best")
-            )
-            return best.select(
-                id_col, F.col("_best.centroid_id").alias("centroid_id")
-            )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_ccos").desc(), F.col("centroid_id")
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep)
-            .select(id_col, "centroid_id")
-        )
-
     d = data.select(F.col(data_id), F.col(vec_col).alias("_dvec"))
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
-
     for _ in range(int(kmeans_iterations)):
-        assigned = (
-            d.crossJoin(F.broadcast(centroids))
-            .withColumn("_ccos", cosine_similarity("_dvec", "_cvec"))
-            .groupBy(data_id)
-            .agg(F.max(F.struct("_ccos", "centroid_id")).alias("_best"))
-            .select(
-                data_id, F.col("_best.centroid_id").alias("centroid_id")
-            )
+        assigned = _assign_to_centroids(
+            d, centroids, data_id, "_dvec", 1, score
         )
         centroids = (
             d.join(assigned, on=data_id)
@@ -188,9 +219,56 @@ def ann_ivf_topk(
                 ).alias("_cvec"),
             )
         )
+    assignment = _assign_to_centroids(
+        d, centroids, data_id, "_dvec", 1, score
+    )
+    return centroids, assignment
 
-    d_assign = _assign(d, data_id, "_dvec", 1)
-    q_probe = _assign(q, query_id, "_qvec", num_probes)
+
+def ann_ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    num_probes: int = 2,
+    kmeans_iterations: int = 0,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    scorer: str = "native",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    beside LSH.
+
+    1. Build phase (:func:`build_ivf_index` — pass its result as
+       ``index`` to amortize it across query batches; without it the
+       index is built inline from ``num_centroids`` /
+       ``kmeans_iterations``): coarse centroids + nearest-centroid
+       assignment of every data vector.
+    2. Query phase: each query probes its ``num_probes`` nearest
+       centroids and exact-scores only those inverted lists — the
+       expensive scoring touches ~``num_probes/num_centroids`` of the
+       data, the IVF contract.
+
+    Default ``scorer='native'`` keeps every expression JVM-side (and
+    bit-reproducible vs the SQL oracle); ``'arrow'`` swaps the cosine
+    for the numpy/BLAS pandas UDF where throughput matters more than
+    float-order reproducibility.
+    """
+    score = _make_scorer(scorer)
+    if index is None:
+        index = build_ivf_index(
+            data, data_id, vec_col, num_centroids, kmeans_iterations,
+            scorer,
+        )
+    centroids, d_assign = index
+
+    d = data.select(F.col(data_id), F.col(vec_col).alias("_dvec"))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    q_probe = _assign_to_centroids(
+        q, centroids, query_id, "_qvec", num_probes, score
+    )
 
     candidates = (
         d.join(d_assign, on=data_id)
@@ -198,7 +276,7 @@ def ann_ivf_topk(
         .join(F.broadcast(q), on=query_id)
     )
     scored = candidates.withColumn(
-        "cosine", cosine_similarity("_dvec", "_qvec")
+        "cosine", score("_dvec", "_qvec")
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(data_id).asc()
@@ -217,6 +295,7 @@ def cosine_topk(
     data_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    scorer: str = "native",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -224,7 +303,10 @@ def cosine_topk(
     one pass over the big side, then a per-query top-k window on the
     (|queries| × k)-bounded candidate set.
     Output: ``query_id, vec_id, cosine, rank``.
+    ``scorer='arrow'`` swaps the cosine for the numpy/BLAS pandas UDF
+    (10-50x per pair; float-order caveat in functions.vectors).
     """
+    score = _make_scorer(scorer)
     q = F.broadcast(
         queries.select(
             F.col(query_id), F.col(vec_col).alias("_qvec")
@@ -233,7 +315,7 @@ def cosine_topk(
     scored = data.select(
         F.col(data_id), F.col(vec_col).alias("_dvec")
     ).crossJoin(q).withColumn(
-        "cosine", cosine_similarity("_dvec", "_qvec")
+        "cosine", score("_dvec", "_qvec")
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(data_id).asc()
@@ -254,14 +336,18 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     num_probes: int = 1,
+    scorer: str = "native",
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket, exact cosine within
     bucket. ``num_probes > 1`` also probes buckets at hamming
     distance 1 from the query's bucket (multi-probe LSH) to recover
     neighbors split across a hyperplane.
     Output: ``query_id, vec_id, cosine, rank`` (rank within probed
-    candidates).
+    candidates). ``scorer='arrow'`` swaps the within-bucket cosine
+    for the numpy/BLAS pandas UDF (float-order caveat in
+    functions.vectors).
     """
+    score = _make_scorer(scorer)
     d = add_lsh_bucket(
         data.select(F.col(data_id), F.col(vec_col).alias("_dvec")),
         "_dvec",
@@ -346,7 +432,7 @@ def ann_lsh_topk(
     q = q.drop("_dots")
     joined = d.join(F.broadcast(q), on="lsh_bucket", how="inner")
     scored = joined.withColumn(
-        "cosine", cosine_similarity("_dvec", "_qvec")
+        "cosine", score("_dvec", "_qvec")
     ).dropDuplicates([query_id, data_id])
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(data_id).asc()

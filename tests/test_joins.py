@@ -128,3 +128,46 @@ def test_point_in_interval_bucket_boundary(spark):
         points, intervals, on="uid", bucket_size=16
     ).collect()
     assert sorted(r.timestamp for r in out) == [0, 31, 63]
+
+
+def test_asof_time_chunk_matches_base(spark):
+    """The hot-key guard (time_chunk) must reproduce the base plan's
+    results exactly: random data with duplicate timestamps, sparse
+    chunks (empty chunks between right rows), multiple keys, and a
+    tolerance — across chunk sizes from smaller-than-gaps to
+    larger-than-horizon."""
+    import random
+
+    rng = random.Random(11)
+    left_rows = [
+        (rng.randrange(3), rng.randrange(1000))
+        for _ in range(400)
+    ]
+    right_rows = [
+        (rng.randrange(3), rng.randrange(1000), i)
+        for i in range(60)
+    ]
+    # force tie cases: right rows exactly at some left timestamps
+    right_rows += [(u, t, 100 + i) for i, (u, t) in
+                   enumerate(left_rows[:10])]
+    left = spark.createDataFrame(left_rows, "uid long, timestamp long")
+    right = spark.createDataFrame(
+        right_rows, "uid long, timestamp long, ival long"
+    )
+
+    def snap(df):
+        return sorted(
+            (r.uid, r.timestamp, r.ival, r.timestamp_right)
+            for r in df.collect()
+        )
+
+    for tol in (None, 150):
+        base = snap(asof_join(left, right, on="uid", tolerance=tol))
+        for chunk in (7, 100, 5000):
+            got = snap(
+                asof_join(
+                    left, right, on="uid", tolerance=tol,
+                    time_chunk=chunk,
+                )
+            )
+            assert got == base, (tol, chunk)

@@ -162,3 +162,50 @@ def test_ann_recall_floors(spark, sf_embeddings):
     r_ivf0, r_ivf3 = _recall(exact, ivf0), _recall(exact, ivf3)
     assert r_ivf3 >= 0.7, f"IVF recall@10 regressed: {r_ivf3}"
     assert r_ivf3 >= r_ivf0  # Lloyd training must not hurt
+
+
+def test_ivf_prebuilt_index_matches_inline(vectors):
+    from polaroam_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = ann_ivf_topk(
+        vectors, q, k=5, num_centroids=8, num_probes=3,
+        kmeans_iterations=1,
+    )
+    idx = build_ivf_index(
+        vectors, num_centroids=8, kmeans_iterations=1
+    )
+    prebuilt = ann_ivf_topk(vectors, q, k=5, num_probes=3, index=idx)
+    a = sorted((r.query_id, r.vec_id, r.rank) for r in inline.collect())
+    b = sorted((r.query_id, r.vec_id, r.rank) for r in prebuilt.collect())
+    assert a == b and len(a) == 20
+
+
+def test_arrow_scorer_matches_native(vectors):
+    from polaroam_spark.operators.similarity import ann_ivf_topk
+
+    q = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn, kw in (
+        (cosine_topk, {}),
+        (ann_lsh_topk, dict(num_planes=4, num_probes=4)),
+        (ann_ivf_topk, dict(num_centroids=8, num_probes=3)),
+    ):
+        nat = {
+            (r.query_id, r.vec_id): (r.cosine, r.rank)
+            for r in fn(vectors, q, k=5, **kw).collect()
+        }
+        arr = {
+            (r.query_id, r.vec_id): (r.cosine, r.rank)
+            for r in fn(vectors, q, k=5, scorer="arrow", **kw).collect()
+        }
+        assert set(nat) == set(arr), fn.__name__
+        for key, (c, rank) in nat.items():
+            ca, ranka = arr[key]
+            assert rank == ranka and abs(c - ca) < 1e-12, (fn.__name__, key)
