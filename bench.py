@@ -153,6 +153,11 @@ def main() -> None:
         name: round(sorted(s)[len(s) // 2], 3)
         for name, s in samples.items()
     }
+    # spread = max-min across passes: distinguishes a real regression
+    # from external-load noise when comparing rounds
+    spread = {
+        name: round(max(s) - min(s), 3) for name, s in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     try:
@@ -166,6 +171,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": _sf_from_dir(SF_DIR),
                 "warmup_sec": round(warmup, 3),
                 "runs_per_query": runs,

@@ -579,6 +579,7 @@ def embedding_neardup_pairs(
     num_planes: int = 8,
     max_bucket_size: int = 1000,
     materialize: bool = False,
+    scorer: str = "native",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucketed cosine. Candidates
     share a random-hyperplane sign bucket (deterministic pseudo-random
@@ -589,9 +590,19 @@ def embedding_neardup_pairs(
     zero-ish or template embeddings hashing identically) take star
     pairs against the bucket's min-id vector instead of the B²/2
     self-join, mirroring :func:`minhash_lsh_pairs`.
+
+    ``scorer='arrow'`` swaps the verification cosine for the
+    numpy/BLAS pandas UDF (similarity.py's scale knob) — candidate
+    verification is this operator's dot-product hot loop; keep
+    ``'native'`` where the SQL oracle must reproduce scores
+    bit-for-bit.
     """
-    from polaroam_spark.operators.similarity import add_lsh_bucket
-    from polaroam_spark.functions.vectors import cosine_similarity
+    from polaroam_spark.operators.similarity import (
+        _make_scorer,
+        add_lsh_bucket,
+    )
+
+    score = _make_scorer(scorer)
 
     b = add_lsh_bucket(
         embeddings.select(
@@ -632,7 +643,7 @@ def embedding_neardup_pairs(
         ["id_a", "id_b"]
     )
     verified = (
-        cand.withColumn("cosine", cosine_similarity("_va", "_vb"))
+        cand.withColumn("cosine", score("_va", "_vb"))
         .filter(F.col("cosine") >= F.lit(cosine_threshold))
         .select("id_a", "id_b", "cosine")
     )

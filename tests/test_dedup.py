@@ -97,6 +97,10 @@ def test_embedding_neardup(spark):
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert found == {(0, 1)}
+    arrow = embedding_neardup_pairs(
+        emb, cosine_threshold=0.99, num_planes=2, scorer="arrow"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in arrow} == found
 
 
 def test_minhash_lsh_hot_bucket_guard(spark):
