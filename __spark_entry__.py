@@ -802,8 +802,7 @@ def j6(spark, sf_dir):
     )
 
 
-@_q(
-    "j7_asof_join",
+_J7_SQL = (
     "WITH "
     + _PINGS_CTE.strip()
     + """,
@@ -814,11 +813,11 @@ marks AS (
 SELECT p.uid, p.ping_id, m.mark_lat
 FROM (SELECT * FROM pings WHERE ping_id % 10 != 0) p
 ASOF LEFT JOIN marks m
-  ON p.uid = m.uid AND p.timestamp >= m.timestamp""",
+  ON p.uid = m.uid AND p.timestamp >= m.timestamp"""
 )
-def j7(spark, sf_dir):
-    from polaroam_spark.operators.joins import asof_join
 
+
+def _j7_frames(spark, sf_dir):
     pings = _pings(spark, sf_dir)
     # one mark per (uid, timestamp): as-of tie-breaking among equal
     # right timestamps is engine-arbitrary, so pre-aggregate
@@ -830,9 +829,32 @@ def j7(spark, sf_dir):
     left = pings.filter(F.col("ping_id") % 10 != 0).select(
         "uid", "timestamp", "ping_id"
     )
+    return left, marks
+
+
+@_q("j7_asof_join", _J7_SQL)
+def j7(spark, sf_dir):
+    from polaroam_spark.operators.joins import asof_join
+
+    left, marks = _j7_frames(spark, sf_dir)
     return asof_join(left, marks, on="uid").select(
         "uid", "ping_id", "mark_lat"
     )
+
+
+@_q("j7b_asof_join_chunked", _J7_SQL)
+def j7b(spark, sf_dir):
+    """Round-5 hot-key guard (joins.py:asof_join time_chunk): the
+    segmented-scan plan must reproduce the base as-of semantics
+    bit-for-bit against the SAME oracle as j7 — chunk size chosen
+    well below the ping horizon so chunk-boundary carry-in is
+    genuinely exercised."""
+    from polaroam_spark.operators.joins import asof_join
+
+    left, marks = _j7_frames(spark, sf_dir)
+    return asof_join(
+        left, marks, on="uid", time_chunk=3600
+    ).select("uid", "ping_id", "mark_lat")
 
 
 @_q(
@@ -860,6 +882,39 @@ def j8(spark, sf_dir):
         start_col="start_timestamp",
         end_col="end_timestamp",
         bucket_size=86400,
+    ).select("uid", "ping_id", "stop_events")
+
+
+@_q(
+    "j8b_point_in_interval_left",
+    "WITH "
+    + _STOPS_CTE.strip()
+    + """
+SELECT p.uid, p.ping_id, m.stop_events
+FROM pings p
+LEFT JOIN medians m
+  ON p.uid = m.uid AND p.timestamp >= m.start_timestamp
+  AND p.timestamp <= m.end_timestamp""",
+)
+def j8b(spark, sf_dir):
+    """Round-5 left variant (joins.py:point_in_interval_join
+    how='left'): points contained by no interval must survive with
+    null interval columns — checked against a plain SQL LEFT JOIN."""
+    from polaroam_spark.operators.joins import point_in_interval_join
+
+    points = _pings(spark, sf_dir).select("uid", "timestamp", "ping_id")
+    intervals = _medians_df(spark, sf_dir).select(
+        "uid", "start_timestamp", "end_timestamp", "stop_events"
+    )
+    return point_in_interval_join(
+        points,
+        intervals,
+        on="uid",
+        start_col="start_timestamp",
+        end_col="end_timestamp",
+        bucket_size=86400,
+        how="left",
+        point_id="ping_id",
     ).select("uid", "ping_id", "stop_events")
 
 
@@ -3153,6 +3208,25 @@ def n2b(spark, sf_dir):
     )
 
 
+@_q("n3c_ann_ivf_prebuilt", _ANN_GATE_SQL)
+def n3c(spark, sf_dir):
+    """Round-5 build/query split (similarity.py:build_ivf_index):
+    serving from a PREBUILT index must clear the same hash-checked
+    self/k/recall certification as the inline path (same centroid and
+    probe parameters as n3b, so any divergence between the split and
+    inline plans flips a pinned boolean)."""
+    from polaroam_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    def fn(emb, q):
+        idx = build_ivf_index(emb, num_centroids=8)
+        return ann_ivf_topk(emb, q, k=10, num_probes=4, index=idx)
+
+    return _ann_recall_gate(spark, sf_dir, fn)
+
+
 @_q("n3b_ann_ivf_recall", _ANN_GATE_SQL)
 def n3b(spark, sf_dir):
     from polaroam_spark.operators.similarity import ann_ivf_topk
@@ -3732,6 +3806,68 @@ def mm1(spark, sf_dir):
     )
 
 
+def _mk_png(m: int) -> bytes:
+    """Deterministic 4x3 RGB PNG for the mm1b gate: pixel k (row-major
+    across channels) = (m*37 + k*11) % 256. 11 is invertible mod 256,
+    so all 36 pixel bytes are distinct — the decoded entropy is
+    exactly log2(36), SQL-computable."""
+    import struct
+    import zlib
+
+    w, h, c = 4, 3, 3
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    px = bytes((m * 37 + k * 11) % 256 for k in range(w * h * c))
+    raw = b"".join(
+        b"\x00" + px[y * w * c : (y + 1) * w * c] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@_q(
+    "mm1b_png_decode",
+    """SELECT m AS media_id,
+       round(avg((m * 37 + k * 11) % 256), 6) AS pixel_mean,
+       round(log2(36.0), 6) AS pixel_entropy
+FROM range(0, 20) t(m), range(0, 36) s(k)
+GROUP BY m""",
+)
+def mm1b(spark, sf_dir):
+    """Round-5 real image decode (multimodal.py:strict_decode /
+    decode_image): REAL PNG bytes — encoded driver-side from a
+    deterministic pixel formula — go through the Arrow mapInPandas
+    path with the strict decoder; the oracle recomputes the decoded
+    pixel mean and entropy from the generating formula, so a decoder
+    that misparses headers, filters, or channel layout value-hash
+    mismatches."""
+    from polaroam_spark.operators.multimodal import (
+        attach_media_meta,
+        extract_media_features,
+        strict_decode,
+    )
+
+    rows = [(m, _mk_png(m)) for m in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    media = attach_media_meta(df, kind="image", fmt="png")
+    return extract_media_features(media, decode_fn=strict_decode).select(
+        "media_id",
+        F.round("byte_mean", 6).alias("pixel_mean"),
+        F.round("byte_entropy", 6).alias("pixel_entropy"),
+    )
+
+
 # Streaming stop detection, hash-checked against a batch SQL twin.
 # The source is written as ONE parquet file, so availableNow runs a
 # single micro-batch: every stop closed by a later ping is emitted,
@@ -4227,8 +4363,10 @@ def v2(spark, sf_dir):
 # (multimodal PIL decode, incremental-index docs, simhash). Everything
 # with a green r3/r4 row and unchanged code rides behind.
 _PRIORITY = [
-    # (a) oracle never driver-sampled ------------------------------
+    # (a) oracle never driver-sampled / new round-5 gates ----------
     "a15_approx_distinct",
+    "j7b_asof_join_chunked", "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
+    "j8b_point_in_interval_left",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

@@ -223,20 +223,36 @@ def point_in_interval_join(
     start_col: str = "t_start",
     end_col: str = "t_end",
     bucket_size: int = 86400,
+    how: str = "inner",
+    point_id: str | None = None,
 ) -> DataFrame:
-    """Inner-join point rows to the interval rows containing them
+    """Join point rows to the interval rows containing them
     (``start <= point <= end``), optionally also keyed by ``on``.
 
     ``bucket_size`` trades replication for candidate pruning: each
     interval appears in ``(len / bucket_size) + 1`` buckets; pick it
-    near the typical interval length.
+    near the typical interval LENGTH (measured: oversizing 24× cost
+    6.8× wall at 10M points — BASELINE.md round-5 probe).
 
-    Inner semantics only: a bucketed left join cannot distinguish "no
-    interval in my bucket" from "bucket-mates that fail containment"
-    without a unique point key, and would silently drop rows. Callers
-    wanting left semantics should left-join this result back on their
-    own point key.
+    ``how='inner'`` (default) emits one row per (point, containing
+    interval). ``how='left'`` additionally keeps points contained by
+    NO interval, with null interval columns — it requires
+    ``point_id`` naming a UNIQUE point key, because the bucketed plan
+    cannot otherwise distinguish "no interval in my bucket" from
+    "bucket-mates that fail containment" and would silently drop
+    rows: the left variant is the inner result re-joined to the full
+    point set on ``point_id`` (one extra shuffle on the point key).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left', got {how!r}"
+        )
+    if how == "left" and point_id is None:
+        raise ValueError(
+            "how='left' requires point_id (a unique point key): "
+            "without it unmatched points are indistinguishable from "
+            "failed bucket candidates"
+        )
     clash = {"_bucket"} & (set(points.columns) | set(intervals.columns))
     if clash:
         raise ValueError(
@@ -261,4 +277,9 @@ def point_in_interval_join(
     cond = (F.col(point_ts) >= F.col(start_col)) & (
         F.col(point_ts) <= F.col(end_col)
     )
-    return joined.filter(cond).drop("_bucket")
+    inner = joined.filter(cond).drop("_bucket")
+    if how == "inner":
+        return inner
+    ival_cols = [c for c in intervals.columns if c not in points.columns]
+    matches = inner.select(point_id, *ival_cols)
+    return points.join(matches, on=point_id, how="left")

@@ -171,3 +171,22 @@ def test_asof_time_chunk_matches_base(spark):
                 )
             )
             assert got == base, (tol, chunk)
+
+
+def test_point_in_interval_left(spark):
+    pts = spark.createDataFrame(
+        [(1, 5, 100), (1, 50, 101), (2, 5, 102)],
+        "uid long, timestamp long, pid long",
+    )
+    ivals = spark.createDataFrame(
+        [(1, 0, 10, 7), (1, 4, 6, 8)],
+        "uid long, t_start long, t_end long, ival long",
+    )
+    with pytest.raises(ValueError):
+        point_in_interval_join(pts, ivals, on="uid", how="left")
+    out = point_in_interval_join(
+        pts, ivals, on="uid", bucket_size=10, how="left", point_id="pid"
+    )
+    rows = sorted((r.pid, r.ival) for r in out.collect())
+    # pid 100 in both intervals; 101 (t=50) and 102 (uid 2) unmatched
+    assert rows == [(100, 7), (100, 8), (101, None), (102, None)]
