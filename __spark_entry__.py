@@ -842,6 +842,32 @@ def j7(spark, sf_dir):
     )
 
 
+@_q(
+    "j7c_asof_join_forward",
+    "WITH "
+    + _PINGS_CTE.strip()
+    + """,
+marks AS (
+  SELECT uid, timestamp, min(round(latitude, 6)) AS mark_lat
+  FROM pings WHERE ping_id % 10 = 0 GROUP BY uid, timestamp
+)
+SELECT p.uid, p.ping_id, m.mark_lat
+FROM (SELECT * FROM pings WHERE ping_id % 10 != 0) p
+ASOF LEFT JOIN marks m
+  ON p.uid = m.uid AND p.timestamp <= m.timestamp""",
+)
+def j7c(spark, sf_dir):
+    """Round-5 forward direction (joins.py:asof_join
+    direction='forward'): earliest mark at-or-after each ping,
+    checked against DuckDB's ASOF with the inequality reversed."""
+    from polaroam_spark.operators.joins import asof_join
+
+    left, marks = _j7_frames(spark, sf_dir)
+    return asof_join(
+        left, marks, on="uid", direction="forward"
+    ).select("uid", "ping_id", "mark_lat")
+
+
 @_q("j7b_asof_join_chunked", _J7_SQL)
 def j7b(spark, sf_dir):
     """Round-5 hot-key guard (joins.py:asof_join time_chunk): the
@@ -4365,7 +4391,8 @@ def v2(spark, sf_dir):
 _PRIORITY = [
     # (a) oracle never driver-sampled / new round-5 gates ----------
     "a15_approx_distinct",
-    "j7b_asof_join_chunked", "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
+    "j7b_asof_join_chunked", "j7c_asof_join_forward",
+    "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
     "j8b_point_in_interval_left",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",

@@ -33,14 +33,21 @@ def asof_join(
     tolerance: int | None = None,
     suffix: str = "_right",
     time_chunk: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join (backward): append the latest right row with
-    ``right_ts <= left_ts`` per ``on`` key; unmatched left rows keep
-    nulls. ``tolerance`` (same unit as the timestamps) drops matches
-    older than ``left_ts - tolerance``.
+    """Left as-of join: append the nearest right row per ``on`` key;
+    unmatched left rows keep nulls. ``direction='backward'`` (default)
+    matches the latest right row with ``right_ts <= left_ts``;
+    ``'forward'`` the earliest with ``right_ts >= left_ts``.
+    ``tolerance`` (same unit as the timestamps) drops matches farther
+    than ``tolerance`` from ``left_ts`` on the match side.
 
-    Ties: a right row at exactly ``left_ts`` matches (right sorts
-    before left at equal timestamps).
+    Ties: a right row at exactly ``left_ts`` matches in both
+    directions (right sorts before left at equal timestamps).
+
+    Forward is backward on NEGATED timestamps — one sign flip on the
+    internal sort key, so both directions share one plan shape, the
+    same tie rule, and the same ``time_chunk`` hot-key guard.
 
     ``time_chunk`` is the HOT-KEY GUARD (off by default). The base
     plan windows over ``partitionBy(on)`` — one task per key, so a key
@@ -75,11 +82,16 @@ def asof_join(
             f"asof_join reserves column names {sorted(reserved)}; "
             f"rename {sorted(clash)} in the input frames first"
         )
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    sign = 1 if direction == "backward" else -1
     rpayload = [c for c in right.columns if c != on]
     payload = F.struct(*[F.col(c) for c in rpayload])
     r = right.select(
         F.col(on),
-        F.col(right_ts).cast("long").alias("_ts"),
+        (F.col(right_ts).cast("long") * sign).alias("_ts"),
         F.lit(0).alias("_side"),
         payload.alias("_payload"),
     )
@@ -92,7 +104,7 @@ def asof_join(
     lcols = left.columns
     l = left.select(
         "*",
-        F.col(left_ts).cast("long").alias("_ts"),
+        (F.col(left_ts).cast("long") * sign).alias("_ts"),
         F.lit(1).alias("_side"),
     )
 
@@ -198,11 +210,13 @@ def asof_join(
 
     if tolerance is not None:
         # cast: the payload keeps the right timestamp in its original
-        # type (possibly TIMESTAMP) while _ts is already long
+        # type (possibly TIMESTAMP) while _ts is already long (and
+        # sign-flipped for direction='forward' — flip the payload ts
+        # the same way so the distance check stays one inequality)
         matched = matched.withColumn(
             "_match",
             F.when(
-                F.col(f"_match.{right_ts}").cast("long")
+                F.col(f"_match.{right_ts}").cast("long") * sign
                 >= F.col("_ts") - F.lit(int(tolerance)),
                 F.col("_match"),
             ),

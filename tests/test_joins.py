@@ -190,3 +190,51 @@ def test_point_in_interval_left(spark):
     rows = sorted((r.pid, r.ival) for r in out.collect())
     # pid 100 in both intervals; 101 (t=50) and 102 (uid 2) unmatched
     assert rows == [(100, 7), (100, 8), (101, None), (102, None)]
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 99)], "uid long, timestamp long"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 100), (1, 10, 101), (1, 30, 102)],
+        "uid long, timestamp long, ival long",
+    )
+    out = asof_join(left, right, on="uid", direction="forward")
+    got = {r.timestamp: r.ival for r in out.collect()}
+    # t=10: right at exactly 10 matches; t=25 -> next at 30; t=99 -> none
+    assert got == {10: 101, 25: 102, 99: None}
+    tol = asof_join(
+        left, right, on="uid", direction="forward", tolerance=4
+    )
+    got_tol = {r.timestamp: r.ival for r in tol.collect()}
+    assert got_tol == {10: 101, 25: None, 99: None}  # 30-25 > 4
+
+
+def test_asof_forward_chunked_matches_base(spark):
+    import random
+
+    rng = random.Random(5)
+    left = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(1000)) for _ in range(300)],
+        "uid long, timestamp long",
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(1000), i) for i in range(50)],
+        "uid long, timestamp long, ival long",
+    )
+
+    def snap(df):
+        return sorted(
+            (r.uid, r.timestamp, r.ival) for r in df.collect()
+        )
+
+    base = snap(asof_join(left, right, on="uid", direction="forward"))
+    for chunk in (13, 250):
+        got = snap(
+            asof_join(
+                left, right, on="uid", direction="forward",
+                time_chunk=chunk,
+            )
+        )
+        assert got == base, chunk
