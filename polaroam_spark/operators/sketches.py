@@ -1,0 +1,364 @@
+"""Mergeable frequency/membership sketches for corpus-scale pipelines.
+
+Two primitives the 100 TB training-data workflow needs that no
+reference operator covers:
+
+- :func:`heavy_hitters` — distributed Misra-Gries frequent-items
+  summary. An exact ``groupBy(item).count()`` over a web-scale token
+  stream shuffles one row per DISTINCT item (billions); Misra-Gries
+  bounds the shuffle to ``capacity`` rows PER PARTITION with the
+  classic deterministic guarantee (every item with true frequency
+  > n/(capacity+1) survives, estimates undercount by at most
+  n/(capacity+1)). Summaries are merged with the Agarwal et al.
+  (PODS 2012, "Mergeable Summaries") counter-sum + compress rule, so
+  the result is partitioning-independent in its guarantees.
+- :func:`build_bloom` / :func:`probe_bloom` — a Bloom filter as a
+  DataFrame: ``num_bits`` packed into ``num_bits/64`` ``(word_idx,
+  bits)`` rows via ``bit_or`` aggregation. The filter for 100M keys
+  at 16 bits/key is ~200 MB — broadcastable where the distinct-key
+  set itself is not — and probing is ``num_hashes`` broadcast hash
+  joins, no shuffle of the probed side and no UDF anywhere.
+  :func:`bloom_decontaminate` applies it to benchmark
+  decontamination: ONE-SIDED error (never misses a truly
+  contaminated document; may over-drop a bounded-probability handful
+  of clean ones), for an eval-side footprint of bits instead of a
+  distinct 8-byte-hash set.
+
+Both are pure-DataFrame ops; the only Python is the Arrow-batched
+Misra-Gries partition loop (a per-partition dict fold that no
+built-in aggregate expresses).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "heavy_hitters",
+    "build_bloom",
+    "probe_bloom",
+    "bloom_decontaminate",
+]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    capacity: int = 64,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Misra-Gries frequent items over ``df[item_col]``.
+
+    Returns ``(item_col, est_count)`` with the mergeable-summary
+    guarantees, valid under ANY partitioning of the input:
+
+    - ``est_count <= true_count`` (always an undercount);
+    - ``true_count - est_count <= n / (capacity + 1)`` where ``n``
+      is the total (non-null) item count;
+    - therefore every item with ``true_count > n / (capacity + 1)``
+      is present in the output.
+
+    Plan shape: one ``mapInPandas`` pass folds each partition into at
+    most ``capacity`` ``(item, count)`` rows (each Arrow batch is
+    counted vectorized with ``value_counts`` and merged into the
+    running summary; when the summary exceeds ``capacity`` the
+    (capacity+1)-th largest counter is subtracted from all and
+    non-positive counters dropped — the Misra-Gries step in its
+    mergeable form). The partition summaries — at most
+    ``capacity x num_partitions`` rows TOTAL, independent of both n
+    and the distinct-item count — are then counter-summed with a
+    plain ``groupBy(item).sum``. That second stage is itself a valid
+    merge, so the output keeps the bound above with no final
+    compression (it may hold up to ``capacity x num_partitions``
+    items; pass ``top_k`` to truncate by descending estimate).
+
+    Nulls are ignored. Use this when the distinct-item cardinality is
+    the scaling problem (corpus token frequencies, URL hosts);
+    when cardinality is modest, exact ``groupBy().count()`` with its
+    map-side combine is already optimal — this is not a replacement
+    for it.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    src = df.select(item_col).filter(F.col(item_col).isNotNull())
+    out_schema = T.StructType(
+        [src.schema[item_col], T.StructField("est_count", T.LongType())]
+    )
+
+    def _mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[item_col].value_counts(dropna=True)
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - cut
+                    for k, v in counters.items()
+                    if v - cut > 0
+                }
+        yield pd.DataFrame(
+            {
+                item_col: list(counters.keys()),
+                "est_count": list(counters.values()),
+            }
+        )
+
+    merged = (
+        src.mapInPandas(_mg_partition, schema=out_schema)
+        .groupBy(item_col)
+        .agg(F.sum("est_count").alias("est_count"))
+    )
+    if top_k is not None:
+        merged = merged.orderBy(
+            F.col("est_count").desc(), F.col(item_col).asc()
+        ).limit(top_k)
+    return merged
+
+
+def _bloom_hash(value: Column, seed: Column | int, portable: bool) -> Column:
+    from polaroam_spark.functions.text import (
+        fast_hash64,
+        portable_hash64,
+    )
+
+    if portable:
+        return portable_hash64(value, seed)
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    # xxhash64 takes the seed as a column operand: hashing
+    # (value, seed) varies the position per probe without a UDF
+    return F.xxhash64(value, seed_col)
+
+
+def _bloom_positions(
+    value: Column, num_bits: int, num_hashes: int, portable: bool
+) -> list[Column]:
+    return [
+        F.pmod(_bloom_hash(value, i, portable), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a Bloom filter over the distinct values of ``df[col]``.
+
+    Returns ``(word_idx long, bits long)`` — the ``num_bits``-bit
+    array packed 64 bits per row, rows present only for words with at
+    least one set bit (probe treats an absent word as all-zero). At
+    most ``num_bits / 64`` rows regardless of input size, built with
+    one explode + ``bit_or`` aggregation; the map-side combine means
+    the shuffle carries at most ``num_bits / 64`` rows PER PARTITION.
+
+    Sizing: for ``n`` distinct keys and target false-positive rate
+    ``p``, ``num_bits ~= -n ln p / (ln 2)^2`` and ``num_hashes ~=
+    (num_bits/n) ln 2`` (10 bits/key + 7 hashes gives ~1%; 16
+    bits/key + 3 hashes a comfortable ~0.6%).
+
+    ``portable=True`` swaps xxhash64 for the md5-based
+    ``portable_hash64`` so an external engine (DuckDB oracle) can
+    reproduce positions bit-for-bit; xxhash64 is ~10x cheaper and the
+    default where only Spark probes the filter.
+    """
+    if num_bits < 64:
+        raise ValueError(f"num_bits must be >= 64, got {num_bits}")
+    v = F.col(col)
+    pos = F.explode(
+        F.array(*_bloom_positions(v, num_bits, num_hashes, portable))
+    ).alias("_pos")
+    return (
+        df.filter(v.isNotNull())
+        .select(pos)
+        .select(
+            F.floor(F.col("_pos") / F.lit(64)).cast("long").alias(
+                "word_idx"
+            ),
+            # SQL shiftleft: the pyspark wrapper only takes a Python
+            # int shift, but the engine function shifts by a column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def probe_bloom(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    num_bits: int,
+    num_hashes: int = 3,
+    portable: bool = False,
+    result_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Append ``result_col`` (boolean): Bloom-filter membership of
+    ``df[col]`` in a filter from :func:`build_bloom` (same
+    ``num_bits`` / ``num_hashes`` / ``portable`` — positions are a
+    function of all three, so mismatched parameters silently probe
+    garbage; keep them together).
+
+    False means DEFINITELY absent from the build set; true means
+    present with false-positive probability set by the filter sizing.
+    Null probe values yield false.
+
+    Plan shape: ``num_hashes`` broadcast hash joins against the
+    (<= ``num_bits``/64)-row filter — the probed side never shuffles,
+    keeps all its columns (no row-identity requirement), and every
+    bit test is a JVM bitwiseAND. An absent word row means no build
+    value set any bit there: the left join's null bits read as 0.
+
+    The per-probe key aliases make the ``num_hashes`` broadcast
+    exchanges non-identical, so Spark's exchange reuse does NOT
+    collapse them: an unpersisted ``bloom`` has its build subtree
+    re-evaluated once per hash. Cheap for a one-shot probe (the
+    build side is one scan + a tiny aggregate), but persist the
+    filter (``session.materialize(bloom)``) when the build side is
+    expensive or one filter serves many probe batches.
+    """
+    v = F.col(col)
+    hits = []
+    out = df
+    for i, pos in enumerate(
+        _bloom_positions(v, num_bits, num_hashes, portable)
+    ):
+        b = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"_w{i}"),
+                F.col("bits").alias(f"_bits{i}"),
+            )
+        )
+        out = (
+            out.withColumn(f"_p{i}", pos)
+            .withColumn(
+                f"_w{i}", F.floor(F.col(f"_p{i}") / F.lit(64)).cast("long")
+            )
+            .withColumn(
+                f"_m{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))"
+                ),
+            )
+            .join(b, on=f"_w{i}", how="left")
+        )
+        hits.append(
+            F.coalesce(F.col(f"_bits{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"_m{i}")
+            )
+            == F.col(f"_m{i}")
+        )
+    maybe = v.isNotNull()
+    for h in hits:
+        maybe = maybe & h
+    out = out.withColumn(result_col, maybe)
+    return out.drop(
+        *[
+            c
+            for i in range(num_hashes)
+            for c in (f"_p{i}", f"_w{i}", f"_m{i}", f"_bits{i}")
+        ]
+    )
+
+
+def bloom_bits_for(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: (num_bits, num_hashes) for ``n_keys``
+    distinct keys at target false-positive rate ``fp_rate``, num_bits
+    rounded up to a multiple of 64."""
+    if n_keys < 1 or not (0.0 < fp_rate < 1.0):
+        raise ValueError(f"bad sizing inputs n={n_keys} p={fp_rate}")
+    m = math.ceil(-n_keys * math.log(fp_rate) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter of the eval
+    set's word n-gram hashes — the memory-bounded variant of
+    :func:`~polaroam_spark.operators.dedup.decontaminate`.
+
+    The exact operator broadcasts the eval side's DISTINCT 64-bit
+    gram hashes (8 bytes/gram — fine for benchmark-sized eval sets,
+    heavy once the "eval" side is itself a corpus, e.g. held-out
+    split decontamination). Here the eval grams fold into a
+    ``num_bits``-bit filter instead (see :func:`build_bloom` sizing;
+    default 4M bits = 512 KB), and corpus grams probe it with
+    ``num_hashes`` broadcast joins.
+
+    Error is ONE-SIDED by construction: a truly shared gram always
+    probes true, so every document the exact operator drops is
+    dropped here too (no contamination ever survives); a clean
+    document is over-dropped only if >= ``min_overlap`` of its
+    distinct grams all false-positive, probability <=
+    C(grams, min_overlap) * fp^min_overlap. Returned survivors are
+    therefore a subset of the exact survivors.
+
+    Unlike the exact operator there is no short-eval pass: grams are
+    taken at a single ``n`` on both sides (eval docs shorter than
+    ``n`` tokens contribute their whole token sequence as one gram,
+    matching :func:`~polaroam_spark.functions.text.word_shingles`
+    semantics on both sides, so short eval items still match their
+    exact text against corpus ``len``-grams only when lengths align).
+    """
+    from polaroam_spark.functions.text import (
+        fast_hash64,
+        portable_hash64,
+        tokens,
+        word_shingles,
+    )
+
+    ghash = portable_hash64 if portable else fast_hash64
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(
+                    word_shingles(tokens(eval_text_col), n)
+                )
+            ).alias("_gram")
+        )
+        .select(ghash("_gram").alias("_gh"))
+        .distinct()
+    )
+    bloom = build_bloom(
+        eval_grams, "_gh", num_bits, num_hashes, portable
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), n))
+        ).alias("_gram"),
+    ).select(id_col, ghash("_gram").alias("_gh"))
+    probed = probe_bloom(
+        corpus_grams, "_gh", bloom, num_bits, num_hashes, portable
+    )
+    contaminated = (
+        probed.filter(F.col("bloom_maybe"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= F.lit(min_overlap))
+        .select(id_col)
+    )
+    return corpus.join(contaminated, on=id_col, how="left_anti")

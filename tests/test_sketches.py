@@ -17,3 +17,149 @@ def test_approx_count_distinct_error_bound(spark):
     )
     for r in joined:
         assert abs(r.approx - r.exact) / r.exact < 0.05, r
+
+
+# ---- Misra-Gries heavy hitters ------------------------------------
+
+import random
+
+import pyspark.sql.functions as F  # noqa: F811  (module-level alias above)
+import pytest
+
+from polaroam_spark.operators.sketches import (
+    bloom_decontaminate,
+    bloom_bits_for,
+    build_bloom,
+    heavy_hitters,
+    probe_bloom,
+)
+
+
+def _zipf_items(n=20000, n_items=400, seed=7):
+    rng = random.Random(seed)
+    # zipf-ish: item i drawn with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(n_items)]
+    return rng.choices([f"tok{i}" for i in range(n_items)], weights, k=n)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_misra_gries_guarantees(spark, n_parts):
+    items = _zipf_items()
+    n = len(items)
+    cap = 16
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(n_parts)
+    sketch = {
+        r.item: r.est_count
+        for r in heavy_hitters(df, "item", capacity=cap).collect()
+    }
+    exact = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    bound = n / (cap + 1)
+    for item, true_cnt in exact.items():
+        est = sketch.get(item, 0)
+        assert est <= true_cnt, (item, est, true_cnt)
+        assert true_cnt - est <= bound, (item, est, true_cnt, bound)
+        if true_cnt > bound:
+            assert item in sketch, (item, true_cnt, bound)
+
+
+def test_misra_gries_exact_when_under_capacity(spark):
+    # distinct items <= capacity: no decrement ever fires, the
+    # sketch IS the exact count regardless of partitioning
+    items = ["a"] * 10 + ["b"] * 5 + ["c"] * 2
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    out = {
+        r.item: r.est_count
+        for r in heavy_hitters(df, "item", capacity=8).collect()
+    }
+    assert out == {"a": 10, "b": 5, "c": 2}
+
+
+def test_misra_gries_top_k_and_nulls(spark):
+    items = [("a",)] * 10 + [("b",)] * 5 + [(None,)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(items, "item string")
+    out = heavy_hitters(df, "item", capacity=8, top_k=2).collect()
+    assert [r.item for r in out] == ["a", "b"]
+
+
+def test_misra_gries_long_items(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 3).alias("v"))
+    out = {
+        r.v: r.est_count
+        for r in heavy_hitters(df, "v", capacity=4).collect()
+    }
+    assert sum(out.values()) == 1000 and set(out) == {0, 1, 2}
+
+
+# ---- Bloom filter --------------------------------------------------
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_bloom_no_false_negatives(spark, portable):
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k")
+    )
+    m, h = bloom_bits_for(500, 0.01)
+    bloom = build_bloom(members, "k", m, h, portable=portable)
+    assert bloom.count() <= m / 64
+    probed = probe_bloom(members, "k", bloom, m, h, portable=portable)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+    # original columns survive probing
+    assert set(probed.columns) == {"k", "bloom_maybe"}
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k")
+    )
+    outsiders = spark.range(0, 2000).select(
+        F.concat(F.lit("other"), F.col("id")).alias("k")
+    )
+    m, h = bloom_bits_for(500, 0.01)
+    bloom = build_bloom(members, "k", m, h)
+    fp = (
+        probe_bloom(outsiders, "k", bloom, m, h)
+        .filter(F.col("bloom_maybe"))
+        .count()
+    )
+    # target 1%; allow 4x headroom for a fixed-hash sample
+    assert fp / 2000 <= 0.04, fp
+
+
+def test_bloom_null_probe_is_false(spark):
+    members = spark.range(0, 10).select(F.col("id").cast("string").alias("k"))
+    bloom = build_bloom(members, "k", 1024, 3)
+    probed = probe_bloom(
+        spark.createDataFrame([(None,), ("3",)], "k string"),
+        "k",
+        bloom,
+        1024,
+        3,
+    ).collect()
+    got = {r.k: r.bloom_maybe for r in probed}
+    assert got[None] is False and got["3"] is True
+
+
+def test_bloom_decontaminate_one_sided_vs_exact(spark, docs=None):
+    from polaroam_spark.operators.dedup import decontaminate
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_df = corpus.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("text")
+    )
+    kw = dict(n=8, min_overlap=1)
+    exact = decontaminate(
+        corpus, eval_df, match_short_eval=False, **kw
+    )
+    bloomy = bloom_decontaminate(
+        corpus, eval_df, num_bits=1 << 16, num_hashes=5, **kw
+    )
+    exact_ids = {r.doc_id for r in exact.select("doc_id").collect()}
+    bloom_ids = {r.doc_id for r in bloomy.select("doc_id").collect()}
+    # one-sided: bloom never keeps a doc the exact op drops
+    assert bloom_ids <= exact_ids
+    # and over-dropping is rare at this sizing
+    assert len(exact_ids) - len(bloom_ids) <= max(2, len(exact_ids) // 50)
