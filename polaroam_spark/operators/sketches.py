@@ -82,6 +82,13 @@ def heavy_hitters(
     when cardinality is modest, exact ``groupBy().count()`` with its
     map-side combine is already optimal — this is not a replacement
     for it.
+
+    Tuning: prefer GENEROUS capacities (256-4096). The guarantee
+    tightens linearly, the summary shuffle stays trivial, and the
+    partition loop runs FASTER — the per-batch compress (a Python
+    sort over the dict) only fires when the dict exceeds capacity,
+    so capacity 256 measured half the wall of capacity 64 on a
+    20M-row skewed stream (BASELINE.md round-5 sketch probe).
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
