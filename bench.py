@@ -105,7 +105,16 @@ def main() -> None:
         q = emb.filter(F.col("vec_id") < 50).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        run(ann_lsh_topk(emb, q, k=10, num_planes=8, num_probes=3))
+        # production configuration: arrow bucketer on the data side
+        # (bucket parity with native pinned by
+        # tests/test_similarity.py::test_arrow_bucketer_matches_native;
+        # the oracle-gated n2/n2b paths stay fully native)
+        run(
+            ann_lsh_topk(
+                emb, q, k=10, num_planes=8, num_probes=3,
+                bucketer="arrow",
+            )
+        )
 
     def q_text_quality():
         from polaroam_spark.operators.textstats import quality_features

@@ -104,13 +104,56 @@ def _bucket_from_dots(dots: Column) -> Column:
     return F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("long")
 
 
+def _lsh_bucket_arrow(num_planes: int):
+    """Arrow-batched bucketer: one numpy matmul per batch against the
+    same quantized-sin hyperplanes as :func:`_plane_component` —
+    the scale path for bucketing the DATA side (n × planes × dim
+    interpreted HOF work natively). Sign decisions can differ from
+    the native fold only when a true dot sits within float-summation
+    reordering (~1e-15) of zero; a flipped sign moves that vector to
+    the adjacent bucket, an ANN-recall non-event. Keep the native
+    bucketer wherever a SQL oracle pins exact bucket contents."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _bucket(v):
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        dims = np.arange(V.shape[1], dtype=np.float64)
+        planes = np.arange(num_planes, dtype=np.float64)
+        raw = np.sin(np.add.outer(planes * 7919.0, dims * 104729.0))
+        w = np.floor(raw * 1e6 + 0.5) / 1e6  # (planes, dim)
+        bits = (V @ w.T >= 0).astype(np.int64)
+        return pd.Series(
+            (bits << np.arange(num_planes, dtype=np.int64)).sum(axis=1)
+        )
+
+    _bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "long")
+
+
 def add_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    bucketer: str = "native",
 ) -> DataFrame:
     """Append ``lsh_bucket`` (long): sign bits of the vector's dot
-    product with ``num_planes`` deterministic hyperplanes. All array
-    higher-order functions — runs inside codegen.
+    product with ``num_planes`` deterministic hyperplanes.
+    ``bucketer='native'`` (default) is all array higher-order
+    functions — bit-reproducible vs SQL oracles; ``'arrow'`` swaps in
+    one numpy matmul per Arrow batch (~10x on the data side — see
+    :func:`_lsh_bucket_arrow` for the sign-boundary caveat).
     """
+    if bucketer == "arrow":
+        return df.withColumn(
+            "lsh_bucket", _lsh_bucket_arrow(num_planes)(F.col(vec_col))
+        )
+    if bucketer != "native":
+        raise ValueError(
+            f"unknown bucketer {bucketer!r}: use 'native' or 'arrow'"
+        )
     return df.withColumn(
         "lsh_bucket", _bucket_from_dots(_plane_dots(F.col(vec_col), num_planes))
     )
@@ -337,6 +380,7 @@ def ann_lsh_topk(
     num_planes: int = 8,
     num_probes: int = 1,
     scorer: str = "native",
+    bucketer: str = "native",
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket, exact cosine within
     bucket. ``num_probes > 1`` also probes buckets at hamming
@@ -345,13 +389,17 @@ def ann_lsh_topk(
     Output: ``query_id, vec_id, cosine, rank`` (rank within probed
     candidates). ``scorer='arrow'`` swaps the within-bucket cosine
     for the numpy/BLAS pandas UDF (float-order caveat in
-    functions.vectors).
+    functions.vectors); ``bucketer='arrow'`` swaps the DATA-side
+    bucket computation — the n-scaling part — for one numpy matmul
+    per Arrow batch (the query side stays native: it is tiny and
+    multi-probe needs its per-plane margins).
     """
     score = _make_scorer(scorer)
     d = add_lsh_bucket(
         data.select(F.col(data_id), F.col(vec_col).alias("_dvec")),
         "_dvec",
         num_planes,
+        bucketer=bucketer,
     )
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qvec")

@@ -209,3 +209,29 @@ def test_arrow_scorer_matches_native(vectors):
         for key, (c, rank) in nat.items():
             ca, ranka = arr[key]
             assert rank == ranka and abs(c - ca) < 1e-12, (fn.__name__, key)
+
+
+def test_arrow_bucketer_matches_native(spark):
+    from polaroam_spark.operators.similarity import add_lsh_bucket
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    nat = add_lsh_bucket(emb, "embedding", 8).select(
+        "vec_id", F.col("lsh_bucket").alias("b_nat")
+    )
+    arr = add_lsh_bucket(
+        emb, "embedding", 8, bucketer="arrow"
+    ).select("vec_id", F.col("lsh_bucket").alias("b_arr"))
+    j = nat.join(arr, "vec_id")
+    assert j.filter(F.col("b_nat") != F.col("b_arr")).count() == 0
+
+
+def test_bad_bucketer_raises(spark):
+    from polaroam_spark.operators.similarity import add_lsh_bucket
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    with pytest.raises(ValueError, match="bucketer"):
+        add_lsh_bucket(emb, "embedding", 8, bucketer="numpy")
