@@ -1,6 +1,7 @@
 from polaroam_spark.streaming.sessionize import (
     streaming_dedup,
     streaming_dedup_incremental,
+    streaming_heavy_hitters,
     streaming_event_counts,
     streaming_stop_detection,
 )
@@ -10,4 +11,5 @@ __all__ = [
     "streaming_stop_detection",
     "streaming_dedup",
     "streaming_dedup_incremental",
+    "streaming_heavy_hitters",
 ]

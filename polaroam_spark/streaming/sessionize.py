@@ -334,3 +334,85 @@ def streaming_dedup_incremental(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_heavy_hitters(
+    items_stream: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+    item_col: str = "item",
+    capacity: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Continuous frequent-items tracking: each micro-batch folds into
+    a running Misra-Gries summary (operators/sketches.py:
+    heavy_hitters per batch, then the mergeable counter-sum +
+    compress rule against the running state), and the full summary
+    snapshot is rewritten to ``output_path`` after every batch as
+    ``(item, est_count, _batch_id)`` parquet.
+
+    The ONLY driver-side state is the <= ``capacity``-entry counter
+    dict — the whole point of the sketch is that this is tiny, so
+    collecting each batch's (<= capacity x partitions)-row summary to
+    merge it is a bounded scalar read, not a data collect. The
+    guarantee composes across batches exactly as across partitions:
+    every item with total stream frequency > n/(capacity+1) is in
+    the snapshot, estimates undercount by at most n/(capacity+1)
+    over all rows seen since the stream started.
+
+    State lives in driver memory, NOT in the checkpoint: a driver
+    restart resumes file-source progress from ``checkpoint_dir`` but
+    restarts counters from zero (counts then cover the post-restart
+    suffix). Run with ``availableNow`` for a deterministic one-shot
+    pass, or accept restart-from-zero semantics for a long-lived
+    stream — persisting mergeable sketch state exactly-once would
+    need an external state store, the standard tradeoff for
+    driver-merged sketches. The snapshot write is a full overwrite,
+    so a replayed batch rewrites the snapshot rather than appending.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import types as T
+
+    from polaroam_spark.operators.sketches import heavy_hitters
+
+    state: dict = {}
+    snap_schema = T.StructType(
+        [
+            items_stream.schema[item_col],
+            T.StructField("est_count", T.LongType()),
+        ]
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        summary = heavy_hitters(
+            batch_df, item_col, capacity=capacity
+        ).collect()  # bounded: <= capacity x partitions rows
+        for r in summary:
+            state[r[item_col]] = state.get(r[item_col], 0) + int(
+                r["est_count"]
+            )
+        if len(state) > capacity:
+            cut = sorted(state.values(), reverse=True)[capacity]
+            survivors = {
+                k: v - cut for k, v in state.items() if v - cut > 0
+            }
+            state.clear()
+            state.update(survivors)
+        snap = batch_df.sparkSession.createDataFrame(
+            list(state.items()), schema=snap_schema
+        )
+        (
+            snap.withColumn("_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(output_path)
+        )
+
+    writer = (
+        items_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

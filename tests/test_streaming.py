@@ -140,3 +140,43 @@ def test_streaming_incremental_dedup(spark, tmpdir):
         r.doc_id for r in spark.read.parquet(out).collect()
     )
     assert survivors == [11]
+
+
+def test_streaming_heavy_hitters(spark, tmpdir):
+    from polaroam_spark.streaming import streaming_heavy_hitters
+
+    # two micro-batches (two files): hot item 'x' across both
+    rows1 = [("x",)] * 30 + [(f"c{i}",) for i in range(40)]
+    rows2 = [("x",)] * 20 + [("y",)] * 25 + [(f"d{i}",) for i in range(40)]
+    src = f"{tmpdir}/hh_src"
+    spark.createDataFrame(rows1, "item string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "item string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{tmpdir}/hh_out"
+    q = streaming_heavy_hitters(
+        stream, checkpoint_dir=f"{tmpdir}/hh_ck", output_path=out,
+        capacity=8,
+    )
+    assert q.awaitTermination(120)
+
+    snap = {r.item: r.est_count for r in spark.read.parquet(out).collect()}
+    n = len(rows1) + len(rows2)
+    bound = n / 9  # capacity 8
+    exact = {}
+    for r in rows1 + rows2:
+        exact[r[0]] = exact.get(r[0], 0) + 1
+    for item, cnt in exact.items():
+        est = snap.get(item, 0)
+        assert est <= cnt, (item, est, cnt)
+        assert cnt - est <= bound, (item, est, cnt)
+        if cnt > bound:
+            assert item in snap, (item, cnt, bound)
+    # the cross-batch hot item survives with a near-exact estimate
+    assert snap["x"] >= 50 - bound
