@@ -118,3 +118,49 @@ def test_homework_labeling_broadcasts_label_joins(spark):
     assert plan.count("BroadcastHashJoin LeftOuter") >= 2, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_probe_never_shuffles_probed_side(spark, docs):
+    from polaroam_spark.operators.sketches import build_bloom, probe_bloom
+
+    members = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("k")
+    )
+    bloom = build_bloom(members, "k", 4096, 3)
+    plan = _plan(
+        probe_bloom(
+            docs.select(F.col("doc_id").cast("string").alias("k")),
+            "k",
+            bloom,
+            4096,
+            3,
+        )
+    )
+    # one broadcast per hash, and the probed side never shuffles:
+    # the only hash exchanges are inside the (tiny) bloom builds
+    # (formatted plans list each node twice — tree and detail — so
+    # count the numbered detail entries)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_heavy_hitters_shuffles_only_summaries(spark, docs):
+    from polaroam_spark.operators.sketches import heavy_hitters
+
+    plan = _plan(heavy_hitters(docs, "doc_id", capacity=8))
+    # one hash exchange total: the counter-sum merge of the
+    # per-partition summaries (<= capacity rows each) — the raw item
+    # stream itself must never shuffle (in formatted mode the
+    # partitioning lives on a separate "Arguments:" line, so count
+    # those rather than "Exchange hashpartitioning" tree text)
+    assert (
+        len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+    ), plan
+    # and that one exchange sits ABOVE MapInPandas in the plan tree:
+    # it shuffles summaries, not input rows
+    tree = plan.split("\n\n")[0].splitlines()
+    ex_idx = next(i for i, l in enumerate(tree) if "Exchange" in l)
+    py_idx = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
+    assert ex_idx < py_idx, plan
+    # partial (map-side) combine before the shuffle
+    assert "partial_sum" in plan, plan
