@@ -98,22 +98,24 @@ def heavy_hitters(
     )
 
     def _mg_partition(batches):
-        counters: dict = {}
+        # fully vectorized per batch: value_counts + index-aligned add
+        # + nlargest compression — no per-item Python loop
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
             vc = pdf[item_col].value_counts(dropna=True)
-            for item, c in vc.items():
-                counters[item] = counters.get(item, 0) + int(c)
+            counters = (
+                vc
+                if counters.empty
+                else counters.add(vc, fill_value=0).astype("int64")
+            )
             if len(counters) > capacity:
-                cut = sorted(counters.values(), reverse=True)[capacity]
-                counters = {
-                    k: v - cut
-                    for k, v in counters.items()
-                    if v - cut > 0
-                }
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
         yield pd.DataFrame(
             {
-                item_col: list(counters.keys()),
-                "est_count": list(counters.values()),
+                item_col: counters.index,
+                "est_count": counters.to_numpy(dtype="int64"),
             }
         )
 
