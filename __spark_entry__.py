@@ -4298,14 +4298,21 @@ def x2(spark, sf_dir):
     / probe_bloom): build over every third customer's name, probe all
     customers. Certified invariants: zero false negatives (a Bloom
     filter NEVER misses a member — structural, holds for any data),
-    and a false-positive rate within 2% (sizing here is ~47 bits/key,
-    theoretical fp ~1e-6; the boolean has orders-of-magnitude
-    headroom and the hash is deterministic, so the flag is stable)."""
-    from polaroam_spark.operators.sketches import build_bloom, probe_bloom
+    and a false-positive rate within 2%. The filter is sized from the
+    ACTUAL member count via bloom_bits_for at a 1e-4 target (the
+    count is a bounded scalar action), so the fp headroom — 200x —
+    is scale-factor-independent; a fixed bit budget would silently
+    degrade to fp > 2% at larger sf and flip the gate."""
+    from polaroam_spark.operators.sketches import (
+        bloom_bits_for,
+        build_bloom,
+        probe_bloom,
+    )
 
-    num_bits, num_hashes = 16384, 3
     cust = _t(spark, sf_dir, "customer")
     member = F.col("c_custkey") % 3 == 0
+    n_members = cust.filter(member).count()  # bounded scalar action
+    num_bits, num_hashes = bloom_bits_for(max(64, n_members), 1e-4)
     bloom = build_bloom(
         cust.filter(member).select("c_name"),
         "c_name",

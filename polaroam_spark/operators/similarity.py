@@ -119,15 +119,25 @@ def _lsh_bucket_arrow(num_planes: int):
     from pyspark.sql.functions import pandas_udf
 
     def _bucket(v):
-        V = np.stack(v.to_numpy()).astype(np.float64)
-        dims = np.arange(V.shape[1], dtype=np.float64)
-        planes = np.arange(num_planes, dtype=np.float64)
-        raw = np.sin(np.add.outer(planes * 7919.0, dims * 104729.0))
-        w = np.floor(raw * 1e6 + 0.5) / 1e6  # (planes, dim)
-        bits = (V @ w.T >= 0).astype(np.int64)
-        return pd.Series(
-            (bits << np.arange(num_planes, dtype=np.int64)).sum(axis=1)
-        )
+        arr = v.to_numpy()
+        # null vectors get bucket 0, matching the native expression's
+        # output on NULL embeddings (vectors within a batch must
+        # share one dimension — same contract as the arrow scorer)
+        valid = np.array([x is not None for x in arr], dtype=bool)
+        out = np.zeros(len(arr), dtype=np.int64)
+        if valid.any():
+            V = np.stack(arr[valid]).astype(np.float64)
+            dims = np.arange(V.shape[1], dtype=np.float64)
+            planes = np.arange(num_planes, dtype=np.float64)
+            raw = np.sin(
+                np.add.outer(planes * 7919.0, dims * 104729.0)
+            )
+            w = np.floor(raw * 1e6 + 0.5) / 1e6  # (planes, dim)
+            bits = (V @ w.T >= 0).astype(np.int64)
+            out[valid] = (
+                bits << np.arange(num_planes, dtype=np.int64)
+            ).sum(axis=1)
+        return pd.Series(out)
 
     _bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(_bucket, "long")

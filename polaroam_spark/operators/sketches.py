@@ -42,6 +42,7 @@ __all__ = [
     "heavy_hitters",
     "build_bloom",
     "probe_bloom",
+    "bloom_bits_for",
     "bloom_decontaminate",
 ]
 
@@ -112,12 +113,17 @@ def heavy_hitters(
                 cut = counters.nlargest(capacity + 1).iloc[-1]
                 counters = counters - cut
                 counters = counters[counters > 0]
-        yield pd.DataFrame(
-            {
-                item_col: counters.index,
-                "est_count": counters.to_numpy(dtype="int64"),
-            }
-        )
+        # empty partitions yield NOTHING: an empty int64-indexed
+        # frame would fail Arrow conversion against a non-integer
+        # item schema (and empty partitions are routine — filters,
+        # shuffle_partitions > rows, empty streaming micro-batches)
+        if len(counters):
+            yield pd.DataFrame(
+                {
+                    item_col: counters.index,
+                    "est_count": counters.to_numpy(dtype="int64"),
+                }
+            )
 
     merged = (
         src.mapInPandas(_mg_partition, schema=out_schema)
@@ -132,10 +138,7 @@ def heavy_hitters(
 
 
 def _bloom_hash(value: Column, seed: Column | int, portable: bool) -> Column:
-    from polaroam_spark.functions.text import (
-        fast_hash64,
-        portable_hash64,
-    )
+    from polaroam_spark.functions.text import portable_hash64
 
     if portable:
         return portable_hash64(value, seed)
@@ -304,6 +307,7 @@ def bloom_decontaminate(
     num_bits: int = 1 << 22,
     num_hashes: int = 3,
     portable: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination through a Bloom filter of the eval
     set's word n-gram hashes — the memory-bounded variant of
@@ -325,12 +329,24 @@ def bloom_decontaminate(
     C(grams, min_overlap) * fp^min_overlap. Returned survivors are
     therefore a subset of the exact survivors.
 
-    Unlike the exact operator there is no short-eval pass: grams are
-    taken at a single ``n`` on both sides (eval docs shorter than
-    ``n`` tokens contribute their whole token sequence as one gram,
-    matching :func:`~polaroam_spark.functions.text.word_shingles`
-    semantics on both sides, so short eval items still match their
-    exact text against corpus ``len``-grams only when lengths align).
+    Short-eval semantics match the exact operator's
+    ``match_short_eval=False`` contract exactly: eval docs shorter
+    than ``n`` tokens are EXCLUDED before shingling. (Without the
+    exclusion, ``word_shingles`` would fold a short doc's whole
+    token sequence — for an empty/whitespace eval row, the empty
+    string — into the filter, deterministically over-dropping every
+    corpus doc sharing that degenerate gram: a probability-1 error
+    class the fp bound above does not cover.)
+
+    The filter frame is persisted internally — its eval-side
+    tokenize/shingle/aggregate subtree is referenced once per hash
+    by :func:`probe_bloom`, so an unpersisted bloom would be
+    re-evaluated ``num_hashes`` times. ``materialize=False``
+    (default) returns the lazy plan with the persist left to session
+    cache eviction (right for interactive reuse);
+    ``materialize=True`` computes survivors now, cuts lineage, and
+    unpersists before returning — the right call inside a
+    long-running loop (same contract as the dedup pair generators).
     """
     from polaroam_spark.functions.text import (
         fast_hash64,
@@ -338,14 +354,15 @@ def bloom_decontaminate(
         tokens,
         word_shingles,
     )
+    from polaroam_spark.session import materialize as materialize_df
 
     ghash = portable_hash64 if portable else fast_hash64
+    eval_toks = tokens(eval_text_col)
     eval_grams = (
-        eval_df.select(
+        eval_df.filter(F.array_size(eval_toks) >= F.lit(n))
+        .select(
             F.explode(
-                F.array_distinct(
-                    word_shingles(tokens(eval_text_col), n)
-                )
+                F.array_distinct(word_shingles(eval_toks, n))
             ).alias("_gram")
         )
         .select(ghash("_gram").alias("_gh"))
@@ -353,7 +370,7 @@ def bloom_decontaminate(
     )
     bloom = build_bloom(
         eval_grams, "_gh", num_bits, num_hashes, portable
-    )
+    ).persist()
     corpus_grams = corpus.select(
         F.col(id_col),
         F.explode(
@@ -370,4 +387,9 @@ def bloom_decontaminate(
         .filter(F.col("n_overlap") >= F.lit(min_overlap))
         .select(id_col)
     )
-    return corpus.join(contaminated, on=id_col, how="left_anti")
+    survivors = corpus.join(contaminated, on=id_col, how="left_anti")
+    if not materialize:
+        return survivors
+    out = materialize_df(survivors)
+    bloom.unpersist()
+    return out

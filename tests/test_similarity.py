@@ -235,3 +235,24 @@ def test_bad_bucketer_raises(spark):
     )
     with pytest.raises(ValueError, match="bucketer"):
         add_lsh_bucket(emb, "embedding", 8, bucketer="numpy")
+
+
+def test_arrow_bucketer_null_embedding_matches_native(spark):
+    from polaroam_spark.operators.similarity import add_lsh_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None), (3, [-0.3, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    nat = {
+        r.vec_id: r.lsh_bucket
+        for r in add_lsh_bucket(df, "embedding", 4).collect()
+    }
+    arr = {
+        r.vec_id: r.lsh_bucket
+        for r in add_lsh_bucket(
+            df, "embedding", 4, bucketer="arrow"
+        ).collect()
+    }
+    assert nat == arr
+    assert arr[2] == 0

@@ -143,7 +143,7 @@ def test_bloom_null_probe_is_false(spark):
     assert got[None] is False and got["3"] is True
 
 
-def test_bloom_decontaminate_one_sided_vs_exact(spark, docs=None):
+def test_bloom_decontaminate_one_sided_vs_exact(spark):
     from polaroam_spark.operators.dedup import decontaminate
 
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -163,3 +163,56 @@ def test_bloom_decontaminate_one_sided_vs_exact(spark, docs=None):
     assert bloom_ids <= exact_ids
     # and over-dropping is rare at this sizing
     assert len(exact_ids) - len(bloom_ids) <= max(2, len(exact_ids) // 50)
+
+
+def test_misra_gries_empty_partitions_string_items(spark):
+    # empty partitions must yield nothing, not an int64-indexed empty
+    # frame that fails Arrow conversion against a string schema
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "item string"
+    ).repartition(8)
+    out = {
+        r.item: r.est_count
+        for r in heavy_hitters(df, "item", capacity=4).collect()
+    }
+    assert out == {"a": 2, "b": 1}
+
+
+def test_misra_gries_all_null_input(spark):
+    df = spark.createDataFrame([(None,), (None,)], "item string")
+    assert heavy_hitters(df, "item", capacity=4).count() == 0
+
+
+def test_bloom_decontaminate_short_and_empty_eval_rows(spark):
+    # eval rows shorter than n must be EXCLUDED (the exact operator's
+    # match_short_eval=False contract) — an empty/whitespace eval row
+    # must not poison the filter against empty corpus docs
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta"),
+            (1, ""),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("",), ("alpha beta",),
+         ("one two three four five six seven eight nine ten",)],
+        "text string",
+    )
+    surv = bloom_decontaminate(
+        corpus, eval_df, n=8, num_bits=4096, num_hashes=5
+    )
+    assert sorted(r.doc_id for r in surv.collect()) == [0, 1]
+
+
+def test_bloom_decontaminate_materialize_releases_cache(spark):
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    eval_df = corpus.filter(F.col("doc_id") % 37 == 0).select("text")
+    out = bloom_decontaminate(
+        corpus, eval_df, n=8, num_bits=1 << 16, num_hashes=5,
+        materialize=True,
+    )
+    assert out.count() > 0  # materialized result is consumable
