@@ -15,6 +15,7 @@ from polaroam_spark.functions.vectors import (
     dot_product,
     l2_norm,
     l2_normalize,
+    make_scorer,
     quantize_int8,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "l2_normalize",
+    "make_scorer",
     "quantize_int8",
     "dequantize_int8",
 ]

@@ -597,12 +597,10 @@ def embedding_neardup_pairs(
     ``'native'`` where the SQL oracle must reproduce scores
     bit-for-bit.
     """
-    from polaroam_spark.operators.similarity import (
-        _make_scorer,
-        add_lsh_bucket,
-    )
+    from polaroam_spark.functions.vectors import make_scorer
+    from polaroam_spark.operators.similarity import add_lsh_bucket
 
-    score = _make_scorer(scorer)
+    score = make_scorer(scorer)
 
     b = add_lsh_bucket(
         embeddings.select(
@@ -904,13 +902,63 @@ def build_minhash_index(
     function. Indexes persisted before the folded-shingle change
     (round 4) are string-shingle and must be rebuilt to use
     ``portable=False`` here.
+
+    The contract is ENFORCED, not just documented: the index carries
+    a ``_sig_fmt`` marker column and the incremental readers raise
+    ``ValueError`` on a missing or mismatched marker instead of
+    silently generating zero candidates against an incompatible
+    index (the failure mode is otherwise invisible — duplicates just
+    pass through as novel).
     """
-    return docs.select(
-        F.col(id_col),
-        _shingle_set(text_col, shingle_k, portable).alias("shingles"),
-    ).withColumn(
-        "sig", minhash_signature("shingles", num_hashes, portable=portable)
+    return (
+        docs.select(
+            F.col(id_col),
+            _shingle_set(text_col, shingle_k, portable).alias(
+                "shingles"
+            ),
+        )
+        .withColumn(
+            "sig",
+            minhash_signature("shingles", num_hashes, portable=portable),
+        )
+        .withColumn(
+            "_sig_fmt",
+            F.lit(_index_format(shingle_k, num_hashes, portable)),
+        )
     )
+
+
+def _index_format(shingle_k: int, num_hashes: int, portable: bool) -> str:
+    return (
+        f"mh1:{'str' if portable else 'xx64'}:k{shingle_k}:h{num_hashes}"
+    )
+
+
+def check_index_format(
+    index: DataFrame,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    portable: bool = False,
+) -> None:
+    """Raise ``ValueError`` unless ``index`` was built by
+    :func:`build_minhash_index` under exactly these settings. A
+    bounded one-row read; call it once per index load (the
+    incremental entry points do this for you)."""
+    expected = _index_format(shingle_k, num_hashes, portable)
+    if "_sig_fmt" not in index.columns:
+        raise ValueError(
+            "minhash index has no _sig_fmt marker — it predates the "
+            "format-marker contract (or is not a build_minhash_index "
+            f"output). Rebuild it; expected format {expected!r}."
+        )
+    row = index.select("_sig_fmt").first()  # bounded: one row
+    if row is not None and row[0] != expected:
+        raise ValueError(
+            f"minhash index format {row[0]!r} does not match the "
+            f"requested settings {expected!r} — candidates would "
+            "silently never collide. Rebuild the index or pass the "
+            "settings it was built with."
+        )
 
 
 def expand_index_bands(
@@ -1106,6 +1154,7 @@ def minhash_lsh_pairs_incremental(
     loop should pass it too or executor storage accumulates one batch
     signature frame per call).
     """
+    check_index_format(index, shingle_k, num_hashes, portable)
     new_sh = _batch_signatures(
         new_docs, text_col, id_col, shingle_k, num_hashes, portable
     ).persist()

@@ -198,7 +198,17 @@ def _pixel_features(pixels, width: int, height: int, channels: int) -> dict:
 def decode_image(content: bytes) -> dict:
     """Real image decode: Pillow when importable (any format PIL
     reads), else the stdlib PNG decoder above. Raises
-    ``NotImplementedError`` for formats neither path can read."""
+    ``NotImplementedError`` for formats neither path can read —
+    including bytes Pillow cannot identify (PIL's own
+    UnidentifiedImageError never escapes: callers are promised ONE
+    exception type for undecodable media regardless of environment).
+
+    Pixel-fidelity contract (same for both paths): palette images
+    are expanded to true RGB/RGBA pixels before stats — feeding
+    palette INDICES to :func:`_pixel_features` would make two
+    encodings of the same image disagree — and >8-bit depths raise
+    rather than silently clipping (the stdlib path only reads 8-bit,
+    so clipping on the Pillow path would diverge by environment)."""
     import numpy as np
 
     try:
@@ -208,20 +218,42 @@ def decode_image(content: bytes) -> dict:
     if Image is not None:
         import io
 
-        with Image.open(io.BytesIO(content)) as img:
-            arr = np.asarray(img)
+        arr = None
+        try:
+            with Image.open(io.BytesIO(content)) as img:
+                if img.mode == "P":
+                    img = img.convert(
+                        "RGBA" if "transparency" in img.info else "RGB"
+                    )
+                elif img.mode == "PA":
+                    img = img.convert("RGBA")
+                arr = np.asarray(img)
             if arr.dtype != np.uint8:
-                arr = np.asarray(img.convert("RGB"))
-        if arr.ndim == 2:
-            arr = arr[:, :, None]
-        h, w, c = arr.shape
-        return _pixel_features(arr, w, h, c)
+                raise NotImplementedError(
+                    f"only 8-bit images are supported (got mode "
+                    f"{img.mode!r}, dtype {arr.dtype}) — matching the "
+                    "stdlib decoder's 8-bit-only contract"
+                )
+        except NotImplementedError:
+            raise
+        except Exception:
+            arr = None  # unreadable by Pillow — try stdlib, else raise
+        if arr is not None:
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            h, w, c = arr.shape
+            return _pixel_features(arr, w, h, c)
     if content[:8] == _PNG_MAGIC:
         pixels, w, h, c = _decode_png_stdlib(content)
         return _pixel_features(pixels, w, h, c)
     raise NotImplementedError(
-        "no codec for this image format: Pillow is not installed and "
-        "the stdlib fallback reads PNG only"
+        "no codec could read this image: "
+        + (
+            "Pillow could not identify the bytes"
+            if Image is not None
+            else "Pillow is not installed"
+        )
+        + " and the stdlib fallback reads PNG only"
     )
 
 

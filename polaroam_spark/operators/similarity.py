@@ -29,29 +29,8 @@ from pyspark.sql import functions as F
 from polaroam_spark.functions.vectors import (
     cosine_similarity,
     cosine_similarity_arrow,
+    make_scorer as _make_scorer,
 )
-
-
-def _make_scorer(scorer: str):
-    """Resolve a scoring backend: ``native`` = JVM higher-order
-    aggregate (bit-reproducible vs SQL oracles — the default and the
-    only choice for oracle-gated paths); ``arrow`` = numpy/BLAS
-    pandas UDF, 10-50x faster per pair (see
-    functions.vectors.cosine_similarity_arrow for the float-order
-    caveat)."""
-    if scorer == "native":
-        return cosine_similarity
-    if scorer == "arrow":
-        udf = cosine_similarity_arrow()
-
-        def score(a, b):
-            return udf(
-                F.col(a) if isinstance(a, str) else a,
-                F.col(b) if isinstance(b, str) else b,
-            )
-
-        return score
-    raise ValueError(f"unknown scorer {scorer!r}: use 'native' or 'arrow'")
 
 
 def _plane_component(p: int | Column, d: Column) -> Column:
@@ -285,9 +264,9 @@ def ann_ivf_topk(
     data_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     num_probes: int = 2,
-    kmeans_iterations: int = 0,
+    kmeans_iterations: int | None = None,
     index: tuple[DataFrame, DataFrame] | None = None,
     scorer: str = "native",
 ) -> DataFrame:
@@ -297,12 +276,19 @@ def ann_ivf_topk(
     1. Build phase (:func:`build_ivf_index` — pass its result as
        ``index`` to amortize it across query batches; without it the
        index is built inline from ``num_centroids`` /
-       ``kmeans_iterations``): coarse centroids + nearest-centroid
-       assignment of every data vector.
+       ``kmeans_iterations``, defaulting to 16 / 0): coarse centroids
+       + nearest-centroid assignment of every data vector.
     2. Query phase: each query probes its ``num_probes`` nearest
        centroids and exact-scores only those inverted lists — the
        expensive scoring touches ~``num_probes/num_centroids`` of the
        data, the IVF contract.
+
+    ``num_centroids`` / ``kmeans_iterations`` describe the BUILD and
+    are meaningless alongside a prebuilt ``index`` — passing both
+    raises rather than silently ignoring the build params (a caller
+    who tuned num_probes against the stated centroid count would
+    otherwise scan a different data fraction than intended; the
+    actual centroid count lives in the index itself).
 
     Default ``scorer='native'`` keeps every expression JVM-side (and
     bit-reproducible vs the SQL oracle); ``'arrow'`` swaps the cosine
@@ -312,8 +298,18 @@ def ann_ivf_topk(
     score = _make_scorer(scorer)
     if index is None:
         index = build_ivf_index(
-            data, data_id, vec_col, num_centroids, kmeans_iterations,
+            data,
+            data_id,
+            vec_col,
+            16 if num_centroids is None else num_centroids,
+            0 if kmeans_iterations is None else kmeans_iterations,
             scorer,
+        )
+    elif num_centroids is not None or kmeans_iterations is not None:
+        raise ValueError(
+            "num_centroids/kmeans_iterations are build parameters and "
+            "conflict with a prebuilt index= — they describe "
+            "build_ivf_index's job, which already ran"
         )
     centroids, d_assign = index
 

@@ -291,9 +291,13 @@ def streaming_dedup_incremental(
     from polaroam_spark.operators.dedup import (
         _batch_signatures,
         _incremental_pairs_from_sigs,
+        check_index_format,
         expand_index_bands,
     )
 
+    # fail at stream START on a stale/mismatched index, not silently
+    # per batch (one bounded row read)
+    check_index_format(index, shingle_k, num_hashes, portable)
     index_bands = expand_index_bands(
         index, bands, max_bucket_size, id_col
     ).persist()

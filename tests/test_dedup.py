@@ -629,3 +629,31 @@ def test_materialize_simhash_and_embedding_release_caches(spark, docs):
                                     materialize=True)
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
     assert _n_persistent_rdds(spark) - before <= 1
+
+
+def test_index_format_guard(spark):
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    index = build_minhash_index(docs, num_hashes=16)
+    # mismatched num_hashes: loud failure, not silent zero candidates
+    with pytest.raises(ValueError, match="format"):
+        minhash_lsh_pairs_incremental(docs, index, num_hashes=8)
+    # pre-marker index (older persisted layout): loud failure
+    with pytest.raises(ValueError, match="_sig_fmt"):
+        minhash_lsh_pairs_incremental(
+            docs, index.drop("_sig_fmt"), num_hashes=16
+        )
+    # matching settings still work
+    assert (
+        minhash_lsh_pairs_incremental(
+            docs, index, num_hashes=16
+        ).count()
+        >= 0
+    )

@@ -175,3 +175,34 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(vid, every_n_seconds=1.0).collect()
     assert [r.frame_ts for r in frames] == [0.0, 1.0, 2.0]
+
+
+def test_pillow_palette_png_matches_rgb_stats():
+    """Palette-encoded and RGB-encoded versions of the same image
+    must produce identical pixel features (requires Pillow)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from polaroam_spark.operators.multimodal import decode_image
+
+    rgb = Image.new("RGB", (4, 2))
+    rgb.putdata([(255, 0, 0)] * 4 + [(0, 0, 255)] * 4)
+    pal = rgb.convert("P", palette=Image.ADAPTIVE)
+    bufs = {}
+    for name, img in (("rgb", rgb), ("pal", pal)):
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        bufs[name] = decode_image(b.getvalue())
+    assert bufs["pal"]["channels"] == 3
+    for k in ("byte_mean", "byte_entropy", "feature_hash", "channels"):
+        assert bufs["pal"][k] == bufs["rgb"][k], k
+
+
+def test_pillow_unidentified_bytes_raise_not_implemented():
+    """PIL's UnidentifiedImageError must not escape decode_image —
+    callers are promised NotImplementedError (requires Pillow)."""
+    pytest.importorskip("PIL.Image")
+    from polaroam_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"definitely not an image")

@@ -256,3 +256,20 @@ def test_arrow_bucketer_null_embedding_matches_native(spark):
     }
     assert nat == arr
     assert arr[2] == 0
+
+
+def test_ivf_prebuilt_index_rejects_build_params(spark):
+    from polaroam_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = build_ivf_index(emb, num_centroids=8)
+    with pytest.raises(ValueError, match="prebuilt"):
+        ann_ivf_topk(emb, q, k=3, num_centroids=8, index=idx)

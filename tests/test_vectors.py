@@ -68,3 +68,34 @@ def test_quantized_cosine_close_to_exact(spark):
     ).collect()
     for r in out:
         assert abs(r.exact - r.approx) < 0.02
+
+
+def test_arrow_scorer_null_vectors_score_null(spark):
+    from polaroam_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_arrow,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 1.0], None),
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    udf = cosine_similarity_arrow()
+    got = {
+        r.i: r.c
+        for r in df.select("i", udf("a", "b").alias("c")).collect()
+    }
+    nat = {
+        r.i: r.c
+        for r in df.select(
+            "i", cosine_similarity("a", "b").alias("c")
+        ).collect()
+    }
+    assert got[2] is None and got[3] is None
+    assert nat[2] is None and nat[3] is None
+    assert abs(got[1] - 1.0) < 1e-12
