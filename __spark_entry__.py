@@ -3636,7 +3636,8 @@ def k1(spark, sf_dir):
   FROM documents
 )
 SELECT doc_id, n_tokens,
-       CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+       CAST((dense_rank() OVER (ORDER BY source) - 1) * 1099511627776
+            + floor((sum(n_tokens) OVER (PARTITION BY source
               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
               CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS pack_id
 FROM toks""",
@@ -3666,22 +3667,25 @@ def k2(spark, sf_dir):
 ),
 planned AS (
   SELECT *,
-         CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+         CAST((dense_rank() OVER (ORDER BY source) - 1) * 1099511627776
+              + floor((sum(n_tokens) OVER (PARTITION BY source
               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
               CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS pack_id
   FROM toks
 )
-SELECT source || ':' || CAST(pack_id AS VARCHAR) AS pack_key,
+SELECT pack_id,
        string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-FROM planned GROUP BY source, pack_id""",
+FROM planned GROUP BY pack_id""",
 )
 def k5(spark, sf_dir):
     """Training-sequence construction (chunking.py:materialize_packs)
     over k2's whole-doc packing plan: each context-window bin's docs
-    concatenate in id order into one sequence row."""
+    concatenate in id order into one sequence row. Stratified pack
+    ids are globally unique (stratum-index offset), so the plan
+    feeds materialize_packs directly — no hand-built composite key."""
     from polaroam_spark.operators.chunking import (
         materialize_packs,
         packing_plan,
@@ -3693,16 +3697,12 @@ def k5(spark, sf_dir):
     )
     planned = packing_plan(
         docs, budget_tokens=512, id_cols=("doc_id",), strata_col="source"
-    ).withColumn(
-        "pack_key",
-        F.concat_ws(":", "source", F.col("pack_id").cast("string")),
     )
     return materialize_packs(
         planned,
         id_cols=("doc_id",),
         text_col="text",
-        pack_col="pack_key",
-    ).select("pack_key", "text", "n_tokens", "n_chunks", "n_docs")
+    ).select("pack_id", "text", "n_tokens", "n_chunks", "n_docs")
 
 
 @_q(

@@ -14,7 +14,7 @@ between a cleaned corpus and a training dataloader.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polaroam_spark.functions.text import tokens
@@ -56,32 +56,82 @@ def packing_plan(
     id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
     n_tokens_col: str = "n_tokens",
     strata_col: str | None = None,
+    shards_per_stratum: int = 1,
 ) -> DataFrame:
     """Append ``pack_id``: the context-window bin each chunk lands in.
 
-    Deterministic rule: order chunks by id within the stratum, take
-    the running token total, ``pack_id = floor((cumsum - n) /
-    budget)`` — a chunk joins the bin its START offset falls in, so a
-    bin's total can overflow the budget by up to one chunk (bounded by
-    ``budget + max_chunk - 1`` when every chunk is ≤ budget — pair
-    with ``chunk_documents(chunk_tokens ≤ budget)`` and truncate or
-    split the final over-budget chunk loader-side).
+    Deterministic rule: order chunks by id within the stratum (or
+    shard), take the running token total, ``pack_id base = floor(
+    (cumsum - n) / budget)`` — a chunk joins the bin its START offset
+    falls in, so a bin's total can overflow the budget by up to one
+    chunk (bounded by ``budget + max_chunk - 1`` when every chunk is
+    ≤ budget — pair with ``chunk_documents(chunk_tokens ≤ budget)``
+    and truncate or split the final over-budget chunk loader-side).
 
-    Without a ``strata_col`` the cumsum is sharded by a deterministic
-    hash of the id columns (1024 shards) — a single global ordered
-    window would collapse the whole corpus into one task. Pack ids
-    are globally unique either way (stratum-local id composed with a
-    shard offset).
+    Pack ids are GLOBALLY unique in every mode — safe to feed
+    straight into :func:`materialize_packs`:
+
+    - no ``strata_col``: the cumsum is sharded by a deterministic
+      hash of the id columns (1024 shards; a single global ordered
+      window would collapse the whole corpus into one task) and
+      ``pack_id = shard·2^40 + local``.
+    - with ``strata_col``: each stratum gets a dense index (assigned
+      by sorted order of the DISTINCT strata values — a window over
+      strata, not rows — broadcast-joined back, null-safe so a null
+      stratum packs like any other value) and
+      ``pack_id = stratum_index·2^40 + shard·2^30 + local``.
+
+    The stratified cumsum is one ordered window PER STRATUM — a
+    stratum holding most of the corpus is one straggler task, the
+    same hot-key shape :func:`~polaroam_spark.operators.joins.
+    asof_join`'s ``time_chunk`` guards against. Opt-in guard:
+    ``shards_per_stratum > 1`` hash-splits each stratum's cumsum the
+    same way the unstratified path does (packs then never mix shards
+    within the stratum — boundaries differ from the single-window
+    plan, which is why it is opt-in rather than the default the SQL
+    oracle pins).
     """
+    reserved = {"_shard", "_sidx", "_sval", "pack_id"}
+    clash = reserved & set(chunks.columns)
+    if clash:
+        raise ValueError(
+            f"packing_plan reserves column names {sorted(reserved)}; "
+            f"rename {sorted(clash)} in the input frame first"
+        )
+    S = int(shards_per_stratum)
+    if S < 1:
+        raise ValueError("shards_per_stratum must be >= 1")
     if strata_col is None:
         shard = F.pmod(
             F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(1024)
         )
         chunks = chunks.withColumn("_shard", shard)
-        part_col = "_shard"
+        part_cols = ["_shard"]
     else:
-        part_col = strata_col
-    w = Window.partitionBy(part_col).orderBy(
+        strata_idx = (
+            chunks.select(strata_col)
+            .distinct()
+            .withColumn(
+                "_sidx",
+                F.row_number().over(Window.orderBy(F.col(strata_col)))
+                - 1,
+            )
+            .withColumnRenamed(strata_col, "_sval")
+        )  # tiny frame: one row per stratum — the global window is fine
+        chunks = chunks.join(
+            F.broadcast(strata_idx),
+            F.col(strata_col).eqNullSafe(F.col("_sval")),
+        ).drop("_sval")
+        part_cols = [strata_col]
+        if S > 1:
+            chunks = chunks.withColumn(
+                "_shard",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(S)
+                ),
+            )
+            part_cols.append("_shard")
+    w = Window.partitionBy(*part_cols).orderBy(
         *[F.col(c) for c in id_cols]
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     running = F.sum(n_tokens_col).over(w)
@@ -94,7 +144,15 @@ def packing_plan(
             (F.col("_shard") * F.lit(1 << 40) + local_pack).cast("long"),
         ).drop("_shard")
     else:
-        out = chunks.withColumn("pack_id", local_pack)
+        shard_off = (
+            F.col("_shard") * F.lit(1 << 30) if S > 1 else F.lit(0)
+        )
+        out = chunks.withColumn(
+            "pack_id",
+            (
+                F.col("_sidx") * F.lit(1 << 40) + shard_off + local_pack
+            ).cast("long"),
+        ).drop("_sidx", *(["_shard"] if S > 1 else []))
     return out
 
 

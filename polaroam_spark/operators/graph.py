@@ -124,7 +124,9 @@ def connected_components(
     table.  Returns ``[*key_cols,] node, component`` where component is
     the MINIMUM node id in each component; every node appearing in
     ``pairs`` gets a row (isolated nodes never enter a pair table — the
-    caller left-joins and coalesces to self for those).
+    caller left-joins and coalesces to self for those). Rows with a
+    null node id or null key value are ignored (equi-join semantics:
+    null is not a node).
 
     ``key_cols`` partitions the graph into independent sub-graphs (the
     per-``uid`` ε-graphs of distributed DBSCAN); components never span
@@ -154,10 +156,22 @@ def connected_components(
     # pipeline (e.g. the full inverted-index join + Jaccard verify of
     # ngram_jaccard_pairs) once per consumer. Self-loop-only nodes
     # keep an output row (component = self).
+    #
+    # Null node ids / null key values are DROPPED up front with
+    # standard equi-join semantics (null is not a node). Without the
+    # filter they would silently corrupt the result instead: groupBy
+    # keeps a null group but the per-round equi-joins drop it, so a
+    # null-keyed sub-graph's edges vanish after round 1 and its nodes
+    # come back as fake singletons.
+    not_null = F.col("u").isNotNull() & F.col("v").isNotNull()
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
     base = materialize(
         pairs.select(
             *keys, F.col(src).alias("u"), F.col(dst).alias("v")
-        ).dropDuplicates()
+        )
+        .filter(not_null)
+        .dropDuplicates()
     )
     edges = base.filter(F.col("u") != F.col("v"))
     nodes = (

@@ -20,7 +20,7 @@ are the custom-operator extensions the build brief calls for).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,28 @@ def asof_join(
         )
     sign = 1 if direction == "backward" else -1
     rpayload = [c for c in right.columns if c != on]
+    # output-name collision check up front: a right column whose
+    # suffixed name ALSO exists on the left would emit two identical
+    # column names — ambiguous downstream, so fail loudly now
+    out_names = list(left.columns) + [
+        f"{c}{suffix}" if c in left.columns else c for c in rpayload
+    ]
+    dups = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"asof_join output would contain duplicate column names "
+            f"{dups}: the suffixed right column collides with an "
+            f"existing left column; pass a different suffix"
+        )
+    # SQL as-of semantics: a null key or null timestamp matches
+    # nothing. Dropping such RIGHT rows achieves both sides of that —
+    # null-key/null-ts left rows then sit in window partitions (or
+    # sort positions) with no right rows before them and get a null
+    # match, instead of null keys matching each other as partition
+    # values.
+    right = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    )
     payload = F.struct(*[F.col(c) for c in rpayload])
     r = right.select(
         F.col(on),
@@ -239,6 +261,7 @@ def point_in_interval_join(
     bucket_size: int = 86400,
     how: str = "inner",
     point_id: str | None = None,
+    suffix: str = "_ival",
 ) -> DataFrame:
     """Join point rows to the interval rows containing them
     (``start <= point <= end``), optionally also keyed by ``on``.
@@ -247,6 +270,11 @@ def point_in_interval_join(
     interval appears in ``(len / bucket_size) + 1`` buckets; pick it
     near the typical interval LENGTH (measured: oversizing 24× cost
     6.8× wall at 10M points — BASELINE.md round-5 probe).
+
+    Interval columns whose names also exist on the point side (other
+    than the ``on`` key) are renamed with ``suffix`` — the same rule
+    as :func:`asof_join` — so neither mode emits ambiguous duplicate
+    columns (inner) or silently drops the interval's copy (left).
 
     ``how='inner'`` (default) emits one row per (point, containing
     interval). ``how='left'`` additionally keeps points contained by
@@ -274,6 +302,32 @@ def point_in_interval_join(
             "rename it in the input frames first"
         )
     b = int(bucket_size)
+    if b <= 0:
+        # division by a non-positive bucket silently yields null
+        # buckets (and an empty/all-null result) under non-ANSI Spark
+        raise ValueError("bucket_size must be a positive duration")
+    shared = [
+        c
+        for c in intervals.columns
+        if c in points.columns and c != on
+    ]
+    if shared:
+        renames = {c: f"{c}{suffix}" for c in shared}
+        taken = set(points.columns) | set(intervals.columns)
+        bad = sorted(n for n in renames.values() if n in taken)
+        if bad:
+            raise ValueError(
+                f"point_in_interval_join suffix rename collides with "
+                f"existing columns {bad}; pass a different suffix"
+            )
+        intervals = intervals.select(
+            *[
+                F.col(c).alias(renames.get(c, c))
+                for c in intervals.columns
+            ]
+        )
+        start_col = renames.get(start_col, start_col)
+        end_col = renames.get(end_col, end_col)
     ivals = intervals.withColumn(
         "_bucket",
         F.explode(

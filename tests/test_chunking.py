@@ -117,3 +117,69 @@ def test_materialize_packs_roundtrip(spark):
     # start-offset rule: every pack's token total is bounded by
     # budget + max_chunk - 1
     assert all(p.n_tokens <= 32 + 10 - 1 for p in packs)
+
+
+def test_packing_plan_stratified_ids_globally_unique(spark):
+    from polaroam_spark.operators.chunking import packing_plan
+
+    rows = [(i, s, 10) for s in ("a", "b", "c") for i in range(20)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    out = packing_plan(
+        chunks, budget_tokens=50, id_cols=("doc_id",),
+        strata_col="source",
+    )
+    per_stratum = (
+        out.groupBy("source")
+        .agg(F.collect_set("pack_id").alias("ids"))
+        .collect()
+    )
+    all_ids = [i for r in per_stratum for i in r.ids]
+    # no pack id is shared across strata — the docstring's global
+    # uniqueness claim, which materialize_packs depends on
+    assert len(all_ids) == len(set(all_ids))
+
+
+def test_packing_plan_null_stratum_packs(spark):
+    from polaroam_spark.operators.chunking import packing_plan
+
+    chunks = spark.createDataFrame(
+        [(1, None, 10), (2, None, 10), (3, "a", 10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = packing_plan(
+        chunks, budget_tokens=15, id_cols=("doc_id",),
+        strata_col="source",
+    )
+    # null stratum is a stratum (null-safe join), not dropped rows
+    assert out.count() == 3
+
+
+def test_packing_plan_reserved_columns_raise(spark):
+    from polaroam_spark.operators.chunking import packing_plan
+
+    chunks = spark.createDataFrame(
+        [(1, 10, 0)], "doc_id long, n_tokens long, pack_id long"
+    )
+    with pytest.raises(ValueError, match="reserves"):
+        packing_plan(chunks, id_cols=("doc_id",))
+
+
+def test_packing_plan_sharded_stratum_is_valid_packing(spark):
+    from polaroam_spark.operators.chunking import packing_plan
+
+    rows = [(i, "hot", 10) for i in range(200)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    out = packing_plan(
+        chunks, budget_tokens=55, id_cols=("doc_id",),
+        strata_col="source", shards_per_stratum=4,
+    )
+    sums = out.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    ).collect()
+    assert out.count() == 200
+    # overflow bound: budget + max_chunk - 1
+    assert all(r.tot <= 55 + 10 - 1 for r in sums)

@@ -130,3 +130,23 @@ def test_reliable_checkpoint_rounds_are_deleted(spark, tmp_path):
         assert len(labels.collect()) == 40
     finally:
         sc.setCheckpointDir(None)
+
+
+def test_connected_components_null_keys_and_ids_ignored(spark):
+    from polaroam_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (None, 1, 2),   # null key: dropped (null is not a key)
+            ("k", 1, 2),
+            ("k", None, 3),  # null node id: dropped
+            ("k", 2, 4),
+        ],
+        "uid string, u long, v long",
+    )
+    out = connected_components(pairs, key_cols=["uid"]).collect()
+    # only the two valid k-edges survive: {1,2,4} one component;
+    # no phantom singletons from the null-key edge
+    assert all(r.uid == "k" for r in out)
+    comp = {r.node: r.component for r in out}
+    assert comp == {1: 1, 2: 1, 4: 1}

@@ -238,3 +238,68 @@ def test_asof_forward_chunked_matches_base(spark):
             )
         )
         assert got == base, chunk
+
+
+def test_asof_null_keys_never_match(spark):
+    from polaroam_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 100), ("u1", 100), ("u1", None)],
+        "uid string, timestamp long",
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 1.0), ("u1", 50, 2.0), ("u1", None, 3.0)],
+        "uid string, timestamp long, px double",
+    )
+    got = {
+        (r.uid, r.timestamp): r.px
+        for r in asof_join(left, right, on="uid").collect()
+    }
+    # null key matches nothing (SQL semantics), null-ts left row
+    # matches nothing, and the null-ts right row is never a match
+    assert got[(None, 100)] is None
+    assert got[("u1", 100)] == 2.0
+    assert got[("u1", None)] is None
+
+
+def test_asof_suffix_double_collision_raises(spark):
+    from polaroam_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, 1.0, 2.0)],
+        "uid string, timestamp long, px double, px_right double",
+    )
+    right = spark.createDataFrame(
+        [("u1", 50, 9.0)], "uid string, timestamp long, px double"
+    )
+    with pytest.raises(ValueError, match="duplicate column"):
+        asof_join(left, right, on="uid")
+
+
+def test_interval_join_shared_columns_suffixed(spark):
+    from polaroam_spark.operators.joins import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 100, "p")], "pid long, timestamp long, label string"
+    )
+    ivals = spark.createDataFrame(
+        [(50, 150, "i")], "t_start long, t_end long, label string"
+    )
+    inner = point_in_interval_join(pts, ivals, bucket_size=100)
+    assert inner.columns.count("label") == 1
+    assert "label_ival" in inner.columns
+    row = inner.collect()[0]
+    assert row.label == "p" and row.label_ival == "i"
+    left = point_in_interval_join(
+        pts, ivals, bucket_size=100, how="left", point_id="pid"
+    )
+    assert "label_ival" in left.columns  # not silently dropped
+
+
+def test_interval_join_bad_bucket_size_raises(spark):
+    from polaroam_spark.operators.joins import point_in_interval_join
+
+    pts = spark.createDataFrame([(1, 100)], "pid long, timestamp long")
+    ivals = spark.createDataFrame([(50, 150)], "t_start long, t_end long")
+    with pytest.raises(ValueError, match="positive"):
+        point_in_interval_join(pts, ivals, bucket_size=0)
