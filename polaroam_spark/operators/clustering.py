@@ -251,13 +251,46 @@ def cluster_medoids(labeled: DataFrame) -> DataFrame:
     )
 
 
-def attach_medoids(labeled: DataFrame) -> DataFrame:
+def _snapped_unique_nodes(
+    medians: DataFrame, min_spacial_resolution: float
+) -> DataFrame:
+    """Node construction SHARED by :func:`cluster_communities` and
+    :func:`community_invariants`: unique (optionally grid-snapped)
+    coordinates per uid with visit multiplicity. Single source on
+    purpose — the m3c certification gate must check the same graph
+    production computes, and a drift between two hand-maintained
+    copies of this aggregation would silently desynchronize them
+    (see _user_eps_graph's bit-identical contract)."""
+    if min_spacial_resolution > 0:
+        glat = grid_snap("latitude", min_spacial_resolution)
+        glon = grid_snap("longitude", min_spacial_resolution)
+    else:
+        glat, glon = F.col("latitude"), F.col("longitude")
+    return (
+        medians.withColumns({"_glat": glat, "_glon": glon})
+        .groupBy(
+            "uid",
+            F.col("_glat").alias("latitude"),
+            F.col("_glon").alias("longitude"),
+        )
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+def attach_medoids(labeled: DataFrame, broadcast: bool = True) -> DataFrame:
     """Join medoid stats back to member rows (reference models.py:263).
     The medoid side is one row per cluster — orders of magnitude
-    smaller than the member side — so broadcast it explicitly.
+    smaller than the member side — so broadcast it by default. It
+    still scales with USER count (every user has clusters), so pass
+    ``broadcast=False`` at national scale (1e8+ users x ~10 clusters
+    exceeds broadcast limits) and let the join shuffle on
+    (uid, stop_locations).
     """
+    medoids = cluster_medoids(labeled)
+    if broadcast:
+        medoids = F.broadcast(medoids)
     return labeled.join(
-        F.broadcast(cluster_medoids(labeled)),
+        medoids,
         on=["uid", "stop_locations"],
         how="left",
     )
@@ -307,13 +340,16 @@ def cluster_stops_dbscan_distributed(
     else:
         glat, glon = F.col("latitude"), F.col("longitude")
 
-    max_abs_lat = (
-        medians.agg(F.max(F.abs(F.col("latitude")))).first()[0] or 0.0
-    )
-    cos_floor = max(math.cos(math.radians(min(max_abs_lat, 89.0))), 0.02)
-    lon_cell_deg = cell_deg / cos_floor
-
-    pts = (
+    # Persist the snapped point table FIRST, then take the latitude
+    # bound from it: the bound must be a plan-build-time scalar (cell
+    # geometry depends on it), and deriving it from the persisted
+    # frame (a) runs the caller's upstream pipeline ONCE into the
+    # cache instead of once for the aggregate and again for the join
+    # below, and (b) measures the SNAPPED latitudes the grid actually
+    # uses — grid_snap can round an extreme point polewards, and a
+    # bound from raw latitudes would make lon_cell_deg fractionally
+    # too small to guarantee 3x3 coverage at that snapped latitude.
+    pts0 = (
         medians.withColumns({"_glat": glat, "_glon": glon})
         .select("uid", F.col("_glat").alias("latitude"), F.col("_glon").alias("longitude"))
         .dropDuplicates(["uid", "latitude", "longitude"])
@@ -324,9 +360,17 @@ def cluster_stops_dbscan_distributed(
             ).cast("long"),
         )
         .withColumn("cx", F.floor(F.col("latitude") / F.lit(cell_deg)))
-        .withColumn("cy", F.floor(F.col("longitude") / F.lit(lon_cell_deg)))
     )
-    pts = pts.persist()
+    pts0 = pts0.persist()
+    max_abs_lat = (
+        pts0.agg(F.max(F.abs(F.col("latitude")))).first()[0] or 0.0
+    )
+    cos_floor = max(math.cos(math.radians(min(max_abs_lat, 89.0))), 0.02)
+    lon_cell_deg = cell_deg / cos_floor
+
+    pts = pts0.withColumn(
+        "cy", F.floor(F.col("longitude") / F.lit(lon_cell_deg))
+    )
 
     # Replicate the left side into its 9 neighboring cells, equi-join on
     # the cell, then exact-filter with haversine. explode(sequence) is
@@ -350,7 +394,26 @@ def cluster_stops_dbscan_distributed(
         (F.col("cx") + F.col("off.dx")).alias("jx"),
         (F.col("cy") + F.col("off.dy")).alias("jy"),
     )
-    right = pts.select(
+    # Antimeridian wrap: ε-pairs straddling lon = ±180 sit at opposite
+    # extremes of the cy axis and would never meet in a 3x3 window.
+    # Points within one lon cell of the seam get a GHOST copy on the
+    # build side with longitude shifted by ∓360 — the ghost's cy is
+    # adjacent to the other side's real points, haversine is exact
+    # under a 360° shift (it only sees Δlon through sin/cos), and the
+    # ghost carries the real point_id so emitted edges are valid.
+    near_e = pts.filter(
+        F.col("longitude") >= F.lit(180.0 - lon_cell_deg)
+    ).withColumn("longitude", F.col("longitude") - F.lit(360.0))
+    near_w = pts.filter(
+        F.col("longitude") <= F.lit(-180.0 + lon_cell_deg)
+    ).withColumn("longitude", F.col("longitude") + F.lit(360.0))
+    ghosts = (
+        near_e.unionByName(near_w)
+        .withColumn(
+            "cy", F.floor(F.col("longitude") / F.lit(lon_cell_deg))
+        )
+    )
+    right = pts.unionByName(ghosts).select(
         "uid",
         F.col("point_id").alias("pid_b"),
         F.col("latitude").alias("lat_b"),
@@ -429,7 +492,7 @@ def cluster_stops_dbscan_distributed(
         out = medians.join(
             labeled_pts, on=["uid", "latitude", "longitude"], how="left"
         )
-    pts.unpersist()
+    pts0.unpersist()
     edges.unpersist()
     return out
 
@@ -836,19 +899,8 @@ def community_invariants(
     (unique coords, max-count edge weights); runs per uid as an Arrow
     grouped map with the same size guard.
     """
-    if min_spacial_resolution > 0:
-        glat = grid_snap("latitude", min_spacial_resolution)
-        glon = grid_snap("longitude", min_spacial_resolution)
-    else:
-        glat, glon = F.col("latitude"), F.col("longitude")
-    unique_coords = (
-        medians.withColumns({"_glat": glat, "_glon": glon})
-        .groupBy(
-            "uid",
-            F.col("_glat").alias("latitude"),
-            F.col("_glon").alias("longitude"),
-        )
-        .agg(F.count("*").alias("n_members"))
+    unique_coords = _snapped_unique_nodes(
+        medians, min_spacial_resolution
     )
     eps = float(r2)
     metric = str(distance_metric)
@@ -953,22 +1005,11 @@ def cluster_communities(
     guard as the DBSCAN path; per-user unique stop coordinates are
     bounded small.
     """
-    if min_spacial_resolution > 0:
-        glat = grid_snap("latitude", min_spacial_resolution)
-        glon = grid_snap("longitude", min_spacial_resolution)
-    else:
-        glat, glon = F.col("latitude"), F.col("longitude")
-    with_cells = medians.withColumns({"_glat": glat, "_glon": glon})
-
     # Unique coordinate nodes + visit multiplicity (the reference's
-    # `count` column from _downsample, models.py:60-87).
-    unique_coords = (
-        with_cells.groupBy(
-            "uid",
-            F.col("_glat").alias("latitude"),
-            F.col("_glon").alias("longitude"),
-        )
-        .agg(F.count("*").alias("n_members"))
+    # `count` column from _downsample, models.py:60-87) — shared with
+    # the m3c certification path via _snapped_unique_nodes.
+    unique_coords = _snapped_unique_nodes(
+        medians, min_spacial_resolution
     )
 
     eps = float(r2)
@@ -1013,6 +1054,12 @@ def cluster_communities(
         _communities, schema=_communities_schema(unique_coords)
     )
 
+    if min_spacial_resolution > 0:
+        glat = grid_snap("latitude", min_spacial_resolution)
+        glon = grid_snap("longitude", min_spacial_resolution)
+    else:
+        glat, glon = F.col("latitude"), F.col("longitude")
+    with_cells = medians.withColumns({"_glat": glat, "_glon": glon})
     return (
         with_cells.join(
             labeled_coords.withColumnsRenamed(

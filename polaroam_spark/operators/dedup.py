@@ -92,18 +92,26 @@ def dedup_exact(
     text. groupBy on the text hash — one shuffle, map-side partial
     aggregation, deterministic representative.
 
+    NULL-text documents all survive: null means "text unknown", not
+    "texts identical" (md5(NULL) is NULL, and grouping the NULL key
+    would silently keep only one of them). Empty-string documents DO
+    deduplicate against each other — their texts are literally equal.
+
     Returns the surviving rows of ``docs``.
     """
     key = normalize_text(text_col) if normalized else F.col(text_col)
     # shuffle the 32-byte md5 of the text, not the text itself — at
     # corpus scale the dedup shuffle must not carry document bodies
+    keyed = docs.withColumn("_key", F.md5(key))
     keep = (
-        docs.withColumn("_key", F.md5(key))
+        keyed.filter(F.col("_key").isNotNull())
         .groupBy("_key")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return docs.join(keep, on=id_col, how="left_semi")
+    return keyed.filter(F.col("_key").isNull()).drop("_key").unionByName(
+        docs.join(keep, on=id_col, how="left_semi")
+    )
 
 
 def minhash_lsh_pairs(
@@ -343,17 +351,32 @@ def simhash_fingerprint(
     md5-folded :func:`~polaroam_spark.functions.text.portable_hash64`
     (seed 7) so a DuckDB oracle can reproduce the fingerprint
     bit-for-bit; xxhash64 stays the production default.
+
+    Token-less documents (NULL/empty/whitespace text) keep their row
+    with fingerprint 0 — ``explode_outer`` emits one null-token row
+    whose per-bit contribution falls through to -1, so every bit
+    votes unset. A plain ``explode`` would silently drop such docs
+    from the output, breaking the one-row-per-document contract (and
+    :func:`simhash_pairs` then correctly pairs mutually-empty docs at
+    hamming distance 0, matching the minhash path's treatment).
     """
     from polaroam_spark.functions.text import portable_hash64
 
     tok = docs.select(
         F.col(id_col),
-        F.explode(tokens(text_col)).alias("_tok"),
+        F.explode_outer(tokens(text_col)).alias("_tok"),
     ).withColumn(
         "_h",
-        portable_hash64("_tok", 7)
-        if portable
-        else F.xxhash64("_tok", F.lit(7)),
+        # null-guarded: portable_hash64 concat_ws-skips a NULL token
+        # (hashing just the seed), which would give portable empty
+        # docs a nonzero fingerprint while xxhash64 propagates null —
+        # pin both paths to null hash -> all bits vote -1 -> 0
+        F.when(
+            F.col("_tok").isNotNull(),
+            portable_hash64("_tok", 7)
+            if portable
+            else F.xxhash64("_tok", F.lit(7)),
+        ),
     )
     bit_contrib = [
         F.sum(
@@ -961,6 +984,29 @@ def check_index_format(
         )
 
 
+def check_bands_format(index_bands: DataFrame, bands: int) -> None:
+    """Raise ``ValueError`` unless a persisted band table was built by
+    :func:`expand_index_bands` with this ``bands`` — band keys encode
+    both the slice width and the bucket seed, so a mismatch silently
+    yields zero corpus candidates (duplicates ingested as novel).
+    Bounded one-row read, called once per supplied band table."""
+    expected = f"bands{int(bands)}"
+    if "_bands_fmt" not in index_bands.columns:
+        raise ValueError(
+            "band table has no _bands_fmt marker — it predates the "
+            "format-marker contract (or is not an expand_index_bands "
+            f"output). Rebuild it; expected {expected!r}."
+        )
+    row = index_bands.select("_bands_fmt").first()
+    if row is not None and row[0] != expected:
+        raise ValueError(
+            f"band table format {row[0]!r} does not match bands="
+            f"{int(bands)} ({expected!r}) — the (band, bucket) join "
+            "would silently never match. Rebuild the band table or "
+            "pass the bands it was built with."
+        )
+
+
 def expand_index_bands(
     index: DataFrame,
     bands: int = 4,
@@ -990,10 +1036,18 @@ def expand_index_bands(
             "_rep": F.min("_cid").over(bucket_w),
         }
     )
-    return idx_bands.filter(
-        (F.col("_bn") <= F.lit(max_bucket_size))
-        | (F.col("_cid") == F.col("_rep"))
-    ).select("_cid", "band", "bucket")
+    return (
+        idx_bands.filter(
+            (F.col("_bn") <= F.lit(max_bucket_size))
+            | (F.col("_cid") == F.col("_rep"))
+        )
+        .select("_cid", "band", "bucket")
+        # bands marker: band keys are a function of `bands` (slice
+        # width AND bucket seed), so a persisted table probed under a
+        # different bands silently never collides — the readers check
+        # this column like the index's _sig_fmt
+        .withColumn("_bands_fmt", F.lit(f"bands{int(bands)}"))
+    )
 
 
 def _incremental_pairs_from_sigs(
@@ -1014,8 +1068,31 @@ def _incremental_pairs_from_sigs(
         "_nid", F.explode(band_hashes("_nsig", bands)).alias("_band")
     ).select("_nid", "_band.band", "_band.bucket")
 
+    # batch-side hot-bucket guard for the CORPUS join: a degenerate
+    # batch bucket (100k boilerplate docs in one (band, bucket))
+    # would otherwise fan out batch_rows x index_bucket_rows
+    # candidates from a single join task. Same star rule and the same
+    # bounded-miss tradeoff as expand_index_bands on the index side:
+    # only the min-id batch doc in a hot bucket probes the corpus
+    # through that bucket (its bucket-mates still reach the corpus
+    # through their other, non-hot bands, and still pair with the
+    # representative via the guarded batch self-join below).
+    bw0 = Window.partitionBy("band", "bucket")
+    corpus_probe = (
+        new_bands.withColumns(
+            {
+                "_bn0": F.count("*").over(bw0),
+                "_rep0": F.min("_nid").over(bw0),
+            }
+        )
+        .filter(
+            (F.col("_bn0") <= F.lit(max_bucket_size))
+            | (F.col("_nid") == F.col("_rep0"))
+        )
+        .select("_nid", "band", "bucket")
+    )
     cand = (
-        new_bands.join(index_bands, on=["band", "bucket"])
+        corpus_probe.join(index_bands, on=["band", "bucket"])
         .select("_nid", "_cid")
         .dropDuplicates(["_nid", "_cid"])
     )
@@ -1162,6 +1239,8 @@ def minhash_lsh_pairs_incremental(
         index_bands = expand_index_bands(
             index, bands, max_bucket_size, id_col
         )
+    else:
+        check_bands_format(index_bands, bands)
     pairs = _incremental_pairs_from_sigs(
         new_sh,
         index,

@@ -117,9 +117,16 @@ def filter_clusters(
     total_days: DataFrame | int | None,
     min_periods_over_window: float,
     span_period: float,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Keep rows of clusters passing both ratio thresholds (reference
     utils.py:473-491): HAVING on the stats frame + inner join back.
+
+    ``broadcast=False`` drops the broadcast hint on the passing-stats
+    frame: it is one row per qualifying (uid, cluster) — far smaller
+    than the stop side, but still proportional to USER count, so at
+    national scale (1e8+ users) it exceeds broadcast limits and the
+    join must shuffle.
     """
     if total_days is None:
         total_days = calculate_total_days(df)
@@ -128,27 +135,26 @@ def filter_clusters(
         (F.col("date_percentage") >= F.lit(min_periods_over_window))
         & (F.col("all_percentage") >= F.lit(span_period))
     ).select("uid", "stop_locations", "date_percentage", "all_percentage")
+    if broadcast:
+        passing = F.broadcast(passing)
     return df.join(
-        F.broadcast(passing), on=["uid", "stop_locations"], how="inner"
+        passing, on=["uid", "stop_locations"], how="inner"
     )
 
 
 def label_locations(df: DataFrame, label_col: str) -> DataFrame:
-    """One label row per qualifying (uid, stop_locations) — keep-first
-    by (cluster_counts, date_percentage) descending (reference
-    utils.py:493-501, the W7 sort+unique idiom, made deterministic with
-    row_number). The label value is the cluster id (divergence, see
-    module docstring).
+    """One label row per qualifying (uid, stop_locations). The
+    reference's sort+unique (utils.py:493-501) sorts by stats that are
+    CONSTANT within each (uid, stop_locations) group — the ordering
+    decides nothing, so the operation is exactly a distinct over the
+    cluster keys and is implemented as one (a per-partition window
+    sort here would cost a full sort to break ties that cannot
+    exist). The label value is the cluster id (divergence, see module
+    docstring).
     """
-    order = [
-        F.col(c).desc_nulls_last()
-        for c in ("cluster_counts", "date_percentage")
-        if c in df.columns
-    ]
-    w = Window.partitionBy("uid", "stop_locations").orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        df.select("uid", "stop_locations")
+        .dropDuplicates()
         .select(
             "uid",
             "stop_locations",
@@ -158,14 +164,23 @@ def label_locations(df: DataFrame, label_col: str) -> DataFrame:
 
 
 def _apply_label(
-    df: DataFrame, label_frame: DataFrame, label_col: str, type_char: str
+    df: DataFrame,
+    label_frame: DataFrame,
+    label_col: str,
+    type_char: str,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Left-join the label frame and conditionally update
     ``location_type`` + the label column (reference models.py:388-397).
+    ``broadcast=False``: see :func:`filter_clusters` — the label frame
+    scales with user count.
     """
     new_col = f"{label_col}_new"
+    labels = label_frame.withColumnRenamed(label_col, new_col)
+    if broadcast:
+        labels = F.broadcast(labels)
     joined = df.join(
-        F.broadcast(label_frame.withColumnRenamed(label_col, new_col)),
+        labels,
         on=["uid", "stop_locations"],
         how="left",
     )
@@ -191,6 +206,7 @@ def detect_home(
     min_periods_over_window: float = 0.5,
     span_period: float = 0.5,
     total_days: DataFrame | int | None = 30,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Label home clusters: stops at night (hour ≥ end_hour_day OR
     hour ≤ start_hour_day) or on weekends, recurring over enough
@@ -205,10 +221,13 @@ def detect_home(
         & (F.col("stop_locations") != -1)
     )
     passing = filter_clusters(
-        home_tmp, total_days, min_periods_over_window, span_period
+        home_tmp, total_days, min_periods_over_window, span_period,
+        broadcast=broadcast_labels,
     )
     labels = label_locations(passing, "home_label")
-    return _apply_label(df, labels, "home_label", "H")
+    return _apply_label(
+        df, labels, "home_label", "H", broadcast=broadcast_labels
+    )
 
 
 def detect_work(
@@ -218,6 +237,7 @@ def detect_work(
     min_periods_over_window: float = 0.5,
     span_period: float = 0.5,
     total_days: DataFrame | int | None = 30,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Label work clusters: weekday working-hour stops at non-home
     locations (reference models.py:403-453; default end hour 18 per
@@ -231,10 +251,13 @@ def detect_work(
         & (F.col("stop_locations") != -1)
     )
     passing = filter_clusters(
-        work_tmp, total_days, min_periods_over_window, span_period
+        work_tmp, total_days, min_periods_over_window, span_period,
+        broadcast=broadcast_labels,
     )
     labels = label_locations(passing, "work_label")
-    return _apply_label(df, labels, "work_label", "W")
+    return _apply_label(
+        df, labels, "work_label", "W", broadcast=broadcast_labels
+    )
 
 
 def home_work_wide(labeled: DataFrame) -> DataFrame:

@@ -612,3 +612,27 @@ def test_infomap_differential_vs_c_library():
             f"{name}: grouping differs AND our codelength {L_ours:.6f} "
             f"is worse than the C library's {L_ref:.6f}"
         )
+
+
+def test_distributed_dbscan_antimeridian_pair(spark):
+    from polaroam_spark.operators.clustering import (
+        cluster_stops_dbscan_distributed,
+    )
+
+    # ~9 m apart across lon=180: must cluster together, same as the
+    # per-user all-pairs path would
+    med = spark.createDataFrame(
+        [
+            ("u1", 0.0, 179.99996),
+            ("u1", 0.0, -179.99996),
+            ("u1", 10.0, 10.0),  # far away singleton
+        ],
+        "uid string, latitude double, longitude double",
+    )
+    out = cluster_stops_dbscan_distributed(med, r2=10.0).collect()
+    labels = {
+        (r.latitude, r.longitude): r.stop_locations for r in out
+    }
+    assert labels[(0.0, 179.99996)] == labels[(0.0, -179.99996)]
+    assert labels[(0.0, 179.99996)] >= 0
+    assert labels[(10.0, 10.0)] == -1
