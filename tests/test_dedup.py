@@ -657,3 +657,58 @@ def test_index_format_guard(spark):
         ).count()
         >= 0
     )
+
+
+def test_dedup_exact_null_text_all_survive(spark):
+    from polaroam_spark.operators.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, ""), (3, ""), (4, "x")],
+        "doc_id long, text string",
+    )
+    ids = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    # nulls are unknown text, not duplicates: both survive;
+    # empty strings ARE equal text: one survives
+    assert ids == [0, 1, 2, 4]
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash_keeps_tokenless_docs(spark, portable):
+    from polaroam_spark.operators.dedup import simhash_fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, ""), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    fp = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprint(docs, portable=portable).collect()
+    }
+    assert set(fp) == {0, 1, 2, 3}  # one row per doc, none dropped
+    assert fp[1] == fp[2] == fp[3] == 0
+
+
+def test_bands_format_guard(spark):
+    from polaroam_spark.operators.dedup import (
+        build_minhash_index,
+        expand_index_bands,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    index = build_minhash_index(docs, num_hashes=16)
+    bands8 = expand_index_bands(index, bands=8)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs_incremental(
+            docs, index, num_hashes=16, bands=4, index_bands=bands8
+        )
+    # matching bands passes
+    assert (
+        minhash_lsh_pairs_incremental(
+            docs, index, num_hashes=16, bands=8, index_bands=bands8
+        ).count()
+        >= 0
+    )
