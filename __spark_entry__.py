@@ -4564,6 +4564,266 @@ def v2(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-5 additions — Gopher quality rules, repetition stats, corpus
+# caps/weighted sampling, JSONL roundtrip, stream-stream join
+# --------------------------------------------------------------------------
+
+_GOPHER_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_GOPHER_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "l -> trim(l)), l -> l <> '')"
+)
+_GOPHER_SW = (
+    "['the','and','of','to','in','is','that','for','with','as']"
+)
+
+
+@_q(
+    "t13_gopher_flags",
+    f"""WITH q AS (
+  SELECT doc_id, {_GOPHER_TOKS} AS toks, {_GOPHER_LINES} AS lines,
+    length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+    len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_ell
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+      AS mean_word_len,
+    CAST(n_hash + n_ell AS DOUBLE)
+      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_word_ratio,
+    CAST(len(list_filter(lines, l -> starts_with(l, '-')
+        OR starts_with(l, '*') OR starts_with(l, '•'))) AS DOUBLE)
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_line_frac,
+    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+        OR ends_with(l, '…'))) AS DOUBLE)
+      / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_line_frac,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+      AS alpha_word_frac,
+    CAST(len(list_filter(toks, t -> list_contains({_GOPHER_SW}, t)))
+      AS BIGINT) AS n_stopwords
+  FROM q)
+SELECT *, (n_words >= 50 AND n_words <= 100000
+  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+  AND n_stopwords >= 2) AS passes_gopher
+FROM f""",
+)
+def t13(spark, sf_dir):
+    """Gopher-rule document filter
+    (operators/textstats.py:gopher_quality_flags) vs a DuckDB list-
+    comprehension twin over the same token/line arrays."""
+    from polaroam_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_stopwords",
+        "passes_gopher",
+    )
+
+
+#: deterministic multi-line view for the duplicate-line gate: the
+#: testdata documents carry no newlines, so the gate synthesizes
+#: boilerplate structure — every doc gets a footer line, every even
+#: doc repeats its body, every third doc repeats the footer.
+_T14_FOOTER = "(c) example corp - all rights reserved"
+
+
+@_q(
+    "t14_duplicate_lines",
+    f"""WITH m AS (
+  SELECT doc_id, concat_ws(chr(10), text, '{_T14_FOOTER}',
+    CASE WHEN doc_id % 2 = 0 THEN text END,
+    CASE WHEN doc_id % 3 = 0 THEN '{_T14_FOOTER}' END) AS mtext
+  FROM documents
+), l AS (
+  SELECT doc_id, unnest(list_filter(list_transform(
+    string_split(mtext, chr(10)), x -> trim(x)), x -> x <> '')) AS line
+  FROM m
+), hist AS (
+  SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+    CAST(sum(c) - count(*) AS DOUBLE)
+      / CAST(greatest(sum(c), 1) AS DOUBLE) AS dup_line_frac,
+    CAST(coalesce(sum(CASE WHEN c > 1 THEN length(line) * c END), 0)
+      AS DOUBLE)
+      / CAST(greatest(coalesce(sum(length(line) * c), 0), 1) AS DOUBLE)
+      AS dup_line_char_frac
+  FROM hist GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+  coalesce(a.dup_line_frac, 0.0) AS dup_line_frac,
+  coalesce(a.dup_line_char_frac, 0.0) AS dup_line_char_frac
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+)
+def t14(spark, sf_dir):
+    """Duplicate-line repetition stats
+    (operators/textstats.py:duplicate_line_stats) over a synthesized
+    boilerplate corpus (see _T14_FOOTER note)."""
+    from polaroam_spark.operators.textstats import duplicate_line_stats
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "mtext",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit(_T14_FOOTER),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_T14_FOOTER)),
+        ),
+    )
+    return duplicate_line_stats(docs, text_col="mtext").select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"
+    )
+
+
+@_q(
+    "smp5_cap_per_key",
+    "SELECT doc_id, source FROM ("
+    "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+    "ORDER BY CAST(('0x' || substr(md5('53:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn "
+    "FROM documents) WHERE rn <= 10",
+)
+def smp5(spark, sf_dir):
+    """Per-source frequency cap (operators/sampling.py:cap_per_key):
+    at most 10 docs per source, chosen by deterministic hash order."""
+    from polaroam_spark.operators.sampling import cap_per_key
+
+    return cap_per_key(
+        _t(spark, sf_dir, "documents"),
+        key="source",
+        id_col="doc_id",
+        max_per_key=10,
+        seed=53,
+    ).select("doc_id", "source")
+
+
+@_q(
+    "smp6_weighted_sample",
+    "SELECT doc_id, n_chars FROM documents WHERE "
+    "CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) / 1152921504606846976.0 "
+    "< least(CAST(0.002 AS DOUBLE) * CAST(n_chars AS DOUBLE), 1.0)",
+)
+def smp6(spark, sf_dir):
+    """Length-proportional sampling
+    (operators/sampling.py:weighted_sample_by_hash): keep probability
+    = min(1, rate * n_chars), so the CHARACTER budget follows the
+    rate; decision is a pure function of (doc_id, seed)."""
+    from polaroam_spark.operators.sampling import weighted_sample_by_hash
+
+    return weighted_sample_by_hash(
+        _t(spark, sf_dir, "documents"),
+        key="doc_id",
+        weight_col="n_chars",
+        rate=0.002,
+        seed=17,
+    ).select("doc_id", "n_chars")
+
+
+@_q(
+    "s10_jsonl_roundtrip",
+    "SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum, "
+    "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents",
+)
+def s10(spark, sf_dir):
+    """JSONL sink + scan roundtrip (sources/io.py:write_jsonl /
+    read_jsonl) — gzip-compressed, schema passed on read (no
+    inference pre-pass)."""
+    import os
+
+    from polaroam_spark.sources.io import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(_scratch_dir(), "docs_jsonl")
+    write_jsonl(docs, path)
+    return read_jsonl(spark, path, schema=docs.schema).agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+@_q(
+    "st5_stream_stream_join",
+    "SELECT s.user_id AS user_id, s.event_id AS signup_id, "
+    "p.event_id AS purchase_id FROM events s JOIN events p "
+    "ON s.user_id = p.user_id "
+    "WHERE s.event_type = 'signup' AND p.event_type = 'purchase' "
+    "AND epoch_ns(p.ts) // 1000000000 >= epoch_ns(s.ts) // 1000000000 "
+    "AND epoch_ns(p.ts) // 1000000000 "
+    "<= epoch_ns(s.ts) // 1000000000 + 3600",
+)
+def st5(spark, sf_dir):
+    """Watermarked stream-stream interval join
+    (streaming/joins.py:stream_stream_interval_join): purchases
+    within 1 h of a signup, per user. An availableNow single batch
+    over a parquet file source makes the emitted pair set exactly the
+    batch interval join the oracle replays."""
+    import os
+
+    from polaroam_spark.streaming import stream_stream_interval_join
+
+    scratch = _scratch_dir()
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sp = os.path.join(scratch, "st5_signups")
+    pp = os.path.join(scratch, "st5_purchases")
+    signups.coalesce(1).write.mode("overwrite").parquet(sp)
+    purchases.coalesce(1).write.mode("overwrite").parquet(pp)
+    ls = spark.readStream.schema(signups.schema).parquet(sp)
+    ps = spark.readStream.schema(purchases.schema).parquet(pp)
+    joined = stream_stream_interval_join(
+        ls,
+        ps,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        max_delay="1 hour",
+        # longer than the dataset span: no state eviction can race the
+        # availableNow commit, so emissions depend only on the data
+        watermark_delay="3650 days",
+    )
+    _ST1_SEQ[0] += 1
+    qname = f"st5_join_sink_{_ST1_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError(
+            "st5 stream did not finish in 300s; refusing to read a "
+            "partial sink"
+        )
+    return spark.table(qname).select(
+        "user_id",
+        F.col("l_event_id").alias("signup_id"),
+        F.col("r_event_id").alias("purchase_id"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -4583,6 +4843,9 @@ _PRIORITY = [
     "j8b_point_in_interval_left",
     "x1_heavy_hitters", "x2_bloom_membership",
     "x3_bloom_decontaminate",
+    "t13_gopher_flags", "t14_duplicate_lines",
+    "smp5_cap_per_key", "smp6_weighted_sample",
+    "s10_jsonl_roundtrip", "st5_stream_stream_join",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

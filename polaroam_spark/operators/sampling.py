@@ -78,6 +78,69 @@ def train_test_split(
     return train, test
 
 
+def cap_per_key(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    max_per_key: int,
+    seed: int = 53,
+) -> DataFrame:
+    """Keep at most ``max_per_key`` rows per ``key``, chosen
+    deterministically by hash order of ``id_col`` — the per-domain /
+    per-source frequency cap every corpus build applies so one hot
+    domain can't dominate the training mix. Membership is a pure
+    function of (key, the key's id set, seed): stable across runs and
+    partitionings.
+
+    Scale shape: the ranking window runs over a PROJECTED
+    ``(key, id, hash)`` frame, and survivors are joined back by
+    ``id_col`` (left-semi). Ranking a hot key still serializes that
+    key into one task, but the task holds ~16 bytes/row instead of
+    whole documents, and the join-back shuffle is keyed on the
+    uniformly-distributed ``id_col`` — so a 100M-doc hot domain costs
+    a narrow 1.6 GB sort, not an OOM on full rows. ``id_col`` must
+    uniquely key ``df``.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(key).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    keep = (
+        df.select(key, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_per_key))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def weighted_sample_by_hash(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    rate: float,
+    seed: int = 17,
+) -> DataFrame:
+    """Weight-proportional deterministic Bernoulli sample: keep rows
+    whose key hash falls below ``min(1, rate * weight)`` — e.g. sample
+    documents proportionally to length so the TOKEN budget, not the
+    document count, follows the target rate. Same reproducibility
+    contract as :func:`sample_by_hash` (pure function of key, weight,
+    seed); NULL weights never match the ``<`` predicate and are
+    dropped, the conservative choice for a sampling step. Pure
+    map-side filter — no shuffle, scale-free."""
+    w = F.col(weight_col).cast("double")
+    # guard the NULL case explicitly: least() IGNORES null arguments
+    # (least(NULL, 1.0) = 1.0), which would silently keep every
+    # null-weight row at probability 1
+    p = F.when(
+        w.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.lit(float(rate)) * w, F.lit(1.0)))
+    return df.filter(_unit_hash(key, seed) < p)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: str,

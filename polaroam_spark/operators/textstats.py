@@ -196,6 +196,148 @@ def repetition_ratio(
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append Gopher-rule quality signals (Rae et al. 2021, §A1.1) —
+    the standard pre-training document filter — plus the combined
+    ``passes_gopher`` verdict:
+
+    - ``n_words``: whitespace word count;
+    - ``mean_word_len``: mean characters per word (whitespace words,
+      so punctuation sticks to its word — matching the paper's rule);
+    - ``symbol_word_ratio``: (# of ``#`` chars + ``...`` runs) / words;
+    - ``bullet_line_frac``: fraction of non-blank lines starting with
+      a bullet (``-``, ``*``, ``•``);
+    - ``ellipsis_line_frac``: fraction of non-blank lines ending with
+      ``...`` or ``…``;
+    - ``alpha_word_frac``: fraction of words containing a letter;
+    - ``passes_gopher``: 50 ≤ words ≤ 100000, 3 ≤ mean len ≤ 10,
+      symbol ratio ≤ 0.1, bullets ≤ 0.9, ellipses ≤ 0.3,
+      alpha fraction ≥ 0.8, ≥ 2 English stopwords.
+
+    All single-pass native expressions over the token/line arrays —
+    no shuffle, no UDF; scale-linear map work like the rest of this
+    module. Blank documents score 0 words and fail the verdict rather
+    than erroring (ratios use max(n,1) denominators).
+    """
+    text = _col(text_col)
+    toks = tokens(text)
+    n_words = F.array_size(toks).cast("long")
+    wd = F.greatest(n_words, F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(F.regexp_replace(text, r"[^#]", ""))
+    n_ellipsis = F.regexp_count(text, F.lit(r"(\.\.\.|…)"))
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.greatest(F.array_size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.array_size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-")
+            | l.startswith("*")
+            | l.startswith("•"),
+        )
+    )
+    ellipsis_lines = F.array_size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha_words = F.array_size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    )
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": word_chars.cast("double") / wd,
+            "symbol_word_ratio": (n_hash + n_ellipsis).cast("double") / wd,
+            "bullet_line_frac": bullet_lines.cast("double") / n_lines,
+            "ellipsis_line_frac": ellipsis_lines.cast("double") / n_lines,
+            "alpha_word_frac": alpha_words.cast("double") / wd,
+            "n_stopwords": stopword_hits(text, "en").cast("long"),
+        }
+    )
+    verdict = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return out.withColumn("passes_gopher", verdict)
+
+
+def duplicate_line_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicate-line repetition stats (the Gopher /
+    MassiveText repetition rules): append
+
+    - ``n_lines``: non-blank (after trim) line count;
+    - ``dup_line_frac``: fraction of lines that are repeat occurrences
+      of an earlier identical line (``(total - distinct) / total``);
+    - ``dup_line_char_frac``: fraction of line characters that sit in
+      lines occurring more than once.
+
+    Boilerplate (nav bars, cookie banners, forum signatures) repeats
+    lines verbatim; prose doesn't. Shape: posexplode the line array,
+    one map-side-combined groupBy on (doc, line) for the histogram,
+    one groupBy on doc for the fold, then a broadcast-friendly join
+    back on ``id_col`` (must uniquely key ``df``). Linear in corpus
+    size, two narrow shuffles keyed by doc id — the same plan family
+    as :func:`repetition_ratio`. Documents with no non-blank lines get
+    0 / 0.0 / 0.0 rather than NULL.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    hist = (
+        df.select(F.col(id_col), F.explode_outer(lines).alias("_line"))
+        .groupBy(id_col, "_line")
+        .agg(F.count("*").alias("_c"))
+    )
+    nn = F.when(F.col("_line").isNotNull(), F.col("_c"))
+    line_chars = F.length("_line") * F.col("_c")
+    stats = hist.groupBy(id_col).agg(
+        F.coalesce(F.sum(nn), F.lit(0)).cast("long").alias("n_lines"),
+        (
+            (
+                F.coalesce(F.sum(nn), F.lit(0))
+                - F.count(F.when(F.col("_line").isNotNull(), True))
+            ).cast("double")
+            / F.greatest(F.coalesce(F.sum(nn), F.lit(0)), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("dup_line_frac"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("_c") > 1, line_chars)), F.lit(0)
+            ).cast("double")
+            / F.greatest(
+                F.coalesce(F.sum(line_chars), F.lit(0)), F.lit(1)
+            ).cast("double")
+        ).alias("dup_line_char_frac"),
+    )
+    return df.join(stats, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias(
+            "dup_line_frac"
+        ),
+        F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+
 def quality_stratified_filter(
     df: DataFrame,
     score_col: str = "quality_score",

@@ -216,3 +216,35 @@ def write_csv(
 ) -> None:
     """CSV sink (reference get_stops_and_clusters.py:168, 185)."""
     df.write.mode(mode).option("sep", sep).option("header", True).csv(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines sink — the interchange format most LLM training
+    pipelines ingest/emit (one JSON object per line, gzip-splittable
+    per file). Spark's native json writer: one file per partition, so
+    upstream partitioning controls shard count/size.
+
+    Beyond-reference component (the reference has parquet/CSV only).
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-Lines scan. Pass ``schema`` in production: without it
+    Spark runs a full inference pre-pass over the data — a 2× read at
+    100 TB — and silently widens disagreeing rows to string.
+    Gzip-compressed inputs are detected by extension; .gz files are
+    not splittable, so shard size should be controlled at write time.
+    """
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -1,3 +1,4 @@
+from polaroam_spark.streaming.joins import stream_stream_interval_join
 from polaroam_spark.streaming.sessionize import (
     streaming_dedup,
     streaming_dedup_incremental,
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_dedup",
     "streaming_dedup_incremental",
     "streaming_heavy_hitters",
+    "stream_stream_interval_join",
 ]

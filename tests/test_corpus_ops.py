@@ -249,3 +249,107 @@ def test_calibrate_scores_null_propagates(spark):
     assert out[3] is None
     assert out[0] == 0.0 and out[2] == 0.5 and out[1] == 1.0
     assert out[4] == 0.0  # single-row stratum
+
+
+def test_gopher_quality_flags(spark):
+    from polaroam_spark.operators.textstats import gopher_quality_flags
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the woods with a friend of his that likes to "
+        "play in the sun for hours and hours until the day is done "
+        "and they all go home to rest for the night is long"
+    )
+    bullets = "- one\n- two\n- three\n* four"
+    symbols = "# " * 30 + "the of " * 15
+    df = spark.createDataFrame(
+        [(0, good), (1, "too short"), (2, bullets), (3, symbols), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[0].passes_gopher
+    assert out[0].n_words >= 50
+    assert not out[1].passes_gopher  # < 50 words
+    assert not out[2].passes_gopher  # bullet lines
+    assert out[2].bullet_line_frac == 1.0
+    assert not out[3].passes_gopher  # symbol ratio
+    assert out[3].symbol_word_ratio > 0.1
+    # blank doc: zero words, all ratios defined (no div-by-zero)
+    assert out[4].n_words == 0 and not out[4].passes_gopher
+
+
+def test_duplicate_line_stats(spark):
+    from polaroam_spark.operators.textstats import duplicate_line_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\nalpha\ngamma"),  # 1 of 4 lines is a repeat
+            (1, "one\ntwo\nthree"),  # no dups
+            (2, "x\nx\nx\nx"),  # all one line
+            (3, "   \n\n  "),  # only blank lines
+            (4, None),  # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_line_stats(df).collect()}
+    assert out[0].n_lines == 4
+    assert abs(out[0].dup_line_frac - 0.25) < 1e-12
+    # 2 'alpha' occurrences x 5 chars over 4+5+5+5=19 line chars... wait
+    assert abs(out[0].dup_line_char_frac - 10.0 / 19.0) < 1e-12
+    assert out[1].dup_line_frac == 0.0
+    assert out[2].n_lines == 4 and abs(out[2].dup_line_frac - 0.75) < 1e-12
+    assert out[2].dup_line_char_frac == 1.0
+    assert out[3].n_lines == 0 and out[3].dup_line_frac == 0.0
+    assert out[4].n_lines == 0 and out[4].dup_line_char_frac == 0.0
+
+
+def test_cap_per_key(spark):
+    from polaroam_spark.operators.sampling import cap_per_key
+
+    rows = [(i, "hot" if i < 90 else "cold") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = cap_per_key(df, key="key", id_col="id", max_per_key=5, seed=7)
+    counts = {
+        r.key: r.n
+        for r in out.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["hot"] == 5
+    assert counts["cold"] == 5  # 10 cold rows also capped
+    # deterministic across partitionings
+    a = sorted(r.id for r in out.collect())
+    b = sorted(
+        r.id
+        for r in cap_per_key(
+            df.repartition(7), key="key", id_col="id", max_per_key=5, seed=7
+        ).collect()
+    )
+    assert a == b
+    # cap larger than the group keeps everything
+    assert (
+        cap_per_key(df, key="key", id_col="id", max_per_key=1000).count()
+        == 100
+    )
+
+
+def test_weighted_sample_by_hash(spark):
+    from polaroam_spark.operators.sampling import weighted_sample_by_hash
+
+    rows = [(i, float(w)) for i, w in enumerate([0] * 50 + [10**9] * 50)]
+    rows.append((100, None))
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = sorted(
+        r.id
+        for r in weighted_sample_by_hash(
+            df, key="id", weight_col="w", rate=1.0, seed=3
+        ).collect()
+    )
+    # zero weight and null weight never selected; huge weight always
+    assert kept == list(range(50, 100))
+    # expected fraction tracks rate*weight for mid-range weights
+    mid = spark.createDataFrame(
+        [(i, 1.0) for i in range(2000)], "id long, w double"
+    )
+    n = weighted_sample_by_hash(
+        mid, key="id", weight_col="w", rate=0.25, seed=3
+    ).count()
+    assert 400 <= n <= 600

@@ -179,3 +179,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmpdir):
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_jsonl_roundtrip(spark, tmpdir):
+    from polaroam_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello\nworld", 3.5), (2, None, -1.0), (3, 'quote " json', 0.0)],
+        "id long, text string, score double",
+    )
+    path = f"{tmpdir}/docs_jsonl"
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert sorted(
+        (r.id, r.text, r.score) for r in back.collect()
+    ) == sorted((r.id, r.text, r.score) for r in df.collect())
+    # gzip by default: every part file carries the .gz extension
+    import os
+
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert parts and all(f.endswith(".gz") for f in parts)
+    # schema-less read survives via inference too (test-scale only)
+    assert read_jsonl(spark, path).count() == 3

@@ -180,3 +180,65 @@ def test_streaming_heavy_hitters(spark, tmpdir):
             assert item in snap, (item, cnt, bound)
     # the cross-batch hot item survives with a near-exact estimate
     assert snap["x"] >= 50 - bound
+
+
+def test_stream_stream_interval_join_batch_semantics(spark):
+    """Batch replay of the interval join (withWatermark is a no-op on
+    batch frames): right rows match iff within [l_ts, l_ts + delay]."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.streaming import stream_stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 1000), (2, 200, 5000)], "uid long, lid long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    right = spark.createDataFrame(
+        [
+            (1, 900, 999),    # before the signup: no match
+            (1, 901, 1000),   # boundary: inclusive
+            (1, 902, 4600),   # exactly +3600: inclusive
+            (1, 903, 4601),   # past the window
+            (3, 904, 1000),   # key with no left row
+        ],
+        "uid long, rid long, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    out = stream_stream_interval_join(
+        left, right, on="uid", max_delay="1 hour"
+    )
+    pairs = sorted((r.l_lid, r.r_rid) for r in out.collect())
+    assert pairs == [(100, 901), (100, 902)]
+    # both ts columns survive, disambiguated
+    assert {"uid", "l_lid", "l_ts", "r_rid", "r_ts"} == set(out.columns)
+
+
+def test_stream_stream_interval_join_streaming(spark, tmpdir):
+    """End-to-end streaming run over file sources + availableNow."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.streaming import stream_stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 1000), (2, 20, 2000)], "uid long, lid long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    right = spark.createDataFrame(
+        [(1, 11, 1500), (2, 21, 9000)], "uid long, rid long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    lp, rp = f"{tmpdir}/ssj_l", f"{tmpdir}/ssj_r"
+    left.coalesce(1).write.parquet(lp)
+    right.coalesce(1).write.parquet(rp)
+    ls = spark.readStream.schema(left.schema).parquet(lp)
+    rs = spark.readStream.schema(right.schema).parquet(rp)
+    out = stream_stream_interval_join(
+        ls, rs, on="uid", max_delay="1 hour", watermark_delay="30 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ssj_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("ssj_test_sink").collect()
+    assert sorted((r.l_lid, r.r_rid) for r in rows) == [(10, 11)]
