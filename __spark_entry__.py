@@ -4824,6 +4824,113 @@ def st5(spark, sf_dir):
     )
 
 
+@_q(
+    "a16_rollup",
+    "SELECT l_returnflag, l_linestatus, "
+    "GROUPING(l_returnflag, l_linestatus) AS gid, "
+    "count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+def a16(spark, sf_dir):
+    """Hierarchical subtotals via native rollup — flag×status,
+    per-flag, grand total in ONE pass (Spark expands the grouping
+    sets before the exchange: one shuffle, map-side combined, vs
+    3 separate scans+aggs). grouping_id() disambiguates real NULL
+    keys from subtotal rows; Spark's bit order matches DuckDB's
+    GROUPING(a, b)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "a17_cube",
+    "SELECT o_orderstatus, o_orderpriority, "
+    "GROUPING(o_orderstatus, o_orderpriority) AS gid, "
+    "count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS key_sum "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+)
+def a17(spark, sf_dir):
+    """All 2^k marginal totals via native cube — one pass, one
+    shuffle. Integer measures only (sum of doubles is
+    accumulation-order dependent across engines)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+@_q(
+    "a18_grouping_sets",
+    "SELECT c_mktsegment, c_nationkey, "
+    "GROUPING(c_mktsegment, c_nationkey) AS gid, count(*) AS n "
+    "FROM customer GROUP BY GROUPING SETS "
+    "((c_mktsegment), (c_nationkey), ())",
+)
+def a18(spark, sf_dir):
+    """Explicit grouping sets (the general form rollup/cube sugar
+    over) via DataFrame.groupingSets — per-segment, per-nation, and
+    grand totals without the cube's uninteresting (seg, nation)
+    cross cells."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupingSets(
+            [["c_mktsegment"], ["c_nationkey"], []],
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "r7_set_ops",
+    "SELECT 'u' AS op, c_custkey FROM ("
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "UNION SELECT c_custkey FROM customer "
+    "WHERE c_mktsegment = 'AUTOMOBILE') "
+    "UNION ALL SELECT 'i' AS op, c_custkey FROM ("
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "INTERSECT SELECT c_custkey FROM customer WHERE c_nationkey < 10) "
+    "UNION ALL SELECT 'e' AS op, c_custkey FROM ("
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0)",
+)
+def r7(spark, sf_dir):
+    """ANSI set operators with SQL DISTINCT semantics:
+    union().distinct(), intersect(), subtract() (= EXCEPT DISTINCT;
+    intersectAll/exceptAll are the bag-semantics variants). Each is a
+    hash-partitioned set op — no sort, no driver materialization."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    near = cust.filter(F.col("c_nationkey") < 10).select("c_custkey")
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("op"), "c_custkey"
+    )
+    return (
+        tag(building.union(auto).distinct(), "u")
+        .unionByName(tag(building.intersect(near), "i"))
+        .unionByName(tag(building.subtract(negative), "e"))
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -4846,6 +4953,7 @@ _PRIORITY = [
     "t13_gopher_flags", "t14_duplicate_lines",
     "smp5_cap_per_key", "smp6_weighted_sample",
     "s10_jsonl_roundtrip", "st5_stream_stream_join",
+    "a16_rollup", "a17_cube", "a18_grouping_sets", "r7_set_ops",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

@@ -164,3 +164,40 @@ def test_heavy_hitters_shuffles_only_summaries(spark, docs):
     assert ex_idx < py_idx, plan
     # partial (map-side) combine before the shuffle
     assert "partial_sum" in plan, plan
+
+
+def test_gopher_flags_is_shuffle_free(spark, docs):
+    from polaroam_spark.operators.textstats import gopher_quality_flags
+
+    plan = _plan(gopher_quality_flags(docs))
+    # pure map-side expressions: no exchange of any kind
+    assert "Exchange" not in plan, plan
+
+
+def test_rollup_is_single_pass(spark, docs):
+    plan = _plan(
+        docs.withColumn("k", F.col("doc_id") % 3)
+        .withColumn("j", F.col("doc_id") % 2)
+        .rollup("k", "j")
+        .agg(F.count("*"))
+    )
+    # one Expand feeding one partial+final aggregate pair: exactly one
+    # shuffle, never a scan per grouping level. (_n_hash_exchanges
+    # keys on the compact form "Exchange hashpartitioning"; formatted
+    # mode lists the node and its Arguments on separate lines, so
+    # count Exchange nodes directly.)
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_cap_per_key_windows_narrow_projection(spark, docs):
+    from polaroam_spark.operators.sampling import cap_per_key
+
+    df = docs.withColumn("key", F.col("doc_id") % 3)
+    plan = _plan(cap_per_key(df, key="key", id_col="doc_id", max_per_key=2))
+    # the ranking window must sort the projected (key, id, hash)
+    # frame, not whole documents: no 'text' column below the Window
+    win = plan.split("Window", 1)[1] if "Window" in plan else plan
+    m = [ln for ln in win.splitlines() if "Sort " in ln or "sort" in ln]
+    assert "Window" in plan, plan
+    assert not any("text" in ln for ln in m), plan
