@@ -4931,6 +4931,186 @@ def r7(spark, sf_dir):
     )
 
 
+@_q(
+    "j9_anti_join",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderstatus = 'F')",
+)
+def j9(spark, sf_dir):
+    """Left anti join — customers with no finished order (the status
+    filter keeps the result non-trivially non-empty: unfiltered,
+    every testdata customer has at least one order). NOT EXISTS
+    semantics (null-tolerant, unlike NOT IN); one shuffled hash
+    anti-join, the dual of j3's semi."""
+    cust = _t(spark, sf_dir, "customer")
+    finished = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        finished, cust.c_custkey == finished.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@_q(
+    "j10_nullsafe_join",
+    "SELECT a.k, count(*) AS n FROM "
+    "(SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 5 END "
+    "AS k FROM documents) a JOIN "
+    "(SELECT CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id % 5 END "
+    "AS k FROM documents) b ON a.k IS NOT DISTINCT FROM b.k "
+    "GROUP BY a.k",
+)
+def j10(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other — the semantics a plain equi-join silently
+    drops. Still hash-partitionable (NULL hashes to one bucket; a
+    heavily-null key column is a skew hazard — salt it or pre-split
+    the null partition, cf. functions/skew.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    mk = lambda mod: F.when(  # noqa: E731
+        F.col("doc_id") % mod == 0, F.lit(None).cast("long")
+    ).otherwise(F.col("doc_id") % 5)
+    a = docs.select(mk(7).alias("k"))
+    b = docs.select(mk(11).alias("k_b"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.k_b))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "a19_approx_percentile_band",
+    "SELECT l_returnflag, TRUE AS within_band FROM lineitem "
+    "GROUP BY l_returnflag",
+)
+def a19(spark, sf_dir):
+    """Certify percentile_approx (the mergeable KLL-style sketch —
+    the 100 TB quantile path where a13's exact percentile would
+    shuffle every value): per group, the approx p50 must land inside
+    the exact [p45, p55] band. The boolean is genuinely computed on
+    the Spark side; the oracle pins it TRUE (v2/m3c pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50a"),
+        F.expr("percentile(l_quantity, 0.45)").alias("p45"),
+        F.expr("percentile(l_quantity, 0.55)").alias("p55"),
+    )
+    return stats.select(
+        "l_returnflag",
+        (
+            (F.col("p50a") >= F.col("p45"))
+            & (F.col("p50a") <= F.col("p55"))
+        ).alias("within_band"),
+    )
+
+
+# Decimal-cast sums in the TPC-H composites: sum(double) is
+# accumulation-order dependent (Spark's partial aggregation vs
+# DuckDB's scan order can differ in the last ulps), but decimal sums
+# are exact and order-independent, so the twin matches bit-for-bit
+# with no rounding slack. Halfway-rounding on the double->decimal
+# cast can't diverge: .xxx5 is not representable in binary, so both
+# engines round the same true value the same way.
+_DEC = "decimal(18,4)"
+
+
+@_q(
+    "q1_tpch_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) "
+    "AS sum_base_price, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) "
+    "AS DOUBLE) AS sum_disc_price, "
+    "count(*) AS n FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the canonical scan+agg: the
+    shipdate filter and 6-column pruning reach the parquet scan, one
+    map-side-combined exchange on the 6-value group key."""
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias(
+            "sum_base_price"
+        ),
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast(_DEC) - dec("l_discount"))
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q3_tpch_shipping",
+    "SELECT l_orderkey, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) "
+    "AS DOUBLE) AS revenue, o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-03-15' "
+    "AND l_shipdate > TIMESTAMP '1998-03-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def q3(spark, sf_dir):
+    """TPC-H Q3-style shipping priority — selective dim filter,
+    3-table join, top-k: customer (smallest side, post-filter) is
+    broadcast into orders, lineitem joins on the shuffled orderkey;
+    the final ORDER BY..LIMIT compiles to TakeOrderedAndProject (no
+    global sort). Deterministic across engines: decimal-exact revenue
+    + orderkey tiebreak."""
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust),
+                orders.o_custkey == cust.c_custkey,
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast(_DEC) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -4954,6 +5134,8 @@ _PRIORITY = [
     "smp5_cap_per_key", "smp6_weighted_sample",
     "s10_jsonl_roundtrip", "st5_stream_stream_join",
     "a16_rollup", "a17_cube", "a18_grouping_sets", "r7_set_ops",
+    "j9_anti_join", "j10_nullsafe_join", "a19_approx_percentile_band",
+    "q1_tpch_pricing", "q3_tpch_shipping",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

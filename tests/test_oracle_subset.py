@@ -33,6 +33,15 @@ SUBSET = [
     "t9_detect_language",
     "v1_vector_normalize",
     "v2_quantize_roundtrip",
+    # round-5 additions
+    "t13_gopher_flags",
+    "smp5_cap_per_key",
+    "a16_rollup",
+    "r7_set_ops",
+    "j9_anti_join",
+    "j10_nullsafe_join",
+    "q1_tpch_pricing",
+    "q3_tpch_shipping",
 ]
 
 
