@@ -5111,6 +5111,122 @@ def q3(spark, sf_dir):
     )
 
 
+@_q(
+    "j11_full_outer",
+    "SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, "
+    "c.c_mktsegment, o.n FROM "
+    "(SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_nationkey < 5) c FULL JOIN "
+    "(SELECT o_custkey, count(*) AS n FROM orders "
+    "WHERE o_orderstatus = 'P' GROUP BY o_custkey) o "
+    "ON c.c_custkey = o.o_custkey",
+)
+def j11(spark, sf_dir):
+    """Full outer join — both unmatched sides survive with NULLs
+    (the reconciliation shape: dim vs fact coverage audit). Shuffled
+    hash join on the key; NULL-padded columns stay typed."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select("c_custkey", "c_mktsegment")
+    )
+    pend = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return cust.join(
+        pend, cust.c_custkey == pend.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        "n",
+    )
+
+
+@_q(
+    "w9_ntile_cume",
+    "SELECT c_custkey, ntile(4) OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal, c_custkey) AS quartile, "
+    "round(cume_dist() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal), 6) AS cd FROM customer",
+)
+def w9(spark, sf_dir):
+    """Equal-frequency binning (ntile) + cumulative distribution —
+    the quantile-bucketing windows calibrate_scores doesn't cover.
+    ntile gets a custkey tiebreak (bin edges on ties are otherwise
+    engine-arbitrary); cume_dist is tie-stable by definition."""
+    w_nt = Window.partitionBy("c_mktsegment").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    w_cd = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w_nt).alias("quartile"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("cd"),
+    )
+
+
+@_q(
+    "f21_map_ops",
+    "SELECT doc_id, 'lang' AS key, lang AS value FROM documents "
+    "UNION ALL "
+    "SELECT doc_id, 'source' AS key, source AS value FROM documents",
+)
+def f21(spark, sf_dir):
+    """Map construction + explosion (create_map → explode): the
+    attribute-bag pattern for sparse per-row metadata. Explode emits
+    entries in map insertion order — row-set equal to the UNION ALL
+    twin."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.create_map(
+                F.lit("lang"),
+                F.col("lang"),
+                F.lit("source"),
+                F.col("source"),
+            ).alias("attrs"),
+        )
+        .select("doc_id", F.explode("attrs").alias("key", "value"))
+    )
+
+
+@_q(
+    "s11_schema_evolution",
+    "SELECT CAST(2 * count(*) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS nn_lang, "
+    "CAST(count(*) AS BIGINT) AS nn_source, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_sum FROM documents",
+)
+def s11(spark, sf_dir):
+    """Schema evolution on read: two parquet batches with different
+    column sets, merged via mergeSchema into the union schema with
+    NULL-padding for absent columns — the data-lake reality where a
+    pipeline adds columns mid-corpus. (mergeSchema costs a footer
+    read per file; at 100 TB pin the schema explicitly instead and
+    let missing columns null-fill for free.)"""
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(_scratch_dir(), "evolving")
+    docs.select("doc_id", "lang").write.parquet(f"{base}/p1")
+    docs.select("doc_id", "source", "n_chars").write.parquet(
+        f"{base}/p2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/p1", f"{base}/p2"
+    )
+    return merged.agg(
+        F.count("*").alias("n"),
+        F.count("lang").alias("nn_lang"),
+        F.count("source").alias("nn_source"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5136,6 +5252,8 @@ _PRIORITY = [
     "a16_rollup", "a17_cube", "a18_grouping_sets", "r7_set_ops",
     "j9_anti_join", "j10_nullsafe_join", "a19_approx_percentile_band",
     "q1_tpch_pricing", "q3_tpch_shipping",
+    "j11_full_outer", "w9_ntile_cume", "f21_map_ops",
+    "s11_schema_evolution",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",
@@ -5144,13 +5262,15 @@ _PRIORITY = [
     "p7_range_predicate", "p8_string_inequality", "p9_membership",
     "p10_null_checks", "p11_key_equality",
     "j2_left_join_single", "j3_semi_join",
-    "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
+    "j5_cross_broadcast_scalar", "j6_medoid_joinback",
     "a1_groupby_count", "a2_groupby_sum", "a4_groupby_minmax",
     "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
     "a8_collect_list", "a10_ratio_aggregates", "a11_having",
     "a12_global_minmax",
     "w1_lead", "w2_lag_fill", "w5_rolling_range_window",
-    "w6_row_index", "w7_keep_first", "w8_compute_intervals",
+    "w6_row_index", "w7_keep_first",
+    # r3-green (fresher than the r2 block above) — behind the stale set
+    "j7_asof_join", "w8_compute_intervals",
     # (c) r3 greens whose operators round-4 commits touched --------
     "m4_compute_dbscan", "c3_dbscan_per_user", "c3b_dbscan_distributed",
     "d2_minhash_lsh_pairs", "d6_near_dedup_survivors",
