@@ -5227,6 +5227,50 @@ def s11(spark, sf_dir):
     )
 
 
+@_q(
+    "g1_pagerank_invariants",
+    "SELECT CAST(count(DISTINCT l_suppkey) + count(DISTINCT l_partkey) "
+    "AS BIGINT) AS n_nodes, TRUE AS sum_ok, TRUE AS min_ok, "
+    "TRUE AS hub_is_part FROM lineitem WHERE l_partkey <= 300",
+)
+def g1(spark, sf_dir):
+    """PageRank certification (operators/graph.py:pagerank) on the
+    supplier→part link graph: the oracle twins the exact node count
+    (prefix-disjoint 's'/'p' ids) and pins genuinely-computed
+    invariants — ranks sum to 1, every rank ≥ the teleport floor
+    (1-d)/n, and the top-ranked node sits on the link-receiving
+    (part) side. Rank VALUES have no SQL twin (iterative float fixed
+    point); value fidelity is pinned by the numpy power-iteration
+    differential in tests/test_graph.py."""
+    from polaroam_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 300)
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "u"
+        ),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+            "v"
+        ),
+    )
+    pr = pagerank(edges, num_iters=8, checkpoint_every=4)
+    stats = pr.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank").alias("_s"),
+        F.min("rank").alias("_mn"),
+        F.max(F.struct(F.col("rank"), F.col("node"))).alias("_top"),
+    )
+    return stats.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        (F.abs(F.col("_s") - 1.0) < 1e-6).alias("sum_ok"),
+        (
+            F.col("_mn")
+            >= (F.lit(0.15) / F.col("n_nodes")) * F.lit(0.999999)
+        ).alias("min_ok"),
+        F.col("_top")["node"].startswith("p").alias("hub_is_part"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5253,7 +5297,7 @@ _PRIORITY = [
     "j9_anti_join", "j10_nullsafe_join", "a19_approx_percentile_band",
     "q1_tpch_pricing", "q3_tpch_shipping",
     "j11_full_outer", "w9_ntile_cume", "f21_map_ops",
-    "s11_schema_evolution",
+    "s11_schema_evolution", "g1_pagerank_invariants",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

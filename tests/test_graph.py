@@ -150,3 +150,66 @@ def test_connected_components_null_keys_and_ids_ignored(spark):
     assert all(r.uid == "k" for r in out)
     comp = {r.node: r.component for r in out}
     assert comp == {1: 1, 2: 1, 4: 1}
+
+
+def _np_pagerank(edges, n, d=0.85, iters=15):
+    import numpy as np
+
+    deg = np.zeros(n)
+    for u, v in edges:
+        deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        m = r[deg == 0].sum()
+        nxt += d * m / n
+        for u, v in edges:
+            nxt[v] += d * r[u] / deg[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from polaroam_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4),  # cycle + tail
+        (5, 0), (5, 2),                          # feeder
+        # 4 and 6: dangling (6 only appears as dst)
+        (1, 6),
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r["rank"] for r in pagerank(df, num_iters=15).collect()}
+    want = _np_pagerank(edges, 7)
+    assert set(got) == set(range(7))
+    for i in range(7):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_graph_hub_dominates(spark):
+    from polaroam_spark.operators.graph import pagerank
+
+    # 20 leaves all pointing at the hub; hub dangling
+    edges = [(i, 100) for i in range(20)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r["rank"] for r in pagerank(df, num_iters=20).collect()}
+    hub = got[100]
+    leaf = got[0]
+    assert hub > 10 * leaf
+    # leaves are symmetric: identical ranks
+    assert all(abs(got[i] - leaf) < 1e-12 for i in range(20))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_null_edges_and_duplicates(spark):
+    from polaroam_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (None, 3), (3, None)],
+        "u long, v long",
+    )
+    got = {r.node: r["rank"] for r in pagerank(df, num_iters=10).collect()}
+    # null endpoints dropped entirely: only 0 and 1 are nodes
+    assert set(got) == {0, 1}
+    assert abs(got[0] - 0.5) < 1e-9 and abs(got[1] - 0.5) < 1e-9
