@@ -4375,24 +4375,43 @@ def x3(spark, sf_dir):
     (eval = every 10th doc). Certified one-sided error: the bloom
     survivors are a SUBSET of the exact survivors (a truly shared
     gram always probes true, so contamination never slips through),
-    and over-dropping is bounded (<= 5 docs; at this sizing —
-    65536 bits / 13 hashes over ~2.4k eval grams, fp ~3e-6 per gram
-    and ~64k corpus-gram probes — the expected over-drop is 0.2
-    docs, measured 0 at sf0.001 and sf0.01). The oracle computes the
-    exact survivor count in SQL and pins both booleans TRUE. All
+    and over-dropping is bounded (<= 5 docs). The filter is sized
+    FROM THE DATA via bloom_bits_for(eval-gram count, fp=1e-7), not
+    hardcoded: a fixed 65536-bit filter passed at sf0.01 (~2.4k eval
+    grams) but saturated at sf0.1's ~10x eval set and over-dropped
+    far past the bound — exactly the failure mode the sizing helper
+    exists to prevent. At fp=1e-7 the expected over-drop stays ≪ 1
+    doc even at millions of corpus-gram probes. The oracle computes
+    the exact survivor count in SQL and pins both booleans TRUE. All
     docs here are >= 8 tokens, so no short-gram branch on either
     side (unlike d7's match_short_eval oracle)."""
+    from polaroam_spark.functions.text import tokens, word_shingles
     from polaroam_spark.operators.dedup import decontaminate
-    from polaroam_spark.operators.sketches import bloom_decontaminate
+    from polaroam_spark.operators.sketches import (
+        bloom_bits_for,
+        bloom_decontaminate,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_df = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    n_eval_grams = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens("text"), 8))
+            ).alias("g")
+        )
+        .agg(F.count_distinct("g"))
+        .first()[0]
+    )
+    num_bits, num_hashes = bloom_bits_for(
+        max(n_eval_grams, 1), fp_rate=1e-7
+    )
     exact_ids = decontaminate(
         corpus, eval_df, n=8, match_short_eval=False
     ).select("doc_id")
     bloom_ids = bloom_decontaminate(
-        corpus, eval_df, n=8, num_bits=1 << 16, num_hashes=13
+        corpus, eval_df, n=8, num_bits=num_bits, num_hashes=num_hashes
     ).select("doc_id")
     n_corpus = corpus.agg(F.count("*").alias("n_corpus"))
     n_exact = exact_ids.agg(F.count("*").alias("n_exact_survivors"))
@@ -5271,6 +5290,80 @@ def g1(spark, sf_dir):
     )
 
 
+def _zorder_sql(bits: int) -> str:
+    """DuckDB twin of functions/distance.py:zorder_key at ``bits``
+    bits — the same quantize + static bit-interleave, generated
+    term-by-term."""
+    n = (1 << bits) - 1
+    qx = (
+        f"least(greatest(CAST(floor((longitude - (-180.0)) / 360.0 "
+        f"* {float(n + 1)}) AS BIGINT), 0), {n})"
+    )
+    qy = (
+        f"least(greatest(CAST(floor((latitude - (-90.0)) / 180.0 "
+        f"* {float(n + 1)}) AS BIGINT), 0), {n})"
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return (
+        f"SELECT ping_id, ({' | '.join(terms)}) AS zkey FROM "
+        f"(SELECT ping_id, {qx} AS x, {qy} AS y FROM pings)"
+    )
+
+
+@_q(
+    "f22_zorder_key",
+    "WITH " + _PINGS_CTE.strip() + " " + _zorder_sql(8),
+)
+def f22(spark, sf_dir):
+    """Z-order (Morton) spatial key
+    (functions/distance.py:zorder_key) vs a generated DuckDB
+    bit-interleave twin: the lake-layout clustering key that makes
+    lat/lon box predicates prune files at scale."""
+    from polaroam_spark.functions.distance import zorder_key
+
+    return _pings(spark, sf_dir).select(
+        "ping_id", zorder_key("latitude", "longitude", 8).alias("zkey")
+    )
+
+
+@_q(
+    "x4_hll_two_level",
+    "SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) "
+    "AS exact_distinct, TRUE AS within_5pct "
+    "FROM documents GROUP BY lang",
+)
+def x4(spark, sf_dir):
+    """Two-level HLL distinct count (operators/sketches.py:
+    hll_partials + hll_estimate): per-source sketches unioned per
+    lang — only ~4 KB sketches cross the second shuffle. The exact
+    count is twinned; the 5% tolerance boolean is genuinely computed
+    (a15/v2 pattern). Partitioning-independence of the union is
+    pinned in tests/test_sketches.py."""
+    from polaroam_spark.operators.sketches import (
+        hll_estimate,
+        hll_partials,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    est = hll_estimate(
+        hll_partials(docs, ["lang"], "doc_id", "source"), ["lang"]
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("exact_distinct")
+    )
+    return exact.join(est, "lang").select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct")
+        ).alias("within_5pct"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5298,6 +5391,7 @@ _PRIORITY = [
     "q1_tpch_pricing", "q3_tpch_shipping",
     "j11_full_outer", "w9_ntile_cume", "f21_map_ops",
     "s11_schema_evolution", "g1_pagerank_invariants",
+    "f22_zorder_key", "x4_hll_two_level",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

@@ -393,3 +393,44 @@ def bloom_decontaminate(
     out = materialize_df(survivors)
     bloom.unpersist()
     return out
+
+
+def hll_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    shard_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-(group, shard) HyperLogLog sketches (Apache DataSketches
+    HLL via Spark's native ``hll_sketch_agg``): the first level of
+    the two-level distinct-count pattern — each shard (a day, a
+    source, an ingest batch) aggregates its own compact sketch
+    (2^lg_k registers, ~4 KB at the default), and only sketches move
+    thereafter. At 100 TB this replaces re-scanning history for every
+    "distinct users to date" question: union yesterday's sketch with
+    today's.
+    """
+    return df.groupBy(*group_cols, shard_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("hll_sketch")
+    )
+
+
+def hll_estimate(
+    partials: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Second level: union the per-shard sketches per group and read
+    the estimate. The union keeps the standard HLL accuracy bound
+    (~1.04/sqrt(2^lg_k) relative error) — sharding costs no accuracy
+    class. Estimates are NOT bit-stable: sketch construction and
+    union are marginally input-order sensitive (a few counts of
+    drift between shardings/runs is normal); only the accuracy bound
+    is the contract (pinned by test under re-partitioning). Where a
+    gate needs determinism, certify a tolerance boolean, not the
+    estimate value. Output: ``[*group_cols, approx_distinct]``.
+    """
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
+        .cast("long")
+        .alias("approx_distinct")
+    )

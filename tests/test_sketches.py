@@ -216,3 +216,111 @@ def test_bloom_decontaminate_materialize_releases_cache(spark):
         materialize=True,
     )
     assert out.count() > 0  # materialized result is consumable
+
+
+def test_hll_two_level_matches_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.sketches import (
+        hll_estimate,
+        hll_partials,
+    )
+
+    rows = [(i % 7, i % 3, i % 500) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g long, shard long, v long")
+    two_level = {
+        r.g: r.approx_distinct
+        for r in hll_estimate(
+            hll_partials(df, ["g"], "v", "shard"), ["g"]
+        ).collect()
+    }
+    single = {
+        r.g: r.est
+        for r in df.groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12)))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    # union changes the sketch's internal mode (sparse -> dense), so
+    # sharded and single-shot estimates may differ slightly — both
+    # must sit within the 5% band of the truth (500 distinct/group)
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(two_level[g] - n) <= 0.05 * n, (g, two_level[g], n)
+        assert abs(single[g] - n) <= 0.05 * n, (g, single[g], n)
+    # estimates are NOT bit-stable under reordering (sketch build is
+    # marginally input-order sensitive) — but the accuracy bound must
+    # hold under any partitioning
+    re_est = {
+        r.g: r.approx_distinct
+        for r in hll_estimate(
+            hll_partials(df.repartition(13), ["g"], "v", "shard"),
+            ["g"],
+        ).collect()
+    }
+    for g, n in exact.items():
+        assert abs(re_est[g] - n) <= 0.05 * n, (g, re_est[g], n)
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.functions.distance import zorder_key
+
+    # hand-computed 2-bit case over lat/lon ranges scaled to [0,4):
+    # lat=-90 -> y=0, lon=-180 -> x=0 => z=0
+    # y=3 (lat near +90), x=3 => z=0b1111=15
+    df = spark.createDataFrame(
+        [(0, -90.0, -180.0), (1, 89.9, 179.9), (2, None, 0.0)],
+        "id long, lat double, lon double",
+    )
+    out = {
+        r.id: r.z
+        for r in df.select(
+            "id", zorder_key("lat", "lon", 2).alias("z")
+        ).collect()
+    }
+    assert out[0] == 0
+    assert out[1] == 15
+    assert out[2] is None
+    # out-of-range clamps instead of wrapping
+    clamped = (
+        spark.createDataFrame([(200.0, 500.0)], "lat double, lon double")
+        .select(zorder_key("lat", "lon", 2).alias("z"))
+        .collect()[0].z
+    )
+    assert clamped == 15
+
+    # locality: z-sorted neighbors are spatially closer than a
+    # same-size random pairing
+    import random
+
+    rnd = random.Random(7)
+    pts = [
+        (i, rnd.uniform(-10, 10), rnd.uniform(-10, 10))
+        for i in range(2000)
+    ]
+    pdf = spark.createDataFrame(pts, "id long, lat double, lon double")
+    ordered = (
+        pdf.select("lat", "lon", zorder_key("lat", "lon", 16).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    d2 = lambda a, b: (a.lat - b.lat) ** 2 + (a.lon - b.lon) ** 2
+    z_adj = sum(
+        d2(ordered[i], ordered[i + 1]) for i in range(len(ordered) - 1)
+    )
+    shuffled = ordered[:]
+    rnd.shuffle(shuffled)
+    r_adj = sum(
+        d2(shuffled[i], shuffled[i + 1]) for i in range(len(shuffled) - 1)
+    )
+    assert z_adj < r_adj / 5, (z_adj, r_adj)
