@@ -5364,6 +5364,98 @@ def x4(spark, sf_dir):
     )
 
 
+@_q(
+    "w10_session_window",
+    "WITH d AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, "
+    "value FROM events), "
+    "b AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL "
+    "OR s - lag(s) OVER w >= 86400 THEN 1 ELSE 0 END AS brk "
+    "FROM d WINDOW w AS (PARTITION BY user_id ORDER BY s)), "
+    "r AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS run FROM b) "
+    "SELECT user_id, CAST(min(s) AS BIGINT) AS session_start, "
+    "CAST(max(s) + 86400 AS BIGINT) AS session_end, "
+    "count(*) AS n, round(sum(value), 4) AS total_value "
+    "FROM r GROUP BY user_id, run",
+)
+def w10(spark, sf_dir):
+    """Native session windows (F.session_window, 24 h gap) vs the
+    classic gaps-and-islands SQL: Spark merges an event into the
+    open session while its time is strictly inside previous-event +
+    gap, and the emitted window end is last-event + gap — both
+    reproduced by the twin. One map-side-combined aggregation; the
+    state never materializes per event."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "24 hours").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("sw.start").alias("session_start"),
+            F.unix_timestamp("sw.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "ts1_resample_linear",
+    "WITH obs AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, "
+    "min(value) AS v FROM events GROUP BY 1, 2), "
+    "b AS (SELECT user_id, "
+    "CAST(min(s) + (((-min(s)) % 86400 + 86400) % 86400) AS BIGINT) "
+    "AS g0, "
+    "CAST(max(s) - ((max(s) % 86400 + 86400) % 86400) AS BIGINT) "
+    "AS g1 FROM obs GROUP BY 1), "
+    "grid AS (SELECT user_id, unnest(generate_series(g0, g1, 86400)) "
+    "AS t FROM b WHERE g1 >= g0), "
+    "j AS (SELECT g.user_id, g.t, "
+    "(SELECT max(s) FROM obs o WHERE o.user_id = g.user_id "
+    "AND o.s <= g.t) AS t1, "
+    "(SELECT min(s) FROM obs o WHERE o.user_id = g.user_id "
+    "AND o.s >= g.t) AS t2 FROM grid g), "
+    "jv AS (SELECT j.*, "
+    "(SELECT v FROM obs o WHERE o.user_id = j.user_id AND o.s = j.t1) "
+    "AS v1, "
+    "(SELECT v FROM obs o WHERE o.user_id = j.user_id AND o.s = j.t2) "
+    "AS v2 FROM j) "
+    "SELECT user_id, t AS ts, round(CASE WHEN t2 = t THEN v2 "
+    "WHEN t1 = t THEN v1 ELSE v1 + (v2 - v1) * "
+    "(CAST(t - t1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE)) END, 6) "
+    "AS value FROM jv",
+)
+def ts1(spark, sf_dir):
+    """Per-user daily resampling with linear interpolation
+    (operators/timeseries.py:resample_interpolate) vs a correlated-
+    subquery twin. Integer grid arithmetic (pmod) keeps the grids
+    identical across engines; the same doubles interpolate to the
+    same doubles."""
+    from polaroam_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    out = resample_interpolate(
+        ev, key_col="user_id", ts_col="es", value_col="value",
+        step=86400,
+    )
+    return out.select(
+        "user_id",
+        F.col("es").alias("ts"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5392,6 +5484,7 @@ _PRIORITY = [
     "j11_full_outer", "w9_ntile_cume", "f21_map_ops",
     "s11_schema_evolution", "g1_pagerank_invariants",
     "f22_zorder_key", "x4_hll_two_level",
+    "w10_session_window", "ts1_resample_linear",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",
