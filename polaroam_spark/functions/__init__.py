@@ -2,6 +2,7 @@ from polaroam_spark.functions.distance import (
     euclidean_m,
     grid_snap,
     haversine_m,
+    zorder_key,
 )
 from polaroam_spark.functions.datetimes import (
     epoch_seconds,
@@ -23,6 +24,7 @@ __all__ = [
     "haversine_m",
     "euclidean_m",
     "grid_snap",
+    "zorder_key",
     "iso_weekday",
     "epoch_seconds",
     "local_time",
