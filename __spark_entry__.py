@@ -5456,6 +5456,71 @@ def ts1(spark, sf_dir):
     )
 
 
+@_q(
+    "st6_streaming_sessions",
+    "WITH d AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s "
+    "FROM events), "
+    "wm AS (SELECT max(s) - 259200 AS w FROM d), "
+    "b AS (SELECT *, CASE WHEN lag(s) OVER win IS NULL "
+    "OR s - lag(s) OVER win >= 86400 THEN 1 ELSE 0 END AS brk "
+    "FROM d WINDOW win AS (PARTITION BY user_id ORDER BY s)), "
+    "r AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS run FROM b), "
+    "sess AS (SELECT user_id, CAST(min(s) AS BIGINT) AS session_start, "
+    "CAST(max(s) + 86400 AS BIGINT) AS session_end, count(*) AS n "
+    "FROM r GROUP BY user_id, run) "
+    "SELECT sess.* FROM sess, wm WHERE sess.session_end <= wm.w",
+)
+def st6(spark, sf_dir):
+    """STREAMING session windows
+    (streaming/sessionize.py:streaming_session_counts): the batch
+    w10 gate's semantics under append mode — a session emits only
+    once the watermark (max event time − 3 days) passes its end, so
+    the emitted set is exactly the twin's
+    ``session_end <= max(ts) − delay`` filter; later sessions stay
+    in state and are never read."""
+    import os
+
+    from polaroam_spark.streaming import streaming_session_counts
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_sess.parquet")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sess = streaming_session_counts(
+        stream,
+        gap_duration="24 hours",
+        watermark_delay="3 days",
+        ts_col="ts",
+        group_col="user_id",
+    )
+    _ST1_SEQ[0] += 1
+    qname = f"st6_sessions_sink_{_ST1_SEQ[0]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError(
+            "st6 stream did not finish in 300s; refusing to read a "
+            "partial sink"
+        )
+    return spark.table(qname).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "n",
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5485,6 +5550,7 @@ _PRIORITY = [
     "s11_schema_evolution", "g1_pagerank_invariants",
     "f22_zorder_key", "x4_hll_two_level",
     "w10_session_window", "ts1_resample_linear",
+    "st6_streaming_sessions",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

@@ -66,6 +66,36 @@ def streaming_event_counts(
     )
 
 
+def streaming_session_counts(
+    events: DataFrame,
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation per group: Spark's
+    native gap-based sessionization as a streaming groupBy key (the
+    declarative sibling of :func:`streaming_stop_detection`\'s custom
+    state machine — use this when "session" means time gaps only, no
+    spatial predicate). Sessions merge in the state store as events
+    arrive; append mode emits a session once the watermark passes its
+    end (last event + gap), after which its state is dropped —
+    bounded by the number of OPEN sessions, not the stream length.
+    """
+    sw = F.session_window(F.col(ts_col), gap_duration)
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(sw, F.col(group_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            group_col,
+            "n",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str] | tuple[str, ...] = ("event_id",),

@@ -242,3 +242,41 @@ def test_stream_stream_interval_join_streaming(spark, tmpdir):
     assert q.awaitTermination(120)
     rows = spark.table("ssj_test_sink").collect()
     assert sorted((r.l_lid, r.r_rid) for r in rows) == [(10, 11)]
+
+
+def test_streaming_session_counts_emits_closed_sessions(spark, tmpdir):
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.streaming import streaming_session_counts
+
+    # uid 1: two events 10 min apart (one session), then 2h of
+    # nothing; uid 2: one event near the end -> its session end is
+    # within the watermark delay of max ts, stays open
+    rows = [(1, 1000), (1, 1600), (2, 90000)]
+    df = spark.createDataFrame(rows, "uid long, sec long").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    ).drop("sec")
+    src = f"{tmpdir}/sess_src"
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = streaming_session_counts(
+        stream,
+        gap_duration="30 minutes",
+        watermark_delay="10 minutes",
+        ts_col="ts",
+        group_col="uid",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/sess_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("sess_test_sink").collect()
+    # watermark = 90000 - 600; uid 1's session ends 1600+1800=3400 <
+    # watermark -> emitted with both events merged; uid 2's ends
+    # 90000+1800 > watermark -> held in state
+    assert [(r.uid, r.n) for r in rows] == [(1, 2)]
