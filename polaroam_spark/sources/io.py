@@ -248,3 +248,100 @@ def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """Keyed upsert into a bare-parquet dataset: union the current
+    contents with ``updates`` and keep, per key, the row with the
+    highest ``version_col`` (ties break toward the update by input
+    order of the union — pass a strictly increasing version to avoid
+    relying on it). The poor-man's MERGE for deployments without a
+    table format; on Delta/Iceberg use the native MERGE INTO instead,
+    which this mirrors semantically.
+
+    The merged frame is materialized (localCheckpoint) BEFORE the
+    overwrite: Spark reads lazily, so writing over the path a plan
+    still reads from would otherwise race the scan of its own input.
+    Rewrite cost is the whole dataset — at scale, partition the data
+    and restrict the upsert to affected partitions.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(path)
+    merged = current.unionByName(updates)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc()
+    )
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    latest = latest.localCheckpoint(eager=True)
+    latest.write.mode("overwrite").parquet(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_files: int,
+) -> None:
+    """Rewrite a parquet dataset into ``target_files`` files — the
+    small-file compaction every long-running ingest needs (thousands
+    of per-batch files turn scan planning and open() overhead into
+    the bottleneck long before data volume does). Uses coalesce (no
+    shuffle) when reducing file count. Same read-before-overwrite
+    materialization as :func:`upsert_parquet`.
+    """
+    df = spark.read.parquet(path).coalesce(int(target_files))
+    df = df.localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+
+
+def collect_column_stats(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-column statistics — ``[col_name, n_rows, n_nulls,
+    n_distinct, min_str, max_str]`` — the ANALYZE-style summary that
+    drives partition pruning decisions, skew diagnosis, and data
+    validation gates. One aggregation pass computes every column's
+    stats (a struct per column), then unpivots driver-side over the
+    COLUMN LIST (bounded by schema width, not data size); min/max are
+    stringified so one schema fits all column types.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.struct(
+                F.sum(F.col(c).isNull().cast("long")).alias("nulls"),
+                F.count_distinct(F.col(c)).alias("ndv"),
+                F.min(F.col(c)).cast("string").alias("mn"),
+                F.max(F.col(c)).cast("string").alias("mx"),
+            ).alias(f"_s{i}")
+        )
+    row = df.agg(*aggs)
+    per_col = [
+        row.select(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_s{i}")["nulls"].alias("n_nulls"),
+            F.col(f"_s{i}")["ndv"].alias("n_distinct"),
+            F.col(f"_s{i}")["mn"].alias("min_str"),
+            F.col(f"_s{i}")["mx"].alias("max_str"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out

@@ -201,3 +201,81 @@ def test_jsonl_roundtrip(spark, tmpdir):
     assert parts and all(f.endswith(".gz") for f in parts)
     # schema-less read survives via inference too (test-scale only)
     assert read_jsonl(spark, path).count() == 3
+
+
+def test_upsert_parquet_latest_version_wins(spark, tmpdir):
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.sources.io import upsert_parquet
+
+    path = f"{tmpdir}/upsert"
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+        "id long, val string, version long",
+    )
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B2", 2), (4, "d", 2)],  # update key 2, insert key 4
+        "id long, val string, version long",
+    )
+    upsert_parquet(spark, path, updates, ["id"], "version")
+    got = {
+        r.id: (r.val, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 1), 2: ("B2", 2), 3: ("c", 1), 4: ("d", 2),
+    }
+    # stale update (lower version) does NOT win
+    upsert_parquet(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "OLD", 1)], "id long, val string, version long"
+        ),
+        ["id"],
+        "version",
+    )
+    kept = {
+        r.id: r.val for r in spark.read.parquet(path).collect()
+    }
+    assert kept[2] == "B2"
+
+
+def test_compact_files_reduces_count_keeps_rows(spark, tmpdir):
+    import os
+
+    from polaroam_spark.sources.io import compact_files
+
+    path = f"{tmpdir}/compact"
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, val string"
+    )
+    df.repartition(10).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert before >= 10
+    compact_files(spark, path, target_files=2)
+    after = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert after <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+def test_collect_column_stats(spark):
+    from polaroam_spark.sources.io import collect_column_stats
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "x")],
+        "a long, b string",
+    )
+    stats = {
+        r.col_name: r for r in collect_column_stats(df).collect()
+    }
+    assert stats["a"].n_rows == 4
+    assert stats["a"].n_nulls == 1
+    assert stats["a"].n_distinct == 2
+    assert stats["a"].min_str == "1" and stats["a"].max_str == "2"
+    assert stats["b"].n_nulls == 1
+    assert stats["b"].n_distinct == 2
+    assert stats["b"].min_str == "x" and stats["b"].max_str == "y"
