@@ -4619,7 +4619,7 @@ _GOPHER_SW = (
     CAST(len(list_filter(lines, l -> ends_with(l, '...')
         OR ends_with(l, '…'))) AS DOUBLE)
       / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_line_frac,
-    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}')))
       AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
       AS alpha_word_frac,
     CAST(len(list_filter(toks, t -> list_contains({_GOPHER_SW}, t)))

@@ -271,7 +271,11 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        # free the (empty) edge checkpoint on this path too — the
+        # normal-path release(base) below is never reached
+        empty = nodes.withColumn("rank", F.lit(0.0))
+        release(base)
+        return empty
     out_deg = base.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("_deg")
     )

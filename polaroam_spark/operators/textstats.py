@@ -196,6 +196,16 @@ def repetition_ratio(
     )
 
 
+def _nonblank_lines(text: Column) -> Column:
+    """Trimmed, non-blank lines of a document — shared by the Gopher
+    line-ratio rules and the duplicate-line stats so the two metrics
+    can never diverge on what a 'line' is."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -218,10 +228,13 @@ def gopher_quality_flags(
 
     All single-pass native expressions over the token/line arrays —
     no shuffle, no UDF; scale-linear map work like the rest of this
-    module. Blank documents score 0 words and fail the verdict rather
-    than erroring (ratios use max(n,1) denominators).
+    module. Blank AND NULL documents score 0 words and fail the
+    verdict rather than erroring or yielding NULL flags (a NULL
+    verdict would vanish from both ``filter(passes)`` and
+    ``filter(~passes)``, breaking kept+rejected accounting); ratios
+    use max(n,1) denominators.
     """
-    text = _col(text_col)
+    text = F.coalesce(_col(text_col), F.lit(""))
     toks = tokens(text)
     n_words = F.array_size(toks).cast("long")
     wd = F.greatest(n_words, F.lit(1)).cast("double")
@@ -230,10 +243,7 @@ def gopher_quality_flags(
     )
     n_hash = F.length(F.regexp_replace(text, r"[^#]", ""))
     n_ellipsis = F.regexp_count(text, F.lit(r"(\.\.\.|…)"))
-    lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    lines = _nonblank_lines(text)
     n_lines = F.greatest(F.array_size(lines), F.lit(1)).cast("double")
     bullet_lines = F.array_size(
         F.filter(
@@ -246,8 +256,11 @@ def gopher_quality_flags(
     ellipsis_lines = F.array_size(
         F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
     )
+    # \p{L}, not [a-z]: accented and non-Latin words are alphabetic
+    # too — an ASCII class would flunk every French/Cyrillic doc on
+    # the alpha_word_frac >= 0.8 rule
     alpha_words = F.array_size(
-        F.filter(toks, lambda t: t.rlike("[a-z]"))
+        F.filter(toks, lambda t: t.rlike(r"\p{L}"))
     )
     out = df.withColumns(
         {
@@ -293,12 +306,14 @@ def duplicate_line_stats(
     back on ``id_col`` (must uniquely key ``df``). Linear in corpus
     size, two narrow shuffles keyed by doc id — the same plan family
     as :func:`repetition_ratio`. Documents with no non-blank lines get
-    0 / 0.0 / 0.0 rather than NULL.
+    0 / 0.0 / 0.0 rather than NULL. Pre-existing output-named columns
+    (``n_lines`` etc., e.g. from a prior enrichment pass) are dropped
+    and recomputed — without that the join-back would raise
+    AMBIGUOUS_REFERENCE.
     """
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
-    )
+    out_cols = ("n_lines", "dup_line_frac", "dup_line_char_frac")
+    df = df.drop(*[c for c in out_cols if c in df.columns])
+    lines = _nonblank_lines(F.col(text_col))
     hist = (
         df.select(F.col(id_col), F.explode_outer(lines).alias("_line"))
         .groupBy(id_col, "_line")

@@ -265,14 +265,21 @@ def upsert_parquet(
     table format; on Delta/Iceberg use the native MERGE INTO instead,
     which this mirrors semantically.
 
-    The merged frame is materialized (localCheckpoint) BEFORE the
-    overwrite: Spark reads lazily, so writing over the path a plan
-    still reads from would otherwise race the scan of its own input.
-    Rewrite cost is the whole dataset — at scale, partition the data
-    and restrict the upsert to affected partitions.
+    The merged frame is materialized BEFORE the overwrite
+    (session.materialize: a RELIABLE checkpoint when a checkpoint dir
+    is configured, localCheckpoint otherwise): Spark reads lazily, so
+    writing over the path a plan still reads from would race the scan
+    of its own input — and an executor-local checkpoint dying mid-
+    overwrite would destroy the dataset with no recompute path, which
+    is why the reliable variant matters here more than anywhere.
+    The checkpoint is released once the write lands. Rewrite cost is
+    the whole dataset — at scale, partition the data and restrict the
+    upsert to affected partitions.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from polaroam_spark.session import materialize, release
 
     current = spark.read.parquet(path)
     merged = current.unionByName(updates)
@@ -284,8 +291,11 @@ def upsert_parquet(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    latest = latest.localCheckpoint(eager=True)
+    latest = materialize(latest)
+    # release only AFTER a successful write: if the overwrite dies
+    # midway, the checkpoint is the sole surviving copy of the data
     latest.write.mode("overwrite").parquet(path)
+    release(latest)
 
 
 def compact_files(
@@ -298,11 +308,15 @@ def compact_files(
     of per-batch files turn scan planning and open() overhead into
     the bottleneck long before data volume does). Uses coalesce (no
     shuffle) when reducing file count. Same read-before-overwrite
-    materialization as :func:`upsert_parquet`.
+    reliable materialization as :func:`upsert_parquet`.
     """
+    from polaroam_spark.session import materialize, release
+
     df = spark.read.parquet(path).coalesce(int(target_files))
-    df = df.localCheckpoint(eager=True)
+    df = materialize(df)
+    # success-only release — see upsert_parquet
     df.write.mode("overwrite").parquet(path)
+    release(df)
 
 
 def collect_column_stats(

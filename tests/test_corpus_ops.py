@@ -294,7 +294,8 @@ def test_duplicate_line_stats(spark):
     out = {r.doc_id: r for r in duplicate_line_stats(df).collect()}
     assert out[0].n_lines == 4
     assert abs(out[0].dup_line_frac - 0.25) < 1e-12
-    # 2 'alpha' occurrences x 5 chars over 4+5+5+5=19 line chars... wait
+    # 2 'alpha' occurrences x 5 chars = 10 duplicated chars over
+    # 5+4+5+5 = 19 total line chars
     assert abs(out[0].dup_line_char_frac - 10.0 / 19.0) < 1e-12
     assert out[1].dup_line_frac == 0.0
     assert out[2].n_lines == 4 and abs(out[2].dup_line_frac - 0.75) < 1e-12
@@ -353,3 +354,30 @@ def test_weighted_sample_by_hash(spark):
         mid, key="id", weight_col="w", rate=0.25, seed=3
     ).count()
     assert 400 <= n <= 600
+
+
+def test_gopher_flags_null_text_and_unicode_words(spark):
+    from polaroam_spark.operators.textstats import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "café naïve übermäßig señor Москва")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    # NULL text -> hard False (not NULL): kept+rejected must sum
+    assert out[0].passes_gopher is False
+    assert out[0].n_words == 0
+    # accented / non-Latin words count as alphabetic
+    assert out[1].alpha_word_frac == 1.0
+
+
+def test_duplicate_line_stats_idempotent_rerun(spark):
+    from polaroam_spark.operators.textstats import duplicate_line_stats
+
+    df = spark.createDataFrame(
+        [(0, "a\nb\na")], "doc_id long, text string"
+    )
+    once = duplicate_line_stats(df)
+    twice = duplicate_line_stats(once)  # must not AMBIGUOUS_REFERENCE
+    r = twice.collect()[0]
+    assert r.n_lines == 3 and abs(r.dup_line_frac - 1 / 3) < 1e-12
