@@ -5621,6 +5621,122 @@ def s14(spark, sf_dir):
     )
 
 
+@_q(
+    "q4_bm25_search",
+    "WITH toks AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS tk FROM documents), "
+    "lens AS (SELECT doc_id, len(tk) AS l FROM toks), "
+    "stats AS (SELECT count(*) AS n, avg(l) AS avg_len FROM lens), "
+    "tf AS (SELECT doc_id, t, count(*) AS tf FROM "
+    "(SELECT doc_id, unnest(tk) AS t FROM toks) "
+    "WHERE t IN ('hash', 'vector') GROUP BY doc_id, t), "
+    "dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t), "
+    "sc AS (SELECT tf.doc_id, "
+    "sum(ln(CAST(1.0 AS DOUBLE) + (stats.n - dfs.df "
+    "+ CAST(0.5 AS DOUBLE)) / (dfs.df + CAST(0.5 AS DOUBLE))) "
+    "* (tf.tf * CAST(2.2 AS DOUBLE)) "
+    "/ (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+    "+ CAST(0.75 AS DOUBLE) * lens.l / stats.avg_len))) AS score "
+    "FROM tf JOIN dfs USING (t) JOIN lens USING (doc_id) "
+    "CROSS JOIN stats GROUP BY tf.doc_id) "
+    "SELECT doc_id, round(score, 6) AS score, "
+    "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) "
+    "AS rank FROM sc ORDER BY score DESC, doc_id LIMIT 10",
+)
+def q4(spark, sf_dir):
+    """BM25 lexical retrieval (operators/chunking.py:bm25_search) vs
+    a formula twin. Two query terms exactly: the per-doc score is a
+    sum of ≤2 doubles, which is commutative-exact regardless of
+    aggregation order (3+ terms would need rounding slack)."""
+    from polaroam_spark.operators.chunking import bm25_search
+
+    out = bm25_search(
+        _t(spark, sf_dir, "documents"), "hash vector", top_k=10
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@_q(
+    "d10_fuzzy_text_join",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS sh_list
+    FROM toks), unnest(sh_list) AS u(sh)
+),
+minhashes AS (
+  SELECT s.doc_id, seeds.s AS seed,
+         min(CAST(('0x' || substr(md5(seeds.s || ':' || s.sh), 1, 15))
+             AS BIGINT)) AS mh
+  FROM shingles s, (SELECT unnest(range(16)) AS s) seeds
+  GROUP BY s.doc_id, seeds.s
+),
+sigs AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minhashes
+  GROUP BY doc_id
+),
+bandkeys AS (
+  SELECT doc_id, bb.b AS band,
+         CAST(('0x' || substr(md5(bb.b || ':' ||
+           array_to_string(sig[bb.b * 4 + 1 : bb.b * 4 + 4], ',')),
+           1, 15)) AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(range(4)) AS b) bb
+),
+-- the right table is the same corpus shifted by 100000: cross
+-- candidates are ANY-ordered (a, b) sharing a band, self included
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bucket = b.bucket
+),
+ssize AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS shared
+  FROM shingles a JOIN shingles b ON a.sh = b.sh
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_l AS left_id, c.id_r + 100000 AS right_id,
+       round(COALESCE(i.shared, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.shared, 0) AS DOUBLE), 6)
+         AS jaccard_sim
+FROM cand c
+LEFT JOIN inter i ON c.id_l = i.id_l AND c.id_r = i.id_r
+JOIN ssize sa ON c.id_l = sa.doc_id
+JOIN ssize sb ON c.id_r = sb.doc_id
+WHERE COALESCE(i.shared, 0)
+      / CAST(sa.n + sb.n - COALESCE(i.shared, 0) AS DOUBLE) >= 0.8""",
+)
+def d10(spark, sf_dir):
+    """Cross-table fuzzy join (operators/dedup.py:fuzzy_text_join):
+    the right side is the corpus shifted by +100000 with identical
+    text, so every left doc deterministically matches its twin
+    (identical signatures → identical band keys) and the oracle
+    replays the full minhash/banding pipeline for any extra
+    cross near-dup pairs."""
+    from polaroam_spark.operators.dedup import fuzzy_text_join
+
+    docs = _t(spark, sf_dir, "documents")
+    shifted = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return fuzzy_text_join(
+        docs, shifted, jaccard_threshold=0.8, portable=True
+    ).select(
+        "left_id",
+        "right_id",
+        F.round("jaccard_sim", 6).alias("jaccard_sim"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5652,6 +5768,7 @@ _PRIORITY = [
     "w10_session_window", "ts1_resample_linear",
     "st6_streaming_sessions",
     "s12_upsert_by_key", "s13_compact_files", "s14_column_stats",
+    "q4_bm25_search", "d10_fuzzy_text_join",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

@@ -271,3 +271,87 @@ def materialize_packs(
             F.countDistinct(id_cols[0]).cast("long").alias("n_docs"),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``top_k`` documents for a keyword ``query`` by BM25
+    (Robertson idf: ``ln(1 + (N - df + 0.5)/(df + 0.5))``, Lucene's
+    form) — the lexical-retrieval complement to the embedding ANN
+    path in operators/similarity.py; corpus curation uses it to pull
+    topic slices without an embedding model.
+
+    Plan shape: the exploded token stream is filtered to the query's
+    terms BEFORE the tf groupBy, so the per-(doc, term) table is
+    bounded by |query| × matching docs, not corpus token volume;
+    document lengths come from array_size (no explode); N and
+    avg_len ride a broadcast 1-row cross join. Final top-k is
+    ORDER BY + LIMIT → TakeOrderedAndProject (no global sort).
+    Term df is computed from the filtered stream — identical to the
+    full-corpus df for those terms.
+
+    Output: ``id_col, score, rank`` (rank 1..top_k, ties broken by
+    ``id_col``).
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+
+    lens = docs.select(
+        F.col(id_col), F.array_size(tokens(text_col)).alias("_len")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_len").alias("_avg_len"),
+    )
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+        )
+        .filter(F.array_contains(term_arr, F.col("_t")))
+        .groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_tf"))
+    )
+    df_tab = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(df_tab, on="_t")
+        .join(lens, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_len") / F.col("_avg_len")
+                )
+            ),
+        )
+    )
+    ranked = (
+        scored.groupBy(id_col)
+        .agg(F.sum("_s").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w))

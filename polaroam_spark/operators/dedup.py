@@ -1268,3 +1268,67 @@ def dedup_incremental(
     )
     losers = pairs.select(F.col("id_new").alias(id_col)).dropDuplicates()
     return new_docs.join(losers, on=id_col, how="left_anti")
+
+
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    right_text_col: str | None = None,
+    right_id_col: str | None = None,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+    materialize: bool = False,
+) -> DataFrame:
+    """Two-table near-duplicate TEXT join — entity resolution across
+    datasets (vendor records vs master list, scrape vs curated
+    corpus): ``[left_id, right_id, jaccard_sim]`` for every cross
+    pair with verified shingle-Jaccard ≥ the threshold among the
+    banded-LSH candidates.
+
+    A thin composition of the incremental machinery: the right table
+    becomes a one-off :func:`build_minhash_index` and the left table
+    plays the ingest batch (``include_batch_pairs=False`` — no
+    left-internal pairs), so candidate generation is the same
+    bucketed band equi-join as every other dedup path — never an
+    all-pairs product — with the same hot-bucket guard. For repeated
+    joins against the same right table, build the index once with
+    :func:`build_minhash_index` + :func:`expand_index_bands` and call
+    :func:`minhash_lsh_pairs_incremental` directly.
+    """
+    rt = right_text_col or text_col
+    rid = right_id_col or id_col
+    index = build_minhash_index(
+        right.select(
+            F.col(rid).alias(id_col), F.col(rt).alias(text_col)
+        ),
+        text_col,
+        id_col,
+        shingle_k,
+        num_hashes,
+        portable,
+    )
+    pairs = minhash_lsh_pairs_incremental(
+        left,
+        index,
+        text_col,
+        id_col,
+        shingle_k,
+        num_hashes,
+        bands,
+        jaccard_threshold,
+        max_bucket_size,
+        portable,
+        include_batch_pairs=False,
+        materialize=materialize,
+    )
+    return pairs.select(
+        F.col("id_new").alias("left_id"),
+        F.col("id_match").alias("right_id"),
+        "jaccard_sim",
+    )

@@ -183,3 +183,37 @@ def test_packing_plan_sharded_stratum_is_valid_packing(spark):
     assert out.count() == 200
     # overflow bound: budget + max_chunk - 1
     assert all(r.tot <= 55 + 10 - 1 for r in sums)
+
+
+def test_bm25_search_ranking(spark):
+    import pytest
+
+    from polaroam_spark.operators.chunking import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry date"),          # both terms
+            (1, "apple apple apple apple"),           # common term only
+            (2, "banana kiwi lime mango"),            # rare term only
+            (3, "kiwi lime mango papaya"),            # neither
+            (4, "apple pear plum fig"),
+            (5, "apple pear plum fig grape melon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, "apple banana", top_k=10).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    scores = {r.doc_id: r.score for r in out}
+    assert 3 not in ranks  # no query term, no row
+    assert ranks[0] == 1   # both terms beat any single-term doc
+    # 'banana' (df=2) is rarer than 'apple' (df=4): doc 2 outranks
+    # the apple-only docs despite apple's higher tf in doc 1
+    assert scores[2] > scores[1]
+    # ranks are 1..k dense and consistent with score order
+    ordered = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in ordered] == list(range(1, len(out) + 1))
+    assert all(
+        a.score >= b.score for a, b in zip(ordered, ordered[1:])
+    )
+    with pytest.raises(ValueError):
+        bm25_search(docs, "   ")

@@ -712,3 +712,27 @@ def test_bands_format_guard(spark):
         ).count()
         >= 0
     )
+
+
+def test_fuzzy_text_join_cross_table(spark):
+    from polaroam_spark.operators.dedup import fuzzy_text_join
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "quiet river bank at dawn every single summer morning")
+    left = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about columnar "
+                        "query engines and vectorized execution")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(100, base.replace("dawn", "dusk")),   # near-dup of 1
+         (200, "another unrelated piece on distributed join "
+               "strategies and shuffle partitioning")],
+        "rid long, body string",
+    )
+    pairs = fuzzy_text_join(
+        left, right, right_text_col="body", right_id_col="rid",
+        jaccard_threshold=0.5,
+    ).collect()
+    assert [(r.left_id, r.right_id) for r in pairs] == [(1, 100)]
+    assert pairs[0].jaccard_sim >= 0.5
