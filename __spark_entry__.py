@@ -5737,6 +5737,107 @@ def d10(spark, sf_dir):
     )
 
 
+@_q(
+    "a20_histogram",
+    "WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) "
+    "AS mx FROM orders) "
+    "SELECT CAST(least(CAST(floor((o_totalprice - b.mn) "
+    "/ ((b.mx - b.mn) / 10.0)) AS BIGINT), 9) AS BIGINT) AS bin, "
+    "count(*) AS n FROM orders, b GROUP BY 1",
+)
+def a20(spark, sf_dir):
+    """Equal-width histogram (10 bins over the observed range): two
+    tiny aggregates — global min/max broadcast via 1-row crossJoin,
+    then a map-side-combined bin count. Identical doubles floor to
+    identical bins on both engines; the top edge clamps into the
+    last bin."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("_mn"),
+        F.max("o_totalprice").alias("_mx"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("_mn"))
+                    / ((F.col("_mx") - F.col("_mn")) / F.lit(10.0))
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "a21_corr_covar",
+    "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) "
+    "AS qty_price_corr, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a21(spark, sf_dir):
+    """Correlation / sample covariance per group — native streaming
+    co-moment aggregates in both engines; rounded because co-moment
+    merge order differs at the ulp level across engines."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 4
+            ).alias("qty_price_cov"),
+        )
+    )
+
+
+@_q(
+    "v3_validate_expectations",
+    "SELECT 'id_not_null' AS rule, count(*) AS n_rows, "
+    "CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_pass, "
+    "CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_fail, "
+    "CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ greatest(count(*), 1) AS pass_rate FROM documents "
+    "UNION ALL SELECT 'text_min_len', count(*), "
+    "CAST(sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(sum(CASE WHEN length(text) >= 100 THEN 0 ELSE 1 END) AS BIGINT), "
+    "CAST(sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ greatest(count(*), 1) FROM documents "
+    "UNION ALL SELECT 'known_lang', count(*), "
+    "CAST(sum(CASE WHEN lang IN ('en','es','fr','de') THEN 1 ELSE 0 END) "
+    "AS BIGINT), "
+    "CAST(sum(CASE WHEN lang IN ('en','es','fr','de') THEN 0 ELSE 1 END) "
+    "AS BIGINT), "
+    "CAST(sum(CASE WHEN lang IN ('en','es','fr','de') THEN 1 ELSE 0 END) "
+    "AS DOUBLE) / greatest(count(*), 1) FROM documents",
+)
+def v3(spark, sf_dir):
+    """Declarative data-quality expectations
+    (operators/validation.py:validate_expectations): three rules in
+    one aggregation pass; NULL rule results count as failures."""
+    from polaroam_spark.operators.validation import (
+        validate_expectations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return validate_expectations(
+        docs,
+        {
+            "id_not_null": F.col("doc_id").isNotNull(),
+            "text_min_len": F.length("text") >= 100,
+            "known_lang": F.col("lang").isin("en", "es", "fr", "de"),
+        },
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 rotation
 # (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
@@ -5769,6 +5870,7 @@ _PRIORITY = [
     "st6_streaming_sessions",
     "s12_upsert_by_key", "s13_compact_files", "s14_column_stats",
     "q4_bm25_search", "d10_fuzzy_text_join",
+    "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",
