@@ -225,6 +225,7 @@ def pagerank(
     damping: float = 0.85,
     num_iters: int = 15,
     checkpoint_every: int = 3,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a directed pair table —
     ``[node, rank]`` with ranks summing to 1. The authority measure a
@@ -238,7 +239,11 @@ def pagerank(
     redistributed uniformly. Duplicate and self-loop edges are kept
     as-is after dropDuplicates (a self-loop is a legitimate out-link
     to self); null endpoints are dropped (equi-join semantics, as in
-    connected_components).
+    connected_components). With ``weight_col``, a source's mass
+    splits proportionally to edge weight (duplicate (u,v) edges sum
+    their weights; non-positive or NULL weights are dropped — a
+    zero-weight out-edge is no out-edge, and negative mass has no
+    PageRank semantics).
 
     Shape per iteration: one equi-join of ranks to edges on ``src``
     (shuffle keyed by node), one groupBy ``dst`` sum (second
@@ -259,11 +264,25 @@ def pagerank(
     one partial per task, not 100M rows.
     """
     not_null = F.col("u").isNotNull() & F.col("v").isNotNull()
-    base = materialize(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(not_null)
-        .dropDuplicates()
-    )
+    if weight_col is None:
+        edges0 = (
+            pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(not_null)
+            .dropDuplicates()
+            .withColumn("_w", F.lit(1.0))
+        )
+    else:
+        edges0 = (
+            pairs.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+            .filter(not_null & (F.col("_w") > 0))
+            .groupBy("u", "v")
+            .agg(F.sum("_w").alias("_w"))
+        )
+    base = materialize(edges0)
     nodes = (
         base.select(F.col("u").alias("node"))
         .unionByName(base.select(F.col("v").alias("node")))
@@ -277,7 +296,7 @@ def pagerank(
         release(base)
         return empty
     out_deg = base.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("_deg")
+        F.sum("_w").alias("_deg")
     )
     # degree joined once: dangling nodes carry _deg NULL
     ranked = nodes.join(out_deg, on="node", how="left").withColumn(
@@ -296,7 +315,7 @@ def pagerank(
                 on="u",
             )
             .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("_share").alias("_in"))
+            .agg(F.sum(F.col("_share") * F.col("_w")).alias("_in"))
         )
         dangling = ranked.filter(F.col("_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m")

@@ -213,3 +213,44 @@ def test_pagerank_null_edges_and_duplicates(spark):
     # null endpoints dropped entirely: only 0 and 1 are nodes
     assert set(got) == {0, 1}
     assert abs(got[0] - 0.5) < 1e-9 and abs(got[1] - 0.5) < 1e-9
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    import numpy as np
+
+    from polaroam_spark.operators.graph import pagerank
+
+    # weighted edges incl. a duplicate (0,1) that must sum, a
+    # zero-weight edge that must drop, and dangling node 3
+    edges = [
+        (0, 1, 2.0), (0, 1, 1.0), (0, 2, 1.0),
+        (1, 2, 5.0), (2, 0, 1.0), (2, 3, 1.0),
+        (1, 3, 0.0),  # dropped
+    ]
+    df = spark.createDataFrame(edges, "u long, v long, w double")
+    got = {
+        r.node: r["rank"]
+        for r in pagerank(df, num_iters=12, weight_col="w").collect()
+    }
+
+    d, n = 0.85, 4
+    W = np.zeros((n, n))
+    W[0, 1] = 3.0
+    W[0, 2] = 1.0
+    W[1, 2] = 5.0
+    W[2, 0] = 1.0
+    W[2, 3] = 1.0
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1 - d) / n) + d * r[out == 0].sum() / n
+        for u in range(n):
+            if out[u] > 0:
+                for v in range(n):
+                    if W[u, v] > 0:
+                        nxt[v] += d * r[u] * W[u, v] / out[u]
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # node 1 gets 3/4 of node 0's mass, node 2 only 1/4 of it
+    assert got[1] > got[0]
