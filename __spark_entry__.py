@@ -5839,16 +5839,19 @@ def v3(spark, sf_dir):
 
 
 # The correctness driver checks queries in dict order and covers a
-# ~50-query prefix of the registry per round. Round-5 rotation
-# (VERDICT r4 item 1): the window is (a) a15_approx_distinct, whose
-# DuckDB oracle was added after its r2 rows-only sample and has never
-# been driver-hash-checked, (b) the 36 queries whose latest green
-# driver row is from r2 — now at the 2-round staleness limit, (c) the
-# pipeline queries whose operators were touched by round-4 commits
-# (star-contraction CC, minhash shingle folding, materialize cache
-# lifecycle), and (d) queries whose operators round-5 edits touch
-# (multimodal PIL decode, incremental-index docs, simhash). Everything
-# with a green r3/r4 row and unchanged code rides behind.
+# ~50-query prefix of the registry per round. Round-5 window: group
+# (a) is every NEVER-driver-sampled query — a15 (oracle added post-
+# r2) plus the ~40 gates new this round (OLAP rollup/cube/sets,
+# anti/null-safe/full-outer joins, TPC-H composites, Gopher/dup-line
+# text rules, cap/weighted sampling, JSONL/mergeSchema/upsert/compact
+# /stats IO, stream-stream + session-window streaming, pagerank,
+# zorder, HLL, resample, BM25, fuzzy join, histogram/corr,
+# expectations) — these take precedence because they have no hard
+# green row at all. Group (b) is the r2-stale block; entries past the
+# ~50 cutoff were each re-verified green this round via
+# tools/oracle_check.py at sf0.01 (56-query prefix run + per-gate
+# runs recorded in the round-5 commit messages). Everything with a
+# green r3/r4 row and unchanged code rides behind.
 _PRIORITY = [
     # (a) oracle never driver-sampled / new round-5 gates ----------
     "a15_approx_distinct",
