@@ -5838,6 +5838,61 @@ def v3(spark, sf_dir):
     )
 
 
+@_q(
+    "mm2_png_dims",
+    "SELECT m AS media_id, TRUE AS is_png, "
+    "CAST((m % 5) + 1 AS BIGINT) AS width, "
+    "CAST((m % 3) + 1 AS BIGINT) AS height, "
+    "FALSE AS junk_is_png FROM range(0, 20) t(m)",
+)
+def mm2(spark, sf_dir):
+    """Header-only image sizing (multimodal.py:png_dimensions): IHDR
+    width/height parsed with pure binary-substring expressions — the
+    100 TB path that sizes a corpus without decoding pixels. PNGs
+    carry per-row varying dimensions; a junk-bytes column must
+    classify as not-PNG."""
+    import struct
+    import zlib
+
+    from polaroam_spark.operators.multimodal import png_dimensions
+
+    def mk(w: int, h: int) -> bytes:
+        def chunk(t: bytes, d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        raw = b"".join(b"\x00" + b"\x00" * (w * 3) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            )
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [
+        (m, mk((m % 5) + 1, (m % 3) + 1), b"\x00notapng" + bytes(16))
+        for m in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, junk binary"
+    )
+    dims = png_dimensions("content")
+    junk = png_dimensions("junk")
+    return df.select(
+        "media_id",
+        dims["is_png"].alias("is_png"),
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+        junk["is_png"].alias("junk_is_png"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round. Round-5 window: group
 # (a) is every NEVER-driver-sampled query — a15 (oracle added post-
@@ -5874,6 +5929,7 @@ _PRIORITY = [
     "s12_upsert_by_key", "s13_compact_files", "s14_column_stats",
     "q4_bm25_search", "d10_fuzzy_text_join",
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
+    "mm2_png_dims",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

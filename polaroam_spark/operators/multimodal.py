@@ -430,3 +430,26 @@ def frame_sample_plan(
         )
         .select("media_id", "frame_ts")
     )
+
+
+def png_dimensions(content) -> "Column":
+    """``struct<is_png, width, height>`` parsed from a binary column's
+    PNG header — PURE Column expressions (substring on binary → hex →
+    base-16 conv), no UDF, no decode: the IHDR width/height live at
+    fixed offsets 17–20/21–24 big-endian, so sizing a 100 TB image
+    corpus reads 24 bytes per row inside whole-stage codegen instead
+    of decompressing pixels. Non-PNG bytes yield
+    ``(false, NULL, NULL)``.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(content) if isinstance(content, str) else content
+    is_png = F.hex(F.substring(c, 1, 8)) == "89504E470D0A1A0A"
+    be32 = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.substring(c, pos, 4)), 16, 10
+    ).cast("long")
+    return F.struct(
+        is_png.alias("is_png"),
+        F.when(is_png, be32(17)).alias("width"),
+        F.when(is_png, be32(21)).alias("height"),
+    )

@@ -206,3 +206,43 @@ def test_pillow_unidentified_bytes_raise_not_implemented():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"definitely not an image")
+
+
+def test_png_dimensions_native_header_parse(spark):
+    import struct
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.multimodal import png_dimensions
+
+    def mk(w, h):
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        raw = b"".join(b"\x00" + b"\x00" * (w * 3) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    df = spark.createDataFrame(
+        [(0, mk(640, 480)), (1, mk(1, 1)), (2, b"JFIF junk bytes"),
+         (3, None)],
+        "id long, content binary",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", png_dimensions("content").alias("d")
+        ).select("id", "d.is_png", "d.width", "d.height").collect()
+    }
+    assert (out[0].width, out[0].height) == (640, 480)
+    assert (out[1].width, out[1].height) == (1, 1)
+    assert out[2].is_png is False and out[2].width is None
+    assert out[3].is_png is None  # NULL bytes -> NULL verdict
+    # plan stays native: no BatchEvalPython / ArrowEval nodes
+    plan = df.select(png_dimensions("content"))._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("simple"))
+    assert "EvalPython" not in plan
