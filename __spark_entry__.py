@@ -5839,6 +5839,57 @@ def v3(spark, sf_dir):
 
 
 @_q(
+    "j12_interval_overlap",
+    "WITH l AS (SELECT o_orderkey AS l_key, o_custkey, "
+    "epoch_ns(o_orderdate) // 1000000000 AS ls, "
+    "epoch_ns(o_orderdate) // 1000000000 "
+    "+ (o_orderkey % 5 + 1) * 86400 AS le "
+    "FROM orders WHERE o_orderstatus = 'F'), "
+    "r AS (SELECT o_orderkey AS r_key, o_custkey, "
+    "epoch_ns(o_orderdate) // 1000000000 AS rs, "
+    "epoch_ns(o_orderdate) // 1000000000 "
+    "+ (o_orderkey % 7 + 1) * 86400 AS re "
+    "FROM orders WHERE o_orderstatus = 'O') "
+    "SELECT l.o_custkey AS custkey, l.l_key, r.r_key "
+    "FROM l JOIN r ON l.o_custkey = r.o_custkey "
+    "AND l.ls <= r.re AND r.rs <= l.le",
+)
+def j12(spark, sf_dir):
+    """Interval-overlap join (operators/joins.py:
+    interval_overlap_join): per-customer finished-order windows vs
+    open-order windows; the oracle is the plain range join the
+    bucketed plan must reproduce exactly (canonical-bucket dedup,
+    no distinct)."""
+    from polaroam_spark.operators.joins import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_s", F.unix_timestamp("o_orderdate")
+    )
+    mk = lambda status, mod: (  # noqa: E731
+        orders.filter(F.col("o_orderstatus") == status).select(
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("_s").alias("t_start"),
+            (
+                F.col("_s")
+                + (F.col("o_orderkey") % mod + 1) * 86400
+            ).alias("t_end"),
+        )
+    )
+    out = interval_overlap_join(
+        mk("F", 5),
+        mk("O", 7),
+        on="o_custkey",
+        bucket_size=7 * 86400,
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("l_key"),
+        F.col("o_orderkey_r").alias("r_key"),
+    )
+
+
+@_q(
     "mm2_png_dims",
     "SELECT m AS media_id, TRUE AS is_png, "
     "CAST((m % 5) + 1 AS BIGINT) AS width, "
@@ -5929,7 +5980,7 @@ _PRIORITY = [
     "s12_upsert_by_key", "s13_compact_files", "s14_column_stats",
     "q4_bm25_search", "d10_fuzzy_text_join",
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
-    "mm2_png_dims",
+    "mm2_png_dims", "j12_interval_overlap",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

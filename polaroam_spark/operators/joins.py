@@ -351,3 +351,87 @@ def point_in_interval_join(
     ival_cols = [c for c in intervals.columns if c not in points.columns]
     matches = inner.select(point_id, *ival_cols)
     return points.join(matches, on=point_id, how="left")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None = None,
+    left_start: str = "t_start",
+    left_end: str = "t_end",
+    right_start: str = "t_start",
+    right_end: str = "t_end",
+    bucket_size: int = 86400,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Pairs of OVERLAPPING intervals across two tables
+    (``l.start <= r.end AND r.start <= l.end``), optionally also
+    keyed by ``on`` — the interval-interval sibling of
+    :func:`point_in_interval_join` (meeting conflicts, session
+    concurrency, downtime attribution).
+
+    Scale shape: each side explodes into the time buckets it spans
+    and candidates meet in a bucket equi-join — never a cross
+    product. A pair overlapping across k shared buckets would emit k
+    times; instead of a distinct (an extra shuffle over the whole
+    result), each pair is kept only in its CANONICAL bucket —
+    ``max(floor(l.start/b), floor(r.start/b))``, the first bucket the
+    pair shares — which dedupes for free in the same filter. Pick
+    ``bucket_size`` near the typical interval length (same tradeoff
+    as j8's probe: longer intervals replicate across more buckets).
+
+    Right-side columns colliding with left names (other than ``on``)
+    are renamed with ``suffix``.
+    """
+    b = int(bucket_size)
+    if b <= 0:
+        raise ValueError("bucket_size must be a positive duration")
+    clash = {"_bucket"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            "interval_overlap_join reserves column name '_bucket'; "
+            "rename it in the input frames first"
+        )
+    renames = {
+        c: f"{c}{suffix}"
+        for c in right.columns
+        if c in left.columns and c != on
+    }
+    if renames:
+        right = right.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in right.columns]
+        )
+        right_start = renames.get(right_start, right_start)
+        right_end = renames.get(right_end, right_end)
+
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(left_start) / b).cast("long"),
+                (F.col(left_end) / b).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_start) / b).cast("long"),
+                (F.col(right_end) / b).cast("long"),
+            )
+        ),
+    )
+    keys = ["_bucket"] + ([on] if on else [])
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    canonical = F.col("_bucket") == F.greatest(
+        (F.col(left_start) / b).cast("long"),
+        (F.col(right_start) / b).cast("long"),
+    )
+    return (
+        lb.join(rb, on=keys, how="inner")
+        .filter(overlap & canonical)
+        .drop("_bucket")
+    )

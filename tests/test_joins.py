@@ -303,3 +303,48 @@ def test_interval_join_bad_bucket_size_raises(spark):
     ivals = spark.createDataFrame([(50, 150)], "t_start long, t_end long")
     with pytest.raises(ValueError, match="positive"):
         point_in_interval_join(pts, ivals, bucket_size=0)
+
+
+def test_interval_overlap_join_dedup_and_bounds(spark):
+    from polaroam_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, 0, 250),      # spans 3 buckets at b=100
+            ("a", 2, 400, 450),
+            ("b", 3, 0, 100),
+        ],
+        "k string, lid long, t_start long, t_end long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 10, 200, 600),   # overlaps lid 1 (at 200..250) and 2
+            ("a", 11, 260, 380),   # overlaps neither (gap)
+            ("b", 12, 100, 120),   # touches lid 3 at the boundary
+            ("c", 13, 0, 50),      # other key
+        ],
+        "k string, rid long, t_start long, t_end long",
+    )
+    out = interval_overlap_join(
+        left, right, on="k", bucket_size=100
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    # each overlapping pair appears EXACTLY once despite sharing
+    # multiple buckets (canonical-bucket dedup, no distinct)
+    assert pairs == [(1, 10), (2, 10), (3, 12)]
+    # suffix renames collide-free columns
+    assert "t_start_r" in out.columns and "t_end_r" in out.columns
+
+    # no key: global overlap join
+    allp = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left.drop("k"), right.drop("k"), bucket_size=100
+        ).collect()
+    )
+    assert (3, 13) in allp and (1, 12) in allp
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_overlap_join(left, right, bucket_size=0)
