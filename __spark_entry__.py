@@ -5839,6 +5839,28 @@ def v3(spark, sf_dir):
 
 
 @_q(
+    "r8_topk_per_key",
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+    "AS rn FROM orders) WHERE rn <= 3",
+)
+def r8(spark, sf_dir):
+    """Generic per-key top-k (operators/sampling.py:topk_per_key):
+    each customer's 3 priciest orders, orderkey tiebreak for
+    cross-engine determinism."""
+    from polaroam_spark.operators.sampling import topk_per_key
+
+    return topk_per_key(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        order_col="o_totalprice",
+        k=3,
+        tiebreak_col="o_orderkey",
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@_q(
     "j12_interval_overlap",
     "WITH l AS (SELECT o_orderkey AS l_key, o_custkey, "
     "epoch_ns(o_orderdate) // 1000000000 AS ls, "
@@ -5980,7 +6002,7 @@ _PRIORITY = [
     "s12_upsert_by_key", "s13_compact_files", "s14_column_stats",
     "q4_bm25_search", "d10_fuzzy_text_join",
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
-    "mm2_png_dims", "j12_interval_overlap",
+    "mm2_png_dims", "j12_interval_overlap", "r8_topk_per_key",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

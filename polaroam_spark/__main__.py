@@ -113,6 +113,53 @@ def cmd_label(args) -> None:
     )
 
 
+def cmd_corpus(args) -> None:
+    """documents parquet -> deduped + quality-filtered + sampled
+    corpus: the LLM-data pipeline as one command (each stage
+    optional)."""
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.dedup == "exact":
+        from polaroam_spark.operators.dedup import dedup_exact
+
+        df = dedup_exact(df, text_col=args.text_col, id_col=args.id_col)
+    elif args.dedup == "minhash":
+        from polaroam_spark.operators.dedup import near_dedup_corpus
+
+        df = near_dedup_corpus(
+            df,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+    if args.gopher_filter:
+        from polaroam_spark.operators.textstats import (
+            gopher_quality_flags,
+        )
+
+        df = gopher_quality_flags(df, text_col=args.text_col).filter(
+            "passes_gopher"
+        )
+    if args.sample_fraction is not None:
+        from polaroam_spark.operators.sampling import sample_by_hash
+
+        df = sample_by_hash(
+            df, key=args.id_col, fraction=args.sample_fraction,
+            seed=args.seed,
+        )
+    if args.cap_per_source is not None:
+        from polaroam_spark.operators.sampling import cap_per_key
+
+        df = cap_per_key(
+            df,
+            key=args.source_col,
+            id_col=args.id_col,
+            max_per_key=args.cap_per_source,
+            seed=args.seed,
+        )
+    df.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +197,24 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--output", required=True)
     pl.add_argument("--total-days", type=int, default=30)
     pl.set_defaults(fn=cmd_label)
+
+    pk = sub.add_parser(
+        "corpus", help="documents -> deduped/filtered/sampled corpus"
+    )
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--source-col", default="source")
+    pk.add_argument(
+        "--dedup", choices=["none", "exact", "minhash"], default="none"
+    )
+    pk.add_argument("--jaccard-threshold", type=float, default=0.8)
+    pk.add_argument("--gopher-filter", action="store_true")
+    pk.add_argument("--sample-fraction", type=float, default=None)
+    pk.add_argument("--cap-per-source", type=int, default=None)
+    pk.add_argument("--seed", type=int, default=17)
+    pk.set_defaults(fn=cmd_corpus)
 
     return p
 

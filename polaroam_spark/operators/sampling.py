@@ -116,6 +116,41 @@ def cap_per_key(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def topk_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-``k`` rows per ``key`` by ``order_col`` — the named form of
+    the rank-window idiom (best-k chunks per document, highest-k
+    quality docs per domain). Deterministic when ``tiebreak_col`` (a
+    unique column) is given; without it, ties at the boundary are
+    broken arbitrarily — fine for sampling, wrong for reproducible
+    corpus builds, hence the explicit parameter.
+
+    Scale note: row_number serializes each key into one task. Rows
+    here are ranked in place (unlike :func:`cap_per_key`'s projected
+    frame + semi join-back) because score-ranked selection usually
+    follows aggregation where rows are already narrow; for wide rows
+    over hot keys, project-rank-and-join-back as cap_per_key does.
+    """
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def weighted_sample_by_hash(
     df: DataFrame,
     key: str,

@@ -54,3 +54,33 @@ def test_cli_stops_cluster_label(spark, tmpdir):
     assert len(wide) == 1
     assert abs(wide[0].h_lat - 19.40) < 0.01
     assert abs(wide[0].w_lat - 19.50) < 0.01
+
+
+def test_cli_corpus_pipeline(spark, tmpdir):
+    from polaroam_spark.__main__ import main
+
+    src = f"{tmpdir}/docs_in"
+    out = f"{tmpdir}/docs_out"
+    good = " ".join(["the quick brown fox jumps over a lazy dog"] * 8)
+    rows = [
+        (0, good + " zero", "s0"),
+        (1, good + " zero", "s0"),      # exact dup of 0
+        (2, good + " two", "s0"),
+        (3, "too short", "s1"),         # fails gopher
+        (4, good + " four", "s1"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+
+    rc = main([
+        "corpus", "--input", src, "--output", out,
+        "--dedup", "exact", "--gopher-filter",
+        "--cap-per-source", "1",
+    ])
+    assert rc == 0
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # dup 1 collapsed into 0; 3 fails gopher; cap keeps 1 per source
+    assert len(kept) == 2
+    assert kept[1] == 4  # s1's only survivor
+    assert kept[0] in (0, 2)  # s0's capped survivor
