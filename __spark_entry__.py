@@ -5839,6 +5839,30 @@ def v3(spark, sf_dir):
 
 
 @_q(
+    "t15_unigram_logprob",
+    "WITH tok AS (SELECT doc_id, unnest("
+    f"{_GOPHER_TOKS}) AS t FROM documents), "
+    "c AS (SELECT t, count(*) AS c FROM tok GROUP BY t), "
+    "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM c), "
+    "pd AS (SELECT tok.doc_id, "
+    "avg(ln(CAST(c.c AS DOUBLE) / tot.total)) AS mlp "
+    "FROM tok JOIN c USING (t) CROSS JOIN tot GROUP BY tok.doc_id) "
+    "SELECT d.doc_id, round(pd.mlp, 6) AS mean_logprob "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t15(spark, sf_dir):
+    """Perplexity-family quality signal
+    (operators/textstats.py:unigram_logprob): mean token log-prob
+    under the corpus's own unigram distribution; rounded to 6 (ln
+    may differ in the last ulp across libms)."""
+    from polaroam_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+@_q(
     "r8_topk_per_key",
     "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
     "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
@@ -6003,6 +6027,7 @@ _PRIORITY = [
     "q4_bm25_search", "d10_fuzzy_text_join",
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
     "mm2_png_dims", "j12_interval_overlap", "r8_topk_per_key",
+    "t15_unigram_logprob",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

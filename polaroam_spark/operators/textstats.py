@@ -455,3 +455,41 @@ def calibrate_scores(
         F.when(F.col(score_col).isNull(), F.lit(None).cast("double"))
         .otherwise(pr),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Append ``mean_logprob``: each document's mean token
+    log-probability under the corpus's OWN unigram distribution — the
+    cheapest member of the perplexity family of quality signals
+    (gibberish and rare-token soup score low; no model file needed,
+    the corpus is the model). Documents with no tokens get NULL.
+
+    Shape: one exploded token stream feeds both the global unigram
+    counts (map-side-combined groupBy on token) and the per-doc
+    average (token-keyed join back, then a doc-keyed aggregation);
+    the corpus token total rides a broadcast 1-row crossJoin. Linear
+    in corpus token volume, no UDF.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    )
+    counts = tok.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_total"))
+    per_doc = (
+        tok.join(counts, on="_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.avg(
+                F.log(
+                    F.col("_c").cast("double")
+                    / F.col("_total").cast("double")
+                )
+            ).alias("mean_logprob")
+        )
+    )
+    return df.join(per_doc, on=id_col, how="left").select(
+        *df.columns, "mean_logprob"
+    )

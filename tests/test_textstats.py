@@ -73,3 +73,25 @@ def test_fingerprint_stability_and_normalization(spark):
     assert out[0].md5_fingerprint == out[1].md5_fingerprint
     assert out[0].md5_fingerprint != out[2].md5_fingerprint
     assert out[0].rolling_fingerprint == out[1].rolling_fingerprint
+
+
+def test_unigram_logprob_ranks_common_over_rare(spark):
+    import math
+
+    from polaroam_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common common common"),
+            (1, "common rare"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_logprob for r in unigram_logprob(df).collect()}
+    # corpus: 'common' x5, 'rare' x1, total 6
+    p_c, p_r = 5 / 6, 1 / 6
+    assert abs(out[0] - math.log(p_c)) < 1e-12
+    assert abs(out[1] - (math.log(p_c) + math.log(p_r)) / 2) < 1e-12
+    assert out[2] is None  # no tokens -> NULL
+    assert out[0] > out[1]  # all-common beats common+rare
