@@ -5839,6 +5839,77 @@ def v3(spark, sf_dir):
 
 
 @_q(
+    "q5_tpch_local_supplier",
+    "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
+    "* (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) "
+    "AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name",
+)
+def q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: the 6-table snowflake —
+    region→nation→supplier prune as broadcast dims, customer joins
+    shuffled on custkey, lineitem on orderkey, the c_nationkey =
+    s_nationkey residual closes the loop. Decimal-exact revenue."""
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nr),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    co = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(co, li.l_orderkey == co.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast(_DEC) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
     "t15_unigram_logprob",
     "WITH tok AS (SELECT doc_id, unnest("
     f"{_GOPHER_TOKS}) AS t FROM documents), "
@@ -6027,7 +6098,7 @@ _PRIORITY = [
     "q4_bm25_search", "d10_fuzzy_text_join",
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
     "mm2_png_dims", "j12_interval_overlap", "r8_topk_per_key",
-    "t15_unigram_logprob",
+    "t15_unigram_logprob", "q5_tpch_local_supplier",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",
