@@ -26,15 +26,27 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_tokens: int = 64,
     drop_empty: bool = True,
+    overlap: int = 0,
 ) -> DataFrame:
     """One row per (document, chunk): ``doc_id, chunk_id, chunk_text,
-    n_tokens``. The last chunk of a document may be short."""
+    n_tokens``. The last chunk of a document may be short. With
+    ``overlap`` > 0 (RAG-style sliding windows), consecutive chunks
+    share that many tokens — chunk i starts at offset
+    ``i * (chunk_tokens - overlap)``; a trailing window fully
+    contained in the previous chunk is not emitted."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            "overlap must satisfy 0 <= overlap < chunk_tokens"
+        )
+    stride = chunk_tokens - overlap
     toks = tokens(text_col)
     n = F.array_size(toks)
-    n_chunks = F.greatest(F.ceil(n / F.lit(chunk_tokens)), F.lit(1))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
-        lambda i: F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
     )
     out = docs.select(
         F.col(id_col),

@@ -217,3 +217,34 @@ def test_bm25_search_ranking(spark):
     )
     with pytest.raises(ValueError):
         bm25_search(docs, "   ")
+
+
+def test_chunk_documents_with_overlap(spark):
+    import pytest
+
+    from polaroam_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(
+            df, chunk_tokens=4, overlap=2
+        ).collect()
+    )
+    # stride 2: windows [0:4], [2:6], [4:8], [6:10]; [8:12] is the
+    # 2-token tail fully covered except its last tokens -> included
+    texts = [t for _, t in out]
+    assert texts[0] == "w0 w1 w2 w3"
+    assert texts[1] == "w2 w3 w4 w5"
+    assert texts[-1].endswith("w9")
+    # every consecutive pair shares exactly overlap tokens
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[2:] == b.split()[:2] or len(b.split()) < 4
+    # overlap=0 reproduces the historical disjoint chunking
+    plain = chunk_documents(df, chunk_tokens=4).collect()
+    assert sorted(r.chunk_text for r in plain) == sorted(
+        ["w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9"]
+    )
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
