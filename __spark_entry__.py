@@ -5839,6 +5839,68 @@ def v3(spark, sf_dir):
 
 
 @_q(
+    "n4_embedding_join",
+    """WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dots AS (
+  SELECT vec_id, v, pp.p AS plane,
+         list_reduce(
+           [v[d + 1] * (floor(sin(pp.p * 7919.0 + d * 104729.0)
+                              * 1000000.0 + 0.5) / 1000000.0)
+            for d in range(0, len(v))],
+           (a, b) -> a + b) AS dot
+  FROM base, (SELECT unnest(range(6)) AS p) pp
+),
+buckets AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN dot >= 0 THEN power(2.0, plane)
+                       ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS left_id, b.vec_id + 1000000 AS right_id,
+         a.v AS va, b.v AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+),
+scored AS (
+  SELECT left_id, right_id,
+         list_reduce([va[i] * vb[i] for i in range(1, len(va) + 1)],
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce([va[i] * va[i]
+                              for i in range(1, len(va) + 1)],
+                             (a, b) -> a + b))
+            * sqrt(list_reduce([vb[i] * vb[i]
+                                for i in range(1, len(vb) + 1)],
+                               (a, b) -> a + b))) AS cosine
+  FROM cand
+)
+SELECT left_id, right_id, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= 0.95""",
+)
+def n4(spark, sf_dir):
+    """Two-table embedding similarity join
+    (operators/similarity.py:embedding_similarity_join): the right
+    side is the embeddings table shifted by +1000000 with identical
+    vectors — every left vector deterministically meets its twin in
+    its hyperplane bucket; the oracle replays planes, buckets, and
+    exact cosine (d5's machinery, cross-table form)."""
+    from polaroam_spark.operators.similarity import (
+        embedding_similarity_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    right = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_similarity_join(
+        emb, right, cosine_threshold=0.95, num_planes=6
+    ).select(
+        "left_id", "right_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@_q(
     "q5_tpch_local_supplier",
     "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) "
     "* (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) "
@@ -6099,6 +6161,7 @@ _PRIORITY = [
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
     "mm2_png_dims", "j12_interval_overlap", "r8_topk_per_key",
     "t15_unigram_logprob", "q5_tpch_local_supplier",
+    "n4_embedding_join",
     # (b) r2-latest greens at the staleness limit ------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",

@@ -496,3 +496,86 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, data_id, "cosine", "rank")
     )
+
+
+def embedding_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "vec_id",
+    vec_col: str = "embedding",
+    right_id: str | None = None,
+    right_vec: str | None = None,
+    cosine_threshold: float = 0.9,
+    num_planes: int = 8,
+    max_bucket_size: int = 1000,
+    scorer: str = "native",
+    bucketer: str = "native",
+) -> DataFrame:
+    """Two-table embedding similarity join — ``[left_id, right_id,
+    cosine]`` for cross pairs with exact cosine ≥ the threshold among
+    hyperplane-bucket candidates: the vector sibling of
+    :func:`~polaroam_spark.operators.dedup.fuzzy_text_join` (link a
+    scrape against a curated corpus by meaning rather than tokens).
+
+    Both sides hash with the SAME deterministic planes, so identical
+    or near-identical vectors land in the same bucket and meet in a
+    bucket equi-join — never a cross product. Hot RIGHT buckets
+    (> ``max_bucket_size``) degrade to the bucket's min-id
+    representative (the star guard of the dedup paths) — an
+    approximation, documented rather than silent: a template-vector
+    pile on the right matches through one representative instead of
+    exploding the join.
+    """
+    from polaroam_spark.functions.vectors import make_scorer
+
+    rid = right_id or left_id
+    rvec = right_vec or vec_col
+    score = make_scorer(scorer)
+
+    lb = add_lsh_bucket(
+        left.select(
+            F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lv")
+        ),
+        "_lv",
+        num_planes,
+        bucketer,
+    )
+    rb = add_lsh_bucket(
+        right.select(
+            F.col(rid).alias("_rid"), F.col(rvec).alias("_rv")
+        ),
+        "_rv",
+        num_planes,
+        bucketer,
+    )
+    w = Window.partitionBy("lsh_bucket")
+    rb = rb.withColumns(
+        {
+            "_bn": F.count("*").over(w),
+            "_rep": F.min(F.struct("_rid", "_rv")).over(w),
+        }
+    )
+    normal = rb.filter(F.col("_bn") <= max_bucket_size).select(
+        "lsh_bucket", "_rid", "_rv"
+    )
+    hot = (
+        rb.filter(F.col("_bn") > max_bucket_size)
+        .select(
+            "lsh_bucket",
+            F.col("_rep._rid").alias("_rid"),
+            F.col("_rep._rv").alias("_rv"),
+        )
+        .dropDuplicates(["lsh_bucket"])
+    )
+    cand = lb.join(
+        normal.unionByName(hot), on="lsh_bucket", how="inner"
+    )
+    return (
+        cand.withColumn("cosine", score("_lv", "_rv"))
+        .filter(F.col("cosine") >= F.lit(float(cosine_threshold)))
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            "cosine",
+        )
+    )

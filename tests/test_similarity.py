@@ -273,3 +273,36 @@ def test_ivf_prebuilt_index_rejects_build_params(spark):
     idx = build_ivf_index(emb, num_centroids=8)
     with pytest.raises(ValueError, match="prebuilt"):
         ann_ivf_topk(emb, q, k=3, num_centroids=8, index=idx)
+
+
+def test_embedding_similarity_join_cross_table(spark):
+    from polaroam_spark.operators.similarity import (
+        embedding_similarity_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, [0.999, 0.01, 0.0]),   # ~= left 1
+            (20, [0.0, -1.0, 0.0]),     # opposite of left 2
+            (30, [0.0, 0.98, 0.1]),     # ~= left 2
+        ],
+        "rid long, emb array<double>",
+    )
+    pairs = {
+        (r.left_id, r.right_id): r.cosine
+        for r in embedding_similarity_join(
+            left,
+            right,
+            right_id="rid",
+            right_vec="emb",
+            cosine_threshold=0.9,
+            num_planes=4,
+        ).collect()
+    }
+    assert (1, 10) in pairs and pairs[(1, 10)] > 0.99
+    assert (2, 30) in pairs
+    assert all(rid != 20 for (_, rid) in pairs)  # anti-parallel excluded
