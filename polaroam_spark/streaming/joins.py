@@ -31,13 +31,23 @@ def stream_stream_interval_join(
     max_delay: str = "1 hour",
     watermark_delay: str = "2 hours",
     prefixes: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``on`` where the right event lands in
+    """Join two streams on ``on`` where the right event lands in
     ``[left_ts, left_ts + max_delay]`` (e.g. purchases within an hour
     of the signup). Both sides get ``watermark_delay`` watermarks, so
     left state older than the watermark minus ``max_delay`` and right
     state older than the watermark are dropped by the state store —
     bounded memory on unbounded streams.
+
+    ``how='left_outer'`` additionally emits NULL-padded rows for left
+    events whose window closed with no match ("signups that never
+    purchased") — Spark can only emit those once the WATERMARK passes
+    ``left_ts + max_delay`` (no earlier batch can prove absence), so
+    unmatched rows surface a batch later than their matches and the
+    final micro-batch's unmatched tail stays in state until a later
+    batch advances the watermark. Plan availableNow replays
+    accordingly (a trailing empty trigger flushes nothing by itself).
 
     Output columns: ``on`` once (from the left), every other column
     prefixed with ``prefixes[0]`` / ``prefixes[1]`` so same-named
@@ -47,6 +57,10 @@ def stream_stream_interval_join(
     which is how the correctness oracle replays it as a plain SQL
     interval join.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark_delay).alias("_ssl")
     rw = right.withWatermark(right_ts, watermark_delay).alias("_ssr")
     cond = (
@@ -57,7 +71,7 @@ def stream_stream_interval_join(
             <= F.col(f"_ssl.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    joined = lw.join(rw, cond, "inner")
+    joined = lw.join(rw, cond, how)
     out = [F.col(f"_ssl.{on}").alias(on)]
     out += [
         F.col(f"_ssl.{c}").alias(f"{prefixes[0]}{c}")

@@ -280,3 +280,57 @@ def test_streaming_session_counts_emits_closed_sessions(spark, tmpdir):
     # watermark -> emitted with both events merged; uid 2's ends
     # 90000+1800 > watermark -> held in state
     assert [(r.uid, r.n) for r in rows] == [(1, 2)]
+
+
+def test_stream_stream_left_outer_join(spark, tmpdir):
+    """Left-outer emits NULL-padded unmatched rows once the watermark
+    passes their window: two micro-batches (maxFilesPerTrigger=1),
+    batch 2's far-future event advances the watermark past batch 1's
+    windows and flushes its unmatched left rows."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.streaming import stream_stream_interval_join
+
+    lp, rp = f"{tmpdir}/lo_l", f"{tmpdir}/lo_r"
+    mk = lambda rows, schema: spark.createDataFrame(  # noqa: E731
+        rows, schema
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    # batch 1: uid 1 matches, uid 2 does not
+    mk([(1, 10, 1000), (2, 20, 1000)], "uid long, lid long, sec long") \
+        .coalesce(1).write.parquet(lp)
+    mk([(1, 11, 1500)], "uid long, rid long, sec long") \
+        .coalesce(1).write.parquet(rp)
+    # batch 2: far-future rows push the watermark way past batch 1
+    mk([(9, 90, 10_000_000)], "uid long, lid long, sec long") \
+        .coalesce(1).write.mode("append").parquet(lp)
+    mk([(9, 91, 10_000_000)], "uid long, rid long, sec long") \
+        .coalesce(1).write.mode("append").parquet(rp)
+
+    ls = (spark.readStream.schema("uid long, lid long, ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(lp))
+    rs = (spark.readStream.schema("uid long, rid long, ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(rp))
+    out = stream_stream_interval_join(
+        ls, rs, on="uid", max_delay="1 hour",
+        watermark_delay="10 minutes", how="left_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lo_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/lo_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {(r.uid, r.l_lid): r.r_rid
+            for r in spark.table("lo_join_sink").collect()}
+    assert rows[(1, 10)] == 11        # matched pair
+    assert (2, 20) in rows and rows[(2, 20)] is None  # flushed unmatched
+    # batch 2's own rows: match emitted; nothing prematurely nulled
+    assert rows.get((9, 90)) == 91
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(ls, rs, on="uid", how="full")
