@@ -137,9 +137,12 @@ def cmd_corpus(args) -> None:
             gopher_quality_flags,
         )
 
+        # reselect the input columns: the output corpus schema must
+        # not vary with which filter flags ran
+        in_cols = df.columns
         df = gopher_quality_flags(df, text_col=args.text_col).filter(
             "passes_gopher"
-        )
+        ).select(*in_cols)
     if args.sample_fraction is not None:
         from polaroam_spark.operators.sampling import sample_by_hash
 

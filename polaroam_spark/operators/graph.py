@@ -278,7 +278,12 @@ def pagerank(
                 F.col(dst).alias("v"),
                 F.col(weight_col).cast("double").alias("_w"),
             )
-            .filter(not_null & (F.col("_w") > 0))
+            # ~isnan too: Spark orders NaN ABOVE every number, so a
+            # bare `> 0` admits NaN weights, which would turn every
+            # rank NaN after one iteration
+            .filter(
+                not_null & (F.col("_w") > 0) & ~F.isnan(F.col("_w"))
+            )
             .groupBy("u", "v")
             .agg(F.sum("_w").alias("_w"))
         )

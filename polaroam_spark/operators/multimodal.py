@@ -444,7 +444,14 @@ def png_dimensions(content) -> "Column":
     from pyspark.sql import functions as F
 
     c = F.col(content) if isinstance(content, str) else content
-    is_png = F.hex(F.substring(c, 1, 8)) == "89504E470D0A1A0A"
+    # coalesce: NULL bytes must verdict FALSE, not NULL — a NULL
+    # verdict vanishes from both filter(is_png) and filter(~is_png),
+    # breaking kept+rejected accounting (same contract as
+    # gopher_quality_flags)
+    is_png = F.coalesce(
+        F.hex(F.substring(c, 1, 8)) == "89504E470D0A1A0A",
+        F.lit(False),
+    )
     be32 = lambda pos: F.conv(  # noqa: E731
         F.hex(F.substring(c, pos, 4)), 16, 10
     ).cast("long")

@@ -139,6 +139,11 @@ def topk_per_key(
     """
     from pyspark.sql import Window
 
+    if "_rn" in df.columns:
+        raise ValueError(
+            "topk_per_key reserves column name '_rn'; rename it in "
+            "the input frame first"
+        )
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     order = [oc]
     if tiebreak_col is not None:

@@ -519,12 +519,21 @@ def embedding_similarity_join(
 
     Both sides hash with the SAME deterministic planes, so identical
     or near-identical vectors land in the same bucket and meet in a
-    bucket equi-join — never a cross product. Hot RIGHT buckets
-    (> ``max_bucket_size``) degrade to the bucket's min-id
-    representative (the star guard of the dedup paths) — an
-    approximation, documented rather than silent: a template-vector
-    pile on the right matches through one representative instead of
-    exploding the join.
+    bucket equi-join — never a cross product. Hot buckets on EITHER
+    side (> ``max_bucket_size``) degrade to comparing against the
+    right bucket's min-id representative only — an approximation,
+    documented rather than silent: a template-vector pile matches
+    through one representative instead of exploding one join task.
+
+    SIZING: the bucket space is only ``2^num_planes``, and occupancy
+    grows linearly with table size — once
+    ``n_right >> max_bucket_size * 2^num_planes`` every bucket is hot
+    and the join silently collapses to representative matching. Pick
+    ``num_planes ≈ log2(n_right / max_bucket_size)``, remembering the
+    single-band recall tradeoff (P[same bucket] = (1 − θ/π)^planes —
+    this operator is for NEAR-DUP thresholds where θ is small; for
+    broader semantic linking run :func:`ann_lsh_topk` per query batch
+    instead). Dedup each side first for degenerate corpora.
     """
     from polaroam_spark.functions.vectors import make_scorer
 
@@ -548,27 +557,41 @@ def embedding_similarity_join(
         num_planes,
         bucketer,
     )
+    # ids only in the window aggregates — a min(struct(id, vec))
+    # would shuffle a second full vector copy per row
     w = Window.partitionBy("lsh_bucket")
     rb = rb.withColumns(
         {
-            "_bn": F.count("*").over(w),
-            "_rep": F.min(F.struct("_rid", "_rv")).over(w),
+            "_rbn": F.count("*").over(w),
+            "_rep_id": F.min("_rid").over(w),
         }
     )
-    normal = rb.filter(F.col("_bn") <= max_bucket_size).select(
+    rep = rb.filter(F.col("_rid") == F.col("_rep_id")).select(
         "lsh_bucket", "_rid", "_rv"
     )
-    hot = (
-        rb.filter(F.col("_bn") > max_bucket_size)
-        .select(
-            "lsh_bucket",
-            F.col("_rep._rid").alias("_rid"),
-            F.col("_rep._rv").alias("_rv"),
+    r_side = (
+        rb.filter(F.col("_rbn") <= max_bucket_size)
+        .select("lsh_bucket", "_rid", "_rv")
+        .unionByName(
+            rb.filter(
+                (F.col("_rbn") > max_bucket_size)
+                & (F.col("_rid") == F.col("_rep_id"))
+            ).select("lsh_bucket", "_rid", "_rv")
         )
-        .dropDuplicates(["lsh_bucket"])
     )
-    cand = lb.join(
-        normal.unionByName(hot), on="lsh_bucket", how="inner"
+    lb = lb.withColumn("_lbn", F.count("*").over(w))
+    cand = (
+        lb.filter(F.col("_lbn") <= max_bucket_size)
+        .drop("_lbn")
+        .join(r_side, on="lsh_bucket", how="inner")
+        .unionByName(
+            # hot LEFT buckets: each left row meets only the right
+            # representative — bounds one bucket's work at |left
+            # bucket| instead of |left bucket| x |right bucket|
+            lb.filter(F.col("_lbn") > max_bucket_size)
+            .drop("_lbn")
+            .join(rep, on="lsh_bucket", how="inner")
+        )
     )
     return (
         cand.withColumn("cosine", score("_lv", "_rv"))

@@ -22,6 +22,9 @@ def validate_expectations(
     rule result (e.g. a comparison against a NULL column) counts as a
     FAIL — an expectation that cannot be evaluated is not met, and
     counting it as pass would let null-riddled batches sail through.
+    An EMPTY batch passes vacuously (pass_rate 1.0, zero counts):
+    no-data increments are routine in per-batch ingest and must not
+    quarantine.
 
     All rules fold into a single aggregation (one scan, map-side
     combined); the per-rule unpivot happens over the RULE LIST,
@@ -34,10 +37,16 @@ def validate_expectations(
     for i, name in enumerate(names):
         cond = rules[name]
         aggs.append(
-            F.sum(
-                F.coalesce(cond.cast("boolean"), F.lit(False)).cast(
-                    "long"
-                )
+            # outer coalesce: sum over ZERO rows is NULL, which would
+            # poison pass_rate (None < threshold raises) on an empty
+            # batch
+            F.coalesce(
+                F.sum(
+                    F.coalesce(
+                        cond.cast("boolean"), F.lit(False)
+                    ).cast("long")
+                ),
+                F.lit(0),
             ).alias(f"_p{i}")
         )
     row = df.agg(*aggs)
@@ -47,10 +56,12 @@ def validate_expectations(
             F.col("_n").alias("n_rows"),
             F.col(f"_p{i}").alias("n_pass"),
             (F.col("_n") - F.col(f"_p{i}")).alias("n_fail"),
-            (
+            F.when(F.col("_n") == 0, F.lit(1.0))
+            .otherwise(
                 F.col(f"_p{i}").cast("double")
-                / F.greatest(F.col("_n"), F.lit(1)).cast("double")
-            ).alias("pass_rate"),
+                / F.col("_n").cast("double")
+            )
+            .alias("pass_rate"),
         )
         for i, name in enumerate(names)
     ]

@@ -381,3 +381,11 @@ def test_duplicate_line_stats_idempotent_rerun(spark):
     twice = duplicate_line_stats(once)  # must not AMBIGUOUS_REFERENCE
     r = twice.collect()[0]
     assert r.n_lines == 3 and abs(r.dup_line_frac - 1 / 3) < 1e-12
+
+
+def test_topk_per_key_reserved_column_guard(spark):
+    from polaroam_spark.operators.sampling import topk_per_key
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, s long, _rn long")
+    with pytest.raises(ValueError, match="_rn"):
+        topk_per_key(df, key="k", order_col="s", k=1)

@@ -254,3 +254,18 @@ def test_pagerank_weighted_matches_numpy(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # node 1 gets 3/4 of node 0's mass, node 2 only 1/4 of it
     assert got[1] > got[0]
+
+
+def test_pagerank_nan_weight_dropped(spark):
+    from polaroam_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 1, float("nan"))],
+        "u long, v long, w double",
+    )
+    got = {
+        r.node: r["rank"]
+        for r in pagerank(df, num_iters=5, weight_col="w").collect()
+    }
+    # NaN edge dropped: symmetric 2-cycle -> equal finite ranks
+    assert abs(got[0] - 0.5) < 1e-9 and abs(got[1] - 0.5) < 1e-9

@@ -240,7 +240,8 @@ def test_png_dimensions_native_header_parse(spark):
     assert (out[0].width, out[0].height) == (640, 480)
     assert (out[1].width, out[1].height) == (1, 1)
     assert out[2].is_png is False and out[2].width is None
-    assert out[3].is_png is None  # NULL bytes -> NULL verdict
+    # NULL bytes -> hard False (kept+rejected accounting), NULL dims
+    assert out[3].is_png is False and out[3].width is None
     # plan stays native: no BatchEvalPython / ArrowEval nodes
     plan = df.select(png_dimensions("content"))._jdf.queryExecution() \
         .explainString(spark._jvm.org.apache.spark.sql.execution

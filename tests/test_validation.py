@@ -39,3 +39,19 @@ def test_enforce_expectations_raises_with_rule_names(spark):
     # passes at a tolerant threshold and returns the frame unchanged
     out = enforce_expectations(df, rules, min_pass_rate=0.5)
     assert out.count() == 2
+
+
+def test_validation_empty_batch_passes_vacuously(spark):
+    from polaroam_spark.operators.validation import (
+        enforce_expectations,
+        validate_expectations,
+    )
+
+    empty = spark.createDataFrame([], "id long")
+    rules = {"id_present": F.col("id").isNotNull()}
+    report = validate_expectations(empty, rules).collect()[0]
+    assert report.n_rows == 0 and report.n_pass == 0
+    assert report.pass_rate == 1.0
+    # an empty ingest increment must not quarantine
+    out = enforce_expectations(empty, rules)
+    assert out.count() == 0
