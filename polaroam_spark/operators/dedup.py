@@ -594,6 +594,84 @@ def ngram_jaccard_pairs_exact(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    max_gram_df: int | None | str = "auto",
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram CONTAINMENT:
+    ``|A∩B| / min(|A|, |B|)`` — the Broder containment coefficient.
+    Catches the duplicate class Jaccard structurally misses: a short
+    document embedded verbatim inside a much longer one (quote
+    farms, boilerplate-wrapped reposts, chunk-of-a-book pages) has
+    Jaccard ≈ |A|/|B| → 0 but containment ≈ 1. Returns
+    ``[id_a, id_b, containment, n_a, n_b]`` with ``id_a < id_b``;
+    the SMALLER gram set's size is the denominator, so a row reads
+    "the smaller document is ``containment``-contained in the
+    larger".
+
+    Same inverted-index join shape as
+    :func:`ngram_jaccard_pairs` (explode distinct grams →
+    self-equi-join on the gram → count per pair), so the same scale
+    guards apply: ``max_gram_df`` caps the per-gram fan-out from the
+    index side (default :data:`DEFAULT_MAX_GRAM_DF` — under the cap
+    ``containment`` is a lower bound, no false positives above
+    ``threshold``), and ``block_col`` confines candidates to equal
+    blocking keys. Pass ``max_gram_df=None`` for exact semantics on
+    bounded corpora (what the d11 oracle gate pins).
+    """
+    if max_gram_df == "auto":
+        max_gram_df = DEFAULT_MAX_GRAM_DF
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        F.explode(ngram_set(text_col, n)).alias("_gram"),
+    )
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("_gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= int(max_gram_df))
+            .select("_gram")
+        )
+        grams = grams.join(rare, on="_gram", how="left_semi")
+    join_keys = ["_gram"] + (["_blk"] if block_col else [])
+    shared = (
+        grams.alias("a")
+        .join(grams.alias("b"), on=join_keys, how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("_inter") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "containment", "n_a", "n_b")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -1332,3 +1410,104 @@ def fuzzy_text_join(
         F.col("id_match").alias("right_id"),
         "jaccard_sim",
     )
+
+
+def semantic_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iterations: int = 0,
+    scorer: str = "native",
+    index: "tuple[DataFrame, DataFrame] | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare
+    pairs ONLY within a cluster by exact cosine — two documents that
+    say the same thing in different words land in the same cluster
+    and score above ``threshold`` even though no n-gram overlaps.
+    Returns ``[id_a, id_b, cosine, centroid_id]`` with
+    ``id_a < id_b``.
+
+    Clustering reuses :func:`~polaroam_spark.operators.similarity.
+    build_ivf_index` (deterministic hash-rank seeds + optional Lloyd
+    rounds), so a prebuilt ``index=(centroids, assignment)`` from an
+    ANN deployment is shared for free. Vectors assigned to the same
+    ``centroid_id`` form a candidate block; the self-equi-join on
+    ``centroid_id`` plus exact cosine verification is the same
+    bucket-join shape as every other pair generator in this module
+    — never all-pairs across the corpus.
+
+    Scale contract: within-cluster candidates are O(Σ c_k²); size
+    ``num_clusters`` so the mean cluster (n / k) stays ~10⁴ vectors
+    (the SemDeDup paper runs k = 11k on 134M embeddings). A vector
+    in exactly one cluster means boundary pairs split across two
+    clusters are missed — the paper's (and this function's) accepted
+    recall trade; raise ``kmeans_iterations`` to tighten clusters
+    rather than probing multiple.
+    """
+    from polaroam_spark.operators.similarity import build_ivf_index
+    from polaroam_spark.functions.vectors import make_scorer
+
+    if index is None:
+        index = build_ivf_index(
+            embeddings, id_col, vec_col, num_clusters,
+            kmeans_iterations, scorer,
+        )
+    _, assignment = index
+    score = make_scorer(scorer)
+    d = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("_dvec")
+    ).join(assignment, on=id_col)
+    cand = (
+        d.alias("a")
+        .join(d.alias("b"), on="centroid_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    return (
+        cand.withColumn("cosine", score("a._dvec", "b._dvec"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+            "centroid_id",
+        )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iterations: int = 0,
+    scorer: str = "native",
+    index: "tuple[DataFrame, DataFrame] | None" = None,
+    transitive: bool = True,
+) -> DataFrame:
+    """End-to-end semantic deduplication: :func:`semantic_pairs` →
+    transitive closure → survivors, mirroring
+    :func:`near_dedup_corpus` for the embedding modality. Keeps the
+    smallest id per semantic-duplicate cluster (a deterministic
+    divergence from the SemDeDup paper, which keeps the vector
+    FARTHEST from its centroid; min-id makes the output
+    engine-reproducible and oracle-checkable). ``transitive=False``
+    applies the greedy drop-any-doc-with-a-smaller-id-duplicate rule
+    without the closure iteration."""
+    pairs = semantic_pairs(
+        embeddings, id_col, vec_col, num_clusters, threshold,
+        kmeans_iterations, scorer, index,
+    )
+    if not transitive:
+        losers = pairs.select(
+            F.col("id_b").alias(id_col)
+        ).dropDuplicates()
+        return embeddings.join(losers, on=id_col, how="left_anti")
+    comp = duplicate_components(pairs)
+    losers = comp.filter(
+        F.col("doc_id") != F.col("representative")
+    ).select(F.col("doc_id").alias(id_col))
+    return embeddings.join(losers, on=id_col, how="left_anti")

@@ -350,3 +350,99 @@ def pagerank(
     # longer referenced — free it rather than waiting for GC
     release(base)
     return ranked.select("node", "rank")
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph given
+    as a pair table — ``[node, n_triangles]``, one row per node of
+    the canonical edge set (isolated-by-dedup nodes included with
+    0). The clustering-coefficient numerator, and the third batch
+    graph primitive beside :func:`connected_components` and
+    :func:`pagerank` (spam-farm and community-density signals in a
+    link-quality pipeline).
+
+    Edge canonicalization: self-loops dropped, direction erased via
+    ``least/greatest``, duplicates removed — triangles are counted
+    on the simple undirected graph.
+
+    Algorithm: degree-ordered orientation (Cohen's MapReduce
+    triangle counting / the "compact-forward" order). Every edge is
+    oriented from its lower-(degree, node) endpoint to the higher
+    one; wedges are generated by self-joining oriented edges on the
+    shared LOW endpoint, and a wedge (a→b, a→c) with rank(b) <
+    rank(c) closes iff oriented edge b→c exists (one equi-join
+    probe). Each triangle is produced exactly once, at its
+    lowest-rank vertex.
+
+    Why this survives 100 TB: naive wedge generation explodes at hub
+    nodes (a degree-d node makes d²/2 wedges). Ordering by degree
+    caps every node's OUT-degree at O(sqrt(m)), so total wedges are
+    O(m^1.5) — the provably optimal join-based bound — regardless of
+    skew; a 10^7-degree hub contributes wedges only through its (few)
+    higher-degree neighbors. All steps are shuffle equi-joins and
+    hash aggregates on node keys; no driver-side state, no iteration.
+    """
+    e = pairs.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).filter(
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    )
+    und = e.select(
+        F.least("_a", "_b").alias("_u"),
+        F.greatest("_a", "_b").alias("_v"),
+    ).distinct()
+    deg = (
+        und.select(F.explode(F.array("_u", "_v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("_deg"))
+    )
+    # total order that breaks degree ties by node id — struct
+    # comparison gives lexicographic (degree, node)
+    du = deg.select(
+        F.col("node").alias("_u"),
+        F.struct(F.col("_deg"), F.col("node")).alias("_ru"),
+    )
+    dv = deg.select(
+        F.col("node").alias("_v"),
+        F.struct(F.col("_deg"), F.col("node")).alias("_rv"),
+    )
+    ranked = und.join(du, "_u").join(dv, "_v")
+    lo_first = F.col("_ru") < F.col("_rv")
+    oriented = ranked.select(
+        F.when(lo_first, F.col("_u")).otherwise(F.col("_v")).alias("_lo"),
+        F.when(lo_first, F.col("_v")).otherwise(F.col("_u")).alias("_hi"),
+        F.when(lo_first, F.col("_rv")).otherwise(F.col("_ru")).alias("_rhi"),
+    )
+    wedges = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x._lo") == F.col("y._lo"))
+        .filter(F.col("x._rhi") < F.col("y._rhi"))
+        .select(
+            F.col("x._lo").alias("_t1"),
+            F.col("x._hi").alias("_t2"),
+            F.col("y._hi").alias("_t3"),
+        )
+    )
+    closing = oriented.select(
+        F.col("_lo").alias("_t2"), F.col("_hi").alias("_t3")
+    )
+    tris = wedges.join(closing, ["_t2", "_t3"], "left_semi")
+    per_node = (
+        tris.select(
+            F.explode(F.array("_t1", "_t2", "_t3")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+            "n_triangles"
+        ),
+    )

@@ -21,6 +21,173 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Exact exponentially-weighted moving average per key:
+    ``y_1 = x_1``, ``y_t = alpha*x_t + (1-alpha)*y_{t-1}`` in
+    timestamp order. Returns ``[key_col, ts_col, value_col,
+    'ewma']``, one row per distinct (key, ts) observation.
+
+    EWMA is a true recursion — it cannot be phrased as a SQL window
+    aggregate without either O(n^2) self-joins or a power-sum
+    rewrite whose float rounding diverges from the recursive form.
+    So the series folds per key: ``sort_array(collect_list(...))``
+    gathers each key's observations into one JVM array, and
+    ``F.aggregate`` replays the recursion left-to-right, appending
+    each running value (all Catalyst expressions — no Python in the
+    loop). ``posexplode`` restores one row per observation.
+
+    Scale shape: one shuffle on the key; each KEY's series must fit
+    in executor memory (the same bounded-series contract as the
+    per-user DBSCAN fidelity path — millions of keys scale
+    horizontally, one 10^9-row key does not). Duplicate (key, ts)
+    observations collapse to their MIN value first so the recursion
+    order is well defined on any engine.
+
+    The arithmetic shape ``alpha*x + (1-alpha)*y`` is preserved
+    verbatim so an engine replaying the same doubles (e.g. a DuckDB
+    recursive CTE) reproduces the running values bit-for-bit.
+    """
+    alpha = float(alpha)
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    beta = 1.0 - alpha
+    obs = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).cast("long").alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(
+            F.col("_k").isNotNull()
+            & F.col("_t").isNotNull()
+            & F.col("_v").isNotNull()
+        )
+        .groupBy("_k", "_t")
+        .agg(F.min("_v").alias("_v"))
+    )
+    series = obs.groupBy("_k").agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_v"))).alias("_s")
+    )
+    first = F.element_at("_s", 1)["_v"]
+    folded = series.withColumn(
+        "_y",
+        F.aggregate(
+            F.expr("slice(_s, 2, greatest(size(_s) - 1, 0))"),
+            F.struct(
+                first.alias("prev"), F.array(first).alias("out")
+            ),
+            lambda acc, x: F.struct(
+                (
+                    F.lit(alpha) * x["_v"] + F.lit(beta) * acc["prev"]
+                ).alias("prev"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.lit(alpha) * x["_v"]
+                        + F.lit(beta) * acc["prev"]
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ),
+    )
+    return folded.select(
+        "_k", F.posexplode(F.arrays_zip("_s", "_y")).alias("_i", "_z")
+    ).select(
+        F.col("_k").alias(key_col),
+        F.col("_z")["_s"]["_t"].alias(ts_col),
+        F.col("_z")["_s"]["_v"].alias(value_col),
+        F.col("_z")["_y"].alias("ewma"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection per key: each observation
+    is scored against the mean/stddev of the PRECEDING ``window``
+    observations (the current row is excluded, so an outlier never
+    dilutes its own baseline). Returns ``[key_col, ts_col,
+    value_col, 'zscore', 'is_anomaly']``; ``zscore`` is NULL until
+    ``min_periods`` history exists or when the trailing variance is
+    zero.
+
+    Variance uses the explicit sum-of-squares form
+    ``(sumsq - sum*sum/n) / (n-1)`` rather than ``stddev_samp`` so
+    the float rounding is a fixed expression any engine reproduces
+    (built-in stddev implementations differ in accumulation order).
+
+    Scale shape: one shuffle on the key, then a single bounded
+    ROWS-frame window scan — streaming state is ``window`` rows per
+    key, independent of series length. This is the plan that
+    survives 100TB: no per-key materialization, no self-join.
+    """
+    window = int(window)
+    min_periods = int(min_periods)
+    if window < 1 or min_periods < 2 or min_periods > window:
+        raise ValueError(
+            "need window >= 1 and 2 <= min_periods <= window"
+        )
+    obs = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).cast("long").alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(
+            F.col("_k").isNotNull()
+            & F.col("_t").isNotNull()
+            & F.col("_v").isNotNull()
+        )
+        .groupBy("_k", "_t")
+        .agg(F.min("_v").alias("_v"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(-window, -1)
+    )
+    n = F.count("_v").over(w)
+    sm = F.sum("_v").over(w)
+    sq = F.sum(F.col("_v") * F.col("_v")).over(w)
+    scored = obs.select(
+        "_k",
+        "_t",
+        "_v",
+        n.alias("_n"),
+        sm.alias("_sm"),
+        sq.alias("_sq"),
+    )
+    var = (
+        F.col("_sq") - F.col("_sm") * F.col("_sm") / F.col("_n")
+    ) / (F.col("_n") - 1)
+    z = F.when(
+        (F.col("_n") >= min_periods) & (var > 0),
+        (F.col("_v") - F.col("_sm") / F.col("_n")) / F.sqrt(var),
+    )
+    return scored.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias(ts_col),
+        F.col("_v").alias(value_col),
+        z.alias("zscore"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold)))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
 def resample_interpolate(
     df: DataFrame,
     key_col: str,

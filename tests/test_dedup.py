@@ -736,3 +736,161 @@ def test_fuzzy_text_join_cross_table(spark):
     ).collect()
     assert [(r.left_id, r.right_id) for r in pairs] == [(1, 100)]
     assert pairs[0].jaccard_sim >= 0.5
+
+
+# ------------------------------------------------------- containment_pairs
+def test_containment_catches_doc_inside_doc(spark):
+    from polaroam_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs_exact,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog " * 3
+    wrapper = ("intro text here . " * 40) + quote + (" outro text . " * 40)
+    docs = spark.createDataFrame(
+        [(1, quote), (2, wrapper), (3, "completely unrelated words only")],
+        "doc_id int, text string",
+    )
+    pairs = containment_pairs(
+        docs, n=3, threshold=0.8, max_gram_df=None
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p.containment >= 0.99  # every gram of the quote is inside
+    assert p.n_a < p.n_b
+    # and Jaccard at the same threshold misses it — the reason this
+    # operator exists
+    jac = ngram_jaccard_pairs_exact(docs, n=3, threshold=0.8).collect()
+    assert [(p.id_a, p.id_b) for p in jac] == []
+
+
+def test_containment_threshold_and_ordering(spark):
+    from polaroam_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(10, "a b c d e f"), (20, "a b c d x y"), (30, "p q r s t u")],
+        "doc_id int, text string",
+    )
+    # grams(10) = {abc,bcd,cde,def}; grams(20) = {abc,bcd,cdx,dxy};
+    # inter = 2, min size = 4 -> containment 0.5
+    out = containment_pairs(
+        docs, n=3, threshold=0.5, max_gram_df=None
+    ).collect()
+    assert len(out) == 1 and (out[0].id_a, out[0].id_b) == (10, 20)
+    assert abs(out[0].containment - 0.5) < 1e-12
+    out2 = containment_pairs(
+        docs, n=3, threshold=0.51, max_gram_df=None
+    ).collect()
+    assert out2 == []
+
+
+def test_containment_df_cap_is_lower_bound(spark):
+    from polaroam_spark.operators.dedup import containment_pairs
+
+    # the shared gram appears in 3 docs; with max_gram_df=2 it is
+    # pruned from the index so the pair disappears below threshold —
+    # no false positives, possible misses (documented contract)
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x y z")],
+        "doc_id int, text string",
+    )
+    full = containment_pairs(docs, n=3, threshold=0.9, max_gram_df=None)
+    assert full.count() == 3
+    capped = containment_pairs(docs, n=3, threshold=0.9, max_gram_df=2)
+    assert capped.count() == 0
+
+
+# ---------------------------------------------------------- semantic dedup
+def _emb_rows():
+    # three tight paraphrase groups far apart, plus one loner
+    base = {
+        "g1": [1.0, 0.0, 0.0, 0.0],
+        "g2": [0.0, 1.0, 0.0, 0.0],
+        "g3": [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for _, v in sorted(base.items()):
+        for jitter in (0.0, 0.001, 0.002):
+            vec = [c + (jitter if i == 3 else 0.0) for i, c in enumerate(v)]
+            rows.append((vid, vec))
+            vid += 1
+    rows.append((99, [0.5, 0.5, 0.5, 0.5]))
+    return rows
+
+
+def _manual_index(spark):
+    """Deterministic cluster assignment (one cluster per paraphrase
+    group) so pair/survivor assertions are exact — the k-means path's
+    hash-rank seeds can legitimately split a tight group across two
+    near-identical centroids (the documented boundary-miss trade),
+    which the invariant test below covers instead."""
+    assignment = spark.createDataFrame(
+        [(v, v // 3) for v in range(9)] + [(99, 3)],
+        "vec_id int, centroid_id int",
+    )
+    return None, assignment
+
+
+def test_semantic_pairs_finds_paraphrase_groups(spark):
+    from polaroam_spark.operators.dedup import semantic_pairs
+
+    emb = spark.createDataFrame(_emb_rows(), "vec_id int, embedding array<double>")
+    pairs = semantic_pairs(
+        emb, threshold=0.999, index=_manual_index(spark)
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    expected = {
+        (g[i], g[j])
+        for g in ([0, 1, 2], [3, 4, 5], [6, 7, 8])
+        for i in range(3)
+        for j in range(i + 1, 3)
+    }
+    assert got == expected
+    assert all(p.cosine >= 0.999 for p in pairs)
+
+
+def test_semantic_dedup_keeps_min_id_per_group(spark):
+    from polaroam_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(_emb_rows(), "vec_id int, embedding array<double>")
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            emb, threshold=0.999, index=_manual_index(spark)
+        ).collect()
+    )
+    assert kept == [0, 3, 6, 99]
+
+
+def test_semantic_dedup_kmeans_path_invariants(spark):
+    """The self-built k-means index path: cluster recall is heuristic
+    (a group can split across two seeds), so assert the guarantees
+    that hold under ANY assignment — no cross-group pairs, survivors
+    include the loner and cover every group, and every dropped vector
+    has a surviving near-duplicate."""
+    from polaroam_spark.operators.dedup import semantic_dedup, semantic_pairs
+
+    emb = spark.createDataFrame(_emb_rows(), "vec_id int, embedding array<double>")
+    group = lambda v: v // 3 if v < 9 else 99
+    pairs = semantic_pairs(
+        emb, num_clusters=4, threshold=0.999, kmeans_iterations=2
+    ).collect()
+    assert pairs, "tight paraphrase groups must produce some pairs"
+    for p in pairs:
+        assert group(p.id_a) == group(p.id_b)
+        assert p.cosine >= 0.999
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            emb, num_clusters=4, threshold=0.999, kmeans_iterations=2
+        ).collect()
+    )
+    assert 99 in kept
+    assert {group(v) for v in kept} == {0, 1, 2, 99}
+    dropped = set(range(9)) - set(kept)
+    pair_map = {(p.id_a, p.id_b) for p in pairs}
+    for d in dropped:
+        assert any(
+            ((k, d) in pair_map or (d, k) in pair_map) for k in kept
+        ), d

@@ -269,3 +269,62 @@ def test_pagerank_nan_weight_dropped(spark):
     }
     # NaN edge dropped: symmetric 2-cycle -> equal finite ranks
     assert abs(got[0] - 0.5) < 1e-9 and abs(got[1] - 0.5) < 1e-9
+
+
+# --------------------------------------------------------- triangle_count
+def test_triangle_count_known_graph(spark):
+    from polaroam_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    # node 5 attached to 1 (in no triangle)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((1, 5))
+    df = spark.createDataFrame(edges, "u int, v int")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_canonicalization(spark):
+    from polaroam_spark.operators.graph import triangle_count
+
+    # duplicates, reversed direction, self-loops must not change the
+    # simple-graph triangle count
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (2, 2), (1, 2)],
+        "u int, v int",
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_matches_numpy_on_random_graph(spark):
+    import numpy as np
+
+    from polaroam_spark.operators.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    n = 40
+    adj = np.triu((rng.random((n, n)) < 0.25).astype(np.int64), 1)
+    adj = adj + adj.T
+    expected = np.diag(np.linalg.matrix_power(adj, 3)) // 2
+    ui, vi = np.nonzero(np.triu(adj, 1))
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ui, vi)], "u int, v int"
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    for node in range(n):
+        if adj[node].sum() == 0:
+            assert node not in out  # isolated: not in the edge set
+        else:
+            assert out[node] == int(expected[node]), node
+
+
+def test_triangle_count_string_nodes_and_nulls(spark):
+    from polaroam_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"), (None, "x"), ("y", None)],
+        "u string, v string",
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {"x": 1, "y": 1, "z": 1}

@@ -77,3 +77,92 @@ def test_rejects_bad_args(spark):
         resample_interpolate(df, "k", "ts", "v", 100, how="cubic")
     with pytest.raises(ValueError):
         resample_interpolate(df, "k", "ts", "v", 0)
+
+
+# ------------------------------------------------------------------ ewma
+def test_ewma_recursion_exact(spark):
+    from polaroam_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("b", 1, 5.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        (r.k, r.ts): r.ewma
+        for r in ewma(df, "k", "ts", "v", alpha=0.5).collect()
+    }
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 0.5 * 20.0 + 0.5 * 10.0
+    assert out[("a", 3)] == 0.5 * 0.0 + 0.5 * 15.0
+    assert out[("b", 1)] == 5.0
+
+
+def test_ewma_duplicate_ts_min_collapse_and_nulls(spark):
+    from polaroam_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 4.0), ("a", 1, 2.0), ("a", 2, None), ("a", 3, 6.0),
+         (None, 9, 1.0)],
+        "k string, ts long, v double",
+    )
+    rows = ewma(df, "k", "ts", "v", alpha=0.25).collect()
+    out = {(r.k, r.ts): r.ewma for r in rows}
+    # (a,1) collapses to min 2.0; null value and null key rows dropped
+    assert set(out) == {("a", 1), ("a", 3)}
+    assert out[("a", 1)] == 2.0
+    assert out[("a", 3)] == 0.25 * 6.0 + 0.75 * 2.0
+
+
+def test_ewma_alpha_validation(spark):
+    from polaroam_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError):
+        ewma(df, "k", "ts", "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, "k", "ts", "v", alpha=1.5)
+
+
+# -------------------------------------------------------- rolling_zscore
+def test_rolling_zscore_flags_planted_outlier(spark):
+    from polaroam_spark.operators.timeseries import rolling_zscore
+
+    rows = [("a", t, 10.0 + (t % 3)) for t in range(1, 21)]
+    rows.append(("a", 21, 500.0))  # planted spike
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = rolling_zscore(
+        df, "k", "ts", "v", window=10, min_periods=5, threshold=3.0
+    ).collect()
+    by_ts = {r.ts: r for r in out}
+    assert by_ts[21].is_anomaly
+    assert by_ts[21].zscore > 3.0
+    # warm-up rows (fewer than min_periods preceding) have NULL score
+    for t in range(1, 6):
+        assert by_ts[t].zscore is None
+        assert by_ts[t].is_anomaly is False
+    # normal rows in steady state are not anomalous
+    assert not by_ts[15].is_anomaly
+
+
+def test_rolling_zscore_excludes_current_row(spark):
+    from polaroam_spark.operators.timeseries import rolling_zscore
+
+    # constant history then a jump: if the current row leaked into its
+    # own baseline, the variance would be nonzero and z finite but
+    # diluted; with the exclusive frame history is constant -> var 0
+    # -> NULL score for the jump over an all-constant window
+    rows = [("a", t, 7.0) for t in range(1, 11)] + [("a", 11, 100.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {r.ts: r for r in rolling_zscore(df, "k", "ts", "v", 5, 3, 2.0).collect()}
+    assert out[11].zscore is None  # zero-variance baseline
+    assert out[11].is_anomaly is False
+
+
+def test_rolling_zscore_param_validation(spark):
+    from polaroam_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "k", "ts", "v", window=4, min_periods=5)
+    with pytest.raises(ValueError):
+        rolling_zscore(df, "k", "ts", "v", window=0)
