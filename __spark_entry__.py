@@ -5457,6 +5457,260 @@ def ts1(spark, sf_dir):
 
 
 @_q(
+    "ts2_ewma",
+    "WITH RECURSIVE obs AS (SELECT user_id, "
+    "epoch_ns(ts) // 1000000000 AS s, min(value) AS v "
+    "FROM events GROUP BY 1, 2), "
+    "r AS (SELECT user_id, s, v, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY s) AS rn FROM obs), "
+    "e AS (SELECT user_id, s, v, rn, v AS y FROM r WHERE rn = 1 "
+    "UNION ALL SELECT r.user_id, r.s, r.v, r.rn, "
+    "0.25 * r.v + 0.75 * e.y FROM e "
+    "JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1) "
+    "SELECT user_id, s AS ts, v AS value, y AS ewma FROM e",
+)
+def ts2(spark, sf_dir):
+    """Exact per-key EWMA (operators/timeseries.py:ewma) vs a DuckDB
+    RECURSIVE CTE replaying the identical recursion
+    ``y = 0.25*x + 0.75*y_prev``. alpha=0.25 and beta=0.75 are exact
+    binary doubles, so both engines' step arithmetic is the same
+    correctly-rounded IEEE expression and the running values match
+    bit-for-bit — which is why NEITHER side rounds in-engine: the
+    exact recursion lands systematically near x.xxxxxx5 decimal
+    boundaries (dyadic alpha × 2-decimal inputs), where Spark's
+    HALF_UP round() and DuckDB's round() disagree (observed 3/10000
+    at sf0.01). Raw bit-identical doubles are hashed after the
+    harness's UNIFORM round-6 instead."""
+    from polaroam_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    out = ewma(ev, "user_id", "es", "value", alpha=0.25)
+    return out.select(
+        "user_id",
+        F.col("es").alias("ts"),
+        "value",
+        "ewma",
+    )
+
+
+@_q(
+    "ts3_zscore_anomaly",
+    "WITH obs0 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, "
+    "min(value) AS v FROM events GROUP BY 1, 2), "
+    "obs AS (SELECT user_id, s, round(v * 100, 0) AS c FROM obs0), "
+    "st AS (SELECT user_id, s, c, count(c) OVER w AS n, "
+    "sum(c) OVER w AS sm, sum(c * c) OVER w AS sq FROM obs "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY s "
+    "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) "
+    "SELECT user_id, s AS ts, CAST(c AS BIGINT) AS cents, "
+    "CASE WHEN n >= 5 AND (sq - sm * sm / n) / (n - 1) > 0 "
+    "THEN (c - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) END "
+    "AS zscore, "
+    "COALESCE(CASE WHEN n >= 5 AND (sq - sm * sm / n) / (n - 1) > 0 "
+    "THEN abs((c - sm / n) / sqrt((sq - sm * sm / n) / (n - 1))) "
+    "> 3.0 END, FALSE) AS is_anomaly FROM st",
+)
+def ts3(spark, sf_dir):
+    """Rolling z-score anomaly flags
+    (operators/timeseries.py:rolling_zscore) over the PRECEDING-20
+    exclusive frame. The gate feeds integer cents
+    (round(value*100)): every windowed sum is then an exact
+    integer-valued double, so the sum is order-independent and the
+    two engines' sliding-frame accumulation strategies (Spark's
+    buffer replay vs DuckDB's segment tree) cannot diverge — the
+    z expression is one fixed float formula over exact integers."""
+    from polaroam_spark.operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.round(F.col("value") * 100, 0).alias("cents"),
+    )
+    out = rolling_zscore(
+        ev, "user_id", "es", "cents",
+        window=20, min_periods=5, threshold=3.0,
+    )
+    return out.select(
+        "user_id",
+        F.col("es").alias("ts"),
+        F.col("cents").cast("bigint").alias("cents"),
+        "zscore",
+        "is_anomaly",
+    )
+
+
+@_q(
+    "g2_triangle_count",
+    "WITH e0 AS (SELECT event_id % 211 AS a, "
+    "(event_id // 211) % 211 AS b FROM events), "
+    "und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+    "FROM e0 WHERE a != b), "
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM und e1 "
+    "JOIN und e2 ON e2.u = e1.v "
+    "JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "nodes AS (SELECT u AS node FROM und "
+    "UNION SELECT v AS node FROM und), "
+    "pn AS (SELECT node, count(*) AS nt FROM "
+    "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) t GROUP BY node) "
+    "SELECT n.node, CAST(COALESCE(pn.nt, 0) AS BIGINT) "
+    "AS n_triangles FROM nodes n LEFT JOIN pn ON pn.node = n.node",
+)
+def g2(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py:triangle_count)
+    on a deterministic 211-node graph derived from event_id
+    arithmetic. The Spark side runs the degree-ordered orientation
+    (skew-proof O(m^1.5) wedges); the oracle enumerates each
+    triangle once by plain id order (a<b<c) — triangle SETS are
+    orientation-independent, so the counts must agree exactly."""
+    from polaroam_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("u"),
+        (F.expr("event_id div 211") % 211).alias("v"),
+    )
+    return triangle_count(edges, "u", "v")
+
+
+@_q(
+    "d11_containment",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b,
+       round(s.inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+         AS containment,
+       sa.n AS n_a, sb.n AS n_b
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE s.inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5""",
+)
+def d11(spark, sf_dir):
+    """n-gram containment pairs (operators/dedup.py:
+    containment_pairs, exact variant) vs the d4 gram CTE with a
+    ``inter / min(|A|,|B|)`` scorer — the doc-inside-doc duplicate
+    class Jaccard structurally misses."""
+    from polaroam_spark.operators.dedup import containment_pairs
+
+    out = containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3, threshold=0.5, max_gram_df=None,
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment", 6).alias("containment"),
+        "n_a", "n_b",
+    )
+
+
+@_q(
+    "d12_semantic_pairs",
+    """WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([v[1] + 0.01], v[2:len(v)]) AS v
+  FROM base WHERE vec_id < 40
+),
+alls AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+dots AS (
+  SELECT vec_id, v, pp.p AS plane,
+         list_reduce(
+           [v[d + 1] * (floor(sin(pp.p * 7919.0 + d * 104729.0)
+                              * 1000000.0 + 0.5) / 1000000.0)
+            for d in range(0, len(v))],
+           (a, b) -> a + b) AS dot
+  FROM alls, (SELECT unnest(range(4)) AS p) pp
+),
+buckets AS (
+  SELECT vec_id, any_value(v) AS v,
+         CAST(sum(CASE WHEN dot >= 0 THEN power(2.0, plane)
+                       ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb,
+         a.bucket AS centroid_id
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, centroid_id,
+         list_reduce([va[i] * vb[i] for i in range(1, len(va) + 1)],
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce([va[i] * va[i]
+                              for i in range(1, len(va) + 1)],
+                             (a, b) -> a + b))
+            * sqrt(list_reduce([vb[i] * vb[i]
+                                for i in range(1, len(vb) + 1)],
+                               (a, b) -> a + b))) AS cosine
+  FROM cand
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine, centroid_id
+FROM scored WHERE cosine >= 0.9""",
+)
+def d12(spark, sf_dir):
+    """SemDeDup-style semantic pairs (operators/dedup.py:
+    semantic_pairs) under a deterministic sign-plane cluster
+    assignment (4 planes — the same bucket arithmetic the d5 oracle
+    replays, distinct plane count and threshold). The production
+    k-means assignment path (hash-rank seeds + Lloyd) has no SQL
+    twin; its guarantees are pinned by the invariant pytest
+    (tests/test_dedup.py:test_semantic_dedup_kmeans_path_invariants)
+    and it shares this verified pair/score/closure code. Plants the
+    d5 near-duplicates so recovered pairs are non-vacuous."""
+    from polaroam_spark.operators.dedup import semantic_pairs
+    from polaroam_spark.operators.similarity import add_lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+            F.slice(
+                "embedding", 2, F.size("embedding") - F.lit(1)
+            ),
+        ).alias("embedding"),
+    )
+    alls = emb.unionByName(planted)
+    assignment = add_lsh_bucket(alls, "embedding", num_planes=4).select(
+        "vec_id", F.col("lsh_bucket").alias("centroid_id")
+    )
+    out = semantic_pairs(
+        alls, threshold=0.9, index=(None, assignment)
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round("cosine", 6).alias("cosine"),
+        "centroid_id",
+    )
+
+
+@_q(
     "st6_streaming_sessions",
     "WITH d AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s "
     "FROM events), "
@@ -6140,6 +6394,8 @@ def mm2(spark, sf_dir):
 _PRIORITY = [
     # (a) oracle never driver-sampled / new round-5 gates ----------
     "a15_approx_distinct",
+    "ts2_ewma", "ts3_zscore_anomaly", "g2_triangle_count",
+    "d11_containment", "d12_semantic_pairs",
     "j7b_asof_join_chunked", "j7c_asof_join_forward",
     "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
     "j8b_point_in_interval_left",
