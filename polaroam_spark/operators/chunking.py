@@ -280,7 +280,15 @@ def materialize_packs(
             ).alias("text"),
             F.sum(n_tokens_col).cast("long").alias("n_tokens"),
             F.count("*").cast("long").alias("n_chunks"),
-            F.countDistinct(id_cols[0]).cast("long").alias("n_docs"),
+            # NOT countDistinct: a distinct aggregate beside
+            # collect_list plans as a two-phase aggregate with an
+            # extra (pack, doc) exchange whose partial buffers carry
+            # the collected TEXT arrays — the pack contents would
+            # shuffle twice. A pack is budget-bounded, so the distinct
+            # fits in its aggregation buffer instead.
+            F.size(F.array_distinct(F.collect_list(id_cols[0])))
+            .cast("long")
+            .alias("n_docs"),
         )
     )
 

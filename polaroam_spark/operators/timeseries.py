@@ -21,6 +21,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _collapsed_obs(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Clean per-key observations ``[_k, _t, _v]`` with duplicate
+    (key, ts) rows collapsed to their MIN value — via a lag over the
+    KEY partitioning rather than a groupBy on (key, ts), so the hash
+    exchange this establishes is the one every downstream per-key
+    window/aggregate reuses (one shuffle end-to-end instead of two;
+    pinned by tests/test_plans.py). First row per ts in (_t, _v)
+    order IS the min: order-independent, engine-reproducible."""
+    w = Window.partitionBy("_k").orderBy("_t", "_v")
+    return (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).cast("long").alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(
+            F.col("_k").isNotNull()
+            & F.col("_t").isNotNull()
+            & F.col("_v").isNotNull()
+        )
+        .withColumn("_pt", F.lag("_t").over(w))
+        .filter(F.col("_pt").isNull() | (F.col("_pt") != F.col("_t")))
+        .drop("_pt")
+    )
+
+
 def ewma(
     df: DataFrame,
     key_col: str,
@@ -57,20 +85,7 @@ def ewma(
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     beta = 1.0 - alpha
-    obs = (
-        df.select(
-            F.col(key_col).alias("_k"),
-            F.col(ts_col).cast("long").alias("_t"),
-            F.col(value_col).cast("double").alias("_v"),
-        )
-        .filter(
-            F.col("_k").isNotNull()
-            & F.col("_t").isNotNull()
-            & F.col("_v").isNotNull()
-        )
-        .groupBy("_k", "_t")
-        .agg(F.min("_v").alias("_v"))
-    )
+    obs = _collapsed_obs(df, key_col, ts_col, value_col)
     series = obs.groupBy("_k").agg(
         F.sort_array(F.collect_list(F.struct("_t", "_v"))).alias("_s")
     )
@@ -140,20 +155,7 @@ def rolling_zscore(
         raise ValueError(
             "need window >= 1 and 2 <= min_periods <= window"
         )
-    obs = (
-        df.select(
-            F.col(key_col).alias("_k"),
-            F.col(ts_col).cast("long").alias("_t"),
-            F.col(value_col).cast("double").alias("_v"),
-        )
-        .filter(
-            F.col("_k").isNotNull()
-            & F.col("_t").isNotNull()
-            & F.col("_v").isNotNull()
-        )
-        .groupBy("_k", "_t")
-        .agg(F.min("_v").alias("_v"))
-    )
+    obs = _collapsed_obs(df, key_col, ts_col, value_col)
     w = (
         Window.partitionBy("_k")
         .orderBy("_t")

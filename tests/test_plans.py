@@ -17,7 +17,11 @@ def _plan(df):
 
 
 def _n_hash_exchanges(plan):
-    return len(re.findall(r"Exchange hashpartitioning", plan))
+    # formatted mode lists a node ("(5) Exchange") and its
+    # "Arguments: hashpartitioning(...)" on separate lines — counting
+    # the compact form "Exchange hashpartitioning" silently matches
+    # nothing and made these bounds vacuous; count the detail lines
+    return len(re.findall(r"Arguments: hashpartitioning", plan))
 
 
 @pytest.fixture(scope="module")
@@ -201,3 +205,64 @@ def test_cap_per_key_windows_narrow_projection(spark, docs):
     m = [ln for ln in win.splitlines() if "Sort " in ln or "sort" in ln]
     assert "Window" in plan, plan
     assert not any("text" in ln for ln in m), plan
+
+
+def test_rolling_zscore_single_exchange(spark):
+    from polaroam_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(30)],
+        "k string, ts long, v double",
+    )
+    plan = _plan(rolling_zscore(df, "k", "ts", "v", window=10))
+    # the lag-based duplicate collapse and the stats window share the
+    # key partitioning: exactly one hash exchange end to end (counted
+    # on the formatted-mode detail lines), and the bounded ROWS frame
+    # must never fall back to a global sort
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ewma_single_exchange_no_python(spark):
+    from polaroam_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(30)],
+        "k string, ts long, v double",
+    )
+    plan = _plan(ewma(df, "k", "ts", "v", alpha=0.25))
+    # collapse + collect_list share the key partitioning; the fold is
+    # a Catalyst expression, not a Python UDF stage
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    from polaroam_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 50) for i in range(200)], "u int, v int"
+    )
+    plan = _plan(triangle_count(df))
+    # the wedge join and the closing-edge semi-join are hash
+    # equi-joins on node keys — a rank-comparison pushed into the
+    # join condition as a non-equi predicate would cartesian-explode
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_pairs_equi_join_on_cluster(spark):
+    from polaroam_spark.operators.dedup import semantic_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id int, embedding array<double>",
+    )
+    asg = spark.createDataFrame(
+        [(i, i % 4) for i in range(20)], "vec_id int, centroid_id int"
+    )
+    plan = _plan(semantic_pairs(emb, index=(None, asg)))
+    # within-cluster candidates come from an equi-join on
+    # centroid_id — never an all-pairs cross join
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
