@@ -5576,6 +5576,105 @@ def g2(spark, sf_dir):
 
 
 @_q(
+    "g3_clustering_coeff",
+    "WITH e0 AS (SELECT event_id % 211 AS a, "
+    "(event_id // 211) % 211 AS b FROM events), "
+    "und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+    "FROM e0 WHERE a != b), "
+    "deg AS (SELECT node, count(*) AS d FROM "
+    "(SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) "
+    "n GROUP BY node), "
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM und e1 "
+    "JOIN und e2 ON e2.u = e1.v "
+    "JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "pn AS (SELECT node, count(*) AS nt FROM "
+    "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) t GROUP BY node) "
+    "SELECT deg.node, CAST(deg.d AS BIGINT) AS degree, "
+    "CAST(COALESCE(pn.nt, 0) AS BIGINT) AS n_triangles, "
+    "CASE WHEN deg.d >= 2 THEN (2 * COALESCE(pn.nt, 0)) "
+    "/ CAST(deg.d * (deg.d - 1) AS DOUBLE) ELSE 0.0 END AS lcc "
+    "FROM deg LEFT JOIN pn ON pn.node = deg.node",
+)
+def g3(spark, sf_dir):
+    """Local clustering coefficient
+    (operators/graph.py:clustering_coefficient) on the g2 graph.
+    lcc = 2T/(d(d-1)) is a division of two exact integers — both
+    engines produce the identical double, no rounding needed."""
+    from polaroam_spark.operators.graph import clustering_coefficient
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("u"),
+        (F.expr("event_id div 211") % 211).alias("v"),
+    )
+    return clustering_coefficient(edges, "u", "v")
+
+
+@_q(
+    "t16_winsorize",
+    "SELECT doc_id, source, n_chars, "
+    "round(CASE WHEN n_chars IS NOT NULL THEN "
+    "least(greatest(CAST(n_chars AS DOUBLE), "
+    "quantile_cont(CAST(n_chars AS DOUBLE), 0.05) "
+    "OVER (PARTITION BY source)), "
+    "quantile_cont(CAST(n_chars AS DOUBLE), 0.95) "
+    "OVER (PARTITION BY source)) END, 6) AS winsorized_score "
+    "FROM documents",
+)
+def t16(spark, sf_dir):
+    """Per-source winsorization
+    (operators/textstats.py:winsorize_scores) of the n_chars signal
+    at the exact 5th/95th percentiles vs DuckDB's windowed
+    quantile_cont. Percentile interpolation at non-dyadic fractions
+    can differ between engines in the last ulp (different but
+    equivalent formula shapes), so both sides round(6); interpolated
+    values of integer inputs carry no systematic 7th-decimal ties."""
+    from polaroam_spark.operators.textstats import winsorize_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winsorize_scores(
+        docs, "n_chars", "source", lower=0.05, upper=0.95
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.round("winsorized_score", 6).alias("winsorized_score"),
+    )
+
+
+@_q(
+    "t17_robust_scale",
+    "SELECT doc_id, source, n_chars, "
+    "CASE WHEN n_chars IS NOT NULL AND "
+    "(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) "
+    "OVER (PARTITION BY source) "
+    "- quantile_cont(CAST(n_chars AS DOUBLE), 0.25) "
+    "OVER (PARTITION BY source)) > 0 THEN "
+    "(CAST(n_chars AS DOUBLE) "
+    "- quantile_cont(CAST(n_chars AS DOUBLE), 0.5) "
+    "OVER (PARTITION BY source)) "
+    "/ (quantile_cont(CAST(n_chars AS DOUBLE), 0.75) "
+    "OVER (PARTITION BY source) "
+    "- quantile_cont(CAST(n_chars AS DOUBLE), 0.25) "
+    "OVER (PARTITION BY source)) END AS scaled_score "
+    "FROM documents",
+)
+def t17(spark, sf_dir):
+    """Median/IQR robust scaling
+    (operators/textstats.py:robust_scale_scores) per source. The
+    quartile fractions are dyadic (0.25/0.5/0.75), so percentile
+    interpolation over integer n_chars is EXACT float arithmetic in
+    any formula shape — both engines produce bit-identical medians,
+    IQRs, and quotients; no rounding on either side."""
+    from polaroam_spark.operators.textstats import robust_scale_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return robust_scale_scores(docs, "n_chars", "source").select(
+        "doc_id", "source", "n_chars", "scaled_score"
+    )
+
+
+@_q(
     "d11_containment",
     """WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -6395,7 +6494,8 @@ _PRIORITY = [
     # (a) oracle never driver-sampled / new round-5 gates ----------
     "a15_approx_distinct",
     "ts2_ewma", "ts3_zscore_anomaly", "g2_triangle_count",
-    "d11_containment", "d12_semantic_pairs",
+    "g3_clustering_coeff", "d11_containment", "d12_semantic_pairs",
+    "t16_winsorize", "t17_robust_scale",
     "j7b_asof_join_chunked", "j7c_asof_join_forward",
     "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
     "j8b_point_in_interval_left",

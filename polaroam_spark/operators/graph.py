@@ -356,6 +356,7 @@ def triangle_count(
     pairs: DataFrame,
     src: str = "u",
     dst: str = "v",
+    with_degree: bool = False,
 ) -> DataFrame:
     """Exact per-node triangle counts over an undirected graph given
     as a pair table — ``[node, n_triangles]``, one row per node of
@@ -440,9 +441,43 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+    extra = [F.col("_deg").cast("bigint").alias("degree")] if with_degree else []
     return deg.join(per_node, "node", "left").select(
         "node",
+        *extra,
         F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
             "n_triangles"
         ),
+    )
+
+
+def clustering_coefficient(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Local clustering coefficient per node —
+    ``[node, degree, n_triangles, lcc]`` where
+    ``lcc = 2·T / (d·(d−1))`` on the simple undirected graph (0.0
+    for degree-<2 nodes, whose neighborhood has no possible edge).
+    The density signal on top of :func:`triangle_count`: link farms
+    score near 1 (everyone links everyone), broadcast hubs near 0 —
+    a spam/community feature in link-graph curation.
+
+    Same plan as :func:`triangle_count` (the degree table it already
+    builds rides along); the ratio is a row-local expression of two
+    exact integers, so any engine reproduces the double bit-for-bit.
+    """
+    t = triangle_count(pairs, src, dst, with_degree=True)
+    return t.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.col("n_triangles"))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
     )

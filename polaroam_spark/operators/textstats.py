@@ -493,3 +493,69 @@ def unigram_logprob(
     return df.join(per_doc, on=id_col, how="left").select(
         *df.columns, "mean_logprob"
     )
+
+
+def winsorize_scores(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    strata_col: str = "source",
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str = "winsorized_score",
+) -> DataFrame:
+    """Clamp scores to their per-stratum ``[lower, upper]`` exact
+    percentiles (winsorization) — the outlier guard a pipeline
+    applies before averaging or regressing on heavy-tailed signals
+    (lengths, perplexities, classifier logits), where a handful of
+    pathological documents otherwise own the mean. Per-stratum for
+    the same reason :func:`calibrate_scores` is: the tails of curated
+    text and web scrape are different animals.
+
+    One window shuffle on the stratum (the same exchange the other
+    per-stratum conditioners pay; exact ``F.percentile`` evaluates
+    over the whole partition frame). NULL scores stay NULL — a
+    failed scorer is not "at the 1st percentile" — and are excluded
+    from the percentile denominator.
+    """
+    if not 0.0 <= float(lower) < float(upper) <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    w = Window.partitionBy(strata_col)
+    lo = F.percentile(score_col, F.lit(float(lower))).over(w)
+    hi = F.percentile(score_col, F.lit(float(upper))).over(w)
+    clamped = F.least(F.greatest(F.col(score_col).cast("double"), lo), hi)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(score_col).isNotNull(), clamped),
+    )
+
+
+def robust_scale_scores(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    strata_col: str = "source",
+    out_col: str = "scaled_score",
+) -> DataFrame:
+    """Median/IQR standardization per stratum:
+    ``(score − median) / (p75 − p25)`` — the outlier-immune
+    alternative to z-scoring (mean and stddev are exactly the
+    statistics a heavy tail corrupts). Comparable scales across
+    strata let one threshold drive mixed-source selection.
+
+    Degenerate strata (IQR = 0: over half the scores identical)
+    scale to NULL rather than ±inf — there is no spread to scale by,
+    and propagating a sentinel 0 would silently rank every doc
+    "average". NULL scores stay NULL. Same single
+    stratum-partitioned window as :func:`winsorize_scores`.
+    """
+    w = Window.partitionBy(strata_col)
+    med = F.percentile(score_col, F.lit(0.5)).over(w)
+    iqr = F.percentile(score_col, F.lit(0.75)).over(w) - F.percentile(
+        score_col, F.lit(0.25)
+    ).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(score_col).isNotNull() & (iqr > 0),
+            (F.col(score_col).cast("double") - med) / iqr,
+        ),
+    )

@@ -328,3 +328,19 @@ def test_triangle_count_string_nodes_and_nulls(spark):
     )
     out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert out == {"x": 1, "y": 1, "z": 1}
+
+
+def test_clustering_coefficient_known_values(spark):
+    from polaroam_spark.operators.graph import clustering_coefficient
+
+    # K4 plus a pendant: K4 members have lcc 1.0 except node 1, whose
+    # 4th neighbor (the pendant 5) connects to nobody else:
+    # d=4, T=3 -> 2*3/(4*3) = 0.5; pendant d=1 -> 0.0
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((1, 5))
+    df = spark.createDataFrame(edges, "u int, v int")
+    out = {r.node: r for r in clustering_coefficient(df).collect()}
+    assert out[1].degree == 4 and abs(out[1].lcc - 0.5) < 1e-15
+    for n in (2, 3, 4):
+        assert out[n].degree == 3 and abs(out[n].lcc - 1.0) < 1e-15
+    assert out[5].degree == 1 and out[5].lcc == 0.0

@@ -95,3 +95,43 @@ def test_unigram_logprob_ranks_common_over_rare(spark):
     assert abs(out[1] - (math.log(p_c) + math.log(p_r)) / 2) < 1e-12
     assert out[2] is None  # no tokens -> NULL
     assert out[0] > out[1]  # all-common beats common+rare
+
+
+# ------------------------------------------------ winsorize / robust scale
+def test_winsorize_clamps_tails_per_stratum(spark):
+    from polaroam_spark.operators.textstats import winsorize_scores
+
+    rows = [("a", float(i)) for i in range(1, 101)]  # 1..100
+    rows += [("b", 5.0), ("b", 5.0), ("b", 5.0)]
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = winsorize_scores(
+        df, "score", "source", lower=0.10, upper=0.90
+    ).collect()
+    a = [r for r in out if r.source == "a" and r.score is not None]
+    # exact percentile of 1..100 at 0.10 = 10.9, at 0.90 = 90.1
+    assert abs(min(r.winsorized_score for r in a) - 10.9) < 1e-9
+    assert abs(max(r.winsorized_score for r in a) - 90.1) < 1e-9
+    mid = next(r for r in a if r.score == 50.0)
+    assert mid.winsorized_score == 50.0
+    # constant stratum: clamp is identity
+    assert all(
+        r.winsorized_score == 5.0 for r in out if r.source == "b"
+    )
+    # NULL stays NULL
+    assert next(
+        r for r in out if r.score is None
+    ).winsorized_score is None
+
+
+def test_robust_scale_median_iqr(spark):
+    from polaroam_spark.operators.textstats import robust_scale_scores
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0)]
+    rows += [("b", 7.0), ("b", 7.0)]  # IQR 0 -> NULL
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = robust_scale_scores(df, "score", "source").collect()
+    a = {r.score: r.scaled_score for r in out if r.source == "a"}
+    # median 3, p25 = 2, p75 = 4 -> iqr 2
+    assert a[3.0] == 0.0 and a[5.0] == 1.0 and a[1.0] == -1.0
+    assert all(r.scaled_score is None for r in out if r.source == "b")
