@@ -247,6 +247,26 @@ def dedup_minhash_lsh(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def _survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str, transitive: bool
+) -> DataFrame:
+    """Shared survivor policy of the corpus-level dedup composites
+    (:func:`near_dedup_corpus`, :func:`semantic_dedup`): with
+    ``transitive``, close the pairs into components and keep each
+    component's smallest id; otherwise apply the greedy
+    drop-any-doc-with-a-smaller-id-duplicate rule (chain-sensitive,
+    see the callers' docstrings). Returns the surviving rows of
+    ``docs``."""
+    if not transitive:
+        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+        return docs.join(losers, on=id_col, how="left_anti")
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("representative")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 def near_dedup_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -284,14 +304,7 @@ def near_dedup_corpus(
         pairs = ngram_jaccard_pairs(docs, text_col, id_col, **kwargs)
     else:
         raise ValueError(f"Unsupported near-dedup method: {method}")
-    if not transitive:
-        losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
-        return docs.join(losers, on=id_col, how="left_anti")
-    comp = duplicate_components(pairs)
-    losers = comp.filter(F.col("doc_id") != F.col("representative")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return docs.join(losers, on=id_col, how="left_anti")
+    return _survivors(docs, pairs, id_col, transitive)
 
 
 def duplicate_components(
@@ -495,6 +508,55 @@ def simhash_pairs(
 DEFAULT_MAX_GRAM_DF = 10_000
 
 
+def _gram_pair_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_col: str | None,
+    max_gram_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index scaffolding of the n-gram pair scorers
+    (:func:`ngram_jaccard_pairs` and :func:`containment_pairs`):
+    explode distinct n-grams, optionally prune grams whose document
+    frequency exceeds ``max_gram_df`` from the INDEX side (denominator
+    sizes still count every gram — scores become lower bounds, never
+    false positives), self-equi-join on the gram (+ optional blocking
+    key), and count shared grams per ``id_a < id_b`` pair. Returns
+    ``[id_a, id_b, _inter, _na, _nb]`` for the caller's scorer."""
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+        F.explode(ngram_set(text_col, n)).alias("_gram"),
+    )
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
+    if max_gram_df is not None:
+        rare = (
+            grams.groupBy("_gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= int(max_gram_df))
+            .select("_gram")
+        )
+        grams = grams.join(rare, on="_gram", how="left_semi")
+    join_keys = ["_gram"] + (["_blk"] if block_col else [])
+    shared = (
+        grams.alias("a")
+        .join(grams.alias("b"), on=join_keys, how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    return shared.join(
+        sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
+        on="id_a",
+    ).join(
+        sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
+        on="id_b",
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -526,39 +588,8 @@ def ngram_jaccard_pairs(
     what the d4/d6/k4 oracle gates pin."""
     if max_gram_df == "auto":
         max_gram_df = DEFAULT_MAX_GRAM_DF
-    grams = docs.select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        F.explode(ngram_set(text_col, n)).alias("_gram"),
-    )
-    sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
-    if max_gram_df is not None:
-        rare = (
-            grams.groupBy("_gram")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= int(max_gram_df))
-            .select("_gram")
-        )
-        grams = grams.join(rare, on="_gram", how="left_semi")
-    join_keys = ["_gram"] + (["_blk"] if block_col else [])
-    shared = (
-        grams.alias("a")
-        .join(grams.alias("b"), on=join_keys, how="inner")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
-        .agg(F.count("*").alias("_inter"))
-    )
     return (
-        shared.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
-            on="id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
-            on="id_b",
-        )
+        _gram_pair_counts(docs, text_col, id_col, n, block_col, max_gram_df)
         .withColumn(
             "jaccard_sim",
             F.col("_inter")
@@ -626,49 +657,20 @@ def containment_pairs(
     """
     if max_gram_df == "auto":
         max_gram_df = DEFAULT_MAX_GRAM_DF
-    grams = docs.select(
-        F.col(id_col).alias("_id"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
-        F.explode(ngram_set(text_col, n)).alias("_gram"),
-    )
-    sizes = grams.groupBy("_id").agg(F.count("*").alias("_n"))
-    if max_gram_df is not None:
-        rare = (
-            grams.groupBy("_gram")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= int(max_gram_df))
-            .select("_gram")
-        )
-        grams = grams.join(rare, on="_gram", how="left_semi")
-    join_keys = ["_gram"] + (["_blk"] if block_col else [])
-    shared = (
-        grams.alias("a")
-        .join(grams.alias("b"), on=join_keys, how="inner")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
-        .agg(F.count("*").alias("_inter"))
-    )
     return (
-        shared.join(
-            sizes.select(
-                F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
-            ),
-            on="id_a",
-        )
-        .join(
-            sizes.select(
-                F.col("_id").alias("id_b"), F.col("_n").alias("n_b")
-            ),
-            on="id_b",
-        )
+        _gram_pair_counts(docs, text_col, id_col, n, block_col, max_gram_df)
         .withColumn(
             "containment",
-            F.col("_inter") / F.least(F.col("n_a"), F.col("n_b")),
+            F.col("_inter") / F.least(F.col("_na"), F.col("_nb")),
         )
         .filter(F.col("containment") >= F.lit(threshold))
-        .select("id_a", "id_b", "containment", "n_a", "n_b")
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+        )
     )
 
 
@@ -1501,13 +1503,4 @@ def semantic_dedup(
         embeddings, id_col, vec_col, num_clusters, threshold,
         kmeans_iterations, scorer, index,
     )
-    if not transitive:
-        losers = pairs.select(
-            F.col("id_b").alias(id_col)
-        ).dropDuplicates()
-        return embeddings.join(losers, on=id_col, how="left_anti")
-    comp = duplicate_components(pairs)
-    losers = comp.filter(
-        F.col("doc_id") != F.col("representative")
-    ).select(F.col("doc_id").alias(id_col))
-    return embeddings.join(losers, on=id_col, how="left_anti")
+    return _survivors(embeddings, pairs, id_col, transitive)

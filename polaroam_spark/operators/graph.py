@@ -387,13 +387,11 @@ def triangle_count(
     higher-degree neighbors. All steps are shuffle equi-joins and
     hash aggregates on node keys; no driver-side state, no iteration.
     """
-    e = pairs.select(
-        F.col(src).alias("_a"), F.col(dst).alias("_b")
-    ).filter(
+    e = pairs.filter(
         F.col(src).isNotNull()
         & F.col(dst).isNotNull()
         & (F.col(src) != F.col(dst))
-    )
+    ).select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     und = e.select(
         F.least("_a", "_b").alias("_u"),
         F.greatest("_a", "_b").alias("_v"),

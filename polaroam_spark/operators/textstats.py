@@ -495,6 +495,16 @@ def unigram_logprob(
     )
 
 
+def _finite_score(score_col: str) -> Column:
+    """Score column as double with NaN mapped to NULL. A NaN from a
+    failed scorer must behave like NULL everywhere downstream:
+    ``F.percentile`` sorts NaN ABOVE every real value (it would skew
+    the bounds), and clamp/scale expressions would otherwise launder
+    it into a legitimate-looking top-of-range score."""
+    sc = F.col(score_col).cast("double")
+    return F.when(~F.isnan(sc), sc)
+
+
 def winsorize_scores(
     df: DataFrame,
     score_col: str = "quality_score",
@@ -513,19 +523,21 @@ def winsorize_scores(
 
     One window shuffle on the stratum (the same exchange the other
     per-stratum conditioners pay; exact ``F.percentile`` evaluates
-    over the whole partition frame). NULL scores stay NULL — a
-    failed scorer is not "at the 1st percentile" — and are excluded
-    from the percentile denominator.
+    over the whole partition frame). NULL and NaN scores stay NULL —
+    a failed scorer is not "at the 1st percentile" — and are
+    excluded from the percentile bounds (see :func:`_finite_score`).
     """
     if not 0.0 <= float(lower) < float(upper) <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
     w = Window.partitionBy(strata_col)
-    lo = F.percentile(score_col, F.lit(float(lower))).over(w)
-    hi = F.percentile(score_col, F.lit(float(upper))).over(w)
-    clamped = F.least(F.greatest(F.col(score_col).cast("double"), lo), hi)
+    sc = _finite_score(score_col)
+    lo = F.percentile(sc, F.lit(float(lower))).over(w)
+    hi = F.percentile(sc, F.lit(float(upper))).over(w)
+    # greatest/least SKIP nulls (a NULL score would come back as the
+    # lower bound), so gate explicitly: NULL/NaN in, NULL out
     return df.withColumn(
         out_col,
-        F.when(F.col(score_col).isNotNull(), clamped),
+        F.when(sc.isNotNull(), F.least(F.greatest(sc, lo), hi)),
     )
 
 
@@ -544,18 +556,16 @@ def robust_scale_scores(
     Degenerate strata (IQR = 0: over half the scores identical)
     scale to NULL rather than ±inf — there is no spread to scale by,
     and propagating a sentinel 0 would silently rank every doc
-    "average". NULL scores stay NULL. Same single
+    "average". NULL and NaN scores stay NULL. Same single
     stratum-partitioned window as :func:`winsorize_scores`.
     """
     w = Window.partitionBy(strata_col)
-    med = F.percentile(score_col, F.lit(0.5)).over(w)
-    iqr = F.percentile(score_col, F.lit(0.75)).over(w) - F.percentile(
-        score_col, F.lit(0.25)
+    sc = _finite_score(score_col)
+    med = F.percentile(sc, F.lit(0.5)).over(w)
+    iqr = F.percentile(sc, F.lit(0.75)).over(w) - F.percentile(
+        sc, F.lit(0.25)
     ).over(w)
     return df.withColumn(
         out_col,
-        F.when(
-            F.col(score_col).isNotNull() & (iqr > 0),
-            (F.col(score_col).cast("double") - med) / iqr,
-        ),
+        F.when(sc.isNotNull() & (iqr > 0), (sc - med) / iqr),
     )
