@@ -135,3 +135,33 @@ def test_robust_scale_median_iqr(spark):
     # median 3, p25 = 2, p75 = 4 -> iqr 2
     assert a[3.0] == 0.0 and a[5.0] == 1.0 and a[1.0] == -1.0
     assert all(r.scaled_score is None for r in out if r.source == "b")
+
+
+def test_winsorize_and_scale_treat_nan_as_null(spark):
+    """A NaN from a failed scorer must not skew the percentile bounds
+    or come back as a legitimate-looking clamped score (it used to be
+    laundered into the upper bound)."""
+    from polaroam_spark.operators.textstats import (
+        robust_scale_scores,
+        winsorize_scores,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 11)]
+    rows.append(("a", float("nan")))
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = winsorize_scores(df, "score", "source", 0.10, 0.90).collect()
+    import math
+
+    nan_row = next(r for r in out if r.score is not None and math.isnan(r.score))
+    assert nan_row.winsorized_score is None
+    # bounds computed over the 10 real scores only: p10 of 1..10 = 1.9
+    real = [r for r in out if r.score is not None and not math.isnan(r.score)]
+    assert abs(min(r.winsorized_score for r in real) - 1.9) < 1e-9
+    scaled = robust_scale_scores(df, "score", "source").collect()
+    nan_row = next(
+        r for r in scaled if r.score is not None and math.isnan(r.score)
+    )
+    assert nan_row.scaled_score is None
+    # median 5.5, IQR = 7.75 - 3.25 = 4.5, unpolluted by the NaN
+    mid = next(r for r in scaled if r.score == 5.5 or r.score == 5.0)
+    assert mid.scaled_score is not None
