@@ -5612,6 +5612,75 @@ def g3(spark, sf_dir):
 
 
 @_q(
+    "g4_kcore_invariants",
+    "WITH e0 AS (SELECT event_id % 211 AS a, "
+    "(event_id // 211) % 211 AS b FROM events), "
+    "und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v "
+    "FROM e0 WHERE a != b), "
+    "nodes AS (SELECT u AS node FROM und "
+    "UNION SELECT v AS node FROM und) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+    "TRUE AS core_nonempty, TRUE AS min_deg_ok, "
+    "TRUE AS maximal_ok FROM nodes",
+)
+def g4(spark, sf_dir):
+    """k-core certification (operators/graph.py:k_core, k=3) on the
+    g2 graph, following the g1/m3c invariant pattern (the peeling
+    fixed point has no single-statement SQL twin): the oracle twins
+    the exact node count and pins three genuinely-computed booleans —
+    the 3-core is non-empty, every member's in-core degree is ≥ 3,
+    and NO outside node has ≥ 3 neighbors inside the core
+    (single-node maximality). Value fidelity is pinned by the
+    pure-Python peeling differential in tests/test_graph.py."""
+    from polaroam_spark.operators.graph import k_core
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 211).alias("u"),
+        (F.expr("event_id div 211") % 211).alias("v"),
+    )
+    und = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    core = k_core(edges, "u", "v", k=3)
+    n = adj.select("u").distinct().agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    c = core.agg(
+        F.count("*").alias("_nc"), F.min("core_degree").alias("_md")
+    )
+    in_core_nbrs = (
+        adj.join(
+            core.select(F.col("node").alias("v")), on="v", how="left_semi"
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("_nic"))
+    )
+    viol = in_core_nbrs.join(
+        core.select(F.col("node").alias("u")), on="u", how="left_anti"
+    ).filter(F.col("_nic") >= 3)
+    v = viol.agg(F.count("*").alias("_nv"))
+    return (
+        n.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "n_nodes",
+            (F.col("_nc") > 0).alias("core_nonempty"),
+            (F.col("_md") >= 3).alias("min_deg_ok"),
+            (F.col("_nv") == 0).alias("maximal_ok"),
+        )
+    )
+
+
+@_q(
     "t16_winsorize",
     "SELECT doc_id, source, n_chars, "
     "round(CASE WHEN n_chars IS NOT NULL THEN "
@@ -6494,7 +6563,8 @@ _PRIORITY = [
     # (a) oracle never driver-sampled / new round-5 gates ----------
     "a15_approx_distinct",
     "ts2_ewma", "ts3_zscore_anomaly", "g2_triangle_count",
-    "g3_clustering_coeff", "d11_containment", "d12_semantic_pairs",
+    "g3_clustering_coeff", "g4_kcore_invariants",
+    "d11_containment", "d12_semantic_pairs",
     "t16_winsorize", "t17_robust_scale",
     "j7b_asof_join_chunked", "j7c_asof_join_forward",
     "n3c_ann_ivf_prebuilt", "mm1b_png_decode",

@@ -344,3 +344,68 @@ def test_clustering_coefficient_known_values(spark):
     for n in (2, 3, 4):
         assert out[n].degree == 3 and abs(out[n].lcc - 1.0) < 1e-15
     assert out[5].degree == 1 and out[5].lcc == 0.0
+
+
+# ----------------------------------------------------------------- k_core
+def _py_k_core(edges, k):
+    """Reference peeling in plain Python."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items() if v}
+
+
+def test_k_core_peels_pendant_tree(spark):
+    from polaroam_spark.operators.graph import k_core
+
+    # triangle {1,2,3} with a pendant chain 3-4-5: k=2 keeps only the
+    # triangle (4 then 5 peel in successive rounds)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u int, v int"
+    )
+    out = {r.node: r.core_degree for r in k_core(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_differential_random(spark):
+    import numpy as np
+
+    from polaroam_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(11)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 60, (300, 2)) if a < b}
+    df = spark.createDataFrame(sorted(edges), "u int, v int")
+    for k in (2, 3, 5):
+        expected = _py_k_core(edges, k)
+        got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+        assert got == expected, k
+
+
+def test_k_core_empty_and_bounds(spark):
+    import pytest
+
+    from polaroam_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
+    assert k_core(df, k=2).count() == 0  # a path has no 2-core
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    # a long path at k=2 peels two endpoints per round: max_rounds=1
+    # cannot converge -> hard error, never a silent partial core
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "u int, v int"
+    )
+    with pytest.raises(RuntimeError):
+        k_core(chain, k=2, max_rounds=1)
