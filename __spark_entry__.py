@@ -5712,6 +5712,55 @@ def t16(spark, sf_dir):
 
 
 @_q(
+    "t18_duplicated_spans",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 20 THEN
+    [array_to_string(toks[i:i+19], ' ')
+     for i in range(1, len(toks) - 18, 10)]
+    ELSE [] END AS span_list
+  FROM toks
+),
+ex AS (SELECT doc_id, span FROM spans, unnest(span_list) AS u(span)),
+mult AS (SELECT span, count(*) AS c FROM ex GROUP BY span),
+per AS (
+  SELECT e.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN m.c > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM ex e JOIN mult m USING (span) GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN per.n_spans > 0
+            THEN per.n_dup / CAST(per.n_spans AS DOUBLE) END
+         AS dup_span_ratio
+FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id""",
+)
+def t18(spark, sf_dir):
+    """Cross-document duplicated-span stats
+    (operators/textstats.py:duplicated_span_stats, 20-token windows,
+    stride 10) vs a DuckDB list-comprehension twin over the same
+    strided spans. ``portable=True`` keeps span strings as the join
+    key so the oracle reproduces the grouping exactly; the ratio is
+    a division of twinned exact integers — raw doubles hash equal."""
+    from polaroam_spark.operators.textstats import (
+        duplicated_span_stats,
+    )
+
+    out = duplicated_span_stats(
+        _t(spark, sf_dir, "documents"),
+        window=20, stride=10, portable=True,
+    )
+    return out.select(
+        "doc_id", "n_spans", "n_dup_spans", "dup_span_ratio"
+    )
+
+
+@_q(
     "t17_robust_scale",
     "SELECT doc_id, source, n_chars, "
     "CASE WHEN n_chars IS NOT NULL AND "
@@ -6565,7 +6614,7 @@ _PRIORITY = [
     "ts2_ewma", "ts3_zscore_anomaly", "g2_triangle_count",
     "g3_clustering_coeff", "g4_kcore_invariants",
     "d11_containment", "d12_semantic_pairs",
-    "t16_winsorize", "t17_robust_scale",
+    "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
     "j7b_asof_join_chunked", "j7c_asof_join_forward",
     "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
     "j8b_point_in_interval_left",

@@ -569,3 +569,82 @@ def robust_scale_scores(
         out_col,
         F.when(sc.isNotNull() & (iqr > 0), (sc - med) / iqr),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+    portable: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN statistics (the signal behind
+    substring-level dedup, Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): slide a
+    ``window``-token window with ``stride`` over every document,
+    count how many of a document's spans occur more than once in the
+    corpus (including self-repetition). Appends ``n_spans``,
+    ``n_dup_spans``, ``dup_span_ratio`` — the copy-paste measure that
+    line-level stats miss (verbatim passages rarely align to line
+    boundaries) and whole-doc Jaccard dilutes (a 5% copied chunk in
+    an otherwise-unique page).
+
+    The paper's exact suffix-array machinery finds every duplicated
+    substring; the strided-window form is the standard distributable
+    relaxation: any duplicated passage ≥ ``window + stride - 1``
+    tokens is guaranteed to contribute at least one aligned
+    duplicated window when the copies are token-aligned, shorter or
+    misaligned copies degrade gracefully. Documents under ``window``
+    tokens emit no spans (``dup_span_ratio`` NULL — no evidence
+    either way).
+
+    Shape: explode spans → one groupBy on the span key (map-side
+    combined) → join the multiplicity back → per-doc aggregate; all
+    shuffles keyed by span/doc. ``portable=False`` (default) folds
+    each span to a 64-bit xxhash64 so the shuffle carries 8 bytes
+    per span, not ~window·6 text bytes — at corpus scale the span
+    text must not move twice; ``portable=True`` keeps span STRINGS
+    (what a SQL oracle reproduces; collision-free).
+    """
+    window = int(window)
+    stride = int(stride)
+    if window < 2 or stride < 1:
+        raise ValueError("need window >= 2 and stride >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= window,
+        F.sequence(F.lit(0), n - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    span = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window))
+    key = (
+        (lambda i: F.xxhash64(span(i)))
+        if not portable
+        else span
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.transform(starts, key)).alias("_span"),
+    )
+    mult = ex.filter(F.col("_span").isNotNull()).groupBy("_span").agg(
+        F.count("*").alias("_c")
+    )
+    flagged = ex.join(mult, on="_span", how="left")
+    per = flagged.groupBy("_id").agg(
+        F.count("_span").cast("bigint").alias("n_spans"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_dup_spans"),
+    )
+    return df.join(
+        per.withColumnRenamed("_id", id_col), on=id_col, how="left"
+    ).withColumn(
+        "dup_span_ratio",
+        F.when(
+            F.col("n_spans") > 0,
+            F.col("n_dup_spans") / F.col("n_spans"),
+        ),
+    )

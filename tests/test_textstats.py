@@ -165,3 +165,45 @@ def test_winsorize_and_scale_treat_nan_as_null(spark):
     # median 5.5, IQR = 7.75 - 3.25 = 4.5, unpolluted by the NaN
     mid = next(r for r in scaled if r.score == 5.5 or r.score == 5.0)
     assert mid.scaled_score is not None
+
+
+def test_duplicated_span_stats(spark):
+    from polaroam_spark.operators.textstats import duplicated_span_stats
+
+    shared = " ".join(f"w{i}" for i in range(25))  # 25 shared tokens
+    uniq_a = " ".join(f"a{i}" for i in range(30))
+    uniq_b = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (1, shared + " " + uniq_a),   # 55 tokens, spans at 0,10,20,30
+        (2, shared + " " + uniq_b),   # same head -> span@0 duplicated
+        (3, "tiny doc"),              # under window -> no spans
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for portable in (True, False):
+        out = {
+            r.doc_id: r
+            for r in duplicated_span_stats(
+                df, window=20, stride=10, portable=portable
+            ).collect()
+        }
+        # doc 1: starts 0,10,20,30 -> 4 spans; only span@0 (pure
+        # shared prefix) also occurs in doc 2; span@10 mixes shared
+        # tail with unique tokens
+        assert out[1].n_spans == 4
+        assert out[1].n_dup_spans == 1
+        assert abs(out[1].dup_span_ratio - 0.25) < 1e-12
+        assert out[2].n_dup_spans == 1
+        assert out[3].n_spans == 0 and out[3].dup_span_ratio is None
+        assert out[4].n_spans == 0 and out[4].dup_span_ratio is None
+
+
+def test_duplicated_span_self_repetition_counts(spark):
+    from polaroam_spark.operators.textstats import duplicated_span_stats
+
+    looped = " ".join(["x"] * 40)  # every 20-token window identical
+    df = spark.createDataFrame([(1, looped)], "doc_id int, text string")
+    r = duplicated_span_stats(df, window=20, stride=10).first()
+    # starts 0,10,20 -> 3 identical spans, all duplicated
+    assert r.n_spans == 3 and r.n_dup_spans == 3
+    assert r.dup_span_ratio == 1.0
