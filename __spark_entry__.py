@@ -5927,6 +5927,66 @@ def d12(spark, sf_dir):
     )
 
 
+_ST7_SEQ = [0]
+
+
+@_q(
+    "st7_streaming_ewma",
+    "WITH RECURSIVE obs AS (SELECT CAST(user_id AS VARCHAR) AS k, "
+    "epoch_ns(ts) // 1000000000 AS s, min(value) AS v "
+    "FROM events GROUP BY 1, 2), "
+    "r AS (SELECT k, s, v, row_number() OVER "
+    "(PARTITION BY k ORDER BY s) AS rn FROM obs), "
+    "e AS (SELECT k, s, v, rn, v AS y FROM r WHERE rn = 1 "
+    "UNION ALL SELECT r.k, r.s, r.v, r.rn, "
+    "0.25 * r.v + 0.75 * e.y FROM e "
+    "JOIN r ON r.k = e.k AND r.rn = e.rn + 1) "
+    "SELECT k AS key, s AS ts, v AS value, y AS ewma FROM e",
+)
+def st7(spark, sf_dir):
+    """Streaming EWMA (streaming/timeseries.py:streaming_ewma) run as
+    one availableNow micro-batch over a file source, vs the SAME
+    recursive-CTE twin as the batch ts2 gate: one batch replays each
+    key's full series in order with duplicate epochs collapsed, so
+    the streaming fold and the batch recursion are the same float
+    sequence — raw doubles hash equal (ts2 rounding note applies).
+    Cross-batch state continuation and late-row drops are pinned by
+    the two-micro-batch pytest (tests/test_streaming.py)."""
+    import os
+
+    from polaroam_spark.streaming import streaming_ewma
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_ewma.parquet")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.unix_timestamp("ts").alias("timestamp"),
+            "value",
+        )
+        .withColumn("event_ts", F.timestamp_seconds("timestamp"))
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_ewma(
+        stream, alpha=0.25, key_col="uid",
+        watermark_delay="3650 days",
+    )
+    _ST7_SEQ[0] += 1
+    qname = f"st7_ewma_sink_{_ST7_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select("key", "ts", "value", "ewma")
+
+
 @_q(
     "st6_streaming_sessions",
     "WITH d AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s "
@@ -6615,6 +6675,7 @@ _PRIORITY = [
     "g3_clustering_coeff", "g4_kcore_invariants",
     "d11_containment", "d12_semantic_pairs",
     "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
+    "st7_streaming_ewma",
     "j7b_asof_join_chunked", "j7c_asof_join_forward",
     "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
     "j8b_point_in_interval_left",

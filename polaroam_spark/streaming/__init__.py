@@ -1,4 +1,5 @@
 from polaroam_spark.streaming.joins import stream_stream_interval_join
+from polaroam_spark.streaming.timeseries import streaming_ewma
 from polaroam_spark.streaming.sessionize import (
     streaming_dedup,
     streaming_dedup_incremental,
@@ -16,4 +17,5 @@ __all__ = [
     "streaming_dedup_incremental",
     "streaming_heavy_hitters",
     "stream_stream_interval_join",
+    "streaming_ewma",
 ]

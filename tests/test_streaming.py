@@ -334,3 +334,49 @@ def test_stream_stream_left_outer_join(spark, tmpdir):
 
     with pytest.raises(ValueError):
         stream_stream_interval_join(ls, rs, on="uid", how="full")
+
+
+def test_streaming_ewma_state_across_batches(spark, tmpdir):
+    """Two micro-batches (maxFilesPerTrigger=1): the recursion must
+    continue from batch-1 state, and a late row at/behind the key's
+    last processed epoch is dropped, not mis-ordered."""
+    from polaroam_spark.streaming import streaming_ewma
+
+    src = f"{tmpdir}/ewma_src"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "uid string, timestamp long, value double"
+    ).withColumn("event_ts", F.timestamp_seconds("timestamp"))
+    mk([("a", T0, 10.0), ("a", T0 + 60, 20.0)]) \
+        .coalesce(1).write.parquet(src)
+    # batch 2: one new row, one late row behind last_ts (dropped),
+    # one duplicate epoch of the new row (collapsed to min)
+    mk([
+        ("a", T0 + 120, 0.0),
+        ("a", T0 + 120, 99.0),
+        ("a", T0 + 30, 777.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "uid string, timestamp long, value double, event_ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_ewma(
+        stream, alpha=0.5, key_col="uid",
+        watermark_delay="30 days",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ewma_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r.ts: r for r in spark.table("ewma_sink").collect()}
+    assert set(rows) == {T0, T0 + 60, T0 + 120}
+    assert rows[T0].ewma == 10.0
+    assert rows[T0 + 60].ewma == 0.5 * 20.0 + 0.5 * 10.0
+    # batch 2 continued from y=15.0; duplicate epoch collapsed to 0.0
+    assert rows[T0 + 120].value == 0.0
+    assert rows[T0 + 120].ewma == 0.5 * 0.0 + 0.5 * 15.0
+    assert all(r.key == "a" for r in rows.values())
