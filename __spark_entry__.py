@@ -5983,7 +5983,8 @@ def st7(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise RuntimeError("st7 stream timed out")
     return spark.table(qname).select("key", "ts", "value", "ewma")
 
 
@@ -6655,50 +6656,35 @@ def mm2(spark, sf_dir):
 
 
 # The correctness driver checks queries in dict order and covers a
-# ~50-query prefix of the registry per round. Round-5 window: group
-# (a) is every NEVER-driver-sampled query — a15 (oracle added post-
-# r2) plus the ~40 gates new this round (OLAP rollup/cube/sets,
-# anti/null-safe/full-outer joins, TPC-H composites, Gopher/dup-line
-# text rules, cap/weighted sampling, JSONL/mergeSchema/upsert/compact
-# /stats IO, stream-stream + session-window streaming, pagerank,
-# zorder, HLL, resample, BM25, fuzzy join, histogram/corr,
-# expectations) — these take precedence because they have no hard
-# green row at all. Group (b) is the r2-stale block; entries past the
-# ~50 cutoff were each re-verified green this round via
-# tools/oracle_check.py at sf0.01 (56-query prefix run + per-gate
-# runs recorded in the round-5 commit messages). Everything with a
-# green r3/r4 row and unchanged code rides behind.
+# ~50-query prefix of the registry per round. Round-6 window, in
+# priority order (names not yet registered are skipped by
+# _ordered_names, so planned gates can be pre-listed):
+# (a) the 9 round-5 gates the driver NEVER sampled (they sat at
+#     positions 51-59 of the round-5 window; judge-verified green via
+#     tools/oracle_check.py on 2026-08-14 but with no hard
+#     CORRECTNESS row) — VERDICT r5 item #1, these go first;
+# (b) gates NEW this round (span dedup, WAV/MP4 headers, sf-scaled
+#     ANN recall, infomap backend) plus gates whose OPERATOR CODE
+#     round-6 commits touched (ts2/ts3 _collapsed_obs NaN policy +
+#     blocked EWMA fold, st7 streaming NaN guard, g4 k-core chain
+#     splice) — re-sample after change;
+# (c) the r2-stale block (last sampled round 2, the oldest greens).
+#     36 gates, ~31 fit in the remaining window; the tail that falls
+#     outside rotates to the head of the round-7 window.
+# Everything with a fresher green row and unchanged code rides behind.
 _PRIORITY = [
-    # (a) oracle never driver-sampled / new round-5 gates ----------
-    "a15_approx_distinct",
-    "ts2_ewma", "ts3_zscore_anomaly", "g2_triangle_count",
-    "g3_clustering_coeff", "g4_kcore_invariants",
-    "d11_containment", "d12_semantic_pairs",
-    "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
-    "st7_streaming_ewma",
-    "j7b_asof_join_chunked", "j7c_asof_join_forward",
-    "n3c_ann_ivf_prebuilt", "mm1b_png_decode",
-    "j8b_point_in_interval_left",
-    "x1_heavy_hitters", "x2_bloom_membership",
-    "x3_bloom_decontaminate",
-    "t13_gopher_flags", "t14_duplicate_lines",
-    "smp5_cap_per_key", "smp6_weighted_sample",
-    "s10_jsonl_roundtrip", "st5_stream_stream_join",
-    "a16_rollup", "a17_cube", "a18_grouping_sets", "r7_set_ops",
-    "j9_anti_join", "j10_nullsafe_join", "a19_approx_percentile_band",
-    "q1_tpch_pricing", "q3_tpch_shipping",
-    "j11_full_outer", "w9_ntile_cume", "f21_map_ops",
-    "s11_schema_evolution", "g1_pagerank_invariants",
-    "f22_zorder_key", "x4_hll_two_level",
-    "w10_session_window", "ts1_resample_linear",
-    "st6_streaming_sessions",
-    "s12_upsert_by_key", "s13_compact_files", "s14_column_stats",
-    "q4_bm25_search", "d10_fuzzy_text_join",
+    # (a) round-5 gates with no driver CORRECTNESS row -------------
     "a20_histogram", "a21_corr_covar", "v3_validate_expectations",
-    "mm2_png_dims", "j12_interval_overlap", "r8_topk_per_key",
-    "t15_unigram_logprob", "q5_tpch_local_supplier",
-    "n4_embedding_join",
-    # (b) r2-latest greens at the staleness limit ------------------
+    "n4_embedding_join", "q5_tpch_local_supplier",
+    "t15_unigram_logprob", "r8_topk_per_key", "j12_interval_overlap",
+    "mm2_png_dims",
+    # (b) new round-6 gates + gates whose code round 6 touched -----
+    "t19_dedup_spans", "mm3_av_headers",
+    "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
+    "m3d_communities_infomap",
+    "ts2_ewma", "ts2b_ewma_blocked", "ts3_zscore_anomaly",
+    "st7_streaming_ewma", "g4_kcore_invariants",
+    # (c) r2-latest greens — the stalest block ---------------------
     "s1_parquet_scan_filter", "s2_parquet_read_agg",
     "s4_pandas_interchange", "s6_partitioned_write",
     "p1_projection", "p2_rename", "p3_computed_columns",

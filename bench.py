@@ -30,6 +30,19 @@ def _sf_from_dir(d: str) -> float:
 def main() -> None:
     from polaroam_spark import get_spark
 
+    # BASELINE.md protocol: numbers are only comparable at load1 < ~4.
+    # Record the machine load BEFORE the run and stamp the artifact so
+    # a high-load measurement (round 5's load1-6.6 BENCH file) can't
+    # masquerade as a clean one.
+    try:
+        load1_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1_start = -1.0
+    load_threshold = float(
+        os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "4.0")
+    )
+    invalid_load = load1_start > load_threshold
+
     spark = get_spark(app_name="polaroam-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -185,6 +198,9 @@ def main() -> None:
                 "warmup_sec": round(warmup, 3),
                 "runs_per_query": runs,
                 "load1": load1,
+                "load1_start": load1_start,
+                "invalid_load": invalid_load,
+                "load_threshold": load_threshold,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
             }
         )
