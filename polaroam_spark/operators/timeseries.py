@@ -42,6 +42,10 @@ def _collapsed_obs(
             F.col("_k").isNotNull()
             & F.col("_t").isNotNull()
             & F.col("_v").isNotNull()
+            # NaN-as-NULL (repo policy, cf. textstats._finite_score):
+            # a NaN observation would otherwise poison every
+            # subsequent running value for its key
+            & ~F.isnan(F.col("_v"))
         )
         .withColumn("_pt", F.lag("_t").over(w))
         .filter(F.col("_pt").isNull() | (F.col("_pt") != F.col("_t")))
@@ -234,6 +238,7 @@ def resample_interpolate(
             F.col("_k").isNotNull()
             & F.col("_t").isNotNull()
             & F.col("_v").isNotNull()
+            & ~F.isnan(F.col("_v"))  # NaN-as-NULL, same as _collapsed_obs
         )
         .groupBy("_k", "_t")
         .agg(F.min("_v").alias("_v"))

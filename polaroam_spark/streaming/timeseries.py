@@ -85,7 +85,17 @@ def streaming_ewma(
             state.remove()
             return
 
-        rows = pd.concat(list(pdfs)).sort_values(
+        rows = pd.concat(list(pdfs))
+        # drop null/NaN observations FIRST — the batch twin's
+        # _collapsed_obs rule (NaN is treated as NULL, the repo-wide
+        # policy). A null epoch would otherwise make the int64 cast
+        # below raise (a poison pill that kills the query on every
+        # retry of the micro-batch); a NaN value would fold into y
+        # and permanently corrupt the key's state.
+        rows = rows.dropna(subset=[epoch_col, value_col, ts_col])
+        if rows.empty:
+            return
+        rows = rows.sort_values(
             [epoch_col, value_col], kind="mergesort"
         )
         # collapse duplicate epochs to their min value (first after
