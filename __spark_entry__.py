@@ -5409,7 +5409,9 @@ def w10(spark, sf_dir):
 @_q(
     "ts1_resample_linear",
     "WITH obs AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, "
-    "min(value) AS v FROM events GROUP BY 1, 2), "
+    "min(value) AS v FROM events WHERE user_id IS NOT NULL "
+    "AND ts IS NOT NULL AND value IS NOT NULL "
+    "AND NOT isnan(value) GROUP BY 1, 2), "
     "b AS (SELECT user_id, "
     "CAST(min(s) + (((-min(s)) % 86400 + 86400) % 86400) AS BIGINT) "
     "AS g0, "
@@ -5460,7 +5462,8 @@ def ts1(spark, sf_dir):
     "ts2_ewma",
     "WITH RECURSIVE obs AS (SELECT user_id, "
     "epoch_ns(ts) // 1000000000 AS s, min(value) AS v "
-    "FROM events GROUP BY 1, 2), "
+    "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+    "AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2), "
     "r AS (SELECT user_id, s, v, row_number() OVER "
     "(PARTITION BY user_id ORDER BY s) AS rn FROM obs), "
     "e AS (SELECT user_id, s, v, rn, v AS y FROM r WHERE rn = 1 "
@@ -5496,9 +5499,50 @@ def ts2(spark, sf_dir):
 
 
 @_q(
+    "ts2b_ewma_blocked",
+    "WITH RECURSIVE obs AS (SELECT user_id, "
+    "epoch_ns(ts) // 1000000000 AS s, min(value) AS v "
+    "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+    "AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2), "
+    "r AS (SELECT user_id, s, v, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY s) AS rn FROM obs), "
+    "e AS (SELECT user_id, s, v, rn, v AS y FROM r WHERE rn = 1 "
+    "UNION ALL SELECT r.user_id, r.s, r.v, r.rn, "
+    "0.25 * r.v + 0.75 * e.y FROM e "
+    "JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1) "
+    "SELECT user_id, s AS ts, v AS value, y AS ewma FROM e",
+)
+def ts2b(spark, sf_dir):
+    """Blocked/streaming-scan EWMA
+    (operators/timeseries.py:ewma_blocked) vs the SAME recursive CTE
+    as ts2: the Arrow-batch scan carries the running y across batch
+    boundaries as a Python scalar, executing the literal
+    ``0.25*x + 0.75*y`` step per row, so its doubles are
+    bit-identical to both the ts2 fold and the oracle recursion —
+    but in O(L) time and O(batch) memory per key (the fold's
+    O(L^2) concat + whole-series array is the round-6 verdict's
+    named scale-killer). Linearity probe: BASELINE.md (1M-row
+    single key)."""
+    from polaroam_spark.operators.timeseries import ewma_blocked
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    out = ewma_blocked(ev, "user_id", "es", "value", alpha=0.25)
+    return out.select(
+        "user_id",
+        F.col("es").alias("ts"),
+        "value",
+        "ewma",
+    )
+
+
+@_q(
     "ts3_zscore_anomaly",
     "WITH obs0 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS s, "
-    "min(value) AS v FROM events GROUP BY 1, 2), "
+    "min(value) AS v FROM events WHERE user_id IS NOT NULL "
+    "AND ts IS NOT NULL AND value IS NOT NULL "
+    "AND NOT isnan(value) GROUP BY 1, 2), "
     "obs AS (SELECT user_id, s, round(v * 100, 0) AS c FROM obs0), "
     "st AS (SELECT user_id, s, c, count(c) OVER w AS n, "
     "sum(c) OVER w AS sm, sum(c * c) OVER w AS sq FROM obs "
@@ -5934,7 +5978,8 @@ _ST7_SEQ = [0]
     "st7_streaming_ewma",
     "WITH RECURSIVE obs AS (SELECT CAST(user_id AS VARCHAR) AS k, "
     "epoch_ns(ts) // 1000000000 AS s, min(value) AS v "
-    "FROM events GROUP BY 1, 2), "
+    "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+    "AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2), "
     "r AS (SELECT k, s, v, row_number() OVER "
     "(PARTITION BY k ORDER BY s) AS rn FROM obs), "
     "e AS (SELECT k, s, v, rn, v AS y FROM r WHERE rn = 1 "
@@ -5979,11 +6024,17 @@ def st7(spark, sf_dir):
         out.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .option("checkpointLocation", os.path.join(scratch, "ewma_ckpt"))
+        # checkpoint rotates with the sink name: a leaked/abandoned
+        # run must never share checkpoint state with a retry
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch, f"ewma_ckpt_{_ST7_SEQ[0]}"),
+        )
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(300):
+        q.stop()  # don't leak a running query holding the checkpoint
         raise RuntimeError("st7 stream timed out")
     return spark.table(qname).select("key", "ts", "value", "ewma")
 

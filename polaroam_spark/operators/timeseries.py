@@ -126,6 +126,89 @@ def ewma(
     )
 
 
+def ewma_blocked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Scale-path EWMA — identical semantics and bit-identical
+    doubles to :func:`ewma`, but **O(L) time and O(batch) memory per
+    key** instead of the fold's whole-series-in-one-array +
+    O(L^2) array-concat shape. This is the variant for long series:
+    a 10^7-row key streams through in Arrow-batch-sized chunks.
+
+    Plan shape: the single hash exchange on the key that
+    ``_collapsed_obs`` already establishes, a partition-local sort
+    on (key, ts) (no second exchange — EnsureRequirements sees the
+    partitioning satisfied), then ONE ``mapInPandas`` pass that
+    carries ``(current_key, running_y)`` as two Python scalars
+    across Arrow batches. Rows for a key are contiguous and
+    ts-ordered within their partition, so the recursion resumes
+    across batch boundaries from the carried scalar — per-key state
+    is O(1), per-task memory is one Arrow batch
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+
+    The per-step arithmetic is the literal ``alpha*x + beta*prev``
+    recursion executed on Python IEEE doubles — the SAME correctly-
+    rounded expression the fold's Catalyst version and the DuckDB
+    recursive-CTE oracle evaluate, so all three agree bit-for-bit
+    (pinned by tests/test_timeseries.py and the ts2b gate). A
+    vectorized rewrite (pandas ``ewm``, power-sum prefix) was
+    rejected: pandas' weighted-average accumulation diverges in the
+    last ulp for non-dyadic alpha, and the power-sum form
+    underflows ``beta**n`` — bit-stability beats constant factors
+    here, and the Python loop is ~0.1 s per 10^6 rows, linear.
+    """
+    import pandas as pd
+
+    alpha = float(alpha)
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    beta = 1.0 - alpha
+    obs = _collapsed_obs(df, key_col, ts_col, value_col)
+    # repartition(_k) is satisfied by _collapsed_obs's window
+    # exchange, so this inserts only the partition-local sort
+    sorted_obs = obs.repartition(F.col("_k")).sortWithinPartitions(
+        "_k", "_t"
+    )
+
+    def _fold(batches):
+        cur_key, prev = None, 0.0
+        started = False
+        for pdf in batches:
+            ks = pdf["_k"].tolist()
+            vs = pdf["_v"].tolist()
+            out = [0.0] * len(vs)
+            for i, v in enumerate(vs):
+                if not started or ks[i] != cur_key:
+                    cur_key, prev, started = ks[i], v, True
+                else:
+                    prev = alpha * v + beta * prev
+                out[i] = prev
+            yield pd.DataFrame(
+                {
+                    "_k": pdf["_k"],
+                    "_t": pdf["_t"],
+                    "_v": pdf["_v"],
+                    "ewma": out,
+                }
+            )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sorted_obs.schema.fields
+    )
+    folded = sorted_obs.mapInPandas(_fold, schema=f"{schema}, ewma double")
+    return folded.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias(ts_col),
+        F.col("_v").alias(value_col),
+        "ewma",
+    )
+
+
 def rolling_zscore(
     df: DataFrame,
     key_col: str,

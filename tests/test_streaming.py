@@ -380,3 +380,43 @@ def test_streaming_ewma_state_across_batches(spark, tmpdir):
     assert rows[T0 + 120].value == 0.0
     assert rows[T0 + 120].ewma == 0.5 * 0.0 + 0.5 * 15.0
     assert all(r.key == "a" for r in rows.values())
+
+
+def test_streaming_ewma_nan_and_null_rows_dropped(spark, tmpdir):
+    """The poison-pill guards: a NaN value must not fold into state,
+    and a NULL epoch must not kill the micro-batch (the int64 cast
+    would raise on every retry) — both rows drop, the query survives,
+    and the surviving rows' recursion is unaffected."""
+    from polaroam_spark.streaming import streaming_ewma
+
+    src = f"{tmpdir}/ewma_nan_src"
+    df = spark.createDataFrame(
+        [
+            ("a", T0, 10.0),
+            ("a", T0 + 60, float("nan")),   # NaN value: dropped
+            ("a", None, 123.0),             # NULL epoch: dropped
+            ("a", T0 + 120, 30.0),
+        ],
+        "uid string, timestamp long, value double",
+    ).withColumn("event_ts", F.timestamp_seconds(F.coalesce("timestamp", F.lit(T0))))
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "uid string, timestamp long, value double, event_ts timestamp"
+    ).parquet(src)
+    out = streaming_ewma(
+        stream, alpha=0.5, key_col="uid", watermark_delay="30 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_nan_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ewma_nan_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)  # query survived the poison rows
+    rows = {r.ts: r for r in spark.table("ewma_nan_sink").collect()}
+    assert set(rows) == {T0, T0 + 120}
+    assert rows[T0].ewma == 10.0
+    # recursion continued from 10.0, NOT through the NaN
+    assert rows[T0 + 120].ewma == 0.5 * 30.0 + 0.5 * 10.0

@@ -123,6 +123,56 @@ def test_ewma_alpha_validation(spark):
         ewma(df, "k", "ts", "v", alpha=1.5)
 
 
+def test_ewma_nan_dropped_as_null(spark):
+    """NaN-as-NULL policy: a NaN observation is dropped, never folded
+    into the running value (it would poison every later y)."""
+    from polaroam_spark.operators.timeseries import ewma, ewma_blocked
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, float("nan")), ("a", 3, 6.0)],
+        "k string, ts long, v double",
+    )
+    for fn in (ewma, ewma_blocked):
+        out = {(r.k, r.ts): r.ewma for r in fn(df, "k", "ts", "v", 0.25).collect()}
+        assert set(out) == {("a", 1), ("a", 3)}
+        assert out[("a", 3)] == 0.25 * 6.0 + 0.75 * 2.0
+
+
+def test_ewma_blocked_bitwise_matches_fold(spark):
+    """ewma_blocked must reproduce the fold's doubles BIT-FOR-BIT for
+    a non-dyadic alpha (the hard case: any reordered or vectorized
+    rewrite diverges in the last ulp), across multiple keys, duplicate
+    timestamps, and Arrow batch boundaries."""
+    import random
+
+    from polaroam_spark.operators.timeseries import ewma, ewma_blocked
+
+    random.seed(11)
+    rows = []
+    for k in range(6):
+        for t in random.sample(range(100000), 400):
+            rows.append((f"k{k}", t, round(random.uniform(-9, 9), 3)))
+    rows.append(("k0", rows[0][1], 1e9))  # duplicate ts, loses to min
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    # force several Arrow batches per partition
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "97"
+    )
+    try:
+        a = ewma(df, "k", "ts", "v", alpha=0.3).collect()
+        b = ewma_blocked(df, "k", "ts", "v", alpha=0.3).collect()
+    finally:
+        df.sparkSession.conf.unset(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+    key = lambda r: (r.k, r.ts)  # noqa: E731
+    am = {key(r): r.ewma for r in a}
+    bm = {key(r): r.ewma for r in b}
+    assert am == bm  # exact float equality, not approx
+    with pytest.raises(ValueError):
+        ewma_blocked(df, "k", "ts", "v", alpha=0.0)
+
+
 # -------------------------------------------------------- rolling_zscore
 def test_rolling_zscore_flags_planted_outlier(spark):
     from polaroam_spark.operators.timeseries import rolling_zscore
