@@ -5805,6 +5805,74 @@ def t18(spark, sf_dir):
 
 
 @_q(
+    "t19_dedup_spans",
+    """WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= 20
+                THEN range(0, len(toks) - 20 + 1, 10)
+                ELSE CAST([] AS BIGINT[]) END) AS st
+  FROM d
+),
+keyed AS (
+  SELECT doc_id, st,
+         array_to_string(list_transform(list_slice(toks, st + 1, st + 20),
+                                        t -> lower(t)), ' ') AS sp
+  FROM occ
+),
+rk AS (
+  SELECT doc_id, st, count(*) OVER (PARTITION BY sp) AS c,
+         row_number() OVER (PARTITION BY sp ORDER BY doc_id, st) AS rn
+  FROM keyed
+),
+rm AS (
+  SELECT doc_id, list_sort(list(st)) AS rms
+  FROM rk WHERE c > 1 AND rn > 1 GROUP BY doc_id
+),
+out AS (
+  SELECT d.doc_id, d.toks, coalesce(rm.rms, CAST([] AS BIGINT[])) AS rms
+  FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(list_filter(toks, (t, i) ->
+         len(list_filter(rms, s -> i - 1 >= s AND i - 1 < s + 20)) = 0))
+         AS BIGINT) AS n_tokens_after,
+       CAST(len(rms) AS BIGINT) AS n_spans_removed,
+       md5(coalesce(array_to_string(list_filter(toks, (t, i) ->
+         len(list_filter(rms, s -> i - 1 >= s AND i - 1 < s + 20)) = 0),
+         ' '), '')) AS text_md5
+FROM out""",
+)
+def t19(spark, sf_dir):
+    """Duplicated-span REMOVAL (operators/textstats.py:dedup_spans,
+    Lee-et-al keep-first semantics, 20-token windows / stride 10) vs
+    a DuckDB twin replaying the same grid, the same
+    (doc_id, start)-ordered first-occurrence rule, and the same
+    range-union mask (1-based index lambdas on the DuckDB side).
+    The rebuilt text is compared by md5 so the gate hashes 32 bytes
+    per doc, not the corpus. The engine keys spans by xxhash64
+    (8-byte shuffle) while the oracle uses span STRINGS — outputs
+    agree unless a 64-bit collision occurs (~n^2/2^65)."""
+    from polaroam_spark.operators.textstats import dedup_spans
+
+    out = dedup_spans(
+        _t(spark, sf_dir, "documents"), window=20, stride=10
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        "n_spans_removed",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    )
+
+
+@_q(
     "t17_robust_scale",
     "SELECT doc_id, source, n_chars, "
     "CASE WHEN n_chars IS NOT NULL AND "

@@ -648,3 +648,107 @@ def duplicated_span_stats(
             F.col("n_dup_spans") / F.col("n_spans"),
         ),
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN REMOVAL — the acting half of
+    :func:`duplicated_span_stats` (Lee et al. 2021, arXiv:2107.06499
+    §4 ExactSubstr: drop every repeated passage, keeping one copy):
+    slide the same ``window``-token / ``stride`` span grid, and for
+    every span text that occurs more than once in the corpus, MASK
+    the covered token range of every occurrence except the globally
+    first one (ordered by ``(doc_id, start)`` — deterministic on any
+    engine). Returns ``[id_col, text, n_tokens_before,
+    n_tokens_after, n_spans_removed]`` where ``text`` is rebuilt
+    from the surviving tokens.
+
+    Span identity is case-insensitive and whitespace-normalized
+    (the stats operator's key); the rebuilt text keeps the original
+    token case but single-space joins — substring dedup is a
+    token-level transform, byte-exact whitespace does not survive it
+    (documented, same relaxation as the strided grid itself).
+    Overlapping masked spans union; a masked range may also overlap
+    the kept first occurrence's tokens elsewhere in the same doc —
+    the removal is range-wise, not occurrence-paired.
+
+    Scale shape (the part that matters at 100 TB): first-occurrence
+    selection is ``min(struct(doc_id, start))`` per span — ONE
+    map-side-combined aggregate, NOT a per-span window rank, so a
+    span duplicated 10^6 times costs one combiner cell, never a
+    10^6-row sorted partition. The join back is N-occurrences ×
+    1-first-row per key (output-bound, no pair explosion). Per-doc
+    mask application is a JVM higher-order ``filter``/``exists``
+    over (tokens × removed ranges) — quadratic only in the
+    pathological fully-self-duplicated doc, and a doc already fits
+    in one task by the corpus contract. Default span key is the
+    8-byte ``xxhash64`` of the span (shuffle carries 8 bytes, not
+    ~window·6 text bytes; collision odds ~n^2/2^65).
+    """
+    window = int(window)
+    stride = int(stride)
+    if window < 2 or stride < 1:
+        raise ValueError("need window >= 2 and stride >= 1")
+    raw = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), raw.alias("_toks")
+    )
+    n = F.size("_toks")
+    starts = F.when(
+        n >= window,
+        F.sequence(F.lit(0), n - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    key = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.slice("_toks", i + 1, window), lambda t: F.lower(t)
+            ),
+        )
+    )
+    occ = base.select(
+        "_id",
+        F.explode(
+            F.transform(starts, lambda i: F.struct(i.alias("_s"), key(i).alias("_h")))
+        ).alias("_o"),
+    ).select("_id", F.col("_o._s").alias("_s"), F.col("_o._h").alias("_h"))
+    firsts = occ.groupBy("_h").agg(
+        F.count("*").alias("_c"),
+        F.min(F.struct("_id", "_s")).alias("_first"),
+    )
+    removed = (
+        occ.join(firsts, on="_h", how="inner")
+        .filter(
+            (F.col("_c") > 1)
+            & ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_s") == F.col("_first._s"))
+            )
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_s")).alias("_rm"))
+    )
+    joined = base.join(removed, on="_id", how="left").withColumn(
+        "_rm", F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_rm", lambda s: (i >= s) & (i < s + F.lit(window))
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("text"),
+        F.size("_toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.size("_rm").cast("bigint").alias("n_spans_removed"),
+    )

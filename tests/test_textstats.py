@@ -207,3 +207,50 @@ def test_duplicated_span_self_repetition_counts(spark):
     # starts 0,10,20 -> 3 identical spans, all duplicated
     assert r.n_spans == 3 and r.n_dup_spans == 3
     assert r.dup_span_ratio == 1.0
+
+
+def test_dedup_spans_keep_first_and_mask_union(spark):
+    from polaroam_spark.operators.textstats import dedup_spans
+
+    dup = " ".join(f"w{i}" for i in range(25))
+    uniq1 = " ".join(f"a{i}" for i in range(30))
+    uniq2 = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (1, uniq1 + " " + dup),          # first occurrence -> kept
+        (2, dup + " " + uniq2),          # later occurrence -> masked
+        (3, "short doc"),                # under window -> untouched
+        (4, uniq2 + " tail goes here"),  # uniq2's first copy is doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_spans(df, window=10, stride=5).collect()}
+    # doc 1 owns every first occurrence: nothing removed
+    assert out[1].n_spans_removed == 0
+    assert out[1].n_tokens_after == out[1].n_tokens_before == 55
+    # doc 2: the dup passage (25 tokens, spans@0,5,10,15) masks
+    # tokens [0,25); uniq2 side survives
+    assert out[2].n_spans_removed == 4
+    assert out[2].n_tokens_after == 30
+    assert out[2].text.startswith("b0 b1 ")
+    # doc 3: no spans, text passes through (whitespace-normalized)
+    assert out[3].n_spans_removed == 0 and out[3].text == "short doc"
+    # doc 4: its uniq2 copy is a LATER occurrence (doc 2 < doc 4)
+    assert out[4].n_tokens_after == 3 and out[4].text == "tail goes here"
+
+
+def test_dedup_spans_case_insensitive_key_keeps_original_case(spark):
+    from polaroam_spark.operators.textstats import dedup_spans
+
+    passage = " ".join(f"T{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, passage), (2, passage.lower())],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(df, window=10, stride=5).collect()}
+    # span keys are case-folded: doc 2 is a duplicate of doc 1
+    assert out[1].n_spans_removed == 0 and out[1].text.startswith("T0 T1")
+    assert out[2].n_spans_removed == 1 and out[2].n_tokens_after == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_spans(df, window=1)
