@@ -493,6 +493,7 @@ def k_core(
     dst: str = "v",
     k: int = 2,
     max_rounds: int = 60,
+    chain_collapse_after: int = 4,
 ) -> DataFrame:
     """The ``k``-core of an undirected graph — ``[node,
     core_degree]`` for every node of the maximal subgraph in which
@@ -501,24 +502,35 @@ def k_core(
     communities live in deep cores, drive-by link noise peels away.
 
     Peeling is inherently iterative (each removal can drop a
-    neighbor below k), so the loop mirrors
-    :func:`connected_components`' mechanics: per round one degree
-    aggregate + two semi-joins (all keyed on the node), convergence
-    by the same order-independent count+hash-sum digest (collision
-    note at :func:`_digest` applies), lineage truncated per round via
-    session.materialize with the superseded snapshot released.
-
-    Round bound: each round removes EVERY node currently below k, so
-    typical graphs converge in a few tens of rounds, but adversarial
-    chains peel O(n) (a path at k=2 loses only its two endpoints per
-    round) — ``max_rounds`` fails HARD rather than silently returning
-    a not-yet-core subgraph; raise it for pathological inputs.
-    Degenerate inputs (everything peels) return an empty frame.
+    neighbor below k), and plain round-per-cascade-hop peeling is
+    O(n) rounds on adversarial chains: a path at k=2 loses only its
+    two endpoints per round. After ``chain_collapse_after`` plain
+    rounds the loop therefore switches on a **fragile-chain
+    collapse**: cascades propagate exclusively through nodes whose
+    CURRENT degree is exactly ``k`` (losing one neighbor drops them
+    below ``k``), and if any node of a connected set of such
+    "fragile" nodes peels, the whole set provably peels — each
+    removal pushes its fragile neighbors below ``k``, and adjacency
+    between fragile nodes is exactly what the induced components
+    capture. So a collapse round removes, besides every node below
+    ``k``, every connected component of the fragile-induced subgraph
+    (components via :func:`connected_components`, O(log n) star
+    rounds) that touches a removed node. Since the k-core is unique
+    and peel-order-independent, this removes exactly what sequential
+    peeling would; a 100k-node path converges in two outer rounds
+    instead of 50k. Cascades through nodes of degree > k still cost
+    one round per hop, so ``max_rounds`` stays as a loud guard —
+    it fails HARD rather than silently returning a not-yet-core
+    subgraph. Degenerate inputs (everything peels) return an empty
+    frame.
 
     100 TB posture: state is the shrinking adjacency list, partitioned
     by node; no driver-side materialization — the per-round scalar is
-    the digest. Cost per round ≤ 3 shuffles of the REMAINING edges,
-    and the edge set only shrinks.
+    the below-``k`` count. A plain round costs one degree aggregate +
+    two anti-joins on the REMAINING edges (a shrinking set); collapse
+    rounds add a components run over the fragile-induced subgraph
+    only, and fire only once plain peeling has had
+    ``chain_collapse_after`` rounds to finish the typical case.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -537,29 +549,58 @@ def k_core(
     )
     adj = materialize(adj)
     superseded = adj
-    prev = _digest(adj, [])
-    for _ in range(int(max_rounds)):
-        keep = (
-            adj.groupBy("u")
-            .agg(F.count("*").alias("_d"))
-            .filter(F.col("_d") >= int(k))
-            .select("u")
-        )
-        nxt = adj.join(keep, on="u", how="left_semi").join(
-            keep.select(F.col("u").alias("v")), on="v", how="left_semi"
+    for rnd in range(int(max_rounds)):
+        deg = adj.groupBy("u").agg(F.count("*").alias("_d"))
+        if rnd >= int(chain_collapse_after):
+            deg = materialize(deg)  # reused 3x below in collapse mode
+        below = deg.filter(F.col("_d") < int(k)).select("u")
+        if below.limit(1).count() == 0:
+            out = deg.select(
+                F.col("u").alias("node"),
+                F.col("_d").cast("bigint").alias("core_degree"),
+            )
+            return out
+        remove = below
+        if rnd >= int(chain_collapse_after):
+            # Fragile-chain collapse. frag = nodes at exactly k;
+            # components of the frag-induced subgraph; a component
+            # adjacent to any removed node peels entirely.
+            frag = deg.filter(F.col("_d") == int(k)).select("u")
+            fe = (
+                adj.join(frag, "u", "left_semi")
+                .join(frag.select(F.col("u").alias("v")), "v", "left_semi")
+                .select("u", "v")
+            )
+            comps = connected_components(fe, "u", "v")
+            labels = frag.join(
+                comps.select(F.col("node").alias("u"), "component"),
+                "u",
+                "left",
+            ).select("u", F.coalesce("component", "u").alias("component"))
+            trig = (
+                adj.join(below.select(F.col("u").alias("v")), "v", "left_semi")
+                .select("u")
+                .join(frag, "u", "left_semi")
+            )
+            doomed_c = (
+                labels.join(trig, "u", "left_semi")
+                .select("component")
+                .distinct()
+            )
+            doomed = labels.join(doomed_c, "component", "left_semi").select(
+                "u"
+            )
+            remove = below.unionByName(doomed).distinct()
+        nxt = adj.join(remove, on="u", how="left_anti").join(
+            remove.select(F.col("u").alias("v")), on="v", how="left_anti"
         )
         nxt = materialize(nxt.select("u", "v"))
-        cur = _digest(nxt, [])
         release(superseded)
+        if rnd >= int(chain_collapse_after):
+            release(deg)
         adj, superseded = nxt, nxt
-        if cur == prev:
-            out = adj.groupBy("u").agg(
-                F.count("*").cast("bigint").alias("core_degree")
-            )
-            return out.select(F.col("u").alias("node"), "core_degree")
-        prev = cur
     raise RuntimeError(
         f"k_core did not converge within max_rounds={max_rounds}; "
-        "the graph is still peeling (long-chain topology) — raise "
-        "max_rounds"
+        "a cascade is still travelling through nodes of degree > k "
+        "one hop per round — raise max_rounds"
     )
