@@ -800,6 +800,57 @@ def map_equation_value(
     return float(L)
 
 
+def infomap_backend_available() -> bool:
+    """True when the public ``infomap`` package (the C library the
+    reference drives, reference utils.py:67-99) is importable. The
+    library is an OPTIONAL backend: everything in this module runs on
+    the native deterministic optimizer without it."""
+    try:
+        import infomap  # noqa: F401
+    except Exception:
+        return False
+    return True
+
+
+def _infomap_library_modules(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    num_trials: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Module labels from the public ``infomap`` package — the SAME
+    backend the reference wires through its ``compute_infomap``
+    (reference utils.py:67-99), exposed here for label-parity
+    differential testing against :func:`two_level_infomap`. Pinned
+    ``seed`` + ``num_trials`` make the library's RNG-based trial loop
+    reproducible on a machine; cross-machine label stability is NOT
+    guaranteed by the library, which is why the hash-checked gates
+    certify the native optimizer and this backend is differential /
+    rows-only. Nodes the library never saw (isolated) keep a unique
+    own-label, matching :func:`two_level_infomap`'s contract."""
+    from infomap import Infomap
+
+    labels = np.arange(n, dtype=np.int64)
+    if n == 0 or len(edges) == 0:
+        return labels
+    im = Infomap(
+        silent=True,
+        two_level=True,
+        num_trials=int(num_trials),
+        seed=int(seed),
+        flow_model="undirected",
+    )
+    for (i, j), w in zip(edges, weights):
+        im.add_link(int(i), int(j), float(w))
+    im.run()
+    # offset module ids past n so they never collide with the
+    # own-label ids of isolated nodes
+    for node_id, module_id in im.get_modules().items():
+        labels[int(node_id)] = int(module_id) + n
+    return labels
+
+
 def _user_eps_graph(
     pdf: pd.DataFrame,
     eps: float,
@@ -982,10 +1033,20 @@ def cluster_communities(
     weighted: bool = False,
     weight_exponent: float = 1.0,
     distance_metric: str = "haversine",
+    backend: str = "native",
 ) -> DataFrame:
     """Infomap community detection over the per-user ε-graph of stop
     medians — the engine's counterpart of the reference's
     ``compute_infomap`` (reference models.py:179-204, utils.py:67-134).
+
+    ``backend='native'`` (default) optimizes the map equation with the
+    deterministic in-repo optimizer; ``backend='infomap'`` runs the
+    public ``infomap`` C library inside the same Arrow grouped-map —
+    label parity with a reference deployment at the cost of the
+    library's RNG-seeded trial loop (reproducible per machine via the
+    pinned seed, not certified cross-machine — the hash gates stay on
+    the native path). Raises ImportError up front when the library
+    backend is requested but the package is not installed.
 
     Graph construction mirrors the reference: nodes are the unique
     (optionally grid-downsampled) coordinates of one user, edges
@@ -1019,6 +1080,17 @@ def cluster_communities(
     metric = str(distance_metric)
     if metric not in ("haversine", "euclidean"):
         raise ValueError(f"Unsupported distance metric: {metric}")
+    if backend not in ("native", "infomap"):
+        raise ValueError(
+            f"unknown backend {backend!r}: use 'native' or 'infomap'"
+        )
+    use_library = backend == "infomap"
+    if use_library and not infomap_backend_available():
+        raise ImportError(
+            "backend='infomap' needs the public `infomap` package "
+            "(pip install infomap); the default backend='native' has "
+            "no extra dependency"
+        )
     max_group = 20_000
 
     def _communities(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1033,7 +1105,10 @@ def cluster_communities(
         n = len(pdf)
         labels = np.full(n, -1, dtype=np.int64)
         if connected.any():
-            modules = two_level_infomap(n, edges, w)
+            if use_library:
+                modules = _infomap_library_modules(n, edges, w)
+            else:
+                modules = two_level_infomap(n, edges, w)
             labels = _dense_module_labels(n, modules, connected)
         if singles_own_label:
             nxt = labels.max() + 1
@@ -1070,3 +1145,85 @@ def cluster_communities(
         )
         .drop("_glat", "_glon")
     )
+
+
+def communities_backend_differential(
+    medians: DataFrame,
+    r2: float = 10.0,
+    min_spacial_resolution: float = 0.0,
+    distance_metric: str = "haversine",
+    num_trials: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-uid differential between the native map-equation optimizer
+    and the public ``infomap`` C library on the SAME ε-graph
+    (reference utils.py:67-99 runs the library; this certifies the
+    in-repo optimizer against it — the m3d gate). One Arrow
+    grouped-map runs both optimizers and scores both partitions with
+    :func:`map_equation_value`; output per uid:
+
+    - ``same_partition`` — dense-canonical labels identical (dense
+      ranking is scan-order canonical, so label equality ⟺ partition
+      equality);
+    - ``native_not_worse`` — native codelength ≤ library codelength
+      + 1e-9 (the real contract: on map-equation TIES the library's
+      RNG may pick a different member of the tie set, see
+      :func:`two_level_infomap`'s fidelity notes);
+    - both codelengths (bits/step) for inspection.
+
+    Raises ImportError when the library is absent — callers that must
+    degrade gracefully check :func:`infomap_backend_available` first.
+    """
+    if not infomap_backend_available():
+        raise ImportError(
+            "communities_backend_differential needs the public "
+            "`infomap` package (pip install infomap)"
+        )
+    unique_coords = _snapped_unique_nodes(medians, min_spacial_resolution)
+    eps = float(r2)
+    metric = str(distance_metric)
+    if metric not in ("haversine", "euclidean"):
+        raise ValueError(f"Unsupported distance metric: {metric}")
+    trials, sd = int(num_trials), int(seed)
+
+    def _diff(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, _lat, _lon, edges, w, connected = _user_eps_graph(
+            pdf, eps, metric
+        )
+        n = len(pdf)
+        same, not_worse = True, True
+        l_nat, l_lib = 0.0, 0.0
+        if connected.any() and len(edges):
+            m_nat = two_level_infomap(n, edges, w)
+            m_lib = _infomap_library_modules(n, edges, w, trials, sd)
+            same = bool(
+                (
+                    _dense_module_labels(n, m_nat, connected)
+                    == _dense_module_labels(n, m_lib, connected)
+                ).all()
+            )
+            l_nat = map_equation_value(n, edges, w, m_nat)
+            l_lib = map_equation_value(n, edges, w, m_lib)
+            not_worse = bool(l_nat <= l_lib + 1e-9)
+        return pd.DataFrame(
+            {
+                "uid": [pdf["uid"].iloc[0]],
+                "n_nodes": [n],
+                "same_partition": [same],
+                "native_not_worse": [not_worse],
+                "codelength_native": [l_nat],
+                "codelength_infomap": [l_lib],
+            }
+        )
+
+    schema = StructType(
+        [
+            unique_coords.schema["uid"],
+            StructField("n_nodes", LongType()),
+            StructField("same_partition", BooleanType()),
+            StructField("native_not_worse", BooleanType()),
+            StructField("codelength_native", DoubleType()),
+            StructField("codelength_infomap", DoubleType()),
+        ]
+    )
+    return unique_coords.groupBy("uid").applyInPandas(_diff, schema)

@@ -460,3 +460,175 @@ def png_dimensions(content) -> "Column":
         F.when(is_png, be32(17)).alias("width"),
         F.when(is_png, be32(21)).alias("height"),
     )
+
+
+def _tag_hex(c, pos) -> "Column":
+    """Hex string of the 4 bytes at 1-based Column position ``pos``."""
+    from pyspark.sql import functions as F
+
+    return F.hex(c.substr(pos, F.lit(4)))
+
+
+def _be_uint(c, pos, nbytes: int) -> "Column":
+    """Big-endian unsigned int of ``nbytes`` at Column position."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.hex(c.substr(pos, F.lit(nbytes))), 16, 10).cast("long")
+
+
+def _le_uint(c, pos, nbytes: int) -> "Column":
+    """Little-endian unsigned int at Column position: hex the bytes,
+    reverse the hex PAIRS (pair order = byte order), conv base 16."""
+    from pyspark.sql import functions as F
+
+    h = F.hex(c.substr(pos, F.lit(nbytes)))
+    pairs = [
+        F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))
+    ]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+def _walk_offsets(step_fn, start, max_steps: int) -> "Column":
+    """1-based offsets of up to ``max_steps`` consecutive
+    chunks/boxes: ``F.aggregate`` over a STATIC sequence appends
+    ``step_fn(last_offset)`` each iteration, so the walk runs at
+    RUNTIME inside one expression — an unrolled Python loop would
+    re-embed the whole previous-offset tree in every step's size
+    read (~5 copies per level = 5^n nodes) and OOM the analyzer
+    before ever executing. A null step (truncated/absent structure)
+    poisons the remaining offsets to null, which every downstream
+    tag probe treats as not-found."""
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_steps) - 1)),
+        F.array(start.cast("long")),
+        lambda acc, _: F.concat(
+            acc, F.array(step_fn(F.element_at(acc, -1)))
+        ),
+    )
+
+
+def _first_with_tag(c, offs, tag_hex: str, tag_at: int = 0) -> "Column":
+    """First offset in ``offs`` whose 4-byte tag at ``offset +
+    tag_at`` hex-matches; NULL if none (F.get, not element_at — the
+    latter throws on empty arrays under ANSI mode)."""
+    from pyspark.sql import functions as F
+
+    return F.get(
+        F.filter(
+            offs,
+            lambda o: F.hex(c.substr(o + tag_at, F.lit(4)))
+            == F.lit(tag_hex),
+        ),
+        0,
+    )
+
+
+def wav_header_meta(content, max_chunks: int = 8) -> "Column":
+    """``struct<is_wav, audio_format, num_channels, sample_rate,
+    bits_per_sample, data_bytes, duration_s>`` parsed from a binary
+    column's RIFF/WAVE headers — PURE Column expressions (mm2 /
+    :func:`png_dimensions` style): no UDF, no decode, no audio
+    library. The RIFF chunk list is walked (runtime loop via
+    :func:`_walk_offsets`; each chunk header is id(4) + size(4, LE),
+    payload padded to even length) for up to ``max_chunks`` chunks,
+    picking up the ``fmt `` field block and the ``data`` chunk size
+    wherever they sit — fixed-offset parsers silently misread files
+    that lead with LIST/INFO chunks. Sizing a 100 TB audio corpus
+    this way reads tens of bytes per row JVM-side;
+    ``duration_s = data_bytes / byte_rate`` needs no sample decoded.
+    Non-WAV bytes (or WAVs whose fmt/data chunks sit beyond
+    ``max_chunks``) yield ``(false, NULL, ...)`` / NULL fields; NULL
+    content verdicts false, matching the kept+rejected accounting
+    contract of ``png_dimensions``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(content) if isinstance(content, str) else content
+    is_wav = F.coalesce(
+        (F.hex(c.substr(F.lit(1), F.lit(4))) == "52494646")
+        & (F.hex(c.substr(F.lit(9), F.lit(4))) == "57415645"),
+        F.lit(False),
+    )
+
+    def le32_at(pos):
+        return _le_uint(c, pos, 4)
+
+    offs = _walk_offsets(
+        lambda o: o + 8 + le32_at(o + 4) + F.pmod(le32_at(o + 4), 2),
+        F.lit(13),
+        max_chunks,
+    )
+    fmt_off = _first_with_tag(c, offs, "666D7420")  # "fmt "
+    data_off = _first_with_tag(c, offs, "64617461")  # "data"
+    data_size = le32_at(data_off + 4)
+    byte_rate = le32_at(fmt_off + 16)
+    dur = F.when(
+        byte_rate > 0,
+        data_size.cast("double") / byte_rate.cast("double"),
+    )
+    return F.struct(
+        is_wav.alias("is_wav"),
+        F.when(is_wav, _le_uint(c, fmt_off + 8, 2)).alias("audio_format"),
+        F.when(is_wav, _le_uint(c, fmt_off + 10, 2)).alias("num_channels"),
+        F.when(is_wav, _le_uint(c, fmt_off + 12, 4)).alias("sample_rate"),
+        F.when(is_wav, _le_uint(c, fmt_off + 22, 2)).alias(
+            "bits_per_sample"
+        ),
+        F.when(is_wav, data_size).alias("data_bytes"),
+        F.when(is_wav, dur).alias("duration_s"),
+    )
+
+
+def mp4_header_meta(
+    content, max_boxes: int = 8, max_moov_children: int = 4
+) -> "Column":
+    """``struct<is_mp4, mvhd_version, timescale, duration,
+    duration_s>`` parsed from a binary column's ISO-BMFF (MP4/MOV)
+    box tree — PURE Column expressions, no UDF, no ffmpeg. Walks up
+    to ``max_boxes`` top-level boxes (header = size(4, BE) +
+    type(4); runtime loop via :func:`_walk_offsets`) to find
+    ``moov``, then up to ``max_moov_children`` of its children to
+    find ``mvhd``, whose version decides the layout (v0:
+    timescale@+20 dur32@+24; v1: timescale@+28 dur64@+32 — the
+    64-bit create/modify times shift everything). The walk is
+    offset-arithmetic on box sizes, so it lands on ``moov`` whether
+    the muxer wrote it faststart (front) or trailer (end) — no
+    byte-pattern search that could false-positive inside ``mdat``
+    payload bytes. A box with size < 8 (including the size==1
+    64-bit-largesize escape, which never applies to the tiny moov)
+    NULLs the running offset and the walk dies cleanly. Non-MP4
+    bytes yield ``(false, NULL, ...)``; NULL content verdicts
+    false."""
+    from pyspark.sql import functions as F
+
+    c = F.col(content) if isinstance(content, str) else content
+    is_mp4 = F.coalesce(
+        _tag_hex(c, F.lit(5)) == "66747970", F.lit(False)
+    )
+
+    def box_step(o):
+        size = _be_uint(c, o, 4)
+        return o + F.when(size >= 8, size)
+
+    top = _walk_offsets(box_step, F.lit(1), max_boxes)
+    moov_off = _first_with_tag(c, top, "6D6F6F76", tag_at=4)  # "moov"
+    kids = _walk_offsets(box_step, moov_off + 8, max_moov_children)
+    mvhd_off = _first_with_tag(c, kids, "6D766864", tag_at=4)  # "mvhd"
+    version = _be_uint(c, mvhd_off + 8, 1)
+    timescale = F.when(version == 0, _be_uint(c, mvhd_off + 20, 4)).when(
+        version == 1, _be_uint(c, mvhd_off + 28, 4)
+    )
+    duration = F.when(version == 0, _be_uint(c, mvhd_off + 24, 4)).when(
+        version == 1, _be_uint(c, mvhd_off + 32, 8)
+    )
+    dur_s = F.when(
+        timescale > 0, duration.cast("double") / timescale.cast("double")
+    )
+    return F.struct(
+        is_mp4.alias("is_mp4"),
+        F.when(is_mp4, version).alias("mvhd_version"),
+        F.when(is_mp4, timescale).alias("timescale"),
+        F.when(is_mp4, duration).alias("duration"),
+        F.when(is_mp4, dur_s).alias("duration_s"),
+    )

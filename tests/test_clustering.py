@@ -636,3 +636,66 @@ def test_distributed_dbscan_antimeridian_pair(spark):
     assert labels[(0.0, 179.99996)] == labels[(0.0, -179.99996)]
     assert labels[(0.0, 179.99996)] >= 0
     assert labels[(10.0, 10.0)] == -1
+
+
+def test_communities_backend_param_validation(spark):
+    import pytest
+
+    from polaroam_spark.operators.clustering import (
+        cluster_communities,
+        infomap_backend_available,
+    )
+
+    med = spark.createDataFrame(
+        [("u1", 19.4, -99.1), ("u1", 19.4001, -99.1001)],
+        "uid string, latitude double, longitude double",
+    )
+    with pytest.raises(ValueError):
+        cluster_communities(med, backend="louvain")
+    if not infomap_backend_available():
+        with pytest.raises(ImportError):
+            cluster_communities(med, backend="infomap")
+
+
+def test_infomap_differential_vs_c_library():
+    """Label-parity differential on the golden fixtures: the native
+    two-level optimizer and the public `infomap` C library must find
+    the SAME partition on graphs with a clear modular optimum, and
+    the native codelength must never exceed the library's (+tol).
+    Skipped when the package is absent (this sandbox has no pip)."""
+    import pytest
+
+    pytest.importorskip("infomap")
+    from polaroam_spark.operators.clustering import (
+        _dense_module_labels,
+        _infomap_library_modules,
+        map_equation_value,
+        two_level_infomap,
+    )
+
+    cases = [
+        # dumbbell: two 5-cliques + one weak bridge
+        (10, _clique(range(5)) + _clique(range(5, 10)) + [(4, 5)]),
+        # three 4-cliques in a ring
+        (
+            12,
+            _clique(range(4))
+            + _clique(range(4, 8))
+            + _clique(range(8, 12))
+            + [(3, 4), (7, 8), (11, 0)],
+        ),
+    ]
+    for n, edges in cases:
+        e = np.array(edges)
+        w = np.ones(len(e))
+        connected = np.zeros(n, dtype=bool)
+        connected[e.ravel()] = True
+        nat = two_level_infomap(n, e, w)
+        lib = _infomap_library_modules(n, e, w)
+        assert (
+            _dense_module_labels(n, nat, connected)
+            == _dense_module_labels(n, lib, connected)
+        ).all()
+        l_nat = map_equation_value(n, e, w, nat)
+        l_lib = map_equation_value(n, e, w, lib)
+        assert l_nat <= l_lib + 1e-9

@@ -247,3 +247,121 @@ def test_png_dimensions_native_header_parse(spark):
         .explainString(spark._jvm.org.apache.spark.sql.execution
                        .ExplainMode.fromString("simple"))
     assert "EvalPython" not in plan
+
+
+def _mk_wav(ch, rate, bits, n_frames, lead_list=False, fmt_code=1):
+    import struct
+
+    block = ch * bits // 8
+    byte_rate = rate * block
+    data = bytes(n_frames * block)
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, byte_rate, block, bits)
+    chunks = b""
+    if lead_list:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    riff = b"WAVE" + chunks
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _mp4_box(t, payload):
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + t + payload
+
+
+def _mk_mp4(version, timescale, duration, trailer_moov=False,
+            lead_child=False):
+    import struct
+
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    if version == 0:
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + bytes(80),
+        )
+    else:
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + bytes(76),
+        )
+    kids = (_mp4_box(b"udta", bytes(4)) if lead_child else b"") + mvhd
+    moov = _mp4_box(b"moov", kids)
+    mdat = _mp4_box(b"mdat", bytes(32))
+    free = _mp4_box(b"free", bytes(4))
+    return (ftyp + free + mdat + moov) if trailer_moov else (
+        ftyp + moov + free + mdat
+    )
+
+
+def test_wav_header_meta_native(spark):
+    from polaroam_spark.operators.multimodal import wav_header_meta
+
+    rows = [
+        (0, _mk_wav(1, 8000, 8, 4001)),          # odd data size -> pad
+        (1, _mk_wav(2, 44100, 16, 44100)),        # 1.0 s stereo CD
+        (2, _mk_wav(2, 48000, 24, 12000, lead_list=True)),  # LIST first
+        (3, b"RIFF\x10\x00\x00\x00AVI LIST"),     # RIFF but not WAVE
+        (4, b"garbage"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", wav_header_meta("content").alias("m")
+        ).select("id", "m.*").collect()
+    }
+    assert out[0].is_wav and out[0].num_channels == 1
+    assert out[0].sample_rate == 8000 and out[0].bits_per_sample == 8
+    assert out[0].data_bytes == 4001
+    assert abs(out[0].duration_s - 4001 / 8000) < 1e-12
+    assert out[1].duration_s == 1.0 and out[1].num_channels == 2
+    # chunk walk skips the leading LIST chunk
+    assert out[2].is_wav and out[2].sample_rate == 48000
+    assert out[2].bits_per_sample == 24
+    assert abs(out[2].duration_s - 12000 / 48000) < 1e-12
+    assert out[3].is_wav is False and out[3].sample_rate is None
+    assert out[4].is_wav is False
+    assert out[5].is_wav is False and out[5].duration_s is None
+    plan = df.select(wav_header_meta("content"))._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("simple"))
+    assert "EvalPython" not in plan
+
+
+def test_mp4_header_meta_native(spark):
+    from polaroam_spark.operators.multimodal import mp4_header_meta
+
+    rows = [
+        (0, _mk_mp4(0, 1000, 2500)),                     # faststart v0
+        (1, _mk_mp4(1, 90000, 270000, trailer_moov=True)),  # trailer v1
+        (2, _mk_mp4(0, 600, 0, lead_child=True)),        # mvhd not 1st kid
+        (3, b"\x00\x00\x00\x08notf"),                    # not ftyp
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", mp4_header_meta("content").alias("m")
+        ).select("id", "m.*").collect()
+    }
+    assert out[0].is_mp4 and out[0].mvhd_version == 0
+    assert out[0].timescale == 1000 and out[0].duration == 2500
+    assert out[0].duration_s == 2.5
+    # moov at END of file (non-faststart muxers) + 64-bit v1 duration
+    assert out[1].is_mp4 and out[1].mvhd_version == 1
+    assert out[1].timescale == 90000 and out[1].duration == 270000
+    assert out[1].duration_s == 3.0
+    # mvhd behind a leading udta child; duration 0 -> 0.0 s
+    assert out[2].timescale == 600 and out[2].duration_s == 0.0
+    assert out[3].is_mp4 is False and out[3].timescale is None
+    assert out[4].is_mp4 is False
