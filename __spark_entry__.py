@@ -5629,13 +5629,15 @@ def ts2(spark, sf_dir):
     boundaries (dyadic alpha × 2-decimal inputs), where Spark's
     HALF_UP round() and DuckDB's round() disagree (observed 3/10000
     at sf0.01). Raw bit-identical doubles are hashed after the
-    harness's UNIFORM round-6 instead."""
+    harness's UNIFORM round-6 instead. strategy='fold' pins the
+    pure-Catalyst fold path here (ewma's DEFAULT now dispatches to
+    the linear blocked scan, which ts2b gates independently)."""
     from polaroam_spark.operators.timeseries import ewma
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("es"), "value"
     )
-    out = ewma(ev, "user_id", "es", "value", alpha=0.25)
+    out = ewma(ev, "user_id", "es", "value", alpha=0.25, strategy="fold")
     return out.select(
         "user_id",
         F.col("es").alias("ts"),
@@ -5955,7 +5957,7 @@ def t18(spark, sf_dir):
     """WITH d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
                              t -> t != '') AS toks
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 occ AS (
   SELECT doc_id, toks,
@@ -6001,9 +6003,12 @@ def t19(spark, sf_dir):
     (doc_id, start)-ordered first-occurrence rule, and the same
     range-union mask (1-based index lambdas on the DuckDB side).
     The rebuilt text is compared by md5 so the gate hashes 32 bytes
-    per doc, not the corpus. The engine keys spans by xxhash64
-    (8-byte shuffle) while the oracle uses span STRINGS — outputs
-    agree unless a 64-bit collision occurs (~n^2/2^65)."""
+    per doc, not the corpus. The engine keys spans by a 128-bit
+    two-salt xxhash64 composite (16-byte shuffle) while the oracle
+    uses span STRINGS — outputs agree unless both 64-bit halves
+    collide simultaneously (~n^2/2^129, vacuous at any scale). Both
+    sides drop NULL doc_ids up front (dedup_spans' documented null
+    policy)."""
     from polaroam_spark.operators.textstats import dedup_spans
 
     out = dedup_spans(

@@ -677,6 +677,12 @@ def dedup_spans(
     the kept first occurrence's tokens elsewhere in the same doc —
     the removal is range-wise, not occurrence-paired.
 
+    Rows with a NULL ``id_col`` are DROPPED up front (same policy as
+    ``timeseries._collapsed_obs`` and ``graph.connected_components``:
+    null is not a key) — a null id would otherwise sort FIRST in
+    Spark's struct ordering but LAST under a SQL oracle's ``ORDER BY``,
+    making the "first occurrence" owner engine-dependent.
+
     Scale shape (the part that matters at 100 TB): first-occurrence
     selection is ``min(struct(doc_id, start))`` per span — ONE
     map-side-combined aggregate, NOT a per-span window rank, so a
@@ -686,9 +692,14 @@ def dedup_spans(
     mask application is a JVM higher-order ``filter``/``exists``
     over (tokens × removed ranges) — quadratic only in the
     pathological fully-self-duplicated doc, and a doc already fits
-    in one task by the corpus contract. Default span key is the
-    8-byte ``xxhash64`` of the span (shuffle carries 8 bytes, not
-    ~window·6 text bytes; collision odds ~n^2/2^65).
+    in one task by the corpus contract. The span key is a 128-BIT
+    composite — two independently-salted ``xxhash64`` halves — so
+    the shuffle carries 16 bytes instead of ~window·6 text bytes
+    while keeping the deletion safe at corpus scale: expected
+    birthday collisions are ~n²/2^129 (vacuous even at the 10^12
+    spans of a 100 TB corpus), where a single 64-bit key would
+    expect on the order of 10^5 false merges there, each silently
+    deleting a non-duplicate passage.
     """
     window = int(window)
     stride = int(stride)
@@ -698,7 +709,7 @@ def dedup_spans(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda t: t != "",
     )
-    base = df.select(
+    base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"), raw.alias("_toks")
     )
     n = F.size("_toks")
@@ -706,26 +717,34 @@ def dedup_spans(
         n >= window,
         F.sequence(F.lit(0), n - window, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
-    key = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.slice("_toks", i + 1, window), lambda t: F.lower(t)
-            ),
-        )
+    span = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(
+            F.slice("_toks", i + 1, window), lambda t: F.lower(t)
+        ),
     )
     occ = base.select(
         "_id",
         F.explode(
-            F.transform(starts, lambda i: F.struct(i.alias("_s"), key(i).alias("_h")))
+            F.transform(
+                starts,
+                lambda i: F.struct(i.alias("_s"), span(i).alias("_sp")),
+            )
         ).alias("_o"),
-    ).select("_id", F.col("_o._s").alias("_s"), F.col("_o._h").alias("_h"))
-    firsts = occ.groupBy("_h").agg(
+    ).select(
+        "_id",
+        F.col("_o._s").alias("_s"),
+        # 128-bit composite key: the span string never leaves this
+        # (pre-shuffle) stage; only the two 8-byte halves shuffle
+        F.xxhash64(F.col("_o._sp")).alias("_h1"),
+        F.xxhash64(F.lit(1), F.col("_o._sp")).alias("_h2"),
+    )
+    firsts = occ.groupBy("_h1", "_h2").agg(
         F.count("*").alias("_c"),
         F.min(F.struct("_id", "_s")).alias("_first"),
     )
     removed = (
-        occ.join(firsts, on="_h", how="inner")
+        occ.join(firsts, on=["_h1", "_h2"], how="inner")
         .filter(
             (F.col("_c") > 1)
             & ~(

@@ -223,7 +223,42 @@ def test_rolling_zscore_single_exchange(spark):
     assert "SinglePartition" not in plan, plan
 
 
-def test_ewma_single_exchange_no_python(spark):
+def test_ewma_fold_single_exchange_no_python(spark):
+    from polaroam_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(30)],
+        "k string, ts long, v double",
+    )
+    plan = _plan(ewma(df, "k", "ts", "v", alpha=0.25, strategy="fold"))
+    # collapse + collect_list share the key partitioning; the fold is
+    # a Catalyst expression, not a Python UDF stage
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_ewma_blocked_single_exchange(spark):
+    """ADVICE r7: ewma_blocked's single-shuffle/O(L) claim rests on
+    the planner eliding the explicit repartition(_k) as redundant
+    with _collapsed_obs's window exchange — previously verified only
+    by hand in BASELINE.md; pin it so a planner change that silently
+    reintroduces a second full shuffle fails loudly."""
+    from polaroam_spark.operators.timeseries import ewma_blocked
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(30)],
+        "k string, ts long, v double",
+    )
+    plan = _plan(ewma_blocked(df, "k", "ts", "v", alpha=0.25))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_ewma_default_dispatches_to_blocked(spark):
+    """The default strategy is the linear blocked scan (round-7
+    verdict item #8): the plan must be the MapInPandas shape, not
+    the O(L^2) fold."""
     from polaroam_spark.operators.timeseries import ewma
 
     df = spark.createDataFrame(
@@ -231,10 +266,8 @@ def test_ewma_single_exchange_no_python(spark):
         "k string, ts long, v double",
     )
     plan = _plan(ewma(df, "k", "ts", "v", alpha=0.25))
-    # collapse + collect_list share the key partitioning; the fold is
-    # a Catalyst expression, not a Python UDF stage
+    assert "MapInPandas" in plan, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
 def test_triangle_count_no_cartesian(spark):

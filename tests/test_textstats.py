@@ -254,3 +254,21 @@ def test_dedup_spans_case_insensitive_key_keeps_original_case(spark):
 
     with pytest.raises(ValueError):
         dedup_spans(df, window=1)
+
+
+def test_dedup_spans_null_ids_dropped(spark):
+    """NULL doc_ids are dropped up front (documented policy): a null
+    id must neither claim first-occurrence ownership (Spark's struct
+    ordering would sort it FIRST, a SQL oracle's ORDER BY would sort
+    it LAST) nor appear in the output."""
+    from polaroam_spark.operators.textstats import dedup_spans
+
+    dup = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(None, dup), (2, dup), (3, dup)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup_spans(df, window=10, stride=5).collect()}
+    assert set(out) == {2, 3}
+    # doc 2 is the first NON-NULL occurrence: kept intact
+    assert out[2].n_spans_removed == 0 and out[2].n_tokens_after == 12
+    assert out[3].n_spans_removed > 0
