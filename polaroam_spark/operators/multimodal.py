@@ -307,19 +307,57 @@ def attach_media_meta(
     content_col: str = "content",
     kind: str = "image",
     fmt: str = "raw",
+    probe_headers: bool = False,
 ) -> DataFrame:
     """Build the typed ``meta`` struct from an existing binary column.
     n_bytes comes from ``length`` on the binary column — computed
-    JVM-side without shipping the payload to Python."""
+    JVM-side without shipping the payload to Python.
+
+    ``probe_headers=True`` additionally sniffs the payload's magic
+    bytes with the pure-expression header parsers
+    (:func:`png_dimensions`, :func:`wav_header_meta`,
+    :func:`mp4_header_meta`) and fills kind/format/width/height/
+    duration_s from whichever format matches — still zero decode,
+    zero Python, tens of bytes read per row. Rows matching no known
+    header keep the caller-supplied ``kind``/``fmt`` defaults and
+    NULL dimensions. Default False: the caller-declared constants
+    are the contract when the corpus is pre-sorted by modality (and
+    what the existing gates pin)."""
+    c = F.col(content_col)
+    if not probe_headers:
+        return df.withColumn(
+            "meta",
+            F.struct(
+                F.lit(kind).alias("kind"),
+                F.lit(fmt).alias("format"),
+                F.length(c).cast("long").alias("n_bytes"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("double").alias("duration_s"),
+            ),
+        )
+    png = png_dimensions(content_col)
+    wav = wav_header_meta(content_col)
+    mp4 = mp4_header_meta(content_col)
     return df.withColumn(
         "meta",
         F.struct(
-            F.lit(kind).alias("kind"),
-            F.lit(fmt).alias("format"),
-            F.length(F.col(content_col)).cast("long").alias("n_bytes"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("double").alias("duration_s"),
+            F.when(png["is_png"], F.lit("image"))
+            .when(wav["is_wav"], F.lit("audio"))
+            .when(mp4["is_mp4"], F.lit("video"))
+            .otherwise(F.lit(kind))
+            .alias("kind"),
+            F.when(png["is_png"], F.lit("png"))
+            .when(wav["is_wav"], F.lit("wav"))
+            .when(mp4["is_mp4"], F.lit("mp4"))
+            .otherwise(F.lit(fmt))
+            .alias("format"),
+            F.length(c).cast("long").alias("n_bytes"),
+            png["width"].cast("int").alias("width"),
+            png["height"].cast("int").alias("height"),
+            F.coalesce(
+                wav["duration_s"], mp4["duration_s"]
+            ).alias("duration_s"),
         ),
     )
 

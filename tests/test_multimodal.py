@@ -365,3 +365,48 @@ def test_mp4_header_meta_native(spark):
     assert out[2].timescale == 600 and out[2].duration_s == 0.0
     assert out[3].is_mp4 is False and out[3].timescale is None
     assert out[4].is_mp4 is False
+
+
+def test_attach_media_meta_probe_headers(spark):
+    """probe_headers=True sniffs kind/format/dims/duration from magic
+    bytes with the pure-expression parsers; unknown bytes keep the
+    caller defaults; default stays declare-only (existing contract)."""
+    import struct
+    import zlib
+
+    from polaroam_spark.operators.multimodal import attach_media_meta
+
+    def mk_png(w, h):
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        raw = b"".join(b"\x00" + b"\x00" * (w * 3) for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    rows = [
+        (0, mk_png(8, 4)),
+        (1, _mk_wav(2, 16000, 16, 16000)),
+        (2, _mk_mp4(0, 1000, 1500)),
+        (3, b"opaque payload"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r.media_id: r.meta
+        for r in attach_media_meta(
+            df, kind="unknown", fmt="raw", probe_headers=True
+        ).collect()
+    }
+    assert out[0].kind == "image" and out[0].format == "png"
+    assert (out[0].width, out[0].height) == (8, 4)
+    assert out[1].kind == "audio" and out[1].format == "wav"
+    assert out[1].duration_s == 1.0
+    assert out[2].kind == "video" and out[2].format == "mp4"
+    assert out[2].duration_s == 1.5
+    assert out[3].kind == "unknown" and out[3].format == "raw"
+    assert out[3].width is None and out[3].duration_s is None
+    # default: declare-only, no sniffing
+    plain = attach_media_meta(df, kind="image").collect()
+    assert all(r.meta.kind == "image" for r in plain)
