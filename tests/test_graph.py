@@ -409,3 +409,46 @@ def test_k_core_empty_and_bounds(spark):
     )
     with pytest.raises(RuntimeError):
         k_core(chain, k=2, max_rounds=1)
+
+
+def test_k_core_chain_collapse_differential(spark):
+    """The fragile-chain collapse path (chain_collapse_after=0 forces
+    it on EVERY round) must reproduce plain peeling exactly — the
+    collapse removes whole components of degree-exactly-k nodes, and
+    k-core uniqueness says that's the same fixpoint."""
+    import numpy as np
+
+    from polaroam_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(23)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2)) if a < b}
+    df = spark.createDataFrame(sorted(edges), "u int, v int")
+    for k in (2, 3):
+        expected = _py_k_core(edges, k)
+        got = {
+            r.node: r.core_degree
+            for r in k_core(df, k=k, chain_collapse_after=0).collect()
+        }
+        assert got == expected, k
+
+
+def test_k_core_long_chain_converges_via_collapse(spark):
+    """A path graph peels O(n) rounds under plain peeling (the
+    round-5..7 carried scale-killer); the collapse must finish it
+    within default max_rounds, and must NOT touch a welded clique."""
+    from polaroam_spark.operators.graph import k_core
+
+    n = 3000
+    path = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(path, "u int, v int")
+    assert k_core(df, k=2).count() == 0
+
+    clique = [
+        (10_000 + a, 10_000 + b) for a in range(12) for b in range(a + 1, 12)
+    ]
+    weld = spark.createDataFrame(
+        path + clique + [(0, 10_000)], "u int, v int"
+    )
+    out = {r.node: r.core_degree for r in k_core(weld, k=2).collect()}
+    assert set(out) == {10_000 + i for i in range(12)}
+    assert all(d == 11 for d in out.values())
