@@ -6925,6 +6925,76 @@ def mm2(spark, sf_dir):
     )
 
 
+@_q(
+    "mm4_jpeg_gif_dims",
+    """SELECT m AS media_id, TRUE AS is_jpeg,
+       CAST((m % 5 + 3) * 20 AS BIGINT) AS jpeg_width,
+       CAST((m % 4 + 2) * 15 AS BIGINT) AS jpeg_height,
+       TRUE AS is_gif,
+       CAST((m + 1) * 7 AS BIGINT) AS gif_width,
+       CAST((m + 2) * 5 AS BIGINT) AS gif_height,
+       FALSE AS junk_is_jpeg, FALSE AS junk_is_gif
+FROM range(0, 16) t(m)""",
+)
+def mm4(spark, sf_dir):
+    """JPEG/GIF header sizing (multimodal.py:jpeg_dimensions /
+    gif_dimensions): the JPEG frame size sits behind a
+    variable-length metadata segment list (m%6 APP segments here, so
+    the walk depth varies per row; odd rows use progressive SOF2),
+    parsed by the same runtime-offset walk as mm3's WAV/MP4 — pure
+    binary expressions, no decode. GIF is the fixed-offset LE16
+    case. A junk column must classify as neither."""
+    import struct
+
+    from polaroam_spark.operators.multimodal import (
+        gif_dimensions,
+        jpeg_dimensions,
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            b"\xff"
+            + bytes([marker])
+            + struct.pack(">H", 2 + len(payload))
+            + payload
+        )
+
+    def mk_jpeg(m: int) -> bytes:
+        w, h = (m % 5 + 3) * 20, (m % 4 + 2) * 15
+        out = b"\xff\xd8"
+        for i in range(m % 6):
+            out += seg(0xE0 + (i % 4), bytes(16 + 8 * i))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + b"\x03" + bytes(9)
+        out += seg(0xC2 if m % 2 else 0xC0, sof)
+        out += seg(0xDA, b"\x03" + bytes(6)) + b"\xff\xc0\x99" + bytes(8)
+        return out
+
+    def mk_gif(m: int) -> bytes:
+        magic = b"GIF89a" if m % 2 else b"GIF87a"
+        return magic + struct.pack("<HH", (m + 1) * 7, (m + 2) * 5) + bytes(4)
+
+    rows = [
+        (m, mk_jpeg(m), mk_gif(m), b"\x00junk" + bytes(12))
+        for m in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, jpg binary, gif binary, junk binary"
+    )
+    j = jpeg_dimensions("jpg")
+    g = gif_dimensions("gif")
+    return df.select(
+        "media_id",
+        j["is_jpeg"].alias("is_jpeg"),
+        j["width"].alias("jpeg_width"),
+        j["height"].alias("jpeg_height"),
+        g["is_gif"].alias("is_gif"),
+        g["width"].alias("gif_width"),
+        g["height"].alias("gif_height"),
+        jpeg_dimensions("junk")["is_jpeg"].alias("junk_is_jpeg"),
+        gif_dimensions("junk")["is_gif"].alias("junk_is_gif"),
+    )
+
+
 _MM3_RATES = [8000, 16000, 22050, 44100]
 _MM3_BITS = [8, 16, 24, 32]
 _MM3_TSCALES = [600, 1000, 90000, 48000]
@@ -7069,7 +7139,7 @@ def mm3(spark, sf_dir):
 # Everything with a fresher green row and unchanged code rides behind.
 _PRIORITY = [
     # (a) new round-8 gates + gates whose code round 8 touched -----
-    "mm3_av_headers",
+    "mm3_av_headers", "mm4_jpeg_gif_dims",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",

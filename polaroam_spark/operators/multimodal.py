@@ -337,24 +337,33 @@ def attach_media_meta(
             ),
         )
     png = png_dimensions(content_col)
+    jpg = jpeg_dimensions(content_col)
+    gif = gif_dimensions(content_col)
     wav = wav_header_meta(content_col)
     mp4 = mp4_header_meta(content_col)
+    is_image = png["is_png"] | jpg["is_jpeg"] | gif["is_gif"]
     return df.withColumn(
         "meta",
         F.struct(
-            F.when(png["is_png"], F.lit("image"))
+            F.when(is_image, F.lit("image"))
             .when(wav["is_wav"], F.lit("audio"))
             .when(mp4["is_mp4"], F.lit("video"))
             .otherwise(F.lit(kind))
             .alias("kind"),
             F.when(png["is_png"], F.lit("png"))
+            .when(jpg["is_jpeg"], F.lit("jpeg"))
+            .when(gif["is_gif"], F.lit("gif"))
             .when(wav["is_wav"], F.lit("wav"))
             .when(mp4["is_mp4"], F.lit("mp4"))
             .otherwise(F.lit(fmt))
             .alias("format"),
             F.length(c).cast("long").alias("n_bytes"),
-            png["width"].cast("int").alias("width"),
-            png["height"].cast("int").alias("height"),
+            F.coalesce(png["width"], jpg["width"], gif["width"])
+            .cast("int")
+            .alias("width"),
+            F.coalesce(png["height"], jpg["height"], gif["height"])
+            .cast("int")
+            .alias("height"),
             F.coalesce(
                 wav["duration_s"], mp4["duration_s"]
             ).alias("duration_s"),
@@ -560,6 +569,87 @@ def _first_with_tag(c, offs, tag_hex: str, tag_at: int = 0) -> "Column":
             == F.lit(tag_hex),
         ),
         0,
+    )
+
+
+#: SOF marker bytes that carry frame dimensions (C4=DHT, C8=JPG
+#: extension, CC=DAC are NOT frame headers and are excluded).
+_JPEG_SOF_MARKERS = (
+    "C0", "C1", "C2", "C3", "C5", "C6", "C7",
+    "C9", "CA", "CB", "CD", "CE", "CF",
+)
+
+
+def jpeg_dimensions(content, max_segments: int = 32) -> "Column":
+    """``struct<is_jpeg, width, height>`` parsed from a binary
+    column's JPEG segment list — PURE Column expressions, mm2 style.
+    JPEG has no fixed-offset dimensions: SOI (FFD8) is followed by
+    variable-length segments (``FF`` + marker + 2-byte BE length
+    including itself — APPn/EXIF blobs, COM, DQT, DHT...) and the
+    frame size lives in the first SOF marker, wherever the metadata
+    pushed it. The walk (runtime loop via :func:`_walk_offsets`)
+    steps ``offset += 2 + len`` for up to ``max_segments`` segments
+    and DIES (nulls the offset) at SOS/EOI or any non-``FF`` byte —
+    entropy-coded data after SOS contains byte patterns that would
+    otherwise false-positive as markers. Width/height are the
+    big-endian 16-bit fields at SOF+8/+6 (precision byte first,
+    HEIGHT before width — the spec's order, a classic swap bug).
+    Non-JPEG bytes yield ``(false, NULL, NULL)``; NULL content
+    verdicts false. A JPEG whose SOF sits beyond ``max_segments``
+    metadata segments yields NULL dimensions, never wrong ones."""
+    from pyspark.sql import functions as F
+
+    c = F.col(content) if isinstance(content, str) else content
+    is_jpeg = F.coalesce(
+        F.hex(c.substr(F.lit(1), F.lit(2))) == "FFD8", F.lit(False)
+    )
+
+    def marker_at(o):
+        return F.hex(c.substr(o + 1, F.lit(1)))
+
+    def step(o):
+        ok = (
+            (F.hex(c.substr(o, F.lit(1))) == "FF")
+            & (marker_at(o) != F.lit("DA"))  # SOS: entropy data next
+            & (marker_at(o) != F.lit("D9"))  # EOI
+        )
+        return F.when(ok, o + 2 + _be_uint(c, o + 2, 2))
+
+    offs = _walk_offsets(step, F.lit(3), max_segments)
+    sof = F.get(
+        F.filter(
+            offs,
+            lambda o: (F.hex(c.substr(o, F.lit(1))) == "FF")
+            & marker_at(o).isin(*_JPEG_SOF_MARKERS),
+        ),
+        0,
+    )
+    return F.struct(
+        is_jpeg.alias("is_jpeg"),
+        F.when(is_jpeg, _be_uint(c, sof + 7, 2)).alias("width"),
+        F.when(is_jpeg, _be_uint(c, sof + 5, 2)).alias("height"),
+    )
+
+
+def gif_dimensions(content) -> "Column":
+    """``struct<is_gif, width, height>`` from a binary column's GIF
+    logical-screen descriptor — fixed offsets (width LE16 at byte 7,
+    height at 9, right after the ``GIF87a``/``GIF89a`` magic), the
+    cheapest member of the header-parser family. Non-GIF bytes yield
+    ``(false, NULL, NULL)``; NULL content verdicts false."""
+    from pyspark.sql import functions as F
+
+    c = F.col(content) if isinstance(content, str) else content
+    is_gif = F.coalesce(
+        F.hex(c.substr(F.lit(1), F.lit(6))).isin(
+            "474946383761", "474946383961"
+        ),
+        F.lit(False),
+    )
+    return F.struct(
+        is_gif.alias("is_gif"),
+        F.when(is_gif, _le_uint(c, F.lit(7), 2)).alias("width"),
+        F.when(is_gif, _le_uint(c, F.lit(9), 2)).alias("height"),
     )
 
 

@@ -410,3 +410,93 @@ def test_attach_media_meta_probe_headers(spark):
     # default: declare-only, no sniffing
     plain = attach_media_meta(df, kind="image").collect()
     assert all(r.meta.kind == "image" for r in plain)
+
+
+def _mk_jpeg(w, h, n_app_segments=1, progressive=False, app_len=64):
+    """Minimal JPEG header stream: SOI + APPn metadata segments +
+    SOF0/SOF2 + SOS + fake entropy bytes (never parsed)."""
+    import struct
+
+    def seg(marker, payload):
+        return b"\xff" + bytes([marker]) + struct.pack(
+            ">H", 2 + len(payload)
+        ) + payload
+
+    out = b"\xff\xd8"  # SOI
+    for i in range(n_app_segments):
+        out += seg(0xE0 + (i % 4), bytes(app_len))
+    sof_marker = 0xC2 if progressive else 0xC0
+    sof = bytes([8]) + struct.pack(">HH", h, w) + b"\x03" + bytes(9)
+    out += seg(sof_marker, sof)
+    out += seg(0xDA, b"\x03" + bytes(6))  # SOS
+    out += b"\xff\xc0\x99\x99" + bytes(16)  # entropy bytes w/ fake marker
+    return out
+
+
+def _mk_gif(w, h, v89=True):
+    import struct
+
+    magic = b"GIF89a" if v89 else b"GIF87a"
+    return magic + struct.pack("<HH", w, h) + bytes(5)
+
+
+def test_jpeg_gif_dimensions_native(spark):
+    from polaroam_spark.operators.multimodal import (
+        gif_dimensions,
+        jpeg_dimensions,
+    )
+
+    rows = [
+        (0, _mk_jpeg(640, 480)),
+        (1, _mk_jpeg(33, 7, n_app_segments=5, progressive=True)),
+        (2, _mk_jpeg(100, 50, n_app_segments=0)),     # SOF first segment
+        (3, b"\xff\xd8" + b"\xff\xda\x00\x04\x03\x00"  # SOS before any SOF
+            + b"\xff\xc0\x00\x11\x08\x01\x01\x01\x01" + bytes(8)),
+        (4, b"not a jpeg"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", jpeg_dimensions("content").alias("d")
+        ).select("id", "d.*").collect()
+    }
+    assert out[0].is_jpeg and (out[0].width, out[0].height) == (640, 480)
+    # SOF2 (progressive) behind a pile of APP segments
+    assert (out[1].width, out[1].height) == (33, 7)
+    assert (out[2].width, out[2].height) == (100, 50)
+    # the walk dies at SOS: the FFC0-looking bytes in entropy data
+    # must NOT be read as a frame header
+    assert out[3].is_jpeg and out[3].width is None
+    assert out[4].is_jpeg is False and out[4].width is None
+    assert out[5].is_jpeg is False
+
+    gout = {
+        r.id: r
+        for r in spark.createDataFrame(
+            [(0, _mk_gif(320, 200)), (1, _mk_gif(16, 9, v89=False)),
+             (2, b"GIFnotreally"), (3, None)],
+            "id long, content binary",
+        ).select("id", gif_dimensions("content").alias("d"))
+        .select("id", "d.*").collect()
+    }
+    assert gout[0].is_gif and (gout[0].width, gout[0].height) == (320, 200)
+    assert gout[1].is_gif and (gout[1].width, gout[1].height) == (16, 9)
+    assert gout[2].is_gif is False and gout[3].is_gif is False
+
+
+def test_attach_media_meta_probes_jpeg_gif(spark):
+    from polaroam_spark.operators.multimodal import attach_media_meta
+
+    df = spark.createDataFrame(
+        [(0, _mk_jpeg(24, 12)), (1, _mk_gif(8, 8))],
+        "media_id long, content binary",
+    )
+    out = {
+        r.media_id: r.meta
+        for r in attach_media_meta(df, probe_headers=True).collect()
+    }
+    assert out[0].kind == "image" and out[0].format == "jpeg"
+    assert (out[0].width, out[0].height) == (24, 12)
+    assert out[1].format == "gif" and (out[1].width, out[1].height) == (8, 8)
