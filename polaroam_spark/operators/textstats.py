@@ -605,7 +605,12 @@ def duplicated_span_stats(
     each span to a 64-bit xxhash64 so the shuffle carries 8 bytes
     per span, not ~window·6 text bytes — at corpus scale the span
     text must not move twice; ``portable=True`` keeps span STRINGS
-    (what a SQL oracle reproduces; collision-free).
+    (what a SQL oracle reproduces; collision-free). 64 bits is
+    deliberate HERE and not in :func:`dedup_spans`: a birthday
+    collision in a STATS operator nudges one count by one
+    (~10^5 affected rows out of 10^12 spans at 100 TB — noise),
+    while the removal operator deletes text on key equality and
+    therefore keys on 128 bits.
     """
     window = int(window)
     stride = int(stride)
