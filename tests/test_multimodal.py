@@ -500,3 +500,45 @@ def test_attach_media_meta_probes_jpeg_gif(spark):
     assert out[0].kind == "image" and out[0].format == "jpeg"
     assert (out[0].width, out[0].height) == (24, 12)
     assert out[1].format == "gif" and (out[1].width, out[1].height) == (8, 8)
+
+
+def test_wav_header_meta_differential_vs_stdlib_wave(spark):
+    """Differential against an independent parser: files written by
+    the stdlib `wave` MODULE (not our own byte builder) must parse to
+    the same channels/rate/width/frames — catches a systematic
+    offset/endianness bug that a builder sharing assumptions with the
+    parser would mirror."""
+    import io
+    import wave
+
+    cases = [(1, 8000, 1, 800), (2, 44100, 2, 4410), (1, 22050, 2, 999)]
+    rows = []
+    for i, (ch, rate, sampwidth, n_frames) in enumerate(cases):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(ch)
+        w.setframerate(rate)
+        w.setsampwidth(sampwidth)
+        w.writeframes(bytes(n_frames * ch * sampwidth))
+        w.close()
+        rows.append((i, buf.getvalue()))
+
+    from polaroam_spark.operators.multimodal import wav_header_meta
+
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", wav_header_meta("content").alias("m")
+        ).select("id", "m.*").collect()
+    }
+    for i, (ch, rate, sampwidth, n_frames) in enumerate(cases):
+        # re-read with the stdlib to get its own view of the bytes
+        rd = wave.open(io.BytesIO(rows[i][1]), "rb")
+        assert out[i].is_wav
+        assert out[i].num_channels == rd.getnchannels() == ch
+        assert out[i].sample_rate == rd.getframerate() == rate
+        assert out[i].bits_per_sample == 8 * rd.getsampwidth()
+        assert out[i].data_bytes == rd.getnframes() * ch * sampwidth
+        expected_dur = out[i].data_bytes / (rate * ch * sampwidth)
+        assert abs(out[i].duration_s - expected_dur) < 1e-12
