@@ -272,3 +272,60 @@ def test_dedup_spans_null_ids_dropped(spark):
     # doc 2 is the first NON-NULL occurrence: kept intact
     assert out[2].n_spans_removed == 0 and out[2].n_tokens_after == 12
     assert out[3].n_spans_removed > 0
+
+
+def _py_dedup_spans(docs, window, stride):
+    """Pure-Python reference of dedup_spans' contract."""
+    toks = {d: t.split() for d, t in docs if d is not None}
+    occ = []  # (key, doc, start)
+    for d, ts in toks.items():
+        if len(ts) >= window:
+            for s in range(0, len(ts) - window + 1, stride):
+                key = " ".join(w.lower() for w in ts[s:s + window])
+                occ.append((key, d, s))
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for key, d, s in occ:
+        by_key[key].append((d, s))
+    removed = defaultdict(list)
+    for key, lst in by_key.items():
+        if len(lst) > 1:
+            first = min(lst)
+            for d, s in lst:
+                if (d, s) != first:
+                    removed[d].append(s)
+    out = {}
+    for d, ts in toks.items():
+        rm = sorted(removed.get(d, []))
+        kept = [
+            w for i, w in enumerate(ts)
+            if not any(s <= i < s + window for s in rm)
+        ]
+        out[d] = (" ".join(kept), len(ts), len(kept), len(rm))
+    return out
+
+
+def test_dedup_spans_randomized_differential(spark):
+    """Random small-vocab corpora (forced span collisions) vs the
+    pure-Python reference — keep-first ownership, range-union
+    masking, and text rebuild must agree exactly."""
+    import random
+
+    from polaroam_spark.operators.textstats import dedup_spans
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(8)]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for d in range(12)
+        ]
+        expected = _py_dedup_spans(docs, window=5, stride=2)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens_before, r.n_tokens_after,
+                       r.n_spans_removed)
+            for r in dedup_spans(df, window=5, stride=2).collect()
+        }
+        assert got == expected, seed
