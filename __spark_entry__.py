@@ -6995,6 +6995,100 @@ def mm4(spark, sf_dir):
     )
 
 
+_URL_EXPR_SQL = """
+  'https://' || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                ELSE '' END
+  || source
+  || CASE doc_id % 2 WHEN 0 THEN '.example.com' ELSE '.example.org' END
+  || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/a'
+     WHEN 2 THEN '/a/b' ELSE '/a/b/c' END
+  || CASE WHEN doc_id % 5 = 0 THEN '?q=' || doc_id ELSE '' END
+"""
+
+
+def _url_expr_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("www."))
+        .when(d % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 2 == 0, F.lit(".example.com")).otherwise(
+            F.lit(".example.org")
+        ),
+        F.when(d % 4 == 0, F.lit(""))
+        .when(d % 4 == 1, F.lit("/a"))
+        .when(d % 4 == 2, F.lit("/a/b"))
+        .otherwise(F.lit("/a/b/c")),
+        F.when(
+            d % 5 == 0, F.concat(F.lit("?q="), d.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+
+
+@_q(
+    "u1_url_features",
+    "SELECT doc_id, 'https' AS scheme, "
+    "CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END "
+    "|| source || CASE doc_id % 2 WHEN 0 THEN '.example.com' "
+    "ELSE '.example.org' END AS host, "
+    "CASE doc_id % 2 WHEN 0 THEN 'example.com' ELSE 'example.org' END "
+    "AS registered_domain, "
+    "CASE doc_id % 2 WHEN 0 THEN 'com' ELSE 'org' END AS tld, "
+    "CAST(doc_id % 4 AS BIGINT) AS path_depth, "
+    "doc_id % 5 = 0 AS has_query "
+    "FROM documents WHERE doc_id IS NOT NULL",
+)
+def u1(spark, sf_dir):
+    """URL decomposition (textstats.py:url_features — the key of
+    domain-level corpus curation: per-domain caps, blocklists, mix
+    reports). URLs are SYNTHESIZED deterministically from
+    doc_id/source (mm2/mm3 style), so the oracle recomputes every
+    field from the same arithmetic while the engine actually parses
+    the assembled string with try_parse_url + array expressions —
+    scheme, host, naive registered_domain, tld, path depth, query
+    flag all round-trip."""
+    from polaroam_spark.operators.textstats import url_features
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    u = url_features(_url_expr_spark())
+    return docs.select(
+        "doc_id",
+        u["scheme"].alias("scheme"),
+        u["host"].alias("host"),
+        u["registered_domain"].alias("registered_domain"),
+        u["tld"].alias("tld"),
+        u["path_depth"].alias("path_depth"),
+        u["has_query"].alias("has_query"),
+    )
+
+
+@_q(
+    "u2_filter_by_domain",
+    "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL "
+    "AND doc_id % 2 = 0",  # .org rows blocked -> evens survive
+)
+def u2(spark, sf_dir):
+    """Domain blocklist filter (textstats.py:filter_by_domain):
+    blocking 'example.org' must drop exactly the odd doc_ids of u1's
+    synthetic URL scheme — broadcast anti join on the lowercased
+    naive registered domain, probe side never shuffles."""
+    from polaroam_spark.operators.textstats import filter_by_domain
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .withColumn("url", _url_expr_spark())
+    )
+    block = spark.createDataFrame(
+        [("Example.ORG",), ("spam.net",)], "domain string"
+    )
+    return filter_by_domain(docs, block, url_col="url").select("doc_id")
+
+
 _MM3_RATES = [8000, 16000, 22050, 44100]
 _MM3_BITS = [8, 16, 24, 32]
 _MM3_TSCALES = [600, 1000, 90000, 48000]
@@ -7140,6 +7234,7 @@ def mm3(spark, sf_dir):
 _PRIORITY = [
     # (a) new round-8 gates + gates whose code round 8 touched -----
     "mm3_av_headers", "mm4_jpeg_gif_dims",
+    "u1_url_features", "u2_filter_by_domain",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",

@@ -776,3 +776,79 @@ def dedup_spans(
         F.size(kept).cast("bigint").alias("n_tokens_after"),
         F.size("_rm").cast("bigint").alias("n_spans_removed"),
     )
+
+
+def url_features(url: Column | str) -> Column:
+    """``struct<scheme, host, registered_domain, tld, path_depth,
+    has_query>`` parsed from a URL column — all native expressions
+    (``F.try_parse_url`` is JVM-side and NULL-on-malformed — ANSI ``parse_url`` throws), the input to the domain-level
+    moves of corpus curation: per-domain caps
+    (``sampling.cap_per_key`` keyed on ``registered_domain``),
+    blocklists (:func:`filter_by_domain`), domain mix reports.
+
+    ``registered_domain`` is the NAIVE last-two-labels rule
+    (``a.b.c.example.co.uk`` → ``co.uk``): correct for generic TLDs,
+    wrong for multi-label public suffixes. The real fix is a public
+    suffix list lookup — a broadcast join against a suffix table,
+    which this deliberately does not bundle (the PSL is a versioned
+    external artifact); at the cap/blocklist granularity the naive
+    rule groups strictly COARSER than the PSL one, so a cap keyed on
+    it is conservative (never lets a site exceed its budget by
+    splitting across subdomains). Malformed URLs yield NULL fields
+    (parse_url returns NULL, never throws).
+    """
+    u = _col(url)
+    host = F.try_parse_url(u, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    path = F.try_parse_url(u, F.lit("PATH"))
+    return F.struct(
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+        .alias("scheme"),
+        host.alias("host"),
+        F.when(
+            n >= 2,
+            F.concat_ws(
+                ".", F.element_at(labels, -2), F.element_at(labels, -1)
+            ),
+        )
+        .otherwise(host)
+        .alias("registered_domain"),
+        F.when(n >= 1, F.element_at(labels, -1)).alias("tld"),
+        F.size(
+            F.filter(F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != "")
+        )
+        .cast("long")
+        .alias("path_depth"),
+        F.try_parse_url(u, F.lit("QUERY")).isNotNull().alias("has_query"),
+    )
+
+
+def filter_by_domain(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    keep: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop (default) or keep (``keep=True``) rows whose URL's
+    ``registered_domain`` appears in ``blocklist[domain_col]`` — the
+    blocklist/allowlist primitive of corpus curation. The list side
+    is deduped, lowercased, and broadcast (a curated domain list is
+    KBs–MBs; ``broadcast=False`` falls back to a shuffle join for a
+    list that genuinely is not — e.g. a full host-level CDX
+    extract). Anti/semi join: the probe side never shuffles when
+    broadcast, rows with unparseable URLs have NULL domains and are
+    always KEPT on blocklist mode (a malformed URL is not evidence
+    of a blocked domain) and dropped on allowlist mode.
+    """
+    dom = F.lower(url_features(url_col)["registered_domain"])
+    lst = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_dom")
+    ).dropDuplicates()
+    if broadcast:
+        lst = F.broadcast(lst)
+    probe = df.withColumn("_dom", dom)
+    how = "left_semi" if keep else "left_anti"
+    return probe.join(lst, on="_dom", how=how).drop("_dom")

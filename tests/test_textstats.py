@@ -329,3 +329,56 @@ def test_dedup_spans_randomized_differential(spark):
             for r in dedup_spans(df, window=5, stride=2).collect()
         }
         assert got == expected, seed
+
+
+def test_url_features_parses_and_nulls(spark):
+    from polaroam_spark.operators.textstats import url_features
+
+    rows = [
+        (0, "https://www.news.example.co.uk/a/b/c?q=1"),
+        (1, "http://example.com"),
+        (2, "ftp://files.example.org/pub/"),
+        (3, "not a url"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r.id: r
+        for r in df.select("id", url_features("url").alias("u"))
+        .select("id", "u.*")
+        .collect()
+    }
+    assert out[0].scheme == "https" and out[0].host == "www.news.example.co.uk"
+    # documented NAIVE last-two-labels rule (coarser than the PSL)
+    assert out[0].registered_domain == "co.uk" and out[0].tld == "uk"
+    assert out[0].path_depth == 3 and out[0].has_query is True
+    assert out[1].host == "example.com" and out[1].path_depth == 0
+    assert out[1].registered_domain == "example.com"
+    assert out[1].has_query is False
+    assert out[2].scheme == "ftp" and out[2].path_depth == 1
+    assert out[3].host is None and out[4].host is None
+
+
+def test_filter_by_domain_block_and_allow(spark):
+    from polaroam_spark.operators.textstats import filter_by_domain
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://good.example.com/x"),
+            (1, "https://sub.spam.net/y"),
+            (2, "https://SPAM.NET/z"),          # case-insensitive
+            (3, "totally-not-a-url"),           # NULL domain
+        ],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("spam.net",)], "domain string")
+    kept = sorted(
+        r.doc_id for r in filter_by_domain(docs, block).collect()
+    )
+    # malformed URL (NULL domain) is KEPT on blocklist mode
+    assert kept == [0, 3]
+    allowed = sorted(
+        r.doc_id
+        for r in filter_by_domain(docs, block, keep=True).collect()
+    )
+    assert allowed == [1, 2]
