@@ -3413,6 +3413,70 @@ def n3d(spark, sf_dir):
 
 
 @_q(
+    "n5_pq_recall",
+    "SELECT vec_id AS query_id, TRUE AS k_ok, TRUE AS codes_ok, "
+    "TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
+)
+def n5(spark, sf_dir):
+    """Product-quantization certification (similarity.py:
+    train_pq_codebooks / pq_encode / pq_topk — Jégou et al. 2011):
+    unit-normalize, train 32 subspaces × 32 codes (one Lloyd round,
+    hash-rank seeds — fully deterministic), encode the corpus to
+    32 small ints per vector, ADC top-10 per query. Pinned booleans:
+    exactly k rows per query, every vector's code array has exactly M
+    entries, and recall@10 vs the exact cosine scan clears the
+    ENFORCED floor of 2/10 (measured 7-9/10 per query on current
+    testdata — the floor sits far below so data regeneration cannot
+    flip the gate, while a broken codebook/LUT (~k/N recall) fails
+    it)."""
+    from polaroam_spark.functions.vectors import l2_normalize
+    from polaroam_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq_codebooks(
+        emb, num_subspaces=32, codes_per_subspace=32, kmeans_iterations=1
+    )
+    codes = pq_encode(emb, books)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    ann = pq_topk(codes, q, books, k=10)
+    hits = (
+        exact.join(
+            ann.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    stats = ann.groupBy("query_id").agg(F.count("*").alias("_n_rows"))
+    codes_flag = codes.agg(
+        F.min(F.size("pq_codes") == 32).alias("codes_ok")
+    )
+    return (
+        stats.join(hits, on="query_id", how="left")
+        .crossJoin(F.broadcast(codes_flag))
+        .select(
+            "query_id",
+            (F.col("_n_rows") == 10).alias("k_ok"),
+            "codes_ok",
+            (
+                F.coalesce(F.col("_n_hit"), F.lit(0)) >= F.lit(2)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@_q(
     "t1_token_count",
     "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), "
     "'\\s+'), t -> t != '')) AS BIGINT) AS n_tokens FROM documents",
@@ -7236,7 +7300,7 @@ _PRIORITY = [
     "mm3_av_headers", "mm4_jpeg_gif_dims",
     "u1_url_features", "u2_filter_by_domain",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
-    "m3d_communities_infomap",
+    "n5_pq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",
     "ts2_ewma", "ts2b_ewma_blocked",
     # (b) r3-latest greens — the stalest block, oldest first -------

@@ -602,3 +602,319 @@ def embedding_similarity_join(
             "cosine",
         )
     )
+
+
+def _pq_slices(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int):
+    """Explode each vector into its ``m`` subspace slices:
+    ``[<id>, _m, _svec]`` — the shared shape of PQ train/encode/LUT."""
+    subspaces = F.broadcast(
+        df.sparkSession.range(int(m)).select(
+            F.col("id").cast("int").alias("_m")
+        )
+    )
+    return df.crossJoin(subspaces).select(
+        F.col(id_col),
+        "_m",
+        F.slice(
+            F.col(vec_col), F.col("_m") * d_sub + 1, d_sub
+        ).alias("_svec"),
+    )
+
+
+def _l2sq(a, b) -> Column:
+    """Squared L2 distance between two equal-length arrays — the PQ
+    metric (monotone with L2; on unit vectors monotone with cosine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def train_pq_codebooks(
+    data: DataFrame,
+    data_id: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 64,
+    kmeans_iterations: int = 1,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the D dims into ``num_subspaces`` contiguous slices and
+    k-means each slice independently. Returns ``[_m, _code, _cvec]``
+    — M × K rows, broadcast-sized at any corpus scale (the whole
+    point: 256 codes × 16 subspaces × a few floats is KBs while the
+    corpus it indexes is TBs).
+
+    Same determinism contract as :func:`build_ivf_index`: seeds are
+    hash-rank samples of the data (works for any id type, no RNG),
+    Lloyd rounds are min-of-struct assignment + per-dimension means
+    — bit-stable across runs and engines. Shuffle shape: the train
+    pipeline moves M skinny rows per sampled/assigned vector, keyed
+    by (id, subspace) then (subspace, code) — never the full
+    vectors twice.
+
+    D must divide evenly by ``num_subspaces`` (raises otherwise —
+    padding would silently distort the last subspace's metric).
+    """
+    m = int(num_subspaces)
+    k = int(codes_per_subspace)
+    first = data.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty frame")
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by num_subspaces={m}"
+        )
+    d_sub = dim // m
+
+    seeds = (
+        data.orderBy(F.xxhash64(F.col(data_id).cast("string")))
+        .limit(k)
+        .select(
+            F.col(vec_col),
+            (
+                F.row_number().over(
+                    Window.orderBy(F.xxhash64(F.col(data_id).cast("string")))
+                )
+                - 1
+            ).alias("_code"),
+        )
+    )
+    books = _pq_slices(seeds, "_code", vec_col, m, d_sub).select(
+        "_m", "_code", F.col("_svec").alias("_cvec")
+    )
+
+    sl = _pq_slices(
+        data.select(data_id, vec_col), data_id, vec_col, m, d_sub
+    )
+    for _ in range(int(kmeans_iterations)):
+        assigned = (
+            sl.join(F.broadcast(books), on="_m")
+            .groupBy(data_id, "_m")
+            .agg(
+                F.min(
+                    F.struct(
+                        _l2sq("_svec", "_cvec").alias("_d"),
+                        F.col("_code").alias("_code"),
+                        F.col("_svec").alias("_svec"),
+                    )
+                ).alias("_best")
+            )
+            .select(
+                "_m",
+                F.col("_best._code").alias("_code"),
+                F.col("_best._svec").alias("_svec"),
+            )
+        )
+        books = (
+            assigned.select(
+                "_m", "_code", F.posexplode("_svec").alias("_pos", "_val")
+            )
+            .groupBy("_m", "_code", "_pos")
+            .agg(F.avg("_val").alias("_mean"))
+            .groupBy("_m", "_code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_mean"))
+                ).alias("_dims")
+            )
+            .select(
+                "_m",
+                "_code",
+                F.transform(F.col("_dims"), lambda s: s["_mean"]).alias(
+                    "_cvec"
+                ),
+            )
+        )
+    return books
+
+
+def pq_encode(
+    data: DataFrame,
+    codebooks: DataFrame,
+    data_id: str = "vec_id",
+    vec_col: str = "embedding",
+    encoder: str = "native",
+) -> DataFrame:
+    """Encode each vector as ``pq_codes`` (array<int>, one code per
+    subspace — the nearest codebook entry per slice). THIS is the
+    memory win: a 64-dim float64 vector (512 B) becomes M small ints
+    (M bytes once written as parquet bytes), so a 10^10-vector
+    corpus's index fits where the raw vectors never would.
+
+    ``encoder='native'`` (default): subspace-slice explode →
+    broadcast codebook join → min-of-struct per (id, subspace) →
+    collect the M codes back into one ordered array. Two skinny
+    shuffles keyed by id; the vectors themselves move once (into the
+    slice explode). Ties break to the smallest code id (struct
+    ordering) — deterministic on any engine, the gate path.
+
+    ``encoder='arrow'``: one vectorized pandas_udf — per Arrow batch
+    a numpy broadcast computes all B×K subspace distances and
+    argmins them (~40x the native path's interpreted expressions,
+    measured in BASELINE.md; map-side only, NO shuffle at all). The
+    codebooks are collected to the driver first — M×K×d_sub doubles,
+    KBs by construction, the same bounded-small contract as a
+    broadcast join. numpy argmin also ties to the smallest code;
+    codes can differ from 'native' only for a vector equidistant to
+    two codewords within float-sum reordering (~1e-15) — the same
+    caveat as every other 'arrow' swap in this module."""
+    mk = codebooks.groupBy().agg(
+        (F.max("_m") + 1).alias("m"),
+    ).first()
+    m = int(mk["m"])
+    first = data.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if m == 0 or dim % m != 0:
+        raise ValueError(
+            f"codebook subspace count {m} does not divide vector dim {dim}"
+        )
+    d_sub = dim // m
+    if encoder == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rows = codebooks.orderBy("_m", "_code").collect()
+        # a Lloyd round drops codewords whose cell emptied, so code
+        # ids need not be dense: size by max id and fill the gaps
+        # with +inf so a phantom code can never win an argmin
+        k = max(int(r["_code"]) for r in rows) + 1
+        books = np.full((m, k, d_sub), np.inf, dtype=np.float64)
+        for r in rows:
+            books[int(r["_m"]), int(r["_code"])] = np.asarray(
+                r["_cvec"], dtype=np.float64
+            )
+
+        def _enc(s):
+            x = np.stack(s.to_numpy()).astype(np.float64)
+            out = np.empty((len(x), m), dtype=np.int32)
+            for mi in range(m):
+                sl = x[:, mi * d_sub : (mi + 1) * d_sub]
+                d2 = ((sl[:, None, :] - books[mi][None, :, :]) ** 2).sum(
+                    axis=-1
+                )
+                out[:, mi] = d2.argmin(axis=1)
+            return pd.Series(list(out))
+
+        # explicit (fn, returnType) form: the local `pd` import is
+        # invisible to the string-annotation resolver under
+        # `from __future__ import annotations`
+        enc_udf = pandas_udf(_enc, "array<int>")
+        return data.select(
+            F.col(data_id), enc_udf(F.col(vec_col)).alias("pq_codes")
+        )
+    if encoder != "native":
+        raise ValueError(
+            f"unknown encoder {encoder!r}: use 'native' or 'arrow'"
+        )
+    sl = _pq_slices(
+        data.select(data_id, vec_col), data_id, vec_col, m, d_sub
+    )
+    best = (
+        sl.join(F.broadcast(codebooks), on="_m")
+        .groupBy(data_id, "_m")
+        .agg(
+            F.min(
+                F.struct(
+                    _l2sq("_svec", "_cvec").alias("_d"),
+                    F.col("_code").alias("_code"),
+                )
+            ).alias("_best")
+        )
+        .select(data_id, "_m", F.col("_best._code").alias("_c"))
+    )
+    return best.groupBy(data_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_m", "_c"))),
+            lambda s: s["_c"],
+        ).alias("pq_codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query,
+    precompute the K×M lookup table of squared distances from each
+    query SLICE to each codebook entry, then score every encoded
+    vector as ``sum_m lut[m][code_m]`` — a pure array aggregate over
+    M small ints per (query, vector) pair, never touching the
+    original vectors. Output ``[query_id, vec_id, approx_l2sq,
+    rank]`` (ascending distance; on unit-normalized input this is
+    the cosine order, lossy by quantization).
+
+    Scale shape: codebooks AND the per-query LUTs are broadcast
+    (queries are a batch, the LUT is K×M doubles per query); the
+    scored side streams the codes table map-side — ONE pass, no
+    shuffle of the corpus beyond the final per-query top-k window
+    over the broadcast-bounded candidate set. Combine with an IVF
+    assignment for probe-pruned scans; the full linear ADC scan here
+    is already ~64x cheaper per row than exact cosine at M=8
+    (8 adds + 8 lookups vs 64 mults + adds), which is PQ's
+    throughput story."""
+    mk = codebooks.groupBy().agg((F.max("_m") + 1).alias("m")).first()
+    m = int(mk["m"])
+    first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if m == 0 or dim % m != 0:
+        raise ValueError(
+            f"codebook subspace count {m} does not divide query dim {dim}"
+        )
+    d_sub = dim // m
+    qsl = _pq_slices(
+        queries.select(query_id, vec_col), query_id, vec_col, m, d_sub
+    )
+    lut = (
+        qsl.join(F.broadcast(codebooks), on="_m")
+        .select(
+            query_id,
+            "_m",
+            "_code",
+            _l2sq("_svec", "_cvec").alias("_d"),
+        )
+        .groupBy(query_id, "_m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_code", "_d"))),
+                lambda s: s["_d"],
+            ).alias("_row")
+        )
+        .groupBy(query_id)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_m", "_row"))),
+                lambda s: s["_row"],
+            ).alias("_lut")
+        )
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        query_id,
+        data_id,
+        F.aggregate(
+            F.zip_with(
+                "pq_codes",
+                "_lut",
+                lambda c, row: F.element_at(row, c.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("approx_l2sq"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_l2sq").asc(), F.col(data_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, data_id, "approx_l2sq", "rank")
+    )

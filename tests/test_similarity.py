@@ -306,3 +306,103 @@ def test_embedding_similarity_join_cross_table(spark):
     assert (1, 10) in pairs and pairs[(1, 10)] > 0.99
     assert (2, 30) in pairs
     assert all(rid != 20 for (_, rid) in pairs)  # anti-parallel excluded
+
+
+# ------------------------------------------------------------------ PQ
+def test_pq_roundtrip_clustered(spark):
+    """Two tight clusters: every member encodes to its cluster's
+    codes, and ADC top-k ranks cluster-mates above the other blob."""
+    from polaroam_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rows = []
+    for i in range(8):
+        base = [1.0, 0.0, 0.0, 1.0] if i < 4 else [0.0, 1.0, 1.0, 0.0]
+        rows.append((i, [b + (i % 4) * 1e-3 for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(
+        emb, num_subspaces=2, codes_per_subspace=2, kmeans_iterations=2
+    )
+    assert books.count() == 4  # 2 subspaces x 2 codes
+    codes = pq_encode(emb, books)
+    got = {r.vec_id: tuple(r.pq_codes) for r in codes.collect()}
+    assert all(len(c) == 2 for c in got.values())
+    # cluster members share a codeword; clusters differ
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[i] for i in range(4, 8)}) == 1
+    assert got[0] != got[4]
+
+    q = emb.filter(F.col("vec_id").isin(0, 4)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(codes, q, books, k=4).collect()
+    for r in top:
+        same_blob = (r.vec_id < 4) == (r.query_id < 4)
+        assert same_blob, (r.query_id, r.vec_id, r.rank)
+
+
+def test_pq_validation_errors(spark):
+    import pytest
+
+    from polaroam_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, num_subspaces=2)
+    books = train_pq_codebooks(emb, num_subspaces=3, codes_per_subspace=1)
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="does not divide"):
+        pq_encode(bad, books)
+
+
+def test_pq_deterministic(spark):
+    from polaroam_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    a = train_pq_codebooks(emb, num_subspaces=4, codes_per_subspace=4)
+    b = train_pq_codebooks(emb, num_subspaces=4, codes_per_subspace=4)
+    ca = sorted((r.vec_id, tuple(r.pq_codes)) for r in pq_encode(emb, a).collect())
+    cb = sorted((r.vec_id, tuple(r.pq_codes)) for r in pq_encode(emb, b).collect())
+    assert ca == cb
+
+
+def test_pq_encode_arrow_matches_native(spark):
+    from polaroam_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 5) % 17) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(emb, num_subspaces=4, codes_per_subspace=8)
+    nat = sorted(
+        (r.vec_id, tuple(r.pq_codes))
+        for r in pq_encode(emb, books).collect()
+    )
+    arw = sorted(
+        (r.vec_id, tuple(r.pq_codes))
+        for r in pq_encode(emb, books, encoder="arrow").collect()
+    )
+    assert nat == arw
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown encoder"):
+        pq_encode(emb, books, encoder="fast")
