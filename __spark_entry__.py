@@ -3413,6 +3413,64 @@ def n3d(spark, sf_dir):
 
 
 @_q(
+    "n6_ivfpq_recall",
+    "SELECT vec_id AS query_id, TRUE AS k_ok, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id < 5",
+)
+def n6(spark, sf_dir):
+    """IVF-PQ serving-path certification (similarity.py:
+    ann_ivfpq_topk — the Faiss-style composition: coarse IVF probe
+    pruning × 16 B/vector ADC scoring): 8 centroids / 4 probes over
+    the 32×32 PQ codes of n5's parameters. Pinned booleans: k rows
+    per query and recall@10 ≥ 2/10 vs the exact scan (recall loses
+    to BOTH probe misses and quantization; measured comfortably
+    above the floor on current testdata)."""
+    from polaroam_spark.functions.vectors import l2_normalize
+    from polaroam_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivf_index,
+        cosine_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(emb, num_centroids=8)
+    books = train_pq_codebooks(
+        emb, num_subspaces=32, codes_per_subspace=32, kmeans_iterations=1
+    )
+    codes = pq_encode(emb, books)
+    ann = ann_ivfpq_topk(codes, q, books, index, k=10, num_probes=4)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    hits = (
+        exact.join(
+            ann.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("_n_rows"))
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            (F.col("_n_rows") == 10).alias("k_ok"),
+            (
+                F.coalesce(F.col("_n_hit"), F.lit(0)) >= F.lit(2)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@_q(
     "n5_pq_recall",
     "SELECT vec_id AS query_id, TRUE AS k_ok, TRUE AS codes_ok, "
     "TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
@@ -7300,7 +7358,7 @@ _PRIORITY = [
     "mm3_av_headers", "mm4_jpeg_gif_dims",
     "u1_url_features", "u2_filter_by_domain",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
-    "n5_pq_recall", "m3d_communities_infomap",
+    "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",
     "ts2_ewma", "ts2b_ewma_blocked",
     # (b) r3-latest greens — the stalest block, oldest first -------

@@ -897,7 +897,15 @@ def pq_topk(
             ).alias("_lut")
         )
     )
-    scored = codes.crossJoin(F.broadcast(lut)).select(
+    # Candidate-restricted mode (IVF-PQ): when the codes frame
+    # already carries a query_id (pre-pruned candidate pairs), score
+    # each pair against ITS query's LUT via an equi-join instead of
+    # the full cross product.
+    if query_id in codes.columns:
+        scored = codes.join(F.broadcast(lut), on=query_id)
+    else:
+        scored = codes.crossJoin(F.broadcast(lut))
+    scored = scored.select(
         query_id,
         data_id,
         F.aggregate(
@@ -918,3 +926,50 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, data_id, "approx_l2sq", "rank")
     )
+
+
+def ann_ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    k: int = 10,
+    num_probes: int = 2,
+    data_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composition that serves 10^10-vector corpora —
+    the IVF coarse index (:func:`build_ivf_index`) prunes the scan to
+    ``num_probes`` inverted lists, and the PQ codes (:func:`pq_encode`)
+    make the pruned scan read 16-byte codes instead of full vectors,
+    scored by the same broadcast ADC lookup tables as
+    :func:`pq_topk`. Both index artifacts are one-time builds; write
+    the (assignment ⋈ codes) table bucketed on ``data_id`` and query
+    time touches ``num_probes/num_centroids`` of a 16 B/vector
+    index — the standard Faiss-style serving layout, expressed as
+    two broadcast joins + one window.
+
+    Output ``[query_id, vec_id, approx_l2sq, rank]`` — rank within
+    probed candidates, ascending ADC distance; recall loses both to
+    probe misses (IVF) and quantization (PQ), certified by the n6
+    gate against the exact scan."""
+    centroids, d_assign = index
+    score = _make_scorer("native")
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    q_probe = _assign_to_centroids(
+        q, centroids, query_id, "_qvec", num_probes, score
+    )
+    cand = codes.join(d_assign, on=data_id).join(
+        F.broadcast(q_probe), on="centroid_id"
+    )
+    ranked = pq_topk(
+        cand.select(query_id, data_id, "pq_codes"),
+        queries,
+        codebooks,
+        k=k,
+        data_id=data_id,
+        query_id=query_id,
+        vec_col=vec_col,
+    )
+    return ranked

@@ -406,3 +406,36 @@ def test_pq_encode_arrow_matches_native(spark):
 
     with pytest.raises(ValueError, match="unknown encoder"):
         pq_encode(emb, books, encoder="fast")
+
+
+def test_ivfpq_prunes_and_finds_neighbors(spark):
+    """IVF-PQ composition: candidates are restricted to the probed
+    inverted lists, and with probes covering the query's own cluster
+    the top-k finds the cluster-mates."""
+    from polaroam_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivf_index,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rows = []
+    for i in range(30):
+        blob = i % 3
+        base = {0: [10.0, 0.0], 1: [0.0, 10.0], 2: [-10.0, -10.0]}[blob]
+        rows.append((i, [base[0] + (i % 10) * 0.01, base[1] + (i % 7) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index = build_ivf_index(emb, num_centroids=3, kmeans_iterations=2)
+    books = train_pq_codebooks(
+        emb, num_subspaces=2, codes_per_subspace=4, kmeans_iterations=2
+    )
+    codes = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_ivfpq_topk(codes, q, books, index, k=5, num_probes=1).collect()
+    assert len(out) == 10  # 5 per query
+    for r in out:
+        # probes=1 with 3 well-separated blobs: every candidate comes
+        # from the query's own blob
+        assert r.vec_id % 3 == r.query_id % 3, (r.query_id, r.vec_id)
