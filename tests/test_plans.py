@@ -299,3 +299,46 @@ def test_semantic_pairs_equi_join_on_cluster(spark):
     # centroid_id — never an all-pairs cross join
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_topk_broadcasts_lut_no_corpus_shuffle(spark):
+    """PQ ADC scan: the LUT side is broadcast and the codes table is
+    scanned map-side — the only hashpartitioning exchange allowed is
+    the final per-query top-k window over the bounded candidate set."""
+    from polaroam_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) for j in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(emb, num_subspaces=2, codes_per_subspace=4)
+    codes = pq_encode(emb, books)
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(pq_topk(codes, q, books, k=5))
+    assert "BroadcastExchange" in plan, plan
+    # codes themselves were built via groupBy (2 exchanges upstream);
+    # the SCORING adds exactly one more for the rank window
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_filter_by_domain_broadcasts_list(spark):
+    from polaroam_spark.operators.textstats import filter_by_domain
+
+    docs = spark.createDataFrame(
+        [(i, f"https://site{i}.example.com/x") for i in range(20)],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("example.org",)], "domain string")
+    plan = _plan(filter_by_domain(docs, block))
+    # list side broadcast; the only hash exchange allowed is the
+    # (tiny) list dedupe inside the broadcast build — the probed
+    # corpus reaches the anti join straight from its scan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan
+    assert re.search(
+        r"BroadcastHashJoin LeftAnti", plan
+    ), plan
