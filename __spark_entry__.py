@@ -7117,6 +7117,62 @@ def mm4(spark, sf_dir):
     )
 
 
+@_q(
+    "k6_sentence_chunks",
+    """WITH RECURSIVE
+sents AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'),
+           x -> trim(x)), x -> x != '') AS ss
+  FROM documents WHERE doc_id IS NOT NULL
+),
+so AS (
+  SELECT doc_id, unnest(ss) AS s,
+         unnest(range(1, len(ss) + 1)) AS rn
+  FROM sents WHERE len(ss) > 0
+),
+tok AS (
+  SELECT doc_id, rn, s,
+         len(list_filter(regexp_split_to_array(s, '\\s+'),
+             t -> t != '')) AS n
+  FROM so
+),
+g AS (
+  SELECT doc_id, rn, s, n, 0 AS cur, n AS used
+  FROM tok WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.rn, t.s, t.n,
+         g.cur + CASE WHEN g.used > 0 AND g.used + t.n > 32
+                 THEN 1 ELSE 0 END,
+         CASE WHEN g.used > 0 AND g.used + t.n > 32
+              THEN t.n ELSE g.used + t.n END
+  FROM g JOIN tok t ON t.doc_id = g.doc_id AND t.rn = g.rn + 1
+)
+SELECT doc_id, CAST(cur AS BIGINT) AS chunk_id,
+       string_agg(s, ' ' ORDER BY rn) AS chunk_text,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM g GROUP BY doc_id, cur""",
+)
+def k6(spark, sf_dir):
+    """Sentence-aware greedy chunking (chunking.py:
+    chunk_documents_sentences, budget 32) vs a DuckDB recursive CTE
+    replaying the identical fold — same lookaround-free sentence
+    regex (RE2 has no lookbehind, which is exactly why the operator
+    avoids it), same new-chunk-on-overflow rule, same
+    single-space-join text. The engine side is one shuffle-free
+    F.aggregate per document; the oracle pays the O(n) recursion a
+    SQL engine needs for the same semantics."""
+    from polaroam_spark.operators.chunking import (
+        chunk_documents_sentences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return chunk_documents_sentences(docs, max_tokens=32)
+
+
 _URL_EXPR_SQL = """
   'https://' || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
                 ELSE '' END
@@ -7356,7 +7412,7 @@ def mm3(spark, sf_dir):
 _PRIORITY = [
     # (a) new round-8 gates + gates whose code round 8 touched -----
     "mm3_av_headers", "mm4_jpeg_gif_dims",
-    "u1_url_features", "u2_filter_by_domain",
+    "u1_url_features", "u2_filter_by_domain", "k6_sentence_chunks",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",

@@ -375,3 +375,118 @@ def bm25_search(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def chunk_documents_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Sentence-aware chunking: split on sentence boundaries and
+    greedily merge consecutive sentences into chunks of at most
+    ``max_tokens`` whitespace tokens — the chunker that does not cut
+    mid-sentence (RAG passages, SFT examples), complementing
+    :func:`chunk_documents`' fixed-window slicer. One row per
+    (document, chunk): ``doc_id, chunk_id, chunk_text, n_tokens``.
+
+    Semantics: a new chunk starts when adding the next sentence
+    would exceed the budget AND the current chunk is non-empty — so
+    a single sentence longer than ``max_tokens`` becomes its own
+    over-budget chunk (post-split those with ``chunk_documents`` if
+    hard caps matter). Sentences are maximal runs matched by
+    ``[^.!?]+[.!?]*`` — deliberately lookaround-free so a SQL oracle
+    (RE2 engines have no lookbehind) replays the identical split;
+    abbreviation periods ("Dr. Smith") are sentence breaks under
+    this relaxation, documented.
+
+    Plan shape: ENTIRELY map-side — the greedy fold is an
+    ``F.aggregate`` over each document's sentence array (runtime
+    loop, same pattern as multimodal's header walks), chunk
+    assembly a transform×filter over (sentences × chunks). No
+    shuffle, no UDF; cost is O(sentences × chunks) per document,
+    linear for bounded chunk counts.
+    """
+    if int(max_tokens) < 1:
+        raise ValueError("max_tokens must be >= 1")
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(r"[^.!?]+[.!?]*"),
+                0,
+            ),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    n_tok = lambda s: F.size(  # noqa: E731
+        F.filter(F.split(s, r"\s+"), lambda t: t != "")
+    )
+    # greedy fold: (chunk id per sentence) — new chunk when the
+    # budget would overflow a non-empty chunk
+    assign = F.aggregate(
+        sents,
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("used"),
+            F.array().cast("array<int>").alias("ids"),
+        ),
+        lambda acc, s: F.struct(
+            (
+                acc["cur"]
+                + F.when(
+                    (acc["used"] > 0)
+                    & (acc["used"] + n_tok(s) > F.lit(int(max_tokens))),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("cur"),
+            F.when(
+                (acc["used"] > 0)
+                & (acc["used"] + n_tok(s) > F.lit(int(max_tokens))),
+                n_tok(s),
+            )
+            .otherwise(acc["used"] + n_tok(s))
+            .alias("used"),
+            F.concat(
+                acc["ids"],
+                F.array(
+                    acc["cur"]
+                    + F.when(
+                        (acc["used"] > 0)
+                        & (
+                            acc["used"] + n_tok(s)
+                            > F.lit(int(max_tokens))
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+            ).alias("ids"),
+        ),
+        lambda acc: acc["ids"],
+    )
+    zipped = F.zip_with(
+        sents, assign, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+    )
+    chunks = F.when(
+        F.size(sents) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.element_at(assign, -1)),
+            lambda cid: F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(zipped, lambda z: z["i"] == cid),
+                    lambda z: z["s"],
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        n_tok(F.col("chunk_text")).cast("long").alias("n_tokens"),
+    )

@@ -248,3 +248,72 @@ def test_chunk_documents_with_overlap(spark):
     )
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_sentence_chunking_greedy_budget(spark):
+    from polaroam_spark.operators.chunking import chunk_documents_sentences
+
+    rows = [
+        # 4 sentences of 3 tokens each; budget 7 -> chunks of 2+2
+        (1, "a b c. d e f. g h i? j k l!"),
+        # one 10-token sentence over an 7-token budget -> own chunk
+        (2, "one two three four five six seven eight nine ten."),
+        (3, ""),          # no sentences -> no rows
+        (4, None),        # NULL text -> no rows
+        (5, "tiny."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents_sentences(df, max_tokens=7).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in d1] == ["a b c. d e f.", "g h i? j k l!"]
+    assert [r.n_tokens for r in d1] == [6, 6]
+    # over-budget single sentence survives whole
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 10
+    assert 3 not in by_doc and 4 not in by_doc
+    assert by_doc[5][0].chunk_text == "tiny."
+    # never splits inside a sentence: chunk text ends at a boundary
+    for r in out:
+        assert r.chunk_text == r.chunk_text.strip()
+
+
+def test_sentence_chunking_matches_python_greedy(spark):
+    import random
+    import re
+
+    from polaroam_spark.operators.chunking import chunk_documents_sentences
+
+    def py_chunks(text, budget):
+        sents = [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", text or "")]
+        sents = [s for s in sents if s]
+        chunks, used = [], 0
+        for s in sents:
+            n = len(s.split())
+            if used > 0 and used + n > budget:
+                chunks.append([s]); used = n
+            elif chunks:
+                chunks[-1].append(s); used += n
+            else:
+                chunks.append([s]); used = n
+        return [" ".join(c) for c in chunks]
+
+    rng = random.Random(5)
+    docs = []
+    for d in range(15):
+        parts = []
+        for _ in range(rng.randint(0, 8)):
+            parts.append(
+                " ".join(f"t{rng.randint(0,9)}" for _ in range(rng.randint(1, 9)))
+                + rng.choice([".", "!", "?", "..."])
+            )
+        docs.append((d, " ".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents_sentences(df, max_tokens=10).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for d, text in docs:
+        expected = py_chunks(text, 10)
+        actual = [t for _, t in sorted(got.get(d, []))]
+        assert actual == expected, (d, text)
