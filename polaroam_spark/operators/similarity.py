@@ -1,16 +1,25 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, one contract (query vectors → top-k neighbors by cosine):
+One contract (query vectors → top-k neighbors), a ladder of paths
+trading exactness for scale:
 
 - ``cosine_topk`` — brute-force baseline. The query side is
   broadcast (it is small by definition: a query batch), so the "cross
   join" is a broadcast nested-loop over data partitions — no shuffle
   of the big side at all; cost is a single scan. Correct at any data
   scale as long as the *query* set stays broadcast-sized.
-- ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets
-  on both sides, equi-join on the bucket, exact cosine only within
-  buckets. Recall < 1.0 by construction; raise ``num_probes`` (bucket
-  bit-flips probed) for better recall at more candidate cost.
+- ``ann_lsh_topk`` — random-hyperplane LSH buckets on both sides,
+  equi-join on the bucket, exact cosine only within buckets. Recall
+  < 1.0 by construction; raise ``num_probes`` (bucket bit-flips
+  probed, margin-ordered) for better recall at more candidate cost.
+- ``build_ivf_index`` + ``ann_ivf_topk`` — inverted-file coarse
+  quantizer: one-time centroid build, queries exact-score only their
+  probed lists (~num_probes/num_centroids of the corpus).
+- ``train_pq_codebooks`` + ``pq_encode`` + ``pq_topk`` — product
+  quantization: the corpus becomes 16 B/vector codes scored via
+  broadcast ADC lookup tables; the memory/scan-I/O path.
+- ``ann_ivfpq_topk`` — IVF × PQ composed (the Faiss-style serving
+  layout): probe-pruned lists over quantized codes.
 
 Hyperplanes are deterministic pseudo-random (sin-based formula) so
 runs are reproducible across sessions/engines without shipping a
