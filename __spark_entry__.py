@@ -7118,6 +7118,92 @@ def mm4(spark, sf_dir):
 
 
 @_q(
+    "t20_strip_html",
+    """SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              '<html><head><style>h1 {color:red}</style>'
+              || '<script>var s = "secret";</script></head><body><h1>'
+              || source || '</h1><p>' || text
+              || ' &amp; tail</p><!-- note --></body></html>',
+              '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS text
+FROM documents WHERE doc_id IS NOT NULL""",
+)
+def t20(spark, sf_dir):
+    """HTML stripping (textstats.py:strip_html): documents wrapped in
+    deterministic HTML (script+style with CONTENTS, tags, a comment,
+    an entity), stripped back to prose. The oracle replays the
+    IDENTICAL regex chain in DuckDB — every pattern is deliberately
+    RE2-compatible, so this gate also certifies the portability
+    claim in the operator's docstring. Script/style contents
+    ('secret', the CSS) must vanish, the entity must decode."""
+    from polaroam_spark.operators.textstats import strip_html
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><style>h1 {color:red}</style>"
+            '<script>var s = "secret";</script></head><body><h1>'
+        ),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; tail</p><!-- note --></body></html>"),
+    )
+    return docs.select("doc_id", strip_html(html).alias("text"))
+
+
+@_q(
+    "t21_c4_line_filter",
+    """SELECT doc_id,
+  'Line one about ' || source || ' data.' || chr(10)
+  || 'Document ' || doc_id || ' closes properly.' AS text_filtered,
+  CAST(5 AS BIGINT) AS n_lines_before,
+  CAST(2 AS BIGINT) AS n_lines_kept
+FROM documents WHERE doc_id IS NOT NULL""",
+)
+def t21(spark, sf_dir):
+    """C4 line-level cleaning (textstats.py:c4_line_filter, Raffel
+    et al. 2020 §2.1): five synthesized lines per document — a
+    proper sentence, a too-short line, a no-terminal-punctuation
+    line, and two drop-phrase lines — must filter to exactly the
+    two sentence-like lines, with the counts the oracle pins."""
+    from polaroam_spark.operators.textstats import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Line one about "), F.col("source"), F.lit(" data.")),
+        F.lit("too short."),
+        F.concat(F.lit("this line has no punctuation "), F.col("source")),
+        F.lit("Please enable javascript to continue."),
+        F.concat(
+            F.lit("Document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" closes properly."),
+        ),
+    )
+    out = c4_line_filter(docs.withColumn("text", text))
+    return out.select(
+        "doc_id", "text_filtered", "n_lines_before", "n_lines_kept"
+    )
+
+
+@_q(
     "k6_sentence_chunks",
     """WITH RECURSIVE
 sents AS (
@@ -7413,6 +7499,7 @@ _PRIORITY = [
     # (a) new round-8 gates + gates whose code round 8 touched -----
     "mm3_av_headers", "mm4_jpeg_gif_dims",
     "u1_url_features", "u2_filter_by_domain", "k6_sentence_chunks",
+    "t20_strip_html", "t21_c4_line_filter",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",

@@ -852,3 +852,101 @@ def filter_by_domain(
     probe = df.withColumn("_dom", dom)
     how = "left_semi" if keep else "left_anti"
     return probe.join(lst, on="_dom", how=how).drop("_dom")
+
+
+#: naive entity decode map, applied in order — `&amp;` LAST so
+#: double-escaped entities decode one level per pass, never two.
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(text: Column | str) -> Column:
+    """Plain text from an HTML column — the regex-chain relaxation of
+    a real extractor (trafilatura/jusText class tools need a DOM; at
+    corpus scale the standard first pass is exactly this): drop
+    ``<script>``/``<style>`` elements WITH their contents (their text
+    is code, not prose — tag-only stripping would leak it into the
+    corpus), drop comments, drop remaining tags, decode the six
+    common entities, collapse whitespace. All JVM ``regexp_replace``
+    calls — single-pass map-side, shuffle-free, and every pattern is
+    RE2-compatible (``(?is)`` inline flags, no lookaround) so a SQL
+    oracle replays the identical chain. NULL in → NULL out.
+
+    Known relaxations (documented, inherent to regex-land): CDATA
+    sections and ``<`` inside attribute values can confuse the tag
+    regex; entity decode is the six-name table, not the full HTML5
+    list. Both are noise at corpus scale, not correctness bugs —
+    the operator's contract is "boilerplate-free prose", not a DOM.
+    """
+    c = _col(text)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+#: default drop phrases (C4 §2.1, Raffel et al. 2020): lines carrying
+#: these are site chrome, not content.
+C4_DROP_PHRASES = ["javascript", "cookie", "privacy policy", "terms of use"]
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_phrases: list[str] | None = None,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, §2.1):
+    keep only lines that look like sentences — at least
+    ``min_words`` words, ending in terminal punctuation (``.!?"``,
+    when ``require_terminal_punct``), and carrying none of the
+    ``drop_phrases`` (case-insensitive substring). Appends
+    ``text_filtered`` (kept lines re-joined with newlines),
+    ``n_lines_before``, ``n_lines_kept`` — the counts feed document-
+    level thresholds (C4 drops pages retaining too little).
+
+    Shuffle-free: one split → array ``filter`` with the three rules
+    as a single lambda → ``concat_ws``; everything JVM-side and
+    RE2-expressible for the oracle. NULL text yields 0/0 counts and
+    NULL filtered text.
+    """
+    phrases = C4_DROP_PHRASES if drop_phrases is None else drop_phrases
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        ok = F.size(
+            F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        ) >= F.lit(int(min_words))
+        if require_terminal_punct:
+            ok = ok & t.rlike(r'[.!?"]$')
+        low = F.lower(t)
+        for p in phrases:
+            ok = ok & ~low.contains(F.lit(str(p).lower()))
+        return ok
+
+    kept = F.filter(lines, _keep)
+    return df.withColumns(
+        {
+            "text_filtered": F.concat_ws("\n", kept),
+            "n_lines_before": F.coalesce(
+                F.size(lines), F.lit(0)
+            ).cast("long"),
+            "n_lines_kept": F.coalesce(
+                F.size(kept), F.lit(0)
+            ).cast("long"),
+        }
+    ).withColumn(
+        "text_filtered",
+        F.when(F.col(text_col).isNotNull(), F.col("text_filtered")),
+    )

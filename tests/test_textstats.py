@@ -382,3 +382,50 @@ def test_filter_by_domain_block_and_allow(spark):
         for r in filter_by_domain(docs, block, keep=True).collect()
     )
     assert allowed == [1, 2]
+
+
+def test_strip_html_drops_script_contents_and_tags(spark):
+    from polaroam_spark.operators.textstats import strip_html
+
+    rows = [
+        (0, "<html><head><style>p {color:red}</style>"
+            "<script type='text/js'>var x = '<secret>';</script></head>"
+            "<body><h1>Title</h1><p>Hello <b>world</b> &amp; friends"
+            "</p><!-- hidden comment --></body></html>"),
+        (1, "plain text stays"),
+        (2, "a &lt;tag&gt; literal &nbsp; here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    out = {r.id: r.t for r in df.select(
+        "id", strip_html("html").alias("t")).collect()}
+    assert out[0] == "Title Hello world & friends"
+    assert "secret" not in out[0] and "color" not in out[0]
+    assert out[1] == "plain text stays"
+    assert out[2] == 'a <tag> literal here'
+    assert out[3] is None
+
+
+def test_c4_line_filter_rules(spark):
+    from polaroam_spark.operators.textstats import c4_line_filter
+
+    text = "\n".join([
+        "This is a proper sentence.",          # kept
+        "too short.",                          # < 3 words
+        "No terminal punctuation here",        # no .!?"
+        "Please enable JavaScript to view.",   # drop phrase
+        "We use cookie banners everywhere.",   # drop phrase
+        'He said "stop right there!"',         # kept (quote ending)
+        "",                                    # empty
+    ])
+    df = spark.createDataFrame(
+        [(0, text), (1, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+    kept = out[0].text_filtered.split("\n")
+    assert kept == [
+        "This is a proper sentence.",
+        'He said "stop right there!"',
+    ]
+    assert out[0].n_lines_before == 7 and out[0].n_lines_kept == 2
+    assert out[1].text_filtered is None and out[1].n_lines_before == 0
