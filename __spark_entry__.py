@@ -7118,6 +7118,43 @@ def mm4(spark, sf_dir):
 
 
 @_q(
+    "t22_bigram_logprob",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    "bp AS (SELECT doc_id, "
+    "unnest(list_slice(toks, 1, len(toks) - 1)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks))) AS w2 "
+    "FROM t WHERE len(toks) >= 2), "
+    "c12 AS (SELECT w1, w2, count(*) AS c FROM bp GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c FROM bp GROUP BY 1), "
+    "uni AS (SELECT t2.w2, count(*) AS c FROM "
+    "(SELECT unnest(toks) AS w2 FROM t) t2 GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni), "
+    "pd AS (SELECT bp.doc_id, avg(ln("
+    "0.75 * (CAST(c12.c AS DOUBLE) / CAST(c1.c AS DOUBLE)) "
+    "+ 0.25 * (CAST(uni.c AS DOUBLE) / tot.n))) AS mbl "
+    "FROM bp JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+    "JOIN uni USING (w2) CROSS JOIN tot GROUP BY bp.doc_id) "
+    "SELECT d.doc_id, round(pd.mbl, 6) AS mean_bigram_logprob "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t22(spark, sf_dir):
+    """Interpolated bigram log-prob (textstats.py:bigram_logprob,
+    λ=0.75 — an exact binary double so both engines' interpolation
+    is the same correctly-rounded expression): word-ORDER-sensitive
+    perplexity signal one notch above t15's unigram. The oracle
+    builds the identical bigram stream with paired slice-unnests and
+    mirrors the λ·ML + (1−λ)·unigram term structure; rounded to 6
+    like t15 (ln differs in the last ulp across libms)."""
+    from polaroam_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.round("mean_bigram_logprob", 6).alias("mean_bigram_logprob"),
+    )
+
+
+@_q(
     "t20_strip_html",
     """SELECT doc_id,
   trim(regexp_replace(
@@ -7499,7 +7536,7 @@ _PRIORITY = [
     # (a) new round-8 gates + gates whose code round 8 touched -----
     "mm3_av_headers", "mm4_jpeg_gif_dims",
     "u1_url_features", "u2_filter_by_domain", "k6_sentence_chunks",
-    "t20_strip_html", "t21_c4_line_filter",
+    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",

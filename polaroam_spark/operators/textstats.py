@@ -495,6 +495,82 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_bigram: float = 0.75,
+) -> DataFrame:
+    """Append ``mean_bigram_logprob``: each document's mean bigram
+    log-probability under the corpus's own interpolated bigram model
+    — ``log(λ·c(w1,w2)/c(w1·) + (1-λ)·c(w2)/N)`` averaged over the
+    document's bigram positions. One notch up the perplexity family
+    from :func:`unigram_logprob`: catches shuffled-word salad that
+    unigram statistics score as normal (every word common, no word
+    ORDER). ``c(w1·)`` is the context count (bigram occurrences
+    starting with w1), so the ML term is a proper conditional;
+    interpolation with the unigram term keeps unseen pairs finite —
+    no explicit smoothing constant to tune. Documents with fewer
+    than 2 tokens get NULL.
+
+    Default λ=0.75: an exact binary double, so the interpolation
+    arithmetic is the same correctly-rounded expression on any
+    engine (the t22 oracle mirrors it term for term). Shape: bigram
+    pairs are built MAP-SIDE from each token array (zip of two
+    slices — no positional self-join); then three
+    map-side-combined count tables (pair, context, unigram) join
+    back onto the bigram stream and a doc-keyed average finishes.
+    Linear in corpus token volume, no UDF.
+    """
+    lam = float(lambda_bigram)
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lambda_bigram must be in [0, 1]")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = df.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(
+        id_col, F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
+    )
+    c12 = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c1 = bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    uni = df.select(F.explode(toks).alias("_w2")).groupBy("_w2").agg(
+        F.count("*").alias("_cu")
+    )
+    total = uni.agg(F.sum("_cu").alias("_n"))
+    per_doc = (
+        bg.join(c12, on=["_w1", "_w2"])
+        .join(c1, on="_w1")
+        .join(uni, on="_w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.avg(
+                F.log(
+                    F.lit(lam)
+                    * (
+                        F.col("_c12").cast("double")
+                        / F.col("_c1").cast("double")
+                    )
+                    + F.lit(1.0 - lam)
+                    * (
+                        F.col("_cu").cast("double")
+                        / F.col("_n").cast("double")
+                    )
+                )
+            ).alias("mean_bigram_logprob")
+        )
+    )
+    return df.join(per_doc, on=id_col, how="left").select(
+        *df.columns, "mean_bigram_logprob"
+    )
+
+
 def _finite_score(score_col: str) -> Column:
     """Score column as double with NaN mapped to NULL. A NaN from a
     failed scorer must behave like NULL everywhere downstream:

@@ -429,3 +429,33 @@ def test_c4_line_filter_rules(spark):
     ]
     assert out[0].n_lines_before == 7 and out[0].n_lines_kept == 2
     assert out[1].text_filtered is None and out[1].n_lines_before == 0
+
+
+def test_bigram_logprob_word_order_sensitivity(spark):
+    """The signal bigram adds over unigram: identical word
+    MULTISETS, different orders -> the in-order doc scores higher."""
+    import math
+
+    from polaroam_spark.operators.textstats import bigram_logprob
+
+    base = "the cat sat on the mat " * 4
+    shuffled = "mat the on sat the cat " + "cat mat the sat on the " * 3
+    df = spark.createDataFrame(
+        [(0, base.strip()), (1, shuffled.strip()), (2, "one"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_bigram_logprob for r in bigram_logprob(df).collect()}
+    assert out[0] > out[1]
+    assert out[2] is None and out[3] is None  # <2 tokens -> NULL
+    assert all(v < 0 for v in (out[0], out[1]))
+
+    # hand-check a tiny corpus: "a b a b" alone
+    tiny = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    v = bigram_logprob(tiny).first().mean_bigram_logprob
+    # bigrams: (a,b)x2, (b,a)x1; c1: a->2, b->1; uni: a2 b2, N=4
+    exp = (
+        math.log(0.75 * (2 / 2) + 0.25 * (2 / 4))       # a b
+        + math.log(0.75 * (1 / 1) + 0.25 * (2 / 4))     # b a
+        + math.log(0.75 * (2 / 2) + 0.25 * (2 / 4))     # a b
+    ) / 3
+    assert abs(v - exp) < 1e-12
