@@ -517,10 +517,15 @@ def _tag_hex(c, pos) -> "Column":
 
 
 def _be_uint(c, pos, nbytes: int) -> "Column":
-    """Big-endian unsigned int of ``nbytes`` at Column position."""
+    """Big-endian unsigned int of ``nbytes`` at Column position.
+    try_cast, not cast: an 8-byte field ≥ 2^63 (garbage or a
+    pathological mvhd duration) conv's to a decimal string that an
+    ANSI cast-to-long would ERROR on; NULL is the right verdict."""
     from pyspark.sql import functions as F
 
-    return F.conv(F.hex(c.substr(pos, F.lit(nbytes))), 16, 10).cast("long")
+    return F.conv(
+        F.hex(c.substr(pos, F.lit(nbytes))), 16, 10
+    ).try_cast("long")
 
 
 def _le_uint(c, pos, nbytes: int) -> "Column":
@@ -532,7 +537,7 @@ def _le_uint(c, pos, nbytes: int) -> "Column":
     pairs = [
         F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))
     ]
-    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+    return F.conv(F.concat(*pairs), 16, 10).try_cast("long")
 
 
 def _walk_offsets(step_fn, start, max_steps: int) -> "Column":
@@ -544,14 +549,23 @@ def _walk_offsets(step_fn, start, max_steps: int) -> "Column":
     read (~5 copies per level = 5^n nodes) and OOM the analyzer
     before ever executing. A null step (truncated/absent structure)
     poisons the remaining offsets to null, which every downstream
-    tag probe treats as not-found."""
+    tag probe treats as not-found. Offsets above ~2^31 are nulled
+    the same way rather than passed through: a garbage 4-byte size
+    field can claim a multi-GB chunk, and ``substr``'s position is
+    an int — under ANSI mode the overflow would ERROR an entire
+    100 TB scan off one corrupt blob (caught by the truncation-fuzz
+    test, not hypothetically)."""
     from pyspark.sql import functions as F
+
+    def _step(prev):
+        nxt = step_fn(prev)
+        return F.when(nxt <= F.lit(2_147_483_000), nxt)
 
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(int(max_steps) - 1)),
         F.array(start.cast("long")),
         lambda acc, _: F.concat(
-            acc, F.array(step_fn(F.element_at(acc, -1)))
+            acc, F.array(_step(F.element_at(acc, -1)))
         ),
     )
 

@@ -542,3 +542,54 @@ def test_wav_header_meta_differential_vs_stdlib_wave(spark):
         assert out[i].data_bytes == rd.getnframes() * ch * sampwidth
         expected_dur = out[i].data_bytes / (rate * ch * sampwidth)
         assert abs(out[i].duration_s - expected_dur) < 1e-12
+
+
+def test_header_parsers_survive_truncation_and_garbage(spark):
+    """Every PREFIX of a valid file (the classic corrupt-upload
+    shape) plus seeded random garbage must parse without raising —
+    fields may be NULL, classification may be false, but the pure-
+    expression walks must never error out a 100 TB scan."""
+    import random
+
+    from polaroam_spark.operators.multimodal import (
+        gif_dimensions,
+        jpeg_dimensions,
+        mp4_header_meta,
+        png_dimensions,
+        wav_header_meta,
+    )
+
+    wav = _mk_wav(2, 44100, 16, 500, lead_list=True)
+    mp4 = _mk_mp4(1, 90000, 1234, trailer_moov=True)
+    jpg = _mk_jpeg(64, 32, n_app_segments=3)
+    gif = _mk_gif(10, 20)
+    rng = random.Random(42)
+    rows = []
+    rid = 0
+    for blob in (wav, mp4, jpg, gif):
+        for cut in range(0, min(len(blob), 96)):  # every early prefix
+            rows.append((rid, blob[:cut])); rid += 1
+        for cut in (len(blob) // 2, len(blob) - 1):
+            rows.append((rid, blob[:cut])); rid += 1
+    for _ in range(100):  # seeded garbage incl. magic-byte prefixes
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        prefix = rng.choice(
+            [b"", b"RIFF", b"\xff\xd8", b"GIF89a", b"\x89PNG\r\n\x1a\n",
+             b"\x00\x00\x00\x18ftyp"]
+        )
+        rows.append((rid, prefix + junk)); rid += 1
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = df.select(
+        "id",
+        png_dimensions("content").alias("p"),
+        jpeg_dimensions("content").alias("j"),
+        gif_dimensions("content").alias("g"),
+        wav_header_meta("content").alias("w"),
+        mp4_header_meta("content").alias("m"),
+    ).collect()  # must not raise
+    assert len(out) == len(rows)
+    for r in out:
+        # classification booleans are always concrete, never NULL
+        for b in (r.p.is_png, r.j.is_jpeg, r.g.is_gif,
+                  r.w.is_wav, r.m.is_mp4):
+            assert b in (True, False)
