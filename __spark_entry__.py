@@ -7522,14 +7522,16 @@ def mm3(spark, sf_dir):
 # priority order — every name below IS registered (the round-7
 # verdict's planned-but-unregistered set mm3/n2c/n3d/m3d all landed
 # this round, so _PRIORITY contains no unregistered names):
-# (a) gates NEW this round (WAV/MP4 headers, sf-scaled ANN recall,
+# (a) the 13 gates NEW this round (WAV/MP4 + JPEG/GIF headers,
+#     URL family, sentence chunker, HTML strip + C4 line filter,
+#     bigram logprob, sf-scaled ANN recall, PQ + IVF-PQ,
 #     infomap-library differential) plus gates whose OPERATOR CODE
 #     round-8 commits touched (g4: k-core fragile-chain collapse;
 #     t19: 128-bit span keys + null-id policy; ts2/ts2b: ewma
 #     length-dispatch) — re-sample after change;
 # (b) the r3-stale block (49 gates whose latest driver row is round
 #     3 — VERDICT r7 item #5), oldest families first (c*, m*, d*
-#     before t*); ~42 fit in the remaining window, the tail rotates
+#     before t*); ~33 fit in the remaining window, the tail rotates
 #     to the head of the round-9 window.
 # Everything with a fresher green row and unchanged code rides behind.
 _PRIORITY = [
