@@ -7117,6 +7117,86 @@ def mm4(spark, sf_dir):
     )
 
 
+_CURATE_CTE = """
+f1 AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            t -> t != '')) >= 20
+),
+dd AS (
+  SELECT f1.* FROM f1 WHERE doc_id IN (
+    SELECT min(doc_id) FROM f1
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+),
+cp AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      ORDER BY CAST(('0x' || substr(md5('53:' || CAST(doc_id AS VARCHAR)),
+                     1, 15)) AS BIGINT), doc_id) AS rn
+    FROM dd) WHERE rn <= 40
+),
+sm AS (
+  SELECT doc_id FROM cp
+  WHERE CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        AS BIGINT) / 1152921504606846976.0 < 0.5
+)
+"""
+
+
+@_q(
+    "q6_curation_membership",
+    "WITH " + _CURATE_CTE.strip() + " SELECT doc_id FROM sm",
+)
+def q6(spark, sf_dir):
+    """End-to-end curation pipeline (operators/curation.py:
+    curate_corpus): min-token filter → exact dedup → per-source cap
+    → deterministic hash sample, ONE call. The oracle chains the
+    SAME CTE fragments that gate the stages individually (t1's token
+    count, d1's keep-min-id dedup, smp5's seeded cap window, smp1's
+    md5-unit-interval sample), so surviving MEMBERSHIP is hash-exact
+    — the composition adds no nondeterminism over its parts."""
+    from polaroam_spark.operators.curation import curate_corpus
+
+    kept, _ = curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20,
+        dedup="exact",
+        cap_per_source=40,
+        sample_rate=0.5,
+        with_stats=False,
+    )
+    return kept.select("doc_id")
+
+
+@_q(
+    "q6b_curation_stats",
+    "WITH "
+    + _CURATE_CTE.strip()
+    + """
+SELECT 0 AS stage_idx, 'input' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT 1, 'min_tokens', CAST((SELECT count(*) FROM f1) AS BIGINT)
+UNION ALL SELECT 2, 'dedup_exact', CAST((SELECT count(*) FROM dd) AS BIGINT)
+UNION ALL SELECT 3, 'cap_per_source',
+  CAST((SELECT count(*) FROM cp) AS BIGINT)
+UNION ALL SELECT 4, 'sample', CAST((SELECT count(*) FROM sm) AS BIGINT)""",
+)
+def q6b(spark, sf_dir):
+    """The pipeline's per-stage survivor report (the data-quality
+    artifact a nightly build publishes): stage counts pinned against
+    the oracle replay of every stage."""
+    from polaroam_spark.operators.curation import curate_corpus
+
+    _, stats = curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20,
+        dedup="exact",
+        cap_per_source=40,
+        sample_rate=0.5,
+    )
+    return stats
+
+
 @_q(
     "t22_bigram_logprob",
     "WITH t AS (SELECT doc_id, "
@@ -7539,6 +7619,7 @@ _PRIORITY = [
     "mm3_av_headers", "mm4_jpeg_gif_dims",
     "u1_url_features", "u2_filter_by_domain", "k6_sentence_chunks",
     "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
+    "q6_curation_membership", "q6b_curation_stats",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",
