@@ -7198,6 +7198,42 @@ def q6b(spark, sf_dir):
 
 
 @_q(
+    "t23_mojibake",
+    "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
+    "ELSE 0 END AS BIGINT) AS n_mojibake, "
+    "doc_id % 3 < 2 AS has_mojibake "
+    "FROM documents WHERE doc_id IS NOT NULL",
+)
+def t23(spark, sf_dir):
+    """Encoding-artifact detection (textstats.py:mojibake_stats):
+    deterministic double-decode fingerprints appended per row (two
+    artifacts / one replacement char / clean, by doc_id mod 3) must
+    count exactly — the oracle pins the expected counts from the
+    same arithmetic. The base corpus text is ASCII word soup, so the
+    appended artifacts are the only matches by construction."""
+    from polaroam_spark.operators.textstats import mojibake_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    d = F.col("doc_id")
+    mangled = " caf\u00c3\u00a9 \u00e2\u20ac\u2122quote"
+    suffix = (
+        F.when(d % 3 == 0, F.lit(mangled))
+        .when(d % 3 == 1, F.lit(" bad\ufffdbyte"))
+        .otherwise(F.lit(" clean tail"))
+    )
+    out = mojibake_stats(
+        docs.withColumn("text", F.concat(F.col("text"), suffix))
+    )
+    return out.select(
+        "doc_id",
+        "n_mojibake",
+        (F.col("n_mojibake") > 0).alias("has_mojibake"),
+    )
+
+
+@_q(
     "t22_bigram_logprob",
     "WITH t AS (SELECT doc_id, "
     f"{_GOPHER_TOKS} AS toks FROM documents), "
@@ -7619,7 +7655,7 @@ _PRIORITY = [
     "mm3_av_headers", "mm4_jpeg_gif_dims",
     "u1_url_features", "u2_filter_by_domain", "k6_sentence_chunks",
     "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
-    "q6_curation_membership", "q6b_curation_stats",
+    "q6_curation_membership", "q6b_curation_stats", "t23_mojibake",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
     "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
     "g4_kcore_invariants", "t19_dedup_spans",

@@ -1026,3 +1026,42 @@ def c4_line_filter(
         "text_filtered",
         F.when(F.col(text_col).isNotNull(), F.col("text_filtered")),
     )
+
+
+#: UTF-8-decoded-as-Latin-1 fingerprints (the ftfy problem class):
+#: '\u00c3'+continuation (mangled Latin letters), '\u00e2\u20ac'-family
+#: punctuation, stray '\u00c2\u00a0' (mangled NBSP), and the replacement
+#: character itself. Built from escapes so the pattern survives any
+#: source-file encoding.
+_MOJIBAKE_PATTERN = (
+    "(\u00c3[\u0080-\u00bf]|\u00e2\u20ac.|\u00c2\u00a0|\ufffd)"
+)
+
+
+def mojibake_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append ``n_mojibake`` and ``mojibake_ratio`` (artifacts per
+    character): occurrences of the classic double-decode fingerprints
+    — UTF-8 bytes re-decoded as Latin-1/cp1252 ('\u00c3\u00a9' where
+    '\u00e9' was meant, '\u00e2\u20ac\u2122' for a right quote,
+    '\u00c2\u00a0' for NBSP) and U+FFFD replacement characters. The
+    cheap detector for the encoding-corruption class that quality
+    scores miss (the text is wordy enough, just wrong) — filter or
+    route to re-decoding above a ratio threshold. One
+    ``regexp_count`` per row, map-side, shuffle-free; NULL text
+    yields count 0 and NULL ratio; the ratio denominator is
+    character length.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.regexp_count(c, F.lit(_MOJIBAKE_PATTERN)).cast("long")
+    return df.withColumns(
+        {
+            "n_mojibake": n,
+            "mojibake_ratio": F.when(
+                F.length(F.col(text_col)) > 0,
+                n.cast("double")
+                / F.length(F.col(text_col)).cast("double"),
+            ),
+        }
+    )

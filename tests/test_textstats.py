@@ -459,3 +459,25 @@ def test_bigram_logprob_word_order_sensitivity(spark):
         + math.log(0.75 * (2 / 2) + 0.25 * (2 / 4))     # a b
     ) / 3
     assert abs(v - exp) < 1e-12
+
+
+
+def test_mojibake_stats_detects_double_decode(spark):
+    from polaroam_spark.operators.textstats import mojibake_stats
+
+    mangled_e = "\u00c3\u00a9"          # UTF-8 e-acute read as Latin-1
+    mangled_q = "\u00e2\u20ac\u2122"   # UTF-8 right-quote read as cp1252
+    rows = [
+        (0, f"caf{mangled_e} menu {mangled_q}quoted"),
+        (1, "clean caf\u00e9 text with r\u00e9al accents"),
+        (2, "hard\ufffdfail\ufffd"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in mojibake_stats(df).collect()}
+    assert out[0].n_mojibake == 2 and out[0].mojibake_ratio > 0
+    assert out[1].n_mojibake == 0
+    assert out[2].n_mojibake == 2
+    assert out[3].n_mojibake == 0 and out[3].mojibake_ratio is None
+    assert out[4].n_mojibake == 0 and out[4].mojibake_ratio is None
