@@ -555,10 +555,19 @@ def k_core(
             deg = materialize(deg)  # reused 3x below in collapse mode
         below = deg.filter(F.col("_d") < int(k)).select("u")
         if below.limit(1).count() == 0:
-            out = deg.select(
-                F.col("u").alias("node"),
-                F.col("_d").cast("bigint").alias("core_degree"),
+            # materialize the result BEFORE releasing what it is
+            # built from, then free the final adjacency snapshot and
+            # (in collapse rounds) the reused degree frame — without
+            # this every converged call leaked both for the session
+            out = materialize(
+                deg.select(
+                    F.col("u").alias("node"),
+                    F.col("_d").cast("bigint").alias("core_degree"),
+                )
             )
+            if rnd >= int(chain_collapse_after):
+                release(deg)
+            release(superseded)
             return out
         remove = below
         if rnd >= int(chain_collapse_after):

@@ -557,6 +557,15 @@ def _walk_offsets(step_fn, start, max_steps: int) -> "Column":
     test, not hypothetically)."""
     from pyspark.sql import functions as F
 
+    # sequence(1, max_steps-1) must ascend: Spark's sequence(1, 0)
+    # DESCENDS [1, 0], which would append two extra steps instead of
+    # zero for max_steps=1 — reject rather than walk wrong
+    if int(max_steps) < 2:
+        raise ValueError(
+            f"max_steps must be >= 2, got {max_steps}: a 1-step walk "
+            "is just the start offset — use F.array(start) directly"
+        )
+
     def _step(prev):
         nxt = step_fn(prev)
         return F.when(nxt <= F.lit(2_147_483_000), nxt)

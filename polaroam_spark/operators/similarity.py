@@ -666,6 +666,14 @@ def train_pq_codebooks(
 
     D must divide evenly by ``num_subspaces`` (raises otherwise —
     padding would silently distort the last subspace's metric).
+
+    Code ids are re-densified to ``0..K'-1`` per subspace before
+    returning: a Lloyd round drops codewords whose cell empties
+    (routine with duplicate/clustered vectors), and downstream
+    consumers that build positional structures (the ADC LUT rows in
+    :func:`pq_topk`, the arrow encoder's numpy book tensor) are
+    simplest and cheapest when ids are dense. The relabel is a
+    window over the M×K codebook frame — driver-trivial.
     """
     m = int(num_subspaces)
     k = int(codes_per_subspace)
@@ -738,7 +746,16 @@ def train_pq_codebooks(
                 ),
             )
         )
-    return books
+    # Re-densify: emptied k-means cells leave gaps in the code-id
+    # space ({0,3} after codes 1,2 lose every member). Relabel per
+    # subspace preserving order so ids are 0..K'-1 — positional
+    # consumers (ADC LUT rows, numpy book tensors) stay correct.
+    dense = Window.partitionBy("_m").orderBy("_code")
+    return books.select(
+        "_m",
+        (F.row_number().over(dense) - 1).alias("_code"),
+        "_cvec",
+    )
 
 
 def pq_encode(
@@ -883,6 +900,11 @@ def pq_topk(
     qsl = _pq_slices(
         queries.select(query_id, vec_col), query_id, vec_col, m, d_sub
     )
+    # LUT rows are keyed BY code id, not by sort position:
+    # train_pq_codebooks re-densifies, but a caller-supplied codebook
+    # (loaded index, foreign trainer) may have gaps — size each row
+    # to max(code)+1 and fill gaps with +inf, exactly as the arrow
+    # encoder's book tensor does, so a phantom code can never score.
     lut = (
         qsl.join(F.broadcast(codebooks), on="_m")
         .select(
@@ -893,10 +915,21 @@ def pq_topk(
         )
         .groupBy(query_id, "_m")
         .agg(
+            F.max("_code").alias("_maxc"),
+            F.map_from_entries(
+                F.collect_list(F.struct("_code", "_d"))
+            ).alias("_bycode"),
+        )
+        .select(
+            query_id,
+            "_m",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_code", "_d"))),
-                lambda s: s["_d"],
-            ).alias("_row")
+                F.sequence(F.lit(0), F.col("_maxc")),
+                lambda i: F.coalesce(
+                    F.try_element_at("_bycode", i),
+                    F.lit(float("inf")),
+                ),
+            ).alias("_row"),
         )
         .groupBy(query_id)
         .agg(
@@ -921,7 +954,13 @@ def pq_topk(
             F.zip_with(
                 "pq_codes",
                 "_lut",
-                lambda c, row: F.element_at(row, c.cast("int") + 1),
+                # try_element_at + inf: a code outside the LUT row
+                # (mismatched codebook) scores +inf instead of
+                # erroring the whole scan under ANSI mode
+                lambda c, row: F.coalesce(
+                    F.try_element_at(row, c.cast("int") + 1),
+                    F.lit(float("inf")),
+                ),
             ),
             F.lit(0.0),
             lambda acc, d: acc + d,

@@ -321,8 +321,22 @@ def test_pq_topk_broadcasts_lut_no_corpus_shuffle(spark):
     plan = _plan(pq_topk(codes, q, books, k=5))
     assert "BroadcastExchange" in plan, plan
     # codes themselves were built via groupBy (2 exchanges upstream);
-    # the SCORING adds exactly one more for the rank window
-    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" not in plan
+    # the SCORING adds exactly one more for the rank window.
+    # Forbid a raw cartesian product outright; the LUT cross join is
+    # allowed ONLY as a broadcast nested loop (crossJoin(broadcast))
+    # — every nested-loop join in the plan must be BuildRight with a
+    # broadcast input, i.e. exactly the LUT pattern.
+    # Forbid a raw cartesian product outright, and require every
+    # nested-loop join in the tree (the LUT cross join plus the
+    # upstream broadcast-scalar crosses) to be a broadcast BuildRight
+    # — the pattern crossJoin(broadcast(...)) emits. The old
+    # `A not in plan or B not in plan` form only fired when BOTH
+    # appeared, i.e. never for the plan it meant to forbid.
+    assert "CartesianProduct" not in plan, plan
+    tree_bnlj = re.findall(r"BroadcastNestedLoopJoin[^\(\n]*\(\d+\)", plan)
+    assert tree_bnlj, plan  # the broadcast LUT join must exist
+    for node in tree_bnlj:
+        assert "BuildRight" in node, (node, plan)
 
 
 def test_filter_by_domain_broadcasts_list(spark):

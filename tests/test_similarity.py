@@ -408,6 +408,59 @@ def test_pq_encode_arrow_matches_native(spark):
         pq_encode(emb, books, encoder="fast")
 
 
+def test_pq_codebooks_densify_after_empty_cells(spark):
+    """Duplicate vectors routinely empty k-means cells during the
+    Lloyd round; trained codebooks must come back with DENSE per-
+    subspace code ids 0..K'-1 so positional consumers (ADC LUT rows,
+    the arrow book tensor) stay correct."""
+    from polaroam_spark.operators.similarity import train_pq_codebooks
+
+    # 20 copies of the same vector: K=4 seeds collapse to one
+    # surviving codeword per subspace after a Lloyd round
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(
+        emb, num_subspaces=2, codes_per_subspace=4, kmeans_iterations=2
+    )
+    for m_val, codes in (
+        (r["_m"], r["codes"])
+        for r in books.groupBy("_m")
+        .agg(F.array_sort(F.collect_list("_code")).alias("codes"))
+        .collect()
+    ):
+        assert codes == list(range(len(codes))), (m_val, codes)
+
+
+def test_pq_topk_nondense_codebook_scores_correctly(spark):
+    """A caller-supplied codebook with gapped code ids ({0, 3} — a
+    foreign trainer, a filtered index) must score by ACTUAL code id:
+    the positional-LUT bug either threw INVALID_ARRAY_INDEX under
+    ANSI or silently used the wrong code's distance."""
+    from polaroam_spark.operators.similarity import pq_topk
+
+    # 1 subspace, 2 codewords with non-dense ids 0 and 3
+    books = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (0, 3, [10.0, 10.0])],
+        "_m int, _code int, _cvec array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(1, [0]), (2, [3])], "vec_id long, pq_codes array<int>"
+    )
+    q = spark.createDataFrame(
+        [(100, [10.0, 10.0])], "query_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: (r.approx_l2sq, r.rank)
+        for r in pq_topk(codes, q, books, k=2).collect()
+    }
+    # query sits ON codeword 3: vec 2 must rank first at distance 0,
+    # vec 1 at l2sq = 10^2 + 10^2 = 200
+    assert got[2] == (0.0, 1), got
+    assert got[1] == (200.0, 2), got
+
+
 def test_ivfpq_prunes_and_finds_neighbors(spark):
     """IVF-PQ composition: candidates are restricted to the probed
     inverted lists, and with probes covering the query's own cluster
