@@ -7634,35 +7634,46 @@ def mm3(spark, sf_dir):
 
 
 # The correctness driver checks queries in dict order and covers a
-# ~50-query prefix of the registry per round. Round-8 window, in
-# priority order — every name below IS registered (the round-7
-# verdict's planned-but-unregistered set mm3/n2c/n3d/m3d all landed
-# this round, so _PRIORITY contains no unregistered names):
-# (a) the 13 gates NEW this round (WAV/MP4 + JPEG/GIF headers,
-#     URL family, sentence chunker, HTML strip + C4 line filter,
-#     bigram logprob, sf-scaled ANN recall, PQ + IVF-PQ,
-#     infomap-library differential) plus gates whose OPERATOR CODE
-#     round-8 commits touched (g4: k-core fragile-chain collapse;
-#     t19: 128-bit span keys + null-id policy; ts2/ts2b: ewma
-#     length-dispatch) — re-sample after change;
-# (b) the r3-stale block (49 gates whose latest driver row is round
-#     3 — VERDICT r7 item #5), oldest families first (c*, m*, d*
-#     before t*); ~33 fit in the remaining window, the tail rotates
-#     to the head of the round-9 window.
+# ~50-query prefix of the registry per round. Round-9 window, in
+# priority order:
+# (a) the 21-gate r3-stale tail (t1–t7, t11, t12, smp1–smp4,
+#     st1–st3, n1–n3, mm1, w4 — VERDICT r8 item #1): after this
+#     sweep no gate's latest driver row is older than round 5;
+# (b) gates whose OPERATOR CODE round-9 commits touch (PQ densify →
+#     n5/n6; k_core release → g4; infomap differential → m3d;
+#     recall-floor tightening → n2b/n3b/n2c/n3d; PSL
+#     registered_domain → u1/u2; c3b cell guard; curation
+#     persist_stages → q6/q6b; WAV fast path → mm3) — re-sample
+#     after change.
 # Everything with a fresher green row and unchanged code rides behind.
 _PRIORITY = [
-    # (a) new round-8 gates + gates whose code round 8 touched -----
-    "mm3_av_headers", "mm4_jpeg_gif_dims",
-    "u1_url_features", "u2_filter_by_domain", "k6_sentence_chunks",
-    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
-    "q6_curation_membership", "q6b_curation_stats", "t23_mojibake",
+    # (a) the r3-stale tail — retire it for good ------------------
+    "t1_token_count", "t2_quality_features", "t3_stopword_scores",
+    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
+    "t7_quality_stratified", "t11_calibrate_scores",
+    "t12_tfidf_top_terms",
+    "smp1_sample_by_hash", "smp2_train_test_split",
+    "smp3_stratified_sample", "smp4_deterministic_shuffle",
+    "st1_streaming_stops", "st2_streaming_counts",
+    "st3_streaming_dedup",
+    "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
+    "mm1_media_features", "w4_detect_stops",
+    # (b) gates whose code round 9 touches ------------------------
+    "n5_pq_recall", "n6_ivfpq_recall", "g4_kcore_invariants",
+    "m3d_communities_infomap",
+    "n2b_ann_lsh_recall", "n3b_ann_ivf_recall",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
-    "n5_pq_recall", "n6_ivfpq_recall", "m3d_communities_infomap",
-    "g4_kcore_invariants", "t19_dedup_spans",
+    "u1_url_features", "u2_filter_by_domain",
+    "c3b_dbscan_distributed",
+    "q6_curation_membership", "q6b_curation_stats",
+    "mm3_av_headers",
+    # ---- r8-green window rides behind (freshest first families) --
+    "mm4_jpeg_gif_dims", "k6_sentence_chunks",
+    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
+    "t23_mojibake", "t19_dedup_spans",
     "ts2_ewma", "ts2b_ewma_blocked",
-    # (b) r3-latest greens — the stalest block, oldest first -------
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
-    "c3b_dbscan_distributed", "c4_cluster_medoids", "c5_convex_hull",
+    "c4_cluster_medoids", "c5_convex_hull",
     "c6_max_pairwise_distance",
     "m1_fit_predict", "m2_stop_medians", "m3_communities",
     "m3b_communities_refine", "m3c_communities_invariants",
@@ -7674,21 +7685,11 @@ _PRIORITY = [
     "d9_incremental_dedup_pairs",
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "k4_duplicate_components", "k5_materialize_packs",
-    "t1_token_count", "t2_quality_features", "t3_stopword_scores",
-    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
-    "t7_quality_stratified",
-    "smp1_sample_by_hash", "smp2_train_test_split",
-    "smp3_stratified_sample", "smp4_deterministic_shuffle",
-    "st1_streaming_stops", "st2_streaming_counts",
-    "st3_streaming_dedup",
-    "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
-    "mm1_media_features", "w4_detect_stops", "w3_gated_cumsum",
+    "w3_gated_cumsum",
     # ---- r4+ greens ride behind (roughly oldest-first) -----------
     "j7_asof_join", "w8_compute_intervals",
-    "n2b_ann_lsh_recall", "n3b_ann_ivf_recall",
     "t8_pii_counts", "t9_detect_language",
-    "t10_bpe_token_count", "t11_calibrate_scores",
-    "t12_tfidf_top_terms",
+    "t10_bpe_token_count",
     "st4_streaming_incremental_dedup",
     "skw1_salted_agg", "skw2_salted_hot_join",
     "v1_vector_normalize", "v2_quantize_roundtrip",
