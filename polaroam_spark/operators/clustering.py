@@ -1147,6 +1147,34 @@ def cluster_communities(
     )
 
 
+def _vendored_reference_modules(
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    num_trials: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Module labels from the vendored pure-Python Rosvall-Bergstrom
+    two-level implementation (polaroam_spark/vendor/
+    rosvall_infomap.py) — an independent re-derivation of the SAME
+    published algorithm the ``infomap`` C library optimizes, with the
+    library's search strategy (seeded multi-trial, randomized sweep
+    order). The always-runnable differential target for environments
+    where the C library cannot be installed."""
+    from polaroam_spark.vendor.rosvall_infomap import infomap as _vmap
+
+    return np.asarray(
+        _vmap(
+            n,
+            [(int(i), int(j)) for i, j in edges],
+            [float(x) for x in weights],
+            num_trials=int(num_trials),
+            seed=int(seed),
+        ),
+        dtype=np.int64,
+    )
+
+
 def communities_backend_differential(
     medians: DataFrame,
     r2: float = 10.0,
@@ -1154,30 +1182,51 @@ def communities_backend_differential(
     distance_metric: str = "haversine",
     num_trials: int = 10,
     seed: int = 42,
+    target: str = "auto",
 ) -> DataFrame:
     """Per-uid differential between the native map-equation optimizer
-    and the public ``infomap`` C library on the SAME ε-graph
-    (reference utils.py:67-99 runs the library; this certifies the
-    in-repo optimizer against it — the m3d gate). One Arrow
-    grouped-map runs both optimizers and scores both partitions with
-    :func:`map_equation_value`; output per uid:
+    and an INDEPENDENT Infomap implementation on the SAME ε-graph —
+    the m3d gate (reference utils.py:67-99 runs the ``infomap`` C
+    library; this certifies the in-repo optimizer against an
+    independent optimizer of the same objective). ``target`` picks
+    the reference implementation:
+
+    - ``'library'`` — the public ``infomap`` C library (raises
+      ImportError when absent);
+    - ``'vendored'`` — the vendored pure-Python Rosvall-Bergstrom
+      two-level implementation (always runnable; written against the
+      paper, shares no code with the production optimizer);
+    - ``'auto'`` (default) — the library when installed, else the
+      vendored implementation.
+
+    One Arrow grouped-map runs both optimizers and scores both
+    partitions with :func:`map_equation_value`; output per uid:
 
     - ``same_partition`` — dense-canonical labels identical (dense
       ranking is scan-order canonical, so label equality ⟺ partition
       equality);
-    - ``native_not_worse`` — native codelength ≤ library codelength
-      + 1e-9 (the real contract: on map-equation TIES the library's
-      RNG may pick a different member of the tie set, see
-      :func:`two_level_infomap`'s fidelity notes);
-    - both codelengths (bits/step) for inspection.
-
-    Raises ImportError when the library is absent — callers that must
-    degrade gracefully check :func:`infomap_backend_available` first.
+    - ``native_not_worse`` — native codelength ≤ reference codelength
+      + 1e-9 (the real contract: on map-equation TIES an RNG-driven
+      reference may pick a different member of the tie set, and its
+      multi-trial search may luck into a strictly better optimum on
+      ambiguous graphs — see :func:`two_level_infomap`'s fidelity
+      notes);
+    - both codelengths (bits/step) and the ``target`` that ran.
     """
-    if not infomap_backend_available():
+    if target not in ("auto", "library", "vendored"):
+        raise ValueError(
+            f"unknown target {target!r}: use 'auto', 'library' or "
+            "'vendored'"
+        )
+    if target == "library" and not infomap_backend_available():
         raise ImportError(
-            "communities_backend_differential needs the public "
-            "`infomap` package (pip install infomap)"
+            "communities_backend_differential(target='library') needs "
+            "the public `infomap` package (pip install infomap); "
+            "target='vendored' runs without it"
+        )
+    if target == "auto":
+        target = (
+            "library" if infomap_backend_available() else "vendored"
         )
     unique_coords = _snapped_unique_nodes(medians, min_spacial_resolution)
     eps = float(r2)
@@ -1185,6 +1234,7 @@ def communities_backend_differential(
     if metric not in ("haversine", "euclidean"):
         raise ValueError(f"Unsupported distance metric: {metric}")
     trials, sd = int(num_trials), int(seed)
+    use_library = target == "library"
 
     def _diff(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf, _lat, _lon, edges, w, connected = _user_eps_graph(
@@ -1192,19 +1242,24 @@ def communities_backend_differential(
         )
         n = len(pdf)
         same, not_worse = True, True
-        l_nat, l_lib = 0.0, 0.0
+        l_nat, l_ref = 0.0, 0.0
         if connected.any() and len(edges):
             m_nat = two_level_infomap(n, edges, w)
-            m_lib = _infomap_library_modules(n, edges, w, trials, sd)
+            if use_library:
+                m_ref = _infomap_library_modules(n, edges, w, trials, sd)
+            else:
+                m_ref = _vendored_reference_modules(
+                    n, edges, w, trials, sd
+                )
             same = bool(
                 (
                     _dense_module_labels(n, m_nat, connected)
-                    == _dense_module_labels(n, m_lib, connected)
+                    == _dense_module_labels(n, m_ref, connected)
                 ).all()
             )
             l_nat = map_equation_value(n, edges, w, m_nat)
-            l_lib = map_equation_value(n, edges, w, m_lib)
-            not_worse = bool(l_nat <= l_lib + 1e-9)
+            l_ref = map_equation_value(n, edges, w, m_ref)
+            not_worse = bool(l_nat <= l_ref + 1e-9)
         return pd.DataFrame(
             {
                 "uid": [pdf["uid"].iloc[0]],
@@ -1212,7 +1267,8 @@ def communities_backend_differential(
                 "same_partition": [same],
                 "native_not_worse": [not_worse],
                 "codelength_native": [l_nat],
-                "codelength_infomap": [l_lib],
+                "codelength_reference": [l_ref],
+                "target": [target],
             }
         )
 
@@ -1223,7 +1279,8 @@ def communities_backend_differential(
             StructField("same_partition", BooleanType()),
             StructField("native_not_worse", BooleanType()),
             StructField("codelength_native", DoubleType()),
-            StructField("codelength_infomap", DoubleType()),
+            StructField("codelength_reference", DoubleType()),
+            StructField("target", StringType()),
         ]
     )
     return unique_coords.groupBy("uid").applyInPandas(_diff, schema)
