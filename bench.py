@@ -186,6 +186,11 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = -1.0
+    # Contention can RISE mid-run (round 9's driver artifact started at
+    # load1 3.5 and ended at 4.4, carrying 3-4 s of noise while flagged
+    # valid) — so the artifact is invalid when EITHER endpoint exceeds
+    # the threshold, not just the start.
+    invalid_load = invalid_load or load1 > load_threshold
     print(
         json.dumps(
             {

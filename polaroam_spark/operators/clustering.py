@@ -602,14 +602,24 @@ def _plogp(x: float) -> float:
 
 
 def _mapeq_local_moves(
-    adj: list, strength: np.ndarray, tot_w: float, tol: float = 1e-12
+    adj: list,
+    strength: np.ndarray,
+    tot_w: float,
+    tol: float = 1e-12,
+    rng: "np.random.RandomState | None" = None,
+    init_module: "np.ndarray | None" = None,
 ) -> np.ndarray:
     """One Louvain-style level of greedy map-equation minimization.
 
-    Every node starts in its own module; nodes are visited in fixed
-    ascending order (no RNG — Spark task retries and oracle runs must
-    see identical labels) and moved to the neighboring module that
-    most decreases the two-level map equation
+    Every node starts in its own module (or in ``init_module`` when
+    given — the polish step of :func:`_eject_refine` resumes from an
+    existing partition; ids must be < n); nodes are visited in fixed
+    ascending order (``rng=None`` — the base trial: no RNG, so Spark
+    task retries and oracle runs see identical labels) or in an order
+    re-drawn from ``rng`` each pass (the extra seeded trials of
+    :func:`two_level_infomap` — still deterministic given the seed,
+    numpy's generator is stable cross-platform) and moved to the
+    neighboring module that most decreases the two-level map equation
 
         L(M) = plogp(Q) - 2*sum_m plogp(q_m)
                - sum_a plogp(p_a) + sum_m plogp(q_m + P_m)
@@ -621,18 +631,33 @@ def _mapeq_local_moves(
     nothing. Returns the module id per node (not densified).
     """
     n = len(adj)
-    module = np.arange(n)
     p = strength / tot_w
     ext = np.array([sum(d.values()) for d in adj], dtype=np.float64)
     # Per-module state, in weight units for cuts (divide by tot_w when
     # entering the formula): singleton modules start with cut = ext.
-    P = p.copy()
-    CUT = ext.copy()
+    if init_module is None:
+        module = np.arange(n)
+        P = p.copy()
+        CUT = ext.copy()
+    else:
+        module = init_module.astype(np.int64).copy()
+        P = np.zeros(n)
+        np.add.at(P, module, p)
+        CUT = np.zeros(n)
+        for i, d in enumerate(adj):
+            mi = int(module[i])
+            for j, w in d.items():
+                if mi != int(module[j]):
+                    CUT[mi] += w
     Q = float(CUT.sum()) / tot_w
 
+    order = np.arange(n)
     for _ in range(200):
         moved = False
-        for i in range(n):
+        if rng is not None:
+            order = rng.permutation(n)
+        for i in order:
+            i = int(i)
             if not adj[i]:
                 continue
             a = int(module[i])
@@ -685,15 +710,258 @@ def _mapeq_local_moves(
     return module
 
 
+def _aggregate(adj: list, strength: np.ndarray, dense: np.ndarray):
+    """Aggregate modules into super-nodes. Intra-module weight stays
+    inside the super-node: it contributes to strength (visit rate)
+    but never to a cut, so only inter-module edges enter the new
+    adjacency. ``dense`` must be 0..k-1 module ids per node."""
+    k = int(dense.max()) + 1 if len(dense) else 0
+    new_strength = np.zeros(k)
+    np.add.at(new_strength, dense, strength)
+    new_adj: list = [dict() for _ in range(k)]
+    for i, d in enumerate(adj):
+        mi = int(dense[i])
+        for j, w in d.items():
+            mj = int(dense[j])
+            if mi != mj:
+                new_adj[mi][mj] = new_adj[mi].get(mj, 0.0) + w
+    return new_adj, new_strength
+
+
+def _hierarchical_mapeq(
+    adj: list,
+    strength: np.ndarray,
+    tot_w: float,
+    rng: "np.random.RandomState | None" = None,
+) -> np.ndarray:
+    """One full multi-level map-equation optimization: local-move
+    sweeps to convergence, module aggregation into super-nodes,
+    repeated until a level merges nothing. Returns flat module labels
+    per ORIGINAL node (not densified). Reads ``adj``/``strength``
+    without mutating them, so trials can share the built graph."""
+    labels = np.arange(len(adj), dtype=np.int64)
+    while True:
+        module = _mapeq_local_moves(adj, strength, tot_w, rng=rng)
+        uniq, dense = np.unique(module, return_inverse=True)
+        if len(uniq) == len(adj):  # nothing merged: converged
+            break
+        labels = dense[labels]
+        if len(uniq) == 1:
+            break
+        adj, strength = _aggregate(adj, strength, dense)
+    return labels
+
+
+def _eject_refine(
+    adj: list,
+    strength: np.ndarray,
+    tot_w: float,
+    labels: np.ndarray,
+    tol: float = 1e-12,
+    max_rounds: int = 30,
+) -> np.ndarray:
+    """Fine-tune + pair-eject refinement: escape the two local-optimum
+    classes the hierarchical pass leaves behind.
+
+    (1) FINE-TUNE (Rosvall's core-loop step the plain two-level pass
+    lacks): after module aggregation only SUPER-nodes move, so one
+    original node absorbed into the wrong module at level 1 can never
+    relocate even when moving it alone would improve L. Each round
+    therefore first re-runs single-node local moves on the ORIGINAL
+    graph starting from the current partition (``init_module``).
+
+    (2) PAIR-EJECT: greedy agglomeration over-merges path-like
+    graphs — the optimum may carve a 2-node peripheral module (a
+    leaf pair) out of a bigger one, but BOTH intermediate states
+    (either node alone in a fresh module) are worse than staying, so
+    single-node sweeps are stuck at every level (observed on the r9
+    m3d differential: isomorphic 8-node ε-graphs recur across SFs and
+    randomized trial order cracks them only by lottery). For every
+    intra-module edge (i, j), score moving {i, j} TOGETHER into a
+    fresh module and apply improvements greedily in ascending edge
+    order.
+
+    Rounds alternate (1) and (2) until neither improves.
+
+    O(1) per-edge scoring: a per-node own-module flow array
+    ``w_own[i]`` (flow from i into its current module) is built once
+    per pass in O(sum deg) and patched locally after each applied
+    eject, so a full pass costs O(m) — no O(deg) recomputation per
+    candidate, safe at the 20k-node per-user bound even on dense
+    ε-graphs. Only accepts strictly improving moves, so monotone
+    descent of L (the m3c ``descent_ok`` invariant) is preserved;
+    ejected pairs are connected, so modules keep refining components
+    (the m3b invariant).
+    """
+    n = len(adj)
+    labels = labels.astype(np.int64).copy()
+    p = strength / tot_w
+    ext = np.array([sum(d.values()) for d in adj], dtype=np.float64)
+    for _ in range(max_rounds):
+        # (1) fine-tune: single-node moves from the current partition
+        before = labels
+        labels = _mapeq_local_moves(
+            adj, strength, tot_w, init_module=labels
+        )
+        # moves only ever change ids in place, so no-move == identical
+        tuned = not np.array_equal(before, labels)
+        # (2) pair-eject pass
+        # densify so fresh ids can be drawn from the unused tail < n
+        _, labels = np.unique(labels, return_inverse=True)
+        labels = labels.astype(np.int64)
+        n_mod = int(labels.max()) + 1 if n else 0
+        next_free = n_mod
+        size = np.bincount(labels, minlength=n)
+        P = np.zeros(n)
+        np.add.at(P, labels, p)
+        CUT = np.zeros(n)
+        w_own = np.zeros(n)
+        for i, d in enumerate(adj):
+            mi = int(labels[i])
+            for j, w in d.items():
+                if mi == int(labels[j]):
+                    w_own[i] += w
+                else:
+                    CUT[mi] += w
+        Q = float(CUT.sum()) / tot_w
+        ejected = False
+        for i in range(n):
+            for j, w_ij in sorted(adj[i].items()):
+                if j <= i:
+                    continue
+                a = int(labels[i])
+                if int(labels[j]) != a or size[a] <= 2:
+                    continue
+                # move {i, j} from a to fresh module f:
+                # S = pair flow to remaining members of a;
+                # out = pair flow to everything outside a
+                S = (w_own[i] - w_ij) + (w_own[j] - w_ij)
+                out = (ext[i] - w_own[i]) + (ext[j] - w_own[j])
+                cut_a2 = CUT[a] - out + S
+                cut_f = S + out
+                q_a, q_a2 = CUT[a] / tot_w, cut_a2 / tot_w
+                q_f = cut_f / tot_w
+                P_a2 = P[a] - p[i] - p[j]
+                P_f = p[i] + p[j]
+                Q2 = Q + (cut_a2 - CUT[a] + cut_f) / tot_w
+                delta = (
+                    _plogp(Q2)
+                    - _plogp(Q)
+                    - 2.0 * (_plogp(q_a2) - _plogp(q_a))
+                    - 2.0 * _plogp(q_f)
+                    + _plogp(q_a2 + P_a2)
+                    - _plogp(q_a + P[a])
+                    + _plogp(q_f + P_f)
+                )
+                if delta < -tol:
+                    f = next_free
+                    next_free += 1
+                    CUT[a], CUT[f] = cut_a2, cut_f
+                    P[a], P[f] = P_a2, P_f
+                    Q = Q2
+                    size[a] -= 2
+                    size[f] = 2
+                    labels[i], labels[j] = f, f
+                    # patch w_own locally: only the pair and its
+                    # neighbors change own-module flow
+                    w_own[i] = w_ij
+                    w_own[j] = w_ij
+                    for k, w in adj[i].items():
+                        if k != j and int(labels[k]) == a:
+                            w_own[k] -= w
+                    for k, w in adj[j].items():
+                        if k != i and int(labels[k]) == a:
+                            w_own[k] -= w
+                    ejected = True
+        if not ejected and not tuned:
+            break
+    return labels
+
+
+def _canon_partition(lab: np.ndarray) -> np.ndarray:
+    """First-occurrence canonical form: two labelings are the same
+    partition iff their canonical forms are equal arrays."""
+    out = np.empty(len(lab), dtype=np.int64)
+    seen: dict = {}
+    for i, x in enumerate(lab):
+        x = int(x)
+        if x not in seen:
+            seen[x] = len(seen)
+        out[i] = seen[x]
+    return out
+
+
+def _core_loop(
+    adj: list,
+    strength: np.ndarray,
+    tot_w: float,
+    rng: "np.random.RandomState | None" = None,
+    max_cycles: int = 20,
+) -> np.ndarray:
+    """One full optimization cycle in the shape of Infomap's core
+    loop: hierarchical coarsening, then alternating fine-grained
+    (:func:`_eject_refine` — single-node fine-tune + pair ejects on
+    the ORIGINAL graph) and coarse-grained (re-aggregate the refined
+    partition and let whole modules move/merge as super-nodes)
+    passes until the partition is stable. Fine passes fix nodes the
+    coarsening absorbed into the wrong module; coarse passes merge
+    modules the fine passes fragmented (on structureless graphs the
+    optimum can be ONE module, unreachable by single-node or pair
+    moves out of a 3-way split). Every accepted move strictly
+    decreases L, so the cycle terminates; ``max_cycles`` is a
+    safety bound."""
+    labels = _hierarchical_mapeq(adj, strength, tot_w, rng=rng)
+    for _ in range(max_cycles):
+        refined = _eject_refine(adj, strength, tot_w, labels)
+        uniq, dense = np.unique(refined, return_inverse=True)
+        if len(uniq) > 1:
+            s_adj, s_strength = _aggregate(adj, strength, dense)
+            super_lab = _hierarchical_mapeq(
+                s_adj, s_strength, tot_w, rng=rng
+            )
+            new = super_lab[dense]
+        else:
+            new = refined
+        # canonical first-occurrence form: stable ⇔ same partition
+        stable = np.array_equal(
+            _canon_partition(labels), _canon_partition(new)
+        )
+        labels = new
+        if stable:
+            break
+    return labels
+
+
 def two_level_infomap(
-    n: int, edges: np.ndarray, weights: np.ndarray
+    n: int,
+    edges: np.ndarray,
+    weights: np.ndarray,
+    num_trials: int = 8,
+    seed: int = 42,
 ) -> np.ndarray:
     """Deterministic two-level Infomap: minimize the map equation by
     greedy local moves + module aggregation until stable (the public
     core algorithm of Rosvall & Bergstrom 2008 — same objective the
     reference optimizes through the ``infomap`` C library,
     reference utils.py:67-99; this is an independent numpy
-    implementation, deterministic where the library seeds an RNG).
+    implementation, deterministic for any fixed ``(num_trials,
+    seed)`` where the library's trial loop is only per-machine
+    reproducible).
+
+    Search strategy (the library's, made deterministic): trial 0
+    sweeps nodes in fixed ascending order (exactly the pre-r10
+    single-trial behavior — ``num_trials=1`` reproduces it bit-for-
+    bit); trials 1..k-1 re-draw the visit order each pass from
+    ``numpy.random.RandomState(seed + t)`` (stable cross-platform).
+    The trial with the lowest map-equation value wins; ties keep the
+    EARLIEST trial, so adding trials never changes an already-optimal
+    result. Every trial additionally runs :func:`_eject_refine` —
+    the deterministic pair-eject pass that escapes the local optima
+    the r9 m3d differential exposed (2/150 sf0.01 uids where leaf
+    pairs stayed absorbed in a bigger module; pair-eject fixes the
+    class structurally where extra trials only fix instances by
+    lottery). Multi-trial remains as robustness against other
+    order-dependent optima.
 
     ``edges`` is an (m, 2) int array (undirected, no self-loops,
     each pair once), ``weights`` an (m,) float array. Returns an
@@ -701,16 +969,16 @@ def two_level_infomap(
     dense-ranked by callers.
 
     Fidelity vs the ``infomap`` C library (documented divergences —
-    differential test: tests/test_clustering.py::
+    differential tests: tests/test_clustering.py::
     test_infomap_differential_vs_c_library, skipped when the package
-    is absent):
+    is absent, and the always-runnable vendored differential):
 
     - On graphs with a clear modular optimum (cliques joined by weak
       bridges — the golden fixtures) both find the same grouping.
     - On AMBIGUOUS graphs several partitions can tie on the map
       equation within float tolerance; the library breaks ties by RNG
       seed and trial count, this implementation by deterministic
-      node order. Module MEMBERSHIP may then legitimately differ;
+      trial order. Module MEMBERSHIP may then legitimately differ;
       the contract is an equal-or-better codelength, not identical
       labels.
     - The library's default teleportation (unrecorded, PageRank-style
@@ -718,6 +986,11 @@ def two_level_infomap(
       undirected, where visit rates are degree-proportional and
       teleportation drops out of the two-level map equation.
     """
+    if int(num_trials) < 1:
+        raise ValueError(
+            f"num_trials must be >= 1 (got {num_trials}): zero trials"
+            " would select no partition at all"
+        )
     labels = np.arange(n, dtype=np.int64)
     if n == 0 or len(edges) == 0:
         return labels
@@ -731,29 +1004,37 @@ def two_level_infomap(
     if tot_w <= 0.0:
         return labels
 
-    while True:
-        module = _mapeq_local_moves(adj, strength, tot_w)
-        uniq, dense = np.unique(module, return_inverse=True)
-        if len(uniq) == len(adj):  # nothing merged: converged
-            break
-        labels = dense[labels]
-        if len(uniq) == 1:
-            break
-        # Aggregate modules into super-nodes. Intra-module weight
-        # stays inside the super-node: it contributes to strength
-        # (visit rate) but never to a cut, so only inter-module
-        # edges enter the new adjacency.
-        new_strength = np.zeros(len(uniq))
-        np.add.at(new_strength, dense, strength)
-        new_adj: list = [dict() for _ in range(len(uniq))]
-        for i, d in enumerate(adj):
-            mi = int(dense[i])
-            for j, w in d.items():
-                mj = int(dense[j])
-                if mi != mj:
-                    new_adj[mi][mj] = new_adj[mi].get(mj, 0.0) + w
-        adj, strength = new_adj, new_strength
-    return labels
+    best, best_len = None, 0.0
+    for t in range(int(num_trials)):
+        rng = None if t == 0 else np.random.RandomState(int(seed) + t)
+        cand = _core_loop(adj, strength, tot_w, rng=rng)
+        val = map_equation_value(n, edges, weights, cand)
+        if best is None or val < best_len - 1e-12:
+            best, best_len = cand, val
+    # Structureless graphs: the optimum can be ONE module per
+    # connected component, unreachable by greedy search when no
+    # PAIRWISE module merge improves (only the k-way collapse does).
+    # The component partition is a single O(m) candidate — score it
+    # like a trial; keep it only when strictly better.
+    comp = np.arange(n, dtype=np.int64)
+    for i, d in enumerate(adj):
+        for j in d:
+            ri, rj = int(comp[i]), int(comp[j])
+            while ri != int(comp[ri]):
+                ri = int(comp[ri])
+            while rj != int(comp[rj]):
+                rj = int(comp[rj])
+            if ri != rj:
+                comp[max(ri, rj)] = min(ri, rj)
+    for i in range(n):
+        r = int(comp[i])
+        while r != int(comp[r]):
+            r = int(comp[r])
+        comp[i] = r
+    val = map_equation_value(n, edges, weights, comp)
+    if val < best_len - 1e-12:
+        best, best_len = comp, val
+    return best
 
 
 def map_equation_value(
@@ -1207,11 +1488,19 @@ def communities_backend_differential(
       equality);
     - ``native_not_worse`` — native codelength ≤ reference codelength
       + 1e-9 (the real contract: on map-equation TIES an RNG-driven
-      reference may pick a different member of the tie set, and its
-      multi-trial search may luck into a strictly better optimum on
-      ambiguous graphs — see :func:`two_level_infomap`'s fidelity
-      notes);
+      reference may pick a different member of the tie set — see
+      :func:`two_level_infomap`'s fidelity notes);
+    - ``codelength_margin`` — native − reference codelength
+      (bits/step): positive means the reference found a strictly
+      better partition, so a FALSE ``native_not_worse`` row carries
+      its own severity (a sub-tolerance search-depth gap reads
+      differently from a large regression without recomputing);
     - both codelengths (bits/step) and the ``target`` that ran.
+
+    Since round 10 the native optimizer runs the same seeded
+    multi-trial search (``two_level_infomap(num_trials=8)``), so
+    ``native_not_worse`` is expected to hold on EVERY uid — the m3d
+    gate pins it TRUE per uid in the value hash.
     """
     if target not in ("auto", "library", "vendored"):
         raise ValueError(
@@ -1234,6 +1523,11 @@ def communities_backend_differential(
     if metric not in ("haversine", "euclidean"):
         raise ValueError(f"Unsupported distance metric: {metric}")
     trials, sd = int(num_trials), int(seed)
+    if trials < 1:
+        raise ValueError(
+            f"num_trials must be >= 1 (got {num_trials}): zero trials"
+            " would select no partition at all"
+        )
     use_library = target == "library"
 
     def _diff(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1268,6 +1562,7 @@ def communities_backend_differential(
                 "native_not_worse": [not_worse],
                 "codelength_native": [l_nat],
                 "codelength_reference": [l_ref],
+                "codelength_margin": [l_nat - l_ref],
                 "target": [target],
             }
         )
@@ -1280,6 +1575,7 @@ def communities_backend_differential(
             StructField("native_not_worse", BooleanType()),
             StructField("codelength_native", DoubleType()),
             StructField("codelength_reference", DoubleType()),
+            StructField("codelength_margin", DoubleType()),
             StructField("target", StringType()),
         ]
     )

@@ -888,8 +888,23 @@ def pq_topk(
     is already ~64x cheaper per row than exact cosine at M=8
     (8 adds + 8 lookups vs 64 mults + adds), which is PQ's
     throughput story."""
-    mk = codebooks.groupBy().agg((F.max("_m") + 1).alias("m")).first()
+    mk = codebooks.groupBy().agg(
+        (F.max("_m") + 1).alias("m"),
+        F.min("_m").alias("m_min"),
+        F.countDistinct("_m").alias("m_distinct"),
+    ).first()
     m = int(mk["m"])
+    # The LUT array is positional by subspace (row i scores
+    # pq_codes[i]), so a codebook missing an entire middle subspace
+    # would silently shift later rows onto the wrong codes. Gapped
+    # CODE ids within a subspace are handled by the +inf fill below;
+    # gapped SUBSPACE ids must be rejected up front.
+    if m > 0 and (int(mk["m_min"]) != 0 or int(mk["m_distinct"]) != m):
+        raise ValueError(
+            f"codebooks must cover every subspace 0..{m - 1} exactly"
+            f" once (got min _m={mk['m_min']},"
+            f" {mk['m_distinct']} distinct of {m} expected)"
+        )
     first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
     if m == 0 or dim % m != 0:

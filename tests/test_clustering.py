@@ -786,3 +786,99 @@ def test_communities_backend_differential_vendored(spark):
         assert r.same_partition, r
         assert r.native_not_worse, r
         assert abs(r.codelength_native - r.codelength_reference) <= 1e-9
+
+
+def test_infomap_fine_tune_relocates_absorbed_node():
+    """r10 regression (sf0.1 uid 572): hierarchical coarsening absorbs
+    node 3 into the left module at level 1; only a FINE-TUNE pass over
+    original nodes (not super-nodes) can relocate it. The optimum puts
+    node 3 with the {6,7,8} triangle."""
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        map_equation_value,
+        two_level_infomap,
+    )
+
+    edges = np.array(
+        [[0, 1], [0, 3], [0, 4], [1, 3], [1, 4], [2, 4], [2, 5],
+         [3, 6], [3, 7], [4, 5], [6, 7], [6, 8], [7, 8]]
+    )
+    w = np.ones(len(edges))
+    labels = two_level_infomap(9, edges, w, num_trials=1)
+    # the known optimum: {0,1,2,4,5} and {3,6,7,8}
+    assert map_equation_value(9, edges, w, labels) <= 2.933979
+    assert labels[3] == labels[6] == labels[7] == labels[8]
+    assert labels[0] != labels[3]
+
+
+def test_infomap_pair_eject_escapes_leaf_pair_optimum():
+    """r9 judge finding (sf0.01 uid 38): the {6,7} leaf pair must be
+    its own module, but BOTH single-node intermediate states are worse
+    than staying merged, so plain local moves are stuck at every
+    level. The deterministic pair-eject pass must crack it without
+    relying on randomized trial order — verified on the original node
+    numbering AND a permuted isomorph (the sf0.1 re-occurrence)."""
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        map_equation_value,
+        two_level_infomap,
+    )
+
+    edges = np.array(
+        [[0, 1], [1, 2], [1, 4], [2, 3], [2, 4], [4, 6], [6, 7]]
+    )
+    w = np.ones(len(edges))
+    for perm in (np.arange(8), np.array([3, 7, 0, 5, 2, 6, 4, 1])):
+        e2 = np.array([[perm[i], perm[j]] for i, j in edges])
+        labels = two_level_infomap(8, e2, w, num_trials=1)
+        assert map_equation_value(8, e2, w, labels) <= 2.625350
+        assert labels[perm[6]] == labels[perm[7]]
+        assert labels[perm[6]] != labels[perm[4]]
+
+
+def test_infomap_component_collapse_on_structureless_graph():
+    """Dense random graphs can have the TRIVIAL one-module-per-
+    component optimum, unreachable by greedy merges when no pairwise
+    module merge improves (only the k-way collapse does). The
+    component-partition candidate must win then."""
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        map_equation_value,
+        two_level_infomap,
+    )
+
+    rng = np.random.RandomState(4)
+    n = 14
+    es = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in rng.randint(0, n, size=(70, 2))
+            if a != b
+        }
+    )
+    edges = np.array(es)
+    w = np.ones(len(edges))
+    labels = two_level_infomap(n, edges, w, num_trials=1)
+    # every partition the optimizer returns must be <= the all-in-one
+    # candidate (it IS one of the scored candidates)
+    one = np.zeros(n, dtype=np.int64)
+    assert (
+        map_equation_value(n, edges, w, labels)
+        <= map_equation_value(n, edges, w, one) + 1e-9
+    )
+
+
+def test_infomap_num_trials_validation():
+    import numpy as np
+    import pytest
+
+    from polaroam_spark.operators.clustering import two_level_infomap
+    from polaroam_spark.vendor.rosvall_infomap import infomap as vmap
+
+    with pytest.raises(ValueError, match="num_trials"):
+        two_level_infomap(3, np.array([[0, 1]]), np.ones(1), num_trials=0)
+    with pytest.raises(ValueError, match="num_trials"):
+        vmap(3, [(0, 1)], [1.0], num_trials=0)

@@ -322,10 +322,6 @@ def test_pq_topk_broadcasts_lut_no_corpus_shuffle(spark):
     assert "BroadcastExchange" in plan, plan
     # codes themselves were built via groupBy (2 exchanges upstream);
     # the SCORING adds exactly one more for the rank window.
-    # Forbid a raw cartesian product outright; the LUT cross join is
-    # allowed ONLY as a broadcast nested loop (crossJoin(broadcast))
-    # — every nested-loop join in the plan must be BuildRight with a
-    # broadcast input, i.e. exactly the LUT pattern.
     # Forbid a raw cartesian product outright, and require every
     # nested-loop join in the tree (the LUT cross join plus the
     # upstream broadcast-scalar crosses) to be a broadcast BuildRight
