@@ -7199,7 +7199,11 @@ UNION ALL SELECT 4, 'sample', CAST((SELECT count(*) FROM sm) AS BIGINT)""",
 def q6b(spark, sf_dir):
     """The pipeline's per-stage survivor report (the data-quality
     artifact a nightly build publishes): stage counts pinned against
-    the oracle replay of every stage."""
+    the oracle replay of every stage. Runs the PAY-ONCE mode
+    (``persist_stages=True``, r8 verdict #7 / r9 #7) so the driver
+    hash-certifies that per-stage caching changes execution cost,
+    never the counts — the q6 membership gate covers the default
+    lazy mode, so both modes carry a green gate."""
     from polaroam_spark.operators.curation import curate_corpus
 
     _, stats = curate_corpus(
@@ -7208,6 +7212,7 @@ def q6b(spark, sf_dir):
         dedup="exact",
         cap_per_source=40,
         sample_rate=0.5,
+        persist_stages=True,
     )
     return stats
 
@@ -7469,7 +7474,11 @@ def _url_expr_spark():
     "AS registered_domain, "
     "CASE doc_id % 2 WHEN 0 THEN 'com' ELSE 'org' END AS tld, "
     "CAST(doc_id % 4 AS BIGINT) AS path_depth, "
-    "doc_id % 5 = 0 AS has_query "
+    "doc_id % 5 = 0 AS has_query, "
+    # PSL column over a second URL: host = source + (.example.co.uk |
+    # .example.com); PSL longest-match makes both a 2-label site key
+    "CASE doc_id % 2 WHEN 0 THEN 'example.co.uk' ELSE 'example.com' "
+    "END AS psl_registered_domain "
     "FROM documents WHERE doc_id IS NOT NULL",
 )
 def u1(spark, sf_dir):
@@ -7480,14 +7489,39 @@ def u1(spark, sf_dir):
     field from the same arithmetic while the engine actually parses
     the assembled string with try_parse_url + array expressions —
     scheme, host, naive registered_domain, tld, path depth, query
-    flag all round-trip."""
-    from polaroam_spark.operators.textstats import url_features
+    flag all round-trip. ``psl_registered_domain`` (r10, verdict r9
+    #5) drives textstats.attach_registered_domain over a SECOND
+    synthetic URL whose even-doc_id hosts end in ``.example.co.uk``:
+    the broadcast longest-match against a 3-suffix list must pick
+    ``co.uk`` over ``uk`` and return the true site key
+    ``example.co.uk`` where the naive rule would say ``co.uk``."""
+    from polaroam_spark.operators.textstats import (
+        attach_registered_domain,
+        url_features,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull()
     )
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",)], "suffix string"
+    )
+    d = F.col("doc_id")
+    url2 = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.when(d % 2 == 0, F.lit(".example.co.uk")).otherwise(
+            F.lit(".example.com")
+        ),
+    )
+    with_psl = attach_registered_domain(
+        docs.withColumn("_url2", url2),
+        url_col="_url2",
+        suffix_list=psl,
+        out_col="psl_registered_domain",
+    )
     u = url_features(_url_expr_spark())
-    return docs.select(
+    return with_psl.select(
         "doc_id",
         u["scheme"].alias("scheme"),
         u["host"].alias("host"),
@@ -7495,6 +7529,7 @@ def u1(spark, sf_dir):
         u["tld"].alias("tld"),
         u["path_depth"].alias("path_depth"),
         u["has_query"].alias("has_query"),
+        "psl_registered_domain",
     )
 
 

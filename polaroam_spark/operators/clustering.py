@@ -33,6 +33,7 @@ they stay native and oracle-checkable.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -301,6 +302,8 @@ def cluster_stops_dbscan_distributed(
     r2: float = 10.0,
     min_spacial_resolution: float = 0.0,
     max_iterations: int = 50,
+    max_cell_points: "int | None" = 2000,
+    hot_cell_subdivisions: int = 8,
 ) -> DataFrame:
     """Scale-path DBSCAN for ``min_samples=2``: connected components of
     the ε-graph (exact equivalence — every point with a neighbor within
@@ -324,6 +327,25 @@ def cluster_stops_dbscan_distributed(
     Labels are re-densified per uid (0..k-1 by first appearance in
     (lat, lon) order) to match the per-user labeling contract;
     singleton points (no ε-neighbor) get -1.
+
+    **Dense-cell auto-degrade** (``max_cell_points``, r8 verdict #4 /
+    r9 #4): one ε-ball holding k points legitimately contains Θ(k²)
+    ε-pairs — the r8 skew probe measured the 3×3 join going
+    super-linear from shuffle spill past ~8k points in one cell.
+    When any (uid, cell) exceeds ``max_cell_points`` unique
+    coordinates, the members of THAT CELL ONLY are snapped to a
+    ``cell/hot_cell_subdivisions`` sub-grid before pair generation
+    (bounding the cell at ~subdivisions² unique coordinates, e.g. 64
+    for the default 8) and original coordinates are labeled through
+    a join-back on the snapped key — the same lossy contract as
+    ``min_spacial_resolution``, applied automatically, only where
+    needed, and LOUDLY (a ``UserWarning`` names the hot-cell count
+    and the effective resolution). For ε = 25 m the default sub-grid
+    merges points within ~3 m, far inside GPS noise. Cells below the
+    threshold are untouched, so results are bit-identical to the
+    exact path whenever no cell is hot (the c3b gate's case at every
+    test SF). Pass ``max_cell_points=None`` to forbid degrading and
+    pay the exact quadratic cost.
     """
     # ε in degrees of latitude. A degree of LONGITUDE spans only
     # cos(lat) of that, so ε-close east-west pairs can sit 2+
@@ -349,11 +371,92 @@ def cluster_stops_dbscan_distributed(
     # uses — grid_snap can round an extreme point polewards, and a
     # bound from raw latitudes would make lon_cell_deg fractionally
     # too small to guarantee 3x3 coverage at that snapped latitude.
-    pts0 = (
+    base = (
         medians.withColumns({"_glat": glat, "_glon": glon})
         .select("uid", F.col("_glat").alias("latitude"), F.col("_glon").alias("longitude"))
         .dropDuplicates(["uid", "latitude", "longitude"])
-        .withColumn(
+    )
+    base = base.persist()
+    max_abs_lat = (
+        base.agg(F.max(F.abs(F.col("latitude")))).first()[0] or 0.0
+    )
+    # + cell_deg of margin: the hot-cell sub-grid snap below can move
+    # a point poleward by less than one cell, and the cos floor must
+    # cover the latitudes the grid ACTUALLY sees after that snap
+    cos_floor = max(
+        math.cos(math.radians(min(max_abs_lat + cell_deg, 89.0))), 0.02
+    )
+    lon_cell_deg = cell_deg / cos_floor
+
+    # Dense-cell auto-degrade (see docstring): count unique coords
+    # per (uid, cell); members of over-threshold cells are snapped to
+    # the sub-grid, everything else keeps exact coordinates. key_map
+    # carries original-coord -> clustering-coord for the label
+    # join-back; None when nothing degraded (the common case).
+    key_map = None
+    work = base
+    if max_cell_points is not None:
+        cells = base.withColumns(
+            {
+                "cx": F.floor(F.col("latitude") / F.lit(cell_deg)),
+                "cy": F.floor(F.col("longitude") / F.lit(lon_cell_deg)),
+            }
+        )
+        hot = (
+            cells.groupBy("uid", "cx", "cy")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > int(max_cell_points))
+            .select("uid", "cx", "cy")
+        )
+        n_hot = hot.count()  # one cheap job over the persisted base
+        if n_hot:
+            s = max(int(hot_cell_subdivisions), 2)
+            fine_lat = cell_deg / s
+            fine_lon = lon_cell_deg / s
+            warnings.warn(
+                f"cluster_stops_dbscan_distributed: {n_hot} (uid,"
+                f" cell) groups exceed max_cell_points="
+                f"{max_cell_points}; snapping their members to a"
+                f" 1/{s}-cell sub-grid (~{float(r2) / s:.2f} m at"
+                " this eps) to bound the quadratic pair blow-up."
+                " Results for those cells follow the"
+                " min_spacial_resolution downsample contract; pass"
+                " max_cell_points=None to forbid degrading.",
+                UserWarning,
+                stacklevel=2,
+            )
+            snapped = (
+                cells.join(
+                    hot.withColumn("_hot", F.lit(True)),
+                    on=["uid", "cx", "cy"],
+                    how="left",
+                )
+                .withColumns(
+                    {
+                        "_slat": F.when(
+                            F.col("_hot"),
+                            grid_snap("latitude", fine_lat),
+                        ).otherwise(F.col("latitude")),
+                        "_slon": F.when(
+                            F.col("_hot"),
+                            grid_snap("longitude", fine_lon),
+                        ).otherwise(F.col("longitude")),
+                    }
+                )
+                .select("uid", "latitude", "longitude", "_slat", "_slon")
+            )
+            key_map = snapped.persist()
+            work = (
+                key_map.select(
+                    "uid",
+                    F.col("_slat").alias("latitude"),
+                    F.col("_slon").alias("longitude"),
+                )
+                .dropDuplicates(["uid", "latitude", "longitude"])
+            )
+
+    pts0 = (
+        work.withColumn(
             "point_id",
             F.row_number().over(
                 Window.partitionBy("uid").orderBy("latitude", "longitude")
@@ -362,11 +465,6 @@ def cluster_stops_dbscan_distributed(
         .withColumn("cx", F.floor(F.col("latitude") / F.lit(cell_deg)))
     )
     pts0 = pts0.persist()
-    max_abs_lat = (
-        pts0.agg(F.max(F.abs(F.col("latitude")))).first()[0] or 0.0
-    )
-    cos_floor = max(math.cos(math.radians(min(max_abs_lat, 89.0))), 0.02)
-    lon_cell_deg = cell_deg / cos_floor
 
     pts = pts0.withColumn(
         "cy", F.floor(F.col("longitude") / F.lit(lon_cell_deg))
@@ -475,6 +573,16 @@ def cluster_stops_dbscan_distributed(
     labeled_pts = connected.unionByName(singletons).select(
         "uid", "latitude", "longitude", "stop_locations"
     )
+    if key_map is not None:
+        # degraded cells: labels live on SNAPPED coords; route them
+        # back to each original unique coordinate through key_map
+        labeled_pts = key_map.join(
+            labeled_pts.withColumnsRenamed(
+                {"latitude": "_slat", "longitude": "_slon"}
+            ),
+            on=["uid", "_slat", "_slon"],
+            how="left",
+        ).select("uid", "latitude", "longitude", "stop_locations")
     # materialize the (small) label table BEFORE releasing the cached
     # pts/edges it derives from — otherwise the caller's first action
     # would recompute the expensive cell-replication join from scratch
@@ -492,6 +600,9 @@ def cluster_stops_dbscan_distributed(
         out = medians.join(
             labeled_pts, on=["uid", "latitude", "longitude"], how="left"
         )
+    base.unpersist()
+    if key_map is not None:
+        key_map.unpersist()
     pts0.unpersist()
     edges.unpersist()
     return out

@@ -39,6 +39,7 @@ def curate_corpus(
     sample_rate: float | None = None,
     sample_seed: int = 17,
     with_stats: bool = True,
+    persist_stages: bool = False,
 ) -> tuple[DataFrame, "DataFrame | None"]:
     """Run the curation ladder over ``docs``; returns ``(kept,
     stats)`` where ``kept`` is the surviving rows (text possibly
@@ -58,15 +59,22 @@ def curate_corpus(
     pipeline inherits their determinism contracts: membership is a
     pure function of the input and the seeds.
 
-    Cost note (documented, not hidden): the ``stats`` frame is built
-    from one count-aggregate per stage over the lazily chained plan,
-    so COLLECTING it re-executes each stage's lineage prefix —
-    O(stages) scans. That is the right trade for a nightly report at
-    any scale (counts are cheap scans); for a pay-once variant,
-    persist ``docs`` (and the dedup stage's input) first, or skip
-    stats. The KEPT output is always one lazy plan, no
-    materialization.
+    Cost note: by default the ``stats`` frame is built from one
+    count-aggregate per stage over the lazily chained plan, so
+    COLLECTING it re-executes each stage's lineage prefix —
+    O(stages) scans of cheap counts. ``persist_stages=True`` (r8
+    verdict #7) is the pay-once variant: every enabled stage's
+    output is persisted MEMORY_AND_DISK before the next stage chains
+    on it, so each stage executes exactly once no matter how many
+    downstream consumers (the stats union AND the kept output) read
+    it — the right trade when stages are expensive (minhash dedup,
+    decontamination) or the cluster has memory to spare. The caller
+    owns the cache lifetime: call ``.unpersist()`` on ``kept``'s
+    lineage or ``spark.catalog.clearCache()`` when done. The KEPT
+    output is a lazy plan in both modes — ``persist_stages`` changes
+    WHERE it reads from (the per-stage caches), never its rows.
     """
+    from pyspark import StorageLevel
     from polaroam_spark.operators.textstats import (
         c4_line_filter,
         gopher_quality_flags,
@@ -75,50 +83,70 @@ def curate_corpus(
         token_count,
     )
 
-    cur = docs
-    stages: list[tuple[str, DataFrame]] = [("input", cur)]
+    stages: list[tuple[str, DataFrame]] = []
+
+    def _stage(name: str, frame: DataFrame) -> DataFrame:
+        if persist_stages:
+            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        stages.append((name, frame))
+        return frame
+
+    cur = _stage("input", docs)
 
     if strip_html_first:
-        cur = cur.withColumn(text_col, strip_html(text_col))
-        stages.append(("strip_html", cur))
+        cur = _stage(
+            "strip_html", cur.withColumn(text_col, strip_html(text_col))
+        )
     if line_filter:
-        cur = (
+        cur = _stage(
+            "line_filter",
             c4_line_filter(cur, text_col, **(line_filter_opts or {}))
             .withColumn(text_col, F.col("text_filtered"))
-            .drop("text_filtered", "n_lines_before", "n_lines_kept")
+            .drop("text_filtered", "n_lines_before", "n_lines_kept"),
         )
-        stages.append(("line_filter", cur))
     if min_tokens is not None:
-        cur = cur.filter(token_count(text_col) >= int(min_tokens))
-        stages.append(("min_tokens", cur))
+        cur = _stage(
+            "min_tokens",
+            cur.filter(token_count(text_col) >= int(min_tokens)),
+        )
     if max_tokens is not None:
-        cur = cur.filter(token_count(text_col) <= int(max_tokens))
-        stages.append(("max_tokens", cur))
+        cur = _stage(
+            "max_tokens",
+            cur.filter(token_count(text_col) <= int(max_tokens)),
+        )
     if gopher:
         flagged = gopher_quality_flags(cur, text_col)
-        cur = flagged.filter(F.col("passes_gopher")).select(*cur.columns)
-        stages.append(("gopher", cur))
+        cur = _stage(
+            "gopher",
+            flagged.filter(F.col("passes_gopher")).select(*cur.columns),
+        )
     if quality_threshold is not None:
         scored = quality_features(cur, text_col)
-        cur = scored.filter(
-            F.col("quality_score") >= float(quality_threshold)
-        ).select(*cur.columns)
-        stages.append(("quality", cur))
+        cur = _stage(
+            "quality",
+            scored.filter(
+                F.col("quality_score") >= float(quality_threshold)
+            ).select(*cur.columns),
+        )
     if dedup == "exact":
         from polaroam_spark.operators.dedup import dedup_exact
 
-        cur = dedup_exact(cur, text_col=text_col, id_col=id_col)
-        stages.append(("dedup_exact", cur))
+        cur = _stage(
+            "dedup_exact",
+            dedup_exact(cur, text_col=text_col, id_col=id_col),
+        )
     elif dedup == "minhash":
         from polaroam_spark.operators.dedup import near_dedup_corpus
 
-        cur = near_dedup_corpus(
-            cur,
-            text_col=text_col,
-            id_col=id_col,
-            **(minhash_opts or {}),
+        cur = _stage(
+            "dedup_minhash",
+            near_dedup_corpus(
+                cur,
+                text_col=text_col,
+                id_col=id_col,
+                **(minhash_opts or {}),
+            ),
         )
-        stages.append(("dedup_minhash", cur))
     elif dedup is not None:
         raise ValueError(
             f"unknown dedup {dedup!r}: use 'exact', 'minhash', or None"
@@ -126,29 +154,33 @@ def curate_corpus(
     if decontaminate_against is not None:
         from polaroam_spark.operators.dedup import decontaminate
 
-        cur = decontaminate(
-            cur, decontaminate_against, text_col=text_col
+        cur = _stage(
+            "decontaminate",
+            decontaminate(cur, decontaminate_against, text_col=text_col),
         )
-        stages.append(("decontaminate", cur))
     if cap_per_source is not None:
         from polaroam_spark.operators.sampling import cap_per_key
 
-        cur = cap_per_key(
-            cur,
-            key=source_col,
-            id_col=id_col,
-            max_per_key=int(cap_per_source),
-            seed=int(cap_seed),
+        cur = _stage(
+            "cap_per_source",
+            cap_per_key(
+                cur,
+                key=source_col,
+                id_col=id_col,
+                max_per_key=int(cap_per_source),
+                seed=int(cap_seed),
+            ),
         )
-        stages.append(("cap_per_source", cur))
     if sample_rate is not None:
         from polaroam_spark.operators.sampling import sample_by_hash
 
-        cur = sample_by_hash(
-            cur, key=id_col, fraction=float(sample_rate),
-            seed=int(sample_seed),
+        cur = _stage(
+            "sample",
+            sample_by_hash(
+                cur, key=id_col, fraction=float(sample_rate),
+                seed=int(sample_seed),
+            ),
         )
-        stages.append(("sample", cur))
 
     stats = None
     if with_stats:

@@ -705,13 +705,42 @@ def wav_header_meta(content, max_chunks: int = 8) -> "Column":
     def le32_at(pos):
         return _le_uint(c, pos, 4)
 
+    # FAST PATH (r8 verdict #8): virtually every muxer writes "fmt "
+    # as the FIRST chunk (offset 13) with "data" immediately after
+    # it, which makes both offsets fixed arithmetic on the fmt size —
+    # a pure substr/conv chain that whole-stage codegen compiles,
+    # with no interpreted higher-order function anywhere. coalesce is
+    # lazy per row, so the F.aggregate walk below only evaluates for
+    # the rows that do NOT match the canonical layout (LIST/INFO-led
+    # files, oversized fmt extensions) — and finds the same offsets
+    # the fast probes would have (fmt at 13 IS the first fmt; data
+    # right after the first chunk IS the first data).
+    fast_fmt = F.when(
+        F.hex(c.substr(F.lit(13), F.lit(4))) == "666D7420",
+        F.lit(13).cast("long"),
+    )
+    fmt_size0 = le32_at(F.lit(17))
+    after_fmt = F.when(
+        fast_fmt.isNotNull()
+        & fmt_size0.isNotNull()
+        & (fmt_size0 <= 4096),  # real fmt is 16/18/40 B; garbage walks
+        (F.lit(21) + fmt_size0 + F.pmod(fmt_size0, 2)).cast("int"),
+    )
+    fast_data = F.when(
+        F.hex(c.substr(after_fmt, F.lit(4))) == "64617461", after_fmt
+    ).cast("long")
+
     offs = _walk_offsets(
         lambda o: o + 8 + le32_at(o + 4) + F.pmod(le32_at(o + 4), 2),
         F.lit(13),
         max_chunks,
     )
-    fmt_off = _first_with_tag(c, offs, "666D7420")  # "fmt "
-    data_off = _first_with_tag(c, offs, "64617461")  # "data"
+    fmt_off = F.coalesce(
+        fast_fmt, _first_with_tag(c, offs, "666D7420")  # "fmt "
+    )
+    data_off = F.coalesce(
+        fast_data, _first_with_tag(c, offs, "64617461")  # "data"
+    )
     data_size = le32_at(data_off + 4)
     byte_rate = le32_at(fmt_off + 16)
     dur = F.when(

@@ -864,14 +864,15 @@ def url_features(url: Column | str) -> Column:
 
     ``registered_domain`` is the NAIVE last-two-labels rule
     (``a.b.c.example.co.uk`` → ``co.uk``): correct for generic TLDs,
-    wrong for multi-label public suffixes. The real fix is a public
-    suffix list lookup — a broadcast join against a suffix table,
-    which this deliberately does not bundle (the PSL is a versioned
-    external artifact); at the cap/blocklist granularity the naive
-    rule groups strictly COARSER than the PSL one, so a cap keyed on
-    it is conservative (never lets a site exceed its budget by
-    splitting across subdomains). Malformed URLs yield NULL fields
-    (parse_url returns NULL, never throws).
+    wrong for multi-label public suffixes. For PSL-accurate grouping
+    use :func:`attach_registered_domain` with a caller-supplied
+    suffix table (a broadcast longest-match join — the PSL is a
+    versioned external artifact, deliberately not bundled); at the
+    cap/blocklist granularity the naive rule groups strictly COARSER
+    than the PSL one, so a cap keyed on it is conservative (never
+    lets a site exceed its budget by splitting across subdomains).
+    Malformed URLs yield NULL fields (parse_url returns NULL, never
+    throws).
     """
     u = _col(url)
     host = F.try_parse_url(u, F.lit("HOST"))
@@ -900,6 +901,124 @@ def url_features(url: Column | str) -> Column:
     )
 
 
+def attach_registered_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    suffix_list: "DataFrame | None" = None,
+    suffix_col: str = "suffix",
+    out_col: str = "registered_domain",
+    max_suffix_labels: int = 6,
+) -> DataFrame:
+    """Add a ``registered_domain`` column, optionally backed by a
+    caller-supplied PUBLIC SUFFIX LIST (r8 verdict #5 / r9 #5).
+
+    Without ``suffix_list`` this is the naive last-two-labels rule of
+    :func:`url_features` — correct for generic TLDs, coarse for
+    multi-label suffixes (``a.example.co.uk`` → ``co.uk``). With a
+    ``suffix_list`` DataFrame (one lowercase suffix per row in
+    ``suffix_col``: ``com``, ``co.uk``, … — the PSL is a versioned
+    external artifact, which is why it is caller-supplied rather
+    than bundled) the column follows PSL semantics:
+
+    - the public suffix of a host is its LONGEST label-suffix in the
+      list (``co.uk`` beats ``uk``); when nothing matches, the
+      prevailing ``*`` rule applies (public suffix = last label);
+    - ``registered_domain`` = the matched suffix plus ONE preceding
+      label; NULL when the host IS a public suffix (nothing is
+      registered under it) or the URL has no parseable host.
+      Wildcard (``*.ck``) and exception (``!www.ck``) PSL rule
+      syntax is not interpreted — pre-expand such rules into plain
+      suffixes when building the table.
+
+    Plan shape, designed for a 100 TB probe side: the suffix list is
+    deduped, lowercased, and joined BROADCAST once per candidate
+    depth (label-suffixes of length 1..min(longest list entry,
+    ``max_suffix_labels``)) — a chain of map-side broadcast hash
+    joins on precomputed candidate keys. No explode, no groupBy, no
+    shuffle of the probe side; longest-match resolves as a plain
+    CASE over the per-depth hit flags.
+    """
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    if suffix_list is None:
+        naive = F.when(
+            n >= 2,
+            F.concat_ws(
+                ".", F.element_at(labels, -2), F.element_at(labels, -1)
+            ),
+        ).otherwise(host)
+        return df.withColumn(out_col, naive)
+
+    lst = (
+        suffix_list.select(
+            F.lower(F.col(suffix_col)).alias("_psl_suffix")
+        )
+        .filter(F.col("_psl_suffix").isNotNull())
+        .dropDuplicates()
+    )
+    longest = lst.agg(
+        F.max(F.size(F.split(F.col("_psl_suffix"), r"\."))).alias("d")
+    ).first()["d"]
+    depth = max(1, min(int(longest or 1), int(max_suffix_labels)))
+
+    probe = df.withColumns(
+        {"_psl_host": host, "_psl_labels": labels}
+    )
+    for d in range(1, depth + 1):
+        probe = probe.withColumn(
+            f"_psl_cand{d}",
+            F.when(
+                F.size("_psl_labels") >= d,
+                F.concat_ws(
+                    ".", F.slice(F.col("_psl_labels"), -d, d)
+                ),
+            ),
+        ).join(
+            F.broadcast(
+                lst.select(
+                    F.col("_psl_suffix").alias(f"_psl_cand{d}"),
+                    F.lit(True).alias(f"_psl_hit{d}"),
+                )
+            ),
+            on=f"_psl_cand{d}",
+            how="left",
+        )
+
+    nn = F.size("_psl_labels")
+    reg = None
+    for d in range(depth, 0, -1):
+        # matched at depth d: registered = suffix + one more label,
+        # NULL when the host IS the suffix (n == d)
+        val = F.when(
+            nn > d,
+            F.concat_ws(
+                ".",
+                F.element_at(F.col("_psl_labels"), -(d + 1)),
+                F.col(f"_psl_cand{d}"),
+            ),
+        )
+        cond = F.col(f"_psl_hit{d}").isNotNull()
+        reg = F.when(cond, val) if reg is None else reg.when(cond, val)
+    # prevailing '*' rule: unknown TLD -> public suffix = last label
+    reg = reg.otherwise(
+        F.when(
+            nn >= 2,
+            F.concat_ws(
+                ".",
+                F.element_at(F.col("_psl_labels"), -2),
+                F.element_at(F.col("_psl_labels"), -1),
+            ),
+        )
+    )
+    drop = ["_psl_host", "_psl_labels"] + [
+        c
+        for d in range(1, depth + 1)
+        for c in (f"_psl_cand{d}", f"_psl_hit{d}")
+    ]
+    return probe.withColumn(out_col, reg).drop(*drop)
+
+
 def filter_by_domain(
     df: DataFrame,
     blocklist: DataFrame,
@@ -907,6 +1026,7 @@ def filter_by_domain(
     domain_col: str = "domain",
     keep: bool = False,
     broadcast: bool = True,
+    suffix_list: "DataFrame | None" = None,
 ) -> DataFrame:
     """Drop (default) or keep (``keep=True``) rows whose URL's
     ``registered_domain`` appears in ``blocklist[domain_col]`` — the
@@ -918,14 +1038,25 @@ def filter_by_domain(
     broadcast, rows with unparseable URLs have NULL domains and are
     always KEPT on blocklist mode (a malformed URL is not evidence
     of a blocked domain) and dropped on allowlist mode.
+
+    ``suffix_list`` (optional): a public-suffix table forwarded to
+    :func:`attach_registered_domain`, so blocking ``example.co.uk``
+    actually blocks that site instead of grouping half the UK under
+    ``co.uk``; omitted → the naive rule, as before.
     """
-    dom = F.lower(url_features(url_col)["registered_domain"])
     lst = blocklist.select(
         F.lower(F.col(domain_col)).alias("_dom")
     ).dropDuplicates()
     if broadcast:
         lst = F.broadcast(lst)
-    probe = df.withColumn("_dom", dom)
+    if suffix_list is not None:
+        probe = attach_registered_domain(
+            df, url_col=url_col, suffix_list=suffix_list, out_col="_dom"
+        ).withColumn("_dom", F.lower(F.col("_dom")))
+    else:
+        probe = df.withColumn(
+            "_dom", F.lower(url_features(url_col)["registered_domain"])
+        )
     how = "left_semi" if keep else "left_anti"
     return probe.join(lst, on="_dom", how=how).drop("_dom")
 

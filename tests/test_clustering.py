@@ -882,3 +882,52 @@ def test_infomap_num_trials_validation():
         two_level_infomap(3, np.array([[0, 1]]), np.ones(1), num_trials=0)
     with pytest.raises(ValueError, match="num_trials"):
         vmap(3, [(0, 1)], [1.0], num_trials=0)
+
+
+def test_distributed_dbscan_hot_cell_auto_degrade(spark):
+    """r8 verdict #4: a (uid, cell) group over max_cell_points must
+    be snapped to the sub-grid automatically and LOUDLY (UserWarning)
+    — every member still gets the ball's cluster label — while
+    sub-threshold data takes the exact path silently."""
+    import warnings
+
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        cluster_stops_dbscan_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        ("u1", 19.4 + float(a), -99.1 + float(b))
+        for a, b in zip(
+            rng.uniform(-4e-5, 4e-5, 50), rng.uniform(-4e-5, 4e-5, 50)
+        )
+    ]
+    rows.append(("u1", 25.0, -99.1))  # far singleton -> -1
+    df = spark.createDataFrame(
+        rows, "uid string, latitude double, longitude double"
+    )
+
+    with warnings.catch_warnings(record=True) as wl:
+        warnings.simplefilter("always")
+        out = cluster_stops_dbscan_distributed(
+            df, r2=10.0, max_cell_points=10
+        ).collect()
+    assert any("max_cell_points" in str(x.message) for x in wl)
+    labels = {(r.latitude, r.longitude): r.stop_locations for r in out}
+    assert labels[(25.0, -99.1)] == -1
+    ball = [v for k, v in labels.items() if k != (25.0, -99.1)]
+    assert ball and all(v == ball[0] >= 0 for v in ball)
+
+    # same data under the exact path: identical labels, no warning
+    with warnings.catch_warnings(record=True) as wl2:
+        warnings.simplefilter("always")
+        exact = cluster_stops_dbscan_distributed(
+            df, r2=10.0, max_cell_points=None
+        ).collect()
+    assert not any("max_cell_points" in str(x.message) for x in wl2)
+    exact_labels = {
+        (r.latitude, r.longitude): r.stop_locations for r in exact
+    }
+    assert exact_labels == labels

@@ -59,3 +59,43 @@ def test_curate_corpus_validation_and_no_stats(spark):
         curate_corpus(docs, dedup="fuzzy")
     kept, stats = curate_corpus(docs, dedup=None, with_stats=False)
     assert stats is None and kept.count() == 1
+
+
+def test_curate_corpus_persist_stages_parity_and_plan(spark):
+    """persist_stages=True (r8 verdict #7) must change WHERE the plan
+    reads from (per-stage InMemoryRelation caches), never the rows:
+    kept membership and per-stage counts are identical to the lazy
+    default, and the cached mode's plans read from InMemoryTableScan
+    where the default mode's never do."""
+    from polaroam_spark.operators.curation import curate_corpus
+
+    rows = [
+        (i, "s%d" % (i % 2), ("word " * (5 + i)).strip())
+        for i in range(30)
+    ]
+    rows += rows[:5]  # exact dupes for the dedup stage
+    docs = spark.createDataFrame(
+        [(i,) + r[1:] for i, r in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+
+    kw = dict(min_tokens=8, dedup="exact", cap_per_source=10,
+              sample_rate=0.8)
+    kept_lazy, stats_lazy = curate_corpus(docs, **kw)
+    # snapshot the lazy results BEFORE the persisted run: Spark's
+    # cache manager matches plan fragments, so once the stage caches
+    # exist the "lazy" plan would read them too
+    lazy_ids = sorted(r.doc_id for r in kept_lazy.collect())
+    s_l = {(r.stage, r.n_docs) for r in stats_lazy.collect()}
+    plan_l = kept_lazy._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan_l
+
+    kept_p, stats_p = curate_corpus(docs, persist_stages=True, **kw)
+    try:
+        assert sorted(r.doc_id for r in kept_p.collect()) == lazy_ids
+        s_p = {(r.stage, r.n_docs) for r in stats_p.collect()}
+        assert s_l == s_p and len(s_l) == 5  # input + 4 stages
+        plan_p = kept_p._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan_p
+    finally:
+        spark.catalog.clearCache()

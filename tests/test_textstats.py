@@ -481,3 +481,75 @@ def test_mojibake_stats_detects_double_decode(spark):
     assert out[2].n_mojibake == 2
     assert out[3].n_mojibake == 0 and out[3].mojibake_ratio is None
     assert out[4].n_mojibake == 0 and out[4].mojibake_ratio is None
+
+
+def test_attach_registered_domain_psl(spark):
+    """PSL longest-match semantics (r8 verdict #5): co.uk beats uk,
+    unknown TLDs fall back to the prevailing '*' rule, a host that IS
+    a public suffix (or has no host at all) yields NULL — and the
+    naive mode reproduces url_features' last-two-labels rule."""
+    from polaroam_spark.operators.textstats import (
+        attach_registered_domain,
+    )
+
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("org",)], "suffix string"
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.b.example.co.uk/x"),
+            (2, "https://WWW.Example.COM/y?q=1"),
+            (3, "https://example.co.uk"),
+            (4, "https://co.uk"),
+            (5, "https://sub.deep.unknown.xyz"),
+            (6, "not a url"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r.id: r.registered_domain
+        for r in attach_registered_domain(urls, suffix_list=psl).collect()
+    }
+    assert got == {
+        1: "example.co.uk",
+        2: "example.com",
+        3: "example.co.uk",
+        4: None,
+        5: "unknown.xyz",
+        6: None,
+    }
+    naive = {
+        r.id: r.registered_domain
+        for r in attach_registered_domain(urls).collect()
+    }
+    assert naive[1] == "co.uk"  # the documented naive coarsening
+
+
+def test_filter_by_domain_with_suffix_list(spark):
+    """Blocking example.co.uk must drop exactly that site when a
+    suffix list is supplied — under the naive rule the block key
+    never matches (domain resolves to co.uk) and nothing is
+    dropped."""
+    from polaroam_spark.operators.textstats import filter_by_domain
+
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",)], "suffix string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example.co.uk/p"),
+            (2, "https://other.co.uk/p"),
+            (3, "https://a.example.com/p"),
+        ],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("Example.CO.UK",)], "domain string")
+    kept = sorted(
+        r.doc_id
+        for r in filter_by_domain(docs, block, suffix_list=psl).collect()
+    )
+    assert kept == [2, 3]
+    kept_naive = sorted(
+        r.doc_id for r in filter_by_domain(docs, block).collect()
+    )
+    assert kept_naive == [1, 2, 3]
