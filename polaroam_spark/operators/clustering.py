@@ -1426,6 +1426,8 @@ def cluster_communities(
     weight_exponent: float = 1.0,
     distance_metric: str = "haversine",
     backend: str = "native",
+    num_trials: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Infomap community detection over the per-user ε-graph of stop
     medians — the engine's counterpart of the reference's
@@ -1439,6 +1441,9 @@ def cluster_communities(
     pinned seed, not certified cross-machine — the hash gates stay on
     the native path). Raises ImportError up front when the library
     backend is requested but the package is not installed.
+    ``num_trials``/``seed`` drive the search depth of BOTH backends
+    (the native optimizer's seeded multi-trial loop and the library's
+    trial loop — same knob the reference exposes through the C API).
 
     Graph construction mirrors the reference: nodes are the unique
     (optionally grid-downsampled) coordinates of one user, edges
@@ -1483,6 +1488,12 @@ def cluster_communities(
             "(pip install infomap); the default backend='native' has "
             "no extra dependency"
         )
+    trials, sd = int(num_trials), int(seed)
+    if trials < 1:
+        raise ValueError(
+            f"num_trials must be >= 1 (got {num_trials}): zero trials"
+            " would select no partition at all"
+        )
     max_group = 20_000
 
     def _communities(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1498,9 +1509,13 @@ def cluster_communities(
         labels = np.full(n, -1, dtype=np.int64)
         if connected.any():
             if use_library:
-                modules = _infomap_library_modules(n, edges, w)
+                modules = _infomap_library_modules(
+                    n, edges, w, trials, sd
+                )
             else:
-                modules = two_level_infomap(n, edges, w)
+                modules = two_level_infomap(
+                    n, edges, w, num_trials=trials, seed=sd
+                )
             labels = _dense_module_labels(n, modules, connected)
         if singles_own_label:
             nxt = labels.max() + 1

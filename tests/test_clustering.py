@@ -931,3 +931,46 @@ def test_distributed_dbscan_hot_cell_auto_degrade(spark):
         (r.latitude, r.longitude): r.stop_locations for r in exact
     }
     assert exact_labels == labels
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_infomap_never_loses_to_vendored_search(seed):
+    """Property differential (the m3d contract, minus Spark): on a
+    random sparse graph the native optimizer's codelength must be <=
+    the vendored independent 10-trial search's, within tolerance —
+    the r9/r10 local-optimum classes (absorbed node, leaf pair,
+    structureless collapse) all surfaced exactly this way."""
+    import random
+
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        map_equation_value,
+        two_level_infomap,
+    )
+    from polaroam_spark.vendor.rosvall_infomap import infomap as vmap
+
+    rnd = random.Random(seed)
+    n = rnd.randint(3, 20)
+    m = rnd.randint(n - 1, min(3 * n, n * (n - 1) // 2))
+    es = set()
+    while len(es) < m:
+        i, j = rnd.randrange(n), rnd.randrange(n)
+        if i != j:
+            es.add((min(i, j), max(i, j)))
+    edges = np.array(sorted(es))
+    w = np.array([rnd.choice([1.0, 1.0, 2.0, 3.0]) for _ in edges])
+    m_nat = two_level_infomap(n, edges, w)
+    m_ref = np.asarray(
+        vmap(
+            n,
+            [(int(i), int(j)) for i, j in edges],
+            [float(x) for x in w],
+            num_trials=10,
+            seed=42,
+        )
+    )
+    l_nat = map_equation_value(n, edges, w, m_nat)
+    l_ref = map_equation_value(n, edges, w, m_ref)
+    assert l_nat <= l_ref + 1e-9, (seed, n, len(edges), l_nat, l_ref)

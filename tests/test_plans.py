@@ -352,3 +352,29 @@ def test_filter_by_domain_broadcasts_list(spark):
     assert re.search(
         r"BroadcastHashJoin LeftAnti", plan
     ), plan
+
+
+def test_attach_registered_domain_probe_never_shuffles(spark):
+    """The PSL longest-match must be a chain of per-depth BROADCAST
+    joins: the (100 TB-shaped) probe side reads straight from its
+    scan into every join — the only hash exchanges allowed are the
+    tiny suffix-list dedups inside the broadcast builds (one per
+    candidate depth), and no sort-merge join may appear."""
+    from polaroam_spark.operators.textstats import (
+        attach_registered_domain,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"https://site{i}.example.co.uk/x") for i in range(20)],
+        "doc_id long, url string",
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",)], "suffix string"
+    )
+    plan = _plan(attach_registered_domain(docs, suffix_list=psl))
+    assert "SortMergeJoin" not in plan, plan
+    # depths 1 and 2 (formatted plans list each node in tree + detail
+    # form; count the numbered detail entries)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    # per-depth list dedupe exchanges only — both on the 3-row side
+    assert _n_hash_exchanges(plan) <= 2, plan
