@@ -1115,8 +1115,21 @@ def two_level_infomap(
     if tot_w <= 0.0:
         return labels
 
+    # Adaptive search depth: total local-move work is O(trials ·
+    # passes · m). Per-user mobility graphs are tiny (hundreds of
+    # nodes, full budget), but the 20k-node guard still admits dense
+    # ε-balls with 10^5-10^6 edges where multiplying the sweep by
+    # num_trials would turn seconds into minutes of per-group Python.
+    # Past ~200k edges the trial count decays to keep trials·m
+    # bounded (~1.6M edge-visits per pass) — a function of the graph
+    # alone, so results stay deterministic; trial 0 (the
+    # deterministic base order + fine-tune/eject refinement, which
+    # carries most of the quality) always runs.
+    eff_trials = max(
+        1, min(int(num_trials), 1_600_000 // max(len(edges), 1))
+    )
     best, best_len = None, 0.0
-    for t in range(int(num_trials)):
+    for t in range(eff_trials):
         rng = None if t == 0 else np.random.RandomState(int(seed) + t)
         cand = _core_loop(adj, strength, tot_w, rng=rng)
         val = map_equation_value(n, edges, weights, cand)
