@@ -3842,6 +3842,39 @@ def smp3(spark, sf_dir):
 
 
 @_q(
+    "smp7_temperature_sample",
+    """WITH c AS (SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+                  FROM documents GROUP BY lang),
+ t AS (SELECT sum(n) AS total FROM c),
+ r AS (SELECT g, n, pow(n / total, 1.0/3.0 - 1.0) AS raw FROM c, t),
+ d AS (SELECT sum(n * raw) AS denom FROM r),
+ th AS (SELECT g, least(1.0, 0.5 * total / denom * raw) AS rate
+        FROM r, t, d)
+SELECT doc_id, lang FROM documents JOIN th ON documents.lang = th.g
+WHERE CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1,
+      15)) AS BIGINT) / 1152921504606846976.0 < rate""",
+)
+def smp7(spark, sf_dir):
+    """Temperature rebalancing (operators/sampling.py:
+    temperature_sample — the XLM-R/mT5 multilingual mixing rule,
+    q_g ∝ p_g^(1/T)): T=3, half the corpus. The oracle replays the
+    complete derivation — group shares, the p^(1/T-1) rate, the
+    expected-total scale constant, the clamp, and the portable-hash
+    membership test — so the survivor SET hashes exactly, not just
+    the counts."""
+    from polaroam_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"),
+        key="doc_id",
+        group_col="lang",
+        temperature=3.0,
+        target_fraction=0.5,
+        seed=17,
+    ).select("doc_id", "lang")
+
+
+@_q(
     "smp4_deterministic_shuffle",
     "SELECT doc_id, CAST(('0x' || substr(md5('41:' || "
     "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key "
@@ -7731,6 +7764,7 @@ _PRIORITY = [
     "n5_pq_recall", "n6_ivfpq_recall",
     "n2b_ann_lsh_recall", "n3b_ann_ivf_recall",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
+    "smp7_temperature_sample",  # NEW in r10 — needs a first row
     # ---- fresher greens ride behind (r9 window first) ------------
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",

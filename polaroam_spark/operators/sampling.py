@@ -181,6 +181,73 @@ def weighted_sample_by_hash(
     return df.filter(_unit_hash(key, seed) < p)
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    temperature: float,
+    target_fraction: float = 1.0,
+    seed: int = 17,
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual /
+    multi-source mixing rule of the XLM-R / mT5 recipes: resample so
+    group g's share moves from ``p_g = n_g / N`` toward
+    ``q_g ∝ p_g^(1/T)``. ``T = 1`` keeps natural proportions;
+    ``T > 1`` flattens the mix (rare languages/sources gain share);
+    ``T → ∞`` approaches uniform.
+
+    A filter-only sampler can DOWN-sample but never up-sample, so the
+    per-group keep-rate is ``min(1, C · p_g^(1/T − 1))`` with ``C``
+    chosen so the UNCLAMPED expected survivor total equals
+    ``target_fraction · N`` — dominant groups are thinned toward the
+    temperature mix while groups whose implied rate exceeds 1 keep
+    everything (their shortfall vs the ideal q is inherent to
+    sampling without duplication; duplicate-based up-sampling is an
+    epoch-weighting concern, not a corpus-membership one). Row
+    membership is the usual reproducibility contract: a pure function
+    of (key, group shares, T, target_fraction, seed) via the portable
+    hash, so the decision replays identically in a SQL oracle. NULL
+    groups never match the ``<`` predicate and are dropped.
+
+    Plan shape at 100 TB: group counts are ONE tiny aggregate; the
+    scale constant is a second aggregate over that (rows = number of
+    groups); both broadcast back — the corpus itself sees exactly one
+    map-side broadcast-join + filter, no shuffle, no window.
+    """
+    t = float(temperature)
+    if t <= 0.0:
+        raise ValueError(f"temperature must be > 0 (got {temperature})")
+    counts = df.groupBy(F.col(group_col).alias("_ts_g")).agg(
+        F.count("*").cast("double").alias("_ts_n")
+    )
+    totals = counts.agg(F.sum("_ts_n").alias("_ts_total"))
+    raw = counts.crossJoin(F.broadcast(totals)).withColumn(
+        "_ts_raw",
+        F.pow(F.col("_ts_n") / F.col("_ts_total"), 1.0 / t - 1.0),
+    )
+    denom = raw.agg(
+        F.sum(F.col("_ts_n") * F.col("_ts_raw")).alias("_ts_denom")
+    )
+    rates = raw.crossJoin(F.broadcast(denom)).select(
+        "_ts_g",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_fraction))
+            * F.col("_ts_total")
+            / F.col("_ts_denom")
+            * F.col("_ts_raw"),
+        ).alias("_ts_rate"),
+    )
+    probe = df.join(
+        F.broadcast(rates),
+        on=df[group_col] == rates["_ts_g"],
+        how="inner",
+    )
+    return probe.filter(
+        _unit_hash(key, seed) < F.col("_ts_rate")
+    ).drop("_ts_g", "_ts_rate")
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: str,

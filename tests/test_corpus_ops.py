@@ -389,3 +389,52 @@ def test_topk_per_key_reserved_column_guard(spark):
     df = spark.createDataFrame([(1, 2, 3)], "k long, s long, _rn long")
     with pytest.raises(ValueError, match="_rn"):
         topk_per_key(df, key="k", order_col="s", k=1)
+
+
+def test_temperature_sample_flattens_mix(spark):
+    """T=3 must shrink the dominant group's share toward the
+    temperature mix while rare groups keep (almost) everything; T=1 at
+    target 1.0 is identity membership; NULL groups drop; results are
+    deterministic; temperature must be positive."""
+    import pytest
+
+    from polaroam_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(i + 800, "small") for i in range(100)]
+        + [(901, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    out = temperature_sample(
+        df, key="doc_id", group_col="grp", temperature=3.0,
+        target_fraction=0.5,
+    )
+    counts = {r.grp: r.n for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert None not in counts
+    # natural shares: 8/9 vs 1/9; T=3 target shares ~0.65/0.35 of the
+    # 450-row budget -> big is thinned hard, small keeps most rows
+    assert counts["big"] < 450
+    assert counts["small"] > 60
+    # identity case
+    ident = temperature_sample(
+        df, key="doc_id", group_col="grp", temperature=1.0,
+        target_fraction=1.0,
+    )
+    assert ident.count() == 900  # all non-NULL-group rows
+    # determinism
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            df, key="doc_id", group_col="grp", temperature=3.0,
+            target_fraction=0.5,
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(
+            df, key="doc_id", group_col="grp", temperature=0.0
+        )
