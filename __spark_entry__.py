@@ -3875,6 +3875,46 @@ def smp7(spark, sf_dir):
 
 
 @_q(
+    "smp8_temperature_epoch_plan",
+    """WITH c AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n
+                  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+ t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+ s AS (SELECT grp, n, n / total AS p, pow(n / total, 1.0/3.0) AS qraw
+       FROM c, t),
+ q AS (SELECT sum(qraw) AS qsum FROM s),
+ w AS (SELECT grp, n, p, qraw / qsum AS tq FROM s, q),
+ m AS (SELECT min(tq / p) AS sc FROM w)
+SELECT grp AS grp, n AS n_docs, round(p, 6) AS natural_share,
+       round(tq, 6) AS target_share,
+       round(tq / p / sc, 6) AS repeat_factor
+FROM w, m""",
+)
+def smp8(spark, sf_dir):
+    """Temperature EPOCH plan (operators/sampling.py:
+    temperature_epoch_plan — the up-sampling half of the mixing rule
+    smp7 down-samples): per-language repeat factors at T=3,
+    min-normalized so the dominant group's factor is exactly 1. The
+    oracle replays shares → q ∝ p^(1/T) → ratio → min-rescale; all
+    five columns ride the value hash (floats rounded to 6 on both
+    sides)."""
+    from polaroam_spark.operators.sampling import (
+        temperature_epoch_plan,
+    )
+
+    out = temperature_epoch_plan(
+        _t(spark, sf_dir, "documents"), group_col="lang",
+        temperature=3.0,
+    )
+    return out.select(
+        F.col("group").alias("grp"),
+        "n_docs",
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("repeat_factor", 6).alias("repeat_factor"),
+    )
+
+
+@_q(
     "smp4_deterministic_shuffle",
     "SELECT doc_id, CAST(('0x' || substr(md5('41:' || "
     "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key "
@@ -7764,7 +7804,8 @@ _PRIORITY = [
     "n5_pq_recall", "n6_ivfpq_recall",
     "n2b_ann_lsh_recall", "n3b_ann_ivf_recall",
     "n2c_ann_lsh_recall_scaled", "n3d_ann_ivf_recall_scaled",
-    "smp7_temperature_sample",  # NEW in r10 — needs a first row
+    "smp7_temperature_sample",  # NEW in r10 — need a first row
+    "smp8_temperature_epoch_plan",  # NEW in r10
     # ---- fresher greens ride behind (r9 window first) ------------
     "t1_token_count", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",

@@ -248,6 +248,90 @@ def temperature_sample(
     ).drop("_ts_g", "_ts_rate")
 
 
+def temperature_epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    temperature: float,
+    normalize: str = "min",
+) -> DataFrame:
+    """The UP-sampling half of temperature mixing, as a PLAN rather
+    than row duplication: per group, the repeat factor a training
+    loader should apply so the epoch-level mix follows
+    ``q_g ∝ p_g^(1/T)`` (:func:`temperature_sample` covers the
+    filter-only down-sampling half; repeating rows in the corpus
+    itself would just re-introduce the duplicates every dedup stage
+    exists to remove).
+
+    Output: one row per group — ``n_docs``, ``natural_share`` (p_g),
+    ``target_share`` (q_g, normalized), and ``repeat_factor``
+    (q_g / p_g rescaled). ``normalize='min'`` (default) rescales so
+    the SMALLEST factor is exactly 1.0 — no document is seen less
+    than once per epoch and the epoch grows; ``normalize='mean'``
+    rescales so the doc-weighted mean factor is 1.0 — the epoch
+    size is preserved and dominant groups get factors below 1
+    (interpretable as per-epoch sampling rates). Pure arithmetic on
+    one tiny aggregate: deterministic, SQL-twinnable, and the output
+    is #groups rows — broadcast-sized at any corpus scale.
+    """
+    t = float(temperature)
+    if t <= 0.0:
+        raise ValueError(f"temperature must be > 0 (got {temperature})")
+    if normalize not in ("min", "mean"):
+        raise ValueError(
+            f"unknown normalize {normalize!r}: use 'min' or 'mean'"
+        )
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    totals = counts.agg(
+        F.sum("n_docs").cast("double").alias("_tp_total")
+    )
+    shares = counts.crossJoin(F.broadcast(totals)).withColumns(
+        {
+            "natural_share": F.col("n_docs") / F.col("_tp_total"),
+            "_tp_qraw": F.pow(
+                F.col("n_docs") / F.col("_tp_total"), 1.0 / t
+            ),
+        }
+    )
+    qsum = shares.agg(F.sum("_tp_qraw").alias("_tp_qsum"))
+    with_q = shares.crossJoin(F.broadcast(qsum)).withColumn(
+        "target_share", F.col("_tp_qraw") / F.col("_tp_qsum")
+    )
+    ratio = F.col("target_share") / F.col("natural_share")
+    if normalize == "min":
+        scale = with_q.agg(
+            F.min(
+                F.col("target_share") / F.col("natural_share")
+            ).alias("_tp_scale")
+        )
+    else:
+        # doc-weighted mean of ratio = Σ n_g·(q_g/p_g) / N; _tp_total
+        # is already a (constant) column of with_q via the first join
+        scale = with_q.agg(
+            (
+                F.sum(
+                    F.col("n_docs")
+                    * F.col("target_share")
+                    / F.col("natural_share")
+                )
+                / F.first("_tp_total")
+            ).alias("_tp_scale")
+        )
+    return (
+        with_q.crossJoin(F.broadcast(scale))
+        .select(
+            "group",
+            "n_docs",
+            "natural_share",
+            "target_share",
+            (ratio / F.col("_tp_scale")).alias("repeat_factor"),
+        )
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: str,

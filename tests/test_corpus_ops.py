@@ -438,3 +438,38 @@ def test_temperature_sample_flattens_mix(spark):
         temperature_sample(
             df, key="doc_id", group_col="grp", temperature=0.0
         )
+
+
+def test_temperature_epoch_plan_normalizations(spark):
+    from polaroam_spark.operators.sampling import temperature_epoch_plan
+
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(i + 800, "small") for i in range(100)]
+        + [(901, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    plan = {r.group: r for r in
+            temperature_epoch_plan(df, "grp", 3.0).collect()}
+    assert set(plan) == {"big", "small"}  # NULL group dropped
+    # min-normalize: dominant group pinned at exactly 1.0, rare > 1
+    assert plan["big"].repeat_factor == 1.0
+    assert plan["small"].repeat_factor > 1.0
+    # target shares are a distribution and flatter than natural
+    assert abs(
+        plan["big"].target_share + plan["small"].target_share - 1.0
+    ) < 1e-12
+    assert plan["big"].target_share < plan["big"].natural_share
+    # mean-normalize preserves the doc-weighted mean factor
+    m = temperature_epoch_plan(df, "grp", 3.0, normalize="mean").collect()
+    n_total = sum(r.n_docs for r in m)
+    assert abs(
+        sum(r.n_docs * r.repeat_factor for r in m) / n_total - 1.0
+    ) < 1e-9
+    # T=1 is the identity mix: every factor exactly 1 in both modes
+    ident = temperature_epoch_plan(df, "grp", 1.0).collect()
+    assert all(abs(r.repeat_factor - 1.0) < 1e-12 for r in ident)
+    import pytest
+
+    with pytest.raises(ValueError, match="normalize"):
+        temperature_epoch_plan(df, "grp", 3.0, normalize="median")
