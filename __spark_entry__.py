@@ -2922,6 +2922,88 @@ def d6(spark, sf_dir):
 
 
 @_q(
+    "d13_near_dedup_keep_best",
+    """WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup_pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup_pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl
+  FROM edges e JOIN reach r ON e.dst = r.node
+),
+rep AS (SELECT node, min(lbl) AS representative FROM reach GROUP BY node),
+scored AS (
+  SELECT r.node, r.representative, d.n_chars
+  FROM rep r JOIN documents d ON d.doc_id = r.node
+),
+best AS (SELECT representative, max(n_chars) AS b
+         FROM scored GROUP BY representative),
+winner AS (
+  SELECT s.representative, min(s.node) AS w
+  FROM scored s JOIN best b
+    ON s.representative = b.representative AND s.n_chars = b.b
+  GROUP BY s.representative
+),
+losers AS (
+  SELECT s.node FROM scored s
+  JOIN winner w ON s.representative = w.representative
+  WHERE s.node != w.w
+)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d
+LEFT JOIN losers l ON d.doc_id = l.node
+WHERE l.node IS NULL""",
+)
+def d13(spark, sf_dir):
+    """Quality-keep survivor rule (dedup.py:_survivors keep=...):
+    d6's exact n-gram pipeline but each duplicate cluster keeps its
+    LONGEST member (max n_chars, ties to smallest id) instead of the
+    smallest id — the RefinedWeb-style keep-the-best-copy policy.
+    The oracle extends d6's recursive closure with the same
+    per-component argmax."""
+    from polaroam_spark.operators.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(
+        _t(spark, sf_dir, "documents"),
+        method="ngram",
+        transitive=True,
+        keep="n_chars",
+        n=3,
+        threshold=0.5,
+        max_gram_df=None,
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@_q(
     "d7_decontaminate",
     """WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -7784,6 +7866,7 @@ _PRIORITY = [
     # query). All four are seconds-cheap.
     "smp7_temperature_sample", "smp8_temperature_epoch_plan",
     "m3d_communities_infomap", "u1_url_features",
+    "d13_near_dedup_keep_best",  # NEW in r10
     # (a) the r4-stale block — retire it for good. w3 rides LAST of
     # the block (position 51): it is the one member the r9 judge
     # independently re-checked, so it risks the window edge.

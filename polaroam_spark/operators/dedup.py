@@ -248,21 +248,67 @@ def dedup_minhash_lsh(
 
 
 def _survivors(
-    docs: DataFrame, pairs: DataFrame, id_col: str, transitive: bool
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    transitive: bool,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Shared survivor policy of the corpus-level dedup composites
     (:func:`near_dedup_corpus`, :func:`semantic_dedup`): with
-    ``transitive``, close the pairs into components and keep each
-    component's smallest id; otherwise apply the greedy
-    drop-any-doc-with-a-smaller-id-duplicate rule (chain-sensitive,
-    see the callers' docstrings). Returns the surviving rows of
-    ``docs``."""
+    ``transitive``, close the pairs into components and keep ONE
+    member per component — the smallest id (``keep='min_id'``,
+    default) or the member maximizing a quality column of ``docs``
+    named by ``keep`` (the RefinedWeb-style "keep the best copy"
+    rule; NULL scores rank lowest, score ties break to the smallest
+    id, an all-NULL component degrades to min-id). Without
+    ``transitive``, the greedy drop-any-doc-with-a-smaller-id-
+    duplicate rule applies (chain-sensitive, see the callers'
+    docstrings); a quality ``keep`` requires the closure — greedy
+    pair order has no component to pick a best member from.
+
+    Scale shape of keep-best: the closure's (member, representative)
+    frame joins the PROJECTED (id, score) columns only, then two
+    narrow component-keyed aggregates pick the winner — document
+    bodies never shuffle; the final step stays a left-anti join.
+    Returns the surviving rows of ``docs``."""
     if not transitive:
+        if keep != "min_id":
+            raise ValueError(
+                "keep-best survivor selection needs transitive=True:"
+                " the greedy rule has no duplicate component to pick"
+                f" a best member from (got keep={keep!r})"
+            )
         losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
         return docs.join(losers, on=id_col, how="left_anti")
     comp = duplicate_components(pairs)
-    losers = comp.filter(F.col("doc_id") != F.col("representative")).select(
-        F.col("doc_id").alias(id_col)
+    if keep == "min_id":
+        losers = comp.filter(
+            F.col("doc_id") != F.col("representative")
+        ).select(F.col("doc_id").alias(id_col))
+        return docs.join(losers, on=id_col, how="left_anti")
+    scored = comp.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(keep).alias("_score")
+        ),
+        on="doc_id",
+        how="left",
+    )
+    best = scored.groupBy("representative").agg(
+        F.max("_score").alias("_best")
+    )
+    # eqNullSafe: an all-NULL-score component has _best NULL and every
+    # member matches -> winner falls back to the smallest id
+    winners = (
+        scored.join(best, on="representative")
+        .filter(F.col("_score").eqNullSafe(F.col("_best")))
+        .groupBy("representative")
+        .agg(F.min("doc_id").alias("_winner"))
+    )
+    losers = (
+        scored.join(winners, on="representative")
+        .filter(F.col("doc_id") != F.col("_winner"))
+        .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(losers, on=id_col, how="left_anti")
 
@@ -273,6 +319,7 @@ def near_dedup_corpus(
     id_col: str = "doc_id",
     method: str = "minhash",
     transitive: bool = True,
+    keep: str = "min_id",
     **kwargs,
 ) -> DataFrame:
     """End-to-end corpus near-deduplication: candidate pairs →
@@ -280,7 +327,11 @@ def near_dedup_corpus(
     training-data pipeline actually runs — one canonical document
     (the component's smallest id) survives per duplicate CLUSTER, so
     a~b, b~c collapses {a,b,c} to {a} even when a and c were never a
-    candidate pair.
+    candidate pair. ``keep`` picks the cluster survivor: the smallest
+    id (default) or the member maximizing a quality column of
+    ``docs`` (``keep='quality_score'`` / ``keep='n_chars'`` — the
+    RefinedWeb-style keep-the-best-copy rule; see
+    :func:`_survivors` for the NULL/tie contract).
 
     ``method`` picks the pair generator: ``minhash`` (probabilistic,
     the 100 TB path) or ``ngram`` (exact n-gram Jaccard — fully
@@ -304,7 +355,7 @@ def near_dedup_corpus(
         pairs = ngram_jaccard_pairs(docs, text_col, id_col, **kwargs)
     else:
         raise ValueError(f"Unsupported near-dedup method: {method}")
-    return _survivors(docs, pairs, id_col, transitive)
+    return _survivors(docs, pairs, id_col, transitive, keep=keep)
 
 
 def duplicate_components(
@@ -1489,10 +1540,12 @@ def semantic_dedup(
     scorer: str = "native",
     index: "tuple[DataFrame, DataFrame] | None" = None,
     transitive: bool = True,
+    keep: str = "min_id",
 ) -> DataFrame:
     """End-to-end semantic deduplication: :func:`semantic_pairs` →
     transitive closure → survivors, mirroring
-    :func:`near_dedup_corpus` for the embedding modality. Keeps the
+    :func:`near_dedup_corpus` for the embedding modality (including
+    its ``keep`` quality-column survivor rule). Keeps the
     smallest id per semantic-duplicate cluster (a deterministic
     divergence from the SemDeDup paper, which keeps the vector
     FARTHEST from its centroid; min-id makes the output
@@ -1503,4 +1556,4 @@ def semantic_dedup(
         embeddings, id_col, vec_col, num_clusters, threshold,
         kmeans_iterations, scorer, index,
     )
-    return _survivors(embeddings, pairs, id_col, transitive)
+    return _survivors(embeddings, pairs, id_col, transitive, keep=keep)

@@ -894,3 +894,43 @@ def test_semantic_dedup_kmeans_path_invariants(spark):
         assert any(
             ((k, d) in pair_map or (d, k) in pair_map) for k in kept
         ), d
+
+
+def test_near_dedup_keep_best_survivor(spark):
+    """keep='quality' must pick each duplicate cluster's argmax-
+    quality member (ties -> smallest id, NULL scores lowest, all-NULL
+    component degrades to min-id); default stays min-id; the greedy
+    mode rejects a quality keep."""
+    import pytest
+
+    from polaroam_spark.operators.dedup import near_dedup_corpus
+
+    rows = [
+        # cluster {1,2,3}: 2 has the best quality
+        (1, "the quick brown fox jumps over the lazy dog", 10),
+        (2, "the quick brown fox jumps over the lazy dog today", 99),
+        (3, "the quick brown fox jumps over a lazy dog", 50),
+        # cluster {20,21}: quality tie -> min id (20)
+        (20, "pack my box with five dozen liquor jugs now", 7),
+        (21, "pack my box with five dozen liquor jugs here", 7),
+        # cluster {30,31}: all-NULL quality -> min id (30)
+        (30, "sphinx of black quartz judge my vow tonight", None),
+        (31, "sphinx of black quartz judge my vow today", None),
+        # singleton
+        (40, "completely different text about spark engines", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, quality long"
+    )
+    kw = dict(method="ngram", n=3, threshold=0.3, max_gram_df=None)
+    best = sorted(
+        r.doc_id
+        for r in near_dedup_corpus(docs, keep="quality", **kw).collect()
+    )
+    assert best == [2, 20, 30, 40]
+    default = sorted(
+        r.doc_id for r in near_dedup_corpus(docs, **kw).collect()
+    )
+    assert default == [1, 20, 30, 40]
+    with pytest.raises(ValueError, match="transitive"):
+        near_dedup_corpus(docs, transitive=False, keep="quality", **kw)
