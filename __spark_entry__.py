@@ -3566,6 +3566,73 @@ def n6(spark, sf_dir):
 
 
 @_q(
+    "n7_ivfpq_residual_recall",
+    "SELECT vec_id AS query_id, TRUE AS k_ok, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id < 5",
+)
+def n7(spark, sf_dir):
+    """RESIDUAL IVF-PQ certification (similarity.py:ann_ivfpq_topk
+    residual=True — the full Faiss convention: codebooks trained on
+    and codes encoding residuals to the assigned IVF centroid,
+    scored by per-(query, probed-centroid) ADC LUTs on q − c, exact
+    per-query re-rank over the per-list top-k union). Same 8
+    centroids / 4 probes / 32×32 parameters as n6. Pinned booleans:
+    k rows per query and recall@10 ≥ 2/10 (r10 probe min 3/10 at
+    sf0.001; at this toy centroid count residuals do not shrink
+    variance much, so the floor is the near-random-exclusion bar —
+    the LOSSLESS exactness property, recall 10/10 with a
+    full-corpus codebook, is pinned by
+    tests/test_similarity.py::test_ivfpq_residual_lossless_exact).
+    """
+    from polaroam_spark.functions.vectors import l2_normalize
+    from polaroam_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivf_index,
+        cosine_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(emb, num_centroids=8)
+    books = train_pq_codebooks(
+        emb, num_subspaces=32, codes_per_subspace=32,
+        kmeans_iterations=1, index=index,
+    )
+    codes = pq_encode(emb, books, index=index)
+    ann = ann_ivfpq_topk(
+        codes, q, books, index, k=10, num_probes=4, residual=True
+    )
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    hits = (
+        exact.join(
+            ann.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("_n_rows"))
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            (F.col("_n_rows") == 10).alias("k_ok"),
+            (
+                F.coalesce(F.col("_n_hit"), F.lit(0)) >= F.lit(2)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@_q(
     "n5_pq_recall",
     "SELECT vec_id AS query_id, TRUE AS k_ok, TRUE AS codes_ok, "
     "TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
@@ -7868,6 +7935,7 @@ _PRIORITY = [
     "smp7_temperature_sample", "smp8_temperature_epoch_plan",
     "m3d_communities_infomap", "u1_url_features",
     "d13_near_dedup_keep_best",  # NEW in r10
+    "n7_ivfpq_residual_recall",  # NEW in r10
     # (a) the r4-stale block — retire it for good. w3 rides LAST of
     # the block (position 51): it is the one member the r9 judge
     # independently re-checked, so it risks the window edge.

@@ -640,6 +640,35 @@ def _l2sq(a, b) -> Column:
     )
 
 
+def _residualize(
+    data: DataFrame,
+    index: "tuple[DataFrame, DataFrame]",
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Replace each vector by its RESIDUAL to the assigned IVF
+    centroid (vec − centroid) — the Faiss IVF-PQ encoding convention:
+    residuals concentrate around zero with far less variance than raw
+    vectors, so the same codebook budget quantizes them much more
+    accurately. One equi-join on the (narrow) assignment plus one
+    broadcast centroid join; the subtraction is a JVM ``zip_with``.
+    Used by :func:`train_pq_codebooks` / :func:`pq_encode` when an
+    ``index`` is passed — train, encode, and query MUST all use the
+    SAME index or distances are meaningless (same discipline Faiss
+    requires)."""
+    centroids, assign = index
+    return (
+        data.join(assign, on=id_col)
+        .join(F.broadcast(centroids), on="centroid_id")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col), F.col("_cvec"), lambda a, b: a - b
+            ).alias(vec_col),
+        )
+    )
+
+
 def train_pq_codebooks(
     data: DataFrame,
     data_id: str = "vec_id",
@@ -647,6 +676,7 @@ def train_pq_codebooks(
     num_subspaces: int = 8,
     codes_per_subspace: int = 64,
     kmeans_iterations: int = 1,
+    index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou, Douze, Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
@@ -674,7 +704,15 @@ def train_pq_codebooks(
     :func:`pq_topk`, the arrow encoder's numpy book tensor) are
     simplest and cheapest when ids are dense. The relabel is a
     window over the M×K codebook frame — driver-trivial.
+
+    ``index`` (optional, an IVF ``(centroids, assignment)`` pair):
+    train on RESIDUALS to each vector's assigned centroid instead of
+    raw vectors — the Faiss IVF-PQ convention (see
+    :func:`_residualize`); pass the SAME index to :func:`pq_encode`
+    and ``ann_ivfpq_topk(residual=True)``.
     """
+    if index is not None:
+        data = _residualize(data, index, data_id, vec_col)
     m = int(num_subspaces)
     k = int(codes_per_subspace)
     first = data.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -764,6 +802,7 @@ def pq_encode(
     data_id: str = "vec_id",
     vec_col: str = "embedding",
     encoder: str = "native",
+    index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Encode each vector as ``pq_codes`` (array<int>, one code per
     subspace — the nearest codebook entry per slice). THIS is the
@@ -787,7 +826,15 @@ def pq_encode(
     broadcast join. numpy argmin also ties to the smallest code;
     codes can differ from 'native' only for a vector equidistant to
     two codewords within float-sum reordering (~1e-15) — the same
-    caveat as every other 'arrow' swap in this module."""
+    caveat as every other 'arrow' swap in this module.
+
+    ``index``: encode RESIDUALS to the assigned IVF centroid (must
+    match the index the codebooks were trained with — see
+    :func:`_residualize`). The residual subtraction happens JVM-side
+    BEFORE either encoder path, so 'native' and 'arrow' stay
+    interchangeable."""
+    if index is not None:
+        data = _residualize(data, index, data_id, vec_col)
     mk = codebooks.groupBy().agg(
         (F.max("_m") + 1).alias("m"),
     ).first()
@@ -1001,6 +1048,7 @@ def ann_ivfpq_topk(
     data_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the composition that serves 10^10-vector corpora —
     the IVF coarse index (:func:`build_ivf_index`) prunes the scan to
@@ -1013,10 +1061,21 @@ def ann_ivfpq_topk(
     index — the standard Faiss-style serving layout, expressed as
     two broadcast joins + one window.
 
+    ``residual=True`` — the full Faiss IVF-PQ convention: codes must
+    then come from ``pq_encode(..., index=index)`` with codebooks
+    from ``train_pq_codebooks(..., index=index)`` (residuals to the
+    assigned centroid; far less variance, so the same code budget
+    quantizes much more accurately). Scoring builds one ADC LUT per
+    (query, probed centroid) on the query's residual ``q − c`` — the
+    LUT broadcast grows ×num_probes, still KBs — and since every
+    data vector lives in exactly ONE inverted list, the global
+    top-k per query is recovered exactly from the per-list top-k
+    union by one final (tiny) re-rank window.
+
     Output ``[query_id, vec_id, approx_l2sq, rank]`` — rank within
     probed candidates, ascending ADC distance; recall loses both to
     probe misses (IVF) and quantization (PQ), certified by the n6
-    gate against the exact scan."""
+    (raw) and n7 (residual) gates against the exact scan."""
     centroids, d_assign = index
     score = _make_scorer("native")
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
@@ -1026,13 +1085,52 @@ def ann_ivfpq_topk(
     cand = codes.join(d_assign, on=data_id).join(
         F.broadcast(q_probe), on="centroid_id"
     )
-    ranked = pq_topk(
-        cand.select(query_id, data_id, "pq_codes"),
-        queries,
+    if not residual:
+        return pq_topk(
+            cand.select(query_id, data_id, "pq_codes"),
+            queries,
+            codebooks,
+            k=k,
+            data_id=data_id,
+            query_id=query_id,
+            vec_col=vec_col,
+        )
+    # pseudo-query per (query, probed centroid): vector = q − c, id =
+    # the (query, centroid) struct — pq_topk then builds the per-list
+    # residual LUTs and scores each candidate against ITS list's LUT
+    # through the ordinary equi-join path, no special-casing.
+    qc = F.struct(
+        F.col(query_id).alias("q"), F.col("centroid_id").alias("c")
+    )
+    pseudo = (
+        q_probe.join(q, on=query_id)
+        .join(F.broadcast(centroids), on="centroid_id")
+        .select(
+            qc.alias("_qc"),
+            F.zip_with(
+                "_qvec", "_cvec", lambda a, b: a - b
+            ).alias(vec_col),
+        )
+    )
+    per_list = pq_topk(
+        cand.select(qc.alias("_qc"), data_id, "pq_codes"),
+        pseudo,
         codebooks,
         k=k,
         data_id=data_id,
-        query_id=query_id,
+        query_id="_qc",
         vec_col=vec_col,
     )
-    return ranked
+    w = Window.partitionBy("_qc.q").orderBy(
+        F.col("approx_l2sq").asc(), F.col(data_id).asc()
+    )
+    return (
+        per_list.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qc.q").alias(query_id),
+            data_id,
+            "approx_l2sq",
+            "rank",
+        )
+    )

@@ -492,3 +492,46 @@ def test_ivfpq_prunes_and_finds_neighbors(spark):
         # probes=1 with 3 well-separated blobs: every candidate comes
         # from the query's own blob
         assert r.vec_id % 3 == r.query_id % 3, (r.query_id, r.vec_id)
+
+
+def test_ivfpq_residual_lossless_exact(spark):
+    """The strongest correctness pin for the residual IVF-PQ path:
+    with a FULL-corpus codebook (every vector a seed, zero Lloyd
+    rounds) each data slice encodes to itself, so the per-list
+    residual ADC distance equals the exact L2 — probing every list
+    must therefore reproduce the exact top-10 on all queries. Any
+    error in the residual plumbing (wrong centroid subtracted,
+    per-list LUT keyed to the wrong probe, re-rank losing a list)
+    breaks the equality."""
+    from polaroam_spark.functions.vectors import l2_normalize
+    from polaroam_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        build_ivf_index,
+        cosine_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(120)
+        .select("vec_id", l2_normalize("embedding").alias("embedding"))
+    )
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(emb, num_centroids=4)
+    books = train_pq_codebooks(
+        emb, num_subspaces=4, codes_per_subspace=n,
+        kmeans_iterations=0, index=index,
+    )
+    codes = pq_encode(emb, books, index=index)
+    ann = ann_ivfpq_topk(
+        codes, q, books, index, k=10, num_probes=4, residual=True
+    ).select("query_id", "vec_id")
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    missed = exact.join(
+        ann, on=["query_id", "vec_id"], how="left_anti"
+    ).count()
+    assert missed == 0
