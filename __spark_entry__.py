@@ -7917,10 +7917,10 @@ def mm3(spark, sf_dir):
 #     evidence is 5 rounds old and includes the semantic-trap
 #     functions (f14 ISO weekday, f3 rounding, f11/f12 timezone)
 #     SURVEY §7 names as oracle-mismatch hazards. After this sweep no
-#     gate's latest driver row is older than round 5. skw2 and w3
-#     ride last (positions 51-52, the window edge): they are the two
-#     members the r9 judge independently re-checked, so their
-#     evidence is freshest if the window cuts before them.
+#     gate's latest driver row is older than round 5. j8, skw2 and
+#     w3 ride last (the window edge after the six section-0 gates):
+#     they are members the r9 judge independently re-checked, so
+#     their evidence is freshest if the window cuts before them.
 # (b) the remaining gates r10 code touches with UNCHANGED outputs
 #     (m3b/m3c same optimizer, u2 PSL plumbing, c3b cell guard,
 #     q6/q6b persist_stages, mm3 WAV fast path, the six recall-floor
@@ -7949,7 +7949,6 @@ _PRIORITY = [
     "r1_multi_sort_rank", "r2_distinct_subset", "r3_drop_nulls",
     "r4_explode", "r4b_multi_explode", "r5_pivot", "r6_limit",
     "j1_left_join_composite", "j4_left_join_sentinel",
-    "j8_point_in_interval",
     "a3_groupby_median", "a9_grouped_udf", "a13_exact_percentiles",
     "a14_time_rollup",
     "skw1_salted_agg",
@@ -7959,7 +7958,7 @@ _PRIORITY = [
     "s7_csv_sink_roundtrip", "s9_users_with_min_days",
     "evt1_signup_purchase_funnel",
     "st4_streaming_incremental_dedup",
-    "skw2_salted_hot_join", "w3_gated_cumsum",
+    "j8_point_in_interval", "skw2_salted_hot_join", "w3_gated_cumsum",
     # (b) remaining gates whose code round 10 touches (same outputs,
     # re-verified locally at 3 SFs; re-sampled here as window allows)
     "m3b_communities_refine", "m3c_communities_invariants",
