@@ -647,10 +647,18 @@ def _residualize(
     vec_col: str,
 ) -> DataFrame:
     """Replace each vector by its RESIDUAL to the assigned IVF
-    centroid (vec − centroid) — the Faiss IVF-PQ encoding convention:
-    residuals concentrate around zero with far less variance than raw
-    vectors, so the same codebook budget quantizes them much more
-    accurately. One equi-join on the (narrow) assignment plus one
+    centroid (vec − centroid) — the Faiss IVF-PQ encoding convention.
+    On CLUSTERED corpora (real embedding spaces) residuals
+    concentrate around zero with less variance than raw vectors, so
+    the same codebook budget quantizes them more accurately. On
+    ISOTROPIC data the convention backfires — measured on the
+    synthetic test embeddings (BASELINE.md §residual probe): the
+    nearest of 64 random centroids sits at cosine ≈0.38 in 64
+    dims, residual energy is LARGER than raw (1.23 vs 1.0) and the
+    per-centroid offsets make residual slices multi-modal, so a
+    32-code book explains almost none of the variance (MSE 1.22 vs
+    raw 0.07) — pick residual per corpus, it is an option, not a
+    default. One equi-join on the (narrow) assignment plus one
     broadcast centroid join; the subtraction is a JVM ``zip_with``.
     Used by :func:`train_pq_codebooks` / :func:`pq_encode` when an
     ``index`` is passed — train, encode, and query MUST all use the
@@ -1064,8 +1072,9 @@ def ann_ivfpq_topk(
     ``residual=True`` — the full Faiss IVF-PQ convention: codes must
     then come from ``pq_encode(..., index=index)`` with codebooks
     from ``train_pq_codebooks(..., index=index)`` (residuals to the
-    assigned centroid; far less variance, so the same code budget
-    quantizes much more accurately). Scoring builds one ADC LUT per
+    assigned centroid — a win on clustered corpora, a measured LOSS
+    on isotropic ones; see :func:`_residualize`). Scoring builds one
+    ADC LUT per
     (query, probed centroid) on the query's residual ``q − c`` — the
     LUT broadcast grows ×num_probes, still KBs — and since every
     data vector lives in exactly ONE inverted list, the global
