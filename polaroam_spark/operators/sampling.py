@@ -188,6 +188,7 @@ def temperature_sample(
     temperature: float,
     target_fraction: float = 1.0,
     seed: int = 17,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Temperature-based group rebalancing — the multilingual /
     multi-source mixing rule of the XLM-R / mT5 recipes: resample so
@@ -209,6 +210,14 @@ def temperature_sample(
     hash, so the decision replays identically in a SQL oracle. NULL
     groups never match the ``<`` predicate and are dropped.
 
+    ``weight_col`` (optional): compute group shares by the SUM of a
+    weight column (e.g. ``n_tokens``) instead of row counts — the
+    published recipes mix by TOKEN budget, and a doc-count share
+    over-represents groups with short documents. Membership decisions
+    stay per-row (a group's keep-rate applies to each document), so
+    the expected surviving WEIGHT follows the temperature mix.
+    NULL-weight rows count as weight 0 toward their group's share.
+
     Plan shape at 100 TB: group counts are ONE tiny aggregate; the
     scale constant is a second aggregate over that (rows = number of
     groups); both broadcast back — the corpus itself sees exactly one
@@ -217,8 +226,15 @@ def temperature_sample(
     t = float(temperature)
     if t <= 0.0:
         raise ValueError(f"temperature must be > 0 (got {temperature})")
+    mass = (
+        F.count("*").cast("double")
+        if weight_col is None
+        else F.coalesce(
+            F.sum(F.col(weight_col).cast("double")), F.lit(0.0)
+        )
+    )
     counts = df.groupBy(F.col(group_col).alias("_ts_g")).agg(
-        F.count("*").cast("double").alias("_ts_n")
+        mass.alias("_ts_n")
     )
     totals = counts.agg(F.sum("_ts_n").alias("_ts_total"))
     raw = counts.crossJoin(F.broadcast(totals)).withColumn(
@@ -253,6 +269,7 @@ def temperature_epoch_plan(
     group_col: str,
     temperature: float,
     normalize: str = "min",
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """The UP-sampling half of temperature mixing, as a PLAN rather
     than row duplication: per group, the repeat factor a training
@@ -262,7 +279,10 @@ def temperature_epoch_plan(
     itself would just re-introduce the duplicates every dedup stage
     exists to remove).
 
-    Output: one row per group — ``n_docs``, ``natural_share`` (p_g),
+    ``weight_col``: shares and factors by summed weight (tokens)
+    instead of document counts — ``n_docs`` then holds the group's
+    total weight. Output: one row per group — ``n_docs``,
+    ``natural_share`` (p_g),
     ``target_share`` (q_g, normalized), and ``repeat_factor``
     (q_g / p_g rescaled). ``normalize='min'`` (default) rescales so
     the SMALLEST factor is exactly 1.0 — no document is seen less
@@ -280,10 +300,17 @@ def temperature_epoch_plan(
         raise ValueError(
             f"unknown normalize {normalize!r}: use 'min' or 'mean'"
         )
+    mass = (
+        F.count("*").cast("long")
+        if weight_col is None
+        else F.coalesce(
+            F.sum(F.col(weight_col).cast("long")), F.lit(0).cast("long")
+        )
+    )
     counts = (
         df.filter(F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).alias("group"))
-        .agg(F.count("*").cast("long").alias("n_docs"))
+        .agg(mass.alias("n_docs"))
     )
     totals = counts.agg(
         F.sum("n_docs").cast("double").alias("_tp_total")

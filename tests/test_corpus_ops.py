@@ -473,3 +473,44 @@ def test_temperature_epoch_plan_normalizations(spark):
 
     with pytest.raises(ValueError, match="normalize"):
         temperature_epoch_plan(df, "grp", 3.0, normalize="median")
+
+
+def test_temperature_mixing_by_token_weight(spark):
+    """weight_col switches shares from doc counts to summed weight:
+    100 short docs (10 tok) vs 10 long docs (1000 tok) — by docs the
+    short group dominates 10:1, by tokens the long group dominates
+    10:1, and the epoch plan / sampler must follow the chosen basis."""
+    from polaroam_spark.operators.sampling import (
+        temperature_epoch_plan,
+        temperature_sample,
+    )
+
+    rows = [(i, "short", 10) for i in range(100)] + [
+        (100 + i, "long", 1000) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, n_tokens long"
+    )
+    by_docs = {
+        r.group: r.natural_share
+        for r in temperature_epoch_plan(df, "grp", 2.0).collect()
+    }
+    by_toks = {
+        r.group: r.natural_share
+        for r in temperature_epoch_plan(
+            df, "grp", 2.0, weight_col="n_tokens"
+        ).collect()
+    }
+    assert by_docs["short"] > 0.9 and by_toks["short"] < 0.1
+    # sampler: under token shares the LONG group is dominant and gets
+    # thinned; the short group's implied rate clamps at 1 (keeps all)
+    out = temperature_sample(
+        df, key="doc_id", group_col="grp", temperature=2.0,
+        target_fraction=0.5, weight_col="n_tokens",
+    )
+    counts = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["short"] == 100
+    assert counts["long"] < 10
