@@ -7513,6 +7513,56 @@ def t22(spark, sf_dir):
 
 
 @_q(
+    "t24_bigram_logprob_reference",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    "rbp AS (SELECT doc_id, "
+    "unnest(list_slice(toks, 1, len(toks) - 1)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks))) AS w2 "
+    "FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0), "
+    "c12 AS (SELECT w1, w2, count(*) AS c FROM rbp GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, count(*) AS c FROM rbp GROUP BY 1), "
+    "uni AS (SELECT t2.w2, count(*) AS c FROM "
+    "(SELECT unnest(toks) AS w2 FROM t WHERE doc_id % 10 = 0) t2 "
+    "GROUP BY 1), "
+    "tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n "
+    "FROM uni), "
+    "bp AS (SELECT doc_id, "
+    "unnest(list_slice(toks, 1, len(toks) - 1)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks))) AS w2 "
+    "FROM t WHERE len(toks) >= 2), "
+    "pd AS (SELECT bp.doc_id, avg(ln("
+    "CASE WHEN coalesce(c1.c, 0) > 0 THEN "
+    "0.75 * (CAST(coalesce(c12.c, 0) AS DOUBLE) "
+    "/ CAST(c1.c AS DOUBLE)) ELSE 0.0 END "
+    "+ 0.25 * ((CAST(coalesce(uni.c, 0) AS DOUBLE) + 0.5) "
+    "/ (tot.n + 0.5)))) AS mbl "
+    "FROM bp LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) "
+    "LEFT JOIN uni USING (w2) CROSS JOIN tot GROUP BY bp.doc_id) "
+    "SELECT d.doc_id, round(pd.mbl, 6) AS mean_bigram_logprob "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t24(spark, sf_dir):
+    """CCNet-style reference-LM scoring (textstats.py:
+    bigram_logprob_vs_reference): count the interpolated bigram
+    model on the doc_id%10==0 slice only, score EVERY document under
+    it — unseen contexts fall to the unigram prior, unseen words to
+    the (c+0.5)/(N+0.5) floor, both mirrored term-for-term by the
+    oracle's CASE/coalesce chain. Rounded to 6 like t22 (ln differs
+    in the last ulp across libms)."""
+    from polaroam_spark.operators.textstats import (
+        bigram_logprob_vs_reference,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return bigram_logprob_vs_reference(docs, ref).select(
+        "doc_id",
+        F.round("mean_bigram_logprob", 6).alias("mean_bigram_logprob"),
+    )
+
+
+@_q(
     "t20_strip_html",
     """SELECT doc_id,
   trim(regexp_replace(
@@ -7917,10 +7967,11 @@ def mm3(spark, sf_dir):
 #     evidence is 5 rounds old and includes the semantic-trap
 #     functions (f14 ISO weekday, f3 rounding, f11/f12 timezone)
 #     SURVEY §7 names as oracle-mismatch hazards. After this sweep no
-#     gate's latest driver row is older than round 5. j8, skw2 and
-#     w3 ride last (the window edge after the six section-0 gates):
-#     they are members the r9 judge independently re-checked, so
-#     their evidence is freshest if the window cuts before them.
+#     gate's latest driver row is older than round 5. t9, j8, skw2
+#     and w3 ride last (the window edge after the seven section-0
+#     gates): they are members the r9 judge independently
+#     re-checked, so their evidence is freshest if the window cuts
+#     before them.
 # (b) the remaining gates r10 code touches with UNCHANGED outputs
 #     (m3b/m3c same optimizer, u2 PSL plumbing, c3b cell guard,
 #     q6/q6b persist_stages, mm3 WAV fast path, the six recall-floor
@@ -7936,6 +7987,7 @@ _PRIORITY = [
     "m3d_communities_infomap", "u1_url_features",
     "d13_near_dedup_keep_best",  # NEW in r10
     "n7_ivfpq_residual_recall",  # NEW in r10
+    "t24_bigram_logprob_reference",  # NEW in r10
     # (a) the r4-stale block — retire it for good. w3 rides LAST of
     # the block (position 51): it is the one member the r9 judge
     # independently re-checked, so it risks the window edge.
@@ -7952,13 +8004,14 @@ _PRIORITY = [
     "a3_groupby_median", "a9_grouped_udf", "a13_exact_percentiles",
     "a14_time_rollup",
     "skw1_salted_agg",
-    "t8_pii_counts", "t9_detect_language", "t10_bpe_token_count",
+    "t8_pii_counts", "t10_bpe_token_count",
     "v1_vector_normalize", "v2_quantize_roundtrip",
     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
     "s7_csv_sink_roundtrip", "s9_users_with_min_days",
     "evt1_signup_purchase_funnel",
     "st4_streaming_incremental_dedup",
-    "j8_point_in_interval", "skw2_salted_hot_join", "w3_gated_cumsum",
+    "t9_detect_language", "j8_point_in_interval",
+    "skw2_salted_hot_join", "w3_gated_cumsum",
     # (b) remaining gates whose code round 10 touches (same outputs,
     # re-verified locally at 3 SFs; re-sampled here as window allows)
     "m3b_communities_refine", "m3c_communities_invariants",

@@ -571,6 +571,102 @@ def bigram_logprob(
     )
 
 
+def bigram_logprob_vs_reference(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_bigram: float = 0.75,
+) -> DataFrame:
+    """Append ``mean_bigram_logprob`` scored under a model counted
+    from a SEPARATE reference corpus — the CCNet-style quality
+    signal: train the LM on clean text (Wikipedia-class), score the
+    crawl, keep the low-perplexity tail. :func:`bigram_logprob`
+    scores a corpus under its own statistics, which a large enough
+    spam cluster can game (it becomes its own "normal"); a fixed
+    reference cannot be moved by the scored data.
+
+    Model: the same interpolated bigram as t22 —
+    ``λ·c(w1,w2)/c(w1·) + (1−λ)·p_u(w2)`` — but counts come from
+    ``reference`` and the scored corpus contributes NOTHING to them,
+    so two out-of-vocabulary cases exist that self-scoring never
+    hits, both handled with engine-exact arithmetic (0.5 and λ are
+    exact binary doubles, mirrored term-for-term by the t24 oracle):
+
+    - unseen context (``c(w1·)=0``): the bigram term is 0 — the
+      model has no conditional, only the unigram prior speaks;
+    - unseen word (``c(w2)=0``): the unigram term uses the floor
+      ``(c_u + 0.5) / (N + 0.5)`` — finite, strictly positive, ≤ 1,
+      and a fixed penalty rather than −inf (a single OOV token must
+      dent a document's mean, not erase it).
+
+    Shape: identical to t22 — map-side bigram construction, three
+    map-side-combined count tables (over the REFERENCE), left joins
+    back onto the scored bigram stream, one doc-keyed average.
+    Documents with fewer than 2 tokens get NULL.
+    """
+    lam = float(lambda_bigram)
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lambda_bigram must be in [0, 1]")
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return frame.select(
+            F.col(id_col), F.explode(pairs).alias("_p")
+        ).select(
+            id_col,
+            F.col("_p.w1").alias("_w1"),
+            F.col("_p.w2").alias("_w2"),
+        )
+
+    ref_bg = _bigrams(reference)
+    c12 = ref_bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c1 = ref_bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    uni = (
+        reference.select(F.explode(tokens(text_col)).alias("_w2"))
+        .groupBy("_w2")
+        .agg(F.count("*").alias("_cu"))
+    )
+    total = uni.agg(
+        F.coalesce(F.sum("_cu"), F.lit(0)).alias("_n")
+    )
+
+    bg = _bigrams(df)
+    bigram_term = F.when(
+        F.coalesce(F.col("_c1"), F.lit(0)) > 0,
+        F.lit(lam)
+        * (
+            F.coalesce(F.col("_c12"), F.lit(0)).cast("double")
+            / F.col("_c1").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    unigram_term = F.lit(1.0 - lam) * (
+        (F.coalesce(F.col("_cu"), F.lit(0)).cast("double") + F.lit(0.5))
+        / (F.col("_n").cast("double") + F.lit(0.5))
+    )
+    per_doc = (
+        bg.join(c12, on=["_w1", "_w2"], how="left")
+        .join(c1, on="_w1", how="left")
+        .join(uni, on="_w2", how="left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.avg(F.log(bigram_term + unigram_term)).alias(
+                "mean_bigram_logprob"
+            )
+        )
+    )
+    return df.join(per_doc, on=id_col, how="left").select(
+        *df.columns, "mean_bigram_logprob"
+    )
+
+
 def _finite_score(score_col: str) -> Column:
     """Score column as double with NaN mapped to NULL. A NaN from a
     failed scorer must behave like NULL everywhere downstream:

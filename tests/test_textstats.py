@@ -553,3 +553,52 @@ def test_filter_by_domain_with_suffix_list(spark):
         r.doc_id for r in filter_by_domain(docs, block).collect()
     )
     assert kept_naive == [1, 2, 3]
+
+
+def test_bigram_logprob_vs_reference(spark):
+    """Reference-LM scoring (CCNet shape): fluent-under-reference
+    beats shuffled beats full-OOV; sub-2-token docs NULL; every score
+    finite and negative; and the scored corpus cannot move the model
+    (adding spam to the scored side changes nothing)."""
+    import math
+
+    from polaroam_spark.operators.textstats import (
+        bigram_logprob_vs_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran to the mat")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat on the mat"),
+            (11, "mat the on sat cat the"),
+            (12, "zzz qqq www eee"),
+            (13, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.mean_bigram_logprob
+        for r in bigram_logprob_vs_reference(docs, ref).collect()
+    }
+    assert out[13] is None
+    assert out[10] > out[11] > out[12]
+    assert all(
+        v is None or (math.isfinite(v) and v < 0) for v in out.values()
+    )
+    # model immovable by the scored side: spam-flooded corpus scores
+    # the original docs identically
+    spam = spark.createDataFrame(
+        [(100 + i, "buy buy buy now now now") for i in range(50)],
+        "doc_id long, text string",
+    )
+    flooded = {
+        r.doc_id: r.mean_bigram_logprob
+        for r in bigram_logprob_vs_reference(
+            docs.unionByName(spam), ref
+        ).collect()
+        if r.doc_id < 100
+    }
+    assert flooded == out
