@@ -3004,6 +3004,88 @@ def d13(spark, sf_dir):
 
 
 @_q(
+    "d14_eval_contamination_report",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+ev_toks AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+c_toks AS (SELECT * FROM toks WHERE doc_id % 10 != 0),
+ev_long AS (
+  SELECT doc_id AS eid, gram FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(toks[i:i+7], ' ')
+       for i in range(1, len(toks) - 6)])) AS gram
+    FROM ev_toks WHERE len(toks) >= 8)
+),
+c_long AS (
+  SELECT doc_id AS cid, gram FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(toks[i:i+7], ' ')
+       for i in range(1, len(toks) - 6)])) AS gram
+    FROM c_toks WHERE len(toks) >= 8)
+),
+pairs_long AS (
+  SELECT e.eid, c.cid, e.gram
+  FROM ev_long e JOIN c_long c USING (gram)
+),
+ev_short AS (
+  SELECT doc_id AS eid, len(toks) AS L,
+         array_to_string(toks, ' ') AS gram
+  FROM ev_toks WHERE len(toks) > 0 AND len(toks) < 8
+),
+short_lens AS (SELECT DISTINCT L FROM ev_short),
+c_short AS (
+  SELECT doc_id AS cid, L, gram FROM (
+    SELECT t.doc_id, l.L, unnest(list_distinct(
+      [array_to_string(t.toks[i:i+l.L-1], ' ')
+       for i in range(1, len(t.toks) - l.L + 2)])) AS gram
+    FROM c_toks t CROSS JOIN short_lens l
+    WHERE len(t.toks) >= l.L)
+),
+pairs_short AS (
+  SELECT e.eid, c.cid, e.gram
+  FROM ev_short e JOIN c_short c ON c.L = e.L AND c.gram = e.gram
+),
+allp AS (
+  SELECT eid, cid, gram FROM pairs_long
+  UNION ALL SELECT eid, cid, gram FROM pairs_short
+),
+agg AS (
+  SELECT eid, CAST(count(DISTINCT cid) AS BIGINT) AS n_corpus_docs,
+         CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+  FROM allp GROUP BY eid
+)
+SELECT e.doc_id,
+       coalesce(a.n_corpus_docs, 0) AS n_corpus_docs,
+       coalesce(a.n_shared_grams, 0) AS n_shared_grams
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      AND doc_id IS NOT NULL) e
+LEFT JOIN agg a ON e.doc_id = a.eid""",
+)
+def d14(spark, sf_dir):
+    """The eval-side contamination report (dedup.py:
+    eval_contamination_report — the artifact papers publish: per
+    benchmark item, how many corpus documents share an 8-gram and
+    how many of the item's grams leaked). Same eval/corpus split as
+    d7 (doc_id % 10); the oracle replays the long-gram AND
+    short-item passes per eval id and aggregates distinct corpus
+    docs / distinct grams — clean items pinned at zeros via the
+    LEFT JOIN."""
+    from polaroam_spark.operators.dedup import (
+        eval_contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return eval_contamination_report(corpus, ev, n=8)
+
+
+@_q(
     "d7_decontaminate",
     """WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -7967,8 +8049,8 @@ def mm3(spark, sf_dir):
 #     evidence is 5 rounds old and includes the semantic-trap
 #     functions (f14 ISO weekday, f3 rounding, f11/f12 timezone)
 #     SURVEY §7 names as oracle-mismatch hazards. After this sweep no
-#     gate's latest driver row is older than round 5. t9, j8, skw2
-#     and w3 ride last (the window edge after the seven section-0
+#     gate's latest driver row is older than round 5. r5, t9, j8,
+#     skw2 and w3 ride last (the window edge after the section-0
 #     gates): they are members the r9 judge independently
 #     re-checked, so their evidence is freshest if the window cuts
 #     before them.
@@ -7988,6 +8070,7 @@ _PRIORITY = [
     "d13_near_dedup_keep_best",  # NEW in r10
     "n7_ivfpq_residual_recall",  # NEW in r10
     "t24_bigram_logprob_reference",  # NEW in r10
+    "d14_eval_contamination_report",  # NEW in r10
     # (a) the r4-stale block — retire it for good. w3 rides LAST of
     # the block (position 51): it is the one member the r9 judge
     # independently re-checked, so it risks the window edge.
@@ -7999,7 +8082,7 @@ _PRIORITY = [
     "f16_date_trunc_str", "f17_sha_uid_hash", "f18_boolean_algebra",
     "f19_string_ops", "f20_json_extract",
     "r1_multi_sort_rank", "r2_distinct_subset", "r3_drop_nulls",
-    "r4_explode", "r4b_multi_explode", "r5_pivot", "r6_limit",
+    "r4_explode", "r4b_multi_explode", "r6_limit",
     "j1_left_join_composite", "j4_left_join_sentinel",
     "a3_groupby_median", "a9_grouped_udf", "a13_exact_percentiles",
     "a14_time_rollup",
@@ -8010,7 +8093,7 @@ _PRIORITY = [
     "s7_csv_sink_roundtrip", "s9_users_with_min_days",
     "evt1_signup_purchase_funnel",
     "st4_streaming_incremental_dedup",
-    "t9_detect_language", "j8_point_in_interval",
+    "r5_pivot", "t9_detect_language", "j8_point_in_interval",
     "skw2_salted_hot_join", "w3_gated_cumsum",
     # (b) remaining gates whose code round 10 touches (same outputs,
     # re-verified locally at 3 SFs; re-sampled here as window allows)

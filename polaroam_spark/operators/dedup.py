@@ -914,6 +914,106 @@ def ngram_overlap_counts(
     )
 
 
+def eval_contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    corpus_id: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+    match_short_eval: bool = True,
+) -> DataFrame:
+    """The EVAL-side contamination artifact — per benchmark item, how
+    leaked is it: ``n_corpus_docs`` (distinct corpus documents
+    sharing ≥ 1 word n-gram with this item) and ``n_shared_grams``
+    (how many of the item's distinct grams appear anywhere in the
+    corpus). :func:`ngram_overlap_counts` answers the corpus-side
+    question (which documents to drop); this answers the one papers
+    REPORT (which eval items were compromised, and how badly —
+    an item matched by one boilerplate gram reads differently from
+    one with fifty shared grams across a dozen documents). Every
+    eval row appears in the output; clean items report zeros.
+
+    Matching rules mirror :func:`ngram_overlap_counts`: items
+    shorter than ``n`` tokens match corpus L-grams against their
+    WHOLE text (one pass per distinct short length, driver-bounded
+    at n−1 passes; ``match_short_eval=False`` skips them). Plan
+    shape: the eval side reduces to (item, gram-hash) pairs —
+    benchmark-sized, broadcast by default — so corpus grams join
+    map-side; only MATCHED (corpus doc, item, gram) triples shuffle
+    into the per-item aggregate, a volume bounded by the
+    contamination itself, not the corpus.
+    """
+    from polaroam_spark.functions.text import fast_hash64
+
+    ev_len = F.array_size(tokens(eval_text_col))
+
+    def _pairs(ev_subset: DataFrame, k: int, whole: bool) -> DataFrame:
+        if whole:
+            ev_g = ev_subset.select(
+                F.col(eval_id).alias("_eid"),
+                fast_hash64(
+                    F.concat_ws(" ", tokens(eval_text_col))
+                ).alias("_gh"),
+            )
+        else:
+            ev_g = (
+                ev_subset.select(
+                    F.col(eval_id).alias("_eid"),
+                    F.explode(
+                        F.array_distinct(
+                            word_shingles(tokens(eval_text_col), k)
+                        )
+                    ).alias("_gram"),
+                )
+                .select("_eid", fast_hash64("_gram").alias("_gh"))
+                .dropDuplicates()
+            )
+        c_g = corpus.select(
+            F.col(corpus_id).alias("_cid"),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(text_col), k))
+            ).alias("_gram"),
+        ).select("_cid", fast_hash64("_gram").alias("_gh"))
+        e = F.broadcast(ev_g) if broadcast_eval else ev_g
+        return c_g.join(e, on="_gh").select("_cid", "_eid", "_gh")
+
+    parts = [_pairs(eval_df.filter(ev_len >= F.lit(n)), n, False)]
+    if match_short_eval:
+        short_lens = [
+            int(r["L"])
+            for r in eval_df.select(ev_len.alias("L"))
+            .filter((F.col("L") > 0) & (F.col("L") < n))
+            .distinct()
+            .collect()  # bounded: < n distinct lengths
+        ]
+        for L in sorted(short_lens):
+            parts.append(
+                _pairs(eval_df.filter(ev_len == F.lit(L)), L, True)
+            )
+    from functools import reduce as _reduce
+
+    allp = _reduce(lambda a, b: a.unionByName(b), parts)
+    agg = allp.groupBy("_eid").agg(
+        F.countDistinct("_cid").cast("long").alias("n_corpus_docs"),
+        F.countDistinct("_gh").cast("long").alias("n_shared_grams"),
+    )
+    return (
+        eval_df.select(F.col(eval_id))
+        .dropDuplicates()
+        .join(agg, on=F.col(eval_id) == F.col("_eid"), how="left")
+        .select(
+            eval_id,
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias(
+                "n_shared_grams"
+            ),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

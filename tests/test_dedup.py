@@ -934,3 +934,41 @@ def test_near_dedup_keep_best_survivor(spark):
     assert default == [1, 20, 30, 40]
     with pytest.raises(ValueError, match="transitive"):
         near_dedup_corpus(docs, transitive=False, keep="quality", **kw)
+
+
+def test_eval_contamination_report(spark):
+    """Per-item leakage artifact: an 8-token eval item shared by two
+    corpus docs reports (2 docs, 1 gram); a clean item reports zeros;
+    a short item matches corpus L-grams against its whole text."""
+    from polaroam_spark.operators.dedup import eval_contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta other tail"),
+            (3, "totally unrelated words here nothing shared at all today"),
+            (4, "short answer"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "never seen phrase in any corpus document ever"),
+            (102, "short answer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_corpus_docs, r.n_shared_grams)
+        for r in eval_contamination_report(corpus, ev, n=8).collect()
+    }
+    assert out == {100: (2, 1), 101: (0, 0), 102: (1, 1)}
+    # short matching off: the 2-token item reports clean
+    off = {
+        r.doc_id: r.n_corpus_docs
+        for r in eval_contamination_report(
+            corpus, ev, n=8, match_short_eval=False
+        ).collect()
+    }
+    assert off[102] == 0 and off[100] == 2
