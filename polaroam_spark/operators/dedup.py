@@ -1003,7 +1003,13 @@ def eval_contamination_report(
     return (
         eval_df.select(F.col(eval_id))
         .dropDuplicates()
-        .join(agg, on=F.col(eval_id) == F.col("_eid"), how="left")
+        # agg is bounded by the benchmark size (one row per matched
+        # eval item) — broadcast it so the report never sort-merges
+        .join(
+            F.broadcast(agg),
+            on=F.col(eval_id) == F.col("_eid"),
+            how="left",
+        )
         .select(
             eval_id,
             F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),

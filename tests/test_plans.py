@@ -378,3 +378,31 @@ def test_attach_registered_domain_probe_never_shuffles(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
     # per-depth list dedupe exchanges only — both on the 3-row side
     assert _n_hash_exchanges(plan) <= 2, plan
+
+
+def test_eval_contamination_report_broadcasts_eval(spark, docs):
+    """The eval side reduces to broadcast (item, gram-hash) pairs, so
+    corpus grams must join map-side: no sort-merge join, and matched
+    triples are the only thing the per-item aggregate shuffles."""
+    from polaroam_spark.operators.dedup import eval_contamination_report
+
+    ev = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    plan = _plan(eval_contamination_report(corpus, ev, n=3))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_reference_bigram_counts_join_broadcast_total(spark, docs):
+    """Reference-LM scoring: the (scalar) total joins by broadcast —
+    no cartesian product — and the whole pipeline stays equi-joins
+    over count tables."""
+    from polaroam_spark.operators.textstats import (
+        bigram_logprob_vs_reference,
+    )
+
+    ref = docs.filter(F.col("doc_id") < 10)
+    plan = _plan(bigram_logprob_vs_reference(docs, ref))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
