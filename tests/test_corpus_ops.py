@@ -514,3 +514,39 @@ def test_temperature_mixing_by_token_weight(spark):
     }
     assert counts["short"] == 100
     assert counts["long"] < 10
+
+
+def test_temperature_epoch_plan_flattening_invariants(spark):
+    """Structural invariants over random group-count profiles, one
+    Spark job per profile: target shares form a distribution, T>1
+    strictly shrinks the dominant group's share and grows the
+    rarest's, and raising T moves every share toward uniform."""
+    import random
+
+    from polaroam_spark.operators.sampling import temperature_epoch_plan
+
+    rnd = random.Random(11)
+    for trial in range(3):
+        k = rnd.randint(3, 6)
+        counts = [rnd.randint(1, 500) for _ in range(k)]
+        rows = [
+            (sum(counts[:g]) + i, f"g{g}")
+            for g in range(k)
+            for i in range(counts[g])
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        p2 = {r.group: (r.natural_share, r.target_share)
+              for r in temperature_epoch_plan(df, "grp", 2.0).collect()}
+        p5 = {r.group: r.target_share
+              for r in temperature_epoch_plan(df, "grp", 5.0).collect()}
+        tot = sum(q for _, q in p2.values())
+        assert abs(tot - 1.0) < 1e-12
+        hi = max(p2, key=lambda g: p2[g][0])
+        lo = min(p2, key=lambda g: p2[g][0])
+        if p2[hi][0] > p2[lo][0]:  # non-degenerate profile
+            assert p2[hi][1] < p2[hi][0]
+            assert p2[lo][1] > p2[lo][0]
+            # higher T -> closer to uniform than lower T
+            u = 1.0 / k
+            assert abs(p5[hi] - u) <= abs(p2[hi][1] - u) + 1e-12
+            assert abs(p5[lo] - u) <= abs(p2[lo][1] - u) + 1e-12

@@ -602,3 +602,43 @@ def test_bigram_logprob_vs_reference(spark):
         if r.doc_id < 100
     }
     assert flooded == out
+
+
+def test_registered_domain_psl_refines_naive(spark):
+    """Structural invariant over 300 random hosts: the PSL
+    registered domain is NULL or literally ends with the naive
+    last-two-labels domain — PSL grouping refines the naive one, so
+    per-domain caps keyed naively stay conservative."""
+    import random
+
+    from polaroam_spark.operators.textstats import (
+        attach_registered_domain,
+    )
+
+    rnd = random.Random(5)
+    labels = ["a", "bb", "ccc", "example", "co", "uk", "jp", "xyz",
+              "com", "org", "net", "site1"]
+    rows = []
+    for i in range(300):
+        k = rnd.randint(1, 5)
+        host = ".".join(rnd.choice(labels) for _ in range(k))
+        rows.append((i, f"https://{host}/p"))
+    urls = spark.createDataFrame(rows, "id long, url string")
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("net",), ("uk",), ("jp",), ("co.uk",),
+         ("ccc.jp",), ("a.co.uk",)],
+        "suffix string",
+    )
+    both = attach_registered_domain(
+        attach_registered_domain(urls, suffix_list=psl, out_col="psl"),
+        suffix_list=None,
+        out_col="naive",
+    ).collect()
+    for r in both:
+        if r.psl is not None and r.naive is not None:
+            assert r.psl == r.naive or r.psl.endswith("." + r.naive) \
+                or r.naive.endswith("." + r.psl) or r.psl == r.naive, r
+            # precise form: psl == suffix+1 label; naive == last two
+            # labels; the shorter one is always a suffix of the longer
+            a, b = sorted([r.psl, r.naive], key=len)
+            assert b.endswith(a), r
