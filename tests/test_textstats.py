@@ -601,7 +601,15 @@ def test_bigram_logprob_vs_reference(spark):
         ).collect()
         if r.doc_id < 100
     }
-    assert flooded == out
+    # tolerance, not equality: the per-doc mean folds floats in
+    # partition order, which a shared session's AQE state can change
+    # by a last-ulp reassociation
+    assert set(flooded) == set(out)
+    for k, v in out.items():
+        if v is None:
+            assert flooded[k] is None
+        else:
+            assert abs(flooded[k] - v) < 1e-9, (k, flooded[k], v)
 
 
 def test_registered_domain_psl_refines_naive(spark):
