@@ -550,3 +550,35 @@ def test_temperature_epoch_plan_flattening_invariants(spark):
             u = 1.0 / k
             assert abs(p5[hi] - u) <= abs(p2[hi][1] - u) + 1e-12
             assert abs(p5[lo] - u) <= abs(p2[lo][1] - u) + 1e-12
+
+
+def test_temperature_sample_single_group_and_empty(spark):
+    """Degenerate shapes: one group reduces to plain hash sampling at
+    target_fraction; an empty frame stays empty without erroring."""
+    from polaroam_spark.operators.sampling import (
+        sample_by_hash,
+        temperature_sample,
+    )
+
+    one = spark.createDataFrame(
+        [(i, "only") for i in range(200)], "doc_id long, grp string"
+    )
+    got = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            one, key="doc_id", group_col="grp", temperature=4.0,
+            target_fraction=0.3,
+        ).collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in sample_by_hash(one, key="doc_id", fraction=0.3).collect()
+    )
+    assert got == want
+    empty = spark.createDataFrame([], "doc_id long, grp string")
+    assert (
+        temperature_sample(
+            empty, key="doc_id", group_col="grp", temperature=2.0
+        ).count()
+        == 0
+    )

@@ -650,3 +650,23 @@ def test_registered_domain_psl_refines_naive(spark):
             # labels; the shorter one is always a suffix of the longer
             a, b = sorted([r.psl, r.naive], key=len)
             assert b.endswith(a), r
+
+
+def test_registered_domain_empty_suffix_list(spark):
+    """An EMPTY suffix table degrades to the prevailing '*' rule for
+    every host (public suffix = last label), not an error and not
+    NULLs."""
+    from polaroam_spark.operators.textstats import (
+        attach_registered_domain,
+    )
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "https://localhost")],
+        "id long, url string",
+    )
+    psl = spark.createDataFrame([], "suffix string")
+    got = {
+        r.id: r.registered_domain
+        for r in attach_registered_domain(urls, suffix_list=psl).collect()
+    }
+    assert got == {1: "example.com", 2: None}
