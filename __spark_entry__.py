@@ -8060,6 +8060,12 @@ def mm3(spark, sf_dir):
 #     gates) — all re-verified locally at sf0.001/0.01/0.1 this
 #     round; re-sampled here as the window allows.
 # Everything with a fresher green row and unchanged code rides behind.
+# r11 NOTE: after this round's sweep the oldest driver rows are the
+# ~46 r5-green gates (d10-d12, t13-t19 block, x1-x4, st5/st6, s10-s14,
+# j9-j11, a15-a19, r7, w9/w10, q1/q3/q4, f21/f22, k-misc) — head the
+# r11 window with them, plus anything r11 code touches. Every gate in
+# this registry has fresh LOCAL 3-SF evidence from the round-10 full
+# sweeps (sf0.001/0.01/0.1, all clean) regardless of driver-row age.
 _PRIORITY = [
     # (0) gates that MUST get a driver row this round: smp7/smp8 are
     # NEW (no row exists at all) and m3d/u1 changed their output
