@@ -217,6 +217,14 @@ def temperature_sample(
     stay per-row (a group's keep-rate applies to each document), so
     the expected surviving WEIGHT follows the temperature mix.
     NULL-weight rows count as weight 0 toward their group's share.
+    A group whose TOTAL weight is 0 (every row NULL/zero) is dropped
+    with its rows: its natural share is 0, so its temperature target
+    ``q_g ∝ 0^(1/T)`` is 0 — and letting it into the rate derivation
+    would poison every OTHER group's rate (``pow(0, 1/T−1)`` is
+    +Infinity for T>1, so the denominator sum becomes ``0·Inf = NaN``
+    and ``least(1.0, NaN)`` resolves to 1.0 under Spark's
+    NaN-is-largest ordering — the sampler would silently return the
+    full corpus; ADVICE r10 #1).
 
     Plan shape at 100 TB: group counts are ONE tiny aggregate; the
     scale constant is a second aggregate over that (rows = number of
@@ -233,8 +241,12 @@ def temperature_sample(
             F.sum(F.col(weight_col).cast("double")), F.lit(0.0)
         )
     )
-    counts = df.groupBy(F.col(group_col).alias("_ts_g")).agg(
-        mass.alias("_ts_n")
+    counts = (
+        df.groupBy(F.col(group_col).alias("_ts_g"))
+        .agg(mass.alias("_ts_n"))
+        # zero-mass groups (possible only with weight_col: all rows
+        # NULL/zero weight) must not reach the pow(): see docstring
+        .filter(F.col("_ts_n") > 0.0)
     )
     totals = counts.agg(F.sum("_ts_n").alias("_ts_total"))
     raw = counts.crossJoin(F.broadcast(totals)).withColumn(
@@ -281,7 +293,13 @@ def temperature_epoch_plan(
 
     ``weight_col``: shares and factors by summed weight (tokens)
     instead of document counts — ``n_docs`` then holds the group's
-    total weight. Output: one row per group — ``n_docs``,
+    total weight as a DOUBLE (summed without per-row truncation, so
+    fractional weights survive; ADVICE r10 #3). A group whose total
+    weight is 0 (every row NULL/zero) is dropped from the plan: its
+    natural share is 0, so ``repeat_factor = q_g/p_g`` is 0/0 — there
+    is no meaningful per-epoch rate for weightless content, and a
+    NaN row would poison the min/mean normalization for every other
+    group. Output: one row per group — ``n_docs``,
     ``natural_share`` (p_g),
     ``target_share`` (q_g, normalized), and ``repeat_factor``
     (q_g / p_g rescaled). ``normalize='min'`` (default) rescales so
@@ -304,7 +322,7 @@ def temperature_epoch_plan(
         F.count("*").cast("long")
         if weight_col is None
         else F.coalesce(
-            F.sum(F.col(weight_col).cast("long")), F.lit(0).cast("long")
+            F.sum(F.col(weight_col).cast("double")), F.lit(0.0)
         )
     )
     counts = (
@@ -312,6 +330,10 @@ def temperature_epoch_plan(
         .groupBy(F.col(group_col).alias("group"))
         .agg(mass.alias("n_docs"))
     )
+    if weight_col is not None:
+        # zero-mass groups have no defined repeat factor (0/0) and
+        # would NaN-poison the normalization: see docstring
+        counts = counts.filter(F.col("n_docs") > 0.0)
     totals = counts.agg(
         F.sum("n_docs").cast("double").alias("_tp_total")
     )

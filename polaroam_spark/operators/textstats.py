@@ -604,10 +604,22 @@ def bigram_logprob_vs_reference(
     map-side-combined count tables (over the REFERENCE), left joins
     back onto the scored bigram stream, one doc-keyed average.
     Documents with fewer than 2 tokens get NULL.
+
+    ``lambda_bigram`` must be < 1.0: with λ=1 an unseen-context
+    bigram scores ``log(0)``, which Spark's ``F.log`` returns as
+    NULL — the bigram would be silently EXCLUDED from the document
+    mean instead of denting it, contradicting the OOV contract above
+    (ADVICE r10 #4). The unigram floor needs nonzero weight to
+    speak.
     """
     lam = float(lambda_bigram)
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError("lambda_bigram must be in [0, 1]")
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(
+            f"lambda_bigram must be in [0, 1) (got {lambda_bigram}):"
+            " at 1.0 an unseen-context bigram scores log(0) -> NULL"
+            " and silently drops out of the document mean instead of"
+            " denting it"
+        )
 
     def _bigrams(frame: DataFrame) -> DataFrame:
         toks = tokens(text_col)

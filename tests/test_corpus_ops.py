@@ -582,3 +582,93 @@ def test_temperature_sample_single_group_and_empty(spark):
         ).count()
         == 0
     )
+
+
+def test_temperature_sample_zero_mass_group(spark):
+    """ADVICE r10 #1 regression: a group whose summed weight is 0
+    (all-NULL weights) with T>1 used to make pow(0, 1/T-1) = Inf, so
+    the denominator became 0*Inf = NaN and least(1.0, NaN) silently
+    set EVERY group's keep-rate to 1.0 — the sampler returned the
+    full corpus. Zero-mass groups are now dropped (natural share 0 ⇒
+    temperature target 0) and the other groups' rates stay real."""
+    from polaroam_spark.operators.sampling import temperature_sample
+
+    rows = (
+        [(i, "big", 10) for i in range(400)]
+        + [(400 + i, "small", 10) for i in range(40)]
+        + [(440 + i, "ghost", None) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, n_tokens long"
+    )
+    out = temperature_sample(
+        df, key="doc_id", group_col="grp", temperature=2.0,
+        target_fraction=0.5, weight_col="n_tokens",
+    )
+    counts = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert "ghost" not in counts  # zero-mass group dropped
+    # NOT the full corpus: the dominant group must actually be thinned
+    assert counts["big"] < 400
+    # identical to running without the ghost rows at all
+    clean = temperature_sample(
+        df.filter(F.col("grp") != "ghost"), key="doc_id",
+        group_col="grp", temperature=2.0, target_fraction=0.5,
+        weight_col="n_tokens",
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in clean.collect()
+    )
+
+
+def test_temperature_epoch_plan_fractional_and_zero_weights(spark):
+    """ADVICE r10 #3 regression: weight mode used to cast each weight
+    to long BEFORE summing (0.5 truncated to 0 per row) and to emit a
+    NaN repeat_factor (0/0) for zero-mass groups. Fractional weights
+    must survive the sum and zero-mass groups must be dropped."""
+    import math
+
+    from polaroam_spark.operators.sampling import temperature_epoch_plan
+
+    rows = (
+        [(i, "frac", 0.5) for i in range(100)]
+        + [(100 + i, "whole", 10.0) for i in range(10)]
+        + [(110 + i, "ghost", None) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, wt double"
+    )
+    plan = {
+        r.group: r
+        for r in temperature_epoch_plan(
+            df, "grp", 2.0, weight_col="wt"
+        ).collect()
+    }
+    assert set(plan) == {"frac", "whole"}  # ghost dropped
+    # 100 * 0.5 = 50.0, not 100 * long(0.5) = 0
+    assert plan["frac"].n_docs == pytest.approx(50.0)
+    assert plan["whole"].n_docs == pytest.approx(100.0)
+    assert abs(plan["frac"].natural_share - 1.0 / 3.0) < 1e-12
+    for r in plan.values():
+        assert math.isfinite(r.repeat_factor)
+    assert min(r.repeat_factor for r in plan.values()) == pytest.approx(
+        1.0
+    )
+
+
+def test_bigram_vs_reference_rejects_lambda_one(spark):
+    """ADVICE r10 #4 regression: lambda_bigram=1.0 would score an
+    unseen-context bigram as log(0) -> NULL, silently excluding it
+    from the document mean — the OOV contract says it must dent the
+    mean, so 1.0 is rejected."""
+    from polaroam_spark.operators.textstats import (
+        bigram_logprob_vs_reference,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="lambda_bigram"):
+        bigram_logprob_vs_reference(docs, docs, lambda_bigram=1.0)

@@ -394,6 +394,33 @@ def test_eval_contamination_report_broadcasts_eval(spark, docs):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_contamination_short_passes_reuse_tokenized_corpus(spark, docs):
+    """VERDICT r10 #5: with short eval items present, every extra
+    length pass must re-shingle the PERSISTED (id, token-array)
+    frame — the plan shows InMemoryTableScan reads, not repeated
+    regex tokenization of the corpus text. Without short items the
+    single pass streams with no cache."""
+    from polaroam_spark.operators.dedup import (
+        eval_contamination_report,
+        ngram_overlap_counts,
+    )
+
+    ev_short = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id", F.lit("tok0 tok1").alias("text")
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    for fn in (ngram_overlap_counts, eval_contamination_report):
+        # no-short FIRST: once the short variant persists the token
+        # frame, the session cache manager would substitute the
+        # cached subtree into any later identical logical plan
+        plan_noshort = _plan(
+            fn(corpus, ev_short, n=3, match_short_eval=False)
+        )
+        assert "InMemoryTableScan" not in plan_noshort, fn.__name__
+        plan = _plan(fn(corpus, ev_short, n=3))
+        assert "InMemoryTableScan" in plan, (fn.__name__, plan)
+
+
 def test_reference_bigram_counts_join_broadcast_total(spark, docs):
     """Reference-LM scoring: the (scalar) total joins by broadcast —
     no cartesian product — and the whole pipeline stays equi-joins
