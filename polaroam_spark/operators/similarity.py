@@ -677,6 +677,44 @@ def _residualize(
     )
 
 
+def _residual_energy_ratio(
+    data: DataFrame,
+    index: "tuple[DataFrame, DataFrame]",
+    id_col: str,
+    vec_col: str,
+) -> "float | None":
+    """mean ‖x − c(x)‖² / mean ‖x‖² over the corpus — ONE aggregate
+    (a single broadcast-join scan, no shuffle of vectors). < 1 means
+    the IVF centroids explain variance and the Faiss residual
+    convention will help PQ; ≥ 1 means the corpus is isotropic
+    relative to its centroids and residualizing actively hurts (the
+    r10 probe measured recall 19/200 residual vs 148/200 raw on the
+    synthetic embeddings — BASELINE.md §residual probe). None on an
+    empty or zero-energy corpus."""
+    centroids, assign = index
+    sq = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    rsq = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_cvec"), lambda a, b: a - b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    row = (
+        data.join(assign, on=id_col)
+        .join(F.broadcast(centroids), on="centroid_id")
+        .agg(
+            F.avg(sq).alias("_x2"), F.avg(rsq).alias("_r2")
+        )
+        .first()
+    )
+    if row is None or row["_x2"] is None or row["_x2"] <= 0.0:
+        return None
+    return float(row["_r2"]) / float(row["_x2"])
+
+
 def train_pq_codebooks(
     data: DataFrame,
     data_id: str = "vec_id",
@@ -717,9 +755,34 @@ def train_pq_codebooks(
     train on RESIDUALS to each vector's assigned centroid instead of
     raw vectors — the Faiss IVF-PQ convention (see
     :func:`_residualize`); pass the SAME index to :func:`pq_encode`
-    and ``ann_ivfpq_topk(residual=True)``.
+    and ``ann_ivfpq_topk(residual=True)``. Because the convention
+    BACKFIRES on corpora whose centroids don't explain variance
+    (VERDICT r10 #6), build time emits the one-aggregate diagnostic
+    mean ‖x−c‖²/‖x‖² and raises a ``UserWarning`` when residual
+    energy is not below raw — at 100 TB a silently wrong convention
+    is an 8× recall loss discovered only at serving time (the r10
+    probe: recall 19/200 residual vs 148/200 raw on isotropic
+    embeddings, residual MSE 1.22 vs raw 0.07 — BASELINE.md
+    §residual probe).
     """
     if index is not None:
+        ratio = _residual_energy_ratio(data, index, data_id, vec_col)
+        if ratio is not None and ratio >= 1.0:
+            import warnings
+
+            warnings.warn(
+                "train_pq_codebooks(index=...): residual energy is "
+                f"{ratio:.2f}x raw — the IVF centroids do not explain "
+                "variance on this corpus, so the Faiss residual "
+                "convention will HURT quantization accuracy (measured "
+                "on the isotropic fixture: PQ recall 19/200 residual "
+                "vs 148/200 raw, residual MSE 1.22 vs raw 0.07 — "
+                "BASELINE.md, residual probe). Train without `index` "
+                "and serve ann_ivfpq_topk(residual=False) unless a "
+                "corpus-specific probe shows otherwise.",
+                UserWarning,
+                stacklevel=2,
+            )
         data = _residualize(data, index, data_id, vec_col)
     m = int(num_subspaces)
     k = int(codes_per_subspace)

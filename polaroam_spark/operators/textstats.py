@@ -605,6 +605,18 @@ def bigram_logprob_vs_reference(
     back onto the scored bigram stream, one doc-keyed average.
     Documents with fewer than 2 tokens get NULL.
 
+    Broadcast caveat at reference scale (measured r11, BASELINE.md
+    §t24 probe): the context-count (c1), unigram, and scalar-total
+    tables stay broadcast-sized for any realistic vocabulary, but
+    the BIGRAM count table is O(distinct reference bigrams) — a
+    100k-doc / 5M-token reference already produces ~4.4M distinct
+    bigrams and sort-merges past Spark's broadcast threshold; a
+    10M-doc reference is strictly a shuffle join. That is the
+    intended shape: the scored bigram stream hash-partitions ONCE on
+    (w1, w2) against it, and throughput held at 34k docs/s (1.7M
+    tokens/s) on local[16]. Do not force-broadcast the c12 table on
+    big references.
+
     ``lambda_bigram`` must be < 1.0: with λ=1 an unseen-context
     bigram scores ``log(0)``, which Spark's ``F.log`` returns as
     NULL — the bigram would be silently EXCLUDED from the document

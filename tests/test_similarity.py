@@ -535,3 +535,68 @@ def test_ivfpq_residual_lossless_exact(spark):
         ann, on=["query_id", "vec_id"], how="left_anti"
     ).count()
     assert missed == 0
+
+
+def test_residual_convention_warns_on_isotropic_corpus(spark):
+    """VERDICT r10 #6: training residual codebooks on a corpus whose
+    IVF centroids do not explain variance must emit the one-aggregate
+    diagnostic warning (the r10 probe measured an 8x recall loss for
+    the residual convention on exactly this fixture class), while a
+    genuinely clustered corpus trains silently."""
+    import warnings
+
+    from polaroam_spark.operators.similarity import (
+        build_ivf_index,
+        train_pq_codebooks,
+    )
+
+    # isotropic: random unit directions in 64 dims with UNREFINED
+    # sampled-vector centroids — the r10 probe's regime: the nearest
+    # of k random unit centroids sits at cosine ≈ 0.4, so
+    # ‖x − c‖² ≈ 2 − 2cos > 1 = ‖x‖²
+    import math
+    import random
+
+    rnd = random.Random(7)
+
+    def _unit(d):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(d)]
+        s = math.sqrt(sum(x * x for x in v))
+        return [x / s for x in v]
+
+    iso = spark.createDataFrame(
+        [(i, _unit(64)) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_ivf_index(iso, num_centroids=8, kmeans_iterations=0)
+    with warnings.catch_warnings(record=True) as wl:
+        warnings.simplefilter("always")
+        train_pq_codebooks(
+            iso, num_subspaces=4, codes_per_subspace=4, index=idx
+        ).collect()
+    assert any(
+        "residual energy" in str(x.message)
+        and issubclass(x.category, UserWarning)
+        for x in wl
+    ), [str(x.message) for x in wl]
+
+    # clustered: three tight, well-separated blobs — residuals to the
+    # blob centroids carry far less energy than the raw vectors
+    rows = []
+    for i in range(120):
+        base = {0: [50.0] * 8, 1: [-50.0] * 8, 2: [0.0] * 8}[i % 3]
+        rows.append(
+            (i, [b + rnd.gauss(0.0, 0.1) for b in base])
+        )
+    clus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx2 = build_ivf_index(clus, num_centroids=3, kmeans_iterations=3)
+    with warnings.catch_warnings(record=True) as wl2:
+        warnings.simplefilter("always")
+        train_pq_codebooks(
+            clus, num_subspaces=4, codes_per_subspace=4, index=idx2
+        ).collect()
+    assert not any(
+        "residual energy" in str(x.message) for x in wl2
+    ), [str(x.message) for x in wl2]
