@@ -871,7 +871,7 @@ def _eject_refine(
     tol: float = 1e-12,
     max_rounds: int = 30,
 ) -> np.ndarray:
-    """Fine-tune + pair-eject refinement: escape the two local-optimum
+    """Fine-tune + pair-move refinement: escape the two local-optimum
     classes the hierarchical pass leaves behind.
 
     (1) FINE-TUNE (Rosvall's core-loop step the plain two-level pass
@@ -1087,7 +1087,7 @@ def _core_loop(
 ) -> np.ndarray:
     """One full optimization cycle in the shape of Infomap's core
     loop: hierarchical coarsening, then alternating fine-grained
-    (:func:`_eject_refine` — single-node fine-tune + pair ejects on
+    (:func:`_eject_refine` — single-node fine-tune + pair moves on
     the ORIGINAL graph) and coarse-grained (re-aggregate the refined
     partition and let whole modules move/merge as super-nodes)
     passes until the partition is stable. Fine passes fix nodes the
@@ -1145,9 +1145,10 @@ def two_level_infomap(
     The trial with the lowest map-equation value wins; ties keep the
     EARLIEST trial, so adding trials never changes an already-optimal
     result. Every trial additionally runs :func:`_eject_refine` —
-    the deterministic pair-eject pass that escapes the local optima
+    the deterministic pair-move pass (fresh-module eject or relocation
+    into a neighboring module, r11) that escapes the local optima
     the r9 m3d differential exposed (2/150 sf0.01 uids where leaf
-    pairs stayed absorbed in a bigger module; pair-eject fixes the
+    pairs stayed absorbed in a bigger module; pair-move fixes the
     class structurally where extra trials only fix instances by
     lottery). Multi-trial remains as robustness against other
     order-dependent optima.
