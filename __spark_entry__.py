@@ -7777,6 +7777,93 @@ def t24(spark, sf_dir):
 
 
 @_q(
+    "t25_dsir_logweights",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    # unigram + bigram feature instances per document (the DSIR
+    # feature set; single-token docs contribute just the unigram)
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t "
+    "UNION ALL "
+    "SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' "
+    "|| unnest(list_slice(toks, 2, len(toks))) AS gram "
+    "FROM t WHERE len(toks) >= 2), "
+    # portable 60-bit md5 hash, seed 13, into 4096 buckets
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('13:' || gram), "
+    "1, 15)) AS BIGINT) % 4096 AS b FROM g), "
+    "raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS c_raw "
+    "FROM gb GROUP BY b), "
+    "tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS c_tgt "
+    "FROM gb WHERE doc_id % 10 = 0 GROUP BY b), "
+    "tr AS (SELECT coalesce(sum(c_raw), 0.0) AS t_raw FROM raw), "
+    "tt AS (SELECT coalesce(sum(c_tgt), 0.0) AS t_tgt FROM tgt), "
+    "lw AS (SELECT raw.b, "
+    "ln(coalesce(tgt.c_tgt, 0.0) + 0.5) - ln(tt.t_tgt + 0.5 * 4096) "
+    "- ln(raw.c_raw + 0.5) + ln(tr.t_raw + 0.5 * 4096) AS w "
+    "FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tr, tt), "
+    "pd AS (SELECT gb.doc_id, sum(lw.w) AS s FROM gb "
+    "JOIN lw ON gb.b = lw.b GROUP BY gb.doc_id) "
+    "SELECT d.doc_id, round(pd.s, 6) AS dsir_logweight "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t25(spark, sf_dir):
+    """DSIR hashed n-gram importance weights (textstats.py:
+    dsir_importance_weights — Xie et al., NeurIPS 2023): target
+    distribution = the doc_id%10==0 slice (same slicing convention
+    as t24's reference LM), raw = the corpus itself, unigram+bigram
+    features hashed into 4096 buckets via the portable md5 hash so
+    the oracle replays bucket membership bit-for-bit. The oracle
+    re-derives both count tables, the add-0.5 log-ratio per bucket,
+    and the per-document sum; rounded to 6 like t22/t24 (ln differs
+    in the last ulp across libms)."""
+    from polaroam_spark.operators.textstats import (
+        dsir_importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return dsir_importance_weights(
+        docs, target, num_buckets=4096, portable=True
+    ).select(
+        "doc_id",
+        F.round("dsir_logweight", 6).alias("dsir_logweight"),
+    )
+
+
+@_q(
+    "smp9_gumbel_topk",
+    "WITH w AS (SELECT doc_id, n_chars, "
+    "CAST(n_chars AS DOUBLE) / 200.0 "
+    "- ln(-ln((CAST(('0x' || substr(md5('29:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5) "
+    "/ 1152921504606846976.0)) AS score "
+    "FROM documents), "
+    "k AS (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) AS k FROM w), "
+    "r AS (SELECT doc_id, n_chars, "
+    "row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM w) "
+    "SELECT doc_id, n_chars FROM r, k WHERE rn <= k.k",
+)
+def smp9(spark, sf_dir):
+    """Gumbel top-k weighted sampling without replacement
+    (sampling.py:gumbel_topk_sample — Efraimidis-Spirakis 2006, the
+    sampling step of DSIR): log weight = n_chars/200 (real
+    competition between weight and the hash-derived Gumbel noise,
+    which spans roughly −2..+5), fraction 0.2. The oracle replays
+    the (hash+0.5)/2^60 uniform, the −ln(−ln u) noise, the global
+    rank with doc_id tiebreak, and the ceil-k cut — the survivor SET
+    hashes exactly."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / 200.0).alias("_lw"),
+    )
+    return gumbel_topk_sample(
+        docs, "_lw", key="doc_id", fraction=0.2, seed=29
+    ).select("doc_id", "n_chars")
+
+
+@_q(
     "t20_strip_html",
     """SELECT doc_id,
   trim(regexp_replace(
@@ -8225,8 +8312,9 @@ _PRIORITY = [
     # (d) r11-NEW gates (local 3-SF hash-green; first driver row r12)
     # and the named 3-gate r12 remainder:
      "smp7b_temperature_sample_weighted",
-     "smp8b_temperature_epoch_plan_mean", "q1_tpch_pricing", "w9_ntile_cume",
-     "ts1_resample_linear",
+     "smp8b_temperature_epoch_plan_mean", "t25_dsir_logweights",
+     "smp9_gumbel_topk",
+     "q1_tpch_pricing", "w9_ntile_cume", "ts1_resample_linear",
     # (e) gates whose code r11 touches with UNCHANGED outputs, all
     # re-verified locally at 3 SFs this round (temperature zero-mass
     # guard, d14/d7 single-tokenization, residual build warning,

@@ -35,17 +35,30 @@ def tokens(text: Column | str) -> Column:
 def word_shingles(toks: Column | str, k: int = 3) -> Column:
     """k-word shingles (space-joined) from a token array; a document
     shorter than k tokens yields its whole token sequence as one
-    shingle. Built with sequence+transform — JVM-side, no UDF.
+    shingle. Built as a zip_with chain over k bulk slices — JVM-side,
+    no UDF, and ~5x cheaper than the per-position
+    sequence+transform+slice form it replaces (r11 micro-bench,
+    .scratch/probe_shingles.py: 48M 3-shingles in 9.9 s vs 51.3 s,
+    identical output checksum): the per-position form re-slices the
+    token array once per OUTPUT shingle, where the chain slices k
+    times total and zips elementwise. This expression sits under
+    every shingle consumer (MinHash dedup, fuzzy join, n-gram
+    decontamination), evaluated once per corpus scan — it is the
+    hot path.
     """
     toks = _col(toks)
     n = F.array_size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, int(k) + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, acc).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def portable_hash64(value: Column | str, seed: int | Column = 0) -> Column:

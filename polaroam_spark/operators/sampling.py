@@ -10,6 +10,8 @@ engines (portable md5 path available for oracle checks).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -411,3 +413,63 @@ def deterministic_shuffle(
             int(num_shards), F.col(key_col), c
         ).sortWithinPartitions(F.col(key_col), c)
     return out.orderBy(F.col(key_col), c)
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    log_weight_col: str,
+    key: str,
+    fraction: "float | None" = None,
+    k: "int | None" = None,
+    seed: int = 29,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Gumbel top-k
+    trick, deterministic: keep the ``k`` rows maximizing
+    ``log_weight + Gumbel(0,1)``, where the Gumbel noise
+    ``−ln(−ln(u))`` draws its uniform from the portable content hash
+    of ``key`` instead of an RNG. Gumbel top-k over log weights is
+    exactly sampling-without-replacement proportional to the
+    (exponentiated) weights (Efraimidis & Spirakis 2006; the
+    sampling step of DSIR, NeurIPS 2023 — feed it
+    ``textstats.dsir_importance_weights`` output), and hashing the
+    key makes the draw reproducible across runs, partitionings, and
+    engines — the same contract as every ``*_by_hash`` sampler here.
+
+    Exactly one of ``fraction`` (of the frame's non-NULL-weight
+    rows, ceil) or ``k`` must be given. Rows with NULL log weight
+    have no defined importance and are excluded (same rule as
+    temperature sampling's zero-mass groups). Ties (identical score,
+    hash-collision-rare) break by ``key`` ascending, so the survivor
+    set is a pure function of (weights, keys, seed).
+
+    Plan shape at 100 TB: the rank runs over a PROJECTED (key,
+    score) frame — two skinny columns sort, never whole documents —
+    and survivors semi-join back by key (broadcast when small). The
+    u=0 edge is unreachable: the uniform is (hash + 0.5) / 2^60,
+    strictly inside (0, 1).
+    """
+    from pyspark.sql import Window
+
+    if (fraction is None) == (k is None):
+        raise ValueError("pass exactly one of fraction= or k=")
+    if fraction is not None and not 0.0 <= float(fraction) <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    if k is not None and int(k) < 0:
+        raise ValueError(f"k must be >= 0 (got {k})")
+
+    weighted = df.filter(F.col(log_weight_col).isNotNull())
+    u = (
+        portable_hash64(F.col(key).cast("string"), seed) + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    score = F.col(log_weight_col).cast("double") - F.log(-F.log(u))
+    narrow = weighted.select(F.col(key), score.alias("_gk_score"))
+    if k is None:
+        n = narrow.count()  # one count over the skinny projection
+        k = int(math.ceil(float(fraction) * n))
+    w = Window.orderBy(F.desc("_gk_score"), F.col(key))
+    keep = (
+        narrow.withColumn("_gk_rank", F.row_number().over(w))
+        .filter(F.col("_gk_rank") <= F.lit(int(k)))
+        .select(key)
+    )
+    return weighted.join(keep, on=key, how="left_semi")

@@ -691,6 +691,146 @@ def bigram_logprob_vs_reference(
     )
 
 
+def _dsir_grams(text_col: str) -> Column:
+    """DSIR's hashed-ngram feature stream: unigrams plus word
+    bigrams (the paper's feature set). Documents with a single token
+    contribute just that unigram — the bigram half is empty rather
+    than duplicating the unigram (word_shingles' short-doc fallback
+    would re-emit the whole text). Bigrams build via zip_with of two
+    bulk slices (t22/t24's shape) rather than word_shingles(k=2)'s
+    per-position slice — the stream is evaluated twice per corpus
+    (count + score passes), so per-gram expression cost is the hot
+    path."""
+    toks = tokens(text_col)
+    n = F.array_size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    smoothing: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Append ``dsir_logweight`` — the hashed n-gram importance
+    weight of DSIR (Xie, Santurkar, Ma, Liang, "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    each corpus document by how much more likely its features are
+    under a TARGET distribution (e.g. curated/wiki-quality text)
+    than under the RAW corpus itself, then resample proportionally
+    (:func:`polaroam_spark.operators.sampling.gumbel_topk_sample`
+    is the paper's Gumbel top-k sampling step, made deterministic).
+
+    Model: unigram+bigram features hashed into ``num_buckets``
+    buckets (the paper's dimensionality reduction — THE property
+    that makes this 100 TB-safe: both count tables are exactly B
+    rows, broadcastable forever, unlike t24's open-vocabulary bigram
+    table). Per bucket, add-λ estimates under both distributions;
+    per document, the log importance weight is the sum over its
+    feature instances of
+
+        ln((c_tgt[b]+λ)/(T_tgt+λB)) − ln((c_raw[b]+λ)/(T_raw+λB))
+
+    Plan shape: two corpus text scans (one to count raw buckets, one
+    to score — the gram stream is wider than the text, so persisting
+    it would cost more than re-tokenizing; both scans are map-side
+    against the broadcast B-row log-ratio table) plus one target
+    scan; the only shuffles are B-row map-side-combined counts and
+    the per-doc sum keyed by ``id_col``. Documents with no tokens
+    get NULL. An EMPTY target degenerates to a pure raw-rarity score
+    (every bucket falls to the λ/(λB) floor) — callers wanting a
+    hard failure should validate the target upstream.
+
+    ``portable=True`` swaps xxhash64 bucketing for the md5-based
+    :func:`portable_hash64` so a DuckDB oracle can replay bucket
+    membership bit-for-bit (t25 gate); the xxhash64 default is the
+    scale path (~10x cheaper).
+    """
+    from polaroam_spark.functions.text import fast_hash64
+
+    b = int(num_buckets)
+    if b < 1:
+        raise ValueError(f"num_buckets must be >= 1 (got {num_buckets})")
+    lam = float(smoothing)
+    if lam <= 0.0:
+        raise ValueError(
+            f"smoothing must be > 0 (got {smoothing}): add-0 estimates"
+            " put ln(0) on every unseen bucket"
+        )
+
+    def _buckets(frame: DataFrame, cols: list) -> DataFrame:
+        g = F.explode(_dsir_grams(text_col)).alias("_gram")
+        h = (
+            portable_hash64(F.col("_gram"), 13)
+            if portable
+            else fast_hash64("_gram", 13)
+        )
+        return frame.select(*cols, g).select(
+            *cols, F.pmod(h, F.lit(b)).alias("_bucket")
+        )
+
+    # persist is load-bearing for BOTH count tables: each is ≤ B rows
+    # (KBs), but each feeds TWO consumers — the per-bucket log-ratio
+    # join AND its own scalar total — and without the persist Spark
+    # re-derives the lineage per consumer, i.e. a full extra corpus
+    # scan + gram explode just to sum 10k counts (measured: 145 s →
+    # 93 s at the 1M-doc probe, BASELINE.md r11)
+    raw = (
+        _buckets(corpus, [])
+        .groupBy("_bucket")
+        .agg(F.count("*").cast("double").alias("_c_raw"))
+        .persist()
+    )
+    tgt = (
+        _buckets(target, [])
+        .groupBy("_bucket")
+        .agg(F.count("*").cast("double").alias("_c_tgt"))
+        .persist()
+    )
+    t_raw = raw.agg(
+        F.coalesce(F.sum("_c_raw"), F.lit(0.0)).alias("_t_raw")
+    )
+    t_tgt = tgt.agg(
+        F.coalesce(F.sum("_c_tgt"), F.lit(0.0)).alias("_t_tgt")
+    )
+    # B-row log-ratio table: raw-side base (scoring only ever probes
+    # buckets the corpus itself populates), target counts coalesce 0
+    lw = (
+        raw.join(tgt, on="_bucket", how="left")
+        .crossJoin(F.broadcast(t_raw))
+        .crossJoin(F.broadcast(t_tgt))
+        .select(
+            "_bucket",
+            (
+                F.log(F.coalesce(F.col("_c_tgt"), F.lit(0.0)) + lam)
+                - F.log(F.col("_t_tgt") + lam * b)
+                - F.log(F.col("_c_raw") + lam)
+                + F.log(F.col("_t_raw") + lam * b)
+            ).alias("_lw"),
+        )
+    )
+    per_doc = (
+        _buckets(corpus, [F.col(id_col)])
+        .join(F.broadcast(lw), on="_bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_lw").alias("dsir_logweight"))
+    )
+    return corpus.join(per_doc, on=id_col, how="left").select(
+        *corpus.columns, "dsir_logweight"
+    )
+
+
 def _finite_score(score_col: str) -> Column:
     """Score column as double with NaN mapped to NULL. A NaN from a
     failed scorer must behave like NULL everywhere downstream:

@@ -1003,3 +1003,51 @@ def test_infomap_bounded_regret_vs_vendored_search(seed):
         m_esc = two_level_infomap(n, edges, w, num_trials=128)
         l_nat = min(l_nat, map_equation_value(n, edges, w, m_esc))
     assert l_nat <= l_ref + 0.05, (seed, n, len(edges), l_nat, l_ref)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_eject_refine_descends_and_is_deterministic(seed):
+    """r11 pair-move regression harness (the permanent form of
+    .scratch/r11_eject_verify.py, which cleared 1500 graphs): the
+    fine-tune + pair-move refinement must NEVER increase the map
+    equation (it feeds the m3c descent_ok invariant), must return a
+    label per node, and must be bit-deterministic across calls —
+    the pair-move generalization patches per-module CUT/P/size and
+    w_own incrementally, and any bookkeeping slip shows up here as
+    an ascent or a run-to-run diff."""
+    import random
+
+    import numpy as np
+
+    from polaroam_spark.operators.clustering import (
+        _eject_refine,
+        _hierarchical_mapeq,
+        map_equation_value,
+    )
+
+    rnd = random.Random(seed)
+    n = rnd.randint(3, 24)
+    m = rnd.randint(n - 1, min(3 * n, n * (n - 1) // 2))
+    es = set()
+    while len(es) < m:
+        i, j = rnd.randrange(n), rnd.randrange(n)
+        if i != j:
+            es.add((min(i, j), max(i, j)))
+    edges = np.array(sorted(es))
+    w = np.array([rnd.choice([1.0, 1.0, 2.0, 3.0]) for _ in edges])
+    adj = [dict() for _ in range(n)]
+    for (i, j), wt in zip(edges, w):
+        i, j, wt = int(i), int(j), float(wt)
+        adj[i][j] = adj[i].get(j, 0.0) + wt
+        adj[j][i] = adj[j].get(i, 0.0) + wt
+    strength = np.array([sum(d.values()) for d in adj])
+    tot_w = float(strength.sum())
+    init = _hierarchical_mapeq(adj, strength, tot_w)
+    l0 = map_equation_value(n, edges, w, init)
+    ref = _eject_refine(adj, strength, tot_w, init)
+    ref2 = _eject_refine(adj, strength, tot_w, init)
+    assert np.array_equal(ref, ref2), seed
+    assert len(ref) == n
+    l1 = map_equation_value(n, edges, w, ref)
+    assert l1 <= l0 + 1e-9, (seed, l0, l1)

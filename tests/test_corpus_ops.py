@@ -672,3 +672,36 @@ def test_bigram_vs_reference_rejects_lambda_one(spark):
     )
     with pytest.raises(ValueError, match="lambda_bigram"):
         bigram_logprob_vs_reference(docs, docs, lambda_bigram=1.0)
+
+
+def test_gumbel_topk_sample_weighted_without_replacement(spark):
+    """Gumbel top-k sampling: exact-k survivor counts, determinism
+    across runs (hash-derived noise, no RNG), NULL-weight exclusion,
+    and weight dominance — rows whose log weight towers over the
+    noise scale must always be selected."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    rows = [(i, 0.0) for i in range(100)] + [
+        (100 + i, 50.0) for i in range(5)  # ~e^50 heavier: must win
+    ] + [(200, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lw double")
+
+    out = gumbel_topk_sample(df, "lw", key="doc_id", k=10)
+    got = sorted(r.doc_id for r in out.collect())
+    assert len(got) == 10
+    assert set(range(100, 105)).issubset(got)  # heavy rows all in
+    assert 200 not in got  # NULL weight excluded
+    again = sorted(
+        r.doc_id
+        for r in gumbel_topk_sample(df, "lw", key="doc_id", k=10).collect()
+    )
+    assert got == again  # deterministic
+
+    # fraction form: ceil(0.25 * 105 non-null rows) = 27
+    frac = gumbel_topk_sample(df, "lw", key="doc_id", fraction=0.25)
+    assert frac.count() == 27
+
+    with pytest.raises(ValueError, match="exactly one"):
+        gumbel_topk_sample(df, "lw", key="doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        gumbel_topk_sample(df, "lw", key="doc_id", k=3, fraction=0.5)

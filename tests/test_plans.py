@@ -433,3 +433,40 @@ def test_reference_bigram_counts_join_broadcast_total(spark, docs):
     plan = _plan(bigram_logprob_vs_reference(docs, ref))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dsir_weights_broadcast_bucket_table(spark, docs):
+    """DSIR's whole scale premise: the hashed-bucket log-ratio table
+    is exactly B rows and broadcasts — corpus gram streams must join
+    it map-side, never cartesian."""
+    from polaroam_spark.operators.textstats import (
+        dsir_importance_weights,
+    )
+
+    target = docs.filter(F.col("doc_id") < 10)
+    plan = _plan(
+        dsir_importance_weights(docs, target, num_buckets=1024)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gumbel_topk_ranks_projected_frame(spark, docs):
+    """Gumbel top-k must rank a skinny (key, score) projection and
+    semi-join survivors back — whole rows never enter the global
+    sort."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    weighted = docs.select(
+        "doc_id", "text", (F.length("text") / 100.0).alias("_lw")
+    )
+    plan = _plan(gumbel_topk_sample(weighted, "_lw", key="doc_id", k=5))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the Window's sort input carries only the projected columns:
+    # the text column must not appear between the projection and the
+    # rank (it reappears after the semi join)
+    import re
+
+    win = plan[plan.index("Window") :]
+    assert "_gk_score" in win

@@ -670,3 +670,46 @@ def test_registered_domain_empty_suffix_list(spark):
         for r in attach_registered_domain(urls, suffix_list=psl).collect()
     }
     assert got == {1: "example.com", 2: None}
+
+
+def test_dsir_importance_weights_prefers_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): documents sharing the target
+    distribution's vocabulary must score a strictly higher hashed
+    n-gram log importance weight than off-target documents; empty
+    documents have no features and get NULL."""
+    from polaroam_spark.operators.textstats import (
+        dsir_importance_weights,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum physics wave function collapse theory"),
+            (2, "quantum theory of wave mechanics and physics"),
+            (3, "buy cheap pills online casino bonus click here"),
+            (4, "casino bonus free spins click subscribe now"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "quantum mechanics lectures on wave physics"),
+            (101, "the theory of quantum wave function physics"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_importance_weights(
+            corpus, target, num_buckets=4096, portable=True
+        ).collect()
+    }
+    assert out[5] is None  # no tokens, no features
+    sciency = min(out[1], out[2])
+    spammy = max(out[3], out[4])
+    assert sciency > spammy, out
+
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_importance_weights(corpus, target, smoothing=0.0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_importance_weights(corpus, target, num_buckets=0)
