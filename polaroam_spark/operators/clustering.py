@@ -1757,7 +1757,11 @@ def communities_backend_differential(
     budget (``two_level_infomap(num_trials=8)``); iff it loses to
     the reference by more than 1e-9, it re-runs once at
     ``escalate_trials`` (default 128) and the better of the two
-    native partitions is scored. Deterministic (both runs are
+    native partitions is scored. On dense graphs
+    :func:`two_level_infomap`'s edge-budget decay caps the effective
+    trial count (1.6M edge-visits per pass), so escalation stays
+    bounded — a deterministic function of the graph, like the base
+    run. Deterministic (both runs are
     seeded), and documents that observed losses are trial-lottery
     artifacts, not systematic optimizer gaps; a loss that SURVIVES
     escalation beyond ``tol_bits`` is exactly the signal that should
