@@ -503,6 +503,32 @@ def s7(spark, sf_dir):
 
 
 @_q(
+    "s15_orc_roundtrip",
+    "SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_sum, "
+    "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents",
+)
+def s15(spark, sf_dir):
+    """ORC sink + source roundtrip (sources/io.py:write_orc/read_orc
+    — the Hive-ecosystem columnar format, natively supported by
+    Spark; beyond the parquet-only reference like s5/s7). The oracle
+    aggregates the parquet source: a lossless roundtrip must
+    reproduce count, key sums, and language cardinality exactly."""
+    import os
+
+    from polaroam_spark.sources.io import read_orc, write_orc
+
+    path = os.path.join(_scratch_dir(), "docs_orc")
+    write_orc(_t(spark, sf_dir, "documents"), path)
+    return read_orc(spark, path).agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@_q(
     "s9_users_with_min_days",
     "SELECT user_id, n_days FROM (SELECT user_id, count(DISTINCT "
     "strftime(ts, '%Y-%m-%d')) AS n_days FROM events GROUP BY user_id) "
@@ -8273,15 +8299,15 @@ def mm3(spark, sf_dir):
 # remainder (VERDICT r10 #3 allows >=2 by naming them): all three
 # were independently re-checked clean by the r10 judge and re-verified
 # locally at 3 SFs this round, so their risk is lowest of the block.
-# The r11-NEW gates smp7b/smp8b ride at positions 51-52: they have
-# fresh LOCAL 3-SF hash-green evidence (tools/oracle_check.py) and
-# MUST head the r12 window for their first driver rows, together
-# with the q1/w9/ts1 remainder.
+# The r11-NEW gates smp7b/smp8b/t25/smp9/s15 ride at positions
+# 51-55: they have fresh LOCAL 3-SF hash-green evidence
+# (tools/oracle_check.py) and MUST head the r12 window for their
+# first driver rows, together with the q1/w9/ts1 remainder.
 # r12 NOTE: after this round's sweep the oldest driver rows are the
 # 46-gate r7 block (a1-a12 aggregates, p1-p11 projections, j2/j3/
 # j5/j6/j7/j12 joins, w1/w2/w5-w7 windows, s1/s2/s4/s6, q5, t15,
-# mm2, ts3, st7, a20/a21, n4, r8, v3) — window budget: 2 new(r11) +
-# 3 remainder + 45 of that block = 50; the last r7 gate joins r13.
+# mm2, ts3, st7, a20/a21, n4, r8, v3) — window budget: 5 new(r11) +
+# 3 remainder + 42 of that block = 50; the last 4 r7 gates join r13.
 # Everything with a fresher green row and unchanged code rides
 # behind; every gate here has fresh LOCAL 3-SF evidence from the
 # round-11 sweeps regardless of driver-row age.
@@ -8313,7 +8339,7 @@ _PRIORITY = [
     # and the named 3-gate r12 remainder:
      "smp7b_temperature_sample_weighted",
      "smp8b_temperature_epoch_plan_mean", "t25_dsir_logweights",
-     "smp9_gumbel_topk",
+     "smp9_gumbel_topk", "s15_orc_roundtrip",
      "q1_tpch_pricing", "w9_ntile_cume", "ts1_resample_linear",
     # (e) gates whose code r11 touches with UNCHANGED outputs, all
     # re-verified locally at 3 SFs this round (temperature zero-mass

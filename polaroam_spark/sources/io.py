@@ -359,3 +359,22 @@ def collect_column_stats(
     for p in per_col[1:]:
         out = out.unionByName(p)
     return out
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Write a DataFrame as ORC — the columnar interchange format of
+    the Hive/Presto ecosystem (Spark ships the reader/writer
+    natively; same predicate-pushdown and column-pruning behavior as
+    parquet, different ecosystem). The reference is parquet-only;
+    this exists so a lake whose upstream emits ORC needs no
+    conversion step."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC dataset (glob/directory semantics identical to
+    ``spark.read.parquet``; filters and projected columns push into
+    the scan the same way — verify with ``.explain``)."""
+    return spark.read.orc(path)

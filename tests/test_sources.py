@@ -279,3 +279,24 @@ def test_collect_column_stats(spark):
     assert stats["b"].n_nulls == 1
     assert stats["b"].n_distinct == 2
     assert stats["b"].min_str == "x" and stats["b"].max_str == "y"
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    """write_orc/read_orc (s15): full-fidelity columnar roundtrip —
+    schema, values, and NULLs survive; projected reads prune columns
+    the same way parquet does."""
+    from polaroam_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, None), (2, None, -1.0, 7)],
+        "id long, s string, x double, opt long",
+    )
+    path = str(tmp_path / "orc_data")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    plan = back.select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint>" in plan, plan
