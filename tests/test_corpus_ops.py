@@ -705,3 +705,37 @@ def test_gumbel_topk_sample_weighted_without_replacement(spark):
         gumbel_topk_sample(df, "lw", key="doc_id")
     with pytest.raises(ValueError, match="exactly one"):
         gumbel_topk_sample(df, "lw", key="doc_id", k=3, fraction=0.5)
+
+
+def test_gumbel_topk_weight_monotonicity(spark):
+    """Structural invariant of Gumbel top-k with hash-pinned noise:
+    raising one row's log weight changes nothing about the other
+    rows' scores, so the new survivor set can differ from the old
+    only by admitting the raised row (evicting at most the old
+    boundary row): new ⊆ old ∪ {raised}."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(120)],
+        "doc_id long, lw double",
+    )
+    old = {
+        r.doc_id
+        for r in gumbel_topk_sample(df, "lw", key="doc_id", k=30).collect()
+    }
+    for raised in (7, 55):  # one likely-out, one arbitrary row
+        bumped = df.withColumn(
+            "lw",
+            F.when(F.col("doc_id") == raised, F.lit(1000.0)).otherwise(
+                F.col("lw")
+            ),
+        )
+        new = {
+            r.doc_id
+            for r in gumbel_topk_sample(
+                bumped, "lw", key="doc_id", k=30
+            ).collect()
+        }
+        assert raised in new
+        assert new <= old | {raised}, (raised, new - old)
+        assert len(new) == 30
