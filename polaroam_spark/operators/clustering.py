@@ -1062,6 +1062,16 @@ def _eject_refine(
                     ejected = True
         if not ejected and not tuned:
             break
+        # densify before the next round's fine-tune: the grow branch
+        # above can hand out fresh ids >= n within a pass (eject ->
+        # merge-into-neighbor -> re-eject churn), but
+        # _mapeq_local_moves allocates n-sized per-module arrays and
+        # requires ids < n — feeding it a grown label would raise
+        # IndexError. After densify at most n/2 fresh pairs exist, so
+        # ids are < n again.
+        if next_free > n:
+            _, labels = np.unique(labels, return_inverse=True)
+            labels = labels.astype(np.int64)
     return labels
 
 

@@ -1051,3 +1051,60 @@ def test_eject_refine_descends_and_is_deterministic(seed):
     assert len(ref) == n
     l1 = map_equation_value(n, edges, w, ref)
     assert l1 <= l0 + 1e-9, (seed, l0, l1)
+
+
+def test_eject_refine_densifies_grown_ids_between_rounds(monkeypatch):
+    """r11 ADVICE regression (clustering.py grow branch): the
+    pair-move pass may hand out fresh module ids >= n (eject ->
+    merge-into-neighbor -> re-eject churn, reachable since the r11
+    neighbor-destination moves), but ``_mapeq_local_moves`` allocates
+    n-sized per-module arrays and requires ids < n — feeding a grown
+    label into the next round's fine-tune is an IndexError. Two pins:
+    (a) the hazard is real: violating the documented ids<n
+    precondition raises; (b) ``_eject_refine`` never violates it:
+    every init_module it passes across a round boundary is < n,
+    asserted at the call boundary over a fuzz battery of dense
+    weighted graphs started from adversarial one-module inits."""
+    import random
+
+    from polaroam_spark.operators import clustering as C
+
+    # (a) the hazard: a grown id fed to fine-tune raises
+    adj = [{1: 1.0}, {0: 1.0, 2: 1.0}, {1: 1.0}]
+    strength = np.array([1.0, 2.0, 1.0])
+    bad = np.array([0, 3, 0], dtype=np.int64)  # id 3 >= n == 3
+    with pytest.raises(IndexError):
+        C._mapeq_local_moves(adj, strength, 4.0, init_module=bad)
+
+    # (b) the contract: _eject_refine keeps round-boundary ids < n
+    real = C._mapeq_local_moves
+    seen = {"calls": 0}
+
+    def checked(adj, strength, tot_w, *a, **kw):
+        init = kw.get("init_module")
+        if init is not None:
+            seen["calls"] += 1
+            assert int(np.max(init)) < len(adj), int(np.max(init))
+        return real(adj, strength, tot_w, *a, **kw)
+
+    monkeypatch.setattr(C, "_mapeq_local_moves", checked)
+    for seed in range(40):
+        rnd = random.Random(seed)
+        n = rnd.randint(8, 40)
+        adjr = [dict() for _ in range(n)]
+        for _ in range(rnd.randint(n, 4 * n)):
+            i, j = rnd.randrange(n), rnd.randrange(n)
+            if i == j:
+                continue
+            w = float(rnd.choice([0.5, 1.0, 4.0]))
+            adjr[i][j] = adjr[i].get(j, 0.0) + w
+            adjr[j][i] = adjr[j].get(i, 0.0) + w
+        s = np.array([sum(d.values()) for d in adjr])
+        tot = float(s.sum())
+        if tot == 0.0:
+            continue
+        out = C._eject_refine(
+            adjr, s, tot, np.zeros(n, dtype=np.int64)
+        )
+        assert len(out) == n
+    assert seen["calls"] > 0  # the boundary was actually exercised
