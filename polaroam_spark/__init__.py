@@ -16,9 +16,10 @@ DataFrame pipelines, designed for 100 TB scale:
   analysis, and multimodal column plumbing.
 """
 
+from polaroam_spark.cache import unpersist_caches
 from polaroam_spark.session import get_spark
 from polaroam_spark.api import StopDetect, HWEstimate
 
-__all__ = ["get_spark", "StopDetect", "HWEstimate"]
+__all__ = ["get_spark", "StopDetect", "HWEstimate", "unpersist_caches"]
 
 __version__ = "0.1.0"

@@ -66,10 +66,10 @@ def _shingle_set(text_col: str, shingle_k: int, portable: bool) -> F.Column:
     length). The exact-Jaccard verify then intersects long sets —
     identical up to 64-bit collisions (~1e-10 at corpus scale)."""
     if portable:
-        return F.array_distinct(word_shingles(tokens(text_col), shingle_k))
+        return F.array_distinct(word_shingles(tokens(text_col), shingle_k, assume_no_nulls=True))
     return F.array_distinct(
         F.transform(
-            word_shingles(tokens(text_col), shingle_k),
+            word_shingles(tokens(text_col), shingle_k, assume_no_nulls=True),
             lambda t: F.xxhash64(t),
         )
     )
@@ -820,13 +820,13 @@ def _gram_hits(
     corpus_grams = corpus_toks.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(word_shingles(F.col("_ctoks"), k))
+            F.array_distinct(word_shingles(F.col("_ctoks"), k, assume_no_nulls=True))
         ).alias("_gram"),
     ).select(id_col, fast_hash64("_gram").alias("_gh"))
     eval_grams = (
         eval_subset.select(
             F.explode(
-                F.array_distinct(word_shingles(tokens(eval_text_col), k))
+                F.array_distinct(word_shingles(tokens(eval_text_col), k, assume_no_nulls=True))
             ).alias("_gram")
         )
         .select(fast_hash64("_gram").alias("_gh"))
@@ -899,11 +899,17 @@ def ngram_overlap_counts(
     if short_lens:
         # > 1 corpus pass ahead: materialize the token arrays once
         # (spills to disk past memory; left cached for the caller's
-        # action — Spark evicts LRU, and an explicit unpersist here
-        # would run before the lazy result ever executes)
+        # action — an explicit unpersist here would run before the
+        # lazy result ever executes). Registered with the session
+        # cache registry: polaroam_spark.unpersist_caches() releases
+        # it once the caller's terminal action has run (r11 ADVICE:
+        # long-lived sessions otherwise accumulate caches and rely
+        # purely on LRU eviction)
         from pyspark import StorageLevel
 
-        c_toks = c_toks.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..cache import track
+
+        c_toks = track(c_toks.persist(StorageLevel.MEMORY_AND_DISK))
     hits = [
         _gram_hits(
             c_toks, base_eval, n, id_col, eval_text_col,
@@ -988,7 +994,7 @@ def eval_contamination_report(
                     F.col(eval_id).alias("_eid"),
                     F.explode(
                         F.array_distinct(
-                            word_shingles(tokens(eval_text_col), k)
+                            word_shingles(tokens(eval_text_col), k, assume_no_nulls=True)
                         )
                     ).alias("_gram"),
                 )
@@ -998,7 +1004,7 @@ def eval_contamination_report(
         c_g = c_toks.select(
             "_cid",
             F.explode(
-                F.array_distinct(word_shingles(F.col("_ctoks"), k))
+                F.array_distinct(word_shingles(F.col("_ctoks"), k, assume_no_nulls=True))
             ).alias("_gram"),
         ).select("_cid", fast_hash64("_gram").alias("_gh"))
         e = F.broadcast(ev_g) if broadcast_eval else ev_g
@@ -1015,10 +1021,13 @@ def eval_contamination_report(
         ]
     if short_lens:
         # > 1 corpus pass ahead: materialize token arrays once (see
-        # ngram_overlap_counts for the persist rationale)
+        # ngram_overlap_counts for the persist + registry rationale;
+        # polaroam_spark.unpersist_caches() releases it)
         from pyspark import StorageLevel
 
-        c_toks = c_toks.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..cache import track
+
+        c_toks = track(c_toks.persist(StorageLevel.MEMORY_AND_DISK))
     parts = [_pairs(eval_df.filter(ev_len >= F.lit(n)), n, False)]
     for L in sorted(short_lens):
         parts.append(

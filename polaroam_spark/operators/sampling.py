@@ -422,6 +422,8 @@ def gumbel_topk_sample(
     fraction: "float | None" = None,
     k: "int | None" = None,
     seed: int = 29,
+    driver_cap: int = 1_000_000,
+    single_part_cap: int = 2_000_000,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement via the Gumbel top-k
     trick, deterministic: keep the ``k`` rows maximizing
@@ -443,13 +445,18 @@ def gumbel_topk_sample(
     set is a pure function of (weights, keys, seed).
 
     Plan shape at 100 TB: the rank runs over a PROJECTED (key,
-    score) frame — two skinny columns sort, never whole documents —
-    and survivors semi-join back by key (broadcast when small). The
-    u=0 edge is unreachable: the uniform is (hash + 0.5) / 2^60,
+    score) frame — two skinny columns, never whole documents — and
+    survivors semi-join back by key (broadcast when small). The
+    top-k itself goes through
+    :func:`polaroam_spark.operators.selection.exact_global_topk`:
+    ``TakeOrderedAndProject`` (per-partition heaps, no global sort)
+    when ``k <= driver_cap``, else verified-threshold band
+    refinement — every stage distributed, so the r11 shape's hidden
+    single-task global ``row_number()`` window is gone. ``driver_cap``
+    / ``single_part_cap`` pass through (lower them only in tests).
+    The u=0 edge is unreachable: the uniform is (hash + 0.5) / 2^60,
     strictly inside (0, 1).
     """
-    from pyspark.sql import Window
-
     if (fraction is None) == (k is None):
         raise ValueError("pass exactly one of fraction= or k=")
     if fraction is not None and not 0.0 <= float(fraction) <= 1.0:
@@ -464,12 +471,19 @@ def gumbel_topk_sample(
     score = F.col(log_weight_col).cast("double") - F.log(-F.log(u))
     narrow = weighted.select(F.col(key), score.alias("_gk_score"))
     if k is None:
+        if float(fraction) == 1.0:
+            return weighted
         n = narrow.count()  # one count over the skinny projection
         k = int(math.ceil(float(fraction) * n))
-    w = Window.orderBy(F.desc("_gk_score"), F.col(key))
-    keep = (
-        narrow.withColumn("_gk_rank", F.row_number().over(w))
-        .filter(F.col("_gk_rank") <= F.lit(int(k)))
-        .select(key)
-    )
+    from .selection import exact_global_topk
+
+    keep = exact_global_topk(
+        narrow,
+        int(k),
+        "_gk_score",
+        key,
+        driver_cap=driver_cap,
+        single_part_cap=single_part_cap,
+        seed=seed + 101,
+    ).select(key)
     return weighted.join(keep, on=key, how="left_semi")

@@ -1,0 +1,195 @@
+"""Exact distributed global selection (top-k without a global sort).
+
+The naive exact global top-k — ``row_number() OVER (ORDER BY ...)``
+— moves every row into ONE task: Spark plans an empty-frame window as
+a single partition, so the "skinny sort" stalls or OOMs at billions
+of rows. This module provides the scale path: an exact, deterministic
+top-k by ``(score DESC, key ASC)`` whose every stage is distributed
+and whose every intermediate frame is a PURE FILTER of the input, so
+a lost block / task retry recomputes the identical rows (no reliance
+on Spark's seeded range sampler, which re-draws per materialization).
+
+Used by :func:`polaroam_spark.operators.sampling.gumbel_topk_sample`
+(the DSIR sampling step) and usable standalone for any "exact top-k
+of a huge frame" need the reference's LIMIT-after-SORT covers
+(reference read_localize_write.py drives sorted heads through Polars'
+single-node sort; here the same semantics must hold on a cluster).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fast_hash64
+
+_SAMPLE_MOD = 1 << 20
+
+
+def exact_global_topk(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    key_col: str,
+    *,
+    driver_cap: int = 1_000_000,
+    single_part_cap: int = 2_000_000,
+    sample_target: int = 200_000,
+    seed: int = 17,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT top-``k`` rows of ``df`` by ``(score DESC, key ASC)``,
+    computed without ever sorting the full frame in one task.
+
+    Semantics are identical to
+    ``df.withColumn(r, row_number().over(Window.orderBy(desc(score),
+    key))).filter(r <= k)`` — same rows, bit-for-bit — but the plan
+    scales:
+
+    - ``k <= driver_cap``: ``orderBy(...).limit(k)``, which Catalyst
+      plans as ``TakeOrderedAndProject`` — per-partition top-k heaps
+      merged on the driver, O(k) driver memory, no shuffle of the
+      losers.
+    - ``k > driver_cap``: iterative threshold refinement (classic
+      distributed selection). Each round (a) counts the candidate
+      band, (b) draws a deterministic hash sample of its scores
+      (``xxhash64(key, seed)`` — a pure function of the data, so
+      retries resample identically), (c) picks candidate thresholds
+      at the sample's ``need/band`` quantile ± a
+      ``4/sqrt(effective samples)`` margin, (d) VERIFIES them with
+      one exact count: rows above ``hi`` are provably in the top-k
+      (kept by filter, never shuffled), rows below ``lo`` provably
+      out. The band between shrinks ~50x per round; once the
+      remaining ``need`` fits ``driver_cap`` (or the band fits
+      ``single_part_cap``) the tail is resolved exactly. The sample
+      only steers EFFICIENCY — correctness comes from the verified
+      counts, so a bad sample costs a retry, never a wrong row.
+
+    Determinism: thresholds are pure functions of the data and
+    ``seed``; kept sets are filters ``score > hi`` with ``hi`` an
+    exact collected double; ties on ``score`` stay in the band and
+    are resolved by the final exact rank with the ``key`` tiebreak.
+
+    Preconditions: ``score_col`` non-NULL (filter first; NaN follows
+    Spark's NaN-greatest ordering on both paths but differs from
+    ANSI oracles — keep NaN out of scored frames).
+
+    Degenerate guard: if a round cannot shrink the band (e.g. nearly
+    all scores identical, so no threshold separates it), the band is
+    ranked in a single partition regardless of size, with a
+    ``UserWarning`` — exact result, degraded plan, never wrong.
+    """
+    k = int(k)
+    if k <= 0:
+        return df.limit(0)
+    score = F.col(score_col).cast("double")
+    key = F.col(key_col)
+
+    def _take_ordered(frame: DataFrame, n: int) -> DataFrame:
+        return frame.orderBy(score.desc(), key.asc()).limit(int(n))
+
+    if k <= int(driver_cap):
+        return _take_ordered(df, k)
+
+    def _rank_band(frame: DataFrame, n: int) -> DataFrame:
+        w = Window.orderBy(score.desc(), key.asc())
+        return (
+            frame.withColumn("_topk_rn", F.row_number().over(w))
+            .filter(F.col("_topk_rn") <= F.lit(int(n)))
+            .drop("_topk_rn")
+        )
+
+    hi: "float | None" = None  # score > hi  => definitely kept
+    lo: "float | None" = None  # score <= lo => definitely out
+    need = k
+
+    def _band_filter():
+        f = F.lit(True)
+        if hi is not None:
+            f = f & (score <= F.lit(hi))
+        if lo is not None:
+            f = f & (score > F.lit(lo))
+        return f
+
+    for rnd in range(int(max_rounds)):
+        band = df.filter(_band_filter())
+        if need <= int(driver_cap):
+            tail = _take_ordered(band, need)
+            break
+        bc = band.count()
+        if bc <= max(int(single_part_cap), need):
+            tail = _rank_band(band, need)
+            break
+        # deterministic hash sample of the band's scores
+        rate = min(1.0, float(sample_target) / float(bc))
+        thresh = max(1, int(rate * _SAMPLE_MOD))
+        samp_rows = (
+            band.filter(
+                F.pmod(
+                    fast_hash64(key.cast("string"), seed + 7919 * rnd),
+                    F.lit(_SAMPLE_MOD),
+                )
+                < F.lit(thresh)
+            )
+            .select(score.alias("_s"))
+            .collect()
+        )
+        samples = sorted((r[0] for r in samp_rows), reverse=True)
+        s = len(samples)
+        frac = float(need) / float(bc)
+        new_hi = new_lo = None
+        if s > 0:
+            eps = max(0.02, 4.0 / math.sqrt(max(1.0, s * frac)))
+            for _ in range(4):  # widen margins until counts verify
+                i_hi = int(s * frac * (1.0 - eps)) - 1
+                i_lo = int(math.ceil(s * frac * (1.0 + eps)))
+                cand_hi = samples[i_hi] if i_hi >= 0 else math.inf
+                cand_lo = samples[i_lo] if i_lo < s else -math.inf
+                cnt = band.agg(
+                    F.count(
+                        F.when(score > F.lit(cand_hi), 1)
+                    ).alias("chi"),
+                    F.count(
+                        F.when(score > F.lit(cand_lo), 1)
+                    ).alias("clo"),
+                ).collect()[0]
+                c_hi, c_lo = int(cnt["chi"]), int(cnt["clo"])
+                if c_hi <= need and c_lo >= need:
+                    if math.isfinite(cand_hi) and c_hi > 0:
+                        new_hi, need = cand_hi, need - c_hi
+                    if math.isfinite(cand_lo) and c_lo < bc:
+                        new_lo = cand_lo
+                    break
+                eps = min(1.0, eps * 2.0)
+        progressed = False
+        if new_hi is not None and (hi is None or new_hi < hi):
+            hi, progressed = new_hi, True
+        if new_lo is not None and (lo is None or new_lo > lo):
+            lo, progressed = new_lo, True
+        if not progressed:
+            warnings.warn(
+                f"exact_global_topk: band of {bc} rows has no "
+                "separating score threshold (near-constant scores?) "
+                "— resolving it in a single-partition rank; exact "
+                "but not distributed",
+                UserWarning,
+                stacklevel=2,
+            )
+            tail = _rank_band(band, need)
+            break
+    else:
+        warnings.warn(
+            f"exact_global_topk: {max_rounds} refinement rounds did "
+            "not shrink the band under the caps — resolving the "
+            "remainder in a single-partition rank",
+            UserWarning,
+            stacklevel=2,
+        )
+        tail = _rank_band(df.filter(_band_filter()), need)
+
+    if hi is None:
+        return tail
+    return df.filter(score > F.lit(hi)).unionByName(tail)

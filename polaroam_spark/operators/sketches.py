@@ -362,7 +362,7 @@ def bloom_decontaminate(
         eval_df.filter(F.array_size(eval_toks) >= F.lit(n))
         .select(
             F.explode(
-                F.array_distinct(word_shingles(eval_toks, n))
+                F.array_distinct(word_shingles(eval_toks, n, assume_no_nulls=True))
             ).alias("_gram")
         )
         .select(ghash("_gram").alias("_gh"))
@@ -374,7 +374,7 @@ def bloom_decontaminate(
     corpus_grams = corpus.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(word_shingles(tokens(text_col), n))
+            F.array_distinct(word_shingles(tokens(text_col), n, assume_no_nulls=True))
         ).alias("_gram"),
     ).select(id_col, ghash("_gram").alias("_gh"))
     probed = probe_bloom(

@@ -176,7 +176,7 @@ def repetition_ratio(
     """
     from polaroam_spark.functions.text import tokens, word_shingles
 
-    grams = word_shingles(tokens(text_col), n)
+    grams = word_shingles(tokens(text_col), n, assume_no_nulls=True)
     hist = (
         df.select(F.col(id_col), F.explode_outer(grams).alias("_gram"))
         .groupBy(id_col, "_gram")
@@ -396,7 +396,7 @@ def document_fingerprint(
     from polaroam_spark.operators.dedup import normalize_text
 
     norm = normalize_text(text_col)
-    grams = word_shingles(tokens(text_col), 5)
+    grams = word_shingles(tokens(text_col), 5, assume_no_nulls=True)
     return df.withColumns(
         {
             "md5_fingerprint": F.md5(norm),
@@ -785,14 +785,18 @@ def dsir_importance_weights(
     # join AND its own scalar total — and without the persist Spark
     # re-derives the lineage per consumer, i.e. a full extra corpus
     # scan + gram explode just to sum 10k counts (measured: 145 s →
-    # 93 s at the 1M-doc probe, BASELINE.md r11)
-    raw = (
+    # 93 s at the 1M-doc probe, BASELINE.md r11). Registered with the
+    # session cache registry (polaroam_spark.unpersist_caches()) so
+    # long-lived sessions can release them (r11 ADVICE)
+    from ..cache import track
+
+    raw = track(
         _buckets(corpus, [])
         .groupBy("_bucket")
         .agg(F.count("*").cast("double").alias("_c_raw"))
         .persist()
     )
-    tgt = (
+    tgt = track(
         _buckets(target, [])
         .groupBy("_bucket")
         .agg(F.count("*").cast("double").alias("_c_tgt"))

@@ -453,8 +453,11 @@ def test_dsir_weights_broadcast_bucket_table(spark, docs):
 
 def test_gumbel_topk_ranks_projected_frame(spark, docs):
     """Gumbel top-k must rank a skinny (key, score) projection and
-    semi-join survivors back — whole rows never enter the global
-    sort."""
+    semi-join survivors back — whole rows never enter the top-k. The
+    small-k path must compile to TakeOrderedAndProject (per-partition
+    heaps merged on the driver), NOT a global Window: r11's
+    ``row_number() OVER (ORDER BY ...)`` funneled every row through a
+    single task (r11 ADVICE finding)."""
     from polaroam_spark.operators.sampling import gumbel_topk_sample
 
     weighted = docs.select(
@@ -463,10 +466,8 @@ def test_gumbel_topk_ranks_projected_frame(spark, docs):
     plan = _plan(gumbel_topk_sample(weighted, "_lw", key="doc_id", k=5))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # the Window's sort input carries only the projected columns:
-    # the text column must not appear between the projection and the
-    # rank (it reappears after the semi join)
-    import re
-
-    win = plan[plan.index("Window") :]
-    assert "_gk_score" in win
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # the heap input carries only the projected columns
+    toap = plan[plan.index("TakeOrderedAndProject") :]
+    assert "_gk_score" in toap

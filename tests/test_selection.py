@@ -1,0 +1,123 @@
+"""exact_global_topk: the distributed exact top-k that replaced the
+single-task global Window in gumbel_topk_sample (r11 ADVICE)."""
+
+import random
+import warnings
+
+import pytest
+
+from polaroam_spark.operators.selection import exact_global_topk
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k long, s double, payload string")
+
+
+def _truth(rows, k):
+    return {
+        r[0]
+        for r in sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    }
+
+
+def test_exact_global_topk_all_paths_match_naive(spark):
+    """Every path — TakeOrderedAndProject (k <= driver_cap), band
+    refinement (tiny caps force multiple verified-threshold rounds),
+    and the single-partition band exit — must return exactly the
+    top-k set by (score DESC, key ASC), including duplicate scores
+    resolved by the key tiebreak."""
+    rnd = random.Random(5)
+    rows = [
+        (i, rnd.choice([0.0, 1.0, 2.5]) + rnd.random(), f"p{i}")
+        for i in range(500)
+    ]
+    # inject exact duplicate scores to exercise the tiebreak
+    rows += [(1000 + i, 1.75, "dup") for i in range(10)]
+    df = _frame(spark, rows)
+    for k in (0, 1, 7, 100, 499, 510, 600):
+        expect = _truth(rows, k)
+        got = {
+            r.k for r in exact_global_topk(df, k, "s", "k").collect()
+        }
+        assert got == expect, ("driver path", k)
+        got_band = {
+            r.k
+            for r in exact_global_topk(
+                df,
+                k,
+                "s",
+                "k",
+                driver_cap=5,
+                single_part_cap=20,
+                sample_target=64,
+            ).collect()
+        }
+        assert got_band == expect, ("band path", k)
+
+
+def test_exact_global_topk_constant_scores_degrade_with_warning(spark):
+    """No threshold separates a constant-score frame: the band path
+    must fall back to a single-partition rank (exact result) and say
+    so with a UserWarning instead of looping or returning wrong
+    rows."""
+    rows = [(i, 1.0, "x") for i in range(300)]
+    df = _frame(spark, rows)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r.k
+            for r in exact_global_topk(
+                df,
+                40,
+                "s",
+                "k",
+                driver_cap=5,
+                single_part_cap=20,
+                sample_target=64,
+            ).collect()
+        }
+    assert got == set(range(40))  # key-ascending tiebreak
+    assert any("single-partition" in str(x.message) for x in w)
+
+
+def test_exact_global_topk_determinism_across_runs(spark):
+    """The band path's thresholds are pure functions of the data and
+    seed — two runs must select identical sets."""
+    rnd = random.Random(11)
+    rows = [(i, rnd.gauss(0, 3), "x") for i in range(800)]
+    df = _frame(spark, rows)
+    kw = dict(driver_cap=10, single_part_cap=30, sample_target=100)
+    a = {r.k for r in exact_global_topk(df, 200, "s", "k", **kw).collect()}
+    b = {r.k for r in exact_global_topk(df, 200, "s", "k", **kw).collect()}
+    assert a == b == _truth(rows, 200)
+
+
+def test_gumbel_topk_band_path_matches_default(spark):
+    """gumbel_topk_sample must select the same survivor set whether
+    the top-k resolves through TakeOrderedAndProject or through band
+    refinement (caps lowered to force it)."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17) / 4.0) for i in range(400)],
+        "doc_id long, lw double",
+    )
+    base = {
+        r.doc_id
+        for r in gumbel_topk_sample(
+            df, "lw", key="doc_id", fraction=0.3
+        ).collect()
+    }
+    forced = {
+        r.doc_id
+        for r in gumbel_topk_sample(
+            df,
+            "lw",
+            key="doc_id",
+            fraction=0.3,
+            driver_cap=8,
+            single_part_cap=25,
+        ).collect()
+    }
+    assert base == forced
+    assert len(base) == 120  # ceil(0.3 * 400)

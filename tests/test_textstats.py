@@ -713,3 +713,43 @@ def test_dsir_importance_weights_prefers_target_like_docs(spark):
         dsir_importance_weights(corpus, target, smoothing=0.0)
     with pytest.raises(ValueError, match="num_buckets"):
         dsir_importance_weights(corpus, target, num_buckets=0)
+
+
+def test_word_shingles_drops_null_elements(spark):
+    """r11 ADVICE regression: the zip_with rewrite silently swapped
+    concat_ws (skip-NULL) for concat (NULL-propagating). Pinned rule:
+    NULL elements in a caller-supplied token array are dropped before
+    shingling, so shingles cover the non-null token sequence — never
+    a NULL shingle. assume_no_nulls=True (internal tokens() callers)
+    skips the guard and must agree on null-free input."""
+    from polaroam_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", None, "b", "c"]),
+            (2, ["a", "b", "c", "d"]),
+            (3, [None, None, "x"]),  # shorter than k after filtering
+            (4, [None, None]),  # empty after filtering
+        ],
+        "id long, toks array<string>",
+    )
+    out = {
+        r.id: r.sh
+        for r in df.select(
+            "id", word_shingles("toks", 2).alias("sh")
+        ).collect()
+    }
+    assert out[1] == ["a b", "b c"]
+    assert out[2] == ["a b", "b c", "c d"]
+    assert out[3] == ["x"]
+    assert out[4] == [""]  # whole-sequence fallback on empty
+    fast = {
+        r.id: r.sh
+        for r in df.filter("id = 2")
+        .select(
+            "id",
+            word_shingles("toks", 2, assume_no_nulls=True).alias("sh"),
+        )
+        .collect()
+    }
+    assert fast[2] == out[2]
