@@ -8284,128 +8284,111 @@ def mm3(spark, sf_dir):
 
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
-# rows in every CORRECTNESS_r*.json). WINDOW ARITHMETIC for round 11
-# (VERDICT r10 #2/#3/#8 — state the math IN this comment so a late
-# gate add can't silently push the tail out again):
-#   6 oldest-evidence gates (5 at r4 + w8 at r6)
-# + 1 gate whose oracle/schema CHANGED in r11 (m3d: the pin moved
-#     from the falsified native_not_worse to the bounded-regret
-#     native_within_tol/loss_beyond_tol_bits contract — its old row
-#     describes a different query)
-# + 43 of the 46 r5-stale gates
-# = 50 exactly.
-# The 3 r5 gates trimmed to the back — q1_tpch_pricing,
-# w9_ntile_cume, ts1_resample_linear — are the explicitly-named r12
-# remainder (VERDICT r10 #3 allows >=2 by naming them): all three
-# were independently re-checked clean by the r10 judge and re-verified
-# locally at 3 SFs this round, so their risk is lowest of the block.
-# The r11-NEW gates smp7b/smp8b/t25/smp9/s15 ride at positions
-# 51-55: they have fresh LOCAL 3-SF hash-green evidence
-# (tools/oracle_check.py) and MUST head the r12 window for their
-# first driver rows, together with the q1/w9/ts1 remainder.
-# r12 NOTE: after this round's sweep the oldest driver rows are the
-# 46-gate r7 block (a1-a12 aggregates, p1-p11 projections, j2/j3/
-# j5/j6/j7/j12 joins, w1/w2/w5-w7 windows, s1/s2/s4/s6, q5, t15,
-# mm2, ts3, st7, a20/a21, n4, r8, v3) — window budget: 5 new(r11) +
-# 3 remainder + 42 of that block = 50; the last 4 r7 gates join r13.
-# Everything with a fresher green row and unchanged code rides
-# behind; every gate here has fresh LOCAL 3-SF evidence from the
-# round-11 sweeps regardless of driver-row age.
+# rows in every CORRECTNESS_r*.json). The round-12 window below was
+# DERIVED FROM DATA (latest driver row per gate across all
+# CORRECTNESS_r*.json), not from the r11 note, per the r10 lesson
+# (a hand-maintained note went stale by five gates). Arithmetic is
+# stated inside the list at the window edge.
 _PRIORITY = [
-    # (a) the 6 TRUE oldest (VERDICT r10 #2: the r10 note undercounted
-    # by five — these five r4 rows were displaced past the window edge
-    # by the 8 new r10 gates, w8 has sat at r6 since round 6):
-     "j8_point_in_interval", "r5_pivot", "skw2_salted_hot_join",
-     "t9_detect_language", "w3_gated_cumsum", "w8_compute_intervals",
-    # (b) r11 contract change — must re-drive (see arithmetic above):
-    "m3d_communities_infomap",
-    # (c) 43 of the 46-gate r5-stale block (VERDICT r10 #3):
-     "a15_approx_distinct", "a16_rollup", "a17_cube", "a18_grouping_sets",
+    # (a) the 5 r11-NEW gates — never driver-driven (first rows r12);
+    # all have local 3-SF hash-green evidence from the r11 sweeps.
+    # smp9's top-k path was REWRITTEN this round (r11 ADVICE: the
+    # single-task global Window is now TakeOrderedAndProject / band
+    # refinement via operators/selection.py) — its first driver row
+    # doubles as the rewrite's gate:
+     "smp7b_temperature_sample_weighted",
+     "smp8b_temperature_epoch_plan_mean", "t25_dsir_logweights",
+     "smp9_gumbel_topk", "s15_orc_roundtrip",
+    # (b) the named r12 remainder from the r11 rotation (oldest
+    # driver rows in the registry, r5):
+     "q1_tpch_pricing", "w9_ntile_cume", "ts1_resample_linear",
+    # (c) 42 of the 46-gate r7-stale block — everything else whose
+    # latest driver row is r7, alphabetical:
+     "a10_ratio_aggregates", "a11_having", "a12_global_minmax",
+     "a1_groupby_count", "a20_histogram", "a21_corr_covar", "a2_groupby_sum",
+     "a4_groupby_minmax", "a5_count_per_group", "a6_count_distinct",
+     "a7_first_per_group", "a8_collect_list", "j12_interval_overlap",
+     "j2_left_join_single", "j3_semi_join", "j5_cross_broadcast_scalar",
+     "j6_medoid_joinback", "j7_asof_join", "mm2_png_dims",
+     "n4_embedding_join", "p10_null_checks", "p11_key_equality",
+     "p3_computed_columns", "p6_compound_filter", "p7_range_predicate",
+     "p8_string_inequality", "p9_membership", "q5_tpch_local_supplier",
+     "r8_topk_per_key", "s1_parquet_scan_filter", "s2_parquet_read_agg",
+     "s4_pandas_interchange", "s6_partitioned_write", "st7_streaming_ewma",
+     "t15_unigram_logprob", "ts3_zscore_anomaly", "v3_validate_expectations",
+     "w1_lead", "w2_lag_fill", "w5_rolling_range_window", "w6_row_index",
+     "w7_keep_first",
+    # ---- window edge: position 50 is the last r7 gate above ----
+    # WINDOW ARITHMETIC (VERDICT r10 #8: state it here): 5 new(r11)
+    # + 3 r5 remainder + 42 r7 = 50 exactly. The 4 r7 gates trimmed
+    # to the back — p1_projection, p2_rename, p4_drop_column,
+    # p5_numeric_filter, the lowest-risk pure-projection gates, all
+    # re-verified locally at 3 SFs this round — are the explicitly
+    # named r13 head, together with any r12-new gates inserted just
+    # below this line.
+     "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
+    # (d) everything else rides behind, oldest driver row first
+    # (r8 block, then r9, r10, r11):
+     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
+     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
+     "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
+     "d9_incremental_dedup_pairs", "k1_chunk_documents", "k2_packing_plan",
+     "k3_corpus_vocabulary", "k4_duplicate_components",
+     "k5_materialize_packs", "m2_stop_medians", "m3_communities",
+     "m3b_communities_refine", "m3c_communities_invariants",
+     "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
+     "m7_detect_work", "m8_compute_intervals", "c1_grid_neighbor_pairs",
+     "c3_dbscan_per_user", "c3b_dbscan_distributed", "c4_cluster_medoids",
+     "c5_convex_hull", "c6_max_pairwise_distance", "g4_kcore_invariants",
+     "k6_sentence_chunks", "m1_fit_predict", "mm1_media_features",
+     "mm3_av_headers", "mm4_jpeg_gif_dims", "n1_cosine_topk",
+     "n2_ann_lsh_topk", "n2b_ann_lsh_recall", "n2c_ann_lsh_recall_scaled",
+     "n3_ann_ivf_topk", "n3b_ann_ivf_recall", "n3d_ann_ivf_recall_scaled",
+     "n5_pq_recall", "n6_ivfpq_recall", "q6_curation_membership",
+     "q6b_curation_stats", "smp1_sample_by_hash", "smp2_train_test_split",
+     "smp3_stratified_sample", "smp4_deterministic_shuffle",
+     "st1_streaming_stops", "st2_streaming_counts", "st3_streaming_dedup",
+     "t11_calibrate_scores", "t12_tfidf_top_terms", "t19_dedup_spans",
+     "t1_token_count", "t20_strip_html", "t21_c4_line_filter",
+     "t22_bigram_logprob", "t23_mojibake", "t2_quality_features",
+     "t3_stopword_scores", "t4_fingerprint", "t5_scrub_text",
+     "t6_repetition_ratio", "t7_quality_stratified", "ts2_ewma",
+     "ts2b_ewma_blocked", "u2_filter_by_domain", "w4_detect_stops",
+     "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
+     "a9_grouped_udf", "d13_near_dedup_keep_best",
+     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
+     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
+     "f13_datetime_parts", "f14_iso_weekday", "f15_date_diff_days",
+     "f16_date_trunc_str", "f17_sha_uid_hash", "f18_boolean_algebra",
+     "f19_string_ops", "f1_haversine", "f20_json_extract", "f2_euclidean",
+     "f3_grid_snap", "f4_f5_array_construct_get", "f6_when_otherwise",
+     "f7_literal_cast", "f8_fill_null", "f9_epoch_to_timestamp",
+     "j1_left_join_composite", "j4_left_join_sentinel",
+     "n7_ivfpq_residual_recall", "r1_multi_sort_rank", "r2_distinct_subset",
+     "r3_drop_nulls", "r4_explode", "r4b_multi_explode", "r6_limit",
+     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
+     "s7_csv_sink_roundtrip", "s9_users_with_min_days", "skw1_salted_agg",
+     "smp7_temperature_sample", "smp8_temperature_epoch_plan",
+     "st4_streaming_incremental_dedup", "t10_bpe_token_count",
+     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
+     "v1_vector_normalize", "v2_quantize_roundtrip", "a15_approx_distinct",
+     "a16_rollup", "a17_cube", "a18_grouping_sets",
      "a19_approx_percentile_band", "d10_fuzzy_text_join", "d11_containment",
      "d12_semantic_pairs", "f21_map_ops", "f22_zorder_key",
      "g1_pagerank_invariants", "g2_triangle_count", "g3_clustering_coeff",
      "j10_nullsafe_join", "j11_full_outer", "j7b_asof_join_chunked",
-     "j7c_asof_join_forward", "j8b_point_in_interval_left", "j9_anti_join",
+     "j7c_asof_join_forward", "j8_point_in_interval",
+     "j8b_point_in_interval_left", "j9_anti_join", "m3d_communities_infomap",
      "mm1b_png_decode", "n3c_ann_ivf_prebuilt", "q3_tpch_shipping",
-     "q4_bm25_search", "r7_set_ops", "s10_jsonl_roundtrip",
+     "q4_bm25_search", "r5_pivot", "r7_set_ops", "s10_jsonl_roundtrip",
      "s11_schema_evolution", "s12_upsert_by_key", "s13_compact_files",
-     "s14_column_stats", "smp5_cap_per_key", "smp6_weighted_sample",
-     "st5_stream_stream_join", "st6_streaming_sessions", "t13_gopher_flags",
-     "t14_duplicate_lines", "t16_winsorize", "t17_robust_scale",
-     "t18_duplicated_spans", "w10_session_window", "x1_heavy_hitters",
-     "x2_bloom_membership", "x3_bloom_decontaminate", "x4_hll_two_level",
-    # ---- window edge (position 50 is the last r5 gate above) ----
-    # (d) r11-NEW gates (local 3-SF hash-green; first driver row r12)
-    # and the named 3-gate r12 remainder:
-     "smp7b_temperature_sample_weighted",
-     "smp8b_temperature_epoch_plan_mean", "t25_dsir_logweights",
-     "smp9_gumbel_topk", "s15_orc_roundtrip",
-     "q1_tpch_pricing", "w9_ntile_cume", "ts1_resample_linear",
-    # (e) gates whose code r11 touches with UNCHANGED outputs, all
-    # re-verified locally at 3 SFs this round (temperature zero-mass
-    # guard, d14/d7 single-tokenization, residual build warning,
-    # infomap pair-move refinement):
-     "smp7_temperature_sample", "smp8_temperature_epoch_plan",
-     "d14_eval_contamination_report", "d7_decontaminate",
-     "t24_bigram_logprob_reference", "n5_pq_recall", "n6_ivfpq_recall",
-     "n7_ivfpq_residual_recall", "m3b_communities_refine",
-     "m3c_communities_invariants", "m3_communities", "u1_url_features",
-     "d13_near_dedup_keep_best",
-    # ---- fresher greens ride behind (r9/r10 windows first) --------
-     "f1_haversine", "f2_euclidean", "f3_grid_snap",
-     "f4_f5_array_construct_get", "f6_when_otherwise", "f7_literal_cast",
-     "f8_fill_null", "f9_epoch_to_timestamp", "f10_timestamp_to_epoch",
-     "f11_tz_convert", "f12_tz_restamp", "f13_datetime_parts",
-     "f14_iso_weekday", "f15_date_diff_days", "f16_date_trunc_str",
-     "f17_sha_uid_hash", "f18_boolean_algebra", "f19_string_ops",
-     "f20_json_extract", "r1_multi_sort_rank", "r2_distinct_subset",
-     "r3_drop_nulls", "r4_explode", "r4b_multi_explode", "r6_limit",
-     "j1_left_join_composite", "j4_left_join_sentinel", "a3_groupby_median",
-     "a9_grouped_udf", "a13_exact_percentiles", "a14_time_rollup",
-     "skw1_salted_agg", "t8_pii_counts", "t10_bpe_token_count",
-     "v1_vector_normalize", "v2_quantize_roundtrip", "s3_csv_gz_roundtrip",
-     "s5_parquet_sink_roundtrip", "s7_csv_sink_roundtrip",
-     "s9_users_with_min_days", "evt1_signup_purchase_funnel",
-     "st4_streaming_incremental_dedup", "u2_filter_by_domain",
-     "c3b_dbscan_distributed", "q6_curation_membership",
-     "q6b_curation_stats", "mm3_av_headers", "n2b_ann_lsh_recall",
-     "n3b_ann_ivf_recall", "n2c_ann_lsh_recall_scaled",
-     "n3d_ann_ivf_recall_scaled", "t1_token_count", "t2_quality_features",
-     "t3_stopword_scores", "t4_fingerprint", "t5_scrub_text",
-     "t6_repetition_ratio", "t7_quality_stratified", "t11_calibrate_scores",
-     "t12_tfidf_top_terms", "smp1_sample_by_hash", "smp2_train_test_split",
-     "smp3_stratified_sample", "smp4_deterministic_shuffle",
-     "st1_streaming_stops", "st2_streaming_counts", "st3_streaming_dedup",
-     "n1_cosine_topk", "n2_ann_lsh_topk", "n3_ann_ivf_topk",
-     "mm1_media_features", "w4_detect_stops", "g4_kcore_invariants",
-     "mm4_jpeg_gif_dims", "k6_sentence_chunks", "t20_strip_html",
-     "t21_c4_line_filter", "t22_bigram_logprob", "t23_mojibake",
-     "t19_dedup_spans", "ts2_ewma", "ts2b_ewma_blocked",
-     "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c4_cluster_medoids",
-     "c5_convex_hull", "c6_max_pairwise_distance", "m1_fit_predict",
-     "m2_stop_medians", "m5_prepare_labeling", "m6_detect_home",
-     "m7_detect_work", "m8_compute_intervals", "m4_compute_dbscan",
-     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-     "d6_near_dedup_survivors", "d8_dedup_lines",
-     "d9_incremental_dedup_pairs", "k1_chunk_documents", "k2_packing_plan",
-     "k3_corpus_vocabulary", "k4_duplicate_components",
-     "k5_materialize_packs", "j7_asof_join", "a20_histogram",
-     "a21_corr_covar", "v3_validate_expectations", "n4_embedding_join",
-     "q5_tpch_local_supplier", "t15_unigram_logprob", "r8_topk_per_key",
-     "j12_interval_overlap", "mm2_png_dims", "ts3_zscore_anomaly",
-     "st7_streaming_ewma", "s1_parquet_scan_filter", "s2_parquet_read_agg",
-     "s4_pandas_interchange", "s6_partitioned_write", "p1_projection",
-     "p2_rename", "p3_computed_columns", "p4_drop_column",
-     "p5_numeric_filter", "p6_compound_filter", "p7_range_predicate",
-     "p8_string_inequality", "p9_membership", "p10_null_checks",
-     "p11_key_equality", "j2_left_join_single", "j3_semi_join",
-     "j5_cross_broadcast_scalar", "j6_medoid_joinback", "a1_groupby_count",
-     "a2_groupby_sum", "a4_groupby_minmax", "a5_count_per_group",
-     "a6_count_distinct", "a7_first_per_group", "a8_collect_list",
-     "a10_ratio_aggregates", "a11_having", "a12_global_minmax", "w1_lead",
-     "w2_lag_fill", "w5_rolling_range_window", "w6_row_index",
-     "w7_keep_first",
+     "s14_column_stats", "skw2_salted_hot_join", "smp5_cap_per_key",
+     "smp6_weighted_sample", "st5_stream_stream_join",
+     "st6_streaming_sessions", "t13_gopher_flags", "t14_duplicate_lines",
+     "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
+     "t9_detect_language", "w10_session_window", "w3_gated_cumsum",
+     "w8_compute_intervals", "x1_heavy_hitters", "x2_bloom_membership",
+     "x3_bloom_decontaminate", "x4_hll_two_level",
 ]
 
 
