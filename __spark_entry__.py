@@ -7890,6 +7890,46 @@ def smp9(spark, sf_dir):
 
 
 @_q(
+    "smp9b_gumbel_topk_band",
+    "WITH w AS (SELECT doc_id, n_chars, "
+    "CAST(n_chars AS DOUBLE) / 200.0 "
+    "- ln(-ln((CAST(('0x' || substr(md5('31:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5) "
+    "/ 1152921504606846976.0)) AS score "
+    "FROM documents), "
+    "k AS (SELECT CAST(ceil(0.35 * count(*)) AS BIGINT) AS k FROM w), "
+    "r AS (SELECT doc_id, n_chars, "
+    "row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM w) "
+    "SELECT doc_id, n_chars FROM r, k WHERE rn <= k.k",
+)
+def smp9b(spark, sf_dir):
+    """Gumbel top-k through the DISTRIBUTED selection path
+    (operators/selection.py:exact_global_topk, r12 — replaces the
+    r11 single-task global row_number window, r11 ADVICE finding):
+    driver_cap/single_part_cap are forced tiny so the verified-
+    threshold band refinement actually iterates at every SF; the
+    oracle is the same exact global-rank replay as smp9, so this
+    gate pins path-equivalence — band refinement must select the
+    bit-identical survivor set a naive global rank would."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / 200.0).alias("_lw"),
+    )
+    return gumbel_topk_sample(
+        docs,
+        "_lw",
+        key="doc_id",
+        fraction=0.35,
+        seed=31,
+        driver_cap=10,
+        single_part_cap=50,
+    ).select("doc_id", "n_chars")
+
+
+@_q(
     "t20_strip_html",
     """SELECT doc_id,
   trim(regexp_replace(
@@ -8327,6 +8367,9 @@ _PRIORITY = [
     # named r13 head, together with any r12-new gates inserted just
     # below this line.
      "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
+    # r12-NEW gates (local 3-SF evidence this round; first driver
+    # rows r13):
+     "smp9b_gumbel_topk_band",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
