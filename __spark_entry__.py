@@ -7240,6 +7240,74 @@ def v3(spark, sf_dir):
 
 
 @_q(
+    "v4_pca_whiten_invariants",
+    "SELECT (SELECT count(*) FROM embeddings) AS n, 64 AS dim, "
+    "TRUE AS centered_ok, TRUE AS identity_cov_ok, "
+    "TRUE AS explained_desc_ok, 1.0 AS explained_sum",
+)
+def v4(spark, sf_dir):
+    """PCA whitening certification (operators/vectors.py:pca_whiten,
+    r12 — the m3c invariant-gate pattern for an op whose outputs an
+    ANSI oracle cannot reproduce, eigenvectors being sign/basis
+    ambiguous): the whitened corpus must be exactly what whitening
+    promises — per-dimension mean 0, covariance the identity,
+    explained-variance shares descending and summing to 1. The
+    checks re-run the SAME one-pass distributed moment aggregation
+    the fit uses (mapInPandas partials, driver reduce), so the gate
+    exercises fit + apply + the covariance path end to end; booleans
+    are pinned TRUE with hard tolerances (1e-6), so a regression in
+    the partial-sum reduce, the eigh ordering, the sign canonical-
+    ization, or the projection matmul flips the gate red."""
+    import numpy as np
+
+    from polaroam_spark.operators.vectors import (
+        _partial_moment_stats,
+        pca_whiten,
+    )
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out, model = pca_whiten(emb, "embedding")
+    d = int(model["components"].shape[0])
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    parts = (
+        out.select("whitened")
+        .mapInPandas(_partial_moment_stats("whitened", d), schema=schema)
+        .collect()
+    )
+    n = sum(int(r["n"]) for r in parts)
+    sv = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in parts:
+        sv += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = sv / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    expl = np.asarray(model["explained"])
+    row = (
+        int(n),
+        d,
+        bool(np.abs(mean).max() < 1e-6),
+        bool(np.abs(cov - np.eye(d)).max() < 1e-6),
+        bool((np.diff(expl) <= 1e-12).all()),
+        float(round(float(expl.sum()), 6)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n long, dim int, centered_ok boolean, identity_cov_ok "
+        "boolean, explained_desc_ok boolean, explained_sum double",
+    )
+
+
+@_q(
     "n4_embedding_join",
     """WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -8369,7 +8437,7 @@ _PRIORITY = [
      "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
     # r12-NEW gates (local 3-SF evidence this round; first driver
     # rows r13):
-     "smp9b_gumbel_topk_band",
+     "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",

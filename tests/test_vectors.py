@@ -99,3 +99,113 @@ def test_arrow_scorer_null_vectors_score_null(spark):
     assert got[2] is None and got[3] is None
     assert nat[2] is None and nat[3] is None
     assert abs(got[1] - 1.0) < 1e-12
+
+
+# ---- PCA / whitening over embedding columns (operators/vectors.py, r12) ----
+
+import numpy as np
+import pytest
+
+from polaroam_spark.operators.vectors import (
+    apply_whitening,
+    fit_pca_whitening,
+    pca_whiten,
+)
+
+
+def _emb_df(spark, x):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _rand(n=300, d=8, seed=3):
+    rng = np.random.RandomState(seed)
+    # anisotropic + correlated + shifted: whitening has real work
+    a = rng.randn(d, d)
+    return rng.randn(n, d) @ a + rng.randn(d) * 5.0
+
+
+def test_whitening_matches_numpy_differential(spark):
+    """The distributed one-pass covariance + driver eigh must agree
+    with a plain numpy fit on the collected data, and the projected
+    output must be whitened: zero mean, identity covariance."""
+    x = _rand()
+    df = _emb_df(spark, x)
+    out, model = pca_whiten(df, "embedding")
+    # model vs numpy ground truth
+    assert model["n"] == len(x)
+    np.testing.assert_allclose(model["mean"], x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    np.testing.assert_allclose(model["eigvals"], ev, rtol=1e-8)
+    # projected output is whitened
+    y = np.stack(
+        [r.whitened for r in out.orderBy("vec_id").collect()]
+    )
+    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-8)
+    np.testing.assert_allclose(
+        np.cov(y, rowvar=False), np.eye(x.shape[1]), atol=1e-6
+    )
+    # explained variance sums to 1 and is descending
+    expl = model["explained"]
+    assert abs(expl.sum() - 1.0) < 1e-9
+    assert (np.diff(expl) <= 1e-12).all()
+
+
+def test_whitening_truncation_and_zca(spark):
+    x = _rand(n=200, d=6, seed=7)
+    df = _emb_df(spark, x)
+    out, model = pca_whiten(df, "embedding", k=3)
+    assert model["components"].shape == (3, 6)
+    y = np.stack([r.whitened for r in out.orderBy("vec_id").collect()])
+    assert y.shape == (200, 3)
+    np.testing.assert_allclose(
+        np.cov(y, rowvar=False), np.eye(3), atol=1e-6
+    )
+    # ZCA: square, whitened, and closest-to-input (symmetric W)
+    _, zmodel = pca_whiten(df, "embedding", zca=True)
+    W = zmodel["components"]
+    np.testing.assert_allclose(W, W.T, atol=1e-9)
+    z = (x - zmodel["mean"]) @ W.T
+    np.testing.assert_allclose(
+        np.cov(z, rowvar=False), np.eye(6), atol=1e-6
+    )
+    with pytest.raises(ValueError, match="zca=True requires"):
+        fit_pca_whitening(df, "embedding", k=2, zca=True)
+    with pytest.raises(ValueError, match="k must be"):
+        fit_pca_whitening(df, "embedding", k=0)
+
+
+def test_whitening_determinism_and_reuse(spark):
+    """Same data, two fits: identical model (canonical eigenvector
+    signs, fixed reduce order). apply_whitening on a fresh frame
+    reuses the broadcast model."""
+    x = _rand(n=150, d=5, seed=11)
+    df = _emb_df(spark, x)
+    m1 = fit_pca_whitening(df, "embedding")
+    m2 = fit_pca_whitening(df, "embedding")
+    np.testing.assert_array_equal(m1["components"], m2["components"])
+    np.testing.assert_array_equal(m1["mean"], m2["mean"])
+    fresh = _emb_df(spark, x[:10])
+    y = apply_whitening(fresh, m1, "embedding")
+    assert y.count() == 10
+    assert len(y.first()["whitened"]) == 5
+
+
+def test_whitening_input_validation(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        fit_pca_whitening(empty, "embedding")
+    one = _emb_df(spark, np.ones((1, 4)))
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        fit_pca_whitening(one, "embedding")
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        fit_pca_whitening(ragged, "embedding")
