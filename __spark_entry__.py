@@ -4528,6 +4528,83 @@ def k4(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+@_q(
+    "smp10_leakage_safe_split",
+    r"""WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks), unnest(gram_list) AS u(gram)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup_pairs AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON s.id_a = sa.doc_id
+  JOIN sizes sb ON s.id_b = sb.doc_id
+  WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup_pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl
+  FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(lbl) AS representative
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CASE WHEN (CAST(('0x' || substr(md5('29:' ||
+              CAST(coalesce(c.representative, d.doc_id) AS VARCHAR)),
+              1, 15)) AS BIGINT))
+            / 1152921504606846976.0 < 0.25
+            THEN 'test' ELSE 'train' END AS side
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+)
+def smp10(spark, sf_dir):
+    """Leakage-safe train/test split
+    (sampling.py:leakage_safe_split, r12): rows split by the
+    REPRESENTATIVE of their near-dup component (transitive closure
+    of the same 3-gram Jaccard>=0.5 pairs k4 certifies), so a
+    near-duplicate can never sit in train while its twin sits in
+    eval. The oracle replays the recursive-CTE closure, the
+    coalesce(representative, own id) split key, and the portable
+    hash-fraction cut — membership hashes exactly."""
+    from polaroam_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+    )
+    from polaroam_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs_exact(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    train, test = leakage_safe_split(
+        docs, pairs, test_fraction=0.25, seed=29
+    )
+    return train.select(
+        "doc_id", F.lit("train").alias("side")
+    ).unionByName(test.select("doc_id", F.lit("test").alias("side")))
+
+
 # mm1's oracle recomputes the deterministic-fake-decode byte stats in
 # SQL. The synthetic documents are pure ASCII (verified: max codepoint
 # 121), so utf-8 bytes == codepoints and a per-character explode
@@ -8438,6 +8515,7 @@ _PRIORITY = [
     # r12-NEW gates (local 3-SF evidence this round; first driver
     # rows r13):
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
+     "smp10_leakage_safe_split",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",

@@ -80,6 +80,63 @@ def train_test_split(
     return train, test
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    test_fraction: float = 0.1,
+    seed: int = 29,
+    max_iterations: int = 30,
+) -> "tuple[DataFrame, DataFrame]":
+    """Train/test split that cannot leak NEAR-DUPLICATES across the
+    boundary: every row splits by the REPRESENTATIVE of its duplicate
+    component (transitive closure of ``pairs``), not by its own id.
+    :func:`train_test_split` keeps groups the caller already knows
+    about together; this keeps together the groups dedup DISCOVERS —
+    a near-dup pair with one side in train and the other in eval is
+    exactly the contamination eval decks measure, and a ~0.8 Jaccard
+    twin is as leaky as an exact copy. Feed it any pair table
+    (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs_exact,
+    embedding_neardup_pairs).
+
+    Scale shape: components run O(log n) star contraction over only
+    the PAIRED ids (|pairs| rows, typically orders of magnitude below
+    the corpus); the corpus sees ONE left equi-join on ``id_col``
+    against that component map (AQE broadcasts it when small) and a
+    pure hash filter on ``coalesce(representative, id)`` — unpaired
+    docs split by their own id, so the unpaired majority needs no
+    join hit. Membership is a pure function of (pair graph, ids,
+    seed): stable across runs, partitionings, and cluster sizes.
+
+    Returns ``(train, test)``.
+    """
+    if not 0.0 <= float(test_fraction) <= 1.0:
+        raise ValueError(
+            f"test_fraction must be in [0, 1] (got {test_fraction})"
+        )
+    from .dedup import duplicate_components
+
+    comp = duplicate_components(
+        pairs, id_a=id_a, id_b=id_b, max_iterations=max_iterations
+    ).withColumnRenamed("doc_id", "_ls_id")
+    joined = df.join(
+        comp, on=df[id_col] == comp["_ls_id"], how="left"
+    ).drop("_ls_id")
+    split_key = F.coalesce(
+        F.col("representative"), F.col(id_col)
+    )
+    u = _unit_hash(split_key, seed)
+    test = joined.filter(u < F.lit(float(test_fraction))).drop(
+        "representative"
+    )
+    train = joined.filter(u >= F.lit(float(test_fraction))).drop(
+        "representative"
+    )
+    return train, test
+
+
 def cap_per_key(
     df: DataFrame,
     key: str,

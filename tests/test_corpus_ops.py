@@ -739,3 +739,36 @@ def test_gumbel_topk_weight_monotonicity(spark):
         assert raised in new
         assert new <= old | {raised}, (raised, new - old)
         assert len(new) == 30
+
+
+def test_leakage_safe_split_keeps_neardup_components_together(spark):
+    """No duplicate component may straddle the split; unpaired docs
+    split by their own id; train+test partition the corpus; the
+    split is deterministic."""
+    from polaroam_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    # components: {0,1,2} (chained), {10,11}, rest unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    train, test = leakage_safe_split(
+        docs, pairs, test_fraction=0.3, seed=7
+    )
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    assert tr | te == set(range(200)) and not (tr & te)
+    for comp in ({0, 1, 2}, {10, 11}):
+        assert comp <= tr or comp <= te, comp
+    # deterministic
+    tr2, te2 = leakage_safe_split(docs, pairs, test_fraction=0.3, seed=7)
+    assert {r.doc_id for r in te2.collect()} == te
+    # ~30% of rows in test (hash split: rough band)
+    assert 30 <= len(te) <= 90
+    import pytest
+
+    with pytest.raises(ValueError, match="test_fraction"):
+        leakage_safe_split(docs, pairs, test_fraction=1.5)
