@@ -209,3 +209,104 @@ def test_whitening_input_validation(spark):
     )
     with pytest.raises(Exception, match="ragged"):
         fit_pca_whitening(ragged, "embedding")
+
+
+def test_pq_rotation_orthogonal_and_metric_preserving(spark):
+    """fit_pq_rotation must return an orthonormal rotation (exact
+    pairwise-L2 preservation after centering) whose eigenvalue
+    allocation balances subspace variance products — the OPQ
+    non-parametric init."""
+    from polaroam_spark.operators.vectors import (
+        _eigenvalue_allocation,
+        fit_pq_rotation,
+    )
+
+    x = _rand(n=250, d=8, seed=19)
+    df = _emb_df(spark, x)
+    model = fit_pq_rotation(df, "embedding", num_subspaces=4)
+    W = model["components"]
+    np.testing.assert_allclose(W @ W.T, np.eye(8), atol=1e-10)
+    y = (x - model["mean"]) @ W.T
+    # all pairwise distances preserved exactly (orthogonal transform)
+    dx = np.linalg.norm(x[:50, None] - x[None, :50], axis=-1)
+    dy = np.linalg.norm(y[:50, None] - y[None, :50], axis=-1)
+    np.testing.assert_allclose(dx, dy, rtol=1e-9)
+    # allocation balance: spread of per-subspace log variance
+    # products must not exceed the naive descending split's
+    ev = np.sort(np.linalg.eigvalsh(np.cov(x, rowvar=False)))[::-1]
+    lv = np.log(np.maximum(model["eigvals"], 1e-12)).reshape(4, 2)
+    naive = np.log(np.maximum(ev, 1e-12)).reshape(4, 2)
+    assert lv.sum(axis=1).ptp() <= naive.sum(axis=1).ptp() + 1e-9
+    with pytest.raises(ValueError, match="divide"):
+        fit_pq_rotation(df, "embedding", num_subspaces=3)
+    perm = _eigenvalue_allocation(np.array([8.0, 4.0, 2.0, 1.0]), 2)
+    assert sorted(perm) == [0, 1, 2, 3]
+    # greedy: largest goes alone with smallest -> {8,1}, {4,2}
+    assert {tuple(sorted(perm[:2])), tuple(sorted(perm[2:]))} == {
+        (0, 3),
+        (1, 2),
+    }
+
+
+def test_pq_rotation_improves_recall_on_correlated_corpus(spark):
+    """End-to-end OPQ-init claim: on a strongly correlated corpus,
+    PQ trained/served in the rotated basis must beat raw-basis PQ
+    recall@10 against exact L2 ground truth (same codebook budget).
+    Rotation is metric-preserving, so ground truth is identical in
+    both bases."""
+    from polaroam_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from polaroam_spark.operators.vectors import (
+        apply_whitening,
+        fit_pq_rotation,
+    )
+
+    rng = np.random.RandomState(23)
+    n, d = 400, 16
+    # latent 3-factor structure => heavy cross-dimension correlation
+    # (fixture tuned by probe: raw 0.61-0.71 vs rotated 0.81-0.85
+    # recall@10 across seeds 7/23/41 — delta +0.16..+0.22)
+    z = rng.randn(n, 3)
+    mix = rng.randn(3, d) * 3.0
+    x = z @ mix + 0.05 * rng.randn(n, d)
+    df = _emb_df(spark, x)
+    queries = _emb_df(spark, x[:8]).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    def recall(corpus, qs):
+        books = train_pq_codebooks(
+            corpus, num_subspaces=4, codes_per_subspace=16,
+            kmeans_iterations=2,
+        )
+        codes = pq_encode(corpus, books)
+        got = pq_topk(codes, qs, books, k=10)
+        hits = 0
+        for q in range(8):
+            approx = {
+                r.vec_id
+                for r in got.filter(F.col("query_id") == q).collect()
+            }
+            exact_ids = np.argsort(
+                ((x - x[q]) ** 2).sum(axis=1)
+            )[:10]
+            hits += len(approx & set(int(i) for i in exact_ids))
+        return hits / 80.0
+
+    import pyspark.sql.functions as F
+
+    raw = recall(df, queries)
+    model = fit_pq_rotation(df, "embedding", num_subspaces=4)
+    rot_corpus = apply_whitening(df, model, out_col="embedding_r")
+    rot_corpus = rot_corpus.select(
+        "vec_id", F.col("embedding_r").alias("embedding")
+    )
+    rot_queries = apply_whitening(queries, model, out_col="embedding_r")
+    rot_queries = rot_queries.select(
+        "query_id", F.col("embedding_r").alias("embedding")
+    )
+    rotated = recall(rot_corpus, rot_queries)
+    assert rotated >= raw + 0.1, (raw, rotated)
