@@ -3820,6 +3820,90 @@ def n5(spark, sf_dir):
 
 
 @_q(
+    "n8_pq_rotated_recall",
+    "SELECT vec_id AS query_id, TRUE AS k_ok, TRUE AS rot_ok, "
+    "TRUE AS recall_ok FROM embeddings WHERE vec_id < 5",
+)
+def n8(spark, sf_dir):
+    """OPQ-init rotated product quantization, end to end
+    (vectors.py:fit_pq_rotation -> apply_whitening ->
+    similarity.py PQ train/encode/ADC serve, r12): unit-normalize,
+    fit the metric-preserving PCA + eigenvalue-allocation rotation,
+    train/encode/serve ENTIRELY in the rotated basis, and score
+    recall@10 against the exact cosine scan in the ORIGINAL basis —
+    legal precisely because the rotation is orthogonal (L2 ranks are
+    identical in both bases; the correlated-fixture win is measured
+    in tests/test_vectors.py, +0.16..+0.22 recall@10). Pinned:
+    exactly k rows per query, the rotation is orthonormal to 1e-8
+    (driver-checked on the model), and recall clears the ENFORCED
+    floor of 4/10 (r12 probe min 5/10 across the three SFs —
+    one hit of regeneration margin, same convention as n5)."""
+    import numpy as np
+
+    from polaroam_spark.functions.vectors import l2_normalize
+    from polaroam_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from polaroam_spark.operators.vectors import (
+        apply_whitening,
+        fit_pq_rotation,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        l2_normalize(
+            F.col("embedding").cast("array<double>")
+        ).alias("embedding"),
+    )
+    model = fit_pq_rotation(emb, "embedding", num_subspaces=32)
+    W = np.asarray(model["components"])
+    rot_ok = bool(
+        np.abs(W @ W.T - np.eye(W.shape[0])).max() < 1e-8
+    )
+    rot = apply_whitening(emb, model, out_col="_r").select(
+        "vec_id", F.col("_r").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qr = apply_whitening(q, model, out_col="_r").select(
+        "query_id", F.col("_r").alias("embedding")
+    )
+    books = train_pq_codebooks(
+        rot, num_subspaces=32, codes_per_subspace=32,
+        kmeans_iterations=1,
+    )
+    codes = pq_encode(rot, books)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    ann = pq_topk(codes, qr, books, k=10)
+    hits = (
+        exact.join(
+            ann.select("query_id", "vec_id"),
+            on=["query_id", "vec_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    stats = ann.groupBy("query_id").agg(F.count("*").alias("_n_rows"))
+    return (
+        stats.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            (F.col("_n_rows") == 10).alias("k_ok"),
+            F.lit(rot_ok).alias("rot_ok"),
+            (
+                # floor 4: min measured 5/10 (r12 probe, 3 SFs)
+                F.coalesce(F.col("_n_hit"), F.lit(0)) >= F.lit(4)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@_q(
     "t1_token_count",
     "SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), "
     "'\\s+'), t -> t != '')) AS BIGINT) AS n_tokens FROM documents",
@@ -8515,7 +8599,7 @@ _PRIORITY = [
     # r12-NEW gates (local 3-SF evidence this round; first driver
     # rows r13):
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
-     "smp10_leakage_safe_split",
+     "smp10_leakage_safe_split", "n8_pq_rotated_recall",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
