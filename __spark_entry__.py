@@ -5066,6 +5066,72 @@ def st4(spark, sf_dir):
     )
 
 
+# Online weighted sampling: the stream arrives as FOUR micro-batches
+# (maxFilesPerTrigger=1 over four files) and the final snapshot must
+# equal the batch Gumbel top-k over the whole corpus — scores are
+# pure content hashes, so batch boundaries cannot matter, and the
+# oracle is the same exact global-rank replay smp9 uses (fixed k).
+@_q(
+    "st8_streaming_gumbel_topk",
+    "WITH w AS (SELECT doc_id, n_chars, "
+    "CAST(n_chars AS DOUBLE) / 200.0 "
+    "- ln(-ln((CAST(('0x' || substr(md5('29:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5) "
+    "/ 1152921504606846976.0)) AS score "
+    "FROM documents), "
+    "r AS (SELECT doc_id, n_chars, "
+    "row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM w) "
+    "SELECT doc_id, n_chars FROM r WHERE rn <= 120",
+)
+def st8(spark, sf_dir):
+    """streaming/sampling.py:streaming_gumbel_topk (r12): per-batch
+    TakeOrderedAndProject local top-k folded into a <=k-row snapshot
+    that doubles as restart state (merge is idempotent, so replays
+    are exactly-once by construction)."""
+    import os
+
+    from polaroam_spark.streaming import streaming_gumbel_topk
+
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "st8_src.parquet")
+    out = os.path.join(scratch, "st8_out")
+    ck = os.path.join(scratch, "st8_ck")
+    import shutil
+
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / 200.0).alias("_lw"),
+    )
+    for b in range(4):  # four files -> four micro-batches
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_gumbel_topk(
+        stream,
+        checkpoint_dir=ck,
+        output_path=out,
+        log_weight_col="_lw",
+        key="doc_id",
+        k=120,
+        seed=29,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "st8 stream did not finish in 300s; refusing to read a "
+            "partial snapshot"
+        )
+    return spark.read.parquet(out).select("doc_id", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8600,6 +8666,7 @@ _PRIORITY = [
     # rows r13):
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
      "smp10_leakage_safe_split", "n8_pq_rotated_recall",
+     "st8_streaming_gumbel_topk",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",

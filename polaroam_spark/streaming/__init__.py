@@ -1,4 +1,5 @@
 from polaroam_spark.streaming.joins import stream_stream_interval_join
+from polaroam_spark.streaming.sampling import streaming_gumbel_topk
 from polaroam_spark.streaming.timeseries import streaming_ewma
 from polaroam_spark.streaming.sessionize import (
     streaming_dedup,
@@ -18,4 +19,5 @@ __all__ = [
     "streaming_heavy_hitters",
     "stream_stream_interval_join",
     "streaming_ewma",
+    "streaming_gumbel_topk",
 ]

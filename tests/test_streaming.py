@@ -420,3 +420,79 @@ def test_streaming_ewma_nan_and_null_rows_dropped(spark, tmpdir):
     assert rows[T0].ewma == 10.0
     # recursion continued from 10.0, NOT through the NaN
     assert rows[T0 + 120].ewma == 0.5 * 30.0 + 0.5 * 10.0
+
+
+def test_streaming_gumbel_topk_equals_batch(spark, tmpdir):
+    """The running snapshot after all micro-batches must equal the
+    BATCH gumbel_topk_sample over the union — batch-boundary
+    independence is the whole contract (scores are pure content
+    hashes). Also: restart reloads the snapshot exactly."""
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+    from polaroam_spark.streaming import streaming_gumbel_topk
+
+    rows = [(i, float(i % 23) / 3.0) for i in range(300)]
+    src = f"{tmpdir}/gk_src"
+    df = spark.createDataFrame(rows, "doc_id long, lw double")
+    # three micro-batches (three files)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        df.filter(
+            (df.doc_id >= lo) & (df.doc_id < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, lw double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = f"{tmpdir}/gk_out"
+    q = streaming_gumbel_topk(
+        stream,
+        checkpoint_dir=f"{tmpdir}/gk_ck",
+        output_path=out,
+        log_weight_col="lw",
+        key="doc_id",
+        k=40,
+        seed=13,
+    )
+    assert q.awaitTermination(120)
+    snap = spark.read.parquet(out)
+    assert snap.select(F.max("_batch_id")).first()[0] == 2  # 3 batches
+    got = sorted(r.doc_id for r in snap.collect())
+    want = sorted(
+        r.doc_id
+        for r in gumbel_topk_sample(
+            df, "lw", key="doc_id", k=40, seed=13
+        ).collect()
+    )
+    assert got == want and len(got) == 40
+
+    # restart with MORE data: state reloads from the snapshot
+    df2 = spark.createDataFrame(
+        [(i, 50.0) for i in range(1000, 1010)], "doc_id long, lw double"
+    )  # heavy rows: must enter the top-k
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema("doc_id long, lw double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = streaming_gumbel_topk(
+        stream2,
+        checkpoint_dir=f"{tmpdir}/gk_ck",  # same checkpoint: resume
+        output_path=out,
+        log_weight_col="lw",
+        key="doc_id",
+        k=40,
+        seed=13,
+    )
+    assert q2.awaitTermination(120)
+    got2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    full = df.unionByName(df2)
+    want2 = sorted(
+        r.doc_id
+        for r in gumbel_topk_sample(
+            full, "lw", key="doc_id", k=40, seed=13
+        ).collect()
+    )
+    assert got2 == want2
+    assert set(range(1000, 1010)) <= set(got2)
