@@ -528,6 +528,89 @@ def s15(spark, sf_dir):
     )
 
 
+# Bucketed managed tables: the 100 TB co-located-join layout. The
+# gate writes customer AND orders bucketed 16 ways on the customer
+# key, joins them from the catalog (broadcast disabled so a planner
+# regression can't hide behind a broadcast), asserts the physical
+# plan has ZERO Exchange (the whole point of bucketing), and returns
+# a per-segment aggregate the oracle reproduces with a plain join.
+@_q(
+    "s16_bucketed_join",
+    "SELECT c.c_mktsegment AS segment, count(*) AS n_orders, "
+    "round(sum(o.o_totalprice), 2) AS total "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "GROUP BY c.c_mktsegment",
+)
+def s16(spark, sf_dir):
+    """Bucketed + sorted managed tables
+    (sources/io.py:write_bucketed_table): two tables bucketed the
+    same way sort-merge join with NO shuffle on either side — at
+    100 TB this converts the dominant join cost (shuffling both
+    sides) into a local merge. The zero-Exchange plan is asserted
+    IN the gate, not just in tests."""
+    import os
+    import re
+    import shutil
+
+    from polaroam_spark.sources.io import write_bucketed_table
+
+    # managed-table hygiene: a fresh session's in-memory catalog does
+    # not know tables a previous run materialized, but their
+    # warehouse directories survive and block saveAsTable — drop both
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).replace("file:", "")
+    for t in ("s16_cust", "s16_ord"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    write_bucketed_table(
+        cust, "s16_cust", bucket_col="c_custkey", num_buckets=16
+    )
+    write_bucketed_table(
+        orders, "s16_ord", bucket_col="o_custkey", num_buckets=16
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false",
+        )
+        joined = spark.table("s16_cust").join(
+            spark.table("s16_ord"),
+            on=F.col("c_custkey") == F.col("o_custkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if re.findall(r"\(\d+\) Exchange", plan):
+            raise AssertionError(
+                "bucketed join planned an Exchange — co-location lost"
+            )
+        out = (
+            joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before conf restore
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            old_scan,
+        )
+
+
 @_q(
     "s9_users_with_min_days",
     "SELECT user_id, n_days FROM (SELECT user_id, count(DISTINCT "
@@ -8666,7 +8749,7 @@ _PRIORITY = [
     # rows r13):
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
      "smp10_leakage_safe_split", "n8_pq_rotated_recall",
-     "st8_streaming_gumbel_topk",
+     "st8_streaming_gumbel_topk", "s16_bucketed_join",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
