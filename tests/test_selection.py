@@ -121,3 +121,52 @@ def test_gumbel_topk_band_path_matches_default(spark):
     }
     assert base == forced
     assert len(base) == 120  # ceil(0.3 * 400)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_exact_global_topk_property(spark, seed):
+    """Property harness over random frames, duplicate-heavy score
+    distributions, and random k/caps: the selected key set must
+    always equal the collect-sort ground truth. Caps are drawn small
+    so the verified-threshold refinement, the single-partition band
+    exit, and the degenerate fallback all get exercised. (The spark
+    fixture is session-scoped, which Hypothesis permits.)"""
+    import random
+    import warnings as _w
+
+    rnd = random.Random(seed)
+    n = rnd.randint(1, 400)
+    dup_pool = [rnd.uniform(-5, 5) for _ in range(rnd.randint(1, 8))]
+    rows = [
+        (
+            i,
+            rnd.choice(dup_pool)
+            if rnd.random() < 0.4
+            else rnd.uniform(-5, 5),
+            "x",
+        )
+        for i in range(n)
+    ]
+    df = _frame(spark, rows)
+    k = rnd.randint(0, n + 3)
+    expect = _truth(rows, k)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # degenerate fallback warns; fine
+        got = {
+            r.k
+            for r in exact_global_topk(
+                df,
+                k,
+                "s",
+                "k",
+                driver_cap=rnd.choice([0, 1, 3, 10]),
+                single_part_cap=rnd.choice([1, 5, 25]),
+                sample_target=rnd.choice([4, 16, 64]),
+            ).collect()
+        }
+    assert got == expect, (seed, n, k, len(got), len(expect))
