@@ -8745,8 +8745,12 @@ _PRIORITY = [
     # named r13 head, together with any r12-new gates inserted just
     # below this line.
      "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
-    # r12-NEW gates (local 3-SF evidence this round; first driver
-    # rows r13):
+    # r12-NEW gates (local 3-SF hash-green evidence this round;
+    # first driver rows r13). r13 WINDOW ARITHMETIC: 4 trimmed r7
+    # above + these 6 + the 23-gate r8 block + the 17 alphabetically
+    # first r9 gates = 50 exactly; the remaining r9 gates follow in
+    # r14. Re-derive from CORRECTNESS_r*.json before trusting this
+    # note (the r10 lesson).
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
      "smp10_leakage_safe_split", "n8_pq_rotated_recall",
      "st8_streaming_gumbel_topk", "s16_bucketed_join",
