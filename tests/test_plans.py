@@ -471,3 +471,48 @@ def test_gumbel_topk_ranks_projected_frame(spark, docs):
     # the heap input carries only the projected columns
     toap = plan[plan.index("TakeOrderedAndProject") :]
     assert "_gk_score" in toap
+
+
+def test_leakage_safe_split_joins_components_once(spark, docs):
+    """The corpus must see exactly ONE equi-join against the
+    component map (no CartesianProduct, no repeated closure) and the
+    split filter must be a pure hash expression — the unpaired
+    majority pays a join probe, never a shuffle explosion."""
+    from polaroam_spark.operators.sampling import leakage_safe_split
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    train, test = leakage_safe_split(
+        docs.select("doc_id", "text"), pairs, test_fraction=0.2
+    )
+    for side in (train, test):
+        plan = _plan(side)
+        assert "CartesianProduct" not in plan, plan
+        assert "md5" in plan  # the portable-hash split key
+    # the two sides are complementary filters of one shared plan
+    assert train.count() + test.count() == docs.count()
+
+
+def test_apply_whitening_is_single_arrow_stage(spark):
+    """Projection through a whitening/rotation model must be ONE
+    Arrow-batched python stage over the scan — no join, no shuffle
+    (the model rides inside the UDF closure)."""
+    import numpy as np
+
+    from polaroam_spark.operators.vectors import apply_whitening
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    model = {
+        "mean": np.zeros(2),
+        "components": np.eye(2),
+    }
+    plan = _plan(apply_whitening(df, model))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # formatted plans list each node twice (tree + detail); count the
+    # numbered detail entries
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
