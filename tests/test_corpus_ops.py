@@ -772,3 +772,62 @@ def test_leakage_safe_split_keeps_neardup_components_together(spark):
 
     with pytest.raises(ValueError, match="test_fraction"):
         leakage_safe_split(docs, pairs, test_fraction=1.5)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_leakage_safe_split_property(spark, seed):
+    """Property: for random pair graphs (chains, stars, cliques by
+    construction of random edges), no connected component ever
+    straddles the split, the two sides partition the corpus, and
+    membership is invariant to pair-table row order."""
+    import random
+
+    from polaroam_spark.operators.sampling import leakage_safe_split
+
+    rnd = random.Random(seed)
+    n = rnd.randint(2, 120)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    m = rnd.randint(0, n)
+    edges = [
+        (rnd.randrange(n), rnd.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.filter("id_a <> id_b")  # empty pair table
+    frac = rnd.choice([0.0, 0.2, 0.5, 1.0])
+    train, test = leakage_safe_split(
+        docs, pairs, test_fraction=frac, seed=rnd.randint(0, 99)
+    )
+    tr = {r.doc_id for r in train.collect()}
+    te = {r.doc_id for r in test.collect()}
+    assert tr | te == set(range(n)) and not (tr & te)
+    # union-find ground-truth components
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for i in range(n):
+        comps.setdefault(find(i), set()).add(i)
+    for comp in comps.values():
+        assert comp <= tr or comp <= te, (seed, comp)
+    if frac == 0.0:
+        assert not te
+    if frac == 1.0:
+        assert not tr
