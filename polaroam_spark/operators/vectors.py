@@ -209,13 +209,24 @@ def _eigenvalue_allocation(eigvals: np.ndarray, m: int) -> list:
     (output position -> principal-direction index)."""
     d = len(eigvals)
     per = d // m
+    floor = max(float(np.max(eigvals)), 1.0) * 1e-12
+    lv = np.log(np.maximum(np.asarray(eigvals, dtype=np.float64), floor))
+    # CENTER the logs (r12 code review): comparing raw log-product
+    # sums across buckets with different fill counts is scale-
+    # DEPENDENT — with every eigenvalue < 1 (any l2-normalized
+    # corpus) all logs are negative, the fullest bucket always looks
+    # smallest, and the greedy degenerates to the identity
+    # permutation (no balancing at all). Subtracting the mean log
+    # makes each item's contribution zero-mean, so the comparison is
+    # fair at any fill count and the allocation is invariant to
+    # scaling the spectrum by any constant.
+    lv = lv - lv.mean()
     logs = [0.0] * m
     fill: "list[list[int]]" = [[] for _ in range(m)]
-    floor = max(float(np.max(eigvals)), 1.0) * 1e-12
-    for i, ev in enumerate(eigvals):
+    for i in range(d):
         cands = [j for j in range(m) if len(fill[j]) < per]
         j = min(cands, key=lambda j: logs[j])
-        logs[j] += float(np.log(max(float(ev), floor)))
+        logs[j] += float(lv[i])
         fill[j].append(i)
     return [i for bucket in fill for i in bucket]
 

@@ -310,3 +310,22 @@ def test_pq_rotation_improves_recall_on_correlated_corpus(spark):
     )
     rotated = recall(rot_corpus, rot_queries)
     assert rotated >= raw + 0.1, (raw, rotated)
+
+
+def test_eigenvalue_allocation_scale_invariant():
+    """r12 code-review regression: with raw log-product sums the
+    greedy degenerates to the identity permutation whenever every
+    eigenvalue is < 1 (any l2-normalized corpus) — centered logs make
+    the allocation identical under any scaling of the spectrum."""
+    from polaroam_spark.operators.vectors import _eigenvalue_allocation
+
+    ev = np.array([0.5, 0.2, 0.1, 0.05, 0.04, 0.03, 0.02, 0.01])
+    small = _eigenvalue_allocation(ev, 4)
+    large = _eigenvalue_allocation(ev * 100.0, 4)
+    assert small == large
+    assert small != list(range(8))  # balancing actually happened
+    # balance: largest pairs with smallest
+    lv = np.log(ev)
+    sums = sorted(lv[small].reshape(4, 2).sum(axis=1))
+    naive = sorted(lv.reshape(4, 2).sum(axis=1))
+    assert sums[-1] - sums[0] < naive[-1] - naive[0]
