@@ -20,9 +20,11 @@ call releases everything:
     polaroam_spark.unpersist_caches()
 
 Calling it early is safe: an unpersisted cache recomputes from
-lineage — a performance cost, never a correctness one. Blocks are
-removed on the next call's registrations, so the registry itself
-never grows unboundedly.
+lineage — a performance cost, never a correctness one. The registry
+itself only shrinks when ``unpersist_caches()`` runs: each tracked
+entry holds a DataFrame reference, so a loop that registers caches
+and never releases them grows the registry (and pins the plans)
+without bound — call it at batch boundaries.
 """
 
 from __future__ import annotations

@@ -118,21 +118,27 @@ def leakage_safe_split(
         )
     from .dedup import duplicate_components
 
+    # internal prefixes on BOTH component columns: a caller's frame
+    # may itself carry a `representative` column (e.g. annotated by
+    # an earlier duplicate_components pass), and an unprefixed name
+    # would be ambiguous after the join / silently dropped after it
+    # (r12 code review)
     comp = duplicate_components(
         pairs, id_a=id_a, id_b=id_b, max_iterations=max_iterations
-    ).withColumnRenamed("doc_id", "_ls_id")
+    ).select(
+        F.col("doc_id").alias("_ls_id"),
+        F.col("representative").alias("_ls_rep"),
+    )
     joined = df.join(
         comp, on=df[id_col] == comp["_ls_id"], how="left"
     ).drop("_ls_id")
-    split_key = F.coalesce(
-        F.col("representative"), F.col(id_col)
-    )
+    split_key = F.coalesce(F.col("_ls_rep"), F.col(id_col))
     u = _unit_hash(split_key, seed)
     test = joined.filter(u < F.lit(float(test_fraction))).drop(
-        "representative"
+        "_ls_rep"
     )
     train = joined.filter(u >= F.lit(float(test_fraction))).drop(
-        "representative"
+        "_ls_rep"
     )
     return train, test
 

@@ -114,13 +114,30 @@ def exact_global_topk(
             f = f & (score > F.lit(lo))
         return f
 
+    prev_cached: "DataFrame | None" = None
     for rnd in range(int(max_rounds)):
         band = df.filter(_band_filter())
         if need <= int(driver_cap):
             tail = _take_ordered(band, need)
             break
+        # each refinement round runs several actions on the band
+        # (count, sample collect, verify counts, retries) — cache it
+        # so they don't each re-derive the full upstream lineage
+        # (r12 code review). Pure-filter determinism is unaffected:
+        # a lost block recomputes the identical rows.
+        band = band.persist()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = band
         bc = band.count()
-        if bc <= max(int(single_part_cap), need):
+        if bc <= need:
+            # invariant kept + bc >= k means bc == need here: every
+            # band row provably qualifies — keep the (distributed,
+            # pure-filter) band as-is; ranking it in one task would
+            # recreate the stall this module exists to remove
+            tail = band
+            break
+        if bc <= int(single_part_cap):
             tail = _rank_band(band, need)
             break
         # deterministic hash sample of the band's scores
@@ -190,6 +207,12 @@ def exact_global_topk(
         )
         tail = _rank_band(df.filter(_band_filter()), need)
 
+    if prev_cached is not None:
+        # the returned frame must not pin executor storage (the
+        # cache-registry lesson): release the round cache — tail is
+        # a pure filter of df, so its one consumption-time recompute
+        # is deterministic and costs a single scan
+        prev_cached.unpersist()
     if hi is None:
         return tail
     return df.filter(score > F.lit(hi)).unionByName(tail)

@@ -44,12 +44,26 @@ def streaming_gumbel_topk(
 
     Restart semantics are EXACT, unlike the heavy-hitters sketch:
     the snapshot IS the complete state, so a restarted query reloads
-    it and continues; a batch replayed after a crash between merge
-    and write re-merges idempotently (top-k(state ∪ batch) twice ==
-    once). Keys must uniquely identify rows across the stream (the
-    usual doc-id contract); a key re-delivered with the same weight
-    merges to one row, bit-identically to the batch op's DISTINCT-key
-    frame.
+    it and continues; a batch replayed after a crash re-merges
+    idempotently (top-k(state ∪ batch) twice == once). Durability
+    (r12 code review): a parquet overwrite deletes before it
+    commits, so the consumer view at ``output_path`` alone could be
+    lost to a crash mid-write. Each batch therefore FIRST appends an
+    immutable journal entry (``<output_path>_journal/batch_id=N`` —
+    no overwrite of history), THEN rewrites the consumer view, then
+    prunes journal entries older than the previous batch. Structured
+    Streaming only commits a batch to the checkpoint after
+    ``foreachBatch`` returns, so every crash window replays the
+    batch: mid-journal-write → the replay rewrites that entry;
+    between journal and view → replay, idempotent; mid-view-write →
+    the view is rebuilt from the intact journal on reload. Reload
+    order: consumer view, else newest readable journal entry, else
+    (only when neither path exists) a fresh empty state — an
+    EXISTING but unreadable state raises instead of silently
+    restarting from zero. Keys must uniquely identify rows across
+    the stream (the usual doc-id contract); a key re-delivered with
+    the same weight merges to one row, bit-identically to the batch
+    op's DISTINCT-key frame.
 
     Feed a PROJECTED stream (key, weight, the columns the snapshot
     should carry) — every snapshot column rides through the bounded
@@ -70,19 +84,54 @@ def streaming_gumbel_topk(
     score = F.col(log_weight_col).cast("double") - F.log(-F.log(u))
 
     state: dict = {}  # key value -> Row (with _gk_score)
+    journal_dir = output_path.rstrip("/") + "_journal"
+
+    def _read_rows(path: str) -> "list | None":
+        try:
+            return (
+                spark.read.parquet(path).drop("_batch_id").collect()
+            )
+        except Exception:
+            return None
 
     def _load_snapshot() -> None:
-        try:
-            for r in spark.read.parquet(output_path).drop(
-                "_batch_id"
-            ).collect():
-                state[r[key]] = r
-        except Exception:
-            pass  # first start: no snapshot yet
+        import os
+
+        rows = _read_rows(output_path)
+        if rows is None:
+            # consumer view unreadable (lost to a crash mid-write or
+            # never written): recover from the newest journal entry
+            jd = journal_dir.replace("file:", "")
+            entries = sorted(
+                (
+                    e
+                    for e in (
+                        os.listdir(jd) if os.path.isdir(jd) else []
+                    )
+                    if e.startswith("batch_id=")
+                ),
+                key=lambda e: int(e.split("=", 1)[1]),
+                reverse=True,
+            )
+            for e in entries:
+                rows = _read_rows(os.path.join(jd, e))
+                if rows is not None:
+                    break
+            if rows is None and entries:
+                raise RuntimeError(
+                    "streaming_gumbel_topk: state exists at "
+                    f"{journal_dir} but no entry is readable — "
+                    "refusing to silently restart from zero"
+                )
+        for r in rows or []:
+            state[r[key]] = r
 
     _load_snapshot()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         top = (
             batch_df.filter(F.col(log_weight_col).isNotNull())
             .withColumn("_gk_score", score)
@@ -104,13 +153,20 @@ def streaming_gumbel_topk(
         )
         snap = batch_df.sparkSession.createDataFrame(
             survivors, schema=snap_schema
-        )
-        (
-            snap.withColumn("_batch_id", F.lit(batch_id))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(output_path)
-        )
+        ).withColumn("_batch_id", F.lit(batch_id))
+        # 1) immutable journal entry (replay overwrites only its own)
+        entry = f"{journal_dir}/batch_id={batch_id}"
+        snap.coalesce(1).write.mode("overwrite").parquet(entry)
+        # 2) consumer view
+        snap.coalesce(1).write.mode("overwrite").parquet(output_path)
+        # 3) prune journal older than the previous batch
+        jd = journal_dir.replace("file:", "")
+        for e in os.listdir(jd) if os.path.isdir(jd) else []:
+            if (
+                e.startswith("batch_id=")
+                and int(e.split("=", 1)[1]) < batch_id - 1
+            ):
+                shutil.rmtree(os.path.join(jd, e), ignore_errors=True)
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -831,3 +831,27 @@ def test_leakage_safe_split_property(spark, seed):
         assert not te
     if frac == 1.0:
         assert not tr
+
+
+def test_leakage_safe_split_survives_caller_representative_column(spark):
+    """r12 code-review regression: a caller frame that already
+    carries a `representative` column (natural after an earlier
+    duplicate_components annotation) must neither raise an ambiguous
+    reference nor lose its column through the split."""
+    from polaroam_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, i * 100) for i in range(50)],
+        "doc_id long, representative long",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    train, test = leakage_safe_split(docs, pairs, test_fraction=0.3)
+    assert set(train.columns) == {"doc_id", "representative"}
+    got = {r.doc_id: r.representative for r in train.collect()}
+    got.update({r.doc_id: r.representative for r in test.collect()})
+    assert got == {i: i * 100 for i in range(50)}
+    comp = {
+        r.doc_id
+        for r in train.filter(F.col("doc_id") < 2).collect()
+    } | {r.doc_id for r in test.filter(F.col("doc_id") < 2).collect()}
+    assert comp == {0, 1}

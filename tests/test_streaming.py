@@ -496,3 +496,88 @@ def test_streaming_gumbel_topk_equals_batch(spark, tmpdir):
     )
     assert got2 == want2
     assert set(range(1000, 1010)) <= set(got2)
+
+
+def test_streaming_gumbel_topk_recovers_from_lost_consumer_view(
+    spark, tmpdir
+):
+    """r12 code-review regression: the consumer view is rewritten
+    with a non-atomic parquet overwrite, so a crash mid-write can
+    destroy it — restart must rebuild state from the immutable
+    journal entry instead of silently restarting from zero; a state
+    that EXISTS but is unreadable everywhere must raise."""
+    import shutil
+
+    from polaroam_spark.streaming import streaming_gumbel_topk
+
+    src = f"{tmpdir}/gkr_src"
+    spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "doc_id long, lw double"
+    ).coalesce(1).write.parquet(src)
+    out = f"{tmpdir}/gkr_out"
+    q = streaming_gumbel_topk(
+        spark.readStream.schema("doc_id long, lw double").parquet(src),
+        checkpoint_dir=f"{tmpdir}/gkr_ck",
+        output_path=out,
+        log_weight_col="lw",
+        key="doc_id",
+        k=15,
+        seed=3,
+    )
+    assert q.awaitTermination(120)
+    want = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # simulate the crash: consumer view destroyed, journal intact
+    shutil.rmtree(out)
+    spark.createDataFrame(
+        [(1000, 99.0)], "doc_id long, lw double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_gumbel_topk(
+        spark.readStream.schema("doc_id long, lw double").parquet(src),
+        checkpoint_dir=f"{tmpdir}/gkr_ck",
+        output_path=out,
+        log_weight_col="lw",
+        key="doc_id",
+        k=15,
+        seed=3,
+    )
+    assert q2.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # recovered state + the new heavy row == batch answer over all
+    from polaroam_spark.operators.sampling import gumbel_topk_sample
+
+    full = spark.read.parquet(src)
+    want2 = sorted(
+        r.doc_id
+        for r in gumbel_topk_sample(
+            full, "lw", key="doc_id", k=15, seed=3
+        ).collect()
+    )
+    assert got == want2 and 1000 in got
+    # the recovered prefix survives: everything except the one row
+    # the heavy newcomer evicted
+    assert len(set(want) - set(got)) == 1
+
+    # unreadable-everywhere state must raise, not restart from zero
+    shutil.rmtree(out)
+    jd = f"{out}_journal"
+    import os
+
+    for e in os.listdir(jd):
+        sub = os.path.join(jd, e)
+        for f in os.listdir(sub):
+            open(os.path.join(sub, f), "wb").write(b"garbage")
+    import pytest
+
+    with pytest.raises(Exception, match="refusing"):
+        streaming_gumbel_topk(
+            spark.readStream.schema(
+                "doc_id long, lw double"
+            ).parquet(src),
+            checkpoint_dir=f"{tmpdir}/gkr_ck2",
+            output_path=out,
+            log_weight_col="lw",
+            key="doc_id",
+            k=15,
+            seed=3,
+        )
