@@ -121,14 +121,20 @@ def exact_global_topk(
             tail = _take_ordered(band, need)
             break
         # each refinement round runs several actions on the band
-        # (count, sample collect, verify counts, retries) — cache it
-        # so they don't each re-derive the full upstream lineage
-        # (r12 code review). Pure-filter determinism is unaffected:
-        # a lost block recomputes the identical rows.
-        band = band.persist()
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = band
+        # (count, sample collect, verify counts, retries) — from the
+        # SECOND round on, cache it so they don't each re-derive the
+        # upstream lineage (r12 code review). Round 1's band is the
+        # whole input: materializing the full corpus to save a few
+        # skinny scans is the wrong trade at any scale (measured on
+        # the 20M trivial-lineage probe: caching round 1 costs 8.8 s
+        # vs 5.9 s uncached), while later bands are a few percent
+        # and shrinking ~50x per round. Pure-filter determinism is
+        # unaffected: a lost block recomputes the identical rows.
+        if rnd >= 1:
+            band = band.persist()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = band
         bc = band.count()
         if bc <= need:
             # invariant kept + bc >= k means bc == need here: every
