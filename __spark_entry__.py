@@ -611,6 +611,56 @@ def s16(spark, sf_dir):
         )
 
 
+# WARC ingest (sources/warc.py, r12): the Common Crawl container as
+# a PySpark 4 Python Data Source. The corpus is written into four
+# per-record-gzip WARC files (the CC member convention compresses
+# whole files here — same streaming parse path), read back through
+# spark.read.format("warc"), and the decoded payloads must reproduce
+# the source text BYTE-EXACTLY — the oracle is simply the documents
+# table, so any header mis-parse, payload truncation, or encoding
+# slip hash-mismatches.
+@_q(
+    "s17_warc_ingest",
+    "SELECT doc_id, text FROM documents",
+)
+def s17(spark, sf_dir):
+    import os
+    import shutil
+
+    from polaroam_spark.sources.warc import read_warc, write_warc_file
+
+    d = os.path.join(_scratch_dir(), "s17_warc")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 4-file layout; the per-file write is a bounded
+    # fixture step (ingest is one-way at scale: WARC in, parquet out)
+    rows = docs.collect()
+    for b in range(4):
+        write_warc_file(
+            (
+                (
+                    f"<urn:polaroam:{r.doc_id}>",
+                    "response",
+                    f"https://corpus.local/doc/{r.doc_id}",
+                    "2026-08-15T00:00:00Z",
+                    "text/plain; charset=utf-8",
+                    r.text.encode("utf-8"),
+                )
+                for r in rows
+                if r.doc_id % 4 == b
+            ),
+            os.path.join(d, f"part-{b}.warc.gz"),
+        )
+    warc = read_warc(spark, d)
+    return warc.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+    )
+
+
 @_q(
     "s9_users_with_min_days",
     "SELECT user_id, n_days FROM (SELECT user_id, count(DISTINCT "
@@ -8754,6 +8804,7 @@ _PRIORITY = [
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
      "smp10_leakage_safe_split", "n8_pq_rotated_recall",
      "st8_streaming_gumbel_topk", "s16_bucketed_join",
+     "s17_warc_ingest",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",

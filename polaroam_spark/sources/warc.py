@@ -1,0 +1,195 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common Crawl container
+every web-scale LLM corpus starts from — as a PySpark 4 Python Data
+Source (``spark.read.format("warc")``).
+
+Scale shape: one input partition per WARC file (the Common Crawl
+layout is ~1 GB files x ~64k files per crawl, so file-granular
+parallelism saturates any cluster; finer byte-range splitting of a
+single .warc.gz is impossible anyway without an external index —
+records are individually-gzipped members and a reader can only find
+boundaries by scanning). Each partition streams its file record by
+record: headers are parsed from the \\r\\n\\r\\n-terminated block,
+the payload is read by exact Content-Length, and nothing beyond the
+current record is buffered — constant memory per task regardless of
+file size. Gzip files (including the multi-member member-per-record
+Common Crawl convention) decompress through the same streaming path.
+
+A Python data source is the SLOW PATH relative to the built-in scans
+(rows cross the Python boundary via Arrow batches) — right for the
+one ingest hop that turns .warc into parquet, after which everything
+reads columnar. ``filter pushdown``: the reader declares none;
+project/filter AFTER the parquet hop, not here.
+
+Reference parity: the reference engine reads parquet/CSV only
+(reference read_localize_write.py); WARC ingest is part of the
+beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("record_id", StringType()),  # WARC-Record-ID
+        StructField("warc_type", StringType()),  # response/request/..
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("source_file", StringType()),
+        StructField("record_index", LongType()),  # ordinal in file
+    ]
+)
+
+
+class _WarcFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _iter_warc_records(stream: "io.BufferedIOBase"):
+    """Yield (headers dict lowercase-keyed, payload bytes) per record.
+    Streams: reads exactly one record ahead, O(record) memory."""
+    while True:
+        # skip inter-record blank lines
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"malformed WARC: expected version line, got {line[:40]!r}"
+            )
+        headers: dict = {}
+        while True:
+            h = stream.readline()
+            if h in (b"\r\n", b"\n", b""):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.strip().lower().decode("ascii")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        n = int(headers.get("content-length", "0"))
+        payload = stream.read(n)
+        if len(payload) != n:
+            raise ValueError(
+                "truncated WARC record: expected "
+                f"{n} payload bytes, got {len(payload)}"
+            )
+        yield headers, payload
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warc source requires a path")
+
+    def partitions(self):
+        path = self._path
+        if os.path.isdir(path):
+            files = sorted(
+                _glob.glob(os.path.join(path, "**", "*.warc*"),
+                           recursive=True)
+            )
+        else:
+            files = sorted(_glob.glob(path)) or [path]
+        if not files:
+            raise FileNotFoundError(f"no WARC files under {path}")
+        return [_WarcFilePartition(f) for f in files]
+
+    def read(self, partition: _WarcFilePartition):
+        path = partition.path
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as raw:
+            stream = io.BufferedReader(raw)
+            for i, (hd, payload) in enumerate(
+                _iter_warc_records(stream)
+            ):
+                yield (
+                    hd.get("warc-record-id"),
+                    hd.get("warc-type"),
+                    hd.get("warc-target-uri"),
+                    hd.get("warc-date"),
+                    hd.get("content-type"),
+                    int(hd.get("content-length", "0")),
+                    payload,
+                    path,
+                    i,
+                )
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return _WarcReader(self.options)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotent registration of the ``warc`` format."""
+    spark.dataSource.register(WarcDataSource)
+
+
+def read_warc(spark, path: str):
+    """``spark.read.format("warc").load(path)`` with registration."""
+    register_warc_source(spark)
+    return spark.read.format("warc").load(path)
+
+
+def write_warc_file(
+    rows, path: str, *, compress: "bool | None" = None
+) -> int:
+    """Write an iterable of (record_id, warc_type, target_uri,
+    warc_date, content_type, payload bytes) as ONE plain or gzip WARC
+    file; returns the record count. A single-file test/fixture writer
+    (ingest is one-way at scale — corpora ship as WARC, pipelines
+    write parquet), deliberately not a DataSourceWriter."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    opener = gzip.open if compress else open
+    n = 0
+    with opener(path, "wb") as f:
+        for rid, wtype, uri, date, ctype, payload in rows:
+            hdr = (
+                b"WARC/1.0\r\n"
+                + f"WARC-Record-ID: {rid}\r\n".encode()
+                + f"WARC-Type: {wtype}\r\n".encode()
+                + (
+                    f"WARC-Target-URI: {uri}\r\n".encode()
+                    if uri
+                    else b""
+                )
+                + f"WARC-Date: {date}\r\n".encode()
+                + f"Content-Type: {ctype}\r\n".encode()
+                + f"Content-Length: {len(payload)}\r\n".encode()
+                + b"\r\n"
+            )
+            f.write(hdr + payload + b"\r\n\r\n")
+            n += 1
+    return n

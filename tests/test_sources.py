@@ -300,3 +300,56 @@ def test_orc_roundtrip_lossless(spark, tmp_path):
     )
     plan = back.select("id")._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<id:bigint>" in plan, plan
+
+
+def test_warc_source_roundtrip_plain_and_gzip(spark, tmpdir):
+    """WARC Python data source: plain + gzip files, one partition per
+    file, header fields and exact payload bytes preserved, malformed
+    input raises (never silently truncates)."""
+    from polaroam_spark.sources.warc import read_warc, write_warc_file
+
+    def rows(base):
+        return [
+            (
+                f"<urn:uuid:{base}-{i}>",
+                "response",
+                f"https://example.org/{base}/{i}",
+                "2026-08-15T00:00:00Z",
+                "text/plain",
+                f"payload {base} {i} é".encode("utf-8"),
+            )
+            for i in range(5)
+        ]
+
+    d = f"{tmpdir}/warc_in"
+    import os
+
+    os.makedirs(d)
+    n1 = write_warc_file(rows("a"), f"{d}/a.warc")
+    n2 = write_warc_file(rows("b"), f"{d}/b.warc.gz")
+    assert n1 == n2 == 5
+
+    df = read_warc(spark, d)
+    got = df.orderBy("source_file", "record_index").collect()
+    assert len(got) == 10
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    r = got[0]
+    assert r.record_id == "<urn:uuid:a-0>"
+    assert r.warc_type == "response"
+    assert r.target_uri == "https://example.org/a/0"
+    assert bytes(r.payload) == "payload a 0 é".encode("utf-8")
+    assert r.content_length == len(bytes(r.payload))
+    gz = [x for x in got if x.source_file.endswith(".gz")]
+    assert len(gz) == 5
+    assert bytes(gz[3].payload) == "payload b 3 é".encode("utf-8")
+
+    # truncated record: loud failure
+    import pytest
+
+    bad = f"{tmpdir}/bad.warc"
+    open(bad, "wb").write(
+        b"WARC/1.0\r\nWARC-Record-ID: <x>\r\nWARC-Type: response\r\n"
+        b"Content-Length: 100\r\n\r\nshort"
+    )
+    with pytest.raises(Exception, match="truncated|PYTHON_DATA_SOURCE"):
+        read_warc(spark, bad).collect()
