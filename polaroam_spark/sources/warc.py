@@ -193,3 +193,37 @@ def write_warc_file(
             f.write(hdr + payload + b"\r\n\r\n")
             n += 1
     return n
+
+
+def http_response_parts(payload):
+    """Split a WARC *response* record's payload (an HTTP/1.x message)
+    into ``struct<status:int, headers:string, body:string>`` — the
+    WET-extraction step (WARC → text) as pure JVM expressions, no
+    UDF: decode UTF-8 (lossy), cut at the first blank line, parse
+    the status from the first line. Records without an HTTP preamble
+    (e.g. ``warcinfo``) yield status NULL and the whole payload as
+    body, so the expression is total over mixed record types."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    p = payload if isinstance(payload, Column) else F.col(payload)
+    txt = F.decode(p, "UTF-8")
+    has_http = txt.startswith("HTTP/")
+    head = F.substring_index(txt, "\r\n\r\n", 1)
+    # body = everything after the FIRST blank line (locate+substring
+    # keeps bodies that themselves contain blank lines intact, which
+    # substring_index(txt, sep, -1) would not)
+    body = F.when(
+        F.locate("\r\n\r\n", txt) > 0,
+        F.substring(
+            txt, F.locate("\r\n\r\n", txt) + 4, F.length(txt)
+        ),
+    ).otherwise(F.lit(""))
+    status = F.regexp_extract(
+        F.substring_index(head, "\r\n", 1), r"^HTTP/\S+\s+(\d{3})", 1
+    ).cast("int")
+    return F.struct(
+        F.when(has_http, status).alias("status"),
+        F.when(has_http, head).alias("headers"),
+        F.when(has_http, body).otherwise(txt).alias("body"),
+    )

@@ -353,3 +353,30 @@ def test_warc_source_roundtrip_plain_and_gzip(spark, tmpdir):
     )
     with pytest.raises(Exception, match="truncated|PYTHON_DATA_SOURCE"):
         read_warc(spark, bad).collect()
+
+
+def test_http_response_parts_wet_extraction(spark):
+    """WET step: HTTP payloads split into (status, headers, body) —
+    blank lines INSIDE the body survive; non-HTTP records (warcinfo)
+    pass through whole with NULL status; regexp only on line one."""
+    from polaroam_spark.sources.warc import http_response_parts
+
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html>para one\r\n\r\npara two</html>"
+    )
+    info = b"software: crawler/1.0\r\nformat: WARC 1.0"
+    df = spark.createDataFrame(
+        [(1, http), (2, info)], "i long, payload binary"
+    )
+    out = {
+        r.i: r.p
+        for r in df.select(
+            "i", http_response_parts("payload").alias("p")
+        ).collect()
+    }
+    assert out[1].status == 200
+    assert out[1].headers.startswith("HTTP/1.1 200 OK")
+    assert out[1].body == "<html>para one\r\n\r\npara two</html>"
+    assert out[2].status is None
+    assert out[2].body == "software: crawler/1.0\r\nformat: WARC 1.0"
