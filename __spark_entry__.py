@@ -8406,6 +8406,47 @@ def t20(spark, sf_dir):
 
 
 @_q(
+    "t26_extract_main_content",
+    "SELECT doc_id, text AS main_text FROM documents",
+)
+def t26(spark, sf_dir):
+    """Link-density main-content extraction
+    (textstats.py:extract_main_content, r12 — the jusText/
+    trafilatura-class boilerplate signal, one notch above t20's
+    strip_html): each document is wrapped into synthetic HTML with
+    DOC-DEPENDENT boilerplate — a nav whose anchor text mentions the
+    doc id, a sub-min_chars fragment block, a link-farm footer — and
+    the extractor must return exactly the prose block. The oracle is
+    simply the source text (verified: every doc is 44..577 chars of
+    clean single-spaced ASCII, so the surviving block is verbatim),
+    which means ANY leak of nav/footer/fragment text, any dropped
+    prose, and any whitespace mangling hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from polaroam_spark.operators.textstats import (
+        extract_main_content,
+    )
+
+    html = F.concat(
+        F.lit("<html><head><script>track("),
+        F.col("doc_id").cast("string"),
+        F.lit(');</script></head><body><nav><a href="/">Home of '),
+        F.col("doc_id").cast("string"),
+        F.lit('</a> <a href="/about">About page number '),
+        F.col("doc_id").cast("string"),
+        F.lit("</a></nav><div>"),
+        F.col("text"),
+        F.lit("</div><p>frag-"),
+        F.col("doc_id").cast("string"),
+        F.lit('</p><footer><a href="/t">Terms of service</a> '),
+        F.lit('<a href="/p">Privacy and cookies</a></footer>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id", extract_main_content(html).alias("main_text")
+    )
+
+
+@_q(
     "t21_c4_line_filter",
     """SELECT doc_id,
   'Line one about ' || source || ' data.' || chr(10)
@@ -8804,7 +8845,7 @@ _PRIORITY = [
      "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
      "smp10_leakage_safe_split", "n8_pq_rotated_recall",
      "st8_streaming_gumbel_topk", "s16_bucketed_join",
-     "s17_warc_ingest",
+     "s17_warc_ingest", "t26_extract_main_content",
     # (d) everything else rides behind, oldest driver row first
     # (r8 block, then r9, r10, r11):
      "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",

@@ -753,3 +753,48 @@ def test_word_shingles_drops_null_elements(spark):
         .collect()
     }
     assert fast[2] == out[2]
+
+
+def test_extract_main_content_link_density(spark):
+    """Link-density boilerplate removal: nav/footer (anchor-heavy)
+    blocks drop, prose survives, prose with an embedded link
+    survives, short fragments drop, script/style never leak, NULL
+    in -> NULL out, and thresholds are honored."""
+    from polaroam_spark.operators.textstats import extract_main_content
+
+    html = (
+        "<html><head><script>var boilerplate=1;</script>"
+        "<style>p{color:red}</style></head><body>"
+        '<nav><a href="/">Home sweet home page</a> | '
+        '<a href="/about">About this whole site</a></nav>'
+        "<div>The genuine article body text, long enough to clear "
+        "the minimum character bar comfortably.</div>"
+        '<p>A second real paragraph that cites <a href="x">one '
+        "source</a> without being a link farm.</p>"
+        "<p>tiny</p>"
+        '<footer><a href="/terms">Terms of use</a> '
+        '<a href="/privacy">Privacy policy</a></footer></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None)], "i long, h string"
+    )
+    out = {
+        r.i: r.t
+        for r in df.select(
+            "i", extract_main_content("h").alias("t")
+        ).collect()
+    }
+    lines = out[1].split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("The genuine article body")
+    assert "one source" in lines[1]
+    assert "Home sweet" not in out[1]  # nav dropped
+    assert "Privacy" not in out[1]  # footer dropped
+    assert "boilerplate" not in out[1]  # script content gone
+    assert "tiny" not in out[1]  # under min_chars
+    assert out[2] is None
+    # loosened link-density keeps the nav too
+    loose = df.filter("i = 1").select(
+        extract_main_content("h", max_link_density=1.0).alias("t")
+    ).first()["t"]
+    assert "Home sweet home page" in loose
