@@ -8838,7 +8838,7 @@ _PRIORITY = [
      "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
     # r12-NEW gates (local 3-SF hash-green evidence this round;
     # first driver rows r13). r13 WINDOW ARITHMETIC: 4 trimmed r7
-    # above + these 6 + the 23-gate r8 block + the 17 alphabetically
+    # above + these 8 + the 23-gate r8 block + the 15 alphabetically
     # first r9 gates = 50 exactly; the remaining r9 gates follow in
     # r14. Re-derive from CORRECTNESS_r*.json before trusting this
     # note (the r10 lesson).
