@@ -104,6 +104,19 @@ class _WarcReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("warc source requires a path")
+        # 'types' option: comma-separated WARC-Type allowlist (e.g.
+        # "response"). Common Crawl interleaves request/metadata
+        # records with responses — filtering INSIDE the reader skips
+        # them before rows ever cross the Arrow boundary (the
+        # expensive hop of a Python source); payload bytes of
+        # skipped records are still consumed (sequential format)
+        # but never materialize as rows.
+        types = options.get("types")
+        self._types = (
+            {t.strip().lower() for t in types.split(",") if t.strip()}
+            if types
+            else None
+        )
 
     def partitions(self):
         path = self._path
@@ -126,6 +139,11 @@ class _WarcReader(DataSourceReader):
             for i, (hd, payload) in enumerate(
                 _iter_warc_records(stream)
             ):
+                if self._types is not None and (
+                    (hd.get("warc-type") or "").lower()
+                    not in self._types
+                ):
+                    continue
                 yield (
                     hd.get("warc-record-id"),
                     hd.get("warc-type"),
@@ -156,10 +174,18 @@ def register_warc_source(spark) -> None:
     spark.dataSource.register(WarcDataSource)
 
 
-def read_warc(spark, path: str):
-    """``spark.read.format("warc").load(path)`` with registration."""
+def read_warc(spark, path: str, types: "str | None" = None):
+    """``spark.read.format("warc").load(path)`` with registration.
+    ``types``: comma-separated WARC-Type allowlist (e.g.
+    ``"response"``) applied inside the reader, before the Arrow
+    boundary — record_index still counts ALL records in the file, so
+    (source_file, record_index) stays a stable record identity under
+    any filter."""
     register_warc_source(spark)
-    return spark.read.format("warc").load(path)
+    reader = spark.read.format("warc")
+    if types:
+        reader = reader.option("types", types)
+    return reader.load(path)
 
 
 def write_warc_file(

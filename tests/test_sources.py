@@ -380,3 +380,28 @@ def test_http_response_parts_wet_extraction(spark):
     assert out[1].body == "<html>para one\r\n\r\npara two</html>"
     assert out[2].status is None
     assert out[2].body == "software: crawler/1.0\r\nformat: WARC 1.0"
+
+
+def test_warc_types_filter_inside_reader(spark, tmpdir):
+    """The 'types' option drops non-matching records before the
+    Arrow boundary; record_index stays the in-file ordinal of ALL
+    records so identities are stable under any filter."""
+    from polaroam_spark.sources.warc import read_warc, write_warc_file
+
+    rows = [
+        ("<urn:a>", "warcinfo", None, "2026-08-15T00:00:00Z",
+         "application/warc-fields", b"software: x"),
+        ("<urn:b>", "request", "https://x/1", "2026-08-15T00:00:00Z",
+         "application/http", b"GET / HTTP/1.1"),
+        ("<urn:c>", "response", "https://x/1", "2026-08-15T00:00:00Z",
+         "application/http", b"HTTP/1.1 200 OK\r\n\r\nhello"),
+        ("<urn:d>", "response", "https://x/2", "2026-08-15T00:00:00Z",
+         "application/http", b"HTTP/1.1 404 NO\r\n\r\nnope"),
+    ]
+    path = f"{tmpdir}/mixed.warc"
+    write_warc_file(rows, path)
+    all_recs = read_warc(spark, path).collect()
+    assert len(all_recs) == 4
+    resp = read_warc(spark, path, types="response").collect()
+    assert [r.record_id for r in resp] == ["<urn:c>", "<urn:d>"]
+    assert [r.record_index for r in resp] == [2, 3]  # file ordinals
