@@ -1409,6 +1409,14 @@ def extract_main_content(
     c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # collapse SOURCE newlines to spaces BEFORE inserting block
+    # boundaries (r12 ADVICE): pretty-printed HTML wraps paragraphs
+    # across source lines, and splitting on those would score each
+    # source line as its own block — wrapped tails under min_chars
+    # silently vanish and link density is computed per line, not per
+    # block. After this, every \n in the string is one WE inserted
+    # at a block-tag boundary.
+    c = F.regexp_replace(c, r"[\r\n]+", " ")
     c = F.regexp_replace(c, _BLOCK_TAG_RE, "\n")
     blocks = F.split(c, r"\n")
     scored = F.transform(

@@ -44,6 +44,13 @@ def _partial_moment_stats(vec_col: str, d: int):
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"NULL vector in '{vec_col}': moment fitting "
+                    "has no NULL semantics — filter "
+                    f"(df.filter(F.col('{vec_col}').isNotNull())) "
+                    "before fitting"
+                )
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if x.shape[1] != d:
                 raise ValueError(
@@ -63,9 +70,18 @@ def _partial_moment_stats(vec_col: str, d: int):
 def _fit_moments(df: DataFrame, vec_col: str):
     """Shared one-pass fit: (n, mean, eigvals desc, eigvecs
     sign-canonicalized) of the column's covariance."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    # dimension probe skips NULL vectors (size(NULL) is NULL) so a
+    # NULL in row one doesn't poison it; NULLs reaching the kernel
+    # still raise the loud ValueError below (r12 ADVICE)
+    first = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .first()
+    )
     if first is None:
-        raise ValueError("cannot fit on an empty frame")
+        raise ValueError(
+            "cannot fit on an empty frame (no non-NULL vectors)"
+        )
     d = int(first["d"])
     schema = T.StructType(
         [
@@ -171,12 +187,22 @@ def apply_whitening(
     ``out = (x - mean) @ components.T``. The (k, d) matrix and mean
     ride to executors inside the serialized pandas UDF (KBs..MBs —
     broadcast semantics without an explicit join); each Arrow batch
-    is one numpy matmul."""
+    is one numpy matmul. NULL in → NULL out."""
     mean = np.asarray(model["mean"], dtype=np.float64)
     comp = np.asarray(model["components"], dtype=np.float64)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _proj(col: pd.Series) -> pd.Series:
+        # NULL in -> NULL out (the repo's vector-op convention; a
+        # NULL inside np.stack dies with an opaque shape error)
+        mask = col.isna()
+        if mask.any():
+            out = pd.Series([None] * len(col), index=col.index,
+                            dtype=object)
+            if (~mask).any():
+                x = np.stack(col[~mask].to_numpy()).astype(np.float64)
+                out[~mask] = list((x - mean) @ comp.T)
+            return out
         x = np.stack(col.to_numpy()).astype(np.float64)
         y = (x - mean) @ comp.T
         return pd.Series(list(y))

@@ -65,6 +65,80 @@ class _WarcFilePartition(InputPartition):
         self.path = path
 
 
+def _has_scheme(path: str) -> bool:
+    """True for URI-style paths (``s3://…``, ``file:///…``, ``hdfs://…``)
+    that must route through a filesystem abstraction instead of the
+    POSIX calls. Windows drive letters don't occur on cluster paths."""
+    return "://" in path
+
+
+def _fs_for(path: str):
+    """(pyarrow FileSystem, fs-local path) for a URI — the one
+    abstraction in the baked-in stack that speaks local, S3, GCS and
+    HDFS uniformly. Plain paths return (None, path) and stay on the
+    direct POSIX fast path."""
+    if not _has_scheme(path):
+        return None, path
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _list_warc_files(path: str) -> "list[str]":
+    """Enumerate .warc/.warc.gz files under ``path``. URI paths list
+    through pyarrow.fs (recursive FileSelector — object stores list
+    by prefix, no glob needed); plain paths keep glob. Returned URI
+    paths preserve the original scheme so ``read()`` can re-resolve
+    the filesystem executor-side."""
+    if _has_scheme(path):
+        from pyarrow import fs as pafs
+
+        filesystem, local = _fs_for(path)
+        scheme = path.split("://", 1)[0]
+
+        def _requalify(p: str) -> str:
+            return f"{scheme}://{p.lstrip('/')}" if scheme != "file" \
+                else f"file://{p if p.startswith('/') else '/' + p}"
+
+        info = filesystem.get_file_info(local)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(local, recursive=True)
+            return sorted(
+                _requalify(f.path)
+                for f in filesystem.get_file_info(sel)
+                if f.is_file and ".warc" in f.base_name
+            )
+        if info.type == pafs.FileType.File:
+            return [path]
+        raise FileNotFoundError(f"no WARC files under {path}")
+    if os.path.isdir(path):
+        return sorted(
+            _glob.glob(os.path.join(path, "**", "*.warc*"),
+                       recursive=True)
+        )
+    return sorted(_glob.glob(path)) or [path]
+
+
+def _open_warc_stream(path: str) -> "io.BufferedIOBase":
+    """Open one WARC file for streaming reads, decompressing by
+    extension. URI paths open through pyarrow.fs input streams
+    (seekless sequential reads — exactly the access pattern object
+    stores serve well); gzip decompression wraps the remote stream
+    (``gzip.GzipFile(fileobj=…)``), so remote .warc.gz files flow
+    through the same O(record)-memory parse as local ones."""
+    if _has_scheme(path):
+        filesystem, local = _fs_for(path)
+        # compression=None: keep decompression on OUR gzip path (it
+        # handles the Common Crawl member-per-record convention);
+        # pyarrow's default 'detect' would double-decompress .gz
+        raw = filesystem.open_input_stream(local, compression=None)
+        if path.endswith(".gz"):
+            return io.BufferedReader(gzip.GzipFile(fileobj=raw))
+        return io.BufferedReader(raw)
+    opener = gzip.open if path.endswith(".gz") else open
+    return io.BufferedReader(opener(path, "rb"))
+
+
 def _iter_warc_records(stream: "io.BufferedIOBase"):
     """Yield (headers dict lowercase-keyed, payload bytes) per record.
     Streams: reads exactly one record ahead, O(record) memory."""
@@ -102,8 +176,25 @@ def _iter_warc_records(stream: "io.BufferedIOBase"):
 class _WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
-        if not self._path:
-            raise ValueError("warc source requires a path")
+        # 'files' option: explicit newline/comma-separated file list —
+        # bypasses listing entirely. At crawl scale this is the right
+        # input: Common Crawl publishes warc.paths manifests (~64k
+        # entries), and listing an object-store prefix with 64k keys
+        # costs paginated API round-trips a manifest already paid for.
+        files = options.get("files")
+        self._files = (
+            [
+                f.strip()
+                for f in files.replace(",", "\n").splitlines()
+                if f.strip()
+            ]
+            if files
+            else None
+        )
+        if not self._path and not self._files:
+            raise ValueError(
+                "warc source requires a path or a files list"
+            )
         # 'types' option: comma-separated WARC-Type allowlist (e.g.
         # "response"). Common Crawl interleaves request/metadata
         # records with responses — filtering INSIDE the reader skips
@@ -119,23 +210,20 @@ class _WarcReader(DataSourceReader):
         )
 
     def partitions(self):
-        path = self._path
-        if os.path.isdir(path):
-            files = sorted(
-                _glob.glob(os.path.join(path, "**", "*.warc*"),
-                           recursive=True)
-            )
-        else:
-            files = sorted(_glob.glob(path)) or [path]
+        files = (
+            self._files
+            if self._files is not None
+            else _list_warc_files(self._path)
+        )
         if not files:
-            raise FileNotFoundError(f"no WARC files under {path}")
+            raise FileNotFoundError(
+                f"no WARC files under {self._path}"
+            )
         return [_WarcFilePartition(f) for f in files]
 
     def read(self, partition: _WarcFilePartition):
         path = partition.path
-        opener = gzip.open if path.endswith(".gz") else open
-        with opener(path, "rb") as raw:
-            stream = io.BufferedReader(raw)
+        with _open_warc_stream(path) as stream:
             for i, (hd, payload) in enumerate(
                 _iter_warc_records(stream)
             ):
@@ -174,17 +262,29 @@ def register_warc_source(spark) -> None:
     spark.dataSource.register(WarcDataSource)
 
 
-def read_warc(spark, path: str, types: "str | None" = None):
+def read_warc(
+    spark,
+    path: "str | None" = None,
+    types: "str | None" = None,
+    files: "list[str] | None" = None,
+):
     """``spark.read.format("warc").load(path)`` with registration.
     ``types``: comma-separated WARC-Type allowlist (e.g.
     ``"response"``) applied inside the reader, before the Arrow
     boundary — record_index still counts ALL records in the file, so
     (source_file, record_index) stays a stable record identity under
-    any filter."""
+    any filter. ``path`` may be a plain path (POSIX glob listing) or
+    a URI (``file://``, ``s3://``, ``hdfs://`` — listed and opened
+    through pyarrow.fs). ``files``: explicit file list (e.g. a
+    Common Crawl warc.paths manifest) — skips listing entirely, the
+    right input at ~64k-files-per-crawl scale."""
     register_warc_source(spark)
     reader = spark.read.format("warc")
     if types:
         reader = reader.option("types", types)
+    if files:
+        reader = reader.option("files", "\n".join(files))
+        return reader.load()
     return reader.load(path)
 
 
@@ -228,12 +328,20 @@ def http_response_parts(payload):
     UDF: decode UTF-8 (lossy), cut at the first blank line, parse
     the status from the first line. Records without an HTTP preamble
     (e.g. ``warcinfo``) yield status NULL and the whole payload as
-    body, so the expression is total over mixed record types."""
+    body, so the expression is total over mixed record types.
+
+    The decode is ``payload.cast("string")`` — Spark's binary→string
+    cast is NON-VALIDATING (invalid UTF-8 bytes become U+FFFD), which
+    is the property "total over mixed record types" actually needs:
+    real Common Crawl response payloads routinely carry latin-1 pages
+    and binary assets, and ``F.decode(p, "UTF-8")`` raises
+    MALFORMED_CHARACTER_CODING on the first such record in Spark 4,
+    aborting the whole WET job (r12 ADVICE, verified by probe)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     p = payload if isinstance(payload, Column) else F.col(payload)
-    txt = F.decode(p, "UTF-8")
+    txt = p.cast("string")
     has_http = txt.startswith("HTTP/")
     head = F.substring_index(txt, "\r\n\r\n", 1)
     # body = everything after the FIRST blank line (locate+substring

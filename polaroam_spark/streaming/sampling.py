@@ -18,6 +18,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark, path: str):
+    """(Hadoop FileSystem, Path) for any Spark-readable URI — local,
+    ``file:``, HDFS, S3A alike. Using the JVM's own FS abstraction
+    means the journal lives wherever the checkpoint does (r12 ADVICE:
+    the os.listdir/shutil version silently no-op'd on non-POSIX
+    stores, turning crash recovery into a silent restart-from-zero —
+    exactly the failure the contract forbids)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return fs, jpath
+
+
+def _list_journal_batches(spark, journal_dir: str) -> "list[int]":
+    """Batch ids with an entry under the journal dir, any filesystem."""
+    fs, jpath = _hadoop_fs(spark, journal_dir)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
 def streaming_gumbel_topk(
     docs_stream: DataFrame,
     checkpoint_dir: str,
@@ -60,10 +88,18 @@ def streaming_gumbel_topk(
     order: consumer view, else newest readable journal entry, else
     (only when neither path exists) a fresh empty state — an
     EXISTING but unreadable state raises instead of silently
-    restarting from zero. Keys must uniquely identify rows across
-    the stream (the usual doc-id contract); a key re-delivered with
-    the same weight merges to one row, bit-identically to the batch
-    op's DISTINCT-key frame.
+    restarting from zero. Journal listing/pruning goes through the
+    Hadoop FileSystem API, so the snapshot + journal live wherever
+    the checkpoint does (local, ``file:``, HDFS, S3A).
+
+    Keys must uniquely identify rows across the stream (the usual
+    doc-id contract); a key re-delivered with the same weight merges
+    to one row, bit-identically to the batch op's DISTINCT-key frame.
+    A key re-delivered with a DIFFERENT weight (contract violation)
+    MAX-merges — the higher-scored row wins, the one rule that keeps
+    the state commutative/associative/idempotent and therefore
+    independent of batch boundaries and replays; note the batch op
+    over the raw union would instead see both rows.
 
     Feed a PROJECTED stream (key, weight, the columns the snapshot
     should carry) — every snapshot column rides through the bounded
@@ -95,26 +131,18 @@ def streaming_gumbel_topk(
             return None
 
     def _load_snapshot() -> None:
-        import os
-
         rows = _read_rows(output_path)
         if rows is None:
             # consumer view unreadable (lost to a crash mid-write or
-            # never written): recover from the newest journal entry
-            jd = journal_dir.replace("file:", "")
+            # never written): recover from the newest journal entry —
+            # listed through the Hadoop FS so HDFS/S3 checkpoints
+            # recover exactly like local ones
             entries = sorted(
-                (
-                    e
-                    for e in (
-                        os.listdir(jd) if os.path.isdir(jd) else []
-                    )
-                    if e.startswith("batch_id=")
-                ),
-                key=lambda e: int(e.split("=", 1)[1]),
+                _list_journal_batches(spark, journal_dir),
                 reverse=True,
             )
-            for e in entries:
-                rows = _read_rows(os.path.join(jd, e))
+            for b in entries:
+                rows = _read_rows(f"{journal_dir}/batch_id={b}")
                 if rows is not None:
                     break
             if rows is None and entries:
@@ -129,9 +157,6 @@ def streaming_gumbel_topk(
     _load_snapshot()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
         top = (
             batch_df.filter(F.col(log_weight_col).isNotNull())
             .withColumn("_gk_score", score)
@@ -139,8 +164,17 @@ def streaming_gumbel_topk(
             .limit(k)
             .collect()  # bounded: <= k rows
         )
+        # MAX-merge on re-delivered keys (r12 verdict #3): keep the
+        # higher-scored row. Under the unique-key contract scores of
+        # re-deliveries are identical (pure hash) and this is a no-op;
+        # if a key DOES arrive with a different weight, max() is the
+        # one merge that is commutative, associative and idempotent —
+        # the snapshot stays independent of batch boundaries and
+        # replay order (setdefault kept first-SEEN, an order artifact)
         for r in top:
-            state.setdefault(r[key], r)
+            cur = state.get(r[key])
+            if cur is None or r["_gk_score"] > cur["_gk_score"]:
+                state[r[key]] = r
         survivors = sorted(
             state.values(), key=lambda r: (-r["_gk_score"], r[key])
         )[:k]
@@ -159,14 +193,15 @@ def streaming_gumbel_topk(
         snap.coalesce(1).write.mode("overwrite").parquet(entry)
         # 2) consumer view
         snap.coalesce(1).write.mode("overwrite").parquet(output_path)
-        # 3) prune journal older than the previous batch
-        jd = journal_dir.replace("file:", "")
-        for e in os.listdir(jd) if os.path.isdir(jd) else []:
-            if (
-                e.startswith("batch_id=")
-                and int(e.split("=", 1)[1]) < batch_id - 1
-            ):
-                shutil.rmtree(os.path.join(jd, e), ignore_errors=True)
+        # 3) prune journal older than the previous batch (Hadoop FS —
+        # works on whatever store the output lives on)
+        fs, _ = _hadoop_fs(spark, journal_dir)
+        for b in _list_journal_batches(spark, journal_dir):
+            if b < batch_id - 1:
+                _, jp = _hadoop_fs(
+                    spark, f"{journal_dir}/batch_id={b}"
+                )
+                fs.delete(jp, True)
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -405,3 +405,85 @@ def test_warc_types_filter_inside_reader(spark, tmpdir):
     resp = read_warc(spark, path, types="response").collect()
     assert [r.record_id for r in resp] == ["<urn:c>", "<urn:d>"]
     assert [r.record_index for r in resp] == [2, 3]  # file ordinals
+
+
+def test_http_response_parts_lossy_on_invalid_utf8(spark):
+    """r12 ADVICE (high): real Common Crawl payloads carry latin-1
+    pages and binary assets — invalid UTF-8 must decode LOSSILY
+    (U+FFFD), never abort the job (F.decode raises
+    MALFORMED_CHARACTER_CODING in Spark 4)."""
+    from polaroam_spark.sources.warc import http_response_parts
+
+    latin1 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + "café".encode("latin-1")  # 0xE9: invalid UTF-8
+    )
+    binary = b"HTTP/1.1 200 OK\r\n\r\n\x89PNG\r\n\x1a\n\x00\xff\xfe"
+    df = spark.createDataFrame(
+        [(1, latin1), (2, binary)], "i long, payload binary"
+    )
+    out = {
+        r.i: r.p
+        for r in df.select(
+            "i", http_response_parts("payload").alias("p")
+        ).collect()
+    }
+    assert out[1].status == 200
+    # lossy, not an exception; valid prefix intact, invalid bytes
+    # degrade to replacement junk (exact bytes are JVM-internal)
+    assert out[1].body.startswith("caf")
+    assert out[2].status == 200
+    assert out[2].body is not None  # binary survives as mojibake
+
+
+def test_warc_explicit_files_and_file_uri_listing(spark, tmpdir):
+    """r12 verdict weak-mark: the reader must enumerate and open
+    non-POSIX stores. Covered paths: (a) an explicit file list (the
+    warc.paths-manifest shape — no listing at all), (b) a file://
+    URI directory (listed + opened through pyarrow.fs, the same code
+    path s3:// takes). Both must match the plain-path read."""
+    import os
+
+    from polaroam_spark.sources.warc import read_warc, write_warc_file
+
+    def rows(base):
+        return [
+            (
+                f"<urn:{base}-{i}>",
+                "response",
+                f"https://x/{base}/{i}",
+                "2026-08-15T00:00:00Z",
+                "text/plain",
+                f"body {base} {i}".encode(),
+            )
+            for i in range(3)
+        ]
+
+    d = f"{tmpdir}/warc_fs"
+    os.makedirs(d)
+    write_warc_file(rows("a"), f"{d}/a.warc.gz")
+    write_warc_file(rows("b"), f"{d}/b.warc")
+
+    want = sorted(
+        (r.record_id, bytes(r.payload))
+        for r in read_warc(spark, d).collect()
+    )
+    assert len(want) == 6
+
+    # (a) explicit manifest: plain paths and file:// URIs mixed
+    via_files = read_warc(
+        spark,
+        files=[f"{d}/a.warc.gz", f"file://{d}/b.warc"],
+    )
+    got_a = sorted(
+        (r.record_id, bytes(r.payload)) for r in via_files.collect()
+    )
+    assert got_a == want
+    assert via_files.rdd.getNumPartitions() == 2
+
+    # (b) URI directory listing through pyarrow.fs
+    via_uri = read_warc(spark, f"file://{d}")
+    got_b = sorted(
+        (r.record_id, bytes(r.payload)) for r in via_uri.collect()
+    )
+    assert got_b == want

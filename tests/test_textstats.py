@@ -798,3 +798,28 @@ def test_extract_main_content_link_density(spark):
         extract_main_content("h", max_link_density=1.0).alias("t")
     ).first()["t"]
     assert "Home sweet home page" in loose
+
+
+def test_extract_main_content_pretty_printed_html(spark):
+    """r12 ADVICE (medium): pretty-printed HTML wraps a paragraph
+    across source lines — pre-existing newlines must NOT act as
+    block boundaries (else wrapped tail lines under min_chars vanish
+    and link density is scored per source line, not per block)."""
+    from polaroam_spark.operators.textstats import extract_main_content
+
+    html = (
+        "<html>\n<body>\n<nav>\n"
+        '<a href="/">Home</a> <a href="/a">About</a>\n'
+        "</nav>\n<div>\nThe quick brown fox jumps over the lazy "
+        "dog near\nthe river bank today.\n</div>\n"
+        '<footer><a href="/t">Terms</a> <a href="/p">Privacy'
+        "</a></footer>\n</body>\n</html>"
+    )
+    df = spark.createDataFrame([(1, html)], "i long, h string")
+    got = df.select(
+        extract_main_content("h").alias("t")
+    ).first().t
+    # the wrapped paragraph survives as ONE block, tail included,
+    # newline rejoined as a space; nav/footer dropped by link density
+    assert "near the river bank today." in got
+    assert "Home" not in got and "Terms" not in got

@@ -329,3 +329,63 @@ def test_eigenvalue_allocation_scale_invariant():
     sums = sorted(lv[small].reshape(4, 2).sum(axis=1))
     naive = sorted(lv.reshape(4, 2).sum(axis=1))
     assert sums[-1] - sums[0] < naive[-1] - naive[0]
+
+
+def test_fit_rejects_null_vectors_loudly(spark):
+    """r12 ADVICE (low): a NULL embedding must fail the fit with a
+    clear ValueError (not an opaque np.stack shape error), and a
+    NULL in row one must not poison the dimension probe."""
+    import pytest
+
+    from polaroam_spark.operators.vectors import fit_pca_whitening
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [2.0, 1.0]), (3, [0.0, 4.0])],
+        "id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL vector"):
+        fit_pca_whitening(df, "embedding")
+    # the documented remedy works
+    m = fit_pca_whitening(
+        df.filter("embedding is not null"), "embedding"
+    )
+    assert m["n"] == 3
+
+    all_null = spark.createDataFrame(
+        [(0, None)], "id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        fit_pca_whitening(all_null, "embedding")
+
+
+def test_apply_whitening_null_in_null_out(spark):
+    """Projection follows the repo's vector-op convention: NULL
+    embedding -> NULL output, non-NULL rows unaffected."""
+    import numpy as np
+
+    from polaroam_spark.operators.vectors import (
+        apply_whitening,
+        fit_pca_whitening,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), float(3 - i)]) for i in range(4)],
+        "id long, embedding array<double>",
+    )
+    model = fit_pca_whitening(base, "embedding")
+    with_null = base.unionByName(
+        spark.createDataFrame(
+            [(99, None)], "id long, embedding array<double>"
+        )
+    )
+    rows = {
+        r.id: r.whitened
+        for r in apply_whitening(with_null, model, "embedding").collect()
+    }
+    assert rows[99] is None
+    clean = {
+        r.id: r.whitened
+        for r in apply_whitening(base, model, "embedding").collect()
+    }
+    for i in range(4):
+        assert np.allclose(rows[i], clean[i])
