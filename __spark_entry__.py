@@ -8799,115 +8799,109 @@ def mm3(spark, sf_dir):
 # (a hand-maintained note went stale by five gates). Arithmetic is
 # stated inside the list at the window edge.
 _PRIORITY = [
-    # (a) the 5 r11-NEW gates — never driver-driven (first rows r12);
-    # all have local 3-SF hash-green evidence from the r11 sweeps.
-    # smp9's top-k path was REWRITTEN this round (r11 ADVICE: the
-    # single-task global Window is now TakeOrderedAndProject / band
-    # refinement via operators/selection.py) — its first driver row
-    # doubles as the rewrite's gate:
-     "smp7b_temperature_sample_weighted",
-     "smp8b_temperature_epoch_plan_mean", "t25_dsir_logweights",
-     "smp9_gumbel_topk", "s15_orc_roundtrip",
-    # (b) the named r12 remainder from the r11 rotation (oldest
-    # driver rows in the registry, r5):
-     "q1_tpch_pricing", "w9_ntile_cume", "ts1_resample_linear",
-    # (c) 42 of the 46-gate r7-stale block — everything else whose
-    # latest driver row is r7, alphabetical:
-     "a10_ratio_aggregates", "a11_having", "a12_global_minmax",
-     "a1_groupby_count", "a20_histogram", "a21_corr_covar", "a2_groupby_sum",
-     "a4_groupby_minmax", "a5_count_per_group", "a6_count_distinct",
-     "a7_first_per_group", "a8_collect_list", "j12_interval_overlap",
-     "j2_left_join_single", "j3_semi_join", "j5_cross_broadcast_scalar",
-     "j6_medoid_joinback", "j7_asof_join", "mm2_png_dims",
-     "n4_embedding_join", "p10_null_checks", "p11_key_equality",
-     "p3_computed_columns", "p6_compound_filter", "p7_range_predicate",
-     "p8_string_inequality", "p9_membership", "q5_tpch_local_supplier",
-     "r8_topk_per_key", "s1_parquet_scan_filter", "s2_parquet_read_agg",
-     "s4_pandas_interchange", "s6_partitioned_write", "st7_streaming_ewma",
-     "t15_unigram_logprob", "ts3_zscore_anomaly", "v3_validate_expectations",
-     "w1_lead", "w2_lag_fill", "w5_rolling_range_window", "w6_row_index",
-     "w7_keep_first",
-    # ---- window edge: position 50 is the last r7 gate above ----
-    # WINDOW ARITHMETIC (VERDICT r10 #8: state it here): 5 new(r11)
-    # + 3 r5 remainder + 42 r7 = 50 exactly. The 4 r7 gates trimmed
-    # to the back — p1_projection, p2_rename, p4_drop_column,
-    # p5_numeric_filter, the lowest-risk pure-projection gates, all
-    # re-verified locally at 3 SFs this round — are the explicitly
-    # named r13 head, together with any r12-new gates inserted just
-    # below this line.
-     "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
-    # r12-NEW gates (local 3-SF hash-green evidence this round;
-    # first driver rows r13). r13 WINDOW ARITHMETIC: 4 trimmed r7
-    # above + these 8 + the 23-gate r8 block + the 15 alphabetically
-    # first r9 gates = 50 exactly; the remaining r9 gates follow in
-    # r14. Re-derive from CORRECTNESS_r*.json before trusting this
-    # note (the r10 lesson).
-     "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
-     "smp10_leakage_safe_split", "n8_pq_rotated_recall",
-     "st8_streaming_gumbel_topk", "s16_bucketed_join",
-     "s17_warc_ingest", "t26_extract_main_content",
-    # (d) everything else rides behind, oldest driver row first
-    # (r8 block, then r9, r10, r11):
-     "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-     "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-     "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
-     "d9_incremental_dedup_pairs", "k1_chunk_documents", "k2_packing_plan",
-     "k3_corpus_vocabulary", "k4_duplicate_components",
-     "k5_materialize_packs", "m2_stop_medians", "m3_communities",
-     "m3b_communities_refine", "m3c_communities_invariants",
-     "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
-     "m7_detect_work", "m8_compute_intervals", "c1_grid_neighbor_pairs",
-     "c3_dbscan_per_user", "c3b_dbscan_distributed", "c4_cluster_medoids",
-     "c5_convex_hull", "c6_max_pairwise_distance", "g4_kcore_invariants",
-     "k6_sentence_chunks", "m1_fit_predict", "mm1_media_features",
-     "mm3_av_headers", "mm4_jpeg_gif_dims", "n1_cosine_topk",
-     "n2_ann_lsh_topk", "n2b_ann_lsh_recall", "n2c_ann_lsh_recall_scaled",
-     "n3_ann_ivf_topk", "n3b_ann_ivf_recall", "n3d_ann_ivf_recall_scaled",
-     "n5_pq_recall", "n6_ivfpq_recall", "q6_curation_membership",
-     "q6b_curation_stats", "smp1_sample_by_hash", "smp2_train_test_split",
-     "smp3_stratified_sample", "smp4_deterministic_shuffle",
-     "st1_streaming_stops", "st2_streaming_counts", "st3_streaming_dedup",
-     "t11_calibrate_scores", "t12_tfidf_top_terms", "t19_dedup_spans",
-     "t1_token_count", "t20_strip_html", "t21_c4_line_filter",
-     "t22_bigram_logprob", "t23_mojibake", "t2_quality_features",
-     "t3_stopword_scores", "t4_fingerprint", "t5_scrub_text",
-     "t6_repetition_ratio", "t7_quality_stratified", "ts2_ewma",
-     "ts2b_ewma_blocked", "u2_filter_by_domain", "w4_detect_stops",
-     "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
-     "a9_grouped_udf", "d13_near_dedup_keep_best",
-     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
-     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
-     "f13_datetime_parts", "f14_iso_weekday", "f15_date_diff_days",
-     "f16_date_trunc_str", "f17_sha_uid_hash", "f18_boolean_algebra",
-     "f19_string_ops", "f1_haversine", "f20_json_extract", "f2_euclidean",
-     "f3_grid_snap", "f4_f5_array_construct_get", "f6_when_otherwise",
-     "f7_literal_cast", "f8_fill_null", "f9_epoch_to_timestamp",
-     "j1_left_join_composite", "j4_left_join_sentinel",
-     "n7_ivfpq_residual_recall", "r1_multi_sort_rank", "r2_distinct_subset",
-     "r3_drop_nulls", "r4_explode", "r4b_multi_explode", "r6_limit",
-     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
-     "s7_csv_sink_roundtrip", "s9_users_with_min_days", "skw1_salted_agg",
-     "smp7_temperature_sample", "smp8_temperature_epoch_plan",
-     "st4_streaming_incremental_dedup", "t10_bpe_token_count",
-     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
-     "v1_vector_normalize", "v2_quantize_roundtrip", "a15_approx_distinct",
-     "a16_rollup", "a17_cube", "a18_grouping_sets",
-     "a19_approx_percentile_band", "d10_fuzzy_text_join", "d11_containment",
-     "d12_semantic_pairs", "f21_map_ops", "f22_zorder_key",
-     "g1_pagerank_invariants", "g2_triangle_count", "g3_clustering_coeff",
-     "j10_nullsafe_join", "j11_full_outer", "j7b_asof_join_chunked",
-     "j7c_asof_join_forward", "j8_point_in_interval",
-     "j8b_point_in_interval_left", "j9_anti_join", "m3d_communities_infomap",
-     "mm1b_png_decode", "n3c_ann_ivf_prebuilt", "q3_tpch_shipping",
-     "q4_bm25_search", "r5_pivot", "r7_set_ops", "s10_jsonl_roundtrip",
-     "s11_schema_evolution", "s12_upsert_by_key", "s13_compact_files",
-     "s14_column_stats", "skw2_salted_hot_join", "smp5_cap_per_key",
-     "smp6_weighted_sample", "st5_stream_stream_join",
-     "st6_streaming_sessions", "t13_gopher_flags", "t14_duplicate_lines",
-     "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
-     "t9_detect_language", "w10_session_window", "w3_gated_cumsum",
-     "w8_compute_intervals", "x1_heavy_hitters", "x2_bloom_membership",
-     "x3_bloom_decontaminate", "x4_hll_two_level",
+    # ------------------------------------------------------------------
+    # r13 WINDOW (first 50 — the driver drives exactly this many).
+    # Derived from CORRECTNESS_r01..r12 THIS round (latest driver row
+    # per gate; rows-only attempts count — n2/n3/m3 were re-driven in
+    # r9/r8, so nothing in the registry is older than r7): 4 gates at
+    # r7 (the r12 trim) + the 8 r12-new gates (no driver row yet;
+    # judge-verified green at sf0.001 AND sf0.01 in the r12 verdict)
+    # + the 23-gate r8 block (22 hash + m3 rows-only) + the 15
+    # alphabetically-first r9 gates. 4 + 8 + 23 + 15 = 50 exactly.
+    # The remaining 33 r9 gates head the r14 window, with any r13-new
+    # gates inserted before them.
+    # ------------------------------------------------------------------
+    # (a) r7 trim (oldest driver rows in the registry):
+    "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
+    # (b) r12-new, first driver rows:
+    "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
+    "smp10_leakage_safe_split", "n8_pq_rotated_recall",
+    "st8_streaming_gumbel_topk", "s16_bucketed_join", "s17_warc_ingest",
+    "t26_extract_main_content",
+    # (c) the r8 block (23):
+    "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
+    "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
+    "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
+    "d9_incremental_dedup_pairs", "k1_chunk_documents", "k2_packing_plan",
+    "k3_corpus_vocabulary", "k4_duplicate_components",
+    "k5_materialize_packs", "m2_stop_medians", "m3_communities",
+    "m3b_communities_refine", "m3c_communities_invariants",
+    "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
+    "m7_detect_work", "m8_compute_intervals",
+    # (d) alphabetically-first 15 of the 48-gate r9 block:
+    "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c3b_dbscan_distributed",
+    "c4_cluster_medoids", "c5_convex_hull", "c6_max_pairwise_distance",
+    "g4_kcore_invariants", "k6_sentence_chunks", "m1_fit_predict",
+    "mm1_media_features", "mm3_av_headers", "mm4_jpeg_gif_dims",
+    "n1_cosine_topk", "n2_ann_lsh_topk", "n2b_ann_lsh_recall",
+    # ---- window edge: position 50 is the last r9 gate above ----
+    # (e) everything else rides behind, oldest driver row first
+    # (rest of r9, then r10, r11, r12), alphabetical within rounds.
+    # r13-NEW gates are inserted at the TOP of this tail as they are
+    # added (first driver rows r14):
+    "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
+    "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
+    "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",
+    "smp2_train_test_split", "smp3_stratified_sample",
+    "smp4_deterministic_shuffle", "st1_streaming_stops",
+    "st2_streaming_counts", "st3_streaming_dedup", "t11_calibrate_scores",
+    "t12_tfidf_top_terms", "t19_dedup_spans", "t1_token_count",
+    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
+    "t23_mojibake", "t2_quality_features", "t3_stopword_scores",
+    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
+    "t7_quality_stratified", "ts2_ewma", "ts2b_ewma_blocked",
+    "u2_filter_by_domain", "w4_detect_stops", "a13_exact_percentiles",
+    "a14_time_rollup", "a3_groupby_median", "a9_grouped_udf",
+    "d13_near_dedup_keep_best", "d14_eval_contamination_report",
+    "evt1_signup_purchase_funnel", "f10_timestamp_to_epoch",
+    "f11_tz_convert", "f12_tz_restamp", "f13_datetime_parts",
+    "f14_iso_weekday", "f15_date_diff_days", "f16_date_trunc_str",
+    "f17_sha_uid_hash", "f18_boolean_algebra", "f19_string_ops",
+    "f1_haversine", "f20_json_extract", "f2_euclidean", "f3_grid_snap",
+    "f4_f5_array_construct_get", "f6_when_otherwise", "f7_literal_cast",
+    "f8_fill_null", "f9_epoch_to_timestamp", "j1_left_join_composite",
+    "j4_left_join_sentinel", "n7_ivfpq_residual_recall",
+    "r1_multi_sort_rank", "r2_distinct_subset", "r3_drop_nulls",
+    "r4_explode", "r4b_multi_explode", "r6_limit", "s3_csv_gz_roundtrip",
+    "s5_parquet_sink_roundtrip", "s7_csv_sink_roundtrip",
+    "s9_users_with_min_days", "skw1_salted_agg", "smp7_temperature_sample",
+    "smp8_temperature_epoch_plan", "st4_streaming_incremental_dedup",
+    "t10_bpe_token_count", "t24_bigram_logprob_reference", "t8_pii_counts",
+    "u1_url_features", "v1_vector_normalize", "v2_quantize_roundtrip",
+    "a15_approx_distinct", "a16_rollup", "a17_cube", "a18_grouping_sets",
+    "a19_approx_percentile_band", "d10_fuzzy_text_join", "d11_containment",
+    "d12_semantic_pairs", "f21_map_ops", "f22_zorder_key",
+    "g1_pagerank_invariants", "g2_triangle_count", "g3_clustering_coeff",
+    "j10_nullsafe_join", "j11_full_outer", "j7b_asof_join_chunked",
+    "j7c_asof_join_forward", "j8_point_in_interval",
+    "j8b_point_in_interval_left", "j9_anti_join", "m3d_communities_infomap",
+    "mm1b_png_decode", "n3c_ann_ivf_prebuilt", "q3_tpch_shipping",
+    "q4_bm25_search", "r5_pivot", "r7_set_ops", "s10_jsonl_roundtrip",
+    "s11_schema_evolution", "s12_upsert_by_key", "s13_compact_files",
+    "s14_column_stats", "skw2_salted_hot_join", "smp5_cap_per_key",
+    "smp6_weighted_sample", "st5_stream_stream_join",
+    "st6_streaming_sessions", "t13_gopher_flags", "t14_duplicate_lines",
+    "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
+    "t9_detect_language", "w10_session_window", "w3_gated_cumsum",
+    "w8_compute_intervals", "x1_heavy_hitters", "x2_bloom_membership",
+    "x3_bloom_decontaminate", "x4_hll_two_level", "a10_ratio_aggregates",
+    "a11_having", "a12_global_minmax", "a1_groupby_count", "a20_histogram",
+    "a21_corr_covar", "a2_groupby_sum", "a4_groupby_minmax",
+    "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
+    "a8_collect_list", "j12_interval_overlap", "j2_left_join_single",
+    "j3_semi_join", "j5_cross_broadcast_scalar", "j6_medoid_joinback",
+    "j7_asof_join", "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
+    "p11_key_equality", "p3_computed_columns", "p6_compound_filter",
+    "p7_range_predicate", "p8_string_inequality", "p9_membership",
+    "q1_tpch_pricing", "q5_tpch_local_supplier", "r8_topk_per_key",
+    "s15_orc_roundtrip", "s1_parquet_scan_filter", "s2_parquet_read_agg",
+    "s4_pandas_interchange", "s6_partitioned_write",
+    "smp7b_temperature_sample_weighted", "smp8b_temperature_epoch_plan_mean",
+    "smp9_gumbel_topk", "st7_streaming_ewma", "t15_unigram_logprob",
+    "t25_dsir_logweights", "ts1_resample_linear", "ts3_zscore_anomaly",
+    "v3_validate_expectations", "w1_lead", "w2_lag_fill",
+    "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
+    "w9_ntile_cume",
 ]
 
 
