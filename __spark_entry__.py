@@ -8446,6 +8446,138 @@ def t26(spark, sf_dir):
     )
 
 
+
+
+# Real byte-level BPE (operators/tokenize.py, r13): three gates of
+# increasing depth. t27 pins the encode PLUMBING with a no-merge
+# model (token count == UTF-8 byte count, a per-row hash-exact
+# identity DuckDB can compute); t28 pins the MERGE SEMANTICS with a
+# single learned pair, whose greedy one-pass application provably
+# equals left-to-right non-overlapping substring replacement (no
+# 'er' can span a pre-token boundary: maximal-munch letter runs);
+# t29 certifies the full train->encode->decode loop (lossless
+# roundtrip over every document + a differential against an
+# independent merge-application strategy), m3c-style, since a
+# trained tokenizer's ids are not ANSI-SQL-expressible.
+@_q(
+    "t27_bpe_identity_counts",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
+    "AS n_tokens FROM documents",
+)
+def t27(spark, sf_dir):
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    return bpe_token_count(docs, base, "text").select(
+        "doc_id", "n_tokens"
+    )
+
+
+@_q(
+    "t28_bpe_single_merge_counts",
+    "SELECT doc_id, CAST(octet_length(encode(text)) - "
+    "(length(text) - length(replace(text, 'er', ''))) // 2 "
+    "AS BIGINT) AS n_tokens FROM documents",
+)
+def t28(spark, sf_dir):
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = {u: b for b, u in _BYTE_TO_UNI.items()}
+    vocab["er"] = 256
+    model = {"vocab": vocab, "merges": [("e", "r")]}
+    return bpe_token_count(docs, model, "text").select(
+        "doc_id", "n_tokens"
+    )
+
+
+@_q(
+    "t29_bpe_train_roundtrip",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'ref_mismatches', 0 "
+    "UNION ALL SELECT 'roundtrip_failures', 0) ORDER BY chk",
+)
+def t29(spark, sf_dir):
+    """Trains vocab_size=320 on the SF's documents (distributed
+    histogram -> driver merge loop), then certifies: (1) decode(
+    encode(text)) == text for EVERY document — byte-level BPE is
+    lossless, so any merge-table, cache, or byte-mapping bug breaks
+    at least one document; (2) the production one-pass merge loop
+    agrees with an INDEPENDENT application strategy (single
+    leftmost-lowest-rank merge per step, recomputed from scratch) on
+    a deterministic 40-doc sample."""
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        _PRETOKEN_RE,
+        bpe_decode,
+        bpe_encode,
+        encode_text,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_bpe(docs, "text", vocab_size=320)
+    dec = bpe_decode(
+        bpe_encode(docs, model, "text"), model, "token_ids"
+    )
+    fails = dec.filter(
+        ~F.col("decoded").eqNullSafe(F.col("text"))
+    ).count()
+
+    def ref_encode(text):
+        # independent strategy: one merge per step, leftmost
+        # occurrence of the lowest-rank pair (vs production's
+        # all-occurrences-per-selected-pair pass)
+        ranks = {p: r for r, p in enumerate(model["merges"])}
+        out = []
+        for word in _PRETOKEN_RE.findall(text):
+            syms = [_BYTE_TO_UNI[b] for b in word.encode("utf-8")]
+            while len(syms) > 1:
+                cands = [
+                    (ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks
+                ]
+                if not cands:
+                    break
+                _, i = min(cands)
+                syms[i: i + 2] = [syms[i] + syms[i + 1]]
+            out.extend(model["vocab"][s] for s in syms)
+        return out
+
+    sample = (
+        docs.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    mism = sum(
+        1
+        for r in sample
+        if encode_text(model, r.text) != ref_encode(r.text)
+    )
+    n = docs.count()
+    return spark.createDataFrame(
+        [
+            ("docs_checked", n),
+            ("ref_mismatches", mism),
+            ("roundtrip_failures", fails),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
 @_q(
     "t21_c4_line_filter",
     """SELECT doc_id,
@@ -8839,6 +8971,8 @@ _PRIORITY = [
     # (rest of r9, then r10, r11, r12), alphabetical within rounds.
     # r13-NEW gates are inserted at the TOP of this tail as they are
     # added (first driver rows r14):
+    "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
+    "t29_bpe_train_roundtrip",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

@@ -1,0 +1,170 @@
+"""Real byte-level BPE (operators/tokenize.py): training over the
+distributed word histogram, exact encode/count/decode, GPT-2-format
+file roundtrip, and a differential against an independent
+merge-application strategy."""
+
+import json
+
+import pytest
+
+from polaroam_spark.operators.tokenize import (
+    _BYTE_TO_UNI,
+    _PRETOKEN_RE,
+    _UNI_TO_BYTE,
+    bpe_decode,
+    bpe_encode,
+    bpe_token_count,
+    decode_ids,
+    encode_text,
+    load_bpe,
+    pretokenize,
+    save_bpe,
+    train_bpe,
+)
+
+TRICKY = [
+    "Hello, world!  How's it going?",
+    "we're they'll I'd you've can't",
+    "café naïve Zürich — em-dash…",
+    "tabs\tand\nnewlines  trailing ",
+    "numbers 123 and mixed a1b2",
+    "日本語のテキスト and emoji 🙂🙃",
+    "",
+    "   ",
+]
+
+
+def test_byte_unicode_bijection():
+    assert len(_BYTE_TO_UNI) == 256
+    assert len(set(_BYTE_TO_UNI.values())) == 256
+    # printables map to themselves; others are >= U+0100
+    assert _BYTE_TO_UNI[ord("A")] == "A"
+    assert ord(_BYTE_TO_UNI[ord(" ")]) >= 256
+    assert ord(_BYTE_TO_UNI[0]) >= 256
+    for b, u in _BYTE_TO_UNI.items():
+        assert _UNI_TO_BYTE[u] == b
+
+
+def test_pretokenize_exact_partition():
+    for t in TRICKY:
+        assert "".join(pretokenize(t)) == t
+    # contractions split, leading spaces attach to the next word
+    assert pretokenize("we're ok") == ["we", "'re", " ok"]
+    assert pretokenize("a  b") == ["a", " ", " b"]
+
+
+def _reference_encode(model, text):
+    """Independent strategy: merge ONE occurrence at a time — the
+    leftmost occurrence of the globally lowest-rank pair — instead of
+    the production one-pass-per-selected-pair loop. On any model
+    whose merges were learned in order (a pair's rank exceeds the
+    ranks that created its symbols) the two strategies agree."""
+    ranks = {p: r for r, p in enumerate(model["merges"])}
+    vocab = model["vocab"]
+    out = []
+    for word in _PRETOKEN_RE.findall(text):
+        syms = [_BYTE_TO_UNI[b] for b in word.encode("utf-8")]
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i: i + 2] = [syms[i] + syms[i + 1]]
+        out.extend(vocab[s] for s in syms)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, t) for i, t in enumerate(TRICKY * 3)] + [
+        (100 + i, f"the quick brown fox {i} jumps over the lazy dog")
+        for i in range(30)
+    ] + [(200, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(corpus):
+    return train_bpe(corpus, "text", vocab_size=300)
+
+
+def test_train_learns_merges_and_is_deterministic(corpus, model):
+    assert len(model["merges"]) == 44  # 300 - 256
+    assert len(model["vocab"]) == 300
+    again = train_bpe(corpus, "text", vocab_size=300)
+    assert again["merges"] == model["merges"]
+    # ids: base bytes 0..255, merges 256+rank
+    for rank, (a, b) in enumerate(model["merges"]):
+        assert model["vocab"][a + b] == 256 + rank
+    # frequent-word pairs actually got learned (corpus is 'the ...'-
+    # heavy, so some multi-char token must exist)
+    assert any(len(t) >= 3 for t in model["vocab"] if model["vocab"][t] >= 256)
+
+
+def test_encode_decode_roundtrip_distributed(corpus, model):
+    enc = bpe_encode(corpus, model, "text")
+    dec = bpe_decode(enc, model, "token_ids")
+    rows = dec.collect()
+    for r in rows:
+        if r.text is None:
+            assert r.token_ids is None and r.decoded is None
+        else:
+            assert r.decoded == r.text, r.text
+    # counts match id-array lengths
+    cnt = {
+        r.doc_id: r.n_tokens
+        for r in bpe_token_count(corpus, model, "text").collect()
+    }
+    for r in rows:
+        want = None if r.token_ids is None else len(r.token_ids)
+        assert cnt[r.doc_id] == want
+
+
+def test_no_merges_counts_bytes(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY)], "i long, text string"
+    )
+    base = {"vocab": {u: b for b, u in _BYTE_TO_UNI.items()}, "merges": []}
+    got = {r.i: r.n_tokens for r in bpe_token_count(df, base).collect()}
+    for i, t in enumerate(TRICKY):
+        assert got[i] == len(t.encode("utf-8")), t
+
+
+def test_single_merge_semantics():
+    vocab = {u: b for b, u in _BYTE_TO_UNI.items()}
+    vocab["er"] = 256
+    m = {"vocab": vocab, "merges": [("e", "r")]}
+    # 'erer' -> two er tokens; 'eere' -> e, er, e
+    assert encode_text(m, "erer") == [256, 256]
+    assert encode_text(m, "eere") == [vocab["e"], 256, vocab["e"]]
+    assert decode_ids(m, encode_text(m, "lower upper")) == "lower upper"
+
+
+def test_differential_vs_independent_strategy(corpus, model):
+    for t in TRICKY + ["the quick brown fox 7 jumps over the lazy dog"]:
+        assert encode_text(model, t) == _reference_encode(model, t), t
+
+
+def test_save_load_gpt2_format_roundtrip(tmp_path, corpus, model):
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    save_bpe(model, vp, mp)
+    lines = open(mp, encoding="utf-8").read().splitlines()
+    assert lines[0].startswith("#version")
+    assert len(lines) == 1 + len(model["merges"])
+    assert all(len(ln.split(" ")) == 2 for ln in lines[1:])
+    loaded = load_bpe(vp, mp)
+    assert loaded["merges"] == model["merges"]
+    assert loaded["vocab"] == model["vocab"]
+    t = "the quick brown fox"
+    assert encode_text(loaded, t) == encode_text(model, t)
+    # vocab.json is plain {token: id}
+    assert isinstance(json.load(open(vp, encoding="utf-8")), dict)
+
+
+def test_vocab_size_validation(corpus):
+    with pytest.raises(ValueError, match=">= 256"):
+        train_bpe(corpus, "text", vocab_size=100)
