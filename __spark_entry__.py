@@ -8578,6 +8578,52 @@ def t29(spark, sf_dir):
     ).orderBy("chk")
 
 
+
+
+# Exact-token packing (r13): packing_plan is token-counter-agnostic
+# (n_tokens_col), so packing by TRUE BPE counts is pure composition —
+# bpe_token_count feeds the plan. The gate uses the single-merge
+# model whose counts an ANSI oracle can replay (t28 arithmetic), so
+# the whole chunk-count-pack chain is hash-exact, closing the r12
+# verdict note that packs were planned over bpe_ish ESTIMATES.
+@_q(
+    "k7_packing_exact_bpe",
+    """WITH toks AS (
+  SELECT doc_id, source,
+         CAST(octet_length(encode(text)) -
+              (length(text) - length(replace(text, 'er', ''))) // 2
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((dense_rank() OVER (ORDER BY source) - 1) * 1099511627776
+            + floor((sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM toks""",
+)
+def k7(spark, sf_dir):
+    from polaroam_spark.operators.chunking import packing_plan
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    vocab = {u: b for b, u in _BYTE_TO_UNI.items()}
+    vocab["er"] = 256
+    model = {"vocab": vocab, "merges": [("e", "r")]}
+    counted = bpe_token_count(docs, model, "text").drop("text")
+    return packing_plan(
+        counted,
+        budget_tokens=512,
+        id_cols=("doc_id",),
+        strata_col="source",
+    ).select("doc_id", "n_tokens", "pack_id")
+
+
 @_q(
     "t21_c4_line_filter",
     """SELECT doc_id,
@@ -8972,7 +9018,7 @@ _PRIORITY = [
     # r13-NEW gates are inserted at the TOP of this tail as they are
     # added (first driver rows r14):
     "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
-    "t29_bpe_train_roundtrip",
+    "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",
