@@ -34,13 +34,30 @@ def main() -> None:
     # Record the machine load BEFORE the run and stamp the artifact so
     # a high-load measurement (round 5's load1-6.6 BENCH file) can't
     # masquerade as a clean one.
-    try:
-        load1_start = round(os.getloadavg()[0], 1)
-    except OSError:
-        load1_start = -1.0
     load_threshold = float(
         os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "4.0")
     )
+
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:
+            return -1.0
+
+    # r12 verdict #4: two consecutive round artifacts carried
+    # invalid_load because the driver launched the bench while the
+    # box was still busy. Instead of stamping a flagged artifact,
+    # WAIT for the load to drain (bounded backoff — the 1-minute avg
+    # needs real time to fall), then measure; only if the budget runs
+    # out do we proceed and flag.
+    load_wait = 0.0
+    wait_budget = float(
+        os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300")
+    )
+    while _load1() > load_threshold and load_wait < wait_budget:
+        time.sleep(20)
+        load_wait += 20
+    load1_start = _load1()
     invalid_load = load1_start > load_threshold
 
     spark = get_spark(app_name="polaroam-bench")
@@ -138,6 +155,116 @@ def main() -> None:
             )
         )
 
+    # ---- LLM-surface rows (r13, verdict task 6): fixture/model prep
+    # is UNTIMED (corpus->WARC files and BPE training are one-time
+    # setup; the rows measure the recurring 100 TB-shaped work:
+    # ingest+WET split, score+select, fit+project, encode). ----
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    warc_dir = os.path.join(scratch, "bench_warc")
+
+    def _prep_warc():
+        import shutil
+
+        from polaroam_spark.sources.warc import write_warc_file
+
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir)
+        rows = (
+            em._t(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for b in range(8):
+            write_warc_file(
+                (
+                    (
+                        f"<urn:bench:{r.doc_id}>",
+                        "response",
+                        f"https://bench.local/doc/{r.doc_id}",
+                        "2026-08-15T00:00:00Z",
+                        "application/http",
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+                        b"\r\n\r\n" + r.text.encode("utf-8"),
+                    )
+                    for r in rows
+                    if r.doc_id % 8 == b
+                ),
+                os.path.join(warc_dir, f"part-{b}.warc.gz"),
+            )
+
+    _prep_warc()
+    from polaroam_spark.operators.tokenize import train_bpe
+
+    bpe_model = train_bpe(
+        em._t(spark, SF_DIR, "documents"), "text", vocab_size=512
+    )
+
+    def q_warc_wet():
+        # WARC ingest + WET split: Python data source (per-file
+        # partitions) -> HTTP parse -> body text, all noop-sunk
+        from polaroam_spark.sources.warc import (
+            http_response_parts,
+            read_warc,
+        )
+
+        w = read_warc(spark, warc_dir, types="response")
+        run(
+            w.select(
+                "record_id",
+                "target_uri",
+                http_response_parts("payload").alias("p"),
+            ).select("record_id", "target_uri", "p.status", "p.body")
+        )
+
+    def q_dsir_gumbel():
+        # DSIR importance weights (broadcast B-bucket count tables)
+        # -> Gumbel top-k selection, the corpus-selection hot path
+        from polaroam_spark.operators.sampling import (
+            gumbel_topk_sample,
+        )
+        from polaroam_spark.operators.textstats import (
+            dsir_importance_weights,
+        )
+
+        docs = em._t(spark, SF_DIR, "documents")
+        target = docs.filter(F.col("doc_id") % 10 == 0)
+        scored = dsir_importance_weights(docs, target)
+        run(
+            gumbel_topk_sample(
+                scored, "dsir_logweight", key="doc_id", k=500, seed=17
+            )
+        )
+
+    def q_pca_whiten():
+        # one-pass moment fit + broadcast-matmul projection
+        from polaroam_spark.operators.vectors import pca_whiten
+
+        emb = em._t(spark, SF_DIR, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        out, _model = pca_whiten(emb, "embedding")
+        run(out.select("vec_id", "whitened"))
+
+    def q_bpe_tokenize():
+        # exact token ids + counts over the corpus with the
+        # pre-trained model (encode is the recurring cost; training
+        # is setup, measured once above)
+        from polaroam_spark.operators.tokenize import (
+            bpe_encode,
+            bpe_token_count,
+        )
+
+        docs = em._t(spark, SF_DIR, "documents")
+        run(
+            bpe_token_count(
+                bpe_encode(docs, bpe_model, "text"), bpe_model, "text"
+            ).select("doc_id", "token_ids", "n_tokens")
+        )
+
     queries = {
         "stop_detection": q_stop_detection,
         "dbscan_clustering": q_dbscan_clustering,
@@ -148,7 +275,16 @@ def main() -> None:
         "dedup_minhash": q_dedup_minhash,
         "ann_topk": q_ann_topk,
         "text_quality": q_text_quality,
+        "warc_wet": q_warc_wet,
+        "dsir_gumbel": q_dsir_gumbel,
+        "pca_whiten": q_pca_whiten,
+        "bpe_tokenize": q_bpe_tokenize,
     }
+    core9 = [
+        "stop_detection", "dbscan_clustering", "homework_labeling",
+        "interval_compaction", "tpch_agg", "tpch_join",
+        "dedup_minhash", "ann_topk", "text_quality",
+    ]
 
     # one warm-up pass on a cheap query to absorb JVM/codegen startup
     t0 = time.time()
@@ -164,9 +300,37 @@ def main() -> None:
     # BETWEEN passes so every pass pays the full cold cost.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in queries}
+    # One UNTIMED full-suite pass first (r12 verdict task: pin the
+    # dedup_minhash variance). Measured bimodality was pure cold
+    # start — first-pass dedup 8.6 s vs steady 2.3-2.8 s, first-pass
+    # warc 7.2 s vs steady 0.7-0.85 s (JVM JIT + codegen compile +
+    # Python/Arrow worker-pool spin-up). Those are START-UP costs
+    # that amortize to zero at real scale; the regression signal the
+    # rounds compare is the steady state, so the cold pass runs
+    # before the clock.
+    warm_runs = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "1"))
+    )
+    for _ in range(warm_runs):
+        em._MATERIALIZED_MEDIANS.clear()
+        spark.catalog.clearCache()
+        try:
+            from polaroam_spark import unpersist_caches
+
+            unpersist_caches()
+        except Exception:
+            pass
+        for fn in queries.values():
+            fn()
     for _ in range(runs):
         em._MATERIALIZED_MEDIANS.clear()
         spark.catalog.clearCache()
+        try:
+            from polaroam_spark import unpersist_caches
+
+            unpersist_caches()  # dsir/dedup registered caches
+        except Exception:
+            pass
         for name, fn in queries.items():
             t0 = time.time()
             fn()
@@ -199,6 +363,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                # the r2-r12 comparison basis: the original 9-query
+                # headline subtotal (the full value now also carries
+                # the 4 LLM-surface rows added in r13 — see
+                # BASELINE.md "Measured (round 13)")
+                "core9_subtotal_sec": round(
+                    sum(timings[n] for n in core9), 3
+                ),
+                "load_wait_sec": round(load_wait, 1),
                 "sf": _sf_from_dir(SF_DIR),
                 "warmup_sec": round(warmup, 3),
                 "runs_per_query": runs,
