@@ -257,6 +257,159 @@ def _eigenvalue_allocation(eigvals: np.ndarray, m: int) -> list:
     return [i for bucket in fill for i in bucket]
 
 
+def _codebook_tensor(codebooks, m: int, d_sub: int):
+    """Collect a trained (_m, _code, _cvec) codebook frame into a
+    dense (m, k, d_sub) numpy tensor (bounded: M x K x d_sub doubles,
+    KBs by construction). Gaps from emptied Lloyd cells are +inf so a
+    phantom code can never win an argmin."""
+    rows = codebooks.orderBy("_m", "_code").collect()
+    k = max(int(r["_code"]) for r in rows) + 1
+    books = np.full((m, k, d_sub), np.inf, dtype=np.float64)
+    for r in rows:
+        books[int(r["_m"]), int(r["_code"])] = np.asarray(
+            r["_cvec"], dtype=np.float64
+        )
+    return books
+
+
+def _reconstruction_moments(rotated: DataFrame, vec_col: str, books):
+    """One mapInPandas pass over the ROTATED corpus: per Arrow batch,
+    PQ-encode against the broadcast codebook tensor, reconstruct, and
+    emit the partials OPQ's rotation step needs — (n, sum(y yhat^T)
+    flattened, squared quantization error). One (1 + d*d + 1)-double
+    row per batch; driver reduces in sorted order (the module's
+    determinism convention)."""
+    m, _, d_sub = books.shape
+    d = m * d_sub
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            y = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yhat = np.empty_like(y)
+            for mi in range(m):
+                sl = y[:, mi * d_sub : (mi + 1) * d_sub]
+                d2 = (
+                    (sl[:, None, :] - books[mi][None, :, :]) ** 2
+                ).sum(axis=-1)
+                yhat[:, mi * d_sub : (mi + 1) * d_sub] = books[mi][
+                    d2.argmin(axis=1)
+                ]
+            yield pd.DataFrame(
+                {
+                    "n": [np.int64(len(y))],
+                    "g": [(y.T @ yhat).ravel()],
+                    "err": [float(((y - yhat) ** 2).sum())],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+            T.StructField("err", T.DoubleType()),
+        ]
+    )
+    parts = rotated.select(vec_col).mapInPandas(
+        gen, schema=schema
+    ).collect()
+    parts.sort(key=lambda r: (r["n"], r["g"][0] if r["g"] else 0.0))
+    n = sum(int(r["n"]) for r in parts)
+    g = np.zeros((d, d))
+    err = 0.0
+    for r in parts:
+        g += np.asarray(r["g"]).reshape(d, d)
+        err += float(r["err"])
+    return n, g, err
+
+
+def fit_pq_rotation_iterative(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 64,
+    iterations: int = 3,
+    kmeans_iterations: int = 2,
+) -> dict:
+    """FULL OPQ (Ge et al., CVPR 2013 §5, the non-parametric
+    solution): start from :func:`fit_pq_rotation`'s eigenvalue-
+    allocation init, then alternate (a) PQ codebook training in the
+    current rotated space with (b) the orthogonal-Procrustes rotation
+    update — ``C = Σ x_c ŷᵀ = Rᵀ Σ y ŷᵀ``, SVD ``C = U S Vᵀ``,
+    ``R ← V Uᵀ`` — each step non-increasing in the true objective
+    ``Σ‖R x_c − ŷ‖²`` given the other (codebook reseeding between
+    iterations can wiggle, which is why the gate pins final-vs-init
+    error, not per-step monotonicity).
+
+    Distributed cost, stated honestly: each iteration is the
+    codebook train (two skinny shuffles, see
+    :func:`~polaroam_spark.operators.similarity.train_pq_codebooks`)
+    plus ONE mapInPandas corpus pass accumulating the (d x d)
+    cross-moment — everything the driver touches is d², M·K·d_sub,
+    or per-batch partial rows, never the corpus. ``iterations``
+    full passes is the price of the alternation; the init-only
+    :func:`fit_pq_rotation` stays the one-pass default and this is
+    the accuracy upgrade when the extra scans are worth it. Measured
+    (tests/test_vectors.py): on a clustered NON-Gaussian fixture
+    (three differently-oriented low-rank clusters — the case Ge et
+    al. §4.3 show the init cannot solve) quantization MSE drops a
+    further 13-21% below the init over 4 iterations; on
+    near-Gaussian corpora the init is already near-optimal and the
+    iteration buys little — check ``history`` before paying for more
+    passes.
+
+    Returns the :func:`fit_pca_whitening`-shaped model (``mean``,
+    orthonormal ``components`` = the final R, ``n``) plus
+    ``history``: per-iteration ``(n, mse)`` of the quantization
+    error measured BEFORE that iteration's rotation update — so
+    ``history[0]`` is the init-only error and ``history[-1]`` the
+    error after the last codebook fit. Train final serving codebooks
+    on the returned rotation (the last rotation update makes the
+    loop's internal codebooks stale by one step — same compose
+    contract as :func:`fit_pq_rotation`).
+    """
+    from polaroam_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    m = int(num_subspaces)
+    model = fit_pq_rotation(df, vec_col, m)
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    R = np.asarray(model["components"], dtype=np.float64)
+    d = len(mean)
+    d_sub = d // m
+    history: "list[tuple[int, float]]" = []
+    for _ in range(int(iterations)):
+        rot_model = {"mean": mean, "components": R}
+        rotated = apply_whitening(
+            df.select(id_col, vec_col), rot_model, vec_col, "_rot"
+        ).select(id_col, "_rot")
+        books_df = train_pq_codebooks(
+            rotated,
+            data_id=id_col,
+            vec_col="_rot",
+            num_subspaces=m,
+            codes_per_subspace=int(codes_per_subspace),
+            kmeans_iterations=int(kmeans_iterations),
+        )
+        books = _codebook_tensor(books_df, m, d_sub)
+        n, g, err = _reconstruction_moments(rotated, "_rot", books)
+        history.append((n, err / max(n, 1)))
+        c = R.T @ g  # Σ x_c ŷᵀ in the INPUT basis
+        u, _s, vt = np.linalg.svd(c)
+        R = (u @ vt).T  # argmax_R tr(R C) = V Uᵀ
+    return {
+        "mean": mean,
+        "components": R,
+        "n": int(model["n"]),
+        "rotation": True,
+        "num_subspaces": m,
+        "history": history,
+    }
+
+
 def fit_pq_rotation(
     df: DataFrame,
     vec_col: str = "embedding",

