@@ -8107,6 +8107,93 @@ def q6b(spark, sf_dir):
     return stats
 
 
+
+
+@_q(
+    "q6c_curation_split",
+    "WITH RECURSIVE "
+    + _CURATE_CTE.strip().rstrip()
+    + r""",
+toks2 AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM dd
+),
+grams2 AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      list_distinct([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, len(toks) - 1)])
+      ELSE [array_to_string(toks, ' ')] END AS gram_list
+    FROM toks2), unnest(gram_list) AS u(gram)
+),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM grams2 GROUP BY doc_id),
+shared2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams2 a JOIN grams2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dup2 AS (
+  SELECT s.id_a, s.id_b
+  FROM shared2 s
+  JOIN sizes2 sa ON s.id_a = sa.doc_id
+  JOIN sizes2 sb ON s.id_b = sb.doc_id
+  WHERE s.inter / CAST(sa.n + sb.n - s.inter AS DOUBLE) >= 0.5
+),
+edges2 AS (
+  SELECT id_a AS src, id_b AS dst FROM dup2
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup2
+),
+reach2 AS (
+  SELECT src AS node, src AS lbl FROM edges2
+  UNION
+  SELECT e.src AS node, r.lbl
+  FROM edges2 e JOIN reach2 r ON e.dst = r.node
+),
+comp2 AS (
+  SELECT node AS doc_id, min(lbl) AS representative
+  FROM reach2 GROUP BY node
+)
+SELECT d.doc_id,
+       CASE WHEN (CAST(('0x' || substr(md5('29:' ||
+              CAST(coalesce(c.representative, d.doc_id) AS VARCHAR)),
+              1, 15)) AS BIGINT))
+            / 1152921504606846976.0 < 0.25
+            THEN 'test' ELSE 'train' END AS split
+FROM dd d LEFT JOIN comp2 c ON d.doc_id = c.doc_id""",
+)
+def q6c(spark, sf_dir):
+    """The curation ladder emitting LEAKAGE-SAFE splits directly
+    (curation.py split_test_fraction, r13 — verdict r12 task 10):
+    min-token filter -> exact dedup -> leakage_safe_split by near-dup
+    component representative, one curate_corpus call. The oracle
+    chains q6's filter/dedup CTEs with smp10's pair/closure/
+    hash-split replay over the SURVIVORS, so both membership AND the
+    train/test side of every kept row are hash-exact — a leak of one
+    near-dup twin across the boundary flips a row."""
+    from polaroam_spark.operators.curation import curate_corpus
+    from polaroam_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base, _ = curate_corpus(
+        docs, min_tokens=20, dedup="exact", with_stats=False
+    )
+    pairs = ngram_jaccard_pairs_exact(base, n=3, threshold=0.5)
+    kept, _ = curate_corpus(
+        docs,
+        min_tokens=20,
+        dedup="exact",
+        split_test_fraction=0.25,
+        split_seed=29,
+        split_pairs=pairs,
+        with_stats=False,
+    )
+    return kept.select("doc_id", "split")
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9067,7 +9154,7 @@ _PRIORITY = [
     # added (first driver rows r14):
     "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
-    "v5_opq_iterative_invariants",
+    "v5_opq_iterative_invariants", "q6c_curation_split",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

@@ -38,6 +38,9 @@ def curate_corpus(
     cap_seed: int = 53,
     sample_rate: float | None = None,
     sample_seed: int = 17,
+    split_test_fraction: float | None = None,
+    split_seed: int = 29,
+    split_pairs: "DataFrame | None" = None,
     with_stats: bool = True,
     persist_stages: bool = False,
 ) -> tuple[DataFrame, "DataFrame | None"]:
@@ -54,10 +57,21 @@ def curate_corpus(
     ``quality_score`` threshold → dedup (``'exact'`` keep-min-id or
     ``'minhash'`` near-dedup survivors) → n-gram decontamination
     against an eval frame → per-source frequency cap → deterministic
-    hash sample. Every decision delegates to the individually gated
-    operator (dedup.py / sampling.py / textstats.py), so the
-    pipeline inherits their determinism contracts: membership is a
-    pure function of the input and the seeds.
+    hash sample → leakage-safe split. Every decision delegates to
+    the individually gated operator (dedup.py / sampling.py /
+    textstats.py), so the pipeline inherits their determinism
+    contracts: membership is a pure function of the input and the
+    seeds.
+
+    ``split_test_fraction`` (r13, the end-to-end contract): the kept
+    corpus gains a ``split`` column ('train'/'test') assigned by
+    :func:`~polaroam_spark.operators.sampling.leakage_safe_split` —
+    rows split by their NEAR-DUP COMPONENT representative, so eval
+    never shares a near-duplicate with train even when the dedup
+    stage ran at a stricter threshold (or not at all). ``split_pairs``
+    supplies the pair table; when omitted, ``minhash_lsh_pairs`` runs
+    over the kept corpus with ``minhash_opts``. Stats gains
+    ``split_train``/``split_test`` rows.
 
     Cost note: by default the ``stats`` frame is built from one
     count-aggregate per stage over the lazily chained plan, so
@@ -181,6 +195,35 @@ def curate_corpus(
                 seed=int(sample_seed),
             ),
         )
+
+    if split_test_fraction is not None:
+        from polaroam_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        if split_pairs is None:
+            from polaroam_spark.operators.dedup import (
+                minhash_lsh_pairs,
+            )
+
+            split_pairs = minhash_lsh_pairs(
+                cur,
+                text_col=text_col,
+                id_col=id_col,
+                **(minhash_opts or {}),
+            )
+        train, test = leakage_safe_split(
+            cur,
+            split_pairs,
+            id_col=id_col,
+            test_fraction=float(split_test_fraction),
+            seed=int(split_seed),
+        )
+        train = _stage("split_train", train)
+        test = _stage("split_test", test)
+        cur = train.withColumn(
+            "split", F.lit("train")
+        ).unionByName(test.withColumn("split", F.lit("test")))
 
     stats = None
     if with_stats:

@@ -99,3 +99,36 @@ def test_curate_corpus_persist_stages_parity_and_plan(spark):
         assert "InMemoryTableScan" in plan_p
     finally:
         spark.catalog.clearCache()
+
+
+def test_curate_corpus_leakage_safe_split(spark):
+    """split_test_fraction (r13): the ladder's output gains a
+    'split' column assigned by near-dup component representative —
+    both members of a discovered near-dup pair must land on the SAME
+    side, and the union must cover exactly the kept rows."""
+    from polaroam_spark.operators.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, "web", f"{base} variant {i} " + "filler " * 5)
+            for i in range(40)]
+    # two exact near-dup twins of doc 0 (same 3-gram shingles)
+    rows += [(100, "web", rows[0][2]), (101, "web", rows[1][2])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    kept, stats = curate_corpus(
+        docs,
+        split_test_fraction=0.3,
+        split_seed=7,
+        dedup=None,
+        minhash_opts={"jaccard_threshold": 0.8},
+    )
+    got = {r.doc_id: r.split for r in kept.collect()}
+    assert set(got) == {r[0] for r in rows}
+    # twins ride with their component representative
+    assert got[100] == got[0]
+    assert got[101] == got[1]
+    srows = {(r.stage, r.n_docs) for r in stats.collect()}
+    n_train = sum(1 for s in got.values() if s == "train")
+    assert ("split_train", n_train) in srows
+    assert ("split_test", len(got) - n_train) in srows
