@@ -8194,6 +8194,34 @@ def q6c(spark, sf_dir):
     return kept.select("doc_id", "split")
 
 
+
+
+# Unicode normalization (textstats.py:normalize_text, r13): the
+# canonicalization pass dedup keys need — composed vs decomposed
+# 'café' are different bytes but the same text. The gate synthesizes
+# doc-dependent DECOMPOSED sequences (combining acute / diaeresis via
+# chr()) on both sides; Python unicodedata and DuckDB's utf8proc both
+# implement UAX #15, so NFC output is hash-exact.
+@_q(
+    "t30_nfc_normalize",
+    "SELECT doc_id, nfc_normalize(text || ' x-cafe' || chr(769) || "
+    "' nai' || chr(776) || 've-' || CAST(doc_id AS VARCHAR)) "
+    "AS norm_text FROM documents",
+)
+def t30(spark, sf_dir):
+    from polaroam_spark.operators.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = F.concat(
+        F.col("text"),
+        F.lit(" x-cafe\u0301 nai\u0308ve-"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id", normalize_text(base, "NFC").alias("norm_text")
+    )
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9155,6 +9183,7 @@ _PRIORITY = [
     "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
     "v5_opq_iterative_invariants", "q6c_curation_split",
+    "t30_nfc_normalize",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

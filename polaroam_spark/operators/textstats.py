@@ -1337,6 +1337,57 @@ _HTML_ENTITIES = [
 ]
 
 
+def normalize_text(
+    text: Column | str,
+    form: str = "NFC",
+    casefold: bool = False,
+) -> Column:
+    """Unicode-normalize a text column (UAX #15: NFC/NFD/NFKC/NFKD),
+    optionally casefolding — the canonicalization pass that belongs
+    BEFORE any content-hash dedup key: 'café' composed and 'café'
+    decomposed are different byte strings (different xxhash64,
+    different minhash shingles, different exact-dedup groups) but the
+    same text to every reader, and mixed-normalization corpora are
+    the norm once more than one scraper contributed. NFKC also folds
+    compatibility forms (ligatures, full-width latin, superscripts) —
+    the aggressive variant dedup keys want; NFC is the lossless
+    default for text that will be SERVED.
+
+    The one Arrow-batched UDF in this module (Unicode normalization
+    tables are not expressible in Catalyst); map-side only, no
+    shuffle, NULL in → NULL out. Python's unicodedata implements the
+    same UAX #15 algorithm DuckDB's nfc_normalize does, which is what
+    the t30 oracle replays.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    f = str(form).upper()
+    if f not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(
+            f"form must be NFC/NFD/NFKC/NFKD (got {form!r})"
+        )
+    cf = bool(casefold)
+
+    def _norm(s):
+        if not isinstance(s, str):
+            return None
+        out = unicodedata.normalize(f, s)
+        return out.casefold() if cf else out
+
+    # explicit (fn, returnType) form with an UNANNOTATED callable:
+    # the local `pd` import is invisible to the string-annotation
+    # resolver under `from __future__ import annotations` (same
+    # convention as similarity.pq_encode's arrow path)
+    def _batch(col):
+        return col.map(_norm)
+
+    udf = pandas_udf(_batch, "string")
+    return udf(_col(text))
+
+
 def strip_html(text: Column | str) -> Column:
     """Plain text from an HTML column — the regex-chain relaxation of
     a real extractor (trafilatura/jusText class tools need a DOM; at

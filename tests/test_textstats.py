@@ -823,3 +823,34 @@ def test_extract_main_content_pretty_printed_html(spark):
     # newline rejoined as a space; nav/footer dropped by link density
     assert "near the river bank today." in got
     assert "Home" not in got and "Terms" not in got
+
+
+def test_normalize_text_forms_and_casefold(spark):
+    """normalize_text (r13): composed == NFC(decomposed); NFKC folds
+    compatibility forms (ligature, full-width); casefold lowers
+    beyond lower() (ß -> ss); NULL in -> NULL out; bad form raises."""
+    import pytest
+
+    from polaroam_spark.operators.textstats import normalize_text
+
+    rows = [
+        (1, "café"),          # decomposed e + combining acute
+        (2, "ﬁne ＡＢＣ"),           # ligature fi + full-width ABC
+        (3, "STRASSE ß"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    nfc = {r.i: r.o for r in df.select(
+        "i", normalize_text("t").alias("o")).collect()}
+    assert nfc[1] == "café" and len(nfc[1]) == 4
+    assert nfc[2] == "ﬁne ＡＢＣ"  # NFC leaves compatibility chars
+    assert nfc[4] is None
+    nfkc = {r.i: r.o for r in df.select(
+        "i", normalize_text("t", "NFKC").alias("o")).collect()}
+    assert nfkc[2] == "fine ABC"
+    folded = {r.i: r.o for r in df.select(
+        "i", normalize_text("t", "NFKC", casefold=True).alias("o")
+    ).collect()}
+    assert folded[3] == "strasse ss"
+    with pytest.raises(ValueError, match="NFC/NFD/NFKC/NFKD"):
+        normalize_text("t", "NFX")
