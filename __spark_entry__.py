@@ -8222,6 +8222,42 @@ def t30(spark, sf_dir):
     )
 
 
+
+
+# Exact-token chunking (tokenize.py:chunk_documents_bpe, r13): the
+# context-window cutter where "64 tokens" means 64 TOKENIZER tokens.
+# With the no-merge byte model on this ASCII fixture (verified:
+# documents text is single-spaced ASCII, so bytes == chars), windows
+# are pure substring arithmetic an ANSI oracle replays — pinning the
+# encode -> sequence/slice/posexplode -> decode plumbing end to end;
+# unicode losslessness is t29's pin, merge semantics t28's.
+@_q(
+    "t31_bpe_chunking",
+    "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+    "CAST(length(substr(text, CAST(i*64+1 AS INT), 64)) AS BIGINT) "
+    "AS n_tokens, "
+    "substr(text, CAST(i*64+1 AS INT), 64) AS chunk_text "
+    "FROM (SELECT doc_id, text, unnest(range(0, greatest(CAST("
+    "ceil(octet_length(encode(text))/64.0) AS BIGINT), 1))) AS i "
+    "FROM documents WHERE text IS NOT NULL) "
+    "WHERE length(substr(text, CAST(i*64+1 AS INT), 64)) > 0",
+)
+def t31(spark, sf_dir):
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        chunk_documents_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    return chunk_documents_bpe(
+        docs, base, chunk_tokens=64
+    ).select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9183,7 +9219,7 @@ _PRIORITY = [
     "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
     "v5_opq_iterative_invariants", "q6c_curation_split",
-    "t30_nfc_normalize",
+    "t30_nfc_normalize", "t31_bpe_chunking",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

@@ -416,3 +416,78 @@ def decode_ids(model: dict, ids: "list[int]") -> str:
     return bytes(
         _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
     ).decode("utf-8", errors="replace")
+
+
+def chunk_documents_bpe(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Chunk documents by EXACT token budget: one row per (document,
+    chunk) with ``chunk_id, token_ids, n_tokens, chunk_text`` — the
+    context-window cutter for a training loader, where "512 tokens"
+    must mean 512 of the tokenizer's tokens, not 512 whitespace
+    words (``chunk_documents`` is the whitespace variant; this one
+    guarantees every emitted window fits the model's context).
+
+    Plan shape: ONE encode UDF pass produces the id array, the
+    window arithmetic is pure JVM array expressions (sequence →
+    slice → posexplode, the same stride/overlap contract as
+    ``chunk_documents``), and chunk text is decoded back per window.
+    ``token_ids`` is the lossless product: concatenating a
+    document's ``overlap=0`` id windows reproduces ``bpe_encode``'s
+    array exactly. ``chunk_text`` is the human-readable render — a
+    window boundary that splits a multi-byte character's byte tokens
+    decodes the partial sequence as U+FFFD at that seam (the loader
+    consumes ids, where no information is lost; on ASCII text the
+    texts concatenate exactly too). NULL text yields no rows when
+    ``drop_empty`` else one empty chunk.
+    """
+    if not 0 <= int(overlap) < int(chunk_tokens):
+        raise ValueError(
+            "overlap must satisfy 0 <= overlap < chunk_tokens"
+        )
+    stride = int(chunk_tokens) - int(overlap)
+    encoded = bpe_encode(docs, model, text_col, out_col="_ids")
+    n = F.array_size("_ids")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(int(overlap))) / F.lit(stride)), F.lit(1)
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.slice("_ids", i * stride + 1, int(chunk_tokens)),
+    )
+    id_to_tok = {i: t for t, i in model["vocab"].items()}
+
+    def _dec(ids):
+        if ids is None:
+            return None
+        return bytes(
+            _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
+        ).decode("utf-8", errors="replace")
+
+    def _dec_batch(col):
+        return col.map(_dec)
+
+    dec_udf = F.pandas_udf(_dec_batch, T.StringType())
+    out = encoded.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(F.col("_ids").isNotNull(), windows).otherwise(
+                F.array(F.array().cast("array<int>"))
+            )
+        ).alias("chunk_id", "token_ids"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "token_ids",
+        F.array_size("token_ids").cast("long").alias("n_tokens"),
+        dec_udf(F.col("token_ids")).alias("chunk_text"),
+    )
+    if drop_empty:
+        out = out.filter(F.col("n_tokens") > 0)
+    return out

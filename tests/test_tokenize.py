@@ -168,3 +168,51 @@ def test_save_load_gpt2_format_roundtrip(tmp_path, corpus, model):
 def test_vocab_size_validation(corpus):
     with pytest.raises(ValueError, match=">= 256"):
         train_bpe(corpus, "text", vocab_size=100)
+
+
+def test_chunk_documents_bpe_roundtrip_and_overlap(spark, model):
+    """Exact-token chunking: every window fits the budget; overlap=0
+    TOKEN-ID windows concatenate back to bpe_encode's array exactly
+    (ids are the lossless product — a window may split a multi-byte
+    char, so chunk_text is exact only where no seam cuts one); ASCII
+    chunk_texts concatenate exactly; overlap windows share their
+    first `overlap` ids with the previous window's tail."""
+    from polaroam_spark.operators.tokenize import (
+        chunk_documents_bpe,
+        encode_text,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "café naïve 日本語 🙂 " * 10),
+        (3, "tiny"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents_bpe(docs, model, chunk_tokens=16).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # NULL text -> no rows under drop_empty
+    for i, t in [(1, rows[0][1]), (2, rows[1][1]), (3, "tiny")]:
+        chunks = by_doc[i]
+        assert all(r.n_tokens <= 16 for r in chunks)
+        assert all(r.n_tokens == 16 for r in chunks[:-1])
+        assert all(len(r.token_ids) == r.n_tokens for r in chunks)
+        got_ids = [i for r in chunks for i in r.token_ids]
+        assert got_ids == encode_text(model, t)
+    # pure-ASCII text: the rendered chunks concatenate exactly too
+    ascii_chunks = by_doc[1]
+    assert "".join(r.chunk_text for r in ascii_chunks) == rows[0][1]
+
+    ov = chunk_documents_bpe(
+        docs.filter("doc_id = 1"), model, chunk_tokens=16, overlap=4
+    ).collect()
+    ov = sorted(ov, key=lambda r: r.chunk_id)
+    for a, b in zip(ov, ov[1:]):
+        assert list(a.token_ids[12:16]) == list(b.token_ids[:4])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents_bpe(docs, model, chunk_tokens=8, overlap=8)
