@@ -253,16 +253,19 @@ def main() -> None:
         # exact token ids + counts over the corpus with the
         # pre-trained model (encode is the recurring cost; training
         # is setup, measured once above)
-        from polaroam_spark.operators.tokenize import (
-            bpe_encode,
-            bpe_token_count,
-        )
+        from polaroam_spark.operators.tokenize import bpe_encode
 
         docs = em._t(spark, SF_DIR, "documents")
+        # ONE encode; the count is array_size of the ids it produced
+        # (a second bpe_token_count pass would re-merge every doc and
+        # double the row's reported cost — r13 self-review)
         run(
-            bpe_token_count(
-                bpe_encode(docs, bpe_model, "text"), bpe_model, "text"
-            ).select("doc_id", "token_ids", "n_tokens")
+            bpe_encode(docs, bpe_model, "text")
+            .withColumn(
+                "n_tokens",
+                F.array_size("token_ids").cast("long"),
+            )
+            .select("doc_id", "token_ids", "n_tokens")
         )
 
     queries = {

@@ -41,6 +41,7 @@ def curate_corpus(
     split_test_fraction: float | None = None,
     split_seed: int = 29,
     split_pairs: "DataFrame | None" = None,
+    split_pairs_opts: dict | None = None,
     with_stats: bool = True,
     persist_stages: bool = False,
 ) -> tuple[DataFrame, "DataFrame | None"]:
@@ -70,7 +71,10 @@ def curate_corpus(
     never shares a near-duplicate with train even when the dedup
     stage ran at a stricter threshold (or not at all). ``split_pairs``
     supplies the pair table; when omitted, ``minhash_lsh_pairs`` runs
-    over the kept corpus with ``minhash_opts``. Stats gains
+    over the kept corpus with ``split_pairs_opts`` (its OWN option
+    dict — ``minhash_opts`` belongs to the dedup stage, whose
+    ``near_dedup_corpus`` accepts keys like ``keep``/``method`` that
+    the pair generator does not). Stats gains
     ``split_train``/``split_test`` rows.
 
     Cost note: by default the ``stats`` frame is built from one
@@ -210,7 +214,7 @@ def curate_corpus(
                 cur,
                 text_col=text_col,
                 id_col=id_col,
-                **(minhash_opts or {}),
+                **(split_pairs_opts or {}),
             )
         train, test = leakage_safe_split(
             cur,

@@ -378,6 +378,18 @@ def bpe_token_count(
     return df.withColumn(out_col, _cnt(F.col(text_col)))
 
 
+def _decode_ids(id_to_tok: dict, ids) -> "str | None":
+    """ids → tokens → bytes → UTF-8 text (lossy on invalid
+    sequences). THE decode path — bpe_decode, decode_ids and
+    chunk_documents_bpe all call this one function so the three
+    surfaces cannot drift."""
+    if ids is None:
+        return None
+    return bytes(
+        _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
+    ).decode("utf-8", errors="replace")
+
+
 def bpe_decode(
     df: DataFrame,
     model: dict,
@@ -390,17 +402,9 @@ def bpe_decode(
     the correctness certificate a gate can pin. NULL in → NULL out."""
     id_to_tok = {i: t for t, i in model["vocab"].items()}
 
-    def dec(ids) -> "str | None":
-        if ids is None:
-            return None
-        data = bytes(
-            _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
-        )
-        return data.decode("utf-8", errors="replace")
-
     @F.pandas_udf(T.StringType())
     def _dec(col: pd.Series) -> pd.Series:
-        return col.map(dec)
+        return col.map(lambda ids: _decode_ids(id_to_tok, ids))
 
     return df.withColumn(out_col, _dec(F.col(ids_col)))
 
@@ -412,10 +416,9 @@ def encode_text(model: dict, text: str) -> "list[int]":
 
 def decode_ids(model: dict, ids: "list[int]") -> str:
     """Driver-side single-list decode."""
-    id_to_tok = {i: t for t, i in model["vocab"].items()}
-    return bytes(
-        _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
-    ).decode("utf-8", errors="replace")
+    return _decode_ids(
+        {i: t for t, i in model["vocab"].items()}, ids
+    )
 
 
 def chunk_documents_bpe(
@@ -463,15 +466,8 @@ def chunk_documents_bpe(
     )
     id_to_tok = {i: t for t, i in model["vocab"].items()}
 
-    def _dec(ids):
-        if ids is None:
-            return None
-        return bytes(
-            _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
-        ).decode("utf-8", errors="replace")
-
     def _dec_batch(col):
-        return col.map(_dec)
+        return col.map(lambda ids: _decode_ids(id_to_tok, ids))
 
     dec_udf = F.pandas_udf(_dec_batch, T.StringType())
     out = encoded.select(

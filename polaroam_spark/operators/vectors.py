@@ -95,8 +95,15 @@ def _fit_moments(df: DataFrame, vec_col: str):
         .mapInPandas(_partial_moment_stats(vec_col, d), schema=schema)
         .collect()  # bounded: one row per Arrow batch, (1+d+d^2) doubles
     )
-    # fixed reduce order => deterministic float sums
-    partials.sort(key=lambda r: (r["n"], r["s"][0] if r["s"] else 0.0))
+    # fixed reduce order => deterministic float sums. The key must
+    # be a TOTAL order over partial rows (r13 self-review): ties on
+    # (n, s[0]) — replicated shards, symmetric data — would leave
+    # the float accumulation order at collect order, which varies
+    # across runs; the full tuples break every tie that matters
+    # (fully identical partials commute exactly).
+    partials.sort(
+        key=lambda r: (r["n"], tuple(r["s"]), tuple(r["g"]))
+    )
     n = sum(int(r["n"]) for r in partials)
     if n < 2:
         raise ValueError(f"need >= 2 vectors to fit (got {n})")
@@ -194,15 +201,26 @@ def apply_whitening(
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _proj(col: pd.Series) -> pd.Series:
         # NULL in -> NULL out (the repo's vector-op convention; a
-        # NULL inside np.stack dies with an opaque shape error)
-        mask = col.isna()
+        # NULL inside np.stack dies with an opaque shape error).
+        # Positional reassembly, NOT a masked Series assignment:
+        # `out[~mask] = list(rows)` is an invalid pandas masked
+        # assignment for 2-D row lists (raises on mixed batches, or
+        # silently assigns scalars when the row count equals d —
+        # r13 self-review, reproduced live).
+        mask = col.isna().to_numpy()
         if mask.any():
-            out = pd.Series([None] * len(col), index=col.index,
-                            dtype=object)
+            res: "list" = [None] * len(col)
             if (~mask).any():
-                x = np.stack(col[~mask].to_numpy()).astype(np.float64)
-                out[~mask] = list((x - mean) @ comp.T)
-            return out
+                x = np.stack(
+                    col[~mask].to_numpy()
+                ).astype(np.float64)
+                vals = list((x - mean) @ comp.T)
+                j = 0
+                for pos in range(len(col)):
+                    if not mask[pos]:
+                        res[pos] = vals[j]
+                        j += 1
+            return pd.Series(res, index=col.index, dtype=object)
         x = np.stack(col.to_numpy()).astype(np.float64)
         y = (x - mean) @ comp.T
         return pd.Series(list(y))
@@ -314,7 +332,9 @@ def _reconstruction_moments(rotated: DataFrame, vec_col: str, books):
     parts = rotated.select(vec_col).mapInPandas(
         gen, schema=schema
     ).collect()
-    parts.sort(key=lambda r: (r["n"], r["g"][0] if r["g"] else 0.0))
+    # total-order key: identical-(n, g[0]) partials must still sort
+    # deterministically (see _fit_moments)
+    parts.sort(key=lambda r: (r["n"], tuple(r["g"]), r["err"]))
     n = sum(int(r["n"]) for r in parts)
     g = np.zeros((d, d))
     err = 0.0

@@ -61,8 +61,16 @@ WARC_SCHEMA = StructType(
 
 
 class _WarcFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs_root: "str | None" = None):
+        # fs_root: when the file came from a URI directory listing,
+        # the ORIGINAL root URI — carried so executors re-resolve the
+        # same filesystem (scheme + authority) and open `path` as an
+        # fs-LOCAL path. Rebuilding a URI from a listed local path
+        # would drop the authority (hdfs://namenode:8020/... lists as
+        # /data/f.warc.gz — re-prefixing just the scheme makes 'data'
+        # the host; r13 self-review).
         self.path = path
+        self.fs_root = fs_root
 
 
 def _has_scheme(path: str) -> bool:
@@ -84,50 +92,41 @@ def _fs_for(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
-def _list_warc_files(path: str) -> "list[str]":
-    """Enumerate .warc/.warc.gz files under ``path``. URI paths list
-    through pyarrow.fs (recursive FileSelector — object stores list
-    by prefix, no glob needed); plain paths keep glob. Returned URI
-    paths preserve the original scheme so ``read()`` can re-resolve
-    the filesystem executor-side."""
-    if _has_scheme(path):
-        from pyarrow import fs as pafs
+def _list_uri_warc_files(path: str) -> "list[str]":
+    """Enumerate .warc/.warc.gz files under a URI via pyarrow.fs
+    (recursive FileSelector — object stores list by prefix, no glob
+    needed). Returns FS-LOCAL paths; pair them with the root URI in
+    the partition so ``read()`` resolves the identical filesystem."""
+    from pyarrow import fs as pafs
 
-        filesystem, local = _fs_for(path)
-        scheme = path.split("://", 1)[0]
-
-        def _requalify(p: str) -> str:
-            return f"{scheme}://{p.lstrip('/')}" if scheme != "file" \
-                else f"file://{p if p.startswith('/') else '/' + p}"
-
-        info = filesystem.get_file_info(local)
-        if info.type == pafs.FileType.Directory:
-            sel = pafs.FileSelector(local, recursive=True)
-            return sorted(
-                _requalify(f.path)
-                for f in filesystem.get_file_info(sel)
-                if f.is_file and ".warc" in f.base_name
-            )
-        if info.type == pafs.FileType.File:
-            return [path]
-        raise FileNotFoundError(f"no WARC files under {path}")
-    if os.path.isdir(path):
+    filesystem, local = _fs_for(path)
+    info = filesystem.get_file_info(local)
+    if info.type == pafs.FileType.Directory:
+        sel = pafs.FileSelector(local, recursive=True)
         return sorted(
-            _glob.glob(os.path.join(path, "**", "*.warc*"),
-                       recursive=True)
+            f.path
+            for f in filesystem.get_file_info(sel)
+            if f.is_file and ".warc" in f.base_name
         )
-    return sorted(_glob.glob(path)) or [path]
+    if info.type == pafs.FileType.File:
+        return [local]
+    raise FileNotFoundError(f"no WARC files under {path}")
 
 
-def _open_warc_stream(path: str) -> "io.BufferedIOBase":
+def _open_warc_stream(
+    path: str, fs_root: "str | None" = None
+) -> "io.BufferedIOBase":
     """Open one WARC file for streaming reads, decompressing by
-    extension. URI paths open through pyarrow.fs input streams
-    (seekless sequential reads — exactly the access pattern object
-    stores serve well); gzip decompression wraps the remote stream
+    extension. URI paths (or fs-local paths under ``fs_root``) open
+    through pyarrow.fs input streams (seekless sequential reads —
+    exactly the access pattern object stores serve well); gzip
+    decompression wraps the remote stream
     (``gzip.GzipFile(fileobj=…)``), so remote .warc.gz files flow
     through the same O(record)-memory parse as local ones."""
-    if _has_scheme(path):
-        filesystem, local = _fs_for(path)
+    if fs_root is not None or _has_scheme(path):
+        filesystem, local = _fs_for(fs_root or path)
+        if fs_root is not None:
+            local = path  # already fs-local, from the listing
         # compression=None: keep decompression on OUR gzip path (it
         # handles the Common Crawl member-per-record convention);
         # pyarrow's default 'detect' would double-decompress .gz
@@ -210,20 +209,38 @@ class _WarcReader(DataSourceReader):
         )
 
     def partitions(self):
-        files = (
-            self._files
-            if self._files is not None
-            else _list_warc_files(self._path)
-        )
-        if not files:
+        if self._files is not None:
+            # explicit manifest: each entry resolves itself (plain
+            # path or full URI)
+            parts = [_WarcFilePartition(f) for f in self._files]
+        elif _has_scheme(self._path):
+            parts = [
+                _WarcFilePartition(f, fs_root=self._path)
+                for f in _list_uri_warc_files(self._path)
+            ]
+        else:
+            path = self._path
+            if os.path.isdir(path):
+                files = sorted(
+                    _glob.glob(
+                        os.path.join(path, "**", "*.warc*"),
+                        recursive=True,
+                    )
+                )
+            else:
+                files = sorted(_glob.glob(path)) or [path]
+            parts = [_WarcFilePartition(f) for f in files]
+        if not parts:
             raise FileNotFoundError(
                 f"no WARC files under {self._path}"
             )
-        return [_WarcFilePartition(f) for f in files]
+        return parts
 
     def read(self, partition: _WarcFilePartition):
         path = partition.path
-        with _open_warc_stream(path) as stream:
+        with _open_warc_stream(
+            path, getattr(partition, "fs_root", None)
+        ) as stream:
             for i, (hd, payload) in enumerate(
                 _iter_warc_records(stream)
             ):

@@ -121,7 +121,7 @@ def test_curate_corpus_leakage_safe_split(spark):
         split_test_fraction=0.3,
         split_seed=7,
         dedup=None,
-        minhash_opts={"jaccard_threshold": 0.8},
+        split_pairs_opts={"jaccard_threshold": 0.8},
     )
     got = {r.doc_id: r.split for r in kept.collect()}
     assert set(got) == {r[0] for r in rows}

@@ -373,16 +373,31 @@ def test_apply_whitening_null_in_null_out(spark):
         "id long, embedding array<double>",
     )
     model = fit_pca_whitening(base, "embedding")
+    # coalesce(1): NULL and non-NULL rows MUST share one Arrow batch
+    # — the r13 self-review reproduced a crash (and a silent
+    # scalar-corruption mode when the non-NULL count equals d) in the
+    # masked-assignment version that partition isolation had hidden
     with_null = base.unionByName(
         spark.createDataFrame(
-            [(99, None)], "id long, embedding array<double>"
+            [(99, None), (98, None)], "id long, embedding array<double>"
         )
-    )
+    ).coalesce(1)
     rows = {
         r.id: r.whitened
         for r in apply_whitening(with_null, model, "embedding").collect()
     }
-    assert rows[99] is None
+    assert rows[99] is None and rows[98] is None
+    # n_non_null == d == 2 would hit the silent-corruption mode:
+    two = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 1.0])],
+        "id long, embedding array<double>",
+    ).coalesce(1)
+    got2 = {
+        r.id: r.whitened
+        for r in apply_whitening(two, model, "embedding").collect()
+    }
+    assert got2[1] is None
+    assert len(got2[0]) == 2 and len(got2[2]) == 2
     clean = {
         r.id: r.whitened
         for r in apply_whitening(base, model, "embedding").collect()
