@@ -516,3 +516,66 @@ def test_apply_whitening_is_single_arrow_stage(spark):
     # formatted plans list each node twice (tree + detail); count the
     # numbered detail entries
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+
+
+def test_bpe_encode_and_count_are_map_only(spark, docs):
+    """The tokenizer's recurring cost is a single Arrow-batched
+    projection: zero Exchange in encode, count, and the exact-token
+    chunker (windows are array expressions over the id column —
+    posexplode is a generator, not a shuffle)."""
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_encode,
+        bpe_token_count,
+        chunk_documents_bpe,
+    )
+
+    model = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    assert _n_hash_exchanges(_plan(bpe_encode(docs, model))) == 0
+    assert _n_hash_exchanges(_plan(bpe_token_count(docs, model))) == 0
+    plan = _plan(chunk_documents_bpe(docs, model, chunk_tokens=8))
+    assert _n_hash_exchanges(plan) == 0, plan
+    assert "Generate" in plan  # posexplode, not a join/shuffle
+
+
+def test_normalize_text_is_map_only(spark, docs):
+    from polaroam_spark.operators.textstats import normalize_text
+
+    plan = _plan(docs.select(normalize_text("text", "NFKC")))
+    assert _n_hash_exchanges(plan) == 0, plan
+
+
+def test_train_bpe_histogram_is_one_partial_agg(spark, docs):
+    """Training's distributed half: explode -> groupBy count must be
+    map-side combined (partial_count before the single Exchange) and
+    the top-words cut a TakeOrdered, never a global sort."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.tokenize import train_bpe
+
+    # replicate the plan train_bpe builds (it collects eagerly, so
+    # probe the same chain)
+    import polaroam_spark.operators.tokenize as tk
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _pretok(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda t: None if t is None else tk._PRETOKEN_RE.findall(t)
+        )
+
+    hist = (
+        docs.select(F.explode(_pretok(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(100)
+    )
+    plan = _plan(hist)
+    assert _n_hash_exchanges(plan) <= 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "TakeOrderedAndProject" in plan, plan
