@@ -8258,6 +8258,43 @@ def t31(spark, sf_dir):
     ).select("doc_id", "chunk_id", "n_tokens", "chunk_text")
 
 
+
+
+# Special-token accounting (tokenize.py:add_special_tokens, r13):
+# document-boundary tokens must encode ATOMICALLY — '<|eot|>' is 7
+# payload bytes but exactly ONE token, so with the no-merge base
+# model each occurrence saves 6 tokens vs its bytes: n_tokens =
+# octet_length(wrapped) - 6 * occurrences. The oracle computes that
+# arithmetic on the identically-wrapped text; any leak of a special
+# into byte tokens (or ordinary text into a special id) shifts the
+# count.
+@_q(
+    "t32_bpe_special_tokens",
+    "SELECT doc_id, CAST(octet_length(encode('<|eot|>' || text || "
+    "'<|eot|>')) - 12 AS BIGINT) AS n_tokens FROM documents",
+)
+def t32(spark, sf_dir):
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        add_special_tokens,
+        bpe_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    model = add_special_tokens(base, ["<|eot|>"])
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(F.lit("<|eot|>"), F.col("text"), F.lit("<|eot|>")),
+    )
+    return bpe_token_count(wrapped, model, "text").select(
+        "doc_id", "n_tokens"
+    )
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9219,7 +9256,7 @@ _PRIORITY = [
     "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
     "v5_opq_iterative_invariants", "q6c_curation_split",
-    "t30_nfc_normalize", "t31_bpe_chunking",
+    "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

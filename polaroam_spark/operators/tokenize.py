@@ -312,15 +312,27 @@ _CACHE_CAP = 200_000
 def _encoder(model: dict):
     """(text -> list[int]) closure over the model's rank/id tables —
     shared by the distributed UDFs and the driver-side helpers so
-    there is exactly one encode semantics."""
+    there is exactly one encode semantics. When the model carries
+    ``special`` tokens (see :func:`add_special_tokens`), their
+    occurrences encode ATOMICALLY — the text splits at them first,
+    so a special can never be produced by merging ordinary bytes and
+    ordinary text can never leak into a special id."""
     ranks = {p: r for r, p in enumerate(model["merges"])}
     vocab = model["vocab"]
+    special: "dict[str, int]" = model.get("special") or {}
+    special_re = (
+        re.compile(
+            "(" + "|".join(
+                re.escape(t)
+                for t in sorted(special, key=len, reverse=True)
+            ) + ")"
+        )
+        if special
+        else None
+    )
     cache: "dict[str, list[int]]" = {}
 
-    def encode(text: "str | None") -> "list[int] | None":
-        if text is None:
-            return None
-        ids: "list[int]" = []
+    def _encode_plain(text: str, ids: "list[int]") -> None:
         for word in _PRETOKEN_RE.findall(text):
             hit = cache.get(word)
             if hit is None:
@@ -334,9 +346,53 @@ def _encoder(model: dict):
                     cache.clear()
                 cache[word] = hit
             ids.extend(hit)
+
+    def encode(text: "str | None") -> "list[int] | None":
+        if text is None:
+            return None
+        ids: "list[int]" = []
+        if special_re is None:
+            _encode_plain(text, ids)
+            return ids
+        for seg in special_re.split(text):
+            if not seg:
+                continue
+            sid = special.get(seg)
+            if sid is not None:
+                ids.append(sid)
+            else:
+                _encode_plain(seg, ids)
         return ids
 
     return encode
+
+
+def add_special_tokens(model: dict, tokens: "list[str]") -> dict:
+    """Return a NEW model with ``tokens`` registered as special
+    tokens (document boundaries, padding, instruction markers): ids
+    continue after the model's current maximum, encoding is atomic
+    (never produced or split by BPE merges), decoding emits the
+    literal text. This is what makes pack/separator token accounting
+    EXACT — ``materialize_packs`` can count its ``<|endoftext|>``
+    separators as real single tokens instead of punting to the
+    loader. Specials are runtime state (the GPT-2 two-file format
+    has no slot for them); persist them yourself or re-add after
+    :func:`load_bpe`."""
+    out = {
+        "vocab": dict(model["vocab"]),
+        "merges": list(model["merges"]),
+        "special": dict(model.get("special") or {}),
+    }
+    nid = max(out["vocab"].values(), default=-1) + 1
+    if out["special"]:
+        nid = max(nid, max(out["special"].values()) + 1)
+    for t in tokens:
+        if not t:
+            raise ValueError("special tokens must be non-empty")
+        if t not in out["special"]:
+            out["special"][t] = nid
+            nid += 1
+    return out
 
 
 def bpe_encode(
@@ -378,16 +434,28 @@ def bpe_token_count(
     return df.withColumn(out_col, _cnt(F.col(text_col)))
 
 
-def _decode_ids(id_to_tok: dict, ids) -> "str | None":
-    """ids → tokens → bytes → UTF-8 text (lossy on invalid
-    sequences). THE decode path — bpe_decode, decode_ids and
-    chunk_documents_bpe all call this one function so the three
-    surfaces cannot drift."""
+def _id_to_bytes(model: dict) -> dict:
+    """id → raw bytes decode table: vocab tokens map through the
+    byte<->unicode bijection, special tokens to their literal
+    UTF-8."""
+    out = {
+        i: bytes(_UNI_TO_BYTE[u] for u in t)
+        for t, i in model["vocab"].items()
+    }
+    for t, i in (model.get("special") or {}).items():
+        out[i] = t.encode("utf-8")
+    return out
+
+
+def _decode_ids(table: dict, ids) -> "str | None":
+    """ids → bytes → UTF-8 text (lossy on invalid sequences). THE
+    decode path — bpe_decode, decode_ids and chunk_documents_bpe all
+    call this one function so the three surfaces cannot drift."""
     if ids is None:
         return None
-    return bytes(
-        _UNI_TO_BYTE[u] for i in ids for u in id_to_tok[int(i)]
-    ).decode("utf-8", errors="replace")
+    return b"".join(table[int(i)] for i in ids).decode(
+        "utf-8", errors="replace"
+    )
 
 
 def bpe_decode(
@@ -400,11 +468,11 @@ def bpe_decode(
     UTF-8 text. Byte-level BPE is lossless, so
     ``bpe_decode(bpe_encode(df)) == df`` exactly — the roundtrip IS
     the correctness certificate a gate can pin. NULL in → NULL out."""
-    id_to_tok = {i: t for t, i in model["vocab"].items()}
+    table = _id_to_bytes(model)
 
     @F.pandas_udf(T.StringType())
     def _dec(col: pd.Series) -> pd.Series:
-        return col.map(lambda ids: _decode_ids(id_to_tok, ids))
+        return col.map(lambda ids: _decode_ids(table, ids))
 
     return df.withColumn(out_col, _dec(F.col(ids_col)))
 
@@ -416,9 +484,7 @@ def encode_text(model: dict, text: str) -> "list[int]":
 
 def decode_ids(model: dict, ids: "list[int]") -> str:
     """Driver-side single-list decode."""
-    return _decode_ids(
-        {i: t for t, i in model["vocab"].items()}, ids
-    )
+    return _decode_ids(_id_to_bytes(model), ids)
 
 
 def chunk_documents_bpe(
@@ -464,10 +530,10 @@ def chunk_documents_bpe(
         F.sequence(F.lit(0), n_chunks.cast("int") - 1),
         lambda i: F.slice("_ids", i * stride + 1, int(chunk_tokens)),
     )
-    id_to_tok = {i: t for t, i in model["vocab"].items()}
+    table = _id_to_bytes(model)
 
     def _dec_batch(col):
-        return col.map(lambda ids: _decode_ids(id_to_tok, ids))
+        return col.map(lambda ids: _decode_ids(table, ids))
 
     dec_udf = F.pandas_udf(_dec_batch, T.StringType())
     out = encoded.select(

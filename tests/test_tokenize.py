@@ -216,3 +216,43 @@ def test_chunk_documents_bpe_roundtrip_and_overlap(spark, model):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents_bpe(docs, model, chunk_tokens=8, overlap=8)
+
+
+def test_special_tokens_atomic_and_lossless(spark, model):
+    """add_special_tokens: specials encode atomically (never merged,
+    never split), decode to their literal text, ids continue after
+    the vocab, and text WITHOUT specials encodes identically to the
+    base model. Longest-match wins for nested specials."""
+    from polaroam_spark.operators.tokenize import (
+        add_special_tokens,
+        bpe_decode,
+        bpe_encode,
+        decode_ids,
+        encode_text,
+    )
+
+    m2 = add_special_tokens(model, ["<|endoftext|>", "<|pad|>"])
+    eot = m2["special"]["<|endoftext|>"]
+    assert eot == max(model["vocab"].values()) + 1
+    assert m2["special"]["<|pad|>"] == eot + 1
+    plain = "the quick brown fox"
+    assert encode_text(m2, plain) == encode_text(model, plain)
+    s = f"doc one<|endoftext|>doc two<|endoftext|><|pad|>"
+    ids = encode_text(m2, s)
+    assert ids.count(eot) == 2
+    assert decode_ids(m2, ids) == s
+    # distributed paths honor specials too
+    df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+    out = bpe_decode(
+        bpe_encode(df, m2, "text"), m2, "token_ids"
+    ).first()
+    assert out.decoded == s
+    # longest-match: a special that prefixes another
+    m3 = add_special_tokens(model, ["<|e|>", "<|e|>x"])
+    ids3 = encode_text(m3, "a<|e|>xb")
+    assert m3["special"]["<|e|>x"] in ids3
+    assert m3["special"]["<|e|>"] not in ids3
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        add_special_tokens(model, [""])
