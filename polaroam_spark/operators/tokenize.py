@@ -104,16 +104,20 @@ def _word_to_symbols(word: str) -> "tuple[str, ...]":
 
 
 def _apply_merges(
-    symbols: "tuple[str, ...]", ranks: "dict[tuple[str, str], int]"
+    symbols: "tuple[str, ...]", get_rank
 ) -> "tuple[str, ...]":
     """Greedy BPE: repeatedly take the best-ranked adjacent pair and
     merge ALL its occurrences left-to-right (one pass per selected
-    pair — the standard apply order, which training mirrors)."""
+    pair — the standard apply order, which training mirrors).
+    ``get_rank(a, b) -> int | None`` abstracts the priority source:
+    merges-file pair ranks (GPT-2 layout) or vocab-concat ranks
+    (tiktoken layout) — the two published encodings of the same
+    merge history."""
     syms = list(symbols)
     while len(syms) > 1:
         best = None
         for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
+            r = get_rank(syms[i], syms[i + 1])
             if r is not None and (best is None or r < best[0]):
                 best = (r, syms[i], syms[i + 1])
         if best is None:
@@ -317,8 +321,21 @@ def _encoder(model: dict):
     occurrences encode ATOMICALLY — the text splits at them first,
     so a special can never be produced by merging ordinary bytes and
     ordinary text can never leak into a special id."""
-    ranks = {p: r for r, p in enumerate(model["merges"])}
     vocab = model["vocab"]
+    if model.get("rank_by_concat"):
+        # tiktoken layout: a pair merges iff its concatenation is in
+        # the vocab, with the token's rank (== id) as priority
+        def _rank(a: str, b: str):
+            return vocab.get(a + b)
+
+        get_rank = _rank
+    else:
+        ranks = {p: r for r, p in enumerate(model["merges"])}
+
+        def _rank(a: str, b: str):
+            return ranks.get((a, b))
+
+        get_rank = _rank
     special: "dict[str, int]" = model.get("special") or {}
     special_re = (
         re.compile(
@@ -339,7 +356,7 @@ def _encoder(model: dict):
                 hit = [
                     vocab[s]
                     for s in _apply_merges(
-                        _word_to_symbols(word), ranks
+                        _word_to_symbols(word), get_rank
                     )
                 ]
                 if len(cache) >= _CACHE_CAP:
@@ -553,3 +570,48 @@ def chunk_documents_bpe(
     if drop_empty:
         out = out.filter(F.col("n_tokens") > 0)
     return out
+
+
+def save_tiktoken(model: dict, path: str) -> None:
+    """Write the model in the tiktoken single-file layout: one
+    ``base64(token_bytes) rank`` line per vocab entry, rank == id.
+    Valid for models whose merge order matches id order (true of
+    every :func:`train_bpe` model and every GPT-2-format load) —
+    that is exactly the property that makes the two layouts encode
+    identically. Special tokens are runtime state in both layouts
+    and are not persisted."""
+    import base64
+
+    with open(path, "w", encoding="ascii") as f:
+        for tok, i in sorted(
+            model["vocab"].items(), key=lambda kv: kv[1]
+        ):
+            data = bytes(_UNI_TO_BYTE[u] for u in tok)
+            f.write(
+                base64.b64encode(data).decode("ascii") + f" {i}\n"
+            )
+
+
+def load_tiktoken(path: str) -> dict:
+    """Load a tiktoken-format file (``base64(token_bytes) rank``
+    lines — the cl100k/o200k publication layout). The returned model
+    encodes by VOCAB-CONCAT rank (a pair merges iff its concatenated
+    bytes are a vocab entry, lowest rank first) — tiktoken's own
+    algorithm, equivalent to merges-rank encoding whenever ranks
+    follow merge-creation order, which the format guarantees by
+    construction. Pre-tokenization is THIS module's regex (a
+    third-party model's exotic-numeral splits may differ — see the
+    module docstring); a model saved by :func:`save_tiktoken` and
+    reloaded is exactly self-consistent."""
+    import base64
+
+    vocab: "dict[str, int]" = {}
+    with open(path, encoding="ascii") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            b64, rank = line.split(" ")
+            data = base64.b64decode(b64)
+            vocab["".join(_BYTE_TO_UNI[b] for b in data)] = int(rank)
+    return {"vocab": vocab, "merges": [], "rank_by_concat": True}

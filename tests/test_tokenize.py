@@ -256,3 +256,32 @@ def test_special_tokens_atomic_and_lossless(spark, model):
 
     with pytest.raises(ValueError, match="non-empty"):
         add_special_tokens(model, [""])
+
+
+def test_tiktoken_format_roundtrip_equivalent_encode(
+    tmp_path, corpus, model
+):
+    """save_tiktoken/load_tiktoken: the vocab-concat-rank encoder
+    (tiktoken's algorithm) must encode byte-identically to the
+    merges-rank encoder for a model whose ranks follow merge order —
+    which both layouts guarantee; decode + specials also survive."""
+    from polaroam_spark.operators.tokenize import (
+        add_special_tokens,
+        load_tiktoken,
+        save_tiktoken,
+    )
+
+    p = str(tmp_path / "model.tiktoken")
+    save_tiktoken(model, p)
+    lines = open(p, encoding="ascii").read().splitlines()
+    assert len(lines) == len(model["vocab"])
+    tk = load_tiktoken(p)
+    assert tk["rank_by_concat"] is True
+    for t in TRICKY + ["the quick brown fox 3 jumps over the lazy dog"]:
+        assert encode_text(tk, t) == encode_text(model, t), t
+        assert decode_ids(tk, encode_text(tk, t)) == t
+    tk2 = add_special_tokens(tk, ["<|endoftext|>"])
+    s = "a<|endoftext|>b"
+    ids = encode_text(tk2, s)
+    assert tk2["special"]["<|endoftext|>"] in ids
+    assert decode_ids(tk2, ids) == s
