@@ -285,3 +285,77 @@ def test_tiktoken_format_roundtrip_equivalent_encode(
     ids = encode_text(tk2, s)
     assert tk2["special"]["<|endoftext|>"] in ids
     assert decode_ids(tk2, ids) == s
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_pretokenize_partition_property(t):
+    """Property: pre-tokenization is an exact partition of ANY text."""
+    assert "".join(pretokenize(t)) == t
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_encode_decode_roundtrip_property(t):
+    """Property: decode(encode(t)) == t for arbitrary unicode under a
+    no-merge model and under a merged model (byte-level BPE is
+    lossless by construction; driver-side — the distributed path
+    shares the exact same _encoder/_decode_ids closures)."""
+    base = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    assert decode_ids(base, encode_text(base, t)) == t
+    vocab = dict(base["vocab"])
+    vocab["er"] = 256
+    vocab["the"] = 257  # unreachable (no ('th','e') chain) — ignored
+    merged = {"vocab": vocab, "merges": [("e", "r")]}
+    assert decode_ids(merged, encode_text(merged, t)) == t
+
+
+def test_pack_separator_accounting_exact(spark, model):
+    """End-to-end exact token accounting: whole-document chunks ->
+    pack -> materialize with a '<|eot|>' separator; re-encoding each
+    pack's text under the special-token model must equal the sum of
+    its chunks' token counts plus (n_chunks - 1) separators — the
+    accounting materialize_packs' docstring defers to the loader is
+    now closable in-engine. Whole-doc chunks make the claim EXACT:
+    encode is deterministic, so re-encoding an intact document
+    reproduces its count; a mid-word chunk slice would NOT (its
+    decoded text can re-merge across the cut), which is why the
+    guarantee is stated at document/separator granularity."""
+    from polaroam_spark.operators.chunking import (
+        materialize_packs,
+        packing_plan,
+    )
+    from polaroam_spark.operators.tokenize import (
+        add_special_tokens,
+        bpe_token_count,
+        chunk_documents_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} " + "the quick brown fox jumps high " * (1 + i % 4))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    # budget far above any doc length -> one intact chunk per doc
+    chunks = chunk_documents_bpe(docs, model, chunk_tokens=4096)
+    assert chunks.count() == 12
+    planned = packing_plan(
+        chunks.select("doc_id", "chunk_id", "chunk_text", "n_tokens"),
+        budget_tokens=256,
+    )
+    packs = materialize_packs(planned, separator="<|eot|>")
+    sp_model = add_special_tokens(model, ["<|eot|>"])
+    recounted = bpe_token_count(packs, sp_model, "text", "n_exact")
+    rows = recounted.collect()
+    assert any(r.n_chunks > 1 for r in rows)  # separators exercised
+    for r in rows:
+        assert r.n_exact == r.n_tokens + (r.n_chunks - 1), r
