@@ -348,9 +348,17 @@ def test_pack_separator_accounting_exact(spark, model):
     # budget far above any doc length -> one intact chunk per doc
     chunks = chunk_documents_bpe(docs, model, chunk_tokens=4096)
     assert chunks.count() == 12
+    # one stratum -> one cumsum, so small-doc packs actually group
+    # (the default hash-sharded path scatters 12 docs into 12 shards)
+    from pyspark.sql import functions as F
+
     planned = packing_plan(
-        chunks.select("doc_id", "chunk_id", "chunk_text", "n_tokens"),
+        chunks.select(
+            "doc_id", "chunk_id", "chunk_text", "n_tokens",
+            F.lit("all").alias("src"),
+        ),
         budget_tokens=256,
+        strata_col="src",
     )
     packs = materialize_packs(planned, separator="<|eot|>")
     sp_model = add_special_tokens(model, ["<|eot|>"])
