@@ -8295,6 +8295,65 @@ def t32(spark, sf_dir):
     )
 
 
+
+
+# Best-fit-decreasing packing certification (chunking.py:
+# packing_plan_bestfit, r13): bin packing is not ANSI-SQL-expressible,
+# so the gate pins the contract the operator sells — every pack total
+# within budget (singleton oversize excepted, of which this fixture
+# has none: doc token counts < 512), every input row planned exactly
+# once, padding waste no worse than the cumsum plan on the SAME
+# hash-shard structure — with the row count CTE-twinned.
+@_q(
+    "k8_packing_bestfit_invariants",
+    "SELECT (SELECT count(*) FROM documents) AS n_chunks, "
+    "TRUE AS within_budget_ok, TRUE AS ids_exact_ok, "
+    "TRUE AS waste_not_worse_ok",
+)
+def k8(spark, sf_dir):
+    from polaroam_spark.operators.chunking import (
+        packing_plan,
+        packing_plan_bestfit,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    budget = 512
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(0).alias("chunk_id"),
+        token_count("text").alias("n_tokens"),
+    )
+    bfd = packing_plan_bestfit(
+        docs, budget_tokens=budget, num_shards=8
+    )
+    rows = bfd.collect()
+    n = len(rows)
+    totals: dict = {}
+    for r in rows:
+        totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_tokens
+    within = all(t <= budget for t in totals.values())
+    src_ids = {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    ids_ok = {r.doc_id for r in rows} == src_ids and n == len(src_ids)
+
+    def waste(plan_rows):
+        t: dict = {}
+        for r in plan_rows:
+            t[r.pack_id] = t.get(r.pack_id, 0) + r.n_tokens
+        return sum(max(budget - x, 0) for x in t.values())
+
+    cum = packing_plan(
+        docs, budget_tokens=budget, id_cols=("doc_id", "chunk_id")
+    ).collect()
+    row = (n, within, ids_ok, waste(rows) <= waste(cum))
+    return spark.createDataFrame(
+        [row],
+        "n_chunks long, within_budget_ok boolean, "
+        "ids_exact_ok boolean, waste_not_worse_ok boolean",
+    )
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9257,6 +9316,7 @@ _PRIORITY = [
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
     "v5_opq_iterative_invariants", "q6c_curation_split",
     "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
+    "k8_packing_bestfit_invariants",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

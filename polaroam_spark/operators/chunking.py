@@ -168,6 +168,113 @@ def packing_plan(
     return out
 
 
+def packing_plan_bestfit(
+    chunks: DataFrame,
+    budget_tokens: int = 2048,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    n_tokens_col: str = "n_tokens",
+    num_shards: int = 1024,
+) -> DataFrame:
+    """Append ``pack_id`` via BEST-FIT-DECREASING bin packing — the
+    padding-waste upgrade over :func:`packing_plan`'s cumulative-sum
+    rule. The cumsum plan lets a bin OVERFLOW by up to one chunk
+    (the loader must truncate); this one guarantees every pack's
+    total is ≤ ``budget_tokens`` (a single chunk larger than the
+    budget gets a singleton pack — same loader contract as cumsum's
+    over-budget tail), and BFD's tighter placement cuts the padding
+    fraction, which at training time is wasted FLOPs in every batch.
+
+    Scale shape: bin packing is inherently sequential, so the corpus
+    is hash-sharded on the id columns (``num_shards`` deterministic
+    shards, the same contract as the cumsum path) and BFD runs
+    per-shard inside an Arrow ``applyInPandas`` over a PROJECTED
+    (ids, n_tokens) frame — the text never enters the shuffle; join
+    the plan back by id for materialization. Per-shard packing is
+    the standard parallel relaxation: quality is within the shard
+    (waste can only improve over cumsum's same-shard plan), and
+    shards pack independently so the stage scales with the cluster.
+    Determinism: shard = hash of ids, placement order is
+    (n_tokens desc, ids), the fullest-fitting-bin rule breaks ties
+    toward the lowest bin index — a pure function of the input.
+
+    Returns the input columns plus ``pack_id``
+    (``shard * 2^40 + local bin``, globally unique).
+    """
+    import pandas as pd
+
+    budget = int(budget_tokens)
+    if budget < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    if "pack_id" in chunks.columns or "_shard" in chunks.columns:
+        raise ValueError(
+            "packing_plan_bestfit reserves columns "
+            "['pack_id', '_shard']; rename them in the input first"
+        )
+    proj = chunks.select(
+        *id_cols,
+        F.col(n_tokens_col).cast("long").alias("_n"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in id_cols]),
+            F.lit(int(num_shards)),
+        ).alias("_shard"),
+    )
+    idc = list(id_cols)
+
+    def _bfd(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(key[0])
+        if pdf["_n"].isna().any():
+            raise ValueError(
+                f"NULL {n_tokens_col}: a chunk without a token count "
+                "cannot be packed — filter or fix upstream"
+            )
+        pdf = pdf.sort_values(
+            by=["_n"] + idc, ascending=[False] + [True] * len(idc)
+        )
+        import bisect
+
+        # bins sorted by remaining capacity ascending; best fit =
+        # smallest remaining >= n (ties: lowest bin index, via the
+        # (remaining, index) sort key)
+        bins: "list[tuple[int, int]]" = []  # (remaining, bin_idx)
+        packs = []
+        n_bins = 0
+        for n in pdf["_n"].to_numpy():
+            n = int(n)
+            pos = bisect.bisect_left(bins, (n, -1))
+            if pos < len(bins):
+                rem, idx = bins.pop(pos)
+                bins.insert(
+                    bisect.bisect_left(bins, (rem - n, idx)),
+                    (rem - n, idx),
+                )
+                packs.append(idx)
+            else:
+                # no bin fits (or n > budget: singleton with
+                # remaining < 0 never re-selected)
+                idx = n_bins
+                n_bins += 1
+                rem = budget - n
+                if rem > 0:
+                    bins.insert(
+                        bisect.bisect_left(bins, (rem, idx)),
+                        (rem, idx),
+                    )
+                packs.append(idx)
+        out = pdf[idc].copy()
+        out["pack_id"] = [
+            (shard << 40) + p for p in packs
+        ]
+        return out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in proj.schema.fields
+        if f.name in idc
+    ) + ", pack_id long"
+    plan = proj.groupBy("_shard").applyInPandas(_bfd, schema=schema)
+    return chunks.join(plan, on=idc, how="inner")
+
+
 def corpus_vocabulary(
     docs: DataFrame,
     text_col: str = "text",

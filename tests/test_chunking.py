@@ -317,3 +317,68 @@ def test_sentence_chunking_matches_python_greedy(spark):
         expected = py_chunks(text, 10)
         actual = [t for _, t in sorted(got.get(d, []))]
         assert actual == expected, (d, text)
+
+
+def test_packing_plan_bestfit_budget_and_waste(spark):
+    """BFD packing (r13): every pack total <= budget (oversize chunks
+    get singleton packs), rows/ids preserved through the join-back,
+    deterministic across runs, and padding waste never exceeds the
+    cumsum plan's on the same data."""
+    import pytest
+
+    from polaroam_spark.operators.chunking import (
+        packing_plan,
+        packing_plan_bestfit,
+    )
+
+    rows = [(i, 0, ((i * 37) % 90) + 10) for i in range(200)]
+    rows.append((500, 0, 300))  # oversize: must become a singleton
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_tokens long"
+    )
+    budget = 128
+    out = packing_plan_bestfit(
+        chunks, budget_tokens=budget, num_shards=4
+    )
+    got = out.collect()
+    assert len(got) == len(rows)
+    assert {(r.doc_id, r.chunk_id) for r in got} == {
+        (d, c) for d, c, _ in rows
+    }
+    totals = {}
+    members = {}
+    for r in got:
+        totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_tokens
+        members.setdefault(r.pack_id, []).append(r.doc_id)
+    for pid, tot in totals.items():
+        if tot > budget:
+            assert len(members[pid]) == 1  # only oversize singletons
+    # determinism
+    again = {
+        (r.doc_id, r.chunk_id): r.pack_id
+        for r in packing_plan_bestfit(
+            chunks, budget_tokens=budget, num_shards=4
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.chunk_id): r.pack_id for r in got}
+
+    # waste comparison vs the cumsum plan, same data (cumsum bins can
+    # overflow; count its waste as max(budget - total, 0))
+    def waste(plan_rows):
+        t = {}
+        for r in plan_rows:
+            t[r.pack_id] = t.get(r.pack_id, 0) + r.n_tokens
+        return sum(max(budget - x, 0) for x in t.values())
+
+    cum = packing_plan(
+        chunks, budget_tokens=budget, id_cols=("doc_id", "chunk_id")
+    ).collect()
+    assert waste(got) <= waste(cum), (waste(got), waste(cum))
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        packing_plan_bestfit(chunks, budget_tokens=0)
+    with_null = spark.createDataFrame(
+        [(1, 0, None)], "doc_id long, chunk_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL n_tokens"):
+        packing_plan_bestfit(with_null, budget_tokens=10).collect()
