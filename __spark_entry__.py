@@ -8354,6 +8354,97 @@ def k8(spark, sf_dir):
     )
 
 
+
+
+# Image near-duplicate detection (multimodal.py:image_neardup_pairs,
+# r13): perceptual dHash + the text-dedup family's chunk-bucket
+# hamming machinery. The gate synthesizes one deterministic 16x16
+# RGB PNG per document (pixels a function of doc_id) plus a
+# +4-brightness twin — a uniform shift preserves every gradient
+# sign, so each twin pair MUST surface at hamming 0, while distinct
+# seeds get Knuth-mixed pseudo-random pixels whose dhashes sit ~32
+# bits apart (deterministic fixture, verified at all 3 SFs) and must
+# not pair at max_hamming=3. The
+# oracle is the exact expected edge list.
+@_q(
+    "mm5_image_neardup",
+    "SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, "
+    "CAST(0 AS INT) AS hamming FROM documents "
+    "WHERE doc_id IS NOT NULL",
+)
+def mm5(spark, sf_dir):
+    import struct
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from polaroam_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    def png_for(seed: int, lift: int) -> bytes:
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        w = h = 16
+        raw = b""
+        for y in range(h):
+            row = bytearray(b"\x00")
+            for x in range(w):
+                # Knuth-mix the full (seed, x, y) triple: every seed
+                # gets a genuinely distinct pixel STRUCTURE (a linear
+                # formula in x/y collides mod its tiny coefficient
+                # space — 5k docs shared 221 structures and flooded
+                # the gate with hamming-0 cross pairs)
+                v = (
+                    ((seed * 1000003 + x * 9176 + y * 73 + 1)
+                     * 2654435761)
+                    ^ ((seed ^ (x * 31 + y * 511)) * 40503)
+                ) % 251
+                for c in (v, (v * 7) % 251, (v * 13) % 251):
+                    row.append(min(c + lift, 255))
+            raw += bytes(row)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0),
+            )
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def _mk(lift: int):
+        def _batch(col):
+            return col.map(
+                lambda d: png_for(int(d), lift)
+            )
+
+        return pandas_udf(_batch, "binary")
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    base = ids.select(
+        F.col("doc_id").alias("media_id"),
+        _mk(0)(F.col("doc_id")).alias("content"),
+    )
+    twins = ids.select(
+        (F.col("doc_id") + 10_000_000).alias("media_id"),
+        _mk(4)(F.col("doc_id")).alias("content"),
+    )
+    pairs = image_neardup_pairs(
+        base.unionByName(twins), max_hamming=3
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9316,7 +9407,7 @@ _PRIORITY = [
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
     "v5_opq_iterative_invariants", "q6c_curation_split",
     "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
-    "k8_packing_bestfit_invariants",
+    "k8_packing_bestfit_invariants", "mm5_image_neardup",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

@@ -459,44 +459,54 @@ def simhash_fingerprint(
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
+def fingerprint_hamming_pairs(
+    fingerprints: DataFrame,
+    fp_col: str,
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket_size: int = 1000,
-    portable: bool = False,
     materialize: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: candidates share at least one
-    of ``chunks`` fingerprint chunks (pigeonhole: any pair within
-    hamming distance < chunks shares a chunk), verified by exact
-    hamming distance via bit_count(xor).
-    Output: ``id_a, id_b, hamming`` (≤ max_hamming).
+    """Near-duplicate pairs for ANY precomputed integer fingerprint
+    column (SimHash, image dHash, audio chromaprint-style hashes…):
+    candidates share at least one of ``chunks`` fingerprint chunks
+    (pigeonhole: any pair within hamming distance < chunks shares a
+    chunk), verified by exact hamming distance via bit_count(xor).
+    Output: ``id_a, id_b, hamming`` (≤ max_hamming). This is the
+    machinery behind :func:`simhash_pairs`, exposed for fingerprints
+    Spark cannot derive from text (e.g.
+    :func:`~polaroam_spark.operators.multimodal.image_neardup_pairs`
+    feeds perceptual hashes through it). NULL fingerprints are
+    dropped (undecodable media can't be near anything).
 
     Same degenerate-bucket guard as :func:`minhash_lsh_pairs`: a
-    (chunk, value) bucket holding B documents — boilerplate drives a
-    chunk of the fingerprint to a constant — would emit B²/2
-    candidates from one task. Buckets over ``max_bucket_size`` switch
-    to star pairs against the bucket's min-id member (still
-    hamming-verified); member-member pairs inside a hot bucket
-    collapse through the representative via
-    :func:`duplicate_components`.
+    (chunk, value) bucket holding B rows — constant regions drive a
+    chunk to a constant — would emit B²/2 candidates from one task.
+    Buckets over ``max_bucket_size`` switch to star pairs against
+    the bucket's min-id member (still hamming-verified);
+    member-member pairs inside a hot bucket collapse through the
+    representative via :func:`duplicate_components`.
     """
-    fp = simhash_fingerprint(docs, text_col, id_col, bits, portable=portable)
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole requires chunks > max_hamming (got "
+            f"chunks={chunks}, max_hamming={max_hamming}): a pair at "
+            f"distance {max_hamming} may share no chunk otherwise"
+        )
+    fp = fingerprints.filter(F.col(fp_col).isNotNull())
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     chunked = fp.select(
         F.col(id_col).alias("_id"),
-        "simhash",
+        F.col(fp_col).alias("_fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * chunk_bits)
+                        F.shiftright(fp_col, c * chunk_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
@@ -504,14 +514,14 @@ def simhash_pairs(
                 ]
             )
         ).alias("_c"),
-    ).select("_id", "simhash", "_c.chunk", "_c.val")
+    ).select("_id", "_fp", "_c.chunk", "_c.val")
     bucket_w = Window.partitionBy("chunk", "val")
     chunked = chunked.withColumns(
         {
             "_bn": F.count("*").over(bucket_w),
             # struct-min: the representative's id AND fingerprint in
-            # one pass (ids are distinct, so simhash never compares)
-            "_rep": F.min(F.struct("_id", "simhash")).over(bucket_w),
+            # one pass (ids are distinct, so _fp never compares)
+            "_rep": F.min(F.struct("_id", "_fp")).over(bucket_w),
         }
     )
     # referenced by both self-join sides + the hot path (see the
@@ -527,15 +537,15 @@ def simhash_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("_fa"),
-            F.col("b.simhash").alias("_fb"),
+            F.col("a._fp").alias("_fa"),
+            F.col("b._fp").alias("_fb"),
         )
     )
     cand_hot = hot.filter(F.col("_id") != F.col("_rep._id")).select(
         F.col("_rep._id").alias("id_a"),
         F.col("_id").alias("id_b"),
-        F.col("_rep.simhash").alias("_fa"),
-        F.col("simhash").alias("_fb"),
+        F.col("_rep._fp").alias("_fa"),
+        F.col("_fp").alias("_fb"),
     )
     cand = cand_normal.unionByName(cand_hot).dropDuplicates(
         ["id_a", "id_b"]
@@ -549,6 +559,37 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return _finalize_pairs(verified, [chunked], materialize)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = 1000,
+    portable: bool = False,
+    materialize: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: fingerprint per document
+    (:func:`simhash_fingerprint`), then the shared chunk-bucket
+    pigeonhole machinery (:func:`fingerprint_hamming_pairs` — see it
+    for the candidate/verify/hot-bucket semantics).
+    Output: ``id_a, id_b, hamming`` (≤ max_hamming)."""
+    fp = simhash_fingerprint(
+        docs, text_col, id_col, bits, portable=portable
+    )
+    return fingerprint_hamming_pairs(
+        fp,
+        "simhash",
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket_size=max_bucket_size,
+        materialize=materialize,
+    )
 
 
 #: Default document-frequency cap for ngram_jaccard_pairs: one gram

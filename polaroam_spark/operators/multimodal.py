@@ -195,20 +195,20 @@ def _pixel_features(pixels, width: int, height: int, channels: int) -> dict:
     }
 
 
-def decode_image(content: bytes) -> dict:
-    """Real image decode: Pillow when importable (any format PIL
-    reads), else the stdlib PNG decoder above. Raises
-    ``NotImplementedError`` for formats neither path can read —
-    including bytes Pillow cannot identify (PIL's own
+def _decode_pixel_array(content: bytes):
+    """Decode to an (h, w, c) uint8 pixel array: Pillow when
+    importable (any format PIL reads), else the stdlib PNG decoder
+    above. Raises ``NotImplementedError`` for formats neither path
+    can read — including bytes Pillow cannot identify (PIL's own
     UnidentifiedImageError never escapes: callers are promised ONE
     exception type for undecodable media regardless of environment).
 
     Pixel-fidelity contract (same for both paths): palette images
-    are expanded to true RGB/RGBA pixels before stats — feeding
-    palette INDICES to :func:`_pixel_features` would make two
-    encodings of the same image disagree — and >8-bit depths raise
-    rather than silently clipping (the stdlib path only reads 8-bit,
-    so clipping on the Pillow path would diverge by environment)."""
+    are expanded to true RGB/RGBA pixels — feeding palette INDICES
+    downstream would make two encodings of the same image disagree —
+    and >8-bit depths raise rather than silently clipping (the
+    stdlib path only reads 8-bit, so clipping on the Pillow path
+    would diverge by environment)."""
     import numpy as np
 
     try:
@@ -241,11 +241,10 @@ def decode_image(content: bytes) -> dict:
         if arr is not None:
             if arr.ndim == 2:
                 arr = arr[:, :, None]
-            h, w, c = arr.shape
-            return _pixel_features(arr, w, h, c)
+            return arr
     if content[:8] == _PNG_MAGIC:
         pixels, w, h, c = _decode_png_stdlib(content)
-        return _pixel_features(pixels, w, h, c)
+        return pixels
     raise NotImplementedError(
         "no codec could read this image: "
         + (
@@ -255,6 +254,15 @@ def decode_image(content: bytes) -> dict:
         )
         + " and the stdlib fallback reads PNG only"
     )
+
+
+def decode_image(content: bytes) -> dict:
+    """Real image decode to the feature dict (see
+    :func:`_decode_pixel_array` for the codec paths and the
+    pixel-fidelity contract)."""
+    arr = _decode_pixel_array(content)
+    h, w, c = arr.shape
+    return _pixel_features(arr, w, h, c)
 
 
 def strict_decode(content: bytes, kind: str) -> dict:
@@ -811,4 +819,135 @@ def mp4_header_meta(
         F.when(is_mp4, timescale).alias("timescale"),
         F.when(is_mp4, duration).alias("duration"),
         F.when(is_mp4, dur_s).alias("duration_s"),
+    )
+
+
+def image_dhash_bytes(content: bytes, hash_size: int = 8) -> int:
+    """Perceptual dHash of one encoded image: decode
+    (:func:`_decode_pixel_array`), integer luma (BT.601 8-bit
+    weights 77/151/28, summing to 256), block-mean downsample to
+    (hash_size, hash_size + 1), emit one bit per horizontal gradient
+    sign — 64 bits at the default size. Returns a SIGNED 64-bit int
+    (two's complement) so the value lands in a Spark ``long`` and
+    ``bit_count(a ^ b)`` computes hamming distance exactly.
+
+    ALL-INTEGER arithmetic: block means compare by cross
+    multiplication (``sum_a * n_b > sum_b * n_a``), so the
+    fingerprint is bit-stable across platforms and EXACTLY invariant
+    under a uniform brightness shift (every block sum moves by the
+    same per-pixel amount — float luma flipped near-tie bits 3/500
+    times on the gate fixture). Near-identical images (re-encodes,
+    brightness shifts, small noise) land within a few bits;
+    unrelated images differ in ~half."""
+    import numpy as np
+
+    arr = _decode_pixel_array(content).astype(np.int64)
+    if arr.shape[2] >= 3:
+        gray = (
+            77 * arr[:, :, 0]
+            + 151 * arr[:, :, 1]
+            + 28 * arr[:, :, 2]
+        )
+    else:
+        gray = 256 * arr[:, :, 0]
+    h = int(hash_size)
+    # block resample to (h, h+1): deterministic linspace bounds
+    ys = np.linspace(0, gray.shape[0], h + 1).astype(int)
+    xs = np.linspace(0, gray.shape[1], h + 2).astype(int)
+    sums = np.empty((h, h + 1), dtype=np.int64)
+    cnts = np.empty((h, h + 1), dtype=np.int64)
+    for i in range(h):
+        for j in range(h + 1):
+            block = gray[
+                ys[i]: max(ys[i + 1], ys[i] + 1),
+                xs[j]: max(xs[j + 1], xs[j] + 1),
+            ]
+            sums[i, j] = int(block.sum())
+            cnts[i, j] = block.size
+    # mean_right > mean_left, exactly: s_r * n_l > s_l * n_r
+    bits = (
+        sums[:, 1:] * cnts[:, :-1] > sums[:, :-1] * cnts[:, 1:]
+    ).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    n = h * h
+    if v >= 1 << (n - 1):  # two's complement into a signed long
+        v -= 1 << n
+    return v
+
+
+def attach_image_dhash(
+    df,
+    content_col: str = "content",
+    out_col: str = "dhash",
+    hash_size: int = 8,
+):
+    """Append the perceptual dHash (``long``) per row — Arrow-batched
+    pandas UDF, map-side only. NULL content and UNDECODABLE bytes
+    both yield NULL (on a web-scale media corpus a decode failure is
+    a data condition, not a job failure; count NULLs to monitor it —
+    use :func:`decode_image` directly where a loud failure is
+    wanted)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    hs = int(hash_size)
+
+    def _one(content):
+        if content is None:
+            return None
+        try:
+            return image_dhash_bytes(bytes(content), hs)
+        except NotImplementedError:
+            return None
+
+    def _batch(col):
+        return col.map(_one).astype("Int64")
+
+    udf = pandas_udf(_batch, "long")
+    return df.withColumn(out_col, udf(F.col(content_col)))
+
+
+def image_neardup_pairs(
+    df,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = 1000,
+    hash_size: int = 8,
+    materialize: bool = False,
+):
+    """Near-duplicate IMAGE pairs: perceptual dHash per row
+    (:func:`attach_image_dhash` — one decode each, map-side), then
+    the same chunk-bucket pigeonhole machinery the text dedup family
+    uses (:func:`~polaroam_spark.operators.dedup.
+    fingerprint_hamming_pairs`): candidates share a fingerprint
+    chunk, exact ``bit_count(xor)`` verifies, hot buckets degrade to
+    star pairs. Catches re-encodes, brightness/contrast shifts and
+    small edits — the image analogue of :func:`~polaroam_spark.
+    operators.dedup.simhash_pairs`, with the identical output shape
+    ``id_a, id_b, hamming`` so survivors/components compose through
+    the same downstream ops. Undecodable rows drop (NULL hash)."""
+    from polaroam_spark.operators.dedup import (
+        fingerprint_hamming_pairs,
+    )
+
+    hashed = attach_image_dhash(
+        df.select(id_col, content_col),
+        content_col,
+        out_col="_dhash",
+        hash_size=hash_size,
+    )
+    return fingerprint_hamming_pairs(
+        hashed,
+        "_dhash",
+        id_col=id_col,
+        bits=int(hash_size) * int(hash_size),
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket_size=max_bucket_size,
+        materialize=materialize,
     )

@@ -593,3 +593,69 @@ def test_header_parsers_survive_truncation_and_garbage(spark):
         for b in (r.p.is_png, r.j.is_jpeg, r.g.is_gif,
                   r.w.is_wav, r.m.is_mp4):
             assert b in (True, False)
+
+
+def _rgb_png(px_fn, w=16, h=16):
+    """Minimal 8-bit RGB PNG from a pixel function (x, y) -> (r,g,b)."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00"
+        + bytes(v for x in range(w) for v in px_fn(x, y))
+        for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_dhash_invariances_and_neardup_pairs(spark):
+    """Perceptual dHash: invariant to uniform brightness shift and
+    re-encode-identical bytes; distinct structured images land far
+    apart; image_neardup_pairs finds exactly the planted twins;
+    undecodable/NULL content yields NULL hash and never pairs."""
+    from polaroam_spark.operators.multimodal import (
+        attach_image_dhash,
+        image_dhash_bytes,
+        image_neardup_pairs,
+    )
+
+    def base_px(seed):
+        def f(x, y):
+            v = (x * (3 + seed % 17) + y * y * (1 + seed % 13)
+                 + seed * 97) % 251
+            return (v, (v * 7) % 251, (v * 13) % 251)
+        return f
+
+    img0 = _rgb_png(base_px(0))
+    # twin: +4 uniform brightness — gradients (strict >) preserved
+    twin = _rgb_png(
+        lambda x, y: tuple(min(c + 4, 255) for c in base_px(0)(x, y))
+    )
+    assert image_dhash_bytes(img0) == image_dhash_bytes(twin)
+    others = [_rgb_png(base_px(s)) for s in (1, 2, 3)]
+    d0 = image_dhash_bytes(img0)
+    for o in others:
+        dh = bin((image_dhash_bytes(o) ^ d0) & ((1 << 64) - 1)).count("1")
+        assert dh > 10, dh
+
+    rows = [(0, img0), (100, twin)] + [
+        (i, others[i - 1]) for i in (1, 2, 3)
+    ] + [(50, b"not an image"), (51, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashed = attach_image_dhash(df)
+    got = {r.media_id: r.dhash for r in hashed.collect()}
+    assert got[50] is None and got[51] is None
+    assert got[0] == got[100]
+    pairs = image_neardup_pairs(df, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 100, 0)]
