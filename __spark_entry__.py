@@ -8445,6 +8445,79 @@ def mm5(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
+
+
+# Audio near-duplicate detection (multimodal.py:audio_neardup_pairs,
+# r13): energy-envelope fingerprint + the shared hamming-bucket
+# machinery — the audio member of the text/image/audio near-dup
+# family. One deterministic 400-sample 16-bit PCM WAV per document
+# (Knuth-mixed samples — distinct seeds get ~random envelopes) plus
+# a x3-gain twin; integer energies scale uniformly by 9, so every
+# twin pair MUST surface at hamming 0 (exact arithmetic, unlike the
+# image gate's float-free-by-construction +4 lift) and the oracle is
+# the exact twin edge list.
+@_q(
+    "mm6_audio_neardup",
+    "SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, "
+    "CAST(0 AS INT) AS hamming FROM documents "
+    "WHERE doc_id IS NOT NULL",
+)
+def mm6(spark, sf_dir):
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    from polaroam_spark.operators.multimodal import (
+        audio_neardup_pairs,
+    )
+
+    def wav_for(seed: int, gain: int) -> bytes:
+        samples = [
+            (
+                (
+                    ((seed * 1000003 + i * 9176 + 1) * 2654435761)
+                    ^ ((seed ^ (i * 31)) * 40503)
+                )
+                % 2000
+                - 1000
+            )
+            * gain
+            for i in range(400)
+        ]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        riff = b"WAVE" + chunks
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def _mk(gain: int):
+        def _batch(col):
+            return col.map(lambda d: wav_for(int(d), gain))
+
+        return pandas_udf(_batch, "binary")
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    base = ids.select(
+        F.col("doc_id").alias("media_id"),
+        _mk(1)(F.col("doc_id")).alias("content"),
+    )
+    twins = ids.select(
+        (F.col("doc_id") + 10_000_000).alias("media_id"),
+        _mk(3)(F.col("doc_id")).alias("content"),
+    )
+    pairs = audio_neardup_pairs(
+        base.unionByName(twins), max_hamming=3
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9408,6 +9481,7 @@ _PRIORITY = [
     "v5_opq_iterative_invariants", "q6c_curation_split",
     "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
     "k8_packing_bestfit_invariants", "mm5_image_neardup",
+    "mm6_audio_neardup",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

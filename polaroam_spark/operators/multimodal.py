@@ -951,3 +951,171 @@ def image_neardup_pairs(
         max_bucket_size=max_bucket_size,
         materialize=materialize,
     )
+
+
+def _decode_wav_samples(content: bytes):
+    """Parse a RIFF/WAVE PCM payload into (mono int64 samples,
+    sample_rate): chunk-list walk (fmt/data wherever they sit, same
+    tolerance as :func:`wav_header_meta`), 8-bit unsigned and
+    16-bit signed little-endian PCM supported, channels averaged by
+    SUM (a constant channel-count factor — keeps everything integer;
+    envelope comparisons divide it out). Raises
+    ``NotImplementedError`` for non-PCM codecs or other depths —
+    the same one-exception contract as :func:`_decode_pixel_array`."""
+    import struct
+
+    import numpy as np
+
+    if (
+        len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos: pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4: pos + 8])
+        body = content[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAVE without fmt/data chunks")
+    code, ch, rate, _br, _blk, bits = fmt
+    if code != 1:
+        raise NotImplementedError(
+            f"only PCM WAV is supported (fmt code {code})"
+        )
+    if bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - len(data) % (2 * ch)], dtype="<i2"
+        ).astype(np.int64)
+    elif bits == 8:
+        x = np.frombuffer(
+            data[: len(data) - len(data) % ch], dtype=np.uint8
+        ).astype(np.int64) - 128
+    else:
+        raise NotImplementedError(
+            f"only 8/16-bit PCM is supported (got {bits})"
+        )
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).sum(axis=1)
+    return x, int(rate)
+
+
+def audio_fingerprint_bytes(content: bytes, hash_size: int = 8) -> int:
+    """Energy-envelope fingerprint of one WAV payload: split the
+    signal into ``hash_size² + 1`` equal time frames, one bit per
+    consecutive-frame energy gradient (``sum(x²)`` compared by cross
+    multiplication over frame lengths) — 64 bits at the default, a
+    signed Spark ``long`` like :func:`image_dhash_bytes`.
+
+    ALL-INTEGER: energies are integer sums of squared samples, so
+    the fingerprint is bit-stable and EXACTLY invariant under any
+    uniform integer gain (×g scales every energy by g² — inequality
+    AND ties preserved). Silence-padded or re-encoded copies land
+    within a few bits; unrelated audio differs in ~half. Needs at
+    least ``hash_size² + 1`` samples (raises otherwise — a clip
+    shorter than the frame grid has no envelope to speak of)."""
+    import numpy as np
+
+    x, _rate = _decode_wav_samples(content)
+    n_frames = int(hash_size) * int(hash_size) + 1
+    if len(x) < n_frames:
+        raise NotImplementedError(
+            f"audio too short to fingerprint: {len(x)} samples "
+            f"< {n_frames} frames"
+        )
+    bounds = np.linspace(0, len(x), n_frames + 1).astype(int)
+    e = np.empty(n_frames, dtype=object)  # python ints: no overflow
+    cnt = np.empty(n_frames, dtype=np.int64)
+    sq = x * x
+    for i in range(n_frames):
+        e[i] = int(sq[bounds[i]: bounds[i + 1]].sum())
+        cnt[i] = bounds[i + 1] - bounds[i]
+    bits = [
+        e[i + 1] * int(cnt[i]) > e[i] * int(cnt[i + 1])
+        for i in range(n_frames - 1)
+    ]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    n = len(bits)
+    if v >= 1 << (n - 1):
+        v -= 1 << n
+    return v
+
+
+def attach_audio_fingerprint(
+    df,
+    content_col: str = "content",
+    out_col: str = "audio_fp",
+    hash_size: int = 8,
+):
+    """Append the energy-envelope fingerprint (``long``) per row —
+    Arrow-batched pandas UDF, map-side only. NULL content and
+    undecodable/too-short audio yield NULL (same monitoring contract
+    as :func:`attach_image_dhash`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    hs = int(hash_size)
+
+    def _one(content):
+        if content is None:
+            return None
+        try:
+            return audio_fingerprint_bytes(bytes(content), hs)
+        except NotImplementedError:
+            return None
+
+    def _batch(col):
+        return col.map(_one).astype("Int64")
+
+    udf = pandas_udf(_batch, "long")
+    return df.withColumn(out_col, udf(F.col(content_col)))
+
+
+def audio_neardup_pairs(
+    df,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = 1000,
+    hash_size: int = 8,
+    materialize: bool = False,
+):
+    """Near-duplicate AUDIO pairs: energy-envelope fingerprint per
+    row, then the shared chunk-bucket hamming machinery
+    (:func:`~polaroam_spark.operators.dedup.
+    fingerprint_hamming_pairs`) — the audio member of the
+    text/image/audio near-dup family, identical ``id_a, id_b,
+    hamming`` output so survivors/components compose downstream.
+    Catches gain-scaled and re-encoded copies; undecodable rows
+    drop."""
+    from polaroam_spark.operators.dedup import (
+        fingerprint_hamming_pairs,
+    )
+
+    hashed = attach_audio_fingerprint(
+        df.select(id_col, content_col),
+        content_col,
+        out_col="_afp",
+        hash_size=hash_size,
+    )
+    return fingerprint_hamming_pairs(
+        hashed,
+        "_afp",
+        id_col=id_col,
+        bits=int(hash_size) * int(hash_size),
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket_size=max_bucket_size,
+        materialize=materialize,
+    )

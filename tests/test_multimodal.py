@@ -659,3 +659,77 @@ def test_image_dhash_invariances_and_neardup_pairs(spark):
     assert got[0] == got[100]
     pairs = image_neardup_pairs(df, max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 100, 0)]
+
+
+def test_audio_fingerprint_gain_invariance_and_pairs(spark):
+    """Energy-envelope audio fingerprint: EXACTLY invariant under
+    uniform integer gain (all-integer energies, cross-multiplied
+    comparisons — ties included), distinct waveforms far apart,
+    stereo collapses by channel sum, 8-bit path works, undecodable/
+    short/NULL rows hash NULL; audio_neardup_pairs finds exactly the
+    planted gain twin."""
+    import struct
+
+    from polaroam_spark.operators.multimodal import (
+        attach_audio_fingerprint,
+        audio_fingerprint_bytes,
+        audio_neardup_pairs,
+    )
+
+    def wav16(samples, rate=8000, ch=1):
+        data = b"".join(
+            struct.pack("<h", s) for s in samples for _ in range(ch)
+        )
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, rate, rate * 2 * ch, 2 * ch, 16
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        riff = b"WAVE" + chunks
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def wave(seed, n=400):
+        return [
+            ((i * (seed * 7 + 3) + (i * i * (seed + 1)) // 5) % 2000)
+            - 1000
+            for i in range(n)
+        ]
+
+    base = wav16(wave(0))
+    gained = wav16([s * 3 for s in wave(0)])  # |s| < 1000 -> no clip
+    assert audio_fingerprint_bytes(base) == audio_fingerprint_bytes(
+        gained
+    )
+    d0 = audio_fingerprint_bytes(base)
+    for s in (1, 2, 3):
+        dh = bin(
+            (audio_fingerprint_bytes(wav16(wave(s))) ^ d0)
+            & ((1 << 64) - 1)
+        ).count("1")
+        assert dh > 10, (s, dh)
+    # stereo duplicate of mono content fingerprints identically
+    # (channel SUM scales energy by 4 uniformly: 2 equal channels)
+    assert audio_fingerprint_bytes(wav16(wave(0), ch=2)) == d0
+    # 8-bit path decodes (no assert on equality with 16-bit: the
+    # quantization changes the envelope)
+    eight = (
+        b"RIFF" + struct.pack("<I", 36 + 200) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 200)
+        + bytes((i * 13) % 256 for i in range(200))
+    )
+    assert isinstance(audio_fingerprint_bytes(eight), int)
+
+    rows = [(0, base), (100, gained), (1, wav16(wave(1))),
+            (2, wav16(wave(2))), (50, b"not audio"),
+            (51, wav16(wave(0, n=10))), (52, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    fp = {r.media_id: r.audio_fp
+          for r in attach_audio_fingerprint(df).collect()}
+    assert fp[50] is None and fp[51] is None and fp[52] is None
+    assert fp[0] == fp[100]
+    pairs = audio_neardup_pairs(df, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 100, 0)]
