@@ -8518,6 +8518,64 @@ def mm6(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
+
+
+# GPT-style concat-and-cut packing (tokenize.py:pack_token_stream,
+# r13): the zero-padding pretraining layout. With the no-merge byte
+# model, a ONE-CHARACTER separator (chr(30), record separator) and
+# this ASCII fixture, the token stream and the character stream align
+# 1:1 — so the oracle can rebuild the exact windows with string_agg
+# + substring arithmetic: document order, separator placement, window
+# boundaries and the drop-remainder rule all hash-pinned.
+@_q(
+    "t33_pack_token_stream",
+    "WITH s AS (SELECT string_agg(text || chr(30), '' "
+    "ORDER BY doc_id) AS stream FROM documents "
+    "WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+    "w AS (SELECT unnest(range(0, length(stream) // 512)) AS i, "
+    "stream FROM s) "
+    "SELECT CAST(0 AS INT) AS shard, CAST(i AS BIGINT) AS seq_id, "
+    "substr(stream, CAST(i*512+1 AS INT), 512) AS seq_text, "
+    "CAST(512 AS BIGINT) AS n_tokens FROM w",
+)
+def t33(spark, sf_dir):
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_decode,
+        pack_token_stream,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        .select("doc_id", "text")
+    )
+    base = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    packed = pack_token_stream(
+        docs,
+        base,
+        seq_len=512,
+        eot="\x1e",
+        num_shards=1,
+        drop_remainder=True,
+    )
+    from polaroam_spark.operators.tokenize import (
+        add_special_tokens,
+    )
+
+    return bpe_decode(
+        packed,
+        add_special_tokens(base, ["\x1e"]),  # same id assignment
+        "token_ids",
+        out_col="seq_text",
+    ).select("shard", "seq_id", "seq_text", "n_tokens")
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9481,7 +9539,7 @@ _PRIORITY = [
     "v5_opq_iterative_invariants", "q6c_curation_split",
     "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
     "k8_packing_bestfit_invariants", "mm5_image_neardup",
-    "mm6_audio_neardup",
+    "mm6_audio_neardup", "t33_pack_token_stream",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

@@ -615,3 +615,86 @@ def load_tiktoken(path: str) -> dict:
             data = base64.b64decode(b64)
             vocab["".join(_BYTE_TO_UNI[b] for b in data)] = int(rank)
     return {"vocab": vocab, "merges": [], "rank_by_concat": True}
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    model: dict,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eot: "str | None" = "<|endoftext|>",
+    num_shards: int = 256,
+    drop_remainder: bool = True,
+) -> DataFrame:
+    """GPT-style pretraining packing: CONCATENATE the corpus into a
+    token stream (documents joined by the ``eot`` special token) and
+    cut it into fixed ``seq_len`` windows — every sequence is exactly
+    full, no padding at all, documents crossing window boundaries by
+    design (the standard causal-LM data prep, vs
+    :func:`chunk_documents_bpe` which never splits across documents
+    and :func:`~polaroam_spark.operators.chunking.packing_plan`
+    which packs whole chunks and eats padding).
+
+    Scale shape: encode is one Arrow pass; the stream order is
+    per-SHARD (deterministic hash of ``id_col`` into ``num_shards``
+    groups, documents ordered by id within the shard — the exact
+    layout of writing one pretokenized file per worker), and each
+    shard's concat+cut runs in one ``applyInPandas`` group whose
+    input is the shard's (id, ids) arrays. A shard must fit a worker
+    (corpus tokens / num_shards — size ``num_shards`` accordingly);
+    global total order would serialize the corpus through one task
+    and buy nothing a causal LM can observe.
+
+    ``drop_remainder``: each shard's tail short window is dropped
+    (default, the training-loader convention) or emitted short.
+    Returns ``shard, seq_id, token_ids, n_tokens`` — ``(shard,
+    seq_id)`` is a stable global sequence identity. Deterministic:
+    a pure function of (corpus, model, seq_len, num_shards)."""
+    import pandas as pd
+
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
+    m = model
+    if eot is not None:
+        m = add_special_tokens(model, [eot])
+        eot_id = m["special"][eot]
+    enc = bpe_encode(
+        docs.select(id_col, text_col), m, text_col, out_col="_ids"
+    ).select(
+        F.col(id_col).alias("_id"),
+        "_ids",
+        F.pmod(F.xxhash64(id_col), F.lit(int(num_shards))).alias(
+            "_shard"
+        ),
+    )
+
+    def _cut(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(key[0])
+        pdf = pdf.sort_values("_id")
+        stream: "list[int]" = []
+        for ids in pdf["_ids"]:
+            if ids is None:
+                continue
+            stream.extend(int(i) for i in ids)
+            if eot is not None:
+                stream.append(eot_id)
+        out = []
+        n_full = len(stream) // L
+        for s in range(n_full):
+            out.append((shard, s, stream[s * L : (s + 1) * L], L))
+        rem = len(stream) - n_full * L
+        if rem and not drop_remainder:
+            out.append(
+                (shard, n_full, stream[n_full * L :], rem)
+            )
+        return pd.DataFrame(
+            out, columns=["shard", "seq_id", "token_ids", "n_tokens"]
+        )
+
+    return enc.groupBy("_shard").applyInPandas(
+        _cut,
+        schema="shard int, seq_id long, token_ids array<int>, "
+        "n_tokens long",
+    )

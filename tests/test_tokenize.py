@@ -367,3 +367,79 @@ def test_pack_separator_accounting_exact(spark, model):
     assert any(r.n_chunks > 1 for r in rows)  # separators exercised
     for r in rows:
         assert r.n_exact == r.n_tokens + (r.n_chunks - 1), r
+
+
+def test_pack_token_stream_semantics(spark, model):
+    """Concat-and-cut packing: every emitted sequence is exactly
+    seq_len (drop_remainder default), the per-shard stream is
+    documents in id order joined by ONE eot token (reassembling a
+    single-shard stream and splitting at eot recovers every doc's
+    ids), remainder emits short when asked, deterministic, NULL text
+    skipped."""
+    from polaroam_spark.operators.tokenize import (
+        add_special_tokens,
+        encode_text,
+        pack_token_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} " + "quick brown fox " * (2 + i % 3))
+         for i in range(9)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    L = 24
+    out = pack_token_stream(
+        docs, model, seq_len=L, num_shards=1, drop_remainder=False
+    ).collect()
+    rows = sorted(out, key=lambda r: (r.shard, r.seq_id))
+    assert all(r.shard == 0 for r in rows)
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_tokens == L for r in rows[:-1])
+    assert all(len(r.token_ids) == r.n_tokens for r in rows)
+    # reassemble and split at eot -> per-doc ids in doc_id order
+    m2 = add_special_tokens(model, ["<|endoftext|>"])
+    eot = m2["special"]["<|endoftext|>"]
+    stream = [i for r in rows for i in r.token_ids]
+    segs, cur = [], []
+    for i in stream:
+        if i == eot:
+            segs.append(cur)
+            cur = []
+        else:
+            cur.append(i)
+    assert cur == []  # stream ends on an eot
+    want = [
+        encode_text(model, r.text)
+        for r in sorted(
+            docs.filter("text is not null").collect(),
+            key=lambda r: r.doc_id,
+        )
+    ]
+    assert segs == want
+
+    # drop_remainder=True: only full windows, same prefix
+    full = pack_token_stream(
+        docs, model, seq_len=L, num_shards=1
+    ).collect()
+    full = sorted(full, key=lambda r: r.seq_id)
+    assert all(r.n_tokens == L for r in full)
+    assert [list(r.token_ids) for r in full] == [
+        list(r.token_ids) for r in rows if r.n_tokens == L
+    ]
+
+    # multi-shard: deterministic, union of shard streams preserves
+    # every token exactly once (remainders kept)
+    ms1 = pack_token_stream(
+        docs, model, seq_len=L, num_shards=4, drop_remainder=False
+    ).collect()
+    ms2 = pack_token_stream(
+        docs, model, seq_len=L, num_shards=4, drop_remainder=False
+    ).collect()
+    key = lambda r: (r.shard, r.seq_id, list(r.token_ids))
+    assert sorted(map(key, ms1)) == sorted(map(key, ms2))
+    assert sum(r.n_tokens for r in ms1) == len(stream)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_token_stream(docs, model, seq_len=0)
