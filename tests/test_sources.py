@@ -487,3 +487,64 @@ def test_warc_explicit_files_and_file_uri_listing(spark, tmpdir):
         (r.record_id, bytes(r.payload)) for r in via_uri.collect()
     )
     assert got_b == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata"]),
+            st.binary(max_size=400),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_property(records, compress):
+    """Property: arbitrary binary payloads (including \\r\\n\\r\\n,
+    WARC/-lookalike bytes, NULs) round-trip byte-exactly through
+    write_warc_file + the streaming parser, plain and gzip alike —
+    the Content-Length framing must never be confused by payload
+    content."""
+    import gzip as _gzip
+    import io
+    import os
+    import tempfile
+
+    from polaroam_spark.sources.warc import (
+        _iter_warc_records,
+        write_warc_file,
+    )
+
+    rows = [
+        (
+            f"<urn:p:{i}>",
+            t,
+            f"https://x/{i}",
+            "2026-08-15T00:00:00Z",
+            "application/octet-stream",
+            payload,
+        )
+        for i, (t, payload) in enumerate(records)
+    ]
+    suffix = ".warc.gz" if compress else ".warc"
+    fd, path = tempfile.mkstemp(suffix=suffix)
+    os.close(fd)
+    try:
+        n = write_warc_file(rows, path)
+        assert n == len(rows)
+        opener = _gzip.open if compress else open
+        with opener(path, "rb") as raw:
+            got = list(_iter_warc_records(io.BufferedReader(raw)))
+        assert len(got) == len(rows)
+        for (hd, payload), (rid, t, _u, _d, _c, want) in zip(got, rows):
+            assert hd["warc-record-id"] == rid
+            assert hd["warc-type"] == t
+            assert payload == want
+    finally:
+        os.unlink(path)
