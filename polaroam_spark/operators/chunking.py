@@ -176,13 +176,19 @@ def packing_plan_bestfit(
     num_shards: int = 1024,
 ) -> DataFrame:
     """Append ``pack_id`` via BEST-FIT-DECREASING bin packing — the
-    padding-waste upgrade over :func:`packing_plan`'s cumulative-sum
-    rule. The cumsum plan lets a bin OVERFLOW by up to one chunk
-    (the loader must truncate); this one guarantees every pack's
-    total is ≤ ``budget_tokens`` (a single chunk larger than the
-    budget gets a singleton pack — same loader contract as cumsum's
-    over-budget tail), and BFD's tighter placement cuts the padding
-    fraction, which at training time is wasted FLOPs in every batch.
+    ZERO-TRUNCATION alternative to :func:`packing_plan`'s
+    cumulative-sum rule. The cumsum plan lets a bin OVERFLOW by up
+    to one chunk (the loader must truncate, losing tokens); this one
+    guarantees every pack's total is ≤ ``budget_tokens`` (a single
+    chunk larger than the budget gets a singleton pack — the one
+    case no packer can fit), and BFD's tightest-fitting placement
+    keeps padding low. Pick by what the loader does with overflow:
+    truncation-tolerant loaders may prefer cumsum's fuller bins;
+    loaders that must keep every token want this plan. (Neither
+    plan's waste dominates the other on arbitrary inputs —
+    property-tested; the k8 gate pins BFD's padding ≤ cumsum's
+    clipped padding on the fixture corpus, a measurement, not a
+    theorem.)
 
     Scale shape: bin packing is inherently sequential, so the corpus
     is hash-sharded on the id columns (``num_shards`` deterministic

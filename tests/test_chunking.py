@@ -382,3 +382,56 @@ def test_packing_plan_bestfit_budget_and_waste(spark):
     )
     with pytest.raises(Exception, match="NULL n_tokens"):
         packing_plan_bestfit(with_null, budget_tokens=10).collect()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+             max_size=60),
+    st.integers(min_value=64, max_value=160),
+)
+def test_bestfit_kernel_property(sizes, budget):
+    """Property (driver-level BFD kernel semantics, mirrored in pure
+    Python): the GUARANTEES hold on arbitrary inputs — every
+    non-singleton bin within budget, every item placed exactly once,
+    deterministic. (No universal waste-dominance claim: hypothesis
+    found that clipped-padding waste can favor either plan — cumsum
+    'wins' by overflowing bins, trading truncation for fullness —
+    so waste comparisons are pinned on fixtures, not universally.)"""
+    import bisect
+
+    def bfd(sizes):
+        order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+        bins = []  # (remaining, idx)
+        packs = {}
+        n_bins = 0
+        for i in order:
+            n = sizes[i]
+            pos = bisect.bisect_left(bins, (n, -1))
+            if pos < len(bins):
+                rem, idx = bins.pop(pos)
+                bisect.insort(bins, (rem - n, idx))
+                packs[i] = idx
+            else:
+                idx = n_bins
+                n_bins += 1
+                rem = budget - n
+                if rem > 0:
+                    bisect.insort(bins, (rem, idx))
+                packs[i] = idx
+        return packs
+
+    packs = bfd(sizes)
+    assert sorted(packs.keys()) == list(range(len(sizes)))
+    totals = {}
+    for i, p in packs.items():
+        totals[p] = totals.get(p, 0) + sizes[i]
+    for p, tot in totals.items():
+        if tot > budget:
+            assert sum(1 for x in packs.values() if x == p) == 1
+    assert sum(totals.values()) == sum(sizes)
+    assert bfd(sizes) == packs  # deterministic
