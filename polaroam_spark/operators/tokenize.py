@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
