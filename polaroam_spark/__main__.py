@@ -5,10 +5,12 @@ The reference ships a typer CLI stub with no commands
 (reference get_stops_and_clusters.py). This CLI packages those
 driver workflows:
 
-  ingest   vendor parquet/CSV -> canonical localized pings, partitioned
-  stops    pings -> stop events + per-event medians
-  cluster  medians -> DBSCAN stop locations + medoids
-  label    clustered stops -> home/work labels (+ wide export)
+  ingest    vendor parquet/CSV -> canonical localized pings, partitioned
+  stops     pings -> stop events + per-event medians
+  cluster   medians -> DBSCAN stop locations + medoids
+  label     clustered stops -> home/work labels (+ wide export)
+  corpus    documents -> deduped/filtered/sampled corpus
+  tokenize  documents -> exact token ids or packed training sequences
 
 Each stage reads/writes parquet so the pipeline is restartable stage
 by stage, mirroring the reference's disk-staged batch driver.
@@ -163,6 +165,49 @@ def cmd_corpus(args) -> None:
     df.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_tokenize(args) -> None:
+    """documents parquet -> exact token ids (mode=encode) or packed
+    fixed-length training sequences (mode=pack): the tokenizer stage
+    of the LLM-data pipeline as one restartable command. Bring a
+    model (--vocab/--merges, GPT-2 layout) or train one in place
+    (--train-vocab-size, optionally persisting it for the next
+    stage/run)."""
+    from polaroam_spark.operators.tokenize import (
+        bpe_encode,
+        bpe_token_count,
+        load_bpe,
+        pack_token_stream,
+        save_bpe,
+        train_bpe,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.vocab and args.merges:
+        model = load_bpe(args.vocab, args.merges)
+    else:
+        model = train_bpe(
+            df, args.text_col, vocab_size=args.train_vocab_size
+        )
+        if args.save_vocab and args.save_merges:
+            save_bpe(model, args.save_vocab, args.save_merges)
+    if args.mode == "encode":
+        out = bpe_token_count(
+            bpe_encode(df, model, args.text_col), model, args.text_col
+        ).select(args.id_col, "token_ids", "n_tokens")
+    else:
+        out = pack_token_stream(
+            df,
+            model,
+            seq_len=args.seq_len,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            eot=args.eot if args.eot else None,
+            num_shards=args.num_shards,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,7 +264,29 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--seed", type=int, default=17)
     pk.set_defaults(fn=cmd_corpus)
 
+    pt = sub.add_parser(
+        "tokenize",
+        help="documents -> exact token ids or packed sequences",
+    )
+    pt.add_argument("--input", required=True)
+    pt.add_argument("--output", required=True)
+    pt.add_argument("--text-col", default="text")
+    pt.add_argument("--id-col", default="doc_id")
+    pt.add_argument(
+        "--mode", choices=["encode", "pack"], default="encode"
+    )
+    pt.add_argument("--vocab", default=None, help="vocab.json to load")
+    pt.add_argument("--merges", default=None, help="merges.txt to load")
+    pt.add_argument("--train-vocab-size", type=int, default=4096)
+    pt.add_argument("--save-vocab", default=None)
+    pt.add_argument("--save-merges", default=None)
+    pt.add_argument("--seq-len", type=int, default=2048)
+    pt.add_argument("--eot", default="<|endoftext|>")
+    pt.add_argument("--num-shards", type=int, default=256)
+    pt.set_defaults(fn=cmd_tokenize)
+
     return p
+
 
 
 def main(argv: list[str] | None = None) -> int:

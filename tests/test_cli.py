@@ -84,3 +84,45 @@ def test_cli_corpus_pipeline(spark, tmpdir):
     assert len(kept) == 2
     assert kept[1] == 4  # s1's only survivor
     assert kept[0] in (0, 2)  # s0's capped survivor
+
+
+def test_cli_tokenize_encode_and_pack(spark, tmpdir):
+    """tokenize stage: train-in-place + persist model, exact counts
+    in encode mode; reload the SAME model files for pack mode and
+    get full windows only."""
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.tokenize import (
+        encode_text,
+        load_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "the quick brown fox " * 4)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = f"{tmpdir}/tok_in"
+    docs.write.parquet(src)
+    vp, mp = f"{tmpdir}/vocab.json", f"{tmpdir}/merges.txt"
+    enc_out = f"{tmpdir}/tok_ids"
+    assert main([
+        "tokenize", "--input", src, "--output", enc_out,
+        "--train-vocab-size", "300",
+        "--save-vocab", vp, "--save-merges", mp,
+    ]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(enc_out).collect()}
+    model = load_bpe(vp, mp)
+    for r in docs.collect():
+        want = encode_text(model, r.text)
+        assert list(got[r.doc_id].token_ids) == want
+        assert got[r.doc_id].n_tokens == len(want)
+
+    pack_out = f"{tmpdir}/tok_packs"
+    assert main([
+        "tokenize", "--input", src, "--output", pack_out,
+        "--mode", "pack", "--vocab", vp, "--merges", mp,
+        "--seq-len", "32", "--num-shards", "2",
+    ]) == 0
+    packs = spark.read.parquet(pack_out).collect()
+    assert packs and all(r.n_tokens == 32 for r in packs)
+    assert {r.shard for r in packs} <= {0, 1}
