@@ -8576,6 +8576,35 @@ def t33(spark, sf_dir):
     ).select("shard", "seq_id", "seq_text", "n_tokens")
 
 
+
+
+# Data-card report (curation.py:corpus_report, r13): the per-source
+# statistics a corpus publishes next to its parquet — all exact
+# integers, one aggregation pass, including the same normalized-md5
+# distinct count dedup_exact groups by (n_docs - n_distinct_texts ==
+# what that stage would drop).
+@_q(
+    "q7_corpus_report",
+    r"""SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      t -> t != ''))) AS BIGINT) AS n_tokens,
+  CAST(min(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      t -> t != ''))) AS BIGINT) AS min_doc_tokens,
+  CAST(max(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      t -> t != ''))) AS BIGINT) AS max_doc_tokens,
+  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+      'g')))) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY source""",
+)
+def q7(spark, sf_dir):
+    from polaroam_spark.operators.curation import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
 @_q(
     "t23_mojibake",
     "SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 "
@@ -9539,7 +9568,7 @@ _PRIORITY = [
     "v5_opq_iterative_invariants", "q6c_curation_split",
     "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
     "k8_packing_bestfit_invariants", "mm5_image_neardup",
-    "mm6_audio_neardup", "t33_pack_token_stream",
+    "mm6_audio_neardup", "t33_pack_token_stream", "q7_corpus_report",
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",

@@ -243,3 +243,40 @@ def curate_corpus(
             ],
         )
     return cur, stats
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The DATA CARD aggregate: per-source corpus statistics in ONE
+    aggregation pass — ``n_docs, n_null_text, n_chars, n_tokens
+    (whitespace), min/max doc tokens, n_distinct_texts`` (exact-dup
+    signal: distinct count of the same whitespace-normalized md5 key
+    ``dedup_exact`` groups by, so ``n_docs − n_distinct_texts`` is
+    exactly the rows that stage would drop). Every column is an
+    exact integer — no float that could wobble across engines — so
+    the nightly report a corpus publishes alongside its parquet is
+    itself oracle-checkable.
+
+    One shuffle on ``source_col`` (map-side combined; the distinct
+    count adds the standard partial-distinct expand). Scale-safe at
+    any corpus size: output is #sources rows.
+    """
+    from polaroam_spark.functions.text import tokens
+
+    t = F.col(text_col)
+    norm_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    )
+    tok = F.array_size(tokens(text_col))
+    return docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count(t)).alias("n_null_text"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+        F.min(tok).cast("long").alias("min_doc_tokens"),
+        F.max(tok).cast("long").alias("max_doc_tokens"),
+        F.countDistinct(norm_key).alias("n_distinct_texts"),
+    )

@@ -132,3 +132,34 @@ def test_curate_corpus_leakage_safe_split(spark):
     n_train = sum(1 for s in got.values() if s == "train")
     assert ("split_train", n_train) in srows
     assert ("split_test", len(got) - n_train) in srows
+
+
+def test_corpus_report_exact_integers(spark):
+    """corpus_report: per-source exact-integer data card; the
+    distinct-text count uses dedup_exact's normalization key, so
+    n_docs - n_distinct_texts equals what that stage would drop."""
+    from polaroam_spark.operators.curation import corpus_report
+    from polaroam_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (1, "web", "alpha beta gamma"),
+        (2, "web", "ALPHA   beta gamma "),  # same normalized text
+        (3, "web", None),
+        (4, "books", "one two"),
+        (5, "books", "three four five six"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {r.source: r for r in corpus_report(docs).collect()}
+    web = got["web"]
+    assert web.n_docs == 3 and web.n_null_text == 1
+    assert web.n_distinct_texts == 1
+    assert web.n_tokens == 6 and web.min_doc_tokens == 3
+    books = got["books"]
+    assert books.n_docs == 2 and books.n_null_text == 0
+    assert books.n_tokens == 6
+    assert books.min_doc_tokens == 2 and books.max_doc_tokens == 4
+    # cross-check the dup arithmetic against dedup_exact itself
+    kept = dedup_exact(docs.filter("source = 'web'")).count()
+    assert web.n_distinct_texts + (1 if web.n_null_text else 0) >= kept
