@@ -9524,51 +9524,22 @@ def mm3(spark, sf_dir):
 # stated inside the list at the window edge.
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r13 WINDOW (first 50 — the driver drives exactly this many).
-    # Derived from CORRECTNESS_r01..r12 THIS round (latest driver row
-    # per gate; rows-only attempts count — n2/n3/m3 were re-driven in
-    # r9/r8, so nothing in the registry is older than r7): 4 gates at
-    # r7 (the r12 trim) + the 8 r12-new gates (no driver row yet;
-    # judge-verified green at sf0.001 AND sf0.01 in the r12 verdict)
-    # + the 23-gate r8 block (22 hash + m3 rows-only) + the 15
-    # alphabetically-first r9 gates. 4 + 8 + 23 + 15 = 50 exactly.
-    # The remaining 33 r9 gates head the r14 window, with any r13-new
-    # gates inserted before them.
+    # r14 WINDOW (first 50 — the driver drives exactly this many).
+    # Derived from CORRECTNESS_r01..r13 THIS round (latest driver row
+    # per gate): the 14 r13-new gates (no driver row yet; judge-verified
+    # hash-exact at sf0.001 AND sf0.01 in the r13 verdict) + the full
+    # 33-gate remaining-r9 block + the 3 alphabetically-first r10
+    # gates. 14 + 33 + 3 = 50 exactly. The remaining 46 r10 gates head
+    # the r15 window, with any r14-new gates inserted before them.
     # ------------------------------------------------------------------
-    # (a) r7 trim (oldest driver rows in the registry):
-    "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
-    # (b) r12-new, first driver rows:
-    "smp9b_gumbel_topk_band", "v4_pca_whiten_invariants",
-    "smp10_leakage_safe_split", "n8_pq_rotated_recall",
-    "st8_streaming_gumbel_topk", "s16_bucketed_join", "s17_warc_ingest",
-    "t26_extract_main_content",
-    # (c) the r8 block (23):
-    "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-    "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-    "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
-    "d9_incremental_dedup_pairs", "k1_chunk_documents", "k2_packing_plan",
-    "k3_corpus_vocabulary", "k4_duplicate_components",
-    "k5_materialize_packs", "m2_stop_medians", "m3_communities",
-    "m3b_communities_refine", "m3c_communities_invariants",
-    "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
-    "m7_detect_work", "m8_compute_intervals",
-    # (d) alphabetically-first 15 of the 48-gate r9 block:
-    "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c3b_dbscan_distributed",
-    "c4_cluster_medoids", "c5_convex_hull", "c6_max_pairwise_distance",
-    "g4_kcore_invariants", "k6_sentence_chunks", "m1_fit_predict",
-    "mm1_media_features", "mm3_av_headers", "mm4_jpeg_gif_dims",
-    "n1_cosine_topk", "n2_ann_lsh_topk", "n2b_ann_lsh_recall",
-    # ---- window edge: position 50 is the last r9 gate above ----
-    # (e) everything else rides behind, oldest driver row first
-    # (rest of r9, then r10, r11, r12), alphabetical within rounds.
-    # r13-NEW gates are inserted at the TOP of this tail as they are
-    # added (first driver rows r14):
+    # (a) r13-new, first driver rows:
     "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
     "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
-    "v5_opq_iterative_invariants", "q6c_curation_split",
-    "t30_nfc_normalize", "t31_bpe_chunking", "t32_bpe_special_tokens",
-    "k8_packing_bestfit_invariants", "mm5_image_neardup",
-    "mm6_audio_neardup", "t33_pack_token_stream", "q7_corpus_report",
+    "v5_opq_iterative_invariants", "q6c_curation_split", "t30_nfc_normalize",
+    "t31_bpe_chunking", "t32_bpe_special_tokens",
+    "k8_packing_bestfit_invariants", "mm5_image_neardup", "mm6_audio_neardup",
+    "t33_pack_token_stream", "q7_corpus_report",
+    # (b) the remaining 33-gate r9 block:
     "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
     "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
     "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",
@@ -9580,24 +9551,31 @@ _PRIORITY = [
     "t23_mojibake", "t2_quality_features", "t3_stopword_scores",
     "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
     "t7_quality_stratified", "ts2_ewma", "ts2b_ewma_blocked",
-    "u2_filter_by_domain", "w4_detect_stops", "a13_exact_percentiles",
-    "a14_time_rollup", "a3_groupby_median", "a9_grouped_udf",
-    "d13_near_dedup_keep_best", "d14_eval_contamination_report",
-    "evt1_signup_purchase_funnel", "f10_timestamp_to_epoch",
-    "f11_tz_convert", "f12_tz_restamp", "f13_datetime_parts",
-    "f14_iso_weekday", "f15_date_diff_days", "f16_date_trunc_str",
-    "f17_sha_uid_hash", "f18_boolean_algebra", "f19_string_ops",
-    "f1_haversine", "f20_json_extract", "f2_euclidean", "f3_grid_snap",
-    "f4_f5_array_construct_get", "f6_when_otherwise", "f7_literal_cast",
-    "f8_fill_null", "f9_epoch_to_timestamp", "j1_left_join_composite",
-    "j4_left_join_sentinel", "n7_ivfpq_residual_recall",
-    "r1_multi_sort_rank", "r2_distinct_subset", "r3_drop_nulls",
-    "r4_explode", "r4b_multi_explode", "r6_limit", "s3_csv_gz_roundtrip",
-    "s5_parquet_sink_roundtrip", "s7_csv_sink_roundtrip",
-    "s9_users_with_min_days", "skw1_salted_agg", "smp7_temperature_sample",
-    "smp8_temperature_epoch_plan", "st4_streaming_incremental_dedup",
-    "t10_bpe_token_count", "t24_bigram_logprob_reference", "t8_pii_counts",
-    "u1_url_features", "v1_vector_normalize", "v2_quantize_roundtrip",
+    "u2_filter_by_domain", "w4_detect_stops",
+    # (c) alphabetically-first 3 of the 49-gate r10 block:
+    "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
+    # ---- window edge: position 50 is the last r10 gate above ----
+    # (d) everything else rides behind, oldest driver row first
+    # (rest of r10, then r11, r12, r13), alphabetical within rounds.
+    # r14-NEW gates are inserted at the TOP of this tail as they are
+    # added (first driver rows r15):
+    "a9_grouped_udf", "d13_near_dedup_keep_best",
+    "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
+    "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
+    "f13_datetime_parts", "f14_iso_weekday", "f15_date_diff_days",
+    "f16_date_trunc_str", "f17_sha_uid_hash", "f18_boolean_algebra",
+    "f19_string_ops", "f1_haversine", "f20_json_extract", "f2_euclidean",
+    "f3_grid_snap", "f4_f5_array_construct_get", "f6_when_otherwise",
+    "f7_literal_cast", "f8_fill_null", "f9_epoch_to_timestamp",
+    "j1_left_join_composite", "j4_left_join_sentinel",
+    "n7_ivfpq_residual_recall", "r1_multi_sort_rank", "r2_distinct_subset",
+    "r3_drop_nulls", "r4_explode", "r4b_multi_explode", "r6_limit",
+    "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
+    "s7_csv_sink_roundtrip", "s9_users_with_min_days", "skw1_salted_agg",
+    "smp7_temperature_sample", "smp8_temperature_epoch_plan",
+    "st4_streaming_incremental_dedup", "t10_bpe_token_count",
+    "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
+    "v1_vector_normalize", "v2_quantize_roundtrip",
     "a15_approx_distinct", "a16_rollup", "a17_cube", "a18_grouping_sets",
     "a19_approx_percentile_band", "d10_fuzzy_text_join", "d11_containment",
     "d12_semantic_pairs", "f21_map_ops", "f22_zorder_key",
@@ -9614,25 +9592,44 @@ _PRIORITY = [
     "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
     "t9_detect_language", "w10_session_window", "w3_gated_cumsum",
     "w8_compute_intervals", "x1_heavy_hitters", "x2_bloom_membership",
-    "x3_bloom_decontaminate", "x4_hll_two_level", "a10_ratio_aggregates",
-    "a11_having", "a12_global_minmax", "a1_groupby_count", "a20_histogram",
-    "a21_corr_covar", "a2_groupby_sum", "a4_groupby_minmax",
-    "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
-    "a8_collect_list", "j12_interval_overlap", "j2_left_join_single",
-    "j3_semi_join", "j5_cross_broadcast_scalar", "j6_medoid_joinback",
-    "j7_asof_join", "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
-    "p11_key_equality", "p3_computed_columns", "p6_compound_filter",
-    "p7_range_predicate", "p8_string_inequality", "p9_membership",
-    "q1_tpch_pricing", "q5_tpch_local_supplier", "r8_topk_per_key",
-    "s15_orc_roundtrip", "s1_parquet_scan_filter", "s2_parquet_read_agg",
-    "s4_pandas_interchange", "s6_partitioned_write",
+    "x3_bloom_decontaminate", "x4_hll_two_level",
+    "a10_ratio_aggregates", "a11_having", "a12_global_minmax",
+    "a1_groupby_count", "a20_histogram", "a21_corr_covar", "a2_groupby_sum",
+    "a4_groupby_minmax", "a5_count_per_group", "a6_count_distinct",
+    "a7_first_per_group", "a8_collect_list", "j12_interval_overlap",
+    "j2_left_join_single", "j3_semi_join", "j5_cross_broadcast_scalar",
+    "j6_medoid_joinback", "j7_asof_join", "mm2_png_dims", "n4_embedding_join",
+    "p10_null_checks", "p11_key_equality", "p3_computed_columns",
+    "p6_compound_filter", "p7_range_predicate", "p8_string_inequality",
+    "p9_membership", "q1_tpch_pricing", "q5_tpch_local_supplier",
+    "r8_topk_per_key", "s15_orc_roundtrip", "s1_parquet_scan_filter",
+    "s2_parquet_read_agg", "s4_pandas_interchange", "s6_partitioned_write",
     "smp7b_temperature_sample_weighted", "smp8b_temperature_epoch_plan_mean",
     "smp9_gumbel_topk", "st7_streaming_ewma", "t15_unigram_logprob",
     "t25_dsir_logweights", "ts1_resample_linear", "ts3_zscore_anomaly",
     "v3_validate_expectations", "w1_lead", "w2_lag_fill",
     "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
     "w9_ntile_cume",
+    "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c3b_dbscan_distributed",
+    "c4_cluster_medoids", "c5_convex_hull", "c6_max_pairwise_distance",
+    "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
+    "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
+    "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
+    "d9_incremental_dedup_pairs", "g4_kcore_invariants", "k1_chunk_documents",
+    "k2_packing_plan", "k3_corpus_vocabulary", "k4_duplicate_components",
+    "k5_materialize_packs", "k6_sentence_chunks", "m1_fit_predict",
+    "m2_stop_medians", "m3_communities", "m3b_communities_refine",
+    "m3c_communities_invariants", "m4_compute_dbscan", "m5_prepare_labeling",
+    "m6_detect_home", "m7_detect_work", "m8_compute_intervals",
+    "mm1_media_features", "mm3_av_headers", "mm4_jpeg_gif_dims",
+    "n1_cosine_topk", "n2_ann_lsh_topk", "n2b_ann_lsh_recall",
+    "n8_pq_rotated_recall", "p1_projection", "p2_rename", "p4_drop_column",
+    "p5_numeric_filter", "s16_bucketed_join", "s17_warc_ingest",
+    "smp10_leakage_safe_split", "smp9b_gumbel_topk_band",
+    "st8_streaming_gumbel_topk", "t26_extract_main_content",
+    "v4_pca_whiten_invariants",
 ]
+
 
 
 def _ordered_names() -> list[str]:
