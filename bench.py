@@ -377,6 +377,9 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "warmup_sec": round(warmup, 3),
                 "runs_per_query": runs,
+                # cold (0) vs steady-state (>=1) runs measure different
+                # things; stamp it so rounds compare like with like
+                "warm_runs": warm_runs,
                 "load1": load1,
                 "load1_start": load1_start,
                 "invalid_load": invalid_load,

@@ -172,9 +172,10 @@ def cmd_tokenize(args) -> None:
     model (--vocab/--merges, GPT-2 layout) or train one in place
     (--train-vocab-size, optionally persisting it for the next
     stage/run)."""
+    from pyspark.sql import functions as F
+
     from polaroam_spark.operators.tokenize import (
         bpe_encode,
-        bpe_token_count,
         load_bpe,
         pack_token_stream,
         save_bpe,
@@ -192,9 +193,13 @@ def cmd_tokenize(args) -> None:
         if args.save_vocab and args.save_merges:
             save_bpe(model, args.save_vocab, args.save_merges)
     if args.mode == "encode":
-        out = bpe_token_count(
-            bpe_encode(df, model, args.text_col), model, args.text_col
-        ).select(args.id_col, "token_ids", "n_tokens")
+        # count from the encoded array — calling bpe_token_count here
+        # would re-run the merge UDF over every document just to count
+        out = bpe_encode(df, model, args.text_col).select(
+            args.id_col,
+            "token_ids",
+            F.array_size("token_ids").cast("long").alias("n_tokens"),
+        )
     else:
         out = pack_token_stream(
             df,

@@ -233,6 +233,23 @@ def packing_plan_bestfit(
                 f"NULL {n_tokens_col}: a chunk without a token count "
                 "cannot be packed — filter or fix upstream"
             )
+        # the plan rides back on an id equi-join, so the id columns
+        # must be non-NULL and unique or rows silently vanish (NULL
+        # never equi-joins) / multiply (duplicate key tuples) —
+        # checked HERE because identical tuples hash to the same
+        # shard, making both checks exact without a global pass
+        if pdf[idc].isna().any().any():
+            raise ValueError(
+                f"NULL in id columns {idc}: the pack plan joins back "
+                "on them, and NULL ids would silently drop rows — "
+                "filter or fix upstream"
+            )
+        if pdf.duplicated(subset=idc).any():
+            raise ValueError(
+                f"duplicate id tuples in {idc}: the pack plan joins "
+                "back on them, and duplicates would multiply rows — "
+                "deduplicate or add a tiebreaker column"
+            )
         pdf = pdf.sort_values(
             by=["_n"] + idc, ascending=[False] + [True] * len(idc)
         )

@@ -175,14 +175,30 @@ def train_bpe(
             lambda t: None if t is None else _PRETOKEN_RE.findall(t)
         )
 
+    # collect one row past the cap: a sentinel row means the corpus
+    # has more distinct pre-tokens than max_words, which silently
+    # changes the learned merges — warn LOUDLY (same detection cost
+    # as the capped collect itself; no second counting job)
     hist_rows = (
         df.select(F.explode(_pretok(F.col(text_col))).alias("w"))
         .groupBy("w")
         .count()
         .orderBy(F.desc("count"), "w")
-        .limit(int(max_words))
+        .limit(int(max_words) + 1)
         .collect()
     )
+    if len(hist_rows) > int(max_words):
+        import warnings
+
+        warnings.warn(
+            f"train_bpe: corpus has more than max_words="
+            f"{int(max_words)} distinct pre-tokens; the frequency "
+            "tail was dropped from the training histogram, which can "
+            "change the learned merges. Raise max_words to train on "
+            "the full vocabulary.",
+            stacklevel=2,
+        )
+        hist_rows = hist_rows[: int(max_words)]
 
     # histogram as symbol tuples
     words: "dict[tuple[str, ...], int]" = {}
@@ -216,19 +232,34 @@ def train_bpe(
     def _push(p):
         heapq.heappush(heap, (-pair_counts[p], p))
 
+    # every token string produced so far (256 base symbols + merges):
+    # a candidate pair whose concatenation is already produced (e.g.
+    # (a, bc) after (ab, c) both yielding 'abc') is skipped — two
+    # merges with one concatenation would collide on the vocab.json
+    # key, leaving a hole in the id space and a vocab/merges pair
+    # that disagree for third-party GPT-2-format loaders
+    produced = {_BYTE_TO_UNI[b] for b in range(256)}
     merges: "list[tuple[str, str]]" = []
     for _ in range(n_merges):
         best = None
         while heap:
             negc, p = heapq.heappop(heap)
-            if pair_counts.get(p) == -negc:
-                best = p
-                break
+            if pair_counts.get(p) != -negc:
+                continue
+            if p[0] + p[1] in produced:
+                # unmergeable forever (produced only grows): retire
+                # the pair so stale heap entries never re-select it
+                del pair_counts[p]
+                pair_words.pop(p, None)
+                continue
+            best = p
+            break
         if best is None:
             break
         merges.append(best)
         a, b = best
         merged = a + b
+        produced.add(merged)
         # rewrite only the words containing the pair
         for wi in list(pair_words[best]):
             syms, freq = word_list[wi]
@@ -275,24 +306,49 @@ def train_bpe(
     return {"vocab": vocab, "merges": merges}
 
 
+def _open_model_file(path: str, mode: str, encoding: str):
+    """Open a tokenizer model file for text I/O, routing URI paths
+    (``s3://…``, ``file://…``, ``hdfs://…``) through ``pyarrow.fs``
+    (the same ``_fs_for`` abstraction the WARC source uses) so a
+    cluster whose driver persists to an object store can save and
+    load a tokenizer; plain paths stay on the direct POSIX
+    fast path."""
+    import io
+
+    from polaroam_spark.sources.warc import _fs_for
+
+    filesystem, local = _fs_for(path)
+    if filesystem is None:
+        return open(local, mode, encoding=encoding)
+    if mode == "w":
+        return io.TextIOWrapper(
+            filesystem.open_output_stream(local), encoding=encoding
+        )
+    return io.TextIOWrapper(
+        filesystem.open_input_stream(local), encoding=encoding
+    )
+
+
 def save_bpe(model: dict, vocab_path: str, merges_path: str) -> None:
     """Write the standard two-file layout: ``vocab.json`` (token ->
     id) and ``merges.txt`` (version header + one ranked pair per
-    line)."""
-    with open(vocab_path, "w", encoding="utf-8") as f:
+    line). Paths may be URIs (object store / ``file://``) — see
+    :func:`_open_model_file`."""
+    with _open_model_file(vocab_path, "w", "utf-8") as f:
         json.dump(model["vocab"], f, ensure_ascii=False)
-    with open(merges_path, "w", encoding="utf-8") as f:
+    with _open_model_file(merges_path, "w", "utf-8") as f:
         f.write("#version: 0.2\n")
         for a, b in model["merges"]:
             f.write(f"{a} {b}\n")
 
 
 def load_bpe(vocab_path: str, merges_path: str) -> dict:
-    """Load a GPT-2-format model (``vocab.json`` + ``merges.txt``)."""
-    with open(vocab_path, encoding="utf-8") as f:
+    """Load a GPT-2-format model (``vocab.json`` + ``merges.txt``).
+    Paths may be URIs — see :func:`_open_model_file`."""
+    with _open_model_file(vocab_path, "r", "utf-8") as f:
         vocab = {k: int(v) for k, v in json.load(f).items()}
     merges = []
-    with open(merges_path, encoding="utf-8") as f:
+    with _open_model_file(merges_path, "r", "utf-8") as f:
         for line in f:
             line = line.rstrip("\n")
             if not line or line.startswith("#version"):
@@ -578,10 +634,11 @@ def save_tiktoken(model: dict, path: str) -> None:
     every :func:`train_bpe` model and every GPT-2-format load) —
     that is exactly the property that makes the two layouts encode
     identically. Special tokens are runtime state in both layouts
-    and are not persisted."""
+    and are not persisted. The path may be a URI — see
+    :func:`_open_model_file`."""
     import base64
 
-    with open(path, "w", encoding="ascii") as f:
+    with _open_model_file(path, "w", "ascii") as f:
         for tok, i in sorted(
             model["vocab"].items(), key=lambda kv: kv[1]
         ):
@@ -601,11 +658,12 @@ def load_tiktoken(path: str) -> dict:
     construction. Pre-tokenization is THIS module's regex (a
     third-party model's exotic-numeral splits may differ — see the
     module docstring); a model saved by :func:`save_tiktoken` and
-    reloaded is exactly self-consistent."""
+    reloaded is exactly self-consistent. The path may be a URI — see
+    :func:`_open_model_file`."""
     import base64
 
     vocab: "dict[str, int]" = {}
-    with open(path, encoding="ascii") as f:
+    with _open_model_file(path, "r", "ascii") as f:
         for line in f:
             line = line.strip()
             if not line:
@@ -625,6 +683,7 @@ def pack_token_stream(
     eot: "str | None" = "<|endoftext|>",
     num_shards: int = 256,
     drop_remainder: bool = True,
+    max_shard_tokens: int = 100_000_000,
 ) -> DataFrame:
     """GPT-style pretraining packing: CONCATENATE the corpus into a
     token stream (documents joined by the ``eot`` special token) and
@@ -643,7 +702,13 @@ def pack_token_stream(
     input is the shard's (id, ids) arrays. A shard must fit a worker
     (corpus tokens / num_shards — size ``num_shards`` accordingly);
     global total order would serialize the corpus through one task
-    and buy nothing a causal LM can observe.
+    and buy nothing a causal LM can observe. ``max_shard_tokens``
+    enforces that contract LOUDLY: each shard task checks its total
+    token count (a cheap sum over array lengths, before any stream
+    is built) and raises with a num_shards sizing hint instead of
+    letting an under-sharded 100×-scale run OOM an executor with an
+    opaque error (default 1e8 tokens ≈ a few GB of Python list — the
+    same estimate-and-raise pattern as the DBSCAN coordinate guard).
 
     ``drop_remainder``: each shard's tail short window is dropped
     (default, the training-loader convention) or emitted short.
@@ -669,8 +734,21 @@ def pack_token_stream(
         ),
     )
 
+    cap = int(max_shard_tokens)
+
     def _cut(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         shard = int(key[0])
+        shard_tokens = int(
+            pdf["_ids"].map(lambda x: 0 if x is None else len(x)).sum()
+        )
+        if shard_tokens > cap:
+            raise ValueError(
+                f"pack_token_stream: shard {shard} holds "
+                f"{shard_tokens} tokens > max_shard_tokens={cap}; "
+                "raise num_shards (target corpus_tokens / num_shards "
+                "well under the cap) or raise max_shard_tokens if "
+                "the workers have the memory for it"
+            )
         pdf = pdf.sort_values("_id")
         stream: "list[int]" = []
         for ids in pdf["_ids"]:

@@ -435,3 +435,27 @@ def test_bestfit_kernel_property(sizes, budget):
             assert sum(1 for x in packs.values() if x == p) == 1
     assert sum(totals.values()) == sum(sizes)
     assert bfd(sizes) == packs  # deterministic
+
+
+def test_bestfit_rejects_null_and_duplicate_ids(spark):
+    """r13 hardening: the BFD plan joins back on the id columns, so
+    NULL ids (silently dropped by an equi-join) and duplicate id
+    tuples (row multiplication) must raise instead — both checks are
+    exact per-shard because identical tuples hash to one shard."""
+    import pytest
+
+    from polaroam_spark.operators.chunking import packing_plan_bestfit
+
+    dup = spark.createDataFrame(
+        [(1, 0, 5), (1, 0, 6)],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    with pytest.raises(Exception, match="duplicate id"):
+        packing_plan_bestfit(dup, budget_tokens=10).collect()
+
+    nul = spark.createDataFrame(
+        [(None, 0, 5), (2, 0, 6)],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    with pytest.raises(Exception, match="NULL in id"):
+        packing_plan_bestfit(nul, budget_tokens=10).collect()

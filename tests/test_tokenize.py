@@ -443,3 +443,81 @@ def test_pack_token_stream_semantics(spark, model):
 
     with pytest.raises(ValueError, match="seq_len"):
         pack_token_stream(docs, model, seq_len=0)
+
+
+def test_histogram_cap_warns_loudly(corpus):
+    """r13 hardening: truncating the training histogram silently
+    changes the learned merges — the cap must WARN. No warning when
+    the vocabulary fits."""
+    import warnings
+
+    with pytest.warns(UserWarning, match="max_words"):
+        capped = train_bpe(corpus, "text", vocab_size=280, max_words=10)
+    assert 0 < len(capped["merges"]) <= 24
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        train_bpe(corpus, "text", vocab_size=260, max_words=1_000_000)
+    assert not [
+        w for w in caught if "max_words" in str(w.message)
+    ]
+
+
+def test_merge_concats_unique_and_id_space_dense(model):
+    """r13 hardening: no two merges may share a concatenation (the
+    vocab.json key would collide, leaving a hole in the id space).
+    A 200k-histogram random search found no NATURAL trigger — global
+    rank application makes the two bracketings of one string mutually
+    exclusive — so this pins the guarded invariant, not a repro."""
+    concats = [a + b for a, b in model["merges"]]
+    assert len(set(concats)) == len(concats)
+    assert len(model["vocab"]) == 256 + len(model["merges"])
+    assert sorted(model["vocab"].values()) == list(
+        range(len(model["vocab"]))
+    )
+
+
+def test_pack_token_stream_shard_guard(spark, model):
+    """An under-sharded pack must fail LOUDLY with a sizing hint, not
+    OOM an executor."""
+    from polaroam_spark.operators.tokenize import pack_token_stream
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="max_shard_tokens"):
+        pack_token_stream(
+            docs, model, seq_len=4, num_shards=1, max_shard_tokens=3
+        ).collect()
+    # a generous cap (the default) packs normally
+    assert (
+        pack_token_stream(docs, model, seq_len=4, num_shards=1).count()
+        > 0
+    )
+
+
+def test_model_io_uri_paths(tmp_path, model):
+    """Model persistence must work through pyarrow.fs URIs (object
+    stores on a real cluster; file:// here) — both layouts."""
+    from polaroam_spark.operators.tokenize import (
+        load_tiktoken,
+        save_tiktoken,
+    )
+
+    base = "file://" + str(tmp_path)
+    save_bpe(model, base + "/vocab.json", base + "/merges.txt")
+    again = load_bpe(base + "/vocab.json", base + "/merges.txt")
+    assert again["vocab"] == model["vocab"]
+    assert again["merges"] == model["merges"]
+
+    save_tiktoken(model, base + "/model.tiktoken")
+    tk = load_tiktoken(base + "/model.tiktoken")
+    s = "the cat sat on the mat — café 123"
+    assert encode_text(tk, s) == encode_text(model, s)
+    # the URI files are byte-identical to the POSIX ones
+    posix_vocab = tmp_path / "v2.json"
+    posix_merges = tmp_path / "m2.txt"
+    save_bpe(model, str(posix_vocab), str(posix_merges))
+    assert (tmp_path / "vocab.json").read_bytes() == posix_vocab.read_bytes()
+    assert (tmp_path / "merges.txt").read_bytes() == posix_merges.read_bytes()
