@@ -31,13 +31,19 @@ loop into a dict lookup for the overwhelming share of tokens; the
 UDF is the legitimate Python hot path here (the merge loop is not
 expressible in Catalyst), batched, never per-row.
 
-Python ``re`` has no ``\\p{L}``/``\\p{N}``; the pre-tokenizer uses
-the documented Unicode-aware equivalents (``[^\\W\\d_]`` for
+Python ``re`` has no ``\\p{L}``/``\\p{N}``; the DEFAULT pre-tokenizer
+uses the documented Unicode-aware equivalents (``[^\\W\\d_]`` for
 letters, ``\\d`` for decimal digits), a faithful partition of any
-text but not byte-identical to tiktoken's splits on exotic numerals.
-A model trained AND applied through this module is self-consistent;
-loading a third-party GPT-2 model gives GPT-2's merges over this
-pre-tokenization.
+text but not byte-identical to tiktoken's splits on exotic numerals
+(``Ⅻ``/``①`` — category Nl/No — classify as letters under ``\\w``,
+as numerals under ``\\p{N}``). Pass ``pretokenizer="unicode"`` to
+:func:`train_bpe` / :func:`load_bpe` / :func:`load_tiktoken` to use
+the exact published GPT-2 split via the public ``regex`` module
+(``\\p{L}``/``\\p{N}`` classes) — required for split-exact parity
+when loading a third-party GPT-2/tiktoken model. Models are
+self-describing: the flavor rides in the model dict, and
+:func:`save_bpe` records it on the ``#version`` line (which
+third-party loaders drop unread, so the files stay interoperable).
 
 Reference parity: the reference engine has no tokenizer (its core is
 trajectory analytics); this module is part of the beyond-reference
@@ -65,6 +71,48 @@ _PRETOKEN_RE = re.compile(
     re.UNICODE,
 )
 
+#: the published GPT-2 pattern verbatim (Radford et al. 2019 /
+#: tiktoken r50k_base) — needs the public ``regex`` module for the
+#: \p character classes; same total-partition property.
+_GPT2_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+#: per-process compiled pattern cache keyed by flavor. Worker-side
+#: closures capture only the flavor STRING and compile lazily here —
+#: nothing pattern-shaped rides through pickle.
+_PRE_RES: "dict[str, object]" = {"default": _PRETOKEN_RE}
+
+
+def _pre_re(pretokenizer: str):
+    """Compiled pre-tokenizer for a flavor: ``"default"`` (stdlib
+    ``re``, the documented relaxation) or ``"unicode"`` (the exact
+    GPT-2 ``\\p``-class split via the public ``regex`` module).
+    Raises loudly when the flavor is unknown or ``regex`` is not
+    installed — call on the driver before shipping a flavor to
+    executors."""
+    r = _PRE_RES.get(pretokenizer)
+    if r is not None:
+        return r
+    if pretokenizer != "unicode":
+        raise ValueError(
+            f"unknown pretokenizer {pretokenizer!r}; "
+            "expected 'default' or 'unicode'"
+        )
+    try:
+        import regex
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "pretokenizer='unicode' needs the public 'regex' module "
+            "(pip install regex); the 'default' flavor runs on the "
+            "stdlib alone"
+        ) from e
+    r = regex.compile(_GPT2_PRETOKEN_PATTERN)
+    _PRE_RES["unicode"] = r
+    return r
+
 
 def _bytes_to_unicode() -> "dict[int, str]":
     """The fixed byte<->printable-unicode bijection of byte-level BPE
@@ -91,10 +139,12 @@ _BYTE_TO_UNI = _bytes_to_unicode()
 _UNI_TO_BYTE = {u: b for b, u in _BYTE_TO_UNI.items()}
 
 
-def pretokenize(text: str) -> "list[str]":
+def pretokenize(
+    text: str, pretokenizer: str = "default"
+) -> "list[str]":
     """Split text into pre-tokens (an exact partition — concatenating
     the result reproduces the input)."""
-    return _PRETOKEN_RE.findall(text)
+    return _pre_re(pretokenizer).findall(text)
 
 
 def _word_to_symbols(word: str) -> "tuple[str, ...]":
@@ -145,6 +195,7 @@ def train_bpe(
     text_col: str = "text",
     vocab_size: int = 1024,
     max_words: int = 1_000_000,
+    pretokenizer: str = "default",
 ) -> dict:
     """Learn a byte-level BPE model from a corpus: ONE distributed
     pass builds the pre-token frequency histogram (explode → groupBy
@@ -159,20 +210,25 @@ def train_bpe(
     ``vocab_size`` counts the 256 base byte symbols, so the number of
     learned merges is ``vocab_size - 256``. Ties in pair frequency
     break lexicographically — training is a pure function of the
-    histogram. Returns ``{"vocab": {token: id}, "merges":
-    [(a, b), ...]}``; ids are 0..255 for base bytes (in
-    byte-value order) then 256+rank per merge.
+    histogram. ``pretokenizer`` picks the split (see
+    :func:`_pre_re`); the trained model remembers it. Returns
+    ``{"vocab": {token: id}, "merges": [(a, b), ...]}``; ids are
+    0..255 for base bytes (in byte-value order) then 256+rank per
+    merge.
     """
     n_merges = int(vocab_size) - 256
     if n_merges < 0:
         raise ValueError(
             f"vocab_size must be >= 256 (got {vocab_size})"
         )
+    _pre_re(pretokenizer)  # fail fast on the driver
+    flavor = pretokenizer
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _pretok(col: pd.Series) -> pd.Series:
+        pre = _pre_re(flavor)
         return col.map(
-            lambda t: None if t is None else _PRETOKEN_RE.findall(t)
+            lambda t: None if t is None else pre.findall(t)
         )
 
     # collect one row past the cap: a sentinel row means the corpus
@@ -303,7 +359,10 @@ def train_bpe(
     }
     for rank, (a, b) in enumerate(merges):
         vocab[a + b] = 256 + rank
-    return {"vocab": vocab, "merges": merges}
+    out = {"vocab": vocab, "merges": merges}
+    if pretokenizer != "default":
+        out["pretokenizer"] = pretokenizer
+    return out
 
 
 def _open_model_file(path: str, mode: str, encoding: str):
@@ -333,29 +392,53 @@ def save_bpe(model: dict, vocab_path: str, merges_path: str) -> None:
     """Write the standard two-file layout: ``vocab.json`` (token ->
     id) and ``merges.txt`` (version header + one ranked pair per
     line). Paths may be URIs (object store / ``file://``) — see
-    :func:`_open_model_file`."""
+    :func:`_open_model_file`. A non-default pre-tokenizer flavor is
+    recorded ON the version line (third-party GPT-2 loaders drop the
+    first line unread, so the file stays interoperable; ours reads it
+    back)."""
     with _open_model_file(vocab_path, "w", "utf-8") as f:
         json.dump(model["vocab"], f, ensure_ascii=False)
+    flavor = model.get("pretokenizer", "default")
     with _open_model_file(merges_path, "w", "utf-8") as f:
-        f.write("#version: 0.2\n")
+        if flavor == "default":
+            f.write("#version: 0.2\n")
+        else:
+            f.write(f"#version: 0.2 pretokenizer={flavor}\n")
         for a, b in model["merges"]:
             f.write(f"{a} {b}\n")
 
 
-def load_bpe(vocab_path: str, merges_path: str) -> dict:
+def load_bpe(
+    vocab_path: str,
+    merges_path: str,
+    pretokenizer: "str | None" = None,
+) -> dict:
     """Load a GPT-2-format model (``vocab.json`` + ``merges.txt``).
-    Paths may be URIs — see :func:`_open_model_file`."""
+    Paths may be URIs — see :func:`_open_model_file`. The
+    pre-tokenizer flavor comes from the ``#version`` line when
+    :func:`save_bpe` recorded one there; pass ``pretokenizer=
+    "unicode"`` explicitly for a third-party GPT-2 model when you
+    want split-exact parity with its published \\p-class regex."""
     with _open_model_file(vocab_path, "r", "utf-8") as f:
         vocab = {k: int(v) for k, v in json.load(f).items()}
     merges = []
+    flavor = pretokenizer
     with _open_model_file(merges_path, "r", "utf-8") as f:
         for line in f:
             line = line.rstrip("\n")
-            if not line or line.startswith("#version"):
+            if not line:
+                continue
+            if line.startswith("#version"):
+                if flavor is None and "pretokenizer=" in line:
+                    flavor = line.split("pretokenizer=", 1)[1].split()[0]
                 continue
             a, b = line.split(" ")
             merges.append((a, b))
-    return {"vocab": vocab, "merges": merges}
+    out = {"vocab": vocab, "merges": merges}
+    if flavor and flavor != "default":
+        _pre_re(flavor)  # validate / fail fast
+        out["pretokenizer"] = flavor
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +474,8 @@ def _encoder(model: dict):
             return ranks.get((a, b))
 
         get_rank = _rank
+    flavor = model.get("pretokenizer", "default")
+    _pre_re(flavor)  # fail fast on the driver
     special: "dict[str, int]" = model.get("special") or {}
     special_re = (
         re.compile(
@@ -405,7 +490,7 @@ def _encoder(model: dict):
     cache: "dict[str, list[int]]" = {}
 
     def _encode_plain(text: str, ids: "list[int]") -> None:
-        for word in _PRETOKEN_RE.findall(text):
+        for word in _pre_re(flavor).findall(text):
             hit = cache.get(word)
             if hit is None:
                 hit = [
@@ -455,6 +540,12 @@ def add_special_tokens(model: dict, tokens: "list[str]") -> dict:
         "merges": list(model["merges"]),
         "special": dict(model.get("special") or {}),
     }
+    # carry the behavioral keys — dropping rank_by_concat would
+    # silently turn a tiktoken-layout model into byte-level-only
+    # encoding, and dropping the pretokenizer would change splits
+    for k in ("rank_by_concat", "pretokenizer"):
+        if k in model:
+            out[k] = model[k]
     nid = max(out["vocab"].values(), default=-1) + 1
     if out["special"]:
         nid = max(nid, max(out["special"].values()) + 1)
@@ -635,9 +726,22 @@ def save_tiktoken(model: dict, path: str) -> None:
     that is exactly the property that makes the two layouts encode
     identically. Special tokens are runtime state in both layouts
     and are not persisted. The path may be a URI — see
-    :func:`_open_model_file`."""
+    :func:`_open_model_file`. The single-file layout has no slot for
+    the pre-tokenizer flavor (every line must be ``b64 rank``) —
+    saving a non-default-flavor model warns; pass the flavor back to
+    :func:`load_tiktoken` yourself."""
     import base64
 
+    if model.get("pretokenizer", "default") != "default":
+        import warnings
+
+        warnings.warn(
+            "save_tiktoken: the tiktoken layout cannot record the "
+            f"pretokenizer={model['pretokenizer']!r} flavor; pass "
+            "pretokenizer= to load_tiktoken when reloading or the "
+            "splits will differ",
+            stacklevel=2,
+        )
     with _open_model_file(path, "w", "ascii") as f:
         for tok, i in sorted(
             model["vocab"].items(), key=lambda kv: kv[1]
@@ -648,17 +752,18 @@ def save_tiktoken(model: dict, path: str) -> None:
             )
 
 
-def load_tiktoken(path: str) -> dict:
+def load_tiktoken(path: str, pretokenizer: str = "default") -> dict:
     """Load a tiktoken-format file (``base64(token_bytes) rank``
     lines — the cl100k/o200k publication layout). The returned model
     encodes by VOCAB-CONCAT rank (a pair merges iff its concatenated
     bytes are a vocab entry, lowest rank first) — tiktoken's own
     algorithm, equivalent to merges-rank encoding whenever ranks
     follow merge-creation order, which the format guarantees by
-    construction. Pre-tokenization is THIS module's regex (a
-    third-party model's exotic-numeral splits may differ — see the
-    module docstring); a model saved by :func:`save_tiktoken` and
-    reloaded is exactly self-consistent. The path may be a URI — see
+    construction. Pre-tokenization defaults to THIS module's stdlib
+    regex; pass ``pretokenizer="unicode"`` for the published
+    \\p-class split when loading a third-party model (see the module
+    docstring). A model saved by :func:`save_tiktoken` and reloaded
+    is exactly self-consistent. The path may be a URI — see
     :func:`_open_model_file`."""
     import base64
 
@@ -671,7 +776,11 @@ def load_tiktoken(path: str) -> dict:
             b64, rank = line.split(" ")
             data = base64.b64decode(b64)
             vocab["".join(_BYTE_TO_UNI[b] for b in data)] = int(rank)
-    return {"vocab": vocab, "merges": [], "rank_by_concat": True}
+    out = {"vocab": vocab, "merges": [], "rank_by_concat": True}
+    if pretokenizer != "default":
+        _pre_re(pretokenizer)  # validate / fail fast
+        out["pretokenizer"] = pretokenizer
+    return out
 
 
 def pack_token_stream(

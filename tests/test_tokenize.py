@@ -521,3 +521,87 @@ def test_model_io_uri_paths(tmp_path, model):
     save_bpe(model, str(posix_vocab), str(posix_merges))
     assert (tmp_path / "vocab.json").read_bytes() == posix_vocab.read_bytes()
     assert (tmp_path / "merges.txt").read_bytes() == posix_merges.read_bytes()
+
+
+EXOTIC = [
+    "Roman Ⅻ and circled ① numerals",
+    "abcⅫ①def",
+    "mixed 12Ⅻ34 runs",
+    "ASCII only stays identical 123 abc!",
+]
+
+
+def test_unicode_pretokenizer_differential():
+    """The opt-in 'unicode' flavor is the published GPT-2 \\p-class
+    split: Nl/No characters (Ⅻ, ①) classify as NUMERALS there but as
+    letters under the stdlib default (\\w includes everything
+    isalnum). Both flavors stay exact partitions; they agree on
+    text without exotic numerals."""
+    for t in EXOTIC + TRICKY:
+        assert "".join(pretokenize(t, "default")) == t
+        assert "".join(pretokenize(t, "unicode")) == t
+    # the differential: default glues the Nl/No run to the letters,
+    # unicode splits letters | numerals
+    assert pretokenize("abcⅫ①def", "default") == ["abcⅫ①def"]
+    assert pretokenize("abcⅫ①def", "unicode") == ["abc", "Ⅻ①", "def"]
+    # ASCII text splits identically under both flavors
+    for t in ["the cat's 99 mats!", "we're ok  now"]:
+        assert pretokenize(t, "default") == pretokenize(t, "unicode")
+    with pytest.raises(ValueError, match="unknown pretokenizer"):
+        pretokenize("x", "nope")
+
+
+def test_unicode_flavor_trains_and_roundtrips(spark, tmp_path):
+    """A unicode-flavor model is self-describing end-to-end: train →
+    encode/decode roundtrip → save/load (flavor rides the #version
+    line, which third-party loaders drop unread) → identical encode.
+    Specials preserve the flavor too."""
+    from polaroam_spark.operators.tokenize import add_special_tokens
+
+    rows = [(i, EXOTIC[i % len(EXOTIC)]) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = train_bpe(docs, "text", vocab_size=280, pretokenizer="unicode")
+    assert m["pretokenizer"] == "unicode"
+    dec = bpe_decode(bpe_encode(docs, m, "text"), m, "token_ids")
+    for r in dec.collect():
+        assert r.decoded == r.text
+
+    save_bpe(m, str(tmp_path / "v.json"), str(tmp_path / "m.txt"))
+    first = (tmp_path / "m.txt").read_text().splitlines()[0]
+    assert first == "#version: 0.2 pretokenizer=unicode"
+    again = load_bpe(str(tmp_path / "v.json"), str(tmp_path / "m.txt"))
+    assert again.get("pretokenizer") == "unicode"
+    s = EXOTIC[1]
+    assert encode_text(again, s) == encode_text(m, s)
+    # a default-flavor model keeps the plain standard header
+    d = train_bpe(docs, "text", vocab_size=260)
+    save_bpe(d, str(tmp_path / "dv.json"), str(tmp_path / "dm.txt"))
+    assert (tmp_path / "dm.txt").read_text().splitlines()[0] == "#version: 0.2"
+
+    sp = add_special_tokens(m, ["<|endoftext|>"])
+    assert sp.get("pretokenizer") == "unicode"
+
+
+def test_special_tokens_preserve_rank_by_concat(tmp_path, model):
+    """Regression: add_special_tokens used to DROP rank_by_concat,
+    silently turning a tiktoken-layout model into byte-level-only
+    encoding (pack_token_stream always adds an eot special, so every
+    pack over a tiktoken load hit it)."""
+    from polaroam_spark.operators.tokenize import (
+        add_special_tokens,
+        load_tiktoken,
+        save_tiktoken,
+    )
+
+    save_tiktoken(model, str(tmp_path / "tk.txt"))
+    tk = load_tiktoken(str(tmp_path / "tk.txt"))
+    sp = add_special_tokens(tk, ["<|endoftext|>"])
+    assert sp.get("rank_by_concat") is True
+    s = "the cat sat on the mat"
+    assert encode_text(sp, s) == encode_text(model, s)
+    # tiktoken layout cannot record a non-default flavor: warn
+    uni = dict(model, pretokenizer="unicode")
+    with pytest.warns(UserWarning, match="tiktoken layout"):
+        save_tiktoken(uni, str(tmp_path / "tk2.txt"))
+    back = load_tiktoken(str(tmp_path / "tk2.txt"), pretokenizer="unicode")
+    assert back.get("pretokenizer") == "unicode"
