@@ -605,3 +605,55 @@ def test_special_tokens_preserve_rank_by_concat(tmp_path, model):
         save_tiktoken(uni, str(tmp_path / "tk2.txt"))
     back = load_tiktoken(str(tmp_path / "tk2.txt"), pretokenizer="unicode")
     assert back.get("pretokenizer") == "unicode"
+
+
+def test_third_party_gpt2_layout_interop_exact_ids():
+    """Exact-ids test against a vendored third-party-style model
+    (tests/fixtures/mini_gpt2): the files follow GPT-2's REAL
+    conventions our own save_bpe never produces — base ids in the
+    published printable-first order (so 'Ġ' is id 220, NOT its byte
+    value), \\u-escaped vocab.json, literal-Ġ merges.txt, and a
+    tiktoken single-file twin. Content is synthetic (no tokenizer
+    package or network in this container to vendor an authentic
+    fragment) but every expected id below is derived BY HAND from
+    the file, so a loader that recomputed ids, misread the version
+    line, or mis-mapped the byte bijection fails loudly.
+
+    Hand derivation: printables '!'(0x21)..'~' map to ids byte-0x21;
+    '®'..'ÿ' to 106+(byte-0xAE); '¡'..'¬' to 94+(byte-0xA1);
+    remapped bytes to 188+k ('Ġ'=space=220). Merges (rank: pair):
+    0:(t,h) 1:(Ġ,t) 2:(th,e) 3:(Ġ,the) 4:(c,a) 5:(ca,t) 6:(Ġ,cat),
+    ids 256..262 in rank order."""
+    import os
+
+    from polaroam_spark.operators.tokenize import load_tiktoken
+
+    fx = os.path.join(
+        os.path.dirname(__file__), "fixtures", "mini_gpt2"
+    )
+    m = load_bpe(
+        os.path.join(fx, "vocab.json"), os.path.join(fx, "merges.txt")
+    )
+    tk = load_tiktoken(os.path.join(fx, "mini.tiktoken"))
+    assert m["vocab"]["Ġ"] == 220 and m["vocab"]["Ġthe"] == 259
+
+    cases = {
+        # the=258 | Ġcat: (c,a)->ca,(ca,t)->cat,(Ġ,cat)=262 | Ġthe:
+        # (t,h),(th,e),(Ġ,the)=259
+        "the cat the": [258, 262, 259],
+        # 'T'=0x54-0x21=51, h=71, e=68 (no merge matches "The")
+        "The cat": [51, 71, 68, 262],
+        # inside one pre-token rank order wins: (t,h) r0 first, then
+        # (th,e) r2 beats (c,a) r4 -> the=258 + cat=261
+        "thecat": [258, 261],
+        # no digit merges: Ġ=220, '1'=16, '2'=17, '3'=18
+        " 123": [220, 16, 17, 18],
+        # ca=260, f=0x66-0x21=69; é = bytes 0xC3 0xA9 ->
+        # 106+(0xC3-0xAE)=127, 94+(0xA9-0xA1)=102
+        "café": [260, 69, 127, 102],
+    }
+    for text, want in cases.items():
+        assert encode_text(m, text) == want, ("two-file", text)
+        assert encode_text(tk, text) == want, ("tiktoken", text)
+        assert decode_ids(m, want) == text
+        assert decode_ids(tk, want) == text
