@@ -8356,6 +8356,50 @@ def k8(spark, sf_dir):
 
 
 
+def synth_png(seed: int, lift: int) -> bytes:
+    """Deterministic 16x16 RGB PNG fixture (shared by the mm5 gate
+    and bench.py's image_neardup row): Knuth-mixed pixels per seed —
+    distinct seeds get genuinely distinct structures whose dhashes
+    sit ~32 bits apart; a uniform ``lift`` preserves every gradient
+    sign so a lifted twin MUST land at hamming 0."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    w = h = 16
+    raw = b""
+    for y in range(h):
+        row = bytearray(b"\x00")
+        for x in range(w):
+            # Knuth-mix the full (seed, x, y) triple: every seed
+            # gets a genuinely distinct pixel STRUCTURE (a linear
+            # formula in x/y collides mod its tiny coefficient
+            # space — 5k docs shared 221 structures and flooded
+            # the gate with hamming-0 cross pairs)
+            v = (
+                ((seed * 1000003 + x * 9176 + y * 73 + 1)
+                 * 2654435761)
+                ^ ((seed ^ (x * 31 + y * 511)) * 40503)
+            ) % 251
+            for c in (v, (v * 7) % 251, (v * 13) % 251):
+                row.append(min(c + lift, 255))
+        raw += bytes(row)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0),
+        )
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 # Image near-duplicate detection (multimodal.py:image_neardup_pairs,
 # r13): perceptual dHash + the text-dedup family's chunk-bucket
 # hamming machinery. The gate synthesizes one deterministic 16x16
@@ -8373,55 +8417,16 @@ def k8(spark, sf_dir):
     "WHERE doc_id IS NOT NULL",
 )
 def mm5(spark, sf_dir):
-    import struct
-    import zlib
-
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from polaroam_spark.operators.multimodal import (
         image_neardup_pairs,
     )
 
-    def png_for(seed: int, lift: int) -> bytes:
-        def chunk(t, d):
-            return (
-                struct.pack(">I", len(d)) + t + d
-                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
-            )
-
-        w = h = 16
-        raw = b""
-        for y in range(h):
-            row = bytearray(b"\x00")
-            for x in range(w):
-                # Knuth-mix the full (seed, x, y) triple: every seed
-                # gets a genuinely distinct pixel STRUCTURE (a linear
-                # formula in x/y collides mod its tiny coefficient
-                # space — 5k docs shared 221 structures and flooded
-                # the gate with hamming-0 cross pairs)
-                v = (
-                    ((seed * 1000003 + x * 9176 + y * 73 + 1)
-                     * 2654435761)
-                    ^ ((seed ^ (x * 31 + y * 511)) * 40503)
-                ) % 251
-                for c in (v, (v * 7) % 251, (v * 13) % 251):
-                    row.append(min(c + lift, 255))
-            raw += bytes(row)
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(
-                b"IHDR",
-                struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0),
-            )
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b"")
-        )
-
     def _mk(lift: int):
         def _batch(col):
             return col.map(
-                lambda d: png_for(int(d), lift)
+                lambda d: synth_png(int(d), lift)
             )
 
         return pandas_udf(_batch, "binary")
@@ -8778,6 +8783,138 @@ def t25(spark, sf_dir):
     ).select(
         "doc_id",
         F.round("dsir_logweight", 6).alias("dsir_logweight"),
+    )
+
+
+@_q(
+    "t34_quality_classifier",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    # the DSIR unigram+bigram feature stream (t25's CTE verbatim)
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t "
+    "UNION ALL "
+    "SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' "
+    "|| unnest(list_slice(toks, 2, len(toks))) AS gram "
+    "FROM t WHERE len(toks) >= 2), "
+    # portable 60-bit md5 hash, seed 17, into 4096 buckets
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('17:' || gram), "
+    "1, 15)) AS BIGINT) % 4096 AS b FROM g), "
+    # margin = bias + sum over feature INSTANCES of w[bucket] — the
+    # w.x dot product with count features; w(b) = (b%97)/97 - 0.5
+    "pd AS (SELECT doc_id, sum((b % 97) / 97.0 - 0.5) AS m "
+    "FROM gb GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    "round(1.0 / (1.0 + exp(-(0.25 + pd.m))), 6) AS quality_prob, "
+    "(1.0 / (1.0 + exp(-(0.25 + pd.m)))) >= 0.5 AS quality_label "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t34(spark, sf_dir):
+    """Trained-quality-classifier SCORER (quality.py:
+    score_quality_classifier — the GPT-3/CCNet discriminative
+    filter's apply step): fixed weights w(b) = (b%97)/97 − 0.5 and
+    bias 0.25 — a pure function of the bucket, so the oracle rebuilds
+    the whole weight vector in one expression and replays the
+    identical dot product + sigmoid + threshold over the portable
+    md5 bucket stream (seed 17, B=4096). Probability rounded to 6
+    (exp differs in the last ulp across libms, like t22/t25's ln);
+    the boolean label thresholds the UNROUNDED probability in both
+    engines. Training itself is certified by descent/accuracy
+    invariants in tests/test_quality.py (float-sum order makes
+    trained weights bit-unstable by nature — same contract as
+    pyspark.ml)."""
+    from polaroam_spark.operators.quality import (
+        score_quality_classifier,
+    )
+
+    B = 4096
+    model = {
+        "weights": [(i % 97) / 97.0 - 0.5 for i in range(B)],
+        "bias": 0.25,
+        "num_buckets": B,
+        "seed": 17,
+        "portable": True,
+    }
+    out = score_quality_classifier(
+        _t(spark, sf_dir, "documents"), model
+    )
+    return out.select(
+        "doc_id",
+        F.round("quality_prob", 6).alias("quality_prob"),
+        "quality_label",
+    )
+
+
+@_q(
+    "t35_quality_train_invariants",
+    "SELECT (SELECT count(*) FROM documents "
+    "WHERE doc_id IS NOT NULL) AS n_rows, "
+    "CAST(0 AS BIGINT) AS n_dropped, "
+    "TRUE AS loss_descends, TRUE AS separates",
+)
+def t35(spark, sf_dir):
+    """Trained-classifier TRAINING certification (quality.py:
+    train_quality_classifier): a synthetic separable labeling —
+    doc_id-odd documents get a 40-token spam-marker block appended,
+    label = parity — trained for 12 full-batch GD iterations (mean
+    features, the default normalization) must (a) use every labeled
+    row, (b) descend STRICTLY MONOTONICALLY from the ln(2)
+    zero-weights start and end below 0.95x of it (measured 0.875x at
+    both sf0.001 and sf0.1 — comfortable margin), and (c) reach
+    >= 0.95 train accuracy with its own scorer (measured 1.0).
+    Booleans are robust to float-sum order (trained weights are
+    bit-unstable by nature — same contract as pyspark.ml), so this
+    is the strongest SQL-twinnable statement about the trainer; the
+    t34 gate pins the scorer arithmetic hash-exact and
+    tests/test_quality.py pins driver-replay equality."""
+    from polaroam_spark.operators.quality import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(
+                    F.col("text"),
+                    F.repeat(
+                        F.lit(" zqspam clickbux buynow zqwin"), 10
+                    ),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (F.col("doc_id") % 2).cast("int").alias("label"),
+        )
+    )
+    model = train_quality_classifier(
+        docs,
+        num_buckets=512,
+        n_iter=12,
+        learning_rate=5.0,
+    )
+    losses = model["loss_history"]
+    scored = score_quality_classifier(docs, model)
+    n = model["n_rows"]
+    correct = scored.filter(
+        F.col("quality_label").cast("int") == F.col("label")
+    ).count()
+    row = (
+        n,
+        model["n_dropped"],
+        bool(
+            losses[-1] < losses[0] * 0.95
+            and all(b < a for a, b in zip(losses, losses[1:]))
+        ),
+        bool(correct >= 0.95 * n),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, n_dropped long, loss_descends boolean, "
+        "separates boolean",
     )
 
 
@@ -9559,6 +9696,7 @@ _PRIORITY = [
     # (rest of r10, then r11, r12, r13), alphabetical within rounds.
     # r14-NEW gates are inserted at the TOP of this tail as they are
     # added (first driver rows r15):
+    "t34_quality_classifier", "t35_quality_train_invariants",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",

@@ -196,6 +196,56 @@ def main() -> None:
             )
 
     _prep_warc()
+    img_dir = os.path.join(scratch, "bench_images")
+
+    def _prep_images():
+        # synthetic PNG corpus with planted brightness twins (the mm5
+        # gate's generator at bench scale), written ONCE — the timed
+        # row measures the recurring work (decode + dHash + chunk-
+        # bucket hamming join), not fixture generation
+        import shutil
+
+        from pyspark.sql.functions import pandas_udf
+
+        shutil.rmtree(img_dir, ignore_errors=True)
+
+        def _mk(lift):
+            def _batch(col):
+                return col.map(lambda d: em.synth_png(int(d), lift))
+
+            return pandas_udf(_batch, "binary")
+
+        ids = (
+            em._t(spark, SF_DIR, "documents")
+            .filter(F.col("doc_id").isNotNull())
+            .select("doc_id")
+        )
+        base = ids.select(
+            F.col("doc_id").alias("media_id"),
+            _mk(0)(F.col("doc_id")).alias("content"),
+        )
+        twins = ids.select(
+            (F.col("doc_id") + 10_000_000).alias("media_id"),
+            _mk(4)(F.col("doc_id")).alias("content"),
+        )
+        base.unionByName(twins).write.parquet(img_dir)
+
+    _prep_images()
+
+    def q_image_neardup():
+        # perceptual near-dup over binary media: PNG decode + integer
+        # dHash + the shared chunk-bucket hamming machinery (the same
+        # candidate/verify path text fingerprints ride)
+        from polaroam_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+
+        run(
+            image_neardup_pairs(
+                spark.read.parquet(img_dir), max_hamming=3
+            )
+        )
+
     from polaroam_spark.operators.tokenize import train_bpe
 
     bpe_model = train_bpe(
@@ -282,6 +332,7 @@ def main() -> None:
         "dsir_gumbel": q_dsir_gumbel,
         "pca_whiten": q_pca_whiten,
         "bpe_tokenize": q_bpe_tokenize,
+        "image_neardup": q_image_neardup,
     }
     core9 = [
         "stop_detection", "dbscan_clustering", "homework_labeling",

@@ -31,6 +31,8 @@ def curate_corpus(
     max_tokens: int | None = None,
     gopher: bool = False,
     quality_threshold: float | None = None,
+    classifier_model: dict | None = None,
+    classifier_threshold: float = 0.5,
     dedup: str | None = "exact",
     minhash_opts: dict | None = None,
     decontaminate_against: DataFrame | None = None,
@@ -55,7 +57,13 @@ def curate_corpus(
     Stage order (each opt-in): strip_html → c4_line_filter (rewrites
     ``text``; its counts feed the later length filter rather than
     dropping directly) → min/max token filters → Gopher rule gate →
-    ``quality_score`` threshold → dedup (``'exact'`` keep-min-id or
+    ``quality_score`` threshold → trained classifier gate
+    (``classifier_model`` = a
+    :func:`~polaroam_spark.operators.quality.train_quality_classifier`
+    model; keeps rows whose probability is ≥
+    ``classifier_threshold``, and drops no-evidence NULL-score rows
+    — the conservative read of "the classifier can't vouch for it")
+    → dedup (``'exact'`` keep-min-id or
     ``'minhash'`` near-dedup survivors) → n-gram decontamination
     against an eval frame → per-source frequency cap → deterministic
     hash sample → leakage-safe split. Every decision delegates to
@@ -144,6 +152,24 @@ def curate_corpus(
             "quality",
             scored.filter(
                 F.col("quality_score") >= float(quality_threshold)
+            ).select(*cur.columns),
+        )
+    if classifier_model is not None:
+        from polaroam_spark.operators.quality import (
+            score_quality_classifier,
+        )
+
+        scored = score_quality_classifier(
+            cur,
+            classifier_model,
+            text_col=text_col,
+            id_col=id_col,
+            label_col=None,
+        )
+        cur = _stage(
+            "classifier",
+            scored.filter(
+                F.col("quality_prob") >= float(classifier_threshold)
             ).select(*cur.columns),
         )
     if dedup == "exact":

@@ -1,0 +1,189 @@
+"""Trained quality classifier (operators/quality.py): descent and
+accuracy invariants for training (float-sum order makes trained
+weights bit-unstable by nature, so the t34 gate pins the SCORER on
+fixed weights and these tests certify the trainer), scorer path
+parity, NULL handling, and the curate_corpus stage."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import polaroam_spark.operators.quality as q
+from polaroam_spark.operators.quality import (
+    hashed_gram_buckets,
+    score_quality_classifier,
+    train_quality_classifier,
+)
+
+GOOD = [
+    "the quick brown fox jumps over the lazy dog",
+    "a well written paragraph about science and history",
+    "clear prose with varied vocabulary and careful structure",
+]
+BAD = [
+    "click here buy now free offer click here win big",
+    "spam spam cheap pills buy buy buy now now now",
+    "free free free click subscribe now offer offer offer",
+]
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, GOOD[i % 3] + f" filler {i % 7}", 1))
+        rows.append((1000 + i, BAD[i % 3] + f" junk {i % 7}", 0))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def model(labeled):
+    return train_quality_classifier(
+        labeled, n_iter=50, num_buckets=1024, learning_rate=10.0
+    )
+
+
+def test_training_descends_and_separates(labeled, model):
+    """Full-batch GD on a linearly separable corpus: the log-loss
+    must fall from the ln(2) start and end near zero, and the
+    trained scorer must reach 100% train accuracy."""
+    losses = model["loss_history"]
+    assert len(losses) == 50
+    assert abs(losses[0] - math.log(2)) < 0.05  # w=0 start
+    assert losses[-1] < 0.2
+    # overall descent plus no catastrophic oscillation
+    assert losses[-1] < losses[0] / 4
+    assert all(
+        b < a * 1.05 for a, b in zip(losses, losses[1:])
+    )
+    scored = score_quality_classifier(labeled, model)
+    n = scored.count()
+    correct = scored.filter(
+        F.col("quality_label").cast("int") == F.col("label")
+    ).count()
+    assert correct == n
+    assert model["n_rows"] == n and model["n_dropped"] == 0
+
+
+def test_training_is_repeatable(labeled, model):
+    """Same data, same partitioning, same session → the descent is
+    reproducible to float tolerance."""
+    again = train_quality_classifier(
+        labeled, n_iter=50, num_buckets=1024, learning_rate=10.0
+    )
+    assert again["bias"] == pytest.approx(model["bias"], abs=1e-9)
+    for a, b in zip(again["weights"], model["weights"]):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_scorer_paths_agree_exactly(labeled, model, monkeypatch):
+    """The in-plan array-literal path (B ≤ _LITERAL_MAX) and the
+    broadcast-join path must produce identical probabilities."""
+    lit = {
+        r.doc_id: r.quality_prob
+        for r in score_quality_classifier(
+            labeled, model, label_col=None
+        ).collect()
+    }
+    monkeypatch.setattr(q, "_LITERAL_MAX", 1)
+    jn = {
+        r.doc_id: r.quality_prob
+        for r in score_quality_classifier(
+            labeled, model, label_col=None
+        ).collect()
+    }
+    assert lit == jn
+
+
+def test_scorer_matches_driver_replay(labeled, model, spark):
+    """The distributed margin equals a driver-side replay of
+    bias + Σ w[bucket] over the same bucket stream."""
+    rows = labeled.select(
+        "doc_id",
+        hashed_gram_buckets(
+            "text", model["num_buckets"], model["seed"]
+        ).alias("bk"),
+    ).collect()
+    got = {
+        r.doc_id: r.quality_prob
+        for r in score_quality_classifier(
+            labeled, model, label_col=None
+        ).collect()
+    }
+    w = model["weights"]
+    for r in rows:
+        s = sum(w[b] for b in r.bk)
+        if model["normalize"]:
+            s /= len(r.bk)
+        m = model["bias"] + s
+        p = 1.0 / (1.0 + math.exp(-m))
+        assert got[r.doc_id] == pytest.approx(p, abs=1e-12)
+
+
+def test_null_and_empty_text_score_null(spark, model):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.quality_prob, r.quality_label)
+        for r in score_quality_classifier(df, model).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
+    assert out[4][0] is not None and out[4][1] is not None
+
+
+def test_training_validation(spark, labeled):
+    bad_label = spark.createDataFrame(
+        [(1, "some text", 2)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="labels must be 0/1"):
+        train_quality_classifier(bad_label, n_iter=1, num_buckets=64)
+    empty = spark.createDataFrame(
+        [(1, None, None)], "doc_id long, text string, label int"
+    )
+    with pytest.raises(ValueError, match="no usable rows"):
+        train_quality_classifier(empty, n_iter=1, num_buckets=64)
+    with pytest.raises(ValueError, match="weights length"):
+        score_quality_classifier(
+            labeled, {"weights": [0.0], "num_buckets": 2}
+        )
+    # NULL-label rows are dropped and counted, not trained on
+    mixed = labeled.union(
+        spark.createDataFrame(
+            [(5000, "unlabeled text", None)],
+            "doc_id long, text string, label int",
+        )
+    )
+    m = train_quality_classifier(
+        mixed, n_iter=2, num_buckets=256, learning_rate=1.0
+    )
+    assert m["n_dropped"] == 1
+
+
+def test_curate_corpus_classifier_stage(labeled, model):
+    """The ladder's classifier gate keeps exactly the rows the
+    scorer passes, and reports the stage count."""
+    from polaroam_spark.operators.curation import curate_corpus
+
+    kept, stats = curate_corpus(
+        labeled.select("doc_id", "text"),
+        dedup=None,
+        classifier_model=model,
+        classifier_threshold=0.5,
+    )
+    want = {
+        r.doc_id
+        for r in score_quality_classifier(labeled, model)
+        .filter(F.col("quality_prob") >= 0.5)
+        .collect()
+    }
+    got = {r.doc_id for r in kept.collect()}
+    assert got == want and 0 < len(got) < labeled.count()
+    srows = {r.stage: r.n_docs for r in stats.collect()}
+    assert srows["classifier"] == len(got)
