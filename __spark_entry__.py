@@ -8845,6 +8845,108 @@ def t34(spark, sf_dir):
 
 
 @_q(
+    "t36_classifier_eval",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents "
+    "WHERE doc_id IS NOT NULL), "
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t "
+    "UNION ALL "
+    "SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' "
+    "|| unnest(list_slice(toks, 2, len(toks))) AS gram "
+    "FROM t WHERE len(toks) >= 2), "
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('17:' || gram), "
+    "1, 15)) AS BIGINT) % 4096 AS b FROM g), "
+    "pd AS (SELECT doc_id, sum((b % 97) / 97.0 - 0.5) AS m "
+    "FROM gb GROUP BY doc_id), "
+    "sc AS (SELECT d.doc_id, "
+    "1.0 / (1.0 + exp(-(0.25 + pd.m))) AS s, "
+    "CAST(d.doc_id % 2 AS DOUBLE) AS y "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d "
+    "LEFT JOIN pd ON d.doc_id = pd.doc_id), "
+    "u AS (SELECT * FROM sc WHERE s IS NOT NULL AND y IS NOT NULL), "
+    "conf AS (SELECT "
+    "CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_total, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+    "CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg, "
+    "CAST(sum(CASE WHEN y = 1 AND s >= 0.5 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS tp, "
+    "CAST(sum(CASE WHEN y = 0 AND s >= 0.5 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS fp, "
+    "CAST(sum(CASE WHEN y = 1 AND s < 0.5 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS fn, "
+    "CAST(sum(CASE WHEN y = 0 AND s < 0.5 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS tn FROM u), "
+    "bins AS (SELECT least(CAST(floor(s * 10000) AS BIGINT), 9999) "
+    "AS b, count(*) AS c, sum(y) AS cpos FROM u GROUP BY 1), "
+    "rk AS (SELECT cpos, coalesce(sum(c) OVER (ORDER BY b "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "+ (c + 1) / 2.0 AS ar FROM bins), "
+    "mw AS (SELECT sum(cpos * ar) AS rpos FROM rk) "
+    "SELECT conf.n_total, conf.n, conf.n_pos, conf.n_neg, "
+    "conf.n_total - conf.n AS n_skipped, "
+    "conf.tp, conf.fp, conf.fn, conf.tn, "
+    "round(CAST(conf.tp + conf.tn AS DOUBLE) / conf.n, 6) "
+    "AS accuracy, "
+    "round(CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fp), 6) "
+    "AS precision, "
+    "round(CAST(conf.tp AS DOUBLE) / conf.n_pos, 6) AS recall, "
+    "round(2.0 / (CAST(conf.tp + conf.fp AS DOUBLE) / conf.tp "
+    "+ CAST(conf.n_pos AS DOUBLE) / conf.tp), 6) AS f1, "
+    "round((mw.rpos - conf.n_pos * (conf.n_pos + 1) / 2.0) "
+    "/ (conf.n_pos * conf.n_neg), 6) AS auc "
+    "FROM conf, mw",
+)
+def t36(spark, sf_dir):
+    """Classifier evaluation artifact (quality.py:
+    evaluate_classifier): the fixed-weight t34 scorer over the
+    corpus, labels = doc_id parity (independent of the scores, so
+    AUC sits near 0.5 and every confusion cell is populated).
+    The oracle replays the score, the confusion counts at 0.5, and
+    the tie-corrected binned Mann-Whitney AUC (10k equal-width bins
+    — the ≤ bins-row aggregate that replaces a corpus-sized
+    single-task rank window at scale) cell for cell; ratios rounded
+    to 6 (exp/division last-ulp, as t34)."""
+    from polaroam_spark.operators.quality import (
+        evaluate_classifier,
+        score_quality_classifier,
+    )
+
+    B = 4096
+    model = {
+        "weights": [(i % 97) / 97.0 - 0.5 for i in range(B)],
+        "bias": 0.25,
+        "num_buckets": B,
+        "seed": 17,
+        "portable": True,
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    )
+    ev = evaluate_classifier(
+        score_quality_classifier(docs, model, label_col=None)
+    )
+    return ev.select(
+        "n_total",
+        "n",
+        "n_pos",
+        "n_neg",
+        "n_skipped",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("auc", 6).alias("auc"),
+    )
+
+
+@_q(
     "t35_quality_train_invariants",
     "SELECT (SELECT count(*) FROM documents "
     "WHERE doc_id IS NOT NULL) AS n_rows, "
@@ -9697,6 +9799,7 @@ _PRIORITY = [
     # r14-NEW gates are inserted at the TOP of this tail as they are
     # added (first driver rows r15):
     "t34_quality_classifier", "t35_quality_train_invariants",
+    "t36_classifier_eval",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",

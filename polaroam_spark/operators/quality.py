@@ -312,3 +312,122 @@ def train_quality_classifier(
         "n_rows": int(n),
         "n_dropped": int(total - n),
     }
+
+
+def evaluate_classifier(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_prob",
+    threshold: float = 0.5,
+    auc_bins: int = 10_000,
+) -> DataFrame:
+    """One-row evaluation frame for a scored+labeled corpus — the
+    numbers published pipelines report for their quality filter:
+    ``n, n_pos, n_neg, n_skipped, tp, fp, fn, tn, accuracy,
+    precision, recall, f1, auc``. Confusion counts threshold the
+    score at ``threshold``; rows with a NULL label or score are
+    skipped and counted (a no-evidence document is neither correct
+    nor incorrect).
+
+    AUC is the tie-corrected Mann-Whitney statistic over scores
+    quantized into ``auc_bins`` equal-width bins: per bin the
+    positive/total counts aggregate map-side into a ≤ bins-row
+    table (the DSIR/B-bucket scale shape), the average-rank cumsum
+    runs over that TINY frame, never the corpus — an exact global
+    rank would be a corpus-sized single-task window, the pattern
+    this repo bans. With well-spread scores the quantization error
+    is O(1/bins); ties inside a bin use the standard average-rank
+    correction, so the statistic is exact for scores that are
+    already bin-aligned. Ratios are NULL when their denominator is
+    zero (no positives, no negatives, or no predicted positives)
+    rather than fabricating 0/0."""
+    from pyspark.sql import Window
+
+    b = int(auc_bins)
+    if b < 1:
+        raise ValueError(f"auc_bins must be >= 1 (got {auc_bins})")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    usable = y.isNotNull() & s.isNotNull()
+    pred = s >= F.lit(float(threshold))
+
+    base = scored.select(
+        F.count("*").alias("n_total"),
+        F.sum(usable.cast("long")).alias("n"),
+        F.sum((usable & (y == 1.0)).cast("long")).alias("n_pos"),
+        F.sum((usable & (y == 0.0)).cast("long")).alias("n_neg"),
+        F.sum((usable & (y == 1.0) & pred).cast("long")).alias("tp"),
+        F.sum((usable & (y == 0.0) & pred).cast("long")).alias("fp"),
+        F.sum((usable & (y == 1.0) & ~pred).cast("long")).alias("fn"),
+        F.sum((usable & (y == 0.0) & ~pred).cast("long")).alias("tn"),
+    )
+
+    # binned Mann-Whitney: avg rank of bin = (#rows below) + (size+1)/2
+    bins = (
+        scored.filter(usable)
+        .select(
+            F.least(
+                F.floor(s * F.lit(b)).cast("long"), F.lit(b - 1)
+            ).alias("_bin"),
+            y.alias("_y"),
+        )
+        .groupBy("_bin")
+        .agg(
+            F.count("*").alias("_c"),
+            F.sum("_y").alias("_cpos"),
+        )
+    )
+    w = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = bins.select(
+        "_cpos",
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0))
+            + (F.col("_c") + 1) / 2.0
+        ).alias("_avg_rank"),
+    )
+    u = ranked.select(
+        F.sum(F.col("_cpos") * F.col("_avg_rank")).alias("_rpos")
+    )
+
+    out = base.crossJoin(u).select(
+        "n_total",
+        "n",
+        "n_pos",
+        "n_neg",
+        (F.col("n_total") - F.col("n")).alias("n_skipped"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("n") > 0,
+            (F.col("tp") + F.col("tn")) / F.col("n"),
+        ).alias("accuracy"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp") / (F.col("tp") + F.col("fp")),
+        ).alias("precision"),
+        F.when(
+            F.col("n_pos") > 0, F.col("tp") / F.col("n_pos")
+        ).alias("recall"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") > 0),
+            2.0
+            / (
+                (F.col("tp") + F.col("fp")) / F.col("tp")
+                + F.col("n_pos") / F.col("tp")
+            ),
+        ).alias("f1"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (
+                F.col("_rpos")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )
+    return out

@@ -187,3 +187,53 @@ def test_curate_corpus_classifier_stage(labeled, model):
     assert got == want and 0 < len(got) < labeled.count()
     srows = {r.stage: r.n_docs for r in stats.collect()}
     assert srows["classifier"] == len(got)
+
+
+def test_evaluate_classifier_exact_small(spark):
+    """Hand-computed confusion + AUC on a 6-row frame (scores
+    bin-aligned, so binned AUC is the exact Mann-Whitney value,
+    ties included)."""
+    from polaroam_spark.operators.quality import evaluate_classifier
+
+    rows = [
+        (1, 1, 0.9),   # tp
+        (2, 1, 0.7),   # tp
+        (3, 1, 0.3),   # fn
+        (4, 0, 0.7),   # fp (tied score with doc 2)
+        (5, 0, 0.2),   # tn
+        (6, 0, 0.1),   # tn
+        (7, None, 0.5),  # skipped: NULL label
+        (8, 1, None),    # skipped: NULL score
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, quality_prob double"
+    )
+    ev = evaluate_classifier(df).collect()[0]
+    assert (ev.n_total, ev.n, ev.n_skipped) == (8, 6, 2)
+    assert (ev.tp, ev.fp, ev.fn, ev.tn) == (2, 1, 1, 2)
+    assert ev.accuracy == pytest.approx(4 / 6)
+    assert ev.precision == pytest.approx(2 / 3)
+    assert ev.recall == pytest.approx(2 / 3)
+    assert ev.f1 == pytest.approx(2 / 3)
+    # ranks asc by score: 0.1->1, 0.2->2, 0.3->3, 0.7 tie->4.5, 0.9->6
+    # U = (3 + 4.5 + 6) - 3*4/2 = 7.5 ; AUC = 7.5 / (3*3)
+    assert ev.auc == pytest.approx(7.5 / 9)
+
+
+def test_evaluate_classifier_degenerate_and_trained(spark, labeled, model):
+    from polaroam_spark.operators.quality import evaluate_classifier
+
+    # all-one-class: class-conditional ratios are NULL, not 0/0
+    pos_only = spark.createDataFrame(
+        [(1, 1, 0.9), (2, 1, 0.2)],
+        "doc_id long, label int, quality_prob double",
+    )
+    ev = evaluate_classifier(pos_only).collect()[0]
+    assert ev.n_neg == 0 and ev.auc is None and ev.precision == 1.0
+
+    # the trained separable model scores a perfect artifact
+    scored = score_quality_classifier(labeled, model, label_col=None)
+    ev = evaluate_classifier(scored).collect()[0]
+    assert ev.accuracy == 1.0 and ev.auc == 1.0 and ev.f1 == 1.0
+    with pytest.raises(ValueError, match="auc_bins"):
+        evaluate_classifier(scored, auc_bins=0)
