@@ -11,6 +11,7 @@ driver workflows:
   label     clustered stops -> home/work labels (+ wide export)
   corpus    documents -> deduped/filtered/sampled corpus
   tokenize  documents -> exact token ids or packed training sequences
+  quality   train/apply/evaluate the hashed-ngram quality classifier
 
 Each stage reads/writes parquet so the pipeline is restartable stage
 by stage, mirroring the reference's disk-staged batch driver.
@@ -213,6 +214,58 @@ def cmd_tokenize(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_quality(args) -> None:
+    """The trained-quality-classifier stage as one restartable
+    command: ``--mode train`` fits on a labeled parquet and persists
+    the model as JSON (URI paths ride pyarrow.fs like the tokenizer
+    models); ``--mode score`` appends probability + label to a
+    corpus; ``--mode eval`` writes the one-row
+    confusion/precision/recall/AUC artifact for a scored+labeled
+    frame."""
+    import json as _json
+
+    from polaroam_spark.operators.quality import (
+        evaluate_classifier,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from polaroam_spark.operators.tokenize import _open_model_file
+
+    if args.mode in ("train", "score") and not args.model:
+        raise SystemExit("quality: --model is required for " + args.mode)
+    if args.mode in ("score", "eval") and not args.output:
+        raise SystemExit("quality: --output is required for " + args.mode)
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.mode == "train":
+        model = train_quality_classifier(
+            df,
+            label_col=args.label_col,
+            text_col=args.text_col,
+            num_buckets=args.num_buckets,
+            n_iter=args.n_iter,
+            learning_rate=args.learning_rate,
+        )
+        with _open_model_file(args.model, "w", "utf-8") as f:
+            _json.dump(model, f)
+        return
+    if args.mode == "score":
+        with _open_model_file(args.model, "r", "utf-8") as f:
+            model = _json.load(f)
+        out = score_quality_classifier(
+            df,
+            model,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            threshold=args.threshold,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        return
+    evaluate_classifier(
+        df, label_col=args.label_col, threshold=args.threshold
+    ).write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -289,6 +342,29 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--eot", default="<|endoftext|>")
     pt.add_argument("--num-shards", type=int, default=256)
     pt.set_defaults(fn=cmd_tokenize)
+
+    pq = sub.add_parser(
+        "quality",
+        help="train/apply/evaluate the hashed-ngram quality classifier",
+    )
+    pq.add_argument("--input", required=True)
+    pq.add_argument(
+        "--mode", choices=["train", "score", "eval"], default="score"
+    )
+    pq.add_argument(
+        "--model",
+        default=None,
+        help="model JSON path (written by train, read by score)",
+    )
+    pq.add_argument("--output", default=None)
+    pq.add_argument("--text-col", default="text")
+    pq.add_argument("--id-col", default="doc_id")
+    pq.add_argument("--label-col", default="label")
+    pq.add_argument("--threshold", type=float, default=0.5)
+    pq.add_argument("--num-buckets", type=int, default=4096)
+    pq.add_argument("--n-iter", type=int, default=30)
+    pq.add_argument("--learning-rate", type=float, default=5.0)
+    pq.set_defaults(fn=cmd_quality)
 
     return p
 

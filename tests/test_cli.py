@@ -126,3 +126,55 @@ def test_cli_tokenize_encode_and_pack(spark, tmpdir):
     packs = spark.read.parquet(pack_out).collect()
     assert packs and all(r.n_tokens == 32 for r in packs)
     assert {r.shard for r in packs} <= {0, 1}
+
+
+def test_cli_quality_train_score_eval(spark, tmpdir):
+    """quality stage: train on a labeled parquet persisting the model
+    JSON, score a corpus with the reloaded model (matches the library
+    scorer exactly), evaluate the scored frame to the one-row
+    artifact."""
+    import json
+
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.quality import (
+        score_quality_classifier,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "clean readable prose about history " + f"x{i%5}", 1))
+        rows.append((900 + i, "buy click spam free offer now " + f"y{i%5}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    src = f"{tmpdir}/q_in"
+    df.write.parquet(src)
+    model_path = f"{tmpdir}/quality_model.json"
+    assert main([
+        "quality", "--mode", "train", "--input", src,
+        "--model", model_path, "--num-buckets", "512",
+        "--n-iter", "30", "--learning-rate", "10.0",
+    ]) == 0
+    model = json.load(open(model_path))
+    assert model["num_buckets"] == 512 and model["normalize"] is True
+
+    scored_out = f"{tmpdir}/q_scored"
+    assert main([
+        "quality", "--mode", "score", "--input", src,
+        "--model", model_path, "--output", scored_out,
+    ]) == 0
+    got = {
+        r.doc_id: r.quality_prob
+        for r in spark.read.parquet(scored_out).collect()
+    }
+    want = {
+        r.doc_id: r.quality_prob
+        for r in score_quality_classifier(df, model).collect()
+    }
+    assert got == want
+
+    eval_out = f"{tmpdir}/q_eval"
+    assert main([
+        "quality", "--mode", "eval", "--input", scored_out,
+        "--output", eval_out,
+    ]) == 0
+    ev = spark.read.parquet(eval_out).collect()[0]
+    assert ev.n == 60 and ev.accuracy == 1.0 and ev.auc == 1.0
