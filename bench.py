@@ -228,7 +228,10 @@ def main() -> None:
             (F.col("doc_id") + 10_000_000).alias("media_id"),
             _mk(4)(F.col("doc_id")).alias("content"),
         )
-        base.unionByName(twins).write.parquet(img_dir)
+        # spread over the worker count: the dHash UDF parallelizes by
+        # input file, and an unsplit 2-file write would serialize the
+        # decode through 2 tasks (measured 2.8 s vs 0.3 s at sf0.1)
+        base.unionByName(twins).repartition(32).write.parquet(img_dir)
 
     _prep_images()
 

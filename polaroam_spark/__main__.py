@@ -146,6 +146,25 @@ def cmd_corpus(args) -> None:
         df = gopher_quality_flags(df, text_col=args.text_col).filter(
             "passes_gopher"
         ).select(*in_cols)
+    if args.classifier_model:
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from polaroam_spark.operators.quality import (
+            score_quality_classifier,
+        )
+        from polaroam_spark.operators.tokenize import _open_model_file
+
+        with _open_model_file(args.classifier_model, "r", "utf-8") as f:
+            model = _json.load(f)
+        in_cols = df.columns
+        df = score_quality_classifier(
+            df, model, text_col=args.text_col, id_col=args.id_col,
+            label_col=None,
+        ).filter(
+            F.col("quality_prob") >= args.classifier_threshold
+        ).select(*in_cols)
     if args.sample_fraction is not None:
         from polaroam_spark.operators.sampling import sample_by_hash
 
@@ -317,6 +336,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pk.add_argument("--jaccard-threshold", type=float, default=0.8)
     pk.add_argument("--gopher-filter", action="store_true")
+    pk.add_argument(
+        "--classifier-model",
+        default=None,
+        help="quality-classifier model JSON (from `quality --mode "
+        "train`); keeps rows scoring >= --classifier-threshold",
+    )
+    pk.add_argument("--classifier-threshold", type=float, default=0.5)
     pk.add_argument("--sample-fraction", type=float, default=None)
     pk.add_argument("--cap-per-source", type=int, default=None)
     pk.add_argument("--seed", type=int, default=17)

@@ -178,3 +178,39 @@ def test_cli_quality_train_score_eval(spark, tmpdir):
     ]) == 0
     ev = spark.read.parquet(eval_out).collect()[0]
     assert ev.n == 60 and ev.accuracy == 1.0 and ev.auc == 1.0
+
+
+def test_cli_corpus_classifier_filter(spark, tmpdir):
+    """corpus stage composes the trained classifier: only rows the
+    model scores above threshold survive."""
+    import json
+
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.quality import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "clean readable prose about history " + f"x{i%5}", 1))
+        rows.append((900 + i, "buy click spam free offer now " + f"y{i%5}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_quality_classifier(
+        df, n_iter=30, num_buckets=512, learning_rate=10.0
+    )
+    src, out = f"{tmpdir}/c_in", f"{tmpdir}/c_out"
+    df.select("doc_id", "text").write.parquet(src)
+    mp = f"{tmpdir}/c_model.json"
+    json.dump(model, open(mp, "w"))
+    assert main([
+        "corpus", "--input", src, "--output", out,
+        "--classifier-model", mp,
+    ]) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id
+        for r in score_quality_classifier(df, model).collect()
+        if r.quality_prob >= 0.5
+    }
+    assert got == want and 0 < len(got) < 60
