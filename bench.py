@@ -235,6 +235,34 @@ def main() -> None:
 
     _prep_images()
 
+    def q_quality_score():
+        # trained-classifier scoring, the map-side filter a cluster
+        # streams the whole corpus through (fixed weights — scoring
+        # is the recurring cost; training is a setup job); xxhash
+        # bucketing = the scale path, zero shuffle, zero join
+        from polaroam_spark.operators.quality import (
+            score_quality_classifier,
+        )
+
+        B = 4096
+        model = {
+            "weights": [(i % 97) / 97.0 - 0.5 for i in range(B)],
+            "bias": 0.25,
+            "num_buckets": B,
+            "seed": 17,
+        }
+        # the sf0.1 documents parquet is ONE split, which would
+        # serialize the map-side scorer through a single task
+        # (1.1 s serial vs 0.38 s wide); a real corpus arrives in
+        # thousands of splits, so spread it first — the 5 MB
+        # shuffle is noise next to the compute it parallelizes
+        docs = em._t(spark, SF_DIR, "documents").repartition(32)
+        run(
+            score_quality_classifier(docs, model).select(
+                "doc_id", "quality_prob", "quality_label"
+            )
+        )
+
     def q_image_neardup():
         # perceptual near-dup over binary media: PNG decode + integer
         # dHash + the shared chunk-bucket hamming machinery (the same
@@ -336,6 +364,7 @@ def main() -> None:
         "pca_whiten": q_pca_whiten,
         "bpe_tokenize": q_bpe_tokenize,
         "image_neardup": q_image_neardup,
+        "quality_score": q_quality_score,
     }
     core9 = [
         "stop_detection", "dbscan_clustering", "homework_labeling",

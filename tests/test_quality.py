@@ -237,3 +237,55 @@ def test_evaluate_classifier_degenerate_and_trained(spark, labeled, model):
     assert ev.accuracy == 1.0 and ev.auc == 1.0 and ev.f1 == 1.0
     with pytest.raises(ValueError, match="auc_bins"):
         evaluate_classifier(scored, auc_bins=0)
+
+
+def test_trainer_differential_vs_pyspark_ml(labeled, model, spark):
+    """Independent-implementation differential: pyspark.ml's
+    LogisticRegression (LBFGS) fit on the IDENTICAL hashed mean
+    features must agree with our GD-trained model on every
+    prediction over the separable corpus (both reach the same
+    decision boundary side; coefficients differ — regularization
+    paths differ — but the labels are the certification)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql import types as T
+
+    B = model["num_buckets"]
+
+    rows = labeled.select(
+        "doc_id",
+        "label",
+        hashed_gram_buckets("text", B, model["seed"]).alias("bk"),
+    ).collect()
+
+    def to_vec(bk):
+        from collections import Counter
+
+        c = Counter(bk)
+        n = len(bk)
+        idx = sorted(c)
+        return Vectors.sparse(B, idx, [c[i] / n for i in idx])
+
+    ml_df = spark.createDataFrame(
+        [(r.doc_id, float(r.label), to_vec(r.bk)) for r in rows],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("label", T.DoubleType()),
+                T.StructField("features", VectorUDT()),
+            ]
+        ),
+    )
+    lr = LogisticRegression(
+        maxIter=100, regParam=1e-6, standardization=False
+    )
+    fitted = lr.fit(ml_df)
+    ml_pred = {
+        r.doc_id: int(r.prediction)
+        for r in fitted.transform(ml_df).collect()
+    }
+    ours = {
+        r.doc_id: int(r.quality_label)
+        for r in score_quality_classifier(labeled, model).collect()
+    }
+    assert ml_pred == ours
