@@ -251,12 +251,15 @@ def main() -> None:
             "num_buckets": B,
             "seed": 17,
         }
-        # the sf0.1 documents parquet is ONE split, which would
-        # serialize the map-side scorer through a single task
-        # (1.1 s serial vs 0.38 s wide); a real corpus arrives in
-        # thousands of splits, so spread it first — the 5 MB
-        # shuffle is noise next to the compute it parallelizes
-        docs = em._t(spark, SF_DIR, "documents").repartition(32)
+        # the sf0.1 documents parquet is ONE split, so this measures
+        # the scorer SERIAL (~1.2 s for ~0.5M gram instances — the
+        # higher-order transform/aggregate exprs are interpreted, not
+        # codegen'd); a repartition doesn't help at this size (AQE
+        # coalesces the 5 MB shuffle back to one partition and the
+        # extra stage costs more than it saves). At real scale the
+        # scan arrives in thousands of splits and the row is pure
+        # map-parallel.
+        docs = em._t(spark, SF_DIR, "documents")
         run(
             score_quality_classifier(docs, model).select(
                 "doc_id", "quality_prob", "quality_label"
