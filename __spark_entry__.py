@@ -8947,6 +8947,151 @@ def t36(spark, sf_dir):
 
 
 @_q(
+    "t37_calibration_curve",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents "
+    "WHERE doc_id IS NOT NULL), "
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t "
+    "UNION ALL "
+    "SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' "
+    "|| unnest(list_slice(toks, 2, len(toks))) AS gram "
+    "FROM t WHERE len(toks) >= 2), "
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('17:' || gram), "
+    "1, 15)) AS BIGINT) % 4096 AS b FROM g), "
+    "pd AS (SELECT doc_id, sum((b % 97) / 97.0 - 0.5) AS m "
+    "FROM gb GROUP BY doc_id), "
+    "sc AS (SELECT d.doc_id, "
+    "1.0 / (1.0 + exp(-(0.25 + pd.m))) AS s, "
+    "CAST(d.doc_id % 2 AS DOUBLE) AS y "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d "
+    "LEFT JOIN pd ON d.doc_id = pd.doc_id "
+    "WHERE pd.m IS NOT NULL), "
+    "bn AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, "
+    "CAST(count(*) AS BIGINT) AS n, avg(s) AS mean_score, "
+    "avg(y) AS frac_pos FROM sc GROUP BY 1) "
+    "SELECT bin, n, round(mean_score, 6) AS mean_score, "
+    "round(frac_pos, 6) AS frac_pos, "
+    "round(abs(mean_score - frac_pos), 6) AS abs_gap FROM bn",
+)
+def t37(spark, sf_dir):
+    """Calibration/reliability table (quality.py:calibration_curve):
+    the fixed-weight t34 scorer + parity labels through 10
+    equal-width score bins — per-bin n, mean score, empirical
+    positive rate, and the |gap| whose n-weighted sum is ECE. The
+    oracle replays score, binning and the three per-bin means;
+    doubles rounded to 6 (as t34/t36). One map-side-combined
+    aggregation, ≤ bins output rows at any corpus size."""
+    from polaroam_spark.operators.quality import (
+        calibration_curve,
+        score_quality_classifier,
+    )
+
+    B = 4096
+    model = {
+        "weights": [(i % 97) / 97.0 - 0.5 for i in range(B)],
+        "bias": 0.25,
+        "num_buckets": B,
+        "seed": 17,
+        "portable": True,
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .withColumn("label", (F.col("doc_id") % 2).cast("int"))
+    )
+    out = calibration_curve(
+        score_quality_classifier(docs, model, label_col=None)
+    )
+    return out.select(
+        "bin",
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round("abs_gap", 6).alias("abs_gap"),
+    )
+
+
+_ST9_SEQ = [0]
+
+
+@_q(
+    "st9_streaming_quality_score",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents "
+    "WHERE doc_id IS NOT NULL), "
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t "
+    "UNION ALL "
+    "SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' "
+    "|| unnest(list_slice(toks, 2, len(toks))) AS gram "
+    "FROM t WHERE len(toks) >= 2), "
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('17:' || gram), "
+    "1, 15)) AS BIGINT) % 4096 AS b FROM g), "
+    "pd AS (SELECT doc_id, sum((b % 97) / 97.0 - 0.5) AS m "
+    "FROM gb GROUP BY doc_id) "
+    "SELECT d.doc_id, "
+    "round(1.0 / (1.0 + exp(-(0.25 + pd.m))), 6) AS quality_prob, "
+    "(1.0 / (1.0 + exp(-(0.25 + pd.m)))) >= 0.5 AS quality_label "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d "
+    "LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def st9(spark, sf_dir):
+    """Streaming quality scoring: the SAME map-side scorer applied
+    unchanged to a readStream source (stateless — pure per-row
+    expressions need no state store, no watermark), one availableNow
+    micro-batch into a memory sink, vs the identical t34 oracle.
+    This is the composition a production filter runs: score each
+    arriving shard of the corpus as it lands, no batch/streaming
+    fork in the operator."""
+    import os
+
+    from polaroam_spark.operators.quality import (
+        score_quality_classifier,
+    )
+
+    B = 4096
+    model = {
+        "weights": [(i % 97) / 97.0 - 0.5 for i in range(B)],
+        "bias": 0.25,
+        "num_buckets": B,
+        "seed": 17,
+        "portable": True,
+    }
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_quality.parquet")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = score_quality_classifier(stream, model).select(
+        "doc_id",
+        F.round("quality_prob", 6).alias("quality_prob"),
+        "quality_label",
+    )
+    _ST9_SEQ[0] += 1
+    qname = f"st9_quality_sink_{_ST9_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch, f"quality_ckpt_{_ST9_SEQ[0]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("st9 stream timed out")
+    return spark.table(qname).select(
+        "doc_id", "quality_prob", "quality_label"
+    )
+
+
+@_q(
     "t35_quality_train_invariants",
     "SELECT (SELECT count(*) FROM documents "
     "WHERE doc_id IS NOT NULL) AS n_rows, "
@@ -9799,7 +9944,8 @@ _PRIORITY = [
     # r14-NEW gates are inserted at the TOP of this tail as they are
     # added (first driver rows r15):
     "t34_quality_classifier", "t35_quality_train_invariants",
-    "t36_classifier_eval",
+    "t36_classifier_eval", "t37_calibration_curve",
+    "st9_streaming_quality_score",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",

@@ -431,3 +431,53 @@ def evaluate_classifier(
         ).alias("auc"),
     )
     return out
+
+
+def calibration_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_prob",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a scored+labeled frame — the standard
+    calibration companion to :func:`evaluate_classifier`'s AUC: one
+    row per non-empty equal-width score bin with ``bin, n, mean_score,
+    frac_pos, abs_gap`` (``abs_gap = |mean_score − frac_pos|`` is the
+    bin's contribution to expected calibration error: ``ECE =
+    Σ n/N · abs_gap``, which the caller can fold in one pass over
+    these ≤ bins rows). A perfectly calibrated scorer has
+    ``frac_pos ≈ mean_score`` in every bin; a separable-but-
+    overconfident one shows the gap directly. Rows with NULL label or
+    score are skipped (same contract as evaluate_classifier). One
+    map-side-combined aggregation; output is ≤ ``bins`` rows at any
+    corpus size."""
+    b = int(bins)
+    if b < 1:
+        raise ValueError(f"bins must be >= 1 (got {bins})")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    return (
+        scored.filter(y.isNotNull() & s.isNotNull())
+        .select(
+            F.least(
+                F.floor(s * F.lit(b)).cast("long"), F.lit(b - 1)
+            ).alias("bin"),
+            y.alias("_y"),
+            s.alias("_s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_s").alias("mean_score"),
+            F.avg("_y").alias("frac_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "mean_score",
+            "frac_pos",
+            F.abs(F.col("mean_score") - F.col("frac_pos")).alias(
+                "abs_gap"
+            ),
+        )
+    )

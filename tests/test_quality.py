@@ -289,3 +289,32 @@ def test_trainer_differential_vs_pyspark_ml(labeled, model, spark):
         for r in score_quality_classifier(labeled, model).collect()
     }
     assert ml_pred == ours
+
+
+def test_calibration_curve_hand_computed(spark):
+    from polaroam_spark.operators.quality import calibration_curve
+
+    rows = [
+        (1, 1, 0.95), (2, 0, 0.92),        # bin 9: mean .935, pos .5
+        (3, 1, 0.15), (4, 0, 0.11), (5, 0, 0.13),  # bin 1
+        (6, 1, 1.0),                        # s=1.0 clamps into bin 9
+        (7, None, 0.4), (8, 1, None),       # skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, quality_prob double"
+    )
+    out = {r.bin: r for r in calibration_curve(df).collect()}
+    assert set(out) == {1, 9}
+    b9 = out[9]
+    assert b9.n == 3
+    assert b9.mean_score == pytest.approx((0.95 + 0.92 + 1.0) / 3)
+    assert b9.frac_pos == pytest.approx(2 / 3)
+    assert b9.abs_gap == pytest.approx(abs(b9.mean_score - b9.frac_pos))
+    b1 = out[1]
+    assert b1.n == 3 and b1.frac_pos == pytest.approx(1 / 3)
+    # ECE folds in one pass over the bins
+    n_tot = sum(r.n for r in out.values())
+    ece = sum(r.n / n_tot * r.abs_gap for r in out.values())
+    assert 0.0 <= ece <= 1.0
+    with pytest.raises(ValueError, match="bins"):
+        calibration_curve(df, bins=0)
