@@ -318,3 +318,60 @@ def test_calibration_curve_hand_computed(spark):
     assert 0.0 <= ece <= 1.0
     with pytest.raises(ValueError, match="bins"):
         calibration_curve(df, bins=0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_eval_and_calibration_match_numpy_replay(spark, seed):
+    """Random labeled/scored frames: the distributed metrics equal a
+    pure-numpy replay (tie-corrected AUC via scipy-free average
+    ranks over the same bins, confusion cells, per-bin means)."""
+    import random
+
+    import numpy as np
+
+    from polaroam_spark.operators.quality import (
+        calibration_curve,
+        evaluate_classifier,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(200):
+        # quantized scores force real ties across the frame
+        s = round(rng.random(), 2)
+        rows.append((i, rng.randint(0, 1), s))
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, quality_prob double"
+    )
+    ev = evaluate_classifier(df, auc_bins=100).collect()[0]
+
+    y = np.array([r[1] for r in rows], dtype=float)
+    s = np.array([r[2] for r in rows], dtype=float)
+    pred = s >= 0.5
+    assert ev.tp == int(((y == 1) & pred).sum())
+    assert ev.fp == int(((y == 0) & pred).sum())
+    assert ev.fn == int(((y == 1) & ~pred).sum())
+    assert ev.tn == int(((y == 0) & ~pred).sum())
+    # average-rank AUC over the same 100 bins
+    bins = np.minimum(np.floor(s * 100).astype(int), 99)
+    order = np.argsort(bins, kind="stable")
+    ranks = np.empty(len(s))
+    pos = 0
+    for b in np.unique(bins):
+        grp = bins == b
+        k = int(grp.sum())
+        ranks[grp] = pos + (k + 1) / 2.0
+        pos += k
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (
+        n_pos * n_neg
+    )
+    assert ev.auc == pytest.approx(auc, abs=1e-12)
+
+    cal = {r.bin: r for r in calibration_curve(df, bins=10).collect()}
+    cbins = np.minimum(np.floor(s * 10).astype(int), 9)
+    for b in np.unique(cbins):
+        grp = cbins == b
+        assert cal[int(b)].n == int(grp.sum())
+        assert cal[int(b)].mean_score == pytest.approx(s[grp].mean())
+        assert cal[int(b)].frac_pos == pytest.approx(y[grp].mean())
