@@ -118,7 +118,10 @@ def score_quality_classifier(
     "seed": s, "portable": p}``). For B ≤ 65536 scoring is a pure
     per-row JVM expression (no shuffle, no join — see module
     docstring); larger models broadcast a B-row weight table and sum
-    per ``id_col``. Composes with
+    per ``id_col`` — on THAT path ``id_col`` must be unique (two
+    rows sharing an id would silently score against their pooled
+    grams; the per-row literal path has no such precondition).
+    Composes with
     :func:`~polaroam_spark.operators.textstats.calibrate_scores` /
     ``quality_stratified_filter`` downstream (the probability is a
     score column like any other)."""
@@ -329,6 +332,12 @@ def evaluate_classifier(
     skipped and counted (a no-evidence document is neither correct
     nor incorrect).
 
+    "Usable" rows have a 0/1 label and a finite score; rows with a
+    NULL score/label or an out-of-domain label (anything but 0/1 —
+    a 2 or a -1 would otherwise inflate ``n`` while landing in no
+    confusion cell) count into ``n_skipped``. Scores are clamped
+    into [0, 1) bins at both ends, so a raw margin column works too.
+
     AUC is the tie-corrected Mann-Whitney statistic over scores
     quantized into ``auc_bins`` equal-width bins: per bin the
     positive/total counts aggregate map-side into a ≤ bins-row
@@ -348,7 +357,7 @@ def evaluate_classifier(
         raise ValueError(f"auc_bins must be >= 1 (got {auc_bins})")
     y = F.col(label_col).cast("double")
     s = F.col(score_col).cast("double")
-    usable = y.isNotNull() & s.isNotNull()
+    usable = y.isin(0.0, 1.0) & s.isNotNull()
     pred = s >= F.lit(float(threshold))
 
     base = scored.select(
@@ -366,8 +375,11 @@ def evaluate_classifier(
     bins = (
         scored.filter(usable)
         .select(
-            F.least(
-                F.floor(s * F.lit(b)).cast("long"), F.lit(b - 1)
+            F.greatest(
+                F.least(
+                    F.floor(s * F.lit(b)).cast("long"), F.lit(b - 1)
+                ),
+                F.lit(0),
             ).alias("_bin"),
             y.alias("_y"),
         )
@@ -447,8 +459,12 @@ def calibration_curve(
     Σ n/N · abs_gap``, which the caller can fold in one pass over
     these ≤ bins rows). A perfectly calibrated scorer has
     ``frac_pos ≈ mean_score`` in every bin; a separable-but-
-    overconfident one shows the gap directly. Rows with NULL label or
-    score are skipped (same contract as evaluate_classifier). One
+    overconfident one shows the gap directly. Rows with a NULL label
+    or score are skipped; the label column is otherwise averaged
+    AS-IS (0/1 gives the positive rate; a continuous target gives a
+    regression-style reliability curve — evaluate_classifier is the
+    strict-0/1 surface). Bin indices clamp into [0, bins) at both
+    ends, so raw margins work as the score column too. One
     map-side-combined aggregation; output is ≤ ``bins`` rows at any
     corpus size."""
     b = int(bins)
@@ -459,8 +475,11 @@ def calibration_curve(
     return (
         scored.filter(y.isNotNull() & s.isNotNull())
         .select(
-            F.least(
-                F.floor(s * F.lit(b)).cast("long"), F.lit(b - 1)
+            F.greatest(
+                F.least(
+                    F.floor(s * F.lit(b)).cast("long"), F.lit(b - 1)
+                ),
+                F.lit(0),
             ).alias("bin"),
             y.alias("_y"),
             s.alias("_s"),

@@ -375,3 +375,26 @@ def test_eval_and_calibration_match_numpy_replay(spark, seed):
         assert cal[int(b)].n == int(grp.sum())
         assert cal[int(b)].mean_score == pytest.approx(s[grp].mean())
         assert cal[int(b)].frac_pos == pytest.approx(y[grp].mean())
+
+
+def test_eval_skips_out_of_domain_labels_and_clamps_bins(spark):
+    from polaroam_spark.operators.quality import (
+        calibration_curve,
+        evaluate_classifier,
+    )
+
+    rows = [
+        (1, 1, 0.9), (2, 0, 0.2),
+        (3, 2, 0.5),      # out-of-domain label -> skipped
+        (4, -1, 0.5),     # out-of-domain label -> skipped
+        (5, 1, -0.3),     # below-range score -> clamps to bin 0
+        (6, 0, 1.7),      # above-range score -> clamps to top bin
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, quality_prob double"
+    )
+    ev = evaluate_classifier(df).collect()[0]
+    assert ev.n == 4 and ev.n_skipped == 2
+    assert ev.tp + ev.fp + ev.fn + ev.tn == 4
+    cal = {r.bin: r for r in calibration_curve(df).collect()}
+    assert min(cal) == 0 and max(cal) == 9
