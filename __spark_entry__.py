@@ -9011,6 +9011,60 @@ def t37(spark, sf_dir):
     )
 
 
+@_q(
+    "t38_tokenizer_fertility",
+    "WITH t AS (SELECT source, text, "
+    f"{_GOPHER_TOKS} AS toks FROM documents "
+    "WHERE text IS NOT NULL), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(toks)) AS BIGINT) AS n_words, "
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_tokens "
+    "FROM t GROUP BY source) "
+    "SELECT source, n_docs, n_words, n_chars, n_bytes, n_tokens, "
+    "round(CASE WHEN n_words > 0 THEN "
+    "CAST(n_tokens AS DOUBLE) / n_words END, 6) AS fertility, "
+    "round(CASE WHEN n_tokens > 0 THEN "
+    "CAST(n_bytes AS DOUBLE) / n_tokens END, 6) AS bytes_per_token, "
+    "round(CASE WHEN n_tokens > 0 THEN "
+    "CAST(n_chars AS DOUBLE) / n_tokens END, 6) AS chars_per_token "
+    "FROM a",
+)
+def t38(spark, sf_dir):
+    """Tokenizer fertility/compression table (tokenize.py:
+    tokenizer_stats) grouped by source, under the merge-free
+    256-vocab model — byte-level BPE's identity, where n_tokens is
+    EXACTLY the UTF-8 byte count, so the oracle twins the whole
+    aggregate (docs/words/chars/bytes/tokens exact integers, ratios
+    rounded 6) without running BPE. Trained-model fertility
+    (n_tokens strictly below n_bytes once merges exist) is pinned by
+    tests/test_tokenize.py."""
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        tokenizer_stats,
+    )
+
+    identity = {
+        "vocab": {_BYTE_TO_UNI[b]: b for b in range(256)},
+        "merges": [],
+    }
+    out = tokenizer_stats(
+        _t(spark, sf_dir, "documents"), identity, group_by="source"
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bytes",
+        "n_tokens",
+        F.round("fertility", 6).alias("fertility"),
+        F.round("bytes_per_token", 6).alias("bytes_per_token"),
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    )
+
+
 _ST9_SEQ = [0]
 
 
@@ -9945,7 +9999,7 @@ _PRIORITY = [
     # added (first driver rows r15):
     "t34_quality_classifier", "t35_quality_train_invariants",
     "t36_classifier_eval", "t37_calibration_curve",
-    "st9_streaming_quality_score",
+    "st9_streaming_quality_score", "t38_tokenizer_fertility",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",

@@ -884,3 +884,71 @@ def pack_token_stream(
         schema="shard int, seq_id long, token_ids array<int>, "
         "n_tokens long",
     )
+
+
+def tokenizer_stats(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    group_by: "str | None" = None,
+) -> DataFrame:
+    """Tokenizer-evaluation aggregate — the comparison table for
+    choosing a tokenizer on a corpus (Rust/Scao et al.'s "fertility"
+    metric and friends): per group (or one corpus row when
+    ``group_by`` is None) the exact ``n_docs, n_words, n_chars,
+    n_bytes, n_tokens`` plus ``fertility`` (tokens per whitespace
+    word — near 1 means the vocab fits the text; ≫ 2 means it
+    splinters), ``bytes_per_token`` and ``chars_per_token``
+    (compression). Grouping by source/language column surfaces
+    tokenizer unfairness across languages directly.
+
+    Plan: ONE encode pass (the count is ``array_size`` of the ids it
+    produces — never a second merge pass) + one map-side-combined
+    aggregation; output is #groups rows. NULL texts are dropped;
+    ratio columns are NULL for a group with zero words/tokens. A
+    merge-free 256-vocab model gives ``n_tokens == n_bytes`` exactly
+    (byte-level BPE identity) — the oracle twin the t38 gate pins."""
+    words = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    enc = bpe_encode(
+        docs.filter(F.col(text_col).isNotNull()), model, text_col,
+        out_col="_ids",
+    ).select(
+        *( [group_by] if group_by else [] ),
+        words.alias("_w"),
+        F.length(text_col).alias("_c"),
+        F.octet_length(F.encode(F.col(text_col), "UTF-8")).alias("_b"),
+        F.array_size("_ids").alias("_t"),
+    )
+    keys = [group_by] if group_by else []
+    agg = enc.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_c").alias("n_chars"),
+        F.sum("_b").alias("n_bytes"),
+        F.sum("_t").alias("n_tokens"),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bytes",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens") / F.col("n_words"),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_bytes") / F.col("n_tokens"),
+        ).alias("bytes_per_token"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars") / F.col("n_tokens"),
+        ).alias("chars_per_token"),
+    )

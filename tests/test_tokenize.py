@@ -7,6 +7,8 @@ import json
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from polaroam_spark.operators.tokenize import (
     _BYTE_TO_UNI,
     _PRETOKEN_RE,
@@ -657,3 +659,42 @@ def test_third_party_gpt2_layout_interop_exact_ids():
         assert encode_text(tk, text) == want, ("tiktoken", text)
         assert decode_ids(m, want) == text
         assert decode_ids(tk, want) == text
+
+
+def test_tokenizer_stats_identity_and_trained(spark, corpus, model):
+    """Identity model: n_tokens == UTF-8 bytes exactly; a trained
+    model compresses (n_tokens strictly below n_bytes, fertility
+    falls) while counts replay the per-doc encode."""
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        tokenizer_stats,
+    )
+
+    identity = {
+        "vocab": {_BYTE_TO_UNI[b]: b for b in range(256)},
+        "merges": [],
+    }
+    ident = tokenizer_stats(corpus, identity).collect()[0]
+    rows = [r for r in corpus.collect() if r.text is not None]
+    assert ident.n_docs == len(rows)
+    assert ident.n_bytes == sum(
+        len(r.text.encode("utf-8")) for r in rows
+    )
+    assert ident.n_tokens == ident.n_bytes
+    assert ident.n_chars == sum(len(r.text) for r in rows)
+    assert ident.n_words == sum(len(r.text.split()) for r in rows)
+    assert ident.bytes_per_token == pytest.approx(1.0)
+
+    trained = tokenizer_stats(corpus, model).collect()[0]
+    assert trained.n_tokens < trained.n_bytes
+    assert trained.fertility < ident.fertility
+    want = sum(len(encode_text(model, r.text)) for r in rows)
+    assert trained.n_tokens == want
+
+    # grouped: per-group rows, counts partition the corpus
+    grouped = corpus.withColumn(
+        "grp", (F.col("doc_id") % 2).cast("int")
+    ).filter(F.col("text").isNotNull())
+    per = tokenizer_stats(grouped, model, group_by="grp").collect()
+    assert sum(r.n_tokens for r in per) == trained.n_tokens
+    assert {r.grp for r in per} == {0, 1}
