@@ -9011,6 +9011,67 @@ def t37(spark, sf_dir):
     )
 
 
+_ST10_SEQ = [0]
+
+
+@_q(
+    "st10_streaming_bpe_count",
+    "SELECT doc_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_tokens "
+    "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL",
+)
+def st10(spark, sf_dir):
+    """Streaming BPE token counting: the Arrow-batched encode UDF
+    applied unchanged to a readStream source (stateless — pandas
+    UDFs run per micro-batch with no state store), one availableNow
+    batch into a memory sink. The merge-free identity model makes
+    the exact oracle trivial (byte-level BPE: n_tokens == UTF-8
+    bytes); trained-model streaming equals batch by construction
+    since both call the same _encoder closure."""
+    import os
+
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_token_count,
+    )
+
+    identity = {
+        "vocab": {_BYTE_TO_UNI[b]: b for b in range(256)},
+        "merges": [],
+    }
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_bpe.parquet")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        .select("doc_id", "text")
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = bpe_token_count(stream, identity, "text").select(
+        "doc_id", "n_tokens"
+    )
+    _ST10_SEQ[0] += 1
+    qname = f"st10_bpe_sink_{_ST10_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch, f"bpe_ckpt_{_ST10_SEQ[0]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("st10 stream timed out")
+    return spark.table(qname).select("doc_id", "n_tokens")
+
+
 @_q(
     "t38_tokenizer_fertility",
     "WITH t AS (SELECT source, text, "
@@ -10000,6 +10061,7 @@ _PRIORITY = [
     "t34_quality_classifier", "t35_quality_train_invariants",
     "t36_classifier_eval", "t37_calibration_curve",
     "st9_streaming_quality_score", "t38_tokenizer_fertility",
+    "st10_streaming_bpe_count",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
