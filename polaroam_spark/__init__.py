@@ -12,8 +12,11 @@ DataFrame pipelines, designed for 100 TB scale:
 - home / work labeling (reference models.py:271-453) as native
   aggregations + broadcast label joins;
 - plus large-scale data-pipeline operators beyond the reference:
-  dedup (exact / MinHash-LSH / SimHash), similarity search, text
-  analysis, and multimodal column plumbing.
+  dedup (exact / MinHash-LSH / SimHash / embedding), similarity
+  search (LSH / IVF / PQ / OPQ), text analysis and curation (rule,
+  LM, DSIR, and trained-classifier quality filters), byte-level BPE
+  tokenization and sequence packing, streaming variants, and
+  multimodal (image/audio) near-dup plumbing.
 """
 
 from polaroam_spark.cache import unpersist_caches
