@@ -4620,6 +4620,81 @@ def k2(spark, sf_dir):
 
 
 @_q(
+    "k9_packing_stats",
+    """WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+planned AS (
+  SELECT *,
+         CAST((dense_rank() OVER (ORDER BY source) - 1) * 1099511627776
+              + floor((sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) - n_tokens) / 512.0) AS BIGINT) AS pack_id
+  FROM toks
+),
+pp AS (
+  SELECT pack_id, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n_tokens) AS BIGINT) AS tok
+  FROM planned GROUP BY pack_id
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN tok <= 512 THEN 512 - tok ELSE 0 END)
+            AS BIGINT) AS padded_tokens,
+       CAST(sum(CASE WHEN tok > 512 THEN tok - 512 ELSE 0 END)
+            AS BIGINT) AS overflow_tokens,
+       CAST(sum(CASE WHEN tok = 512 THEN 1 ELSE 0 END) AS BIGINT)
+            AS full_packs,
+       CAST(sum(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+            AS overflow_packs,
+       CAST(0 AS BIGINT) AS n_unplanned,
+       round(CAST(sum(tok) - sum(CASE WHEN tok > 512 THEN tok - 512
+             ELSE 0 END) AS DOUBLE) / (count(*) * 512), 6)
+            AS fill_rate
+FROM pp""",
+)
+def k9(spark, sf_dir):
+    """Pack-plan efficiency report (chunking.py:packing_stats) over
+    k2's stratified cumsum plan: exact chunk/pack/token/padding/
+    overflow integers plus the kept-token fill rate — the data-card
+    numbers that pick between the cumsum and best-fit packers on a
+    real corpus (cumsum overflows, BFD pads; this measures both
+    sides of that trade). The oracle replays the plan (k2's CTE
+    verbatim) and every aggregate; fill_rate rounded to 6."""
+    from polaroam_spark.operators.chunking import (
+        packing_plan,
+        packing_stats,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    planned = packing_plan(
+        docs,
+        budget_tokens=512,
+        id_cols=("doc_id",),
+        strata_col="source",
+    )
+    out = packing_stats(planned, budget_tokens=512)
+    return out.select(
+        "n_chunks",
+        "n_packs",
+        "total_tokens",
+        "padded_tokens",
+        "overflow_tokens",
+        "full_packs",
+        "overflow_packs",
+        "n_unplanned",
+        F.round("fill_rate", 6).alias("fill_rate"),
+    )
+
+
+@_q(
     "k5_materialize_packs",
     """WITH toks AS (
   SELECT doc_id, source, text,
@@ -10061,7 +10136,7 @@ _PRIORITY = [
     "t34_quality_classifier", "t35_quality_train_invariants",
     "t36_classifier_eval", "t37_calibration_curve",
     "st9_streaming_quality_score", "t38_tokenizer_fertility",
-    "st10_streaming_bpe_count",
+    "st10_streaming_bpe_count", "k9_packing_stats",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",

@@ -620,3 +620,78 @@ def chunk_documents_sentences(
         "chunk_text",
         n_tok(F.col("chunk_text")).cast("long").alias("n_tokens"),
     )
+
+
+def packing_stats(
+    planned: DataFrame,
+    budget_tokens: int,
+    n_tokens_col: str = "n_tokens",
+    pack_id_col: str = "pack_id",
+) -> DataFrame:
+    """One-row efficiency report for a pack plan (the output of
+    :func:`packing_plan` or :func:`packing_plan_bestfit`) — the
+    numbers that decide between the cumsum and best-fit plans on a
+    REAL corpus instead of by doctrine: ``n_chunks, n_packs,
+    total_tokens, padded_tokens`` (budget − pack total, for packs
+    within budget), ``overflow_tokens`` (pack total − budget — what
+    a truncating loader would CUT; zero by construction for BFD
+    plans), ``fill_rate`` (total tokens the loader keeps /
+    n_packs·budget), ``full_packs`` and ``overflow_packs`` counts.
+
+    Plan: one map-side-combined groupBy on the pack id (the skinny
+    (pack, n) projection — text never enters) feeding a single-row
+    aggregate; output is 1 row at any corpus size. NULL pack ids or
+    token counts raise upstream semantics questions, so they are
+    counted out loudly in ``n_unplanned`` rather than skewing the
+    ratios."""
+    budget = int(budget_tokens)
+    if budget < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    n = F.col(n_tokens_col).cast("long")
+    ok = F.col(pack_id_col).isNotNull() & n.isNotNull()
+    per_pack = (
+        planned.filter(ok)
+        .groupBy(pack_id_col)
+        .agg(
+            F.count("*").alias("_chunks"),
+            F.sum(n).alias("_tok"),
+        )
+    )
+    b = F.lit(budget)
+    return per_pack.select(
+        F.sum("_chunks").alias("n_chunks"),
+        F.count("*").alias("n_packs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("_tok") <= b, b - F.col("_tok")).otherwise(
+                F.lit(0)
+            )
+        ).alias("padded_tokens"),
+        F.sum(
+            F.when(F.col("_tok") > b, F.col("_tok") - b).otherwise(
+                F.lit(0)
+            )
+        ).alias("overflow_tokens"),
+        F.sum((F.col("_tok") == b).cast("long")).alias("full_packs"),
+        F.sum((F.col("_tok") > b).cast("long")).alias(
+            "overflow_packs"
+        ),
+    ).crossJoin(
+        planned.select(
+            F.sum((~ok).cast("long")).alias("n_unplanned")
+        )
+    ).select(
+        "n_chunks",
+        "n_packs",
+        "total_tokens",
+        "padded_tokens",
+        "overflow_tokens",
+        "full_packs",
+        "overflow_packs",
+        "n_unplanned",
+        # tokens the loader KEEPS (post-truncation) over capacity
+        (
+            (F.col("total_tokens") - F.col("overflow_tokens"))
+            / (F.col("n_packs") * b)
+        ).alias("fill_rate"),
+    )

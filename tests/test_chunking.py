@@ -459,3 +459,52 @@ def test_bestfit_rejects_null_and_duplicate_ids(spark):
     )
     with pytest.raises(Exception, match="NULL in id"):
         packing_plan_bestfit(nul, budget_tokens=10).collect()
+
+
+def test_packing_stats_hand_computed_and_bfd_zero_overflow(spark):
+    """Hand arithmetic on a fixed plan, NULL rows counted out into
+    n_unplanned, and the BFD invariant surfaced as data:
+    overflow_tokens == 0 for a best-fit plan while the cumsum plan
+    of the same chunks may overflow."""
+    from polaroam_spark.operators.chunking import (
+        packing_plan,
+        packing_plan_bestfit,
+        packing_stats,
+    )
+
+    planned = spark.createDataFrame(
+        [
+            (1, 10, 100),   # pack 100: 10+6 = 16 <= 20 -> pad 4
+            (2, 6, 100),
+            (3, 25, 101),   # pack 101: 25 > 20 -> overflow 5
+            (4, 20, 102),   # pack 102: exactly full
+            (5, None, 103), # unplanned: NULL tokens
+            (6, 7, None),   # unplanned: NULL pack id
+        ],
+        "doc_id long, n_tokens long, pack_id long",
+    )
+    st = packing_stats(planned, budget_tokens=20).collect()[0]
+    assert (st.n_chunks, st.n_packs, st.n_unplanned) == (4, 3, 2)
+    assert st.total_tokens == 61
+    assert st.padded_tokens == 4
+    assert st.overflow_tokens == 5
+    assert (st.full_packs, st.overflow_packs) == (1, 1)
+    # kept = 61 - 5 = 56 over 3*20 capacity
+    assert st.fill_rate == pytest.approx(56 / 60)
+
+    chunks = spark.createDataFrame(
+        [(i, 0, 7 + (i * 13) % 17) for i in range(200)],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    bfd = packing_stats(
+        packing_plan_bestfit(chunks, budget_tokens=32, num_shards=4),
+        budget_tokens=32,
+    ).collect()[0]
+    cum = packing_stats(
+        packing_plan(chunks, budget_tokens=32),
+        budget_tokens=32,
+    ).collect()[0]
+    assert bfd.overflow_tokens == 0 and bfd.overflow_packs == 0
+    assert cum.overflow_tokens > 0  # the trade the report quantifies
+    assert bfd.n_chunks == cum.n_chunks == 200
+    assert bfd.total_tokens == cum.total_tokens
