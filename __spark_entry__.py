@@ -8658,6 +8658,115 @@ def t33(spark, sf_dir):
 
 
 
+# Domain-mixture waterfill (curation.py:mixture_plan, r14): targets
+# give the alphabetically-first source 85% and split 15% over the
+# rest; budget = 60% of corpus tokens (integer division). The first
+# source then CAPS (its ~1/#sources of the corpus cannot cover 51%)
+# and redistributes to the uniform rest, which absorb it without a
+# second cap round — so the whole waterfill has a CLOSED FORM the
+# oracle states directly: rate_first = 1, expected_other =
+# (budget - avail_first)/(k-1). Doubles rounded to 6 (the engine
+# renormalizes shares through float sums; same last-ulp class as
+# t34).
+@_q(
+    "q8_mixture_plan",
+    "WITH t AS (SELECT source, "
+    f"CAST(sum(len({_GOPHER_TOKS})) AS BIGINT) AS n "
+    "FROM documents GROUP BY source), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS T, "
+    "CAST(count(*) AS BIGINT) AS k, min(source) AS s0 FROM t), "
+    "b AS (SELECT (6 * T) // 10 AS budget, k, s0, "
+    "(SELECT n FROM t, tot WHERE source = s0) AS n0 FROM tot) "
+    "SELECT t.source, t.n AS available_tokens, "
+    "round(CASE WHEN t.source = b.s0 THEN 0.85 "
+    "ELSE 0.15 / (b.k - 1) END, 6) AS target_share, "
+    "round(CASE WHEN t.source = b.s0 THEN 1.0 "
+    "ELSE (CAST(b.budget - b.n0 AS DOUBLE) / (b.k - 1)) / t.n END, "
+    "6) AS rate, "
+    "round(CASE WHEN t.source = b.s0 THEN CAST(t.n AS DOUBLE) "
+    "ELSE CAST(b.budget - b.n0 AS DOUBLE) / (b.k - 1) END, 6) "
+    "AS expected_tokens, "
+    "t.source = b.s0 AS capped, 0.0 AS unmet_tokens "
+    "FROM t, b",
+)
+def q8(spark, sf_dir):
+    """See the comment above: one-cap waterfill with a closed-form
+    oracle. The engine runs the REAL iterative algorithm; the
+    fixture shape (uniform sources, one oversized target) pins its
+    fixed point exactly."""
+    from polaroam_spark.operators.curation import mixture_plan
+    from polaroam_spark.operators.textstats import token_count
+
+    stats = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).alias("n_tokens"))
+    )
+    rows = stats.select("source", "n_tokens").collect()
+    sources = sorted(r.source for r in rows)
+    k = len(sources)
+    total = sum(int(r.n_tokens) for r in rows)
+    targets = {s: 0.15 / (k - 1) for s in sources[1:]}
+    targets[sources[0]] = 0.85
+    plan = mixture_plan(stats, (6 * total) // 10, targets)
+    return plan.select(
+        "source",
+        "available_tokens",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("rate", 6).alias("rate"),
+        F.round("expected_tokens", 6).alias("expected_tokens"),
+        "capped",
+        F.round("unmet_tokens", 6).alias("unmet_tokens"),
+    )
+
+
+@_q(
+    "q8b_mixture_apply",
+    "WITH t AS (SELECT source, "
+    f"CAST(sum(len({_GOPHER_TOKS})) AS BIGINT) AS n "
+    "FROM documents GROUP BY source), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS T, "
+    "CAST(count(*) AS BIGINT) AS k, min(source) AS s0 FROM t), "
+    "b AS (SELECT (6 * T) // 10 AS budget, k, s0, "
+    "(SELECT n FROM t, tot WHERE source = s0) AS n0 FROM tot), "
+    "r AS (SELECT t.source, CASE WHEN t.source = b.s0 THEN 1.0 "
+    "ELSE (CAST(b.budget - b.n0 AS DOUBLE) / (b.k - 1)) / t.n END "
+    "AS rate FROM t, b) "
+    "SELECT d.doc_id, d.source FROM documents d JOIN r "
+    "ON d.source = r.source "
+    "WHERE CAST(('0x' || substr(md5('41:' || "
+    "CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "/ 1152921504606846976.0 < r.rate",
+)
+def q8b(spark, sf_dir):
+    """apply_mixture_plan membership: the q8 plan executed with the
+    deterministic portable-hash draw (seed 41) — the oracle replays
+    rate (closed form) and the md5 draw row for row. Rates sit far
+    from any document's hash value, so the float-renormalization
+    last-ulp difference between the engine's iterative rate and the
+    oracle's closed form cannot flip a membership."""
+    from polaroam_spark.operators.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    rows = stats.select("source", "n_tokens").collect()
+    sources = sorted(r.source for r in rows)
+    k = len(sources)
+    total = sum(int(r.n_tokens) for r in rows)
+    targets = {s: 0.15 / (k - 1) for s in sources[1:]}
+    targets[sources[0]] = 0.85
+    plan = mixture_plan(stats, (6 * total) // 10, targets)
+    return apply_mixture_plan(docs, plan, seed=41).select(
+        "doc_id", "source"
+    )
+
+
 # Data-card report (curation.py:corpus_report, r13): the per-source
 # statistics a corpus publishes next to its parquet — all exact
 # integers, one aggregation pass, including the same normalized-md5
@@ -10137,6 +10246,7 @@ _PRIORITY = [
     "t36_classifier_eval", "t37_calibration_curve",
     "st9_streaming_quality_score", "t38_tokenizer_fertility",
     "st10_streaming_bpe_count", "k9_packing_stats",
+    "q8_mixture_plan", "q8b_mixture_apply",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",

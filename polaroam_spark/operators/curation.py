@@ -306,3 +306,159 @@ def corpus_report(
         F.max(tok).cast("long").alias("max_doc_tokens"),
         F.countDistinct(norm_key).alias("n_distinct_texts"),
     )
+
+
+def mixture_plan(
+    stats: DataFrame,
+    token_budget: int,
+    targets: dict,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Domain-mixture waterfill: given per-group available token
+    counts (``stats`` — e.g. :func:`corpus_report` or
+    ``tokenizer_stats(group_by=...)`` output, one row per group) and
+    TARGET SHARES, compute the per-group document sampling rates
+    that hit ``token_budget`` with the target mix — the planning
+    step behind "500 B tokens at 60% web / 30% code / 10% books".
+
+    Semantics (the standard practitioner waterfill, deterministic):
+    each group's desired tokens = budget x normalized share; a group
+    with less material than desired is CAPPED at everything it has
+    (rate 1.0) and its unmet demand redistributes to the uncapped
+    groups proportionally to their shares, repeating until no new
+    group caps (≤ #groups rounds — each round caps ≥ 1 group or
+    stops). Groups absent from ``targets`` get rate 0 (explicitly
+    excluded is different from forgotten: they still appear in the
+    plan with ``target_share`` 0). If the whole corpus cannot cover
+    the budget, every targeted group caps and ``unmet_tokens`` says
+    by how much.
+
+    Scale shape: the input is a #groups-row aggregate, so the
+    waterfill runs driver-side over a frame that is tiny BY
+    CONSTRUCTION (like the PCA eigendecomposition or the BPE merge
+    loop — the reduction is distributed, the few-rows solve is not
+    worth a cluster round-trip). Returns one row per group:
+    ``group, available_tokens, target_share, rate, expected_tokens,
+    capped, unmet_tokens`` (unmet is the same value on every row —
+    0 when feasible). Rates are DOCUMENT sampling rates: pair with
+    deterministic hash sampling per group
+    (:func:`~polaroam_spark.operators.sampling.sample_by_hash` with
+    the group's rate, or :func:`apply_mixture_plan`), so expected
+    tokens = rate x available under doc-length/rate independence —
+    the standard doc-level relaxation of a token-exact cut.
+    """
+    budget = int(token_budget)
+    if budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    if not targets:
+        raise ValueError("targets must name at least one group")
+    bad = {k: v for k, v in targets.items() if float(v) < 0}
+    if bad:
+        raise ValueError(f"negative target shares: {bad}")
+    total_share = float(sum(float(v) for v in targets.values()))
+    if total_share <= 0:
+        raise ValueError("target shares must sum to > 0")
+
+    rows = stats.select(
+        F.col(group_col).alias("_g"),
+        F.col(tokens_col).cast("long").alias("_n"),
+    ).collect()
+    if len({r._g for r in rows}) != len(rows):
+        raise ValueError(
+            f"stats must have one row per {group_col} (duplicate "
+            "groups found) — aggregate upstream"
+        )
+    avail = {r._g: max(int(r._n or 0), 0) for r in rows}
+    unknown = sorted(
+        str(g) for g in targets if g not in avail
+    )
+    if unknown:
+        raise ValueError(
+            f"targets name groups absent from stats: {unknown}"
+        )
+
+    share = {g: float(targets.get(g, 0.0)) / total_share for g in avail}
+    capped: "set" = set()
+    alloc = {g: 0.0 for g in avail}
+    remaining = float(budget)
+    # waterfill: distribute remaining budget over uncapped groups by
+    # renormalized share; cap any group that cannot absorb its slice
+    while True:
+        live = [
+            g for g in avail
+            if g not in capped and share[g] > 0
+        ]
+        live_share = sum(share[g] for g in live)
+        if not live or live_share <= 0 or remaining <= 0:
+            break
+        newly = []
+        for g in live:
+            want = remaining * share[g] / live_share
+            if want >= avail[g] - alloc[g] - 1e-9:
+                newly.append(g)
+        if not newly:
+            for g in live:
+                alloc[g] += remaining * share[g] / live_share
+            remaining = 0.0
+            break
+        for g in newly:
+            take = float(avail[g]) - alloc[g]
+            alloc[g] = float(avail[g])
+            remaining -= take
+            capped.add(g)
+
+    unmet = max(remaining, 0.0)
+    spark = stats.sparkSession
+    out_rows = [
+        (
+            g,
+            int(avail[g]),
+            float(share[g]),
+            (alloc[g] / avail[g]) if avail[g] > 0 else 0.0,
+            float(alloc[g]),
+            g in capped,
+            float(unmet),
+        )
+        for g in sorted(avail, key=lambda x: (x is None, str(x)))
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        f"{group_col} string, available_tokens long, "
+        "target_share double, rate double, expected_tokens double, "
+        "capped boolean, unmet_tokens double",
+    )
+
+
+def apply_mixture_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 41,
+) -> DataFrame:
+    """Execute a :func:`mixture_plan`: keep each document with its
+    group's rate via the deterministic portable content hash (the
+    ``sample_by_hash`` draw — membership is a pure function of
+    (id, seed, rate), so the survivor set is reproducible and
+    SQL-replayable). Broadcast the #groups plan, one map-side
+    filter; documents in groups without a plan row drop (rate 0)."""
+    from polaroam_spark.functions.text import portable_hash64
+
+    rates = plan.select(
+        F.col(group_col).alias("_g"), F.col("rate").alias("_rate")
+    )
+    u = (
+        portable_hash64(F.col(id_col).cast("string"), seed)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(
+            F.broadcast(rates),
+            docs[group_col].eqNullSafe(F.col("_g")),
+            "left",
+        )
+        .filter(u < F.coalesce(F.col("_rate"), F.lit(0.0)))
+        .drop("_g", "_rate")
+    )

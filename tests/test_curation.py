@@ -163,3 +163,96 @@ def test_corpus_report_exact_integers(spark):
     # cross-check the dup arithmetic against dedup_exact itself
     kept = dedup_exact(docs.filter("source = 'web'")).count()
     assert web.n_distinct_texts + (1 if web.n_null_text else 0) >= kept
+
+
+def test_mixture_plan_waterfill(spark):
+    """Hand-checked waterfill: feasible = exact shares; capped groups
+    take all they have and redistribute; infeasible reports unmet."""
+    import pytest
+
+    from polaroam_spark.operators.curation import mixture_plan
+
+    stats = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("books", 50)],
+        "source string, n_tokens long",
+    )
+    p = {
+        r.source: r
+        for r in mixture_plan(
+            stats, 230, {"web": 0.5, "code": 0.3, "books": 0.2}
+        ).collect()
+    }
+    assert p["web"].expected_tokens == pytest.approx(115.0)
+    assert p["code"].expected_tokens == pytest.approx(69.0)
+    assert p["books"].expected_tokens == pytest.approx(46.0)
+    assert not any(r.capped for r in p.values())
+    assert all(r.unmet_tokens == 0.0 for r in p.values())
+
+    p = {
+        r.source: r
+        for r in mixture_plan(
+            stats, 400, {"web": 0.2, "code": 0.3, "books": 0.5}
+        ).collect()
+    }
+    assert p["books"].capped and p["books"].rate == 1.0
+    assert p["code"].capped and p["code"].expected_tokens == 100.0
+    assert not p["web"].capped
+    assert p["web"].expected_tokens == pytest.approx(250.0)
+    assert sum(r.expected_tokens for r in p.values()) == pytest.approx(400.0)
+
+    p = mixture_plan(stats, 5000, {"web": 1, "code": 1, "books": 1}).collect()
+    assert all(r.capped and r.rate == 1.0 for r in p)
+    assert p[0].unmet_tokens == pytest.approx(3850.0)
+
+    # a group with no target rides along at rate 0
+    p = {
+        r.source: r
+        for r in mixture_plan(stats, 100, {"web": 1.0}).collect()
+    }
+    assert p["code"].rate == 0.0 and p["code"].target_share == 0.0
+    assert p["web"].expected_tokens == pytest.approx(100.0)
+
+    with pytest.raises(ValueError, match="absent from stats"):
+        mixture_plan(stats, 10, {"nope": 1.0})
+    with pytest.raises(ValueError, match="duplicate"):
+        mixture_plan(stats.union(stats), 10, {"web": 1.0})
+    with pytest.raises(ValueError, match="negative"):
+        mixture_plan(stats, 10, {"web": -1.0})
+
+
+def test_apply_mixture_plan_membership(spark):
+    """Membership is the deterministic hash draw at each group's
+    rate — replayable row for row; zero-rate groups vanish."""
+    from polaroam_spark.functions.text import portable_hash64
+    from polaroam_spark.operators.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "code", "t") for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    plan = mixture_plan(stats, 150, {"web": 0.8, "code": 0.2})
+    kept = apply_mixture_plan(docs, plan, seed=41)
+    rates = {r.source: r.rate for r in plan.collect()}
+    u = docs.select(
+        "doc_id",
+        "source",
+        (
+            portable_hash64(F.col("doc_id").cast("string"), 41).cast(
+                "double"
+            )
+            / float(1 << 60)
+        ).alias("u"),
+    ).collect()
+    want = {r.doc_id for r in u if r.u < rates[r.source]}
+    got = {r.doc_id for r in kept.collect()}
+    assert got == want and 0 < len(got) < 400
+    # exclude a group entirely
+    plan2 = mixture_plan(stats, 50, {"web": 1.0})
+    kept2 = apply_mixture_plan(docs, plan2, seed=41)
+    assert kept2.filter(F.col("source") == "code").count() == 0
