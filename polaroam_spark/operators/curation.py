@@ -308,6 +308,46 @@ def corpus_report(
     )
 
 
+def _waterfill(
+    avail: dict, share: dict, budget: float
+) -> "tuple[dict, set, float]":
+    """The pure waterfill kernel behind :func:`mixture_plan`:
+    distribute ``budget`` over groups by ``share`` (normalized),
+    capping any group that cannot absorb its slice at everything it
+    has and redistributing the shortfall to the rest by renormalized
+    share until a fixed point (each round caps ≥ 1 group or
+    finishes, so ≤ #groups rounds). Returns ``(alloc, capped,
+    unmet)`` — property-tested directly (conservation, bounds,
+    share-proportionality of the uncapped residual)."""
+    capped: "set" = set()
+    alloc = {g: 0.0 for g in avail}
+    remaining = float(budget)
+    while True:
+        live = [
+            g for g in avail
+            if g not in capped and share[g] > 0
+        ]
+        live_share = sum(share[g] for g in live)
+        if not live or live_share <= 0 or remaining <= 0:
+            break
+        newly = []
+        for g in live:
+            want = remaining * share[g] / live_share
+            if want >= avail[g] - alloc[g] - 1e-9:
+                newly.append(g)
+        if not newly:
+            for g in live:
+                alloc[g] += remaining * share[g] / live_share
+            remaining = 0.0
+            break
+        for g in newly:
+            take = float(avail[g]) - alloc[g]
+            alloc[g] = float(avail[g])
+            remaining -= take
+            capped.add(g)
+    return alloc, capped, max(remaining, 0.0)
+
+
 def mixture_plan(
     stats: DataFrame,
     token_budget: int,
@@ -379,36 +419,7 @@ def mixture_plan(
         )
 
     share = {g: float(targets.get(g, 0.0)) / total_share for g in avail}
-    capped: "set" = set()
-    alloc = {g: 0.0 for g in avail}
-    remaining = float(budget)
-    # waterfill: distribute remaining budget over uncapped groups by
-    # renormalized share; cap any group that cannot absorb its slice
-    while True:
-        live = [
-            g for g in avail
-            if g not in capped and share[g] > 0
-        ]
-        live_share = sum(share[g] for g in live)
-        if not live or live_share <= 0 or remaining <= 0:
-            break
-        newly = []
-        for g in live:
-            want = remaining * share[g] / live_share
-            if want >= avail[g] - alloc[g] - 1e-9:
-                newly.append(g)
-        if not newly:
-            for g in live:
-                alloc[g] += remaining * share[g] / live_share
-            remaining = 0.0
-            break
-        for g in newly:
-            take = float(avail[g]) - alloc[g]
-            alloc[g] = float(avail[g])
-            remaining -= take
-            capped.add(g)
-
-    unmet = max(remaining, 0.0)
+    alloc, capped, unmet = _waterfill(avail, share, float(budget))
     spark = stats.sparkSession
     out_rows = [
         (

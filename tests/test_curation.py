@@ -256,3 +256,67 @@ def test_apply_mixture_plan_membership(spark):
     plan2 = mixture_plan(stats, 50, {"web": 1.0})
     kept2 = apply_mixture_plan(docs, plan2, seed=41)
     assert kept2.filter(F.col("source") == "code").count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # available
+            st.floats(min_value=0.0, max_value=1.0),      # raw share
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=60_000),           # budget
+)
+def test_waterfill_kernel_properties(groups, budget):
+    """Waterfill invariants on arbitrary inputs: every allocation in
+    [0, available]; conservation (Σalloc + unmet == min(budget,
+    targeted available) up to float tolerance); capped groups hold
+    exactly their available; uncapped positive-share groups' allocs
+    are proportional to their shares."""
+    from polaroam_spark.operators.curation import _waterfill
+
+    avail = {f"g{i}": a for i, (a, _) in enumerate(groups)}
+    raw = {f"g{i}": s for i, (_, s) in enumerate(groups)}
+    total = sum(raw.values())
+    if total <= 0:
+        return  # mixture_plan rejects this upstream
+    share = {g: raw[g] / total for g in raw}
+    alloc, capped, unmet = _waterfill(avail, share, float(budget))
+
+    assert set(alloc) == set(avail)
+    for g in avail:
+        assert -1e-6 <= alloc[g] <= avail[g] + 1e-6
+        if share[g] == 0:
+            assert alloc[g] == 0.0
+    targeted_avail = sum(avail[g] for g in avail if share[g] > 0)
+    assert sum(alloc.values()) + unmet == pytest.approx(
+        float(budget), abs=1e-6 * max(budget, 1)
+    )
+    assert sum(alloc.values()) == pytest.approx(
+        min(float(budget), float(targeted_avail)),
+        abs=1e-6 * max(budget, 1),
+    )
+    for g in capped:
+        assert alloc[g] == pytest.approx(float(avail[g]))
+    # uncapped positive-share groups split the residual by share
+    live = [
+        g for g in avail
+        if g not in capped and share[g] > 0 and alloc[g] > 0
+    ]
+    if len(live) >= 2:
+        # cross-products, not ratios: a denormal share makes
+        # alloc/share overflow while the proportionality itself holds
+        ref = live[0]
+        for g in live[1:]:
+            lhs = alloc[g] * share[ref]
+            rhs = alloc[ref] * share[g]
+            assert lhs == pytest.approx(
+                rhs, rel=1e-6, abs=1e-9 * max(budget, 1)
+            )
