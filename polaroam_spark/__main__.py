@@ -165,6 +165,39 @@ def cmd_corpus(args) -> None:
         ).filter(
             F.col("quality_prob") >= args.classifier_threshold
         ).select(*in_cols)
+    if args.mixture_targets:
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from polaroam_spark.operators.curation import (
+            apply_mixture_plan,
+            mixture_plan,
+        )
+        from polaroam_spark.operators.textstats import token_count
+
+        targets = _json.loads(args.mixture_targets)
+        if args.mixture_budget is None:
+            raise SystemExit(
+                "corpus: --mixture-budget is required with "
+                "--mixture-targets"
+            )
+        stats = df.groupBy(args.source_col).agg(
+            F.sum(token_count(args.text_col)).alias("n_tokens")
+        )
+        plan = mixture_plan(
+            stats,
+            args.mixture_budget,
+            targets,
+            group_col=args.source_col,
+        )
+        df = apply_mixture_plan(
+            df,
+            plan,
+            group_col=args.source_col,
+            id_col=args.id_col,
+            seed=args.seed,
+        )
     if args.sample_fraction is not None:
         from polaroam_spark.operators.sampling import sample_by_hash
 
@@ -343,6 +376,18 @@ def build_parser() -> argparse.ArgumentParser:
         "train`); keeps rows scoring >= --classifier-threshold",
     )
     pk.add_argument("--classifier-threshold", type=float, default=0.5)
+    pk.add_argument(
+        "--mixture-targets",
+        default=None,
+        help='JSON dict of target shares per source, e.g. '
+        '\'{"web": 0.6, "code": 0.4}\'; groups not named drop',
+    )
+    pk.add_argument(
+        "--mixture-budget",
+        type=int,
+        default=None,
+        help="token budget the mixture waterfill plans against",
+    )
     pk.add_argument("--sample-fraction", type=float, default=None)
     pk.add_argument("--cap-per-source", type=int, default=None)
     pk.add_argument("--seed", type=int, default=17)

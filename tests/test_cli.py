@@ -214,3 +214,39 @@ def test_cli_corpus_classifier_filter(spark, tmpdir):
         if r.quality_prob >= 0.5
     }
     assert got == want and 0 < len(got) < 60
+
+
+def test_cli_corpus_mixture_stage(spark, tmpdir):
+    """corpus stage composes the mixture waterfill: survivors equal
+    the library's plan + deterministic-draw execution."""
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+    from polaroam_spark.operators.textstats import token_count
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code",
+         "some words here repeated " * (2 + i % 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src, out = f"{tmpdir}/mx_in", f"{tmpdir}/mx_out"
+    df.write.parquet(src)
+    assert main([
+        "corpus", "--input", src, "--output", out, "--dedup", "none",
+        "--mixture-targets", '{"web": 0.8, "code": 0.2}',
+        "--mixture-budget", "800", "--seed", "17",
+    ]) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    stats = df.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    plan = mixture_plan(stats, 800, {"web": 0.8, "code": 0.2})
+    want = {
+        r.doc_id
+        for r in apply_mixture_plan(df, plan, seed=17).collect()
+    }
+    assert got == want and 0 < len(got) < 200
