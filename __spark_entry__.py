@@ -10207,46 +10207,21 @@ def mm3(spark, sf_dir):
 # stated inside the list at the window edge.
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r14 WINDOW (first 50 — the driver drives exactly this many).
-    # Derived from CORRECTNESS_r01..r13 THIS round (latest driver row
-    # per gate): the 14 r13-new gates (no driver row yet; judge-verified
-    # hash-exact at sf0.001 AND sf0.01 in the r13 verdict) + the full
-    # 33-gate remaining-r9 block + the 3 alphabetically-first r10
-    # gates. 14 + 33 + 3 = 50 exactly. The remaining 46 r10 gates head
-    # the r15 window, with any r14-new gates inserted before them.
+    # r15 WINDOW (first 50 — the driver drives exactly this many).
+    # Derived from CORRECTNESS_r01..r14 THIS round (latest driver row
+    # per gate): the 10 r14-new gates (no driver row yet; judge-verified
+    # hash-exact at sf0.001 AND sf0.01 in the r14 verdict) + the 40
+    # alphabetically-first gates of the 46-gate remaining-r10 block.
+    # 10 + 40 = 50 exactly. The last 6 r10 gates plus the r11 block
+    # head the r16 window, behind any r15-new gates.
     # ------------------------------------------------------------------
-    # (a) r13-new, first driver rows:
-    "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
-    "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
-    "v5_opq_iterative_invariants", "q6c_curation_split", "t30_nfc_normalize",
-    "t31_bpe_chunking", "t32_bpe_special_tokens",
-    "k8_packing_bestfit_invariants", "mm5_image_neardup", "mm6_audio_neardup",
-    "t33_pack_token_stream", "q7_corpus_report",
-    # (b) the remaining 33-gate r9 block:
-    "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
-    "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
-    "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",
-    "smp2_train_test_split", "smp3_stratified_sample",
-    "smp4_deterministic_shuffle", "st1_streaming_stops",
-    "st2_streaming_counts", "st3_streaming_dedup", "t11_calibrate_scores",
-    "t12_tfidf_top_terms", "t19_dedup_spans", "t1_token_count",
-    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
-    "t23_mojibake", "t2_quality_features", "t3_stopword_scores",
-    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
-    "t7_quality_stratified", "ts2_ewma", "ts2b_ewma_blocked",
-    "u2_filter_by_domain", "w4_detect_stops",
-    # (c) alphabetically-first 3 of the 49-gate r10 block:
-    "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
-    # ---- window edge: position 50 is the last r10 gate above ----
-    # (d) everything else rides behind, oldest driver row first
-    # (rest of r10, then r11, r12, r13), alphabetical within rounds.
-    # r14-NEW gates are inserted at the TOP of this tail as they are
-    # added (first driver rows r15):
+    # (a) r14-new, first driver rows:
     "t34_quality_classifier", "t35_quality_train_invariants",
     "t36_classifier_eval", "t37_calibration_curve",
     "st9_streaming_quality_score", "t38_tokenizer_fertility",
     "st10_streaming_bpe_count", "k9_packing_stats",
     "q8_mixture_plan", "q8b_mixture_apply",
+    # (b) alphabetically-first 40 of the 46-gate remaining-r10 block:
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
@@ -10261,7 +10236,14 @@ _PRIORITY = [
     "s3_csv_gz_roundtrip", "s5_parquet_sink_roundtrip",
     "s7_csv_sink_roundtrip", "s9_users_with_min_days", "skw1_salted_agg",
     "smp7_temperature_sample", "smp8_temperature_epoch_plan",
-    "st4_streaming_incremental_dedup", "t10_bpe_token_count",
+    "st4_streaming_incremental_dedup",
+    # ---- window edge: position 50 is st4 above ----
+    # (c) everything else rides behind, oldest driver row first
+    # (rest of r10, then r11, r12, r13, then the gates the driver
+    # re-drove in r14), alphabetical within rounds. r15-NEW gates are
+    # inserted at the TOP of this tail as they are added (first driver
+    # rows r16):
+    "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",
     "a15_approx_distinct", "a16_rollup", "a17_cube", "a18_grouping_sets",
@@ -10316,6 +10298,26 @@ _PRIORITY = [
     "smp10_leakage_safe_split", "smp9b_gumbel_topk_band",
     "st8_streaming_gumbel_topk", "t26_extract_main_content",
     "v4_pca_whiten_invariants",
+    # (d) newest driver rows — the 50 gates CORRECTNESS_r14 drove:
+    "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
+    "t29_bpe_train_roundtrip", "k7_packing_exact_bpe",
+    "v5_opq_iterative_invariants", "q6c_curation_split", "t30_nfc_normalize",
+    "t31_bpe_chunking", "t32_bpe_special_tokens",
+    "k8_packing_bestfit_invariants", "mm5_image_neardup", "mm6_audio_neardup",
+    "t33_pack_token_stream", "q7_corpus_report",
+    "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
+    "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
+    "q6_curation_membership", "q6b_curation_stats", "smp1_sample_by_hash",
+    "smp2_train_test_split", "smp3_stratified_sample",
+    "smp4_deterministic_shuffle", "st1_streaming_stops",
+    "st2_streaming_counts", "st3_streaming_dedup", "t11_calibrate_scores",
+    "t12_tfidf_top_terms", "t19_dedup_spans", "t1_token_count",
+    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
+    "t23_mojibake", "t2_quality_features", "t3_stopword_scores",
+    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
+    "t7_quality_stratified", "ts2_ewma", "ts2b_ewma_blocked",
+    "u2_filter_by_domain", "w4_detect_stops",
+    "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
 ]
 
 
