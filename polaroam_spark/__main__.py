@@ -22,6 +22,10 @@ from __future__ import annotations
 import argparse
 import sys
 
+# salt added to --seed for the mixture stage's hash draw so it stays
+# independent of the sample/cap stages' draws over the same id column
+_MIXTURE_SEED_SALT = 9173
+
 
 def _spark(args):
     from polaroam_spark import get_spark
@@ -191,12 +195,17 @@ def cmd_corpus(args) -> None:
             targets,
             group_col=args.source_col,
         )
+        # stage-distinct seed: sample_by_hash below thresholds the
+        # SAME portable_hash64 uniform, so sharing args.seed would
+        # make the two Bernoulli draws identical (u < min(rate,
+        # fraction)) and destroy the planned mixture whenever
+        # --sample-fraction <= the smallest group rate
         df = apply_mixture_plan(
             df,
             plan,
             group_col=args.source_col,
             id_col=args.id_col,
-            seed=args.seed,
+            seed=args.seed + _MIXTURE_SEED_SALT,
         )
     if args.sample_fraction is not None:
         from polaroam_spark.operators.sampling import sample_by_hash

@@ -433,12 +433,30 @@ def mixture_plan(
         )
         for g in sorted(avail, key=lambda x: (x is None, str(x)))
     ]
-    return spark.createDataFrame(
-        out_rows,
-        f"{group_col} string, available_tokens long, "
-        "target_share double, rate double, expected_tokens double, "
-        "capped boolean, unmet_tokens double",
+    # the group field keeps the input column's type (an integer
+    # source id must not be forced through a 'string' DDL slot)
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    out_schema = StructType(
+        [
+            StructField(
+                group_col, stats.schema[group_col].dataType, True
+            ),
+            StructField("available_tokens", LongType(), True),
+            StructField("target_share", DoubleType(), True),
+            StructField("rate", DoubleType(), True),
+            StructField("expected_tokens", DoubleType(), True),
+            StructField("capped", BooleanType(), True),
+            StructField("unmet_tokens", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def apply_mixture_plan(

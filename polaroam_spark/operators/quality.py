@@ -257,10 +257,12 @@ def train_quality_classifier(
             "train_quality_classifier: no usable rows (every row had "
             "a NULL label or no grams)"
         )
-    bad = feats.filter((F.col("_y") != 0.0) & (F.col("_y") != 1.0))
-    if bad.take(1):
+    bad_rows = feats.filter(
+        (F.col("_y") != 0.0) & (F.col("_y") != 1.0)
+    ).take(1)
+    if bad_rows:
         raise ValueError(
-            f"labels must be 0/1; found {bad.take(1)[0]['_y']!r}"
+            f"labels must be 0/1; found {bad_rows[0]['_y']!r}"
         )
 
     w = np.zeros(b, dtype=np.float64)
@@ -368,7 +370,10 @@ def evaluate_classifier(
         raise ValueError(f"auc_bins must be >= 1 (got {auc_bins})")
     y = F.col(label_col).cast("double")
     s = F.col(score_col).cast("double")
-    usable = y.isin(0.0, 1.0) & s.isNotNull()
+    # NaN scores must land in n_skipped: NULL-only checks would let
+    # NaN through, where Spark's NaN ordering evaluates NaN >= t as
+    # true (inflating tp/fp) and the bin expression misplaces it
+    usable = y.isin(0.0, 1.0) & s.isNotNull() & ~F.isnan(s)
     pred = s >= F.lit(float(threshold))
 
     base = scored.select(
@@ -484,7 +489,9 @@ def calibration_curve(
     y = F.col(label_col).cast("double")
     s = F.col(score_col).cast("double")
     return (
-        scored.filter(y.isNotNull() & s.isNotNull())
+        scored.filter(
+            y.isNotNull() & ~F.isnan(y) & s.isNotNull() & ~F.isnan(s)
+        )
         .select(
             F.greatest(
                 F.least(

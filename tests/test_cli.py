@@ -245,8 +245,54 @@ def test_cli_corpus_mixture_stage(spark, tmpdir):
         F.sum(token_count("text")).alias("n_tokens")
     )
     plan = mixture_plan(stats, 800, {"web": 0.8, "code": 0.2})
+    from polaroam_spark.__main__ import _MIXTURE_SEED_SALT
+
     want = {
         r.doc_id
-        for r in apply_mixture_plan(df, plan, seed=17).collect()
+        for r in apply_mixture_plan(
+            df, plan, seed=17 + _MIXTURE_SEED_SALT
+        ).collect()
     }
     assert got == want and 0 < len(got) < 200
+
+
+def test_cli_corpus_mixture_then_sample_independent(spark, tmpdir):
+    """--mixture-targets composed with --sample-fraction must thin
+    each mixture group by ~fraction independently: a shared seed
+    would make both stages threshold the SAME uniform, keeping
+    u < min(rate, fraction) — i.e. the raw fraction-sample of every
+    group, mixture destroyed (ADVICE r14)."""
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.sampling import sample_by_hash
+
+    rows = [
+        (i, "web" if i % 4 else "code", "tok " * 40)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    src = f"{tmpdir}/mxs_in"
+    out = f"{tmpdir}/mxs_out"
+    df.write.parquet(src)
+    # code available ~4k tokens, target share 0.5 of budget 4000 →
+    # code rate ~0.5; web rate ~0.17. fraction=0.15 <= both rates,
+    # so under the shared-seed bug the output would equal the plain
+    # fraction-sample of the whole input.
+    assert main([
+        "corpus", "--input", src, "--output", out, "--dedup", "none",
+        "--mixture-targets", '{"web": 0.5, "code": 0.5}',
+        "--mixture-budget", "4000", "--seed", "17",
+        "--sample-fraction", "0.15",
+    ]) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    plain = {
+        r.doc_id
+        for r in sample_by_hash(
+            df, key="doc_id", fraction=0.15, seed=17
+        ).collect()
+    }
+    # with independent draws the composition is a strict thinning of
+    # the plain sample; under the shared-seed bug got == plain exactly
+    assert got.issubset(plain)
+    assert 0 < len(got) < len(plain)

@@ -220,6 +220,37 @@ def test_mixture_plan_waterfill(spark):
         mixture_plan(stats, 10, {"web": -1.0})
 
 
+def test_mixture_plan_non_string_group(spark):
+    """The plan's group field keeps the input column's type — an
+    integer source id must not hit a hard-coded 'string' DDL slot
+    (ADVICE r14), and the plan must join back in apply_mixture_plan."""
+    import pytest
+
+    from polaroam_spark.operators.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+
+    stats = spark.createDataFrame(
+        [(7, 1000), (9, 100)], "src_id long, n_tokens long"
+    )
+    plan = mixture_plan(
+        stats, 200, {7: 0.5, 9: 0.5}, group_col="src_id"
+    )
+    assert dict(plan.dtypes)["src_id"] == "bigint"
+    p = {r.src_id: r for r in plan.collect()}
+    assert p[7].expected_tokens == pytest.approx(100.0)
+    assert p[9].expected_tokens == pytest.approx(100.0)
+    docs = spark.createDataFrame(
+        [(i, 7 if i % 2 else 9, "w " * 10) for i in range(100)],
+        "doc_id long, src_id long, text string",
+    )
+    kept = apply_mixture_plan(
+        docs, plan, group_col="src_id", id_col="doc_id"
+    )
+    assert 0 < kept.count() < 100
+
+
 def test_apply_mixture_plan_membership(spark):
     """Membership is the deterministic hash draw at each group's
     rate — replayable row for row; zero-rate groups vanish."""

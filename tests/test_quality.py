@@ -398,3 +398,31 @@ def test_eval_skips_out_of_domain_labels_and_clamps_bins(spark):
     assert ev.tp + ev.fp + ev.fn + ev.tn == 4
     cal = {r.bin: r for r in calibration_curve(df).collect()}
     assert min(cal) == 0 and max(cal) == 9
+
+
+def test_eval_and_calibration_skip_nan_scores(spark):
+    """A NaN score is unusable, not a predicted-positive: Spark's NaN
+    ordering evaluates NaN >= threshold as true, so without an
+    explicit isnan() guard NaN rows inflate tp/fp and poison a
+    calibration bin's mean_score (ADVICE r14)."""
+    from polaroam_spark.operators.quality import (
+        calibration_curve,
+        evaluate_classifier,
+    )
+
+    rows = [
+        (1, 1, 0.9),
+        (2, 0, 0.2),
+        (3, 0, float("nan")),  # would count as fp under NaN ordering
+        (4, 1, float("nan")),
+        (5, None, 0.4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label int, quality_prob double"
+    )
+    ev = evaluate_classifier(df).collect()[0]
+    assert ev.n == 2 and ev.n_skipped == 3
+    assert ev.tp == 1 and ev.fp == 0 and ev.tn == 1 and ev.fn == 0
+    cal = calibration_curve(df).collect()
+    assert all(r.mean_score == r.mean_score for r in cal)  # no NaN
+    assert sum(r.n for r in cal) == 2
