@@ -27,6 +27,37 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def clean_pass_indices(
+    pass_loads: "list[list[float]]", threshold: float
+) -> "list[int]":
+    """Indices of timed suite passes whose 1-min load stayed at or
+    under ``threshold`` at BOTH endpoints (stamped immediately before
+    and after the pass). r14 lesson: one all-or-nothing flag let a
+    transient mid-suite spike invalidate the whole artifact even
+    though two of the three passes ran clean — gate per pass and keep
+    the clean ones. An unavailable load reading (stamped -1) never
+    disqualifies a pass; it just can't be checked."""
+    return [
+        i
+        for i, (lb, la) in enumerate(pass_loads)
+        if lb <= threshold and la <= threshold
+    ]
+
+
+def gate_passes(
+    pass_loads: "list[list[float]]", threshold: float
+) -> "tuple[list[int], bool]":
+    """(indices of passes to aggregate, invalid_load flag). The
+    artifact is VALID when at least min(2, n_passes) passes are
+    clean; medians then aggregate the clean passes only. With zero
+    clean passes every sample is kept (better a flagged number than
+    none) and the artifact is flagged invalid."""
+    clean = clean_pass_indices(pass_loads, threshold)
+    invalid = len(clean) < min(2, len(pass_loads))
+    kept = clean if clean else list(range(len(pass_loads)))
+    return kept, invalid
+
+
 def main() -> None:
     from polaroam_spark import get_spark
 
@@ -58,7 +89,6 @@ def main() -> None:
         time.sleep(20)
         load_wait += 20
     load1_start = _load1()
-    invalid_load = load1_start > load_threshold
 
     spark = get_spark(app_name="polaroam-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -411,6 +441,13 @@ def main() -> None:
             pass
         for fn in queries.values():
             fn()
+    # r14 verdict task 4: stamp the load BEFORE and AFTER each timed
+    # pass; a pass is clean when both endpoints are at or under the
+    # threshold, medians aggregate the clean passes, and the artifact
+    # is valid when >= min(2, runs) passes are clean — a transient
+    # external spike costs one pass, not the round's artifact.
+    pass_loads: "list[list[float]]" = []
+    samples_by_pass: "list[dict[str, float]]" = []
     for _ in range(runs):
         em._MATERIALIZED_MEDIANS.clear()
         spark.catalog.clearCache()
@@ -420,30 +457,30 @@ def main() -> None:
             unpersist_caches()  # dsir/dedup registered caches
         except Exception:
             pass
+        lb = _load1()
+        pass_samples: "dict[str, float]" = {}
         for name, fn in queries.items():
             t0 = time.time()
             fn()
-            samples[name].append(time.time() - t0)
+            pass_samples[name] = time.time() - t0
+        pass_loads.append([lb, _load1()])
+        samples_by_pass.append(pass_samples)
+    kept, invalid_load = gate_passes(pass_loads, load_threshold)
+    for i in kept:
+        for name, sec in samples_by_pass[i].items():
+            samples[name].append(sec)
     timings = {
         name: round(sorted(s)[len(s) // 2], 3)
         for name, s in samples.items()
     }
-    # spread = max-min across passes: distinguishes a real regression
-    # from external-load noise when comparing rounds
+    # spread = max-min across kept passes: distinguishes a real
+    # regression from external-load noise when comparing rounds
     spread = {
         name: round(max(s) - min(s), 3) for name, s in samples.items()
     }
 
     total = round(sum(timings.values()), 3)
-    try:
-        load1 = round(os.getloadavg()[0], 1)
-    except OSError:
-        load1 = -1.0
-    # Contention can RISE mid-run (round 9's driver artifact started at
-    # load1 3.5 and ended at 4.4, carrying 3-4 s of noise while flagged
-    # valid) — so the artifact is invalid when EITHER endpoint exceeds
-    # the threshold, not just the start.
-    invalid_load = invalid_load or load1 > load_threshold
+    load1 = pass_loads[-1][1] if pass_loads else _load1()
     print(
         json.dumps(
             {
@@ -468,6 +505,13 @@ def main() -> None:
                 "warm_runs": warm_runs,
                 "load1": load1,
                 "load1_start": load1_start,
+                # per-pass [before, after] 1-min loads + which passes
+                # the medians aggregated (clean ones, or all if none)
+                "pass_loads": pass_loads,
+                "passes_kept": kept,
+                "clean_pass_count": len(
+                    clean_pass_indices(pass_loads, load_threshold)
+                ),
                 "invalid_load": invalid_load,
                 "load_threshold": load_threshold,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
