@@ -9465,6 +9465,155 @@ def t35(spark, sf_dir):
 
 
 @_q(
+    "t39_langid_scorer",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    # the DSIR unigram+bigram feature stream (t25/t34's CTE verbatim)
+    "g AS (SELECT doc_id, unnest(toks) AS gram FROM t "
+    "UNION ALL "
+    "SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 1)) || ' ' "
+    "|| unnest(list_slice(toks, 2, len(toks))) AS gram "
+    "FROM t WHERE len(toks) >= 2), "
+    # portable 60-bit md5 hash, seed 17, into 2048 buckets
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('17:' || gram), "
+    "1, 15)) AS BIGINT) % 2048 AS b FROM g), "
+    # per-class margin: bias_k + mean over feature instances of
+    # w_k[bucket], w_k(b) = ((b*(k+3)) % 101)/101 - 0.5
+    "pd AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS c, "
+    "sum(((b * 3) % 101) / 101.0 - 0.5) AS s0, "
+    "sum(((b * 4) % 101) / 101.0 - 0.5) AS s1, "
+    "sum(((b * 5) % 101) / 101.0 - 0.5) AS s2 "
+    "FROM gb GROUP BY doc_id), "
+    "m AS (SELECT doc_id, 0.0 + s0 / c AS m0, 0.05 + s1 / c AS m1, "
+    "0.1 + s2 / c AS m2 FROM pd), "
+    "a AS (SELECT doc_id, m0, m1, m2, "
+    "greatest(m0, m1, m2) AS mx FROM m) "
+    "SELECT d.doc_id, "
+    "CASE WHEN a.mx IS NULL THEN NULL "
+    "WHEN a.m0 = a.mx THEN 'en' WHEN a.m1 = a.mx THEN 'es' "
+    "ELSE 'fr' END AS language_pred, "
+    "round(1.0 / (exp(a.m0 - a.mx) + exp(a.m1 - a.mx) "
+    "+ exp(a.m2 - a.mx)), 6) AS language_prob "
+    "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id",
+)
+def t39(spark, sf_dir):
+    """Trained multiclass langid SCORER (langid.py:score_langid —
+    the fasttext-style softmax router, K-class extension of t34's
+    binary scorer): fixed pure-function weights w_k(b) =
+    ((b·(k+3)) % 101)/101 − 0.5 and biases 0.05·k over classes
+    (en, es, fr), so the oracle rebuilds all K weight vectors in one
+    expression each and replays margins (mean features), the argmax
+    with first-class tiebreak, and the winner's softmax probability
+    over the portable md5 bucket stream (seed 17, B=2048).
+    Probability rounded to 6 (exp last-ulp, like t34); the predicted
+    class compares each engine's own margins against its own max, so
+    it is exact unless two margins collide within float-sum noise —
+    impossible for distinct pure-function weight rows. Training is
+    certified by t40 + tests/test_langid.py (float-sum order makes
+    trained weights bit-unstable, same contract as t34/t35)."""
+    from polaroam_spark.operators.langid import score_langid
+
+    B = 2048
+    model = {
+        "classes": ["en", "es", "fr"],
+        "weights": [
+            [((b * (k + 3)) % 101) / 101.0 - 0.5 for b in range(B)]
+            for k in range(3)
+        ],
+        "biases": [0.0, 0.05, 0.1],
+        "num_buckets": B,
+        "seed": 17,
+        "portable": True,
+        "normalize": True,
+    }
+    out = score_langid(_t(spark, sf_dir, "documents"), model)
+    return out.select(
+        "doc_id",
+        "language_pred",
+        F.round("language_prob", 6).alias("language_prob"),
+    )
+
+
+@_q(
+    "t40_langid_train_invariants",
+    "SELECT (SELECT count(*) FROM documents "
+    "WHERE doc_id IS NOT NULL) AS n_rows, "
+    "CAST(0 AS BIGINT) AS n_dropped, "
+    "TRUE AS loss_descends, TRUE AS separates",
+)
+def t40(spark, sf_dir):
+    """Multiclass langid TRAINING certification (langid.py:
+    train_langid, the t35 pattern for K=3): a planted separable
+    labeling — doc_id%3 picks one of three disjoint marker-token
+    blocks (en/es/fr function words, no token shared across blocks)
+    appended 10x — trained for 12 full-batch softmax-GD iterations
+    (mean features) must (a) use every labeled row, (b) descend
+    STRICTLY MONOTONICALLY from the ln(3) zero-weights start and end
+    below 0.9x of it (measured 0.76x at sf0.001 AND sf0.01), and (c)
+    reach >= 0.95 train accuracy with score_langid (measured 1.0 at
+    both SFs). Booleans are robust to float-sum order; the t39 gate
+    pins the scorer arithmetic hash-exact and tests/test_langid.py
+    pins driver-replay equality."""
+    import math
+
+    from polaroam_spark.operators.langid import (
+        score_langid,
+        train_langid,
+    )
+
+    marks = {
+        0: " the of and to is that it for",
+        1: " el que y un por con los para",
+        2: " le les des et du dans une sur",
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.repeat(
+                    F.when(F.col("doc_id") % 3 == 0, F.lit(marks[0]))
+                    .when(F.col("doc_id") % 3 == 1, F.lit(marks[1]))
+                    .otherwise(F.lit(marks[2])),
+                    10,
+                ),
+            ).alias("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("en"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("es"))
+            .otherwise(F.lit("fr"))
+            .alias("language"),
+        )
+    )
+    model = train_langid(
+        docs, num_buckets=512, n_iter=12, learning_rate=5.0
+    )
+    losses = model["loss_history"]
+    n = model["n_rows"]
+    correct = (
+        score_langid(docs, model)
+        .filter(F.col("language_pred") == F.col("language"))
+        .count()
+    )
+    row = (
+        n,
+        model["n_dropped"],
+        bool(
+            abs(losses[0] - math.log(3)) < 0.02
+            and losses[-1] < losses[0] * 0.9
+            and all(b < a for a, b in zip(losses, losses[1:]))
+        ),
+        bool(correct >= 0.95 * n),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, n_dropped long, loss_descends boolean, "
+        "separates boolean",
+    )
+
+
+@_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
     "CAST(n_chars AS DOUBLE) / 200.0 "
@@ -10243,6 +10392,7 @@ _PRIORITY = [
     # re-drove in r14), alphabetical within rounds. r15-NEW gates are
     # inserted at the TOP of this tail as they are added (first driver
     # rows r16):
+    "t39_langid_scorer", "t40_langid_train_invariants",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

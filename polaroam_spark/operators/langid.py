@@ -1,0 +1,387 @@
+"""Trained multiclass language identification — the fasttext-style
+langid slot (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+Classification") every published curation pipeline (CCNet, RedPajama,
+Dolma) fills with a trained model rather than a stopword heuristic.
+This is the K-class softmax extension of
+:mod:`~polaroam_spark.operators.quality`'s hashed-gram logistic
+regression: same feature stream
+(:func:`~polaroam_spark.operators.quality.hashed_gram_buckets`, the
+DSIR unigram+bigram bucket hash), K weight vectors instead of one.
+
+Scale shape — scoring: for K·B within the literal budget every class
+margin is a pure per-row JVM expression (transform → element_at →
+aggregate over one parsed array literal per class) and the argmax /
+softmax-probability are array expressions over the K margins: ZERO
+shuffle, zero join, runs unchanged on readStream — the per-document
+router a 1000-executor cluster streams 100 TB through. Larger K·B
+broadcasts a B-row table of K-vectors with one doc-keyed sum per
+class (DSIR's scoring shape).
+
+Scale shape — training: full-batch softmax gradient descent; each
+iteration is ONE map-side pass over the persisted (class, buckets)
+projection — ``mapInPandas`` partials of (∇W, ∇b, loss, n) per
+partition, summed on the driver (the treeAggregate shape). The batch
+kernel is vectorized numpy (segment sums via ``add.reduceat``,
+scatter via ``bincount``) — no per-row Python in the loop.
+
+Beyond-reference component (reference is a mobility engine, ref core
+polaroam/*.py — no text surface); closes the "trained multiclass
+langid" gap called out in the r14 review. The heuristic counterpart
+is :func:`~polaroam_spark.operators.textstats.detect_language`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polaroam_spark.operators.quality import (
+    _LITERAL_MAX,
+    hashed_gram_buckets,
+)
+
+
+def _validate_langid_model(model: dict) -> tuple:
+    classes = [str(c) for c in model["classes"]]
+    k = len(classes)
+    if k < 2:
+        raise ValueError(f"need >= 2 classes (got {k})")
+    if len(set(classes)) != k:
+        raise ValueError("duplicate class labels in model")
+    b = int(model["num_buckets"])
+    w = model["weights"]
+    if len(w) != k:
+        raise ValueError(
+            f"model has {len(w)} weight vectors for {k} classes"
+        )
+    for i, row in enumerate(w):
+        if len(row) != b:
+            raise ValueError(
+                f"weights[{i}] length {len(row)} != num_buckets {b}"
+            )
+    biases = [float(x) for x in model.get("biases", [0.0] * k)]
+    if len(biases) != k:
+        raise ValueError(
+            f"model has {len(biases)} biases for {k} classes"
+        )
+    return (
+        classes,
+        [[float(x) for x in row] for row in w],
+        biases,
+        b,
+        int(model.get("seed", 17)),
+        bool(model.get("portable", False)),
+        bool(model.get("normalize", True)),
+    )
+
+
+def _sql_array_literal(values: "list[float]"):
+    """One parsed SQL array literal (quality.py's fast path: F.lit on
+    a Python list walks py4j element-by-element and costs seconds of
+    plan-build at B=4096; the SQL string parses in <0.1 s and %.17e
+    round-trips every finite double exactly)."""
+    if all(math.isfinite(x) for x in values):
+        return F.expr(
+            "array(" + ",".join(f"{x:.17e}" for x in values) + ")"
+        )
+    return F.lit(values)
+
+
+def score_langid(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "language_pred",
+    prob_col: "str | None" = "language_prob",
+) -> DataFrame:
+    """Append the predicted language (argmax class of ``softmax(b_k +
+    Σ w_k[bucket(gram)])`` over the document's unigram+bigram
+    instances; models with ``"normalize": True`` — the training
+    default — use MEAN features) and, when ``prob_col`` is set, the
+    winner's softmax probability. NULL/empty-gram documents get NULL
+    prediction and probability (no evidence — same contract as the
+    quality scorer and DSIR). Ties go to the first class in
+    ``model["classes"]`` order (deterministic).
+
+    ``model`` is :func:`train_langid`'s dict (or any hand-built
+    ``{"classes": [...], "weights": [[...], ...], "biases": [...],
+    "num_buckets": B, "seed": s, "portable": p}``). For K·B within
+    the literal budget scoring is a pure per-row JVM expression (no
+    shuffle, no join — module docstring); larger models broadcast a
+    B-row table of K-vectors and sum per ``id_col`` — on THAT path
+    ``id_col`` must be unique (the per-row literal path has no such
+    precondition)."""
+    classes, w, biases, b, seed, portable, normalize = (
+        _validate_langid_model(model)
+    )
+    k = len(classes)
+    buckets = hashed_gram_buckets(text_col, b, seed, portable)
+    classes_lit = F.array(*[F.lit(c) for c in classes])
+
+    if k * b <= _LITERAL_MAX:
+        # NB: the lookup lambda must take exactly ONE parameter —
+        # PySpark treats a 2-arg transform lambda as (element, index)
+        # — so the weight literal binds via a closure helper
+        def _fold(wl):
+            return F.aggregate(
+                F.transform(
+                    buckets,
+                    lambda i: F.element_at(wl, i + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        margins = []
+        for ki in range(k):
+            ssum = _fold(_sql_array_literal(w[ki]))
+            if normalize:
+                ssum = ssum / F.array_size(buckets)
+            margins.append(F.lit(biases[ki]) + ssum)
+        marr = F.when(
+            F.array_size(buckets) > 0, F.array(*margins)
+        )
+        out = df.withColumn("_margins", marr)
+    else:
+        spark = df.sparkSession
+        wtab = spark.createDataFrame(
+            [
+                (i, [float(w[ki][i]) for ki in range(k)])
+                for i in range(b)
+            ],
+            "_bucket int, _w array<double>",
+        )
+        scale = (
+            1.0 / F.count("*") if normalize else F.lit(1.0)
+        )
+        per_doc = (
+            df.select(id_col, F.explode(buckets).alias("_bucket"))
+            .join(F.broadcast(wtab), on="_bucket", how="left")
+            .groupBy(id_col)
+            .agg(
+                F.array(
+                    *[
+                        (
+                            F.lit(biases[ki])
+                            + F.sum(F.element_at("_w", ki + 1))
+                            * scale
+                        )
+                        for ki in range(k)
+                    ]
+                ).alias("_margins")
+            )
+        )
+        out = df.join(per_doc, on=id_col, how="left").select(
+            *df.columns, "_margins"
+        )
+
+    mx = F.array_max("_margins")
+    # the isNotNull guard is load-bearing: codegen'd element_at over
+    # a literal array does NOT propagate a NULL array_position result
+    # (observed returning the last class for NULL-margin rows on
+    # Spark 4.1) — the CASE branch short-circuits before element_at
+    pred = F.when(
+        F.col("_margins").isNotNull(),
+        F.element_at(
+            classes_lit,
+            F.array_position("_margins", mx).cast("int"),
+        ),
+    )
+    out = out.withColumn(out_col, pred)
+    if prob_col is not None:
+        denom = F.aggregate(
+            F.transform(F.col("_margins"), lambda m: F.exp(m - mx)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(prob_col, F.lit(1.0) / denom)
+    return out.drop("_margins")
+
+
+def train_langid(
+    df: DataFrame,
+    label_col: str = "language",
+    text_col: str = "text",
+    num_buckets: int = 2048,
+    seed: int = 17,
+    portable: bool = False,
+    n_iter: int = 30,
+    learning_rate: float = 5.0,
+    l2: float = 1e-6,
+    normalize: bool = True,
+    max_classes: int = 256,
+) -> dict:
+    """Fit the K-class softmax regression by full-batch gradient
+    descent: featurize ONCE into a persisted ``(class_idx, buckets)``
+    projection, then per iteration one map-side pass computes
+    partition-partial gradients against the broadcast current weights
+    and the driver applies the update. Class labels are taken AS
+    DISTINCT STRINGS of ``label_col`` (sorted, so class order — and
+    tie-breaking at scoring time — is deterministic); rows with a
+    NULL label or no grams are dropped and counted. Returns the model
+    dict for :func:`score_langid` plus ``loss_history`` (mean
+    cross-entropy per iteration, starting from ln K at zero weights)
+    and ``n_rows``/``n_dropped``.
+
+    ``normalize=True`` (default) uses MEAN features — same rationale
+    as the binary trainer (raw counts scale the gradient's Lipschitz
+    constant with document length squared).
+
+    The per-batch kernel is vectorized numpy: one ``add.reduceat``
+    segment-sum per class for the margins and one ``bincount``
+    scatter per class for the gradient — no per-row Python loop.
+    ``max_classes`` bounds the label collect (the model is K·B
+    doubles; an unbounded label space would make both the collect
+    and the model corpus-sized).
+
+    Determinism: same contract as the binary trainer — float sums
+    over partition partials, so exactness gates pin the SCORER on
+    fixed weights while training is certified by descent/accuracy
+    invariants."""
+    import numpy as np
+    import pandas as pd
+
+    from ..cache import track
+
+    b = int(num_buckets)
+    iters = int(n_iter)
+    lr = float(learning_rate)
+    reg = float(l2)
+    if iters < 1:
+        raise ValueError(f"n_iter must be >= 1 (got {n_iter})")
+    if b < 1:
+        raise ValueError(f"num_buckets must be >= 1 (got {num_buckets})")
+
+    lbl = F.col(label_col).cast("string")
+    classes = sorted(
+        r[0]
+        for r in df.select(lbl.alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .distinct()
+        .limit(int(max_classes) + 1)
+        .collect()
+    )
+    if len(classes) > int(max_classes):
+        raise ValueError(
+            f"more than max_classes={max_classes} distinct labels — "
+            "langid models are dense K x B; cap or bucket the label "
+            "space first"
+        )
+    if len(classes) < 2:
+        raise ValueError(
+            f"need >= 2 distinct classes (got {classes!r})"
+        )
+    k = len(classes)
+    classes_lit = F.array(*[F.lit(c) for c in classes])
+
+    buckets = hashed_gram_buckets(text_col, b, seed, portable)
+    total = df.count()
+    feats = track(
+        df.select(
+            (F.array_position(classes_lit, lbl) - 1)
+            .cast("int")
+            .alias("_y"),
+            buckets.alias("_bk"),
+        )
+        .filter(F.col("_y") >= 0)
+        .filter(F.array_size("_bk") > 0)
+        .persist()
+    )
+    n = feats.count()
+    if n == 0:
+        raise ValueError(
+            "train_langid: no usable rows (every row had a NULL "
+            "label or no grams)"
+        )
+
+    W = np.zeros((k, b), dtype=np.float64)
+    biases = np.zeros(k, dtype=np.float64)
+    norm_flag = bool(normalize)
+    losses: "list[float]" = []
+    schema = "grad array<double>, gbias array<double>, loss double, n long"
+
+    for _ in range(iters):
+        cur_w, cur_b = W.copy(), biases.copy()
+
+        def _partial(batches):
+            g = np.zeros((k, b), dtype=np.float64)
+            gb = np.zeros(k, dtype=np.float64)
+            loss = 0.0
+            cnt = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                y = pdf["_y"].to_numpy(dtype=np.int64)
+                counts = np.fromiter(
+                    (len(v) for v in pdf["_bk"]),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                idx = np.concatenate(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["_bk"]]
+                )
+                offsets = np.zeros(len(pdf), dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                scale = (
+                    1.0 / counts if norm_flag
+                    else np.ones(len(pdf), dtype=np.float64)
+                )
+                # margins: per-class segment sums over each row's grams
+                m = np.add.reduceat(
+                    cur_w[:, idx], offsets, axis=1
+                ) * scale + cur_b[:, None]
+                m -= m.max(axis=0, keepdims=True)
+                e = np.exp(m)
+                p = e / e.sum(axis=0, keepdims=True)
+                rows = np.arange(len(pdf))
+                loss -= np.log(
+                    np.maximum(p[y, rows], 1e-300)
+                ).sum()
+                r = p  # residual: p - onehot(y)
+                r[y, rows] -= 1.0
+                rs = r * scale  # (k, n_rows)
+                per_gram = np.repeat(rs, counts, axis=1)  # (k, n_grams)
+                for ki in range(k):
+                    g[ki] += np.bincount(
+                        idx, weights=per_gram[ki], minlength=b
+                    )
+                gb += r.sum(axis=1)
+                cnt += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "grad": [g.reshape(-1).tolist()],
+                    "gbias": [gb.tolist()],
+                    "loss": [loss],
+                    "n": [cnt],
+                }
+            )
+
+        parts = feats.mapInPandas(_partial, schema=schema).collect()
+        g = np.zeros((k, b), dtype=np.float64)
+        gb = np.zeros(k, dtype=np.float64)
+        loss = 0.0
+        for row in parts:
+            g += np.asarray(row["grad"], dtype=np.float64).reshape(
+                k, b
+            )
+            gb += np.asarray(row["gbias"], dtype=np.float64)
+            loss += row["loss"]
+        W -= lr * (g / n + reg * W)
+        biases -= lr * (gb / n)
+        losses.append(loss / n)
+
+    return {
+        "classes": classes,
+        "weights": [row.tolist() for row in W],
+        "biases": biases.tolist(),
+        "num_buckets": b,
+        "seed": int(seed),
+        "portable": bool(portable),
+        "normalize": norm_flag,
+        "loss_history": losses,
+        "n_rows": int(n),
+        "n_dropped": int(total - n),
+    }
