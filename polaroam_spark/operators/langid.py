@@ -19,7 +19,7 @@ class (DSIR's scoring shape).
 
 Scale shape — training: full-batch softmax gradient descent; each
 iteration is ONE map-side pass over the persisted (class, buckets)
-projection — ``mapInPandas`` partials of (∇W, ∇b, loss, n) per
+projection — ``mapInArrow`` partials of (∇W, ∇b, loss, n) per
 partition, summed on the driver (the treeAggregate shape). The batch
 kernel is vectorized numpy (segment sums via ``add.reduceat``,
 scatter via ``bincount``) — no per-row Python in the loop.
@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 
 from polaroam_spark.operators.quality import (
     _LITERAL_MAX,
+    _arrow_segments,
+    _partials_batch,
     hashed_gram_buckets,
 )
 
@@ -242,7 +244,6 @@ def train_langid(
     fixed weights while training is certified by descent/accuracy
     invariants."""
     import numpy as np
-    import pandas as pd
 
     from ..cache import track
 
@@ -311,32 +312,23 @@ def train_langid(
             gb = np.zeros(k, dtype=np.float64)
             loss = 0.0
             cnt = 0
-            for pdf in batches:
-                if len(pdf) == 0:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                y = pdf["_y"].to_numpy(dtype=np.int64)
-                counts = np.fromiter(
-                    (len(v) for v in pdf["_bk"]),
-                    dtype=np.int64,
-                    count=len(pdf),
-                )
-                idx = np.concatenate(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["_bk"]]
-                )
-                offsets = np.zeros(len(pdf), dtype=np.int64)
-                np.cumsum(counts[:-1], out=offsets[1:])
+                y = np.asarray(batch.column("_y"), dtype=np.int64)
+                idx, starts, counts = _arrow_segments(batch, "_bk")
                 scale = (
                     1.0 / counts if norm_flag
-                    else np.ones(len(pdf), dtype=np.float64)
+                    else np.ones(batch.num_rows, dtype=np.float64)
                 )
                 # margins: per-class segment sums over each row's grams
                 m = np.add.reduceat(
-                    cur_w[:, idx], offsets, axis=1
+                    cur_w[:, idx], starts, axis=1
                 ) * scale + cur_b[:, None]
                 m -= m.max(axis=0, keepdims=True)
                 e = np.exp(m)
                 p = e / e.sum(axis=0, keepdims=True)
-                rows = np.arange(len(pdf))
+                rows = np.arange(batch.num_rows)
                 loss -= np.log(
                     np.maximum(p[y, rows], 1e-300)
                 ).sum()
@@ -349,17 +341,12 @@ def train_langid(
                         idx, weights=per_gram[ki], minlength=b
                     )
                 gb += r.sum(axis=1)
-                cnt += len(pdf)
-            yield pd.DataFrame(
-                {
-                    "grad": [g.reshape(-1).tolist()],
-                    "gbias": [gb.tolist()],
-                    "loss": [loss],
-                    "n": [cnt],
-                }
+                cnt += batch.num_rows
+            yield _partials_batch(
+                g.reshape(-1).tolist(), gb.tolist(), loss, cnt
             )
 
-        parts = feats.mapInPandas(_partial, schema=schema).collect()
+        parts = feats.mapInArrow(_partial, schema=schema).collect()
         g = np.zeros((k, b), dtype=np.float64)
         gb = np.zeros(k, dtype=np.float64)
         loss = 0.0

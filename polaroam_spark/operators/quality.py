@@ -23,7 +23,7 @@ shape). Both paths produce identical margins.
 
 Scale shape — training: full-batch gradient descent; each iteration
 is ONE map-side pass over the persisted (label, buckets) projection
-— ``mapInPandas`` partials of (∇w, ∇b, loss, n) per partition, a
+— ``mapInArrow`` partials of (∇w, ∇b, loss, n) per partition, a
 (B+1)-vector each, summed on the driver (the treeAggregate shape of
 every distributed LR, incl. pyspark.ml's). No shuffle anywhere in
 the loop; iteration cost is a corpus scan of the projected frame,
@@ -72,6 +72,44 @@ def hashed_gram_buckets(
     return F.transform(
         grams,
         lambda g: F.pmod(hash_fn(g, seed), F.lit(b)).cast("int"),
+    )
+
+
+def _arrow_segments(batch, list_col: str):
+    """(flattened int64 ids, segment-start offsets, per-row counts)
+    for a RecordBatch's list column — zero-copy off the Arrow
+    buffers, no per-row Python. A sliced ListArray's values buffer
+    can extend beyond the slice, hence the offset window."""
+    import numpy as np
+
+    bk = batch.column(list_col)
+    offs = np.asarray(bk.offsets)
+    vals = np.asarray(bk.values)
+    idx = vals[offs[0] : offs[-1]].astype(np.int64, copy=False)
+    starts = (offs[:-1] - offs[0]).astype(np.int64, copy=False)
+    counts = np.diff(offs).astype(np.int64, copy=False)
+    return idx, starts, counts
+
+
+def _partials_batch(grad, gbias, loss, n):
+    """One-row Arrow batch carrying a partition's partial gradient
+    (the mapInArrow return contract shared by both trainers; gbias
+    is a scalar for the binary model, a K-list for softmax)."""
+    import pyarrow as pa
+
+    gb = (
+        pa.array([gbias], type=pa.list_(pa.float64()))
+        if isinstance(gbias, list)
+        else pa.array([float(gbias)], type=pa.float64())
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([grad], type=pa.list_(pa.float64())),
+            gb,
+            pa.array([float(loss)], type=pa.float64()),
+            pa.array([int(n)], type=pa.int64()),
+        ],
+        names=["grad", "gbias", "loss", "n"],
     )
 
 
@@ -228,7 +266,6 @@ def train_quality_classifier(
     the SCORER on fixed weights; training is certified by descent +
     accuracy invariants (the pyspark.ml contract too)."""
     import numpy as np
-    import pandas as pd
 
     from ..cache import track
 
@@ -275,37 +312,46 @@ def train_quality_classifier(
         cur_w, cur_b = w.copy(), bias
 
         def _partial(batches):
+            # vectorized batch kernel (r14 verdict task 6): zero-copy
+            # Arrow segment extraction, one add.reduceat segment-sum
+            # for the margins and one bincount scatter for the
+            # gradient per batch — no per-row Python loop (scipy CSR
+            # is unavailable offline; these two numpy primitives are
+            # the same gather/scatter matmul)
             g = np.zeros(b, dtype=np.float64)
             gb = 0.0
             loss = 0.0
             cnt = 0
-            for pdf in batches:
-                y = pdf["_y"].to_numpy(dtype=np.float64)
-                for bk, yi in zip(pdf["_bk"], y):
-                    idx = np.asarray(bk, dtype=np.int64)
-                    scale = 1.0 / len(idx) if norm_flag else 1.0
-                    m = cur_b + cur_w[idx].sum() * scale
-                    # overflow-safe sigmoid and clamped log-loss
-                    p = 1.0 / (1.0 + math.exp(-m)) if m >= 0 else (
-                        math.exp(m) / (1.0 + math.exp(m))
-                    )
-                    loss -= yi * math.log(max(p, 1e-300)) + (
-                        1.0 - yi
-                    ) * math.log(max(1.0 - p, 1e-300))
-                    r = p - yi
-                    np.add.at(g, idx, r * scale)
-                    gb += r
-                    cnt += 1
-            yield pd.DataFrame(
-                {
-                    "grad": [g.tolist()],
-                    "gbias": [gb],
-                    "loss": [loss],
-                    "n": [cnt],
-                }
-            )
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                y = np.asarray(batch.column("_y"), dtype=np.float64)
+                idx, starts, counts = _arrow_segments(batch, "_bk")
+                scale = (
+                    1.0 / counts if norm_flag
+                    else np.ones(batch.num_rows, dtype=np.float64)
+                )
+                m = (
+                    np.add.reduceat(cur_w[idx], starts) * scale
+                    + cur_b
+                )
+                # overflow-safe sigmoid and clamped log-loss
+                t = np.exp(-np.abs(m))
+                p = np.where(m >= 0, 1.0 / (1.0 + t), t / (1.0 + t))
+                loss -= (
+                    y * np.log(np.maximum(p, 1e-300))
+                    + (1.0 - y) * np.log(np.maximum(1.0 - p, 1e-300))
+                ).sum()
+                r = p - y
+                g += np.bincount(
+                    idx, weights=np.repeat(r * scale, counts),
+                    minlength=b,
+                )
+                gb += r.sum()
+                cnt += batch.num_rows
+            yield _partials_batch(g.tolist(), gb, loss, cnt)
 
-        parts = feats.mapInPandas(_partial, schema=schema).collect()
+        parts = feats.mapInArrow(_partial, schema=schema).collect()
         g = np.zeros(b, dtype=np.float64)
         gb = 0.0
         loss = 0.0
