@@ -9614,6 +9614,85 @@ def t40(spark, sf_dir):
 
 
 @_q(
+    "t41_kn_trigram_reference",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    # reference = the doc_id%10==0 slice (t24's slicing convention);
+    # trigram positions via three zipped slices
+    "rtg AS (SELECT doc_id, "
+    "unnest(list_slice(toks, 1, len(toks) - 2)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks) - 1)) AS w2, "
+    "unnest(list_slice(toks, 3, len(toks))) AS w3 "
+    "FROM t WHERE len(toks) >= 3 AND doc_id % 10 = 0), "
+    "tri AS (SELECT w1, w2, w3, count(*) AS c123 "
+    "FROM rtg GROUP BY 1, 2, 3), "
+    "ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n12 "
+    "FROM tri GROUP BY 1, 2), "
+    "cbg AS (SELECT w2, w3, count(*) AS n_d23 FROM tri GROUP BY 1, 2), "
+    "mid AS (SELECT w2, sum(n_d23) AS n_d2d, count(*) AS n_2d "
+    "FROM cbg GROUP BY 1), "
+    # unigram continuation over DISTINCT reference bigram types
+    "rbt AS (SELECT DISTINCT a, w3 FROM (SELECT "
+    "unnest(list_slice(toks, 1, len(toks) - 1)) AS a, "
+    "unnest(list_slice(toks, 2, len(toks))) AS w3 "
+    "FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0) q0), "
+    "ucont AS (SELECT w3, count(*) AS n_d3 FROM rbt GROUP BY 1), "
+    "tot AS (SELECT CAST(coalesce(sum(n_d3), 0) AS DOUBLE) AS nb "
+    "FROM ucont), "
+    # scored trigram stream (EVERY document) + the five joins
+    "tg AS (SELECT doc_id, "
+    "unnest(list_slice(toks, 1, len(toks) - 2)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks) - 1)) AS w2, "
+    "unnest(list_slice(toks, 3, len(toks))) AS w3 "
+    "FROM t WHERE len(toks) >= 3), "
+    "j AS (SELECT tg.doc_id, tri.c123, ctx.c12, ctx.n12, cbg.n_d23, "
+    "mid.n_d2d, mid.n_2d, ucont.n_d3, tot.nb FROM tg "
+    "LEFT JOIN tri USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2) "
+    "LEFT JOIN cbg USING (w2, w3) LEFT JOIN mid USING (w2) "
+    "LEFT JOIN ucont USING (w3) CROSS JOIN tot), "
+    # KN recursion bottom-up, term-for-term with the Spark exprs
+    "p0 AS (SELECT doc_id, c123, c12, n12, n_d23, n_d2d, n_2d, "
+    "CASE WHEN coalesce(n_d3, 0) > 0 THEN CAST(n_d3 AS DOUBLE) / nb "
+    "ELSE 0.5 / (nb + 0.5) END AS p_cont FROM j), "
+    "p1 AS (SELECT doc_id, c123, c12, n12, "
+    "CASE WHEN coalesce(n_d2d, 0) > 0 THEN "
+    "greatest(CAST(coalesce(n_d23, 0) AS DOUBLE) - 0.75, 0.0) "
+    "/ CAST(n_d2d AS DOUBLE) "
+    "+ (0.75 * CAST(n_2d AS DOUBLE)) / CAST(n_d2d AS DOUBLE) * p_cont "
+    "ELSE p_cont END AS p_bg FROM p0), "
+    "pd AS (SELECT doc_id, avg(ln("
+    "CASE WHEN coalesce(c12, 0) > 0 THEN "
+    "greatest(CAST(coalesce(c123, 0) AS DOUBLE) - 0.75, 0.0) "
+    "/ CAST(c12 AS DOUBLE) "
+    "+ (0.75 * CAST(n12 AS DOUBLE)) / CAST(c12 AS DOUBLE) * p_bg "
+    "ELSE p_bg END)) AS s FROM p1 GROUP BY doc_id) "
+    "SELECT d.doc_id, round(pd.s, 6) AS mean_kn_logprob "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t41(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram reference-LM scoring
+    (textstats.py:kn_trigram_logprob_vs_reference — the CCNet
+    perplexity filter's published smoothing, Chen & Goodman 1999):
+    count the model on the doc_id%10==0 slice, score EVERY document.
+    D=0.75 is an exact binary double and every backoff level (unseen
+    trigram under seen context, unseen context, unseen middle,
+    unseen word -> 0.5/(NB+0.5) floor) is mirrored by the oracle's
+    CASE chain term-for-term. Rounded to 6 like t22/t24 (ln differs
+    in the last ulp across libms); a pure-python replay differential
+    lives in tests/test_textstats.py."""
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return kn_trigram_logprob_vs_reference(docs, ref).select(
+        "doc_id",
+        F.round("mean_kn_logprob", 6).alias("mean_kn_logprob"),
+    )
+
+
+@_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
     "CAST(n_chars AS DOUBLE) / 200.0 "
@@ -10393,6 +10472,7 @@ _PRIORITY = [
     # inserted at the TOP of this tail as they are added (first driver
     # rows r16):
     "t39_langid_scorer", "t40_langid_train_invariants",
+    "t41_kn_trigram_reference",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

@@ -691,6 +691,184 @@ def bigram_logprob_vs_reference(
     )
 
 
+def kn_trigram_logprob_vs_reference(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Append ``mean_kn_logprob``: each document's mean trigram
+    log-probability under an interpolated KNESER-NEY model (Chen &
+    Goodman 1999's recommended smoothing) counted from a SEPARATE
+    reference corpus — the shape of CCNet's actual perplexity filter
+    (a KN-smoothed n-gram LM trained on clean text, applied to the
+    crawl). :func:`bigram_logprob_vs_reference` is the interpolated
+    maximum-likelihood rung of this ladder; KN replaces (a) the ML
+    conditional with an ABSOLUTE-DISCOUNTED one (``max(c−D,0)``, mass
+    D per seen type released to the backoff) and (b) the raw unigram
+    prior with the CONTINUATION distribution (how many distinct
+    contexts a word follows, not how often it occurs) — the fix for
+    "Francisco is frequent but only ever follows San".
+
+    Model, top down (``D = discount``, default 0.75 — an exact
+    binary double, so every term is the same correctly-rounded
+    expression on any engine and the t41 oracle mirrors it
+    term-for-term):
+
+    - trigram: ``p(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+      + γ(w1w2)·p(w3|w2)`` with ``γ(w1w2) = D·N1+(w1w2·)/c(w1w2·)``
+      (``N1+(w1w2·)`` = distinct w3 types seen after the context —
+      exactly the mass the discount released);
+    - bigram (continuation counts, per the published mid-order
+      rule): ``p(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+      + γ(w2)·p_cont(w3)`` with ``γ(w2) = D·N1+(w2·)/N1+(·w2·)``,
+      where ``N1+(·w2w3)`` counts distinct w1 preceding the bigram
+      inside reference trigrams, ``N1+(·w2·)`` sums those over w3,
+      and ``N1+(w2·)`` counts distinct w3 in that table;
+    - unigram: ``p_cont(w3) = N1+(·w3)/N1+(··)`` over distinct
+      reference BIGRAM types (how many distinct words precede w3).
+
+    Out-of-vocabulary contracts (the t24 pattern — every unseen
+    level degrades to the level below, never to −inf):
+
+    - unseen trigram context (``c(w1w2·)=0``): the trigram term and
+      its γ vanish — score is ``p(w3|w2)`` outright;
+    - unseen bigram middle (``N1+(·w2·)=0``): likewise drop to
+      ``p_cont(w3)``;
+    - unseen word (``N1+(·w3)=0``): the floor
+      ``0.5/(N1+(··)+0.5)`` — finite, positive, a fixed dent.
+
+    Shape: trigram positions build MAP-SIDE per document (a zip_with
+    chain over three bulk slices — no positional self-join); the
+    reference contributes ONE trigram-type count table and four
+    derived tables that are aggregations OF it (each strictly
+    smaller), plus the distinct-bigram continuation table; the
+    scored trigram stream left-joins back and one doc-keyed average
+    finishes. Linear in corpus token volume, no UDF. The same
+    broadcast caveat as :func:`bigram_logprob_vs_reference` applies
+    one order higher: the TRIGRAM count table is the big one
+    (O(distinct reference trigrams) — strictly a shuffle join at
+    real reference scale; the scored stream hash-partitions once on
+    (w1,w2,w3) against it), while the per-context and continuation
+    tables stay near vocabulary-sized. Documents with fewer than 3
+    tokens get NULL.
+
+    ``discount`` must be in (0, 1): at 0 the model collapses to
+    unsmoothed ML with zero backoff mass (unseen trigrams under a
+    seen context would score log(0)); at 1 the top-level ML term
+    can't distinguish counts.
+    """
+    d_disc = float(discount)
+    if not 0.0 < d_disc < 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1) (got {discount}): 0 leaves"
+            " no backoff mass (unseen trigram under a seen context"
+            " scores log(0)), 1 erases the count signal"
+        )
+
+    def _trigrams(frame: DataFrame) -> DataFrame:
+        toks = tokens(text_col)
+        n = F.size(toks)
+        trips = F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+            lambda p, c: F.struct(
+                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+        return frame.select(
+            F.col(id_col), F.explode(trips).alias("_p")
+        ).select(
+            id_col,
+            F.col("_p.w1").alias("_w1"),
+            F.col("_p.w2").alias("_w2"),
+            F.col("_p.w3").alias("_w3"),
+        )
+
+    ref_tg = _trigrams(reference)
+    # trigram-type counts — the one corpus-scaled model table
+    tri = ref_tg.groupBy("_w1", "_w2", "_w3").agg(
+        F.count("*").alias("_c123")
+    )
+    # per-context totals + released-type counts, derived FROM tri
+    ctx = tri.groupBy("_w1", "_w2").agg(
+        F.sum("_c123").alias("_c12"),
+        F.count("*").alias("_n12"),
+    )
+    # continuation counts for the mid order: distinct w1 per (w2,w3)
+    cbg = tri.groupBy("_w2", "_w3").agg(F.count("*").alias("_n_d23"))
+    mid = cbg.groupBy("_w2").agg(
+        F.sum("_n_d23").alias("_n_d2d"),
+        F.count("*").alias("_n_2d"),
+    )
+    # unigram continuation over distinct reference bigram types
+    toks_ref = tokens(text_col)
+    n_ref = F.size(toks_ref)
+    ref_bg = reference.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks_ref, 1, F.greatest(n_ref - 1, F.lit(0))),
+                F.slice(toks_ref, 2, F.greatest(n_ref - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("_p")
+    ).select(
+        F.col("_p.a").alias("_a"), F.col("_p.b").alias("_w3")
+    ).distinct()
+    ucont = ref_bg.groupBy("_w3").agg(F.count("*").alias("_n_d3"))
+    total = ucont.agg(
+        F.coalesce(F.sum("_n_d3"), F.lit(0)).alias("_nb")
+    )
+
+    tg = _trigrams(df)
+    dd = F.lit(d_disc)
+    nb = F.col("_nb").cast("double")
+    p_cont = F.when(
+        F.coalesce(F.col("_n_d3"), F.lit(0)) > 0,
+        F.col("_n_d3").cast("double") / nb,
+    ).otherwise(F.lit(0.5) / (nb + F.lit(0.5)))
+    p_bg = F.when(
+        F.coalesce(F.col("_n_d2d"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("_n_d23"), F.lit(0)).cast("double") - dd,
+            F.lit(0.0),
+        )
+        / F.col("_n_d2d").cast("double")
+        + (dd * F.col("_n_2d").cast("double"))
+        / F.col("_n_d2d").cast("double")
+        * p_cont,
+    ).otherwise(p_cont)
+    p_tri = F.when(
+        F.coalesce(F.col("_c12"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("_c123"), F.lit(0)).cast("double") - dd,
+            F.lit(0.0),
+        )
+        / F.col("_c12").cast("double")
+        + (dd * F.col("_n12").cast("double"))
+        / F.col("_c12").cast("double")
+        * p_bg,
+    ).otherwise(p_bg)
+    per_doc = (
+        tg.join(tri, on=["_w1", "_w2", "_w3"], how="left")
+        .join(ctx, on=["_w1", "_w2"], how="left")
+        .join(cbg, on=["_w2", "_w3"], how="left")
+        .join(mid, on="_w2", how="left")
+        .join(ucont, on="_w3", how="left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.avg(F.log(p_tri)).alias("mean_kn_logprob"))
+    )
+    return df.join(per_doc, on=id_col, how="left").select(
+        *df.columns, "mean_kn_logprob"
+    )
+
+
 def _dsir_grams(text_col: str) -> Column:
     """DSIR's hashed-ngram feature stream: unigrams plus word
     bigrams (the paper's feature set). Documents with a single token

@@ -854,3 +854,170 @@ def test_normalize_text_forms_and_casefold(spark):
     assert folded[3] == "strasse ss"
     with pytest.raises(ValueError, match="NFC/NFD/NFKC/NFKD"):
         normalize_text("t", "NFX")
+
+
+def _kn_replay(ref_texts, doc_texts, d=0.75):
+    """Pure-python replay of kn_trigram_logprob_vs_reference's exact
+    arithmetic (same count tables, same term order) for the
+    differential test below."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return t.lower().split()
+
+    tri = Counter()
+    for t in ref_texts:
+        w = toks(t)
+        for i in range(len(w) - 2):
+            tri[(w[i], w[i + 1], w[i + 2])] += 1
+    c12, n12 = Counter(), Counter()
+    n_d23 = Counter()
+    for (a, b, c), n in tri.items():
+        c12[(a, b)] += n
+        n12[(a, b)] += 1
+        n_d23[(b, c)] += 1
+    n_d2d, n_2d = Counter(), Counter()
+    for (b, c), n in n_d23.items():
+        n_d2d[b] += n
+        n_2d[b] += 1
+    bg_types = set()
+    for t in ref_texts:
+        w = toks(t)
+        for i in range(len(w) - 1):
+            bg_types.add((w[i], w[i + 1]))
+    n_d3 = Counter(b for _, b in bg_types)
+    nb = float(len(bg_types))
+
+    out = {}
+    for did, t in doc_texts:
+        w = toks(t)
+        if len(w) < 3:
+            out[did] = None
+            continue
+        logs = []
+        for i in range(len(w) - 2):
+            a, b, c = w[i], w[i + 1], w[i + 2]
+            p_cont = (
+                n_d3[c] / nb if n_d3[c] > 0 else 0.5 / (nb + 0.5)
+            )
+            if n_d2d[b] > 0:
+                p_bg = max(n_d23[(b, c)] - d, 0.0) / n_d2d[b] + (
+                    d * n_2d[b]
+                ) / n_d2d[b] * p_cont
+            else:
+                p_bg = p_cont
+            if c12[(a, b)] > 0:
+                p = max(tri[(a, b, c)] - d, 0.0) / c12[(a, b)] + (
+                    d * n12[(a, b)]
+                ) / c12[(a, b)] * p_bg
+            else:
+                p = p_bg
+            logs.append(math.log(p))
+        out[did] = sum(logs) / len(logs)
+    return out
+
+
+def test_kn_trigram_logprob_vs_reference(spark):
+    """Interpolated Kneser-Ney trigram reference scoring: fluent >
+    shuffled > full-OOV, sub-3-token docs NULL, scores finite and
+    negative, and per-doc means match a pure-python replay of the
+    published recursion to 1e-9."""
+    import math
+
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the cat ran to the mat",
+        "a dog sat on a rug",
+        "the dog ran to the rug",
+    ]
+    doc_rows = [
+        (10, "the cat sat on the mat"),
+        (11, "mat the on sat cat the"),
+        (12, "zzz qqq www eee yyy"),
+        (13, "one two"),
+        (14, "the dog sat on the rug"),
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kn_trigram_logprob_vs_reference(docs, ref).collect()
+    }
+    assert out[13] is None
+    assert out[10] > out[11] > out[12]
+    assert all(
+        v is None or (math.isfinite(v) and v < 0)
+        for v in out.values()
+    )
+    replay = _kn_replay(ref_texts, doc_rows)
+    for k, v in replay.items():
+        if v is None:
+            assert out[k] is None
+        else:
+            assert abs(out[k] - v) < 1e-9, (k, out[k], v)
+
+
+def test_kn_trigram_random_differential(spark):
+    """200 random docs scored against a 60-doc random reference match
+    the python replay doc-for-doc — exercises every OOV branch
+    (unseen trigram under seen context, unseen context, unseen
+    middle, unseen word) across a vocabulary sized to force all of
+    them."""
+    import random
+
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    rnd = random.Random(71)
+    vocab = [f"w{i}" for i in range(40)]
+    ref_texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 20)))
+        for _ in range(60)
+    ]
+    extra = vocab + ["oov1", "oov2", "oov3"]
+    doc_rows = [
+        (
+            i,
+            " ".join(
+                rnd.choice(extra) for _ in range(rnd.randint(1, 25))
+            ),
+        )
+        for i in range(200)
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kn_trigram_logprob_vs_reference(docs, ref).collect()
+    }
+    replay = _kn_replay(ref_texts, doc_rows)
+    assert set(out) == set(replay)
+    for k, v in replay.items():
+        if v is None:
+            assert out[k] is None
+        else:
+            # same terms, different fold order across partitions
+            assert abs(out[k] - v) < 1e-9, (k, out[k], v)
+
+
+def test_kn_trigram_discount_validation(spark):
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0.0, 1.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="discount"):
+            kn_trigram_logprob_vs_reference(df, df, discount=bad)
