@@ -9693,6 +9693,184 @@ def t41(spark, sf_dir):
 
 
 @_q(
+    "t42_unigram_identity_counts",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens "
+    "FROM documents",
+)
+def t42(spark, sf_dir):
+    """Unigram-tokenizer CHAR-identity (unigram.py:
+    unigram_token_count — the t27 pattern for the second family): a
+    model whose pieces are exactly the corpus's distinct characters
+    (equal scores, max_piece_length=1) must tokenize every document
+    into precisely length(text) tokens — pre-tokenization is an
+    exact partition and each char is one piece, so any Viterbi,
+    fallback, cache, or dispatch bug shifts at least one count.
+    NULL text -> NULL count."""
+    import math
+
+    from polaroam_spark.operators.unigram import (
+        _BYTE_TOKEN_ID,
+        unigram_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = sorted(
+        r["c"]
+        for r in docs.select(
+            F.explode(F.split("text", "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    lp = -math.log(len(chars))
+    model = {
+        "type": "unigram",
+        "vocab": dict(_BYTE_TOKEN_ID)
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: lp for c in chars},
+        "max_piece_length": 1,
+    }
+    return unigram_token_count(docs, model).select(
+        "doc_id", "n_tokens"
+    )
+
+
+@_q(
+    "t43_unigram_train_roundtrip",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'viterbi_mismatches', 0 "
+    "UNION ALL SELECT 'roundtrip_failures', 0) ORDER BY chk",
+)
+def t43(spark, sf_dir):
+    """Trains a unigram-LM tokenizer (unigram.py:train_unigram —
+    Kudo 2018 EM + prune over the distributed word histogram) at
+    vocab 256+160 on the SF's documents, then certifies (the t29
+    pattern): (1) decode(encode(text)) == text for EVERY document —
+    byte fallback makes the family lossless, so any Viterbi, id,
+    or byte-run bug breaks at least one document; (2) on a
+    deterministic 40-doc sample, every pre-token's Viterbi score
+    equals the max over ALL segmentations (exhaustive enumeration,
+    an independent strategy) for pre-tokens up to 10 chars."""
+    from polaroam_spark.operators.tokenize import _PRETOKEN_RE
+    from polaroam_spark.operators.unigram import (
+        _viterbi,
+        train_unigram,
+        unigram_decode,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_unigram(docs, "text", vocab_size=256 + 160)
+    dec = unigram_decode(
+        unigram_encode(docs, model, "text"), model, "token_ids"
+    )
+    fails = dec.filter(
+        ~F.col("decoded").eqNullSafe(F.col("text"))
+    ).count()
+
+    scores = model["scores"]
+    max_len = model["max_piece_length"]
+
+    def best_exhaustive(w):
+        if not w:
+            return 0.0
+        out = float("-inf")
+        for k in range(1, min(len(w), max_len) + 1):
+            head = scores.get(w[:k])
+            if head is not None:
+                rest = best_exhaustive(w[k:])
+                if rest > float("-inf"):
+                    v = head + rest
+                    if v > out:
+                        out = v
+        return out
+
+    sample = (
+        docs.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    mism = 0
+    seen = set()
+    for r in sample:
+        for w in _PRETOKEN_RE.findall(r["text"]):
+            if len(w) > 10 or w in seen:
+                continue
+            seen.add(w)
+            seg = _viterbi(w, scores, max_len)
+            if seg is None:
+                continue  # byte-fallback words have no full path
+            if abs(seg[1] - best_exhaustive(w)) > 1e-9:
+                mism += 1
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [
+            ("docs_checked", n_docs),
+            ("roundtrip_failures", fails),
+            ("viterbi_mismatches", mism),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
+@_q(
+    "t44_tokenizer_fertility_compare",
+    "WITH d AS (SELECT text FROM documents WHERE text IS NOT NULL), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes "
+    "FROM d) "
+    "SELECT fam, n_docs, n_bytes, TRUE AS tokens_le_bytes, "
+    "TRUE AS fertility_positive FROM m, "
+    "(VALUES ('bpe'), ('unigram')) AS f(fam) ORDER BY fam",
+)
+def t44(spark, sf_dir):
+    """Tokenizer-family comparison table (tokenize.py:
+    tokenizer_stats dispatching on the model's family — what the
+    fertility metric exists for): BPE and unigram trained at the
+    SAME vocab budget (256+160) on the SAME corpus, one stats row
+    each. Pinned: identical corpus measurements (n_docs, n_bytes)
+    across families, tokens <= bytes for both (a piece/merge never
+    loses to raw bytes), positive fertility. The family-specific
+    token counts themselves are certified by t43/t29's roundtrips
+    and the t42/t27 identities; this gate pins the COMPARISON
+    surface."""
+    from polaroam_spark.operators.tokenize import (
+        tokenizer_stats,
+        train_bpe,
+    )
+    from polaroam_spark.operators.unigram import train_unigram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = []
+    for fam, trainer in (
+        ("bpe", train_bpe),
+        ("unigram", train_unigram),
+    ):
+        model = trainer(docs, "text", vocab_size=256 + 160)
+        st = tokenizer_stats(docs, model).collect()[0]
+        rows.append(
+            (
+                fam,
+                int(st["n_docs"]),
+                int(st["n_bytes"]),
+                bool(st["n_tokens"] <= st["n_bytes"]),
+                bool(
+                    st["fertility"] is not None
+                    and st["fertility"] > 0
+                ),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "fam string, n_docs long, n_bytes long, "
+        "tokens_le_bytes boolean, fertility_positive boolean",
+    ).orderBy("fam")
+
+
+@_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
     "CAST(n_chars AS DOUBLE) / 200.0 "
@@ -10472,7 +10650,8 @@ _PRIORITY = [
     # inserted at the TOP of this tail as they are added (first driver
     # rows r16):
     "t39_langid_scorer", "t40_langid_train_invariants",
-    "t41_kn_trigram_reference",
+    "t41_kn_trigram_reference", "t42_unigram_identity_counts",
+    "t43_unigram_train_roundtrip", "t44_tokenizer_fertility_compare",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

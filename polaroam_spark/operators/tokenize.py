@@ -907,14 +907,25 @@ def tokenizer_stats(
     aggregation; output is #groups rows. NULL texts are dropped;
     ratio columns are NULL for a group with zero words/tokens. A
     merge-free 256-vocab model gives ``n_tokens == n_bytes`` exactly
-    (byte-level BPE identity) — the oracle twin the t38 gate pins."""
+    (byte-level BPE identity) — the oracle twin the t38 gate pins.
+
+    ``model`` may be either tokenizer family: a BPE model (this
+    module) or a unigram model (``unigram.py``, dispatched on its
+    ``type`` key) — the whole point of the table is comparing the
+    two families on one corpus."""
+    if model.get("type") == "unigram":
+        from polaroam_spark.operators.unigram import unigram_encode
+
+        encode_fn = unigram_encode
+    else:
+        encode_fn = bpe_encode
     words = F.size(
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\s+"),
             lambda t: t != "",
         )
     )
-    enc = bpe_encode(
+    enc = encode_fn(
         docs.filter(F.col(text_col).isNotNull()), model, text_col,
         out_col="_ids",
     ).select(

@@ -1,0 +1,598 @@
+"""SentencePiece-style UNIGRAM-LM tokenizer (Kudo 2018, "Subword
+Regularization", §3) — the second tokenizer family next to
+``tokenize.py``'s BPE, so :func:`tokenizer_stats` can compare
+fertility/compression across families on the same corpus (which is
+what that table is for).
+
+Published formulation, re-expressed with the package's
+parallel-count / driver-solve split (the train_bpe shape):
+
+- **Training**: ONE distributed pass builds the pre-token frequency
+  histogram (explode → groupBy → count, map-side combined — the
+  identical pass train_bpe makes); the EM + prune loop then runs
+  driver-side over that bounded, vocabulary-sized table. Seed
+  pieces are the top substrings by ``frequency × length`` (the
+  paper's seeding heuristic) plus EVERY single character seen —
+  characters are never pruned, so a segmentation path always
+  exists. Each outer round runs ``em_iters`` full EM steps
+  (E: forward–backward expected piece counts over each histogram
+  word, weighted by its frequency; M: maximum-likelihood
+  renormalization — the paper's EM with the plain ML M-step) and
+  then prunes to ``shrink`` of the current size by the paper's
+  loss ranking: ``loss(p) ≈ E[count(p)] · (logp(p) − alt(p))``
+  where ``alt(p)`` is the best segmentation of ``p`` using the
+  OTHER pieces — how much total log-likelihood is lost if every
+  use of ``p`` falls back to its own best decomposition.
+
+- **Encoding**: per pre-token Viterbi (the paper's decoding — the
+  single best segmentation under the piece log-probabilities),
+  with SentencePiece's ``--byte_fallback`` contract: ids 0..255
+  are reserved byte tokens ``<0x00>``..``<0xFF>`` and any
+  character with no piece path encodes as its UTF-8 bytes — so
+  ``decode(encode(x)) == x`` EXACTLY for any input, trained
+  vocabulary or not (the roundtrip a gate can pin). Pre-tokens
+  come from the same exact-partition regex as BPE (concatenating
+  pre-tokens reproduces the text), so losslessness composes.
+  Ties in Viterbi score break toward the LONGER piece ending at
+  the position, then lexicographically — encoding is a pure
+  function of the model.
+
+Reference parity note: the reference engine (PolaRoam) has no
+tokenizer surface at all — this module is beyond-reference
+LLM-pipeline capability, built from the published paper only.
+"""
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polaroam_spark.operators.tokenize import (
+    _CACHE_CAP,
+    _open_model_file,
+    _pre_re,
+)
+
+#: SentencePiece byte-fallback token strings, ids 0..255.
+_BYTE_TOKENS = [f"<0x{b:02X}>" for b in range(256)]
+_BYTE_TOKEN_ID = {t: i for i, t in enumerate(_BYTE_TOKENS)}
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def _word_histogram(
+    df: DataFrame, text_col: str, max_words: int, flavor: str
+) -> "list[tuple[str, int]]":
+    """The train_bpe distributed pass verbatim: pre-token frequency
+    histogram, top ``max_words`` by (count desc, word), loud warning
+    when the tail was dropped."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _pretok(col: pd.Series) -> pd.Series:
+        pre = _pre_re(flavor)
+        return col.map(
+            lambda t: None if t is None else pre.findall(t)
+        )
+
+    rows = (
+        df.select(F.explode(_pretok(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(int(max_words) + 1)
+        .collect()
+    )
+    if len(rows) > int(max_words):
+        import warnings
+
+        warnings.warn(
+            f"train_unigram: corpus has more than max_words="
+            f"{int(max_words)} distinct pre-tokens; the frequency "
+            "tail was dropped from the training histogram, which can "
+            "change the learned pieces. Raise max_words to train on "
+            "the full vocabulary.",
+            stacklevel=3,
+        )
+        rows = rows[: int(max_words)]
+    return [(r["w"], int(r["count"])) for r in rows]
+
+
+def _forward_backward(
+    word: str,
+    freq: int,
+    logp: "dict[str, float]",
+    max_len: int,
+    counts: "dict[str, float]",
+) -> float:
+    """One E-step accumulation: add ``freq ×`` the expected piece
+    counts of ``word``'s segmentations to ``counts`` and return
+    ``freq × logZ`` (the word's contribution to the corpus
+    log-likelihood). Assumes every single character of ``word`` has
+    a piece (the trainer guarantees it)."""
+    n = len(word)
+    neg = float("-inf")
+    alpha = [neg] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        acc = neg
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or alpha[j] == neg:
+                continue
+            v = alpha[j] + lp
+            if acc == neg:
+                acc = v
+            elif v > acc:
+                acc = v + math.log1p(math.exp(acc - v))
+            else:
+                acc = acc + math.log1p(math.exp(v - acc))
+        alpha[i] = acc
+    z = alpha[n]
+    if z == neg:  # pragma: no cover - guarded by char seeding
+        raise RuntimeError(
+            f"unigram E-step: no segmentation path for {word!r}"
+        )
+    beta = [neg] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = neg
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            lp = logp.get(word[i:j])
+            if lp is None or beta[j] == neg:
+                continue
+            v = lp + beta[j]
+            if acc == neg:
+                acc = v
+            elif v > acc:
+                acc = v + math.log1p(math.exp(acc - v))
+            else:
+                acc = acc + math.log1p(math.exp(v - acc))
+        beta[i] = acc
+    for i in range(n):
+        if alpha[i] == neg:
+            continue
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None or beta[j] == neg:
+                continue
+            counts[piece] = counts.get(piece, 0.0) + freq * math.exp(
+                alpha[i] + lp + beta[j] - z
+            )
+    return freq * z
+
+
+def _viterbi(
+    word: str, logp: "dict[str, float]", max_len: int
+) -> "tuple[list[str], float] | None":
+    """Best segmentation of ``word`` into pieces, or None when no
+    path exists. Ties break toward the LONGER piece ending at each
+    position, then the lexicographically larger piece — a total,
+    deterministic order."""
+    n = len(word)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    back: "list[str | None]" = [None] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j] == neg:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            v = best[j] + lp
+            cur = back[i]
+            if (
+                v > best[i]
+                or (
+                    v == best[i]
+                    and cur is not None
+                    and (len(piece), piece) > (len(cur), cur)
+                )
+            ):
+                best[i] = v
+                back[i] = piece
+    if best[n] == neg:
+        return None
+    out: "list[str]" = []
+    i = n
+    while i > 0:
+        p = back[i]
+        assert p is not None
+        out.append(p)
+        i -= len(p)
+    out.reverse()
+    return out, best[n]
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    max_words: int = 1_000_000,
+    max_piece_length: int = 16,
+    seed_size: "int | None" = None,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    pretokenizer: str = "default",
+) -> dict:
+    """Learn a unigram-LM tokenizer (Kudo 2018) from a corpus. See
+    the module docstring for the algorithm; the DISTRIBUTED part is
+    exactly one histogram pass, everything after runs driver-side
+    over the bounded word table (the train_bpe split).
+
+    ``vocab_size`` counts the 256 reserved byte-fallback tokens, so
+    the number of learned pieces is ``vocab_size - 256``; it must
+    leave room for every distinct character in the histogram
+    (characters are never pruned — they are what guarantees a
+    segmentation path). ``seed_size`` defaults to
+    ``max(8 × pieces, 1024)`` seed candidates. Returns
+    ``{"type": "unigram", "vocab": {token: id},
+    "scores": {piece: logprob}}``; ids 0..255 are ``<0xXX>`` byte
+    tokens, pieces get 256.. sorted by (-logprob, piece) — training
+    is a pure function of the histogram.
+
+    ``loss_history`` in the returned model records the corpus
+    log-likelihood after each EM step (within an outer round EM is
+    monotone non-decreasing; prune steps may drop it — that is the
+    size/likelihood trade the paper makes).
+    """
+    n_pieces = int(vocab_size) - 256
+    if n_pieces <= 0:
+        raise ValueError(
+            f"vocab_size must be > 256 (got {vocab_size}): ids "
+            "0..255 are reserved byte-fallback tokens"
+        )
+    if not 0.0 < float(shrink) < 1.0:
+        raise ValueError(f"shrink must be in (0, 1) (got {shrink})")
+    _pre_re(pretokenizer)  # fail fast on the driver
+    max_len = int(max_piece_length)
+    if max_len < 1:
+        raise ValueError("max_piece_length must be >= 1")
+
+    words = _word_histogram(df, text_col, max_words, pretokenizer)
+    if not words:
+        raise ValueError("train_unigram: empty corpus")
+
+    # ---- seed: every char + top substrings by freq*len -------------
+    chars: "set[str]" = set()
+    sub_freq: "dict[str, int]" = {}
+    for w, c in words:
+        chars.update(w)
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_len) + 1):
+                s = w[i:j]
+                sub_freq[s] = sub_freq.get(s, 0) + c
+    if len(chars) > n_pieces:
+        raise ValueError(
+            f"vocab_size={vocab_size} leaves room for {n_pieces} "
+            f"pieces but the corpus has {len(chars)} distinct "
+            "characters; raise vocab_size (characters are never "
+            "pruned)"
+        )
+    n_seed = (
+        int(seed_size)
+        if seed_size is not None
+        else max(8 * n_pieces, 1024)
+    )
+    multi = sorted(
+        (s for s in sub_freq if len(s) > 1),
+        key=lambda s: (-sub_freq[s] * len(s), s),
+    )[: max(0, n_seed - len(chars))]
+    pieces = set(chars) | set(multi)
+
+    # initial probs proportional to substring frequency
+    tot = sum(sub_freq[p] for p in pieces)
+    logp = {
+        p: math.log(sub_freq[p]) - math.log(tot) for p in pieces
+    }
+
+    loss_history: "list[float]" = []
+
+    def _em_step() -> None:
+        counts: "dict[str, float]" = {}
+        ll = 0.0
+        for w, c in words:
+            ll += _forward_backward(w, c, logp, max_len, counts)
+        loss_history.append(ll)
+        # ML M-step; a piece with zero expected count keeps a floor
+        # epsilon mass so chars stay encodable until pruned
+        total = sum(counts.values())
+        floor = math.log(1e-12)
+        for p in list(logp):
+            cp = counts.get(p, 0.0)
+            logp[p] = (
+                math.log(cp) - math.log(total) if cp > 0.0 else floor
+            )
+
+    while True:
+        for _ in range(max(1, int(em_iters))):
+            _em_step()
+        if len(logp) <= n_pieces:
+            break
+        # ---- prune by the paper's removal loss ----------------
+        counts: "dict[str, float]" = {}
+        for w, c in words:
+            _forward_backward(w, c, logp, max_len, counts)
+        losses: "list[tuple[float, str]]" = []
+        for p in list(logp):
+            if len(p) == 1:
+                continue  # chars are never pruned
+            saved = logp.pop(p)
+            alt = _viterbi(p, logp, max_len)
+            logp[p] = saved
+            alt_lp = alt[1] if alt is not None else float("-inf")
+            loss = counts.get(p, 0.0) * (saved - alt_lp)
+            losses.append((loss, p))
+        keep_multi = max(
+            n_pieces - len(chars), int(len(losses) * float(shrink))
+        )
+        if keep_multi >= len(losses):
+            keep_multi = n_pieces - len(chars)
+        losses.sort(key=lambda t: (-t[0], t[1]))
+        kept = {p for _, p in losses[:keep_multi]} | chars
+        for p in list(logp):
+            if p not in kept:
+                del logp[p]
+
+    # ---- final renormalize + id assignment -------------------------
+    tot_mass = sum(math.exp(v) for v in logp.values())
+    log_tot = math.log(tot_mass)
+    scores = {p: v - log_tot for p, v in logp.items()}
+    vocab: "dict[str, int]" = dict(_BYTE_TOKEN_ID)
+    for i, p in enumerate(
+        sorted(scores, key=lambda p: (-scores[p], p))
+    ):
+        vocab[p] = 256 + i
+    out = {
+        "type": "unigram",
+        "vocab": vocab,
+        "scores": scores,
+        "max_piece_length": max_len,
+        "loss_history": loss_history,
+    }
+    if pretokenizer != "default":
+        out["pretokenizer"] = pretokenizer
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoding / decoding
+# ---------------------------------------------------------------------------
+
+
+def _unigram_encoder(model: dict):
+    """(text -> list[int]) closure — Viterbi per pre-token with byte
+    fallback, per-worker word cache (the _encoder shape)."""
+    if model.get("type") != "unigram":
+        raise ValueError(
+            "expected a unigram model (train_unigram/load_unigram "
+            "output with type='unigram')"
+        )
+    vocab = model["vocab"]
+    scores = model["scores"]
+    max_len = int(model.get("max_piece_length", 16))
+    flavor = model.get("pretokenizer", "default")
+    _pre_re(flavor)  # fail fast on the driver
+    cache: "dict[str, list[int]]" = {}
+
+    def _fallback(ch: str) -> "list[int]":
+        return [b for b in ch.encode("utf-8")]
+
+    def _segment(word: str) -> "list[int]":
+        seg = _viterbi(word, scores, max_len)
+        if seg is not None:
+            return [vocab[p] for p in seg[0]]
+        # some character has no piece: split the word at uncovered
+        # characters, Viterbi the covered runs, byte-fallback the rest
+        ids: "list[int]" = []
+        run = []
+        for ch in word:
+            if ch in scores:
+                run.append(ch)
+            else:
+                if run:
+                    ids.extend(_segment("".join(run)))
+                    run = []
+                ids.extend(_fallback(ch))
+        if run:
+            ids.extend(_segment("".join(run)))
+        return ids
+
+    def encode(text: "str | None") -> "list[int] | None":
+        if text is None:
+            return None
+        ids: "list[int]" = []
+        for word in _pre_re(flavor).findall(text):
+            hit = cache.get(word)
+            if hit is None:
+                hit = _segment(word)
+                if len(cache) >= _CACHE_CAP:
+                    cache.clear()
+                cache[word] = hit
+            ids.extend(hit)
+        return ids
+
+    return encode
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append exact unigram token ids (``array<int>``) per row —
+    the bpe_encode contract for the unigram family. NULL in →
+    NULL out."""
+    mk = _unigram_encoder(model)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(col: pd.Series) -> pd.Series:
+        return col.map(mk)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def unigram_token_count(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """Append the EXACT unigram token count (``long``) per row.
+    NULL in → NULL out."""
+    mk = _unigram_encoder(model)
+
+    @F.pandas_udf(T.LongType())
+    def _cnt(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda t: None if t is None else len(mk(t))
+        ).astype("Int64")
+
+    return df.withColumn(out_col, _cnt(F.col(text_col)))
+
+
+def _id_to_piece(model: dict) -> "dict[int, str | int]":
+    """id → piece string, or the raw byte VALUE (int) for the 256
+    fallback ids — decode assembles byte runs into UTF-8."""
+    out: "dict[int, str | int]" = {i: i for i in range(256)}
+    for p, i in model["vocab"].items():
+        if i >= 256:
+            out[i] = p
+    return out
+
+
+def _decode_unigram_ids(table: dict, ids) -> "str | None":
+    if ids is None:
+        return None
+    parts: "list[str]" = []
+    buf = bytearray()
+    for i in ids:
+        v = table[int(i)]
+        if isinstance(v, int):
+            buf.append(v)
+        else:
+            if buf:
+                parts.append(buf.decode("utf-8", errors="replace"))
+                buf.clear()
+            parts.append(v)
+    if buf:
+        parts.append(buf.decode("utf-8", errors="replace"))
+    return "".join(parts)
+
+
+def unigram_decode(
+    df: DataFrame,
+    model: dict,
+    ids_col: str = "token_ids",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Invert :func:`unigram_encode`: piece ids emit their literal
+    string, byte-fallback runs reassemble to UTF-8 — so
+    ``decode(encode(x)) == x`` exactly (pre-tokenization is an exact
+    partition and every character either has a piece or round-trips
+    through its own bytes). NULL in → NULL out."""
+    table = _id_to_piece(model)
+
+    @F.pandas_udf(T.StringType())
+    def _dec(col: pd.Series) -> pd.Series:
+        return col.map(lambda ids: _decode_unigram_ids(table, ids))
+
+    return df.withColumn(out_col, _dec(F.col(ids_col)))
+
+
+def encode_text_unigram(model: dict, text: str) -> "list[int]":
+    """Driver-side single-string encode (tests, spot checks)."""
+    return _unigram_encoder(model)(text)
+
+
+def decode_ids_unigram(model: dict, ids: "list[int]") -> str:
+    """Driver-side single-list decode."""
+    return _decode_unigram_ids(_id_to_piece(model), ids)
+
+
+# ---------------------------------------------------------------------------
+# model I/O
+# ---------------------------------------------------------------------------
+
+
+def save_unigram(model: dict, path: str) -> None:
+    """Write the model as a piece/score TSV (SentencePiece's public
+    vocab export shape): a ``#unigram`` header line carrying the
+    behavioral knobs, then one ``json-escaped-piece<TAB>score`` line
+    per piece in id order. Pieces are JSON-escaped because a piece
+    may legitimately contain a space or tab (pre-tokens carry their
+    leading space, the raw analogue of BPE's Ġ). Paths may be URIs
+    — the same pyarrow.fs routing as save_bpe."""
+    if model.get("type") != "unigram":
+        raise ValueError("save_unigram expects a unigram model")
+    flavor = model.get("pretokenizer", "default")
+    header = (
+        f"#unigram v1 max_piece_length="
+        f"{int(model.get('max_piece_length', 16))}"
+    )
+    if flavor != "default":
+        header += f" pretokenizer={flavor}"
+    by_id = sorted(
+        ((i, p) for p, i in model["vocab"].items() if i >= 256)
+    )
+    with _open_model_file(path, "w", "utf-8") as f:
+        f.write(header + "\n")
+        for _, p in by_id:
+            f.write(
+                f"{json.dumps(p, ensure_ascii=False)}\t"
+                f"{model['scores'][p]!r}\n"
+            )
+
+
+def load_unigram(path: str) -> dict:
+    """Load a :func:`save_unigram` model. Scores round-trip exactly
+    (``repr`` of a float parses back bit-identical), so a saved and
+    reloaded model encodes identically — the gate-pinnable
+    contract."""
+    vocab: "dict[str, int]" = dict(_BYTE_TOKEN_ID)
+    scores: "dict[str, float]" = {}
+    max_len = 16
+    flavor = "default"
+    with _open_model_file(path, "r", "utf-8") as f:
+        header = f.readline().rstrip("\n")
+        if not header.startswith("#unigram"):
+            raise ValueError(
+                f"not a unigram model file (header {header!r})"
+            )
+        for part in header.split()[2:]:
+            if part.startswith("max_piece_length="):
+                max_len = int(part.split("=", 1)[1])
+            elif part.startswith("pretokenizer="):
+                flavor = part.split("=", 1)[1]
+        nid = 256
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            piece_json, score = line.split("\t")
+            piece = json.loads(piece_json)
+            vocab[piece] = nid
+            scores[piece] = float(score)
+            nid += 1
+    out = {
+        "type": "unigram",
+        "vocab": vocab,
+        "scores": scores,
+        "max_piece_length": max_len,
+    }
+    if flavor != "default":
+        _pre_re(flavor)  # validate / fail fast
+        out["pretokenizer"] = flavor
+    return out

@@ -1,0 +1,249 @@
+"""Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer tests:
+training invariants, Viterbi optimality vs exhaustive enumeration,
+exact roundtrip with byte fallback, model I/O, and the
+tokenizer_stats family dispatch."""
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+TEXTS = [
+    "the cat sat on the mat and the dog sat too",
+    "tokenization is the art of splitting text into pieces",
+    "unigram language models segment text via viterbi decoding",
+    "répétition naïve — unicode round trip ✓ 漢字 かな",
+    "the the the the cat cat cat dog dog",
+    "  leading and   irregular   whitespace\tand\ttabs\n\nsurvive",
+    "",
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    from polaroam_spark.operators.unigram import train_unigram
+
+    return train_unigram(
+        docs, vocab_size=256 + 96, max_piece_length=8, seed_size=512
+    )
+
+
+def test_train_invariants(model):
+    """Pieces within budget, every corpus character kept, ids dense
+    from 256 in (-score, piece) order, EM loss non-decreasing on a
+    fixed piece set (first round and final polish)."""
+    scores = model["scores"]
+    assert len(scores) <= 96
+    corpus_chars = set("".join(t for t in TEXTS if t))
+    assert corpus_chars <= set(scores) | set()
+    for ch in corpus_chars:
+        assert ch in scores, ch
+    ids = sorted(i for i in model["vocab"].values() if i >= 256)
+    assert ids == list(range(256, 256 + len(scores)))
+    order = sorted(scores, key=lambda p: (-scores[p], p))
+    for rank, p in enumerate(order):
+        assert model["vocab"][p] == 256 + rank
+    # distribution normalized
+    assert abs(sum(math.exp(v) for v in scores.values()) - 1) < 1e-9
+    hist = model["loss_history"]
+    assert len(hist) >= 2
+    assert hist[1] >= hist[0] - 1e-9  # first EM round, same pieces
+    assert hist[-1] >= hist[-2] - 1e-9  # final polish, same pieces
+
+
+def test_train_deterministic(docs, model):
+    from polaroam_spark.operators.unigram import train_unigram
+
+    m2 = train_unigram(
+        docs, vocab_size=256 + 96, max_piece_length=8, seed_size=512
+    )
+    assert m2["vocab"] == model["vocab"]
+    assert m2["scores"] == model["scores"]
+
+
+def test_roundtrip_exact(docs, model):
+    """decode(encode(x)) == x for every document, including unicode,
+    irregular whitespace, and the empty string."""
+    from polaroam_spark.operators.unigram import (
+        unigram_decode,
+        unigram_encode,
+    )
+
+    dec = unigram_decode(unigram_encode(docs, model), model)
+    for r in dec.select("text", "decoded").collect():
+        assert r.decoded == r.text
+
+
+def test_byte_fallback_oov(model):
+    """Characters absent from training encode as <0xXX> byte ids
+    (< 256) and still roundtrip exactly."""
+    from polaroam_spark.operators.unigram import (
+        decode_ids_unigram,
+        encode_text_unigram,
+    )
+
+    s = "zzz \x00\x7f Ω𝄞 the"
+    ids = encode_text_unigram(model, s)
+    assert any(i < 256 for i in ids)  # fallback actually used
+    assert decode_ids_unigram(model, ids) == s
+
+
+def test_token_count_matches_encode(docs, model):
+    from polaroam_spark.operators.unigram import (
+        unigram_encode,
+        unigram_token_count,
+    )
+
+    both = unigram_token_count(
+        unigram_encode(docs, model), model
+    ).select("doc_id", "token_ids", "n_tokens")
+    for r in both.collect():
+        if r.token_ids is None:
+            assert r.n_tokens is None
+        else:
+            assert r.n_tokens == len(r.token_ids)
+
+
+def test_viterbi_vs_exhaustive():
+    """Property test: on random small piece sets, Viterbi's score
+    equals the max over ALL segmentations (exhaustive enumeration),
+    and its segmentation reproduces the word."""
+    import random
+
+    from polaroam_spark.operators.unigram import _viterbi
+
+    rnd = random.Random(17)
+    alphabet = "abcd"
+    for _ in range(60):
+        pieces = {}
+        for ch in alphabet:
+            pieces[ch] = rnd.uniform(-8, -1)
+        for _ in range(rnd.randint(2, 10)):
+            ln = rnd.randint(2, 4)
+            p = "".join(rnd.choice(alphabet) for _ in range(ln))
+            pieces[p] = rnd.uniform(-8, -1)
+        word = "".join(
+            rnd.choice(alphabet) for _ in range(rnd.randint(1, 9))
+        )
+
+        def best_exhaustive(w):
+            if not w:
+                return 0.0
+            out = float("-inf")
+            for k in range(1, min(len(w), 8) + 1):
+                head = w[:k]
+                if head in pieces:
+                    rest = best_exhaustive(w[k:])
+                    if rest > float("-inf"):
+                        out = max(out, pieces[head] + rest)
+            return out
+
+        seg = _viterbi(word, pieces, 8)
+        assert seg is not None
+        toks, score = seg
+        assert "".join(toks) == word
+        assert abs(score - best_exhaustive(word)) < 1e-9
+        assert abs(
+            score - sum(pieces[t] for t in toks)
+        ) < 1e-12
+
+
+def test_save_load_exact(model, tmp_path):
+    from polaroam_spark.operators.unigram import (
+        load_unigram,
+        save_unigram,
+    )
+
+    p = str(tmp_path / "uni.tsv")
+    save_unigram(model, p)
+    m2 = load_unigram(p)
+    assert m2["vocab"] == model["vocab"]
+    assert m2["scores"] == model["scores"]
+    assert m2["max_piece_length"] == model["max_piece_length"]
+
+
+def test_validation_errors(docs):
+    from polaroam_spark.operators.unigram import (
+        load_unigram,
+        save_unigram,
+        train_unigram,
+    )
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(docs, vocab_size=256)
+    with pytest.raises(ValueError, match="shrink"):
+        train_unigram(docs, vocab_size=512, shrink=1.0)
+    # budget smaller than the corpus charset
+    with pytest.raises(ValueError, match="distinct"):
+        train_unigram(docs, vocab_size=258)
+    with pytest.raises(ValueError, match="unigram model"):
+        save_unigram({"vocab": {}, "merges": []}, "/tmp/x.tsv")
+
+
+def test_bpe_model_rejected(docs):
+    from polaroam_spark.operators.unigram import unigram_encode
+
+    with pytest.raises(ValueError, match="unigram"):
+        unigram_encode(docs, {"vocab": {}, "merges": []})
+
+
+def test_char_identity_model(spark):
+    """A model whose pieces are exactly the corpus's single chars
+    (equal scores) tokenizes every doc into length(text) tokens —
+    the unigram analogue of the t27 byte identity."""
+    from polaroam_spark.operators.unigram import (
+        unigram_token_count,
+    )
+
+    rows = [(1, "hello world"), (2, "ab"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chars = sorted({c for _, t in rows[:2] for c in (t or "")})
+    lp = -math.log(len(chars))
+    model = {
+        "type": "unigram",
+        "vocab": {f"<0x{b:02X}>": b for b in range(256)}
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: lp for c in chars},
+        "max_piece_length": 1,
+    }
+    out = {
+        r.doc_id: r.n_tokens
+        for r in unigram_token_count(df, model).collect()
+    }
+    assert out == {1: len("hello world"), 2: 2, 3: None}
+
+
+def test_tokenizer_stats_dispatch(docs, model):
+    """tokenizer_stats accepts a unigram model and its n_tokens
+    equals the summed unigram_token_count; fertility compares
+    meaningfully against a BPE model trained on the same corpus."""
+    from polaroam_spark.operators.tokenize import (
+        tokenizer_stats,
+        train_bpe,
+    )
+    from polaroam_spark.operators.unigram import unigram_token_count
+
+    st = tokenizer_stats(docs, model).collect()[0]
+    direct = (
+        unigram_token_count(docs, model)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert st.n_tokens == direct
+    bpe = train_bpe(docs, vocab_size=256 + 96)
+    st_bpe = tokenizer_stats(docs, bpe).collect()[0]
+    # same corpus measurements, family-specific token counts
+    assert st.n_docs == st_bpe.n_docs
+    assert st.n_bytes == st_bpe.n_bytes
+    assert st.fertility is not None and st_bpe.fertility is not None
+    assert st.n_tokens <= st.n_bytes  # pieces never beat raw bytes
