@@ -9693,6 +9693,102 @@ def t41(spark, sf_dir):
 
 
 @_q(
+    "q9_mixture_report",
+    "WITH t AS (SELECT source, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n "
+    "FROM documents GROUP BY source), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS T, "
+    "CAST(count(*) AS BIGINT) AS k, min(source) AS s0 FROM t), "
+    "b AS (SELECT (6 * T) // 10 AS budget, k, s0, "
+    "(SELECT n FROM t, tot WHERE source = s0) AS n0 FROM tot), "
+    "r AS (SELECT t.source, t.n, "
+    "CASE WHEN t.source = b.s0 THEN 0.85 "
+    "ELSE 0.15 / (b.k - 1) END AS tshare, "
+    "CASE WHEN t.source = b.s0 THEN 1.0 "
+    "ELSE (CAST(b.budget - b.n0 AS DOUBLE) / (b.k - 1)) / t.n END "
+    "AS rate, "
+    "CASE WHEN t.source = b.s0 THEN CAST(t.n AS DOUBLE) "
+    "ELSE CAST(b.budget - b.n0 AS DOUBLE) / (b.k - 1) END AS exp_t "
+    "FROM t, b), "
+    # survivors under the seed-41 portable-hash draw (q8b's replay)
+    "s AS (SELECT d.source, d.text FROM documents d JOIN r "
+    "ON d.source = r.source "
+    "WHERE CAST(('0x' || substr(md5('41:' || "
+    "CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "/ 1152921504606846976.0 < r.rate), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS docs, "
+    "CAST(coalesce(sum(octet_length(encode(text))), 0) AS BIGINT) "
+    "AS toks FROM s GROUP BY source), "
+    "g AS (SELECT CAST(coalesce(sum(toks), 0) AS BIGINT) AS total "
+    "FROM a) "
+    "SELECT r.source, round(r.tshare, 6) AS target_share, "
+    "round(r.rate, 6) AS rate, round(r.exp_t, 6) AS expected_tokens, "
+    "coalesce(a.docs, 0) AS achieved_docs, "
+    "coalesce(a.toks, 0) AS achieved_tokens, "
+    "round(CASE WHEN g.total > 0 THEN "
+    "CAST(coalesce(a.toks, 0) AS DOUBLE) / CAST(g.total AS DOUBLE) "
+    "END, 6) AS achieved_share, "
+    "round(CAST(coalesce(a.toks, 0) AS DOUBLE) - r.exp_t, 6) "
+    "AS token_error, "
+    "round(CASE WHEN g.total > 0 THEN "
+    "CAST(coalesce(a.toks, 0) AS DOUBLE) / CAST(g.total AS DOUBLE) "
+    "END - r.tshare, 6) AS share_error "
+    "FROM r LEFT JOIN a ON r.source = a.source, g",
+)
+def q9(spark, sf_dir):
+    """Token-exact mixture data card (curation.py:mixture_report —
+    the measurement of what the doc-level relaxation cost): the q8
+    waterfill scenario planned AND reported in the SAME exact
+    tokenizer currency (the 256-vocab byte-identity BPE model, whose
+    count is octet_length — t27's oracle twin), executed with the
+    q8b seed-41 portable-hash draw. The oracle replays the
+    closed-form plan, the membership row-for-row, and the
+    achieved-vs-target aggregation; doubles rounded to 6 (the
+    engine's iterative waterfill and the closed form agree to
+    last-ulp; achieved shares are identical integer divisions)."""
+    from polaroam_spark.operators.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+        mixture_report,
+    )
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    stats = (
+        bpe_token_count(docs, ident, "text", out_col="_n")
+        .groupBy("source")
+        .agg(F.sum("_n").alias("n_tokens"))
+    )
+    rows = stats.select("source", "n_tokens").collect()
+    sources = sorted(r.source for r in rows)
+    k = len(sources)
+    total = sum(int(r.n_tokens) for r in rows)
+    targets = {s: 0.15 / (k - 1) for s in sources[1:]}
+    targets[sources[0]] = 0.85
+    plan = mixture_plan(stats, (6 * total) // 10, targets)
+    sampled = apply_mixture_plan(docs, plan, seed=41)
+    rep = mixture_report(sampled, plan, model=ident)
+    return rep.select(
+        "source",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("rate", 6).alias("rate"),
+        F.round("expected_tokens", 6).alias("expected_tokens"),
+        "achieved_docs",
+        "achieved_tokens",
+        F.round("achieved_share", 6).alias("achieved_share"),
+        F.round("token_error", 6).alias("token_error"),
+        F.round("share_error", 6).alias("share_error"),
+    )
+
+
+@_q(
     "t42_unigram_identity_counts",
     "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens "
     "FROM documents",
@@ -10652,6 +10748,7 @@ _PRIORITY = [
     "t39_langid_scorer", "t40_langid_train_invariants",
     "t41_kn_trigram_reference", "t42_unigram_identity_counts",
     "t43_unigram_train_roundtrip", "t44_tokenizer_fertility_compare",
+    "q9_mixture_report",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

@@ -491,3 +491,100 @@ def apply_mixture_plan(
         .filter(u < F.coalesce(F.col("_rate"), F.lit(0.0)))
         .drop("_g", "_rate")
     )
+
+
+def mixture_report(
+    sampled: DataFrame,
+    plan: DataFrame,
+    model: dict | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The data card for an executed mixture: per plan group, the
+    ACHIEVED document/token counts of the sampled corpus against the
+    plan's targets — the measurement that shows what the doc-level
+    relaxation (rates are document sampling rates; tokens arrive in
+    whole documents) actually cost in token-share error.
+
+    ``model`` picks the token currency: ``None`` counts whitespace
+    tokens (the planner's default currency via
+    :func:`~polaroam_spark.operators.textstats.token_count`); a BPE
+    or unigram model (dispatched on its ``type`` key, the
+    :func:`~polaroam_spark.operators.tokenize.tokenizer_stats`
+    convention) counts EXACT tokenizer tokens — the currency a
+    training run is actually billed in.
+
+    Returns one row per plan group: ``group, target_share, rate,
+    expected_tokens, achieved_docs, achieved_tokens, achieved_share,
+    token_error, share_error`` — ``token_error = achieved −
+    expected`` (plan units), ``share_error = achieved_share −
+    target_share``. Groups planned at rate 0 (or that kept no
+    documents) report zero counts rather than vanishing; NULL-text
+    documents count toward ``achieved_docs`` but contribute no
+    tokens; ``achieved_share`` is NULL when nothing survived at all.
+
+    Shape: ONE aggregation over the sampled corpus (token counting
+    is map-side; the groupBy is #groups-keyed), a broadcast join
+    against the #groups plan, and a broadcast 1-row total — linear
+    in sampled-corpus token volume, no corpus-sized shuffle.
+    """
+    if model is None:
+        from polaroam_spark.operators.textstats import token_count
+
+        counted = sampled.select(
+            F.col(group_col).alias("_g"),
+            token_count(text_col).alias("_n"),
+        )
+    elif model.get("type") == "unigram":
+        from polaroam_spark.operators.unigram import (
+            unigram_token_count,
+        )
+
+        counted = unigram_token_count(
+            sampled, model, text_col, out_col="_n"
+        ).select(F.col(group_col).alias("_g"), "_n")
+    else:
+        from polaroam_spark.operators.tokenize import bpe_token_count
+
+        counted = bpe_token_count(
+            sampled, model, text_col, out_col="_n"
+        ).select(F.col(group_col).alias("_g"), "_n")
+
+    achieved = counted.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_toks"),
+    )
+    total = achieved.agg(
+        F.coalesce(F.sum("_toks"), F.lit(0)).alias("_total")
+    )
+    joined = (
+        plan.select(
+            group_col, "target_share", "rate", "expected_tokens"
+        )
+        .join(
+            F.broadcast(achieved),
+            F.col(group_col).eqNullSafe(F.col("_g")),
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    a_toks = F.coalesce(F.col("_toks"), F.lit(0)).cast("long")
+    a_share = F.when(
+        F.col("_total") > 0,
+        a_toks.cast("double") / F.col("_total").cast("double"),
+    )
+    return joined.select(
+        group_col,
+        "target_share",
+        "rate",
+        "expected_tokens",
+        F.coalesce(F.col("_docs"), F.lit(0))
+        .cast("long")
+        .alias("achieved_docs"),
+        a_toks.alias("achieved_tokens"),
+        a_share.alias("achieved_share"),
+        (a_toks.cast("double") - F.col("expected_tokens")).alias(
+            "token_error"
+        ),
+        (a_share - F.col("target_share")).alias("share_error"),
+    )

@@ -351,3 +351,119 @@ def test_waterfill_kernel_properties(groups, budget):
             assert lhs == pytest.approx(
                 rhs, rel=1e-6, abs=1e-9 * max(budget, 1)
             )
+
+
+def test_mixture_report_whitespace(spark):
+    """Achieved-vs-target data card in the planner's own currency:
+    counts recomputed by hand, rate-0 groups present with zeros,
+    achieved shares sum to 1, error columns consistent."""
+    from polaroam_spark.operators.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+        mixture_report,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    rows = [
+        (i, "web", "alpha beta gamma delta " * (1 + i % 3))
+        for i in range(40)
+    ] + [
+        (100 + i, "code", "def f(): return x + y " * 2)
+        for i in range(20)
+    ] + [(200 + i, "books", "chapter one text") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    stats = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    plan = mixture_plan(
+        stats, 300, {"web": 0.7, "code": 0.3}
+    )  # books absent -> rate 0
+    sampled = apply_mixture_plan(docs, plan)
+    rep = {
+        r.source: r for r in mixture_report(sampled, plan).collect()
+    }
+    assert set(rep) == {"web", "code", "books"}
+    assert rep["books"].rate == 0.0
+    assert rep["books"].achieved_docs == 0
+    assert rep["books"].achieved_tokens == 0
+    # recount by hand
+    manual = {
+        s: (len(rs), sum(len(t.split()) for _, _, t in rs))
+        for s, rs in (
+            (
+                src,
+                [
+                    (d, s, t)
+                    for d, s, t in sampled.collect()
+                    if s == src
+                ],
+            )
+            for src in ("web", "code")
+        )
+    }
+    for s in ("web", "code"):
+        assert rep[s].achieved_docs == manual[s][0]
+        assert rep[s].achieved_tokens == manual[s][1]
+    total = sum(r.achieved_tokens for r in rep.values())
+    for s, r in rep.items():
+        assert r.achieved_share == pytest.approx(
+            r.achieved_tokens / total
+        )
+        assert r.token_error == pytest.approx(
+            r.achieved_tokens - r.expected_tokens
+        )
+        assert r.share_error == pytest.approx(
+            r.achieved_share - r.target_share
+        )
+
+
+def test_mixture_report_model_dispatch(spark):
+    """The report counts in the model's exact currency: the
+    byte-identity BPE model yields byte counts, a char-identity
+    unigram model yields char counts; NULL texts count as docs but
+    contribute no tokens."""
+    import math
+
+    from polaroam_spark.operators.curation import mixture_report
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "héllo"),   # 5 chars, 6 bytes
+            (2, "a", None),
+            (3, "b", "xy"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    plan = spark.createDataFrame(
+        [("a", 0.5, 1.0, 6.0), ("b", 0.5, 1.0, 2.0)],
+        "source string, target_share double, rate double, "
+        "expected_tokens double",
+    )
+    bpe_ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    rep = {
+        r.source: r
+        for r in mixture_report(docs, plan, model=bpe_ident).collect()
+    }
+    assert rep["a"].achieved_docs == 2
+    assert rep["a"].achieved_tokens == 6  # bytes, NULL adds none
+    assert rep["b"].achieved_tokens == 2
+    chars = sorted(set("hélloxy"))
+    uni_ident = {
+        "type": "unigram",
+        "vocab": {f"<0x{b:02X}>": b for b in range(256)}
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: -math.log(len(chars)) for c in chars},
+        "max_piece_length": 1,
+    }
+    rep_u = {
+        r.source: r
+        for r in mixture_report(docs, plan, model=uni_ident).collect()
+    }
+    assert rep_u["a"].achieved_tokens == 5  # chars
+    assert rep_u["b"].achieved_tokens == 2
