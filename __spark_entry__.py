@@ -9789,6 +9789,93 @@ def q9(spark, sf_dir):
 
 
 @_q(
+    "mm7_mkv_headers",
+    "SELECT m AS media_id, TRUE AS is_mkv, "
+    "CASE WHEN m % 2 = 1 THEN 'webm' ELSE 'matroska' END AS doctype, "
+    "CAST(CASE m % 3 WHEN 1 THEN 100000 ELSE 1000000 END AS BIGINT) "
+    "AS timestamp_scale, "
+    "CAST(CAST(CAST((m + 1) * 2500.125 AS DOUBLE) AS FLOAT) AS DOUBLE) "
+    "AS duration, "
+    "CAST(CAST(CAST((m + 1) * 2500.125 AS DOUBLE) AS FLOAT) AS DOUBLE) "
+    "* CASE m % 3 WHEN 1 THEN 100000 ELSE 1000000 END / 1e9 "
+    "AS duration_s, "
+    "FALSE AS junk_is_mkv "
+    "FROM range(0, 12) t(m)",
+)
+def mm7(spark, sf_dir):
+    """Matroska/WebM EBML header walk (multimodal.py:
+    mkv_header_meta — the one mainstream container family mm2/mm3
+    don't cover; every element is VINT-id + VINT-size, so the walk
+    parses variable-length integers at each step, pure Column
+    expressions). Fixtures vary doctype, explicit vs spec-default
+    TimestampScale, float4 vs float8 Duration (2500.125-based —
+    NOT round in float32, so the arithmetic IEEE decode must be
+    bit-exact: the oracle's FLOAT cast rounds identically),
+    Void/SeekHead padding before Info, and unknown-size Segments
+    (streaming muxers). A junk-bytes column must classify false."""
+    import struct
+
+    from polaroam_spark.operators.multimodal import mkv_header_meta
+
+    def vint(n, length=None):
+        if length is None:
+            length = 1
+            while n >= (1 << (7 * length)) - 1:
+                length += 1
+        return (n | (1 << (7 * length))).to_bytes(length, "big")
+
+    def elem(eid, payload):
+        return eid + vint(len(payload)) + payload
+
+    def mk(m):
+        doctype = b"webm" if m % 2 else b"matroska"
+        hdr = elem(b"\x42\x86", b"\x01") + elem(b"\x42\x82", doctype)
+        tscale = [1000000, 100000, 1000][m % 3]
+        dur = struct.unpack(
+            ">f", struct.pack(">f", (m + 1) * 2500.125)
+        )[0]
+        info = b""
+        if m % 2:
+            info += elem(b"\xec", bytes(7))  # leading Void
+        if m % 3 != 2:  # explicit scale (else spec default)
+            info += elem(b"\x2a\xd7\xb1", tscale.to_bytes(3, "big"))
+        info += elem(
+            b"\x44\x89",
+            struct.pack(">f" if m % 2 else ">d", dur),
+        )
+        kids = b""
+        if m % 4 >= 2:
+            kids += elem(b"\x11\x4d\x9b\x74", bytes(11))  # SeekHead
+        kids += elem(b"\x15\x49\xa9\x66", info)
+        kids += elem(b"\x1f\x43\xb6\x75", bytes(16))  # Cluster
+        if m % 5 == 0:  # unknown-size Segment
+            seg = (
+                b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + kids
+            )
+        else:
+            seg = elem(b"\x18\x53\x80\x67", kids)
+        return elem(b"\x1a\x45\xdf\xa3", hdr) + seg
+
+    rows = [
+        (m, mk(m), b"\x00junkbytes" + bytes(24)) for m in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mkv binary, junk binary"
+    )
+    p = mkv_header_meta("mkv")
+    j = mkv_header_meta("junk")
+    return df.select(
+        "media_id",
+        p["is_mkv"].alias("is_mkv"),
+        p["doctype"].alias("doctype"),
+        p["timestamp_scale"].alias("timestamp_scale"),
+        p["duration"].alias("duration"),
+        p["duration_s"].alias("duration_s"),
+        j["is_mkv"].alias("junk_is_mkv"),
+    )
+
+
+@_q(
     "t42_unigram_identity_counts",
     "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens "
     "FROM documents",
@@ -10748,7 +10835,7 @@ _PRIORITY = [
     "t39_langid_scorer", "t40_langid_train_invariants",
     "t41_kn_trigram_reference", "t42_unigram_identity_counts",
     "t43_unigram_train_roundtrip", "t44_tokenizer_fertility_compare",
-    "q9_mixture_report",
+    "q9_mixture_report", "mm7_mkv_headers",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

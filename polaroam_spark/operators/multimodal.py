@@ -822,6 +822,293 @@ def mp4_header_meta(
     )
 
 
+def _let(value, fn) -> "Column":
+    """LET-BINDING for Column expressions: evaluate ``value`` once
+    and hand it to ``fn`` as a HOF lambda VARIABLE (``transform``
+    over a one-element array, then ``get(…, 0)``). Column references
+    in the DataFrame API are TREES — every re-use of a sub-Column
+    copies its whole subtree, so a chain of derived offsets (VINT
+    length → size position → size → payload …) grows multiplicatively
+    and a deep parser OOMs the py4j plan BUILD before Spark ever sees
+    it (hit for real by mkv_header_meta's first draft). A lambda
+    variable is a single leaf node no matter how often the body
+    references it, which makes the tree linear in the number of
+    bindings. Runtime cost: a one-element array per binding inside
+    the interpreted HOF evaluator — noise against the header-probe
+    substrs around it."""
+    from pyspark.sql import functions as F
+
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
+def _vint_len(c, pos) -> "Column":
+    """EBML VINT length from the leading byte's first set bit
+    (Matroska/EBML spec, RFC 8794 §4): ``1xxx xxxx`` → 1 byte,
+    ``01xx`` → 2, ... ``0000 0001`` → 8, computed arithmetically as
+    ``8 − floor(log2(lead))`` (exact: log2 of an integer in 1..255
+    floors correctly in double); a 0x00 lead byte is invalid and
+    NULLs (poisoning the walk, the mm3 die-cleanly contract).
+    Deliberately _let-free: it sits inside every _vint_val/_let
+    chain and each binding level costs analyzer resolution
+    iterations (see _let) — the lead byte is re-read twice instead."""
+    from pyspark.sql import functions as F
+
+    b = _be_uint(c, pos, 1)
+    return F.when(b > 0, (F.lit(8) - F.floor(F.log2(b))).cast("long"))
+
+
+def _vint_val(c, pos) -> "Column":
+    """EBML VINT data value at Column position: read the length from
+    the lead byte, big-endian the whole field, clear the marker bit
+    (``raw − 2^(7·len)``). The all-ones value is the spec's
+    "unknown size" — NULLed, so a walk over an unknown-sized parent
+    dies cleanly instead of striding garbage. _let-free by the same
+    budget as :func:`_vint_len` — callers pass lambda-variable-based
+    positions, so the ~6 duplicated reads stay cheap."""
+    from pyspark.sql import functions as F
+
+    ln = _vint_len(c, pos)
+    raw = F.conv(F.hex(c.substr(pos, ln)), 16, 10).try_cast("long")
+    marker = F.pow(F.lit(2.0), (F.lit(7) * ln).cast("double")).cast(
+        "long"
+    )
+    return F.when(raw != marker * 2 - 1, raw - marker)
+
+
+def _ebml_child_step(c, end):
+    """Step function for :func:`_walk_offsets` over an EBML child
+    list: each element is id-VINT + size-VINT + payload; the next
+    offset must stay strictly inside the parent (``end`` is one past
+    the parent payload's last 1-based byte) or the walk dies —
+    stepping past the end would misparse sibling bytes as
+    children."""
+    from pyspark.sql import functions as F
+
+    def step(o):
+        szp = o + _vint_len(c, o)
+        nxt = szp + _vint_len(c, szp) + _vint_val(c, szp)
+        return F.when(nxt < end, nxt)
+
+    return step
+
+
+def _ebml_find(c, offs, id_hex: str) -> "Column":
+    """First offset whose element ID hex-matches ``id_hex`` (EBML
+    IDs keep their length-marker bits and are prefix-free, so a
+    fixed-width compare cannot collide with a longer ID)."""
+    from pyspark.sql import functions as F
+
+    n = len(id_hex) // 2
+    return F.get(
+        F.filter(
+            offs,
+            lambda o: F.hex(c.substr(o, F.lit(n))) == F.lit(id_hex),
+        ),
+        0,
+    )
+
+
+def _be_float(c, pos, size) -> "Column":
+    """IEEE-754 big-endian float at Column position, ``size`` a
+    Column of 4 or 8 (EBML float element sizes) — decoded
+    ARITHMETICALLY from the bit fields (sign byte split off first so
+    the 8-byte path never overflows a signed long): ``(−1)^s ·
+    (1 + m·2^−p) · 2^(e−bias)``. Every factor is a power-of-two
+    scale of an ≤53-bit integer, so the arithmetic is EXACT — the
+    decoded double is bit-identical to a native reinterpret. Inf/NaN
+    (max exponent) NULL; denormals decode via the 2^(1−bias−p)
+    scale. Other sizes NULL (EBML floats are 0, 4, or 8 bytes;
+    0-byte means 0.0 per spec but carries no information — NULL is
+    the honest verdict for a metadata probe)."""
+    from pyspark.sql import functions as F
+
+    def _decode(p, nrest, ebits, mbits, bias):
+        # lead byte: sign bit + the exponent's TOP 7 bits; the
+        # remaining ebits-7 exponent bits lead ``rest``. _let-free
+        # (the analyzer-iteration budget again): p arrives
+        # lambda-variable-based, so the duplicated byte reads are
+        # cheap
+        b0 = _be_uint(c, p, 1)
+        rest = _be_uint(c, p + 1, nrest)
+        sign = F.when(b0 >= 128, F.lit(-1.0)).otherwise(F.lit(1.0))
+        frac = F.pmod(rest, F.lit(1 << mbits).cast("long")).cast(
+            "double"
+        ) / F.lit(float(1 << mbits))
+        e = F.pmod(b0, 128) * F.lit(1 << (ebits - 7)) + F.shiftright(
+            rest, mbits
+        )
+        return (
+            F.when(e == (1 << ebits) - 1, F.lit(None).cast("double"))
+            .when(
+                e == 0,
+                sign * frac * F.pow(F.lit(2.0), F.lit(float(1 - bias))),
+            )
+            .otherwise(
+                sign
+                * (F.lit(1.0) + frac)
+                * F.pow(F.lit(2.0), (e - bias).cast("double"))
+            )
+        )
+
+    p = pos if not isinstance(pos, int) else F.lit(pos)
+    return F.when(size == 4, _decode(p, 3, 8, 23, 127)).when(
+        size == 8, _decode(p, 7, 11, 52, 1023)
+    )
+
+
+def mkv_header_meta(
+    content, max_children: int = 12, max_info_children: int = 12
+) -> "Column":
+    """``struct<is_mkv, doctype, timestamp_scale, duration,
+    duration_s>`` parsed from a binary column's Matroska/WebM EBML
+    tree — PURE Column expressions (the mm2/mm3 discipline): no UDF,
+    no libmatroska. EBML (RFC 8794) is the one mainstream container
+    family mm2/mm3 don't cover: every element is a variable-length
+    id + a variable-length size + payload, so unlike RIFF/ISO-BMFF
+    the walk must parse VINTs (:func:`_vint_len`/:func:`_vint_val`)
+    at every step. The walk: EBML header (``1A45DFA3``) → its
+    children for ``DocType`` (``4282`` — "matroska"/"webm") →
+    ``Segment`` (``18538067``) → its children for ``Info``
+    (``1549A966``), bounded by ``max_children`` and by the parent's
+    extent (a child stepping past its parent dies) → Info's children
+    for ``TimestampScale`` (``2AD7B1``, uint, default 1 000 000 ns
+    per spec) and ``Duration`` (``4489``, an IEEE float of 4 or 8
+    bytes — :func:`_be_float` decodes it arithmetically, exact).
+    ``duration_s = duration × timestamp_scale / 1e9``. Junk bytes
+    verdict ``(false, NULL, ...)``; NULL content verdicts false; an
+    unknown-size parent or out-of-bounds child NULLs the affected
+    fields, never misreads. Sizing a 100 TB video corpus this way
+    reads tens of header bytes per row JVM-side."""
+    from pyspark.sql import functions as F
+
+    c = F.col(content) if isinstance(content, str) else content
+    is_mkv = F.coalesce(
+        F.hex(c.substr(F.lit(1), F.lit(4))) == "1A45DFA3",
+        F.lit(False),
+    )
+
+    # Derived offsets are _let-bound, but SPARINGLY: tree-copying
+    # references OOM'd the plan build of the first draft, while the
+    # let-everything second draft exceeded the analyzer's 100
+    # resolution-iteration budget (each lambda/HOF nesting level
+    # costs iterations). Bindings hold only the found offsets whose
+    # trees are walk-sized; literal-rooted arithmetic (the EBML
+    # header end, VINT reads at bound offsets) re-inlines.
+
+    # EBML header end: id(4) at 1, size VINT at 5, payload after it
+    # — literal-rooted, so duplication is a few dozen nodes. Clamped
+    # like _walk_offsets' steps: a garbage size VINT can claim a
+    # multi-GB header and substr's int position would CAST_OVERFLOW
+    # an ANSI scan off one corrupt blob (truncation-fuzz test)
+    _hend_raw = (
+        F.lit(5) + _vint_len(c, F.lit(5)) + _vint_val(c, F.lit(5))
+    )
+    hend = F.when(_hend_raw <= F.lit(2_147_483_000), _hend_raw)
+
+    def _doctype():
+        hoffs = _walk_offsets(
+            _ebml_child_step(c, hend),
+            F.lit(5) + _vint_len(c, F.lit(5)),
+            max_children,
+        )
+        return _let(
+            _ebml_find(c, hoffs, "4282"),  # DocType
+            lambda doc_off: F.when(
+                _vint_val(c, doc_off + 2).between(1, 32),
+                c.substr(
+                    doc_off + 2 + _vint_len(c, doc_off + 2),
+                    _vint_val(c, doc_off + 2),
+                ).cast("string"),
+            ),
+        )
+
+    def _ioffs(info_off):
+        # Info's child list (payload offset inlined — cheap
+        # arithmetic around the _let-bound info_off)
+        return _walk_offsets(
+            _ebml_child_step(
+                c,
+                info_off
+                + 4
+                + _vint_len(c, info_off + 4)
+                + _vint_val(c, info_off + 4),
+            ),
+            info_off + 4 + _vint_len(c, info_off + 4),
+            max_info_children,
+        )
+
+    def _tscale(info_off, ts_off):
+        return F.coalesce(
+            F.when(
+                _vint_val(c, ts_off + 3).between(1, 8),
+                F.conv(
+                    F.hex(
+                        c.substr(
+                            ts_off + 3 + _vint_len(c, ts_off + 3),
+                            _vint_val(c, ts_off + 3),
+                        )
+                    ),
+                    16,
+                    10,
+                ).try_cast("long"),
+            ),
+            # spec default when Info exists but carries no scale
+            F.when(
+                info_off.isNotNull(), F.lit(1_000_000).cast("long")
+            ),
+        )
+
+    def _fields():
+        # Segment: id(4) + size VINT (often unknown-size — only its
+        # payload START matters; the child walk bounds itself via
+        # max_children and per-child size checks)
+        soffs = _walk_offsets(
+            _ebml_child_step(c, F.lit(2_147_483_000)),
+            F.when(
+                F.hex(c.substr(hend, F.lit(4))) == "18538067",
+                hend + 4 + _vint_len(c, hend + 4),
+            ),
+            max_children,
+        )
+        return _let(
+            _ebml_find(c, soffs, "1549A966"),  # Info
+            lambda info_off: _let(
+                F.struct(
+                    _ebml_find(c, _ioffs(info_off), "2AD7B1").alias(
+                        "t"
+                    ),  # TimestampScale
+                    _ebml_find(c, _ioffs(info_off), "4489").alias(
+                        "d"
+                    ),  # Duration (float)
+                ),
+                lambda td: F.struct(
+                    _tscale(info_off, td["t"]).alias("ts"),
+                    _be_float(
+                        c,
+                        td["d"] + 2 + _vint_len(c, td["d"] + 2),
+                        _vint_val(c, td["d"] + 2),
+                    ).alias("du"),
+                ),
+            ),
+        )
+
+    return _let(
+        F.struct(_doctype().alias("dt"), _fields().alias("f")),
+        lambda s: F.struct(
+            is_mkv.alias("is_mkv"),
+            F.when(is_mkv, s["dt"]).alias("doctype"),
+            F.when(is_mkv, s["f"]["ts"]).alias("timestamp_scale"),
+            F.when(is_mkv, s["f"]["du"]).alias("duration"),
+            F.when(
+                is_mkv & (s["f"]["ts"] > 0),
+                s["f"]["du"]
+                * s["f"]["ts"].cast("double")
+                / F.lit(1e9),
+            ).alias("duration_s"),
+        ),
+    )
+
+
 def image_dhash_bytes(content: bytes, hash_size: int = 8) -> int:
     """Perceptual dHash of one encoded image: decode
     (:func:`_decode_pixel_array`), integer luma (BT.601 8-bit

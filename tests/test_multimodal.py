@@ -733,3 +733,115 @@ def test_audio_fingerprint_gain_invariance_and_pairs(spark):
     assert fp[0] == fp[100]
     pairs = audio_neardup_pairs(df, max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(0, 100, 0)]
+
+
+def _mk_mkv(m: int) -> bytes:
+    """Synthesized Matroska/WebM fixture #m: doctype alternates,
+    timestamp scale cycles explicit/default, Duration alternates
+    float4/float8, Info is padded by Void / preceded by SeekHead on
+    some rows, and every 5th Segment uses the unknown-size VINT."""
+    import struct
+
+    def vint(n, length=None):
+        if length is None:
+            length = 1
+            while n >= (1 << (7 * length)) - 1:
+                length += 1
+        return (n | (1 << (7 * length))).to_bytes(length, "big")
+
+    def elem(eid, payload):
+        return eid + vint(len(payload)) + payload
+
+    doctype = b"webm" if m % 2 else b"matroska"
+    hdr = elem(b"\x42\x86", b"\x01") + elem(b"\x42\x82", doctype)
+    ebml = elem(b"\x1a\x45\xdf\xa3", hdr)
+    tscale = [1000000, 100000, 1000][m % 3]
+    dur = struct.unpack(">f", struct.pack(">f", (m + 1) * 2500.125))[0]
+    info = b""
+    if m % 2:
+        info += elem(b"\xec", bytes(7))  # leading Void
+    if m % 3 != 2:  # explicit scale (else spec default)
+        info += elem(b"\x2a\xd7\xb1", tscale.to_bytes(3, "big"))
+    if m % 2:
+        info += elem(b"\x44\x89", struct.pack(">f", dur))
+    else:
+        info += elem(b"\x44\x89", struct.pack(">d", dur))
+    seg_children = b""
+    if m % 4 >= 2:
+        seg_children += elem(b"\x11\x4d\x9b\x74", bytes(11))  # SeekHead
+    seg_children += elem(b"\x15\x49\xa9\x66", info)
+    seg_children += elem(b"\x1f\x43\xb6\x75", bytes(16))  # Cluster
+    if m % 5 == 0:  # unknown-size Segment (streaming muxers)
+        seg = b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + seg_children
+    else:
+        seg = elem(b"\x18\x53\x80\x67", seg_children)
+    return ebml + seg
+
+
+def test_mkv_header_meta_native(spark):
+    """EBML/Matroska header walk: doctype, explicit + default
+    TimestampScale, float4 AND float8 Duration decoded BIT-EXACTLY
+    (2500.125-based values are not round in float32 — any arithmetic
+    slip in the IEEE decode shows), Void/SeekHead padding and
+    unknown-size Segments walked correctly, junk rejected, and the
+    plan stays pure-JVM (no EvalPython)."""
+    import struct
+
+    from polaroam_spark.operators.multimodal import mkv_header_meta
+
+    rows = [(m, _mk_mkv(m)) for m in range(12)] + [
+        (97, b"\x00junkbytes" + bytes(24)),
+        (98, b""),
+        (99, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, content binary")
+    p = mkv_header_meta("content")
+    out = {
+        r.i: r.m
+        for r in df.select("i", p.alias("m")).collect()
+    }
+    for m in range(12):
+        r = out[m]
+        assert r.is_mkv is True
+        assert r.doctype == ("webm" if m % 2 else "matroska")
+        exp_ts = [1000000, 100000, 1000][m % 3] if m % 3 != 2 else 1000000
+        assert r.timestamp_scale == exp_ts, (m, r)
+        exp_dur = struct.unpack(
+            ">f", struct.pack(">f", (m + 1) * 2500.125)
+        )[0]
+        assert r.duration == exp_dur, (m, r.duration, exp_dur)
+        assert r.duration_s == exp_dur * exp_ts / 1e9
+    for i in (97, 98, 99):
+        assert out[i].is_mkv is False
+        assert out[i].doctype is None
+        assert out[i].duration is None
+    plan = df.select(mkv_header_meta("content"))._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("simple"))
+    assert "EvalPython" not in plan
+
+
+def test_mkv_header_meta_truncation_fuzz(spark):
+    """Every prefix of a valid MKV plus seeded random garbage parses
+    without raising — NULL fields, never an errored scan."""
+    import random
+
+    from polaroam_spark.operators.multimodal import mkv_header_meta
+
+    full = _mk_mkv(3)
+    rnd = random.Random(23)
+    rows = [(i, full[:i]) for i in range(len(full))] + [
+        (1000 + j, bytes(rnd.randrange(256) for _ in range(40)))
+        for j in range(25)
+    ]
+    df = spark.createDataFrame(rows, "i long, content binary")
+    got = df.select(mkv_header_meta("content").alias("m")).collect()
+    assert len(got) == len(rows)  # no row errored
+    # the complete file still parses at its full-length prefix
+    whole = [r.m for r in got][0:0]  # noqa: F841 (clarity only)
+    last = (
+        df.filter(df.i == len(full) - 1)
+        .select(mkv_header_meta("content").alias("m"))
+        .collect()
+    )
+    assert last[0].m.is_mkv is True
