@@ -44,6 +44,56 @@ def clean_pass_indices(
     ]
 
 
+def own_cpu_ticks() -> int:
+    """utime+stime clock ticks of THIS process and every live
+    descendant (the Spark JVM and its Python workers), via one /proc
+    scan. The load gate needs BACKGROUND load, but /proc/loadavg
+    counts our own executor threads too — a 3-pass suite on an idle
+    32-CPU box drives the raw 1-min load to 5-7 all by itself, which
+    flagged every r15 artifact invalid until the self-load was
+    subtracted (the r14 single-endpoint gate only ever sampled after
+    the final pass, where the EWMA had partly decayed — per-pass
+    stamps land mid-burn). Returns -1 when /proc is unavailable."""
+    try:
+        me = os.getpid()
+        procs: "dict[int, tuple[int, int]]" = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat", "rb") as f:
+                    raw = f.read().decode("ascii", "replace")
+            except OSError:
+                continue  # raced exit
+            rp = raw.rsplit(")", 1)[1].split()
+            procs[int(d)] = (int(rp[1]), int(rp[11]) + int(rp[12]))
+        kids: "dict[int, list[int]]" = {}
+        for pid, (ppid, _t) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack = 0, [me]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                total += procs[p][1]
+                stack.extend(kids.get(p, []))
+        return total
+    except OSError:
+        return -1
+
+
+def estimate_background(raw_load: float, own_cores: float) -> float:
+    """Background 1-min load estimate: the raw sample minus the
+    cores OUR process tree burned over the sampling window (an
+    unavailable raw reading, stamped -1, passes through unchanged).
+    Approximate by construction — the EWMA lags a step change and a
+    busy background could hide behind our own usage — but the raw
+    number alone systematically flags the bench's own work, which is
+    strictly worse (every artifact invalid on an idle box)."""
+    if raw_load < 0:
+        return raw_load
+    return max(0.0, round(raw_load - max(own_cores, 0.0), 1))
+
+
 def gate_passes(
     pass_loads: "list[list[float]]", threshold: float
 ) -> "tuple[list[int], bool]":
@@ -311,8 +361,12 @@ def main() -> None:
         )
 
     from polaroam_spark.operators.tokenize import train_bpe
+    from polaroam_spark.operators.unigram import train_unigram
 
     bpe_model = train_bpe(
+        em._t(spark, SF_DIR, "documents"), "text", vocab_size=512
+    )
+    unigram_model = train_unigram(
         em._t(spark, SF_DIR, "documents"), "text", vocab_size=512
     )
 
@@ -382,6 +436,39 @@ def main() -> None:
             .select("doc_id", "token_ids", "n_tokens")
         )
 
+    def q_unigram_tokenize():
+        # the second tokenizer family over the same corpus: Viterbi
+        # segmentation with the pre-trained unigram-LM model
+        # (encode is the recurring cost; training is setup above)
+        from polaroam_spark.operators.unigram import unigram_encode
+
+        docs = em._t(spark, SF_DIR, "documents")
+        run(
+            unigram_encode(docs, unigram_model, "text")
+            .withColumn(
+                "n_tokens",
+                F.array_size("token_ids").cast("long"),
+            )
+            .select("doc_id", "token_ids", "n_tokens")
+        )
+
+    def q_kn_trigram():
+        # Kneser-Ney trigram reference-LM scoring (the CCNet
+        # perplexity filter): model counted on the doc_id%10==0
+        # slice, every document scored — five model tables joined
+        # back onto the map-side trigram stream
+        from polaroam_spark.operators.textstats import (
+            kn_trigram_logprob_vs_reference,
+        )
+
+        docs = em._t(spark, SF_DIR, "documents")
+        ref = docs.filter(F.col("doc_id") % 10 == 0)
+        run(
+            kn_trigram_logprob_vs_reference(docs, ref).select(
+                "doc_id", "mean_kn_logprob"
+            )
+        )
+
     queries = {
         "stop_detection": q_stop_detection,
         "dbscan_clustering": q_dbscan_clustering,
@@ -398,6 +485,8 @@ def main() -> None:
         "bpe_tokenize": q_bpe_tokenize,
         "image_neardup": q_image_neardup,
         "quality_score": q_quality_score,
+        "unigram_tokenize": q_unigram_tokenize,
+        "kn_trigram": q_kn_trigram,
     }
     core9 = [
         "stop_detection", "dbscan_clustering", "homework_labeling",
@@ -445,9 +534,29 @@ def main() -> None:
     # pass; a pass is clean when both endpoints are at or under the
     # threshold, medians aggregate the clean passes, and the artifact
     # is valid when >= min(2, runs) passes are clean — a transient
-    # external spike costs one pass, not the round's artifact.
+    # external spike costs one pass, not the round's artifact. The
+    # gate runs on BACKGROUND estimates (raw 1-min load minus the
+    # cores our own process tree burned over the stamp window — see
+    # own_cpu_ticks: the suite's own executors push the raw load to
+    # 5-7 on an idle box and would flag every artifact).
     pass_loads: "list[list[float]]" = []
+    pass_bg_loads: "list[list[float]]" = []
+    pass_own_cores: "list[float]" = []
     samples_by_pass: "list[dict[str, float]]" = []
+    prev_ticks, prev_t = own_cpu_ticks(), time.time()
+    clk = os.sysconf("SC_CLK_TCK")
+
+    def _stamp() -> "tuple[float, float]":
+        nonlocal prev_ticks, prev_t
+        ticks, now = own_cpu_ticks(), time.time()
+        if prev_ticks >= 0 and ticks >= 0 and now > prev_t:
+            cores = (ticks - prev_ticks) / clk / (now - prev_t)
+        else:
+            cores = 0.0
+        prev_ticks, prev_t = ticks, now
+        raw = _load1()
+        return raw, estimate_background(raw, cores)
+
     for _ in range(runs):
         em._MATERIALIZED_MEDIANS.clear()
         spark.catalog.clearCache()
@@ -457,15 +566,27 @@ def main() -> None:
             unpersist_caches()  # dsir/dedup registered caches
         except Exception:
             pass
-        lb = _load1()
+        raw_b, bg_b = _stamp()
+        t_pass = time.time()
         pass_samples: "dict[str, float]" = {}
         for name, fn in queries.items():
             t0 = time.time()
             fn()
             pass_samples[name] = time.time() - t0
-        pass_loads.append([lb, _load1()])
+        raw_a, bg_a = _stamp()
+        pass_loads.append([raw_b, raw_a])
+        pass_bg_loads.append([bg_b, bg_a])
+        pass_own_cores.append(
+            round(
+                max(raw_a, 0.0) - bg_a
+                if raw_a >= 0
+                else 0.0,
+                1,
+            )
+        )
+        del t_pass
         samples_by_pass.append(pass_samples)
-    kept, invalid_load = gate_passes(pass_loads, load_threshold)
+    kept, invalid_load = gate_passes(pass_bg_loads, load_threshold)
     for i in kept:
         for name, sec in samples_by_pass[i].items():
             samples[name].append(sec)
@@ -505,12 +626,16 @@ def main() -> None:
                 "warm_runs": warm_runs,
                 "load1": load1,
                 "load1_start": load1_start,
-                # per-pass [before, after] 1-min loads + which passes
-                # the medians aggregated (clean ones, or all if none)
+                # per-pass [before, after] 1-min loads (raw + the
+                # background estimate the gate ACTUALLY checks, raw
+                # minus own-process-tree cores) + which passes the
+                # medians aggregated (clean ones, or all if none)
                 "pass_loads": pass_loads,
+                "pass_bg_loads": pass_bg_loads,
+                "pass_own_cores": pass_own_cores,
                 "passes_kept": kept,
                 "clean_pass_count": len(
-                    clean_pass_indices(pass_loads, load_threshold)
+                    clean_pass_indices(pass_bg_loads, load_threshold)
                 ),
                 "invalid_load": invalid_load,
                 "load_threshold": load_threshold,

@@ -231,9 +231,11 @@ def cmd_tokenize(args) -> None:
     """documents parquet -> exact token ids (mode=encode) or packed
     fixed-length training sequences (mode=pack): the tokenizer stage
     of the LLM-data pipeline as one restartable command. Bring a
-    model (--vocab/--merges, GPT-2 layout) or train one in place
-    (--train-vocab-size, optionally persisting it for the next
-    stage/run)."""
+    model (--vocab/--merges, GPT-2 layout; --model TSV for
+    --family unigram) or train one in place (--train-vocab-size,
+    optionally persisting it for the next stage/run). mode=pack is
+    BPE-only: packing counts its separator via an atomic special
+    token, which the unigram format does not carry."""
     from pyspark.sql import functions as F
 
     from polaroam_spark.operators.tokenize import (
@@ -246,6 +248,35 @@ def cmd_tokenize(args) -> None:
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
+    if args.family == "unigram":
+        from polaroam_spark.operators.unigram import (
+            load_unigram,
+            save_unigram,
+            train_unigram,
+            unigram_encode,
+        )
+
+        if args.mode != "encode":
+            raise SystemExit(
+                "tokenize: --family unigram supports --mode encode "
+                "only (packing needs an atomic eot special, a BPE-"
+                "format feature)"
+            )
+        if args.model:
+            model = load_unigram(args.model)
+        else:
+            model = train_unigram(
+                df, args.text_col, vocab_size=args.train_vocab_size
+            )
+            if args.save_model:
+                save_unigram(model, args.save_model)
+        out = unigram_encode(df, model, args.text_col).select(
+            args.id_col,
+            "token_ids",
+            F.array_size("token_ids").cast("long").alias("n_tokens"),
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        return
     if args.vocab and args.merges:
         model = load_bpe(args.vocab, args.merges)
     else:
@@ -413,8 +444,19 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument(
         "--mode", choices=["encode", "pack"], default="encode"
     )
+    pt.add_argument(
+        "--family", choices=["bpe", "unigram"], default="bpe"
+    )
     pt.add_argument("--vocab", default=None, help="vocab.json to load")
     pt.add_argument("--merges", default=None, help="merges.txt to load")
+    pt.add_argument(
+        "--model", default=None,
+        help="unigram piece/score TSV to load (--family unigram)",
+    )
+    pt.add_argument(
+        "--save-model", default=None,
+        help="persist a freshly trained unigram model (TSV)",
+    )
     pt.add_argument("--train-vocab-size", type=int, default=4096)
     pt.add_argument("--save-vocab", default=None)
     pt.add_argument("--save-merges", default=None)

@@ -52,3 +52,26 @@ def test_unknown_load_never_disqualifies():
     kept, invalid = bench.gate_passes(loads, 4.0)
     assert kept == [0, 1]
     assert invalid is False
+
+
+def test_own_cpu_ticks_counts_self():
+    # burning CPU in this process must advance the counter
+    a = bench.own_cpu_ticks()
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    b = bench.own_cpu_ticks()
+    assert a >= 0 and b > a
+
+
+def test_estimate_background_subtracts_self_load():
+    # an idle box where the bench itself burns 6 cores: raw 6.3
+    # must gate as ~0 background, not as an invalid artifact
+    assert bench.estimate_background(6.3, 6.0) == 0.3
+    assert bench.estimate_background(5.0, 6.0) == 0.0
+    # real background shows through
+    assert bench.estimate_background(9.0, 2.0) == 7.0
+    # unavailable reading passes through unchanged
+    assert bench.estimate_background(-1.0, 3.0) == -1.0
+    # negative own-core estimate never inflates the reading
+    assert bench.estimate_background(2.0, -1.0) == 2.0

@@ -296,3 +296,55 @@ def test_cli_corpus_mixture_then_sample_independent(spark, tmpdir):
     # the plain sample; under the shared-seed bug got == plain exactly
     assert got.issubset(plain)
     assert 0 < len(got) < len(plain)
+
+
+def test_cli_tokenize_unigram_family(spark, tmpdir):
+    """tokenize --family unigram: train-in-place + persist TSV, exact
+    counts and driver-replay id equality; reload the model and encode
+    identically; pack mode refuses loudly."""
+    import pytest
+
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.unigram import (
+        encode_text_unigram,
+        load_unigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "the quick brown fox " * 4)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = f"{tmpdir}/uni_in"
+    docs.write.parquet(src)
+    mp = f"{tmpdir}/unigram.tsv"
+    out1 = f"{tmpdir}/uni_ids"
+    assert main([
+        "tokenize", "--family", "unigram", "--input", src,
+        "--output", out1, "--train-vocab-size", "300",
+        "--save-model", mp,
+    ]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out1).collect()}
+    model = load_unigram(mp)
+    for r in docs.collect():
+        want = encode_text_unigram(model, r.text)
+        assert list(got[r.doc_id].token_ids) == want
+        assert got[r.doc_id].n_tokens == len(want)
+
+    out2 = f"{tmpdir}/uni_ids2"
+    assert main([
+        "tokenize", "--family", "unigram", "--input", src,
+        "--output", out2, "--model", mp,
+    ]) == 0
+    got2 = {r.doc_id: r for r in spark.read.parquet(out2).collect()}
+    assert all(
+        list(got2[k].token_ids) == list(v.token_ids)
+        for k, v in got.items()
+    )
+
+    with pytest.raises(SystemExit, match="unigram"):
+        main([
+            "tokenize", "--family", "unigram", "--input", src,
+            "--output", f"{tmpdir}/nope", "--mode", "pack",
+            "--model", mp,
+        ])
