@@ -790,10 +790,25 @@ def kn_trigram_logprob_vs_reference(
             F.col("_p.w3").alias("_w3"),
         )
 
+    from ..cache import track
+
     ref_tg = _trigrams(reference)
-    # trigram-type counts — the one corpus-scaled model table
-    tri = ref_tg.groupBy("_w1", "_w2", "_w3").agg(
-        F.count("*").alias("_c123")
+    # trigram-type counts — the one corpus-scaled model table. The
+    # persists are load-bearing (the dsir pattern): tri feeds THREE
+    # consumers (the scored join, ctx, cbg), cbg two (join, mid),
+    # ucont two (join, its scalar total) — without them Spark
+    # re-derives each lineage per consumer, i.e. SIX reference-corpus
+    # scans + explodes instead of two. At the tiny sf0.1 reference
+    # that is noise (~2.8 s either way — the extra stages offset the
+    # saved scans), but at the 500k-doc replicated-reference probe
+    # (.scratch/kn_scale_probe.py, BASELINE.md r15) it is 22.6 s ->
+    # 8.1 s (2.7x): the reference side is where a real deployment is
+    # big. Registered with the session cache registry
+    # (polaroam_spark.unpersist_caches()) for long-lived sessions.
+    tri = track(
+        ref_tg.groupBy("_w1", "_w2", "_w3")
+        .agg(F.count("*").alias("_c123"))
+        .persist()
     )
     # per-context totals + released-type counts, derived FROM tri
     ctx = tri.groupBy("_w1", "_w2").agg(
@@ -801,7 +816,11 @@ def kn_trigram_logprob_vs_reference(
         F.count("*").alias("_n12"),
     )
     # continuation counts for the mid order: distinct w1 per (w2,w3)
-    cbg = tri.groupBy("_w2", "_w3").agg(F.count("*").alias("_n_d23"))
+    cbg = track(
+        tri.groupBy("_w2", "_w3")
+        .agg(F.count("*").alias("_n_d23"))
+        .persist()
+    )
     mid = cbg.groupBy("_w2").agg(
         F.sum("_n_d23").alias("_n_d2d"),
         F.count("*").alias("_n_2d"),
@@ -820,7 +839,11 @@ def kn_trigram_logprob_vs_reference(
     ).select(
         F.col("_p.a").alias("_a"), F.col("_p.b").alias("_w3")
     ).distinct()
-    ucont = ref_bg.groupBy("_w3").agg(F.count("*").alias("_n_d3"))
+    ucont = track(
+        ref_bg.groupBy("_w3")
+        .agg(F.count("*").alias("_n_d3"))
+        .persist()
+    )
     total = ucont.agg(
         F.coalesce(F.sum("_n_d3"), F.lit(0)).alias("_nb")
     )
