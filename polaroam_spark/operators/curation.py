@@ -33,6 +33,11 @@ def curate_corpus(
     quality_threshold: float | None = None,
     classifier_model: dict | None = None,
     classifier_threshold: float = 0.5,
+    langid_model: dict | None = None,
+    keep_languages: "list[str] | None" = None,
+    perplexity_reference: "DataFrame | None" = None,
+    perplexity_threshold: float | None = None,
+    perplexity_discount: float = 0.75,
     dedup: str | None = "exact",
     minhash_opts: dict | None = None,
     decontaminate_against: DataFrame | None = None,
@@ -63,6 +68,17 @@ def curate_corpus(
     model; keeps rows whose probability is ≥
     ``classifier_threshold``, and drops no-evidence NULL-score rows
     — the conservative read of "the classifier can't vouch for it")
+    → trained language-ID gate (``langid_model`` = a
+    :func:`~polaroam_spark.operators.langid.train_langid` model +
+    ``keep_languages``; the CCNet/RedPajama langid stage — keeps
+    rows whose predicted class is in the list, drops NULL
+    predictions by the same conservative read) → KN perplexity gate
+    (``perplexity_reference`` + ``perplexity_threshold``: score
+    under :func:`~polaroam_spark.operators.textstats.\
+kn_trigram_logprob_vs_reference` and keep documents whose mean
+    trigram log-prob is ≥ the threshold — the CCNet
+    keep-the-low-perplexity-tail filter; sub-3-token NULL-score
+    docs drop)
     → dedup (``'exact'`` keep-min-id or
     ``'minhash'`` near-dedup survivors) → n-gram decontamination
     against an eval frame → per-source frequency cap → deterministic
@@ -170,6 +186,59 @@ def curate_corpus(
             "classifier",
             scored.filter(
                 F.col("quality_prob") >= float(classifier_threshold)
+            ).select(*cur.columns),
+        )
+    if (langid_model is None) != (keep_languages is None):
+        raise ValueError(
+            "langid stage needs BOTH langid_model and keep_languages"
+        )
+    if langid_model is not None:
+        from polaroam_spark.operators.langid import score_langid
+
+        if not keep_languages:
+            raise ValueError("keep_languages must name >= 1 class")
+        unknown = sorted(
+            set(keep_languages) - set(langid_model["classes"])
+        )
+        if unknown:
+            raise ValueError(
+                f"keep_languages not in the model's classes: {unknown}"
+            )
+        pred = score_langid(
+            cur,
+            langid_model,
+            text_col=text_col,
+            id_col=id_col,
+            prob_col=None,
+        )
+        cur = _stage(
+            "langid",
+            pred.filter(
+                F.col("language_pred").isin(list(keep_languages))
+            ).select(*cur.columns),
+        )
+    if (perplexity_reference is None) != (perplexity_threshold is None):
+        raise ValueError(
+            "perplexity stage needs BOTH perplexity_reference and "
+            "perplexity_threshold"
+        )
+    if perplexity_reference is not None:
+        from polaroam_spark.operators.textstats import (
+            kn_trigram_logprob_vs_reference,
+        )
+
+        scored_ppl = kn_trigram_logprob_vs_reference(
+            cur,
+            perplexity_reference,
+            text_col=text_col,
+            id_col=id_col,
+            discount=float(perplexity_discount),
+        )
+        cur = _stage(
+            "perplexity",
+            scored_ppl.filter(
+                F.col("mean_kn_logprob")
+                >= float(perplexity_threshold)
             ).select(*cur.columns),
         )
     if dedup == "exact":

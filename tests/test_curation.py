@@ -467,3 +467,74 @@ def test_mixture_report_model_dispatch(spark):
     }
     assert rep_u["a"].achieved_tokens == 5  # chars
     assert rep_u["b"].achieved_tokens == 2
+
+
+def test_curate_corpus_langid_and_perplexity_stages(spark):
+    """The r15 CCNet-ladder composition: a trained langid gate keeps
+    only the requested language classes (NULL predictions drop), and
+    the KN perplexity gate keeps the fluent-under-reference tail;
+    stats rows appear in execution order."""
+    from polaroam_spark.operators.curation import curate_corpus
+    from polaroam_spark.operators.langid import train_langid
+
+    en = " the of and to is that it for"
+    es = " el que y un por con los para"
+    train = spark.createDataFrame(
+        [(i, ("en" if i % 2 == 0 else "es"),
+          ("doc %d" % i) + (en if i % 2 == 0 else es) * 10)
+         for i in range(40)],
+        "doc_id long, language string, text string",
+    )
+    model = train_langid(
+        train, num_buckets=256, n_iter=10, learning_rate=5.0
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the rug")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "the cat sat on the mat" + en * 5),   # en, fluent
+            (2, "a", "el que y un por con" + es * 5),      # es
+            (3, "a", "zzz qqq www eee rrr ttt" + en * 5),  # en, OOV-ish
+            (4, "a", None),                                 # NULL drops
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept, stats = curate_corpus(
+        docs,
+        langid_model=model,
+        keep_languages=["en"],
+        dedup=None,
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3]
+    st = {r.stage: r.n_docs for r in stats.collect()}
+    assert st["input"] == 4 and st["langid"] == 2
+
+    kept2, stats2 = curate_corpus(
+        docs,
+        langid_model=model,
+        keep_languages=["en"],
+        perplexity_reference=ref,
+        perplexity_threshold=-2.8,
+        dedup=None,
+    )
+    ids2 = sorted(r.doc_id for r in kept2.collect())
+    assert ids2 == [1]  # doc 3's OOV soup mean sits below -2.8
+    st2 = {r.stage: r.n_docs for r in stats2.collect()}
+    assert st2["langid"] == 2 and st2["perplexity"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="BOTH langid_model"):
+        curate_corpus(docs, langid_model=model, dedup=None)
+    with pytest.raises(ValueError, match="BOTH perplexity"):
+        curate_corpus(docs, perplexity_reference=ref, dedup=None)
+    with pytest.raises(ValueError, match="not in the model"):
+        curate_corpus(
+            docs, langid_model=model, keep_languages=["fr"],
+            dedup=None,
+        )
