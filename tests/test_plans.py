@@ -579,3 +579,80 @@ def test_train_bpe_histogram_is_one_partial_agg(spark, docs):
     assert _n_hash_exchanges(plan) <= 1, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_unigram_encode_and_count_are_map_only(spark, docs):
+    """The unigram family's recurring cost matches BPE's contract:
+    zero Exchange in encode and count — one Arrow projection."""
+    import math
+
+    from polaroam_spark.operators.unigram import (
+        _BYTE_TOKEN_ID,
+        unigram_encode,
+        unigram_token_count,
+    )
+
+    chars = sorted(set("alphbetgmdoc0123456789 ezint"))
+    model = {
+        "type": "unigram",
+        "vocab": dict(_BYTE_TOKEN_ID)
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: -math.log(len(chars)) for c in chars},
+        "max_piece_length": 1,
+    }
+    assert _n_hash_exchanges(_plan(unigram_encode(docs, model))) == 0
+    assert _n_hash_exchanges(
+        _plan(unigram_token_count(docs, model))
+    ) == 0
+
+
+def test_kn_trigram_broadcast_total_no_python(spark, docs):
+    """KN reference scoring: the scalar continuation total rides a
+    broadcast crossJoin (never a shuffle), the whole plan stays
+    JVM-side, and the five count-table joins bound the hash
+    exchanges (model aggregations + joins + the final doc average —
+    no hidden extra shuffle)."""
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    ref = docs.filter(F.col("doc_id") < 10)
+    plan = _plan(kn_trigram_logprob_vs_reference(docs, ref))
+    assert "BroadcastExchange" in plan, plan
+    assert "EvalPython" not in plan, plan
+    # tri/ctx/cbg/mid/ucont aggregations + both sides of their five
+    # static SMJ joins + per-doc avg + the join back to docs = 16 in
+    # the pre-AQE plan (AQE folds most into broadcasts at runtime);
+    # the bound catches a quadratic rewrite or a lost broadcast
+    assert _n_hash_exchanges(plan) <= 16, plan
+
+
+def test_mkv_header_meta_is_map_only(spark):
+    """Sizing a video corpus must be a pure projection: zero
+    Exchange, zero Python, whatever the walk depth."""
+    from polaroam_spark.operators.multimodal import mkv_header_meta
+
+    df = spark.createDataFrame(
+        [(1, b"\x1a\x45\xdf\xa3junk")], "i long, content binary"
+    )
+    plan = _plan(df.select(mkv_header_meta("content")))
+    assert _n_hash_exchanges(plan) == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_mixture_report_broadcasts_plan_and_total(spark, docs):
+    """The data card: ONE corpus-side aggregation (#groups keys);
+    the plan table and the 1-row total both broadcast."""
+    from polaroam_spark.operators.curation import mixture_report
+
+    d = docs.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    plan_df = d.sparkSession.createDataFrame(
+        [("0", 0.5, 1.0, 10.0), ("1", 0.3, 0.5, 5.0),
+         ("2", 0.2, 0.0, 0.0)],
+        "source string, target_share double, rate double, "
+        "expected_tokens double",
+    )
+    plan = _plan(mixture_report(d, plan_df))
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # corpus aggregation + (at most) the broadcast-join residuals
+    assert _n_hash_exchanges(plan) <= 2, plan
