@@ -10054,6 +10054,75 @@ def t44(spark, sf_dir):
 
 
 @_q(
+    "t45_unigram_sample_encode",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'replay_mismatches', 0 "
+    "UNION ALL SELECT 'roundtrip_failures', 0 "
+    "UNION ALL SELECT 'sharpen_mismatches', 0) ORDER BY chk",
+)
+def t45(spark, sf_dir):
+    """Subword-regularization sampling encode (unigram.py:
+    unigram_sample_encode — Kudo 2018 §4, FFBS over the full
+    lattice, draws derived from md5(seed, position, word)):
+    certifies on the SF's documents with a trained 256+160 model
+    that (1) every sampled segmentation still decodes back EXACTLY
+    (losslessness is path-independent), (2) the distributed encode
+    replays the driver-side helper id-for-id on a deterministic
+    40-doc sample (the draw is a pure function of (text, seed), not
+    of partitioning), and (3) at alpha=100 the sample collapses to
+    the Viterbi ids on that sample (the paper's sharpening limit)."""
+    from polaroam_spark.operators.unigram import (
+        encode_text_unigram,
+        encode_text_unigram_sampled,
+        train_unigram,
+        unigram_decode,
+        unigram_sample_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_unigram(docs, "text", vocab_size=256 + 160)
+    enc = unigram_sample_encode(docs, model, alpha=0.3, seed=11)
+    dec = unigram_decode(enc, model, "token_ids")
+    fails = dec.filter(
+        ~F.col("decoded").eqNullSafe(F.col("text"))
+    ).count()
+
+    sample = (
+        enc.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    replay_mism = sum(
+        1
+        for r in sample
+        if list(r["token_ids"])
+        != encode_text_unigram_sampled(
+            model, r["text"], alpha=0.3, seed=11
+        )
+    )
+    sharpen_mism = sum(
+        1
+        for r in sample
+        if encode_text_unigram_sampled(
+            model, r["text"], alpha=100.0, seed=11
+        )
+        != encode_text_unigram(model, r["text"])
+    )
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [
+            ("docs_checked", n_docs),
+            ("replay_mismatches", replay_mism),
+            ("roundtrip_failures", fails),
+            ("sharpen_mismatches", sharpen_mism),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
+@_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
     "CAST(n_chars AS DOUBLE) / 200.0 "
@@ -10836,6 +10905,7 @@ _PRIORITY = [
     "t41_kn_trigram_reference", "t42_unigram_identity_counts",
     "t43_unigram_train_roundtrip", "t44_tokenizer_fertility_compare",
     "q9_mixture_report", "mm7_mkv_headers",
+    "t45_unigram_sample_encode",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

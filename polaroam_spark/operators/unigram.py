@@ -596,3 +596,174 @@ def load_unigram(path: str) -> dict:
         _pre_re(flavor)  # validate / fail fast
         out["pretokenizer"] = flavor
     return out
+
+
+# ---------------------------------------------------------------------------
+# subword regularization (Kudo 2018 §4): sampled segmentations
+# ---------------------------------------------------------------------------
+
+
+def _ffbs(
+    word: str,
+    scores: "dict[str, float]",
+    max_len: int,
+    alpha: float,
+    rng,
+) -> "list[str] | None":
+    """Sample ONE segmentation of ``word`` with probability
+    proportional to ``Π p(piece)^α`` — forward filtering (logsumexp
+    lattice marginals) + backward sampling, the paper's l=∞ sampling
+    without the n-best truncation. ``rng.random()`` supplies the
+    uniforms. None when no path exists (some char has no piece)."""
+    n = len(word)
+    neg = float("-inf")
+    f = [neg] * (n + 1)
+    f[0] = 0.0
+    for i in range(1, n + 1):
+        acc = neg
+        for j in range(max(0, i - max_len), i):
+            lp = scores.get(word[j:i])
+            if lp is None or f[j] == neg:
+                continue
+            v = f[j] + alpha * lp
+            if acc == neg:
+                acc = v
+            elif v > acc:
+                acc = v + math.log1p(math.exp(acc - v))
+            else:
+                acc = acc + math.log1p(math.exp(v - acc))
+        f[i] = acc
+    if f[n] == neg:
+        return None
+    out: "list[str]" = []
+    i = n
+    while i > 0:
+        cands: "list[tuple[str, float]]" = []
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = scores.get(piece)
+            if lp is None or f[j] == neg:
+                continue
+            cands.append((piece, f[j] + alpha * lp))
+        m = max(w for _, w in cands)
+        weights = [math.exp(w - m) for _, w in cands]
+        r = rng.random() * sum(weights)
+        acc = 0.0
+        pick = cands[-1][0]
+        for (piece, _w), wt in zip(cands, weights):
+            acc += wt
+            if r < acc:
+                pick = piece
+                break
+        out.append(pick)
+        i -= len(pick)
+    out.reverse()
+    return out
+
+
+def _sampling_encoder(model: dict, alpha: float, seed: int):
+    """(text -> list[int]) closure sampling a segmentation per
+    pre-token occurrence. Determinism contract: the RNG for the k-th
+    pre-token of a text is seeded by md5(seed, k, word), so the same
+    text encodes identically on any worker, any run, any partitioning
+    — while repeated occurrences of a word across positions draw
+    DIFFERENT segmentations (the augmentation the paper wants).
+    No word cache by design: position-keyed draws are never
+    reusable."""
+    import hashlib
+
+    import random as _random
+
+    if model.get("type") != "unigram":
+        raise ValueError(
+            "expected a unigram model (train_unigram/load_unigram "
+            "output with type='unigram')"
+        )
+    a = float(alpha)
+    if a <= 0.0:
+        raise ValueError(
+            f"alpha must be > 0 (got {alpha}): alpha scales the "
+            "piece log-probs — 0 would sample segmentations "
+            "uniformly at random, losing the model entirely"
+        )
+    vocab = model["vocab"]
+    scores = model["scores"]
+    max_len = int(model.get("max_piece_length", 16))
+    flavor = model.get("pretokenizer", "default")
+    _pre_re(flavor)  # fail fast on the driver
+
+    def _rng(k: int, word: str):
+        h = hashlib.md5(
+            f"{int(seed)}:{k}:{word}".encode("utf-8")
+        ).digest()
+        return _random.Random(int.from_bytes(h[:8], "big"))
+
+    def _segment(word: str, k: int) -> "list[int]":
+        seg = _ffbs(word, scores, max_len, a, _rng(k, word))
+        if seg is not None:
+            return [vocab[p] for p in seg]
+        ids: "list[int]" = []
+        run: "list[str]" = []
+        for ch in word:
+            if ch in scores:
+                run.append(ch)
+            else:
+                if run:
+                    ids.extend(_segment("".join(run), k))
+                    run = []
+                ids.extend(b for b in ch.encode("utf-8"))
+        if run:
+            ids.extend(_segment("".join(run), k))
+        return ids
+
+    def encode(text: "str | None") -> "list[int] | None":
+        if text is None:
+            return None
+        ids: "list[int]" = []
+        for k, word in enumerate(_pre_re(flavor).findall(text)):
+            ids.extend(_segment(word, k))
+        return ids
+
+    return encode
+
+
+def unigram_sample_encode(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    alpha: float = 0.2,
+    seed: int = 41,
+) -> DataFrame:
+    """SUBWORD REGULARIZATION (Kudo 2018 §4): append token ids from a
+    SAMPLED segmentation per pre-token — probability ∝
+    ``Π p(piece)^α`` via forward-filtering backward-sampling over
+    the full lattice (the paper's l=∞ variant; no n-best
+    truncation). The stochastic tokenization that regularizes
+    translation/LM training: the same word tokenizes differently
+    across positions and epochs (vary ``seed`` per epoch), exposing
+    the model to the segmentation ambiguity Viterbi hides.
+
+    ``alpha`` is the paper's smoothing exponent: small values
+    (0.1–0.5) sample diverse segmentations; large values sharpen
+    toward the Viterbi answer. Deterministic: draws derive from
+    md5(seed, pre-token position, word) — same (text, seed) in means
+    same ids out on any cluster layout, so an epoch's tokenization
+    is exactly reproducible. decode(sample_encode(x)) == x exactly
+    (every sampled path concatenates to the word; byte fallback
+    covers uncovered chars). NULL in → NULL out."""
+    mk = _sampling_encoder(model, alpha, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(col: pd.Series) -> pd.Series:
+        return col.map(mk)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def encode_text_unigram_sampled(
+    model: dict, text: str, alpha: float = 0.2, seed: int = 41
+) -> "list[int]":
+    """Driver-side single-string sampled encode (tests, spot
+    checks) — the exact distributed semantics."""
+    return _sampling_encoder(model, alpha, seed)(text)

@@ -247,3 +247,105 @@ def test_tokenizer_stats_dispatch(docs, model):
     assert st.n_bytes == st_bpe.n_bytes
     assert st.fertility is not None and st_bpe.fertility is not None
     assert st.n_tokens <= st.n_bytes  # pieces never beat raw bytes
+
+
+def test_sample_encode_roundtrip_and_determinism(docs, model):
+    """Sampled segmentations stay lossless (decode == text for every
+    doc incl. unicode/whitespace), and the draw is a pure function of
+    (text, seed): same seed twice is identical, distributed equals
+    the driver helper, a different seed moves at least one doc."""
+    from polaroam_spark.operators.unigram import (
+        encode_text_unigram_sampled,
+        unigram_decode,
+        unigram_sample_encode,
+    )
+
+    enc = unigram_sample_encode(docs, model, alpha=0.2, seed=7)
+    dec = unigram_decode(enc, model)
+    rows = dec.select("doc_id", "text", "token_ids", "decoded").collect()
+    for r in rows:
+        assert r.decoded == r.text
+        if r.text is not None:
+            assert list(r.token_ids) == encode_text_unigram_sampled(
+                model, r.text, alpha=0.2, seed=7
+            )
+    again = {
+        r.doc_id: list(r.token_ids) if r.token_ids is not None else None
+        for r in unigram_sample_encode(
+            docs, model, alpha=0.2, seed=7
+        ).collect()
+    }
+    first = {
+        r.doc_id: list(r.token_ids) if r.token_ids is not None else None
+        for r in rows
+    }
+    assert again == first
+    other = {
+        r.doc_id: list(r.token_ids) if r.token_ids is not None else None
+        for r in unigram_sample_encode(
+            docs, model, alpha=0.2, seed=8
+        ).collect()
+    }
+    assert other != first
+
+
+def test_sample_encode_position_diversity_and_alpha_sharpening():
+    """The paper's contract on a hand-built ambiguous lattice: at
+    small alpha repeated occurrences of a word sample DIFFERENT
+    segmentations with near-theoretical frequencies; at large alpha
+    every occurrence collapses to the Viterbi answer."""
+    import math
+    from collections import Counter
+
+    from polaroam_spark.operators.unigram import (
+        _viterbi,
+        encode_text_unigram_sampled,
+    )
+
+    pieces = {"a": math.log(0.3), "b": math.log(0.3),
+              "ab": math.log(0.4)}
+    model = {
+        "type": "unigram",
+        "vocab": {f"<0x{k:02X}>": k for k in range(256)}
+        | {"a": 256, "b": 257, "ab": 258},
+        "scores": pieces,
+        "max_piece_length": 2,
+    }
+    text = " ".join(["ab"] * 4000)
+    ids = encode_text_unigram_sampled(model, text, alpha=1.0, seed=3)
+    segs = Counter()
+    i = 0
+    # pre-tokens alternate "ab" and " ab" (leading space has no piece
+    # -> byte fallback 32); strip the space bytes and read each
+    # word's segmentation
+    word_seg = []
+    cur = []
+    for t in ids:
+        if t == 32:
+            if cur:
+                word_seg.append(tuple(cur)); cur = []
+            continue
+        cur.append(t)
+    if cur:
+        word_seg.append(tuple(cur))
+    assert len(word_seg) == 4000
+    segs = Counter(word_seg)
+    assert set(segs) == {(258,), (256, 257)}
+    # P(ab as one piece) = .4 / (.4 + .09) ~ 0.8163
+    frac = segs[(258,)] / 4000
+    assert abs(frac - 0.4 / 0.49) < 0.03, frac
+    # alpha -> large: collapses to Viterbi ("ab")
+    vit = _viterbi("ab", pieces, 2)[0]
+    ids_sharp = encode_text_unigram_sampled(
+        model, " ".join(["ab"] * 200), alpha=50.0, seed=3
+    )
+    assert all(t in (32, 258) for t in ids_sharp)
+    assert vit == ["ab"]
+
+
+def test_sample_encode_alpha_validation(docs, model):
+    from polaroam_spark.operators.unigram import unigram_sample_encode
+
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="alpha"):
+            unigram_sample_encode(docs, model, alpha=bad)
