@@ -10122,6 +10122,120 @@ def t45(spark, sf_dir):
     ).orderBy("chk")
 
 
+_SFT_SYS = "be concise"
+
+
+@_q(
+    "sft1_chat_template_render",
+    "SELECT doc_id, "
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10) || 'ok ' "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) AS text "
+    "FROM documents",
+)
+def sft1(spark, sf_dir):
+    """Chat-template rendering (sft.py:render_chat_template — the
+    ChatML framing as ONE pure F.aggregate string fold, no UDF):
+    a 3-turn conversation synthesized per document (system prompt /
+    the doc text as the user turn / 'ok '+text as the assistant
+    turn) must render byte-identically to the oracle's literal
+    concatenation."""
+    from polaroam_spark.operators.sft import render_chat_template
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    convs = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit(_SFT_SYS).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.concat(
+                    F.lit("ok "),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ).alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    return render_chat_template(convs).select("doc_id", "text")
+
+
+@_q(
+    "sft2_loss_mask_windows",
+    "WITH r AS (SELECT doc_id, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10) || 'ok ' "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10))) AS BIGINT) "
+    "AS n_total, "
+    "CAST(octet_length(encode('ok ' || coalesce(text, ''))) "
+    "AS BIGINT) AS n_loss FROM documents) "
+    "SELECT doc_id, n_total, n_loss, "
+    "CAST(ceil(n_total / 128.0) AS BIGINT) AS n_windows, "
+    "CAST(ceil(n_total / 128.0) AS BIGINT) * 128 - n_total "
+    "AS n_padding FROM r",
+)
+def sft2(spark, sf_dir):
+    """SFT loss-mask encoding + padded windows (sft.py:
+    encode_chat_sft / chunk_sft_sequences) under the byte-identity
+    model: per conversation, total ids must equal the rendered
+    text's UTF-8 bytes, loss tokens exactly the assistant-content
+    bytes ('ok '+text), window count ceil(total/128) and padding its
+    complement — every number replayed in closed form by the
+    oracle."""
+    from polaroam_spark.operators.sft import (
+        chunk_sft_sequences,
+        encode_chat_sft,
+    )
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    convs = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit(_SFT_SYS).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.concat(
+                    F.lit("ok "),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ).alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    enc = encode_chat_sft(convs, ident)
+    wins = chunk_sft_sequences(
+        enc, seq_len=128, pad_id=0, drop_no_loss=False
+    )
+    return wins.groupBy("doc_id").agg(
+        (F.count("*") * 128 - F.sum("n_padding")).alias("n_total"),
+        F.sum("n_loss_tokens").alias("n_loss"),
+        F.count("*").alias("n_windows"),
+        F.sum("n_padding").alias("n_padding"),
+    )
+
+
 @_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
@@ -10906,6 +11020,7 @@ _PRIORITY = [
     "t43_unigram_train_roundtrip", "t44_tokenizer_fertility_compare",
     "q9_mixture_report", "mm7_mkv_headers",
     "t45_unigram_sample_encode",
+    "sft1_chat_template_render", "sft2_loss_mask_windows",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",
