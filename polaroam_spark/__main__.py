@@ -358,6 +358,60 @@ def cmd_quality(args) -> None:
     ).write.mode("overwrite").parquet(args.output)
 
 
+def cmd_langid(args) -> None:
+    """The trained multiclass language-ID stage (the CCNet/RedPajama
+    langid slot) as one restartable command: ``--mode train`` fits
+    the hashed-gram softmax on a labeled parquet and persists the
+    model as JSON (URI paths ride pyarrow.fs like the tokenizer
+    models); ``--mode score`` appends ``language_pred`` +
+    ``language_prob`` to a corpus, optionally filtering to
+    ``--keep-languages``."""
+    import json as _json
+
+    from polaroam_spark.operators.langid import (
+        score_langid,
+        train_langid,
+    )
+    from polaroam_spark.operators.tokenize import _open_model_file
+    from pyspark.sql import functions as F
+
+    if not args.model:
+        raise SystemExit("langid: --model is required")
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.mode == "train":
+        model = train_langid(
+            df,
+            label_col=args.label_col,
+            text_col=args.text_col,
+            num_buckets=args.num_buckets,
+            n_iter=args.n_iter,
+            learning_rate=args.learning_rate,
+        )
+        with _open_model_file(args.model, "w", "utf-8") as f:
+            _json.dump(model, f)
+        return
+    if not args.output:
+        raise SystemExit("langid: --output is required for score")
+    with _open_model_file(args.model, "r", "utf-8") as f:
+        model = _json.load(f)
+    out = score_langid(
+        df, model, text_col=args.text_col, id_col=args.id_col
+    )
+    if args.keep_languages:
+        keep = [
+            s for s in args.keep_languages.split(",") if s
+        ]
+        unknown = sorted(set(keep) - set(model["classes"]))
+        if unknown:
+            raise SystemExit(
+                f"langid: --keep-languages not in the model's "
+                f"classes: {unknown}"
+            )
+        out = out.filter(F.col("language_pred").isin(keep))
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -487,6 +541,31 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--n-iter", type=int, default=30)
     pq.add_argument("--learning-rate", type=float, default=5.0)
     pq.set_defaults(fn=cmd_quality)
+
+    pg = sub.add_parser(
+        "langid",
+        help="trained multiclass language ID: train / score+filter",
+    )
+    pg.add_argument("--input", required=True)
+    pg.add_argument(
+        "--mode", choices=["train", "score"], default="score"
+    )
+    pg.add_argument(
+        "--model", required=True,
+        help="model JSON path (written by train, read by score)",
+    )
+    pg.add_argument("--output", default=None)
+    pg.add_argument("--text-col", default="text")
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--label-col", default="language")
+    pg.add_argument(
+        "--keep-languages", default=None,
+        help="comma-separated classes to keep after scoring",
+    )
+    pg.add_argument("--num-buckets", type=int, default=4096)
+    pg.add_argument("--n-iter", type=int, default=30)
+    pg.add_argument("--learning-rate", type=float, default=5.0)
+    pg.set_defaults(fn=cmd_langid)
 
     return p
 

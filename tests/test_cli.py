@@ -348,3 +348,57 @@ def test_cli_tokenize_unigram_family(spark, tmpdir):
             "--output", f"{tmpdir}/nope", "--mode", "pack",
             "--model", mp,
         ])
+
+
+def test_cli_langid_train_score_filter(spark, tmpdir):
+    """langid stage: train on a planted bilingual corpus, model JSON
+    round-trips, score predicts the planted classes, and
+    --keep-languages filters; unknown class names refuse loudly."""
+    import pytest
+
+    from polaroam_spark.__main__ import main
+
+    en = " the of and to is that it for"
+    es = " el que y un por con los para"
+    train = spark.createDataFrame(
+        [(i, ("en" if i % 2 == 0 else "es"),
+          f"doc {i}" + (en if i % 2 == 0 else es) * 10)
+         for i in range(40)],
+        "doc_id long, language string, text string",
+    )
+    src = f"{tmpdir}/lang_train"
+    train.write.parquet(src)
+    mp = f"{tmpdir}/langid.json"
+    assert main([
+        "langid", "--mode", "train", "--input", src, "--model", mp,
+        "--num-buckets", "256", "--n-iter", "10",
+        "--learning-rate", "5.0",
+    ]) == 0
+
+    docs = spark.createDataFrame(
+        [(100, "hello" + en * 8), (101, "hola" + es * 8)],
+        "doc_id long, text string",
+    )
+    dsrc = f"{tmpdir}/lang_docs"
+    docs.write.parquet(dsrc)
+    out = f"{tmpdir}/lang_scored"
+    assert main([
+        "langid", "--input", dsrc, "--model", mp, "--output", out,
+    ]) == 0
+    got = {r.doc_id: r.language_pred
+           for r in spark.read.parquet(out).collect()}
+    assert got == {100: "en", 101: "es"}
+
+    out2 = f"{tmpdir}/lang_kept"
+    assert main([
+        "langid", "--input", dsrc, "--model", mp, "--output", out2,
+        "--keep-languages", "es",
+    ]) == 0
+    kept = [r.doc_id for r in spark.read.parquet(out2).collect()]
+    assert kept == [101]
+
+    with pytest.raises(SystemExit, match="not in the model"):
+        main([
+            "langid", "--input", dsrc, "--model", mp,
+            "--output", f"{tmpdir}/nope", "--keep-languages", "fr",
+        ])
