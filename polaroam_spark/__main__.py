@@ -207,6 +207,22 @@ def cmd_corpus(args) -> None:
             id_col=args.id_col,
             seed=args.seed + _MIXTURE_SEED_SALT,
         )
+        if args.mixture_report:
+            from polaroam_spark.operators.curation import (
+                mixture_report,
+            )
+
+            # achieved-vs-target data card for the EXECUTED mixture,
+            # in the planner's whitespace-token currency; written
+            # before later stages (sample/cap) thin further
+            mixture_report(
+                df,
+                plan,
+                group_col=args.source_col,
+                text_col=args.text_col,
+            ).coalesce(1).write.mode("overwrite").parquet(
+                args.mixture_report
+            )
     if args.sample_fraction is not None:
         from polaroam_spark.operators.sampling import sample_by_hash
 
@@ -481,6 +497,12 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="token budget the mixture waterfill plans against",
+    )
+    pk.add_argument(
+        "--mixture-report",
+        default=None,
+        help="also write the achieved-vs-target data card "
+        "(mixture_report parquet) for the executed mixture",
     )
     pk.add_argument("--sample-fraction", type=float, default=None)
     pk.add_argument("--cap-per-source", type=int, default=None)

@@ -402,3 +402,44 @@ def test_cli_langid_train_score_filter(spark, tmpdir):
             "langid", "--input", dsrc, "--model", mp,
             "--output", f"{tmpdir}/nope", "--keep-languages", "fr",
         ])
+
+
+def test_cli_corpus_mixture_report_artifact(spark, tmpdir):
+    """--mixture-report writes the achieved-vs-target data card for
+    the executed mixture (one row per plan group, counts matching a
+    recount of the written corpus)."""
+    from polaroam_spark.__main__ import main
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code",
+         "some words here repeated " * (2 + i % 3))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    src = f"{tmpdir}/mr_in"
+    out = f"{tmpdir}/mr_out"
+    rep = f"{tmpdir}/mr_report"
+    df.write.parquet(src)
+    assert main([
+        "corpus", "--input", src, "--output", out, "--dedup", "none",
+        "--mixture-targets", '{"web": 0.8, "code": 0.2}',
+        "--mixture-budget", "800", "--seed", "17",
+        "--mixture-report", rep,
+    ]) == 0
+    card = {r.source: r for r in spark.read.parquet(rep).collect()}
+    assert set(card) == {"web", "code"}
+    kept = spark.read.parquet(out).collect()
+    for s in ("web", "code"):
+        n_docs = sum(1 for r in kept if r.source == s)
+        n_toks = sum(
+            len(r.text.split()) for r in kept if r.source == s
+        )
+        assert card[s].achieved_docs == n_docs
+        assert card[s].achieved_tokens == n_toks
+    total = sum(r.achieved_tokens for r in card.values())
+    assert abs(sum(
+        r.achieved_share for r in card.values()
+    ) - 1.0) < 1e-9
+    assert card["web"].achieved_share == card["web"].achieved_tokens / total
