@@ -9256,6 +9256,80 @@ def st10(spark, sf_dir):
     return spark.table(qname).select("doc_id", "n_tokens")
 
 
+_ST11_SEQ = [0]
+
+
+@_q(
+    "st11_streaming_unigram_count",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens "
+    "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL",
+)
+def st11(spark, sf_dir):
+    """Streaming unigram token counting (the st10 certification for
+    the SECOND tokenizer family): the Viterbi Arrow UDF applied
+    unchanged to a readStream source, one availableNow batch into a
+    memory sink. The char-identity model (t42's fixture: every
+    corpus char a piece, max_piece_length=1) makes the oracle exact
+    — n_tokens == length(text); trained-model streaming equals batch
+    by construction since both call the same _unigram_encoder
+    closure."""
+    import math
+    import os
+
+    from polaroam_spark.operators.unigram import (
+        _BYTE_TOKEN_ID,
+        unigram_token_count,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        .select("doc_id", "text")
+    )
+    chars = sorted(
+        r["c"]
+        for r in docs.select(
+            F.explode(F.split("text", "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    model = {
+        "type": "unigram",
+        "vocab": dict(_BYTE_TOKEN_ID)
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: -math.log(len(chars)) for c in chars},
+        "max_piece_length": 1,
+    }
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_unigram.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = unigram_token_count(stream, model, "text").select(
+        "doc_id", "n_tokens"
+    )
+    _ST11_SEQ[0] += 1
+    qname = f"st11_unigram_sink_{_ST11_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch, f"unigram_ckpt_{_ST11_SEQ[0]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("st11 stream timed out")
+    return spark.table(qname).select("doc_id", "n_tokens")
+
+
 @_q(
     "t38_tokenizer_fertility",
     "WITH t AS (SELECT source, text, "
@@ -11021,6 +11095,7 @@ _PRIORITY = [
     "q9_mixture_report", "mm7_mkv_headers",
     "t45_unigram_sample_encode",
     "sft1_chat_template_render", "sft2_loss_mask_windows",
+    "st11_streaming_unigram_count",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",
