@@ -428,6 +428,37 @@ def cmd_langid(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_perplexity(args) -> None:
+    """The CCNet perplexity-filter stage as one restartable command:
+    score every input document's mean Kneser-Ney trigram log-prob
+    under a model counted from ``--reference`` (a clean-corpus
+    parquet the scored data cannot move) and write the scored frame
+    — optionally keeping only rows at or above ``--threshold``
+    (sub-3-token NULL-score docs drop with the filter, the
+    curate_corpus contract)."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    ref = spark.read.parquet(args.reference)
+    out = kn_trigram_logprob_vs_reference(
+        df,
+        ref,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        discount=args.discount,
+    )
+    if args.threshold is not None:
+        out = out.filter(
+            F.col("mean_kn_logprob") >= float(args.threshold)
+        )
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -588,6 +619,25 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--n-iter", type=int, default=30)
     pg.add_argument("--learning-rate", type=float, default=5.0)
     pg.set_defaults(fn=cmd_langid)
+
+    pp = sub.add_parser(
+        "perplexity",
+        help="KN trigram reference-LM scoring + optional filter",
+    )
+    pp.add_argument("--input", required=True)
+    pp.add_argument(
+        "--reference", required=True,
+        help="clean-corpus parquet the model counts from",
+    )
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--discount", type=float, default=0.75)
+    pp.add_argument(
+        "--threshold", type=float, default=None,
+        help="keep rows with mean_kn_logprob >= this",
+    )
+    pp.set_defaults(fn=cmd_perplexity)
 
     return p
 

@@ -443,3 +443,52 @@ def test_cli_corpus_mixture_report_artifact(spark, tmpdir):
         r.achieved_share for r in card.values()
     ) - 1.0) < 1e-9
     assert card["web"].achieved_share == card["web"].achieved_tokens / total
+
+
+def test_cli_perplexity_score_and_filter(spark, tmpdir):
+    """perplexity stage: scores match the library call row-for-row;
+    --threshold keeps the fluent tail and drops NULL-score rows."""
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.textstats import (
+        kn_trigram_logprob_vs_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the rug")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zzz qqq www eee rrr ttt"),
+         (3, "one two")],
+        "doc_id long, text string",
+    )
+    rsrc, dsrc = f"{tmpdir}/ppl_ref", f"{tmpdir}/ppl_docs"
+    ref.write.parquet(rsrc)
+    docs.write.parquet(dsrc)
+    out = f"{tmpdir}/ppl_scored"
+    assert main([
+        "perplexity", "--input", dsrc, "--reference", rsrc,
+        "--output", out,
+    ]) == 0
+    got = {r.doc_id: r.mean_kn_logprob
+           for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: r.mean_kn_logprob
+            for r in kn_trigram_logprob_vs_reference(
+                docs, ref).collect()}
+    assert set(got) == {1, 2, 3} and got[3] is None
+    for k in got:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert abs(got[k] - want[k]) < 1e-9
+    assert got[1] > got[2]
+
+    out2 = f"{tmpdir}/ppl_kept"
+    assert main([
+        "perplexity", "--input", dsrc, "--reference", rsrc,
+        "--output", out2, "--threshold", str((got[1] + got[2]) / 2),
+    ]) == 0
+    kept = [r.doc_id for r in spark.read.parquet(out2).collect()]
+    assert kept == [1]
