@@ -10311,6 +10311,97 @@ def sft2(spark, sf_dir):
 
 
 @_q(
+    "t46_span_corruption",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'density_mismatches', 0 "
+    "UNION ALL SELECT 'prefix_failures', 0 "
+    "UNION ALL SELECT 'reconstruct_failures', 0 "
+    "UNION ALL SELECT 'replay_mismatches', 0) ORDER BY chk",
+)
+def t46(spark, sf_dir):
+    """Denoising-objective prep (objectives.py — T5 span corruption
+    §3.1.4 + the UL2 prefix-LM split), over the SF's documents
+    tokenized with the byte-identity model: certifies (1) weaving
+    targets' spans back into inputs' sentinel slots reconstructs the
+    original ids EXACTLY for every document, (2) the per-doc noise
+    budget is clamp(round(n·0.15), 1, n−1) exactly, (3) the draw
+    replays (md5(seed, doc id) — a second run is id-identical), and
+    (4) prefix-LM inputs ++ targets == ids for every document."""
+    from polaroam_spark.operators.objectives import (
+        prefix_lm_split,
+        reconstruct_span_corruption,
+        span_corruption,
+    )
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_encode,
+    )
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, ident, "text").select(
+        "doc_id", "token_ids"
+    )
+    out = span_corruption(enc, sentinel_start=100_000, seed=13)
+    rows = out.collect()
+    rec_fail = dens_fail = 0
+    for r in rows:
+        ids = r["token_ids"]
+        if ids is None or len(ids) < 2:
+            if r["inputs"] is not None:
+                rec_fail += 1
+            continue
+        try:
+            back = reconstruct_span_corruption(
+                list(r["inputs"]), list(r["targets"]), 100_000
+            )
+        except ValueError:
+            rec_fail += 1
+            continue
+        if back != list(ids):
+            rec_fail += 1
+        n = len(ids)
+        n_noise = sum(1 for t in r["targets"] if t < 99_000)
+        if n_noise != min(max(round(n * 0.15), 1), n - 1):
+            dens_fail += 1
+    again = {
+        r["doc_id"]: (r["inputs"], r["targets"])
+        for r in span_corruption(
+            enc, sentinel_start=100_000, seed=13
+        ).collect()
+    }
+    replay_mism = sum(
+        1
+        for r in rows
+        if (r["inputs"], r["targets"]) != again[r["doc_id"]]
+    )
+    pfx_fail = (
+        prefix_lm_split(enc, seed=13)
+        .filter(
+            F.col("inputs").isNotNull()
+            & ~F.concat("inputs", "targets").eqNullSafe(
+                F.col("token_ids")
+            )
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            ("docs_checked", len(rows)),
+            ("density_mismatches", dens_fail),
+            ("prefix_failures", pfx_fail),
+            ("reconstruct_failures", rec_fail),
+            ("replay_mismatches", replay_mism),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
+@_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
     "CAST(n_chars AS DOUBLE) / 200.0 "
@@ -11095,7 +11186,7 @@ _PRIORITY = [
     "q9_mixture_report", "mm7_mkv_headers",
     "t45_unigram_sample_encode",
     "sft1_chat_template_render", "sft2_loss_mask_windows",
-    "st11_streaming_unigram_count",
+    "st11_streaming_unigram_count", "t46_span_corruption",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

@@ -1,0 +1,251 @@
+"""Denoising-objective data preparation: T5-style SPAN CORRUPTION
+(Raffel et al. 2020 §3.1.4) and the prefix-LM split (the UL2
+S-denoiser shape) over tokenized corpora — the step between a packed
+token stream and an encoder-decoder / prefix-LM training loader.
+
+Beyond-reference component (the reference is a mobility engine);
+both objectives follow the published formulation, with the package's
+determinism contract: all randomness derives from
+``md5(seed, doc id)``, so the corruption of a corpus is a pure
+function of (ids, seed) — reproducible on any cluster layout, and
+replayable row-for-row by a driver-side reference implementation
+(which is exactly what the gate pins).
+
+Span corruption, per document (the T5 reference semantics):
+
+- ``num_noise = clamp(round(n · noise_density), 1, n−1)`` and
+  ``num_spans = clamp(round(num_noise / mean_span_length), 1,
+  num_noise)``;
+- noise tokens are randomly segmented into ``num_spans`` positive
+  parts and the remaining tokens into ``num_spans`` parts (first gap
+  may be empty — a document may start with a noise span, like the
+  original's interleave);
+- ``inputs`` replaces each noise span with sentinel ``s−k`` (k-th
+  span, descending ids from ``sentinel_start``), ``targets`` is
+  ``sentinel_k ++ span tokens`` per span plus a final closing
+  sentinel — so interleaving inputs' gaps with targets' spans
+  reconstructs the original ids EXACTLY (the invariant the gate
+  certifies; nothing is lost, only rearranged).
+
+Documents shorter than 2 tokens pass through with NULL
+inputs/targets (nothing to corrupt) rather than being dropped —
+the caller decides.
+"""
+from __future__ import annotations
+
+import hashlib
+import random as _random
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _rng_for(seed: int, key) -> "_random.Random":
+    h = hashlib.md5(f"{int(seed)}:{key}".encode("utf-8")).digest()
+    return _random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _segment(total: int, k: int, rng) -> "list[int]":
+    """Randomly split ``total`` into ``k`` positive parts (T5's
+    _random_segmentation: choose k−1 distinct cut points)."""
+    if k == 1:
+        return [total]
+    cuts = sorted(rng.sample(range(1, total), k - 1))
+    prev = 0
+    out = []
+    for c in cuts + [total]:
+        out.append(c - prev)
+        prev = c
+    return out
+
+
+def _corrupt_one(
+    ids,
+    key,
+    seed: int,
+    noise_density: float,
+    mean_span_length: float,
+    sentinel_start: int,
+):
+    """(inputs, targets) for one document, or (None, None) when
+    there is nothing to corrupt (NULL or < 2 tokens)."""
+    if ids is None:
+        return None, None
+    n = len(ids)
+    if n < 2:
+        return None, None
+    rng = _rng_for(seed, key)
+    num_noise = min(max(round(n * noise_density), 1), n - 1)
+    # clamp by BOTH sides' capacity: each span needs >= 1 noise
+    # token, and the gap segmentation (non-noise + 1 virtual for the
+    # possibly-empty first gap) needs >= num_spans parts — at
+    # extreme densities (e.g. r=0.9, mu=1) the naive count exceeds it
+    num_spans = min(
+        max(round(num_noise / mean_span_length), 1),
+        num_noise,
+        n - num_noise + 1,
+    )
+    noise_lens = _segment(num_noise, num_spans, rng)
+    # gaps: num_spans parts over the non-noise tokens; the FIRST gap
+    # may be empty (add 1 virtual token, subtract from the first) so
+    # a document can open with a noise span
+    gap_lens = _segment(n - num_noise + 1, num_spans, rng)
+    gap_lens[0] -= 1
+    inputs: "list[int]" = []
+    targets: "list[int]" = []
+    pos = 0
+    for k, (g, s) in enumerate(zip(gap_lens, noise_lens)):
+        inputs.extend(ids[pos: pos + g])
+        pos += g
+        sentinel = sentinel_start - k
+        inputs.append(sentinel)
+        targets.append(sentinel)
+        targets.extend(ids[pos: pos + s])
+        pos += s
+    inputs.extend(ids[pos:])
+    targets.append(sentinel_start - num_spans)  # closing sentinel
+    return inputs, targets
+
+
+def span_corruption(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    noise_density: float = 0.15,
+    mean_span_length: float = 3.0,
+    sentinel_start: int = 32_099,
+    seed: int = 41,
+    inputs_col: str = "inputs",
+    targets_col: str = "targets",
+) -> DataFrame:
+    """Append T5-style ``inputs``/``targets`` (see module docstring).
+    ``sentinel_start`` is the FIRST (highest) sentinel id; spans use
+    descending ids ``s, s−1, …`` (the T5 convention — callers using
+    a trained model should place sentinels beyond the vocabulary,
+    e.g. via ``add_special_tokens`` ids). One Arrow-batched UDF, no
+    shuffle; randomness is ``md5(seed, doc id)`` so the corruption
+    is reproducible and replayable (gate t46)."""
+    r = float(noise_density)
+    if not 0.0 < r < 1.0:
+        raise ValueError(
+            f"noise_density must be in (0, 1) (got {noise_density})"
+        )
+    mu = float(mean_span_length)
+    if mu < 1.0:
+        raise ValueError(
+            f"mean_span_length must be >= 1 (got {mean_span_length})"
+        )
+    s0 = int(sentinel_start)
+    sd = int(seed)
+
+    out_type = T.StructType(
+        [
+            T.StructField("inputs", T.ArrayType(T.IntegerType())),
+            T.StructField("targets", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _corrupt(keys: pd.Series, ids: pd.Series) -> pd.DataFrame:
+        pairs = [
+            _corrupt_one(v, k, sd, r, mu, s0)
+            for k, v in zip(keys, ids)
+        ]
+        return pd.DataFrame(
+            {
+                "inputs": [p[0] for p in pairs],
+                "targets": [p[1] for p in pairs],
+            }
+        )
+
+    tmp = df.withColumn(
+        "_ct", _corrupt(F.col(id_col).cast("string"), F.col(ids_col))
+    )
+    return tmp.select(
+        *df.columns,
+        F.col("_ct.inputs").alias(inputs_col),
+        F.col("_ct.targets").alias(targets_col),
+    )
+
+
+def reconstruct_span_corruption(
+    inputs, targets, sentinel_start: int
+) -> "list[int]":
+    """Driver-side inverse (tests / the gate's certification): weave
+    targets' spans back into inputs' sentinel slots. Raises on any
+    structural mismatch — a silent partial reconstruction would
+    defeat the losslessness check."""
+    out: "list[int]" = []
+    ti = 0
+    k = 0
+    for tok in inputs:
+        if tok == sentinel_start - k:
+            if targets[ti] != tok:
+                raise ValueError("sentinel order mismatch")
+            ti += 1
+            nxt = sentinel_start - (k + 1)
+            while ti < len(targets) and targets[ti] != nxt:
+                out.append(targets[ti])
+                ti += 1
+            k += 1
+        else:
+            out.append(tok)
+    if ti != len(targets) - 1 or targets[ti] != sentinel_start - k:
+        raise ValueError("unconsumed targets / missing close")
+    return out
+
+
+def prefix_lm_split(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    min_prefix: int = 1,
+    seed: int = 41,
+    inputs_col: str = "inputs",
+    targets_col: str = "targets",
+) -> DataFrame:
+    """The UL2 S-denoiser / prefix-LM split: cut each document's ids
+    at a position drawn uniformly from ``[min_prefix, n−1]``
+    (deterministically from ``md5(seed, doc id)``) into ``inputs``
+    (the visible prefix) and ``targets`` (the continuation to
+    predict). ``inputs ++ targets == ids`` exactly. Documents
+    shorter than ``min_prefix + 1`` get NULLs — no continuation to
+    predict. One Arrow-batched UDF, no shuffle."""
+    mp = int(min_prefix)
+    if mp < 1:
+        raise ValueError(f"min_prefix must be >= 1 (got {min_prefix})")
+    sd = int(seed)
+
+    out_type = T.StructType(
+        [
+            T.StructField("inputs", T.ArrayType(T.IntegerType())),
+            T.StructField("targets", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _one(key, ids):
+        if ids is None or len(ids) < mp + 1:
+            return None, None
+        cut = _rng_for(sd, key).randint(mp, len(ids) - 1)
+        return list(ids[:cut]), list(ids[cut:])
+
+    @F.pandas_udf(out_type)
+    def _split(keys: pd.Series, ids: pd.Series) -> pd.DataFrame:
+        pairs = [_one(k, v) for k, v in zip(keys, ids)]
+        return pd.DataFrame(
+            {
+                "inputs": [p[0] for p in pairs],
+                "targets": [p[1] for p in pairs],
+            }
+        )
+
+    tmp = df.withColumn(
+        "_pl", _split(F.col(id_col).cast("string"), F.col(ids_col))
+    )
+    return tmp.select(
+        *df.columns,
+        F.col("_pl.inputs").alias(inputs_col),
+        F.col("_pl.targets").alias(targets_col),
+    )

@@ -1,0 +1,115 @@
+"""Denoising-objective prep: T5 span corruption + prefix-LM split —
+reconstruction losslessness, density/span-count contracts,
+determinism, edge clamps."""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    import random
+
+    rnd = random.Random(9)
+    rows = [
+        (i, [rnd.randint(0, 999) for _ in range(rnd.randint(0, 60))])
+        for i in range(80)
+    ] + [(900, None)]
+    return spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+
+
+def test_span_corruption_reconstructs_exactly(toks):
+    from polaroam_spark.operators.objectives import (
+        reconstruct_span_corruption,
+        span_corruption,
+    )
+
+    out = span_corruption(toks, sentinel_start=100_000, seed=5)
+    for r in out.collect():
+        if r.token_ids is None or len(r.token_ids) < 2:
+            assert r.inputs is None and r.targets is None
+            continue
+        back = reconstruct_span_corruption(
+            list(r.inputs), list(r.targets), 100_000
+        )
+        assert back == list(r.token_ids), r.doc_id
+        # density contract: noise tokens == round(n * r) clamped
+        n = len(r.token_ids)
+        n_noise = sum(
+            1 for t in r.targets if t < 100_000 - 60
+        ) + sum(1 for t in r.targets if 0 <= t <= 999)
+        real_noise = [t for t in r.targets if t <= 999]
+        assert len(real_noise) == min(max(round(n * 0.15), 1), n - 1)
+        # inputs carry one sentinel per span, descending
+        sents = [t for t in r.inputs if t > 99_000]
+        assert sents == sorted(sents, reverse=True)
+        assert sents[0] == 100_000
+
+
+def test_span_corruption_deterministic_and_seeded(toks):
+    from polaroam_spark.operators.objectives import span_corruption
+
+    a = {
+        r.doc_id: (r.inputs, r.targets)
+        for r in span_corruption(toks, seed=5).collect()
+    }
+    b = {
+        r.doc_id: (r.inputs, r.targets)
+        for r in span_corruption(toks, seed=5).collect()
+    }
+    c = {
+        r.doc_id: (r.inputs, r.targets)
+        for r in span_corruption(toks, seed=6).collect()
+    }
+    assert a == b
+    assert a != c
+
+
+def test_span_corruption_extreme_density_clamps(spark):
+    from polaroam_spark.operators.objectives import (
+        reconstruct_span_corruption,
+        span_corruption,
+    )
+
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, [7, 8]), (3, [5])],
+        "doc_id long, token_ids array<int>",
+    )
+    out = span_corruption(
+        df, noise_density=0.9, mean_span_length=1.0,
+        sentinel_start=100_000,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[3].inputs is None  # < 2 tokens: nothing to corrupt
+    for did in (1, 2):
+        r = got[did]
+        assert reconstruct_span_corruption(
+            list(r.inputs), list(r.targets), 100_000
+        ) == list(r.token_ids)
+    with pytest.raises(ValueError, match="noise_density"):
+        span_corruption(df, noise_density=1.0)
+    with pytest.raises(ValueError, match="mean_span_length"):
+        span_corruption(df, mean_span_length=0.5)
+
+
+def test_prefix_lm_split(toks):
+    from polaroam_spark.operators.objectives import prefix_lm_split
+
+    out = prefix_lm_split(toks, min_prefix=2, seed=11)
+    for r in out.collect():
+        if r.token_ids is None or len(r.token_ids) < 3:
+            assert r.inputs is None and r.targets is None
+            continue
+        assert list(r.inputs) + list(r.targets) == list(r.token_ids)
+        assert len(r.inputs) >= 2 and len(r.targets) >= 1
+    again = {
+        r.doc_id: (r.inputs, r.targets)
+        for r in prefix_lm_split(toks, min_prefix=2, seed=11).collect()
+    }
+    first = {
+        r.doc_id: (r.inputs, r.targets)
+        for r in out.collect()
+    }
+    assert again == first
+    with pytest.raises(ValueError, match="min_prefix"):
+        prefix_lm_split(toks, min_prefix=0)
