@@ -113,3 +113,45 @@ def test_prefix_lm_split(toks):
     assert again == first
     with pytest.raises(ValueError, match="min_prefix"):
         prefix_lm_split(toks, min_prefix=0)
+
+
+def test_span_corruption_property_reconstruction():
+    """Hypothesis sweep of the pure kernel: any ids/density/span-mean
+    /seed combination reconstructs exactly and respects the noise
+    budget — no Spark needed, the UDF calls this same function."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polaroam_spark.operators.objectives import (
+        _corrupt_one,
+        reconstruct_span_corruption,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=9_999),
+            min_size=2,
+            max_size=120,
+        ),
+        r=st.floats(min_value=0.05, max_value=0.95),
+        mu=st.floats(min_value=1.0, max_value=10.0),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(ids, r, mu, seed):
+        inputs, targets = _corrupt_one(
+            ids, "k", seed, r, mu, 100_000
+        )
+        assert reconstruct_span_corruption(
+            inputs, targets, 100_000
+        ) == ids
+        n = len(ids)
+        n_noise = sum(1 for t in targets if t < 99_000)
+        assert n_noise == min(max(round(n * r), 1), n - 1)
+        # sentinels in inputs descend contiguously from the start id
+        sents = [t for t in inputs if t >= 99_000]
+        assert sents == list(
+            range(100_000, 100_000 - len(sents), -1)
+        )
+
+    check()
