@@ -256,3 +256,55 @@ def chunk_sft_sequences(
     if drop_no_loss:
         out = out.filter(F.col("n_loss_tokens") > 0)
     return out
+
+
+def chat_message_expectations(
+    messages_col: str = "messages",
+    roles: "tuple[str, ...]" = ("system", "user", "assistant"),
+    require_assistant: bool = True,
+) -> "dict[str, Column]":
+    """Named Column rules for validating a chat corpus BEFORE
+    encoding — plug straight into
+    :func:`~polaroam_spark.operators.validation.validate_expectations`
+    / ``enforce_expectations`` (where a failed rule quarantines the
+    batch instead of :func:`encode_chat_sft` raising mid-job):
+
+    - ``messages_present``: the array is non-NULL and non-empty;
+    - ``no_null_turns``: every message has non-NULL role AND content
+      (the exact condition the encoder raises on);
+    - ``known_roles``: every role is in ``roles``;
+    - ``has_assistant_turn`` (when ``require_assistant``): at least
+      one message the SFT loss can train on — a conversation with no
+      assistant turn yields an all-zero mask and a silently useless
+      row;
+    - ``system_first_if_any``: any system message sits at position 0
+      (the ChatML convention; a mid-dialogue system turn is almost
+      always a data bug).
+
+    All rules are pure array expressions (forall/exists/filter), so
+    the whole validation is one map-side aggregation pass.
+    """
+    m = F.col(messages_col)
+    rules: "dict[str, Column]" = {
+        "messages_present": m.isNotNull() & (F.size(m) > 0),
+        "no_null_turns": F.forall(
+            m,
+            lambda x: x["role"].isNotNull()
+            & x["content"].isNotNull(),
+        ),
+        "known_roles": F.forall(
+            m, lambda x: x["role"].isin(*[F.lit(r) for r in roles])
+        ),
+        "system_first_if_any": F.size(
+            F.filter(
+                F.slice(m, 2, F.greatest(F.size(m) - 1, F.lit(0))),
+                lambda x: x["role"] == "system",
+            )
+        )
+        == 0,
+    }
+    if require_assistant:
+        rules["has_assistant_turn"] = F.exists(
+            m, lambda x: x["role"] == "assistant"
+        )
+    return rules

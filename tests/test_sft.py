@@ -159,3 +159,44 @@ def test_chunk_sft_sequences(convs, ident):
     assert 3 not in kept and 1 in kept and 2 in kept
     with pytest.raises(ValueError, match="seq_len"):
         chunk_sft_sequences(enc, seq_len=0)
+
+
+def test_chat_message_expectations(spark):
+    """The pre-encode validation rules catch exactly the shapes the
+    encoder raises on (or silently wastes): null turns, unknown
+    roles, missing assistant, mid-dialogue system."""
+    from polaroam_spark.operators.sft import chat_message_expectations
+    from polaroam_spark.operators.validation import (
+        validate_expectations,
+    )
+
+    rows = [
+        (1, [("system", "s"), ("user", "u"), ("assistant", "a")]),
+        (2, [("user", None)]),                      # null content
+        (3, [("narrator", "x"), ("assistant", "a")]),  # unknown role
+        (4, [("user", "u")]),                       # no assistant
+        (5, [("user", "u"), ("system", "late"),
+             ("assistant", "a")]),                  # system not first
+        (6, None),                                  # missing array
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    rep = {
+        r.rule: r.n_fail
+        for r in validate_expectations(
+            df, chat_message_expectations()
+        ).collect()
+    }
+    assert rep["messages_present"] == 1       # row 6
+    assert rep["no_null_turns"] >= 2          # rows 2 and 6 (NULL)
+    assert rep["known_roles"] >= 1            # row 3
+    assert rep["has_assistant_turn"] >= 2     # rows 2, 4, 6
+    assert rep["system_first_if_any"] >= 1    # row 5
+    # the clean row passes every rule
+    clean = spark.createDataFrame([rows[0]], SCHEMA)
+    rep_clean = {
+        r.rule: r.n_fail
+        for r in validate_expectations(
+            clean, chat_message_expectations()
+        ).collect()
+    }
+    assert all(v == 0 for v in rep_clean.values())
