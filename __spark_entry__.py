@@ -10402,6 +10402,72 @@ def t46(spark, sf_dir):
 
 
 @_q(
+    "t47_unigram_coverage",
+    "WITH t AS (SELECT source, "
+    "regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS a "
+    "FROM documents), "
+    "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(a) + 6) AS BIGINT) AS n_tokens, "
+    "CAST(5 * count(*) AS BIGINT) AS n_fallback_tokens "
+    "FROM t GROUP BY source), "
+    "p AS (SELECT source, CAST(count(DISTINCT u) AS BIGINT) AS np "
+    "FROM (SELECT source, unnest(string_split(a || ' ', '')) AS u "
+    "FROM t) q WHERE u <> '' GROUP BY source) "
+    "SELECT c.source, c.n_docs, c.n_tokens, c.n_fallback_tokens, "
+    "round(CAST(c.n_fallback_tokens AS DOUBLE) "
+    "/ CAST(c.n_tokens AS DOUBLE), 6) AS fallback_rate, "
+    "p.np AS n_distinct_pieces_used "
+    "FROM c JOIN p USING (source)",
+)
+def t47(spark, sf_dir):
+    """Unigram vocabulary-coverage data card (unigram.py:
+    unigram_coverage_stats — the fallback-rate / vocab-utilization
+    report BPE can't have): a printable-ASCII-pieces model over the
+    ASCII-stripped corpus with a fixed ' é漢' suffix gives closed
+    forms — every ASCII char is one covered piece, the suffix is
+    exactly 5 fallback bytes per document, and the distinct pieces
+    used are the distinct characters — all replayed per source by
+    the oracle."""
+    import math
+
+    from polaroam_spark.operators.unigram import (
+        _BYTE_TOKEN_ID,
+        unigram_coverage_stats,
+    )
+
+    chars = [chr(b) for b in range(32, 127)]
+    model = {
+        "type": "unigram",
+        "vocab": dict(_BYTE_TOKEN_ID)
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: -math.log(len(chars)) for c in chars},
+        "max_piece_length": 1,
+    }
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                "[^ -~]",
+                "",
+            ),
+            F.lit(" é漢"),
+        ).alias("text"),
+    )
+    return unigram_coverage_stats(
+        docs, model, group_by="source"
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_fallback_tokens",
+        F.round("fallback_rate", 6).alias("fallback_rate"),
+        "n_distinct_pieces_used",
+    )
+
+
+@_q(
     "smp9_gumbel_topk",
     "WITH w AS (SELECT doc_id, n_chars, "
     "CAST(n_chars AS DOUBLE) / 200.0 "
@@ -11187,6 +11253,7 @@ _PRIORITY = [
     "t45_unigram_sample_encode",
     "sft1_chat_template_render", "sft2_loss_mask_windows",
     "st11_streaming_unigram_count", "t46_span_corruption",
+    "t47_unigram_coverage",
     "t10_bpe_token_count",
     "t24_bigram_logprob_reference", "t8_pii_counts", "u1_url_features",
     "v1_vector_normalize", "v2_quantize_roundtrip",

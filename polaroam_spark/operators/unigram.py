@@ -767,3 +767,86 @@ def encode_text_unigram_sampled(
     """Driver-side single-string sampled encode (tests, spot
     checks) — the exact distributed semantics."""
     return _sampling_encoder(model, alpha, seed)(text)
+
+
+def unigram_coverage_stats(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    group_by: "str | None" = None,
+) -> DataFrame:
+    """Vocabulary-coverage data card for a unigram tokenizer on a
+    corpus — the companion to ``tokenizer_stats`` that fertility
+    alone can't show: per group (or one corpus row), ``n_docs,
+    n_tokens, n_fallback_tokens`` (ids < 256 — the byte-fallback
+    escape hatch firing), ``fallback_rate``, and
+    ``n_distinct_pieces_used`` (vocab utilization: how much of the
+    piece inventory the corpus actually exercises — a vocabulary
+    trained on the wrong domain shows a high fallback rate AND low
+    utilization). The decision metric for "is this tokenizer's vocab
+    right for this corpus": BPE has no equivalent (byte-level BPE
+    covers everything by construction), which is why this report is
+    unigram-family-specific.
+
+    Plan: ONE encode pass feeding two aggregations — the count
+    columns are array expressions over the id array (fallback =
+    ids < 256, map-side combined), and the distinct-piece count
+    explodes the per-doc DISTINCT pieces (bounded by doc-vocab
+    overlap) into a standard partial-distinct countDistinct — never
+    a corpus-scaled aggregation buffer (a collect_list of per-doc
+    arrays would be one). The persist makes the shared encode
+    execute once for both consumers (the dsir pattern; registered
+    with unpersist_caches). NULL texts are dropped;
+    ``fallback_rate`` is NULL for a zero-token group."""
+    from ..cache import track
+
+    enc = unigram_encode(
+        docs.filter(F.col(text_col).isNotNull()), model, text_col,
+        out_col="_ids",
+    )
+    keys = [group_by] if group_by else []
+    proj = track(
+        enc.select(
+            *keys,
+            F.array_size("_ids").alias("_n"),
+            F.size(F.filter("_ids", lambda i: i < 256)).alias("_fb"),
+            F.array_distinct(
+                F.filter("_ids", lambda i: i >= 256)
+            ).alias("_pieces"),
+        ).persist()
+    )
+    counts = proj.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n").alias("n_tokens"),
+        F.sum("_fb").alias("n_fallback_tokens"),
+    )
+    pieces = (
+        proj.select(*keys, F.explode("_pieces").alias("_p"))
+        .groupBy(*keys)
+        .agg(
+            F.countDistinct("_p")
+            .cast("long")
+            .alias("n_distinct_pieces_used")
+        )
+    )
+    agg = (
+        counts.join(pieces, on=keys, how="left")
+        if keys
+        else counts.crossJoin(F.broadcast(pieces))
+    )
+    agg = agg.withColumn(
+        "n_distinct_pieces_used",
+        F.coalesce(F.col("n_distinct_pieces_used"), F.lit(0)),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_tokens",
+        "n_fallback_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_fallback_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("fallback_rate"),
+        "n_distinct_pieces_used",
+    )

@@ -349,3 +349,51 @@ def test_sample_encode_alpha_validation(docs, model):
     for bad in (0.0, -1.0):
         with pytest.raises(ValueError, match="alpha"):
             unigram_sample_encode(docs, model, alpha=bad)
+
+
+def test_coverage_stats(spark):
+    """Coverage data card on a hand-built ASCII-pieces model: exact
+    fallback byte counts, per-group rows, distinct-piece utilization,
+    all-covered and heavy-OOV groups both exact."""
+    from polaroam_spark.operators.unigram import (
+        unigram_coverage_stats,
+    )
+
+    chars = sorted(set("abc def"))  # pieces: space, a..f
+    model = {
+        "type": "unigram",
+        "vocab": {f"<0x{b:02X}>": b for b in range(256)}
+        | {c: 256 + i for i, c in enumerate(chars)},
+        "scores": {c: -math.log(len(chars)) for c in chars},
+        "max_piece_length": 1,
+    }
+    df = spark.createDataFrame(
+        [
+            (1, "g1", "abc def"),        # fully covered, 7 tokens
+            (2, "g1", "ab é"),           # é -> 2 fallback bytes
+            (3, "g2", "漢字"),           # 6 fallback bytes, 0 covered
+            (4, "g2", None),             # dropped
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.source: r
+        for r in unigram_coverage_stats(
+            df, model, group_by="source"
+        ).collect()
+    }
+    g1, g2 = rows["g1"], rows["g2"]
+    assert g1.n_docs == 2
+    assert g1.n_tokens == 7 + (3 + 2)   # 'ab é' = a,b,space + 2 bytes
+    assert g1.n_fallback_tokens == 2
+    assert abs(g1.fallback_rate - 2 / 12) < 1e-12
+    assert g1.n_distinct_pieces_used == len(set("abc def"))
+    assert g2.n_docs == 1
+    assert g2.n_tokens == 6 and g2.n_fallback_tokens == 6
+    assert g2.fallback_rate == 1.0
+    assert g2.n_distinct_pieces_used == 0
+    # corpus-level row (no grouping)
+    allr = unigram_coverage_stats(df, model).collect()
+    assert len(allr) == 1
+    assert allr[0].n_tokens == g1.n_tokens + g2.n_tokens
+    assert allr[0].n_fallback_tokens == 8
