@@ -459,6 +459,61 @@ def cmd_perplexity(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_sft(args) -> None:
+    """Chat corpus -> padded SFT training windows as one restartable
+    command: read a parquet with a messages
+    ``array<struct<role,content>>`` column, validate it
+    (:func:`chat_message_expectations` via ``enforce_expectations``
+    — a malformed batch quarantines loudly instead of the encoder
+    raising mid-job), encode with loss masks under the given
+    tokenizer (GPT-2-layout BPE via --vocab/--merges or a unigram
+    TSV via --model), window to --seq-len, and write."""
+    from polaroam_spark.operators.sft import (
+        chat_message_expectations,
+        chunk_sft_sequences,
+        encode_chat_sft,
+    )
+    from polaroam_spark.operators.validation import (
+        enforce_expectations,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.model:
+        from polaroam_spark.operators.unigram import load_unigram
+
+        model = load_unigram(args.model)
+    elif args.vocab and args.merges:
+        from polaroam_spark.operators.tokenize import load_bpe
+
+        model = load_bpe(args.vocab, args.merges)
+    else:
+        raise SystemExit(
+            "sft: bring a tokenizer — --vocab/--merges (BPE) or "
+            "--model (unigram TSV)"
+        )
+    if not args.skip_validation:
+        enforce_expectations(
+            df,
+            chat_message_expectations(args.messages_col),
+            min_pass_rate=1.0,
+        )
+    enc = encode_chat_sft(
+        df,
+        model,
+        messages_col=args.messages_col,
+        template=args.template,
+    )
+    out = chunk_sft_sequences(
+        enc,
+        seq_len=args.seq_len,
+        pad_id=args.pad_id,
+        id_col=args.id_col,
+        drop_no_loss=not args.keep_no_loss,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -638,6 +693,34 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep rows with mean_kn_logprob >= this",
     )
     pp.set_defaults(fn=cmd_perplexity)
+
+    pf = sub.add_parser(
+        "sft",
+        help="chat corpus -> padded loss-masked training windows",
+    )
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--output", required=True)
+    pf.add_argument("--messages-col", default="messages")
+    pf.add_argument("--id-col", default="doc_id")
+    pf.add_argument(
+        "--template", choices=["chatml", "plain"], default="chatml"
+    )
+    pf.add_argument("--vocab", default=None, help="BPE vocab.json")
+    pf.add_argument("--merges", default=None, help="BPE merges.txt")
+    pf.add_argument(
+        "--model", default=None, help="unigram piece/score TSV"
+    )
+    pf.add_argument("--seq-len", type=int, default=2048)
+    pf.add_argument("--pad-id", type=int, default=0)
+    pf.add_argument(
+        "--keep-no-loss", action="store_true",
+        help="keep windows whose loss mask is all zero",
+    )
+    pf.add_argument(
+        "--skip-validation", action="store_true",
+        help="skip the chat_message_expectations batch gate",
+    )
+    pf.set_defaults(fn=cmd_sft)
 
     return p
 

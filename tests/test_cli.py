@@ -492,3 +492,71 @@ def test_cli_perplexity_score_and_filter(spark, tmpdir):
     ]) == 0
     kept = [r.doc_id for r in spark.read.parquet(out2).collect()]
     assert kept == [1]
+
+
+def test_cli_sft_windows(spark, tmpdir):
+    """sft stage: BPE-tokenized loss-masked windows match the
+    library composition; a malformed batch quarantines loudly; the
+    unigram TSV path works too."""
+    import pytest
+
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.tokenize import save_bpe, train_bpe
+    from polaroam_spark.operators.unigram import (
+        save_unigram,
+        train_unigram,
+    )
+
+    convs = spark.createDataFrame(
+        [
+            (i, [("user", f"question {i} about things"),
+                 ("assistant", f"answer {i} with words " * 3)])
+            for i in range(20)
+        ],
+        "doc_id long, messages array<struct<role string, content string>>",
+    )
+    texts = spark.createDataFrame(
+        [(i, f"question answer {i} about things with words")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = f"{tmpdir}/sft_in"
+    convs.write.parquet(src)
+    bpe = train_bpe(texts, vocab_size=300)
+    vp, mp = f"{tmpdir}/sft_vocab.json", f"{tmpdir}/sft_merges.txt"
+    save_bpe(bpe, vp, mp)
+    out = f"{tmpdir}/sft_out"
+    assert main([
+        "sft", "--input", src, "--output", out,
+        "--vocab", vp, "--merges", mp, "--seq-len", "32",
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert rows
+    assert all(len(r.token_ids) == 32 == len(r.loss_mask) for r in rows)
+    assert all(r.n_loss_tokens > 0 for r in rows)  # default drop
+
+    uni = train_unigram(texts, vocab_size=256 + 80)
+    up = f"{tmpdir}/sft_uni.tsv"
+    save_unigram(uni, up)
+    out2 = f"{tmpdir}/sft_out_uni"
+    assert main([
+        "sft", "--input", src, "--output", out2,
+        "--model", up, "--seq-len", "32",
+    ]) == 0
+    assert spark.read.parquet(out2).count() > 0
+
+    bad = spark.createDataFrame(
+        [(99, [("user", None)])],
+        "doc_id long, messages array<struct<role string, content string>>",
+    )
+    bsrc = f"{tmpdir}/sft_bad"
+    bad.write.parquet(bsrc)
+    with pytest.raises(ValueError, match="no_null_turns"):
+        main([
+            "sft", "--input", bsrc, "--output", f"{tmpdir}/nope",
+            "--vocab", vp, "--merges", mp,
+        ])
+    with pytest.raises(SystemExit, match="tokenizer"):
+        main([
+            "sft", "--input", src, "--output", f"{tmpdir}/nope2",
+        ])
