@@ -452,6 +452,42 @@ def main() -> None:
             .select("doc_id", "token_ids", "n_tokens")
         )
 
+    def q_sft_prep():
+        # chat corpus -> loss-masked padded windows: per-message
+        # segment encode (identity model — the byte path every
+        # trained model shares) + pure-JVM window arithmetic
+        from polaroam_spark.operators.sft import (
+            chunk_sft_sequences,
+            encode_chat_sft,
+        )
+        from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+        ident = {
+            "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+            "merges": [],
+        }
+        docs = em._t(spark, SF_DIR, "documents")
+        convs = docs.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.col("text").alias("content"),
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.col("text").alias("content"),
+                ),
+            ).alias("messages"),
+        )
+        run(
+            chunk_sft_sequences(
+                encode_chat_sft(convs, ident),
+                seq_len=512,
+                drop_no_loss=False,
+            )
+        )
+
     def q_kn_trigram():
         # Kneser-Ney trigram reference-LM scoring (the CCNet
         # perplexity filter): model counted on the doc_id%10==0
@@ -487,6 +523,7 @@ def main() -> None:
         "quality_score": q_quality_score,
         "unigram_tokenize": q_unigram_tokenize,
         "kn_trigram": q_kn_trigram,
+        "sft_prep": q_sft_prep,
     }
     core9 = [
         "stop_detection", "dbscan_clustering", "homework_labeling",
