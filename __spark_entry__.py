@@ -10311,6 +10311,198 @@ def sft2(spark, sf_dir):
 
 
 @_q(
+    "sft3_packed_sft_windows",
+    "WITH m AS (SELECT doc_id, "
+    "repeat('0', octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10)))) "
+    "|| repeat('1', octet_length(encode('ok ' || coalesce(text, '')))) "
+    "|| repeat('0', octet_length(encode('<|im_end|>' || chr(10)))) "
+    "AS mstr FROM documents WHERE doc_id IS NOT NULL), "
+    "o AS (SELECT doc_id, mstr, COALESCE(sum(length(mstr)) OVER "
+    "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING), 0) AS st FROM m), "
+    # a window's segment count = docs STARTING inside it, plus the
+    # doc spanning its left edge — which exists exactly when no doc
+    # starts at the edge (the stream is contiguous). O(D+W), not the
+    # O(D*W) correlated per-window scan (it timed out at sf0.1).
+    "c AS (SELECT CAST(st // 128 AS BIGINT) AS wi, "
+    "count(*) AS cnt, "
+    "max(CASE WHEN st % 128 = 0 THEN 1 ELSE 0 END) AS bnd "
+    "FROM o GROUP BY 1), "
+    "s AS (SELECT string_agg(mstr, '' ORDER BY doc_id) AS stream "
+    "FROM m), "
+    # pre-chunk the 0/1 mask stream (newline-free, so '.' is safe)
+    # instead of substr-ing the whole stream once per window row —
+    # DuckDB materializes the stream per row, which is O(W * bytes)
+    # and timed out at sf0.1; this is one regexp pass.
+    "w AS (SELECT unnest(chunks) AS chunk, "
+    "generate_subscripts(chunks, 1) - 1 AS i FROM "
+    "(SELECT regexp_extract_all(stream, '.{1,128}') AS chunks "
+    "FROM s)) "
+    "SELECT CAST(0 AS INT) AS shard, CAST(i AS BIGINT) AS seq_id, "
+    "CAST(128 AS BIGINT) AS n_tokens, "
+    "CAST(length(replace(chunk, '0', '')) AS BIGINT) "
+    "AS n_loss_tokens, "
+    "CAST(COALESCE(c.cnt, 0) + CASE WHEN COALESCE(c.bnd, 0) = 1 "
+    "THEN 0 ELSE 1 END AS BIGINT) AS n_segments, "
+    "CAST(128 - length(chunk) AS BIGINT) AS n_padding "
+    "FROM w LEFT JOIN c ON c.wi = w.i",
+)
+def sft3(spark, sf_dir):
+    """PACKED SFT windows (sft.py:pack_sft_sequences — the ~pad-free
+    loader shape: conversations concatenated per shard and cut at
+    seq_len with per-token segment_ids / reset position_ids, masked
+    composition of pack_token_stream's shard machinery with
+    encode_chat_sft's loss masks) under the byte-identity model with
+    ONE shard (global doc_id order — the t33 convention): the oracle
+    rebuilds the mask stream as a 0/1 byte string (0 on headers/
+    footers/user text, 1 on assistant-content bytes), cuts it at
+    128, and replays EVERY window's loss-token count, segment count
+    (docs whose byte span intersects the window), and padding (tail
+    window only) in closed form."""
+    from polaroam_spark.operators.sft import (
+        encode_chat_sft,
+        pack_sft_sequences,
+    )
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    convs = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit(_SFT_SYS).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.concat(
+                    F.lit("ok "),
+                    F.coalesce(F.col("text"), F.lit("")),
+                ).alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    enc = encode_chat_sft(convs, ident)
+    packed = pack_sft_sequences(
+        enc, seq_len=128, num_shards=1, drop_no_loss=False
+    )
+    return packed.select(
+        "shard",
+        "seq_id",
+        "n_tokens",
+        "n_loss_tokens",
+        "n_segments",
+        "n_padding",
+    )
+
+
+@_q(
+    "dpo1_preference_pairs",
+    "SELECT doc_id, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10))) AS BIGINT) "
+    "AS prompt_len, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10) || 'ok ' "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10))) AS BIGINT) "
+    "AS n_chosen, "
+    "CAST(octet_length(encode('ok ' || coalesce(text, ''))) "
+    "AS BIGINT) AS n_chosen_loss, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10) || 'no<|im_end|>' "
+    "|| chr(10))) AS BIGINT) AS n_rejected, "
+    "CAST(2 AS BIGINT) AS n_rejected_loss, "
+    "CAST(1 AS INT) AS prefix_ok "
+    "FROM documents WHERE doc_id IS NOT NULL",
+)
+def dpo1(spark, sf_dir):
+    """Preference-pair (DPO) encoding (sft.py:
+    encode_preference_pairs — shared prompt encoded ONCE, chosen /
+    rejected completions appended per branch with encode_chat_sft's
+    mask rule, prompt mask 0 regardless of roles) under the
+    byte-identity model: per document the prompt is system+user, the
+    chosen branch 'ok '+text, the rejected branch 'no'. The oracle
+    replays prompt_len and both branches' total/loss token counts as
+    rendered-byte arithmetic; prefix_ok pins the load-bearing DPO
+    contract — the first prompt_len ids of BOTH branches are
+    identical (checked element-wise in Spark, 1 by construction in
+    the oracle)."""
+    from polaroam_spark.operators.sft import encode_preference_pairs
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit(_SFT_SYS).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            ),
+        ).alias("prompt_messages"),
+        F.concat(
+            F.lit("ok "), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("chosen"),
+        F.lit("no").alias("rejected"),
+    )
+    enc = encode_preference_pairs(pairs, ident)
+    plen = F.col("prompt_len").cast("int")
+    return enc.select(
+        "doc_id",
+        "prompt_len",
+        F.array_size("chosen_ids").cast("long").alias("n_chosen"),
+        F.aggregate(
+            "chosen_mask", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_chosen_loss"),
+        F.array_size("rejected_ids").cast("long").alias("n_rejected"),
+        F.aggregate(
+            "rejected_mask", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_rejected_loss"),
+        (
+            F.slice("chosen_ids", F.lit(1), plen)
+            == F.slice("rejected_ids", F.lit(1), plen)
+        )
+        .cast("int")
+        .alias("prefix_ok"),
+    )
+
+
+@_q(
     "t46_span_corruption",
     "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
     "CAST(count(*) AS BIGINT) AS value FROM documents "

@@ -26,9 +26,12 @@ Design decisions a gate can pin:
   SFT convention), so with the byte-identity model ids ==
   rendered-text UTF-8 bytes exactly and the mask == the
   assistant-content byte span — the sft2 oracle twin.
-- **Windows pad, never pack**: one conversation per sequence run,
-  last window padded with ``pad_id`` and mask 0 (padding
-  contributes no loss by the same rule as non-assistant tokens).
+- **Two window conventions, chosen per loader**:
+  :func:`chunk_sft_sequences` pads per conversation (safe with any
+  loader — attention cannot bleed between dialogues);
+  :func:`pack_sft_sequences` packs conversations into ~pad-free
+  windows carrying ``segment_ids`` / reset ``position_ids``, for
+  loaders that implement segment-isolated attention.
 """
 from __future__ import annotations
 
@@ -113,11 +116,18 @@ def encode_chat_sft(
     family (BPE or unigram, the ``tokenizer_stats`` dispatch).
     NULL messages array → NULL ids/mask; a NULL role or content
     inside a message raises loudly (a silently dropped turn would
-    shift every downstream span). Concatenating a row's segment ids
-    equals encoding the rendered text whenever segment boundaries
-    fall on pre-token boundaries (true of both built-in templates —
-    headers end with a separator), and with the byte-identity model
-    ids are exactly the rendered text's UTF-8 bytes."""
+    shift every downstream span). Per-segment encoding is the
+    DEFINED semantics here (it is what makes the mask exact);
+    concatenated segment ids equal encoding the rendered text only
+    for byte-identity models (where ids are exactly the rendered
+    text's UTF-8 bytes — the sft2 oracle) or when no segment begins
+    with a pre-token that would have merged across the boundary:
+    with a trained BPE/unigram model, content starting with
+    whitespace (the ``' word'`` pre-token spans the header/content
+    boundary) or the ``plain`` template's trailing-space header
+    tokenize differently segment-by-segment than whole-text. That
+    divergence is intentional — the loss mask, not whole-text id
+    parity, is the contract."""
     if model.get("type") == "unigram":
         from polaroam_spark.operators.unigram import _unigram_encoder
 
@@ -256,6 +266,316 @@ def chunk_sft_sequences(
     if drop_no_loss:
         out = out.filter(F.col("n_loss_tokens") > 0)
     return out
+
+
+def pack_sft_sequences(
+    df: DataFrame,
+    seq_len: int,
+    pad_id: int = 0,
+    ids_col: str = "token_ids",
+    mask_col: str = "loss_mask",
+    id_col: str = "doc_id",
+    num_shards: int = 256,
+    max_shard_tokens: int = 100_000_000,
+    drop_no_loss: bool = True,
+) -> DataFrame:
+    """PACKED SFT windows: concatenate many conversations into a
+    token stream per shard and cut it into exactly-``seq_len``
+    sequences carrying ``segment_ids`` and reset ``position_ids``
+    alongside ids/mask — the ~pad-free loader shape where attention
+    isolation between packed conversations is the LOADER's contract
+    (via the segment ids), not padding's. The masked composition of
+    :func:`~polaroam_spark.operators.tokenize.pack_token_stream`
+    (shard machinery: deterministic ``xxhash64(id) % num_shards``
+    groups, id-ordered within the shard, one ``applyInPandas`` group
+    per shard with the ``max_shard_tokens`` loud-failure guard) with
+    :func:`encode_chat_sft`'s loss masks.
+
+    Per output row (``shard, seq_id``):
+
+    - ``token_ids`` / ``loss_mask`` — the window's slice of the
+      concatenated (ids, mask) stream; only the shard's LAST window
+      can pad (``pad_id`` / mask 0), so total padding is bounded by
+      ``num_shards * (seq_len - 1)`` regardless of corpus size —
+      vs one padded tail per CONVERSATION for
+      :func:`chunk_sft_sequences`.
+    - ``segment_ids`` — per-token conversation index LOCAL to the
+      window (0, 1, 2, … restarting each window; a conversation
+      continuing across the cut is segment 0 of the next window);
+      padding is ``-1``. Every conversation boundary inside a
+      window is a segment increment, so no two conversations share
+      a segment id.
+    - ``position_ids`` — per-token position WITHIN its conversation,
+      continuing across the window cut (positions stay consistent
+      for a split conversation); padding is 0.
+    - ``n_tokens`` (= seq_len), ``n_loss_tokens``, ``n_segments``
+      (distinct real conversations touching the window),
+      ``n_padding``.
+
+    Exact accounting vs the padded twin (``chunk_sft_sequences``
+    with ``drop_no_loss=False``): total loss tokens are EQUAL (no
+    loss token is ever dropped — windows removed by
+    ``drop_no_loss`` are all-mask-0 by definition) and total real
+    (non-padding) tokens are equal. Deterministic: a pure function
+    of (corpus, seq_len, num_shards). NULL ids rows contribute no
+    tokens."""
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
+    cap = int(max_shard_tokens)
+    pid = int(pad_id)
+
+    enc = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(ids_col).alias("_ids"),
+        F.col(mask_col).alias("_mask"),
+        F.pmod(F.xxhash64(id_col), F.lit(int(num_shards))).alias(
+            "_shard"
+        ),
+    )
+
+    def _cut(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(key[0])
+        shard_tokens = int(
+            pdf["_ids"].map(lambda x: 0 if x is None else len(x)).sum()
+        )
+        if shard_tokens > cap:
+            raise ValueError(
+                f"pack_sft_sequences: shard {shard} holds "
+                f"{shard_tokens} tokens > max_shard_tokens={cap}; "
+                "raise num_shards (target corpus_tokens / num_shards "
+                "well under the cap) or raise max_shard_tokens if "
+                "the workers have the memory for it"
+            )
+        pdf = pdf.sort_values("_id")
+        s_ids: "list[int]" = []
+        s_mask: "list[int]" = []
+        s_seg: "list[int]" = []
+        s_pos: "list[int]" = []
+        seg = -1
+        for ids, mask in zip(pdf["_ids"], pdf["_mask"]):
+            if ids is None or len(ids) == 0:
+                continue
+            seg += 1
+            s_ids.extend(int(i) for i in ids)
+            s_mask.extend(int(m) for m in mask)
+            s_seg.extend([seg] * len(ids))
+            s_pos.extend(range(len(ids)))
+        n = len(s_ids)
+        out = []
+        n_win = -(-n // L) if n else 0
+        for w in range(n_win):
+            lo, hi = w * L, min((w + 1) * L, n)
+            ids = s_ids[lo:hi]
+            mask = s_mask[lo:hi]
+            gseg = s_seg[lo:hi]
+            pos = s_pos[lo:hi]
+            n_loss = sum(mask)
+            if drop_no_loss and n_loss == 0:
+                continue
+            base = gseg[0]
+            local = [g - base for g in gseg]
+            n_segments = local[-1] + 1
+            npad = L - (hi - lo)
+            out.append(
+                (
+                    shard,
+                    w,
+                    ids + [pid] * npad,
+                    mask + [0] * npad,
+                    local + [-1] * npad,
+                    pos + [0] * npad,
+                    L,
+                    n_loss,
+                    n_segments,
+                    npad,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "shard",
+                "seq_id",
+                "token_ids",
+                "loss_mask",
+                "segment_ids",
+                "position_ids",
+                "n_tokens",
+                "n_loss_tokens",
+                "n_segments",
+                "n_padding",
+            ],
+        )
+
+    return enc.groupBy("_shard").applyInPandas(
+        _cut,
+        schema=(
+            "shard int, seq_id long, token_ids array<int>, "
+            "loss_mask array<int>, segment_ids array<int>, "
+            "position_ids array<int>, n_tokens long, "
+            "n_loss_tokens long, n_segments long, n_padding long"
+        ),
+    )
+
+
+def encode_preference_pairs(
+    df: DataFrame,
+    model: dict,
+    prompt_col: str = "prompt_messages",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    template: str = "chatml",
+    loss_roles: "tuple[str, ...]" = ("assistant",),
+) -> DataFrame:
+    """DPO / preference-pair data prep: encode a shared prompt plus
+    a chosen and a rejected completion into the pairwise trainer
+    input shape — ``prompt_len`` (tokens of the shared prefix,
+    IDENTICAL for both branches by construction: the prompt is
+    encoded ONCE as its own segments, so branch content can never
+    retro-change prefix ids under either tokenizer family) and
+    per-branch ``chosen_ids/chosen_mask`` /
+    ``rejected_ids/rejected_mask``.
+
+    ``prompt_col`` is the conversation so far
+    (``array<struct<role, content>>``, typically ending with the
+    user turn). ``chosen_col`` / ``rejected_col`` are each either a
+    STRING (a single assistant reply — the common preference-dataset
+    shape) or another messages array (multi-turn branches),
+    dispatched on the column's Spark type.
+
+    Mask semantics follow the DPO objective: the shared prompt is
+    mask 0 REGARDLESS of roles (the policy/reference logprob is
+    computed on the completion given the prompt), and within a
+    branch the mask is 1 exactly on the CONTENT tokens of
+    ``loss_roles`` messages (headers/footers 0 — the
+    :func:`encode_chat_sft` rule). NULL prompt or branch → NULL
+    outputs for the row; NULL role/content inside an array raises
+    loudly (same contract as :func:`encode_chat_sft`)."""
+    if model.get("type") == "unigram":
+        from polaroam_spark.operators.unigram import _unigram_encoder
+
+        enc = _unigram_encoder(model)
+    else:
+        from polaroam_spark.operators.tokenize import _encoder
+
+        enc = _encoder(model)
+    header_py, footer_py = _template_parts_py(template)
+    loss = tuple(str(r) for r in loss_roles)
+
+    def _branch_is_text(col: str) -> bool:
+        t = df.schema[col].dataType
+        if isinstance(t, T.StringType):
+            return True
+        if isinstance(t, T.ArrayType) and isinstance(
+            t.elementType, T.StructType
+        ):
+            return False
+        raise TypeError(
+            f"encode_preference_pairs: {col!r} must be string or "
+            f"array<struct<role, content>>, got {t.simpleString()}"
+        )
+
+    chosen_is_text = _branch_is_text(chosen_col)
+    rejected_is_text = _branch_is_text(rejected_col)
+
+    def _msgs(msgs, where: str):
+        ids: "list[int]" = []
+        mask: "list[int]" = []
+        for m in msgs:
+            role = m["role"] if not hasattr(m, "role") else m.role
+            content = (
+                m["content"] if not hasattr(m, "content") else m.content
+            )
+            if role is None or content is None:
+                raise ValueError(
+                    "encode_preference_pairs: NULL role/content "
+                    f"inside the {where} messages array — validate "
+                    "upstream (chat_message_expectations)"
+                )
+            h = enc(header_py(role))
+            c = enc(content)
+            f_ = enc(footer_py)
+            ids.extend(h + c + f_)
+            mask.extend(
+                [0] * len(h)
+                + [1 if role in loss else 0] * len(c)
+                + [0] * len(f_)
+            )
+        return ids, mask
+
+    def _branch(val, is_text: bool):
+        if is_text:
+            return _msgs(
+                [{"role": "assistant", "content": val}], "branch"
+            )
+        return _msgs(val, "branch")
+
+    def _one(prompt, chosen, rejected):
+        if prompt is None or chosen is None or rejected is None:
+            return None
+        p_ids, _ = _msgs(prompt, "prompt")
+        p_mask = [0] * len(p_ids)
+        c_ids, c_mask = _branch(chosen, chosen_is_text)
+        r_ids, r_mask = _branch(rejected, rejected_is_text)
+        return (
+            len(p_ids),
+            p_ids + c_ids,
+            p_mask + c_mask,
+            p_ids + r_ids,
+            p_mask + r_mask,
+        )
+
+    out_type = T.StructType(
+        [
+            T.StructField("prompt_len", T.LongType()),
+            T.StructField("chosen_ids", T.ArrayType(T.IntegerType())),
+            T.StructField("chosen_mask", T.ArrayType(T.IntegerType())),
+            T.StructField(
+                "rejected_ids", T.ArrayType(T.IntegerType())
+            ),
+            T.StructField(
+                "rejected_mask", T.ArrayType(T.IntegerType())
+            ),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _enc3(
+        p: pd.Series, c: pd.Series, r: pd.Series
+    ) -> pd.DataFrame:
+        rows = [_one(pv, cv, rv) for pv, cv, rv in zip(p, c, r)]
+        return pd.DataFrame(
+            {
+                "prompt_len": [
+                    None if t is None else t[0] for t in rows
+                ],
+                "chosen_ids": [
+                    None if t is None else t[1] for t in rows
+                ],
+                "chosen_mask": [
+                    None if t is None else t[2] for t in rows
+                ],
+                "rejected_ids": [
+                    None if t is None else t[3] for t in rows
+                ],
+                "rejected_mask": [
+                    None if t is None else t[4] for t in rows
+                ],
+            }
+        )
+
+    tmp = df.withColumn(
+        "_pp",
+        _enc3(F.col(prompt_col), F.col(chosen_col), F.col(rejected_col)),
+    )
+    return tmp.select(
+        *df.columns,
+        F.col("_pp.prompt_len").alias("prompt_len"),
+        F.col("_pp.chosen_ids").alias("chosen_ids"),
+        F.col("_pp.chosen_mask").alias("chosen_mask"),
+        F.col("_pp.rejected_ids").alias("rejected_ids"),
+        F.col("_pp.rejected_mask").alias("rejected_mask"),
+    )
 
 
 def chat_message_expectations(

@@ -161,6 +161,231 @@ def test_chunk_sft_sequences(convs, ident):
         chunk_sft_sequences(enc, seq_len=0)
 
 
+def test_pack_sft_sequences_segments_and_accounting(convs, ident):
+    """Packed windows: exact reconstruction of the per-shard stream,
+    segment ids increment at every conversation boundary (never two
+    conversations in one segment), position ids continue across the
+    window cut, and loss/real-token totals equal the padded twin's."""
+    from polaroam_spark.operators.sft import (
+        chunk_sft_sequences,
+        encode_chat_sft,
+        pack_sft_sequences,
+    )
+
+    enc = encode_chat_sft(convs, ident)
+    full = {
+        r.doc_id: (list(r.token_ids), list(r.loss_mask))
+        for r in enc.collect()
+        if r.token_ids is not None
+    }
+    packed = pack_sft_sequences(
+        enc, seq_len=16, pad_id=99, num_shards=1, drop_no_loss=False
+    ).orderBy("seq_id").collect()
+
+    # rebuild the expected stream: doc_id order within the shard
+    want_ids, want_mask, want_seg, want_pos = [], [], [], []
+    for seg, did in enumerate(sorted(full)):
+        ids, mask = full[did]
+        want_ids += ids
+        want_mask += mask
+        want_seg += [seg] * len(ids)
+        want_pos += list(range(len(ids)))
+
+    got_ids, got_mask, got_pos = [], [], []
+    for w, r in enumerate(packed):
+        assert r.shard == 0 and r.seq_id == w
+        assert len(r.token_ids) == 16 == len(r.loss_mask)
+        assert len(r.segment_ids) == 16 == len(r.position_ids)
+        assert r.n_tokens == 16
+        assert r.n_loss_tokens == sum(r.loss_mask)
+        keep = 16 - r.n_padding
+        # padding only on the shard's LAST window, marked seg -1
+        if w < len(packed) - 1:
+            assert r.n_padding == 0
+        assert all(t == 99 for t in r.token_ids[keep:])
+        assert all(s == -1 for s in r.segment_ids[keep:])
+        assert all(m == 0 for m in r.loss_mask[keep:])
+        # local segment ids start at 0 and are nondecreasing by 1
+        segs = list(r.segment_ids[:keep])
+        assert segs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(segs, segs[1:]))
+        assert r.n_segments == segs[-1] + 1
+        got_ids += list(r.token_ids[:keep])
+        got_mask += list(r.loss_mask[:keep])
+        got_pos += list(r.position_ids[:keep])
+    assert got_ids == want_ids
+    assert got_mask == want_mask
+    # position ids track within-conversation offsets ACROSS cuts
+    assert got_pos == want_pos
+    # conversation boundaries sit exactly where position resets to 0
+    for i in range(1, len(got_pos)):
+        assert (got_pos[i] == 0) == (want_seg[i] != want_seg[i - 1])
+
+    # accounting parity with the padded twin
+    twin = chunk_sft_sequences(
+        enc, seq_len=16, drop_no_loss=False
+    ).agg(
+        F.sum("n_loss_tokens").alias("loss"),
+        F.sum(F.col("n_tokens") - F.col("n_padding")).alias("real"),
+    ).collect()[0]
+    assert sum(r.n_loss_tokens for r in packed) == twin.loss
+    assert (
+        sum(r.n_tokens - r.n_padding for r in packed) == twin.real
+    )
+
+    # drop_no_loss removes exactly the all-zero-mask windows
+    kept = pack_sft_sequences(
+        enc, seq_len=16, pad_id=99, num_shards=1
+    ).collect()
+    assert {r.seq_id for r in kept} == {
+        r.seq_id for r in packed if r.n_loss_tokens > 0
+    }
+    # determinism
+    again = pack_sft_sequences(
+        enc, seq_len=16, pad_id=99, num_shards=1, drop_no_loss=False
+    ).orderBy("seq_id").collect()
+    assert [list(r.token_ids) for r in again] == [
+        list(r.token_ids) for r in packed
+    ]
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sft_sequences(enc, seq_len=0)
+    with pytest.raises(Exception, match="max_shard_tokens"):
+        pack_sft_sequences(
+            enc, seq_len=16, num_shards=1, max_shard_tokens=10
+        ).collect()
+
+
+def test_encode_preference_pairs_identity(convs, spark, ident):
+    """Byte-identity model: prompt_len is the rendered prompt's UTF-8
+    byte count, both branches carry the identical prompt prefix, and
+    the mask is 1 exactly on branch content bytes — prompt tokens are
+    0 even for assistant turns inside the prompt."""
+    from polaroam_spark.operators.sft import encode_preference_pairs
+
+    rows = [
+        # prompt ends with an ASSISTANT turn on purpose: DPO masks
+        # the whole prompt regardless of roles
+        (1, [("user", "hi"), ("assistant", "hello"),
+             ("user", "more?")], "yes ✓", "no"),
+        (2, [("user", "résumé 漢字?")], "oui", "non merci"),
+        (3, None, "a", "b"),
+    ]
+    schema = (
+        "doc_id long, prompt_messages array<struct<"
+        "role string, content string>>, chosen string, "
+        "rejected string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r.doc_id: r
+        for r in encode_preference_pairs(df, ident).collect()
+    }
+    assert out[3].prompt_len is None and out[3].chosen_ids is None
+    for did, prompt, chosen, rejected in rows[:2]:
+        r = out[did]
+        ptext = "".join(
+            f"<|im_start|>{ro}\n{c}<|im_end|>\n" for ro, c in prompt
+        )
+        pbytes = ptext.encode("utf-8")
+        assert r.prompt_len == len(pbytes)
+        assert bytes(r.chosen_ids[: r.prompt_len]) == pbytes
+        assert (
+            r.chosen_ids[: r.prompt_len]
+            == r.rejected_ids[: r.prompt_len]
+        )
+        assert all(m == 0 for m in r.chosen_mask[: r.prompt_len])
+        for branch, ids, mask in (
+            (chosen, r.chosen_ids, r.chosen_mask),
+            (rejected, r.rejected_ids, r.rejected_mask),
+        ):
+            btext = f"<|im_start|>assistant\n{branch}<|im_end|>\n"
+            assert bytes(ids) == pbytes + btext.encode("utf-8")
+            h = len("<|im_start|>assistant\n".encode("utf-8"))
+            c = len(branch.encode("utf-8"))
+            want = (
+                [0] * (r.prompt_len + h)
+                + [1] * c
+                + [0] * len("<|im_end|>\n".encode("utf-8"))
+            )
+            assert list(mask) == want, (did, branch)
+
+
+def test_encode_preference_pairs_branches_and_divergence(spark):
+    """Messages-array branches dispatch on column type; with a
+    TRAINED BPE model the shared-prefix contract holds exactly at
+    prompt_len for every mid-message divergence point — the segment
+    boundary prevents branch bytes from re-tokenizing the prompt."""
+    from polaroam_spark.operators.sft import encode_preference_pairs
+    from polaroam_spark.operators.tokenize import train_bpe
+
+    base = "the quick brown fox jumps over the lazy dog and runs on"
+    # divergence points mid-word, mid-message, at whitespace
+    pairs = []
+    for i, cut in enumerate((3, 10, 17, 24, 38, len(base))):
+        pairs.append(
+            (
+                i,
+                [("user", base[:cut])],
+                base[cut:] + " good",
+                base[cut:] + " bad",
+            )
+        )
+    schema = (
+        "doc_id long, prompt_messages array<struct<"
+        "role string, content string>>, chosen string, "
+        "rejected string"
+    )
+    df = spark.createDataFrame(pairs, schema)
+    corpus = spark.createDataFrame(
+        [(0, base * 3)], "doc_id long, text string"
+    )
+    bpe = train_bpe(corpus, vocab_size=300)
+    out = encode_preference_pairs(df, bpe).collect()
+    for r in out:
+        assert (
+            list(r.chosen_ids[: r.prompt_len])
+            == list(r.rejected_ids[: r.prompt_len])
+        )
+        assert list(r.chosen_ids) != list(r.rejected_ids)
+        assert len(r.chosen_ids) == len(r.chosen_mask)
+        assert sum(r.chosen_mask[: r.prompt_len]) == 0
+
+    # messages-array branches: multi-turn divergence
+    mt = spark.createDataFrame(
+        [
+            (
+                1,
+                [("user", "pick one")],
+                [("assistant", "red"), ("user", "why?"),
+                 ("assistant", "warm")],
+                [("assistant", "blue")],
+            )
+        ],
+        "doc_id long, prompt_messages array<struct<role string, "
+        "content string>>, chosen array<struct<role string, "
+        "content string>>, rejected array<struct<role string, "
+        "content string>>",
+    )
+    r = encode_preference_pairs(mt, bpe).collect()[0]
+    assert list(r.chosen_ids[: r.prompt_len]) == list(
+        r.rejected_ids[: r.prompt_len]
+    )
+    # loss on BOTH assistant contents of the chosen branch,
+    # not on the interleaved user turn
+    assert sum(r.chosen_mask) > sum(r.rejected_mask) > 0
+
+    # loud contracts
+    with pytest.raises(TypeError, match="must be string or"):
+        encode_preference_pairs(
+            mt.withColumn("chosen", F.lit(3)), bpe
+        )
+    bad = spark.createDataFrame(
+        [(9, [("user", None)], "a", "b")], schema
+    )
+    with pytest.raises(Exception, match="NULL role/content"):
+        encode_preference_pairs(bad, bpe).collect()
+
+
 def test_chat_message_expectations(spark):
     """The pre-encode validation rules catch exactly the shapes the
     encoder raises on (or silently wastes): null turns, unknown
