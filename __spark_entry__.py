@@ -9767,6 +9767,129 @@ def t41(spark, sf_dir):
 
 
 @_q(
+    "t48_kn_5gram_reference",
+    "WITH t AS (SELECT doc_id, "
+    f"{_GOPHER_TOKS} AS toks FROM documents), "
+    # reference = doc_id%10==0 slice (the t41 convention); 5-gram
+    # positions via five zipped slices
+    "r5 AS (SELECT "
+    "unnest(list_slice(toks, 1, len(toks) - 4)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks) - 3)) AS w2, "
+    "unnest(list_slice(toks, 3, len(toks) - 2)) AS w3, "
+    "unnest(list_slice(toks, 4, len(toks) - 1)) AS w4, "
+    "unnest(list_slice(toks, 5, len(toks))) AS w5 "
+    "FROM t WHERE len(toks) >= 5 AND doc_id % 10 = 0), "
+    "ng AS (SELECT w1, w2, w3, w4, w5, count(*) AS c5 "
+    "FROM r5 GROUP BY 1, 2, 3, 4, 5), "
+    "ctx AS (SELECT w1, w2, w3, w4, sum(c5) AS ctot, "
+    "count(*) AS ctyp FROM ng GROUP BY 1, 2, 3, 4), "
+    # continuation level 4: distinct w1 per 4-gram suffix = ng rows
+    "cc4 AS (SELECT w2, w3, w4, w5, count(*) AS c_4 "
+    "FROM ng GROUP BY 1, 2, 3, 4), "
+    "mid4 AS (SELECT w2, w3, w4, sum(c_4) AS cx4, count(*) AS nt4 "
+    "FROM cc4 GROUP BY 1, 2, 3), "
+    # levels 3..1 from DIRECT distinct (k+1)-gram type passes,
+    # suffix-aligned names (w2..w5 for 4-grams, etc.)
+    "t4 AS (SELECT DISTINCT w2, w3, w4, w5 FROM (SELECT "
+    "unnest(list_slice(toks, 1, len(toks) - 3)) AS w2, "
+    "unnest(list_slice(toks, 2, len(toks) - 2)) AS w3, "
+    "unnest(list_slice(toks, 3, len(toks) - 1)) AS w4, "
+    "unnest(list_slice(toks, 4, len(toks))) AS w5 "
+    "FROM t WHERE len(toks) >= 4 AND doc_id % 10 = 0) q4), "
+    "cc3 AS (SELECT w3, w4, w5, count(*) AS c_3 FROM t4 "
+    "GROUP BY 1, 2, 3), "
+    "mid3 AS (SELECT w3, w4, sum(c_3) AS cx3, count(*) AS nt3 "
+    "FROM cc3 GROUP BY 1, 2), "
+    "t3 AS (SELECT DISTINCT w3, w4, w5 FROM (SELECT "
+    "unnest(list_slice(toks, 1, len(toks) - 2)) AS w3, "
+    "unnest(list_slice(toks, 2, len(toks) - 1)) AS w4, "
+    "unnest(list_slice(toks, 3, len(toks))) AS w5 "
+    "FROM t WHERE len(toks) >= 3 AND doc_id % 10 = 0) q3), "
+    "cc2 AS (SELECT w4, w5, count(*) AS c_2 FROM t3 "
+    "GROUP BY 1, 2), "
+    "mid2 AS (SELECT w4, sum(c_2) AS cx2, count(*) AS nt2 "
+    "FROM cc2 GROUP BY 1), "
+    "t2 AS (SELECT DISTINCT w4, w5 FROM (SELECT "
+    "unnest(list_slice(toks, 1, len(toks) - 1)) AS w4, "
+    "unnest(list_slice(toks, 2, len(toks))) AS w5 "
+    "FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0) q2), "
+    "cc1 AS (SELECT w5, count(*) AS c_1 FROM t2 GROUP BY 1), "
+    "tot AS (SELECT CAST(coalesce(sum(c_1), 0) AS DOUBLE) AS nb "
+    "FROM cc1), "
+    # scored 5-gram stream (EVERY document) + the nine joins
+    "tg AS (SELECT doc_id, "
+    "unnest(list_slice(toks, 1, len(toks) - 4)) AS w1, "
+    "unnest(list_slice(toks, 2, len(toks) - 3)) AS w2, "
+    "unnest(list_slice(toks, 3, len(toks) - 2)) AS w3, "
+    "unnest(list_slice(toks, 4, len(toks) - 1)) AS w4, "
+    "unnest(list_slice(toks, 5, len(toks))) AS w5 "
+    "FROM t WHERE len(toks) >= 5), "
+    "j AS (SELECT tg.doc_id, ng.c5, ctx.ctot, ctx.ctyp, cc4.c_4, "
+    "mid4.cx4, mid4.nt4, cc3.c_3, mid3.cx3, mid3.nt3, cc2.c_2, "
+    "mid2.cx2, mid2.nt2, cc1.c_1, tot.nb FROM tg "
+    "LEFT JOIN ng USING (w1, w2, w3, w4, w5) "
+    "LEFT JOIN ctx USING (w1, w2, w3, w4) "
+    "LEFT JOIN cc4 USING (w2, w3, w4, w5) "
+    "LEFT JOIN mid4 USING (w2, w3, w4) "
+    "LEFT JOIN cc3 USING (w3, w4, w5) "
+    "LEFT JOIN mid3 USING (w3, w4) "
+    "LEFT JOIN cc2 USING (w4, w5) "
+    "LEFT JOIN mid2 USING (w4) "
+    "LEFT JOIN cc1 USING (w5) CROSS JOIN tot), "
+    # KN recursion bottom-up, term-for-term with the Spark exprs
+    "p1 AS (SELECT *, "
+    "CASE WHEN coalesce(c_1, 0) > 0 THEN CAST(c_1 AS DOUBLE) / nb "
+    "ELSE 0.5 / (nb + 0.5) END AS pa FROM j), "
+    "p2 AS (SELECT *, CASE WHEN coalesce(cx2, 0) > 0 THEN "
+    "greatest(CAST(coalesce(c_2, 0) AS DOUBLE) - 0.75, 0.0) "
+    "/ CAST(cx2 AS DOUBLE) "
+    "+ (0.75 * CAST(nt2 AS DOUBLE)) / CAST(cx2 AS DOUBLE) * pa "
+    "ELSE pa END AS pb FROM p1), "
+    "p3 AS (SELECT *, CASE WHEN coalesce(cx3, 0) > 0 THEN "
+    "greatest(CAST(coalesce(c_3, 0) AS DOUBLE) - 0.75, 0.0) "
+    "/ CAST(cx3 AS DOUBLE) "
+    "+ (0.75 * CAST(nt3 AS DOUBLE)) / CAST(cx3 AS DOUBLE) * pb "
+    "ELSE pb END AS pc FROM p2), "
+    "p4 AS (SELECT *, CASE WHEN coalesce(cx4, 0) > 0 THEN "
+    "greatest(CAST(coalesce(c_4, 0) AS DOUBLE) - 0.75, 0.0) "
+    "/ CAST(cx4 AS DOUBLE) "
+    "+ (0.75 * CAST(nt4 AS DOUBLE)) / CAST(cx4 AS DOUBLE) * pc "
+    "ELSE pc END AS pd FROM p3), "
+    "pd AS (SELECT doc_id, avg(ln("
+    "CASE WHEN coalesce(ctot, 0) > 0 THEN "
+    "greatest(CAST(coalesce(c5, 0) AS DOUBLE) - 0.75, 0.0) "
+    "/ CAST(ctot AS DOUBLE) "
+    "+ (0.75 * CAST(ctyp AS DOUBLE)) / CAST(ctot AS DOUBLE) * pd "
+    "ELSE pd END)) AS s FROM p4 GROUP BY doc_id) "
+    "SELECT d.doc_id, round(pd.s, 6) AS mean_kn_logprob "
+    "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id",
+)
+def t48(spark, sf_dir):
+    """Interpolated Kneser-Ney FIVE-gram reference-LM scoring
+    (textstats.py:kn_ngram_logprob_vs_reference at order=5 — the
+    order CCNet actually deploys; t41 is the order=3 case of the
+    same generic recursion): count the model on the doc_id%10==0
+    slice, score EVERY document. The oracle's CASE chain mirrors
+    all five levels term-for-term — raw-count top level, three
+    continuation-count mid levels (distinct-(k+1)-gram-type tables,
+    level 4's derived from the 5-gram count table itself, levels
+    3..1 from direct distinct passes), and the 0.5/(NB+0.5)
+    unseen-word floor. Rounded to 6 like t41 (ln differs in the
+    last ulp across libms); the pure-python order-5 differential
+    lives in tests/test_textstats.py."""
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    return kn_ngram_logprob_vs_reference(docs, ref, order=5).select(
+        "doc_id",
+        F.round("mean_kn_logprob", 6).alias("mean_kn_logprob"),
+    )
+
+
+@_q(
     "q9_mixture_report",
     "WITH t AS (SELECT source, "
     "CAST(sum(octet_length(encode(text))) AS BIGINT) AS n "

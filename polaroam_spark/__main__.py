@@ -430,24 +430,26 @@ def cmd_langid(args) -> None:
 
 def cmd_perplexity(args) -> None:
     """The CCNet perplexity-filter stage as one restartable command:
-    score every input document's mean Kneser-Ney trigram log-prob
+    score every input document's mean Kneser-Ney n-gram log-prob
+    (``--order``, default trigram; CCNet deploys order 5)
     under a model counted from ``--reference`` (a clean-corpus
     parquet the scored data cannot move) and write the scored frame
     — optionally keeping only rows at or above ``--threshold``
-    (sub-3-token NULL-score docs drop with the filter, the
+    (sub-order-token NULL-score docs drop with the filter, the
     curate_corpus contract)."""
     from pyspark.sql import functions as F
 
     from polaroam_spark.operators.textstats import (
-        kn_trigram_logprob_vs_reference,
+        kn_ngram_logprob_vs_reference,
     )
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     ref = spark.read.parquet(args.reference)
-    out = kn_trigram_logprob_vs_reference(
+    out = kn_ngram_logprob_vs_reference(
         df,
         ref,
+        order=args.order,
         text_col=args.text_col,
         id_col=args.id_col,
         discount=args.discount,
@@ -677,7 +679,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     pp = sub.add_parser(
         "perplexity",
-        help="KN trigram reference-LM scoring + optional filter",
+        help="KN n-gram reference-LM scoring + optional filter",
     )
     pp.add_argument("--input", required=True)
     pp.add_argument(
@@ -688,6 +690,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--id-col", default="doc_id")
     pp.add_argument("--discount", type=float, default=0.75)
+    pp.add_argument(
+        "--order", type=int, default=3,
+        help="n-gram order (CCNet deploys 5; default 3)",
+    )
     pp.add_argument(
         "--threshold", type=float, default=None,
         help="keep rows with mean_kn_logprob >= this",

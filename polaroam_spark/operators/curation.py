@@ -38,6 +38,7 @@ def curate_corpus(
     perplexity_reference: "DataFrame | None" = None,
     perplexity_threshold: float | None = None,
     perplexity_discount: float = 0.75,
+    perplexity_order: int = 3,
     dedup: str | None = "exact",
     minhash_opts: dict | None = None,
     decontaminate_against: DataFrame | None = None,
@@ -224,12 +225,13 @@ kn_trigram_logprob_vs_reference` and keep documents whose mean
         )
     if perplexity_reference is not None:
         from polaroam_spark.operators.textstats import (
-            kn_trigram_logprob_vs_reference,
+            kn_ngram_logprob_vs_reference,
         )
 
-        scored_ppl = kn_trigram_logprob_vs_reference(
+        scored_ppl = kn_ngram_logprob_vs_reference(
             cur,
             perplexity_reference,
+            order=int(perplexity_order),
             text_col=text_col,
             id_col=id_col,
             discount=float(perplexity_discount),

@@ -691,6 +691,205 @@ def bigram_logprob_vs_reference(
     )
 
 
+def kn_ngram_logprob_vs_reference(
+    df: DataFrame,
+    reference: DataFrame,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    out_col: str = "mean_kn_logprob",
+) -> DataFrame:
+    """Append ``out_col``: each document's mean ``order``-gram
+    log-probability under an interpolated KNESER-NEY model (Chen &
+    Goodman 1999's recommended smoothing) counted from a SEPARATE
+    reference corpus — CCNet's deployed perplexity filter is the
+    ``order=5`` instance of exactly this (a 5-gram KN LM trained on
+    clean text, applied to the crawl);
+    :func:`kn_trigram_logprob_vs_reference` is the ``order=3`` case
+    and :func:`bigram_logprob_vs_reference` the interpolated-ML rung
+    below the family. KN replaces (a) the ML conditional with an
+    ABSOLUTE-DISCOUNTED one (``max(c−D,0)``, mass D per seen type
+    released to the backoff) and (b) raw lower-order counts with
+    CONTINUATION counts (how many distinct contexts a gram follows,
+    not how often it occurs) — the fix for "Francisco is frequent
+    but only ever follows San".
+
+    Model, top down (``D = discount``, default 0.75 — an exact
+    binary double, so every term is the same correctly-rounded
+    expression on any engine and the t41/t48 oracles mirror it
+    term-for-term). Write ``u`` for the length-(N−1) context of the
+    top level, ``v_k`` for the length-(k−1) context at level k:
+
+    - top (raw counts): ``p_N(w|u) = max(c(uw)−D,0)/c(u·)
+      + γ(u)·p_{N−1}(w|·)`` with ``γ(u) = D·N1+(u·)/c(u·)``
+      (``N1+(u·)`` = distinct continuations seen after u — exactly
+      the mass the discount released);
+    - mid orders k = N−1 … 2 (continuation counts, the published
+      rule): ``p_k(w|v_k) = max(cc_k(v_k w)−D,0)/cc_k(v_k ·)
+      + γ_k(v_k)·p_{k−1}`` with ``γ_k(v_k) =
+      D·N1+(v_k ·)/cc_k(v_k ·)``, where ``cc_k(g)`` = distinct
+      words preceding the k-gram g — i.e. distinct (k+1)-gram TYPES
+      ending in g (for k = N−1 those types are exactly the rows of
+      the top count table; for lower k they come from a direct
+      distinct-(k+1)-gram pass over the reference);
+    - unigram: ``p_cont(w) = N1+(·w)/N1+(··)`` over distinct
+      reference BIGRAM types.
+
+    Out-of-vocabulary contracts (the t24 pattern — every unseen
+    level degrades to the level below, never to −inf): an unseen
+    context at ANY level drops that level's term and its γ (score is
+    the level below outright); an unseen word bottoms out at the
+    floor ``0.5/(N1+(··)+0.5)`` — finite, positive, a fixed dent.
+
+    Shape: n-gram positions build MAP-SIDE per document (arrays_zip
+    over ``order`` bulk slices — no positional self-join); the
+    reference contributes ONE ``order``-gram count table (the single
+    corpus-scaled model table — strictly a shuffle join at real
+    reference scale; the scored stream hash-partitions ONCE on its
+    N keys against it) plus, per lower level, continuation tables
+    that are near vocabulary-sized (AQE broadcasts them). The
+    persists are load-bearing (the dsir pattern, measured on the
+    trigram case — BASELINE.md r15): the tokenized reference
+    projection feeds N−1 gram extractions, the count table three
+    consumers, each continuation table two; all registered with the
+    session cache registry (``polaroam_spark.unpersist_caches()``).
+    Linear in corpus token volume, no UDF. Documents with fewer than
+    ``order`` tokens get NULL.
+
+    ``discount`` must be in (0, 1): at 0 the model collapses to
+    unsmoothed ML with zero backoff mass (an unseen gram under a
+    seen context would score log(0)); at 1 the top-level ML term
+    can't distinguish counts. ``order`` must be >= 2 (at 2 the model
+    is KN-smoothed bigrams: raw top counts over the unigram
+    continuation floor)."""
+    N = int(order)
+    if N < 2:
+        raise ValueError(
+            f"order must be >= 2 (got {order}): order 1 has no "
+            "context to discount — use a unigram logprob directly"
+        )
+    d_disc = float(discount)
+    if not 0.0 < d_disc < 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1) (got {discount}): 0 leaves"
+            " no backoff mass (an unseen n-gram under a seen context"
+            " scores log(0)), 1 erases the count signal"
+        )
+
+    from ..cache import track
+
+    gnames = [f"_g{i}" for i in range(1, N + 1)]
+
+    def _gram_stream(frame, tok_col, n, names, keep_id):
+        cnt = F.size(tok_col)
+        m = F.greatest(cnt - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[
+                F.slice(tok_col, j + 1, m).alias(names[j])
+                for j in range(n)
+            ]
+        )
+        pre = [F.col(id_col)] if keep_id else []
+        ex = frame.select(*pre, F.explode(zipped).alias("_p"))
+        return ex.select(
+            *([id_col] if keep_id else []),
+            *[F.col(f"_p.{nm}").alias(nm) for nm in names],
+        )
+
+    rtok = track(
+        reference.select(tokens(text_col).alias("_toks")).persist()
+    )
+    # the one corpus-scaled model table: order-gram type counts
+    ng = track(
+        _gram_stream(rtok, F.col("_toks"), N, gnames, False)
+        .groupBy(*gnames)
+        .agg(F.count("*").alias("_cN"))
+        .persist()
+    )
+    ctx = ng.groupBy(*gnames[:-1]).agg(
+        F.sum("_cN").alias("_ctot"),
+        F.count("*").alias("_ctyp"),
+    )
+    # continuation tables, level N-1 down to 1: cc_k(g) = distinct
+    # (k+1)-gram types ending in the k-gram g
+    conts: "dict[int, DataFrame]" = {}
+    mids: "dict[int, DataFrame]" = {}
+    for k in range(N - 1, 0, -1):
+        keys = gnames[N - k :]
+        if k == N - 1:
+            ck = ng.groupBy(*keys).agg(
+                F.count("*").alias(f"_cc{k}")
+            )
+        else:
+            sub = gnames[N - k - 1 :]
+            types = _gram_stream(
+                rtok, F.col("_toks"), k + 1, sub, False
+            ).distinct()
+            ck = types.groupBy(*keys).agg(
+                F.count("*").alias(f"_cc{k}")
+            )
+        ck = track(ck.persist())
+        conts[k] = ck
+        if k >= 2:
+            mids[k] = ck.groupBy(*keys[:-1]).agg(
+                F.sum(f"_cc{k}").alias(f"_ccx{k}"),
+                F.count("*").alias(f"_nt{k}"),
+            )
+    total = conts[1].agg(
+        F.coalesce(F.sum("_cc1"), F.lit(0)).alias("_nb")
+    )
+
+    tg = _gram_stream(df, tokens(text_col), N, gnames, True)
+    j = tg.join(ng, on=gnames, how="left").join(
+        ctx, on=gnames[:-1], how="left"
+    )
+    for k in range(N - 1, 1, -1):
+        keys = gnames[N - k :]
+        j = j.join(conts[k], on=keys, how="left").join(
+            mids[k], on=keys[:-1], how="left"
+        )
+    j = j.join(conts[1], on=gnames[-1:], how="left").crossJoin(
+        F.broadcast(total)
+    )
+
+    # KN recursion bottom-up, every level the same exact-binary
+    # expression shape the oracles mirror
+    dd = F.lit(d_disc)
+    nb = F.col("_nb").cast("double")
+    p = F.when(
+        F.coalesce(F.col("_cc1"), F.lit(0)) > 0,
+        F.col("_cc1").cast("double") / nb,
+    ).otherwise(F.lit(0.5) / (nb + F.lit(0.5)))
+    for k in range(2, N):
+        ccx = F.col(f"_ccx{k}").cast("double")
+        p = F.when(
+            F.coalesce(F.col(f"_ccx{k}"), F.lit(0)) > 0,
+            F.greatest(
+                F.coalesce(F.col(f"_cc{k}"), F.lit(0)).cast("double")
+                - dd,
+                F.lit(0.0),
+            )
+            / ccx
+            + (dd * F.col(f"_nt{k}").cast("double")) / ccx * p,
+        ).otherwise(p)
+    ctot = F.col("_ctot").cast("double")
+    p = F.when(
+        F.coalesce(F.col("_ctot"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("_cN"), F.lit(0)).cast("double") - dd,
+            F.lit(0.0),
+        )
+        / ctot
+        + (dd * F.col("_ctyp").cast("double")) / ctot * p,
+    ).otherwise(p)
+
+    per_doc = j.groupBy(id_col).agg(F.avg(F.log(p)).alias(out_col))
+    return df.join(per_doc, on=id_col, how="left").select(
+        *df.columns, out_col
+    )
+
+
 def kn_trigram_logprob_vs_reference(
     df: DataFrame,
     reference: DataFrame,
@@ -698,197 +897,21 @@ def kn_trigram_logprob_vs_reference(
     id_col: str = "doc_id",
     discount: float = 0.75,
 ) -> DataFrame:
-    """Append ``mean_kn_logprob``: each document's mean trigram
-    log-probability under an interpolated KNESER-NEY model (Chen &
-    Goodman 1999's recommended smoothing) counted from a SEPARATE
-    reference corpus — the shape of CCNet's actual perplexity filter
-    (a KN-smoothed n-gram LM trained on clean text, applied to the
-    crawl). :func:`bigram_logprob_vs_reference` is the interpolated
-    maximum-likelihood rung of this ladder; KN replaces (a) the ML
-    conditional with an ABSOLUTE-DISCOUNTED one (``max(c−D,0)``, mass
-    D per seen type released to the backoff) and (b) the raw unigram
-    prior with the CONTINUATION distribution (how many distinct
-    contexts a word follows, not how often it occurs) — the fix for
-    "Francisco is frequent but only ever follows San".
-
-    Model, top down (``D = discount``, default 0.75 — an exact
-    binary double, so every term is the same correctly-rounded
-    expression on any engine and the t41 oracle mirrors it
-    term-for-term):
-
-    - trigram: ``p(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
-      + γ(w1w2)·p(w3|w2)`` with ``γ(w1w2) = D·N1+(w1w2·)/c(w1w2·)``
-      (``N1+(w1w2·)`` = distinct w3 types seen after the context —
-      exactly the mass the discount released);
-    - bigram (continuation counts, per the published mid-order
-      rule): ``p(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
-      + γ(w2)·p_cont(w3)`` with ``γ(w2) = D·N1+(w2·)/N1+(·w2·)``,
-      where ``N1+(·w2w3)`` counts distinct w1 preceding the bigram
-      inside reference trigrams, ``N1+(·w2·)`` sums those over w3,
-      and ``N1+(w2·)`` counts distinct w3 in that table;
-    - unigram: ``p_cont(w3) = N1+(·w3)/N1+(··)`` over distinct
-      reference BIGRAM types (how many distinct words precede w3).
-
-    Out-of-vocabulary contracts (the t24 pattern — every unseen
-    level degrades to the level below, never to −inf):
-
-    - unseen trigram context (``c(w1w2·)=0``): the trigram term and
-      its γ vanish — score is ``p(w3|w2)`` outright;
-    - unseen bigram middle (``N1+(·w2·)=0``): likewise drop to
-      ``p_cont(w3)``;
-    - unseen word (``N1+(·w3)=0``): the floor
-      ``0.5/(N1+(··)+0.5)`` — finite, positive, a fixed dent.
-
-    Shape: trigram positions build MAP-SIDE per document (a zip_with
-    chain over three bulk slices — no positional self-join); the
-    reference contributes ONE trigram-type count table and four
-    derived tables that are aggregations OF it (each strictly
-    smaller), plus the distinct-bigram continuation table; the
-    scored trigram stream left-joins back and one doc-keyed average
-    finishes. Linear in corpus token volume, no UDF. The same
-    broadcast caveat as :func:`bigram_logprob_vs_reference` applies
-    one order higher: the TRIGRAM count table is the big one
-    (O(distinct reference trigrams) — strictly a shuffle join at
-    real reference scale; the scored stream hash-partitions once on
-    (w1,w2,w3) against it), while the per-context and continuation
-    tables stay near vocabulary-sized. Documents with fewer than 3
-    tokens get NULL.
-
-    ``discount`` must be in (0, 1): at 0 the model collapses to
-    unsmoothed ML with zero backoff mass (unseen trigrams under a
-    seen context would score log(0)); at 1 the top-level ML term
-    can't distinguish counts.
-    """
-    d_disc = float(discount)
-    if not 0.0 < d_disc < 1.0:
-        raise ValueError(
-            f"discount must be in (0, 1) (got {discount}): 0 leaves"
-            " no backoff mass (unseen trigram under a seen context"
-            " scores log(0)), 1 erases the count signal"
-        )
-
-    def _trigrams(frame: DataFrame) -> DataFrame:
-        toks = tokens(text_col)
-        n = F.size(toks)
-        trips = F.zip_with(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
-                F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            ),
-            F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
-            lambda p, c: F.struct(
-                p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
-            ),
-        )
-        return frame.select(
-            F.col(id_col), F.explode(trips).alias("_p")
-        ).select(
-            id_col,
-            F.col("_p.w1").alias("_w1"),
-            F.col("_p.w2").alias("_w2"),
-            F.col("_p.w3").alias("_w3"),
-        )
-
-    from ..cache import track
-
-    ref_tg = _trigrams(reference)
-    # trigram-type counts — the one corpus-scaled model table. The
-    # persists are load-bearing (the dsir pattern): tri feeds THREE
-    # consumers (the scored join, ctx, cbg), cbg two (join, mid),
-    # ucont two (join, its scalar total) — without them Spark
-    # re-derives each lineage per consumer, i.e. SIX reference-corpus
-    # scans + explodes instead of two. At the tiny sf0.1 reference
-    # that is noise (~2.8 s either way — the extra stages offset the
-    # saved scans), but at the 500k-doc replicated-reference probe
-    # (.scratch/kn_scale_probe.py, BASELINE.md r15) it is 22.6 s ->
-    # 8.1 s (2.7x): the reference side is where a real deployment is
-    # big. Registered with the session cache registry
-    # (polaroam_spark.unpersist_caches()) for long-lived sessions.
-    tri = track(
-        ref_tg.groupBy("_w1", "_w2", "_w3")
-        .agg(F.count("*").alias("_c123"))
-        .persist()
-    )
-    # per-context totals + released-type counts, derived FROM tri
-    ctx = tri.groupBy("_w1", "_w2").agg(
-        F.sum("_c123").alias("_c12"),
-        F.count("*").alias("_n12"),
-    )
-    # continuation counts for the mid order: distinct w1 per (w2,w3)
-    cbg = track(
-        tri.groupBy("_w2", "_w3")
-        .agg(F.count("*").alias("_n_d23"))
-        .persist()
-    )
-    mid = cbg.groupBy("_w2").agg(
-        F.sum("_n_d23").alias("_n_d2d"),
-        F.count("*").alias("_n_2d"),
-    )
-    # unigram continuation over distinct reference bigram types
-    toks_ref = tokens(text_col)
-    n_ref = F.size(toks_ref)
-    ref_bg = reference.select(
-        F.explode(
-            F.zip_with(
-                F.slice(toks_ref, 1, F.greatest(n_ref - 1, F.lit(0))),
-                F.slice(toks_ref, 2, F.greatest(n_ref - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
-        ).alias("_p")
-    ).select(
-        F.col("_p.a").alias("_a"), F.col("_p.b").alias("_w3")
-    ).distinct()
-    ucont = track(
-        ref_bg.groupBy("_w3")
-        .agg(F.count("*").alias("_n_d3"))
-        .persist()
-    )
-    total = ucont.agg(
-        F.coalesce(F.sum("_n_d3"), F.lit(0)).alias("_nb")
-    )
-
-    tg = _trigrams(df)
-    dd = F.lit(d_disc)
-    nb = F.col("_nb").cast("double")
-    p_cont = F.when(
-        F.coalesce(F.col("_n_d3"), F.lit(0)) > 0,
-        F.col("_n_d3").cast("double") / nb,
-    ).otherwise(F.lit(0.5) / (nb + F.lit(0.5)))
-    p_bg = F.when(
-        F.coalesce(F.col("_n_d2d"), F.lit(0)) > 0,
-        F.greatest(
-            F.coalesce(F.col("_n_d23"), F.lit(0)).cast("double") - dd,
-            F.lit(0.0),
-        )
-        / F.col("_n_d2d").cast("double")
-        + (dd * F.col("_n_2d").cast("double"))
-        / F.col("_n_d2d").cast("double")
-        * p_cont,
-    ).otherwise(p_cont)
-    p_tri = F.when(
-        F.coalesce(F.col("_c12"), F.lit(0)) > 0,
-        F.greatest(
-            F.coalesce(F.col("_c123"), F.lit(0)).cast("double") - dd,
-            F.lit(0.0),
-        )
-        / F.col("_c12").cast("double")
-        + (dd * F.col("_n12").cast("double"))
-        / F.col("_c12").cast("double")
-        * p_bg,
-    ).otherwise(p_bg)
-    per_doc = (
-        tg.join(tri, on=["_w1", "_w2", "_w3"], how="left")
-        .join(ctx, on=["_w1", "_w2"], how="left")
-        .join(cbg, on=["_w2", "_w3"], how="left")
-        .join(mid, on="_w2", how="left")
-        .join(ucont, on="_w3", how="left")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(F.avg(F.log(p_tri)).alias("mean_kn_logprob"))
-    )
-    return df.join(per_doc, on=id_col, how="left").select(
-        *df.columns, "mean_kn_logprob"
+    """Append ``mean_kn_logprob``: the ``order=3`` case of
+    :func:`kn_ngram_logprob_vs_reference` (see there for the model,
+    OOV contracts, and scale shape). Kept as a named entry point —
+    the t41 gate and the curation ladder's perplexity stage pin this
+    signature; the generalization to CCNet's deployed 5-gram order
+    is one argument away and produces bit-identical numbers here
+    (the recursion is uniform, the order=3 tables and expression
+    shapes are exactly the ones this function always built)."""
+    return kn_ngram_logprob_vs_reference(
+        df,
+        reference,
+        order=3,
+        text_col=text_col,
+        id_col=id_col,
+        discount=discount,
     )
 
 

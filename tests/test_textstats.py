@@ -1021,3 +1021,187 @@ def test_kn_trigram_discount_validation(spark):
     for bad in (0.0, 1.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="discount"):
             kn_trigram_logprob_vs_reference(df, df, discount=bad)
+
+
+def _kn_replay_n(ref_texts, doc_texts, N, d=0.75):
+    """Pure-python replay of kn_ngram_logprob_vs_reference's exact
+    arithmetic at any order (same count tables, same term order)."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return t.lower().split()
+
+    ng = Counter()
+    for t in ref_texts:
+        w = toks(t)
+        for i in range(len(w) - N + 1):
+            ng[tuple(w[i : i + N])] += 1
+    ctot, ctyp = Counter(), Counter()
+    for g, n in ng.items():
+        ctot[g[:-1]] += n
+        ctyp[g[:-1]] += 1
+    cc = {}
+    for k in range(N - 1, 0, -1):
+        if k == N - 1:
+            types = set(ng)
+        else:
+            types = set()
+            for t in ref_texts:
+                w = toks(t)
+                for i in range(len(w) - k):
+                    types.add(tuple(w[i : i + k + 1]))
+        ck = Counter()
+        for g in types:
+            ck[g[1:]] += 1
+        cc[k] = ck
+    ccx, nt = {}, {}
+    for k in range(2, N):
+        ccx[k], nt[k] = Counter(), Counter()
+        for g, n in cc[k].items():
+            ccx[k][g[:-1]] += n
+            nt[k][g[:-1]] += 1
+    nb = float(sum(cc[1].values()))
+
+    out = {}
+    for did, t in doc_texts:
+        w = toks(t)
+        if len(w) < N:
+            out[did] = None
+            continue
+        logs = []
+        for i in range(len(w) - N + 1):
+            g = tuple(w[i : i + N])
+            wN = g[-1:]
+            p = cc[1][wN] / nb if cc[1][wN] > 0 else 0.5 / (nb + 0.5)
+            for k in range(2, N):
+                gk = g[N - k :]
+                vk = gk[:-1]
+                if ccx[k][vk] > 0:
+                    p = (
+                        max(cc[k][gk] - d, 0.0) / ccx[k][vk]
+                        + (d * nt[k][vk]) / ccx[k][vk] * p
+                    )
+            u = g[:-1]
+            if ctot[u] > 0:
+                p = (
+                    max(ng[g] - d, 0.0) / ctot[u]
+                    + (d * ctyp[u]) / ctot[u] * p
+                )
+            logs.append(math.log(p))
+        out[did] = sum(logs) / len(logs)
+    return out
+
+
+def test_kn_replay_order3_agrees_with_trigram_replay():
+    """The generic replay at N=3 IS the trigram replay — anchors the
+    generic recursion before trusting it at other orders."""
+    import random
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(25)]
+    ref = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 15)))
+        for _ in range(30)
+    ]
+    docs = [
+        (
+            i,
+            " ".join(
+                rnd.choice(vocab + ["oovx"])
+                for _ in range(rnd.randint(1, 18))
+            ),
+        )
+        for i in range(60)
+    ]
+    a = _kn_replay(ref, docs)
+    b = _kn_replay_n(ref, docs, 3)
+    assert set(a) == set(b)
+    for k in a:
+        if a[k] is None:
+            assert b[k] is None
+        else:
+            assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_kn_ngram_order5_random_differential(spark):
+    """Order-5 KN (CCNet's deployed filter order): 150 random docs
+    vs a 60-doc reference match the generic python replay
+    doc-for-doc — every backoff level (unseen 5-gram under seen
+    context, then each continuation level down to the unseen-word
+    floor) is exercised by the OOV-extended vocabulary."""
+    import random
+
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+    )
+
+    rnd = random.Random(29)
+    vocab = [f"w{i}" for i in range(30)]
+    ref_texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(5, 24)))
+        for _ in range(60)
+    ]
+    extra = vocab + ["oov1", "oov2"]
+    doc_rows = [
+        (
+            i,
+            " ".join(
+                rnd.choice(extra) for _ in range(rnd.randint(2, 28))
+            ),
+        )
+        for i in range(150)
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kn_ngram_logprob_vs_reference(
+            docs, ref, order=5
+        ).collect()
+    }
+    replay = _kn_replay_n(ref_texts, doc_rows, 5)
+    assert set(out) == set(replay)
+    n_scored = 0
+    for k, v in replay.items():
+        if v is None:
+            assert out[k] is None
+        else:
+            n_scored += 1
+            assert abs(out[k] - v) < 1e-9, (k, out[k], v)
+    assert n_scored > 50  # the fixture actually scores most docs
+
+
+def test_kn_ngram_order2_and_validation(spark):
+    """Order 2 is KN-smoothed bigrams (raw top counts straight onto
+    the continuation floor — no mid levels); order < 2 raises."""
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+    )
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "a dog sat on a rug",
+    ]
+    doc_rows = [(1, "the cat sat"), (2, "one"), (3, "zz qq ww")]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kn_ngram_logprob_vs_reference(
+            docs, ref, order=2
+        ).collect()
+    }
+    replay = _kn_replay_n(ref_texts, doc_rows, 2)
+    assert out[2] is None
+    assert abs(out[1] - replay[1]) < 1e-9
+    assert abs(out[3] - replay[3]) < 1e-9
+    assert out[1] > out[3]
+    with pytest.raises(ValueError, match="order"):
+        kn_ngram_logprob_vs_reference(docs, ref, order=1)
