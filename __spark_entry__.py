@@ -9688,6 +9688,174 @@ def t40(spark, sf_dir):
 
 
 @_q(
+    "t39b_langid_char_scorer",
+    # char 3-5-gram stream: lowercase, collapse whitespace to one
+    # space, trim; every length-n substring (character semantics on
+    # both engines)
+    "WITH t AS (SELECT doc_id, "
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s "
+    "FROM documents), "
+    "g AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS gram "
+    "FROM (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i "
+    "FROM t WHERE length(s) >= 3) q3 "
+    "UNION ALL "
+    "SELECT doc_id, substr(s, CAST(i AS INT), 4) AS gram "
+    "FROM (SELECT doc_id, s, unnest(range(1, length(s) - 2)) AS i "
+    "FROM t WHERE length(s) >= 4) q4 "
+    "UNION ALL "
+    "SELECT doc_id, substr(s, CAST(i AS INT), 5) AS gram "
+    "FROM (SELECT doc_id, s, unnest(range(1, length(s) - 3)) AS i "
+    "FROM t WHERE length(s) >= 5) q5), "
+    # portable 60-bit md5 hash, seed 17, into 2048 buckets — then
+    # the t39 margins/argmax/softmax verbatim
+    "gb AS (SELECT doc_id, CAST(('0x' || substr(md5('17:' || gram), "
+    "1, 15)) AS BIGINT) % 2048 AS b FROM g), "
+    "pd AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS c, "
+    "sum(((b * 3) % 101) / 101.0 - 0.5) AS s0, "
+    "sum(((b * 4) % 101) / 101.0 - 0.5) AS s1, "
+    "sum(((b * 5) % 101) / 101.0 - 0.5) AS s2 "
+    "FROM gb GROUP BY doc_id), "
+    "m AS (SELECT doc_id, 0.0 + s0 / c AS m0, 0.05 + s1 / c AS m1, "
+    "0.1 + s2 / c AS m2 FROM pd), "
+    "a AS (SELECT doc_id, m0, m1, m2, "
+    "greatest(m0, m1, m2) AS mx FROM m) "
+    "SELECT d.doc_id, "
+    "CASE WHEN a.mx IS NULL THEN NULL "
+    "WHEN a.m0 = a.mx THEN 'en' WHEN a.m1 = a.mx THEN 'es' "
+    "ELSE 'fr' END AS language_pred, "
+    "round(1.0 / (exp(a.m0 - a.mx) + exp(a.m1 - a.mx) "
+    "+ exp(a.m2 - a.mx)), 6) AS language_prob "
+    "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id",
+)
+def t39b(spark, sf_dir):
+    """Trained langid scorer over the CHAR 3-5-gram feature stream
+    (langid.py:score_langid with model feature='char' →
+    textstats.py:_char_grams — fasttext-langid's feature set, the
+    robust choice for short / no-whitespace text): t39's fixed
+    pure-function weights and oracle arithmetic, swapping only the
+    gram stream (every length-3..5 substring of the
+    lowercased/whitespace-collapsed text, portable md5 buckets,
+    seed 17, B=2048). Probability rounded to 6 (t39's contract)."""
+    from polaroam_spark.operators.langid import score_langid
+
+    B = 2048
+    model = {
+        "classes": ["en", "es", "fr"],
+        "weights": [
+            [((b * (k + 3)) % 101) / 101.0 - 0.5 for b in range(B)]
+            for k in range(3)
+        ],
+        "biases": [0.0, 0.05, 0.1],
+        "num_buckets": B,
+        "seed": 17,
+        "portable": True,
+        "normalize": True,
+        "feature": "char",
+    }
+    out = score_langid(_t(spark, sf_dir, "documents"), model)
+    return out.select(
+        "doc_id",
+        "language_pred",
+        F.round("language_prob", 6).alias("language_prob"),
+    )
+
+
+@_q(
+    "t40b_langid_char_train",
+    "SELECT (SELECT count(*) FROM documents "
+    "WHERE doc_id IS NOT NULL) AS n_rows, "
+    "CAST(0 AS BIGINT) AS n_dropped, "
+    "TRUE AS loss_descends, TRUE AS separates",
+)
+def t40b(spark, sf_dir):
+    """Char-feature langid TRAINING certification on a
+    NO-WHITESPACE fixture (the case word features cannot represent:
+    with every space stripped, each document is ONE unique word
+    token, so the DSIR stream carries no shared class signal —
+    tests/test_langid.py holds out an eval split to show the word
+    model actually fails there while the char model transfers):
+    doc_id%3 appends one of three disjoint CJK-like marker blocks
+    (hanzi / kana / hangul — zero shared chars) 10x to the
+    whitespace-stripped text TRUNCATED to 64 chars (full-length
+    noise dilutes the marker to ~5%% of the gram stream and 12
+    mean-feature GD iterations only reach 0.97x of ln 3; truncation
+    keeps the marker majority — measured ratio 0.875, accuracy 1.0
+    at sf0.001 AND sf0.01), trained 12 full-batch iterations with
+    feature='char'. Must (a) use every labeled row, (b) descend
+    strictly monotonically from ln(3) to below 0.9x of it, and (c)
+    reach >= 0.9 train accuracy with score_langid."""
+    import math
+
+    from polaroam_spark.operators.langid import (
+        score_langid,
+        train_langid,
+    )
+
+    marks = {
+        0: "的是不了人我在有",
+        1: "としてにのがをれ",
+        2: "의는이가을를에다",
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring(
+                    F.regexp_replace(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        r"\s+",
+                        "",
+                    ),
+                    1,
+                    64,
+                ),
+                F.repeat(
+                    F.when(F.col("doc_id") % 3 == 0, F.lit(marks[0]))
+                    .when(F.col("doc_id") % 3 == 1, F.lit(marks[1]))
+                    .otherwise(F.lit(marks[2])),
+                    10,
+                ),
+            ).alias("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("zh"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("ja"))
+            .otherwise(F.lit("ko"))
+            .alias("language"),
+        )
+    )
+    model = train_langid(
+        docs,
+        num_buckets=512,
+        n_iter=12,
+        learning_rate=5.0,
+        feature="char",
+    )
+    losses = model["loss_history"]
+    n = model["n_rows"]
+    correct = (
+        score_langid(docs, model)
+        .filter(F.col("language_pred") == F.col("language"))
+        .count()
+    )
+    row = (
+        n,
+        model["n_dropped"],
+        bool(
+            abs(losses[0] - math.log(3)) < 0.02
+            and losses[-1] < losses[0] * 0.9
+            and all(b < a for a, b in zip(losses, losses[1:]))
+        ),
+        bool(correct >= 0.9 * n),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, n_dropped long, loss_descends boolean, "
+        "separates boolean",
+    )
+
+
+@_q(
     "t41_kn_trigram_reference",
     "WITH t AS (SELECT doc_id, "
     f"{_GOPHER_TOKS} AS toks FROM documents), "
@@ -10069,6 +10237,133 @@ def mm7(spark, sf_dir):
         p["duration"].alias("duration"),
         p["duration_s"].alias("duration_s"),
         j["is_mkv"].alias("junk_is_mkv"),
+    )
+
+
+@_q(
+    "mm7b_mkv_tracks",
+    "WITH t AS (SELECT m, x FROM range(0, 12) t(m), "
+    "(VALUES (0), (1)) v(x)), "
+    "r AS (SELECT m, x, CASE WHEN m % 4 >= 2 THEN "
+    "(CASE x WHEN 0 THEN 'audio' ELSE 'video' END) ELSE "
+    "(CASE x WHEN 0 THEN 'video' ELSE 'audio' END) END AS kind "
+    "FROM t) "
+    "SELECT m AS media_id, CAST(x AS BIGINT) AS track_idx, "
+    "CAST(CASE kind WHEN 'video' THEN 1 ELSE 2 END AS BIGINT) "
+    "AS track_type, kind AS track_kind, "
+    "CASE WHEN kind = 'video' THEN (CASE WHEN m % 2 = 1 "
+    "THEN 'V_VP9' ELSE 'V_MPEG4/ISO/AVC' END) ELSE "
+    "(CASE WHEN m % 2 = 1 THEN 'A_OPUS' ELSE 'A_AAC' END) END "
+    "AS codec_id, "
+    "CASE WHEN kind = 'video' THEN CAST(640 + m AS BIGINT) END "
+    "AS pixel_width, "
+    "CASE WHEN kind = 'video' THEN CAST(360 + m AS BIGINT) END "
+    "AS pixel_height, "
+    "CASE WHEN kind = 'audio' THEN CAST(CASE WHEN m % 3 = 0 THEN 1 "
+    "WHEN m % 2 = 1 THEN 2 ELSE 6 END AS BIGINT) END AS channels, "
+    "CASE WHEN kind = 'audio' THEN CAST(CASE WHEN m % 3 = 0 "
+    "THEN 8000.0 WHEN m % 2 = 1 THEN 48000.0 ELSE 44100.0 END "
+    "AS DOUBLE) END AS sampling_hz, "
+    "TRUE AS junk_tracks_null FROM r",
+)
+def mm7b(spark, sf_dir):
+    """Matroska TrackEntry walk (multimodal.py:mkv_track_meta — one
+    EBML level deeper than mm7: Segment → Tracks → per-TrackEntry
+    type/codec + Video PixelWidth/Height or Audio Channels/
+    SamplingFrequency, the ffprobe-class per-track card, pure Column
+    expressions). Fixtures vary codec ids, track ORDER (audio-first
+    rows pin that output order follows the container), float4 vs
+    float8 sampling rates, spec-default audio (no Channels/
+    SamplingFrequency elements → 1 / 8000.0, applied only because
+    the Audio parent exists — video rows stay NULL), Void padding
+    inside Tracks, and unknown-size Segments. A junk-bytes column
+    must yield a NULL track array on every row."""
+    import struct
+
+    from polaroam_spark.operators.multimodal import mkv_track_meta
+
+    def vint(n, length=None):
+        if length is None:
+            length = 1
+            while n >= (1 << (7 * length)) - 1:
+                length += 1
+        return (n | (1 << (7 * length))).to_bytes(length, "big")
+
+    def elem(eid, payload):
+        return eid + vint(len(payload)) + payload
+
+    def mk(m):
+        hdr = elem(b"\x42\x86", b"\x01") + elem(
+            b"\x42\x82", b"webm" if m % 2 else b"matroska"
+        )
+        video = elem(b"\xb0", (640 + m).to_bytes(2, "big")) + elem(
+            b"\xba", (360 + m).to_bytes(2, "big")
+        )
+        te_v = elem(
+            b"\xae",
+            elem(b"\x83", b"\x01")
+            + elem(b"\x86", b"V_VP9" if m % 2 else b"V_MPEG4/ISO/AVC")
+            + elem(b"\xe0", video),
+        )
+        if m % 3 == 0:  # spec-default audio
+            audio = b""
+        else:
+            audio = elem(
+                b"\x9f", bytes([2 if m % 2 else 6])
+            ) + elem(
+                b"\xb5",
+                struct.pack(
+                    ">f" if m % 2 else ">d",
+                    48000.0 if m % 2 else 44100.0,
+                ),
+            )
+        te_a = elem(
+            b"\xae",
+            elem(b"\x83", b"\x02")
+            + elem(b"\x86", b"A_OPUS" if m % 2 else b"A_AAC")
+            + elem(b"\xe1", audio),
+        )
+        entries = te_a + te_v if m % 4 >= 2 else te_v + te_a
+        tracks = elem(
+            b"\x16\x54\xae\x6b", elem(b"\xec", bytes(3)) + entries
+        )
+        kids = elem(
+            b"\x15\x49\xa9\x66",
+            elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big")),
+        )
+        kids += tracks + elem(b"\x1f\x43\xb6\x75", bytes(16))
+        if m % 5 == 0:  # unknown-size Segment (streaming muxers)
+            seg = b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + kids
+        else:
+            seg = elem(b"\x18\x53\x80\x67", kids)
+        return elem(b"\x1a\x45\xdf\xa3", hdr) + seg
+
+    rows = [
+        (m, mk(m), b"\x00junkbytes" + bytes(24)) for m in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mkv binary, junk binary"
+    )
+    withj = df.select(
+        "media_id",
+        mkv_track_meta("mkv").alias("_tr"),
+        mkv_track_meta("junk").isNull().alias("junk_tracks_null"),
+    )
+    return withj.select(
+        "media_id",
+        F.posexplode("_tr").alias("track_idx", "_t"),
+        "junk_tracks_null",
+    ).select(
+        "media_id",
+        F.col("track_idx").cast("long").alias("track_idx"),
+        F.col("_t.track_type").alias("track_type"),
+        F.col("_t.track_kind").alias("track_kind"),
+        F.col("_t.codec_id").alias("codec_id"),
+        F.col("_t.pixel_width").alias("pixel_width"),
+        F.col("_t.pixel_height").alias("pixel_height"),
+        F.col("_t.channels").alias("channels"),
+        F.col("_t.sampling_hz").alias("sampling_hz"),
+        "junk_tracks_null",
     )
 
 

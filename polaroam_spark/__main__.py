@@ -403,6 +403,7 @@ def cmd_langid(args) -> None:
             num_buckets=args.num_buckets,
             n_iter=args.n_iter,
             learning_rate=args.learning_rate,
+            feature=args.feature,
         )
         with _open_model_file(args.model, "w", "utf-8") as f:
             _json.dump(model, f)
@@ -675,6 +676,12 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--num-buckets", type=int, default=4096)
     pg.add_argument("--n-iter", type=int, default=30)
     pg.add_argument("--learning-rate", type=float, default=5.0)
+    pg.add_argument(
+        "--feature", choices=["word", "char"], default="word",
+        help="train-mode feature stream: word unigram+bigrams "
+        "(DSIR) or char 3-5-grams (robust on no-whitespace text); "
+        "score mode follows the model",
+    )
     pg.set_defaults(fn=cmd_langid)
 
     pp = sub.add_parser(

@@ -68,6 +68,11 @@ def _validate_langid_model(model: dict) -> tuple:
         raise ValueError(
             f"model has {len(biases)} biases for {k} classes"
         )
+    feature = str(model.get("feature", "word"))
+    if feature not in ("word", "char"):
+        raise ValueError(
+            f"model feature must be 'word' or 'char' (got {feature!r})"
+        )
     return (
         classes,
         [[float(x) for x in row] for row in w],
@@ -76,6 +81,7 @@ def _validate_langid_model(model: dict) -> tuple:
         int(model.get("seed", 17)),
         bool(model.get("portable", False)),
         bool(model.get("normalize", True)),
+        feature,
     )
 
 
@@ -110,17 +116,22 @@ def score_langid(
 
     ``model`` is :func:`train_langid`'s dict (or any hand-built
     ``{"classes": [...], "weights": [[...], ...], "biases": [...],
-    "num_buckets": B, "seed": s, "portable": p}``). For K·B within
+    "num_buckets": B, "seed": s, "portable": p, "feature":
+    "word"|"char"}`` — ``"char"`` scores over fasttext's char
+    3–5-gram stream, the robust choice for short / no-whitespace
+    text). For K·B within
     the literal budget scoring is a pure per-row JVM expression (no
     shuffle, no join — module docstring); larger models broadcast a
     B-row table of K-vectors and sum per ``id_col`` — on THAT path
     ``id_col`` must be unique (the per-row literal path has no such
     precondition)."""
-    classes, w, biases, b, seed, portable, normalize = (
+    classes, w, biases, b, seed, portable, normalize, feature = (
         _validate_langid_model(model)
     )
     k = len(classes)
-    buckets = hashed_gram_buckets(text_col, b, seed, portable)
+    buckets = hashed_gram_buckets(
+        text_col, b, seed, portable, feature=feature
+    )
     classes_lit = F.array(*[F.lit(c) for c in classes])
 
     if k * b <= _LITERAL_MAX:
@@ -215,6 +226,7 @@ def train_langid(
     l2: float = 1e-6,
     normalize: bool = True,
     max_classes: int = 256,
+    feature: str = "word",
 ) -> dict:
     """Fit the K-class softmax regression by full-batch gradient
     descent: featurize ONCE into a persisted ``(class_idx, buckets)``
@@ -226,7 +238,9 @@ def train_langid(
     NULL label or no grams are dropped and counted. Returns the model
     dict for :func:`score_langid` plus ``loss_history`` (mean
     cross-entropy per iteration, starting from ln K at zero weights)
-    and ``n_rows``/``n_dropped``.
+    and ``n_rows``/``n_dropped``. ``feature="char"`` trains on the
+    char 3–5-gram stream instead of word unigram+bigrams (stored in
+    the model, so the scorer follows automatically).
 
     ``normalize=True`` (default) uses MEAN features — same rationale
     as the binary trainer (raw counts scale the gradient's Lipschitz
@@ -278,7 +292,9 @@ def train_langid(
     k = len(classes)
     classes_lit = F.array(*[F.lit(c) for c in classes])
 
-    buckets = hashed_gram_buckets(text_col, b, seed, portable)
+    buckets = hashed_gram_buckets(
+        text_col, b, seed, portable, feature=feature
+    )
     total = df.count()
     feats = track(
         df.select(
@@ -368,6 +384,7 @@ def train_langid(
         "seed": int(seed),
         "portable": bool(portable),
         "normalize": norm_flag,
+        "feature": str(feature),
         "loss_history": losses,
         "n_rows": int(n),
         "n_dropped": int(total - n),

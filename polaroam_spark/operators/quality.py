@@ -52,22 +52,36 @@ def hashed_gram_buckets(
     num_buckets: int,
     seed: int = 17,
     portable: bool = False,
+    feature: str = "word",
 ) -> Column:
-    """``array<int>`` of feature-bucket indices, one per
-    unigram/bigram instance (DSIR's feature stream). ``portable``
-    swaps xxhash64 for the md5-based portable hash so a DuckDB
-    oracle can replay bucket membership bit-for-bit; xxhash64 is the
-    scale default (~10x cheaper)."""
+    """``array<int>`` of feature-bucket indices, one per gram
+    instance. ``feature="word"`` (default) is DSIR's stream (word
+    unigrams + bigrams); ``feature="char"`` is fasttext-langid's
+    char 3–5-gram stream — robust on short / no-whitespace text
+    where word features collapse to one unique token per document.
+    ``portable`` swaps xxhash64 for the md5-based portable hash so a
+    DuckDB oracle can replay bucket membership bit-for-bit; xxhash64
+    is the scale default (~10x cheaper)."""
     from polaroam_spark.functions.text import (
         fast_hash64,
         portable_hash64,
     )
-    from polaroam_spark.operators.textstats import _dsir_grams
+    from polaroam_spark.operators.textstats import (
+        _char_grams,
+        _dsir_grams,
+    )
 
     b = int(num_buckets)
     if b < 1:
         raise ValueError(f"num_buckets must be >= 1 (got {num_buckets})")
-    grams = _dsir_grams(text_col)
+    if feature == "word":
+        grams = _dsir_grams(text_col)
+    elif feature == "char":
+        grams = _char_grams(text_col)
+    else:
+        raise ValueError(
+            f"feature must be 'word' or 'char' (got {feature!r})"
+        )
     hash_fn = portable_hash64 if portable else fast_hash64
     return F.transform(
         grams,

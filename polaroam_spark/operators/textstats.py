@@ -938,6 +938,43 @@ def _dsir_grams(text_col: str) -> Column:
     return F.concat(toks, bigrams)
 
 
+def _char_grams(
+    text_col: "Column | str", n_lo: int = 3, n_hi: int = 5
+) -> Column:
+    """fasttext-langid's CHAR n-gram feature stream (default 3–5):
+    lowercase, collapse whitespace runs to one space, trim, then
+    every length-n substring for each n — what makes a trained
+    langid robust on short and NO-WHITESPACE (CJK-like) text, where
+    :func:`_dsir_grams`' word features degenerate to one giant
+    unique token per document. Pure array expressions (sequence →
+    transform → substr), character-based on both engines so a DuckDB
+    oracle replays the stream exactly. NULL text → NULL; text
+    shorter than ``n_lo`` chars → empty array (no evidence)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    ln = F.length(t)
+
+    def _stream(n: int):
+        # NB: the transform lambda must take exactly ONE parameter —
+        # PySpark treats a 2-arg lambda as (element, index), so a
+        # `lambda i, n=n:` closure silently binds n to the INDEX
+        # (observed: every gram became substr(t, i, 0) == '')
+        return F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.when(
+        t.isNotNull(),
+        F.concat(*[
+            _stream(n) for n in range(int(n_lo), int(n_hi) + 1)
+        ]),
+    )
+
+
 def dsir_importance_weights(
     corpus: DataFrame,
     target: DataFrame,

@@ -224,3 +224,111 @@ def test_null_labels_dropped_and_counted(spark):
     m = train_langid(df, n_iter=3, num_buckets=256)
     assert m["n_rows"] == 12
     assert m["n_dropped"] == 2
+
+
+# disjoint per-class alphabets (hanzi / kana / hangul blocks) for the
+# no-whitespace fixture: every char 3-gram is class-pure, while each
+# document is ONE unique word token for the DSIR word stream
+_ALPHABETS = {
+    "zh": "的是不了人我在有他这中大来上国",
+    "ja": "としてにのがはをだれもこんで",
+    "ko": "의는이가을를에서하고다면서부",
+}
+
+
+def _no_whitespace_corpus(seed, n_per_class, start_id=0):
+    """Docs are 20 random MORPHEMES (3-char units reused across the
+    class — the Zipfian reuse real language has; a uniform-random
+    char soup would make every 3-gram near-unique and no feature
+    could transfer) concatenated without whitespace, so each doc is
+    still one never-repeating token for the word stream."""
+    import random
+
+    rnd = random.Random(seed)
+    morphemes = {}
+    for lang, chars in _ALPHABETS.items():
+        rm = random.Random(f"morph:{lang}")
+        morphemes[lang] = [
+            "".join(rm.choice(chars) for _ in range(3))
+            for _ in range(8)
+        ]
+    rows = []
+    i = start_id
+    for lang in _ALPHABETS:
+        for _ in range(n_per_class):
+            rows.append(
+                (
+                    i,
+                    "".join(
+                        rnd.choice(morphemes[lang]) for _ in range(20)
+                    ),
+                    lang,
+                )
+            )
+            i += 1
+    return rows
+
+
+def test_char_feature_holds_where_word_degrades(spark):
+    """The fasttext rationale, measured: on a NO-WHITESPACE corpus
+    (each doc a unique 60-char string from a class-pure alphabet) a
+    char-3-5-gram model transfers to HELD-OUT documents while the
+    word-gram model — which sees each doc as one never-repeated
+    token — cannot beat chance by much."""
+    train = spark.createDataFrame(
+        _no_whitespace_corpus(7, 20),
+        "doc_id long, text string, language string",
+    )
+    evald = spark.createDataFrame(
+        _no_whitespace_corpus(99, 12, start_id=1000),
+        "doc_id long, text string, language string",
+    )
+    n_eval = evald.count()
+    accs = {}
+    for feature in ("char", "word"):
+        m = train_langid(
+            train,
+            num_buckets=512,
+            n_iter=25,
+            learning_rate=5.0,
+            feature=feature,
+        )
+        assert m["feature"] == feature
+        correct = (
+            score_langid(evald, m)
+            .filter(F.col("language_pred") == F.col("language"))
+            .count()
+        )
+        accs[feature] = correct / n_eval
+    assert accs["char"] >= 0.9, accs
+    assert accs["word"] <= 0.7, accs
+
+
+def test_char_feature_short_and_null_text(spark, model):
+    """Char stream contracts: NULL text and sub-3-char text predict
+    NULL (no evidence); a 3-char text scores (exactly one gram)."""
+    cm = dict(model)
+    cm["feature"] = "char"
+    df = spark.createDataFrame(
+        [(1, None), (2, "ab"), (3, "abc"), (4, "  ab  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.language_pred
+        for r in score_langid(df, cm).collect()
+    }
+    assert out[1] is None and out[2] is None and out[4] is None
+    assert out[3] is not None
+
+
+def test_feature_validation(spark, multilingual):
+    with pytest.raises(ValueError, match="feature"):
+        train_langid(multilingual, n_iter=1, feature="byte")
+    bad = {
+        "classes": ["a", "b"],
+        "weights": [[0.0] * 4, [0.0] * 4],
+        "num_buckets": 4,
+        "feature": "byte",
+    }
+    with pytest.raises(ValueError, match="feature"):
+        score_langid(multilingual, bad)
