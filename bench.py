@@ -81,14 +81,93 @@ def own_cpu_ticks() -> int:
         return -1
 
 
+def own_runnable_tasks() -> int:
+    """Count of THIS process tree's tasks currently in R
+    (runnable) or D (uninterruptible IO) state — the exact thing
+    /proc/loadavg counts. CPU-tick accounting (own_cpu_ticks)
+    systematically UNDERCOUNTS the tree's loadavg footprint: an
+    idle-box suite run drives the raw 1-min load to ~9 while ticks
+    average only ~4.5 cores (D-state parquet/shuffle IO and
+    runnable-but-unscheduled churn burn no ticks), so the
+    subtraction flagged every pass of a genuinely idle box.
+    Sampling our own R+D task count at a fixed cadence and folding
+    it with loadavg's own decay (fold_own_ewma) makes the estimate
+    apples-to-apples with the raw sample. Excludes the sampling
+    thread itself (R while it scans). Returns -1 when /proc is
+    unavailable."""
+    try:
+        me = os.getpid()
+        ppids: "dict[int, int]" = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat", "rb") as f:
+                    raw = f.read().decode("ascii", "replace")
+            except OSError:
+                continue
+            ppids[int(d)] = int(raw.rsplit(")", 1)[1].split()[1])
+        kids: "dict[int, list[int]]" = {}
+        for pid, pp in ppids.items():
+            kids.setdefault(pp, []).append(pid)
+        n, stack = 0, [me]
+        while stack:
+            p = stack.pop()
+            if p not in ppids:
+                continue
+            stack.extend(kids.get(p, []))
+            try:
+                tids = os.listdir(f"/proc/{p}/task")
+            except OSError:
+                continue
+            for t in tids:
+                try:
+                    with open(
+                        f"/proc/{p}/task/{t}/stat", "rb"
+                    ) as f:
+                        raw = f.read().decode("ascii", "replace")
+                except OSError:
+                    continue
+                if raw.rsplit(")", 1)[1].split()[0] in ("R", "D"):
+                    n += 1
+        return max(0, n - 1)
+    except OSError:
+        return -1
+
+
+def fold_own_ewma(
+    prev: float, cores: float, window_sec: float
+) -> float:
+    """Our process tree's contribution to the kernel's 1-min load
+    EWMA, folded forward one stamp window: ``prev·e^(−w/60) +
+    cores·(1 − e^(−w/60))`` — exactly the decay loadavg applies.
+    This is the ADVICE r15 fix made continuous: subtracting the raw
+    window-average cores right after a heavy pass OVERSHOOTS (a
+    ~35 s pass at 20 own-cores only moved the EWMA by ~44% of 20, so
+    the unclamped gate let ~11 cores of genuine background grade as
+    clean), while a one-shot fraction clamp UNDERSHOOTS on every
+    pass after the first (the previous passes' own burn is still in
+    the EWMA and would read as background). The fold models both:
+    contributions rise by the absorbed fraction and linger with the
+    same decay the raw sample has. A degenerate window keeps the
+    previous estimate."""
+    import math
+
+    if window_sec <= 0:
+        return prev
+    a = math.exp(-float(window_sec) / 60.0)
+    return prev * a + max(cores, 0.0) * (1.0 - a)
+
+
 def estimate_background(raw_load: float, own_cores: float) -> float:
-    """Background 1-min load estimate: the raw sample minus the
-    cores OUR process tree burned over the sampling window (an
-    unavailable raw reading, stamped -1, passes through unchanged).
-    Approximate by construction — the EWMA lags a step change and a
-    busy background could hide behind our own usage — but the raw
-    number alone systematically flags the bench's own work, which is
-    strictly worse (every artifact invalid on an idle box)."""
+    """Background 1-min load estimate: the raw sample minus OUR
+    process tree's (EWMA-folded — see :func:`fold_own_ewma`)
+    contribution to it (an unavailable raw reading, stamped -1,
+    passes through unchanged). Approximate by construction — tick
+    accounting misses runnable-but-unscheduled and D-state threads —
+    but the raw number alone systematically flags the bench's own
+    work, which is strictly worse (every artifact invalid on an
+    idle box)."""
     if raw_load < 0:
         return raw_load
     return max(0.0, round(raw_load - max(own_cores, 0.0), 1))
@@ -142,6 +221,31 @@ def main() -> None:
 
     spark = get_spark(app_name="polaroam-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # own-burn sampler: every 2 s fold our process tree's R+D task
+    # count into an EWMA with loadavg's own decay — runs from the
+    # moment the session is up, so warm-pass burn is attributed to
+    # US, not to the background (see own_runnable_tasks for why tick
+    # accounting was not enough)
+    import threading
+
+    _own_lock = threading.Lock()
+    _own_state = {"ewma": 0.0, "last": time.time()}
+    _stop_sampler = threading.Event()
+
+    def _sample_own() -> None:
+        while not _stop_sampler.wait(2.0):
+            r = own_runnable_tasks()
+            now = time.time()
+            with _own_lock:
+                dt = now - _own_state["last"]
+                _own_state["last"] = now
+                if r >= 0:
+                    _own_state["ewma"] = fold_own_ewma(
+                        _own_state["ewma"], float(r), dt
+                    )
+
+    threading.Thread(target=_sample_own, daemon=True).start()
 
     import __spark_entry__ as em
     from pyspark.sql import functions as F
@@ -467,18 +571,29 @@ def main() -> None:
             "merges": [],
         }
         docs = em._t(spark, SF_DIR, "documents")
-        convs = docs.filter(F.col("text").isNotNull()).select(
-            "doc_id",
-            F.array(
-                F.struct(
-                    F.lit("user").alias("role"),
-                    F.col("text").alias("content"),
-                ),
-                F.struct(
-                    F.lit("assistant").alias("role"),
-                    F.col("text").alias("content"),
-                ),
-            ).alias("messages"),
+        # the documents parquet is ONE split at sf0.1, so without a
+        # repartition the Arrow encode runs serial and this row was
+        # the suite's noisiest (r15: spread 1.64 vs 3.0 typical —
+        # scheduling noise on a single task, not work). At real scale
+        # the input arrives in many splits and the row is
+        # embarrassingly map-parallel (55.6M window-tokens/s probe);
+        # the repartition makes the bench measure THAT shape.
+        convs = (
+            docs.filter(F.col("text").isNotNull())
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "doc_id",
+                F.array(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        F.col("text").alias("content"),
+                    ),
+                    F.struct(
+                        F.lit("assistant").alias("role"),
+                        F.col("text").alias("content"),
+                    ),
+                ).alias("messages"),
+            )
         )
         run(
             chunk_sft_sequences(
@@ -488,19 +603,21 @@ def main() -> None:
             )
         )
 
-    def q_kn_trigram():
-        # Kneser-Ney trigram reference-LM scoring (the CCNet
-        # perplexity filter): model counted on the doc_id%10==0
-        # slice, every document scored — five model tables joined
-        # back onto the map-side trigram stream
+    def q_kn_5gram():
+        # Kneser-Ney 5-gram reference-LM scoring — the order CCNet
+        # actually deploys (r16: replaces the trigram row, which was
+        # the order=3 case of the same generic recursion): model
+        # counted on the doc_id%10==0 slice, every document scored —
+        # one corpus-scaled 5-gram count table plus the per-level
+        # continuation tables joined back onto the map-side stream
         from polaroam_spark.operators.textstats import (
-            kn_trigram_logprob_vs_reference,
+            kn_ngram_logprob_vs_reference,
         )
 
         docs = em._t(spark, SF_DIR, "documents")
         ref = docs.filter(F.col("doc_id") % 10 == 0)
         run(
-            kn_trigram_logprob_vs_reference(docs, ref).select(
+            kn_ngram_logprob_vs_reference(docs, ref, order=5).select(
                 "doc_id", "mean_kn_logprob"
             )
         )
@@ -522,7 +639,7 @@ def main() -> None:
         "image_neardup": q_image_neardup,
         "quality_score": q_quality_score,
         "unigram_tokenize": q_unigram_tokenize,
-        "kn_trigram": q_kn_trigram,
+        "kn_5gram": q_kn_5gram,
         "sft_prep": q_sft_prep,
     }
     core9 = [
@@ -580,19 +697,11 @@ def main() -> None:
     pass_bg_loads: "list[list[float]]" = []
     pass_own_cores: "list[float]" = []
     samples_by_pass: "list[dict[str, float]]" = []
-    prev_ticks, prev_t = own_cpu_ticks(), time.time()
-    clk = os.sysconf("SC_CLK_TCK")
-
     def _stamp() -> "tuple[float, float]":
-        nonlocal prev_ticks, prev_t
-        ticks, now = own_cpu_ticks(), time.time()
-        if prev_ticks >= 0 and ticks >= 0 and now > prev_t:
-            cores = (ticks - prev_ticks) / clk / (now - prev_t)
-        else:
-            cores = 0.0
-        prev_ticks, prev_t = ticks, now
         raw = _load1()
-        return raw, estimate_background(raw, cores)
+        with _own_lock:
+            own = _own_state["ewma"]
+        return raw, estimate_background(raw, own)
 
     for _ in range(runs):
         em._MATERIALIZED_MEDIANS.clear()

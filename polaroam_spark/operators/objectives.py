@@ -87,6 +87,29 @@ def _corrupt_one(
         num_noise,
         n - num_noise + 1,
     )
+    # a REAL token inside the sentinel band would be misparsed as a
+    # sentinel by reconstruction (and by any seq2seq consumer of the
+    # convention) — fail loudly here, at corruption time, instead of
+    # corrupting data the determinism gate only catches if the
+    # colliding id happens to occur in its fixture
+    lo_band = sentinel_start - num_spans
+    mx = max(ids)
+    if mx >= lo_band:
+        bad = sorted(
+            {
+                int(t)
+                for t in ids
+                if lo_band <= t <= sentinel_start
+            }
+        )
+        if bad:
+            raise ValueError(
+                f"span_corruption: token id(s) {bad[:5]} fall inside"
+                f" the sentinel band [{lo_band}, {sentinel_start}]"
+                " for this document — a real token would be"
+                " misparsed as a sentinel; place sentinel_start"
+                " above the vocabulary (add_special_tokens ids)"
+            )
     noise_lens = _segment(num_noise, num_spans, rng)
     # gaps: num_spans parts over the non-noise tokens; the FIRST gap
     # may be empty (add 1 virtual token, subtract from the first) so
@@ -124,9 +147,14 @@ def span_corruption(
     ``sentinel_start`` is the FIRST (highest) sentinel id; spans use
     descending ids ``s, s−1, …`` (the T5 convention — callers using
     a trained model should place sentinels beyond the vocabulary,
-    e.g. via ``add_special_tokens`` ids). One Arrow-batched UDF, no
-    shuffle; randomness is ``md5(seed, doc id)`` so the corruption
-    is reproducible and replayable (gate t46)."""
+    e.g. via ``add_special_tokens`` ids). A document whose token ids
+    reach into the sentinel band ``[sentinel_start − num_spans,
+    sentinel_start]`` RAISES at corruption time — a real token there
+    would be misparsed as a sentinel by any consumer of the
+    convention, and silence would only surface if the collision
+    happened to occur in a determinism fixture. One Arrow-batched
+    UDF, no shuffle; randomness is ``md5(seed, doc id)`` so the
+    corruption is reproducible and replayable (gate t46)."""
     r = float(noise_density)
     if not 0.0 < r < 1.0:
         raise ValueError(

@@ -221,6 +221,7 @@ def train_unigram(
     max_words: int = 1_000_000,
     max_piece_length: int = 16,
     seed_size: "int | None" = None,
+    seed_table_budget: "int | None" = None,
     em_iters: int = 2,
     shrink: float = 0.75,
     pretokenizer: str = "default",
@@ -264,15 +265,57 @@ def train_unigram(
         raise ValueError("train_unigram: empty corpus")
 
     # ---- seed: every char + top substrings by freq*len -------------
+    # The candidate table is BOUNDED while it builds: the histogram
+    # arrives count-DESCENDING, and once the table holds
+    # seed_table_budget entries no NEW substring is admitted
+    # (existing entries keep accumulating counts) — so the frequent
+    # words' substrings, exactly the candidates the freq*len ranking
+    # below would keep anyway, are admitted first. Unbounded, a
+    # 1M-word histogram at max_piece_length=16 materializes tens of
+    # millions of dict entries (multi-GB) on the driver BEFORE the
+    # seed_size cut. Driver-memory envelope: ~budget x ~100 bytes
+    # (default 1M entries ~ 100 MB); results are identical to the
+    # unbounded build whenever the budget doesn't bind (it never
+    # binds below ~60k distinct words at typical word lengths).
+    n_seed = (
+        int(seed_size)
+        if seed_size is not None
+        else max(8 * n_pieces, 1024)
+    )
+    budget = (
+        int(seed_table_budget)
+        if seed_table_budget is not None
+        else max(32 * n_seed, 1_000_000)
+    )
     chars: "set[str]" = set()
     sub_freq: "dict[str, int]" = {}
+    table_full = False
     for w, c in words:
         chars.update(w)
         n = len(w)
         for i in range(n):
             for j in range(i + 1, min(n, i + max_len) + 1):
                 s = w[i:j]
-                sub_freq[s] = sub_freq.get(s, 0) + c
+                cur = sub_freq.get(s)
+                if cur is not None:
+                    sub_freq[s] = cur + c
+                elif not table_full or j - i == 1:
+                    # single chars bypass the budget: they are never
+                    # pruned and must carry a seed frequency
+                    sub_freq[s] = c
+                    if len(sub_freq) >= budget:
+                        table_full = True
+    if table_full:
+        import warnings
+
+        warnings.warn(
+            f"train_unigram: substring candidate table hit its "
+            f"{budget}-entry budget (32 x seed_size, min 1M); "
+            "substrings first seen in low-count histogram words "
+            "were not admitted as seed candidates. Raise seed_size "
+            "if the learned vocabulary looks impoverished.",
+            stacklevel=2,
+        )
     if len(chars) > n_pieces:
         raise ValueError(
             f"vocab_size={vocab_size} leaves room for {n_pieces} "
@@ -280,11 +323,6 @@ def train_unigram(
             "characters; raise vocab_size (characters are never "
             "pruned)"
         )
-    n_seed = (
-        int(seed_size)
-        if seed_size is not None
-        else max(8 * n_pieces, 1024)
-    )
     multi = sorted(
         (s for s in sub_freq if len(s) > 1),
         key=lambda s: (-sub_freq[s] * len(s), s),

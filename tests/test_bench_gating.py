@@ -75,3 +75,32 @@ def test_estimate_background_subtracts_self_load():
     assert bench.estimate_background(-1.0, 3.0) == -1.0
     # negative own-core estimate never inflates the reading
     assert bench.estimate_background(2.0, -1.0) == 2.0
+
+
+def test_fold_own_ewma_models_loadavg():
+    """Own-burn contribution folds with loadavg's own decay: a
+    single 35 s pass at 20 cores from idle contributes ~44% of 20
+    (the unclamped subtraction would have hidden ~11 cores of real
+    background right after the pass), consecutive passes ACCUMULATE
+    toward the full burn (a one-shot fraction clamp would keep
+    under-subtracting and flag an idle box), long windows converge,
+    and degenerate windows keep the previous estimate."""
+    import math
+
+    frac = 1.0 - math.exp(-35.0 / 60.0)
+    one = bench.fold_own_ewma(0.0, 20.0, 35.0)
+    assert abs(one - 20.0 * frac) < 1e-9
+    # raw 16 right after the pass = 8.8 self + 7.2 background:
+    # the folded estimate lets the background show through
+    assert bench.estimate_background(16.0, one) > 7.0
+    # ...whereas subtracting the window-average would hide it
+    assert bench.estimate_background(16.0, 20.0) == 0.0
+    # second identical pass: contribution rises toward 20
+    two = bench.fold_own_ewma(one, 20.0, 35.0)
+    assert one < two < 20.0
+    # long window converges to the sustained burn
+    assert abs(bench.fold_own_ewma(3.0, 6.0, 600.0) - 6.0) < 1e-3
+    # degenerate window: keep the previous estimate
+    assert bench.fold_own_ewma(4.2, 20.0, 0.0) == 4.2
+    # negative cores never push the estimate below zero-burn
+    assert bench.fold_own_ewma(0.0, -5.0, 35.0) == 0.0

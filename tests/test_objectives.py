@@ -155,3 +155,41 @@ def test_span_corruption_property_reconstruction():
         )
 
     check()
+
+
+def test_span_corruption_sentinel_band_collision_raises(spark):
+    """A document whose ids reach into the sentinel band must raise
+    LOUDLY at corruption time (a real token there would be misparsed
+    as a sentinel on reconstruction); ids strictly below the band —
+    and ids ABOVE sentinel_start, which no sentinel can equal —
+    corrupt fine."""
+    import pytest as _pytest
+
+    from polaroam_spark.operators.objectives import (
+        _corrupt_one,
+        span_corruption,
+    )
+
+    # driver-side kernel: id == sentinel_start - 1 collides for any
+    # num_spans >= 1
+    with _pytest.raises(ValueError, match="sentinel band"):
+        _corrupt_one(
+            [1, 2, 99_999, 4, 5, 6], "k", 13, 0.15, 3.0, 100_000
+        )
+    # just below the band for this doc's span count is fine
+    inputs, targets = _corrupt_one(
+        [1, 2, 3, 4, 5, 6], "k", 13, 0.15, 3.0, 100_000
+    )
+    assert inputs is not None
+    # above sentinel_start is unambiguous, not an error
+    inputs, _ = _corrupt_one(
+        [1, 2, 100_777, 4, 5, 6], "k", 13, 0.15, 3.0, 100_000
+    )
+    assert 100_777 in inputs
+    # the Spark path surfaces the same error
+    df = spark.createDataFrame(
+        [(1, [1, 2, 99_999, 4, 5, 6])],
+        "doc_id long, token_ids array<int>",
+    )
+    with _pytest.raises(Exception, match="sentinel band"):
+        span_corruption(df, sentinel_start=100_000).collect()

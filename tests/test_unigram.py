@@ -397,3 +397,40 @@ def test_coverage_stats(spark):
     assert len(allr) == 1
     assert allr[0].n_tokens == g1.n_tokens + g2.n_tokens
     assert allr[0].n_fallback_tokens == 8
+
+
+def test_seed_table_budget_bounds_and_warns(spark):
+    """The substring candidate table stops admitting new substrings
+    at its budget (count-descending order, so frequent words win),
+    warns, keeps every single character (byte-fallback roundtrip
+    still exact), and is identical to the unbounded build when the
+    budget doesn't bind."""
+    import warnings
+
+    from polaroam_spark.operators.unigram import (
+        train_unigram,
+        unigram_decode,
+        unigram_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"banana band bandana ban word{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tight = train_unigram(
+            docs, vocab_size=256 + 40, seed_table_budget=60
+        )
+    assert any("budget" in str(x.message) for x in w)
+    enc = unigram_encode(docs, tight, "text")
+    dec = unigram_decode(enc, tight, "token_ids")
+    assert dec.filter(
+        ~F.col("decoded").eqNullSafe(F.col("text"))
+    ).count() == 0
+    # generous budget == unbounded result
+    loose = train_unigram(
+        docs, vocab_size=256 + 40, seed_table_budget=10_000_000
+    )
+    default = train_unigram(docs, vocab_size=256 + 40)
+    assert loose["scores"] == default["scores"]
