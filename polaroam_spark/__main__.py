@@ -470,11 +470,16 @@ def cmd_sft(args) -> None:
     — a malformed batch quarantines loudly instead of the encoder
     raising mid-job), encode with loss masks under the given
     tokenizer (GPT-2-layout BPE via --vocab/--merges or a unigram
-    TSV via --model), window to --seq-len, and write."""
+    TSV via --model), window to --seq-len, and write. ``--packed``
+    swaps the per-conversation padded windows for
+    :func:`pack_sft_sequences`' ~pad-free packed windows with
+    segment/position ids (for loaders that implement
+    segment-isolated attention)."""
     from polaroam_spark.operators.sft import (
         chat_message_expectations,
         chunk_sft_sequences,
         encode_chat_sft,
+        pack_sft_sequences,
     )
     from polaroam_spark.operators.validation import (
         enforce_expectations,
@@ -507,13 +512,23 @@ def cmd_sft(args) -> None:
         messages_col=args.messages_col,
         template=args.template,
     )
-    out = chunk_sft_sequences(
-        enc,
-        seq_len=args.seq_len,
-        pad_id=args.pad_id,
-        id_col=args.id_col,
-        drop_no_loss=not args.keep_no_loss,
-    )
+    if args.packed:
+        out = pack_sft_sequences(
+            enc,
+            seq_len=args.seq_len,
+            pad_id=args.pad_id,
+            id_col=args.id_col,
+            num_shards=args.num_shards,
+            drop_no_loss=not args.keep_no_loss,
+        )
+    else:
+        out = chunk_sft_sequences(
+            enc,
+            seq_len=args.seq_len,
+            pad_id=args.pad_id,
+            id_col=args.id_col,
+            drop_no_loss=not args.keep_no_loss,
+        )
     out.write.mode("overwrite").parquet(args.output)
 
 
@@ -732,6 +747,17 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument(
         "--skip-validation", action="store_true",
         help="skip the chat_message_expectations batch gate",
+    )
+    pf.add_argument(
+        "--packed", action="store_true",
+        help="pack conversations into ~pad-free windows with "
+        "segment/position ids (pack_sft_sequences) instead of "
+        "padding per conversation",
+    )
+    pf.add_argument(
+        "--num-shards", type=int, default=256,
+        help="packing shards (--packed): corpus tokens / shards "
+        "must fit a worker",
     )
     pf.set_defaults(fn=cmd_sft)
 

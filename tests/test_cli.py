@@ -545,6 +545,33 @@ def test_cli_sft_windows(spark, tmpdir):
     ]) == 0
     assert spark.read.parquet(out2).count() > 0
 
+    # --packed: ~pad-free windows with segment/position ids; total
+    # loss tokens equal the padded run's (keep-no-loss on both so
+    # the accounting is closed)
+    outp = f"{tmpdir}/sft_out_packed"
+    assert main([
+        "sft", "--input", src, "--output", outp,
+        "--vocab", vp, "--merges", mp, "--seq-len", "32",
+        "--packed", "--num-shards", "4", "--keep-no-loss",
+    ]) == 0
+    packed = spark.read.parquet(outp).collect()
+    assert packed
+    assert all(
+        len(r.token_ids) == 32 == len(r.segment_ids) for r in packed
+    )
+    outk = f"{tmpdir}/sft_out_keep"
+    assert main([
+        "sft", "--input", src, "--output", outk,
+        "--vocab", vp, "--merges", mp, "--seq-len", "32",
+        "--keep-no-loss",
+    ]) == 0
+    padded_loss = sum(
+        r.n_loss_tokens for r in spark.read.parquet(outk).collect()
+    )
+    assert sum(r.n_loss_tokens for r in packed) == padded_loss
+    # packing pads at most (seq_len - 1) per shard
+    assert sum(r.n_padding for r in packed) <= 4 * 31
+
     bad = spark.createDataFrame(
         [(99, [("user", None)])],
         "doc_id long, messages array<struct<role string, content string>>",
