@@ -10921,6 +10921,120 @@ def dpo1(spark, sf_dir):
 
 
 @_q(
+    "dpo2_bestofn_pairs",
+    "WITH c AS (SELECT doc_id, "
+    "coalesce(text, '') || ' v' || CAST(j AS VARCHAR) AS cand, "
+    "(doc_id * 7 + j * 13) % 29 AS s FROM documents, "
+    "(VALUES (0), (1), (2)) v(j) WHERE doc_id IS NOT NULL) "
+    "SELECT doc_id, arg_max(cand, s) AS chosen, "
+    "arg_min(cand, s) AS rejected, "
+    "CAST(max(s) AS DOUBLE) AS chosen_score, "
+    "CAST(min(s) AS DOUBLE) AS rejected_score, "
+    "CAST(count(*) AS BIGINT) AS n_candidates "
+    "FROM c GROUP BY doc_id",
+)
+def dpo2(spark, sf_dir):
+    """Preference-pair MINING from scored candidates (sft.py:
+    preference_pairs_from_candidates — the rejection-sampling /
+    best-of-n step between a reward model and DPO: reward argmax
+    becomes chosen, argmin rejected, struct tiebreak so the pair is
+    a pure function of the candidate set): three synthesized
+    candidates per document with pure-function scores
+    (doc_id·7 + j·13 mod 29 — distinct within every group, so the
+    oracle's arg_max/arg_min replay exactly)."""
+    from polaroam_spark.operators.sft import (
+        preference_pairs_from_candidates,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    cands = docs.withColumn(
+        "j", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    ).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            )
+        ).alias("prompt_messages"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" v"),
+            F.col("j").cast("string"),
+        ).alias("candidate"),
+        F.pmod(
+            F.col("doc_id") * 7 + F.col("j") * 13, F.lit(29)
+        ).cast("double").alias("score"),
+    )
+    pp = preference_pairs_from_candidates(cands, id_col="doc_id")
+    return pp.select(
+        "doc_id",
+        "chosen",
+        "rejected",
+        "chosen_score",
+        "rejected_score",
+        "n_candidates",
+    )
+
+
+@_q(
+    "sft4_best_of_n",
+    "WITH c AS (SELECT doc_id, coalesce(text, '') AS ptext, "
+    "coalesce(text, '') || ' v' || CAST(j AS VARCHAR) AS cand, "
+    "(doc_id * 7 + j * 13) % 29 AS s FROM documents, "
+    "(VALUES (0), (1), (2)) v(j) WHERE doc_id IS NOT NULL), "
+    "b AS (SELECT doc_id, any_value(ptext) AS ptext, "
+    "arg_max(cand, s) AS best FROM c GROUP BY doc_id) "
+    "SELECT doc_id, '<|im_start|>user' || chr(10) || ptext "
+    "|| '<|im_end|>' || chr(10) || '<|im_start|>assistant' "
+    "|| chr(10) || best || '<|im_end|>' || chr(10) AS text "
+    "FROM b",
+)
+def sft4(spark, sf_dir):
+    """Best-of-n SFT mining (sft.py:sft_from_best_of_n — per prompt
+    the reward-argmax candidate appended as the assistant turn, the
+    rejection-sampling SFT recipe) composed with
+    render_chat_template: the dpo2 candidate fixture's argmax
+    response must render byte-identically to the oracle's literal
+    concatenation."""
+    from polaroam_spark.operators.sft import (
+        render_chat_template,
+        sft_from_best_of_n,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    cands = docs.withColumn(
+        "j", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    ).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            )
+        ).alias("prompt_messages"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" v"),
+            F.col("j").cast("string"),
+        ).alias("candidate"),
+        F.pmod(
+            F.col("doc_id") * 7 + F.col("j") * 13, F.lit(29)
+        ).cast("double").alias("score"),
+    )
+    best = sft_from_best_of_n(cands, id_col="doc_id")
+    return render_chat_template(best).select("doc_id", "text")
+
+
+@_q(
     "t46_span_corruption",
     "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
     "CAST(count(*) AS BIGINT) AS value FROM documents "
@@ -11854,6 +11968,7 @@ _PRIORITY = [
     "sft3_packed_sft_windows", "dpo1_preference_pairs",
     "t48_kn_5gram_reference", "t39b_langid_char_scorer",
     "t40b_langid_char_train", "mm7b_mkv_tracks",
+    "dpo2_bestofn_pairs", "sft4_best_of_n",
     # rest of r11:
     "s13_compact_files", "s14_column_stats", "skw2_salted_hot_join",
     "smp5_cap_per_key", "smp6_weighted_sample", "st5_stream_stream_join",

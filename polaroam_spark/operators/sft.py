@@ -578,6 +578,107 @@ def encode_preference_pairs(
     )
 
 
+def preference_pairs_from_candidates(
+    df: DataFrame,
+    prompt_col: str = "prompt_messages",
+    candidate_col: str = "candidate",
+    score_col: str = "score",
+    id_col: str = "prompt_id",
+    margin: float = 0.0,
+) -> DataFrame:
+    """Mine (chosen, rejected) preference pairs from SCORED
+    candidate generations — the rejection-sampling / best-of-n data
+    prep step between a reward model and DPO training (the Llama-2
+    recipe: sample n responses per prompt, keep the reward argmax;
+    pairwise preference datasets keep the argmin as the rejected
+    branch): one row per prompt with the max-score candidate as
+    ``chosen`` and the min-score candidate as ``rejected``, plus
+    both scores and ``n_candidates``.
+
+    Deterministic by construction: ties break on the candidate
+    STRING (``max_by``/``min_by`` over a ``struct(score,
+    candidate)``), so the pair is a pure function of the input set —
+    cluster layout and partition order cannot change it. NULL and
+    NaN scores are excluded BEFORE selection (the quality.py NaN
+    lesson: a NaN would win every struct comparison and launder an
+    unscored candidate into every pair). Groups with fewer than 2
+    usable candidates, or where ``chosen_score − rejected_score <
+    margin`` (no preference signal — chosen == rejected when all
+    scores tie), are dropped.
+
+    One hash-partitioned aggregation on ``id_col`` — no window, no
+    self-join; the output feeds :func:`encode_preference_pairs`
+    (chosen/rejected as string branches) or
+    :func:`sft_from_best_of_n` directly."""
+    s = F.col(score_col).cast("double")
+    usable = df.filter(
+        s.isNotNull()
+        & ~F.isnan(s)
+        & F.col(candidate_col).isNotNull()
+    )
+    key = F.struct(
+        s.alias("s"), F.col(candidate_col).alias("c")
+    )
+    out = (
+        usable.groupBy(id_col)
+        .agg(
+            F.first(prompt_col).alias(prompt_col),
+            F.max_by(candidate_col, key).alias("chosen"),
+            F.min_by(candidate_col, key).alias("rejected"),
+            F.max(s).alias("chosen_score"),
+            F.min(s).alias("rejected_score"),
+            F.count("*").alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+    )
+    return out.filter(
+        F.col("chosen_score") - F.col("rejected_score")
+        >= F.lit(float(margin))
+    )
+
+
+def sft_from_best_of_n(
+    df: DataFrame,
+    prompt_col: str = "prompt_messages",
+    candidate_col: str = "candidate",
+    score_col: str = "score",
+    id_col: str = "prompt_id",
+) -> DataFrame:
+    """Best-of-n SFT mining (the other half of rejection sampling):
+    per prompt, append the max-score candidate as the assistant turn
+    and return ``id_col, messages`` conversations ready for
+    :func:`encode_chat_sft`. Selection semantics are EXACTLY
+    :func:`preference_pairs_from_candidates`' chosen branch (same
+    struct tiebreak, same NULL/NaN exclusion); single-candidate
+    groups are kept here — best-of-1 is still a training example,
+    it just carries no preference signal."""
+    s = F.col(score_col).cast("double")
+    usable = df.filter(
+        s.isNotNull()
+        & ~F.isnan(s)
+        & F.col(candidate_col).isNotNull()
+    )
+    key = F.struct(
+        s.alias("s"), F.col(candidate_col).alias("c")
+    )
+    best = usable.groupBy(id_col).agg(
+        F.first(prompt_col).alias(prompt_col),
+        F.max_by(candidate_col, key).alias("_best"),
+    )
+    return best.select(
+        id_col,
+        F.concat(
+            F.col(prompt_col),
+            F.array(
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.col("_best").alias("content"),
+                )
+            ),
+        ).alias("messages"),
+    )
+
+
 def chat_message_expectations(
     messages_col: str = "messages",
     roles: "tuple[str, ...]" = ("system", "user", "assistant"),

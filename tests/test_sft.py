@@ -386,6 +386,107 @@ def test_encode_preference_pairs_branches_and_divergence(spark):
         encode_preference_pairs(bad, bpe).collect()
 
 
+def test_preference_pairs_from_candidates(spark):
+    """Best-of-n mining: reward argmax/argmin per prompt with a
+    deterministic candidate-string tiebreak; NULL and NaN scores
+    excluded before selection; sub-2-candidate groups and
+    below-margin pairs dropped."""
+    from polaroam_spark.operators.sft import (
+        preference_pairs_from_candidates,
+    )
+
+    prompt = [("user", "pick")]
+    rows = [
+        # group 1: clear ordering
+        (1, prompt, "alpha", 2.0),
+        (1, prompt, "beta", 5.0),
+        (1, prompt, "gamma", 1.0),
+        # group 2: score TIE at the top -> candidate-string tiebreak
+        (2, prompt, "aaa", 3.0),
+        (2, prompt, "zzz", 3.0),
+        (2, prompt, "mmm", 0.5),
+        # group 3: NaN and NULL scores never win (or count)
+        (3, prompt, "nan-cand", float("nan")),
+        (3, prompt, "null-cand", None),
+        (3, prompt, "ok1", 1.0),
+        (3, prompt, "ok2", 0.0),
+        # group 4: single usable candidate -> dropped
+        (4, prompt, "only", 9.0),
+        # group 5: all scores equal -> margin 0 keeps (degenerate),
+        # margin > 0 drops
+        (5, prompt, "same1", 1.0),
+        (5, prompt, "same2", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, prompt_messages array<struct<role string, "
+        "content string>>, candidate string, score double",
+    )
+    out = {
+        r.prompt_id: r
+        for r in preference_pairs_from_candidates(df).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].chosen, out[1].rejected) == ("beta", "gamma")
+    assert (out[1].chosen_score, out[1].rejected_score) == (5.0, 1.0)
+    assert out[1].n_candidates == 3
+    # tie at 3.0: larger candidate string wins chosen; rejected is
+    # the genuinely-lowest score
+    assert (out[2].chosen, out[2].rejected) == ("zzz", "mmm")
+    assert (out[3].chosen, out[3].rejected) == ("ok1", "ok2")
+    assert out[3].n_candidates == 2
+    assert (out[5].chosen, out[5].rejected) == ("same2", "same1")
+    strict = {
+        r.prompt_id
+        for r in preference_pairs_from_candidates(
+            df, margin=0.5
+        ).collect()
+    }
+    assert strict == {1, 2, 3}
+
+
+def test_sft_from_best_of_n(spark, ident):
+    """Best-of-n SFT: the argmax candidate becomes the assistant
+    turn appended to the prompt; single-candidate groups are KEPT
+    (best-of-1 is still a training example); composes with
+    encode_chat_sft."""
+    from polaroam_spark.operators.sft import (
+        encode_chat_sft,
+        sft_from_best_of_n,
+    )
+
+    prompt = [("user", "say hi")]
+    rows = [
+        (1, prompt, "hello", 1.0),
+        (1, prompt, "HELLO!", 7.0),
+        (2, prompt, "lonely", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, prompt_messages array<struct<role string, "
+        "content string>>, candidate string, score double",
+    )
+    out = {
+        r.prompt_id: r.messages
+        for r in sft_from_best_of_n(df).collect()
+    }
+    assert [tuple(m) for m in out[1]] == [
+        ("user", "say hi"),
+        ("assistant", "HELLO!"),
+    ]
+    assert [tuple(m) for m in out[2]] == [
+        ("user", "say hi"),
+        ("assistant", "lonely"),
+    ]
+    enc = encode_chat_sft(
+        sft_from_best_of_n(df), ident, messages_col="messages"
+    ).collect()
+    for r in enc:
+        assert sum(r.loss_mask) == len(
+            {1: "HELLO!", 2: "lonely"}[r.prompt_id].encode()
+        )
+
+
 def test_chat_message_expectations(spark):
     """The pre-encode validation rules catch exactly the shapes the
     encoder raises on (or silently wastes): null turns, unknown
