@@ -11035,6 +11035,60 @@ def sft4(spark, sf_dir):
 
 
 @_q(
+    "t49_rolling_eval_windows",
+    "WITH t AS (SELECT doc_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n "
+    "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL "
+    "AND octet_length(encode(text)) > 0), "
+    "w AS (SELECT doc_id, n, unnest(range(0, 1 + "
+    "CAST(ceil(greatest(n - 128, 0) / 64.0) AS BIGINT))) AS k "
+    "FROM t), "
+    "s AS (SELECT doc_id, k, n, least(128 + k * 64, n) AS e, "
+    "CASE WHEN k > 0 THEN least(128 + (k - 1) * 64, n) ELSE 0 END "
+    "AS p FROM w) "
+    "SELECT doc_id, CAST(k AS BIGINT) AS seq_id, "
+    "CAST(least(e, 128) AS BIGINT) AS n_tokens, "
+    "CAST(least(e, 128) - (e - p) AS BIGINT) AS n_ctx, "
+    "CAST(e - p AS BIGINT) AS n_loss, "
+    "CAST(128 - least(e, 128) AS BIGINT) AS n_padding FROM s",
+)
+def t49(spark, sf_dir):
+    """Rolling perplexity-evaluation windows (chunking.py:
+    rolling_eval_windows — the HF fixed-length-model evaluation /
+    lm-eval-harness loglikelihood_rolling convention: maximal left
+    context per window, loss mask exactly on the not-yet-scored
+    tokens, every document token scored ONCE) under the
+    byte-identity model at seq_len=128 / stride=64: the oracle
+    replays every window's end/prev-end arithmetic — real tokens,
+    context-only positions, loss tokens, padding — in closed form
+    from the document's byte length."""
+    from polaroam_spark.operators.chunking import (
+        rolling_eval_windows,
+    )
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_encode,
+    )
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    enc = bpe_encode(docs, ident, "text").select(
+        "doc_id", "token_ids"
+    )
+    wins = rolling_eval_windows(enc, seq_len=128, stride=64)
+    return wins.select(
+        "doc_id", "seq_id", "n_tokens", "n_ctx", "n_loss", "n_padding"
+    )
+
+
+@_q(
     "t46_span_corruption",
     "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
     "CAST(count(*) AS BIGINT) AS value FROM documents "
@@ -11968,7 +12022,7 @@ _PRIORITY = [
     "sft3_packed_sft_windows", "dpo1_preference_pairs",
     "t48_kn_5gram_reference", "t39b_langid_char_scorer",
     "t40b_langid_char_train", "mm7b_mkv_tracks",
-    "dpo2_bestofn_pairs", "sft4_best_of_n",
+    "dpo2_bestofn_pairs", "sft4_best_of_n", "t49_rolling_eval_windows",
     # rest of r11:
     "s13_compact_files", "s14_column_stats", "skw2_salted_hot_join",
     "smp5_cap_per_key", "smp6_weighted_sample", "st5_stream_stream_join",

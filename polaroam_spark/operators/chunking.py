@@ -695,3 +695,103 @@ def packing_stats(
             / (F.col("n_packs") * b)
         ).alias("fill_rate"),
     )
+
+
+def rolling_eval_windows(
+    df: DataFrame,
+    seq_len: int,
+    stride: "int | None" = None,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    pad_id: int = 0,
+) -> DataFrame:
+    """Sliding-window PERPLEXITY-EVALUATION prep — the published
+    fixed-length-model evaluation convention (the HF perplexity
+    guide / lm-eval-harness ``loglikelihood_rolling`` shape): each
+    window carries the maximal left context and the loss mask covers
+    exactly the tokens not yet scored, so every document token is
+    scored EXACTLY ONCE with at least ``seq_len − stride`` tokens of
+    context (except the unavoidable document head).
+
+    Window k (0-based): ``end_k = min(seq_len + k·stride, n)``,
+    ``begin_k = max(end_k − seq_len, 0)``, mask 1 on the LAST
+    ``end_k − end_{k−1}`` positions (``end_{−1} = 0``); windows stop
+    once ``end_k`` reaches ``n``, i.e. ``1 + ceil(max(0, n −
+    seq_len)/stride)`` windows per document. ``stride`` defaults to
+    ``seq_len // 2``; ``stride == seq_len`` degenerates to disjoint
+    chunks (mask all-1 — fastest, least context), ``stride == 1`` is
+    the exact full-context rolling evaluation papers report.
+
+    Output: one row per (document, window) with ``seq_id,
+    token_ids, loss_mask`` (right-padded to ``seq_len`` with
+    ``pad_id`` / mask 0), ``n_tokens`` (real tokens), ``n_ctx``
+    (context-only positions), ``n_loss``, ``n_padding``. Invariant
+    (pinned by tests and the t49 oracle): per document,
+    ``sum(n_loss) == n``.
+
+    Pure JVM array arithmetic (sequence → transform → slice —
+    the :func:`~polaroam_spark.operators.sft.chunk_sft_sequences`
+    machinery pointed at evaluation), zero shuffle, composes with
+    either tokenizer family's encode. NULL/empty ids emit no rows."""
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
+    st = L // 2 if stride is None else int(stride)
+    if not 1 <= st <= L:
+        raise ValueError(
+            f"stride must be in [1, seq_len] (got {stride}): > "
+            "seq_len would skip tokens, < 1 never advances"
+        )
+    ids = F.col(ids_col)
+    n = F.array_size(ids)
+    n_win = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - L, F.lit(0)) / F.lit(st))
+    ).cast("int")
+
+    def _pad(arr, fill):
+        return F.slice(
+            F.concat(arr, F.array_repeat(F.lit(fill), L)), 1, L
+        )
+
+    def _one(k):
+        end = F.least(F.lit(L) + k * st, n)
+        prev_end = F.when(k > 0, F.least(F.lit(L) + (k - 1) * st, n)
+                          ).otherwise(F.lit(0))
+        begin = F.greatest(end - L, F.lit(0))
+        size = end - begin
+        n_loss = end - prev_end
+        mask = F.concat(
+            F.array_repeat(F.lit(0), (size - n_loss).cast("int")),
+            F.array_repeat(F.lit(1), n_loss.cast("int")),
+        )
+        return F.struct(
+            _pad(F.slice(ids, begin + 1, size), int(pad_id)).alias(
+                "ids"
+            ),
+            _pad(mask, 0).alias("mask"),
+            size.cast("long").alias("real"),
+            n_loss.cast("long").alias("n_loss"),
+        )
+
+    windows = F.transform(F.sequence(F.lit(0), n_win - 1), _one)
+    return (
+        df.filter(ids.isNotNull())
+        .filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(windows).alias("seq_id", "_w"),
+        )
+        .select(
+            id_col,
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col("_w.ids").alias(ids_col),
+            F.col("_w.mask").alias("loss_mask"),
+            F.col("_w.real").alias("n_tokens"),
+            (F.col("_w.real") - F.col("_w.n_loss")).alias("n_ctx"),
+            F.col("_w.n_loss").alias("n_loss"),
+            (F.lit(L) - F.col("_w.real")).cast("long").alias(
+                "n_padding"
+            ),
+        )
+    )

@@ -508,3 +508,70 @@ def test_packing_stats_hand_computed_and_bfd_zero_overflow(spark):
     assert cum.overflow_tokens > 0  # the trade the report quantifies
     assert bfd.n_chunks == cum.n_chunks == 200
     assert bfd.total_tokens == cum.total_tokens
+
+
+def test_rolling_eval_windows(spark):
+    """Sliding-window ppl prep: every token scored exactly once,
+    maximal left context, mask on the last n_loss positions,
+    padding only when the doc is shorter than seq_len; stride ==
+    seq_len degenerates to disjoint all-loss chunks; validation."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.chunking import (
+        rolling_eval_windows,
+    )
+
+    rows = [
+        (1, list(range(300))),   # multi-window
+        (2, list(range(50))),    # shorter than seq_len -> padded
+        (3, list(range(128))),   # exactly seq_len -> one window
+        (4, None),               # no rows
+        (5, []),                 # no rows
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_ids array<int>"
+    )
+    out = rolling_eval_windows(df, seq_len=128, stride=64)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert set(got) == {1, 2, 3}
+    for did, n in ((1, 300), (2, 50), (3, 128)):
+        ws = sorted(got[did], key=lambda r: r.seq_id)
+        assert sum(r.n_loss for r in ws) == n  # scored exactly once
+        rebuilt = []
+        for k, r in enumerate(ws):
+            assert len(r.token_ids) == 128 == len(r.loss_mask)
+            assert r.n_tokens + r.n_padding == 128
+            assert r.n_ctx + r.n_loss == r.n_tokens
+            real = r.token_ids[: r.n_tokens]
+            mask = r.loss_mask[: r.n_tokens]
+            # mask is 0^n_ctx 1^n_loss
+            assert mask == [0] * r.n_ctx + [1] * r.n_loss
+            # window content is the doc slice ending at end_k with
+            # maximal context
+            end = min(128 + k * 64, n)
+            assert real == list(range(max(end - 128, 0), end))
+            rebuilt += real[r.n_ctx:]
+        assert rebuilt == list(range(n))  # loss spans tile the doc
+    # doc 1: 300 tokens -> 1 + ceil(172/64) = 4 windows
+    assert len(got[1]) == 4
+    assert len(got[2]) == 1 and got[2][0].n_padding == 78
+    assert len(got[3]) == 1 and got[3][0].n_loss == 128
+
+    # stride == seq_len: disjoint loss spans; full windows are
+    # all-loss, the short TAIL still gets maximal left context
+    # (tokens 172..255 re-appear masked 0 — the HF convention)
+    dj = rolling_eval_windows(
+        df.filter("doc_id = 1"), seq_len=128, stride=128
+    ).orderBy("seq_id").collect()
+    assert [r.n_loss for r in dj] == [128, 128, 44]
+    assert [r.n_ctx for r in dj] == [0, 0, 84]
+
+    with _pytest.raises(ValueError, match="stride"):
+        rolling_eval_windows(df, seq_len=128, stride=0)
+    with _pytest.raises(ValueError, match="stride"):
+        rolling_eval_windows(df, seq_len=128, stride=200)
+    with _pytest.raises(ValueError, match="seq_len"):
+        rolling_eval_windows(df, seq_len=0)
