@@ -9330,6 +9330,85 @@ def st11(spark, sf_dir):
     return spark.table(qname).select("doc_id", "n_tokens")
 
 
+_ST12_SEQ = [0]
+
+
+@_q(
+    "st12_streaming_eval_windows",
+    "WITH t AS (SELECT doc_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n "
+    "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL "
+    "AND octet_length(encode(text)) > 0), "
+    "w AS (SELECT doc_id, n, unnest(range(0, 1 + "
+    "CAST(ceil(greatest(n - 128, 0) / 64.0) AS BIGINT))) AS k "
+    "FROM t), "
+    "s AS (SELECT doc_id, k, n, least(128 + k * 64, n) AS e, "
+    "CASE WHEN k > 0 THEN least(128 + (k - 1) * 64, n) ELSE 0 END "
+    "AS p FROM w) "
+    "SELECT doc_id, CAST(k AS BIGINT) AS seq_id, "
+    "CAST(e - p AS BIGINT) AS n_loss, "
+    "CAST(128 - least(e, 128) AS BIGINT) AS n_padding FROM s",
+)
+def st12(spark, sf_dir):
+    """STREAMING rolling-eval-window prep (the st9/st10/st11
+    certification for chunking.py:rolling_eval_windows): identity
+    encode + window generation are STATELESS per-row expressions
+    (Arrow UDF + sequence/transform/posexplode), so the exact t49
+    pipeline runs unchanged on a readStream source — one
+    availableNow batch into a memory sink, hash-checked against the
+    batch oracle's closed-form window arithmetic."""
+    import os
+
+    from polaroam_spark.operators.chunking import (
+        rolling_eval_windows,
+    )
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_encode,
+    )
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        .select("doc_id", "text")
+    )
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_evalwin.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    enc = bpe_encode(stream, ident, "text").select(
+        "doc_id", "token_ids"
+    )
+    wins = rolling_eval_windows(enc, seq_len=128, stride=64).select(
+        "doc_id", "seq_id", "n_loss", "n_padding"
+    )
+    _ST12_SEQ[0] += 1
+    qname = f"st12_evalwin_sink_{_ST12_SEQ[0]}"
+    q = (
+        wins.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch, f"evalwin_ckpt_{_ST12_SEQ[0]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("st12 stream timed out")
+    return spark.table(qname).select(
+        "doc_id", "seq_id", "n_loss", "n_padding"
+    )
+
+
 @_q(
     "t38_tokenizer_fertility",
     "WITH t AS (SELECT source, text, "
@@ -12023,6 +12102,7 @@ _PRIORITY = [
     "t48_kn_5gram_reference", "t39b_langid_char_scorer",
     "t40b_langid_char_train", "mm7b_mkv_tracks",
     "dpo2_bestofn_pairs", "sft4_best_of_n", "t49_rolling_eval_windows",
+    "st12_streaming_eval_windows",
     # rest of r11:
     "s13_compact_files", "s14_column_stats", "skw2_salted_hot_join",
     "smp5_cap_per_key", "smp6_weighted_sample", "st5_stream_stream_join",

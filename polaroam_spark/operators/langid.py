@@ -351,10 +351,16 @@ def train_langid(
                 r = p  # residual: p - onehot(y)
                 r[y, rows] -= 1.0
                 rs = r * scale  # (k, n_rows)
-                per_gram = np.repeat(rs, counts, axis=1)  # (k, n_grams)
+                # one shared int row-index per gram instead of a
+                # dense (k, n_grams) repeat: peak extra memory is
+                # n_grams int64 + one n_grams float64 temp per
+                # class, not K x n_grams doubles (r15 verdict note)
+                rows_per_gram = np.repeat(rows, counts)
                 for ki in range(k):
                     g[ki] += np.bincount(
-                        idx, weights=per_gram[ki], minlength=b
+                        idx,
+                        weights=rs[ki][rows_per_gram],
+                        minlength=b,
                     )
                 gb += r.sum(axis=1)
                 cnt += batch.num_rows
