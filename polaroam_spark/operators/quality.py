@@ -134,6 +134,11 @@ def _validate_model(model: dict) -> tuple:
         raise ValueError(
             f"model weights length {len(w)} != num_buckets {b}"
         )
+    feature = str(model.get("feature", "word"))
+    if feature not in ("word", "char"):
+        raise ValueError(
+            f"model feature must be 'word' or 'char' (got {feature!r})"
+        )
     return (
         [float(x) for x in w],
         float(model.get("bias", 0.0)),
@@ -141,6 +146,7 @@ def _validate_model(model: dict) -> tuple:
         int(model.get("seed", 17)),
         bool(model.get("portable", False)),
         bool(model.get("normalize", False)),
+        feature,
     )
 
 
@@ -167,7 +173,9 @@ def score_quality_classifier(
 
     ``model`` is :func:`train_quality_classifier`'s dict (or any
     hand-built ``{"weights": [...], "bias": f, "num_buckets": B,
-    "seed": s, "portable": p}``). For B ≤ 65536 scoring is a pure
+    "seed": s, "portable": p, "feature": "word"|"char"}`` —
+    ``"char"`` scores over the char 3–5-gram stream, the langid
+    feature set, when a quality model is trained on it). For B ≤ 65536 scoring is a pure
     per-row JVM expression (no shuffle, no join — see module
     docstring); larger models broadcast a B-row weight table and sum
     per ``id_col`` — on THAT path ``id_col`` must be unique (two
@@ -177,8 +185,12 @@ def score_quality_classifier(
     :func:`~polaroam_spark.operators.textstats.calibrate_scores` /
     ``quality_stratified_filter`` downstream (the probability is a
     score column like any other)."""
-    w, bias, b, seed, portable, normalize = _validate_model(model)
-    buckets = hashed_gram_buckets(text_col, b, seed, portable)
+    w, bias, b, seed, portable, normalize, feature = _validate_model(
+        model
+    )
+    buckets = hashed_gram_buckets(
+        text_col, b, seed, portable, feature=feature
+    )
 
     if b <= _LITERAL_MAX:
         # one parsed SQL array literal, not F.lit(list): the latter
@@ -253,6 +265,7 @@ def train_quality_classifier(
     learning_rate: float = 0.5,
     l2: float = 1e-6,
     normalize: bool = True,
+    feature: str = "word",
 ) -> dict:
     """Fit the logistic regression by full-batch gradient descent:
     featurize ONCE into a persisted ``(label, buckets)`` projection,
@@ -290,7 +303,9 @@ def train_quality_classifier(
     if iters < 1:
         raise ValueError(f"n_iter must be >= 1 (got {n_iter})")
 
-    buckets = hashed_gram_buckets(text_col, b, seed, portable)
+    buckets = hashed_gram_buckets(
+        text_col, b, seed, portable, feature=feature
+    )
     total = df.count()
     feats = track(
         df.select(
@@ -384,6 +399,7 @@ def train_quality_classifier(
         "seed": int(seed),
         "portable": bool(portable),
         "normalize": norm_flag,
+        "feature": str(feature),
         "loss_history": losses,
         "n_rows": int(n),
         "n_dropped": int(total - n),

@@ -426,3 +426,46 @@ def test_eval_and_calibration_skip_nan_scores(spark):
     cal = calibration_curve(df).collect()
     assert all(r.mean_score == r.mean_score for r in cal)  # no NaN
     assert sum(r.n for r in cal) == 2
+
+
+def test_quality_classifier_char_feature(spark):
+    """feature='char' trains/scores over the char 3-5-gram stream
+    (stored in the model so the scorer follows automatically);
+    unknown features raise on both paths."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.quality import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (i, "clean prose reads naturally here " * 3, 1)
+        for i in range(10)
+    ] + [
+        (100 + i, "buy$$$now!!! spam##casino@@@win " * 3, 0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    )
+    m = train_quality_classifier(
+        df, n_iter=40, learning_rate=5.0, num_buckets=512,
+        feature="char",
+    )
+    assert m["feature"] == "char"
+    scored = score_quality_classifier(df, m, label_col=None)
+    acc = (
+        scored.filter(
+            ((F.col("quality_prob") >= 0.5) & (F.col("label") == 1))
+            | ((F.col("quality_prob") < 0.5) & (F.col("label") == 0))
+        ).count()
+    )
+    assert acc == 20
+    with _pytest.raises(ValueError, match="feature"):
+        train_quality_classifier(df, n_iter=1, feature="byte")
+    bad = dict(m)
+    bad["feature"] = "byte"
+    with _pytest.raises(ValueError, match="feature"):
+        score_quality_classifier(df, bad)
