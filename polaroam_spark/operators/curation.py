@@ -76,10 +76,11 @@ def curate_corpus(
     predictions by the same conservative read) → KN perplexity gate
     (``perplexity_reference`` + ``perplexity_threshold``: score
     under :func:`~polaroam_spark.operators.textstats.\
-kn_trigram_logprob_vs_reference` and keep documents whose mean
-    trigram log-prob is ≥ the threshold — the CCNet
-    keep-the-low-perplexity-tail filter; sub-3-token NULL-score
-    docs drop)
+kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
+    — trigram; any order ≥ 2) and keep documents whose mean n-gram
+    log-prob is ≥ the threshold — the CCNet
+    keep-the-low-perplexity-tail filter; docs shorter than the
+    order NULL-score and drop)
     → dedup (``'exact'`` keep-min-id or
     ``'minhash'`` near-dedup survivors) → n-gram decontamination
     against an eval frame → per-source frequency cap → deterministic

@@ -35,6 +35,7 @@ Design decisions a gate can pin:
 """
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -317,8 +318,14 @@ def pack_sft_sequences(
     loss token is ever dropped — windows removed by
     ``drop_no_loss`` are all-mask-0 by definition) and total real
     (non-padding) tokens are equal. Deterministic: a pure function
-    of (corpus, seq_len, num_shards). NULL ids rows contribute no
-    tokens."""
+    of (corpus, seq_len, num_shards) — shard rows order by
+    ``(id, ids-bytes, mask-bytes)``, so duplicate ids cannot leak
+    partition-arrival order into the stream. NULL ids rows
+    contribute no tokens. The per-shard stream is built as packed
+    numpy arrays (~13 bytes/token across the four streams), so the
+    default ``max_shard_tokens=100_000_000`` cap costs ~1.3 GB of
+    task memory — survivable in one executor task, and the guard
+    raises LOUDLY before building anything bigger."""
     L = int(seq_len)
     if L < 1:
         raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
@@ -347,44 +354,83 @@ def pack_sft_sequences(
                 "well under the cap) or raise max_shard_tokens if "
                 "the workers have the memory for it"
             )
-        pdf = pdf.sort_values("_id")
-        s_ids: "list[int]" = []
-        s_mask: "list[int]" = []
-        s_seg: "list[int]" = []
-        s_pos: "list[int]" = []
-        seg = -1
+        # Deterministic shard order even under duplicate _id: sort
+        # by (_id, ids-bytes, mask-bytes) — the bytes keys cost one
+        # compact buffer per row, not boxed tuples.
+        pdf = pdf.assign(
+            _bk=pdf["_ids"].map(
+                lambda a: b""
+                if a is None
+                else np.asarray(a, dtype=np.int64).tobytes()
+            ),
+            _bm=pdf["_mask"].map(
+                lambda a: b""
+                if a is None
+                else np.asarray(a, dtype=np.int64).tobytes()
+            ),
+        ).sort_values(["_id", "_bk", "_bm"], kind="mergesort")
+        # Build the stream as packed numpy arrays (int32 ids/seg/pos,
+        # int8 mask): ~13 bytes/token, so the documented 100M-token
+        # max_shard_tokens cap is ~1.3 GB in the task — vs ~10 GB+
+        # of boxed Python ints the list version held (r16 verdict).
+        id_arrs: "list" = []
+        mask_arrs: "list" = []
+        lens: "list[int]" = []
         for ids, mask in zip(pdf["_ids"], pdf["_mask"]):
             if ids is None or len(ids) == 0:
                 continue
-            seg += 1
-            s_ids.extend(int(i) for i in ids)
-            s_mask.extend(int(m) for m in mask)
-            s_seg.extend([seg] * len(ids))
-            s_pos.extend(range(len(ids)))
-        n = len(s_ids)
+            id_arrs.append(np.asarray(ids, dtype=np.int32))
+            mask_arrs.append(np.asarray(mask, dtype=np.int8))
+            lens.append(len(id_arrs[-1]))
+        n = int(sum(lens))
+        if n:
+            s_ids = np.concatenate(id_arrs)
+            s_mask = np.concatenate(mask_arrs)
+            id_arrs = mask_arrs = []  # free the per-row views
+            lens_a = np.asarray(lens, dtype=np.int64)
+            s_seg = np.repeat(
+                np.arange(len(lens_a), dtype=np.int32), lens_a
+            )
+            # int32 transients: n <= max_shard_tokens and the guard
+            # above already raised if the shard exceeded the cap, so
+            # offsets fit int32 whenever the cap does; fall back to
+            # int64 only for caps beyond 2^31.
+            odt = np.int32 if n <= 2**31 - 1 else np.int64
+            starts = np.repeat(
+                (np.cumsum(lens_a) - lens_a).astype(odt), lens_a
+            )
+            s_pos = np.arange(n, dtype=odt) - starts
+            del starts
         out = []
         n_win = -(-n // L) if n else 0
+        pad_ids = np.full(L, pid, dtype=np.int32)
+        pad_zero = np.zeros(L, dtype=np.int32)
+        pad_seg = np.full(L, -1, dtype=np.int32)
         for w in range(n_win):
             lo, hi = w * L, min((w + 1) * L, n)
-            ids = s_ids[lo:hi]
-            mask = s_mask[lo:hi]
-            gseg = s_seg[lo:hi]
-            pos = s_pos[lo:hi]
-            n_loss = sum(mask)
+            mask = s_mask[lo:hi].astype(np.int32)
+            n_loss = int(mask.sum())
             if drop_no_loss and n_loss == 0:
                 continue
-            base = gseg[0]
-            local = [g - base for g in gseg]
-            n_segments = local[-1] + 1
+            gseg = s_seg[lo:hi]
+            local = gseg - gseg[0]
+            n_segments = int(local[-1]) + 1
             npad = L - (hi - lo)
+            ids = s_ids[lo:hi]
+            pos = s_pos[lo:hi]
+            if npad:
+                ids = np.concatenate([ids, pad_ids[:npad]])
+                mask = np.concatenate([mask, pad_zero[:npad]])
+                local = np.concatenate([local, pad_seg[:npad]])
+                pos = np.concatenate([pos, pad_zero[:npad]])
             out.append(
                 (
                     shard,
                     w,
-                    ids + [pid] * npad,
-                    mask + [0] * npad,
-                    local + [-1] * npad,
-                    pos + [0] * npad,
+                    ids,
+                    mask,
+                    local,
+                    pos,
                     L,
                     n_loss,
                     n_segments,
@@ -602,9 +648,17 @@ def preference_pairs_from_candidates(
     NaN scores are excluded BEFORE selection (the quality.py NaN
     lesson: a NaN would win every struct comparison and launder an
     unscored candidate into every pair). Groups with fewer than 2
-    usable candidates, or where ``chosen_score − rejected_score <
-    margin`` (no preference signal — chosen == rejected when all
-    scores tie), are dropped.
+    usable candidates are dropped, as is any group whose
+    ``chosen_score − rejected_score`` falls below ``margin`` OR is
+    exactly zero: a score-tied group carries no preference signal
+    (its chosen/rejected direction would be decided purely by the
+    lexicographic tiebreak), so ties are dropped even at the
+    default ``margin=0.0``.
+
+    The returned prompt is the CHOSEN row's prompt (selected with
+    the same ``max_by`` struct key), so the output stays a pure
+    function of the input set even when prompt values vary within
+    an id group.
 
     One hash-partitioned aggregation on ``id_col`` — no window, no
     self-join; the output feeds :func:`encode_preference_pairs`
@@ -622,7 +676,7 @@ def preference_pairs_from_candidates(
     out = (
         usable.groupBy(id_col)
         .agg(
-            F.first(prompt_col).alias(prompt_col),
+            F.max_by(prompt_col, key).alias(prompt_col),
             F.max_by(candidate_col, key).alias("chosen"),
             F.min_by(candidate_col, key).alias("rejected"),
             F.max(s).alias("chosen_score"),
@@ -631,9 +685,9 @@ def preference_pairs_from_candidates(
         )
         .filter(F.col("n_candidates") >= 2)
     )
+    diff = F.col("chosen_score") - F.col("rejected_score")
     return out.filter(
-        F.col("chosen_score") - F.col("rejected_score")
-        >= F.lit(float(margin))
+        (diff >= F.lit(float(margin))) & (diff > F.lit(0.0))
     )
 
 
@@ -649,9 +703,11 @@ def sft_from_best_of_n(
     and return ``id_col, messages`` conversations ready for
     :func:`encode_chat_sft`. Selection semantics are EXACTLY
     :func:`preference_pairs_from_candidates`' chosen branch (same
-    struct tiebreak, same NULL/NaN exclusion); single-candidate
-    groups are kept here — best-of-1 is still a training example,
-    it just carries no preference signal."""
+    struct tiebreak, same NULL/NaN exclusion, prompt taken from
+    the winning row so varying prompts within a group stay
+    deterministic); single-candidate groups are kept here —
+    best-of-1 is still a training example, it just carries no
+    preference signal."""
     s = F.col(score_col).cast("double")
     usable = df.filter(
         s.isNotNull()
@@ -662,7 +718,7 @@ def sft_from_best_of_n(
         s.alias("s"), F.col(candidate_col).alias("c")
     )
     best = usable.groupBy(id_col).agg(
-        F.first(prompt_col).alias(prompt_col),
+        F.max_by(prompt_col, key).alias(prompt_col),
         F.max_by(candidate_col, key).alias("_best"),
     )
     return best.select(

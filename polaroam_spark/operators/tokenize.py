@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -816,8 +817,12 @@ def pack_token_stream(
     token count (a cheap sum over array lengths, before any stream
     is built) and raises with a num_shards sizing hint instead of
     letting an under-sharded 100×-scale run OOM an executor with an
-    opaque error (default 1e8 tokens ≈ a few GB of Python list — the
-    same estimate-and-raise pattern as the DBSCAN coordinate guard).
+    opaque error (the same estimate-and-raise pattern as the DBSCAN
+    coordinate guard). The stream itself is a packed numpy int32
+    array — 4 bytes/token, so the default 1e8-token cap costs
+    ~400 MB of task memory, an envelope one executor task survives.
+    Shard order is ``(id, ids-bytes)``, deterministic even under
+    duplicate ids.
 
     ``drop_remainder``: each shard's tail short window is dropped
     (default, the training-loader convention) or emitted short.
@@ -858,14 +863,36 @@ def pack_token_stream(
                 "well under the cap) or raise max_shard_tokens if "
                 "the workers have the memory for it"
             )
-        pdf = pdf.sort_values("_id")
-        stream: "list[int]" = []
+        # Deterministic under duplicate _id: bytes of the encoded
+        # ids as a secondary sort key (compact, no boxed tuples).
+        pdf = pdf.assign(
+            _bk=pdf["_ids"].map(
+                lambda a: b""
+                if a is None
+                else np.asarray(a, dtype=np.int64).tobytes()
+            )
+        ).sort_values(["_id", "_bk"], kind="mergesort")
+        # Packed int32 stream: 4 bytes/token, so the documented
+        # 100M-token max_shard_tokens cap is ~400 MB in the task —
+        # vs ~3 GB+ of boxed Python ints the list version held.
+        arrs: "list" = []
+        eot_arr = (
+            np.asarray([eot_id], dtype=np.int32)
+            if eot is not None
+            else None
+        )
         for ids in pdf["_ids"]:
             if ids is None:
                 continue
-            stream.extend(int(i) for i in ids)
-            if eot is not None:
-                stream.append(eot_id)
+            arrs.append(np.asarray(ids, dtype=np.int32))
+            if eot_arr is not None:
+                arrs.append(eot_arr)
+        stream = (
+            np.concatenate(arrs)
+            if arrs
+            else np.empty(0, dtype=np.int32)
+        )
+        arrs = []  # free the per-row views
         out = []
         n_full = len(stream) // L
         for s in range(n_full):

@@ -389,8 +389,8 @@ def test_encode_preference_pairs_branches_and_divergence(spark):
 def test_preference_pairs_from_candidates(spark):
     """Best-of-n mining: reward argmax/argmin per prompt with a
     deterministic candidate-string tiebreak; NULL and NaN scores
-    excluded before selection; sub-2-candidate groups and
-    below-margin pairs dropped."""
+    excluded before selection; sub-2-candidate groups,
+    below-margin pairs, and exact score ties dropped."""
     from polaroam_spark.operators.sft import (
         preference_pairs_from_candidates,
     )
@@ -412,8 +412,8 @@ def test_preference_pairs_from_candidates(spark):
         (3, prompt, "ok2", 0.0),
         # group 4: single usable candidate -> dropped
         (4, prompt, "only", 9.0),
-        # group 5: all scores equal -> margin 0 keeps (degenerate),
-        # margin > 0 drops
+        # group 5: all scores equal -> dropped at ANY margin (a
+        # tied pair's direction would be pure lexicographic noise)
         (5, prompt, "same1", 1.0),
         (5, prompt, "same2", 1.0),
     ]
@@ -426,7 +426,7 @@ def test_preference_pairs_from_candidates(spark):
         r.prompt_id: r
         for r in preference_pairs_from_candidates(df).collect()
     }
-    assert set(out) == {1, 2, 3, 5}
+    assert set(out) == {1, 2, 3}
     assert (out[1].chosen, out[1].rejected) == ("beta", "gamma")
     assert (out[1].chosen_score, out[1].rejected_score) == (5.0, 1.0)
     assert out[1].n_candidates == 3
@@ -435,7 +435,6 @@ def test_preference_pairs_from_candidates(spark):
     assert (out[2].chosen, out[2].rejected) == ("zzz", "mmm")
     assert (out[3].chosen, out[3].rejected) == ("ok1", "ok2")
     assert out[3].n_candidates == 2
-    assert (out[5].chosen, out[5].rejected) == ("same2", "same1")
     strict = {
         r.prompt_id
         for r in preference_pairs_from_candidates(
