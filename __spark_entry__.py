@@ -10578,30 +10578,40 @@ def t43(spark, sf_dir):
     "FROM d) "
     "SELECT fam, n_docs, n_bytes, TRUE AS tokens_le_bytes, "
     "TRUE AS fertility_positive FROM m, "
-    "(VALUES ('bpe'), ('unigram')) AS f(fam) ORDER BY fam",
+    "(VALUES ('bpe'), ('unigram'), ('wordpiece')) AS f(fam) "
+    "ORDER BY fam",
 )
 def t44(spark, sf_dir):
     """Tokenizer-family comparison table (tokenize.py:
     tokenizer_stats dispatching on the model's family — what the
-    fertility metric exists for): BPE and unigram trained at the
-    SAME vocab budget (256+160) on the SAME corpus, one stats row
-    each. Pinned: identical corpus measurements (n_docs, n_bytes)
-    across families, tokens <= bytes for both (a piece/merge never
-    loses to raw bytes), positive fertility. The family-specific
-    token counts themselves are certified by t43/t29's roundtrips
-    and the t42/t27 identities; this gate pins the COMPARISON
-    surface."""
+    fertility metric exists for): BPE, unigram and WordPiece
+    trained at comparable vocab budgets (256+160 for the byte-base
+    families; alphabet+160 merges for WordPiece, whose floor is
+    corpus-dependent) on the SAME corpus, one stats row each.
+    Pinned: identical corpus measurements (n_docs, n_bytes) across
+    families, tokens <= bytes for all (a piece/merge never loses
+    to raw bytes; a WordPiece piece covers >= 1 char), positive
+    fertility. The family-specific token counts themselves are
+    certified by t43/t29/t51's roundtrips and the t42/t27/t50
+    identities; this gate pins the COMPARISON surface."""
     from polaroam_spark.operators.tokenize import (
         tokenizer_stats,
         train_bpe,
     )
     from polaroam_spark.operators.unigram import train_unigram
+    from polaroam_spark.operators.wordpiece import train_wordpiece
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _train_wp(d, col, vocab_size):
+        floor = 1 + len(_wp_alphabet(d))
+        return train_wordpiece(d, col, vocab_size=floor + 160)
+
     rows = []
     for fam, trainer in (
         ("bpe", train_bpe),
         ("unigram", train_unigram),
+        ("wordpiece", _train_wp),
     ):
         model = trainer(docs, "text", vocab_size=256 + 160)
         st = tokenizer_stats(docs, model).collect()[0]
@@ -12056,6 +12066,179 @@ def mm3(spark, sf_dir):
         jw["is_wav"].alias("junk_is_wav"),
         jv["is_mp4"].alias("junk_is_mp4"),
     )
+
+
+def _wp_alphabet(docs):
+    """Corpus character alphabet in WordPiece positional forms
+    (word-initial plain, word-internal ##-prefixed) — one bounded
+    distinct-collect, shared by the t50/t51 gates."""
+    from polaroam_spark.operators.tokenize import _PRETOKEN_RE
+
+    @F.pandas_udf("array<string>")
+    def _forms(col):
+        import pandas as _pd
+
+        def one(t):
+            if t is None:
+                return None
+            out = set()
+            for w in _PRETOKEN_RE.findall(t):
+                out.add(w[0])
+                for c in w[1:]:
+                    out.add("##" + c)
+            return list(out)
+
+        return col.map(one)
+
+    return sorted(
+        r["f"]
+        for r in docs.select(
+            F.explode(_forms(F.col("text"))).alias("f")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+@_q(
+    "t50_wordpiece_identity_counts",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens "
+    "FROM documents",
+)
+def t50(spark, sf_dir):
+    """WordPiece CHAR-identity (wordpiece.py:wordpiece_token_count —
+    the t42/t27 pattern for the THIRD family): a merge-free model
+    whose vocab is exactly the corpus alphabet in positional form
+    (word-initial chars plain, word-internal ##-prefixed) must
+    tokenize every document into precisely length(text) tokens —
+    greedy longest-match falls through to single characters, the
+    pre-tokenization is an exact partition, and no word can hit UNK
+    on its own corpus; so any greedy-scan, continuation-lookup,
+    cache, or dispatch bug shifts at least one count. NULL text ->
+    NULL count."""
+    from polaroam_spark.operators.wordpiece import (
+        wordpiece_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    forms = _wp_alphabet(docs)
+    init = [u for u in forms if not u.startswith("##")]
+    cont = [u for u in forms if u.startswith("##")]
+    vocab = {"[UNK]": 0}
+    for u in init + cont:
+        vocab[u] = len(vocab)
+    model = {
+        "type": "wordpiece",
+        "vocab": vocab,
+        "unk_token": "[UNK]",
+        "continuation_prefix": "##",
+        "max_word_chars": None,
+        "merges": [],
+    }
+    return wordpiece_token_count(docs, model).select(
+        "doc_id", "n_tokens"
+    )
+
+
+@_q(
+    "t51_wordpiece_train_roundtrip",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'greedy_violations', 0 "
+    "UNION ALL SELECT 'io_mismatches', 0 "
+    "UNION ALL SELECT 'roundtrip_failures', 0) ORDER BY chk",
+)
+def t51(spark, sf_dir):
+    """Trains a WordPiece model (wordpiece.py:train_wordpiece — the
+    likelihood-scored merge rule over the distributed word
+    histogram) at alphabet+160 merges on the SF's documents, then
+    certifies (the t43/t29 pattern): (1) decode(encode(text)) ==
+    text for EVERY document — alphabet coverage plus the
+    continuation-prefix hardening make the family lossless on its
+    training corpus; (2) on a deterministic 40-doc sample, every
+    emitted piece is the LONGEST vocab match at its position
+    (independent re-scan of the greedy contract); (3) a
+    save_wordpiece -> load_wordpiece roundtrip (public BERT
+    vocab.txt layout) encodes the sample id-for-id."""
+    import os
+    import tempfile
+
+    from polaroam_spark.operators.tokenize import _PRETOKEN_RE
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+        load_wordpiece,
+        save_wordpiece,
+        train_wordpiece,
+        wordpiece_decode,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    floor = 1 + len(_wp_alphabet(docs))
+    model = train_wordpiece(docs, "text", vocab_size=floor + 160)
+    dec = wordpiece_decode(
+        wordpiece_encode(docs, model, "text"), model, "token_ids"
+    )
+    fails = dec.filter(
+        ~F.col("decoded").eqNullSafe(F.col("text"))
+    ).count()
+
+    vocab = model["vocab"]
+    inv = {v: k for k, v in vocab.items()}
+    cp = model["continuation_prefix"]
+    sample = (
+        docs.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    greedy_bad = 0
+    for r in sample:
+        ids = encode_text_wordpiece(model, r["text"])
+        words = _PRETOKEN_RE.findall(r["text"])
+        wi, ci = 0, 0
+        for tid in ids:
+            tok = inv[tid]
+            content = tok[len(cp):] if tok.startswith(cp) else tok
+            w = words[wi]
+            if w[ci : ci + len(content)] != content:
+                greedy_bad += 1
+                break
+            for extra in range(
+                len(content) + 1, len(w) - ci + 1
+            ):
+                cand = w[ci : ci + extra]
+                if ci > 0:
+                    cand = cp + cand
+                elif cand.startswith(cp):
+                    continue
+                if cand in vocab:
+                    greedy_bad += 1
+                    break
+            ci += len(content)
+            if ci == len(w):
+                wi, ci = wi + 1, 0
+
+    with tempfile.TemporaryDirectory() as td:
+        vp = os.path.join(td, "vocab.txt")
+        save_wordpiece(model, vp)
+        m2 = load_wordpiece(vp)
+    io_bad = sum(
+        1
+        for r in sample
+        if encode_text_wordpiece(model, r["text"])
+        != encode_text_wordpiece(m2, r["text"])
+    )
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [
+            ("docs_checked", n_docs),
+            ("greedy_violations", greedy_bad),
+            ("io_mismatches", io_bad),
+            ("roundtrip_failures", fails),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
 
 
 # The correctness driver checks queries in dict order and covers a

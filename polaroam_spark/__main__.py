@@ -293,6 +293,35 @@ def cmd_tokenize(args) -> None:
         )
         out.write.mode("overwrite").parquet(args.output)
         return
+    if args.family == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            load_wordpiece,
+            save_wordpiece,
+            train_wordpiece,
+            wordpiece_encode,
+        )
+
+        if args.mode != "encode":
+            raise SystemExit(
+                "tokenize: --family wordpiece supports --mode "
+                "encode only (packing needs an atomic eot special, "
+                "a BPE-format feature)"
+            )
+        if args.model:
+            model = load_wordpiece(args.model)
+        else:
+            model = train_wordpiece(
+                df, args.text_col, vocab_size=args.train_vocab_size
+            )
+            if args.save_model:
+                save_wordpiece(model, args.save_model)
+        out = wordpiece_encode(df, model, args.text_col).select(
+            args.id_col,
+            "token_ids",
+            F.array_size("token_ids").cast("long").alias("n_tokens"),
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        return
     if args.vocab and args.merges:
         model = load_bpe(args.vocab, args.merges)
     else:
@@ -625,17 +654,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--mode", choices=["encode", "pack"], default="encode"
     )
     pt.add_argument(
-        "--family", choices=["bpe", "unigram"], default="bpe"
+        "--family", choices=["bpe", "unigram", "wordpiece"],
+        default="bpe"
     )
     pt.add_argument("--vocab", default=None, help="vocab.json to load")
     pt.add_argument("--merges", default=None, help="merges.txt to load")
     pt.add_argument(
         "--model", default=None,
-        help="unigram piece/score TSV to load (--family unigram)",
+        help="unigram piece/score TSV or wordpiece vocab.txt to "
+        "load (--family unigram/wordpiece)",
     )
     pt.add_argument(
         "--save-model", default=None,
-        help="persist a freshly trained unigram model (TSV)",
+        help="persist a freshly trained unigram (TSV) or "
+        "wordpiece (vocab.txt) model",
     )
     pt.add_argument("--train-vocab-size", type=int, default=4096)
     pt.add_argument("--save-vocab", default=None)

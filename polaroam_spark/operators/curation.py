@@ -615,6 +615,14 @@ def mixture_report(
         counted = unigram_token_count(
             sampled, model, text_col, out_col="_n"
         ).select(F.col(group_col).alias("_g"), "_n")
+    elif model.get("type") == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            wordpiece_token_count,
+        )
+
+        counted = wordpiece_token_count(
+            sampled, model, text_col, out_col="_n"
+        ).select(F.col(group_col).alias("_g"), "_n")
     else:
         from polaroam_spark.operators.tokenize import bpe_token_count
 

@@ -133,6 +133,12 @@ def encode_chat_sft(
         from polaroam_spark.operators.unigram import _unigram_encoder
 
         enc = _unigram_encoder(model)
+    elif model.get("type") == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            _wordpiece_encoder,
+        )
+
+        enc = _wordpiece_encoder(model)
     else:
         from polaroam_spark.operators.tokenize import _encoder
 
@@ -501,6 +507,12 @@ def encode_preference_pairs(
         from polaroam_spark.operators.unigram import _unigram_encoder
 
         enc = _unigram_encoder(model)
+    elif model.get("type") == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            _wordpiece_encoder,
+        )
+
+        enc = _wordpiece_encoder(model)
     else:
         from polaroam_spark.operators.tokenize import _encoder
 

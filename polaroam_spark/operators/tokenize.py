@@ -936,14 +936,20 @@ def tokenizer_stats(
     merge-free 256-vocab model gives ``n_tokens == n_bytes`` exactly
     (byte-level BPE identity) — the oracle twin the t38 gate pins.
 
-    ``model`` may be either tokenizer family: a BPE model (this
-    module) or a unigram model (``unigram.py``, dispatched on its
-    ``type`` key) — the whole point of the table is comparing the
-    two families on one corpus."""
+    ``model`` may be any tokenizer family: a BPE model (this
+    module), a unigram model (``unigram.py``) or a WordPiece model
+    (``wordpiece.py``), dispatched on its ``type`` key — the whole
+    point of the table is comparing the families on one corpus."""
     if model.get("type") == "unigram":
         from polaroam_spark.operators.unigram import unigram_encode
 
         encode_fn = unigram_encode
+    elif model.get("type") == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            wordpiece_encode,
+        )
+
+        encode_fn = wordpiece_encode
     else:
         encode_fn = bpe_encode
     words = F.size(

@@ -1,0 +1,248 @@
+"""WordPiece (BERT-family) tokenizer tests: likelihood-scored
+training invariants, greedy longest-match-first encoding, whole-word
+UNK semantics, continuation-prefix ambiguity hardening, exact
+roundtrip on the training corpus, BERT vocab.txt I/O, and the
+three-family dispatch surfaces."""
+import pytest
+
+from pyspark.sql import functions as F
+
+
+TEXTS = [
+    "the cat sat on the mat and the dog sat too",
+    "wordpiece merges prefer pairs whose parts rarely occur apart",
+    "greedy longest match first with continuation lookups",
+    "répétition naïve — unicode round trip ✓ 漢字 かな",
+    "the the the the cat cat cat dog dog",
+    "  leading and   irregular   whitespace\tand\ttabs\n\nsurvive",
+    "## markdown heading and #hashtag and a##b and ######",
+    "",
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    from polaroam_spark.operators.wordpiece import train_wordpiece
+
+    return train_wordpiece(docs, vocab_size=220)
+
+
+def test_train_invariants(model):
+    """Vocab within budget; ids dense: unk=0, sorted initial
+    alphabet, sorted continuation alphabet, merges in creation
+    order; every corpus character covered in the form it occurs;
+    no written-form collisions; no initial form starts with the
+    continuation prefix."""
+    vocab = model["vocab"]
+    assert len(vocab) <= 220
+    assert vocab[model["unk_token"]] == 0
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    cp = model["continuation_prefix"]
+    base = [t for t in vocab if t != model["unk_token"]]
+    n_merges = len(model["merges"])
+    alphabet = sorted(vocab.items(), key=lambda kv: kv[1])[
+        1 : len(vocab) - n_merges
+    ]
+    init = [t for t, _ in alphabet if not t.startswith(cp)]
+    cont = [t for t, _ in alphabet if t.startswith(cp)]
+    assert init == sorted(init) and cont == sorted(cont)
+    # alphabet split is contiguous: initials first
+    assert [t for t, _ in alphabet] == init + cont
+    for a, b in model["merges"]:
+        stripped = b[len(cp):] if b.startswith(cp) else b
+        m = a + stripped
+        assert m in vocab
+        # merged initial forms never masquerade as continuations
+        if not a.startswith(cp):
+            assert not m.startswith(cp)
+    # corpus coverage: each char present in its positional form
+    from polaroam_spark.operators.tokenize import _PRETOKEN_RE
+
+    for t in TEXTS:
+        if not t:
+            continue
+        for w in _PRETOKEN_RE.findall(t):
+            assert w[0] in vocab or any(
+                k.startswith(w[0]) for k in init
+            )
+    assert len(base) == len(set(base))
+
+
+def test_greedy_longest_match(model):
+    """Each emitted piece is the longest vocab match at its
+    position — re-verified by an independent scan."""
+    from polaroam_spark.operators.tokenize import _PRETOKEN_RE
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+    )
+
+    vocab = model["vocab"]
+    cp = model["continuation_prefix"]
+    inv = {v: k for k, v in vocab.items()}
+    for t in TEXTS[:5]:
+        ids = encode_text_wordpiece(model, t)
+        pos = 0
+        words = _PRETOKEN_RE.findall(t)
+        wi, ci = 0, 0
+        for tid in ids:
+            tok = inv[tid]
+            content = tok[len(cp):] if tok.startswith(cp) else tok
+            w = words[wi]
+            assert w[ci : ci + len(content)] == content
+            # no longer match exists at this position
+            for extra in range(len(content) + 1, len(w) - ci + 1):
+                cand = w[ci : ci + extra]
+                if ci > 0:
+                    cand = cp + cand
+                elif cand.startswith(cp):
+                    continue
+                assert cand not in vocab, (w, ci, cand)
+            ci += len(content)
+            if ci == len(w):
+                wi += 1
+                ci = 0
+
+
+def test_roundtrip_exact_and_nulls(docs, model):
+    """decode(encode(x)) == x for every training document (hash
+    ambiguity included); NULL text -> NULL ids -> NULL decode."""
+    from polaroam_spark.operators.wordpiece import (
+        wordpiece_decode,
+        wordpiece_encode,
+    )
+
+    dec = wordpiece_decode(
+        wordpiece_encode(docs, model), model
+    ).collect()
+    for r in dec:
+        if r.text is None:
+            assert r.token_ids is None and r.decoded is None
+        else:
+            assert r.decoded == r.text, (r.text, r.decoded)
+
+
+def test_unk_semantics(model):
+    """A pre-token containing any uncovered character encodes to
+    ONE unk id (the published whole-word rule); max_word_chars
+    caps word length the BERT way."""
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+    )
+
+    unk = model["vocab"][model["unk_token"]]
+    assert encode_text_wordpiece(model, "日xyzqق") .count(unk) >= 1
+    # an entirely-unseen-char word is exactly one UNK
+    assert encode_text_wordpiece(model, "قك") == [unk]
+    capped = dict(model, max_word_chars=3)
+    ids = encode_text_wordpiece(capped, "the extravagant cat")
+    # 'extravagant' exceeds 3 chars -> single UNK between the others
+    assert ids.count(unk) >= 1
+    assert encode_text_wordpiece(capped, "the") != [unk]
+
+
+def test_score_rule_prefers_exclusive_pairs(spark):
+    """The likelihood score picks the pair whose parts rarely occur
+    apart over the raw-frequency winner — the defining difference
+    from BPE. Corpus: 'ab' is frequent but a,b are everywhere;
+    'qz' is rarer but q,z occur ONLY together."""
+    from polaroam_spark.operators.wordpiece import train_wordpiece
+
+    rows = [(0, "ab ab ab ab ab ab aa bb qz qz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = train_wordpiece(docs, vocab_size=200)
+    # the GPT-2-ish pretokenizer keeps the leading space, so q is
+    # word-internal (' qz' -> ' ', '##q', '##z')
+    first = m["merges"][0]
+    assert first == ("##q", "##z"), m["merges"][:3]
+
+
+def test_model_io_roundtrip(tmp_path, docs, model):
+    """save_wordpiece/load_wordpiece: BERT vocab.txt layout,
+    identical encoding after reload; unk must be present."""
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+        load_wordpiece,
+        save_wordpiece,
+    )
+
+    p = str(tmp_path / "vocab.txt")
+    save_wordpiece(model, p)
+    lines = open(p, encoding="utf-8").read().split("\n")[:-1]
+    assert lines[0] == model["unk_token"]
+    # newline-bearing alphabet entries are escaped, one line each
+    assert len(lines) == len(model["vocab"])
+    m2 = load_wordpiece(p)
+    for t in TEXTS:
+        if t:
+            assert encode_text_wordpiece(
+                model, t
+            ) == encode_text_wordpiece(m2, t)
+    with pytest.raises(ValueError, match="unk_token"):
+        load_wordpiece(p, unk_token="[MISSING]")
+
+
+def test_family_dispatch(docs, model):
+    """tokenizer_stats and encode_chat_sft accept the wordpiece
+    family via the type key; token counts agree with the encode."""
+    from polaroam_spark.operators.sft import encode_chat_sft
+    from polaroam_spark.operators.tokenize import tokenizer_stats
+    from polaroam_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_token_count,
+    )
+
+    st = tokenizer_stats(docs, model).collect()[0]
+    total = (
+        wordpiece_encode(docs, model)
+        .select(F.sum(F.array_size("token_ids")))
+        .first()[0]
+    )
+    assert st["n_tokens"] == total
+    cnt = (
+        wordpiece_token_count(docs, model)
+        .select(F.sum("n_tokens"))
+        .first()[0]
+    )
+    assert cnt == total
+    convs = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.col("text").alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.col("text").alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    enc = encode_chat_sft(convs, model)
+    row = enc.filter(F.col("doc_id") == 0).first()
+    assert sum(row.loss_mask) > 0
+    assert len(row.token_ids) == len(row.loss_mask)
+
+
+def test_bad_inputs(spark, docs):
+    """Loud failures: undersized vocab names the floor; 1-char
+    continuation prefix rejected; wrong model type rejected."""
+    from polaroam_spark.operators.wordpiece import (
+        _wordpiece_encoder,
+        train_wordpiece,
+    )
+
+    with pytest.raises(ValueError, match="floor"):
+        train_wordpiece(docs, vocab_size=10)
+    with pytest.raises(ValueError, match="at least 2 chars"):
+        train_wordpiece(docs, continuation_prefix="_")
+    with pytest.raises(ValueError, match="wordpiece"):
+        _wordpiece_encoder({"type": "unigram", "vocab": {}})
