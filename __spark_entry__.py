@@ -12241,6 +12241,76 @@ def t51(spark, sf_dir):
     ).orderBy("chk")
 
 
+@_q(
+    "t52_perplexity_buckets",
+    "WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents), rtg AS (SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 2)) AS w1, unnest(list_slice(toks, 2, len(toks) - 1)) AS w2, unnest(list_slice(toks, 3, len(toks))) AS w3 FROM t WHERE len(toks) >= 3 AND doc_id % 10 = 0), tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM rtg GROUP BY 1, 2, 3), ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n12 FROM tri GROUP BY 1, 2), cbg AS (SELECT w2, w3, count(*) AS n_d23 FROM tri GROUP BY 1, 2), mid AS (SELECT w2, sum(n_d23) AS n_d2d, count(*) AS n_2d FROM cbg GROUP BY 1), rbt AS (SELECT DISTINCT a, w3 FROM (SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS a, unnest(list_slice(toks, 2, len(toks))) AS w3 FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0) q0), ucont AS (SELECT w3, count(*) AS n_d3 FROM rbt GROUP BY 1), tot AS (SELECT CAST(coalesce(sum(n_d3), 0) AS DOUBLE) AS nb FROM ucont), tg AS (SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 2)) AS w1, unnest(list_slice(toks, 2, len(toks) - 1)) AS w2, unnest(list_slice(toks, 3, len(toks))) AS w3 FROM t WHERE len(toks) >= 3), j AS (SELECT tg.doc_id, tri.c123, ctx.c12, ctx.n12, cbg.n_d23, mid.n_d2d, mid.n_2d, ucont.n_d3, tot.nb FROM tg LEFT JOIN tri USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2) LEFT JOIN cbg USING (w2, w3) LEFT JOIN mid USING (w2) LEFT JOIN ucont USING (w3) CROSS JOIN tot), p0 AS (SELECT doc_id, c123, c12, n12, n_d23, n_d2d, n_2d, CASE WHEN coalesce(n_d3, 0) > 0 THEN CAST(n_d3 AS DOUBLE) / nb ELSE 0.5 / (nb + 0.5) END AS p_cont FROM j), p1 AS (SELECT doc_id, c123, c12, n12, CASE WHEN coalesce(n_d2d, 0) > 0 THEN greatest(CAST(coalesce(n_d23, 0) AS DOUBLE) - 0.75, 0.0) / CAST(n_d2d AS DOUBLE) + (0.75 * CAST(n_2d AS DOUBLE)) / CAST(n_d2d AS DOUBLE) * p_cont ELSE p_cont END AS p_bg FROM p0), pd AS (SELECT doc_id, avg(ln(CASE WHEN coalesce(c12, 0) > 0 THEN greatest(CAST(coalesce(c123, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE) + (0.75 * CAST(n12 AS DOUBLE)) / CAST(c12 AS DOUBLE) * p_bg ELSE p_bg END)) AS s FROM p1 GROUP BY doc_id), sc AS (SELECT d.doc_id, d.lang, round(pd.s, 6) AS s FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id), cuts AS (SELECT lang, quantile_cont(s, 0.6666666656666668) AS ch, quantile_cont(s, 0.3333333323333334) AS cm FROM sc WHERE s IS NOT NULL GROUP BY lang) SELECT sc.doc_id, CASE WHEN sc.s IS NULL THEN NULL WHEN sc.s >= cuts.ch THEN 'head' WHEN sc.s >= cuts.cm THEN 'middle' ELSE 'tail' END AS perplexity_bucket FROM sc LEFT JOIN cuts USING (lang)",
+)
+def t52(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (textstats.py:
+    perplexity_buckets — Wenzek et al. 2020 §4.4: per-language
+    exact-percentile cut points over KN log-prob scores, boundary
+    scores land in the better bucket): documents scored by the t41
+    order-3 KN model (reference = doc_id % 10 == 0), scores
+    ROUNDED to 6 decimals on both sides (the t41-certified
+    agreement level, so near-ties are exact ties and bucket
+    assignment is engine-independent), then bucketed per lang at
+    the default thirds. The oracle replays the full KN model, the
+    per-group quantile_cont cut points (the operator's exact
+    nudged percentile points), and the CASE labels. NULL score
+    (sub-3-token doc) -> NULL bucket."""
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    scored = kn_ngram_logprob_vs_reference(
+        docs, ref, order=3
+    ).withColumn(
+        "mean_kn_logprob", F.round("mean_kn_logprob", 6)
+    )
+    return perplexity_buckets(scored, group_col="lang").select(
+        "doc_id", "perplexity_bucket"
+    )
+
+
+@_q(
+    "q10_bucket_curation",
+    "WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents), rtg AS (SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 2)) AS w1, unnest(list_slice(toks, 2, len(toks) - 1)) AS w2, unnest(list_slice(toks, 3, len(toks))) AS w3 FROM t WHERE len(toks) >= 3 AND doc_id % 10 = 0), tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM rtg GROUP BY 1, 2, 3), ctx AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n12 FROM tri GROUP BY 1, 2), cbg AS (SELECT w2, w3, count(*) AS n_d23 FROM tri GROUP BY 1, 2), mid AS (SELECT w2, sum(n_d23) AS n_d2d, count(*) AS n_2d FROM cbg GROUP BY 1), rbt AS (SELECT DISTINCT a, w3 FROM (SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS a, unnest(list_slice(toks, 2, len(toks))) AS w3 FROM t WHERE len(toks) >= 2 AND doc_id % 10 = 0) q0), ucont AS (SELECT w3, count(*) AS n_d3 FROM rbt GROUP BY 1), tot AS (SELECT CAST(coalesce(sum(n_d3), 0) AS DOUBLE) AS nb FROM ucont), tg AS (SELECT doc_id, unnest(list_slice(toks, 1, len(toks) - 2)) AS w1, unnest(list_slice(toks, 2, len(toks) - 1)) AS w2, unnest(list_slice(toks, 3, len(toks))) AS w3 FROM t WHERE len(toks) >= 3), j AS (SELECT tg.doc_id, tri.c123, ctx.c12, ctx.n12, cbg.n_d23, mid.n_d2d, mid.n_2d, ucont.n_d3, tot.nb FROM tg LEFT JOIN tri USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2) LEFT JOIN cbg USING (w2, w3) LEFT JOIN mid USING (w2) LEFT JOIN ucont USING (w3) CROSS JOIN tot), p0 AS (SELECT doc_id, c123, c12, n12, n_d23, n_d2d, n_2d, CASE WHEN coalesce(n_d3, 0) > 0 THEN CAST(n_d3 AS DOUBLE) / nb ELSE 0.5 / (nb + 0.5) END AS p_cont FROM j), p1 AS (SELECT doc_id, c123, c12, n12, CASE WHEN coalesce(n_d2d, 0) > 0 THEN greatest(CAST(coalesce(n_d23, 0) AS DOUBLE) - 0.75, 0.0) / CAST(n_d2d AS DOUBLE) + (0.75 * CAST(n_2d AS DOUBLE)) / CAST(n_d2d AS DOUBLE) * p_cont ELSE p_cont END AS p_bg FROM p0), pd AS (SELECT doc_id, avg(ln(CASE WHEN coalesce(c12, 0) > 0 THEN greatest(CAST(coalesce(c123, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE) + (0.75 * CAST(n12 AS DOUBLE)) / CAST(c12 AS DOUBLE) * p_bg ELSE p_bg END)) AS s FROM p1 GROUP BY doc_id), sc AS (SELECT d.doc_id, d.lang, round(pd.s, 6) AS s FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id), cuts AS (SELECT lang, quantile_cont(s, 0.6666666656666668) AS ch, quantile_cont(s, 0.3333333323333334) AS cm FROM sc WHERE s IS NOT NULL GROUP BY lang) SELECT sc.doc_id FROM sc LEFT JOIN cuts USING (lang) WHERE sc.s IS NOT NULL AND sc.s >= cuts.cm",
+)
+def q10(spark, sf_dir):
+    """curate_corpus's CCNet bucket gate (curation.py:
+    perplexity_keep_buckets — the percentile alternative to the
+    fixed perplexity_threshold): keep head+middle per lang under
+    the t52 scoring fixture; the oracle replays MEMBERSHIP (score
+    present and >= the middle cut). The curation path buckets the
+    UNROUNDED scores; membership still replays hash-exact because
+    within each engine the cut is interpolated from that engine's
+    own scores (the nudged point never lands ON a sample), and the
+    fixture's adjacent-score gaps dwarf the engines' 6-decimal
+    agreement — asserted by the t52 rounding twin staying green
+    alongside."""
+    from polaroam_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "source"
+    )
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    kept, _ = curate_corpus(
+        docs,
+        dedup=None,
+        perplexity_reference=ref,
+        perplexity_keep_buckets=("head", "middle"),
+        perplexity_group_col="lang",
+        perplexity_order=3,
+        with_stats=False,
+    )
+    return kept.select("doc_id")
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-16 window below was

@@ -39,6 +39,12 @@ def curate_corpus(
     perplexity_threshold: float | None = None,
     perplexity_discount: float = 0.75,
     perplexity_order: int = 3,
+    perplexity_keep_buckets: "tuple[str, ...] | None" = None,
+    perplexity_group_col: "str | None" = None,
+    perplexity_bucket_fractions: "tuple[float, float]" = (
+        1.0 / 3.0,
+        1.0 / 3.0,
+    ),
     dedup: str | None = "exact",
     minhash_opts: dict | None = None,
     decontaminate_against: DataFrame | None = None,
@@ -80,7 +86,13 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
     — trigram; any order ≥ 2) and keep documents whose mean n-gram
     log-prob is ≥ the threshold — the CCNet
     keep-the-low-perplexity-tail filter; docs shorter than the
-    order NULL-score and drop)
+    order NULL-score and drop — OR ``perplexity_keep_buckets``:
+    CCNet's published head/middle/tail percentile bucketing via
+    :func:`~polaroam_spark.operators.textstats.perplexity_buckets`,
+    keeping rows whose per-``perplexity_group_col`` bucket is in
+    the list, e.g. ``("head", "middle")``; cut fractions from
+    ``perplexity_bucket_fractions``; threshold and buckets are
+    mutually exclusive)
     → dedup (``'exact'`` keep-min-id or
     ``'minhash'`` near-dedup survivors) → n-gram decontamination
     against an eval frame → per-source frequency cap → deterministic
@@ -219,10 +231,23 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
                 F.col("language_pred").isin(list(keep_languages))
             ).select(*cur.columns),
         )
-    if (perplexity_reference is None) != (perplexity_threshold is None):
+    if (
+        perplexity_threshold is not None
+        and perplexity_keep_buckets is not None
+    ):
         raise ValueError(
-            "perplexity stage needs BOTH perplexity_reference and "
-            "perplexity_threshold"
+            "perplexity_threshold and perplexity_keep_buckets are "
+            "mutually exclusive — pick the fixed-cut filter or the "
+            "CCNet percentile bucketing"
+        )
+    _ppl_gate = (
+        perplexity_threshold is not None
+        or perplexity_keep_buckets is not None
+    )
+    if (perplexity_reference is None) != (not _ppl_gate):
+        raise ValueError(
+            "perplexity stage needs perplexity_reference AND one "
+            "of perplexity_threshold / perplexity_keep_buckets"
         )
     if perplexity_reference is not None:
         from polaroam_spark.operators.textstats import (
@@ -237,13 +262,42 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
             id_col=id_col,
             discount=float(perplexity_discount),
         )
-        cur = _stage(
-            "perplexity",
-            scored_ppl.filter(
-                F.col("mean_kn_logprob")
-                >= float(perplexity_threshold)
-            ).select(*cur.columns),
-        )
+        if perplexity_threshold is not None:
+            cur = _stage(
+                "perplexity",
+                scored_ppl.filter(
+                    F.col("mean_kn_logprob")
+                    >= float(perplexity_threshold)
+                ).select(*cur.columns),
+            )
+        else:
+            from polaroam_spark.operators.textstats import (
+                perplexity_buckets,
+            )
+
+            keep = [str(b) for b in perplexity_keep_buckets]
+            unknown = sorted(
+                set(keep) - {"head", "middle", "tail"}
+            )
+            if unknown:
+                raise ValueError(
+                    "perplexity_keep_buckets must be drawn from "
+                    f"head/middle/tail (got {unknown})"
+                )
+            hf, mf = perplexity_bucket_fractions
+            labeled = perplexity_buckets(
+                scored_ppl,
+                score_col="mean_kn_logprob",
+                group_col=perplexity_group_col,
+                head_fraction=float(hf),
+                middle_fraction=float(mf),
+            )
+            cur = _stage(
+                "perplexity_buckets",
+                labeled.filter(
+                    F.col("perplexity_bucket").isin(keep)
+                ).select(*cur.columns),
+            )
     if dedup == "exact":
         from polaroam_spark.operators.dedup import dedup_exact
 

@@ -1142,6 +1142,93 @@ def winsorize_scores(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str = "mean_kn_logprob",
+    group_col: "str | None" = "lang",
+    head_fraction: float = 1.0 / 3.0,
+    middle_fraction: float = 1.0 / 3.0,
+    out_col: str = "perplexity_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.4: per language, split the corpus at exact perplexity
+    percentiles into three quality bands — 'head' is the
+    best-scoring slice a pipeline trains on first): label each row
+    by where its score falls against its GROUP's exact percentile
+    cut points. Scores here are mean n-gram LOG-PROBABILITIES
+    (:func:`kn_ngram_logprob_vs_reference`'s output — higher =
+    lower perplexity = better), so 'head' is the TOP
+    ``head_fraction`` of scores, 'middle' the next
+    ``middle_fraction``, 'tail' the rest.
+
+    Plan: one hash-partitioned aggregation computes the two exact
+    percentile cuts per group (#groups output rows), broadcast-
+    joined back — cheaper than the per-stratum window
+    :func:`winsorize_scores` pays (no per-row frame evaluation) and
+    the CCNet-correct scale shape: groups are languages, so the
+    percentile buffers are per-language, never corpus-global. NULL
+    and NaN scores bucket NULL (a failed scorer is not 'tail' —
+    same contract as the other score conditioners); a group whose
+    scores are ALL NULL has no cuts and buckets NULL throughout.
+    ``group_col=None`` buckets the whole frame as one group (the
+    single percentile buffer then sees every row — fine for eval
+    sets, wrong for a 100 TB corpus; group by language there, which
+    is also what the published pipeline does).
+
+    Boundary rule: a score exactly AT a cut lands in the BETTER
+    bucket (cc_net's digitize puts the cutoff value in the lower-
+    perplexity band). Implementation detail with a contract: the
+    percentile points are nudged DOWN by 1e-9 before evaluation —
+    ``1 - 1/3 - 1/3`` in binary floats lands a hair above the true
+    third, which would push the interpolated cut infinitesimally
+    past the boundary sample and flip its bucket; the nudge makes
+    the inclusive boundary deterministic on any engine at the cost
+    of a ≤1e-9 quantile shift (sub-row for groups under ~1e9
+    rows)."""
+    hf = float(head_fraction)
+    mf = float(middle_fraction)
+    if not (0.0 < hf <= 1.0) or not (0.0 <= mf <= 1.0 - hf):
+        raise ValueError(
+            "need 0 < head_fraction <= 1 and 0 <= middle_fraction "
+            f"<= 1 - head_fraction (got {hf}, {mf})"
+        )
+    sc = _finite_score(score_col)
+    g = (
+        F.col(group_col)
+        if group_col is not None
+        else F.lit("__all__")
+    )
+    p_head = max(0.0, 1.0 - hf - 1e-9)
+    p_mid = max(0.0, 1.0 - hf - mf - 1e-9)
+    cuts = (
+        df.select(g.alias("_ppb_g"), sc.alias("_ppb_s"))
+        .filter(F.col("_ppb_s").isNotNull())
+        .groupBy("_ppb_g")
+        .agg(
+            F.percentile("_ppb_s", F.lit(p_head)).alias(
+                "_ppb_cut_head"
+            ),
+            F.percentile("_ppb_s", F.lit(p_mid)).alias(
+                "_ppb_cut_mid"
+            ),
+        )
+    )
+    out = df.join(
+        F.broadcast(cuts), g.eqNullSafe(F.col("_ppb_g")), "left"
+    )
+    # sc NULL -> NULL; group with no finite scores implies sc NULL
+    # for every row, so the cut columns are never consulted there
+    bucket = (
+        F.when(sc.isNull(), F.lit(None).cast("string"))
+        .when(sc >= F.col("_ppb_cut_head"), F.lit("head"))
+        .when(sc >= F.col("_ppb_cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn(out_col, bucket).drop(
+        "_ppb_g", "_ppb_cut_head", "_ppb_cut_mid"
+    )
+
+
 def robust_scale_scores(
     df: DataFrame,
     score_col: str = "quality_score",

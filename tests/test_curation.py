@@ -538,3 +538,74 @@ def test_curate_corpus_langid_and_perplexity_stages(spark):
             docs, langid_model=model, keep_languages=["fr"],
             dedup=None,
         )
+
+
+def test_curate_corpus_perplexity_buckets(spark):
+    """The CCNet bucket gate inside curate_corpus: keeps exactly
+    the rows whose per-group bucket is in the keep list, matching
+    a direct perplexity_buckets replay; threshold+buckets together
+    is loud; bad labels are loud."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.curation import curate_corpus
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+        perplexity_buckets,
+    )
+
+    base = [
+        "the cat sat on the mat",
+        "the dog sat on the mat",
+        "the cat ran to the dog",
+        "a completely different sentence structure here",
+        "zx qv jk wp mn bl totally out of domain tokens",
+        "the mat sat on the cat and the dog",
+    ]
+    rows = [
+        (i * 10 + j, t + f" variant {j}", ["en", "de"][i % 2], "w")
+        for i, t in enumerate(base)
+        for j in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+
+    kept, stats = curate_corpus(
+        docs,
+        dedup=None,
+        perplexity_reference=ref,
+        perplexity_keep_buckets=("head", "middle"),
+        perplexity_group_col="lang",
+    )
+    got = {r.doc_id for r in kept.collect()}
+
+    scored = kn_ngram_logprob_vs_reference(docs, ref, order=3)
+    labeled = perplexity_buckets(scored, group_col="lang")
+    want = {
+        r.doc_id
+        for r in labeled.filter(
+            F.col("perplexity_bucket").isin(["head", "middle"])
+        ).collect()
+    }
+    assert got == want and got
+    st = {r.stage: r.n_docs for r in stats.collect()}
+    assert st["perplexity_buckets"] == len(want)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate_corpus(
+            docs,
+            dedup=None,
+            perplexity_reference=ref,
+            perplexity_threshold=-5.0,
+            perplexity_keep_buckets=("head",),
+        )
+    with pytest.raises(ValueError, match="head/middle/tail"):
+        curate_corpus(
+            docs,
+            dedup=None,
+            perplexity_reference=ref,
+            perplexity_keep_buckets=("best",),
+        )

@@ -1205,3 +1205,66 @@ def test_kn_ngram_order2_and_validation(spark):
     assert out[1] > out[3]
     with pytest.raises(ValueError, match="order"):
         kn_ngram_logprob_vs_reference(docs, ref, order=1)
+
+
+def test_perplexity_buckets_exact_cuts(spark):
+    """CCNet head/middle/tail labels against hand-computed exact
+    percentile cuts per group; NULL/NaN scores bucket NULL; a
+    group with all-NULL scores buckets NULL throughout; fraction
+    validation is loud."""
+    import pytest
+
+    from polaroam_spark.operators.textstats import perplexity_buckets
+
+    # group a: scores 1..9 -> cut_head = p(2/3) = 6.333..,
+    # cut_mid = p(1/3) = 3.666..: head {7,8,9}, middle {4,5,6}
+    rows = [(i, "a", float(i)) for i in range(1, 10)]
+    # group b: 4 finite + NaN + NULL; p(2/3) of [10,20,30,40] = 30,
+    # p(1/3) = 20 -> head {30,40} (>= is inclusive), middle {20}
+    rows += [
+        (10, "b", 10.0),
+        (11, "b", 20.0),
+        (12, "b", 30.0),
+        (13, "b", 40.0),
+        (14, "b", float("nan")),
+        (15, "b", None),
+    ]
+    rows += [(16, "c", None), (17, "c", float("nan"))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, s double"
+    )
+    out = {
+        r.doc_id: r.perplexity_bucket
+        for r in perplexity_buckets(df, "s", "lang").collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i] == "tail", (i, out[i])
+    for i in (4, 5, 6):
+        assert out[i] == "middle", (i, out[i])
+    for i in (7, 8, 9):
+        assert out[i] == "head", (i, out[i])
+    assert out[10] == "tail" and out[11] == "middle"
+    assert out[12] == "head" and out[13] == "head"
+    assert out[14] is None and out[15] is None
+    assert out[16] is None and out[17] is None
+
+    # global group: one cut set over everything finite
+    g = perplexity_buckets(df, "s", None).collect()
+    assert {r.perplexity_bucket for r in g} >= {"head", "tail"}
+
+    # custom fractions: head-only top 10%
+    top = {
+        r.doc_id: r.perplexity_bucket
+        for r in perplexity_buckets(
+            df, "s", "lang", head_fraction=0.1, middle_fraction=0.0
+        ).collect()
+    }
+    assert top[9] == "head"
+    assert top[1] == "tail"
+
+    with pytest.raises(ValueError, match="head_fraction"):
+        perplexity_buckets(df, "s", "lang", head_fraction=0.0)
+    with pytest.raises(ValueError, match="head_fraction"):
+        perplexity_buckets(
+            df, "s", "lang", head_fraction=0.5, middle_fraction=0.6
+        )
