@@ -528,6 +528,43 @@ def s15(spark, sf_dir):
     )
 
 
+@_q(
+    "s18_avro_roundtrip",
+    "SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars_sum, "
+    "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes "
+    "FROM documents",
+)
+def s18(spark, sf_dir):
+    """Avro container sink + source roundtrip (sources/avro.py:
+    write_avro/read_avro — the spec-derived object-container codec;
+    the spark-avro connector is absent from this distribution, see
+    the module docstring). Writes the documents table with the
+    DEFLATE codec (the harder path: raw-RFC1951 blocks + sync
+    verification on read) and re-aggregates; the oracle aggregates
+    the parquet source — a lossless roundtrip must reproduce count,
+    key sums, language cardinality, and total text BYTES (utf-8
+    string codec exactness) bit-for-bit."""
+    import os
+
+    from polaroam_spark.sources.avro import read_avro, write_avro
+
+    path = os.path.join(_scratch_dir(), "docs_avro")
+    write_avro(
+        _t(spark, sf_dir, "documents"), path, codec="deflate"
+    )
+    return read_avro(spark, path).agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))).alias(
+            "text_bytes"
+        ),
+    )
+
+
 # Bucketed managed tables: the 100 TB co-located-join layout. The
 # gate writes customer AND orders bucketed 16 ways on the customer
 # key, joins them from the catalog (broadcast disabled so a planner

@@ -1,3 +1,8 @@
+from polaroam_spark.sources.avro import (
+    read_avro,
+    register_avro_source,
+    write_avro,
+)
 from polaroam_spark.sources.io import (
     hash_uid,
     localize_timestamps,
@@ -18,4 +23,7 @@ __all__ = [
     "write_partitioned",
     "write_sorted_partitioned",
     "write_bucketed_table",
+    "read_avro",
+    "register_avro_source",
+    "write_avro",
 ]
