@@ -603,6 +603,34 @@ def main() -> None:
             )
         )
 
+    def q_langid_score():
+        # K-class language-ID scoring (r17 verdict task: the argmax-
+        # over-K array expressions have different plan-build and
+        # per-row cost than the binary quality scorer): fixed
+        # deterministic weights — scoring is the recurring corpus
+        # pass, training is a setup job; same serial-split caveat as
+        # quality_score, pure map work at real scale
+        from polaroam_spark.operators.langid import score_langid
+
+        B, K = 1024, 5
+        model = {
+            "classes": ["en", "de", "es", "fr", "zh"],
+            "weights": [
+                [((i * (k + 3)) % 89) / 89.0 - 0.5 for i in range(B)]
+                for k in range(K)
+            ],
+            "biases": [0.1 * k for k in range(K)],
+            "num_buckets": B,
+            "seed": 17,
+            "feature": "word",
+        }
+        docs = em._t(spark, SF_DIR, "documents")
+        run(
+            score_langid(docs, model).select(
+                "doc_id", "language_pred", "language_prob"
+            )
+        )
+
     def q_kn_5gram():
         # Kneser-Ney 5-gram reference-LM scoring — the order CCNet
         # actually deploys (r16: replaces the trigram row, which was
@@ -638,6 +666,7 @@ def main() -> None:
         "bpe_tokenize": q_bpe_tokenize,
         "image_neardup": q_image_neardup,
         "quality_score": q_quality_score,
+        "langid_score": q_langid_score,
         "unigram_tokenize": q_unigram_tokenize,
         "kn_5gram": q_kn_5gram,
         "sft_prep": q_sft_prep,
