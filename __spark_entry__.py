@@ -12356,76 +12356,61 @@ def q10(spark, sf_dir):
 # lesson. Arithmetic is stated inside the list at the window edge.
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r16 WINDOW (first 50 — the driver drives exactly this many).
-    # (a) the 14 r15-new gates (no driver row yet; judge-verified
-    # hash-exact at sf0.001 AND sf0.01 in the r15 verdict):
+    # r17 WINDOW (first 50 — the driver drives exactly this many).
+    # Derived from data per the r10 lesson: latest driver row per
+    # gate across all CORRECTNESS_r*.json; CORRECTNESS_r16 confirmed
+    # the full previous window, so the r16-checked block moved to
+    # the very end (newest rows last).
+    # (a) the 10 r16-new gates (registered r16, no driver row yet;
+    # judge-verified hash-exact at sf0.01 in the r16 verdict):
     # ------------------------------------------------------------------
-    "t39_langid_scorer", "t40_langid_train_invariants",
-    "t41_kn_trigram_reference", "t42_unigram_identity_counts",
-    "t43_unigram_train_roundtrip", "t44_tokenizer_fertility_compare",
-    "t45_unigram_sample_encode", "t46_span_corruption",
-    "t47_unigram_coverage", "sft1_chat_template_render",
-    "sft2_loss_mask_windows", "st11_streaming_unigram_count",
-    "q9_mixture_report", "mm7_mkv_headers",
-    # (b) stale-block refresh, oldest driver row first: the 6 gates
-    # last driven in r10, then the alphabetically-first 30 of the 50
-    # gates last driven in r11. 14 + 6 + 30 = 50 exactly.
-    "t10_bpe_token_count", "t24_bigram_logprob_reference", "t8_pii_counts",
-    "u1_url_features", "v1_vector_normalize", "v2_quantize_roundtrip",
-    "a15_approx_distinct", "a16_rollup", "a17_cube", "a18_grouping_sets",
-    "a19_approx_percentile_band", "d10_fuzzy_text_join", "d11_containment",
-    "d12_semantic_pairs", "f21_map_ops", "f22_zorder_key",
-    "g1_pagerank_invariants", "g2_triangle_count", "g3_clustering_coeff",
-    "j10_nullsafe_join", "j11_full_outer", "j7b_asof_join_chunked",
-    "j7c_asof_join_forward", "j8_point_in_interval",
-    "j8b_point_in_interval_left", "j9_anti_join", "m3d_communities_infomap",
-    "mm1b_png_decode", "n3c_ann_ivf_prebuilt", "q3_tpch_shipping",
-    "q4_bm25_search", "r5_pivot", "r7_set_ops", "s10_jsonl_roundtrip",
-    "s11_schema_evolution", "s12_upsert_by_key",
-    # ---- window edge: position 50 is s12_upsert_by_key above ----
-    # (c) r16-NEW gates (first driver rows r17) ride immediately
-    # behind the window, then everything else oldest-driver-row
-    # first (rest of r11, then r12, r13, r14, r15 blocks),
-    # alphabetical within rounds.
-    # r16-new:
     "sft3_packed_sft_windows", "dpo1_preference_pairs",
     "t48_kn_5gram_reference", "t39b_langid_char_scorer",
-    "t40b_langid_char_train", "mm7b_mkv_tracks",
-    "dpo2_bestofn_pairs", "sft4_best_of_n", "t49_rolling_eval_windows",
+    "t40b_langid_char_train", "mm7b_mkv_tracks", "dpo2_bestofn_pairs",
+    "sft4_best_of_n", "t49_rolling_eval_windows",
     "st12_streaming_eval_windows",
-    # rest of r11:
+    # (b) the 5 r17-NEW gates (wordpiece t50/t51, CCNet buckets
+    # t52/q10, avro s18) plus t44, whose oracle changed this round
+    # (3 tokenizer families instead of 2):
+    "t50_wordpiece_identity_counts", "t51_wordpiece_train_roundtrip",
+    "t52_perplexity_buckets", "q10_bucket_curation", "s18_avro_roundtrip",
+    "t44_tokenizer_fertility_compare",
+    # (c) stale-block refresh, oldest driver row first: the
+    # remaining r11 gates then the r12 block head. 10 + 6 + 34
+    # = 50 exactly.
     "s13_compact_files", "s14_column_stats", "skw2_salted_hot_join",
     "smp5_cap_per_key", "smp6_weighted_sample", "st5_stream_stream_join",
     "st6_streaming_sessions", "t13_gopher_flags", "t14_duplicate_lines",
     "t16_winsorize", "t17_robust_scale", "t18_duplicated_spans",
     "t9_detect_language", "w10_session_window", "w3_gated_cumsum",
     "w8_compute_intervals", "x1_heavy_hitters", "x2_bloom_membership",
-    "x3_bloom_decontaminate", "x4_hll_two_level",
-    # r12 block:
-    "a10_ratio_aggregates", "a11_having", "a12_global_minmax",
-    "a1_groupby_count", "a20_histogram", "a21_corr_covar", "a2_groupby_sum",
-    "a4_groupby_minmax", "a5_count_per_group", "a6_count_distinct",
-    "a7_first_per_group", "a8_collect_list", "j12_interval_overlap",
-    "j2_left_join_single", "j3_semi_join", "j5_cross_broadcast_scalar",
-    "j6_medoid_joinback", "j7_asof_join", "mm2_png_dims",
-    "n4_embedding_join", "p10_null_checks", "p11_key_equality",
-    "p3_computed_columns", "p6_compound_filter", "p7_range_predicate",
-    "p8_string_inequality", "p9_membership", "q1_tpch_pricing",
-    "q5_tpch_local_supplier", "r8_topk_per_key", "s15_orc_roundtrip",
-    "s1_parquet_scan_filter", "s2_parquet_read_agg", "s4_pandas_interchange",
-    "s6_partitioned_write", "smp7b_temperature_sample_weighted",
+    "x3_bloom_decontaminate", "x4_hll_two_level", "a10_ratio_aggregates",
+    "a11_having", "a12_global_minmax", "a1_groupby_count", "a20_histogram",
+    "a21_corr_covar", "a2_groupby_sum", "a4_groupby_minmax",
+    "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
+    "a8_collect_list", "j12_interval_overlap", "j2_left_join_single",
+    # ---- window edge: position 50 is j2_left_join_single ----
+    # everything below rides behind the window, oldest driver row
+    # first (rest of r12, then r13/r14/r15 blocks), with the 50
+    # gates the driver just confirmed in r16 at the very end.
+    "j3_semi_join", "j5_cross_broadcast_scalar", "j6_medoid_joinback",
+    "j7_asof_join", "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
+    "p11_key_equality", "p3_computed_columns", "p6_compound_filter",
+    "p7_range_predicate", "p8_string_inequality", "p9_membership",
+    "q1_tpch_pricing", "q5_tpch_local_supplier", "r8_topk_per_key",
+    "s15_orc_roundtrip", "s1_parquet_scan_filter", "s2_parquet_read_agg",
+    "s4_pandas_interchange", "s6_partitioned_write",
+    "smp7b_temperature_sample_weighted",
     "smp8b_temperature_epoch_plan_mean", "smp9_gumbel_topk",
     "st7_streaming_ewma", "t15_unigram_logprob", "t25_dsir_logweights",
     "ts1_resample_linear", "ts3_zscore_anomaly", "v3_validate_expectations",
     "w1_lead", "w2_lag_fill", "w5_rolling_range_window", "w6_row_index",
-    "w7_keep_first", "w9_ntile_cume",
-    # r13 block:
-    "c1_grid_neighbor_pairs", "c3_dbscan_per_user", "c3b_dbscan_distributed",
-    "c4_cluster_medoids", "c5_convex_hull", "c6_max_pairwise_distance",
-    "d1_dedup_exact", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-    "d4_ngram_jaccard_pairs", "d5_embedding_neardup",
-    "d6_near_dedup_survivors", "d7_decontaminate", "d8_dedup_lines",
-    "d9_incremental_dedup_pairs", "g4_kcore_invariants",
+    "w7_keep_first", "w9_ntile_cume", "c1_grid_neighbor_pairs",
+    "c3_dbscan_per_user", "c3b_dbscan_distributed", "c4_cluster_medoids",
+    "c5_convex_hull", "c6_max_pairwise_distance", "d1_dedup_exact",
+    "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d4_ngram_jaccard_pairs",
+    "d5_embedding_neardup", "d6_near_dedup_survivors", "d7_decontaminate",
+    "d8_dedup_lines", "d9_incremental_dedup_pairs", "g4_kcore_invariants",
     "k1_chunk_documents", "k2_packing_plan", "k3_corpus_vocabulary",
     "k4_duplicate_components", "k5_materialize_packs", "k6_sentence_chunks",
     "m1_fit_predict", "m2_stop_medians", "m3_communities",
@@ -12438,26 +12423,24 @@ _PRIORITY = [
     "s16_bucketed_join", "s17_warc_ingest", "smp10_leakage_safe_split",
     "smp9b_gumbel_topk_band", "st8_streaming_gumbel_topk",
     "t26_extract_main_content", "v4_pca_whiten_invariants",
-    # r14 block:
     "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
     "k7_packing_exact_bpe", "k8_packing_bestfit_invariants",
     "mm5_image_neardup", "mm6_audio_neardup", "n2c_ann_lsh_recall_scaled",
     "n3_ann_ivf_topk", "n3b_ann_ivf_recall", "n3d_ann_ivf_recall_scaled",
     "n5_pq_recall", "n6_ivfpq_recall", "q6_curation_membership",
     "q6b_curation_stats", "q6c_curation_split", "q7_corpus_report",
-    "smp1_sample_by_hash", "smp2_train_test_split", "smp3_stratified_sample",
-    "smp4_deterministic_shuffle", "st1_streaming_stops",
-    "st2_streaming_counts", "st3_streaming_dedup", "t11_calibrate_scores",
-    "t12_tfidf_top_terms", "t19_dedup_spans", "t1_token_count",
-    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
-    "t23_mojibake", "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
-    "t29_bpe_train_roundtrip", "t2_quality_features", "t30_nfc_normalize",
-    "t31_bpe_chunking", "t32_bpe_special_tokens", "t33_pack_token_stream",
-    "t3_stopword_scores", "t4_fingerprint", "t5_scrub_text",
-    "t6_repetition_ratio", "t7_quality_stratified", "ts2_ewma",
-    "ts2b_ewma_blocked", "u2_filter_by_domain",
-    "v5_opq_iterative_invariants", "w4_detect_stops",
-    # r15 block (newest driver rows):
+    "smp1_sample_by_hash", "smp2_train_test_split",
+    "smp3_stratified_sample", "smp4_deterministic_shuffle",
+    "st1_streaming_stops", "st2_streaming_counts", "st3_streaming_dedup",
+    "t11_calibrate_scores", "t12_tfidf_top_terms", "t19_dedup_spans",
+    "t1_token_count", "t20_strip_html", "t21_c4_line_filter",
+    "t22_bigram_logprob", "t23_mojibake", "t27_bpe_identity_counts",
+    "t28_bpe_single_merge_counts", "t29_bpe_train_roundtrip",
+    "t2_quality_features", "t30_nfc_normalize", "t31_bpe_chunking",
+    "t32_bpe_special_tokens", "t33_pack_token_stream", "t3_stopword_scores",
+    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
+    "t7_quality_stratified", "ts2_ewma", "ts2b_ewma_blocked",
+    "u2_filter_by_domain", "v5_opq_iterative_invariants", "w4_detect_stops",
     "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
@@ -12477,6 +12460,25 @@ _PRIORITY = [
     "t34_quality_classifier", "t35_quality_train_invariants",
     "t36_classifier_eval", "t37_calibration_curve",
     "t38_tokenizer_fertility",
+    # r16-checked block (newest driver rows):
+    "t39_langid_scorer", "t40_langid_train_invariants",
+    "t41_kn_trigram_reference", "t42_unigram_identity_counts",
+    "t43_unigram_train_roundtrip", "t45_unigram_sample_encode",
+    "t46_span_corruption", "t47_unigram_coverage",
+    "sft1_chat_template_render", "sft2_loss_mask_windows",
+    "st11_streaming_unigram_count", "q9_mixture_report", "mm7_mkv_headers",
+    "t10_bpe_token_count", "t24_bigram_logprob_reference", "t8_pii_counts",
+    "u1_url_features", "v1_vector_normalize", "v2_quantize_roundtrip",
+    "a15_approx_distinct", "a16_rollup", "a17_cube", "a18_grouping_sets",
+    "a19_approx_percentile_band", "d10_fuzzy_text_join", "d11_containment",
+    "d12_semantic_pairs", "f21_map_ops", "f22_zorder_key",
+    "g1_pagerank_invariants", "g2_triangle_count", "g3_clustering_coeff",
+    "j10_nullsafe_join", "j11_full_outer", "j7b_asof_join_chunked",
+    "j7c_asof_join_forward", "j8_point_in_interval",
+    "j8b_point_in_interval_left", "j9_anti_join", "m3d_communities_infomap",
+    "mm1b_png_decode", "n3c_ann_ivf_prebuilt", "q3_tpch_shipping",
+    "q4_bm25_search", "r5_pivot", "r7_set_ops", "s10_jsonl_roundtrip",
+    "s11_schema_evolution", "s12_upsert_by_key",
 ]
 
 
