@@ -466,7 +466,12 @@ def cmd_perplexity(args) -> None:
     parquet the scored data cannot move) and write the scored frame
     — optionally keeping only rows at or above ``--threshold``
     (sub-order-token NULL-score docs drop with the filter, the
-    curate_corpus contract)."""
+    curate_corpus contract), OR labeling/keeping CCNet percentile
+    buckets: ``--buckets head,middle`` keeps those bands per
+    ``--group-col`` group (omit --group-col for corpus-global
+    cuts); ``--buckets all`` labels every row without dropping.
+    Threshold and buckets are mutually exclusive, matching
+    curate_corpus."""
     from pyspark.sql import functions as F
 
     from polaroam_spark.operators.textstats import (
@@ -484,10 +489,38 @@ def cmd_perplexity(args) -> None:
         id_col=args.id_col,
         discount=args.discount,
     )
+    if args.threshold is not None and args.buckets:
+        raise SystemExit(
+            "perplexity: --threshold and --buckets are mutually "
+            "exclusive"
+        )
     if args.threshold is not None:
         out = out.filter(
             F.col("mean_kn_logprob") >= float(args.threshold)
         )
+    elif args.buckets:
+        from polaroam_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        keep = [
+            b.strip() for b in args.buckets.split(",") if b.strip()
+        ]
+        out = perplexity_buckets(
+            out, group_col=args.group_col or None
+        )
+        if keep != ["all"]:
+            unknown = sorted(
+                set(keep) - {"head", "middle", "tail"}
+            )
+            if unknown:
+                raise SystemExit(
+                    "perplexity: --buckets must be drawn from "
+                    f"head/middle/tail or 'all' (got {unknown})"
+                )
+            out = out.filter(
+                F.col("perplexity_bucket").isin(keep)
+            )
     out.write.mode("overwrite").parquet(args.output)
 
 
@@ -751,6 +784,17 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument(
         "--threshold", type=float, default=None,
         help="keep rows with mean_kn_logprob >= this",
+    )
+    pp.add_argument(
+        "--buckets", default=None,
+        help="CCNet percentile bands to keep (comma list of "
+        "head/middle/tail, or 'all' to label without dropping); "
+        "mutually exclusive with --threshold",
+    )
+    pp.add_argument(
+        "--group-col", default=None,
+        help="group column for the bucket cut points (CCNet: the "
+        "language column); omit for corpus-global cuts",
     )
     pp.set_defaults(fn=cmd_perplexity)
 

@@ -587,3 +587,114 @@ def test_cli_sft_windows(spark, tmpdir):
         main([
             "sft", "--input", src, "--output", f"{tmpdir}/nope2",
         ])
+
+
+def test_cli_tokenize_wordpiece_family(spark, tmpdir):
+    """tokenize --family wordpiece: trains on the fly, persists a
+    BERT vocab.txt via --save-model, reload encodes identically;
+    pack mode is loudly unsupported."""
+    import pytest
+
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+        load_wordpiece,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the cat sat on mat number {i} and purred")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    src = f"{tmpdir}/wp_docs"
+    docs.write.parquet(src)
+    out = f"{tmpdir}/wp_ids"
+    model_path = f"{tmpdir}/wp_vocab.txt"
+    assert main([
+        "tokenize", "--family", "wordpiece", "--input", src,
+        "--output", out, "--train-vocab-size", "400",
+        "--save-model", model_path,
+    ]) == 0
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 8
+    m = load_wordpiece(model_path)
+    for i, r in rows.items():
+        want = encode_text_wordpiece(
+            m, f"the cat sat on mat number {i} and purred"
+        )
+        assert list(r.token_ids) == want
+        assert r.n_tokens == len(want)
+    with pytest.raises(SystemExit, match="wordpiece"):
+        main([
+            "tokenize", "--family", "wordpiece", "--mode", "pack",
+            "--input", src, "--output", f"{tmpdir}/wp_nope",
+        ])
+
+
+def test_cli_perplexity_buckets(spark, tmpdir):
+    """perplexity --buckets: per-group CCNet bands match the direct
+    perplexity_buckets replay; 'all' labels without dropping;
+    threshold+buckets together is loud."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+        perplexity_buckets,
+    )
+
+    base = [
+        "the cat sat on the mat", "the dog sat on the mat",
+        "the cat ran to the dog", "different sentence structure",
+        "zx qv jk wp out of domain", "the mat sat on the cat",
+    ]
+    rows = [
+        (i * 10 + j, t + f" v{j}", ["en", "de"][i % 2])
+        for i, t in enumerate(base) for j in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    dsrc, rsrc = f"{tmpdir}/ppb_docs", f"{tmpdir}/ppb_ref"
+    docs.write.parquet(dsrc)
+    ref.write.parquet(rsrc)
+
+    out = f"{tmpdir}/ppb_kept"
+    assert main([
+        "perplexity", "--input", dsrc, "--reference", rsrc,
+        "--output", out, "--buckets", "head,middle",
+        "--group-col", "lang",
+    ]) == 0
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    scored = kn_ngram_logprob_vs_reference(docs, ref, order=3)
+    want = {
+        r.doc_id
+        for r in perplexity_buckets(scored, group_col="lang")
+        .filter(F.col("perplexity_bucket").isin(["head", "middle"]))
+        .collect()
+    }
+    assert got == want and got
+
+    out2 = f"{tmpdir}/ppb_all"
+    assert main([
+        "perplexity", "--input", dsrc, "--reference", rsrc,
+        "--output", out2, "--buckets", "all",
+    ]) == 0
+    labeled = spark.read.parquet(out2)
+    assert labeled.count() == len(rows)
+    assert "perplexity_bucket" in labeled.columns
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "perplexity", "--input", dsrc, "--reference", rsrc,
+            "--output", f"{tmpdir}/ppb_x", "--buckets", "head",
+            "--threshold", "-5",
+        ])
+    with pytest.raises(SystemExit, match="head/middle/tail"):
+        main([
+            "perplexity", "--input", dsrc, "--reference", rsrc,
+            "--output", f"{tmpdir}/ppb_y", "--buckets", "best",
+        ])
