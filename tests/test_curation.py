@@ -531,7 +531,9 @@ def test_curate_corpus_langid_and_perplexity_stages(spark):
 
     with pytest.raises(ValueError, match="BOTH langid_model"):
         curate_corpus(docs, langid_model=model, dedup=None)
-    with pytest.raises(ValueError, match="BOTH perplexity"):
+    with pytest.raises(
+        ValueError, match="perplexity_reference AND one of"
+    ):
         curate_corpus(docs, perplexity_reference=ref, dedup=None)
     with pytest.raises(ValueError, match="not in the model"):
         curate_corpus(
