@@ -9367,6 +9367,103 @@ def st11(spark, sf_dir):
     return spark.table(qname).select("doc_id", "n_tokens")
 
 
+@_q(
+    "t53_fim_transform",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'layout_failures', 0 "
+    "UNION ALL SELECT 'length_mismatches', 0 "
+    "UNION ALL SELECT 'reconstruct_failures', 0 "
+    "UNION ALL SELECT 'replay_mismatches', 0) ORDER BY chk",
+)
+def t53(spark, sf_dir):
+    """FIM transform (objectives.py:fim_transform — Bavarian et al.
+    2022, the code-model fill-in-the-middle objective) over the
+    SF's documents tokenized with the byte-identity model (one id
+    per UTF-8 byte — exactly the paper's character-level cut),
+    fim_rate=1, 50/50 PSM/SPM: certifies for EVERY document
+    (1) the sentinel layout matches the published PSM/SPM forms,
+    (2) transformed length is n + 3, (3) dropping sentinels and
+    reassembling reconstructs the original ids EXACTLY, and (4) the
+    draw replays — a second run is id-identical (md5(seed, doc id),
+    the package determinism contract)."""
+    from polaroam_spark.operators.objectives import (
+        fim_transform,
+        reconstruct_fim,
+    )
+    from polaroam_spark.operators.tokenize import (
+        _BYTE_TO_UNI,
+        bpe_encode,
+    )
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, ident, "text").select(
+        "doc_id", "token_ids"
+    )
+    out = fim_transform(enc, fim_rate=1.0, seed=19)
+    rows = out.collect()
+    layout_bad = len_bad = rec_bad = 0
+    for r in rows:
+        ids = r["token_ids"]
+        if ids is None or len(ids) == 0:
+            if r["fim_ids"] is not None:
+                layout_bad += 1
+            continue
+        f = list(r["fim_ids"])
+        m = r["fim_mode"]
+        if m == "psm":
+            ok = (
+                f[0] == 100_000
+                and 100_001 in f
+                and 100_002 in f
+                and f.index(100_001) < f.index(100_002)
+            )
+        elif m == "spm":
+            ok = f[:2] == [100_000, 100_001] and 100_002 in f
+        else:
+            ok = False
+        if not ok:
+            layout_bad += 1
+            continue
+        if len(f) != len(ids) + 3:
+            len_bad += 1
+        try:
+            if reconstruct_fim(f, m) != list(ids):
+                rec_bad += 1
+        except ValueError:
+            rec_bad += 1
+    again = {
+        r["doc_id"]: (
+            None if r["fim_ids"] is None else list(r["fim_ids"]),
+            r["fim_mode"],
+        )
+        for r in fim_transform(enc, fim_rate=1.0, seed=19).collect()
+    }
+    replay_bad = sum(
+        1
+        for r in rows
+        if (
+            None if r["fim_ids"] is None else list(r["fim_ids"]),
+            r["fim_mode"],
+        )
+        != again[r["doc_id"]]
+    )
+    return spark.createDataFrame(
+        [
+            ("docs_checked", len(rows)),
+            ("layout_failures", layout_bad),
+            ("length_mismatches", len_bad),
+            ("reconstruct_failures", rec_bad),
+            ("replay_mismatches", replay_bad),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
 _ST13_SEQ = [0]
 
 
@@ -12440,12 +12537,12 @@ _PRIORITY = [
     "t40b_langid_char_train", "mm7b_mkv_tracks", "dpo2_bestofn_pairs",
     "sft4_best_of_n", "t49_rolling_eval_windows",
     "st12_streaming_eval_windows",
-    # (b) the 6 r17-NEW gates (wordpiece t50/t51/st13, CCNet
-    # buckets t52/q10, avro s18) plus t44, whose oracle changed
-    # this round (3 tokenizer families instead of 2):
+    # (b) the 7 r17-NEW gates (wordpiece t50/t51/st13, CCNet
+    # buckets t52/q10, avro s18, FIM t53) plus t44, whose oracle
+    # changed this round (3 tokenizer families instead of 2):
     "t50_wordpiece_identity_counts", "t51_wordpiece_train_roundtrip",
     "st13_streaming_wordpiece_count", "t52_perplexity_buckets",
-    "q10_bucket_curation", "s18_avro_roundtrip",
+    "q10_bucket_curation", "s18_avro_roundtrip", "t53_fim_transform",
     "t44_tokenizer_fertility_compare",
     # (c) stale-block refresh, oldest driver row first: the
     # remaining r11 gates then the r12 block head. 10 + 6 + 34
@@ -12460,10 +12557,10 @@ _PRIORITY = [
     "a11_having", "a12_global_minmax", "a1_groupby_count", "a20_histogram",
     "a21_corr_covar", "a2_groupby_sum", "a4_groupby_minmax",
     "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
-    "a8_collect_list", "j12_interval_overlap",
-    # ---- window edge: position 50 is j12_interval_overlap (st13
-    # joined group (b), pushing j2 behind the edge) ----
-    "j2_left_join_single",
+    "a8_collect_list",
+    # ---- window edge: position 50 is a8_collect_list (st13 and
+    # t53 joined group (b), pushing j12/j2 behind the edge) ----
+    "j12_interval_overlap", "j2_left_join_single",
     # everything below rides behind the window, oldest driver row
     # first (rest of r12, then r13/r14/r15 blocks), with the 50
     # gates the driver just confirmed in r16 at the very end.

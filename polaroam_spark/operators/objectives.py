@@ -1,7 +1,9 @@
 """Denoising-objective data preparation: T5-style SPAN CORRUPTION
-(Raffel et al. 2020 §3.1.4) and the prefix-LM split (the UL2
-S-denoiser shape) over tokenized corpora — the step between a packed
-token stream and an encoder-decoder / prefix-LM training loader.
+(Raffel et al. 2020 §3.1.4), the prefix-LM split (the UL2
+S-denoiser shape), and the FIM transform (Bavarian et al. 2022
+"Efficient Training of Language Models to Fill in the Middle" —
+the deployed code-model objective) over tokenized corpora — the
+step between a packed token stream and a training loader.
 
 Beyond-reference component (the reference is a mobility engine);
 both objectives follow the published formulation, with the package's
@@ -277,3 +279,169 @@ def prefix_lm_split(
         F.col("_pl.inputs").alias(inputs_col),
         F.col("_pl.targets").alias(targets_col),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.9,
+    spm_rate: float = 0.5,
+    pre_id: int = 100_000,
+    suf_id: int = 100_001,
+    mid_id: int = 100_002,
+    seed: int = 41,
+    out_col: str = "fim_ids",
+    mode_col: str = "fim_mode",
+) -> DataFrame:
+    """FIM (fill-in-the-middle) transform — Bavarian et al. 2022,
+    the pretraining objective code models deploy: with probability
+    ``fim_rate`` per document, cut its ids at two uniform points
+    into (prefix, middle, suffix) and emit the paper's sentinel
+    layouts —
+
+    - PSM (§2.2):
+      ``<PRE> prefix <SUF> suffix <MID> middle``;
+    - SPM (the paper's joint-compatible variant, appendix D):
+      ``<PRE> <SUF> suffix <MID> prefix middle``
+
+    — choosing SPM with probability ``spm_rate`` (the paper trains
+    a 50/50 PSM/SPM mixture at fim_rate 0.5–0.9). Untransformed
+    documents pass through unchanged with ``mode_col='none'``
+    (the paper's AR-data share). ``mode_col`` records
+    'psm'/'spm'/'none'.
+
+    Determinism contract (the prefix_lm_split shape): the keep/cut/
+    mode draws all derive from ``md5(seed, doc id)``, so the
+    transform is a pure function of (ids, seed) — cluster layout
+    cannot change it, and a driver-side replay is id-identical
+    (gate t53). Both cut points are uniform over [0, n] and may
+    coincide (empty middle) or sit at the edges (empty prefix/
+    suffix) — the paper keeps those cases so the model learns
+    degenerate infills. Losslessness: dropping the three sentinels
+    and re-assembling (prefix ++ middle ++ suffix) reconstructs the
+    original ids exactly; transformed length is always n + 3.
+
+    The paper cuts at CHARACTER level before encoding so the model
+    sees tokenizer-boundary-crossing infills; run this over
+    byte-identity ids (one id per UTF-8 byte) to get exactly that,
+    or over trained-model ids for the cheaper token-aligned
+    variant. Sentinel ids occurring in the DATA raise loudly (the
+    span_corruption band rule). NULL/empty ids pass through NULL.
+    One Arrow-batched UDF, no shuffle."""
+    fr = float(fim_rate)
+    sr = float(spm_rate)
+    if not 0.0 <= fr <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1] (got {fim_rate})")
+    if not 0.0 <= sr <= 1.0:
+        raise ValueError(f"spm_rate must be in [0, 1] (got {spm_rate})")
+    sentinels = (int(pre_id), int(suf_id), int(mid_id))
+    if len(set(sentinels)) != 3:
+        raise ValueError(
+            f"pre/suf/mid sentinel ids must be distinct (got {sentinels})"
+        )
+    sd = int(seed)
+    pre, suf, mid = sentinels
+
+    def _one(key, ids):
+        if ids is None or len(ids) == 0:
+            return None, None
+        bad = sorted({int(t) for t in ids if int(t) in sentinels})
+        if bad:
+            raise ValueError(
+                f"fim_transform: token id(s) {bad[:5]} collide with "
+                f"the FIM sentinels {sentinels} in this document — "
+                "a real token would be misparsed; place sentinels "
+                "above the vocabulary (add_special_tokens ids)"
+            )
+        rng = _rng_for(sd, key)
+        if rng.random() >= fr:
+            return [int(t) for t in ids], "none"
+        n = len(ids)
+        a = rng.randint(0, n)
+        b = rng.randint(0, n)
+        if a > b:
+            a, b = b, a
+        prefix = [int(t) for t in ids[:a]]
+        middle = [int(t) for t in ids[a:b]]
+        suffix = [int(t) for t in ids[b:]]
+        if rng.random() < sr:
+            return (
+                [pre, suf] + suffix + [mid] + prefix + middle,
+                "spm",
+            )
+        return (
+            [pre] + prefix + [suf] + suffix + [mid] + middle,
+            "psm",
+        )
+
+    out_type = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.IntegerType())),
+            T.StructField("mode", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _fim(keys: pd.Series, ids: pd.Series) -> pd.DataFrame:
+        pairs = [_one(k, v) for k, v in zip(keys, ids)]
+        return pd.DataFrame(
+            {
+                "ids": [p[0] for p in pairs],
+                "mode": [p[1] for p in pairs],
+            }
+        )
+
+    tmp = df.withColumn(
+        "_fm", _fim(F.col(id_col).cast("string"), F.col(ids_col))
+    )
+    return tmp.select(
+        *df.columns,
+        F.col("_fm.ids").alias(out_col),
+        F.col("_fm.mode").alias(mode_col),
+    )
+
+
+def reconstruct_fim(
+    fim_ids,
+    mode: str,
+    pre_id: int = 100_000,
+    suf_id: int = 100_001,
+    mid_id: int = 100_002,
+) -> "list[int]":
+    """Driver-side inverse (tests / the gate's certification):
+    reassemble the original ids from a FIM layout. Raises on any
+    structural mismatch — a silent partial reconstruction would
+    defeat the losslessness check."""
+    ids = [int(t) for t in fim_ids]
+    if mode == "none":
+        if any(t in (pre_id, suf_id, mid_id) for t in ids):
+            raise ValueError("sentinel in untransformed document")
+        return ids
+    if not ids or ids[0] != pre_id:
+        raise ValueError("missing <PRE>")
+    if mode == "psm":
+        si = ids.index(suf_id)
+        mi = ids.index(mid_id)
+        if not 0 < si < mi:
+            raise ValueError("PSM sentinel order mismatch")
+        prefix = ids[1:si]
+        suffix = ids[si + 1 : mi]
+        middle = ids[mi + 1 :]
+    elif mode == "spm":
+        if len(ids) < 2 or ids[1] != suf_id:
+            raise ValueError("SPM missing <SUF> at position 1")
+        mi = ids.index(mid_id)
+        suffix = ids[2:mi]
+        # prefix ++ middle follow <MID>; the cut between them is not
+        # recoverable from the layout alone (by design — the model
+        # predicts the continuation), so reconstruction returns the
+        # concatenation, which equals prefix ++ middle by identity
+        prefix = ids[mi + 1 :]
+        middle = []
+    else:
+        raise ValueError(f"unknown fim mode {mode!r}")
+    for part in (prefix, suffix, middle):
+        if any(t in (pre_id, suf_id, mid_id) for t in part):
+            raise ValueError("stray sentinel inside a segment")
+    return prefix + middle + suffix

@@ -193,3 +193,74 @@ def test_span_corruption_sentinel_band_collision_raises(spark):
     )
     with _pytest.raises(Exception, match="sentinel band"):
         span_corruption(df, sentinel_start=100_000).collect()
+
+
+def test_fim_transform_layouts_and_losslessness(spark):
+    """FIM: PSM/SPM sentinel layouts exactly as published; dropping
+    sentinels reconstructs the original ids; transformed length is
+    n + 3; rate=0 passes everything through as 'none'; draws replay
+    (pure function of seed + doc id); sentinel collisions and bad
+    rates are loud."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.objectives import (
+        fim_transform,
+        reconstruct_fim,
+    )
+
+    rows = [
+        (i, list(range(1, 1 + 5 + (i % 7) * 3))) for i in range(40)
+    ] + [(100, []), (101, None), (102, [9])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_ids array<int>"
+    )
+    out = fim_transform(df, fim_rate=1.0, seed=7).collect()
+    modes = set()
+    for r in out:
+        if r.token_ids is None or len(r.token_ids) == 0:
+            assert r.fim_ids is None and r.fim_mode is None
+            continue
+        modes.add(r.fim_mode)
+        assert r.fim_mode in ("psm", "spm")
+        assert len(r.fim_ids) == len(r.token_ids) + 3
+        back = reconstruct_fim(list(r.fim_ids), r.fim_mode)
+        assert back == list(r.token_ids), (r.doc_id, back)
+        if r.fim_mode == "psm":
+            assert r.fim_ids[0] == 100_000
+            assert 100_001 in r.fim_ids and 100_002 in r.fim_ids
+            assert r.fim_ids.index(100_001) < r.fim_ids.index(100_002)
+        else:
+            assert list(r.fim_ids[:2]) == [100_000, 100_001]
+    assert modes == {"psm", "spm"}  # both layouts drawn at 40 docs
+
+    # rate 0: everything untouched
+    none = fim_transform(df, fim_rate=0.0, seed=7).collect()
+    for r in none:
+        if r.token_ids is not None and len(r.token_ids) > 0:
+            assert r.fim_mode == "none"
+            assert list(r.fim_ids) == list(r.token_ids)
+
+    # replay: identical draws on a different partition layout
+    a = {r.doc_id: (list(r.fim_ids) if r.fim_ids is not None
+                    else None, r.fim_mode)
+         for r in fim_transform(df, fim_rate=0.7, seed=3).collect()}
+    b = {r.doc_id: (list(r.fim_ids) if r.fim_ids is not None
+                    else None, r.fim_mode)
+         for r in fim_transform(
+             df.repartition(7), fim_rate=0.7, seed=3).collect()}
+    assert a == b
+    kept_modes = {m for _, m in a.values() if m}
+    assert "none" in kept_modes  # 0.7 rate leaves AR data
+
+    # loud failures
+    coll = spark.createDataFrame(
+        [(1, [1, 100_001, 2])], "doc_id long, token_ids array<int>"
+    )
+    with pytest.raises(Exception, match="collide"):
+        fim_transform(coll, fim_rate=1.0).collect()
+    with pytest.raises(ValueError, match="fim_rate"):
+        fim_transform(df, fim_rate=1.5)
+    with pytest.raises(ValueError, match="distinct"):
+        fim_transform(df, pre_id=5, suf_id=5, mid_id=6)
