@@ -9464,6 +9464,93 @@ def t53(spark, sf_dir):
     ).orderBy("chk")
 
 
+@_q(
+    "t54_wordpiece_coverage",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) + 3 AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'en_unk_nonzero', 0 "
+    "UNION ALL SELECT 'replay_mismatches', 0 "
+    "UNION ALL SELECT 'synth_unk_mismatch', 0) ORDER BY chk",
+)
+def t54(spark, sf_dir):
+    """WordPiece vocabulary-coverage data card (wordpiece.py:
+    wordpiece_coverage_stats — the unigram_coverage_stats twin
+    where the escape hatch is LOSSY whole-word UNK): a model
+    trained on the English slice scores the whole corpus plus
+    three synthetic documents carrying a Cyrillic word no corpus
+    alphabet contains, grouped by lang. Certifies (1) every
+    group's (n_docs, n_tokens, n_unk_tokens,
+    n_distinct_pieces_used) matches a per-document driver-side
+    replay via encode_text_wordpiece, (2) the training language
+    shows ZERO UNKs (alphabet coverage of its own corpus is
+    total), and (3) the synthetic group counts exactly one UNK
+    per planted word (the whole-word rule)."""
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+        train_wordpiece,
+        wordpiece_coverage_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # digit-free text: the en alphabet need not cover digits, and a
+    # trailing counter would add alphabet-dependent extra UNKs
+    synth = spark.createDataFrame(
+        [
+            (1_000_000_000 + i, "xx", "hello \u0444\u0444 world")
+            for i in range(3)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    full = docs.unionByName(synth)
+    en = docs.filter(F.col("lang") == "en")
+    floor = 1 + len(_wp_alphabet(en))
+    model = train_wordpiece(en, "text", vocab_size=floor + 80)
+
+    stats = {
+        r["lang"]: r
+        for r in wordpiece_coverage_stats(
+            full, model, group_by="lang"
+        ).collect()
+    }
+    unk_id = model["vocab"][model["unk_token"]]
+    want: dict = {}
+    rows = full.filter(F.col("text").isNotNull()).collect()
+    for r in rows:
+        ids = encode_text_wordpiece(model, r["text"])
+        g = want.setdefault(
+            r["lang"], {"d": 0, "t": 0, "u": 0, "p": set()}
+        )
+        g["d"] += 1
+        g["t"] += len(ids)
+        g["u"] += sum(1 for i in ids if i == unk_id)
+        g["p"].update(i for i in ids if i != unk_id)
+    mism = 0
+    for lang, g in want.items():
+        s = stats.get(lang)
+        if s is None or (
+            s["n_docs"],
+            s["n_tokens"],
+            s["n_unk_tokens"],
+            s["n_distinct_pieces_used"],
+        ) != (g["d"], g["t"], g["u"], len(g["p"])):
+            mism += 1
+    en_unk = int(stats["en"]["n_unk_tokens"]) if "en" in stats else -1
+    synth_unk = (
+        int(stats["xx"]["n_unk_tokens"]) if "xx" in stats else -1
+    )
+    return spark.createDataFrame(
+        [
+            ("docs_checked", full.count()),
+            ("en_unk_nonzero", 1 if en_unk != 0 else 0),
+            ("replay_mismatches", mism),
+            ("synth_unk_mismatch", 0 if synth_unk == 3 else 1),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
 _ST13_SEQ = [0]
 
 
@@ -12537,13 +12624,13 @@ _PRIORITY = [
     "t40b_langid_char_train", "mm7b_mkv_tracks", "dpo2_bestofn_pairs",
     "sft4_best_of_n", "t49_rolling_eval_windows",
     "st12_streaming_eval_windows",
-    # (b) the 7 r17-NEW gates (wordpiece t50/t51/st13, CCNet
+    # (b) the 8 r17-NEW gates (wordpiece t50/t51/st13/t54, CCNet
     # buckets t52/q10, avro s18, FIM t53) plus t44, whose oracle
     # changed this round (3 tokenizer families instead of 2):
     "t50_wordpiece_identity_counts", "t51_wordpiece_train_roundtrip",
     "st13_streaming_wordpiece_count", "t52_perplexity_buckets",
     "q10_bucket_curation", "s18_avro_roundtrip", "t53_fim_transform",
-    "t44_tokenizer_fertility_compare",
+    "t54_wordpiece_coverage", "t44_tokenizer_fertility_compare",
     # (c) stale-block refresh, oldest driver row first: the
     # remaining r11 gates then the r12 block head. 10 + 6 + 34
     # = 50 exactly.
@@ -12557,10 +12644,9 @@ _PRIORITY = [
     "a11_having", "a12_global_minmax", "a1_groupby_count", "a20_histogram",
     "a21_corr_covar", "a2_groupby_sum", "a4_groupby_minmax",
     "a5_count_per_group", "a6_count_distinct", "a7_first_per_group",
-    "a8_collect_list",
-    # ---- window edge: position 50 is a8_collect_list (st13 and
-    # t53 joined group (b), pushing j12/j2 behind the edge) ----
-    "j12_interval_overlap", "j2_left_join_single",
+    # ---- window edge: position 50 is a7_first_per_group (st13,
+    # t53 and t54 joined group (b), pushing a8/j12/j2 behind) ----
+    "a8_collect_list", "j12_interval_overlap", "j2_left_join_single",
     # everything below rides behind the window, oldest driver row
     # first (rest of r12, then r13/r14/r15 blocks), with the 50
     # gates the driver just confirmed in r16 at the very end.

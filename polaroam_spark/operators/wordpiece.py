@@ -543,3 +543,87 @@ def load_wordpiece(
         _pre_re(pretokenizer)  # validate / fail fast
         out["pretokenizer"] = pretokenizer
     return out
+
+
+def wordpiece_coverage_stats(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    group_by: "str | None" = None,
+) -> DataFrame:
+    """Vocabulary-coverage data card for a WordPiece tokenizer on a
+    corpus — the :func:`~polaroam_spark.operators.unigram.\\
+unigram_coverage_stats` twin for the third family, where the escape
+    hatch is the LOSSY whole-word ``[UNK]`` rather than unigram's
+    lossless byte fallback (which makes this report MORE
+    decision-critical: every UNK is destroyed signal). Per group (or
+    one corpus row): ``n_docs, n_tokens, n_unk_tokens`` (ids equal
+    to the UNK id — by the whole-word rule, also the count of
+    unencodable pre-tokens), ``unk_rate``, and
+    ``n_distinct_pieces_used`` (vocab utilization — a vocabulary
+    trained on the wrong domain shows a high UNK rate AND low
+    utilization). The knob it informs: ``max_words`` at train time
+    (a capped histogram drops tail-only characters from the
+    alphabet, whose words then UNK — the trainer's loud warning,
+    quantified here per corpus).
+
+    Plan (the unigram twin's exactly): ONE encode pass persisted for
+    two map-side-combined aggregations; distinct pieces explode
+    per-doc DISTINCT ids into a partial-distinct countDistinct,
+    never a corpus-sized buffer. NULL texts are dropped;
+    ``unk_rate`` is NULL for a zero-token group."""
+    from ..cache import track
+
+    unk_id = int(model["vocab"][model.get("unk_token", "[UNK]")])
+    enc = wordpiece_encode(
+        docs.filter(F.col(text_col).isNotNull()), model, text_col,
+        out_col="_ids",
+    )
+    keys = [group_by] if group_by else []
+    proj = track(
+        enc.select(
+            *keys,
+            F.array_size("_ids").alias("_n"),
+            F.size(
+                F.filter("_ids", lambda i: i == F.lit(unk_id))
+            ).alias("_unk"),
+            F.array_distinct(
+                F.filter("_ids", lambda i: i != F.lit(unk_id))
+            ).alias("_pieces"),
+        ).persist()
+    )
+    counts = proj.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n").alias("n_tokens"),
+        F.sum("_unk").alias("n_unk_tokens"),
+    )
+    pieces = (
+        proj.select(*keys, F.explode("_pieces").alias("_p"))
+        .groupBy(*keys)
+        .agg(
+            F.countDistinct("_p")
+            .cast("long")
+            .alias("n_distinct_pieces_used")
+        )
+    )
+    agg = (
+        counts.join(pieces, on=keys, how="left")
+        if keys
+        else counts.crossJoin(F.broadcast(pieces))
+    )
+    agg = agg.withColumn(
+        "n_distinct_pieces_used",
+        F.coalesce(F.col("n_distinct_pieces_used"), F.lit(0)),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_tokens",
+        "n_unk_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_unk_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        ).alias("unk_rate"),
+        "n_distinct_pieces_used",
+    )

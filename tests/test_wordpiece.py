@@ -246,3 +246,36 @@ def test_bad_inputs(spark, docs):
         train_wordpiece(docs, continuation_prefix="_")
     with pytest.raises(ValueError, match="wordpiece"):
         _wordpiece_encoder({"type": "unigram", "vocab": {}})
+
+
+def test_coverage_stats(spark, docs, model):
+    """UNK-rate data card: zero UNKs on the training corpus;
+    planted out-of-alphabet words count one UNK each (whole-word
+    rule); per-group split; persisted encode is released by
+    unpersist_caches."""
+    from polaroam_spark import unpersist_caches
+    from polaroam_spark.operators.wordpiece import (
+        encode_text_wordpiece,
+        wordpiece_coverage_stats,
+    )
+
+    row = wordpiece_coverage_stats(docs, model).first()
+    assert row.n_unk_tokens == 0 and row.unk_rate == 0.0
+    assert row.n_distinct_pieces_used > 0
+
+    mixed = spark.createDataFrame(
+        [(1, "a", "the cat sat"), (2, "b", "щщ the щщ")],
+        "doc_id long, g string, text string",
+    )
+    st = {
+        r.g: r
+        for r in wordpiece_coverage_stats(
+            mixed, model, group_by="g"
+        ).collect()
+    }
+    assert st["a"].n_unk_tokens == 0
+    assert st["b"].n_unk_tokens == 2  # one per planted word
+    assert st["b"].n_tokens == len(
+        encode_text_wordpiece(model, "щщ the щщ")
+    )
+    assert unpersist_caches() >= 1
