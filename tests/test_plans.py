@@ -656,3 +656,60 @@ def test_mixture_report_broadcasts_plan_and_total(spark, docs):
     assert plan.count("BroadcastExchange") >= 2, plan
     # corpus aggregation + (at most) the broadcast-join residuals
     assert _n_hash_exchanges(plan) <= 2, plan
+
+
+def test_perplexity_buckets_broadcasts_cuts(spark, docs):
+    """The bucket labeler's scale shape: ONE hash aggregation for
+    the per-group cut points (#groups rows), broadcast back — never
+    a per-stratum window, never a second corpus shuffle, no
+    Python."""
+    from polaroam_spark.operators.textstats import perplexity_buckets
+
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("string").alias("lang"),
+        (F.col("doc_id") * 7 % 101).cast("double").alias("s"),
+    )
+    plan = _plan(perplexity_buckets(scored, "s", "lang"))
+    assert "BroadcastExchange" in plan, plan
+    # the only hash exchange is the cuts aggregation's partial/final
+    assert _n_hash_exchanges(plan) <= 1, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_wordpiece_encode_and_count_are_map_only(spark, docs):
+    """The third tokenizer family keeps the bpe/unigram contract:
+    encode and count are single Arrow stages, zero exchanges."""
+    from polaroam_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_token_count,
+    )
+
+    model = {
+        "type": "wordpiece",
+        "vocab": {"[UNK]": 0, "a": 1, "##a": 2, " ": 3},
+        "unk_token": "[UNK]",
+        "continuation_prefix": "##",
+        "max_word_chars": None,
+        "merges": [],
+    }
+    for fn in (wordpiece_encode, wordpiece_token_count):
+        plan = _plan(fn(docs, model))
+        assert _n_hash_exchanges(plan) == 0, plan
+        assert "ArrowEvalPython" in plan, plan
+
+
+def test_fim_transform_is_map_only(spark, docs):
+    """FIM is one Arrow stage over the ids column — no shuffle at
+    any corpus size."""
+    from polaroam_spark.operators.objectives import fim_transform
+
+    ids = docs.select(
+        "doc_id", F.array(F.lit(1), F.lit(2), F.lit(3)).alias(
+            "token_ids"
+        )
+    )
+    plan = _plan(fim_transform(ids))
+    assert _n_hash_exchanges(plan) == 0, plan
+    assert "ArrowEvalPython" in plan, plan
