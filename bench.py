@@ -624,7 +624,16 @@ def main() -> None:
             "seed": 17,
             "feature": "word",
         }
-        docs = em._t(spark, SF_DIR, "documents")
+        # the sf0.1 documents parquet is ONE split; the K-class
+        # literal aggregates cost ~1 ms/doc interpreted, so serial
+        # execution (5.3 s measured) would swamp the row with a
+        # shape real scale never has — repartition so the row
+        # measures the map-parallel cost (the r15 sft_prep fix;
+        # unlike quality_score's 1.2 s, 5+ s amortizes the extra
+        # 5 MB round-robin shuffle many times over)
+        docs = em._t(spark, SF_DIR, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         run(
             score_langid(docs, model).select(
                 "doc_id", "language_pred", "language_prob"
