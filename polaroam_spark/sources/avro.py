@@ -10,11 +10,14 @@ in. The codec is ~200 lines of well-specified byte arithmetic — the
 same write-it-from-the-spec posture as the WARC/PNG/MKV parsers.
 
 Scope: FLAT record schemas over the atomic types (boolean, int,
-long, float, double, string, bytes) with nullability as the spec's
-``["null", T]`` union — the interchange shape CDC/ingest rows
-actually take. Nested records/arrays/maps and logical types raise
-loudly on both sides (use parquet once inside the pipeline; Avro is
-the one-hop ingest format here, exactly like WARC).
+long, float, double, string, bytes) plus the two temporal LOGICAL
+types real CDC rows carry — ``{"type": "int", "logicalType":
+"date"}`` (days since epoch) and ``{"type": "long", "logicalType":
+"timestamp-micros"}`` — with nullability as the spec's
+``["null", T]`` union. Nested records/arrays/maps and other logical
+types raise loudly on both sides (use parquet once inside the
+pipeline; Avro is the one-hop ingest format here, exactly like
+WARC).
 
 Scale shape: writing is one output file per partition (mapInPandas
 over Arrow batches, streamed block-per-batch — constant memory per
@@ -60,6 +63,16 @@ _SPARK_TO_AVRO = {
     T.DoubleType: "double",
     T.StringType: "string",
     T.BinaryType: "bytes",
+    T.DateType: "date",
+    T.TimestampType: "timestamp-micros",
+}
+# the annotated on-disk form per internal logical name
+_LOGICAL_WRITTEN = {
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp-micros": {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+    },
 }
 _AVRO_TO_SPARK = {
     "boolean": T.BooleanType(),
@@ -69,7 +82,21 @@ _AVRO_TO_SPARK = {
     "double": T.DoubleType(),
     "string": T.StringType(),
     "bytes": T.BinaryType(),
+    # internal names for the two supported logical types (stored in
+    # the field list as these, written/read as the annotated form)
+    "date": T.DateType(),
+    "timestamp-micros": T.TimestampType(),
 }
+_EPOCH = None  # lazily-initialized date(1970, 1, 1)
+
+
+def _epoch():
+    global _EPOCH
+    if _EPOCH is None:
+        import datetime
+
+        _EPOCH = datetime.date(1970, 1, 1)
+    return _EPOCH
 
 
 # ---------------------------------------------------------------
@@ -108,6 +135,14 @@ def _enc_value(avro_type: str, v) -> bytes:
         return b"\x01" if v else b"\x00"
     if avro_type in ("int", "long"):
         return _zigzag_encode(int(v))
+    if avro_type == "date":
+        return _zigzag_encode((v - _epoch()).days)
+    if avro_type == "timestamp-micros":
+        # pandas Timestamp/naive datetime: micros since epoch UTC
+        import pandas as _pd
+
+        ts = _pd.Timestamp(v)
+        return _zigzag_encode(ts.value // 1000)
     if avro_type == "float":
         return struct.pack("<f", float(v))
     if avro_type == "double":
@@ -126,6 +161,21 @@ def _dec_value(avro_type: str, buf: memoryview, pos: int):
         return buf[pos] != 0, pos + 1
     if avro_type in ("int", "long"):
         return _zigzag_decode(buf, pos)
+    if avro_type == "date":
+        import datetime
+
+        n, pos = _zigzag_decode(buf, pos)
+        return _epoch() + datetime.timedelta(days=n), pos
+    if avro_type == "timestamp-micros":
+        import datetime
+
+        n, pos = _zigzag_decode(buf, pos)
+        return (
+            datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            )
+            + datetime.timedelta(microseconds=n)
+        ).replace(tzinfo=None), pos
     if avro_type == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if avro_type == "double":
@@ -161,7 +211,8 @@ def _avro_schema_for(
                 "— project to atomics (or keep nested data in "
                 "parquet, the in-pipeline format)"
             )
-        fields.append({"name": f.name, "type": ["null", prim]})
+        written = _LOGICAL_WRITTEN.get(prim, prim)
+        fields.append({"name": f.name, "type": ["null", written]})
     return {"type": "record", "name": name, "fields": fields}
 
 
@@ -187,10 +238,18 @@ def _field_types(avro_schema: dict) -> "list[tuple[str, str, bool]]":
             nullable = True
             t = branches[0]
         if isinstance(t, dict):
-            raise ValueError(
-                f"field {f['name']!r}: nested/logical type {t!r} "
-                "not supported — flat atomic columns only"
-            )
+            lt = t.get("logicalType")
+            base = t.get("type")
+            if (lt, base) == ("date", "int"):
+                t = "date"
+            elif (lt, base) == ("timestamp-micros", "long"):
+                t = "timestamp-micros"
+            else:
+                raise ValueError(
+                    f"field {f['name']!r}: nested/logical type "
+                    f"{t!r} not supported — flat atomic columns "
+                    "plus date/timestamp-micros only"
+                )
         if t not in _AVRO_TO_SPARK:
             raise ValueError(
                 f"field {f['name']!r}: unsupported avro type {t!r}"
@@ -398,6 +457,7 @@ def write_avro(
                     if (
                         v is None
                         or v is pd.NA
+                        or v is pd.NaT
                         or (isinstance(v, float) and v != v)
                     ):
                         block += b"\x00"  # union branch 0 = null

@@ -197,3 +197,58 @@ def test_unsupported_shapes_are_loud(spark, tmp_path):
         write_avro(flat, p, mode="error")
     # overwrite mode replaces
     write_avro(flat, p, mode="overwrite")
+
+
+def test_temporal_logical_types_roundtrip(spark, tmp_path):
+    """date and timestamp-micros logical types: the TPC-H orders
+    slice (o_orderdate is a DATE) and an explicit timestamp column
+    roundtrip exactly; NULL temporals survive; the written schema
+    carries the spec's annotated form."""
+    import datetime
+    import json
+
+    from polaroam_spark.sources.avro import read_avro, write_avro
+
+    rows = [
+        (1, datetime.date(1995, 3, 15),
+         datetime.datetime(2020, 6, 1, 12, 30, 45, 123456)),
+        (2, None, None),
+        (3, datetime.date(1970, 1, 1),
+         datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, d date, ts timestamp"
+    )
+    p = str(tmp_path / "tmp")
+    write_avro(df, p, codec="deflate")
+    import os
+
+    f = os.path.join(
+        p, [x for x in os.listdir(p) if x.endswith(".avro")][0]
+    )
+    head = open(f, "rb").read()
+    assert b'"logicalType": "date"' in head.replace(b'":"', b'": "') \
+        or b'"logicalType"' in head
+    back = {r.k: r for r in read_avro(spark, p).collect()}
+    want = {r[0]: r for r in rows}
+    for k, r in want.items():
+        assert back[k].d == r[1], (k, back[k].d, r[1])
+        assert back[k].ts == r[2], (k, back[k].ts, r[2])
+
+    # the TPC-H orders slice (real DATE column from parquet)
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", "o_orderdate").limit(200)
+    if dict(orders.dtypes)["o_orderdate"] == "date":
+        p2 = str(tmp_path / "orders")
+        write_avro(orders, p2)
+        got = read_avro(spark, p2)
+        from pyspark.sql import functions as F
+
+        a = orders.agg(
+            F.count("*"), F.min("o_orderdate"), F.max("o_orderdate")
+        ).first()
+        b = got.agg(
+            F.count("*"), F.min("o_orderdate"), F.max("o_orderdate")
+        ).first()
+        assert a == b
