@@ -524,6 +524,54 @@ def cmd_perplexity(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_objectives(args) -> None:
+    """Training-objective data prep as one restartable command over
+    a parquet carrying a ``token_ids array<int>`` column (the
+    tokenize stage's encode output): ``--objective span`` = T5 span
+    corruption (inputs/targets with descending sentinels),
+    ``prefix`` = the UL2 prefix-LM split, ``fim`` = the
+    fill-in-the-middle transform (PSM/SPM mixture via --fim-rate /
+    --spm-rate). All three draw from md5(--seed, doc id), so reruns
+    are id-identical."""
+    from polaroam_spark.operators.objectives import (
+        fim_transform,
+        prefix_lm_split,
+        span_corruption,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.objective == "span":
+        out = span_corruption(
+            df,
+            ids_col=args.ids_col,
+            id_col=args.id_col,
+            noise_density=args.noise_density,
+            sentinel_start=args.sentinel_start,
+            seed=args.seed,
+        )
+    elif args.objective == "prefix":
+        out = prefix_lm_split(
+            df,
+            ids_col=args.ids_col,
+            id_col=args.id_col,
+            seed=args.seed,
+        )
+    else:
+        out = fim_transform(
+            df,
+            ids_col=args.ids_col,
+            id_col=args.id_col,
+            fim_rate=args.fim_rate,
+            spm_rate=args.spm_rate,
+            pre_id=args.sentinel_start,
+            suf_id=args.sentinel_start + 1,
+            mid_id=args.sentinel_start + 2,
+            seed=args.seed,
+        )
+    out.write.mode("overwrite").parquet(args.output)
+
+
 def cmd_sft(args) -> None:
     """Chat corpus -> padded SFT training windows as one restartable
     command: read a parquet with a messages
@@ -797,6 +845,29 @@ def build_parser() -> argparse.ArgumentParser:
         "language column); omit for corpus-global cuts",
     )
     pp.set_defaults(fn=cmd_perplexity)
+
+    ob = sub.add_parser(
+        "objectives",
+        help="span-corruption / prefix-LM / FIM objective prep",
+    )
+    ob.add_argument("--input", required=True)
+    ob.add_argument("--output", required=True)
+    ob.add_argument("--ids-col", default="token_ids")
+    ob.add_argument("--id-col", default="doc_id")
+    ob.add_argument(
+        "--objective", choices=["span", "prefix", "fim"],
+        default="span",
+    )
+    ob.add_argument("--noise-density", type=float, default=0.15)
+    ob.add_argument(
+        "--sentinel-start", type=int, default=100_000,
+        help="first sentinel id (span: descending from here; fim: "
+        "PRE/SUF/MID = here, +1, +2) — place above the vocabulary",
+    )
+    ob.add_argument("--fim-rate", type=float, default=0.9)
+    ob.add_argument("--spm-rate", type=float, default=0.5)
+    ob.add_argument("--seed", type=int, default=41)
+    ob.set_defaults(fn=cmd_objectives)
 
     pf = sub.add_parser(
         "sft",

@@ -698,3 +698,53 @@ def test_cli_perplexity_buckets(spark, tmpdir):
             "perplexity", "--input", dsrc, "--reference", rsrc,
             "--output", f"{tmpdir}/ppb_y", "--buckets", "best",
         ])
+
+
+def test_cli_objectives_stage(spark, tmpdir):
+    """objectives stage: all three modes write deterministic
+    outputs matching the library calls id-for-id."""
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.objectives import (
+        fim_transform,
+        span_corruption,
+    )
+
+    rows = [(i, list(range(1, 9 + (i % 5)))) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_ids array<int>"
+    )
+    src = f"{tmpdir}/obj_ids"
+    df.write.parquet(src)
+
+    out = f"{tmpdir}/obj_span"
+    assert main([
+        "objectives", "--input", src, "--output", out,
+        "--objective", "span", "--seed", "7",
+    ]) == 0
+    got = {r.doc_id: (list(r.inputs), list(r.targets))
+           for r in spark.read.parquet(out).collect()}
+    # the CLI's sentinel default is 100000 (shared with FIM);
+    # the library's T5-convention default is 32099
+    want = {r.doc_id: (list(r.inputs), list(r.targets))
+            for r in span_corruption(
+                df, seed=7, sentinel_start=100_000).collect()}
+    assert got == want
+
+    out2 = f"{tmpdir}/obj_fim"
+    assert main([
+        "objectives", "--input", src, "--output", out2,
+        "--objective", "fim", "--fim-rate", "1.0", "--seed", "7",
+    ]) == 0
+    got2 = {r.doc_id: (list(r.fim_ids), r.fim_mode)
+            for r in spark.read.parquet(out2).collect()}
+    want2 = {r.doc_id: (list(r.fim_ids), r.fim_mode)
+             for r in fim_transform(df, fim_rate=1.0, seed=7).collect()}
+    assert got2 == want2
+
+    out3 = f"{tmpdir}/obj_prefix"
+    assert main([
+        "objectives", "--input", src, "--output", out3,
+        "--objective", "prefix",
+    ]) == 0
+    for r in spark.read.parquet(out3).collect():
+        assert list(r.inputs) + list(r.targets) == list(r.token_ids)
