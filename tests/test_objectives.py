@@ -264,3 +264,39 @@ def test_fim_transform_layouts_and_losslessness(spark):
         fim_transform(df, fim_rate=1.5)
     with pytest.raises(ValueError, match="distinct"):
         fim_transform(df, pre_id=5, suf_id=5, mid_id=6)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9999),
+             min_size=1, max_size=80),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fim_property_lossless_and_sized(ids, seed):
+    """Property: for ANY id sequence and seed, the driver-side FIM
+    split reconstructs exactly and adds exactly 3 sentinels."""
+    from polaroam_spark.operators.objectives import (
+        _rng_for,
+        reconstruct_fim,
+    )
+
+    # replicate the worker's _one() draw path deterministically
+    rng = _rng_for(seed, "doc")
+    rng.random()  # the keep draw (fim_rate consumed first)
+    n = len(ids)
+    a, b = rng.randint(0, n), rng.randint(0, n)
+    if a > b:
+        a, b = b, a
+    prefix, middle, suffix = ids[:a], ids[a:b], ids[b:]
+    if rng.random() < 0.5:
+        fim = [100_000, 100_001] + suffix + [100_002] + prefix + middle
+        mode = "spm"
+    else:
+        fim = [100_000] + prefix + [100_001] + suffix + [100_002] + middle
+        mode = "psm"
+    assert len(fim) == n + 3
+    assert reconstruct_fim(fim, mode) == ids

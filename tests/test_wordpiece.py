@@ -279,3 +279,61 @@ def test_coverage_stats(spark, docs, model):
         encode_text_wordpiece(model, "щщ the щщ")
     )
     assert unpersist_caches() >= 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_roundtrip_property_driver_side(texts):
+    """Property: for ANY unicode corpus, the alphabet-identity
+    model decodes∘encodes every document exactly (adversarial '#'
+    runs, control chars, astral-plane codepoints included). A
+    TRAINED model inherits the same law — its vocab is a superset
+    of the corpus alphabet and greedy matching always falls through
+    to single characters — so this pins the coverage argument
+    t51's per-SF roundtrip certifies on real data, across the
+    whole unicode input space, without a Spark session per
+    example."""
+    from polaroam_spark.operators.tokenize import _PRETOKEN_RE
+    from polaroam_spark.operators.wordpiece import (
+        decode_ids_wordpiece,
+        encode_text_wordpiece,
+    )
+
+    forms = set()
+    for t in texts:
+        for w in _PRETOKEN_RE.findall(t):
+            forms.add(w[0])
+            for c in w[1:]:
+                forms.add("##" + c)
+    init = sorted(u for u in forms if not u.startswith("##"))
+    cont = sorted(u for u in forms if u.startswith("##"))
+    vocab = {"[UNK]": 0}
+    for u in init + cont:
+        vocab[u] = len(vocab)
+    model = {
+        "type": "wordpiece",
+        "vocab": vocab,
+        "unk_token": "[UNK]",
+        "continuation_prefix": "##",
+        "max_word_chars": None,
+        "merges": [],
+    }
+    for t in texts:
+        ids = encode_text_wordpiece(model, t)
+        assert decode_ids_wordpiece(model, ids) == t, t
