@@ -579,8 +579,9 @@ def cmd_sft(args) -> None:
     (:func:`chat_message_expectations` via ``enforce_expectations``
     — a malformed batch quarantines loudly instead of the encoder
     raising mid-job), encode with loss masks under the given
-    tokenizer (GPT-2-layout BPE via --vocab/--merges or a unigram
-    TSV via --model), window to --seq-len, and write. ``--packed``
+    tokenizer (GPT-2-layout BPE via --vocab/--merges, a unigram
+    TSV via --model, or a BERT vocab.txt via --wordpiece-vocab),
+    window to --seq-len, and write. ``--packed``
     swaps the per-conversation padded windows for
     :func:`pack_sft_sequences`' ~pad-free packed windows with
     segment/position ids (for loaders that implement
@@ -601,14 +602,19 @@ def cmd_sft(args) -> None:
         from polaroam_spark.operators.unigram import load_unigram
 
         model = load_unigram(args.model)
+    elif args.wordpiece_vocab:
+        from polaroam_spark.operators.wordpiece import load_wordpiece
+
+        model = load_wordpiece(args.wordpiece_vocab)
     elif args.vocab and args.merges:
         from polaroam_spark.operators.tokenize import load_bpe
 
         model = load_bpe(args.vocab, args.merges)
     else:
         raise SystemExit(
-            "sft: bring a tokenizer — --vocab/--merges (BPE) or "
-            "--model (unigram TSV)"
+            "sft: bring a tokenizer — --vocab/--merges (BPE), "
+            "--model (unigram TSV), or --wordpiece-vocab (BERT "
+            "vocab.txt)"
         )
     if not args.skip_validation:
         enforce_expectations(
@@ -884,6 +890,10 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--merges", default=None, help="BPE merges.txt")
     pf.add_argument(
         "--model", default=None, help="unigram piece/score TSV"
+    )
+    pf.add_argument(
+        "--wordpiece-vocab", default=None,
+        help="WordPiece/BERT vocab.txt",
     )
     pf.add_argument("--seq-len", type=int, default=2048)
     pf.add_argument("--pad-id", type=int, default=0)

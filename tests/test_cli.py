@@ -748,3 +748,45 @@ def test_cli_objectives_stage(spark, tmpdir):
     ]) == 0
     for r in spark.read.parquet(out3).collect():
         assert list(r.inputs) + list(r.targets) == list(r.token_ids)
+
+
+def test_cli_sft_wordpiece_model(spark, tmpdir):
+    """sft stage accepts a WordPiece vocab.txt: masks land on the
+    assistant content under the third family's encoder."""
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.wordpiece import (
+        save_wordpiece,
+        train_wordpiece,
+    )
+
+    texts = spark.createDataFrame(
+        [(i, f"question {i} about cats") for i in range(6)],
+        "doc_id long, text string",
+    )
+    wp = train_wordpiece(texts, vocab_size=400)
+    vp = f"{tmpdir}/sft_wp_vocab.txt"
+    save_wordpiece(wp, vp)
+
+    from pyspark.sql import functions as F
+
+    convs = texts.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("user").alias("role"),
+                     F.col("text").alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.lit("a fine answer").alias("content")),
+        ).alias("messages"),
+    )
+    src = f"{tmpdir}/sft_wp_in"
+    convs.write.parquet(src)
+    out = f"{tmpdir}/sft_wp_out"
+    assert main([
+        "sft", "--input", src, "--output", out,
+        "--wordpiece-vocab", vp, "--seq-len", "64",
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert rows
+    for r in rows:
+        assert len(r.token_ids) == 64
+        assert sum(r.loss_mask) > 0
