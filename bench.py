@@ -466,12 +466,18 @@ def main() -> None:
 
     from polaroam_spark.operators.tokenize import train_bpe
     from polaroam_spark.operators.unigram import train_unigram
+    from polaroam_spark.operators.wordpiece import train_wordpiece
 
     bpe_model = train_bpe(
         em._t(spark, SF_DIR, "documents"), "text", vocab_size=512
     )
     unigram_model = train_unigram(
         em._t(spark, SF_DIR, "documents"), "text", vocab_size=512
+    )
+    # wordpiece's floor is corpus-dependent (1 + alphabet forms);
+    # budget a comparable 512-ish piece inventory above it
+    wordpiece_model = train_wordpiece(
+        em._t(spark, SF_DIR, "documents"), "text", vocab_size=2048
     )
 
     def q_warc_wet():
@@ -549,6 +555,24 @@ def main() -> None:
         docs = em._t(spark, SF_DIR, "documents")
         run(
             unigram_encode(docs, unigram_model, "text")
+            .withColumn(
+                "n_tokens",
+                F.array_size("token_ids").cast("long"),
+            )
+            .select("doc_id", "token_ids", "n_tokens")
+        )
+
+    def q_wordpiece_tokenize():
+        # the third tokenizer family over the same corpus: greedy
+        # longest-match-first with the pre-trained WordPiece model
+        # (encode is the recurring cost; training is setup above)
+        from polaroam_spark.operators.wordpiece import (
+            wordpiece_encode,
+        )
+
+        docs = em._t(spark, SF_DIR, "documents")
+        run(
+            wordpiece_encode(docs, wordpiece_model, "text")
             .withColumn(
                 "n_tokens",
                 F.array_size("token_ids").cast("long"),
@@ -677,6 +701,7 @@ def main() -> None:
         "quality_score": q_quality_score,
         "langid_score": q_langid_score,
         "unigram_tokenize": q_unigram_tokenize,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         "kn_5gram": q_kn_5gram,
         "sft_prep": q_sft_prep,
     }
