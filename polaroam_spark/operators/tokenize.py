@@ -786,7 +786,7 @@ def load_tiktoken(path: str, pretokenizer: str = "default") -> dict:
 
 def pack_token_stream(
     docs: DataFrame,
-    model: dict,
+    model: "dict | None",
     seq_len: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -794,6 +794,8 @@ def pack_token_stream(
     num_shards: int = 256,
     drop_remainder: bool = True,
     max_shard_tokens: int = 100_000_000,
+    ids_col: "str | None" = None,
+    eot_id: "int | None" = None,
 ) -> DataFrame:
     """GPT-style pretraining packing: CONCATENATE the corpus into a
     token stream (documents joined by the ``eot`` special token) and
@@ -828,25 +830,52 @@ def pack_token_stream(
     (default, the training-loader convention) or emitted short.
     Returns ``shard, seq_id, token_ids, n_tokens`` — ``(shard,
     seq_id)`` is a stable global sequence identity. Deterministic:
-    a pure function of (corpus, model, seq_len, num_shards)."""
+    a pure function of (corpus, model, seq_len, num_shards).
+
+    ``ids_col``: pack PRE-ENCODED ids instead of encoding text —
+    the composition hook for transformed streams (FIM output,
+    span-corruption inputs, any objectives.py product): pass the
+    array column name, ``model=None``, and optionally an explicit
+    ``eot_id`` separator (``eot``/``eot_id`` semantics: with
+    ``ids_col`` the string ``eot`` is ignored and documents are
+    joined by ``eot_id`` when given, back-to-back when None —
+    pre-encoded ids may already carry their own separators)."""
     import pandas as pd
 
     L = int(seq_len)
     if L < 1:
         raise ValueError(f"seq_len must be >= 1 (got {seq_len})")
-    m = model
-    if eot is not None:
-        m = add_special_tokens(model, [eot])
-        eot_id = m["special"][eot]
-    enc = bpe_encode(
-        docs.select(id_col, text_col), m, text_col, out_col="_ids"
-    ).select(
-        F.col(id_col).alias("_id"),
-        "_ids",
-        F.pmod(F.xxhash64(id_col), F.lit(int(num_shards))).alias(
-            "_shard"
-        ),
-    )
+    if ids_col is not None:
+        if model is not None:
+            raise ValueError(
+                "pack_token_stream: pass model=None with ids_col — "
+                "pre-encoded ids are packed as-is"
+            )
+        eot = None if eot_id is None else eot
+        enc = docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(ids_col).alias("_ids"),
+            F.pmod(F.xxhash64(id_col), F.lit(int(num_shards))).alias(
+                "_shard"
+            ),
+        )
+        if eot_id is not None:
+            eot = "<ids>"  # non-None flag for the cut loop
+            eot_id = int(eot_id)
+    else:
+        m = model
+        if eot is not None:
+            m = add_special_tokens(model, [eot])
+            eot_id = m["special"][eot]
+        enc = bpe_encode(
+            docs.select(id_col, text_col), m, text_col, out_col="_ids"
+        ).select(
+            F.col(id_col).alias("_id"),
+            "_ids",
+            F.pmod(F.xxhash64(id_col), F.lit(int(num_shards))).alias(
+                "_shard"
+            ),
+        )
 
     cap = int(max_shard_tokens)
 

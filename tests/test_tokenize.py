@@ -698,3 +698,54 @@ def test_tokenizer_stats_identity_and_trained(spark, corpus, model):
     per = tokenizer_stats(grouped, model, group_by="grp").collect()
     assert sum(r.n_tokens for r in per) == trained.n_tokens
     assert {r.grp for r in per} == {0, 1}
+
+
+def test_pack_token_stream_pre_encoded_ids(spark):
+    """ids_col mode: FIM-transformed (or any pre-encoded) streams
+    pack without re-encoding; optional eot_id separates documents;
+    model must be None; stream reassembles exactly in id order."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.objectives import fim_transform
+    from polaroam_spark.operators.tokenize import pack_token_stream
+
+    rows = [(i, list(range(1, 7 + (i % 4)))) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_ids array<int>"
+    )
+    fim = fim_transform(df, fim_rate=1.0, seed=5).select(
+        "doc_id", F.col("fim_ids").alias("ids")
+    )
+    packed = pack_token_stream(
+        fim, None, seq_len=16, ids_col="ids", num_shards=1,
+        drop_remainder=False, eot_id=999,
+    )
+    stream = [
+        t
+        for r in packed.orderBy("shard", "seq_id").collect()
+        for t in r.token_ids
+    ]
+    want = []
+    for r in fim.orderBy("doc_id").collect():
+        want.extend(r.ids)
+        want.append(999)
+    assert stream == want
+
+    # no separator: back-to-back
+    packed2 = pack_token_stream(
+        fim, None, seq_len=16, ids_col="ids", num_shards=1,
+        drop_remainder=False,
+    )
+    stream2 = [
+        t
+        for r in packed2.orderBy("shard", "seq_id").collect()
+        for t in r.token_ids
+    ]
+    assert stream2 == [t for t in want if t != 999]
+
+    with pytest.raises(ValueError, match="model=None"):
+        pack_token_stream(
+            fim, {"vocab": {}}, seq_len=16, ids_col="ids"
+        )
