@@ -839,7 +839,10 @@ def pack_token_stream(
     ``eot_id`` separator (``eot``/``eot_id`` semantics: with
     ``ids_col`` the string ``eot`` is ignored and documents are
     joined by ``eot_id`` when given, back-to-back when None —
-    pre-encoded ids may already carry their own separators)."""
+    pre-encoded ids may already carry their own separators).
+    Passing ``eot_id`` WITHOUT ``ids_col`` raises (in text mode the
+    separator id is derived from the ``eot`` special token; a
+    silently ignored override would be a seam for wrong packs)."""
     import pandas as pd
 
     L = int(seq_len)
@@ -863,6 +866,12 @@ def pack_token_stream(
             eot = "<ids>"  # non-None flag for the cut loop
             eot_id = int(eot_id)
     else:
+        if eot_id is not None:
+            raise ValueError(
+                "pack_token_stream: eot_id is only meaningful with "
+                "ids_col (pre-encoded streams); in text mode the "
+                "separator id comes from the eot special token"
+            )
         m = model
         if eot is not None:
             m = add_special_tokens(model, [eot])

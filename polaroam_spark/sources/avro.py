@@ -138,7 +138,10 @@ def _enc_value(avro_type: str, v) -> bytes:
     if avro_type == "date":
         return _zigzag_encode((v - _epoch()).days)
     if avro_type == "timestamp-micros":
-        # pandas Timestamp/naive datetime: micros since epoch UTC
+        # tz-aware pandas Timestamp: .value is UTC epoch nanos (the
+        # writer localizes session-naive columns BEFORE encode, so a
+        # naive value reaching here means the caller bypassed
+        # write_avro — treat as UTC, the spec's only interpretation)
         import pandas as _pd
 
         ts = _pd.Timestamp(v)
@@ -167,15 +170,17 @@ def _dec_value(avro_type: str, buf: memoryview, pos: int):
         n, pos = _zigzag_decode(buf, pos)
         return _epoch() + datetime.timedelta(days=n), pos
     if avro_type == "timestamp-micros":
+        # tz-AWARE UTC: a naive datetime would be reinterpreted by
+        # the consumer's system/session timezone (the data-source
+        # serializer stamps naive values with the worker's LOCAL tz,
+        # shifting instants on any non-UTC box — measured in the r18
+        # probe); aware values are unambiguous everywhere
         import datetime
 
         n, pos = _zigzag_decode(buf, pos)
-        return (
-            datetime.datetime(
-                1970, 1, 1, tzinfo=datetime.timezone.utc
-            )
-            + datetime.timedelta(microseconds=n)
-        ).replace(tzinfo=None), pos
+        return datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(microseconds=n), pos
     if avro_type == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if avro_type == "double":
@@ -216,10 +221,14 @@ def _avro_schema_for(
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _field_types(avro_schema: dict) -> "list[tuple[str, str, bool]]":
-    """[(name, primitive, nullable)] from a flat Avro record schema
-    (ours or third-party: plain primitives, ``["null", T]`` /
-    ``[T, "null"]`` unions). Anything else raises loudly."""
+def _field_types(avro_schema: dict) -> "list[tuple[str, str, int | None]]":
+    """[(name, primitive, null_branch_index)] from a flat Avro record
+    schema (ours or third-party: plain primitives, ``["null", T]`` /
+    ``[T, "null"]`` unions). ``null_branch_index`` is None for
+    non-union fields, else the POSITION of "null" in the union — the
+    spec allows either order, and a decoder that assumes branch 0 is
+    null reads every value of a ``[T, "null"]`` file as null and then
+    desyncs the stream. Anything else raises loudly."""
     if avro_schema.get("type") != "record":
         raise ValueError(
             f"expected a record schema, got {avro_schema.get('type')!r}"
@@ -227,7 +236,7 @@ def _field_types(avro_schema: dict) -> "list[tuple[str, str, bool]]":
     out = []
     for f in avro_schema["fields"]:
         t = f["type"]
-        nullable = False
+        nullable = None
         if isinstance(t, list):
             branches = [b for b in t if b != "null"]
             if len(branches) != 1 or len(branches) == len(t):
@@ -235,7 +244,7 @@ def _field_types(avro_schema: dict) -> "list[tuple[str, str, bool]]":
                     f"field {f['name']!r}: only ['null', T] unions "
                     f"are supported (got {t!r})"
                 )
-            nullable = True
+            nullable = t.index("null")
             t = branches[0]
         if isinstance(t, dict):
             lt = t.get("logicalType")
@@ -339,11 +348,24 @@ def _read_header(buf: memoryview) -> "tuple[dict, str, bytes, int]":
     return schema, codec, sync, pos
 
 
-def _iter_file_rows(raw: bytes):
-    """Yield tuples from one container file, in order."""
+def _iter_file_rows(raw: bytes, expected: "list[tuple[str, str]] | None" = None):
+    """Yield tuples from one container file, in order. ``expected``
+    is the driver-resolved ``[(name, primitive)]`` list: a file whose
+    header declares a different field list (reordered, renamed, or
+    retyped) raises loudly instead of silently landing values in the
+    wrong columns — every executor decodes against ONE agreed
+    schema, as the reader class docstring promises."""
     buf = memoryview(raw)
     schema, codec, sync, pos = _read_header(buf)
     fts = _field_types(schema)
+    if expected is not None:
+        got = [(n, t) for n, t, _ in fts]
+        if got != expected:
+            raise ValueError(
+                "avro file schema does not match the driver-resolved "
+                f"schema: file declares {got!r}, expected "
+                f"{expected!r} — read mismatched file sets separately"
+            )
     n_bytes = len(raw)
     while pos < n_bytes:
         count, pos = _zigzag_decode(buf, pos)
@@ -361,12 +383,17 @@ def _iter_file_rows(raw: bytes):
         dpos = 0
         for _ in range(count):
             row = []
-            for _, t, nullable in fts:
-                if nullable:
+            for name, t, null_idx in fts:
+                if null_idx is not None:
                     idx, dpos = _zigzag_decode(data, dpos)
-                    if idx == 0:
+                    if idx == null_idx:
                         row.append(None)
                         continue
+                    if idx != 1 - null_idx:
+                        raise ValueError(
+                            f"avro field {name!r}: union branch "
+                            f"{idx} out of range — corrupt block"
+                        )
                 v, dpos = _dec_value(t, data, dpos)
                 row.append(v)
             yield tuple(row)
@@ -405,6 +432,16 @@ def write_avro(
     avro_schema = _avro_schema_for(df.schema)
     schema_json = json.dumps(avro_schema)
     fts = _field_types(avro_schema)
+    # mapInPandas delivers TimestampType as tz-NAIVE wall time in the
+    # session timezone; timestamp-micros is epoch-UTC micros on disk,
+    # so the writer must localize before encoding or non-UTC sessions
+    # write spec-incorrect files (offset by the tz offset — a
+    # roundtrip through this module cancels, a third-party consumer
+    # reads shifted instants)
+    session_tz = df.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
+    ts_cols = [n for n, t, _ in fts if t == "timestamp-micros"]
 
     filesystem, local = _fs_for(path)
     if filesystem is None:
@@ -441,6 +478,13 @@ def write_avro(
         for pdf in it:
             if pdf.empty:
                 continue
+            for tc in ts_cols:
+                s = pdf[tc]
+                if getattr(s.dt, "tz", None) is None:
+                    # session wall time -> aware; .value is then UTC
+                    # nanos in _enc_value. Ambiguous/nonexistent DST
+                    # wall times raise (loud beats a silent ±1h).
+                    pdf = pdf.assign(**{tc: s.dt.tz_localize(session_tz)})
             if out is None:
                 if uri_root is not None:
                     fs2, loc2 = _fs_for(uri_root)
@@ -530,10 +574,17 @@ def _read_file_bytes(path: str, fs_root: "str | None") -> bytes:
 
 
 class _AvroReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(
+        self,
+        options: dict,
+        expected: "list[tuple[str, str]] | None" = None,
+    ):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("avro source requires a path")
+        # driver-resolved [(name, primitive)] — shipped to executors
+        # so every file is validated against ONE agreed schema
+        self._expected = expected
 
     def partitions(self):
         return [
@@ -545,7 +596,7 @@ class _AvroReader(DataSourceReader):
         raw = _read_file_bytes(
             partition.path, getattr(partition, "fs_root", None)
         )
-        yield from _iter_file_rows(raw)
+        yield from _iter_file_rows(raw, self._expected)
 
 
 class AvroDataSource(DataSource):
@@ -578,7 +629,17 @@ class AvroDataSource(DataSource):
         return _spark_schema_for(schema)
 
     def reader(self, schema):
-        return _AvroReader(self.options)
+        # the Spark<->Avro atomic mapping is a bijection, so the
+        # driver-resolved StructType determines the expected
+        # (name, primitive) list executors validate each file against
+        expected = [
+            (f.name, _SPARK_TO_AVRO[type(f.dataType)])
+            for f in schema.fields
+            if type(f.dataType) in _SPARK_TO_AVRO
+        ]
+        if len(expected) != len(schema.fields):
+            expected = None  # user-supplied non-atomic schema
+        return _AvroReader(self.options, expected)
 
 
 def register_avro_source(spark) -> None:

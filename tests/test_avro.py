@@ -252,3 +252,129 @@ def test_temporal_logical_types_roundtrip(spark, tmp_path):
             F.count("*"), F.min("o_orderdate"), F.max("o_orderdate")
         ).first()
         assert a == b
+
+
+def test_value_first_union_order():
+    """Spec-valid [T, "null"] unions (value branch FIRST): a
+    third-party file with that ordering must decode values as
+    values and nulls as nulls — a decoder that assumes branch 0 is
+    null reads every value as null and desyncs the stream (r18
+    ADVICE fix)."""
+    import hashlib
+    import json
+
+    from polaroam_spark.sources.avro import _iter_file_rows
+
+    schema = {
+        "type": "record",
+        "name": "spark_row",
+        "fields": [
+            {"name": "k", "type": ["long", "null"]},
+            {"name": "s", "type": ["string", "null"]},
+        ],
+    }
+    sj = json.dumps(schema).encode()
+    sync = hashlib.md5(b"valuefirst").digest()
+
+    def vint(n):
+        u = n << 1
+        out = b""
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    meta = b""
+    meta += vint(len(b"avro.codec")) + b"avro.codec"
+    meta += vint(len(b"null")) + b"null"
+    meta += vint(len(b"avro.schema")) + b"avro.schema"
+    meta += vint(len(sj)) + sj
+    header = b"Obj\x01" + vint(2) + meta + vint(0) + sync
+    # row 1: k = branch 0 (value) long 7; s = branch 0 string 'hi'
+    r1 = vint(0) + vint(7) + vint(0) + vint(2) + b"hi"
+    # row 2: k = branch 1 (null); s = branch 1 (null)
+    r2 = vint(1) + vint(1)
+    block = vint(2) + vint(len(r1 + r2)) + r1 + r2 + sync
+    rows = list(_iter_file_rows(header + block))
+    assert rows == [(7, "hi"), (None, None)]
+
+    # a union index that is neither branch is loud, not garbage
+    bad = vint(2) + vint(7)
+    badblock = vint(1) + vint(len(bad)) + bad + sync
+    with pytest.raises(ValueError, match="union branch"):
+        list(_iter_file_rows(header + badblock))
+
+
+def test_mismatched_file_schema_is_loud(spark, tmp_path):
+    """A file whose header declares a different field list than the
+    driver-resolved schema raises instead of silently landing
+    values in the wrong columns (r18 ADVICE fix: the reader ships
+    the resolved (name, type) list to executors)."""
+    import shutil
+
+    from polaroam_spark.sources.avro import read_avro, write_avro
+
+    a = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("x").alias("s")
+    ).coalesce(1)
+    b = spark.range(5).select(
+        F.lit("y").alias("s"), F.col("id").alias("k")  # reordered
+    ).coalesce(1)
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_avro(a, pa_)
+    write_avro(b, pb)
+    # drop b's file into a's directory under a distinct name
+    fb = [x for x in os.listdir(pb) if x.endswith(".avro")][0]
+    shutil.copy(
+        os.path.join(pb, fb), os.path.join(pa_, "zz-" + fb)
+    )
+    with pytest.raises(Exception, match="driver-resolved"):
+        read_avro(spark, pa_).collect()
+
+
+def test_timestamp_micros_on_disk_is_utc(spark, tmp_path):
+    """With a non-UTC session timezone the on-disk micros must be
+    the UTC INSTANT, not session wall time reinterpreted as UTC —
+    third-party Avro consumers read the raw micros (r18 ADVICE
+    fix); and the read side must return the same instant regardless
+    of the worker's system timezone (decode yields tz-aware UTC)."""
+    import datetime
+
+    from polaroam_spark.sources.avro import (
+        _iter_file_rows,
+        read_avro,
+        write_avro,
+    )
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Mexico_City"
+        )
+        df = spark.sql(
+            "select 1 as k, timestamp'2024-01-15 12:00:00' as ts"
+        ).coalesce(1)
+        src_epoch = df.select(
+            F.unix_timestamp("ts").alias("e")
+        ).first()["e"]
+        # 12:00 MX wall time in January == 18:00:00Z
+        assert src_epoch == 1705341600
+        p = str(tmp_path / "tz")
+        write_avro(df, p)
+        f = os.path.join(
+            p, [x for x in os.listdir(p) if x.endswith(".avro")][0]
+        )
+        rows = list(_iter_file_rows(open(f, "rb").read()))
+        assert rows[0][1] == datetime.datetime(
+            2024, 1, 15, 18, 0, tzinfo=datetime.timezone.utc
+        )
+        back = read_avro(spark, p)
+        assert back.select(
+            F.unix_timestamp("ts").alias("e")
+        ).first()["e"] == src_epoch
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+

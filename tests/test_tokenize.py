@@ -749,3 +749,19 @@ def test_pack_token_stream_pre_encoded_ids(spark):
         pack_token_stream(
             fim, {"vocab": {}}, seq_len=16, ids_col="ids"
         )
+
+
+def test_pack_eot_id_without_ids_col_is_loud(spark):
+    """pack_token_stream(eot_id=...) in TEXT mode raises instead of
+    silently ignoring the separator override (r18 ADVICE fix)."""
+    from polaroam_spark.operators.tokenize import (
+        pack_token_stream,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "hello world")], "doc_id string, text string"
+    )
+    model = train_bpe(docs, vocab_size=260, text_col="text")
+    with pytest.raises(ValueError, match="eot_id"):
+        pack_token_stream(docs, model, seq_len=4, eot_id=99)
