@@ -531,12 +531,15 @@ def cmd_objectives(args) -> None:
     corruption (inputs/targets with descending sentinels),
     ``prefix`` = the UL2 prefix-LM split, ``fim`` = the
     fill-in-the-middle transform (PSM/SPM mixture via --fim-rate /
-    --spm-rate). All three draw from md5(--seed, doc id), so reruns
-    are id-identical."""
+    --spm-rate), ``ul2`` = the UL2 MIXTURE-of-denoisers (per-doc
+    R/S/X assignment at --ul2-rates, the denoiser column recording
+    the draw). All draw from md5(--seed, doc id), so reruns are
+    id-identical."""
     from polaroam_spark.operators.objectives import (
         fim_transform,
         prefix_lm_split,
         span_corruption,
+        ul2_mixture,
     )
 
     spark = _spark(args)
@@ -555,6 +558,30 @@ def cmd_objectives(args) -> None:
             df,
             ids_col=args.ids_col,
             id_col=args.id_col,
+            seed=args.seed,
+        )
+    elif args.objective == "ul2":
+        names = ("r", "s", "x", "fim")
+        shares = [float(x) for x in args.ul2_rates.split(",")]
+        if len(shares) not in (3, 4):
+            raise SystemExit(
+                "objectives: --ul2-rates takes 'r,s,x' or "
+                "'r,s,x,fim' comma-separated shares"
+            )
+        rates = {
+            k: v for k, v in zip(names, shares) if v > 0
+        }
+        out = ul2_mixture(
+            df,
+            ids_col=args.ids_col,
+            id_col=args.id_col,
+            rates=rates,
+            sentinel_start=args.sentinel_start,
+            fim_sentinels=(
+                args.sentinel_start + 1,
+                args.sentinel_start + 2,
+                args.sentinel_start + 3,
+            ),
             seed=args.seed,
         )
     else:
@@ -854,15 +881,22 @@ def build_parser() -> argparse.ArgumentParser:
 
     ob = sub.add_parser(
         "objectives",
-        help="span-corruption / prefix-LM / FIM objective prep",
+        help="span-corruption / prefix-LM / FIM / UL2-mixture "
+        "objective prep",
     )
     ob.add_argument("--input", required=True)
     ob.add_argument("--output", required=True)
     ob.add_argument("--ids-col", default="token_ids")
     ob.add_argument("--id-col", default="doc_id")
     ob.add_argument(
-        "--objective", choices=["span", "prefix", "fim"],
+        "--objective", choices=["span", "prefix", "fim", "ul2"],
         default="span",
+    )
+    ob.add_argument(
+        "--ul2-rates", default="0.5,0.25,0.25",
+        help="comma-separated r,s,x[,fim] mixture shares (sum 1); "
+        "ul2 places FIM sentinels at --sentinel-start +1/+2/+3 "
+        "(span sentinels descend FROM --sentinel-start)",
     )
     ob.add_argument("--noise-density", type=float, default=0.15)
     ob.add_argument(

@@ -45,6 +45,7 @@ def curate_corpus(
         1.0 / 3.0,
         1.0 / 3.0,
     ),
+    perplexity_bucket_accuracy: str = "exact",
     dedup: str | None = "exact",
     minhash_opts: dict | None = None,
     decontaminate_against: DataFrame | None = None,
@@ -92,7 +93,10 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
     keeping rows whose per-``perplexity_group_col`` bucket is in
     the list, e.g. ``("head", "middle")``; cut fractions from
     ``perplexity_bucket_fractions``; threshold and buckets are
-    mutually exclusive)
+    mutually exclusive; ``perplexity_bucket_accuracy='approx'``
+    switches the cut points to the mergeable sketch — the
+    deployment shape when the dominant language is corpus-scale,
+    see the operator docstring)
     → dedup (``'exact'`` keep-min-id or
     ``'minhash'`` near-dedup survivors) → n-gram decontamination
     against an eval frame → per-source frequency cap → deterministic
@@ -291,6 +295,7 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
                 group_col=perplexity_group_col,
                 head_fraction=float(hf),
                 middle_fraction=float(mf),
+                accuracy=perplexity_bucket_accuracy,
             )
             cur = _stage(
                 "perplexity_buckets",

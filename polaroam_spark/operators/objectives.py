@@ -134,6 +134,49 @@ def _corrupt_one(
     return inputs, targets
 
 
+def _prefix_one(ids, key, seed: int, min_prefix: int):
+    """(inputs, targets) for one document under the prefix-LM cut,
+    or (None, None) when too short — shared by
+    :func:`prefix_lm_split` and :func:`ul2_mixture` so the mixture's
+    S-denoiser output is id-identical to the standalone operator."""
+    if ids is None or len(ids) < min_prefix + 1:
+        return None, None
+    cut = _rng_for(seed, key).randint(min_prefix, len(ids) - 1)
+    return list(ids[:cut]), list(ids[cut:])
+
+
+def _fim_one(ids, key, seed: int, fim_rate: float, spm_rate: float,
+             sentinels: "tuple[int, int, int]"):
+    """(stream, mode) for one document under the FIM draw, or
+    (None, None) for NULL/empty ids — shared by
+    :func:`fim_transform` and :func:`ul2_mixture`."""
+    pre, suf, mid = sentinels
+    if ids is None or len(ids) == 0:
+        return None, None
+    bad = sorted({int(t) for t in ids if int(t) in sentinels})
+    if bad:
+        raise ValueError(
+            f"fim_transform: token id(s) {bad[:5]} collide with "
+            f"the FIM sentinels {sentinels} in this document — "
+            "a real token would be misparsed; place sentinels "
+            "above the vocabulary (add_special_tokens ids)"
+        )
+    rng = _rng_for(seed, key)
+    if rng.random() >= fim_rate:
+        return [int(t) for t in ids], "none"
+    n = len(ids)
+    a = rng.randint(0, n)
+    b = rng.randint(0, n)
+    if a > b:
+        a, b = b, a
+    prefix = [int(t) for t in ids[:a]]
+    middle = [int(t) for t in ids[a:b]]
+    suffix = [int(t) for t in ids[b:]]
+    if rng.random() < spm_rate:
+        return [pre, suf] + suffix + [mid] + prefix + middle, "spm"
+    return [pre] + prefix + [suf] + suffix + [mid] + middle, "psm"
+
+
 def span_corruption(
     df: DataFrame,
     ids_col: str = "token_ids",
@@ -255,15 +298,11 @@ def prefix_lm_split(
         ]
     )
 
-    def _one(key, ids):
-        if ids is None or len(ids) < mp + 1:
-            return None, None
-        cut = _rng_for(sd, key).randint(mp, len(ids) - 1)
-        return list(ids[:cut]), list(ids[cut:])
-
     @F.pandas_udf(out_type)
     def _split(keys: pd.Series, ids: pd.Series) -> pd.DataFrame:
-        pairs = [_one(k, v) for k, v in zip(keys, ids)]
+        pairs = [
+            _prefix_one(v, k, sd, mp) for k, v in zip(keys, ids)
+        ]
         return pd.DataFrame(
             {
                 "inputs": [p[0] for p in pairs],
@@ -341,39 +380,6 @@ def fim_transform(
             f"pre/suf/mid sentinel ids must be distinct (got {sentinels})"
         )
     sd = int(seed)
-    pre, suf, mid = sentinels
-
-    def _one(key, ids):
-        if ids is None or len(ids) == 0:
-            return None, None
-        bad = sorted({int(t) for t in ids if int(t) in sentinels})
-        if bad:
-            raise ValueError(
-                f"fim_transform: token id(s) {bad[:5]} collide with "
-                f"the FIM sentinels {sentinels} in this document — "
-                "a real token would be misparsed; place sentinels "
-                "above the vocabulary (add_special_tokens ids)"
-            )
-        rng = _rng_for(sd, key)
-        if rng.random() >= fr:
-            return [int(t) for t in ids], "none"
-        n = len(ids)
-        a = rng.randint(0, n)
-        b = rng.randint(0, n)
-        if a > b:
-            a, b = b, a
-        prefix = [int(t) for t in ids[:a]]
-        middle = [int(t) for t in ids[a:b]]
-        suffix = [int(t) for t in ids[b:]]
-        if rng.random() < sr:
-            return (
-                [pre, suf] + suffix + [mid] + prefix + middle,
-                "spm",
-            )
-        return (
-            [pre] + prefix + [suf] + suffix + [mid] + middle,
-            "psm",
-        )
 
     out_type = T.StructType(
         [
@@ -384,7 +390,10 @@ def fim_transform(
 
     @F.pandas_udf(out_type)
     def _fim(keys: pd.Series, ids: pd.Series) -> pd.DataFrame:
-        pairs = [_one(k, v) for k, v in zip(keys, ids)]
+        pairs = [
+            _fim_one(v, k, sd, fr, sr, sentinels)
+            for k, v in zip(keys, ids)
+        ]
         return pd.DataFrame(
             {
                 "ids": [p[0] for p in pairs],
@@ -445,3 +454,170 @@ def reconstruct_fim(
         if any(t in (pre_id, suf_id, mid_id) for t in part):
             raise ValueError("stray sentinel inside a segment")
     return prefix + middle + suffix
+
+
+#: UL2 denoiser classes (Tay et al. 2022 §3.1.2) — per-denoiser
+#: default parameters; 'fim' (Bavarian et al. 2022) is the optional
+#: fourth class for code corpora, off by default.
+_UL2_DEFAULT_RATES = {"r": 0.5, "s": 0.25, "x": 0.25}
+_UL2_DEFAULT_PARAMS = {
+    "r": {"noise_density": 0.15, "mean_span_length": 3.0},
+    "x": {"noise_density": 0.5, "mean_span_length": 3.0},
+    "s": {"min_prefix": 1},
+    "fim": {"fim_rate": 1.0, "spm_rate": 0.5},
+}
+
+
+def ul2_mixture(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    rates: "dict[str, float] | None" = None,
+    params: "dict[str, dict] | None" = None,
+    sentinel_start: int = 32_099,
+    fim_sentinels: "tuple[int, int, int]" = (
+        100_000,
+        100_001,
+        100_002,
+    ),
+    seed: int = 41,
+    inputs_col: str = "inputs",
+    targets_col: str = "targets",
+    denoiser_col: str = "denoiser",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022 "UL2: Unifying
+    Language Learning Paradigms" §3.1.2): per DOCUMENT, draw one
+    denoiser class and apply it —
+
+    - ``'r'`` — the R-denoiser: regular T5 span corruption
+      (default ``noise_density=0.15, mean_span_length=3``);
+    - ``'x'`` — the X-denoiser: EXTREME span corruption (default
+      ``noise_density=0.5`` — the paper's aggressive variants);
+    - ``'s'`` — the S-denoiser: the prefix-LM split;
+    - ``'fim'`` — optional fourth class (rate 0 unless given):
+      fill-in-the-middle for code corpora; its stream lands in
+      ``inputs_col`` and ``targets_col`` is NULL (FIM is a
+      decoder-only objective — the infill target is embedded in
+      the stream), with the sub-layout recorded as
+      ``'fim:psm'/'fim:spm'/'fim:none'``.
+
+    Each class dispatches to the SAME per-document kernels as the
+    standalone operators (``_corrupt_one`` / ``_prefix_one`` /
+    ``_fim_one``), with the standalone seed stream — so a document
+    assigned 'r' produces exactly :func:`span_corruption`'s output
+    for the same seed, and the t56 gate certifies the dispatch by
+    replaying each operator on its assigned slice. The ASSIGNMENT
+    draw uses an independent stream, ``md5(seed, doc_id +
+    ':denoiser')``, consumed against cumulative ``rates`` in SORTED
+    class order (documented so any replay agrees); rates must sum
+    to 1. ``denoiser_col`` records the draw (the paper prepends a
+    mode token [R]/[S]/[X] at train time — that is loader-side; the
+    recorded column is what the loader keys on).
+
+    Documents too short for their assigned denoiser (< 2 tokens for
+    r/x, < min_prefix+1 for s, empty for fim) keep the assignment
+    but emit NULL inputs/targets — the caller decides, the
+    span_corruption rule. One Arrow-batched UDF, no shuffle;
+    everything is a pure function of (ids, seed)."""
+    rts = dict(rates) if rates is not None else dict(_UL2_DEFAULT_RATES)
+    unknown = sorted(set(rts) - set(_UL2_DEFAULT_PARAMS))
+    if unknown:
+        raise ValueError(
+            f"unknown denoiser class(es) {unknown}: use r/s/x/fim"
+        )
+    if not rts or any(v < 0 for v in rts.values()):
+        raise ValueError("rates must be a non-empty dict of >= 0")
+    if abs(sum(rts.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"rates must sum to 1 (got {sum(rts.values())})"
+        )
+    prm = {
+        k: {**_UL2_DEFAULT_PARAMS[k], **(params or {}).get(k, {})}
+        for k in _UL2_DEFAULT_PARAMS
+    }
+    bad_keys = {
+        k: sorted(set((params or {}).get(k, {})) - set(_UL2_DEFAULT_PARAMS[k]))
+        for k in (params or {})
+        if set((params or {}).get(k, {})) - set(_UL2_DEFAULT_PARAMS.get(k, {}))
+    }
+    if bad_keys:
+        raise ValueError(f"unknown per-denoiser params: {bad_keys}")
+    order = sorted(k for k, v in rts.items() if v > 0)
+    cum = []
+    acc = 0.0
+    for kname in order:
+        acc += float(rts[kname])
+        cum.append((kname, acc))
+    s0 = int(sentinel_start)
+    sd = int(seed)
+    fs = tuple(int(x) for x in fim_sentinels)
+    if len(set(fs)) != 3:
+        raise ValueError(
+            f"fim sentinel ids must be distinct (got {fim_sentinels})"
+        )
+
+    def _one(key, ids):
+        u = _rng_for(sd, f"{key}:denoiser").random()
+        chosen = order[-1]
+        for kname, edge in cum:
+            if u < edge:
+                chosen = kname
+                break
+        if ids is None:
+            return None, None, chosen
+        if chosen == "s":
+            i, t = _prefix_one(
+                ids, key, sd, int(prm["s"]["min_prefix"])
+            )
+            return i, t, "s"
+        if chosen == "fim":
+            stream, sub = _fim_one(
+                ids,
+                key,
+                sd,
+                float(prm["fim"]["fim_rate"]),
+                float(prm["fim"]["spm_rate"]),
+                fs,
+            )
+            if stream is None:
+                return None, None, "fim"
+            return stream, None, f"fim:{sub}"
+        p = prm[chosen]
+        i, t = _corrupt_one(
+            ids,
+            key,
+            sd,
+            float(p["noise_density"]),
+            float(p["mean_span_length"]),
+            s0,
+        )
+        return i, t, chosen
+
+    out_type = T.StructType(
+        [
+            T.StructField("inputs", T.ArrayType(T.IntegerType())),
+            T.StructField("targets", T.ArrayType(T.IntegerType())),
+            T.StructField("denoiser", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _mix(keys: pd.Series, ids: pd.Series) -> pd.DataFrame:
+        rows = [_one(k, v) for k, v in zip(keys, ids)]
+        return pd.DataFrame(
+            {
+                "inputs": [r[0] for r in rows],
+                "targets": [r[1] for r in rows],
+                "denoiser": [r[2] for r in rows],
+            }
+        )
+
+    tmp = df.withColumn(
+        "_ul", _mix(F.col(id_col).cast("string"), F.col(ids_col))
+    )
+    return tmp.select(
+        *df.columns,
+        F.col("_ul.inputs").alias(inputs_col),
+        F.col("_ul.targets").alias(targets_col),
+        F.col("_ul.denoiser").alias(denoiser_col),
+    )

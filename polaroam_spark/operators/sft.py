@@ -797,3 +797,233 @@ def chat_message_expectations(
             m, lambda x: x["role"] == "assistant"
         )
     return rules
+
+
+def build_fewshot_prompts(
+    items: DataFrame,
+    k: int = 5,
+    id_col: str = "item_id",
+    input_col: str = "input",
+    target_col: str = "target",
+    exemplars: "DataFrame | None" = None,
+    pairs: "DataFrame | None" = None,
+    seed: int = 17,
+    delimiter: str = "\n\n",
+    max_exemplars: int = 100_000,
+    prompt_col: str = "prompt_text",
+    continuation_col: str = "continuation_text",
+) -> DataFrame:
+    """Few-shot eval prompt assembly — the lm-eval-harness
+    ``loglikelihood`` shape (the other half of eval prep next to
+    :func:`~polaroam_spark.operators.chunking.rolling_eval_windows`):
+    per eval item, draw ``k`` exemplars DETERMINISTICALLY from the
+    pool, render ``prompt = exemplar_1.input + exemplar_1.target +
+    delimiter + ... + item.input`` and score
+    ``continuation = item.target`` — the model's metric is
+    ``log p(continuation | prompt)``, so the loss mask (see
+    :func:`encode_eval_prompts`) is 1 on the continuation only.
+
+    The draw: exemplars rank by
+    ``portable_hash64(item_id || '|' || exemplar_id, seed)``
+    (md5-based, SQL-replayable) with exemplar-id tiebreak — a pure
+    function of (ids, seed), so the deck is identical on any
+    cluster layout and any run, and every item sees its own
+    independent exemplar order (no shared deck bias). Leakage-safe
+    by construction: an exemplar is EXCLUDED when its near-dup
+    COMPONENT representative (transitive closure of ``pairs``, the
+    :func:`~polaroam_spark.operators.sampling.leakage_safe_split`
+    machinery) equals the item's — an item never draws itself
+    (same id ⇒ same representative) nor any near-duplicate of
+    itself; with ``pairs=None`` only self-draws are excluded.
+    Items with fewer than ``k`` eligible exemplars get all of them
+    (``n_shots`` < k, the lm-eval convention), never an error.
+
+    Scale shape: the exemplar pool is collected into ONE
+    array-of-structs row and broadcast; each item computes its
+    top-k as a pure JVM expression (filter → transform → array_sort
+    → slice → aggregate fold) — no shuffle, no UDF, no item×pool
+    cross-join materialization. That is the genuine shape of
+    few-shot eval (the pool is a dev split, thousands of rows, not
+    a corpus); ``max_exemplars`` enforces it LOUDLY instead of
+    letting a corpus-sized pool OOM the broadcast.
+
+    Returns ``items`` + ``exemplar_ids`` (draw order), ``n_shots``,
+    ``prompt_col``, ``continuation_col``. NULL input/target rows
+    render NULL prompts (concat NULL-poisoning, the
+    render_chat_template rule) — validate upstream.
+    """
+    from polaroam_spark.functions.text import portable_hash64
+
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    ex = exemplars if exemplars is not None else items
+    ex = ex.select(
+        F.col(id_col).alias("_fs_eid"),
+        F.col(input_col).alias("_fs_q"),
+        F.col(target_col).alias("_fs_a"),
+    ).filter(F.col("_fs_eid").isNotNull())
+
+    if pairs is not None:
+        from polaroam_spark.operators.dedup import (
+            duplicate_components,
+        )
+
+        comp = duplicate_components(pairs).select(
+            F.col("doc_id").alias("_fs_cid"),
+            F.col("representative").alias("_fs_crep"),
+        )
+        ex = (
+            ex.join(
+                comp, ex["_fs_eid"] == comp["_fs_cid"], "left"
+            )
+            .withColumn(
+                "_fs_rep",
+                F.coalesce(F.col("_fs_crep"), F.col("_fs_eid")).cast(
+                    "string"
+                ),
+            )
+            .drop("_fs_cid", "_fs_crep")
+        )
+        it = (
+            items.join(
+                comp, items[id_col] == comp["_fs_cid"], "left"
+            )
+            .withColumn(
+                "_fs_irep",
+                F.coalesce(F.col("_fs_crep"), F.col(id_col)).cast(
+                    "string"
+                ),
+            )
+            .drop("_fs_cid", "_fs_crep")
+        )
+    else:
+        ex = ex.withColumn("_fs_rep", F.col("_fs_eid").cast("string"))
+        it = items.withColumn(
+            "_fs_irep", F.col(id_col).cast("string")
+        )
+
+    n_pool = ex.count()
+    if n_pool > int(max_exemplars):
+        raise ValueError(
+            f"build_fewshot_prompts: exemplar pool has {n_pool} rows "
+            f"> max_exemplars={max_exemplars}; few-shot pools are "
+            "dev splits that broadcast — sample the pool down (or "
+            "raise max_exemplars if the executors have the memory)"
+        )
+    pool = ex.agg(
+        F.collect_list(
+            F.struct(
+                F.col("_fs_eid"),
+                F.col("_fs_q"),
+                F.col("_fs_a"),
+                F.col("_fs_rep"),
+            )
+        ).alias("_fs_pool")
+    )
+
+    joined = it.crossJoin(F.broadcast(pool))
+    iid_s = F.col(id_col).cast("string")
+    ranked = F.array_sort(
+        F.transform(
+            F.filter(
+                F.col("_fs_pool"),
+                lambda e: e["_fs_rep"] != F.col("_fs_irep"),
+            ),
+            lambda e: F.struct(
+                portable_hash64(
+                    F.concat_ws(
+                        "|", iid_s, e["_fs_eid"].cast("string")
+                    ),
+                    seed,
+                ).alias("h"),
+                e["_fs_eid"].alias("eid"),
+                e["_fs_q"].alias("q"),
+                e["_fs_a"].alias("a"),
+            ),
+        )
+    )
+    drawn = F.slice(ranked, 1, kk)
+    prompt = F.concat(
+        F.aggregate(
+            drawn,
+            F.lit(""),
+            lambda acc, e: F.concat(
+                acc, e["q"], e["a"], F.lit(delimiter)
+            ),
+        ),
+        F.col(input_col),
+    )
+    return joined.select(
+        *items.columns,
+        F.transform(drawn, lambda e: e["eid"]).alias("exemplar_ids"),
+        F.array_size(drawn).alias("n_shots"),
+        prompt.alias(prompt_col),
+        F.col(target_col).alias(continuation_col),
+    )
+
+
+def encode_eval_prompts(
+    df: DataFrame,
+    model: dict,
+    prompt_col: str = "prompt_text",
+    continuation_col: str = "continuation_text",
+    ids_col: str = "token_ids",
+    mask_col: str = "loss_mask",
+) -> DataFrame:
+    """Two-segment eval encoding — the :func:`encode_chat_sft` rule
+    applied to the loglikelihood shape: ``token_ids = enc(prompt) ++
+    enc(continuation)`` and ``loss_mask`` 1 exactly on the
+    CONTINUATION tokens (the span a loglikelihood eval scores),
+    0 on the prompt. ``model`` is any tokenizer family (the
+    ``tokenizer_stats`` dispatch). Per-segment encoding is the
+    DEFINED semantics (it is what makes the mask exact — the
+    encode_chat_sft contract); under the byte-identity model total
+    ids == prompt+continuation UTF-8 bytes and loss tokens ==
+    continuation bytes, the sft5 oracle arithmetic. NULL prompt or
+    continuation → NULL ids/mask (no evidence, not a zero-loss
+    row)."""
+    if model.get("type") == "unigram":
+        from polaroam_spark.operators.unigram import _unigram_encoder
+
+        enc = _unigram_encoder(model)
+    elif model.get("type") == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            _wordpiece_encoder,
+        )
+
+        enc = _wordpiece_encoder(model)
+    else:
+        from polaroam_spark.operators.tokenize import _encoder
+
+        enc = _encoder(model)
+
+    out_type = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.IntegerType())),
+            T.StructField("mask", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _enc(p: pd.Series, c: pd.Series) -> pd.DataFrame:
+        ids_out, mask_out = [], []
+        for pv, cv in zip(p, c):
+            if pv is None or cv is None:
+                ids_out.append(None)
+                mask_out.append(None)
+                continue
+            pi = enc(pv)
+            ci = enc(cv)
+            ids_out.append(pi + ci)
+            mask_out.append([0] * len(pi) + [1] * len(ci))
+        return pd.DataFrame({"ids": ids_out, "mask": mask_out})
+
+    tmp = df.withColumn(
+        "_im", _enc(F.col(prompt_col), F.col(continuation_col))
+    )
+    return tmp.select(
+        *df.columns,
+        F.col("_im.ids").alias(ids_col),
+        F.col("_im.mask").alias(mask_col),
+    )

@@ -1149,6 +1149,8 @@ def perplexity_buckets(
     head_fraction: float = 1.0 / 3.0,
     middle_fraction: float = 1.0 / 3.0,
     out_col: str = "perplexity_bucket",
+    accuracy: str = "exact",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.4: per language, split the corpus at exact perplexity
@@ -1161,19 +1163,33 @@ def perplexity_buckets(
     ``head_fraction`` of scores, 'middle' the next
     ``middle_fraction``, 'tail' the rest.
 
-    Plan: one hash-partitioned aggregation computes the two exact
+    Plan: one hash-partitioned aggregation computes the two
     percentile cuts per group (#groups output rows), broadcast-
     joined back — cheaper than the per-stratum window
-    :func:`winsorize_scores` pays (no per-row frame evaluation) and
-    the CCNet-correct scale shape: groups are languages, so the
-    percentile buffers are per-language, never corpus-global. NULL
-    and NaN scores bucket NULL (a failed scorer is not 'tail' —
-    same contract as the other score conditioners); a group whose
+    :func:`winsorize_scores` pays (no per-row frame evaluation).
+    NULL and NaN scores bucket NULL (a failed scorer is not 'tail'
+    — same contract as the other score conditioners); a group whose
     scores are ALL NULL has no cuts and buckets NULL throughout.
-    ``group_col=None`` buckets the whole frame as one group (the
-    single percentile buffer then sees every row — fine for eval
-    sets, wrong for a 100 TB corpus; group by language there, which
-    is also what the published pipeline does).
+    ``group_col=None`` buckets the whole frame as one group.
+
+    ``accuracy`` — the exact-vs-mergeable trade, and it matters at
+    deployment scale: ``'exact'`` (default, the oracle contract)
+    uses Spark's exact ``percentile``, whose aggregation buffer is a
+    value→count map per group; mean-KN-logprob scores are
+    near-all-distinct doubles, so that buffer is ~GROUP-sized — and
+    on a real web corpus the DOMINANT language is ~half the corpus,
+    so one reducer holds a corpus-scale buffer (grouping by language
+    does NOT bound it; CCNet itself cuts on per-shard histograms,
+    Wenzek et al. §4.4). ``'approx'`` is the 100 TB path: a
+    mergeable ``percentile_approx`` sketch whose state is bounded by
+    ``approx_accuracy`` (not by group size) and combines map-side,
+    shifting each cut by at most ``1/approx_accuracy`` of the
+    group's rank range — bucket assignment disagrees with exact only
+    for the sliver of rows between the two cut values (certified
+    ≥99% agreement by the t55 gate; measured r18 probe in
+    BASELINE.md: 500k rows, 90% one language — both paths run, the
+    exact path's buffer is the group size while approx stays at the
+    sketch bound).
 
     Boundary rule: a score exactly AT a cut lands in the BETTER
     bucket (cc_net's digitize puts the cutoff value in the lower-
@@ -1192,6 +1208,10 @@ def perplexity_buckets(
             "need 0 < head_fraction <= 1 and 0 <= middle_fraction "
             f"<= 1 - head_fraction (got {hf}, {mf})"
         )
+    if accuracy not in ("exact", "approx"):
+        raise ValueError(
+            f"accuracy must be 'exact' or 'approx' (got {accuracy!r})"
+        )
     sc = _finite_score(score_col)
     g = (
         F.col(group_col)
@@ -1200,17 +1220,19 @@ def perplexity_buckets(
     )
     p_head = max(0.0, 1.0 - hf - 1e-9)
     p_mid = max(0.0, 1.0 - hf - mf - 1e-9)
+    if accuracy == "exact":
+        cut = lambda p: F.percentile("_ppb_s", F.lit(p))  # noqa: E731
+    else:
+        cut = lambda p: F.percentile_approx(  # noqa: E731
+            "_ppb_s", F.lit(p), F.lit(int(approx_accuracy))
+        )
     cuts = (
         df.select(g.alias("_ppb_g"), sc.alias("_ppb_s"))
         .filter(F.col("_ppb_s").isNotNull())
         .groupBy("_ppb_g")
         .agg(
-            F.percentile("_ppb_s", F.lit(p_head)).alias(
-                "_ppb_cut_head"
-            ),
-            F.percentile("_ppb_s", F.lit(p_mid)).alias(
-                "_ppb_cut_mid"
-            ),
+            cut(p_head).alias("_ppb_cut_head"),
+            cut(p_mid).alias("_ppb_cut_mid"),
         )
     )
     out = df.join(

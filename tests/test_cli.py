@@ -749,6 +749,33 @@ def test_cli_objectives_stage(spark, tmpdir):
     for r in spark.read.parquet(out3).collect():
         assert list(r.inputs) + list(r.targets) == list(r.token_ids)
 
+    out4 = f"{tmpdir}/obj_ul2"
+    assert main([
+        "objectives", "--input", src, "--output", out4,
+        "--objective", "ul2", "--ul2-rates", "0.4,0.3,0.2,0.1",
+        "--seed", "7",
+    ]) == 0
+    from polaroam_spark.operators.objectives import ul2_mixture
+
+    want4 = {
+        r.doc_id: (r.inputs, r.targets, r.denoiser)
+        for r in ul2_mixture(
+            df,
+            rates={"r": 0.4, "s": 0.3, "x": 0.2, "fim": 0.1},
+            sentinel_start=100_000,
+            fim_sentinels=(100_001, 100_002, 100_003),
+            seed=7,
+        ).collect()
+    }
+    got4 = {
+        r.doc_id: (r.inputs, r.targets, r.denoiser)
+        for r in spark.read.parquet(out4).collect()
+    }
+    assert got4 == want4
+    assert {v[2].split(":")[0] for v in got4.values()} <= {
+        "r", "s", "x", "fim"
+    }
+
 
 def test_cli_sft_wordpiece_model(spark, tmpdir):
     """sft stage accepts a WordPiece vocab.txt: masks land on the

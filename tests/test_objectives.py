@@ -300,3 +300,122 @@ def test_fim_property_lossless_and_sized(ids, seed):
         mode = "psm"
     assert len(fim) == n + 3
     assert reconstruct_fim(fim, mode) == ids
+
+
+def _ul2_draw(doc_id, rates, seed=41):
+    """Python replay of the mixture's assignment draw."""
+    from polaroam_spark.operators.objectives import _rng_for
+
+    u = _rng_for(seed, f"{doc_id}:denoiser").random()
+    acc = 0.0
+    order = sorted(k for k, v in rates.items() if v > 0)
+    for k in order:
+        acc += rates[k]
+        if u < acc:
+            return k
+    return order[-1]
+
+
+def test_ul2_mixture_dispatch_equals_standalone(toks):
+    """Per assigned class, the mixture's output is id-identical to
+    the standalone operator at the same seed (shared per-document
+    kernels + seed streams); the assignment draw replays in python;
+    every class appears at the default rates on an 80-doc corpus."""
+    from polaroam_spark.operators.objectives import (
+        prefix_lm_split,
+        span_corruption,
+        ul2_mixture,
+    )
+
+    rates = {"r": 0.5, "s": 0.25, "x": 0.25}
+    out = {r.doc_id: r for r in ul2_mixture(toks, seed=41).collect()}
+    want_r = {
+        r.doc_id: r
+        for r in span_corruption(toks, seed=41).collect()
+    }
+    want_x = {
+        r.doc_id: r
+        for r in span_corruption(
+            toks, noise_density=0.5, seed=41
+        ).collect()
+    }
+    want_s = {
+        r.doc_id: r for r in prefix_lm_split(toks, seed=41).collect()
+    }
+    seen = set()
+    for doc_id, r in out.items():
+        cls = _ul2_draw(doc_id, rates)
+        assert r.denoiser == cls, (doc_id, r.denoiser, cls)
+        seen.add(cls)
+        twin = {"r": want_r, "x": want_x, "s": want_s}[cls][doc_id]
+        assert r.inputs == twin.inputs, (doc_id, cls)
+        assert r.targets == twin.targets, (doc_id, cls)
+    assert seen == {"r", "s", "x"}
+    # NULL ids keep the assignment, NULL outputs
+    assert out[900].inputs is None and out[900].targets is None
+    assert out[900].denoiser in ("r", "s", "x")
+
+
+def test_ul2_mixture_fim_class_and_losslessness(toks):
+    """A mixture including the 'fim' class: fim-assigned docs carry
+    the fim_transform stream in inputs (targets NULL) with the
+    sub-layout recorded; every non-NULL row reconstructs the
+    original ids exactly under its class's inverse."""
+    from polaroam_spark.operators.objectives import (
+        fim_transform,
+        reconstruct_fim,
+        reconstruct_span_corruption,
+        ul2_mixture,
+    )
+
+    rates = {"r": 0.25, "s": 0.25, "x": 0.25, "fim": 0.25}
+    out = ul2_mixture(toks, rates=rates, seed=7).collect()
+    src = {r.doc_id: r.token_ids for r in toks.collect()}
+    fim_twin = {
+        r.doc_id: r
+        for r in fim_transform(toks, fim_rate=1.0, seed=7).collect()
+    }
+    seen = set()
+    for r in out:
+        cls = _ul2_draw(r.doc_id, rates, seed=7)
+        base = cls if cls != "fim" else "fim"
+        seen.add(base)
+        ids = src[r.doc_id]
+        if cls == "fim":
+            assert r.denoiser.startswith("fim"), r.denoiser
+            assert r.targets is None
+            if ids is None or len(ids) == 0:
+                assert r.inputs is None
+                continue
+            tw = fim_twin[r.doc_id]
+            assert list(r.inputs) == list(tw.fim_ids)
+            sub = r.denoiser.split(":", 1)[1]
+            assert sub == tw.fim_mode
+            assert reconstruct_fim(r.inputs, sub) == list(ids)
+        else:
+            assert r.denoiser == cls
+            if r.inputs is None:
+                continue
+            if cls == "s":
+                assert list(r.inputs) + list(r.targets) == list(ids)
+            else:
+                assert (
+                    reconstruct_span_corruption(
+                        r.inputs, r.targets, 32_099
+                    )
+                    == list(ids)
+                )
+    assert seen == {"r", "s", "x", "fim"}
+
+
+def test_ul2_mixture_validation_is_loud(toks):
+    from polaroam_spark.operators.objectives import ul2_mixture
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        ul2_mixture(toks, rates={"r": 0.5, "s": 0.2})
+    with pytest.raises(ValueError, match="unknown denoiser"):
+        ul2_mixture(toks, rates={"r": 0.5, "z": 0.5})
+    with pytest.raises(ValueError, match="unknown per-denoiser"):
+        ul2_mixture(toks, params={"r": {"bogus": 1}})
+    with pytest.raises(ValueError, match="distinct"):
+        ul2_mixture(toks, fim_sentinels=(1, 1, 2))

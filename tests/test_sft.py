@@ -525,3 +525,113 @@ def test_chat_message_expectations(spark):
         ).collect()
     }
     assert all(v == 0 for v in rep_clean.values())
+
+
+def _fs_hash(item_id, ex_id, seed=17):
+    """Python replay of portable_hash64(item_id || '|' || ex_id)."""
+    import hashlib
+
+    payload = f"{seed}:{item_id}|{ex_id}".encode()
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def test_build_fewshot_prompts_draw_and_layout(spark):
+    """The k-shot draw is a pure hash function of (ids, seed) —
+    replayed row for row in python — the item never draws itself,
+    the prompt is the exact exemplar-input+target+delimiter fold in
+    draw order followed by the item's input, and a short pool
+    yields n_shots < k rather than an error."""
+    from polaroam_spark.operators.sft import build_fewshot_prompts
+
+    rows = [(i, f"Q{i}?", f" A{i}") for i in range(10)]
+    items = spark.createDataFrame(
+        rows, "item_id long, input string, target string"
+    )
+    out = {
+        r.item_id: r
+        for r in build_fewshot_prompts(items, k=3, seed=17).collect()
+    }
+    for iid, q, a in rows:
+        want = sorted(
+            (j for j in range(10) if j != iid),
+            key=lambda j: (_fs_hash(iid, j), j),
+        )[:3]
+        r = out[iid]
+        assert list(r.exemplar_ids) == want, (iid, r.exemplar_ids)
+        assert iid not in r.exemplar_ids
+        assert r.n_shots == 3
+        shots = "".join(f"Q{j}? A{j}\n\n" for j in want)
+        assert r.prompt_text == shots + q
+        assert r.continuation_text == a
+
+    # a different seed reshuffles at least one deck
+    out2 = {
+        r.item_id: list(r.exemplar_ids)
+        for r in build_fewshot_prompts(items, k=3, seed=99).collect()
+    }
+    assert any(out2[i] != list(out[i].exemplar_ids) for i in out2)
+
+    # pool smaller than k: all eligible exemplars, no error
+    small = spark.createDataFrame(
+        rows[:2], "item_id long, input string, target string"
+    )
+    got = build_fewshot_prompts(small, k=5).collect()
+    for r in got:
+        assert r.n_shots == 1  # pool of 2, self excluded
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        build_fewshot_prompts(items, k=0)
+    with pytest.raises(ValueError, match="max_exemplars"):
+        build_fewshot_prompts(items, k=2, max_exemplars=5)
+
+
+def test_build_fewshot_prompts_leakage_safe(spark):
+    """With a near-dup pairs frame, an item never draws any member
+    of its own duplicate COMPONENT (transitive closure), in either
+    direction of the pair."""
+    from polaroam_spark.operators.sft import build_fewshot_prompts
+
+    rows = [(i, f"Q{i}?", f" A{i}") for i in range(8)]
+    items = spark.createDataFrame(
+        rows, "item_id long, input string, target string"
+    )
+    # component {0, 1, 2} via a transitive chain, plus {5, 6}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {0: {0, 1, 2}, 1: {0, 1, 2}, 2: {0, 1, 2},
+            5: {5, 6}, 6: {5, 6}}
+    out = build_fewshot_prompts(
+        items, k=7, seed=17, pairs=pairs
+    ).collect()
+    for r in out:
+        banned = comp.get(r.item_id, {r.item_id})
+        assert not (set(r.exemplar_ids) & banned), (
+            r.item_id, r.exemplar_ids,
+        )
+        assert r.n_shots == 8 - len(banned)
+
+
+def test_encode_eval_prompts_identity(spark, ident):
+    """Byte-identity model: token_ids == prompt+continuation UTF-8
+    bytes, loss mask 1 exactly on the continuation span; NULL
+    prompt or continuation yields NULL ids/mask."""
+    from polaroam_spark.operators.sft import encode_eval_prompts
+
+    df = spark.createDataFrame(
+        [
+            (1, "ctx: Q?", " yes"),
+            (2, "unicode ✓", " 漢"),
+            (3, None, " x"),
+        ],
+        "item_id long, prompt_text string, continuation_text string",
+    )
+    out = {r.item_id: r for r in encode_eval_prompts(df, ident).collect()}
+    for iid, p, c in [(1, "ctx: Q?", " yes"), (2, "unicode ✓", " 漢")]:
+        r = out[iid]
+        pb, cb = len(p.encode()), len(c.encode())
+        assert len(r.token_ids) == pb + cb
+        assert r.loss_mask == [0] * pb + [1] * cb
+    assert out[3].token_ids is None and out[3].loss_mask is None

@@ -1268,3 +1268,54 @@ def test_perplexity_buckets_exact_cuts(spark):
         perplexity_buckets(
             df, "s", "lang", head_fraction=0.5, middle_fraction=0.6
         )
+
+
+def test_perplexity_buckets_approx_agrees(spark):
+    """accuracy='approx' (the mergeable percentile_approx cut path —
+    the 100 TB deployment shape where the exact path's per-group
+    value->count buffer is group-sized): on a 3000-row skewed frame
+    (90% one group) bucket assignment agrees with the exact path on
+    >= 99% of rows per group, NULL propagation is identical, and an
+    unknown accuracy value raises."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.textstats import perplexity_buckets
+
+    n = 3000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 9, F.lit("en"))
+            .otherwise(F.lit("de"))
+            .alias("lang"),
+            F.when(
+                F.col("id") % 97 == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(99991)).cast("double")
+                / 99991.0
+            )
+            .alias("s"),
+        )
+    )
+    e = perplexity_buckets(df, "s", "lang", out_col="b_e")
+    both = perplexity_buckets(
+        e, "s", "lang", out_col="b_a", accuracy="approx"
+    ).collect()
+    by_lang: dict = {}
+    for r in both:
+        tot, agree = by_lang.get(r.lang, (0, 0))
+        by_lang[r.lang] = (
+            tot + 1,
+            agree + (1 if r.b_e == r.b_a else 0),
+        )
+        if r.s is None:
+            assert r.b_e is None and r.b_a is None
+    for lang, (tot, agree) in by_lang.items():
+        assert agree >= tot * 0.99, (lang, agree, tot)
+
+    with pytest.raises(ValueError, match="accuracy"):
+        perplexity_buckets(df, "s", "lang", accuracy="sketchy")
