@@ -12949,6 +12949,291 @@ def t56(spark, sf_dir):
     ).orderBy("chk")
 
 
+# Count-Min sketch (sketches.py:build_cms / cms_estimate, r18): the
+# point-frequency complement to x1's Misra-Gries. HASH-EXACT, not
+# certification-style: with portable=True the sketch cells and every
+# probe's min-over-depth estimate are replayed bit-for-bit in DuckDB
+# (the md5 portable-hash pattern of d2/x2), so the gate pins the
+# estimates themselves, plus the overcount flag and the
+# (e/width)*n error-bound flag computed identically on both sides.
+# Probes: the 5 hot items + a deterministic 1/97 slice of the cold
+# tail (bounded output at any sf).
+@_q(
+    "x5_count_min_sketch",
+    """WITH items AS (
+  SELECT l_orderkey AS k,
+         CASE WHEN l_orderkey % 2 = 0
+              THEN 'h' || CAST(l_orderkey % 5 AS VARCHAR)
+              ELSE 'c' || CAST(l_orderkey AS VARCHAR) END AS item
+  FROM lineitem
+),
+seeds AS (SELECT unnest(range(3)) AS seed),
+cells AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(seed || ':' || item), 1, 15))
+              AS BIGINT) % 64 AS bucket,
+         count(*) AS cnt
+  FROM items, seeds GROUP BY 1, 2
+),
+tot AS (SELECT count(*) AS n FROM items),
+exact AS (SELECT item, count(*) AS exact_cnt FROM items GROUP BY item),
+probes AS (
+  SELECT DISTINCT item FROM items WHERE k % 2 = 0 OR k % 97 = 1
+),
+est AS (
+  SELECT p.item, min(coalesce(c.cnt, 0)) AS cms_est
+  FROM probes p CROSS JOIN seeds s
+  LEFT JOIN cells c ON c.seed = s.seed AND c.bucket =
+    CAST(('0x' || substr(md5(s.seed || ':' || p.item), 1, 15))
+         AS BIGINT) % 64
+  GROUP BY 1
+)
+SELECT e.item, x.exact_cnt, e.cms_est,
+       e.cms_est >= x.exact_cnt AS overestimates,
+       (e.cms_est - x.exact_cnt) <= exp(1) / 64 * t.n
+         AS err_within_bound
+FROM est e JOIN exact x USING (item), tot t""",
+)
+def x5(spark, sf_dir):
+    import math as _m
+
+    from polaroam_spark.operators.sketches import (
+        build_cms,
+        cms_estimate,
+    )
+
+    width, depth = 64, 3
+    li = _t(spark, sf_dir, "lineitem")
+    item = (
+        F.when(
+            F.col("l_orderkey") % 2 == 0,
+            F.concat(
+                F.lit("h"), (F.col("l_orderkey") % 5).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("c"), F.col("l_orderkey").cast("string"))
+        )
+        .alias("item")
+    )
+    items = li.select(F.col("l_orderkey").alias("k"), item)
+    cms = build_cms(items, "item", width, depth, portable=True)
+    exact = items.groupBy("item").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    tot = items.agg(F.count("*").alias("_n"))
+    probes = (
+        items.filter(
+            (F.col("k") % 2 == 0) | (F.col("k") % 97 == 1)
+        )
+        .select("item")
+        .distinct()
+    )
+    est = cms_estimate(
+        probes, "item", cms, width, depth, portable=True
+    )
+    bound = (
+        F.lit(_m.e) / F.lit(width) * F.col("_n").cast("double")
+    )
+    return (
+        est.join(exact, on="item")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias(
+                "overestimates"
+            ),
+            (
+                (F.col("cms_est") - F.col("exact_cnt")).cast(
+                    "double"
+                )
+                <= bound
+            ).alias("err_within_bound"),
+        )
+    )
+
+
+# Keyed snapshot diff (sources/io.py:snapshot_diff, r18 — the CDC
+# half of s12's upsert): old = the doc_id % 7 != 0 slice, new = the
+# doc_id % 5 != 0 slice with lang nulled every 13th id and nchars
+# shifted every 11th — so the gate exercises added / removed /
+# changed AND the null-safe comparison in both directions (value ->
+# null reads changed, null == null reads unchanged and is filtered).
+# The oracle replays the full-outer join and the IS NOT DISTINCT
+# FROM per-column rule.
+@_q(
+    "s19_snapshot_diff",
+    """WITH o AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS nchars
+  FROM documents WHERE doc_id % 7 != 0
+),
+nn AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         CAST(length(text)
+              + CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 0 END
+              AS BIGINT) AS nchars
+  FROM documents WHERE doc_id % 5 != 0
+),
+j AS (
+  SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS in_old,
+         nn.doc_id IS NOT NULL AS in_new,
+         o.lang AS old_lang, o.nchars AS old_nchars,
+         nn.lang AS new_lang, nn.nchars AS new_nchars
+  FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id
+)
+SELECT * FROM (
+  SELECT doc_id, old_lang, old_nchars, new_lang, new_nchars,
+         CASE WHEN NOT in_old THEN 'added'
+              WHEN NOT in_new THEN 'removed'
+              WHEN old_lang IS NOT DISTINCT FROM new_lang
+                   AND old_nchars IS NOT DISTINCT FROM new_nchars
+                THEN 'unchanged'
+              ELSE 'changed' END AS diff_status
+  FROM j
+) WHERE diff_status != 'unchanged'""",
+)
+def s19(spark, sf_dir):
+    from polaroam_spark.sources.io import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("nchars"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        (
+            F.length("text")
+            + F.when(F.col("doc_id") % 11 == 0, 5).otherwise(0)
+        )
+        .cast("long")
+        .alias("nchars"),
+    )
+    return snapshot_diff(old, new, ["doc_id"])
+
+
+# Length-bucketed dynamic batching (chunking.py:
+# length_bucketed_batches, r18): every row padded to the smallest
+# power of two >= its token count (floored at 16), batches cut every
+# batch_tokens/padded_len rows within the bucket in doc_id order.
+# The oracle replays the integer bit arithmetic exactly — ceil_log2
+# as length(bin(n-1)), padded_len as 1 << e, the row_number cut, and
+# the (exponent << 50) + local batch-id packing.
+@_q(
+    "k10_length_bucketed_batches",
+    """WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ok AS (SELECT * FROM toks WHERE n_tokens >= 1),
+b AS (
+  SELECT doc_id, n_tokens,
+         length(bin(greatest(n_tokens, 16) - 1)) AS e
+  FROM ok
+),
+p AS (
+  SELECT doc_id, n_tokens, e,
+         CAST(1 AS BIGINT) << e AS padded_len,
+         row_number() OVER (PARTITION BY e ORDER BY doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, padded_len,
+       CAST(e * 1125899906842624
+            + (rn - 1) // greatest(1, 1024 // padded_len)
+            AS BIGINT) AS batch_id
+FROM p""",
+)
+def k10(spark, sf_dir):
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    return length_bucketed_batches(
+        docs, batch_tokens=1024, min_bucket=16
+    ).select("doc_id", "n_tokens", "padded_len", "batch_id")
+
+
+# Padding-efficiency report over k10's plan (chunking.py:
+# batch_padding_stats, r18 — the k9 pattern for the bucketed-batch
+# planner): exact batch/sequence/token/capacity integers plus the
+# padding fraction the bucketing exists to drive down.
+@_q(
+    "k11_batch_padding_stats",
+    """WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ok AS (SELECT * FROM toks WHERE n_tokens >= 1),
+b AS (
+  SELECT doc_id, n_tokens,
+         length(bin(greatest(n_tokens, 16) - 1)) AS e
+  FROM ok
+),
+p AS (
+  SELECT doc_id, n_tokens, e,
+         CAST(1 AS BIGINT) << e AS padded_len,
+         row_number() OVER (PARTITION BY e ORDER BY doc_id) AS rn
+  FROM b
+),
+plan AS (
+  SELECT n_tokens, padded_len,
+         CAST(e * 1125899906842624
+              + (rn - 1) // greatest(1, 1024 // padded_len)
+              AS BIGINT) AS batch_id
+  FROM p
+),
+pp AS (
+  SELECT batch_id, padded_len, count(*) AS c,
+         sum(n_tokens) AS tok
+  FROM plan GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(c) AS BIGINT) AS n_seqs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(c * padded_len) AS BIGINT) AS padded_capacity,
+       CAST(sum(c * padded_len) - sum(tok) AS BIGINT)
+         AS padding_tokens,
+       round((sum(c * padded_len) - sum(tok))
+             / CAST(sum(c * padded_len) AS DOUBLE), 6)
+         AS padding_frac
+FROM pp""",
+)
+def k11(spark, sf_dir):
+    from polaroam_spark.operators.chunking import (
+        batch_padding_stats,
+        length_bucketed_batches,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    plan = length_bucketed_batches(
+        docs, batch_tokens=1024, min_bucket=16
+    )
+    return batch_padding_stats(plan)
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-17 window below was
@@ -12960,14 +13245,17 @@ _PRIORITY = [
     # r18 WINDOW (first 50 — the driver drives exactly this many).
     # Derived FROM DATA (latest driver row per gate across all
     # CORRECTNESS_r01..r17.json) by .scratch/rotate_window.py, per
-    # the r10 lesson: (a) the 4 r18-new gates (t33b ids_col
+    # the r10 lesson: (a) the 8 r18-new gates (t33b ids_col
     # packing, t55 approx-bucket certification, sft5 few-shot
-    # prompts, t56 UL2 mixture — no driver row yet), then (b) the
-    # 39 gates whose latest driver row is r12, then (c) the
-    # alphabetically-first r13-checked gates filling to 50.
+    # prompts, t56 UL2 mixture, x5 count-min, s19 snapshot diff,
+    # k10/k11 length-bucketed batching — no driver row yet), then
+    # (b) the 39 gates whose latest driver row is r12, then (c)
+    # the alphabetically-first r13-checked gates filling to 50.
     # ------------------------------------------------------------------
     "t33b_pack_pre_encoded_ids", "t55_perplexity_buckets_approx",
-    "sft5_fewshot_prompts", "t56_ul2_mixture", "a8_collect_list",
+    "sft5_fewshot_prompts", "t56_ul2_mixture", "x5_count_min_sketch",
+    "s19_snapshot_diff", "k10_length_bucketed_batches",
+    "k11_batch_padding_stats", "a8_collect_list",
     "j12_interval_overlap", "j2_left_join_single", "j3_semi_join",
     "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
     "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
@@ -12982,12 +13270,13 @@ _PRIORITY = [
     "v3_validate_expectations", "w1_lead", "w2_lag_fill",
     "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
     "w9_ntile_cume", "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
-    "c3b_dbscan_distributed", "c4_cluster_medoids", "c5_convex_hull",
-    "c6_max_pairwise_distance", "d1_dedup_exact",
+    "c3b_dbscan_distributed",
     # ---- window edge: position 50 ----
     # everything below rides behind the window, oldest latest
     # driver row first (rest of r13, then r14/r15/r16 blocks), the
     # 50 gates the driver just confirmed in r17 at the very end.
+    "c4_cluster_medoids", "c5_convex_hull",
+    "c6_max_pairwise_distance", "d1_dedup_exact",
     "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d4_ngram_jaccard_pairs",
     "d5_embedding_neardup", "d6_near_dedup_survivors", "d7_decontaminate",
     "d8_dedup_lines", "d9_incremental_dedup_pairs", "g4_kcore_invariants",

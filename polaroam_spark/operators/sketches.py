@@ -44,6 +44,9 @@ __all__ = [
     "probe_bloom",
     "bloom_bits_for",
     "bloom_decontaminate",
+    "build_cms",
+    "cms_estimate",
+    "cms_params_for",
 ]
 
 
@@ -434,3 +437,133 @@ def hll_estimate(
         .cast("long")
         .alias("approx_distinct")
     )
+
+
+def _cms_bucket(
+    value: Column, seed: int, width: int, portable: bool
+) -> Column:
+    # same hash family as the Bloom filter: non-negative, so % == pmod
+    return F.pmod(_bloom_hash(value, seed, portable), F.lit(width))
+
+
+def build_cms(
+    df: DataFrame,
+    item_col: str,
+    width: int,
+    depth: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Count-Min sketch over ``df[item_col]``: the point-frequency
+    complement to :func:`heavy_hitters` (which only SURFACES frequent
+    items — it cannot answer "how often did THIS key occur" for an
+    arbitrary key without carrying the key).
+
+    Returns ``(seed int, bucket long, cnt long)`` — at most
+    ``depth x width`` rows total, independent of both the stream
+    length and the distinct-item cardinality, with the standard CMS
+    guarantee for any later estimate (Cormode & Muthukrishnan 2005):
+
+    - ``estimate >= true_count`` (always an overcount — hash
+      collisions only ADD);
+    - ``estimate <= true_count + (e / width) * n`` with probability
+      ``1 - e^-depth`` per key, where ``n`` is the total item count.
+
+    Counter matrices are trivially mergeable (cell-wise sum), which
+    is exactly what the plan does: each row explodes into its
+    ``depth`` ``(seed, bucket)`` cells via one ``posexplode`` (no
+    UDF), and the ``groupBy(seed, bucket).count()`` partial-aggregates
+    map-side — the shuffle carries at most ``depth x width`` rows PER
+    PARTITION no matter how many tokens flow through, the same
+    envelope class as :func:`build_bloom`. Incremental corpora sum
+    sketches from different ingest batches with a plain
+    ``union -> groupBy(seed, bucket).sum`` — only sketches move, the
+    two-level HLL pattern for frequencies.
+
+    Nulls are ignored. ``portable=True`` swaps xxhash64 for the
+    md5-based :func:`~polaroam_spark.functions.text.portable_hash64`
+    so a DuckDB oracle replays every cell bit-for-bit; xxhash64 is
+    the ~10x-cheaper default when only Spark probes the sketch.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    v = F.col(item_col)
+    cell = F.posexplode(
+        F.array(
+            *[
+                _cms_bucket(v, i, width, portable)
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(cell.alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    item_col: str,
+    cms: DataFrame,
+    width: int,
+    depth: int = 4,
+    portable: bool = False,
+    result_col: str = "cms_est",
+) -> DataFrame:
+    """Append ``result_col`` (long): the Count-Min point estimate of
+    ``df[item_col]``'s frequency in the stream ``cms`` was built over
+    (same ``width`` / ``depth`` / ``portable`` — bucket positions are
+    a function of all three; mismatched parameters silently probe
+    garbage). Null items estimate 0 (so do never-seen items whose
+    buckets all stayed empty — absent cells read as zero).
+
+    Plan shape: ``depth`` broadcast hash joins against the
+    (<= ``depth x width``)-row sketch, then a JVM ``least`` across
+    the row's ``depth`` cell counts — the probed side never shuffles,
+    keeps all its columns, and no UDF anywhere (the probe_bloom
+    shape). Persist ``cms`` when one sketch serves many probe
+    batches; the per-join key aliases keep the broadcast exchanges
+    non-identical, so an unpersisted sketch re-evaluates per seed.
+    """
+    v = F.col(item_col)
+    out = df
+    cells = []
+    for i in range(depth):
+        side = F.broadcast(
+            cms.filter(F.col("seed") == i).select(
+                F.col("bucket").alias(f"_b{i}"),
+                F.col("cnt").alias(f"_c{i}"),
+            )
+        )
+        out = out.withColumn(
+            f"_b{i}", _cms_bucket(v, i, width, portable)
+        ).join(side, on=f"_b{i}", how="left")
+        cells.append(F.coalesce(F.col(f"_c{i}"), F.lit(0)))
+    est = F.least(*cells) if len(cells) > 1 else cells[0]
+    out = out.withColumn(
+        result_col,
+        F.when(v.isNotNull(), est).otherwise(F.lit(0)).cast("long"),
+    )
+    return out.drop(
+        *[c for i in range(depth) for c in (f"_b{i}", f"_c{i}")]
+    )
+
+
+def cms_params_for(
+    eps: float, delta: float = 0.01
+) -> "tuple[int, int]":
+    """Standard CMS sizing: ``(width, depth)`` so that estimates
+    overcount by at most ``eps * n`` with probability ``1 - delta``
+    per key: ``width = ceil(e / eps)``, ``depth = ceil(ln(1/delta))``.
+    At ``eps=1e-6`` (overcount <= n/1,000,000) the sketch is ~2.7M
+    buckets x 5 rows — ~100 MB of longs, broadcastable where the
+    distinct-key count table itself is not."""
+    if not (0.0 < eps < 1.0) or not (0.0 < delta < 1.0):
+        raise ValueError(f"bad sizing inputs eps={eps} delta={delta}")
+    width = math.ceil(math.e / eps)
+    depth = max(1, math.ceil(math.log(1.0 / delta)))
+    return width, depth

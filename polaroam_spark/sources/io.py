@@ -378,3 +378,76 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     ``spark.read.parquet``; filters and projected columns push into
     the scan the same way — verify with ``.explain``)."""
     return spark.read.orc(path)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """Keyed diff between two snapshots of the same dataset — the
+    change-data-capture half of :func:`upsert_parquet`: given
+    yesterday's and today's snapshot, which keys were ``added``,
+    ``removed``, or ``changed`` (and what do they look like now)?
+
+    Output: ``[*key_cols, *compare_cols as old_<c>, *compare_cols as
+    new_<c>, status_col]`` — one row per key present in either side;
+    ``unchanged`` rows are dropped unless ``include_unchanged`` (at
+    snapshot scale the unchanged set IS the dataset; the diff is
+    interesting precisely because it is small). ``compare_cols``
+    defaults to every shared non-key column. A key duplicated within
+    one side raises no error here — every pairing appears — so
+    de-duplicate first if keys are not unique (the upsert contract).
+
+    Change detection is per-column NULL-SAFE equality (``<=>``),
+    decided in the join condition's output columns, not via a
+    stringified row hash — no formatting pitfalls on doubles /
+    timestamps and no md5 cost. Plan shape: ONE full-outer
+    shuffle join on the key (both sides hash-partition once; with
+    both snapshots bucketed on the key it is exchange-free — the
+    write_bucketed_table path), then pure JVM boolean expressions.
+    That single key-shuffle is the floor for any keyed diff; at
+    100 TB, partition snapshots by ingest date and diff per
+    partition so only changed partitions move.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    shared = [c for c in old.columns if c in set(new.columns)]
+    if compare_cols is None:
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    missing = [
+        c
+        for c in list(key_cols) + list(compare_cols)
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"columns {missing} not present on both sides"
+        )
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.withColumn(status_col, status).drop("_in_old", "_in_new")
+    if not include_unchanged:
+        out = out.filter(F.col(status_col) != "unchanged")
+    return out

@@ -575,3 +575,132 @@ def test_rolling_eval_windows(spark):
         rolling_eval_windows(df, seq_len=128, stride=200)
     with _pytest.raises(ValueError, match="seq_len"):
         rolling_eval_windows(df, seq_len=0)
+
+
+# ---- length-bucketed batching --------------------------------------
+
+
+def _len_df(spark, lens):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)],
+        "doc_id long, n_tokens long",
+    )
+
+
+def test_length_buckets_power_of_two_and_min_bucket(spark):
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    df = _len_df(spark, [1, 5, 16, 17, 100, 1024, 1025])
+    got = {
+        r.doc_id: r.padded_len
+        for r in length_bucketed_batches(
+            df, batch_tokens=4096, min_bucket=16
+        ).collect()
+    }
+    assert got == {
+        0: 16,   # floored at min_bucket
+        1: 16,
+        2: 16,   # exact power stays
+        3: 32,
+        4: 128,
+        5: 1024,
+        6: 2048,
+    }
+
+
+def test_length_buckets_batch_capacity_and_determinism(spark):
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    lens = [30, 31, 33, 60, 64, 65, 100, 120, 500, 5000]
+    df = _len_df(spark, lens)
+    plan = length_bucketed_batches(
+        df, batch_tokens=128, min_bucket=16
+    ).collect()
+    by_batch = {}
+    for r in plan:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    for rows in by_batch.values():
+        pls = {r.padded_len for r in rows}
+        assert len(pls) == 1  # one padded_len per batch
+        pl = pls.pop()
+        # capacity respected unless a single row exceeds the budget
+        if pl <= 128:
+            assert len(rows) * pl <= 128
+        else:
+            assert len(rows) == 1
+    # deterministic under repartitioning
+    again = length_bucketed_batches(
+        df.repartition(7), batch_tokens=128, min_bucket=16
+    ).collect()
+    assert {(r.doc_id, r.batch_id) for r in again} == {
+        (r.doc_id, r.batch_id) for r in plan
+    }
+
+
+def test_length_buckets_sharded_parallel_plan(spark):
+    from polaroam_spark.operators.chunking import (
+        batch_padding_stats,
+        length_bucketed_batches,
+    )
+
+    lens = [50 + (i % 37) for i in range(500)]
+    df = _len_df(spark, lens)
+    plan = length_bucketed_batches(
+        df, batch_tokens=512, shards_per_bucket=4
+    )
+    stats = batch_padding_stats(plan).collect()[0]
+    assert stats.n_seqs == 500
+    assert stats.total_tokens == sum(lens)
+    assert stats.padded_capacity >= stats.total_tokens
+    # every row padded to 64 or 128 here; padding stays well under
+    # the pad-to-global-max strawman
+    assert stats.padding_frac < 0.5
+
+
+def test_length_buckets_errors(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    df = _len_df(spark, [10])
+    with _pt.raises(ValueError):
+        length_bucketed_batches(df, batch_tokens=0)
+    with _pt.raises(ValueError):
+        length_bucketed_batches(df, min_bucket=15)
+    with _pt.raises(ValueError):
+        length_bucketed_batches(df, shards_per_bucket=0)
+    bad = _len_df(spark, [10]).withColumn(
+        "n_tokens", F.lit(None).cast("long")
+    )
+    with _pt.raises(ValueError):
+        length_bucketed_batches(bad)
+    clash = df.withColumn("batch_id", F.lit(1))
+    with _pt.raises(ValueError):
+        length_bucketed_batches(clash)
+
+
+def test_batch_padding_stats_exact_small(spark):
+    from polaroam_spark.operators.chunking import (
+        batch_padding_stats,
+        length_bucketed_batches,
+    )
+
+    # two rows of 16 and one of 32 at budget 32:
+    # bucket 16 -> 2 rows/batch -> one batch cap 32, tokens 26
+    # bucket 32 -> 1 row/batch  -> one batch cap 32, tokens 20
+    df = _len_df(spark, [13, 13, 20])
+    stats = batch_padding_stats(
+        length_bucketed_batches(df, batch_tokens=32, min_bucket=16)
+    ).collect()[0]
+    assert stats.n_batches == 2
+    assert stats.n_seqs == 3
+    assert stats.total_tokens == 46
+    assert stats.padded_capacity == 64
+    assert stats.padding_tokens == 18
+    assert abs(stats.padding_frac - 18 / 64) < 1e-9

@@ -713,3 +713,71 @@ def test_fim_transform_is_map_only(spark, docs):
     plan = _plan(fim_transform(ids))
     assert _n_hash_exchanges(plan) == 0, plan
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_cms_build_one_partial_agg_no_python(spark, docs):
+    from polaroam_spark.operators.sketches import build_cms
+
+    items = docs.select(F.col("text").alias("item"))
+    plan = _plan(build_cms(items, "item", 64, 3))
+    # one shuffle (the groupBy(seed, bucket)), map-side combined
+    assert _n_hash_exchanges(plan) == 1, plan
+    assert "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch_no_probe_shuffle(
+    spark, docs
+):
+    from polaroam_spark.operators.sketches import (
+        build_cms,
+        cms_estimate,
+    )
+
+    items = docs.select(F.col("text").alias("item"))
+    cms = build_cms(items, "item", 64, 3)
+    probes = docs.select(F.col("text").alias("item"))
+    plan = _plan(cms_estimate(probes, "item", cms, 64, 3))
+    # depth broadcast joins; the probe side never hash-shuffles
+    # (the build side's own aggregation exchanges are inside the
+    # broadcast subtrees); count detail lines — the tree rendering
+    # repeats each node name
+    assert (
+        len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3
+    ), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_single_key_shuffle_jvm_only(spark, docs):
+    from polaroam_spark.sources.io import snapshot_diff
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    plan = _plan(snapshot_diff(old, new, ["doc_id"]))
+    # one full-outer SortMergeJoin on the key: two exchanges (one
+    # per side), nothing after the join
+    assert "SortMergeJoin FullOuter" in plan.replace(
+        "SortMergeJoin(skew=false) FullOuter", "SortMergeJoin FullOuter"
+    ) or "FullOuter" in plan, plan
+    assert _n_hash_exchanges(plan) <= 2, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_buckets_single_window_shuffle(spark, docs):
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    # varying lengths: a constant would fold the bucket exponent to
+    # a literal and turn the window exchange into SinglePartition
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 100 + 10).cast("long").alias("n_tokens"),
+    )
+    plan = _plan(
+        length_bucketed_batches(sized, batch_tokens=1024)
+    )
+    # one shuffle: the per-bucket window partitioning
+    assert _n_hash_exchanges(plan) == 1, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -324,3 +324,120 @@ def test_zorder_key_interleave_and_locality(spark):
         d2(shuffled[i], shuffled[i + 1]) for i in range(len(shuffled) - 1)
     )
     assert z_adj < r_adj / 5, (z_adj, r_adj)
+
+
+# ---- Count-Min sketch ----------------------------------------------
+
+from polaroam_spark.operators.sketches import (  # noqa: E402
+    build_cms,
+    cms_estimate,
+    cms_params_for,
+)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+@pytest.mark.parametrize("portable", [False, True])
+def test_cms_guarantees(spark, n_parts, portable):
+    items = _zipf_items(n=8000, n_items=300)
+    n = len(items)
+    width, depth = 256, 4
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(n_parts)
+    cms = build_cms(df, "item", width, depth, portable=portable)
+    exact = {}
+    for x in items:
+        exact[x] = exact.get(x, 0) + 1
+    probes = spark.createDataFrame(
+        [(k, v) for k, v in exact.items()], "item string, exact long"
+    )
+    est = cms_estimate(
+        probes, "item", cms, width, depth, portable=portable
+    ).collect()
+    import math as _m
+
+    bound = (_m.e / width) * n
+    over_bound = 0
+    for r in est:
+        assert r.cms_est >= r.exact, r  # never undercounts
+        if r.cms_est - r.exact > bound:
+            over_bound += 1
+    # per-key failure probability e^-depth ~ 1.8%; allow 5% slack
+    assert over_bound <= max(2, int(0.05 * len(est))), over_bound
+
+
+def test_cms_partitioning_independent(spark):
+    items = _zipf_items(n=3000, n_items=100)
+    df1 = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(1)
+    df7 = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(7)
+    c1 = {
+        (r.seed, r.bucket): r.cnt
+        for r in build_cms(df1, "item", 64, 3).collect()
+    }
+    c7 = {
+        (r.seed, r.bucket): r.cnt
+        for r in build_cms(df7, "item", 64, 3).collect()
+    }
+    assert c1 == c7
+
+
+def test_cms_merge_equals_single_build(spark):
+    items = _zipf_items(n=4000, n_items=150)
+    half = len(items) // 2
+    mk = lambda xs: spark.createDataFrame(  # noqa: E731
+        [(x,) for x in xs], "item string"
+    )
+    whole = {
+        (r.seed, r.bucket): r.cnt
+        for r in build_cms(mk(items), "item", 128, 4).collect()
+    }
+    a = build_cms(mk(items[:half]), "item", 128, 4)
+    b = build_cms(mk(items[half:]), "item", 128, 4)
+    merged = {
+        (r.seed, r.bucket): r.cnt
+        for r in a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_cms_nulls_and_unseen(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,)], "item string"
+    )
+    cms = build_cms(df, "item", 64, 3)
+    probes = spark.createDataFrame(
+        [("a",), ("zzz-never-seen",), (None,)], "item string"
+    )
+    got = {
+        r.item: r.cms_est
+        for r in cms_estimate(probes, "item", cms, 64, 3).collect()
+    }
+    assert got["a"] >= 2
+    assert got[None] == 0
+    # unseen key may collide but with w=64,d=3 over 1 distinct item
+    # all-empty buckets are overwhelmingly likely; accept >= 0
+    assert got["zzz-never-seen"] >= 0
+
+
+def test_cms_params_for():
+    w, d = cms_params_for(0.001, 0.01)
+    assert w == 2719 and d == 5
+    with pytest.raises(ValueError):
+        cms_params_for(0.0)
+    with pytest.raises(ValueError):
+        cms_params_for(0.1, 1.5)
+
+
+def test_cms_bad_params(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError):
+        build_cms(df, "item", 1, 3)
+    with pytest.raises(ValueError):
+        build_cms(df, "item", 64, 0)

@@ -548,3 +548,76 @@ def test_warc_roundtrip_property(records, compress):
             assert payload == want
     finally:
         os.unlink(path)
+
+
+# ---- snapshot_diff --------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from polaroam_spark.sources.io import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id long, name string, score double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c2", None), (4, "d", 40.0)],
+        "id long, name string, score double",
+    )
+    got = {
+        r.id: r.diff_status
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_safe_and_unchanged(spark):
+    from polaroam_spark.sources.io import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "x")], "id long, v string"
+    )
+    # null == null must read unchanged, null -> value must read changed
+    full = {
+        r.id: r.diff_status
+        for r in snapshot_diff(
+            old, new, ["id"], include_unchanged=True
+        ).collect()
+    }
+    assert full == {1: "unchanged", 2: "changed"}
+    slim = snapshot_diff(old, new, ["id"]).collect()
+    assert [r.id for r in slim] == [2]
+
+
+def test_snapshot_diff_carries_old_and_new_values(spark):
+    from polaroam_spark.sources.io import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(1, "b")], "id long, v string")
+    r = snapshot_diff(old, new, ["id"]).collect()[0]
+    assert (r.old_v, r.new_v, r.diff_status) == ("a", "b", "changed")
+
+
+def test_snapshot_diff_compare_subset_and_errors(spark):
+    from polaroam_spark.sources.io import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, v string, w double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 2.0)], "id long, v string, w double"
+    )
+    # restricting compare to v makes the key read unchanged
+    assert (
+        snapshot_diff(old, new, ["id"], compare_cols=["v"]).count()
+        == 0
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new, ["id"], compare_cols=["nope"])
