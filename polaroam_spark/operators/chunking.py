@@ -858,16 +858,31 @@ def length_bucketed_batches(
     if S < 1:
         raise ValueError("shards_per_bucket must be >= 1")
     n = F.col(n_tokens_col)
-    bad = df.filter(n.isNull() | (n < 1)).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"{n_tokens_col} must be >= 1 and non-null for every row "
-            f"(offending row: {bad[0].asDict()})"
-        )
     # ceil_log2(x) for x >= 2 as the bit length of x-1; clamp to the
-    # min bucket first so the exponent is always >= log2(min_bucket)
+    # min bucket first so the exponent is always >= log2(min_bucket).
+    # A null or non-positive length has no bucket — fail LAZILY in
+    # the expression (raise_error, evaluated executor-side) rather
+    # than with an eager validation scan, which would cost a full
+    # extra pass over the input at corpus scale
     clamped = F.greatest(n, F.lit(mb))
-    exp = F.length(F.bin(clamped - 1)).cast("int")
+    exp = (
+        F.when(
+            n.isNotNull() & (n >= 1),
+            F.length(F.bin(clamped - 1)),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"length_bucketed_batches: {n_tokens_col} "
+                        "must be >= 1 and non-null, got "
+                    ),
+                    F.coalesce(n.cast("string"), F.lit("NULL")),
+                )
+            )
+        )
+        .cast("int")
+    )
     out = df.withColumn("_exp", exp).withColumn(
         "padded_len",
         F.expr("shiftleft(CAST(1 AS BIGINT), _exp)"),

@@ -675,11 +675,18 @@ def test_length_buckets_errors(spark):
         length_bucketed_batches(df, min_bucket=15)
     with _pt.raises(ValueError):
         length_bucketed_batches(df, shards_per_bucket=0)
+    # invalid lengths fail lazily executor-side (raise_error), not
+    # via an eager validation scan — the error surfaces at action
     bad = _len_df(spark, [10]).withColumn(
         "n_tokens", F.lit(None).cast("long")
     )
-    with _pt.raises(ValueError):
-        length_bucketed_batches(bad)
+    with _pt.raises(Exception, match="must be >= 1 and non-null"):
+        length_bucketed_batches(bad).collect()
+    neg = _len_df(spark, [10]).withColumn(
+        "n_tokens", F.lit(-3).cast("long")
+    )
+    with _pt.raises(Exception, match="got -3"):
+        length_bucketed_batches(neg).collect()
     clash = df.withColumn("batch_id", F.lit(1))
     with _pt.raises(ValueError):
         length_bucketed_batches(clash)
