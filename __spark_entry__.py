@@ -9622,6 +9622,77 @@ def st13(spark, sf_dir):
     return spark.table(qname).select("doc_id", "n_tokens")
 
 
+_ST14_SEQ = [0]
+
+
+# Streaming Count-Min sketch (sketches.py:build_cms over readStream,
+# r18): the sketch aggregation run as a streaming stateful query —
+# the property that makes CMS the STREAMING frequency structure is
+# that the state store holds at most depth x width cells no matter
+# how many distinct keys flow through (streaming exact counts grow
+# state per distinct key). Source split across 4 files with
+# maxFilesPerTrigger=1, so availableNow runs 4 micro-batches and the
+# final complete-mode table is the cross-batch MERGED sketch; the
+# oracle replays the portable-hash cells over the whole corpus in
+# one batch — merge correctness IS the hash-exact comparison.
+@_q(
+    "st14_streaming_cms",
+    r"""WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            t -> t != '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+seeds AS (SELECT unnest(range(3)) AS seed),
+cells AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(seed || ':' || tok), 1, 15))
+              AS BIGINT) % 64 AS bucket,
+         count(*) AS cnt
+  FROM toks, seeds GROUP BY 1, 2
+)
+SELECT CAST(seed AS INT) AS seed, bucket, cnt FROM cells""",
+)
+def st14(spark, sf_dir):
+    import os
+
+    from polaroam_spark.operators.sketches import build_cms
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    scratch = _scratch_dir()
+    src = os.path.join(scratch, "stream_cms.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    toks = stream.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    out = build_cms(toks, "tok", 64, 3, portable=True)
+    _ST14_SEQ[0] += 1
+    qname = f"st14_cms_sink_{_ST14_SEQ[0]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch, f"cms_ckpt_{_ST14_SEQ[0]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("st14 stream timed out")
+    return spark.table(qname).select("seed", "bucket", "cnt")
+
+
 _ST12_SEQ = [0]
 
 
@@ -13245,17 +13316,18 @@ _PRIORITY = [
     # r18 WINDOW (first 50 — the driver drives exactly this many).
     # Derived FROM DATA (latest driver row per gate across all
     # CORRECTNESS_r01..r17.json) by .scratch/rotate_window.py, per
-    # the r10 lesson: (a) the 8 r18-new gates (t33b ids_col
+    # the r10 lesson: (a) the 9 r18-new gates (t33b ids_col
     # packing, t55 approx-bucket certification, sft5 few-shot
     # prompts, t56 UL2 mixture, x5 count-min, s19 snapshot diff,
-    # k10/k11 length-bucketed batching — no driver row yet), then
-    # (b) the 39 gates whose latest driver row is r12, then (c)
-    # the alphabetically-first r13-checked gates filling to 50.
+    # k10/k11 length-bucketed batching, st14 streaming CMS — no
+    # driver row yet), then (b) the 39 gates whose latest driver
+    # row is r12, then (c) the alphabetically-first r13-checked
+    # gates filling to 50.
     # ------------------------------------------------------------------
     "t33b_pack_pre_encoded_ids", "t55_perplexity_buckets_approx",
     "sft5_fewshot_prompts", "t56_ul2_mixture", "x5_count_min_sketch",
     "s19_snapshot_diff", "k10_length_bucketed_batches",
-    "k11_batch_padding_stats", "a8_collect_list",
+    "k11_batch_padding_stats", "st14_streaming_cms", "a8_collect_list",
     "j12_interval_overlap", "j2_left_join_single", "j3_semi_join",
     "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
     "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
@@ -13270,11 +13342,11 @@ _PRIORITY = [
     "v3_validate_expectations", "w1_lead", "w2_lag_fill",
     "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
     "w9_ntile_cume", "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
-    "c3b_dbscan_distributed",
     # ---- window edge: position 50 ----
     # everything below rides behind the window, oldest latest
     # driver row first (rest of r13, then r14/r15/r16 blocks), the
     # 50 gates the driver just confirmed in r17 at the very end.
+    "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",
     "c6_max_pairwise_distance", "d1_dedup_exact",
     "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d4_ngram_jaccard_pairs",
