@@ -1319,3 +1319,124 @@ def test_perplexity_buckets_approx_agrees(spark):
 
     with pytest.raises(ValueError, match="accuracy"):
         perplexity_buckets(df, "s", "lang", accuracy="sketchy")
+
+
+# ---- token entropy + compression ratio ------------------------------
+
+
+def test_token_entropy_values(spark):
+    import math
+
+    from polaroam_spark.operators.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),           # one token type -> 0 bits
+            (2, "a b a b"),           # uniform over 2 -> 1 bit
+            (3, "a b c d"),           # uniform over 4 -> 2 bits
+            (4, "a a a b"),           # 3/4,1/4
+            (5, None),
+            (6, "   "),
+            (7, "A a"),               # lowercased: one type
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.token_entropy for r in token_entropy(df).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - 1.0) < 1e-12
+    assert abs(got[3] - 2.0) < 1e-12
+    expected = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(got[4] - expected) < 1e-12
+    assert got[5] is None and got[6] is None
+    assert got[7] == 0.0
+
+
+def test_token_entropy_spam_below_prose(spark):
+    from polaroam_spark.operators.textstats import token_entropy
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while many "
+        "different words appear exactly once in this long sentence"
+    )
+    spam = "buy now " * 40
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.token_entropy for r in token_entropy(df).collect()
+    }
+    assert got[2] < 1.1 < got[1]
+
+
+def test_compression_ratio_repetition_vs_prose(spark):
+    import zlib
+
+    from polaroam_spark.operators.textstats import compression_ratio
+
+    para = (
+        "This paragraph talks about completely unrelated topics "
+        "such as astronomy, cooking, sailing and medieval history. "
+    )
+    pasted = para * 50  # long-range duplication
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 ")
+        for _ in range(3000)
+    )
+    df = spark.createDataFrame(
+        [(1, pasted), (2, noise), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.compression_ratio
+        for r in compression_ratio(df).collect()
+    }
+    assert got[1] < 0.1 < got[2]
+    assert got[3] is None and got[4] is None
+    # exact agreement with a local zlib at the same level
+    exact = len(zlib.compress(pasted.encode(), 6)) / len(
+        pasted.encode()
+    )
+    assert abs(got[1] - exact) < 1e-12
+
+
+def test_compression_ratio_level_validation(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.textstats import compression_ratio
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        compression_ratio(df, level=11)
+    # level changes absolute ratios
+    hi = compression_ratio(
+        spark.createDataFrame(
+            [(1, "word " * 500)], "doc_id long, text string"
+        ),
+        level=9,
+    ).collect()[0].compression_ratio
+    lo = compression_ratio(
+        spark.createDataFrame(
+            [(1, "word " * 500)], "doc_id long, text string"
+        ),
+        level=1,
+    ).collect()[0].compression_ratio
+    assert hi <= lo
+
+
+def test_entropy_and_compression_are_map_only(spark):
+    from polaroam_spark.operators.textstats import (
+        compression_ratio,
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    for out in (token_entropy(df), compression_ratio(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
