@@ -12,6 +12,8 @@ driver workflows:
   corpus    documents -> deduped/filtered/sampled corpus
   tokenize  documents -> exact token ids or packed training sequences
   quality   train/apply/evaluate the hashed-ngram quality classifier
+  diff      two snapshots -> added/removed/changed rows (CDC)
+  batch-plan documents -> length-bucketed dynamic-batch plan
 
 Each stage reads/writes parquet so the pipeline is restartable stage
 by stage, mirroring the reference's disk-staged batch driver.
@@ -675,6 +677,80 @@ def cmd_sft(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def cmd_diff(args) -> None:
+    """Keyed snapshot diff as a restartable stage: two parquet
+    snapshots in, the added/removed/changed rows out (the CDC
+    artifact downstream incremental stages consume); per-status
+    counts printed as the run summary."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.sources.io import snapshot_diff
+
+    spark = _spark(args)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    out = snapshot_diff(
+        old,
+        new,
+        key_cols=args.key.split(","),
+        compare_cols=(
+            args.compare.split(",") if args.compare else None
+        ),
+        include_unchanged=args.include_unchanged,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    for r in (
+        spark.read.parquet(args.output)
+        .groupBy("diff_status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("diff_status")
+        .collect()
+    ):
+        print(f"{r.diff_status}: {r.n}")
+
+
+def cmd_batch_plan(args) -> None:
+    """Length-bucketed dynamic-batching stage: documents (or any
+    frame with a token-length column) in, the per-row
+    padded_len/batch_id plan out, plus the one-row padding card
+    printed — the number the bucketing exists to drive down."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.chunking import (
+        batch_padding_stats,
+        length_bucketed_batches,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.n_tokens_col not in df.columns:
+        from polaroam_spark.operators.textstats import token_count
+
+        df = df.withColumn(
+            args.n_tokens_col, token_count(args.text_col)
+        )
+    df = df.filter(F.col(args.n_tokens_col) >= 1)
+    plan = length_bucketed_batches(
+        df,
+        batch_tokens=args.batch_tokens,
+        id_cols=tuple(args.id_cols.split(",")),
+        n_tokens_col=args.n_tokens_col,
+        min_bucket=args.min_bucket,
+        shards_per_bucket=args.shards_per_bucket,
+    )
+    plan.write.mode("overwrite").parquet(args.output)
+    stats = batch_padding_stats(
+        spark.read.parquet(args.output),
+        n_tokens_col=args.n_tokens_col,
+    ).collect()[0]
+    print(
+        f"batches={stats.n_batches} seqs={stats.n_seqs} "
+        f"tokens={stats.total_tokens} "
+        f"capacity={stats.padded_capacity} "
+        f"padding_frac={stats.padding_frac}"
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="polaroam_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -951,6 +1027,42 @@ def build_parser() -> argparse.ArgumentParser:
         "must fit a worker",
     )
     pf.set_defaults(fn=cmd_sft)
+
+    pd_ = sub.add_parser(
+        "diff",
+        help="two parquet snapshots -> added/removed/changed rows",
+    )
+    pd_.add_argument("--old", required=True)
+    pd_.add_argument("--new", required=True)
+    pd_.add_argument("--output", required=True)
+    pd_.add_argument(
+        "--key", required=True,
+        help="comma-separated key column(s)",
+    )
+    pd_.add_argument(
+        "--compare", default=None,
+        help="comma-separated columns to compare "
+        "(default: all shared non-key columns)",
+    )
+    pd_.add_argument("--include-unchanged", action="store_true")
+    pd_.set_defaults(fn=cmd_diff)
+
+    pb = sub.add_parser(
+        "batch-plan",
+        help="documents -> length-bucketed dynamic-batch plan",
+    )
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--output", required=True)
+    pb.add_argument("--batch-tokens", type=int, default=16384)
+    pb.add_argument("--id-cols", default="doc_id")
+    pb.add_argument("--n-tokens-col", default="n_tokens")
+    pb.add_argument(
+        "--text-col", default="text",
+        help="tokenized to build --n-tokens-col when absent",
+    )
+    pb.add_argument("--min-bucket", type=int, default=16)
+    pb.add_argument("--shards-per-bucket", type=int, default=1)
+    pb.set_defaults(fn=cmd_batch_plan)
 
     return p
 

@@ -817,3 +817,50 @@ def test_cli_sft_wordpiece_model(spark, tmpdir):
     for r in rows:
         assert len(r.token_ids) == 64
         assert sum(r.loss_mask) > 0
+
+
+def test_cli_diff(spark, tmpdir, capsys):
+    from polaroam_spark.__main__ import main
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "id long, v string"
+    )
+    po, pn = str(tmpdir.join("old")), str(tmpdir.join("new"))
+    old.write.parquet(po)
+    new.write.parquet(pn)
+    out = str(tmpdir.join("diff"))
+    assert main([
+        "diff", "--old", po, "--new", pn, "--output", out,
+        "--key", "id",
+    ]) == 0
+    got = {
+        r.id: r.diff_status
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    printed = capsys.readouterr().out
+    assert "added: 1" in printed and "changed: 1" in printed
+
+
+def test_cli_batch_plan(spark, tmpdir, capsys):
+    from polaroam_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (10 + i % 50)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    src = str(tmpdir.join("docs"))
+    docs.write.parquet(src)
+    out = str(tmpdir.join("plan"))
+    assert main([
+        "batch-plan", "--input", src, "--output", out,
+        "--batch-tokens", "256",
+    ]) == 0
+    plan = spark.read.parquet(out)
+    assert {"padded_len", "batch_id"} <= set(plan.columns)
+    assert plan.count() == 40
+    printed = capsys.readouterr().out
+    assert "padding_frac=" in printed and "seqs=40" in printed
