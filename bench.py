@@ -664,6 +664,26 @@ def main() -> None:
             )
         )
 
+    def q_text_signals():
+        # r18 quality signals: token-distribution entropy + zlib
+        # compression ratio — two Arrow-batched map-only UDFs over
+        # the documents table (the repetition signals the JVM
+        # feature pass can't express); measures Python-worker/Arrow
+        # throughput on the text surface
+        from polaroam_spark.operators.textstats import (
+            compression_ratio,
+            token_entropy,
+        )
+
+        docs = em._t(spark, SF_DIR, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        run(
+            compression_ratio(token_entropy(docs)).select(
+                "doc_id", "token_entropy", "compression_ratio"
+            )
+        )
+
     def q_kn_5gram():
         # Kneser-Ney 5-gram reference-LM scoring — the order CCNet
         # actually deploys (r16: replaces the trigram row, which was
@@ -702,6 +722,7 @@ def main() -> None:
         "langid_score": q_langid_score,
         "unigram_tokenize": q_unigram_tokenize,
         "wordpiece_tokenize": q_wordpiece_tokenize,
+        "text_signals": q_text_signals,
         "kn_5gram": q_kn_5gram,
         "sft_prep": q_sft_prep,
     }

@@ -31,6 +31,9 @@ def curate_corpus(
     max_tokens: int | None = None,
     gopher: bool = False,
     quality_threshold: float | None = None,
+    min_token_entropy: float | None = None,
+    min_compression_ratio: float | None = None,
+    compression_level: int = 6,
     classifier_model: dict | None = None,
     classifier_threshold: float = 0.5,
     langid_model: dict | None = None,
@@ -70,7 +73,15 @@ def curate_corpus(
     Stage order (each opt-in): strip_html → c4_line_filter (rewrites
     ``text``; its counts feed the later length filter rather than
     dropping directly) → min/max token filters → Gopher rule gate →
-    ``quality_score`` threshold → trained classifier gate
+    ``quality_score`` threshold → token-entropy gate
+    (``min_token_entropy``: drop low-entropy keyword-stuffed docs;
+    compared at the operator's 6-decimal rounding so boundary
+    membership is engine-deterministic and SQL-replayable) →
+    compression gate (``min_compression_ratio`` at
+    ``compression_level``: drop docs that deflate suspiciously well
+    — long-range in-document repetition; deterministic per zlib
+    build but NOT SQL-replayable, so enable it only where the q6
+    membership oracle is not in play) → trained classifier gate
     (``classifier_model`` = a
     :func:`~polaroam_spark.operators.quality.train_quality_classifier`
     model; keeps rows whose probability is ≥
@@ -186,6 +197,38 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
             "quality",
             scored.filter(
                 F.col("quality_score") >= float(quality_threshold)
+            ).select(*cur.columns),
+        )
+    if min_token_entropy is not None:
+        from polaroam_spark.operators.textstats import token_entropy
+
+        ent = token_entropy(cur, text_col)
+        # compare on the 6-decimal rounding (the operator's
+        # cross-engine float-certification level) so boundary
+        # membership is engine-deterministic; NULL entropy (empty
+        # text) drops — the conservative no-evidence read
+        cur = _stage(
+            "token_entropy",
+            ent.filter(
+                F.round("token_entropy", 6)
+                >= float(min_token_entropy)
+            ).select(*cur.columns),
+        )
+    if min_compression_ratio is not None:
+        from polaroam_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        comp = compression_ratio(
+            cur, text_col, level=compression_level
+        )
+        # a LOW ratio is the red flag (machine repetition deflates
+        # to nothing); NULL (empty text) drops
+        cur = _stage(
+            "compression",
+            comp.filter(
+                F.col("compression_ratio")
+                >= float(min_compression_ratio)
             ).select(*cur.columns),
         )
     if classifier_model is not None:

@@ -611,3 +611,53 @@ def test_curate_corpus_perplexity_buckets(spark):
             perplexity_reference=ref,
             perplexity_keep_buckets=("best",),
         )
+
+
+def test_curate_entropy_and_compression_stages(spark):
+    from polaroam_spark.operators.curation import curate_corpus
+
+    prose = (
+        "the quick brown fox jumps over a lazy dog while many "
+        "different words appear exactly once in this sentence"
+    )
+    spam = "buy cheap now " * 30
+    pasted = (
+        "This unique paragraph mentions astronomy cooking sailing "
+        "medieval history and several other unrelated topics. "
+    ) * 40
+    docs = spark.createDataFrame(
+        [(1, prose, "a"), (2, spam, "a"), (3, pasted, "a")],
+        "doc_id long, text string, source string",
+    )
+    kept, stats = curate_corpus(
+        docs,
+        min_token_entropy=2.0,
+        dedup=None,
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert 2 not in ids and 1 in ids  # spam entropy < 2 bits
+    names = [r.stage for r in stats.collect()]
+    assert "token_entropy" in names
+
+    kept2, stats2 = curate_corpus(
+        docs,
+        min_compression_ratio=0.2,
+        dedup=None,
+    )
+    ids2 = {r.doc_id for r in kept2.collect()}
+    assert 3 not in ids2 and 1 in ids2  # pasted deflates below 0.2
+    assert "compression" in [r.stage for r in stats2.collect()]
+
+
+def test_curate_entropy_drops_null_and_empty(spark):
+    from polaroam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "several distinct words right here", "a"),
+         (2, None, "a"), (3, "   ", "a")],
+        "doc_id long, text string, source string",
+    )
+    kept, _ = curate_corpus(
+        docs, min_token_entropy=0.0, dedup=None, with_stats=False
+    )
+    assert {r.doc_id for r in kept.collect()} == {1}
