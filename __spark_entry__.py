@@ -13433,9 +13433,88 @@ def q11(spark, sf_dir):
     return kept.select("doc_id")
 
 
+# KTO unary-preference examples (sft.py:encode_kto_examples, r18 —
+# Ethayarajh et al. 2024): each dpo1 pair unpivoted into a
+# desirable=true chosen row and a desirable=false rejected row,
+# branch encodings bit-identical to the DPO branches by
+# construction (same encode_preference_pairs call). The oracle
+# replays both rows' prompt/total/loss byte arithmetic under the
+# byte-identity model — the dpo1 fixture, unpivoted.
+@_q(
+    "kto1_unary_examples",
+    "WITH base AS (SELECT doc_id, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10))) AS BIGINT) "
+    "AS prompt_len, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10) || 'ok ' "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10))) AS BIGINT) "
+    "AS n_chosen, "
+    "CAST(octet_length(encode('ok ' || coalesce(text, ''))) "
+    "AS BIGINT) AS n_chosen_loss, "
+    "CAST(octet_length(encode("
+    "'<|im_start|>system' || chr(10) || 'be concise<|im_end|>' "
+    "|| chr(10) || '<|im_start|>user' || chr(10) "
+    "|| coalesce(text, '') || '<|im_end|>' || chr(10) "
+    "|| '<|im_start|>assistant' || chr(10) || 'no<|im_end|>' "
+    "|| chr(10))) AS BIGINT) AS n_rejected "
+    "FROM documents WHERE doc_id IS NOT NULL) "
+    "SELECT doc_id, TRUE AS desirable, prompt_len, "
+    "n_chosen AS n_ids, n_chosen_loss AS n_loss FROM base "
+    "UNION ALL "
+    "SELECT doc_id, FALSE AS desirable, prompt_len, "
+    "n_rejected AS n_ids, CAST(2 AS BIGINT) AS n_loss FROM base",
+)
+def kto1(spark, sf_dir):
+    from polaroam_spark.operators.sft import encode_kto_examples
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("system").alias("role"),
+                F.lit(_SFT_SYS).alias("content"),
+            ),
+            F.struct(
+                F.lit("user").alias("role"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            ),
+        ).alias("prompt_messages"),
+        F.concat(
+            F.lit("ok "), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("chosen"),
+        F.lit("no").alias("rejected"),
+    )
+    out = encode_kto_examples(pairs, ident)
+    return out.select(
+        "doc_id",
+        "desirable",
+        "prompt_len",
+        F.array_size("input_ids").cast("long").alias("n_ids"),
+        F.aggregate(
+            "loss_mask", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_loss"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
-# rows in every CORRECTNESS_r*.json). The round-17 window below was
+# rows in every CORRECTNESS_r*.json). The round-18 window below was
 # DERIVED FROM DATA (latest driver row per gate across all
 # CORRECTNESS_r*.json), not from a hand-maintained note, per the r10
 # lesson. Arithmetic is stated inside the list at the window edge.
@@ -13444,21 +13523,24 @@ _PRIORITY = [
     # r18 WINDOW (first 50 — the driver drives exactly this many).
     # Derived FROM DATA (latest driver row per gate across all
     # CORRECTNESS_r01..r17.json) by .scratch/rotate_window.py, per
-    # the r10 lesson: (a) the 11 r18-new gates (t33b ids_col
+    # the r10 lesson: (a) 11 of the 13 r18-new gates (t33b ids_col
     # packing, t55 approx-bucket certification, sft5 few-shot
     # prompts, t56 UL2 mixture, x5 count-min, s19 snapshot diff,
-    # k10/k11 length-bucketed batching, st14 streaming CMS,
-    # t57 token entropy, t58 compression ratio, q11 entropy
-    # curation stage — no driver row yet), then (b) 38 of the 39
-    # gates whose latest driver row is r12 (a8 slides to position
-    # 51): 12 + 38 = 50.
+    # k10 length-bucketed batching, st14 streaming CMS, t57 token
+    # entropy, t58 compression ratio, kto1 unary examples — no
+    # driver row yet), then (b) ALL 39 gates whose latest driver
+    # row is r12 (the freshness invariant — no gate older than 5
+    # rounds — outranks same-round rows for every new gate):
+    # 11 + 39 = 50. The two deferred r18 gates (k11 padding stats
+    # — k10 covers the same plan; q11 entropy curation — t57
+    # covers the signal) sit at positions 51-52 and lead the r19
+    # window.
     # ------------------------------------------------------------------
     "t33b_pack_pre_encoded_ids", "t55_perplexity_buckets_approx",
     "sft5_fewshot_prompts", "t56_ul2_mixture", "x5_count_min_sketch",
     "s19_snapshot_diff", "k10_length_bucketed_batches",
-    "k11_batch_padding_stats", "st14_streaming_cms",
-    "t57_token_entropy", "t58_compression_ratio",
-    "q11_entropy_curation", "a8_collect_list",
+    "st14_streaming_cms", "t57_token_entropy",
+    "t58_compression_ratio", "kto1_unary_examples", "a8_collect_list",
     "j12_interval_overlap", "j2_left_join_single", "j3_semi_join",
     "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
     "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
@@ -13472,12 +13554,14 @@ _PRIORITY = [
     "t25_dsir_logweights", "ts1_resample_linear", "ts3_zscore_anomaly",
     "v3_validate_expectations", "w1_lead", "w2_lag_fill",
     "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
-    # ---- window edge: position 50 ----
-    # everything below rides behind the window: w9 (the one r12
-    # gate that no longer fits), then oldest latest driver row
-    # first (rest of r13, then r14/r15/r16 blocks), the 50 gates
-    # the driver just confirmed in r17 at the very end.
     "w9_ntile_cume",
+    # ---- window edge: position 50 ----
+    # everything below rides behind the window: the two deferred
+    # r18 gates first (they lead the r19 window), then oldest
+    # latest driver row first (rest of r13, then r14/r15/r16
+    # blocks), the 50 gates the driver just confirmed in r17 at
+    # the very end.
+    "k11_batch_padding_stats", "q11_entropy_curation",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

@@ -1027,3 +1027,74 @@ def encode_eval_prompts(
         F.col("_im.ids").alias(ids_col),
         F.col("_im.mask").alias(mask_col),
     )
+
+
+def encode_kto_examples(
+    df: DataFrame,
+    model: dict,
+    prompt_col: str = "prompt_messages",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    template: str = "chatml",
+    loss_roles: "tuple[str, ...]" = ("assistant",),
+) -> DataFrame:
+    """KTO (unary preference) data prep, Ethayarajh et al. 2024: the
+    trainer consumes ``(prompt, completion, desirable)`` EXAMPLES
+    rather than pairs — each preference pair contributes its chosen
+    branch as a ``desirable=true`` row and its rejected branch as a
+    ``desirable=false`` row. Output per input pair: two rows
+    ``[*pair-frame passthrough columns, prompt_len, input_ids,
+    loss_mask, desirable]``.
+
+    Encoding delegates to :func:`encode_preference_pairs` (all three
+    tokenizer families, the shared-prompt-encoded-once guarantee,
+    encode_chat_sft's mask rule: prompt mask 0, loss on
+    ``loss_roles`` content), so a KTO example is bit-identical to
+    the corresponding DPO branch at the same model/template — the
+    two objectives can share one prepared corpus. The unpivot is one
+    ``explode`` of a two-struct array — map-only, no second scan of
+    the pair frame, no shuffle. A NULL-encoded branch (NULL prompt
+    or branch — the pair op's NULL contract) stays a NULL-ids row
+    with its ``desirable`` flag intact so callers can count what
+    they dropped.
+    """
+    enc = encode_preference_pairs(
+        df,
+        model,
+        prompt_col=prompt_col,
+        chosen_col=chosen_col,
+        rejected_col=rejected_col,
+        template=template,
+        loss_roles=loss_roles,
+    )
+    passthrough = [
+        c
+        for c in enc.columns
+        if c
+        not in {
+            "chosen_ids",
+            "chosen_mask",
+            "rejected_ids",
+            "rejected_mask",
+        }
+    ]
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("chosen_ids").alias("input_ids"),
+                F.col("chosen_mask").alias("loss_mask"),
+                F.lit(True).alias("desirable"),
+            ),
+            F.struct(
+                F.col("rejected_ids").alias("input_ids"),
+                F.col("rejected_mask").alias("loss_mask"),
+                F.lit(False).alias("desirable"),
+            ),
+        )
+    ).alias("_kto")
+    return enc.select(*passthrough, both).select(
+        *passthrough,
+        F.col("_kto.input_ids").alias("input_ids"),
+        F.col("_kto.loss_mask").alias("loss_mask"),
+        F.col("_kto.desirable").alias("desirable"),
+    )

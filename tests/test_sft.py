@@ -635,3 +635,73 @@ def test_encode_eval_prompts_identity(spark, ident):
         assert len(r.token_ids) == pb + cb
         assert r.loss_mask == [0] * pb + [1] * cb
     assert out[3].token_ids is None and out[3].loss_mask is None
+
+
+# ---- KTO unary examples ----------------------------------------------
+
+
+def _ident_model():
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    return {"vocab": {u: b for b, u in _BYTE_TO_UNI.items()}, "merges": []}
+
+
+def test_kto_examples_match_dpo_branches(spark):
+    from polaroam_spark.operators.sft import (
+        encode_kto_examples,
+        encode_preference_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (
+                1,
+                [("user", "pick a color")],
+                "blue is nice",
+                "no",
+            ),
+        ],
+        "doc_id long, prompt_messages array<struct<role string, content string>>, "
+        "chosen string, rejected string",
+    )
+    model = _ident_model()
+    dpo = encode_preference_pairs(pairs, model).collect()[0]
+    kto = {
+        r.desirable: r
+        for r in encode_kto_examples(pairs, model).collect()
+    }
+    assert len(kto) == 2
+    assert list(kto[True].input_ids) == list(dpo.chosen_ids)
+    assert list(kto[True].loss_mask) == list(dpo.chosen_mask)
+    assert list(kto[False].input_ids) == list(dpo.rejected_ids)
+    assert list(kto[False].loss_mask) == list(dpo.rejected_mask)
+    assert kto[True].prompt_len == dpo.prompt_len
+    assert kto[False].doc_id == 1
+
+
+def test_kto_null_branch_kept_with_flag(spark):
+    from polaroam_spark.operators.sft import encode_kto_examples
+
+    pairs = spark.createDataFrame(
+        [(1, None, "yes", "no")],
+        "doc_id long, prompt_messages array<struct<role string, content string>>, "
+        "chosen string, rejected string",
+    )
+    rows = encode_kto_examples(pairs, _ident_model()).collect()
+    assert len(rows) == 2
+    assert {r.desirable for r in rows} == {True, False}
+    assert all(r.input_ids is None for r in rows)
+
+
+def test_kto_prompt_mask_zero_loss_on_completion(spark):
+    from polaroam_spark.operators.sft import encode_kto_examples
+
+    pairs = spark.createDataFrame(
+        [(1, [("user", "hi")], "yes!", "nah")],
+        "doc_id long, prompt_messages array<struct<role string, content string>>, "
+        "chosen string, rejected string",
+    )
+    for r in encode_kto_examples(pairs, _ident_model()).collect():
+        mask = list(r.loss_mask)
+        assert all(m == 0 for m in mask[: r.prompt_len])
+        assert sum(mask) == (4 if r.desirable else 3)  # utf-8 bytes
