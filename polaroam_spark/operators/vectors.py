@@ -482,3 +482,76 @@ def fit_pq_rotation(
         "rotation": True,
         "num_subspaces": m,
     }
+
+
+def embedding_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension data card for an embedding column:
+    ``[dim, n, mean, stddev, vmin, vmax]`` — the validation pass a
+    similarity pipeline runs before building indexes (a collapsed
+    dimension shows as stddev ~0, an unnormalized ingest as wild
+    min/max, a truncated batch as a short ``n`` on the tail dims).
+    Ragged vectors are visible rather than an error: a dim that only
+    some vectors reach has a smaller ``n``. NULL vectors skipped.
+
+    One ``posexplode`` + ``groupBy(dim)`` — the shuffle carries at
+    most one row per (dimension x partition) after map-side partial
+    aggregation, independent of row count; values cast to double
+    before aggregating so float32 inputs accumulate in double.
+    Cross-engine float agreement for mean/stddev is at the rounded
+    certification level (summation order differs): round before
+    comparing engines.
+    """
+    v = F.col(vec_col)
+    ex = df.filter(v.isNotNull()).select(
+        F.posexplode(v).alias("dim", "_x")
+    )
+    x = F.col("_x").cast("double")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(x).alias("mean"),
+            F.stddev_samp(x).alias("stddev"),
+            F.min(x).alias("vmin"),
+            F.max(x).alias("vmax"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_norm_stats(
+    df: DataFrame, vec_col: str = "embedding", unit_tol: float = 1e-3
+) -> DataFrame:
+    """One-row L2-norm card: ``[n_vectors, n_null, mean_norm,
+    min_norm, max_norm, frac_unit]`` where ``frac_unit`` is the
+    fraction of non-null vectors within ``unit_tol`` of unit norm —
+    the "is this corpus actually normalized" check cosine pipelines
+    should run before trusting dot products. Pure JVM ``aggregate``
+    fold per row + one global aggregation, no UDF, no shuffle beyond
+    the single-row combine."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    withn = df.select(v.alias("_v"), norm.alias("_norm"))
+    nn = F.col("_v").isNotNull()
+    unit = (
+        F.abs(F.col("_norm") - 1.0) <= F.lit(float(unit_tol))
+    ) & nn
+    return withn.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((~nn).cast("long")).alias("n_null"),
+        F.avg(F.when(nn, F.col("_norm"))).alias("mean_norm"),
+        F.min(F.when(nn, F.col("_norm"))).alias("min_norm"),
+        F.max(F.when(nn, F.col("_norm"))).alias("max_norm"),
+        (
+            F.sum(unit.cast("long"))
+            / F.sum(nn.cast("long")).cast("double")
+        ).alias("frac_unit"),
+    )

@@ -441,3 +441,60 @@ def test_opq_iterative_descends_on_clustered_corpus(spark):
     assert all(nn == n for nn, _ in model["history"])
     # final error beats the init-only error by the measured floor
     assert hist[-1] < hist[0] * 0.95, hist
+
+
+# ---- embedding data cards -------------------------------------------
+
+
+def test_embedding_stats_per_dim(spark):
+    from polaroam_spark.operators.vectors import embedding_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 5.0]),
+            (2, [3.0, 0.0, -1.0]),
+            (3, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.dim: r for r in embedding_stats(df).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n == 2 and rows[0].mean == 2.0
+    assert rows[1].stddev == 0.0  # collapsed dim is visible
+    assert rows[2].vmin == -1.0 and rows[2].vmax == 5.0
+
+
+def test_embedding_stats_ragged_tail_counts(spark):
+    from polaroam_spark.operators.vectors import embedding_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.dim: r.n for r in embedding_stats(df).collect()}
+    assert rows == {0: 2, 1: 1}
+
+
+def test_embedding_norm_stats(spark):
+    import math
+
+    from polaroam_spark.operators.vectors import (
+        embedding_norm_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),            # unit
+            (2, [0.6, 0.8]),            # unit
+            (3, [3.0, 4.0]),            # norm 5
+            (4, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_norm_stats(df).collect()[0]
+    assert r.n_vectors == 4 and r.n_null == 1
+    assert abs(r.min_norm - 1.0) < 1e-12
+    assert abs(r.max_norm - 5.0) < 1e-12
+    assert abs(r.mean_norm - (1 + 1 + 5) / 3) < 1e-12
+    assert abs(r.frac_unit - 2 / 3) < 1e-12
+    assert math.isfinite(r.mean_norm)
