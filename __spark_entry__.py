@@ -13586,6 +13586,69 @@ def v7(spark, sf_dir):
     )
 
 
+# Unigram vocabulary pruning (unigram.py:prune_unigram_vocab, r18 —
+# the domain-adaptation step: shrink an existing model to the
+# pieces a NEW corpus actually uses; SentencePiece prunes during
+# training, this prunes after). Certification (the t43 pattern):
+# train at 256+80 on the SF's documents, prune to 256+32 against
+# the same corpus, then (1) decode(encode(text)) == text for EVERY
+# document — the byte-fallback floor makes pruning lossless by
+# construction, and this catches any re-id bug; (2) the pruned
+# piece set is a subset of the original with unchanged scores;
+# (3) byte ids 0..255 intact; (4) the learned-piece count is
+# within target.
+@_q(
+    "t59_unigram_prune",
+    "SELECT chk, value FROM (SELECT 'docs_checked' AS chk, "
+    "CAST(count(*) AS BIGINT) AS value FROM documents "
+    "UNION ALL SELECT 'byte_ids_changed', 0 "
+    "UNION ALL SELECT 'kept_extra_or_rescored', 0 "
+    "UNION ALL SELECT 'over_target', 0 "
+    "UNION ALL SELECT 'roundtrip_failures', 0) ORDER BY chk",
+)
+def t59(spark, sf_dir):
+    from polaroam_spark.operators.unigram import (
+        _BYTE_TOKEN_ID,
+        prune_unigram_vocab,
+        train_unigram,
+        unigram_decode,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_unigram(docs, "text", vocab_size=256 + 80)
+    pruned = prune_unigram_vocab(
+        docs, model, target_vocab_size=256 + 32
+    )
+    dec = unigram_decode(
+        unigram_encode(docs, pruned, "text"), pruned, "token_ids"
+    )
+    fails = dec.filter(
+        ~F.col("decoded").eqNullSafe(F.col("text"))
+    ).count()
+    extra = sum(
+        1
+        for p, s in pruned["scores"].items()
+        if p not in model["scores"] or s != model["scores"][p]
+    )
+    byte_bad = sum(
+        1
+        for t, i in _BYTE_TOKEN_ID.items()
+        if pruned["vocab"].get(t) != i
+    )
+    over = 1 if len(pruned["scores"]) > 32 else 0
+    return spark.createDataFrame(
+        [
+            ("byte_ids_changed", byte_bad),
+            ("docs_checked", docs.count()),
+            ("kept_extra_or_rescored", extra),
+            ("over_target", over),
+            ("roundtrip_failures", fails),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -13637,6 +13700,7 @@ _PRIORITY = [
     # the very end.
     "k11_batch_padding_stats", "q11_entropy_curation",
     "v6_embedding_stats", "v7_embedding_norm_stats",
+    "t59_unigram_prune",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

@@ -888,3 +888,88 @@ def unigram_coverage_stats(
         ).alias("fallback_rate"),
         "n_distinct_pieces_used",
     )
+
+
+def prune_unigram_vocab(
+    df: DataFrame,
+    model: dict,
+    target_vocab_size: int,
+    text_col: str = "text",
+    min_usage: int = 0,
+) -> dict:
+    """Shrink a trained unigram model to ``target_vocab_size`` by
+    CORPUS USAGE — the domain-adaptation step when a general
+    tokenizer moves to a narrower corpus (a 32k-piece vocab where
+    the domain exercises 8k wastes embedding rows and softmax
+    compute on dead ids): encode ``df`` with the model, count each
+    learned piece's occurrences, keep the most-used pieces, re-id
+    densely. SentencePiece prunes DURING training against its own
+    corpus (Kudo 2018 §3.2's EM-prune loop, which train_unigram
+    runs); this prunes an EXISTING model against a NEW corpus.
+
+    Encodability stays total by construction: the 256 byte-fallback
+    tokens are always kept (a word whose piece was pruned falls back
+    through shorter pieces, then bytes — the encoder's standard
+    path), so ``decode(encode(x)) == x`` holds after ANY pruning.
+    Kept pieces keep their ORIGINAL logprobs (no renormalization:
+    a uniform shift would bias Viterbi toward different path
+    LENGTHS, and the paper's alternative — re-running EM — belongs
+    to train_unigram; segmentation after pruning is therefore
+    exactly "the old model with the pruned pieces unavailable").
+
+    Ranking is deterministic: usage count descending, then the
+    train-time (-score, piece) order; ``min_usage`` additionally
+    drops pieces used fewer than that many times even when the
+    budget has room (the dead-id cleanup). Plan shape: ONE
+    distributed encode pass + explode + a count aggregation bounded
+    by the vocab size (map-side combined); the final rank runs
+    driver-side over at most |vocab| rows — the train_bpe split.
+    """
+    if model.get("type") != "unigram":
+        raise ValueError(
+            "expected a unigram model (train_unigram/load_unigram "
+            "output with type='unigram')"
+        )
+    tgt = int(target_vocab_size)
+    n_keep = tgt - 256
+    if n_keep < 0:
+        raise ValueError(
+            f"target_vocab_size must be >= 256 (got "
+            f"{target_vocab_size}): ids 0..255 are reserved "
+            "byte-fallback tokens"
+        )
+    scores = model["scores"]
+    if n_keep >= len(scores) and min_usage <= 0:
+        return dict(model)  # nothing to prune
+
+    enc = unigram_encode(df, model, text_col, out_col="_ids")
+    id_counts = {
+        r._id: r._n
+        for r in enc.filter(F.col("_ids").isNotNull())
+        .select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n"))
+        .collect()  # bounded: <= |vocab| rows
+    }
+    by_id = {i: p for p, i in model["vocab"].items() if i >= 256}
+    ranked = sorted(
+        ((p, id_counts.get(i, 0)) for i, p in by_id.items()),
+        key=lambda t: (-t[1], -scores[t[0]], t[0]),
+    )
+    kept = [
+        p for p, n in ranked[:n_keep] if n >= int(min_usage)
+    ]
+    new_scores = {p: scores[p] for p in kept}
+    vocab: "dict[str, int]" = dict(_BYTE_TOKEN_ID)
+    for i, p in enumerate(
+        sorted(new_scores, key=lambda p: (-new_scores[p], p))
+    ):
+        vocab[p] = 256 + i
+    out = dict(model)
+    out["vocab"] = vocab
+    out["scores"] = new_scores
+    out["pruned_from"] = len(scores)
+    out["prune_usage_total"] = int(
+        sum(n for _, n in ranked)
+    )
+    return out

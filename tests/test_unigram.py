@@ -434,3 +434,111 @@ def test_seed_table_budget_bounds_and_warns(spark):
     )
     default = train_unigram(docs, vocab_size=256 + 40)
     assert loose["scores"] == default["scores"]
+
+
+# ---- vocabulary pruning ---------------------------------------------
+
+
+def _train_small(spark):
+    from polaroam_spark.operators.unigram import train_unigram
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 3)
+        for i in range(10)
+    ] + [(100 + i, f"unique{i} filler words here") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, train_unigram(df, vocab_size=300, em_iters=1)
+
+
+def test_prune_keeps_roundtrip_total(spark):
+    from polaroam_spark.operators.unigram import (
+        decode_ids_unigram,
+        encode_text_unigram,
+        prune_unigram_vocab,
+    )
+
+    df, model = _train_small(spark)
+    pruned = prune_unigram_vocab(df, model, target_vocab_size=266)
+    assert len(pruned["scores"]) <= 10
+    assert len(pruned["vocab"]) == 256 + len(pruned["scores"])
+    for t in [
+        "the quick brown fox",
+        "unique3 filler",
+        "totally unseen wörds 123",
+    ]:
+        ids = encode_text_unigram(pruned, t)
+        assert decode_ids_unigram(pruned, ids) == t
+
+
+def test_prune_keeps_most_used_and_reids_densely(spark):
+    from polaroam_spark.operators.unigram import (
+        prune_unigram_vocab,
+        unigram_encode,
+    )
+    import pyspark.sql.functions as F
+
+    df, model = _train_small(spark)
+    enc = unigram_encode(df, model)
+    counts = {
+        r._id: r.n
+        for r in enc.select(F.explode("token_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_id = {i: p for p, i in model["vocab"].items() if i >= 256}
+    usage = sorted(
+        ((counts.get(i, 0), p) for i, p in by_id.items()),
+        reverse=True,
+    )
+    pruned = prune_unigram_vocab(df, model, target_vocab_size=260)
+    kept = set(pruned["scores"])
+    # the top-used piece must survive a 4-piece budget
+    assert usage[0][1] in kept
+    ids = sorted(
+        i for p, i in pruned["vocab"].items() if i >= 256
+    )
+    assert ids == list(range(256, 256 + len(kept)))
+    # scores unchanged for kept pieces
+    for p in kept:
+        assert pruned["scores"][p] == model["scores"][p]
+
+
+def test_prune_noop_and_validation(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.unigram import prune_unigram_vocab
+
+    df, model = _train_small(spark)
+    same = prune_unigram_vocab(df, model, target_vocab_size=10_000)
+    assert same["vocab"] == model["vocab"]
+    with _pt.raises(ValueError):
+        prune_unigram_vocab(df, model, target_vocab_size=100)
+    with _pt.raises(ValueError):
+        prune_unigram_vocab(df, {"type": "bpe"}, 300)
+
+
+def test_prune_min_usage_drops_dead_ids(spark):
+    from polaroam_spark.operators.unigram import (
+        prune_unigram_vocab,
+        unigram_encode,
+    )
+    import pyspark.sql.functions as F
+
+    df, model = _train_small(spark)
+    # prune against a corpus slice that uses only some pieces
+    slice_df = df.filter(F.col("doc_id") < 100)
+    pruned = prune_unigram_vocab(
+        slice_df, model, target_vocab_size=10_000, min_usage=1
+    )
+    enc = slice_df
+    used = {
+        r._id
+        for r in unigram_encode(slice_df, model)
+        .select(F.explode("token_ids").alias("_id"))
+        .distinct()
+        .collect()
+    }
+    by_id = {i: p for p, i in model["vocab"].items() if i >= 256}
+    used_pieces = {by_id[i] for i in used if i >= 256}
+    assert set(pruned["scores"]) == used_pieces
