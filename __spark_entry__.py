@@ -13649,6 +13649,85 @@ def t59(spark, sf_dir):
     ).orderBy("chk")
 
 
+# Batch materialization (chunking.py:materialize_batches, r18): the
+# plan -> tensors step over k10's bucketing — ids right-padded to
+# padded_len, mask 1 on real tokens. Synthetic ids = sequence(1..n)
+# make the padded stream SQL-replayable; the oracle rebuilds every
+# row's padded id string (md5) and mask sum.
+@_q(
+    "k12_materialize_batches",
+    r"""WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ok AS (SELECT * FROM toks WHERE n_tokens >= 1),
+b AS (
+  SELECT doc_id, n_tokens,
+         length(bin(greatest(n_tokens, 16) - 1)) AS e
+  FROM ok
+),
+p AS (
+  SELECT doc_id, n_tokens, e,
+         CAST(1 AS BIGINT) << e AS padded_len,
+         row_number() OVER (PARTITION BY e ORDER BY doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, padded_len,
+       CAST(e * 1125899906842624
+            + (rn - 1) // greatest(1, 1024 // padded_len)
+            AS BIGINT) AS batch_id,
+       md5(array_to_string(list_concat(
+         [i for i in range(1, n_tokens + 1)],
+         [0 for _ in range(1, padded_len - n_tokens + 1)]
+       ), ',')) AS ids_md5,
+       n_tokens AS mask_sum
+FROM p""",
+)
+def k12(spark, sf_dir):
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+        materialize_batches,
+    )
+    from polaroam_spark.operators.textstats import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn(
+            "token_ids",
+            F.sequence(
+                F.lit(1), F.col("n_tokens").cast("int")
+            ).cast("array<int>"),
+        )
+    )
+    plan = length_bucketed_batches(
+        docs, batch_tokens=1024, min_bucket=16
+    )
+    mat = materialize_batches(plan)
+    return mat.select(
+        "doc_id",
+        "n_tokens",
+        "padded_len",
+        "batch_id",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "input_ids", lambda x: x.cast("string")
+                ),
+            )
+        ).alias("ids_md5"),
+        F.aggregate(
+            "attention_mask",
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("mask_sum"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -13700,7 +13779,7 @@ _PRIORITY = [
     # the very end.
     "k11_batch_padding_stats", "q11_entropy_curation",
     "v6_embedding_stats", "v7_embedding_norm_stats",
-    "t59_unigram_prune",
+    "t59_unigram_prune", "k12_materialize_batches",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

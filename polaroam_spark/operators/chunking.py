@@ -949,3 +949,63 @@ def batch_padding_stats(
             6,
         ).alias("padding_frac"),
     )
+
+
+def materialize_batches(
+    plan: DataFrame,
+    ids_col: str = "token_ids",
+    pad_id: int = 0,
+    out_ids: str = "input_ids",
+    out_mask: str = "attention_mask",
+) -> DataFrame:
+    """Build the actual padded tensors from a
+    :func:`length_bucketed_batches` plan whose rows carry their
+    pre-encoded ids: append ``out_ids`` (``ids_col`` right-padded
+    with ``pad_id`` to the row's ``padded_len``) and ``out_mask``
+    (1 on real tokens, 0 on padding) — the loader then groups rows
+    by ``batch_id`` and stacks, every row in a batch already the
+    same length by construction.
+
+    Pure JVM ``concat``/``array_repeat`` arithmetic — map-only, no
+    shuffle, no UDF (the materialize_packs cost class without even
+    the pack shuffle: each row stays a row). A row whose ids are
+    LONGER than its ``padded_len`` means the plan was built from a
+    different length column than the ids — that's corrupt input,
+    failed loudly executor-side (``raise_error``) rather than
+    silently truncated; NULL ids rows keep NULL outputs.
+    """
+    ids = F.col(ids_col)
+    plen = F.col("padded_len").cast("int")
+    n = F.size(ids)
+    pad_n = (plen - n).cast("int")
+    padded = F.concat(
+        ids, F.array_repeat(F.lit(pad_id).cast("int"), pad_n)
+    )
+    mask = F.concat(
+        F.array_repeat(F.lit(1).cast("int"), n),
+        F.array_repeat(F.lit(0).cast("int"), pad_n),
+    )
+    ok = n <= plen
+    err = F.raise_error(
+        F.concat(
+            F.lit(
+                "materialize_batches: ids longer than padded_len ("
+            ),
+            n.cast("string"),
+            F.lit(" > "),
+            plen.cast("string"),
+            F.lit(") — the plan was built from a different length "
+                  "column than the ids"),
+        )
+    )
+    return plan.withColumn(
+        out_ids,
+        F.when(ids.isNull(), F.lit(None).cast("array<int>"))
+        .when(ok, padded)
+        .otherwise(err),
+    ).withColumn(
+        out_mask,
+        F.when(ids.isNull(), F.lit(None).cast("array<int>"))
+        .when(ok, mask)
+        .otherwise(err),
+    )

@@ -711,3 +711,53 @@ def test_batch_padding_stats_exact_small(spark):
     assert stats.padded_capacity == 64
     assert stats.padding_tokens == 18
     assert abs(stats.padding_frac - 18 / 64) < 1e-9
+
+
+def test_materialize_batches_pads_and_masks(spark):
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+        materialize_batches,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [7, 8, 9]),
+            (2, [1] * 16),
+            (3, None),
+        ],
+        "doc_id long, token_ids array<int>",
+    ).withColumn("n_tokens", F.coalesce(F.size("token_ids"), F.lit(1)).cast("long"))
+    plan = length_bucketed_batches(df, batch_tokens=64, min_bucket=8)
+    out = {r.doc_id: r for r in materialize_batches(plan).collect()}
+    # doc 1: 3 tokens padded to 8
+    assert list(out[1].input_ids) == [7, 8, 9, 0, 0, 0, 0, 0]
+    assert list(out[1].attention_mask) == [1, 1, 1, 0, 0, 0, 0, 0]
+    # doc 2: exactly 16 -> no padding
+    assert list(out[2].input_ids) == [1] * 16
+    assert sum(out[2].attention_mask) == 16
+    # null ids stay null
+    assert out[3].input_ids is None and out[3].attention_mask is None
+
+
+def test_materialize_batches_rejects_mismatched_plan(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.chunking import materialize_batches
+
+    bad = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5], 4)],
+        "doc_id long, token_ids array<int>, padded_len long",
+    )
+    with _pt.raises(Exception, match="longer than padded_len"):
+        materialize_batches(bad).collect()
+
+
+def test_materialize_batches_map_only(spark):
+    from polaroam_spark.operators.chunking import materialize_batches
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], 4)],
+        "doc_id long, token_ids array<int>, padded_len long",
+    )
+    plan = materialize_batches(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
