@@ -627,3 +627,97 @@ unigram_coverage_stats` twin for the third family, where the escape
         ).alias("unk_rate"),
         "n_distinct_pieces_used",
     )
+
+
+def prune_wordpiece_vocab(
+    df: DataFrame,
+    model: dict,
+    target_vocab_size: int,
+    text_col: str = "text",
+    min_usage: int = 0,
+) -> dict:
+    """Shrink a trained WordPiece model to ``target_vocab_size`` by
+    corpus usage — the :func:`~polaroam_spark.operators.unigram.
+    prune_unigram_vocab` analog for the BERT family (shipping a 30k
+    vocab into a domain that exercises 8k wastes embedding rows).
+
+    The ALPHABET is protected: ``[UNK]`` and every single-character
+    entry (word-initial and ``##``-continuation) always survive, so
+    any word segmentable before pruning stays segmentable (greedy
+    longest-match falls through to the character pieces) — the UNK
+    set is EXACTLY unchanged and decode(encode(x)) keeps the
+    original model's losslessness domain. Pruning multi-char pieces
+    can only LENGTHEN segmentations, never destroy them (the
+    family's version of the unigram byte-fallback floor; without
+    the alphabet guard a pruned continuation would UNK whole words
+    — silent signal loss).
+
+    Multi-char pieces rank by usage count descending, then original
+    id (train emission order) — deterministic; ``min_usage``
+    additionally drops pieces used fewer than that many times. Kept
+    entries re-id densely in ORIGINAL id order, so ``[UNK]`` keeps
+    id 0 and relative order is stable. Plan shape: one distributed
+    encode pass + an id-count aggregation bounded by vocab size —
+    the train_bpe driver split.
+    """
+    if model.get("type") != "wordpiece":
+        raise ValueError(
+            "expected a wordpiece model (train_wordpiece/"
+            "load_wordpiece output with type='wordpiece')"
+        )
+    vocab: "dict[str, int]" = model["vocab"]
+    cp = model.get("continuation_prefix", "##")
+    unk = model.get("unk_token", "[UNK]")
+
+    def _content(t: str) -> str:
+        return t[len(cp):] if t.startswith(cp) and t != cp else t
+
+    protected = {unk} | {
+        t for t in vocab if t != unk and len(_content(t)) == 1
+    }
+    tgt = int(target_vocab_size)
+    if tgt < len(protected):
+        raise ValueError(
+            f"target_vocab_size {target_vocab_size} is below the "
+            f"protected alphabet size {len(protected)} — pruning "
+            "the alphabet would UNK whole words"
+        )
+    if len(vocab) <= tgt and int(min_usage) <= 0:
+        return dict(model)  # nothing to prune
+
+    enc = wordpiece_encode(df, model, text_col, out_col="_ids")
+    id_counts = {
+        r._id: r._n
+        for r in enc.filter(F.col("_ids").isNotNull())
+        .select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n"))
+        .collect()  # bounded: <= |vocab| rows
+    }
+    prunable = sorted(
+        (
+            (t, id_counts.get(i, 0), i)
+            for t, i in vocab.items()
+            if t not in protected
+        ),
+        key=lambda x: (-x[1], x[2]),
+    )
+    budget = tgt - len(protected)
+    kept_forms = protected | {
+        t
+        for t, n, _ in prunable[:budget]
+        if n >= int(min_usage)
+    }
+    new_vocab = {
+        t: new_id
+        for new_id, (t, _) in enumerate(
+            sorted(
+                ((t, i) for t, i in vocab.items() if t in kept_forms),
+                key=lambda x: x[1],
+            )
+        )
+    }
+    out = dict(model)
+    out["vocab"] = new_vocab
+    out["pruned_from"] = len(vocab)
+    return out

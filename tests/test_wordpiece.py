@@ -337,3 +337,120 @@ def test_roundtrip_property_driver_side(texts):
     for t in texts:
         ids = encode_text_wordpiece(model, t)
         assert decode_ids_wordpiece(model, ids) == t, t
+
+
+# ---- vocabulary pruning ---------------------------------------------
+
+
+def _prune_fixture(spark):
+    from polaroam_spark.operators.wordpiece import train_wordpiece
+
+    rows = [
+        (i, "running walker walked walking runner " * 4)
+        for i in range(8)
+    ] + [(50 + i, f"rare{i} token") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_wordpiece(df, vocab_size=80)
+    return df, model
+
+
+def test_wp_prune_no_new_unks_and_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    from polaroam_spark.operators.wordpiece import (
+        prune_wordpiece_vocab,
+        wordpiece_decode,
+        wordpiece_encode,
+    )
+
+    df, model = _prune_fixture(spark)
+    alphabet = sum(
+        1
+        for t in model["vocab"]
+        if t != "[UNK]"
+        and len(t[2:] if t.startswith("##") else t) == 1
+    )
+    tgt = alphabet + 1 + 5  # alphabet + UNK + 5 multi-char pieces
+    pruned = prune_wordpiece_vocab(df, model, tgt)
+    assert len(pruned["vocab"]) <= tgt
+    unk_orig = pruned["vocab"]["[UNK]"]
+    assert unk_orig == 0
+    # encode the corpus with both: UNK counts identical, counts >=
+    both = wordpiece_encode(
+        wordpiece_encode(df, model, out_col="orig"),
+        pruned,
+        out_col="new",
+    )
+    rows = both.select(
+        F.size("orig").alias("no"),
+        F.size("new").alias("nn"),
+        F.size(F.filter("new", lambda x: x == F.lit(0))).alias(
+            "unk_new"
+        ),
+        F.size(
+            F.filter(
+                "orig",
+                lambda x: x == F.lit(model["vocab"]["[UNK]"]),
+            )
+        ).alias("unk_orig"),
+    ).collect()
+    for r in rows:
+        assert r.nn >= r.no
+        assert r.unk_new == r.unk_orig == 0
+    dec = wordpiece_decode(
+        wordpiece_encode(df, pruned), pruned
+    ).collect()
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for r in dec:
+        assert r.decoded == texts[r.doc_id]
+
+
+def test_wp_prune_validation_and_noop(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.wordpiece import (
+        prune_wordpiece_vocab,
+    )
+
+    df, model = _prune_fixture(spark)
+    same = prune_wordpiece_vocab(df, model, 10_000)
+    assert same["vocab"] == model["vocab"]
+    with _pt.raises(ValueError, match="protected alphabet"):
+        prune_wordpiece_vocab(df, model, 3)
+    with _pt.raises(ValueError):
+        prune_wordpiece_vocab(df, {"type": "unigram"}, 100)
+
+
+def test_wp_prune_keeps_most_used_multichar(spark):
+    import pyspark.sql.functions as F
+
+    from polaroam_spark.operators.wordpiece import (
+        prune_wordpiece_vocab,
+        wordpiece_encode,
+    )
+
+    df, model = _prune_fixture(spark)
+    counts = {
+        r._id: r.n
+        for r in wordpiece_encode(df, model, out_col="_ids")
+        .select(F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_id = {i: t for t, i in model["vocab"].items()}
+    multi = [
+        (counts.get(i, 0), i, t)
+        for i, t in by_id.items()
+        if t != "[UNK]"
+        and len(t[2:] if t.startswith("##") else t) > 1
+    ]
+    if not multi:
+        import pytest as _pt
+
+        _pt.skip("fixture trained no multi-char pieces")
+    # the operator's rank: usage desc, then ORIGINAL id asc
+    top = sorted(multi, key=lambda x: (-x[0], x[1]))[0]
+    alphabet = len(model["vocab"]) - len(multi)
+    pruned = prune_wordpiece_vocab(df, model, alphabet + 1)
+    assert top[2] in pruned["vocab"]
