@@ -1998,10 +1998,16 @@ def token_entropy(
     def _batch(col):
         import re as _re
 
+        # explicit ASCII whitespace class: Python's \s is
+        # unicode-aware while the library's tokens() splits on the
+        # JVM's ASCII \s — match the JVM so entropy tokenizes
+        # exactly like token_count on any input
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
         def one(t):
             if not isinstance(t, str):
                 return None
-            toks = [w for w in _re.split(r"\s+", t.lower()) if w]
+            toks = [w for w in ws.split(t.lower()) if w]
             if not toks:
                 return None
             _, counts = np.unique(np.asarray(toks, dtype=object),
