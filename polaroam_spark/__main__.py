@@ -286,8 +286,18 @@ def cmd_tokenize(args) -> None:
             model = train_unigram(
                 df, args.text_col, vocab_size=args.train_vocab_size
             )
-            if args.save_model:
-                save_unigram(model, args.save_model)
+        if args.prune_to:
+            from polaroam_spark.operators.unigram import (
+                prune_unigram_vocab,
+            )
+
+            model = prune_unigram_vocab(
+                df, model, args.prune_to, args.text_col
+            )
+        # persist when the run produced a NEW model (trained here
+        # or pruned from a loaded one)
+        if args.save_model and (not args.model or args.prune_to):
+            save_unigram(model, args.save_model)
         out = unigram_encode(df, model, args.text_col).select(
             args.id_col,
             "token_ids",
@@ -315,8 +325,16 @@ def cmd_tokenize(args) -> None:
             model = train_wordpiece(
                 df, args.text_col, vocab_size=args.train_vocab_size
             )
-            if args.save_model:
-                save_wordpiece(model, args.save_model)
+        if args.prune_to:
+            from polaroam_spark.operators.wordpiece import (
+                prune_wordpiece_vocab,
+            )
+
+            model = prune_wordpiece_vocab(
+                df, model, args.prune_to, args.text_col
+            )
+        if args.save_model and (not args.model or args.prune_to):
+            save_wordpiece(model, args.save_model)
         out = wordpiece_encode(df, model, args.text_col).select(
             args.id_col,
             "token_ids",
@@ -324,6 +342,12 @@ def cmd_tokenize(args) -> None:
         )
         out.write.mode("overwrite").parquet(args.output)
         return
+    if args.prune_to:
+        raise SystemExit(
+            "tokenize: --prune-to needs --family unigram or "
+            "wordpiece (a BPE merge chain cannot be pruned safely — "
+            "later merges depend on earlier ones)"
+        )
     if args.vocab and args.merges:
         model = load_bpe(args.vocab, args.merges)
     else:
@@ -860,6 +884,12 @@ def build_parser() -> argparse.ArgumentParser:
         "wordpiece (vocab.txt) model",
     )
     pt.add_argument("--train-vocab-size", type=int, default=4096)
+    pt.add_argument(
+        "--prune-to", type=int, default=None,
+        help="unigram/wordpiece: prune the (loaded or trained) "
+        "model to this vocab size by usage over --input before "
+        "encoding; --save-model persists the pruned model",
+    )
     pt.add_argument("--save-vocab", default=None)
     pt.add_argument("--save-merges", default=None)
     pt.add_argument("--seq-len", type=int, default=2048)

@@ -864,3 +864,35 @@ def test_cli_batch_plan(spark, tmpdir, capsys):
     assert plan.count() == 40
     printed = capsys.readouterr().out
     assert "padding_frac=" in printed and "seqs=40" in printed
+
+
+def test_cli_tokenize_prune_to(spark, tmpdir):
+    from polaroam_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, "walking walker walked running " * 3) for i in range(8)],
+        "doc_id long, text string",
+    )
+    src = str(tmpdir.join("docs"))
+    docs.write.parquet(src)
+    out = str(tmpdir.join("ids"))
+    model_path = str(tmpdir.join("pruned.tsv"))
+    assert main([
+        "tokenize", "--input", src, "--output", out,
+        "--family", "unigram", "--train-vocab-size", "300",
+        "--prune-to", "266", "--save-model", model_path,
+    ]) == 0
+    from polaroam_spark.operators.unigram import load_unigram
+
+    pruned = load_unigram(model_path)
+    assert len(pruned["scores"]) <= 10
+    enc = spark.read.parquet(out)
+    assert enc.count() == 8 and "token_ids" in enc.columns
+    # --prune-to rejected for BPE
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="prune-to"):
+        main([
+            "tokenize", "--input", src, "--output", out,
+            "--prune-to", "300",
+        ])
