@@ -55,13 +55,21 @@ def test_unknown_load_never_disqualifies():
 
 
 def test_own_cpu_ticks_counts_self():
-    # burning CPU in this process must advance the counter
-    a = bench.own_cpu_ticks()
-    x = 0
-    for i in range(4_000_000):
-        x += i * i
-    b = bench.own_cpu_ticks()
-    assert a >= 0 and b > a
+    # burning CPU in this process must advance the counter. The
+    # counter sums the LIVE process tree, so a descendant (a Spark
+    # python worker) reaped between the two samples can transiently
+    # mask the burn when the suite shares the box — retry a few
+    # times rather than flake on that race.
+    for _ in range(5):
+        a = bench.own_cpu_ticks()
+        x = 0
+        for i in range(4_000_000):
+            x += i * i
+        b = bench.own_cpu_ticks()
+        assert a >= 0 and b >= 0
+        if b > a:
+            return
+    raise AssertionError(f"own ticks never advanced: {a} -> {b}")
 
 
 def test_estimate_background_subtracts_self_load():
