@@ -13817,6 +13817,60 @@ def t60(spark, sf_dir):
     ).orderBy("chk")
 
 
+# URL canonicalization (textstats.py:canonicalize_url, r18 — the
+# crawl-dedup KEY step: one resource, dozens of spellings). Messy
+# URLs are SYNTHESIZED deterministically from doc_id/source (the u1
+# style: shuffled tracking params, fragments, default and
+# non-default ports, mixed-case scheme/host, trailing slashes, a
+# case-sensitive path) and the oracle states the expected canonical
+# form in CLOSED FORM from the same arithmetic — an independent
+# derivation, not a replay of the regex chain.
+@_q(
+    "u3_canonicalize_url",
+    "SELECT doc_id, "
+    "CASE doc_id % 2 WHEN 0 THEN 'https' ELSE 'http' END || '://' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END "
+    "|| 'site' || lower(source) "
+    "|| CASE doc_id % 2 WHEN 0 THEN '.example.com' "
+    "ELSE '.example.org:8080' END "
+    "|| '/Path' "
+    "|| CASE WHEN doc_id % 5 = 0 "
+    "THEN '?a=' || CAST(doc_id AS VARCHAR) || '&b=2' ELSE '' END "
+    "AS canonical_url "
+    "FROM documents WHERE doc_id IS NOT NULL",
+)
+def u3(spark, sf_dir):
+    from polaroam_spark.operators.textstats import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    d = F.col("doc_id")
+    mess = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        F.col("source"),
+        F.when(d % 2 == 0, F.lit(".Example.COM:443")).otherwise(
+            F.lit(".example.org:8080")
+        ),
+        F.lit("/Path"),
+        F.when(d % 4 == 3, F.lit("///")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("?b=2&utm_source=x&a="), d.cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        canonicalize_url(mess).alias("canonical_url"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -13869,7 +13923,7 @@ _PRIORITY = [
     "k11_batch_padding_stats", "q11_entropy_curation",
     "v6_embedding_stats", "v7_embedding_norm_stats",
     "t59_unigram_prune", "k12_materialize_batches",
-    "t60_wordpiece_prune",
+    "t60_wordpiece_prune", "u3_canonicalize_url",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

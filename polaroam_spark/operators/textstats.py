@@ -2065,3 +2065,78 @@ def compression_ratio(
 
     udf = pandas_udf(_batch, "double")
     return df.withColumn(out_col, udf(_col(text_col)))
+
+
+#: query parameters that identify a CLICK, not a RESOURCE — the
+#: standard tracking set every crawl canonicalizer strips
+_TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid"
+    r"|yclid|_ga)(=|$)"
+)
+
+
+def canonicalize_url(
+    url: Column | str,
+    tracking_param_re: str = _TRACKING_PARAM_RE,
+    strip_trailing_slash: bool = True,
+) -> Column:
+    """Canonical form of a URL — the DEDUP KEY step of crawl
+    curation: the same resource arrives as dozens of spellings
+    (tracking params in shuffled order, fragments, default ports,
+    mixed-case hosts), and URL-level dedup only works on a canonical
+    spelling. Rules, in order:
+
+    1. drop the fragment (``#...`` — client-side only);
+    2. lowercase the scheme and authority (case-insensitive per
+       RFC 3986) — the PATH keeps its case (paths are case-
+       sensitive);
+    3. drop the scheme's default port (``:80`` http / ``:443``
+       https);
+    4. drop query parameters matching ``tracking_param_re``
+       (utm_*/gclid/fbclid/... — click identity, not resource
+       identity), SORT the survivors bytewise and rejoin (parameter
+       order is almost never semantic; sorting merges the shuffled
+       spellings), dropping the ``?`` when nothing survives;
+    5. strip trailing slashes from the path
+       (``strip_trailing_slash``).
+
+    Everything is JVM regex/array expressions — map-only, no UDF,
+    and every rule is RE2-portable so a SQL oracle replays the
+    chain. NULL in → NULL out; a string with no ``://`` authority
+    is returned unchanged (apply to known-URL columns). Compose
+    with ``dedup_exact(key_cols=["canonical_url"])`` for URL-level
+    dedup across crawls.
+    """
+    u = _col(url)
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([^:/?#]+)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract(nofrag, r"^[^:/?#]+://([^/?#]*)", 1)
+    )
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, r":443$", "")
+    ).otherwise(auth)
+    path = F.regexp_extract(
+        nofrag, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1
+    )
+    if strip_trailing_slash:
+        path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(tracking_param_re),
+        )
+    )
+    q = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), auth, path, q)
+    return F.when(u.isNull(), F.lit(None)).when(
+        ~u.contains("://"), u
+    ).otherwise(canon)

@@ -1440,3 +1440,74 @@ def test_entropy_and_compression_are_map_only(spark):
     for out in (token_entropy(df), compression_ratio(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# ---- URL canonicalization -------------------------------------------
+
+
+def test_canonicalize_url_rules(spark):
+    from polaroam_spark.operators.textstats import canonicalize_url
+
+    cases = [
+        # fragment + tracking + order + case + default port
+        (
+            "HTTPS://Www.Example.COM:443/Path/?b=2&utm_source=x&a=1#frag",
+            "https://www.example.com/Path?a=1&b=2",
+        ),
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("http://a.com:8080/x", "http://a.com:8080/x"),  # non-default kept
+        ("https://a.com/", "https://a.com"),
+        ("https://a.com/x///", "https://a.com/x"),
+        ("https://a.com/x?gclid=1&fbclid=2", "https://a.com/x"),
+        ("https://a.com/x?a=1&a=0", "https://a.com/x?a=0&a=1"),
+        ("https://a.com/A/B", "https://a.com/A/B"),  # path case kept
+        ("not a url", "not a url"),  # no authority: unchanged
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_canonicalize_url_merges_spellings_for_dedup(spark):
+    from polaroam_spark.operators.textstats import canonicalize_url
+
+    spellings = [
+        "https://Example.com/page?utm_campaign=a&x=1&y=2",
+        "HTTPS://example.COM:443/page/?y=2&x=1#top",
+        "https://example.com/page?x=1&y=2&fbclid=zzz",
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s in spellings], "url string"
+    )
+    assert (
+        df.select(canonicalize_url("url").alias("c"))
+        .distinct()
+        .count()
+        == 1
+    )
+
+
+def test_canonicalize_url_custom_tracking_and_slash(spark):
+    from polaroam_spark.operators.textstats import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("https://a.com/x/?sess=9&k=1",)], "url string"
+    )
+    got = df.select(
+        canonicalize_url(
+            "url",
+            tracking_param_re=r"^sess(=|$)",
+            strip_trailing_slash=False,
+        ).alias("c")
+    ).collect()[0].c
+    assert got == "https://a.com/x/?k=1"
