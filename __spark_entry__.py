@@ -13871,6 +13871,73 @@ def u3(spark, sf_dir):
     )
 
 
+# Per-file data-skipping report (sources/io.py:file_pruning_report,
+# r18 — the measurement behind sorted/partitioned/z-ordered layout
+# decisions). Certification: lineitem sorted by l_orderkey into
+# ~500-row files, then a quarter-range predicate must (1) prune at
+# least one file, and (2) never falsely prune — every matching row
+# counted over ONLY the would_scan files equals the full count
+# (checked via input_file_name membership). Footer reads are
+# distributed mapInPandas over the file list; no data pages move.
+@_q(
+    "s20_file_pruning_report",
+    "SELECT chk, value FROM ("
+    "SELECT 'rows_total' AS chk, CAST(count(*) AS BIGINT) AS value "
+    "FROM lineitem "
+    "UNION ALL SELECT 'false_pruned_rows', 0 "
+    "UNION ALL SELECT 'pruned_files_nonzero', 1"
+    ") ORDER BY chk",
+)
+def s20(spark, sf_dir):
+    import os
+
+    from polaroam_spark.sources.io import file_pruning_report
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    scratch = _scratch_dir()
+    path = os.path.join(scratch, "pruning_sorted")
+    (
+        li.orderBy("l_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500)
+        .parquet(path)
+    )
+    b = li.agg(
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+    ).collect()[0]
+    span = int(b.hi) - int(b.lo)
+    lo = int(b.lo) + span // 4
+    hi = int(b.lo) + span // 2
+    rep = file_pruning_report(
+        spark, path, "l_orderkey", lo, hi
+    ).collect()  # bounded: one row per file
+    scanned = {
+        r.file.rsplit("/", 1)[-1] for r in rep if r.would_scan
+    }
+    pruned_n = sum(1 for r in rep if not r.would_scan)
+    back = spark.read.parquet(path).withColumn(
+        "_f",
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+    )
+    pred = F.col("l_orderkey").between(lo, hi)
+    all_match = back.filter(pred).count()
+    scanned_match = back.filter(
+        pred & F.col("_f").isin(list(scanned))
+    ).count()
+    return spark.createDataFrame(
+        [
+            ("false_pruned_rows", all_match - scanned_match),
+            ("pruned_files_nonzero", 1 if pruned_n > 0 else 0),
+            ("rows_total", sum(r.n_rows for r in rep)),
+        ],
+        "chk string, value long",
+    ).orderBy("chk")
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -13924,6 +13991,7 @@ _PRIORITY = [
     "v6_embedding_stats", "v7_embedding_norm_stats",
     "t59_unigram_prune", "k12_materialize_batches",
     "t60_wordpiece_prune", "u3_canonicalize_url",
+    "s20_file_pruning_report",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

@@ -451,3 +451,127 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col(status_col) != "unchanged")
     return out
+
+
+def file_pruning_report(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Per-file data-skipping report for a parquet dataset: for each
+    file, the footer min/max of ``column`` and whether a scan with
+    the predicate ``column BETWEEN lo AND hi`` must read it —
+    ``[file, n_rows, col_min, col_max, would_scan]``. This is the
+    measurement behind layout decisions (:func:`write_sorted_
+    partitioned`, the z-order key): a layout is earning its keep
+    exactly when this report prunes most files for the workload's
+    predicates, and a report that scans everything says the sort/
+    partition column is wrong.
+
+    Footer reads are DISTRIBUTED: the file list (one driver-side
+    listing, bounded by file count) fans out through
+    ``mapInPandas``, each task opening only its files' footers via
+    ``pyarrow`` — no data pages are read anywhere, so the cost is
+    O(files), not O(bytes). Conservative on absent statistics: a
+    file whose footer lacks min/max for the column reports NULL
+    bounds and ``would_scan=true`` (never prune on missing
+    evidence). Min/max are returned as strings (parquet stats are
+    typed per file; the string form is portable across numeric and
+    string columns — cast downstream when comparing numerically).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    import pyarrow.fs as pafs
+
+    fs, root = pafs.FileSystem.from_uri(path) if "://" in path else (
+        pafs.LocalFileSystem(),
+        path,
+    )
+    info = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+    files = sorted(
+        f.path
+        for f in info
+        if f.type == pafs.FileType.File
+        and f.path.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(
+            f"file_pruning_report: no parquet files under {path}"
+        )
+    flist = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 64))
+    col_name = column
+    lo_v, hi_v = lo, hi
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("col_min", T.StringType()),
+            T.StructField("col_max", T.StringType()),
+            T.StructField("would_scan", T.BooleanType()),
+        ]
+    )
+
+    def _footers(batches):
+        import pyarrow.fs as _pafs
+        import pyarrow.parquet as _pq
+
+        _fs = (
+            _pafs.FileSystem.from_uri(files[0])[0]
+            if "://" in files[0]
+            else _pafs.LocalFileSystem()
+        )
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                with _fs.open_input_file(f) as fh:
+                    md = _pq.ParquetFile(fh).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                ci = idx.get(col_name)
+                mn = mx = None
+                have = ci is not None
+                if have:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                        ):
+                            have = False
+                            break
+                        mn = (
+                            st.min
+                            if mn is None or st.min < mn
+                            else mn
+                        )
+                        mx = (
+                            st.max
+                            if mx is None or st.max > mx
+                            else mx
+                        )
+                if not have:
+                    out.append((f, md.num_rows, None, None, True))
+                else:
+                    scan = not (mx < lo_v or mn > hi_v)
+                    out.append(
+                        (f, md.num_rows, str(mn), str(mx), scan)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file",
+                    "n_rows",
+                    "col_min",
+                    "col_max",
+                    "would_scan",
+                ],
+            )
+
+    return flist.mapInPandas(_footers, schema=schema)

@@ -621,3 +621,71 @@ def test_snapshot_diff_compare_subset_and_errors(spark):
         snapshot_diff(old, new, [])
     with _pt.raises(ValueError):
         snapshot_diff(old, new, ["id"], compare_cols=["nope"])
+
+
+# ---- file pruning report --------------------------------------------
+
+
+def test_file_pruning_report_sorted_layout(spark, tmpdir):
+    import pyspark.sql.functions as F
+
+    from polaroam_spark.sources.io import file_pruning_report
+
+    path = str(tmpdir.join("sorted"))
+    # 1000 rows sorted by k, forced into ~10 files
+    (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .orderBy("k")
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", 100)
+        .parquet(path)
+    )
+    rep = file_pruning_report(spark, path, "k", 250, 349).collect()
+    assert sum(r.n_rows for r in rep) == 1000
+    scanned = [r for r in rep if r.would_scan]
+    pruned = [r for r in rep if not r.would_scan]
+    assert pruned, "a sorted layout must prune files"
+    # no false pruning: every matching row lives in a scanned file
+    match_all = (
+        spark.read.parquet(path)
+        .filter(F.col("k").between(250, 349))
+        .count()
+    )
+    scanned_files = {r.file for r in scanned}
+    match_scanned = (
+        spark.read.parquet(path)
+        .withColumn("_f", F.input_file_name())
+        .filter(F.col("k").between(250, 349))
+        .filter(
+            F.udf(lambda f: any(f.endswith(s.split("/")[-1]) for s in scanned_files), "boolean")("_f")
+        )
+        .count()
+    )
+    assert match_scanned == match_all == 100
+    # bounds are real footer stats
+    for r in scanned:
+        assert int(r.col_min) <= 349 and int(r.col_max) >= 250
+
+
+def test_file_pruning_report_missing_column_scans_all(spark, tmpdir):
+    from polaroam_spark.sources.io import file_pruning_report
+
+    path = str(tmpdir.join("nocol"))
+    spark.range(10).write.parquet(path)
+    rep = file_pruning_report(spark, path, "nope", 0, 1).collect()
+    assert rep and all(r.would_scan for r in rep)
+    assert all(r.col_min is None for r in rep)
+
+
+def test_file_pruning_report_empty_dir_raises(spark, tmpdir):
+    import pytest as _pt
+
+    from polaroam_spark.sources.io import file_pruning_report
+
+    import os
+
+    empty = str(tmpdir.join("empty"))
+    os.makedirs(empty, exist_ok=True)
+    with _pt.raises(ValueError, match="no parquet files"):
+        file_pruning_report(spark, empty, "k", 0, 1)
