@@ -13938,6 +13938,85 @@ def s20(spark, sf_dir):
     ).orderBy("chk")
 
 
+# Contrastive-pair mining (similarity.py:mine_contrastive_pairs,
+# r18 — the E5/GTE embedding-training recipe: per anchor, best
+# above-threshold positive + k hardest below-threshold negatives).
+# HASH-EXACT: anchors are the vec_id % 29 slice (bounded oracle
+# cost), scores rounded to 6 decimals BEFORE threshold/rank via the
+# operator's score_rounding hook (the n1 convention), and the
+# oracle replays positive choice, negative order, and counts
+# (threshold 0.3: the synthetic embeddings' pairwise cosines top
+# out at ~0.48, so 0.3 exercises both kept and dropped anchors);
+# negative id lists compared as comma-joined strings.
+@_q(
+    "n9_contrastive_pairs",
+    """WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS avec
+  FROM embeddings WHERE vec_id % 29 = 0
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[],
+                                            a.avec),
+                                   p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                           x -> x * x)))
+              * sqrt(list_sum(list_transform(a.avec, x -> x * x)))),
+           6) AS cosine
+  FROM embeddings e CROSS JOIN a WHERE e.vec_id != a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS positive_id,
+         cosine AS positive_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, vec_id) AS r
+    FROM scored WHERE cosine >= 0.3) WHERE r = 1
+),
+neg AS (
+  SELECT anchor_id,
+         string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY r)
+           AS negative_ids,
+         CAST(count(*) AS INT) AS n_negatives
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, vec_id) AS r
+    FROM scored WHERE cosine < 0.3) WHERE r <= 4
+  GROUP BY anchor_id
+)
+SELECT p.anchor_id, p.positive_id, p.positive_cos,
+       coalesce(n.negative_ids, '') AS negative_ids,
+       coalesce(n.n_negatives, 0) AS n_negatives
+FROM pos p LEFT JOIN neg n USING (anchor_id)""",
+)
+def n9(spark, sf_dir):
+    from polaroam_spark.operators.similarity import (
+        mine_contrastive_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 29 == 0)
+    out = mine_contrastive_pairs(
+        emb,
+        anchors=anchors,
+        pos_threshold=0.3,
+        k_neg=4,
+        score_rounding=6,
+    )
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        "positive_cos",
+        F.array_join(
+            F.transform(
+                "negative_ids", lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("negative_ids"),
+        "n_negatives",
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -13991,7 +14070,7 @@ _PRIORITY = [
     "v6_embedding_stats", "v7_embedding_norm_stats",
     "t59_unigram_prune", "k12_materialize_batches",
     "t60_wordpiece_prune", "u3_canonicalize_url",
-    "s20_file_pruning_report",
+    "s20_file_pruning_report", "n9_contrastive_pairs",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

@@ -1206,3 +1206,118 @@ def ann_ivfpq_topk(
             "rank",
         )
     )
+
+
+def mine_contrastive_pairs(
+    data: DataFrame,
+    anchors: "DataFrame | None" = None,
+    pos_threshold: float = 0.9,
+    k_neg: int = 5,
+    data_id: str = "vec_id",
+    vec_col: str = "embedding",
+    neg_floor: "float | None" = None,
+    scorer: str = "native",
+    score_rounding: "int | None" = None,
+) -> DataFrame:
+    """Mine (anchor, positive, hard negatives) training triples for
+    embedding-model training (the E5/GTE contrastive recipe): per
+    anchor, the POSITIVE is its best other vector with cosine >=
+    ``pos_threshold`` (near-duplicate / paraphrase tier), and the
+    HARD NEGATIVES are the ``k_neg`` best vectors BELOW the
+    threshold (similar enough to be informative, not similar enough
+    to be false negatives) — optionally floored at ``neg_floor`` to
+    skip uninformative easy negatives. Anchors with no positive are
+    dropped; negatives may number fewer than ``k_neg``.
+
+    Output: ``[anchor_id, positive_id, positive_cos, negative_ids
+    (array, hardest first), negative_cos, n_negatives]``.
+    Deterministic: ties break by id everywhere.
+
+    Plan shape (the cosine_topk contract): scan(data) x
+    broadcast(anchors), one window per anchor over the bounded
+    candidate set — mine in ANCHOR BATCHES (``anchors`` = a slice of
+    the corpus per run), which is how contrastive mining runs
+    operationally anyway; an all-corpus-at-once pass at billions of
+    vectors belongs on the IVF index (``ann_ivf_topk`` + a
+    threshold split downstream). ``anchors=None`` uses ``data``
+    itself (self-mining; the self-pair is excluded).
+
+    ``score_rounding`` rounds the cosine to that many decimals
+    BEFORE thresholding and ranking — the cross-engine
+    certification hook (float summation order differs between
+    engines at ~1e-15; rounding first makes threshold membership
+    and rank order engine-deterministic). Leave None in production.
+    """
+    if k_neg < 0:
+        raise ValueError(f"k_neg must be >= 0, got {k_neg}")
+    score = _make_scorer(scorer)
+    a_src = data if anchors is None else anchors
+    a = F.broadcast(
+        a_src.select(
+            F.col(data_id).alias("anchor_id"),
+            F.col(vec_col).alias("_avec"),
+        )
+    )
+    cos = score("_dvec", "_avec")
+    if score_rounding is not None:
+        cos = F.round(cos, int(score_rounding))
+    scored = (
+        data.select(F.col(data_id), F.col(vec_col).alias("_dvec"))
+        .crossJoin(a)
+        .filter(F.col(data_id) != F.col("anchor_id"))
+        .withColumn("cosine", cos)
+    )
+    thr = F.lit(float(pos_threshold))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(data_id).asc()
+    )
+    pos = (
+        scored.filter(F.col("cosine") >= thr)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "anchor_id",
+            F.col(data_id).alias("positive_id"),
+            F.col("cosine").alias("positive_cos"),
+        )
+    )
+    negs = scored.filter(F.col("cosine") < thr)
+    if neg_floor is not None:
+        negs = negs.filter(F.col("cosine") >= F.lit(float(neg_floor)))
+    negs = (
+        negs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k_neg))
+        .groupBy("anchor_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("_r", F.col(data_id).alias("_id"), "cosine")
+                )
+            ).alias("_ns")
+        )
+        .select(
+            "anchor_id",
+            F.transform("_ns", lambda s: s["_id"]).alias(
+                "negative_ids"
+            ),
+            F.transform("_ns", lambda s: s["cosine"]).alias(
+                "negative_cos"
+            ),
+        )
+    )
+    empty_ids = F.array().cast(
+        f"array<{data.schema[data_id].dataType.simpleString()}>"
+    )
+    return (
+        pos.join(negs, on="anchor_id", how="left")
+        .withColumn(
+            "negative_ids", F.coalesce("negative_ids", empty_ids)
+        )
+        .withColumn(
+            "negative_cos",
+            F.coalesce("negative_cos", F.array().cast("array<double>")),
+        )
+        .withColumn(
+            "n_negatives", F.size("negative_ids").cast("int")
+        )
+    )

@@ -600,3 +600,89 @@ def test_residual_convention_warns_on_isotropic_corpus(spark):
     assert not any(
         "residual energy" in str(x.message) for x in wl2
     ), [str(x.message) for x in wl2]
+
+
+# ---- contrastive pair mining ----------------------------------------
+
+
+def _cp_fixture(spark):
+    # 0/1 near-identical (pos pair); 2 similar-but-below; 3 orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.045, 0.0]),
+        (2, [0.8, 0.6, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_contrastive_pairs_basic(spark):
+    from polaroam_spark.operators.similarity import (
+        mine_contrastive_pairs,
+    )
+
+    df = _cp_fixture(spark)
+    out = {
+        r.anchor_id: r
+        for r in mine_contrastive_pairs(
+            df, pos_threshold=0.95, k_neg=2
+        ).collect()
+    }
+    # anchors 0 and 1 find each other as positives
+    assert out[0].positive_id == 1 and out[1].positive_id == 0
+    assert out[0].positive_cos > 0.95
+    # hardest negative for 0 is 2 (cos 0.8), then 3 (cos 0)
+    assert list(out[0].negative_ids) == [2, 3]
+    assert out[0].n_negatives == 2
+    assert out[0].negative_cos[0] > out[0].negative_cos[1]
+    # anchors 2 and 3 have no positive above 0.95 -> dropped
+    assert set(out) == {0, 1}
+
+
+def test_contrastive_pairs_neg_floor_and_empty(spark):
+    from polaroam_spark.operators.similarity import (
+        mine_contrastive_pairs,
+    )
+
+    df = _cp_fixture(spark)
+    out = {
+        r.anchor_id: r
+        for r in mine_contrastive_pairs(
+            df, pos_threshold=0.95, k_neg=2, neg_floor=0.5
+        ).collect()
+    }
+    # floor drops the orthogonal vector from negatives
+    assert list(out[0].negative_ids) == [2]
+    # k_neg=0 yields empty arrays, rows kept
+    none = {
+        r.anchor_id: r
+        for r in mine_contrastive_pairs(
+            df, pos_threshold=0.95, k_neg=0
+        ).collect()
+    }
+    assert list(none[0].negative_ids) == []
+    assert none[0].n_negatives == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mine_contrastive_pairs(df, k_neg=-1)
+
+
+def test_contrastive_pairs_anchor_batch(spark):
+    import pyspark.sql.functions as F
+
+    from polaroam_spark.operators.similarity import (
+        mine_contrastive_pairs,
+    )
+
+    df = _cp_fixture(spark)
+    batch = df.filter(F.col("vec_id") == 0)
+    out = mine_contrastive_pairs(
+        df, anchors=batch, pos_threshold=0.95, k_neg=3
+    ).collect()
+    assert len(out) == 1 and out[0].anchor_id == 0
+    # self excluded even though anchor is in data
+    assert 0 not in set(out[0].negative_ids)
+    assert out[0].positive_id == 1
