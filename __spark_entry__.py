@@ -14017,6 +14017,49 @@ def n9(spark, sf_dir):
     )
 
 
+# Badword page gate (textstats.py:badword_stats + the curate_corpus
+# badwords stage, r18 — C4 §2.1's drop-any-hit page rule with a
+# caller-supplied blocklist). The oracle replays membership AND the
+# hit arithmetic: blocklist = two real corpus tokens ('slow',
+# 'merge'), threshold 0 — a page survives iff neither token appears.
+@_q(
+    "q12_badword_curation",
+    r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t != '') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t = 'slow' OR t = 'merge'))
+           AS n_hits,
+         len(toks) AS n_toks
+  FROM toks
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_badword_hits
+FROM st WHERE n_toks > 0 AND CAST(n_hits AS DOUBLE) / n_toks <= 0.0""",
+)
+def q12(spark, sf_dir):
+    from polaroam_spark.operators.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, _ = curate_corpus(
+        docs,
+        badwords=["slow", "merge"],
+        max_badword_ratio=0.0,
+        dedup=None,
+        with_stats=False,
+    )
+    from polaroam_spark.operators.textstats import badword_stats
+
+    # re-attach the hit count so the gate pins the ARITHMETIC, not
+    # just membership (survivors all have 0 hits by construction —
+    # the join proves the stage used the same counting rule)
+    return badword_stats(kept, ["slow", "merge"]).select(
+        "doc_id", "n_badword_hits"
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -14071,6 +14114,7 @@ _PRIORITY = [
     "t59_unigram_prune", "k12_materialize_batches",
     "t60_wordpiece_prune", "u3_canonicalize_url",
     "s20_file_pruning_report", "n9_contrastive_pairs",
+    "q12_badword_curation",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

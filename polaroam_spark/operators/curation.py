@@ -31,6 +31,8 @@ def curate_corpus(
     max_tokens: int | None = None,
     gopher: bool = False,
     quality_threshold: float | None = None,
+    badwords: "DataFrame | list[str] | None" = None,
+    max_badword_ratio: "float | None" = None,
     min_token_entropy: float | None = None,
     min_compression_ratio: float | None = None,
     compression_level: int = 6,
@@ -73,7 +75,11 @@ def curate_corpus(
     Stage order (each opt-in): strip_html → c4_line_filter (rewrites
     ``text``; its counts feed the later length filter rather than
     dropping directly) → min/max token filters → Gopher rule gate →
-    ``quality_score`` threshold → token-entropy gate
+    ``quality_score`` threshold → badword gate (``badwords`` +
+    ``max_badword_ratio``: the C4 §2.1 page rule at 0.0 — any
+    blocklist hit drops the page; list caller-supplied, exact
+    lowercased-token matching via :func:`~polaroam_spark.operators.\
+textstats.badword_stats`) → token-entropy gate
     (``min_token_entropy``: drop low-entropy keyword-stuffed docs;
     compared at the operator's 6-decimal rounding so boundary
     membership is engine-deterministic and SQL-replayable) →
@@ -197,6 +203,26 @@ kn_ngram_logprob_vs_reference` at ``perplexity_order`` (default 3
             "quality",
             scored.filter(
                 F.col("quality_score") >= float(quality_threshold)
+            ).select(*cur.columns),
+        )
+    if (badwords is None) != (max_badword_ratio is None):
+        raise ValueError(
+            "badword stage needs BOTH badwords and "
+            "max_badword_ratio (0.0 = the C4 drop-any-hit rule)"
+        )
+    if badwords is not None:
+        from polaroam_spark.operators.textstats import badword_stats
+
+        flagged = badword_stats(
+            cur, badwords, text_col=text_col, id_col=id_col
+        )
+        # ratio NULL (empty text) drops — the conservative read;
+        # <= so 0.0 keeps genuinely clean docs and drops any hit
+        cur = _stage(
+            "badwords",
+            flagged.filter(
+                F.col("badword_ratio")
+                <= float(max_badword_ratio)
             ).select(*cur.columns),
         )
     if min_token_entropy is not None:

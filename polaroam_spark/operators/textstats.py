@@ -2140,3 +2140,62 @@ def canonicalize_url(
     return F.when(u.isNull(), F.lit(None)).when(
         ~u.contains("://"), u
     ).otherwise(canon)
+
+
+def badword_stats(
+    df: DataFrame,
+    words: "DataFrame | list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append the C4 §2.1 badword-page signals: ``n_badword_hits``
+    (total lowercased-token OCCURRENCES matching the blocklist),
+    ``badword_ratio`` (hits / token count) and ``has_badword`` — the
+    page-level counterpart of :func:`c4_line_filter`'s line rules
+    (C4 drops any page with a single hit; gentler pipelines
+    threshold the ratio). The word list is CALLER-SUPPLIED (a
+    DataFrame with a ``word`` column or a Python list) — like the
+    PSL in :func:`attach_registered_domain`, blocklists are
+    versioned external artifacts, deliberately not bundled.
+
+    Matching is exact on lowercased whitespace tokens (the
+    library's ``tokens()`` rule — no substring matching: "class"
+    must not hit a 3-letter entry). Plan shape: one token explode +
+    a BROADCAST semi-side join against the (tiny) word list + a
+    doc-keyed count of HITS only, joined back — corpus text never
+    shuffles, only the hit rows do. NULL/empty text rows get 0
+    hits, NULL ratio.
+    """
+    if isinstance(words, (list, tuple)):
+        if not words:
+            raise ValueError("badword_stats: empty word list")
+        wdf = df.sparkSession.createDataFrame(
+            [(str(w).lower(),) for w in words], "word string"
+        )
+    else:
+        wdf = words.select(
+            F.lower(F.col("word")).alias("word")
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    hits = (
+        toks.join(F.broadcast(wdf.distinct()), on="word")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_badword_hits"))
+    )
+    n_tok = F.size(tokens(text_col))
+    out = df.join(hits, on=id_col, how="left").withColumn(
+        "n_badword_hits",
+        F.coalesce("n_badword_hits", F.lit(0)).cast("long"),
+    )
+    return out.withColumn(
+        "badword_ratio",
+        F.when(
+            n_tok > 0,
+            F.col("n_badword_hits") / n_tok.cast("double"),
+        ),
+    ).withColumn(
+        "has_badword", F.col("n_badword_hits") > 0
+    )

@@ -1511,3 +1511,68 @@ def test_canonicalize_url_custom_tracking_and_slash(spark):
         ).alias("c")
     ).collect()[0].c
     assert got == "https://a.com/x/?k=1"
+
+
+# ---- badword stats ---------------------------------------------------
+
+
+def test_badword_stats_counts_and_ratio(spark):
+    from polaroam_spark.operators.textstats import badword_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text here"),
+            (2, "spam word SPAM again"),
+            (3, None),
+            (4, "classy words unrelated"),  # no substring matching
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in badword_stats(df, ["spam", "junk"]).collect()
+    }
+    assert out[1].n_badword_hits == 0 and not out[1].has_badword
+    assert out[2].n_badword_hits == 2  # lowercased occurrences
+    assert abs(out[2].badword_ratio - 2 / 4) < 1e-12
+    assert out[3].n_badword_hits == 0 and out[3].badword_ratio is None
+    assert out[4].n_badword_hits == 0  # 'classy' != 'class'-style hit
+
+
+def test_badword_stats_dataframe_list_and_errors(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.textstats import badword_stats
+
+    df = spark.createDataFrame(
+        [(1, "a BAD day")], "doc_id long, text string"
+    )
+    words = spark.createDataFrame([("Bad",)], "word string")
+    r = badword_stats(df, words).collect()[0]
+    assert r.n_badword_hits == 1 and r.has_badword
+    with _pt.raises(ValueError, match="empty word list"):
+        badword_stats(df, [])
+
+
+def test_curate_badword_stage(spark):
+    from polaroam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "totally fine document", "a"),
+            (2, "contains spam once", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    kept, stats = curate_corpus(
+        docs,
+        badwords=["spam"],
+        max_badword_ratio=0.0,
+        dedup=None,
+    )
+    assert {r.doc_id for r in kept.collect()} == {1}
+    assert "badwords" in [r.stage for r in stats.collect()]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="badword stage"):
+        curate_corpus(docs, badwords=["spam"], dedup=None)
