@@ -152,6 +152,41 @@ def cmd_corpus(args) -> None:
         df = gopher_quality_flags(df, text_col=args.text_col).filter(
             "passes_gopher"
         ).select(*in_cols)
+    if args.badwords:
+        from pyspark.sql import functions as F
+
+        from polaroam_spark.operators.textstats import badword_stats
+
+        in_cols = df.columns
+        df = badword_stats(
+            df,
+            [w for w in args.badwords.split(",") if w],
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).filter(
+            F.col("badword_ratio") <= args.max_badword_ratio
+        ).select(*in_cols)
+    if args.min_token_entropy is not None:
+        from pyspark.sql import functions as F
+
+        from polaroam_spark.operators.textstats import token_entropy
+
+        in_cols = df.columns
+        df = token_entropy(df, args.text_col).filter(
+            F.round("token_entropy", 6) >= args.min_token_entropy
+        ).select(*in_cols)
+    if args.min_compression_ratio is not None:
+        from pyspark.sql import functions as F
+
+        from polaroam_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        in_cols = df.columns
+        df = compression_ratio(df, args.text_col).filter(
+            F.col("compression_ratio")
+            >= args.min_compression_ratio
+        ).select(*in_cols)
     if args.classifier_model:
         import json as _json
 
@@ -826,6 +861,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pk.add_argument("--jaccard-threshold", type=float, default=0.8)
     pk.add_argument("--gopher-filter", action="store_true")
+    pk.add_argument(
+        "--badwords", default=None,
+        help="comma-separated blocklist; pages over "
+        "--max-badword-ratio drop (C4 page rule at the 0.0 default)",
+    )
+    pk.add_argument(
+        "--max-badword-ratio", type=float, default=0.0
+    )
+    pk.add_argument(
+        "--min-token-entropy", type=float, default=None,
+        help="drop low-entropy (keyword-stuffed) pages",
+    )
+    pk.add_argument(
+        "--min-compression-ratio", type=float, default=None,
+        help="drop pages that zlib-deflate below this ratio "
+        "(long-range repetition)",
+    )
     pk.add_argument(
         "--classifier-model",
         default=None,

@@ -896,3 +896,27 @@ def test_cli_tokenize_prune_to(spark, tmpdir):
             "tokenize", "--input", src, "--output", out,
             "--prune-to", "300",
         ])
+
+
+def test_cli_corpus_signal_gates(spark, tmpdir):
+    from polaroam_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary document with many words", "a"),
+            (2, "contains spam inside otherwise fine words", "a"),
+            (3, "buy buy buy buy buy buy buy buy", "a"),  # low entropy
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmpdir.join("docs"))
+    docs.write.parquet(src)
+    out = str(tmpdir.join("kept"))
+    assert main([
+        "corpus", "--input", src, "--output", out,
+        "--dedup", "none",
+        "--badwords", "spam,junk",
+        "--min-token-entropy", "1.5",
+    ]) == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
