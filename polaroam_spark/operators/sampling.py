@@ -550,3 +550,86 @@ def gumbel_topk_sample(
         seed=seed + 101,
     ).select(key)
     return weighted.join(keep, on=key, how="left_semi")
+
+
+def interleave_order(
+    df: DataFrame,
+    group_col: str,
+    weights: "dict[str, float]",
+    key: str = "doc_id",
+    seed: int = 41,
+    order_col: str = "interleave_key",
+    num_shards: "int | None" = None,
+) -> DataFrame:
+    """Deterministic weighted INTERLEAVING order across corpora —
+    the training-order half of domain mixing (``mixture_plan`` /
+    ``temperature_sample`` decide WHICH documents; this decides the
+    ORDER the loader sees them in, so a 70/30 web/code mixture
+    arrives ~70/30 in every training window instead of web-then-code
+    in giant runs): stride scheduling, the classic deterministic
+    fair-queue rule. Each group's rows get a hash-shuffled
+    within-group rank ``rn`` (a pure function of (key, seed) — the
+    :func:`deterministic_shuffle` permutation per group) and a
+    virtual time ``rn / weight``; reading rows in virtual-time order
+    interleaves groups proportionally to their weights at every
+    prefix. Zero-/negative-weight or unlisted groups are REJECTED
+    loudly (an unlisted group silently never scheduled would starve
+    a corpus).
+
+    Appends ``order_col`` (struct<vtime double, group, rn long>) —
+    the total-order sort key. The row ORDER is the contract, not a
+    dense integer: materializing global positions would need a
+    single-task pass, while sorting by the key is a range-partitioned
+    distributed sort. With ``num_shards``, rows land
+    ``repartitionByRange(order_col)`` + sorted within shards — the
+    sharded-writer layout (files internally ordered, file set
+    globally ordered), no total-order merge anywhere. ``vtime`` is
+    ``rn / weight`` with both operands exact (integer rank, literal
+    weight), so the key is bit-identical across engines — a SQL
+    oracle replays the full order with no rounding.
+    """
+    missing_or_bad = {
+        g: w for g, w in weights.items() if not (float(w) > 0.0)
+    }
+    if missing_or_bad:
+        raise ValueError(
+            f"interleave_order: non-positive weights {missing_or_bad}"
+        )
+    groups = [
+        r[0]
+        for r in df.select(group_col).distinct().collect()
+    ]  # bounded: one row per corpus/domain
+    unlisted = sorted(
+        str(g) for g in groups if g not in weights
+    )
+    if unlisted:
+        raise ValueError(
+            "interleave_order: groups without a weight (would "
+            f"starve): {unlisted}"
+        )
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(key).cast("string"), seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key))
+    rn = F.row_number().over(w).cast("long")
+    wexpr = None
+    for g, wt in weights.items():
+        c = F.lit(float(wt))
+        wexpr = (
+            F.when(F.col(group_col) == g, c)
+            if wexpr is None
+            else wexpr.when(F.col(group_col) == g, c)
+        )
+    out = df.withColumn("_rn", rn).withColumn(
+        order_col,
+        F.struct(
+            (F.col("_rn").cast("double") / wexpr).alias("vtime"),
+            F.col(group_col).alias("group"),
+            F.col("_rn").alias("rn"),
+        ),
+    ).drop("_rn")
+    if num_shards is not None:
+        return out.repartitionByRange(
+            int(num_shards), F.col(order_col)
+        ).sortWithinPartitions(F.col(order_col))
+    return out.orderBy(F.col(order_col))
