@@ -574,7 +574,9 @@ def interleave_order(
     interleaves groups proportionally to their weights at every
     prefix. Zero-/negative-weight or unlisted groups are REJECTED
     loudly (an unlisted group silently never scheduled would starve
-    a corpus).
+    a corpus); that check is one bounded distinct-collect over
+    ``group_col`` — groups are corpora/domains (a handful), never
+    row keys.
 
     Appends ``order_col`` (struct<vtime double, group, rn long>) —
     the total-order sort key. The row ORDER is the contract, not a

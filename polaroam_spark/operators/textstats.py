@@ -2169,10 +2169,35 @@ def badword_stats(
     if isinstance(words, (list, tuple)):
         if not words:
             raise ValueError("badword_stats: empty word list")
+        phrases = [
+            w for w in words if any(ch.isspace() for ch in str(w))
+        ]
+        if phrases:
+            # matching is per whitespace TOKEN, so a multi-word
+            # entry can never hit — silently keeping it would make
+            # the blocklist look applied when it is not (the real
+            # C4 list contains phrases; split them into their
+            # words, or match phrases with the span machinery)
+            raise ValueError(
+                "badword_stats matches single tokens; these "
+                f"entries contain whitespace and can never match: "
+                f"{phrases[:5]}"
+            )
         wdf = df.sparkSession.createDataFrame(
             [(str(w).lower(),) for w in words], "word string"
         )
     else:
+        bad = (
+            words.filter(F.col("word").rlike(r"\s"))
+            .limit(5)
+            .collect()
+        )  # bounded: blocklists are small
+        if bad:
+            raise ValueError(
+                "badword_stats matches single tokens; these "
+                "entries contain whitespace and can never match: "
+                f"{[r.word for r in bad]}"
+            )
         wdf = words.select(
             F.lower(F.col("word")).alias("word")
         )

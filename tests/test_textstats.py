@@ -1576,3 +1576,20 @@ def test_curate_badword_stage(spark):
 
     with _pt.raises(ValueError, match="badword stage"):
         curate_corpus(docs, badwords=["spam"], dedup=None)
+
+
+def test_badword_stats_rejects_phrases(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.textstats import badword_stats
+
+    df = spark.createDataFrame(
+        [(1, "some text")], "doc_id long, text string"
+    )
+    with _pt.raises(ValueError, match="can never match"):
+        badword_stats(df, ["ok", "two words"])
+    words = spark.createDataFrame(
+        [("fine",), ("bad phrase",)], "word string"
+    )
+    with _pt.raises(ValueError, match="can never match"):
+        badword_stats(df, words)
