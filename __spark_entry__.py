@@ -14101,6 +14101,36 @@ def smp11(spark, sf_dir):
     )
 
 
+# Duplicate-cluster histogram (dedup.py:dedup_cluster_histogram,
+# r18 — the data card every dedup decision starts from). The
+# documents table is all-distinct, so the gate keys on the first 30
+# characters to manufacture real collisions; the oracle replays the
+# md5 keying and both aggregation levels exactly.
+@_q(
+    "d15_dedup_cluster_histogram",
+    "WITH k AS (SELECT md5(substr(text, 1, 30)) AS key "
+    "FROM documents WHERE text IS NOT NULL), "
+    "c AS (SELECT key, count(*) AS sz FROM k GROUP BY key) "
+    "SELECT CAST(sz AS BIGINT) AS cluster_size, "
+    "CAST(count(*) AS BIGINT) AS n_clusters, "
+    "CAST(sz * count(*) AS BIGINT) AS n_docs "
+    "FROM c GROUP BY sz",
+)
+def d15(spark, sf_dir):
+    from polaroam_spark.operators.dedup import (
+        dedup_cluster_histogram,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.substring("text", 1, 30).alias("text")
+        )
+    )
+    return dedup_cluster_histogram(docs, normalized=False)
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was
@@ -14160,7 +14190,7 @@ _PRIORITY = [
     "t59_unigram_prune", "k12_materialize_batches",
     "t60_wordpiece_prune", "u3_canonicalize_url",
     "s20_file_pruning_report", "n9_contrastive_pairs",
-    "q12_badword_curation", "smp11_interleave_order",
+    "q12_badword_curation", "smp11_interleave_order", "d15_dedup_cluster_histogram",
     "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
     "c3b_dbscan_distributed",
     "c4_cluster_medoids", "c5_convex_hull",

@@ -1744,3 +1744,47 @@ def semantic_dedup(
         kmeans_iterations, scorer, index,
     )
     return _survivors(embeddings, pairs, id_col, transitive, keep=keep)
+
+
+def dedup_cluster_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = True,
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the data card every dedup
+    decision starts from (and every dedup paper reports): one row
+    per cluster size, ``[cluster_size, n_clusters, n_docs]``. Read
+    it as: ``cluster_size=1`` rows are unique documents;
+    ``sum(n_docs) - sum(n_clusters)`` is exactly how many rows
+    :func:`dedup_exact` would remove; a heavy tail at large sizes
+    says boilerplate/mirrors dominate and near-dedup thresholds
+    should be tuned on those clusters first.
+
+    Same keying rule as :func:`dedup_exact` (md5 of the optionally
+    normalized text — the shuffle carries 32-byte hashes, never
+    bodies; NULL texts excluded: null means unknown, not identical).
+    Two map-side-combined aggregations — the first's output is one
+    row per DISTINCT text, the second's one row per distinct
+    cluster SIZE. No driver-side state anywhere.
+    """
+    key = (
+        normalize_text(text_col) if normalized else F.col(text_col)
+    )
+    sizes = (
+        docs.withColumn("_key", F.md5(key))
+        .filter(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(F.count("*").alias("_sz"))
+    )
+    return (
+        sizes.groupBy("_sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("_sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+            (F.col("_sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

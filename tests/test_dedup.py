@@ -972,3 +972,56 @@ def test_eval_contamination_report(spark):
         ).collect()
     }
     assert off[102] == 0 and off[100] == 2
+
+
+# ---- dup-cluster histogram ------------------------------------------
+
+
+def test_dedup_cluster_histogram(spark):
+    from polaroam_spark.operators.dedup import (
+        dedup_cluster_histogram,
+        dedup_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text"),
+            (2, "same text"),
+            (3, "same text"),
+            (4, "other text"),
+            (5, "other text"),
+            (6, "unique"),
+            (7, None),
+            (8, None),
+        ],
+        "doc_id long, text string",
+    )
+    hist = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in dedup_cluster_histogram(docs).collect()
+    }
+    # NULL texts excluded from clustering entirely
+    assert hist == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+    removed = sum(d - c for c, d in hist.values())
+    survivors = dedup_exact(docs).count()
+    assert survivors == docs.count() - removed  # 8 - 3 = 5
+
+
+def test_dedup_cluster_histogram_normalization_toggle(spark):
+    from polaroam_spark.operators.dedup import dedup_cluster_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "Hello"), (2, "hello")], "doc_id long, text string"
+    )
+    norm = {
+        r.cluster_size: r.n_clusters
+        for r in dedup_cluster_histogram(docs).collect()
+    }
+    raw = {
+        r.cluster_size: r.n_clusters
+        for r in dedup_cluster_histogram(
+            docs, normalized=False
+        ).collect()
+    }
+    assert norm == {2: 1}  # casefolded: one cluster of two
+    assert raw == {1: 2}
