@@ -516,13 +516,19 @@ def file_pruning_report(
         ]
     )
 
+    # the worker rebuilds the filesystem from the ORIGINAL uri, not
+    # from the listed paths: pyarrow listings return SCHEME-LESS
+    # paths ("bucket/key"), so deriving the fs from them would open
+    # object-store files through LocalFileSystem and fail
+    src_uri = path if "://" in path else None
+
     def _footers(batches):
         import pyarrow.fs as _pafs
         import pyarrow.parquet as _pq
 
         _fs = (
-            _pafs.FileSystem.from_uri(files[0])[0]
-            if "://" in files[0]
+            _pafs.FileSystem.from_uri(src_uri)[0]
+            if src_uri
             else _pafs.LocalFileSystem()
         )
         for pdf in batches:

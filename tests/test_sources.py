@@ -631,7 +631,7 @@ def test_file_pruning_report_sorted_layout(spark, tmpdir):
 
     from polaroam_spark.sources.io import file_pruning_report
 
-    path = str(tmpdir.join("sorted"))
+    path = f"{tmpdir}/sorted"
     # 1000 rows sorted by k, forced into ~10 files
     (
         spark.range(1000)
@@ -671,7 +671,7 @@ def test_file_pruning_report_sorted_layout(spark, tmpdir):
 def test_file_pruning_report_missing_column_scans_all(spark, tmpdir):
     from polaroam_spark.sources.io import file_pruning_report
 
-    path = str(tmpdir.join("nocol"))
+    path = f"{tmpdir}/nocol"
     spark.range(10).write.parquet(path)
     rep = file_pruning_report(spark, path, "nope", 0, 1).collect()
     assert rep and all(r.would_scan for r in rep)
@@ -685,7 +685,31 @@ def test_file_pruning_report_empty_dir_raises(spark, tmpdir):
 
     import os
 
-    empty = str(tmpdir.join("empty"))
+    empty = f"{tmpdir}/empty"
     os.makedirs(empty, exist_ok=True)
     with _pt.raises(ValueError, match="no parquet files"):
         file_pruning_report(spark, empty, "k", 0, 1)
+
+
+def test_file_pruning_report_file_uri(spark, tmpdir):
+    # exercise the URI path: file:// listings come back scheme-less
+    # from pyarrow, so the worker must rebuild the fs from the
+    # ORIGINAL uri, not the listed paths
+    import pyspark.sql.functions as F
+
+    from polaroam_spark.sources.io import file_pruning_report
+
+    local = f"{tmpdir}/uri_ds"
+    (
+        spark.range(100)
+        .select(F.col("id").alias("k"))
+        .orderBy("k")
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", 25)
+        .parquet(local)
+    )
+    rep = file_pruning_report(
+        spark, f"file://{local}", "k", 10, 30
+    ).collect()
+    assert sum(r.n_rows for r in rep) == 100
+    assert any(not r.would_scan for r in rep)
