@@ -857,6 +857,13 @@ def length_bucketed_batches(
     S = int(shards_per_bucket)
     if S < 1:
         raise ValueError("shards_per_bucket must be >= 1")
+    if S > (1 << 20):
+        # the shard field owns bits 30..49 of batch_id; a larger S
+        # would silently collide shards into the exponent range
+        raise ValueError(
+            f"shards_per_bucket must be <= 2^20 (the 20-bit shard "
+            f"field of batch_id), got {S}"
+        )
     n = F.col(n_tokens_col)
     # ceil_log2(x) for x >= 2 as the bit length of x-1; clamp to the
     # min bucket first so the exponent is always >= log2(min_bucket).
@@ -906,6 +913,22 @@ def length_bucketed_batches(
     local = (
         (F.row_number().over(w) - 1).cast("long") / rows_per_batch
     ).cast("long")
+    # the local index owns bits 0..29; overflow would collide into
+    # the shard/exponent fields — executor-side raise (no extra
+    # pass), same lazy-validation pattern as the n_tokens guard
+    local = F.when(local < F.lit(1 << 30), local).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "length_bucketed_batches: more than 2^30 "
+                    "batches in one bucket shard — raise "
+                    "shards_per_bucket (local batch index "
+                ),
+                local.cast("string"),
+                F.lit(" overflows the 30-bit field)"),
+            )
+        )
+    )
     shard_off = (
         F.col("_shard") * F.lit(1 << 30) if S > 1 else F.lit(0)
     )

@@ -2198,6 +2198,12 @@ def badword_stats(
                 "entries contain whitespace and can never match: "
                 f"{[r.word for r in bad]}"
             )
+        if not words.limit(1).count():
+            # same failure mode as the empty Python list: every doc
+            # would report 0 hits and the blocklist would LOOK
+            # applied — bounded probe, same cost class as the
+            # phrase check above
+            raise ValueError("badword_stats: empty word list")
         wdf = words.select(
             F.lower(F.col("word")).alias("word")
         )

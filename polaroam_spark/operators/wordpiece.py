@@ -53,6 +53,13 @@ from polaroam_spark.operators.tokenize import (
     _pre_re,
 )
 
+import re as _re
+
+# BERT-family control-token form: [PAD], [CLS], [SEP], [MASK],
+# [unused0]… — never emitted by wordpiece_encode (usage 0) but load-
+# bearing for downstream consumers, so pruning protects them.
+_SPECIAL_FORM = _re.compile(r"\[[^\[\]]+\]")
+
 
 def train_wordpiece(
     df: DataFrame,
@@ -635,6 +642,7 @@ def prune_wordpiece_vocab(
     target_vocab_size: int,
     text_col: str = "text",
     min_usage: int = 0,
+    protected_tokens: "list[str] | None" = None,
 ) -> dict:
     """Shrink a trained WordPiece model to ``target_vocab_size`` by
     corpus usage — the :func:`~polaroam_spark.operators.unigram.
@@ -652,13 +660,28 @@ def prune_wordpiece_vocab(
     the alphabet guard a pruned continuation would UNK whole words
     — silent signal loss).
 
+    SPECIAL TOKENS are also protected: any vocab entry of the
+    bracketed ``[TOK]`` form (``[PAD]``/``[CLS]``/``[SEP]``/
+    ``[MASK]``/``[unused17]``…) survives by default even though
+    :func:`wordpiece_encode` never emits it (usage 0) — a model
+    loaded from a published BERT ``vocab.txt`` via
+    :func:`load_wordpiece` must keep its control tokens or every
+    downstream consumer that reserves them breaks. Pass
+    ``protected_tokens`` to protect additional entries (e.g.
+    ``<s>``-style specials from a non-BERT layout); every listed
+    token must exist in the vocab or this raises — a silently
+    ignored protection is worse than none.
+
     Multi-char pieces rank by usage count descending, then original
     id (train emission order) — deterministic; ``min_usage``
     additionally drops pieces used fewer than that many times. Kept
-    entries re-id densely in ORIGINAL id order, so ``[UNK]`` keeps
-    id 0 and relative order is stable. Plan shape: one distributed
-    encode pass + an id-count aggregation bounded by vocab size —
-    the train_bpe driver split.
+    entries re-id densely in ORIGINAL id order, so relative order
+    is stable and every protected token keeps its rank among
+    survivors; ``[UNK]`` keeps id 0 only when it was originally
+    first (the ``train_wordpiece`` layout — published BERT vocabs
+    place it at id 100, where it stays at its new dense rank). Plan
+    shape: one distributed encode pass + an id-count aggregation
+    bounded by vocab size — the train_bpe driver split.
     """
     if model.get("type") != "wordpiece":
         raise ValueError(
@@ -672,9 +695,23 @@ def prune_wordpiece_vocab(
     def _content(t: str) -> str:
         return t[len(cp):] if t.startswith(cp) and t != cp else t
 
-    protected = {unk} | {
-        t for t in vocab if t != unk and len(_content(t)) == 1
-    }
+    explicit = list(protected_tokens or [])
+    missing = [t for t in explicit if t not in vocab]
+    if missing:
+        raise ValueError(
+            f"protected_tokens not in the vocab: {missing[:5]} — a "
+            "protection that silently no-ops would still prune them"
+        )
+    protected = (
+        {unk}
+        | set(explicit)
+        | {t for t in vocab if t != unk and len(_content(t)) == 1}
+        | {
+            t
+            for t in vocab
+            if _SPECIAL_FORM.fullmatch(t) is not None
+        }
+    )
     tgt = int(target_vocab_size)
     if tgt < len(protected):
         raise ValueError(

@@ -690,6 +690,30 @@ def test_length_buckets_errors(spark):
     clash = df.withColumn("batch_id", F.lit(1))
     with _pt.raises(ValueError):
         length_bucketed_batches(clash)
+    # the shard field is 20 bits of batch_id — a larger S would
+    # silently collide into the exponent range
+    with _pt.raises(ValueError, match="2\\^20"):
+        length_bucketed_batches(df, shards_per_bucket=(1 << 20) + 1)
+    assert (
+        length_bucketed_batches(df, shards_per_bucket=1 << 20)
+        is not None
+    )
+
+
+def test_length_buckets_local_index_overflow_guard(spark):
+    # the 30-bit local-index overflow raises executor-side instead
+    # of silently colliding batch_ids: with batch_tokens == one row
+    # every row is its own batch, so row_number exercises the guard
+    # expression; 2^30 real rows is not testable, but the guard
+    # column must exist in the plan and pass for in-range input
+    from polaroam_spark.operators.chunking import (
+        length_bucketed_batches,
+    )
+
+    df = _len_df(spark, [16] * 5)
+    plan = length_bucketed_batches(df, batch_tokens=16)
+    assert "raise_error" in plan._jdf.queryExecution().analyzed().toString()
+    assert plan.count() == 5
 
 
 def test_batch_padding_stats_exact_small(spark):

@@ -1552,6 +1552,9 @@ def test_badword_stats_dataframe_list_and_errors(spark):
     assert r.n_badword_hits == 1 and r.has_badword
     with _pt.raises(ValueError, match="empty word list"):
         badword_stats(df, [])
+    # a 0-row DataFrame blocklist is the same silent failure mode
+    with _pt.raises(ValueError, match="empty word list"):
+        badword_stats(df, words.limit(0))
 
 
 def test_curate_badword_stage(spark):

@@ -421,6 +421,74 @@ def test_wp_prune_validation_and_noop(spark):
         prune_wordpiece_vocab(df, {"type": "unigram"}, 100)
 
 
+def test_wp_prune_protects_bert_specials(spark, tmp_path):
+    import pytest as _pt
+
+    from polaroam_spark.operators.wordpiece import (
+        load_wordpiece,
+        prune_wordpiece_vocab,
+        save_wordpiece,
+        train_wordpiece,
+    )
+
+    df, _ = _prune_fixture(spark)
+    base = train_wordpiece(df, vocab_size=80)
+    # rebuild the model in a published-BERT layout: specials first,
+    # [UNK] NOT at id 0, then the trained pieces in order
+    specials = ["[PAD]", "[unused0]", "[CLS]", "[SEP]", "[MASK]"]
+    toks = specials + [
+        t
+        for t, _i in sorted(base["vocab"].items(), key=lambda x: x[1])
+        if t != "[UNK]"
+    ]
+    toks.insert(7, "[UNK]")  # mid-file, like BERT's id 100
+    model = dict(base)
+    model["vocab"] = {t: i for i, t in enumerate(toks)}
+    p = str(tmp_path / "vocab.txt")
+    save_wordpiece(model, p)
+    loaded = load_wordpiece(p)
+
+    alphabet = sum(
+        1
+        for t in loaded["vocab"]
+        if len(t[2:] if t.startswith("##") else t) == 1
+        and not (t.startswith("[") and t.endswith("]"))
+    )
+    tgt = alphabet + len(specials) + 1 + 3
+    pruned = prune_wordpiece_vocab(df, loaded, tgt)
+    # every bracketed special survives despite usage 0
+    for s in specials + ["[UNK]"]:
+        assert s in pruned["vocab"], s
+    # dense re-id in original order: [PAD] was first, stays id 0;
+    # [UNK] keeps its rank among survivors, not id 0
+    assert pruned["vocab"]["[PAD]"] == 0
+    assert pruned["vocab"]["[UNK]"] != 0
+    order = sorted(pruned["vocab"].values())
+    assert order == list(range(len(order)))
+
+    # explicit protected_tokens: unknown entries raise loudly
+    with _pt.raises(ValueError, match="protected_tokens"):
+        prune_wordpiece_vocab(
+            df, loaded, tgt, protected_tokens=["<nope>"]
+        )
+    # a real multi-char non-bracketed entry can be protected
+    victim = next(
+        t
+        for t, _i in sorted(
+            loaded["vocab"].items(), key=lambda x: -x[1]
+        )
+        if len(t[2:] if t.startswith("##") else t) > 1
+        and not t.startswith("[")
+    )
+    kept = prune_wordpiece_vocab(
+        df,
+        loaded,
+        tgt,
+        protected_tokens=[victim],
+    )
+    assert victim in kept["vocab"]
+
+
 def test_wp_prune_keeps_most_used_multichar(spark):
     import pyspark.sql.functions as F
 
