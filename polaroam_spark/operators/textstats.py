@@ -362,7 +362,17 @@ def quality_stratified_filter(
     """Keep the top ``keep_fraction`` of documents per stratum by
     score (quality filtering that preserves the source mix instead of
     letting one high-scoring domain crowd out the corpus). One window
-    per stratum: rank / count <= fraction."""
+    per stratum: rank / count <= fraction.
+
+    Scale caveat: ``row_number`` ranks each stratum in ONE ordered
+    window task (spill-safe — sort, not a buffer — but
+    single-threaded per stratum), and a web corpus's dominant source
+    IS ~the corpus. For corpus-scale selection use the
+    :func:`~polaroam_spark.operators.selection.exact_global_topk`
+    band-refinement precedent (smp9b: a #rows-bounded approximate
+    cut prunes everything clearly in/out, then only the boundary
+    band sorts) or shard the stratum and accept per-shard fractions.
+    """
     w = Window.partitionBy(strata_col).orderBy(
         F.col(score_col).desc_nulls_last()
     )
@@ -421,9 +431,14 @@ def calibrate_scores(
     are different animals — their calibrated 0.8 is "top 20% of its
     source" for both).
 
-    One window per stratum — the same shuffle
-    :func:`quality_stratified_filter` already pays; rows within a
-    stratum sort once. Ties share a rank by default (SQL PERCENT_RANK
+    One window per stratum — the same shuffle (and the same scale
+    caveat) as :func:`quality_stratified_filter`: ``rank`` evaluates
+    each stratum in ONE ordered window task, spill-safe but
+    single-threaded, and the dominant stratum of a web corpus is
+    ~the corpus — at that scale reach for the smp9b band-refinement
+    precedent (approximate percentile cut first, sort only the
+    boundary band) or a sharded variant. Rows within a stratum sort
+    once. Ties share a rank by default (SQL PERCENT_RANK
     semantics): equal raw scores MUST calibrate equally, or a
     coarse-scored stratum would have byte-identical-quality docs
     spread across [0, 1] and selected arbitrarily by a threshold.
@@ -1106,6 +1121,46 @@ def _finite_score(score_col: str) -> Column:
     return F.when(~F.isnan(sc), sc)
 
 
+def _stratum_cuts(
+    df: DataFrame,
+    sc: Column,
+    strata_col: str,
+    points: "list[tuple[str, float]]",
+    accuracy: str,
+    approx_accuracy: int,
+) -> DataFrame:
+    """Per-stratum percentile cut table shared by
+    :func:`winsorize_scores` / :func:`robust_scale_scores` (the
+    :func:`perplexity_buckets` shape): ONE hash-partitioned
+    aggregation producing #strata rows — named cut columns per
+    ``points`` entry — that the caller broadcast-joins back. Never a
+    per-row window frame. ``accuracy='exact'`` uses Spark's exact
+    ``percentile`` (aggregation buffer is a value→count map, i.e.
+    ~stratum-sized for near-all-distinct doubles — fine until the
+    dominant stratum IS the corpus); ``'approx'`` is the 100 TB
+    path: a mergeable ``percentile_approx`` sketch bounded by
+    ``approx_accuracy`` regardless of stratum size, combining
+    map-side."""
+    if accuracy not in ("exact", "approx"):
+        raise ValueError(
+            f"accuracy must be 'exact' or 'approx' (got {accuracy!r})"
+        )
+    if accuracy == "exact":
+        cut = lambda p: F.percentile("_ws_s", F.lit(p))  # noqa: E731
+    else:
+        cut = lambda p: F.percentile_approx(  # noqa: E731
+            "_ws_s", F.lit(p), F.lit(int(approx_accuracy))
+        )
+    return (
+        df.select(
+            F.col(strata_col).alias("_ws_g"), sc.alias("_ws_s")
+        )
+        .filter(F.col("_ws_s").isNotNull())
+        .groupBy("_ws_g")
+        .agg(*[cut(p).alias(name) for name, p in points])
+    )
+
+
 def winsorize_scores(
     df: DataFrame,
     score_col: str = "quality_score",
@@ -1113,8 +1168,10 @@ def winsorize_scores(
     lower: float = 0.01,
     upper: float = 0.99,
     out_col: str = "winsorized_score",
+    accuracy: str = "exact",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
-    """Clamp scores to their per-stratum ``[lower, upper]`` exact
+    """Clamp scores to their per-stratum ``[lower, upper]``
     percentiles (winsorization) — the outlier guard a pipeline
     applies before averaging or regressing on heavy-tailed signals
     (lengths, perplexities, classifier logits), where a handful of
@@ -1122,24 +1179,56 @@ def winsorize_scores(
     the same reason :func:`calibrate_scores` is: the tails of curated
     text and web scrape are different animals.
 
-    One window shuffle on the stratum (the same exchange the other
-    per-stratum conditioners pay; exact ``F.percentile`` evaluates
-    over the whole partition frame). NULL and NaN scores stay NULL —
-    a failed scorer is not "at the 1st percentile" — and are
-    excluded from the percentile bounds (see :func:`_finite_score`).
+    Plan: one hash-partitioned aggregation computes both bounds per
+    stratum (#strata output rows), broadcast-joined back — the
+    :func:`perplexity_buckets` shape, NOT a per-row window frame.
+    NULL and NaN scores stay NULL — a failed scorer is not "at the
+    1st percentile" — and are excluded from the percentile bounds
+    (see :func:`_finite_score`).
+
+    ``accuracy`` — the exact-vs-mergeable trade (the r18
+    perplexity_buckets lesson, same buffer shape): ``'exact'``
+    (default, the t16 oracle contract) uses exact ``F.percentile``,
+    whose aggregation buffer is a value→count map per stratum —
+    near-all-distinct double scores make it ~STRATUM-sized, and on a
+    real web corpus the dominant source is ~the corpus, so one
+    reducer holds a corpus-scale buffer. ``'approx'`` is the 100 TB
+    path: a mergeable ``percentile_approx`` sketch whose state is
+    bounded by ``approx_accuracy`` (not stratum size), shifting each
+    bound by at most ``1/approx_accuracy`` of the stratum's rank
+    range — clamped rows then clamp to the shifted bound (their
+    values differ from exact by the bound shift), and the clamp
+    DECISION flips only for the sliver of rows between the exact and
+    sketch bounds (certified ≤ max(4, 1%) rows per stratum by the
+    t61 gate; measured 90/10-skew probe in BASELINE.md).
     """
     if not 0.0 <= float(lower) < float(upper) <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
-    w = Window.partitionBy(strata_col)
     sc = _finite_score(score_col)
-    lo = F.percentile(sc, F.lit(float(lower))).over(w)
-    hi = F.percentile(sc, F.lit(float(upper))).over(w)
+    cuts = _stratum_cuts(
+        df,
+        sc,
+        strata_col,
+        [("_ws_lo", float(lower)), ("_ws_hi", float(upper))],
+        accuracy,
+        approx_accuracy,
+    )
+    out = df.join(
+        F.broadcast(cuts),
+        F.col(strata_col).eqNullSafe(F.col("_ws_g")),
+        "left",
+    )
     # greatest/least SKIP nulls (a NULL score would come back as the
     # lower bound), so gate explicitly: NULL/NaN in, NULL out
-    return df.withColumn(
+    return out.withColumn(
         out_col,
-        F.when(sc.isNotNull(), F.least(F.greatest(sc, lo), hi)),
-    )
+        F.when(
+            sc.isNotNull(),
+            F.least(
+                F.greatest(sc, F.col("_ws_lo")), F.col("_ws_hi")
+            ),
+        ),
+    ).drop("_ws_g", "_ws_lo", "_ws_hi")
 
 
 def perplexity_buckets(
@@ -1256,6 +1345,8 @@ def robust_scale_scores(
     score_col: str = "quality_score",
     strata_col: str = "source",
     out_col: str = "scaled_score",
+    accuracy: str = "exact",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Median/IQR standardization per stratum:
     ``(score − median) / (p75 − p25)`` — the outlier-immune
@@ -1266,19 +1357,39 @@ def robust_scale_scores(
     Degenerate strata (IQR = 0: over half the scores identical)
     scale to NULL rather than ±inf — there is no spread to scale by,
     and propagating a sentinel 0 would silently rank every doc
-    "average". NULL and NaN scores stay NULL. Same single
-    stratum-partitioned window as :func:`winsorize_scores`.
+    "average". NULL and NaN scores stay NULL. Same #strata
+    aggregation + broadcast join-back as :func:`winsorize_scores`
+    (never a per-row window frame), and the same ``accuracy`` trade:
+    ``'exact'`` (default, the t17 oracle contract) buffers a
+    ~stratum-sized value→count map per reducer; ``'approx'`` is the
+    100 TB path — a mergeable ``percentile_approx`` sketch bounded
+    by ``approx_accuracy``, whose median/IQR differ from exact by at
+    most ``1/approx_accuracy`` of the stratum's rank range
+    (certified by the t61 gate; measured 90/10-skew probe in
+    BASELINE.md).
     """
-    w = Window.partitionBy(strata_col)
     sc = _finite_score(score_col)
-    med = F.percentile(sc, F.lit(0.5)).over(w)
-    iqr = F.percentile(sc, F.lit(0.75)).over(w) - F.percentile(
-        sc, F.lit(0.25)
-    ).over(w)
-    return df.withColumn(
-        out_col,
-        F.when(sc.isNotNull() & (iqr > 0), (sc - med) / iqr),
+    cuts = _stratum_cuts(
+        df,
+        sc,
+        strata_col,
+        [("_ws_p25", 0.25), ("_ws_med", 0.5), ("_ws_p75", 0.75)],
+        accuracy,
+        approx_accuracy,
     )
+    out = df.join(
+        F.broadcast(cuts),
+        F.col(strata_col).eqNullSafe(F.col("_ws_g")),
+        "left",
+    )
+    iqr = F.col("_ws_p75") - F.col("_ws_p25")
+    return out.withColumn(
+        out_col,
+        F.when(
+            sc.isNotNull() & (iqr > 0),
+            (sc - F.col("_ws_med")) / iqr,
+        ),
+    ).drop("_ws_g", "_ws_p25", "_ws_med", "_ws_p75")
 
 
 def duplicated_span_stats(

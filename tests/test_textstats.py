@@ -167,6 +167,96 @@ def test_winsorize_and_scale_treat_nan_as_null(spark):
     assert mid.scaled_score is not None
 
 
+def test_winsorize_robust_approx_knob(spark):
+    """The r19 approx path (the perplexity_buckets t55 pattern):
+    mergeable percentile_approx cuts as a #strata aggregate, never a
+    per-row window frame. On a 90/10-skewed fixture the clamped /
+    scaled outputs agree with exact within the sliver bound, and
+    NULL/NaN semantics are identical across paths."""
+    import math
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.textstats import (
+        robust_scale_scores,
+        winsorize_scores,
+    )
+
+    rows = [("big", (i * 37 % 1000) / 1000.0) for i in range(900)]
+    rows += [("small", (i * 91 % 500) / 500.0) for i in range(100)]
+    rows += [("big", None), ("big", float("nan"))]
+    df = spark.createDataFrame(rows, "source string, score double")
+    w = winsorize_scores(df, "score", "source", 0.05, 0.95, "we")
+    w = winsorize_scores(
+        w, "score", "source", 0.05, 0.95, "wa", accuracy="approx"
+    )
+    r = robust_scale_scores(w, "score", "source", "re")
+    r = robust_scale_scores(
+        r, "score", "source", "ra", accuracy="approx"
+    ).collect()
+    for row in r:
+        bad = row.score is None or math.isnan(row.score)
+        if bad:
+            assert row.we is None and row.wa is None
+            assert row.re is None and row.ra is None
+    good = [x for x in r if x.score is not None and not math.isnan(x.score)]
+    # clamp DECISIONS agree outside the sliver between the exact and
+    # sketch bounds (clamped VALUES legitimately differ by the cut
+    # shift for every clamped row, so value equality is not the
+    # contract — the decision is)
+    n_w_dis = sum(
+        1
+        for x in good
+        if (abs(x.we - x.score) > 1e-12)
+        != (abs(x.wa - x.score) > 1e-12)
+    )
+    n_r_dis = sum(1 for x in good if (x.re > 0) != (x.ra > 0))
+    assert n_w_dis <= max(4, len(good) // 100)
+    assert n_r_dis <= max(4, len(good) // 100)
+    # any value difference is confined to clamped rows
+    for x in good:
+        if abs(x.we - x.wa) > 1e-9:
+            assert (
+                abs(x.we - x.score) > 1e-12
+                or abs(x.wa - x.score) > 1e-12
+            )
+    with _pt.raises(ValueError, match="accuracy"):
+        winsorize_scores(df, "score", "source", accuracy="bogus")
+    with _pt.raises(ValueError, match="accuracy"):
+        robust_scale_scores(df, "score", "source", accuracy="nope")
+
+
+def test_winsorize_robust_plan_no_window_frame(spark):
+    """Both paths now compute cuts as ONE hash aggregation broadcast
+    back — the per-row exact-percentile window frame (the r18 OOM
+    shape perplexity_buckets eliminated) must be gone from the plan
+    for exact AND approx."""
+    from polaroam_spark.operators.textstats import (
+        robust_scale_scores,
+        winsorize_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)],
+        "source string, score double",
+    )
+    for fn, kw in (
+        (winsorize_scores, {}),
+        (winsorize_scores, {"accuracy": "approx"}),
+        (robust_scale_scores, {}),
+        (robust_scale_scores, {"accuracy": "approx"}),
+    ):
+        plan = (
+            fn(df, "score", "source", **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan, (fn.__name__, kw)
+        assert "BroadcastHashJoin" in plan, (fn.__name__, kw)
+
+
 def test_duplicated_span_stats(spark):
     from polaroam_spark.operators.textstats import duplicated_span_stats
 
