@@ -14206,6 +14206,112 @@ def t61(spark, sf_dir):
     )
 
 
+# Multiple-choice eval deck (sft.py:encode_eval_choices, r19 — the
+# lm-eval-harness multiple_choice shape next to sft5's single-
+# continuation loglikelihood): few-shot prompts from the SAME sft5
+# draw (k=3, seed 41, doc_id % 20 pool), three choices per item
+# (gold ' '||lang at index 0, then ' en', ' xx'), byte-identity
+# encode. The oracle replays the draw, the prompt render, and the
+# per-(item, choice) byte arithmetic (ids == prompt+choice UTF-8
+# bytes, loss == choice bytes, prompt_len == prompt bytes,
+# n_choice_bytes == the acc_norm currency); prefix-identity across
+# an item's rows is genuinely computed Spark-side (one xxhash64 per
+# prompt-slice, collect_set over the item window) and pinned TRUE.
+@_q(
+    "sft6_eval_choices",
+    "WITH it AS (SELECT doc_id AS iid, substr(text, 1, 64) AS q, "
+    "' ' || lang AS a FROM documents WHERE doc_id IS NOT NULL "
+    "AND text IS NOT NULL AND lang IS NOT NULL), "
+    "ex AS (SELECT * FROM it WHERE iid % 20 = 0), "
+    "r AS (SELECT i.iid, e.iid AS eid, e.q AS eq, e.a AS ea, "
+    "CAST(('0x' || substr(md5('41:' || CAST(i.iid AS VARCHAR) || "
+    "'|' || CAST(e.iid AS VARCHAR)), 1, 15)) AS BIGINT) AS h "
+    "FROM it i, ex e WHERE e.iid <> i.iid), "
+    "kk AS (SELECT *, row_number() OVER (PARTITION BY iid "
+    "ORDER BY h, eid) AS rn FROM r), "
+    "d AS (SELECT iid, string_agg(eq || ea || chr(10) || chr(10), "
+    "'' ORDER BY h, eid) AS shots FROM kk WHERE rn <= 3 "
+    "GROUP BY iid), "
+    "p AS (SELECT it.iid AS item_id, coalesce(d.shots, '') || it.q "
+    "AS prompt, it.a AS gold FROM it LEFT JOIN d ON it.iid = d.iid), "
+    "c AS (SELECT item_id, prompt, 0 AS ci, gold AS choice FROM p "
+    "UNION ALL SELECT item_id, prompt, 1, ' en' FROM p "
+    "UNION ALL SELECT item_id, prompt, 2, ' xx' FROM p) "
+    "SELECT item_id, CAST(ci AS INT) AS choice_index, "
+    "choice AS choice_text, "
+    "CAST(octet_length(encode(prompt)) + octet_length(encode(choice)) "
+    "AS INT) AS n_ids, "
+    "CAST(octet_length(encode(choice)) AS INT) AS n_loss, "
+    "CAST(octet_length(encode(prompt)) AS INT) AS prompt_len, "
+    "CAST(octet_length(encode(choice)) AS INT) AS n_choice_bytes, "
+    "ci = 0 AS is_gold, TRUE AS prefix_ok FROM c",
+)
+def sft6(spark, sf_dir):
+    from polaroam_spark.operators.sft import (
+        build_fewshot_prompts,
+        encode_eval_choices,
+    )
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    items = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+        )
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.substring("text", 1, 64).alias("input"),
+            F.concat(F.lit(" "), F.col("lang")).alias("target"),
+        )
+    )
+    pool = items.filter(F.col("item_id") % 20 == 0)
+    fs = (
+        build_fewshot_prompts(items, k=3, exemplars=pool, seed=41)
+        .withColumn(
+            "choices",
+            F.array(
+                F.col("continuation_text"),
+                F.lit(" en"),
+                F.lit(" xx"),
+            ),
+        )
+        .withColumn("answer", F.lit(0))
+    )
+    enc = encode_eval_choices(fs, ident, answer_col="answer")
+    w = Window.partitionBy("item_id")
+    prefix_ok = (
+        F.size(
+            F.collect_set(
+                F.xxhash64(
+                    F.slice(
+                        F.col("token_ids"), 1, F.col("prompt_len")
+                    ).cast("array<int>")
+                )
+            ).over(w)
+        )
+        == 1
+    )
+    return enc.select(
+        "item_id",
+        "choice_index",
+        "choice_text",
+        F.size("token_ids").alias("n_ids"),
+        F.size(
+            F.filter("loss_mask", lambda x: x == 1)
+        ).alias("n_loss"),
+        "prompt_len",
+        "n_choice_bytes",
+        "is_gold",
+        prefix_ok.alias("prefix_ok"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was

@@ -1029,6 +1029,139 @@ def encode_eval_prompts(
     )
 
 
+def encode_eval_choices(
+    df: DataFrame,
+    model: dict,
+    prompt_col: str = "prompt_text",
+    choices_col: str = "choices",
+    answer_col: "str | None" = None,
+    ids_col: str = "token_ids",
+    mask_col: str = "loss_mask",
+) -> DataFrame:
+    """Multiple-choice eval encoding — the OTHER lm-eval-harness
+    shape next to :func:`encode_eval_prompts`'s single-continuation
+    loglikelihood: one output row per (item, choice), each scoring
+    ``log p(choice | prompt)``; the harness then takes ``acc`` =
+    argmax of the per-choice loglikelihoods and ``acc_norm`` = argmax
+    after dividing by the choice's BYTE length — so every row
+    carries ``n_choice_bytes``, the length-normalization currency.
+
+    Per item the prompt (typically
+    :func:`build_fewshot_prompts` output) is encoded ONCE and every
+    choice row reuses that single encode — the
+    :func:`encode_preference_pairs` shared-prefix rule: the first
+    ``prompt_len`` ids are IDENTICAL across an item's rows by
+    construction, not by re-encode coincidence (a tokenizer may
+    merge across a prompt/choice boundary; per-segment encoding is
+    the defined semantics, same as :func:`encode_chat_sft`).
+    ``loss_mask`` is 1 exactly on the choice ids.
+
+    Output: ``df``'s columns + ``choice_index`` (0-based position in
+    ``choices_col``), ``choice_text``, ``ids_col``, ``mask_col``,
+    ``prompt_len`` (ids, not bytes), ``n_choice_bytes`` (UTF-8), and
+    — when ``answer_col`` names an int column holding the gold index
+    — ``is_gold``. One ``posexplode_outer`` per item: map-only, no
+    shuffle, Arrow-batched. NULL prompt or NULL/empty choices array
+    → one row with NULL ``choice_index``/ids/mask (no evidence, not
+    a zero-loss row); a NULL ELEMENT inside ``choices`` keeps its
+    row and index with NULL ids/mask.
+    """
+    reserved = {
+        "choice_index",
+        "choice_text",
+        "prompt_len",
+        "n_choice_bytes",
+        "is_gold",
+        ids_col,
+        mask_col,
+        "_ec",
+    }
+    clash = reserved & set(df.columns) - {prompt_col, choices_col}
+    if clash:
+        raise ValueError(
+            "encode_eval_choices reserves column names "
+            f"{sorted(reserved)}; rename {sorted(clash)} first"
+        )
+    if model.get("type") == "unigram":
+        from polaroam_spark.operators.unigram import _unigram_encoder
+
+        enc = _unigram_encoder(model)
+    elif model.get("type") == "wordpiece":
+        from polaroam_spark.operators.wordpiece import (
+            _wordpiece_encoder,
+        )
+
+        enc = _wordpiece_encoder(model)
+    else:
+        from polaroam_spark.operators.tokenize import _encoder
+
+        enc = _encoder(model)
+
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("ids", T.ArrayType(T.IntegerType())),
+                T.StructField("mask", T.ArrayType(T.IntegerType())),
+                T.StructField("plen", T.IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def _enc(p: pd.Series, cs: pd.Series) -> pd.Series:
+        rows = []
+        for pv, cv in zip(p, cs):
+            if pv is None or cv is None or len(cv) == 0:
+                rows.append(None)
+                continue
+            pi = enc(pv)
+            pm = [0] * len(pi)
+            item = []
+            for ch in cv:
+                if ch is None:
+                    item.append(
+                        {"ids": None, "mask": None, "plen": None}
+                    )
+                else:
+                    ci = enc(ch)
+                    item.append(
+                        {
+                            "ids": pi + ci,
+                            "mask": pm + [1] * len(ci),
+                            "plen": len(pi),
+                        }
+                    )
+            rows.append(item)
+        return pd.Series(rows)
+
+    tmp = df.withColumn(
+        "_ec", _enc(F.col(prompt_col), F.col(choices_col))
+    ).select(
+        *df.columns,
+        F.posexplode_outer("_ec").alias("choice_index", "_e"),
+    )
+    choice = F.element_at(
+        F.col(choices_col), F.col("choice_index") + 1
+    )
+    cols = [
+        *df.columns,
+        F.col("choice_index"),
+        choice.alias("choice_text"),
+        F.col("_e.ids").alias(ids_col),
+        F.col("_e.mask").alias(mask_col),
+        F.col("_e.plen").alias("prompt_len"),
+        F.octet_length(choice).alias("n_choice_bytes"),
+    ]
+    if answer_col is not None:
+        cols.append(
+            (
+                F.col("choice_index")
+                == F.col(answer_col).cast("int")
+            ).alias("is_gold")
+        )
+    return tmp.select(*cols)
+
+
 def encode_kto_examples(
     df: DataFrame,
     model: dict,

@@ -705,3 +705,99 @@ def test_kto_prompt_mask_zero_loss_on_completion(spark):
         mask = list(r.loss_mask)
         assert all(m == 0 for m in mask[: r.prompt_len])
         assert sum(mask) == (4 if r.desirable else 3)  # utf-8 bytes
+
+
+# ---- multiple-choice eval deck ---------------------------------------
+
+
+def test_eval_choices_prefix_identity_and_mask(spark):
+    """Per (item, choice) rows: the first prompt_len ids are
+    IDENTICAL across an item's rows by construction (the prompt is
+    encoded once), even under a TRAINED model whose merges could
+    cross a prompt/choice boundary on re-encode; loss mask 1 exactly
+    on the choice; n_choice_bytes is the acc_norm currency."""
+    from polaroam_spark.operators.sft import encode_eval_choices
+    from polaroam_spark.operators.tokenize import train_bpe
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox answer maybe yes no " * 3)
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = train_bpe(corpus, vocab_size=280)
+    df = spark.createDataFrame(
+        [
+            (1, "Q: sky color? A:", [" blue", " green", " 漢字"], 0),
+            (2, "Q: 2+2? A:", [" four", " five"], 0),
+        ],
+        "item_id long, prompt_text string, choices array<string>, "
+        "answer int",
+    )
+    rows = encode_eval_choices(df, model, answer_col="answer").collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item_id, []).append(r)
+    assert len(by_item[1]) == 3 and len(by_item[2]) == 2
+    for iid, rs in by_item.items():
+        plens = {r.prompt_len for r in rs}
+        assert len(plens) == 1
+        plen = plens.pop()
+        prefixes = {tuple(r.token_ids[:plen]) for r in rs}
+        assert len(prefixes) == 1
+        for r in rs:
+            assert all(m == 0 for m in r.loss_mask[:plen])
+            assert all(m == 1 for m in r.loss_mask[plen:])
+            assert len(r.token_ids) == len(r.loss_mask)
+            assert r.n_choice_bytes == len(r.choice_text.encode())
+            assert r.is_gold == (r.choice_index == 0)
+            choices = [" blue", " green", " 漢字"] if iid == 1 else [
+                " four", " five"]
+            assert r.choice_text == choices[r.choice_index]
+
+
+def test_eval_choices_identity_bytes(spark, ident):
+    """Byte-identity model: n ids == prompt+choice UTF-8 bytes."""
+    from polaroam_spark.operators.sft import encode_eval_choices
+
+    df = spark.createDataFrame(
+        [(1, "p✓", [" a", " bb"])],
+        "item_id long, prompt_text string, choices array<string>",
+    )
+    rows = encode_eval_choices(df, ident).collect()
+    pb = len("p✓".encode())
+    for r in rows:
+        assert r.prompt_len == pb
+        assert len(r.token_ids) == pb + len(
+            r.choice_text.encode()
+        )
+
+
+def test_eval_choices_null_semantics_and_guards(spark, ident):
+    import pytest as _pt
+
+    from polaroam_spark.operators.sft import encode_eval_choices
+
+    df = spark.createDataFrame(
+        [
+            (1, None, [" a"]),          # NULL prompt
+            (2, "p", None),             # NULL choices
+            (3, "p", []),               # empty choices
+            (4, "p", [" a", None]),     # NULL element keeps its row
+        ],
+        "item_id long, prompt_text string, choices array<string>",
+    )
+    rows = encode_eval_choices(df, ident).collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item_id, []).append(r)
+    for iid in (1, 2, 3):
+        (r,) = by_item[iid]
+        assert r.choice_index is None and r.token_ids is None
+    assert len(by_item[4]) == 2
+    null_el = next(r for r in by_item[4] if r.choice_index == 1)
+    assert null_el.token_ids is None and null_el.choice_text is None
+    ok = next(r for r in by_item[4] if r.choice_index == 0)
+    assert ok.token_ids is not None
+    clash = df.withColumn("prompt_len", F.lit(1))
+    with _pt.raises(ValueError, match="reserves"):
+        encode_eval_choices(clash, ident)
