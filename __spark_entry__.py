@@ -14312,6 +14312,69 @@ def sft6(spark, sf_dir):
     )
 
 
+# GRPO grouped-rollout advantages (sft.py:grpo_advantages, r19 —
+# Shao et al. 2024 §4.1, (score − group mean)/group sample-std).
+# Rollouts synthesized from documents: prompt groups of ~doc/50 with
+# planted degenerate cases — doc_id < 5 become SINGLETON groups
+# (dropped by the ≥2 floor), group 7 scores CONSTANT (zero std →
+# NULL advantage, rows kept), doc_id % 97 == 3 scores NULL (excluded
+# from stats and output). Scores are the portable md5 hash, so the
+# oracle replays the whole chain — group stats as one groupBy joined
+# back, advantages at the 6-decimal certification convention.
+@_q(
+    "rl1_grpo_advantages",
+    "WITH c AS (SELECT CASE WHEN doc_id < 5 THEN doc_id + 1000000 "
+    "ELSE doc_id % 50 END AS prompt_id, doc_id, "
+    "CASE WHEN doc_id % 97 = 3 THEN NULL "
+    "WHEN doc_id % 50 = 7 AND doc_id >= 5 THEN 0.5 "
+    "ELSE (CAST(('0x' || substr(md5('13:' || CAST(doc_id AS "
+    "VARCHAR)), 1, 15)) AS BIGINT) % 1000003) / 1000003.0 END "
+    "AS score FROM documents WHERE doc_id IS NOT NULL), "
+    "u AS (SELECT * FROM c WHERE score IS NOT NULL), "
+    "g AS (SELECT prompt_id, count(*) AS n, avg(score) AS m, "
+    "stddev_samp(score) AS sd FROM u GROUP BY prompt_id) "
+    "SELECT u.prompt_id, u.doc_id, CAST(g.n AS BIGINT) AS "
+    "n_rollouts, CASE WHEN g.sd > 0 THEN "
+    "round((u.score - g.m) / g.sd, 6) END AS adv6, "
+    "round(g.m, 6) AS mean6, round(g.sd, 6) AS std6 "
+    "FROM u JOIN g ON u.prompt_id = g.prompt_id WHERE g.n >= 2",
+)
+def rl1(spark, sf_dir):
+    from polaroam_spark.functions.text import portable_hash64
+    from polaroam_spark.operators.sft import grpo_advantages
+
+    d = F.col("doc_id")
+    cand = (
+        _t(spark, sf_dir, "documents")
+        .filter(d.isNotNull())
+        .select(
+            F.when(d < 5, d + 1_000_000)
+            .otherwise(d % 50)
+            .alias("prompt_id"),
+            "doc_id",
+            F.when(d % 97 == 3, F.lit(None).cast("double"))
+            .when((d % 50 == 7) & (d >= 5), F.lit(0.5))
+            .otherwise(
+                (
+                    portable_hash64(d.cast("string"), 13)
+                    % 1_000_003
+                ).cast("double")
+                / 1_000_003.0
+            )
+            .alias("score"),
+        )
+    )
+    adv = grpo_advantages(cand)
+    return adv.select(
+        "prompt_id",
+        "doc_id",
+        "n_rollouts",
+        F.round("advantage", 6).alias("adv6"),
+        F.round("group_score_mean", 6).alias("mean6"),
+        F.round("group_score_std", 6).alias("std6"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -700,6 +700,84 @@ def preference_pairs_from_candidates(
     diff = F.col("chosen_score") - F.col("rejected_score")
     return out.filter(
         (diff >= F.lit(float(margin))) & (diff > F.lit(0.0))
+    )
+
+
+def grpo_advantages(
+    df: DataFrame,
+    id_col: str = "prompt_id",
+    score_col: str = "score",
+    min_rollouts: int = 2,
+) -> DataFrame:
+    """Grouped-rollout advantage prep for GRPO / reward-model data
+    (Shao et al. 2024, DeepSeekMath §4.1: sample a GROUP of rollouts
+    per prompt, score each, and train on group-normalized advantages
+    ``(score − group mean) / group std`` — the critic-free baseline).
+    Input is :func:`preference_pairs_from_candidates`' candidate
+    schema (one row per scored rollout: ``id_col``, ``score_col``,
+    whatever payload columns ride along); output keeps one row per
+    USABLE rollout and appends ``n_rollouts``, ``group_score_mean``,
+    ``group_score_std`` (sample std, n−1 — the torch/TRL
+    convention) and ``advantage``.
+
+    NULL-safety is the quality.py NaN lesson: NULL/NaN-scored
+    rollouts are excluded from BOTH the statistics and the output (a
+    failed reward query is not "an average rollout"). Groups with
+    fewer than ``min_rollouts`` usable rollouts are dropped — a
+    sample std needs ≥ 2 points, and a single-rollout "group"
+    carries no relative signal; the drop is loud in the schema
+    (``n_rollouts`` is on every surviving row, so
+    ``df.count() − out.count()`` is the audit) and ``min_rollouts <
+    2`` raises rather than silently emitting 0/0. A ZERO-std group
+    (every rollout scored identically) keeps its rows with
+    ``advantage`` NULL — the :func:`~polaroam_spark.operators.
+    textstats.robust_scale_scores` IQR rule: there is no spread to
+    normalize by, and a sentinel 0 would silently mark every
+    rollout "exactly average" (many GRPO impls add an eps and get
+    0; NULL keeps the no-signal groups countable and droppable).
+
+    Plan shape: ONE hash exchange on ``id_col`` — group statistics
+    evaluate as window aggregates over the rollout group, and unlike
+    the per-stratum conditioners (winsorize: few huge strata) the
+    partition frames here are rollout-group-sized (k = 4..64 by
+    construction of the sampler), so the window frame is the RIGHT
+    100 TB shape: no second shuffle to join stats back, no
+    group-sized buffers beyond k rows.
+    """
+    if int(min_rollouts) < 2:
+        raise ValueError(
+            f"min_rollouts must be >= 2 (got {min_rollouts}) — a "
+            "sample std needs two points; dropping the floor would "
+            "emit 0/0 advantages"
+        )
+    reserved = {
+        "n_rollouts",
+        "group_score_mean",
+        "group_score_std",
+        "advantage",
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "grpo_advantages reserves column names "
+            f"{sorted(reserved)}; rename {sorted(clash)} first"
+        )
+    s = F.col(score_col).cast("double")
+    usable = df.filter(s.isNotNull() & ~F.isnan(s))
+    w = Window.partitionBy(id_col)
+    n = F.count("*").over(w)
+    mean = F.avg(s).over(w)
+    std = F.stddev_samp(s).over(w)
+    return (
+        usable.withColumns(
+            {
+                "n_rollouts": n,
+                "group_score_mean": mean,
+                "group_score_std": std,
+                "advantage": F.when(std > 0, (s - mean) / std),
+            }
+        )
+        .filter(F.col("n_rollouts") >= int(min_rollouts))
     )
 
 

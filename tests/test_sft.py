@@ -801,3 +801,101 @@ def test_eval_choices_null_semantics_and_guards(spark, ident):
     clash = df.withColumn("prompt_len", F.lit(1))
     with _pt.raises(ValueError, match="reserves"):
         encode_eval_choices(clash, ident)
+
+
+# ---- GRPO grouped-rollout advantages ---------------------------------
+
+
+def test_grpo_advantages_normalization(spark):
+    import math
+
+    from polaroam_spark.operators.sft import grpo_advantages
+
+    rows = [
+        ("p1", "a", 1.0),
+        ("p1", "b", 2.0),
+        ("p1", "c", 3.0),
+        ("p2", "x", 10.0),
+        ("p2", "y", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, candidate string, score double"
+    )
+    out = {
+        (r.prompt_id, r.candidate): r
+        for r in grpo_advantages(df).collect()
+    }
+    assert len(out) == 5
+    # p1: mean 2, sample std 1 -> advantages -1, 0, 1
+    assert abs(out[("p1", "a")].advantage + 1.0) < 1e-12
+    assert abs(out[("p1", "b")].advantage) < 1e-12
+    assert abs(out[("p1", "c")].advantage - 1.0) < 1e-12
+    assert out[("p1", "a")].n_rollouts == 3
+    assert abs(out[("p1", "a")].group_score_mean - 2.0) < 1e-12
+    assert abs(out[("p1", "a")].group_score_std - 1.0) < 1e-12
+    # p2: mean 15, sample std sqrt(50)
+    sd = math.sqrt(50.0)
+    assert abs(out[("p2", "x")].advantage + 5.0 / sd) < 1e-12
+    # payload columns ride through
+    assert out[("p2", "y")].candidate == "y"
+
+
+def test_grpo_advantages_degenerate_groups(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.sft import grpo_advantages
+
+    rows = [
+        ("solo", "only", 1.0),          # sub-2 group -> dropped
+        ("tied", "a", 0.5),             # zero std -> NULL advantage
+        ("tied", "b", 0.5),
+        ("nan", "a", float("nan")),     # NaN excluded from stats
+        ("nan", "b", 1.0),
+        ("nan", "c", 3.0),
+        ("nullish", "a", None),         # NULL excluded; leaves 1 ->
+        ("nullish", "b", 2.0),          # group drops below floor
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, candidate string, score double"
+    )
+    out = grpo_advantages(df).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.prompt_id, []).append(r)
+    assert "solo" not in by_group and "nullish" not in by_group
+    tied = by_group["tied"]
+    assert len(tied) == 2
+    assert all(r.advantage is None for r in tied)
+    assert all(r.group_score_std == 0.0 for r in tied)
+    # NaN row gone; stats over the 2 usable rollouts only
+    nan_g = by_group["nan"]
+    assert len(nan_g) == 2
+    assert all(r.n_rollouts == 2 for r in nan_g)
+    assert all(
+        abs(r.group_score_mean - 2.0) < 1e-12 for r in nan_g
+    )
+    with _pt.raises(ValueError, match="min_rollouts"):
+        grpo_advantages(df, min_rollouts=1)
+    clash = df.withColumn("advantage", F.lit(0.0))
+    with _pt.raises(ValueError, match="reserves"):
+        grpo_advantages(clash)
+
+
+def test_grpo_advantages_single_shuffle_plan(spark):
+    """One hash exchange on the prompt id — the stats evaluate as
+    window aggregates over the (k-bounded) rollout group, no second
+    shuffle to join them back."""
+    from polaroam_spark.operators.sft import grpo_advantages
+
+    df = spark.createDataFrame(
+        [("p", "a", 1.0), ("p", "b", 2.0)],
+        "prompt_id string, candidate string, score double",
+    )
+    plan = (
+        grpo_advantages(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
