@@ -14375,6 +14375,115 @@ def rl1(spark, sf_dir):
     )
 
 
+# Verbatim-memorization scan (dedup.py:memorization_scan, r19 — the
+# publication-side twin of decontaminate; Lee/Carlini ≥N-token
+# verbatim overlap of generated text vs the corpus). Probes planted
+# from the corpus itself (d7 pattern): doc_id % 7 == 0 lifts tokens
+# 4..15 of its own doc (verbatim by construction), % 7 == 1 builds
+# synthetic never-in-corpus tokens (clean), % 7 == 2 takes 5 tokens
+# (< n=8 — too_short by definition). The oracle replays the token
+# split, both gram explosions, the match join ON THE GRAM STRING
+# (the operator joins on fast_hash64 of the gram — equality on the
+# hash is equality on the gram absent a 64-bit collision), the
+# aggregate counts, and the capped ascending id list (flattened to
+# CSV for portable hashing).
+@_q(
+    "d16_memorization_scan",
+    "WITH toks AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '\\s+'), t -> t != '') "
+    "AS toks FROM documents WHERE doc_id IS NOT NULL "
+    "AND text IS NOT NULL), "
+    "probes AS (SELECT doc_id AS pid, CASE "
+    "WHEN doc_id % 7 = 0 AND len(toks) >= 16 THEN toks[4:15] "
+    "WHEN doc_id % 7 = 1 THEN [('zz' || CAST(doc_id AS VARCHAR) || "
+    "'q' || CAST(i AS VARCHAR)) for i in range(1, 11)] "
+    "WHEN doc_id % 7 = 2 AND len(toks) >= 5 THEN toks[1:5] "
+    "END AS ptoks FROM toks), "
+    "pv AS (SELECT pid, ptoks FROM probes WHERE ptoks IS NOT NULL), "
+    "pg AS (SELECT pid, unnest(list_distinct("
+    "[array_to_string(ptoks[i:i+7], ' ') "
+    "for i in range(1, len(ptoks) - 6)])) AS gram "
+    "FROM pv WHERE len(ptoks) >= 8), "
+    "cg AS (SELECT doc_id AS cid, unnest(list_distinct("
+    "[array_to_string(toks[i:i+7], ' ') "
+    "for i in range(1, len(toks) - 6)])) AS gram "
+    "FROM toks WHERE len(toks) >= 8), "
+    "m AS (SELECT p.pid, c.cid, p.gram FROM pg p "
+    "JOIN cg c USING (gram)), "
+    "st AS (SELECT pid, count(DISTINCT gram) AS nmg, "
+    "count(DISTINCT cid) AS ncd FROM m GROUP BY pid), "
+    "mp AS (SELECT DISTINCT pid, cid FROM m), "
+    "mr AS (SELECT pid, cid, row_number() OVER "
+    "(PARTITION BY pid ORDER BY cid) AS rn FROM mp), "
+    "ids AS (SELECT pid, array_to_string(list(cid ORDER BY cid), "
+    "',') AS mids FROM mr WHERE rn <= 20 GROUP BY pid) "
+    "SELECT pv.pid AS probe_id, "
+    "CAST(len(pv.ptoks) AS BIGINT) AS n_probe_tokens, "
+    "CAST(CASE WHEN len(pv.ptoks) >= 8 THEN len(list_distinct("
+    "[array_to_string(pv.ptoks[i:i+7], ' ') "
+    "for i in range(1, len(pv.ptoks) - 6)])) ELSE 0 END AS BIGINT) "
+    "AS n_probe_grams, "
+    "len(pv.ptoks) < 8 AS too_short, "
+    "CAST(coalesce(st.nmg, 0) AS BIGINT) AS n_memorized_grams, "
+    "CAST(coalesce(st.ncd, 0) AS BIGINT) AS n_corpus_docs, "
+    "coalesce(ids.mids, '') AS matched_ids_csv, "
+    "coalesce(st.nmg, 0) > 0 AS memorized "
+    "FROM pv LEFT JOIN st ON pv.pid = st.pid "
+    "LEFT JOIN ids ON pv.pid = ids.pid",
+)
+def d16(spark, sf_dir):
+    from polaroam_spark.functions.text import tokens
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    d = F.col("doc_id")
+    tk = docs.select("doc_id", tokens("text").alias("_toks"))
+    sz = F.size("_toks")
+    synth = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda i: F.concat_ws(
+                "",
+                F.lit("zz"),
+                d.cast("string"),
+                F.lit("q"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    probes = tk.select(
+        d.alias("probe_id"),
+        F.when(
+            (d % 7 == 0) & (sz >= 16),
+            F.concat_ws(" ", F.slice("_toks", 4, 12)),
+        )
+        .when(d % 7 == 1, synth)
+        .when(
+            (d % 7 == 2) & (sz >= 5),
+            F.concat_ws(" ", F.slice("_toks", 1, 5)),
+        )
+        .alias("text"),
+    ).filter(F.col("text").isNotNull())
+    out = memorization_scan(docs, probes, n=8, probe_id="probe_id")
+    return out.select(
+        "probe_id",
+        "n_probe_tokens",
+        "n_probe_grams",
+        "too_short",
+        "n_memorized_grams",
+        "n_corpus_docs",
+        F.concat_ws(",", "matched_doc_ids").alias(
+            "matched_ids_csv"
+        ),
+        "memorized",
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was

@@ -1101,6 +1101,148 @@ def eval_contamination_report(
     )
 
 
+def memorization_scan(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 50,
+    corpus_id: str = "doc_id",
+    probe_id: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    max_match_docs: int = 20,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Verbatim-memorization scan — the PUBLICATION-side twin of
+    :func:`decontaminate` (Lee et al. 2021 / Carlini et al. 2022:
+    a model output "memorized" its training data when it reproduces
+    a ≥ 50-token verbatim span): for each probe (a generated sample
+    or eval completion), count the probe's distinct word ``n``-grams
+    that occur verbatim anywhere in the corpus and report WHICH
+    corpus documents they came from. Per probe:
+
+    - ``n_probe_tokens`` / ``n_probe_grams`` — size and distinct
+      ``n``-gram count of the probe;
+    - ``too_short`` — probe has < ``n`` tokens, so a verbatim
+      ``n``-token overlap is impossible BY DEFINITION (not evidence
+      of cleanliness); such probes report zeros;
+    - ``n_memorized_grams`` / ``n_corpus_docs`` — distinct probe
+      grams found in the corpus, distinct corpus docs containing at
+      least one;
+    - ``matched_doc_ids`` — up to ``max_match_docs`` matching corpus
+      ids, ascending (smallest ids — deterministic; the CAP is the
+      boilerplate guard: a probe reproducing a licence header
+      matches half the corpus, and an uncapped collect would buffer
+      it), with ``n_corpus_docs`` carrying the uncapped truth;
+    - ``memorized`` — ``n_memorized_grams > 0``.
+
+    Every probe row appears in the output; clean probes report
+    zeros and an empty id list. Probe ids are assumed unique (they
+    identify generations). Plan shape mirrors
+    :func:`eval_contamination_report`'s inverted index: the probe
+    side reduces to (probe, 8-byte gram hash) pairs —
+    generation-set-sized, broadcast by default — so corpus grams
+    join map-side off one corpus scan and only MATCHED (corpus doc,
+    probe, gram) triples shuffle, a volume bounded by the
+    memorization itself, not the corpus. Reference for the gram
+    machinery: dedup.py:ngram_overlap_counts (d7/d14 gates).
+    """
+    from polaroam_spark.functions.text import fast_hash64
+
+    nn = int(n)
+    if nn < 2:
+        raise ValueError(f"n must be >= 2 (got {n})")
+    if int(max_match_docs) < 1:
+        raise ValueError(
+            f"max_match_docs must be >= 1 (got {max_match_docs})"
+        )
+    # word_shingles emits a SHORTER-than-k whole-text shingle for
+    # sub-k inputs (the decontaminate whole-text-match rule); a
+    # verbatim-N definition must not — gate both sides on >= n
+    # tokens so every gram is exactly n tokens long
+    p_base = probes.select(
+        F.col(probe_id).alias("_pid"),
+        tokens(probe_text_col).alias("_ptoks"),
+    ).withColumn(
+        "_pgrams",
+        F.when(
+            F.size("_ptoks") >= nn,
+            F.array_distinct(
+                word_shingles(
+                    F.col("_ptoks"), nn, assume_no_nulls=True
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    p_g = p_base.select(
+        "_pid", F.explode("_pgrams").alias("_gram")
+    ).select("_pid", fast_hash64("_gram").alias("_gh"))
+    if broadcast_probes:
+        p_g = F.broadcast(p_g)
+    c_toks = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        tokens(text_col).alias("_ctoks"),
+    ).filter(F.size("_ctoks") >= nn)
+    c_g = c_toks.select(
+        "_cid",
+        F.explode(
+            F.array_distinct(
+                word_shingles(
+                    F.col("_ctoks"), nn, assume_no_nulls=True
+                )
+            )
+        ).alias("_gram"),
+    ).select("_cid", fast_hash64("_gram").alias("_gh"))
+    matched = c_g.join(p_g, on="_gh").select("_cid", "_pid", "_gh")
+    stats = matched.groupBy("_pid").agg(
+        F.countDistinct("_gh").cast("long").alias(
+            "n_memorized_grams"
+        ),
+        F.countDistinct("_cid").cast("long").alias("n_corpus_docs"),
+    )
+    w = Window.partitionBy("_pid").orderBy("_cid")
+    capped = (
+        matched.select("_pid", "_cid")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_match_docs))
+        .groupBy("_pid")
+        .agg(
+            F.sort_array(F.collect_list("_cid")).alias(
+                "matched_doc_ids"
+            )
+        )
+    )
+    id_type = capped.schema["matched_doc_ids"].dataType.simpleString()
+    out = (
+        p_base.select(
+            "_pid",
+            F.size("_ptoks").cast("long").alias("n_probe_tokens"),
+            F.size("_pgrams").cast("long").alias("n_probe_grams"),
+            (F.size("_ptoks") < nn).alias("too_short"),
+        )
+        # both agg tables are bounded by the probe set, not the
+        # corpus — broadcast them so the report never sort-merges
+        .join(F.broadcast(stats), on="_pid", how="left")
+        .join(F.broadcast(capped), on="_pid", how="left")
+    )
+    return out.select(
+        F.col("_pid").alias(probe_id),
+        "n_probe_tokens",
+        "n_probe_grams",
+        "too_short",
+        F.coalesce("n_memorized_grams", F.lit(0)).alias(
+            "n_memorized_grams"
+        ),
+        F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+        F.coalesce(
+            "matched_doc_ids", F.expr(f"CAST(array() AS {id_type})")
+        ).alias("matched_doc_ids"),
+        (F.coalesce("n_memorized_grams", F.lit(0)) > 0).alias(
+            "memorized"
+        ),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

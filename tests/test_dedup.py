@@ -1025,3 +1025,75 @@ def test_dedup_cluster_histogram_normalization_toggle(spark):
     }
     assert norm == {2: 1}  # casefolded: one cluster of two
     assert raw == {1: 2}
+
+
+# ---- verbatim memorization scan --------------------------------------
+
+
+def test_memorization_scan_planted_spans(spark):
+    """A probe lifted verbatim from a corpus doc reports that doc;
+    a synthetic probe reports zeros; a short probe flags too_short."""
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    base = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [
+            (10, base),
+            (11, "completely different text " * 5),
+            # a second doc sharing the planted span
+            (12, "prefix junk " + " ".join(f"w{i}" for i in range(5, 20))),
+        ],
+        "doc_id long, text string",
+    )
+    span = " ".join(f"w{i}" for i in range(5, 17))  # 12 tokens
+    probes = spark.createDataFrame(
+        [
+            (1, span),                      # planted: in docs 10 and 12
+            (2, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10"),  # clean
+            (3, "w0 w1 w2"),                # too short for n=8
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in memorization_scan(corpus, probes, n=8).collect()
+    }
+    assert len(out) == 3
+    p1 = out[1]
+    assert p1.memorized and not p1.too_short
+    assert p1.n_probe_tokens == 12 and p1.n_probe_grams == 5
+    assert p1.n_memorized_grams == 5
+    assert p1.n_corpus_docs == 2
+    assert list(p1.matched_doc_ids) == [10, 12]
+    p2 = out[2]
+    assert not p2.memorized and p2.n_memorized_grams == 0
+    assert p2.n_corpus_docs == 0 and list(p2.matched_doc_ids) == []
+    assert p2.n_probe_grams == 3
+    p3 = out[3]
+    assert p3.too_short and not p3.memorized
+    assert p3.n_probe_grams == 0 and list(p3.matched_doc_ids) == []
+
+
+def test_memorization_scan_cap_and_guards(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    span = " ".join(f"s{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(i, f"head{i} " + span) for i in range(30)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(1, span)], "doc_id long, text string"
+    )
+    r = memorization_scan(
+        corpus, probes, n=8, max_match_docs=5
+    ).collect()[0]
+    # the cap bounds the id list, the count carries the truth
+    assert r.n_corpus_docs == 30
+    assert list(r.matched_doc_ids) == [0, 1, 2, 3, 4]
+    with _pt.raises(ValueError, match="n must be"):
+        memorization_scan(corpus, probes, n=1)
+    with _pt.raises(ValueError, match="max_match_docs"):
+        memorization_scan(corpus, probes, max_match_docs=0)
