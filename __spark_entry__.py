@@ -14484,6 +14484,86 @@ def d16(spark, sf_dir):
     )
 
 
+# Host-level curation data card (curation.py:domain_report, r19 —
+# corpus_report's battery re-keyed by the registered domain of each
+# doc's URL, plus n_hosts / quality / kept columns: the table every
+# per-domain-cap decision reads). URLs ride u1's synthetic scheme
+# (_url_expr_spark — registered_domain is example.com/org by doc_id
+# parity, hosts spread over the %3 prefix × source), quality is a
+# replayable arithmetic score with a planted NULL stripe (% 11),
+# kept is the % 3 stripe. The engine PARSES the assembled URLs with
+# try_parse_url; the oracle recomputes the domain arithmetically
+# and replays the q7 aggregation battery; mean quality compares at
+# the 6-decimal convention.
+@_q(
+    "q13_domain_report",
+    r"""WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'example.org'
+       END AS dom,
+  lower(CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+        ELSE '' END || source ||
+        CASE doc_id % 2 WHEN 0 THEN '.example.com'
+             ELSE '.example.org' END) AS host,
+  text,
+  CASE WHEN doc_id % 11 = 0 THEN NULL
+       ELSE ((doc_id * 37) % 100) / 100.0 END AS q,
+  doc_id % 3 != 0 AS kept
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT dom AS registered_domain,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(sum(len(list_filter(regexp_split_to_array(lower(text),
+      '\s+'), t -> t != ''))) AS BIGINT) AS n_tokens,
+  CAST(min(len(list_filter(regexp_split_to_array(lower(text),
+      '\s+'), t -> t != ''))) AS BIGINT) AS min_doc_tokens,
+  CAST(max(len(list_filter(regexp_split_to_array(lower(text),
+      '\s+'), t -> t != ''))) AS BIGINT) AS max_doc_tokens,
+  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+',
+      ' ', 'g')))) AS BIGINT) AS n_distinct_texts,
+  CAST(count(q) AS BIGINT) AS n_scored,
+  round(avg(q), 6) AS mean_q6,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM d GROUP BY dom""",
+)
+def q13(spark, sf_dir):
+    from polaroam_spark.operators.curation import domain_report
+
+    d = F.col("doc_id")
+    enriched = (
+        _t(spark, sf_dir, "documents")
+        .filter(d.isNotNull())
+        .withColumn("url", _url_expr_spark())
+        .withColumn(
+            "q",
+            F.when(
+                d % 11 == 0, F.lit(None).cast("double")
+            ).otherwise(
+                ((d * 37) % 100).cast("double") / 100.0
+            ),
+        )
+        .withColumn("kept", d % 3 != 0)
+    )
+    rep = domain_report(
+        enriched, quality_col="q", kept_col="kept"
+    )
+    return rep.select(
+        "registered_domain",
+        "n_docs",
+        "n_hosts",
+        "n_null_text",
+        "n_chars",
+        "n_tokens",
+        "min_doc_tokens",
+        "max_doc_tokens",
+        "n_distinct_texts",
+        "n_scored",
+        F.round("mean_quality", 6).alias("mean_q6"),
+        "n_kept",
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-18 window below was

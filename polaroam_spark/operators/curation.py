@@ -508,6 +508,88 @@ def corpus_report(
     )
 
 
+def domain_report(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    quality_col: "str | None" = None,
+    kept_col: "str | None" = None,
+    suffix_list: "DataFrame | None" = None,
+) -> DataFrame:
+    """The HOST-LEVEL curation data card — the table every
+    per-domain-cap decision reads (``cap_per_key`` keyed on
+    ``registered_domain``, domain blocklists, crawl-mix audits):
+    :func:`corpus_report`'s per-source battery re-keyed by the
+    REGISTERED DOMAIN of each document's URL, composing
+    :func:`~polaroam_spark.operators.textstats.
+    attach_registered_domain` (naive last-two-labels by default;
+    pass ``suffix_list`` for PSL-accurate site keys) with one
+    map-side-combined aggregation.
+
+    Per domain: ``n_docs``, ``n_hosts`` (distinct full hosts — the
+    subdomain spread a cap keyed on the domain collapses),
+    ``n_null_text``, ``n_chars``, ``n_tokens`` (whitespace),
+    ``min_doc_tokens`` / ``max_doc_tokens``, ``n_distinct_texts``
+    (the ``dedup_exact`` md5 key — ``n_docs − n_distinct_texts`` is
+    the exact-dup volume that domain contributes). Optional columns,
+    appended only when requested so the base card stays
+    exact-integer and oracle-checkable: ``quality_col`` adds
+    ``n_scored`` (finite scores — NULL/NaN excluded, the
+    :func:`~polaroam_spark.operators.textstats.winsorize_scores`
+    contract) and ``mean_quality``; ``kept_col`` (a boolean, e.g.
+    ``curate_corpus`` membership) adds ``n_kept``.
+
+    Documents whose URL is NULL or unparseable group under the NULL
+    domain — the unattributable bucket is REPORTED, not silently
+    dropped (it is usually the first thing a crawl audit asks
+    about). One shuffle on the domain key (#domains output rows);
+    the URL parse and token count are per-row JVM expressions on the
+    scan side. Scale-safe at any corpus size.
+    """
+    from polaroam_spark.functions.text import tokens
+    from polaroam_spark.operators.textstats import (
+        attach_registered_domain,
+    )
+
+    host = F.lower(
+        F.try_parse_url(F.col(url_col), F.lit("HOST"))
+    )
+    base = attach_registered_domain(
+        docs, url_col=url_col, suffix_list=suffix_list
+    ).withColumn("_dr_host", host)
+    t = F.col(text_col)
+    norm_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    )
+    tok = F.array_size(tokens(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_dr_host").alias("n_hosts"),
+        (F.count(F.lit(1)) - F.count(t)).alias("n_null_text"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+        F.min(tok).cast("long").alias("min_doc_tokens"),
+        F.max(tok).cast("long").alias("max_doc_tokens"),
+        F.countDistinct(norm_key).alias("n_distinct_texts"),
+    ]
+    if quality_col is not None:
+        q = F.col(quality_col).cast("double")
+        q = F.when(~F.isnan(q), q)
+        aggs += [
+            F.count(q).alias("n_scored"),
+            F.avg(q).alias("mean_quality"),
+        ]
+    if kept_col is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col(kept_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    return base.groupBy("registered_domain").agg(*aggs)
+
+
 def _waterfill(
     avail: dict, share: dict, budget: float
 ) -> "tuple[dict, set, float]":

@@ -661,3 +661,71 @@ def test_curate_entropy_drops_null_and_empty(spark):
         docs, min_token_entropy=0.0, dedup=None, with_stats=False
     )
     assert {r.doc_id for r in kept.collect()} == {1}
+
+
+# ---- host-level data card --------------------------------------------
+
+
+def test_domain_report_counts(spark):
+    from polaroam_spark.operators.curation import domain_report
+
+    rows = [
+        (1, "https://www.ex.com/a", "one two three", 0.5, True),
+        (2, "https://cdn.ex.com/b", "one two", 0.7, False),
+        (3, "https://ex.org/c", "one two three", None, True),
+        (4, "https://ex.org/d", None, float("nan"), False),
+        (5, None, "unattributed doc", 1.0, True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, url string, text string, q double, kept boolean",
+    )
+    out = {
+        r.registered_domain: r
+        for r in domain_report(
+            df, quality_col="q", kept_col="kept"
+        ).collect()
+    }
+    com = out["ex.com"]
+    assert com.n_docs == 2 and com.n_hosts == 2
+    assert com.n_tokens == 5 and com.n_distinct_texts == 2
+    assert com.n_scored == 2
+    assert abs(com.mean_quality - 0.6) < 1e-12
+    assert com.n_kept == 1
+    org = out["ex.org"]
+    assert org.n_docs == 2 and org.n_hosts == 1
+    assert org.n_null_text == 1
+    # NaN quality is excluded, not averaged in
+    assert org.n_scored == 0 and org.mean_quality is None
+    # the unattributable bucket is reported under NULL
+    null_b = out[None]
+    assert null_b.n_docs == 1 and null_b.n_kept == 1
+    # base card stays exact-integer when optional columns are off
+    base_cols = domain_report(df).columns
+    assert "mean_quality" not in base_cols
+    assert "n_kept" not in base_cols
+
+
+def test_domain_report_psl_site_keys(spark):
+    from polaroam_spark.operators.curation import domain_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.site1.co.uk/x", "t"),
+            (2, "https://b.site2.co.uk/y", "t"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",)], "suffix string"
+    )
+    naive = {
+        r.registered_domain
+        for r in domain_report(df).collect()
+    }
+    assert naive == {"co.uk"}  # the coarse rule merges both sites
+    accurate = {
+        r.registered_domain
+        for r in domain_report(df, suffix_list=psl).collect()
+    }
+    assert accurate == {"site1.co.uk", "site2.co.uk"}
