@@ -14566,68 +14566,40 @@ def q13(spark, sf_dir):
 
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
-# rows in every CORRECTNESS_r*.json). The round-18 window below was
-# DERIVED FROM DATA (latest driver row per gate across all
-# CORRECTNESS_r*.json), not from a hand-maintained note, per the r10
-# lesson. Arithmetic is stated inside the list at the window edge.
+# rows in every CORRECTNESS_r*.json). The round-19 window below was
+# REGENERATED by .scratch/rotate_window.py from the data (latest
+# driver row per gate across CORRECTNESS_r01..r18.json) — the r18
+# ADVICE found the hand-edited r18 comment's arithmetic drifting
+# from the list, so the numbers here are the script's own output:
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r18 WINDOW (first 50 — the driver drives exactly this many).
-    # Derived FROM DATA (latest driver row per gate across all
-    # CORRECTNESS_r01..r17.json) by .scratch/rotate_window.py, per
-    # the r10 lesson: (a) 11 of the 13 r18-new gates (t33b ids_col
-    # packing, t55 approx-bucket certification, sft5 few-shot
-    # prompts, t56 UL2 mixture, x5 count-min, s19 snapshot diff,
-    # k10 length-bucketed batching, st14 streaming CMS, t57 token
-    # entropy, t58 compression ratio, kto1 unary examples — no
-    # driver row yet), then (b) ALL 39 gates whose latest driver
-    # row is r12 (the freshness invariant — no gate older than 5
-    # rounds — outranks same-round rows for every new gate):
-    # 11 + 39 = 50. The remaining r18 gates (k11/q11/v6/v7/t59/
-    # k12/t60/u3/s20/n9/q12 — each 3-SF-verified locally this
-    # round) sit right behind the edge and lead the r19 window.
-    # Rotation arithmetic, stated honestly: at 310 registered
-    # gates and 50 driver rows per round, a full cycle now takes
-    # ceil(310/50) = 7 windows, so the freshness bound the r12-r17
-    # rotation held (every gate re-checked within 5 rounds) is
-    # structurally ~6-7 rounds from here; the window still always
-    # prioritizes never-checked gates first, then oldest-checked.
+    # r19 WINDOW (first 50 — the driver drives exactly this many).
+    # Registry: 317 gates (312 r18 + 5 r19-new). Never driver-
+    # checked: 18 = the 13 gates the r18 round queued behind its
+    # edge (each 3-SF-verified at add time and by the r18 judge at
+    # sf0.001; the r18 verdict prescribes them to LEAD this window)
+    # + the 5 r19-new gates (t61 winsorize/robust approx
+    # certification, sft6 multiple-choice eval deck, rl1 GRPO
+    # advantages, d16 memorization scan, q13 domain report — each
+    # 3-SF-verified this round). Latest-driver-row distribution of
+    # the 299 checked gates: r13 x50, r14 x50, r15 x50, r16 x49,
+    # r17 x50, r18 x50. Window = the 13 r18-deferred never-checked
+    # gates + the 37 alphabetically-first of the 50 r13-aged gates
+    # (stale-oldest outranks same-round-new, the r18 rule): 13 + 37
+    # = 50. Behind the edge: the 5 r19-new gates first (they lead
+    # the r20 window), then the remaining 13 r13 gates, then
+    # r14/r15/r16/r17/r18 blocks by (latest_round, name). Rotation
+    # arithmetic: ceil(317/50) = 7 windows per full cycle, so the
+    # structural freshness bound stays ~6-7 rounds; never-checked
+    # gates always lead, then oldest-checked.
     # ------------------------------------------------------------------
-    "t33b_pack_pre_encoded_ids", "t55_perplexity_buckets_approx",
-    "sft5_fewshot_prompts", "t56_ul2_mixture", "x5_count_min_sketch",
-    "s19_snapshot_diff", "k10_length_bucketed_batches",
-    "st14_streaming_cms", "t57_token_entropy",
-    "t58_compression_ratio", "kto1_unary_examples", "a8_collect_list",
-    "j12_interval_overlap", "j2_left_join_single", "j3_semi_join",
-    "j5_cross_broadcast_scalar", "j6_medoid_joinback", "j7_asof_join",
-    "mm2_png_dims", "n4_embedding_join", "p10_null_checks",
-    "p11_key_equality", "p3_computed_columns", "p6_compound_filter",
-    "p7_range_predicate", "p8_string_inequality", "p9_membership",
-    "q1_tpch_pricing", "q5_tpch_local_supplier", "r8_topk_per_key",
-    "s15_orc_roundtrip", "s1_parquet_scan_filter", "s2_parquet_read_agg",
-    "s4_pandas_interchange", "s6_partitioned_write",
-    "smp7b_temperature_sample_weighted", "smp8b_temperature_epoch_plan_mean",
-    "smp9_gumbel_topk", "st7_streaming_ewma", "t15_unigram_logprob",
-    "t25_dsir_logweights", "ts1_resample_linear", "ts3_zscore_anomaly",
-    "v3_validate_expectations", "w1_lead", "w2_lag_fill",
-    "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
-    "w9_ntile_cume",
-    # ---- window edge: position 50 ----
-    # everything below rides behind the window: the two deferred
-    # r18 gates first (they lead the r19 window), then oldest
-    # latest driver row first (rest of r13, then r14/r15/r16
-    # blocks), the 50 gates the driver just confirmed in r17 at
-    # the very end.
-    "k11_batch_padding_stats", "q11_entropy_curation",
-    "v6_embedding_stats", "v7_embedding_norm_stats",
-    "t59_unigram_prune", "k12_materialize_batches",
-    "t60_wordpiece_prune", "u3_canonicalize_url",
-    "s20_file_pruning_report", "n9_contrastive_pairs",
-    "q12_badword_curation", "smp11_interleave_order", "d15_dedup_cluster_histogram",
-    "c1_grid_neighbor_pairs", "c3_dbscan_per_user",
-    "c3b_dbscan_distributed",
-    "c4_cluster_medoids", "c5_convex_hull",
-    "c6_max_pairwise_distance", "d1_dedup_exact",
+    "k11_batch_padding_stats", "q11_entropy_curation", "v6_embedding_stats",
+    "v7_embedding_norm_stats", "t59_unigram_prune", "k12_materialize_batches",
+    "t60_wordpiece_prune", "u3_canonicalize_url", "s20_file_pruning_report",
+    "n9_contrastive_pairs", "q12_badword_curation", "smp11_interleave_order",
+    "d15_dedup_cluster_histogram", "c1_grid_neighbor_pairs",
+    "c3_dbscan_per_user", "c3b_dbscan_distributed", "c4_cluster_medoids",
+    "c5_convex_hull", "c6_max_pairwise_distance", "d1_dedup_exact",
     "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d4_ngram_jaccard_pairs",
     "d5_embedding_neardup", "d6_near_dedup_survivors", "d7_decontaminate",
     "d8_dedup_lines", "d9_incremental_dedup_pairs", "g4_kcore_invariants",
@@ -14638,29 +14610,33 @@ _PRIORITY = [
     "m4_compute_dbscan", "m5_prepare_labeling", "m6_detect_home",
     "m7_detect_work", "m8_compute_intervals", "mm1_media_features",
     "mm3_av_headers", "mm4_jpeg_gif_dims", "n1_cosine_topk",
-    "n2_ann_lsh_topk", "n2b_ann_lsh_recall", "n8_pq_rotated_recall",
-    "p1_projection", "p2_rename", "p4_drop_column", "p5_numeric_filter",
-    "s16_bucketed_join", "s17_warc_ingest", "smp10_leakage_safe_split",
-    "smp9b_gumbel_topk_band", "st8_streaming_gumbel_topk",
-    "t26_extract_main_content", "v4_pca_whiten_invariants",
-    "a13_exact_percentiles", "a14_time_rollup", "a3_groupby_median",
-    "k7_packing_exact_bpe", "k8_packing_bestfit_invariants",
-    "mm5_image_neardup", "mm6_audio_neardup", "n2c_ann_lsh_recall_scaled",
-    "n3_ann_ivf_topk", "n3b_ann_ivf_recall", "n3d_ann_ivf_recall_scaled",
-    "n5_pq_recall", "n6_ivfpq_recall", "q6_curation_membership",
-    "q6b_curation_stats", "q6c_curation_split", "q7_corpus_report",
-    "smp1_sample_by_hash", "smp2_train_test_split", "smp3_stratified_sample",
-    "smp4_deterministic_shuffle", "st1_streaming_stops",
-    "st2_streaming_counts", "st3_streaming_dedup", "t11_calibrate_scores",
-    "t12_tfidf_top_terms", "t19_dedup_spans", "t1_token_count",
-    "t20_strip_html", "t21_c4_line_filter", "t22_bigram_logprob",
-    "t23_mojibake", "t27_bpe_identity_counts", "t28_bpe_single_merge_counts",
-    "t29_bpe_train_roundtrip", "t2_quality_features", "t30_nfc_normalize",
-    "t31_bpe_chunking", "t32_bpe_special_tokens", "t33_pack_token_stream",
-    "t3_stopword_scores", "t4_fingerprint", "t5_scrub_text",
-    "t6_repetition_ratio", "t7_quality_stratified", "ts2_ewma",
-    "ts2b_ewma_blocked", "u2_filter_by_domain", "v5_opq_iterative_invariants",
-    "w4_detect_stops", "a9_grouped_udf", "d13_near_dedup_keep_best",
+    "n2_ann_lsh_topk",
+    # ---- window edge: position 50 ----
+    "t61_winsorize_robust_approx", "sft6_eval_choices", "rl1_grpo_advantages",
+    "d16_memorization_scan", "q13_domain_report", "n2b_ann_lsh_recall",
+    "n8_pq_rotated_recall", "p1_projection", "p2_rename", "p4_drop_column",
+    "p5_numeric_filter", "s16_bucketed_join", "s17_warc_ingest",
+    "smp10_leakage_safe_split", "smp9b_gumbel_topk_band",
+    "st8_streaming_gumbel_topk", "t26_extract_main_content",
+    "v4_pca_whiten_invariants", "a13_exact_percentiles", "a14_time_rollup",
+    "a3_groupby_median", "k7_packing_exact_bpe",
+    "k8_packing_bestfit_invariants", "mm5_image_neardup", "mm6_audio_neardup",
+    "n2c_ann_lsh_recall_scaled", "n3_ann_ivf_topk", "n3b_ann_ivf_recall",
+    "n3d_ann_ivf_recall_scaled", "n5_pq_recall", "n6_ivfpq_recall",
+    "q6_curation_membership", "q6b_curation_stats", "q6c_curation_split",
+    "q7_corpus_report", "smp1_sample_by_hash", "smp2_train_test_split",
+    "smp3_stratified_sample", "smp4_deterministic_shuffle",
+    "st1_streaming_stops", "st2_streaming_counts", "st3_streaming_dedup",
+    "t11_calibrate_scores", "t12_tfidf_top_terms", "t19_dedup_spans",
+    "t1_token_count", "t20_strip_html", "t21_c4_line_filter",
+    "t22_bigram_logprob", "t23_mojibake", "t27_bpe_identity_counts",
+    "t28_bpe_single_merge_counts", "t29_bpe_train_roundtrip",
+    "t2_quality_features", "t30_nfc_normalize", "t31_bpe_chunking",
+    "t32_bpe_special_tokens", "t33_pack_token_stream", "t3_stopword_scores",
+    "t4_fingerprint", "t5_scrub_text", "t6_repetition_ratio",
+    "t7_quality_stratified", "ts2_ewma", "ts2b_ewma_blocked",
+    "u2_filter_by_domain", "v5_opq_iterative_invariants", "w4_detect_stops",
+    "a9_grouped_udf", "d13_near_dedup_keep_best",
     "d14_eval_contamination_report", "evt1_signup_purchase_funnel",
     "f10_timestamp_to_epoch", "f11_tz_convert", "f12_tz_restamp",
     "f13_datetime_parts", "f14_iso_weekday", "f15_date_diff_days",
@@ -14714,7 +14690,24 @@ _PRIORITY = [
     "t53_fim_transform", "t54_wordpiece_coverage", "t9_detect_language",
     "w10_session_window", "w3_gated_cumsum", "w8_compute_intervals",
     "x1_heavy_hitters", "x2_bloom_membership", "x3_bloom_decontaminate",
-    "x4_hll_two_level",
+    "x4_hll_two_level", "a8_collect_list", "j12_interval_overlap",
+    "j2_left_join_single", "j3_semi_join", "j5_cross_broadcast_scalar",
+    "j6_medoid_joinback", "j7_asof_join", "k10_length_bucketed_batches",
+    "kto1_unary_examples", "mm2_png_dims", "n4_embedding_join",
+    "p10_null_checks", "p11_key_equality", "p3_computed_columns",
+    "p6_compound_filter", "p7_range_predicate", "p8_string_inequality",
+    "p9_membership", "q1_tpch_pricing", "q5_tpch_local_supplier",
+    "r8_topk_per_key", "s15_orc_roundtrip", "s19_snapshot_diff",
+    "s1_parquet_scan_filter", "s2_parquet_read_agg", "s4_pandas_interchange",
+    "s6_partitioned_write", "sft5_fewshot_prompts",
+    "smp7b_temperature_sample_weighted", "smp8b_temperature_epoch_plan_mean",
+    "smp9_gumbel_topk", "st14_streaming_cms", "st7_streaming_ewma",
+    "t15_unigram_logprob", "t25_dsir_logweights", "t33b_pack_pre_encoded_ids",
+    "t55_perplexity_buckets_approx", "t56_ul2_mixture", "t57_token_entropy",
+    "t58_compression_ratio", "ts1_resample_linear", "ts3_zscore_anomaly",
+    "v3_validate_expectations", "w1_lead", "w2_lag_fill",
+    "w5_rolling_range_window", "w6_row_index", "w7_keep_first",
+    "w9_ntile_cume", "x5_count_min_sketch",
 ]
 
 
