@@ -768,6 +768,94 @@ def cmd_diff(args) -> None:
         print(f"{r.diff_status}: {r.n}")
 
 
+def cmd_domain_report(args) -> None:
+    """Host-level data card stage: documents with a URL column in,
+    the per-registered-domain report out (the per-domain-cap /
+    blocklist input); the top domains by doc count print as the run
+    summary. ``--suffix-file`` (one lowercase public suffix per
+    line) switches the naive last-two-labels rule to PSL-accurate
+    site keys."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.curation import domain_report
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    psl = None
+    if args.suffix_file:
+        import pathlib
+
+        entries = [
+            (ln.strip().lower(),)
+            for ln in pathlib.Path(args.suffix_file)
+            .read_text()
+            .splitlines()
+            if ln.strip() and not ln.startswith("//")
+        ]
+        if not entries:
+            raise SystemExit(
+                f"--suffix-file {args.suffix_file} has no entries"
+            )
+        psl = spark.createDataFrame(entries, "suffix string")
+    rep = domain_report(
+        docs,
+        url_col=args.url_col,
+        text_col=args.text_col,
+        quality_col=args.quality_col,
+        kept_col=args.kept_col,
+        suffix_list=psl,
+    )
+    rep.write.mode("overwrite").parquet(args.output)
+    for r in (
+        spark.read.parquet(args.output)
+        .orderBy(F.col("n_docs").desc(), "registered_domain")
+        .limit(int(args.top))
+        .collect()
+    ):
+        print(
+            f"{r.registered_domain}: docs={r.n_docs} "
+            f"hosts={r.n_hosts} tokens={r.n_tokens}"
+        )
+
+
+def cmd_memorization_scan(args) -> None:
+    """Verbatim-memorization stage: a corpus and a probe set
+    (generated samples / eval completions) in, the per-probe overlap
+    report out; the memorized/clean/too-short tally prints as the
+    run summary — the number a release review reads first."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    spark = _spark(args)
+    out = memorization_scan(
+        spark.read.parquet(args.corpus),
+        spark.read.parquet(args.probes),
+        n=args.n,
+        text_col=args.text_col,
+        probe_text_col=args.probe_text_col,
+        max_match_docs=args.max_match_docs,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    row = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.when(F.col("memorized"), 1).otherwise(0)).alias(
+                "n_memorized"
+            ),
+            F.sum(F.when(F.col("too_short"), 1).otherwise(0)).alias(
+                "n_too_short"
+            ),
+        )
+        .collect()[0]
+    )
+    print(
+        f"probes: {row.n_probes}  memorized: {row.n_memorized}  "
+        f"too_short: {row.n_too_short}"
+    )
+
+
 def cmd_batch_plan(args) -> None:
     """Length-bucketed dynamic-batching stage: documents (or any
     frame with a token-length column) in, the per-row
@@ -1145,6 +1233,37 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--min-bucket", type=int, default=16)
     pb.add_argument("--shards-per-bucket", type=int, default=1)
     pb.set_defaults(fn=cmd_batch_plan)
+
+    pdr = sub.add_parser(
+        "domain-report",
+        help="documents + URL column -> per-domain data card",
+    )
+    pdr.add_argument("--input", required=True)
+    pdr.add_argument("--output", required=True)
+    pdr.add_argument("--url-col", default="url")
+    pdr.add_argument("--text-col", default="text")
+    pdr.add_argument("--quality-col", default=None)
+    pdr.add_argument("--kept-col", default=None)
+    pdr.add_argument(
+        "--suffix-file", default=None,
+        help="public-suffix list, one lowercase suffix per line "
+        "(default: naive last-two-labels domains)",
+    )
+    pdr.add_argument("--top", type=int, default=20)
+    pdr.set_defaults(fn=cmd_domain_report)
+
+    pm = sub.add_parser(
+        "memorization-scan",
+        help="corpus + probe texts -> verbatim n-gram overlap report",
+    )
+    pm.add_argument("--corpus", required=True)
+    pm.add_argument("--probes", required=True)
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--n", type=int, default=50)
+    pm.add_argument("--text-col", default="text")
+    pm.add_argument("--probe-text-col", default="text")
+    pm.add_argument("--max-match-docs", type=int, default=20)
+    pm.set_defaults(fn=cmd_memorization_scan)
 
     return p
 

@@ -920,3 +920,70 @@ def test_cli_corpus_signal_gates(spark, tmpdir):
     ]) == 0
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1}
+
+
+def test_cli_domain_report(spark, tmpdir, capsys):
+    from polaroam_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.ex.com/a", "one two", 0.5, True),
+            (2, "https://cdn.ex.com/b", "three", 0.7, False),
+            (3, "https://site.co.uk/c", "four five six", 0.9, True),
+        ],
+        "doc_id long, url string, text string, q double, kept boolean",
+    )
+    src = str(tmpdir.join("docs"))
+    docs.write.parquet(src)
+    out = str(tmpdir.join("report"))
+    assert main([
+        "domain-report", "--input", src, "--output", out,
+        "--quality-col", "q", "--kept-col", "kept",
+    ]) == 0
+    got = {
+        r.registered_domain: r for r in spark.read.parquet(out).collect()
+    }
+    assert got["ex.com"].n_docs == 2 and got["ex.com"].n_hosts == 2
+    assert got["ex.com"].n_kept == 1
+    assert "ex.com: docs=2 hosts=2" in capsys.readouterr().out
+    # PSL file switches to site keys
+    psl = tmpdir.join("psl.txt")
+    psl.write("// comment\ncom\nuk\nco.uk\n")
+    out2 = str(tmpdir.join("report2"))
+    assert main([
+        "domain-report", "--input", src, "--output", out2,
+        "--suffix-file", str(psl),
+    ]) == 0
+    doms = {
+        r.registered_domain
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert "site.co.uk" in doms
+
+
+def test_cli_memorization_scan(spark, tmpdir, capsys):
+    from polaroam_spark.__main__ import main
+
+    span = " ".join(f"w{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [(1, "pre " + span + " post"), (2, "other text entirely")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, span), (101, "q1 q2 q3 q4 q5 q6 q7 q8 q9"), (102, "tiny")],
+        "doc_id long, text string",
+    )
+    pc, pp = str(tmpdir.join("corpus")), str(tmpdir.join("probes"))
+    corpus.write.parquet(pc)
+    probes.write.parquet(pp)
+    out = str(tmpdir.join("scan"))
+    assert main([
+        "memorization-scan", "--corpus", pc, "--probes", pp,
+        "--output", out, "--n", "8",
+    ]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[100].memorized and list(got[100].matched_doc_ids) == [1]
+    assert not got[101].memorized
+    assert got[102].too_short
+    printed = capsys.readouterr().out
+    assert "probes: 3  memorized: 1  too_short: 1" in printed
