@@ -781,3 +781,54 @@ def test_length_buckets_single_window_shuffle(spark, docs):
     # one shuffle: the per-bucket window partitioning
     assert _n_hash_exchanges(plan) == 1, plan
     assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_memorization_scan_broadcasts_probe_grams(spark, docs):
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    probes = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    plan = _plan(memorization_scan(corpus, probes, n=3))
+    # probe gram pairs and both probe-bounded agg tables broadcast;
+    # the corpus gram stream joins map-side and never sort-merges
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_report_single_agg_shuffle_jvm_only(spark, docs):
+    from polaroam_spark.operators.curation import domain_report
+
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".ex"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                F.lit(".org")
+            ),
+            F.lit("/p"),
+        ),
+    )
+    plan = _plan(domain_report(with_url))
+    # one domain-keyed aggregation (partial_merge for the two
+    # distinct aggregates adds planner-internal exchanges on the
+    # SAME key at most); URL parse + token count are scan-side
+    assert "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+
+
+def test_grpo_advantages_plan(spark):
+    from polaroam_spark.operators.sft import grpo_advantages
+
+    df = spark.createDataFrame(
+        [(i % 10, f"c{i}", float(i % 7)) for i in range(50)],
+        "prompt_id long, candidate string, score double",
+    )
+    plan = _plan(grpo_advantages(df))
+    # one hash exchange (the id-keyed window); stats never join back
+    assert _n_hash_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
