@@ -684,6 +684,39 @@ def main() -> None:
             )
         )
 
+    def q_memorization_scan():
+        # r19: verbatim-memorization scan — probes are 12-token
+        # spans lifted from the doc_id%10 slice (guaranteed hits)
+        # scanned against the FULL corpus gram stream: measures the
+        # inverted n-gram index shape (probe grams broadcast, corpus
+        # grams join map-side, only matches shuffle)
+        from polaroam_spark.functions.text import tokens
+        from polaroam_spark.operators.dedup import memorization_scan
+
+        docs = (
+            em._t(spark, SF_DIR, "documents")
+            .filter(
+                F.col("doc_id").isNotNull()
+                & F.col("text").isNotNull()
+            )
+            .select("doc_id", "text")
+        )
+        tk = docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", tokens("text").alias("_toks")
+        )
+        probes = tk.filter(F.size("_toks") >= 16).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("_toks", 4, 12)).alias("text"),
+        )
+        run(
+            memorization_scan(docs, probes, n=8).select(
+                "doc_id",
+                "n_memorized_grams",
+                "n_corpus_docs",
+                "memorized",
+            )
+        )
+
     def q_kn_5gram():
         # Kneser-Ney 5-gram reference-LM scoring — the order CCNet
         # actually deploys (r16: replaces the trigram row, which was
@@ -723,6 +756,7 @@ def main() -> None:
         "unigram_tokenize": q_unigram_tokenize,
         "wordpiece_tokenize": q_wordpiece_tokenize,
         "text_signals": q_text_signals,
+        "memorization_scan": q_memorization_scan,
         "kn_5gram": q_kn_5gram,
         "sft_prep": q_sft_prep,
     }
