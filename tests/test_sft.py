@@ -899,3 +899,74 @@ def test_grpo_advantages_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_score_eval_choices_acc_and_acc_norm(spark):
+    from polaroam_spark.operators.sft import score_eval_choices
+
+    rows = [
+        # item 1: raw ll picks choice 1 (wrong), norm picks 0 (gold)
+        (1, 0, True, -10.0, 2),    # ll/b = -5
+        (1, 1, False, -9.0, 1),    # ll/b = -9
+        (1, 2, False, -30.0, 3),
+        # item 2: tie on ll -> smallest index wins
+        (2, 0, False, -4.0, 4),
+        (2, 1, True, -4.0, 4),
+        # item 3: NULL ll excluded; only choice 1 scored
+        (3, 0, True, None, 2),
+        (3, 1, False, -1.0, 2),
+        # item 4: nothing scored -> NULL prediction, row kept
+        (4, 0, True, None, 2),
+        (4, 1, False, float("nan"), 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "item_id long, choice_index int, is_gold boolean, "
+        "loglikelihood double, n_choice_bytes int",
+    )
+    out = {r.item_id: r for r in score_eval_choices(df).collect()}
+    assert len(out) == 4
+    r1 = out[1]
+    assert r1.pred_choice == 1 and r1.correct is False
+    assert r1.pred_choice_norm == 0 and r1.correct_norm is True
+    assert r1.n_choices == 3 and r1.n_scored == 3
+    r2 = out[2]
+    assert r2.pred_choice == 0 and r2.correct is False
+    r3 = out[3]
+    assert r3.pred_choice == 1 and r3.correct is False
+    assert r3.n_scored == 1
+    r4 = out[4]
+    assert r4.pred_choice is None and r4.correct is None
+    assert r4.n_scored == 0
+    # task accuracy is one avg over the output
+    import pyspark.sql.functions as F
+
+    acc = (
+        score_eval_choices(df)
+        .agg(F.avg(F.col("correct").cast("int")))
+        .collect()[0][0]
+    )
+    # items 1/2/3 predicted (all wrong on raw ll), item 4 NULL-skipped
+    assert abs(acc - 0.0) < 1e-12
+    accn = (
+        score_eval_choices(df)
+        .agg(F.avg(F.col("correct_norm").cast("int")))
+        .collect()[0][0]
+    )
+    assert abs(accn - (1.0 / 3.0)) < 1e-12  # only item 1 norm-correct
+
+
+def test_score_eval_choices_zero_byte_norm_guard(spark):
+    from polaroam_spark.operators.sft import score_eval_choices
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, True, -1.0, 0),   # zero bytes: out of NORM argmax
+            (1, 1, False, -2.0, 2),
+        ],
+        "item_id long, choice_index int, is_gold boolean, "
+        "loglikelihood double, n_choice_bytes int",
+    )
+    r = score_eval_choices(df).collect()[0]
+    assert r.pred_choice == 0          # raw argmax unaffected
+    assert r.pred_choice_norm == 1     # zero-byte row excluded
