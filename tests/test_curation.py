@@ -729,3 +729,34 @@ def test_domain_report_psl_site_keys(spark):
         for r in domain_report(df, suffix_list=psl).collect()
     }
     assert accurate == {"site1.co.uk", "site2.co.uk"}
+
+
+def test_domain_report_feeds_mixture_plan(spark):
+    """The card composes directly into the waterfill planner keyed
+    on the domain — the per-domain-cap flow end to end."""
+    from polaroam_spark.operators.curation import (
+        domain_report,
+        mixture_plan,
+    )
+
+    rows = []
+    for i in range(40):
+        dom = "big.com" if i % 4 else "small.org"
+        rows.append(
+            (i, f"https://h{i % 3}.{dom}/p", "tok " * (5 + i % 7))
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    card = domain_report(df)
+    plan = mixture_plan(
+        card,
+        token_budget=100,
+        targets={"big.com": 0.5, "small.org": 0.5},
+        group_col="registered_domain",
+    )
+    got = {r.registered_domain: r for r in plan.collect()}
+    assert set(got) == {"big.com", "small.org"}
+    for r in got.values():
+        assert 0.0 <= r.rate <= 1.0
+        assert r.available_tokens > 0
