@@ -1161,7 +1161,12 @@ def memorization_scan(
     # tokens so every gram is exactly n tokens long
     p_base = probes.select(
         F.col(probe_id).alias("_pid"),
-        tokens(probe_text_col).alias("_ptoks"),
+        # NULL probe text behaves as the empty probe (0 tokens,
+        # too_short, zeros) — not a NULL-riddled row
+        F.coalesce(
+            tokens(probe_text_col),
+            F.array().cast("array<string>"),
+        ).alias("_ptoks"),
     ).withColumn(
         "_pgrams",
         F.when(

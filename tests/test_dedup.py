@@ -1051,6 +1051,7 @@ def test_memorization_scan_planted_spans(spark):
             (1, span),                      # planted: in docs 10 and 12
             (2, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10"),  # clean
             (3, "w0 w1 w2"),                # too short for n=8
+            (4, None),                      # NULL text == empty probe
         ],
         "doc_id long, text string",
     )
@@ -1058,7 +1059,10 @@ def test_memorization_scan_planted_spans(spark):
         r.doc_id: r
         for r in memorization_scan(corpus, probes, n=8).collect()
     }
-    assert len(out) == 3
+    assert len(out) == 4
+    p4 = out[4]
+    assert p4.too_short and not p4.memorized
+    assert p4.n_probe_tokens == 0 and p4.n_probe_grams == 0
     p1 = out[1]
     assert p1.memorized and not p1.too_short
     assert p1.n_probe_tokens == 12 and p1.n_probe_grams == 5
