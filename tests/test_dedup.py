@@ -1101,3 +1101,41 @@ def test_memorization_scan_cap_and_guards(spark):
         memorization_scan(corpus, probes, n=1)
     with _pt.raises(ValueError, match="max_match_docs"):
         memorization_scan(corpus, probes, max_match_docs=0)
+
+
+def test_memorization_scan_verbatim_guarantee(spark):
+    """Guarantee: a probe lifted VERBATIM from a corpus document,
+    with at least n tokens, is always reported memorized with its
+    source among the matched ids — across varied span offsets and
+    lengths."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.functions.text import tokens
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(f"d{i}w{j}" for j in range(20 + i)))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    tk = corpus.select("doc_id", tokens("text").alias("_t"))
+    probes = tk.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "_t",
+                (F.col("doc_id") % 5) + 1,          # varied offset
+                F.lit(8) + (F.col("doc_id") % 6),   # varied length
+            ),
+        ).alias("text"),
+    )
+    out = memorization_scan(corpus, probes, n=8).collect()
+    assert len(out) == 12
+    for r in out:
+        src = r.doc_id - 1000
+        assert r.memorized, r
+        assert src in list(r.matched_doc_ids), r
+        assert r.n_memorized_grams == r.n_probe_grams, r

@@ -970,3 +970,43 @@ def test_score_eval_choices_zero_byte_norm_guard(spark):
     r = score_eval_choices(df).collect()[0]
     assert r.pred_choice == 0          # raw argmax unaffected
     assert r.pred_choice_norm == 1     # zero-byte row excluded
+
+
+def test_grpo_advantages_normalization_invariants(spark):
+    """Property over random-ish groups: within every surviving
+    group with positive spread, the advantages have mean exactly 0
+    and SAMPLE std exactly 1 (the definition, closed under the
+    group's own statistics) — checked driver-side over the operator
+    output rather than re-derived."""
+    import math
+
+    from polaroam_spark.operators.sft import grpo_advantages
+
+    rows = []
+    for g in range(12):
+        k = 2 + (g * 7) % 9
+        for j in range(k):
+            # deterministic pseudo-random scores, some ties
+            rows.append(
+                (g, f"c{j}", float(((g * 31 + j * 17) % 23) / 7.0))
+            )
+    df = spark.createDataFrame(
+        rows, "prompt_id long, candidate string, score double"
+    )
+    out = grpo_advantages(df).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r.prompt_id, []).append(r)
+    assert groups  # at least some groups survive
+    for g, rs in groups.items():
+        advs = [r.advantage for r in rs]
+        if any(a is None for a in advs):
+            # zero-spread group: every advantage NULL, std 0
+            assert all(a is None for a in advs)
+            assert all(r.group_score_std == 0.0 for r in rs)
+            continue
+        n = len(advs)
+        mean = sum(advs) / n
+        var = sum((a - mean) ** 2 for a in advs) / (n - 1)
+        assert abs(mean) < 1e-9, (g, advs)
+        assert abs(math.sqrt(var) - 1.0) < 1e-9, (g, advs)
