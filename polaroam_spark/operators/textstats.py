@@ -1792,6 +1792,17 @@ def filter_by_domain(
     lst = blocklist.select(
         F.lower(F.col(domain_col)).alias("_dom")
     ).dropDuplicates()
+    if not blocklist.limit(1).count():
+        # the badword_stats rule (r19): an empty list DataFrame in
+        # block mode silently drops NOTHING (the blocklist looks
+        # applied when it is not) and in allowlist mode silently
+        # drops EVERYTHING — both are upstream bugs, not intents;
+        # bounded limit(1) probe
+        raise ValueError(
+            "filter_by_domain: empty domain list — a 0-row "
+            "blocklist blocks nothing (and a 0-row allowlist "
+            "keeps nothing); fix the list upstream"
+        )
     if broadcast:
         lst = F.broadcast(lst)
     if suffix_list is not None:

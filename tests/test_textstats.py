@@ -472,6 +472,12 @@ def test_filter_by_domain_block_and_allow(spark):
         for r in filter_by_domain(docs, block, keep=True).collect()
     )
     assert allowed == [1, 2]
+    # a 0-row list raises (blocks nothing / keeps nothing — both
+    # are upstream bugs, the badword_stats rule)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty domain list"):
+        filter_by_domain(docs, block.limit(0))
 
 
 def test_strip_html_drops_script_contents_and_tags(spark):
