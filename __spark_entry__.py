@@ -14636,6 +14636,62 @@ def sft7(spark, sf_dir):
     return score_eval_choices(deck)
 
 
+# Deterministic choice shuffling (sft.py:shuffle_eval_choices, r19
+# — the position-bias control of multiple-choice eval; sft6's deck
+# is built gold-first, so an unshuffled deck inflates accuracy for
+# option-A-preferring models). The oracle replays the per-item
+# permutation exactly: the same md5 position hash ordered (h, i) as
+# a string_agg/list aggregation, the remapped gold index via
+# list_position; gold tracking (the shuffled array at the new
+# answer index IS the gold text) is genuinely computed Spark-side
+# and pinned TRUE.
+@_q(
+    "sft8_shuffle_choices",
+    "WITH it AS (SELECT doc_id AS item_id, lang, "
+    "[' ' || lang, ' en', ' xx'] AS cs FROM documents "
+    "WHERE doc_id IS NOT NULL AND lang IS NOT NULL), "
+    "e AS (SELECT item_id, cs[i + 1] AS choice, i, "
+    "CAST(('0x' || substr(md5('29:' || CAST(item_id AS VARCHAR) || "
+    "'|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS h "
+    "FROM it, (SELECT unnest([0, 1, 2]) AS i) t), "
+    "p AS (SELECT item_id, string_agg(choice, '|' ORDER BY h, i) "
+    "AS choices_csv, list(i ORDER BY h, i) AS ord FROM e "
+    "GROUP BY item_id) "
+    "SELECT p.item_id, p.choices_csv, "
+    "CAST(list_position(p.ord, 0) - 1 AS INT) AS answer, "
+    "TRUE AS gold_ok FROM p",
+)
+def sft8(spark, sf_dir):
+    from polaroam_spark.operators.sft import shuffle_eval_choices
+
+    fs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+        )
+        .select(
+            F.col("doc_id").alias("item_id"),
+            "lang",
+            F.array(
+                F.concat(F.lit(" "), F.col("lang")),
+                F.lit(" en"),
+                F.lit(" xx"),
+            ).alias("choices"),
+            F.lit(0).cast("int").alias("answer"),
+        )
+    )
+    sh = shuffle_eval_choices(fs, seed=29)
+    return sh.select(
+        "item_id",
+        F.concat_ws("|", "choices").alias("choices_csv"),
+        "answer",
+        (
+            F.element_at(F.col("choices"), F.col("answer") + 1)
+            == F.concat(F.lit(" "), F.col("lang"))
+        ).alias("gold_ok"),
+    )
+
+
 # The correctness driver checks queries in dict order and covers a
 # ~50-query prefix of the registry per round (observed: exactly 50
 # rows in every CORRECTNESS_r*.json). The round-19 window below was
@@ -14646,22 +14702,23 @@ def sft7(spark, sf_dir):
 _PRIORITY = [
     # ------------------------------------------------------------------
     # r19 WINDOW (first 50 — the driver drives exactly this many).
-    # Registry: 318 gates (312 r18 + 6 r19-new). Never driver-
-    # checked: 19 = the 13 gates the r18 round queued behind its
+    # Registry: 319 gates (312 r18 + 7 r19-new). Never driver-
+    # checked: 20 = the 13 gates the r18 round queued behind its
     # edge (each 3-SF-verified at add time and by the r18 judge at
     # sf0.001; the r18 verdict prescribes them to LEAD this window)
-    # + the 6 r19-new gates (t61 winsorize/robust approx
+    # + the 7 r19-new gates (t61 winsorize/robust approx
     # certification, sft6 multiple-choice eval deck, sft7 choice
-    # scoring, rl1 GRPO advantages, d16 memorization scan, q13
-    # domain report — each 3-SF-verified this round). Latest-driver-row distribution of
+    # scoring, sft8 choice shuffling, rl1 GRPO advantages, d16
+    # memorization scan, q13 domain report — each 3-SF-verified
+    # this round). Latest-driver-row distribution of
     # the 299 checked gates: r13 x50, r14 x50, r15 x50, r16 x49,
     # r17 x50, r18 x50. Window = the 13 r18-deferred never-checked
     # gates + the 37 alphabetically-first of the 50 r13-aged gates
     # (stale-oldest outranks same-round-new, the r18 rule): 13 + 37
-    # = 50. Behind the edge: the 6 r19-new gates first (they lead
+    # = 50. Behind the edge: the 7 r19-new gates first (they lead
     # the r20 window), then the remaining 13 r13 gates, then
     # r14/r15/r16/r17/r18 blocks by (latest_round, name). Rotation
-    # arithmetic: ceil(318/50) = 7 windows per full cycle, so the
+    # arithmetic: ceil(319/50) = 7 windows per full cycle, so the
     # structural freshness bound stays ~6-7 rounds; never-checked
     # gates always lead, then oldest-checked.
     # ------------------------------------------------------------------
@@ -14686,7 +14743,8 @@ _PRIORITY = [
     # ---- window edge: position 50 ----
     "t61_winsorize_robust_approx", "sft6_eval_choices", "rl1_grpo_advantages",
     "d16_memorization_scan", "q13_domain_report",
-    "sft7_score_eval_choices", "n2b_ann_lsh_recall",
+    "sft7_score_eval_choices", "sft8_shuffle_choices",
+    "n2b_ann_lsh_recall",
     "n8_pq_rotated_recall", "p1_projection", "p2_rename", "p4_drop_column",
     "p5_numeric_filter", "s16_bucketed_join", "s17_warc_ingest",
     "smp10_leakage_safe_split", "smp9b_gumbel_topk_band",

@@ -1240,6 +1240,87 @@ def encode_eval_choices(
     return tmp.select(*cols)
 
 
+def shuffle_eval_choices(
+    df: DataFrame,
+    item_col: str = "item_id",
+    choices_col: str = "choices",
+    answer_col: str = "answer",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministically permute each item's ``choices`` array and
+    remap the gold ``answer`` index — the POSITION-BIAS control of
+    multiple-choice eval (models measurably prefer option A; a deck
+    whose gold answers cluster at index 0 — the natural layout when
+    decks are built gold-first, as sft6's is — inflates accuracy).
+    The permutation is a pure function of ``(item id, position,
+    seed)`` via the portable md5 hash (the :func:`build_fewshot_
+    prompts` draw rule): identical on any cluster layout and any
+    run, independent across items (no shared permutation bias), and
+    SQL-replayable. Runs BEFORE :func:`encode_eval_choices`;
+    ``score_eval_choices`` then reads ``is_gold`` unchanged.
+
+    NULL ``choices`` or NULL ``answer`` pass through NULL; an
+    ``answer`` outside the array raises executor-side (an eval item
+    whose gold index is broken must not silently become un-gradable).
+    Map-only — the permutation is a per-row JVM array sort, no
+    shuffle, no UDF.
+    """
+    from polaroam_spark.functions.text import portable_hash64
+
+    it = F.col(item_col).cast("string")
+    cs = F.col(choices_col)
+    ans = F.col(answer_col).cast("int")
+    n = F.size(cs)
+    # sequence(0, -1) would yield [0, -1] (negative default step),
+    # so the empty array is its own branch
+    idxs = F.when(
+        n >= 1, F.sequence(F.lit(0), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    perm = F.array_sort(
+        F.transform(
+            idxs,
+            lambda i: F.struct(
+                portable_hash64(
+                    F.concat_ws("|", it, i.cast("string")), seed
+                ).alias("h"),
+                i.alias("i"),
+            ),
+        )
+    )
+    order = F.transform(perm, lambda e: e["i"])
+    new_choices = F.transform(
+        order, lambda i: F.element_at(cs, i + 1)
+    )
+    new_answer = F.when(
+        ans.isNotNull() & (ans >= 0) & (ans < n),
+        (F.array_position(order, ans) - 1).cast("int"),
+    ).otherwise(
+        F.when(
+            ans.isNull() | cs.isNull(),
+            F.lit(None).cast("int"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "shuffle_eval_choices: answer index out "
+                        "of range: "
+                    ),
+                    ans.cast("string"),
+                    F.lit(" for "),
+                    n.cast("string"),
+                    F.lit(" choices"),
+                )
+            ).cast("int")
+        )
+    )
+    return df.withColumns(
+        {
+            choices_col: F.when(cs.isNotNull(), new_choices),
+            answer_col: new_answer,
+        }
+    )
+
+
 def score_eval_choices(
     df: DataFrame,
     item_col: str = "item_id",

@@ -1010,3 +1010,94 @@ def test_grpo_advantages_normalization_invariants(spark):
         var = sum((a - mean) ** 2 for a in advs) / (n - 1)
         assert abs(mean) < 1e-9, (g, advs)
         assert abs(math.sqrt(var) - 1.0) < 1e-9, (g, advs)
+
+
+def test_shuffle_eval_choices_permutation_and_gold_tracking(spark):
+    from polaroam_spark.operators.sft import shuffle_eval_choices
+
+    rows = [
+        (i, [f"i{i}a", f"i{i}b", f"i{i}c", f"i{i}d"], i % 4)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, choices array<string>, answer int"
+    )
+    out = {r.item_id: r for r in shuffle_eval_choices(df).collect()}
+    perms = set()
+    for i, (iid, choices, ans) in enumerate(rows):
+        r = out[iid]
+        # multiset preserved, gold tracked to its new position
+        assert sorted(r.choices) == sorted(choices)
+        assert r.choices[r.answer] == choices[ans]
+        perms.add(tuple(r.choices[j][-1] for j in range(4)))
+    # permutations are independent across items: with 30 items over
+    # 24 possible orders, more than one order must appear
+    assert len(perms) > 1
+    # deterministic across invocations
+    again = {
+        r.item_id: list(r.choices)
+        for r in shuffle_eval_choices(df).collect()
+    }
+    assert again == {k: list(v.choices) for k, v in out.items()}
+    # a different seed permutes differently somewhere
+    other = {
+        r.item_id: list(r.choices)
+        for r in shuffle_eval_choices(df, seed=99).collect()
+    }
+    assert other != again
+
+
+def test_shuffle_eval_choices_nulls_and_range_guard(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.sft import shuffle_eval_choices
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 0),
+            (2, ["a", "b"], None),
+            (3, [], None),
+        ],
+        "item_id long, choices array<string>, answer int",
+    )
+    out = {r.item_id: r for r in shuffle_eval_choices(df).collect()}
+    assert out[1].choices is None and out[1].answer is None
+    assert sorted(out[2].choices) == ["a", "b"]
+    assert out[2].answer is None
+    assert list(out[3].choices) == []
+    bad = spark.createDataFrame(
+        [(9, ["a", "b"], 5)],
+        "item_id long, choices array<string>, answer int",
+    )
+    with _pt.raises(Exception, match="out of range"):
+        shuffle_eval_choices(bad).collect()
+
+
+def test_shuffle_then_encode_then_score_roundtrip(spark, ident):
+    """The full deck pipeline: shuffle -> encode -> score with an
+    always-right oracle ll must give accuracy 1.0 — gold tracking
+    survives the composition."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.sft import (
+        encode_eval_choices,
+        score_eval_choices,
+        shuffle_eval_choices,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"q{i}:", [" aa", " bbbb", " c"], i % 3) for i in range(9)],
+        "item_id long, prompt_text string, choices array<string>, "
+        "answer int",
+    )
+    deck = encode_eval_choices(
+        shuffle_eval_choices(df), ident, answer_col="answer"
+    )
+    # an oracle that always scores the gold row highest
+    scored = deck.withColumn(
+        "loglikelihood",
+        F.when(F.col("is_gold"), -1.0).otherwise(-2.0),
+    )
+    res = score_eval_choices(scored).collect()
+    assert len(res) == 9
+    assert all(r.correct for r in res)
