@@ -785,16 +785,31 @@ def cmd_domain_report(args) -> None:
     if args.suffix_file:
         import pathlib
 
-        entries = [
-            (ln.strip().lower(),)
+        lines = [
+            ln.strip().lower()
             for ln in pathlib.Path(args.suffix_file)
             .read_text()
             .splitlines()
-            if ln.strip() and not ln.startswith("//")
+        ]
+        entries = [
+            (ln,)
+            for ln in lines
+            if ln and not ln.startswith("//")
         ]
         if not entries:
             raise SystemExit(
                 f"--suffix-file {args.suffix_file} has no entries"
+            )
+        # attach_registered_domain does not interpret PSL
+        # wildcard/exception syntax — a raw public_suffix_list.dat
+        # must be pre-expanded, not silently ingested as literal
+        # never-matching suffixes
+        rules = [e for (e,) in entries if "*" in e or "!" in e]
+        if rules:
+            raise SystemExit(
+                f"--suffix-file contains PSL wildcard/exception "
+                f"rules ({rules[:3]}...): pre-expand them into "
+                "plain suffixes first"
             )
         psl = spark.createDataFrame(entries, "suffix string")
     rep = domain_report(

@@ -491,11 +491,10 @@ def corpus_report(
     any corpus size: output is #sources rows.
     """
     from polaroam_spark.functions.text import tokens
+    from polaroam_spark.operators.dedup import normalize_text
 
     t = F.col(text_col)
-    norm_key = F.md5(
-        F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    )
+    norm_key = F.md5(normalize_text(t))
     tok = F.array_size(tokens(text_col))
     return docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -547,6 +546,7 @@ def domain_report(
     scan side. Scale-safe at any corpus size.
     """
     from polaroam_spark.functions.text import tokens
+    from polaroam_spark.operators.dedup import normalize_text
     from polaroam_spark.operators.textstats import (
         attach_registered_domain,
     )
@@ -558,9 +558,9 @@ def domain_report(
         docs, url_col=url_col, suffix_list=suffix_list
     ).withColumn("_dr_host", host)
     t = F.col(text_col)
-    norm_key = F.md5(
-        F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    )
+    # the dedup_exact canonical key — shared, not re-inlined, so a
+    # future normalization change cannot diverge card from dedup
+    norm_key = F.md5(normalize_text(t))
     tok = F.array_size(tokens(text_col))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),

@@ -1137,7 +1137,11 @@ def memorization_scan(
 
     Every probe row appears in the output; clean probes report
     zeros and an empty id list. Probe ids are assumed unique (they
-    identify generations). Plan shape mirrors
+    identify generations); a NULL probe id raises loudly — it would
+    otherwise fall out of the join-back and report a memorized
+    probe as clean. Corpus rows with a NULL id are excluded (they
+    cannot be cited, and would consume a cap slot without
+    appearing in the list). Plan shape mirrors
     :func:`eval_contamination_report`'s inverted index: the probe
     side reduces to (probe, 8-byte gram hash) pairs —
     generation-set-sized, broadcast by default — so corpus grams
@@ -1154,6 +1158,17 @@ def memorization_scan(
     if int(max_match_docs) < 1:
         raise ValueError(
             f"max_match_docs must be >= 1 (got {max_match_docs})"
+        )
+    # probe ids key every join and group below; a NULL id would
+    # fall out of the equality join-back and report a MEMORIZED
+    # probe as clean (and groupBy would merge all NULL-id probes
+    # into one phantom row) — broken manifest, fail loudly.
+    # Bounded limit(1) probe, the blocklist-guard cost class.
+    if probes.filter(F.col(probe_id).isNull()).limit(1).count():
+        raise ValueError(
+            f"memorization_scan: NULL {probe_id} in probes — ids "
+            "identify generations; a NULL id would silently "
+            "report its probe as clean"
         )
     # word_shingles emits a SHORTER-than-k whole-text shingle for
     # sub-k inputs (the decontaminate whole-text-match rule); a
@@ -1183,10 +1198,15 @@ def memorization_scan(
     ).select("_pid", fast_hash64("_gram").alias("_gh"))
     if broadcast_probes:
         p_g = F.broadcast(p_g)
+    # NULL corpus ids are excluded up front: they cannot be cited
+    # in matched_doc_ids (collect_list drops NULL) yet would rank
+    # FIRST in the cap window and crowd a real id out of the list
     c_toks = corpus.select(
         F.col(corpus_id).alias("_cid"),
         tokens(text_col).alias("_ctoks"),
-    ).filter(F.size("_ctoks") >= nn)
+    ).filter(
+        F.col("_cid").isNotNull() & (F.size("_ctoks") >= nn)
+    )
     c_g = c_toks.select(
         "_cid",
         F.explode(

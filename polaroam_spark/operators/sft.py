@@ -1231,11 +1231,36 @@ def encode_eval_choices(
         F.octet_length(choice).alias("n_choice_bytes"),
     ]
     if answer_col is not None:
+        ans = F.col(answer_col).cast("int")
+        # the shuffle_eval_choices rule: a broken gold index must
+        # not silently become an always-wrong item (is_gold false
+        # on every row deflates accuracy with no error) — raise
+        # executor-side when the answer points outside a REAL
+        # choices array; NULL answer or NULL deck stays NULL
         cols.append(
-            (
-                F.col("choice_index")
-                == F.col(answer_col).cast("int")
-            ).alias("is_gold")
+            F.when(
+                ans.isNull() | F.col(choices_col).isNull(),
+                F.lit(None).cast("boolean"),
+            )
+            .when(
+                (ans >= 0) & (ans < F.size(choices_col)),
+                F.col("choice_index") == ans,
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "encode_eval_choices: answer index "
+                            "out of range: "
+                        ),
+                        ans.cast("string"),
+                        F.lit(" for "),
+                        F.size(choices_col).cast("string"),
+                        F.lit(" choices"),
+                    )
+                ).cast("boolean")
+            )
+            .alias("is_gold")
         )
     return tmp.select(*cols)
 

@@ -1145,6 +1145,13 @@ def _stratum_cuts(
         raise ValueError(
             f"accuracy must be 'exact' or 'approx' (got {accuracy!r})"
         )
+    reserved = {"_ws_g"} | {name for name, _ in points}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "the per-stratum conditioners reserve column names "
+            f"{sorted(reserved)}; rename {sorted(clash)} first"
+        )
     if accuracy == "exact":
         cut = lambda p: F.percentile("_ws_s", F.lit(p))  # noqa: E731
     else:

@@ -987,3 +987,24 @@ def test_cli_memorization_scan(spark, tmpdir, capsys):
     assert got[102].too_short
     printed = capsys.readouterr().out
     assert "probes: 3  memorized: 1  too_short: 1" in printed
+
+
+def test_cli_domain_report_rejects_psl_rules(spark, tmpdir):
+    import pytest as _pt
+
+    from polaroam_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.ex.com/x", "t")],
+        "doc_id long, url string, text string",
+    )
+    src = str(tmpdir.join("docs"))
+    docs.write.parquet(src)
+    psl = tmpdir.join("raw_psl.dat")
+    psl.write("  // indented comment\ncom\n*.ck\n!www.ck\n")
+    with _pt.raises(SystemExit, match="wildcard"):
+        main([
+            "domain-report", "--input", src,
+            "--output", str(tmpdir.join("out")),
+            "--suffix-file", str(psl),
+        ])

@@ -1139,3 +1139,32 @@ def test_memorization_scan_verbatim_guarantee(spark):
         assert r.memorized, r
         assert src in list(r.matched_doc_ids), r
         assert r.n_memorized_grams == r.n_probe_grams, r
+
+
+def test_memorization_scan_null_id_guards(spark):
+    """NULL probe ids raise (a memorized probe would silently
+    report clean); NULL corpus ids are excluded so they never
+    consume a matched_doc_ids cap slot."""
+    import pytest as _pt
+
+    from polaroam_spark.operators.dedup import memorization_scan
+
+    span = " ".join(f"g{i}" for i in range(10))
+    probes_bad = spark.createDataFrame(
+        [(None, span)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, span), (None, span), (2, span), (3, span)],
+        "doc_id long, text string",
+    )
+    with _pt.raises(ValueError, match="NULL doc_id"):
+        memorization_scan(corpus, probes_bad, n=8)
+    probes = spark.createDataFrame(
+        [(100, span)], "doc_id long, text string"
+    )
+    r = memorization_scan(
+        corpus, probes, n=8, max_match_docs=3
+    ).collect()[0]
+    # the NULL-id doc neither counts nor crowds out doc 3
+    assert r.n_corpus_docs == 3
+    assert list(r.matched_doc_ids) == [1, 2, 3]

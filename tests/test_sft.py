@@ -1101,3 +1101,30 @@ def test_shuffle_then_encode_then_score_roundtrip(spark, ident):
     res = score_eval_choices(scored).collect()
     assert len(res) == 9
     assert all(r.correct for r in res)
+
+
+def test_eval_choices_out_of_range_gold_raises(spark, ident):
+    """The shuffle_eval_choices rule applied at encode time: a gold
+    index outside the real choices array raises executor-side
+    instead of silently marking every row non-gold (which would
+    deflate accuracy with no error); NULL answer stays NULL."""
+    import pytest as _pt
+
+    from polaroam_spark.operators.sft import encode_eval_choices
+
+    bad = spark.createDataFrame(
+        [(1, "p", [" a", " b"], 2)],
+        "item_id long, prompt_text string, choices array<string>, "
+        "answer int",
+    )
+    with _pt.raises(Exception, match="out of range"):
+        encode_eval_choices(bad, ident, answer_col="answer").collect()
+    ok = spark.createDataFrame(
+        [(1, "p", [" a", " b"], None), (2, None, [" a"], 0)],
+        "item_id long, prompt_text string, choices array<string>, "
+        "answer int",
+    )
+    rows = encode_eval_choices(
+        ok, ident, answer_col="answer"
+    ).collect()
+    assert all(r.is_gold is None for r in rows)

@@ -1692,3 +1692,23 @@ def test_badword_stats_rejects_phrases(spark):
     )
     with _pt.raises(ValueError, match="can never match"):
         badword_stats(df, words)
+
+
+def test_winsorize_robust_reserved_columns(spark):
+    import pytest as _pt
+
+    from polaroam_spark.operators.textstats import (
+        robust_scale_scores,
+        winsorize_scores,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.0)], "source string, score double, _ws_lo double"
+    )
+    with _pt.raises(ValueError, match="reserve"):
+        winsorize_scores(df, "score", "source")
+    df2 = spark.createDataFrame(
+        [("a", 1.0, 0.0)], "source string, score double, _ws_med double"
+    )
+    with _pt.raises(ValueError, match="reserve"):
+        robust_scale_scores(df2, "score", "source")
