@@ -660,6 +660,108 @@ def cmd_objectives(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
 
 
+def _load_tokenizer(args, stage: str) -> dict:
+    """The CLI's shared tokenizer dispatch: GPT-2-layout BPE via
+    --vocab/--merges, a unigram TSV via --model, a BERT vocab.txt
+    via --wordpiece-vocab; anything else fails loudly."""
+    if getattr(args, "model", None):
+        from polaroam_spark.operators.unigram import load_unigram
+
+        return load_unigram(args.model)
+    if getattr(args, "wordpiece_vocab", None):
+        from polaroam_spark.operators.wordpiece import load_wordpiece
+
+        return load_wordpiece(args.wordpiece_vocab)
+    if getattr(args, "vocab", None) and getattr(args, "merges", None):
+        from polaroam_spark.operators.tokenize import load_bpe
+
+        return load_bpe(args.vocab, args.merges)
+    raise SystemExit(
+        f"{stage}: bring a tokenizer — --vocab/--merges (BPE), "
+        "--model (unigram TSV), or --wordpiece-vocab (BERT "
+        "vocab.txt)"
+    )
+
+
+def cmd_eval_prep(args) -> None:
+    """Few-shot eval deck assembly as one restartable command:
+    items parquet (``item_id``, ``input``, ``target`` [, a
+    ``choices`` array + gold ``answer`` index]) →
+    :func:`build_fewshot_prompts` (deterministic md5 exemplar draw,
+    optional pool parquet) → ``--mode loglikelihood``: two-segment
+    encode with continuation-only loss mask; ``--mode choices``:
+    per-(item, choice) rows with shared prompt prefix, gold flag,
+    and the acc_norm byte column — choices deterministically
+    SHUFFLED first (position-bias control) unless ``--no-shuffle``.
+    The run summary prints item/row counts and the mean shot
+    count."""
+    from pyspark.sql import functions as F
+
+    from polaroam_spark.operators.sft import (
+        build_fewshot_prompts,
+        encode_eval_choices,
+        encode_eval_prompts,
+        shuffle_eval_choices,
+    )
+
+    spark = _spark(args)
+    model = _load_tokenizer(args, "eval-prep")
+    items = spark.read.parquet(args.items)
+    if args.mode == "choices":
+        if args.choices_col not in items.columns:
+            raise SystemExit(
+                f"eval-prep: --mode choices needs a "
+                f"{args.choices_col!r} array column"
+            )
+        if args.answer_col not in items.columns:
+            raise SystemExit(
+                f"eval-prep: --mode choices needs a "
+                f"{args.answer_col!r} gold-index column"
+            )
+        if not args.no_shuffle:
+            items = shuffle_eval_choices(
+                items,
+                item_col=args.id_col,
+                choices_col=args.choices_col,
+                answer_col=args.answer_col,
+                seed=args.seed,
+            )
+    pool = (
+        spark.read.parquet(args.exemplars)
+        if args.exemplars
+        else None
+    )
+    fs = build_fewshot_prompts(
+        items,
+        k=args.k,
+        id_col=args.id_col,
+        input_col=args.input_col,
+        target_col=args.target_col,
+        exemplars=pool,
+        seed=args.seed,
+    )
+    if args.mode == "choices":
+        out = encode_eval_choices(
+            fs,
+            model,
+            choices_col=args.choices_col,
+            answer_col=args.answer_col,
+        )
+    else:
+        out = encode_eval_prompts(fs, model)
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    row = written.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct(args.id_col).alias("items"),
+        F.avg("n_shots").alias("shots"),
+    ).collect()[0]
+    print(
+        f"items: {row.items}  rows: {row.rows}  "
+        f"mean_shots: {row.shots:.2f}"
+    )
+
+
 def cmd_sft(args) -> None:
     """Chat corpus -> padded SFT training windows as one restartable
     command: read a parquet with a messages
@@ -686,24 +788,7 @@ def cmd_sft(args) -> None:
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
-    if args.model:
-        from polaroam_spark.operators.unigram import load_unigram
-
-        model = load_unigram(args.model)
-    elif args.wordpiece_vocab:
-        from polaroam_spark.operators.wordpiece import load_wordpiece
-
-        model = load_wordpiece(args.wordpiece_vocab)
-    elif args.vocab and args.merges:
-        from polaroam_spark.operators.tokenize import load_bpe
-
-        model = load_bpe(args.vocab, args.merges)
-    else:
-        raise SystemExit(
-            "sft: bring a tokenizer — --vocab/--merges (BPE), "
-            "--model (unigram TSV), or --wordpiece-vocab (BERT "
-            "vocab.txt)"
-        )
+    model = _load_tokenizer(args, "sft")
     if not args.skip_validation:
         enforce_expectations(
             df,
@@ -1266,6 +1351,37 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pdr.add_argument("--top", type=int, default=20)
     pdr.set_defaults(fn=cmd_domain_report)
+
+    pe = sub.add_parser(
+        "eval-prep",
+        help="eval items -> few-shot loglikelihood or choices deck",
+    )
+    pe.add_argument("--items", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument(
+        "--mode", choices=["loglikelihood", "choices"],
+        default="loglikelihood",
+    )
+    pe.add_argument("--k", type=int, default=5)
+    pe.add_argument("--seed", type=int, default=17)
+    pe.add_argument(
+        "--exemplars", default=None,
+        help="exemplar pool parquet (default: the items themselves)",
+    )
+    pe.add_argument("--id-col", default="item_id")
+    pe.add_argument("--input-col", default="input")
+    pe.add_argument("--target-col", default="target")
+    pe.add_argument("--choices-col", default="choices")
+    pe.add_argument("--answer-col", default="answer")
+    pe.add_argument(
+        "--no-shuffle", action="store_true",
+        help="skip the deterministic choice permutation",
+    )
+    pe.add_argument("--vocab", default=None)
+    pe.add_argument("--merges", default=None)
+    pe.add_argument("--model", default=None)
+    pe.add_argument("--wordpiece-vocab", default=None)
+    pe.set_defaults(fn=cmd_eval_prep)
 
     pm = sub.add_parser(
         "memorization-scan",

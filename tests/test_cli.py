@@ -1008,3 +1008,92 @@ def test_cli_domain_report_rejects_psl_rules(spark, tmpdir):
             "--output", str(tmpdir.join("out")),
             "--suffix-file", str(psl),
         ])
+
+
+def test_cli_eval_prep_both_modes(spark, tmpdir, capsys):
+    from polaroam_spark.__main__ import main
+    from polaroam_spark.operators.tokenize import save_bpe, train_bpe
+
+    items = spark.createDataFrame(
+        [
+            (
+                i,
+                f"Q{i}: pick the right one. A:",
+                " right",
+                [" right", " wrong", " worse"],
+                0,
+            )
+            for i in range(12)
+        ],
+        "item_id long, input string, target string, "
+        "choices array<string>, answer int",
+    )
+    texts = spark.createDataFrame(
+        [(i, "pick the right one wrong worse answer " * 2)
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    src = f"{tmpdir}/eval_items"
+    items.write.parquet(src)
+    bpe = train_bpe(texts, vocab_size=290)
+    vp, mp = f"{tmpdir}/ev_vocab.json", f"{tmpdir}/ev_merges.txt"
+    save_bpe(bpe, vp, mp)
+
+    out_ll = f"{tmpdir}/eval_ll"
+    assert main([
+        "eval-prep", "--items", src, "--output", out_ll,
+        "--mode", "loglikelihood", "--k", "2",
+        "--vocab", vp, "--merges", mp,
+    ]) == 0
+    ll = spark.read.parquet(out_ll).collect()
+    assert len(ll) == 12
+    assert all(r.n_shots == 2 for r in ll)
+    assert all(sum(r.loss_mask) > 0 for r in ll)
+    assert "items: 12  rows: 12" in capsys.readouterr().out
+
+    out_mc = f"{tmpdir}/eval_mc"
+    assert main([
+        "eval-prep", "--items", src, "--output", out_mc,
+        "--mode", "choices", "--k", "2",
+        "--vocab", vp, "--merges", mp,
+    ]) == 0
+    mc = spark.read.parquet(out_mc).collect()
+    assert len(mc) == 36  # 12 items x 3 choices
+    by_item: dict = {}
+    for r in mc:
+        by_item.setdefault(r.item_id, []).append(r)
+    for rs in by_item.values():
+        # exactly one gold row per item, and it decodes the gold
+        # text even after the shuffle
+        golds = [r for r in rs if r.is_gold]
+        assert len(golds) == 1
+        assert golds[0].choice_text == " right"
+        # shared prompt prefix across the item's rows
+        plen = {r.prompt_len for r in rs}
+        assert len(plen) == 1
+    # the shuffle moved gold off index 0 for at least one item
+    assert any(
+        next(r for r in rs if r.is_gold).choice_index != 0
+        for rs in by_item.values()
+    )
+    # --no-shuffle keeps the gold-first layout
+    out_ns = f"{tmpdir}/eval_ns"
+    assert main([
+        "eval-prep", "--items", src, "--output", out_ns,
+        "--mode", "choices", "--k", "2", "--no-shuffle",
+        "--vocab", vp, "--merges", mp,
+    ]) == 0
+    ns = spark.read.parquet(out_ns).collect()
+    assert all(
+        r.choice_index == 0
+        for r in ns
+        if r.is_gold
+    )
+    # missing tokenizer fails loudly
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="bring a tokenizer"):
+        main([
+            "eval-prep", "--items", src,
+            "--output", f"{tmpdir}/x",
+        ])
