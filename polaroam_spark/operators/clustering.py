@@ -279,21 +279,57 @@ def _snapped_unique_nodes(
 
 
 def attach_medoids(labeled: DataFrame, broadcast: bool = True) -> DataFrame:
-    """Join medoid stats back to member rows (reference models.py:263).
-    The medoid side is one row per cluster — orders of magnitude
-    smaller than the member side — so broadcast it by default. It
-    still scales with USER count (every user has clusters), so pass
-    ``broadcast=False`` at national scale (1e8+ users x ~10 clusters
-    exceeds broadcast limits) and let the join shuffle on
-    (uid, stop_locations).
+    """Attach medoid stats to member rows (reference models.py:263) —
+    column-for-column the old aggregate+join-back output (keys first,
+    then member columns, then the three stats), row values identical
+    (same ``count``/``median`` aggregates over the same groups).
+
+    Implementation (r19 optimization round): the stats are computed
+    as WINDOW aggregates over ``(uid, stop_locations)`` in one pass —
+    the aggregate-then-join-back shape consumed ``labeled`` twice, and
+    ``labeled`` is typically the per-user DBSCAN ``applyInPandas``
+    output, so the Python clustering stage (and the whole stop-median
+    lineage under it) executed TWICE per action (2 FlatMapGroupsInPandas
+    nodes on the r19 bench plan; guide §2.4 — two operations keyed the
+    same way share one exchange). Now: one exchange on the cluster
+    key, zero joins, the member side never recomputes. ``broadcast``
+    is retained for API compatibility but no longer consulted — there
+    is no longer a join side to broadcast, which also removes the old
+    national-scale broadcast-limit caveat.
     """
-    medoids = cluster_medoids(labeled)
-    if broadcast:
-        medoids = F.broadcast(medoids)
-    return labeled.join(
-        medoids,
-        on=["uid", "stop_locations"],
-        how="left",
+    member_cols = [
+        c for c in labeled.columns
+        if c not in ("uid", "stop_locations")
+    ]
+    w = Window.partitionBy("uid", "stop_locations")
+    # the old equi-join never matched NULL keys, leaving NULL stats
+    # on such rows — preserve that exactly (a NULL key forms a real
+    # window partition, so the guard is load-bearing)
+    valid = (
+        F.col("uid").isNotNull()
+        & F.col("stop_locations").isNotNull()
+    )
+    return labeled.withColumns(
+        {
+            "cluster_counts": F.when(
+                valid & (F.col("stop_locations") == -1), F.lit(1)
+            )
+            .when(valid, F.count("*").over(w))
+            .cast("long"),
+            "cluster_latitude": F.when(
+                valid, F.median("latitude").over(w)
+            ),
+            "cluster_longitude": F.when(
+                valid, F.median("longitude").over(w)
+            ),
+        }
+    ).select(
+        "uid",
+        "stop_locations",
+        *member_cols,
+        "cluster_counts",
+        "cluster_latitude",
+        "cluster_longitude",
     )
 
 

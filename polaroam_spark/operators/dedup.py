@@ -1218,26 +1218,46 @@ def memorization_scan(
         ).alias("_gram"),
     ).select("_cid", fast_hash64("_gram").alias("_gh"))
     matched = c_g.join(p_g, on="_gh").select("_cid", "_pid", "_gh")
-    stats = matched.groupBy("_pid").agg(
-        F.countDistinct("_gh").cast("long").alias(
-            "n_memorized_grams"
-        ),
-        F.countDistinct("_cid").cast("long").alias("n_corpus_docs"),
-    )
-    w = Window.partitionBy("_pid").orderBy("_cid")
-    capped = (
-        matched.select("_pid", "_cid")
-        .distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= int(max_match_docs))
+    # ALL per-probe outputs from ONE pass over `matched` (r19
+    # optimization round): the old shape ran two independent
+    # aggregations (countDistinct stats + the cap window), each
+    # re-deriving `matched` — i.e. the corpus gram scan+explode+join,
+    # the single corpus-scaled subtree, executed TWICE per action.
+    # `matched` is distinct (cid, pid, gh) triples by construction
+    # (both gram sides are array_distinct per document), so:
+    #   - countDistinct(gh)  == max dense_rank over gh within pid
+    #   - countDistinct(cid) == max dense_rank over cid within pid
+    #   - the capped id list == the cids whose dense_rank <= cap —
+    #     a collect_set BOUNDED by max_match_docs, never the
+    #     boilerplate-probe corpus-sized buffer the cap exists to
+    #     prevent.
+    # One exchange on _pid, two in-partition sorts, and the groupBy
+    # reuses the window partitioning — no second corpus pass, no
+    # persist. Guide §2.4.
+    w_gh = Window.partitionBy("_pid").orderBy("_gh")
+    w_cid = Window.partitionBy("_pid").orderBy("_cid")
+    stats = (
+        matched.withColumns(
+            {
+                "_rg": F.dense_rank().over(w_gh),
+                "_rc": F.dense_rank().over(w_cid),
+            }
+        )
         .groupBy("_pid")
         .agg(
-            F.sort_array(F.collect_list("_cid")).alias(
-                "matched_doc_ids"
-            )
+            F.max("_rg").cast("long").alias("n_memorized_grams"),
+            F.max("_rc").cast("long").alias("n_corpus_docs"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        F.col("_rc") <= int(max_match_docs),
+                        F.col("_cid"),
+                    )
+                )
+            ).alias("matched_doc_ids"),
         )
     )
-    id_type = capped.schema["matched_doc_ids"].dataType.simpleString()
+    id_type = stats.schema["matched_doc_ids"].dataType.simpleString()
     out = (
         p_base.select(
             "_pid",
@@ -1245,10 +1265,9 @@ def memorization_scan(
             F.size("_pgrams").cast("long").alias("n_probe_grams"),
             (F.size("_ptoks") < nn).alias("too_short"),
         )
-        # both agg tables are bounded by the probe set, not the
-        # corpus — broadcast them so the report never sort-merges
+        # the agg table is bounded by the probe set, not the corpus —
+        # broadcast it so the report never sort-merges
         .join(F.broadcast(stats), on="_pid", how="left")
-        .join(F.broadcast(capped), on="_pid", how="left")
     )
     return out.select(
         F.col("_pid").alias(probe_id),

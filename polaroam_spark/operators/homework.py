@@ -93,15 +93,51 @@ def date_counts(df: DataFrame, total_days: DataFrame | int) -> DataFrame:
             F.broadcast(total_days.withColumnRenamed("total_days", "time_span"))
         )
 
-    uid_counts = df.groupBy("uid").agg(
-        F.countDistinct("date").alias("total_dates"),
-        F.first("time_span").alias("time_span"),
+    # ONE pass over the (member-scaled) input (r19 optimization
+    # round): the old shape ran TWO independent countDistinct
+    # aggregations (per-uid + per-cluster) and joined them — the
+    # input lineage executed twice per action, and detect_home /
+    # detect_work compound that (the bench homework plan carried 62
+    # Exchanges of the same stop subtree). Now: one map-side-combined
+    # distinct to (uid, cluster, date) triples, then windows over the
+    # TINY triple frame —
+    #   - cluster_dates  == non-NULL-date triples per (uid, cluster)
+    #   - total_dates    == max dense_rank of date within uid
+    #     (date desc NULLS LAST, so NULL dates never take a rank —
+    #     exactly countDistinct's NULL-skipping)
+    # — and the final groupBy reuses the uid window partitioning.
+    # Same rows, same types, same column order. Guide §2.4.
+    # NULL-uid groups fell out of the old stats join (inner, on uid —
+    # NULL never equals NULL); keep that contract explicitly
+    triples = (
+        df.filter(F.col("uid").isNotNull())
+        .groupBy("uid", "stop_locations", "date")
+        .agg(F.first("time_span").alias("time_span"))
     )
-    cluster_counts = df.groupBy("uid", "stop_locations").agg(
-        F.countDistinct("date").alias("cluster_dates")
-    )
+    has_date = F.col("date").isNotNull()
+    w_uid = Window.partitionBy("uid")
     return (
-        cluster_counts.join(uid_counts, on="uid")
+        triples.withColumn(
+            "_rk",
+            F.when(
+                has_date,
+                F.dense_rank().over(
+                    w_uid.orderBy(F.col("date").desc_nulls_last())
+                ),
+            ),
+        )
+        .withColumn(
+            "_td",
+            F.coalesce(F.max("_rk").over(w_uid), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        .groupBy("uid", "stop_locations")
+        .agg(
+            F.count(F.when(has_date, 1)).alias("cluster_dates"),
+            F.first("_td").alias("total_dates"),
+            F.first("time_span").alias("time_span"),
+        )
         .withColumns(
             {
                 "date_percentage": F.col("cluster_dates")
@@ -199,6 +235,37 @@ def _apply_label(
     )
 
 
+def _passing_labels(
+    tmp: DataFrame,
+    total_days: DataFrame | int | None,
+    min_periods_over_window: float,
+    span_period: float,
+    label_col: str,
+) -> DataFrame:
+    """One label row per qualifying (uid, stop_locations), straight
+    off the stats frame (r19 optimization round): the old
+    ``filter_clusters`` → ``label_locations`` chain joined the
+    qualifying stats back to the member rows and then took DISTINCT
+    cluster keys — but the stats frame already has exactly one row
+    per cluster and every stats row has >= 1 member by construction
+    (it is aggregated FROM the members), so the join-back and the
+    distinct decided nothing. Dropping them removes one full pass
+    over the member lineage and a distinct shuffle per detect_*
+    call; ``filter_clusters`` / ``label_locations`` remain public
+    for callers that want the member rows themselves."""
+    if total_days is None:
+        total_days = calculate_total_days(tmp)
+    stats = date_counts(tmp, total_days)
+    return stats.filter(
+        (F.col("date_percentage") >= F.lit(min_periods_over_window))
+        & (F.col("all_percentage") >= F.lit(span_period))
+    ).select(
+        "uid",
+        "stop_locations",
+        F.col("stop_locations").cast("long").alias(label_col),
+    )
+
+
 def detect_home(
     df: DataFrame,
     start_hour_day: int = 6,
@@ -220,11 +287,13 @@ def detect_home(
         )
         & (F.col("stop_locations") != -1)
     )
-    passing = filter_clusters(
-        home_tmp, total_days, min_periods_over_window, span_period,
-        broadcast=broadcast_labels,
+    labels = _passing_labels(
+        home_tmp,
+        total_days,
+        min_periods_over_window,
+        span_period,
+        "home_label",
     )
-    labels = label_locations(passing, "home_label")
     return _apply_label(
         df, labels, "home_label", "H", broadcast=broadcast_labels
     )
@@ -250,11 +319,13 @@ def detect_work(
         & (F.col("location_type") != "H")
         & (F.col("stop_locations") != -1)
     )
-    passing = filter_clusters(
-        work_tmp, total_days, min_periods_over_window, span_period,
-        broadcast=broadcast_labels,
+    labels = _passing_labels(
+        work_tmp,
+        total_days,
+        min_periods_over_window,
+        span_period,
+        "work_label",
     )
-    labels = label_locations(passing, "work_label")
     return _apply_label(
         df, labels, "work_label", "W", broadcast=broadcast_labels
     )

@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 from polaroam_spark.operators.quality import (
     _LITERAL_MAX,
     _arrow_segments,
+    _gather_segment_sums,
     _partials_batch,
+    _resolve_engine,
     hashed_gram_buckets,
 )
 
@@ -104,6 +106,7 @@ def score_langid(
     id_col: str = "doc_id",
     out_col: str = "language_pred",
     prob_col: "str | None" = "language_prob",
+    engine: str = "auto",
 ) -> DataFrame:
     """Append the predicted language (argmax class of ``softmax(b_k +
     Σ w_k[bucket(gram)])`` over the document's unigram+bigram
@@ -124,7 +127,11 @@ def score_langid(
     shuffle, no join — module docstring); larger models broadcast a
     B-row table of K-vectors and sum per ``id_col`` — on THAT path
     ``id_col`` must be unique (the per-row literal path has no such
-    precondition)."""
+    precondition). ``engine`` selects the margin kernel (see
+    :func:`~polaroam_spark.operators.quality._resolve_engine`):
+    ``'arrow'`` computes all K margins in one vectorized Arrow UDF
+    stage — map-only at every K·B, no join, no unique-id
+    precondition."""
     classes, w, biases, b, seed, portable, normalize, feature = (
         _validate_langid_model(model)
     )
@@ -133,8 +140,62 @@ def score_langid(
         text_col, b, seed, portable, feature=feature
     )
     classes_lit = F.array(*[F.lit(c) for c in classes])
+    eng = _resolve_engine(engine)
 
-    if k * b <= _LITERAL_MAX:
+    if eng == "arrow":
+        # all K margins in ONE vectorized ArrowEvalPython stage (the
+        # quality scorer's gather+segment-sum kernel, K rows of
+        # weights at once) — replaces K interpreted transform/
+        # aggregate folds over K parsed B-element array literals
+        # (CodegenFallback, ~K ms/doc, plus K·B literal parse+codegen
+        # driver time per plan build) and the broadcast-join path's
+        # gram-stream shuffle. Map-only at every K·B — still the
+        # 100 TB router shape; argmax/softmax stay JVM expressions
+        # over the returned margins array. Guide §4.2.
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.functions import arrow_udf
+
+        bcw = df.sparkSession.sparkContext.broadcast(
+            np.asarray(
+                [np.asarray(row, dtype=np.float64) for row in w]
+            ).reshape(k, b)
+        )
+        biases_np = np.asarray(biases, dtype=np.float64)
+        norm_flag = bool(normalize)
+        k_local = k
+
+        def _margins_arr(bk):
+            sums, counts = _gather_segment_sums(bk, bcw.value)
+            if norm_flag:
+                sums = sums / np.where(counts > 0, counts, 1)
+            m = np.ascontiguousarray(
+                (sums + biases_np[:, None]).T
+            )  # (n_rows, k) row-major
+            n_rows = m.shape[0]
+            offs = np.arange(
+                0, (n_rows + 1) * k_local, k_local, dtype=np.int32
+            )
+            # NULL margins for no-evidence rows (NULL text / zero
+            # grams) — the same contract as the literal path's
+            # array_size(buckets) > 0 gate
+            return pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(m.reshape(-1), type=pa.float64()),
+                mask=pa.array(counts == 0),
+            )
+
+        # real-object annotations (module-level `from __future__
+        # import annotations` would leave strings arrow_udf's
+        # eval-type inference cannot resolve)
+        _margins_arr.__annotations__ = {
+            "bk": pa.Array,
+            "return": pa.Array,
+        }
+        _margins_arr = arrow_udf("array<double>")(_margins_arr)
+
+        out = df.withColumn("_margins", _margins_arr(buckets))
+    elif k * b <= _LITERAL_MAX:
         # NB: the lookup lambda must take exactly ONE parameter —
         # PySpark treats a 2-arg transform lambda as (element, index)
         # — so the weight literal binds via a closure helper

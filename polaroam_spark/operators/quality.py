@@ -89,6 +89,69 @@ def hashed_gram_buckets(
     )
 
 
+def _resolve_engine(engine: str) -> str:
+    """Scorer execution engine: ``'arrow'`` runs the gather+sum dot
+    product as ONE vectorized Arrow UDF (numpy ``take`` +
+    ``add.reduceat`` — the trainer's own margin kernel), ``'native'``
+    keeps the pure-JVM expression paths (interpreted higher-order
+    fold for B ≤ 65536, broadcast-join for larger). ``'auto'``
+    (default) picks arrow when pyspark's ``arrow_udf`` and pyarrow
+    are importable, else native. Both engines produce margins equal
+    up to float-addition order — the SAME tolerance the DuckDB
+    oracles already grant (they re-sum in hash-aggregation order and
+    compare at 6 decimals); gates t34/t36/t37/t39/t39b and the
+    curation ladder stay hash-exact on either engine (verified at
+    all three SFs, r19 optimization round)."""
+    if engine == "auto":
+        try:
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+            from pyspark.sql.functions import arrow_udf  # noqa: F401
+        except ImportError:
+            return "native"
+        return "arrow"
+    if engine not in ("native", "arrow"):
+        raise ValueError(
+            f"engine must be 'auto', 'native' or 'arrow' (got {engine!r})"
+        )
+    return engine
+
+
+def _gather_segment_sums(bk, w2d):
+    """Vectorized scorer kernel over one Arrow list<int> column:
+    per-row sums of ``w[bucket]`` for each weight vector in ``w2d``
+    — the same zero-copy gather + ``np.add.reduceat`` segment sum
+    :func:`train_quality_classifier`'s gradient pass uses. Returns
+    ``(sums, counts)`` with ``sums`` shaped (K, n_rows) and
+    ``counts`` the per-row instance count, 0 for NULL/empty rows
+    (whose sums are garbage by construction — callers must gate on
+    ``counts > 0``, exactly as the JVM paths gate on
+    ``array_size > 0``). Out-of-range indices (possible only in the
+    unused child slots of NULL rows) read clipped, never raise."""
+    import numpy as np
+
+    n = len(bk)
+    offs = np.asarray(bk.offsets, dtype=np.int64)
+    vals = np.asarray(bk.values)
+    idx = vals[offs[0] : offs[-1]].astype(np.int64, copy=False)
+    starts = offs[:-1] - offs[0]
+    counts = np.diff(offs)
+    if bk.null_count:
+        counts = np.where(np.asarray(bk.is_valid()), counts, 0)
+    k = w2d.shape[0]
+    if idx.size == 0:
+        return np.zeros((k, n), dtype=np.float64), counts
+    np.clip(idx, 0, w2d.shape[1] - 1, out=idx)
+    safe_starts = np.minimum(starts, idx.size - 1)
+    empty = counts == 0
+    sums = np.empty((k, n), dtype=np.float64)
+    for ki in range(k):
+        s = np.add.reduceat(w2d[ki][idx], safe_starts)
+        s[empty] = 0.0
+        sums[ki] = s
+    return sums, counts
+
+
 def _arrow_segments(batch, list_col: str):
     """(flattened int64 ids, segment-start offsets, per-row counts)
     for a RecordBatch's list column — zero-copy off the Arrow
@@ -158,6 +221,7 @@ def score_quality_classifier(
     out_col: str = "quality_prob",
     label_col: "str | None" = "quality_label",
     threshold: float = 0.5,
+    engine: str = "auto",
 ) -> DataFrame:
     """Append the classifier probability (``sigmoid(bias + Σ
     w[bucket(gram)])`` over the document's unigram+bigram instances
@@ -191,8 +255,58 @@ def score_quality_classifier(
     buckets = hashed_gram_buckets(
         text_col, b, seed, portable, feature=feature
     )
+    eng = _resolve_engine(engine)
 
-    if b <= _LITERAL_MAX:
+    if eng == "arrow":
+        # one vectorized ArrowEvalPython stage computing (Σ w[bucket],
+        # instance count) per row — replaces the interpreted
+        # higher-order fold (B ≤ 65536: transform/aggregate are
+        # CodegenFallback, ~1 ms/doc, plus a B-element array literal
+        # whose parse+codegen costs seconds of DRIVER time per plan
+        # build) AND the broadcast-join path (B > 65536: its
+        # explode + join + per-doc sum shuffled the gram stream and
+        # required unique ids; this path needs neither). The weight
+        # vector ships once per executor as a SparkContext broadcast.
+        # Map-only at every B — still the 100 TB shape. Guide §4.2.
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.functions import arrow_udf
+
+        bcw = df.sparkSession.sparkContext.broadcast(
+            np.asarray(w, dtype=np.float64).reshape(1, b)
+        )
+
+        def _margin_sum(bk):
+            sums, counts = _gather_segment_sums(bk, bcw.value)
+            return pa.StructArray.from_arrays(
+                [
+                    pa.array(sums[0], type=pa.float64()),
+                    pa.array(counts, type=pa.int64()),
+                ],
+                names=["s", "c"],
+            )
+
+        # module-level `from __future__ import annotations` turns
+        # inline hints into strings arrow_udf's eval-type inference
+        # cannot resolve — attach real objects instead
+        _margin_sum.__annotations__ = {
+            "bk": pa.Array,
+            "return": pa.Array,
+        }
+        _margin_sum = arrow_udf("struct<s: double, c: bigint>")(
+            _margin_sum
+        )
+
+        tmp = df.withColumn("_qsc", _margin_sum(buckets))
+        ssum = F.col("_qsc.s")
+        cnt = F.col("_qsc.c")
+        if normalize:
+            ssum = ssum / cnt
+        margin = F.when(cnt > 0, F.lit(bias) + ssum)
+        out = tmp.withColumn(
+            out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        ).drop("_qsc")
+    elif b <= _LITERAL_MAX:
         # one parsed SQL array literal, not F.lit(list): the latter
         # walks the list element-by-element over py4j, costing ~2 s
         # of driver time per plan BUILD at B=4096 (measured; the SQL
