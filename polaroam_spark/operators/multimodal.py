@@ -1374,7 +1374,14 @@ def attach_image_dhash(
     def _batch(col):
         return col.map(_one).astype("Int64")
 
-    udf = pandas_udf(_batch, "long")
+    # asNondeterministic is an optimizer fence, not a semantics
+    # change (the hash is a pure function of the bytes): without it
+    # the downstream isNotNull filter on the hash column is pushed
+    # below this UDF and the optimizer DUPLICATES the evaluation —
+    # two stacked ArrowEvalPython nodes, every image decoded and
+    # hashed twice per action (observed on the r19 bench plan;
+    # guide §4.4).
+    udf = pandas_udf(_batch, "long").asNondeterministic()
     return df.withColumn(out_col, udf(F.col(content_col)))
 
 
@@ -1545,7 +1552,9 @@ def attach_audio_fingerprint(
     def _batch(col):
         return col.map(_one).astype("Int64")
 
-    udf = pandas_udf(_batch, "long")
+    # optimizer fence against duplicated evaluation under a pushed
+    # isNotNull filter — see attach_image_dhash (guide §4.4)
+    udf = pandas_udf(_batch, "long").asNondeterministic()
     return df.withColumn(out_col, udf(F.col(content_col)))
 
 
