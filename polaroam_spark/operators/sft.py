@@ -192,7 +192,17 @@ def encode_chat_sft(
             }
         )
 
-    tmp = df.withColumn("_im", _enc(F.col(messages_col)))
+    # asNondeterministic is an optimizer fence, not a semantics
+    # change (the encode is a pure function of the messages):
+    # downstream consumers filter on the encoded ids
+    # (chunk_sft_sequences' isNotNull/size gates), and without the
+    # fence the optimizer pushes that filter below this UDF and
+    # DUPLICATES the evaluation — two stacked ArrowEvalPython nodes,
+    # every conversation tokenized twice per action (observed on the
+    # r19 sft_prep bench plan; guide §4.4).
+    tmp = df.withColumn(
+        "_im", _enc.asNondeterministic()(F.col(messages_col))
+    )
     return tmp.select(
         *df.columns,
         F.col("_im.ids").alias(ids_col),

@@ -128,7 +128,14 @@ def _lsh_bucket_arrow(num_planes: int):
         return pd.Series(out)
 
     _bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(_bucket, "long")
+    # asNondeterministic is an optimizer fence, not a semantics
+    # change (the bucket is a pure function of the vector): the ANN
+    # join on lsh_bucket infers an isnotnull(bucket) predicate, and
+    # without the fence the optimizer pushes it below this UDF and
+    # DUPLICATES the evaluation — two stacked ArrowEvalPython nodes,
+    # every embedding bucketed twice per action (observed on the r19
+    # ann_topk bench plan; guide §4.4).
+    return pandas_udf(_bucket, "long").asNondeterministic()
 
 
 def add_lsh_bucket(

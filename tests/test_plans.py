@@ -832,3 +832,60 @@ def test_grpo_advantages_plan(spark):
     assert _n_hash_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filtered_udf_outputs_evaluate_once(spark, docs):
+    """A filter on a UDF-computed column must not duplicate the UDF
+    (guide §4.4: the pushed-down filter used to stack two
+    ArrowEvalPython nodes, running the encode/bucket/hash UDF twice
+    per row — observed on the r19 sft_prep, ann_topk and
+    image_neardup bench plans before the asNondeterministic fences).
+    Count the *detail* lines ("Arguments: [_enc(...)") — each
+    physical node prints exactly one."""
+    from polaroam_spark.operators.sft import (
+        chunk_sft_sequences,
+        encode_chat_sft,
+    )
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    ident = {
+        "vocab": {u: b for b, u in _BYTE_TO_UNI.items()},
+        "merges": [],
+    }
+    convs = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.col("text").alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.col("text").alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    plan = _plan(
+        chunk_sft_sequences(encode_chat_sft(convs, ident), seq_len=8)
+    )
+    assert len(re.findall(r"Arguments: \[_enc\(", plan)) == 1, plan
+
+    from polaroam_spark.operators.similarity import add_lsh_bucket
+
+    vecs = docs.select(
+        "doc_id",
+        F.array(
+            (F.col("doc_id") % 5).cast("double"),
+            (F.col("doc_id") % 3).cast("double"),
+        ).alias("embedding"),
+    )
+    bucketed = add_lsh_bucket(vecs, num_planes=4, bucketer="arrow")
+    # the ANN join's inferred isnotnull(bucket) predicate is the
+    # pusher; a self-join on the bucket reproduces it
+    joined = bucketed.alias("a").join(
+        bucketed.alias("b"), on="lsh_bucket"
+    )
+    plan = _plan(joined)
+    # one evaluation per join SIDE (the two branches are distinct
+    # consumers), never two stacked nodes within a branch
+    assert len(re.findall(r"Arguments: \[_bucket\(", plan)) <= 2, plan
