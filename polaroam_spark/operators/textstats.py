@@ -855,6 +855,26 @@ def kn_ngram_logprob_vs_reference(
         F.coalesce(F.sum("_cc1"), F.lit(0)).alias("_nb")
     )
 
+    # Materialize the persisted model tables ONCE, eagerly, in
+    # dependency order (r19 optimization round, guide §2.4/§5). The
+    # scoring join consumes every table through AQE broadcast
+    # subqueries that all launch concurrently when the action starts;
+    # on a cold cache those jobs RACE to fill the same
+    # InMemoryRelation and each recomputes the full explode+distinct
+    # subtree (measured on the 5-gram bench row: every model-build
+    # stage appeared twice with pairwise near-identical shuffle sizes
+    # — ~2x the model CPU, ~103s executor time for a ~55s model).
+    # One count() per table runs each build exactly once on the whole
+    # cluster; the broadcasts then read the materialized cache.
+    # ng.count() also materializes rtok (its parent), so the
+    # lower-level explodes reuse the tokenized reference. Sequential
+    # on purpose: submitting the builds from a thread pool was
+    # measured 3-10x WORSE here (concurrent explode jobs evict each
+    # other's cache blocks and thrash the scheduler).
+    ng.count()
+    for k in range(N - 1, 0, -1):
+        conts[k].count()
+
     tg = _gram_stream(df, tokens(text_col), N, gnames, True)
     j = tg.join(ng, on=gnames, how="left").join(
         ctx, on=gnames[:-1], how="left"

@@ -1712,3 +1712,132 @@ def test_winsorize_robust_reserved_columns(spark):
     )
     with _pt.raises(ValueError, match="reserve"):
         robust_scale_scores(df2, "score", "source")
+
+
+def _kn_replay_n(ref_texts, doc_texts, N, d=0.75):
+    """Pure-python replay of kn_ngram_logprob_vs_reference at any
+    order, building every lower-level type table by DIRECT distinct
+    passes over positions — an independent construction the Spark
+    model tables must reproduce exactly."""
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return t.lower().split()
+
+    ngrams = Counter()
+    for t in ref_texts:
+        w = toks(t)
+        for i in range(len(w) - N + 1):
+            ngrams[tuple(w[i : i + N])] += 1
+    ctot, ctyp = Counter(), Counter()
+    for g, n in ngrams.items():
+        ctot[g[:-1]] += n
+        ctyp[g[:-1]] += 1
+    types = {N: set(ngrams)}
+    for m in range(N - 1, 1, -1):
+        s = set()
+        for t in ref_texts:
+            w = toks(t)
+            for i in range(len(w) - m + 1):
+                s.add(tuple(w[i : i + m]))
+        types[m] = s
+    cc = {}
+    for k in range(N - 1, 0, -1):
+        c = Counter()
+        for g in types[k + 1]:
+            c[g[1:]] += 1
+        cc[k] = c
+    ccx, nt = {}, {}
+    for k in range(2, N):
+        a, b = Counter(), Counter()
+        for g, n in cc[k].items():
+            a[g[:-1]] += n
+            b[g[:-1]] += 1
+        ccx[k], nt[k] = a, b
+    nb = float(sum(cc[1].values()))
+
+    out = {}
+    for did, t in doc_texts:
+        w = toks(t)
+        if len(w) < N:
+            out[did] = None
+            continue
+        logs = []
+        for i in range(len(w) - N + 1):
+            g = tuple(w[i : i + N])
+            wl = g[-1:]
+            p = (
+                cc[1][wl] / nb
+                if cc[1][wl] > 0
+                else 0.5 / (nb + 0.5)
+            )
+            for k in range(2, N):
+                sub = g[N - k :]
+                v = sub[:-1]
+                if ccx[k][v] > 0:
+                    p = (
+                        max(cc[k][sub] - d, 0.0) / ccx[k][v]
+                        + d * nt[k][v] / ccx[k][v] * p
+                    )
+            u = g[:-1]
+            if ctot[u] > 0:
+                p = (
+                    max(ngrams[g] - d, 0.0) / ctot[u]
+                    + d * ctyp[u] / ctot[u] * p
+                )
+            logs.append(math.log(p))
+        out[did] = sum(logs) / len(logs)
+    return out
+
+
+@pytest.mark.parametrize("order", [3, 4, 5])
+def test_kn_ngram_derived_type_tables_differential(spark, order):
+    """Orders 3-5 against the any-order python replay, with reference
+    docs of every length 1..8: each length straddles a different
+    boundary of the per-level type tables (a doc of length m
+    contributes its ONLY m-gram, covered by no (m+1)-gram), so a
+    missing or duplicated type shifts a continuation count and fails
+    the comparison. Guards any restructuring of the model-table
+    construction (r19 measured one such restructuring and rejected
+    it; the test stays as the safety net for the next attempt)."""
+    import random
+
+    from polaroam_spark.operators.textstats import (
+        kn_ngram_logprob_vs_reference,
+    )
+
+    rnd = random.Random(137)
+    vocab = [f"w{i}" for i in range(12)]
+    ref_texts = [
+        " ".join(rnd.choice(vocab) for _ in range(1 + (i % 8)))
+        for i in range(48)
+    ]
+    extra = vocab + ["oovx", "oovy"]
+    doc_rows = [
+        (
+            i,
+            " ".join(
+                rnd.choice(extra) for _ in range(rnd.randint(1, 14))
+            ),
+        )
+        for i in range(60)
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.mean_kn_logprob
+        for r in kn_ngram_logprob_vs_reference(
+            docs, ref, order=order
+        ).collect()
+    }
+    replay = _kn_replay_n(ref_texts, doc_rows, order)
+    assert set(out) == set(replay)
+    for k, v in replay.items():
+        if v is None:
+            assert out[k] is None, (k, out[k])
+        else:
+            assert abs(out[k] - v) < 1e-9, (k, out[k], v)
