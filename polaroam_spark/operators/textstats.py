@@ -855,25 +855,34 @@ def kn_ngram_logprob_vs_reference(
         F.coalesce(F.sum("_cc1"), F.lit(0)).alias("_nb")
     )
 
-    # Materialize the persisted model tables ONCE, eagerly, in
-    # dependency order (r19 optimization round, guide §2.4/§5). The
-    # scoring join consumes every table through AQE broadcast
-    # subqueries that all launch concurrently when the action starts;
-    # on a cold cache those jobs RACE to fill the same
-    # InMemoryRelation and each recomputes the full explode+distinct
-    # subtree (measured on the 5-gram bench row: every model-build
-    # stage appeared twice with pairwise near-identical shuffle sizes
-    # — ~2x the model CPU, ~103s executor time for a ~55s model).
-    # One count() per table runs each build exactly once on the whole
-    # cluster; the broadcasts then read the materialized cache.
-    # ng.count() also materializes rtok (its parent), so the
-    # lower-level explodes reuse the tokenized reference. Sequential
-    # on purpose: submitting the builds from a thread pool was
-    # measured 3-10x WORSE here (concurrent explode jobs evict each
-    # other's cache blocks and thrash the scheduler).
+    # Materialize the persisted model tables eagerly, in TWO actions
+    # (r19 optimization round, guide §2.4/§5). Left lazy, the scoring
+    # join consumes every table through AQE broadcast subqueries that
+    # launch concurrently when the action starts, and on a cold cache
+    # those jobs race to fill the same InMemoryRelation — each
+    # model-build stage runs ~twice (~2x model CPU, pairwise-
+    # duplicate stages in the UI). Alternatives measured and
+    # rejected: one count() per table (six job barriers, +1.2s on the
+    # bench row), a thread pool of counts (3-10x worse — concurrent
+    # explode jobs evict each other's cache blocks), a single
+    # union-of-counts action (each branch recomputed the NARROW rtok
+    # lineage — cache-miss scans duplicate un-shuffled parents), and
+    # deriving lower-level type tables from the top count table
+    # (serialized the levels behind ng with no byte savings, since
+    # m-gram types here are ~token volume; the any-order python-
+    # replay differential in tests/test_textstats.py pins the
+    # construction for whoever tries next). This shape: ng.count()
+    # materializes rtok and ng; the union then builds the four
+    # independent continuation tables concurrently inside ONE job,
+    # each branch scanning the now-warm rtok/ng cache, each table
+    # built exactly once.
     ng.count()
-    for k in range(N - 1, 0, -1):
-        conts[k].count()
+    builds = conts[N - 1].select(F.lit(1).alias("_one"))
+    for k in range(N - 2, 0, -1):
+        builds = builds.unionAll(
+            conts[k].select(F.lit(1).alias("_one"))
+        )
+    builds.agg(F.count("_one")).collect()
 
     tg = _gram_stream(df, tokens(text_col), N, gnames, True)
     j = tg.join(ng, on=gnames, how="left").join(
