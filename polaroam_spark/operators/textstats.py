@@ -1107,6 +1107,19 @@ def dsir_importance_weights(
         .agg(F.count("*").cast("double").alias("_c_tgt"))
         .persist()
     )
+    # r19 optimization round: measured and deliberately left LAZY.
+    # On a cold cache the AQE broadcast subqueries consuming these
+    # tables race, and the corpus/target gram explodes each run
+    # ~twice (stage-profiled: 4 duplicate explode stages, ~6.3s of
+    # the bench row's 9.5s CPU) — but an eager union-of-counts
+    # materialization (the kn_ngram pattern one function up) measured
+    # 3x WORSE wall here ([10.7-19.5s] vs [3.3-4.3s] back-to-back):
+    # the duplicate builds overlap on idle cores inside one action,
+    # while the eager job serializes the model build ahead of the
+    # scoring scan it would otherwise overlap with. The two shapes
+    # differ from kn_ngram's (6 tables, 5-way join fan-in) enough
+    # that the same fix inverts — re-measure before copying either
+    # pattern.
     t_raw = raw.agg(
         F.coalesce(F.sum("_c_raw"), F.lit(0.0)).alias("_t_raw")
     )
