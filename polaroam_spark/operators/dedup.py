@@ -148,9 +148,21 @@ def minhash_lsh_pairs(
     driver-side key collection, no extra shuffle beyond the bucket
     key the join shuffles on anyway.
     """
+    from ..session import fan_out
+
     shingle_set = _shingle_set(text_col, shingle_k, portable)
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
+    # fan_out BEFORE the signature compute (r19 optimization round,
+    # guide §2.5): shingling + num_hashes MinHash passes are the
+    # heaviest per-row work in this operator, and a single-row-group
+    # input (any local parquet under ~128 MB is one split) serializes
+    # it onto one task — measured ~2x the row wall. Projected to the
+    # two needed columns first (§2.3), so the exchange moves id+text
+    # only; at corpus scale the input already has >= cores splits and
+    # fan_out adds nothing.
+    sh = fan_out(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    ).select(
+        "_id",
         shingle_set.alias("_shingles"),
     ).withColumn(
         "_sig",

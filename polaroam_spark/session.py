@@ -68,6 +68,36 @@ def get_spark(
     return b.getOrCreate()
 
 
+def fan_out(df, min_factor: int = 1):
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism when its current layout has FEWER partitions — the
+    guide-§2.5 "one huge unsplittable file" fix, scale-adaptive by
+    construction: at corpus scale inputs arrive in >= cores splits
+    and this returns ``df`` unchanged (zero added exchange), while a
+    single-row-group fixture (every local parquet under ~128 MB is
+    one split) stops serializing compute-heavy map stages onto one
+    task. Use it ONLY above genuinely heavy per-row compute: the r19
+    optimization round measured the exchange + 32-task scheduling
+    overhead BEATING the win on every light map stage it was tried
+    over (tokenizer encodes, classifier scorers, quality features,
+    moment fits: all 1.5-2x slower with a blanket fan-out), and a
+    ~2x win where per-row work is large (MinHash signatures over
+    shingle sets). Streaming frames pass through untouched.
+    """
+    if df.isStreaming:
+        return df
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism * int(
+        min_factor
+    )
+    if nparts >= target:
+        return df
+    return df.repartition(target)
+
+
 def materialize(df):
     """Eagerly materialize a DataFrame and cut its lineage — the
     per-iteration step of the label-propagation loops
