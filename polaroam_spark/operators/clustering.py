@@ -170,8 +170,26 @@ def cluster_stops_dbscan(
         {"_glat": glat, "_glon": glon}
     )
 
+    # Pin the Python stage's parallelism (r19 optimization round,
+    # guide §2.2/§2.4): AQE's bytes-based partition coalescing is the
+    # wrong adaptivity for a compute-bound applyInPandas stage — the
+    # per-user coordinate table is a few hundred KB at bench scale,
+    # so AQE coalesced the groupBy exchange to ONE partition and the
+    # whole per-user DBSCAN sweep ran serially in a single Python
+    # worker (measured: ~4.5s of the row's ~6s). An explicit keyed
+    # repartition is exempt from AQE coalescing, and because uid is a
+    # subset of both downstream keys it satisfies dropDuplicates AND
+    # groupBy — still exactly ONE exchange. The count scales with the
+    # session (cores locally, cluster-wide parallelism on a real
+    # deployment), never a constant.
+    sess = medians.sparkSession
+    n_py = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
     unique_coords = (
         with_cells.select("uid", F.col("_glat").alias("latitude"), F.col("_glon").alias("longitude"))
+        .repartition(n_py, "uid")
         .dropDuplicates(["uid", "latitude", "longitude"])
     )
 
