@@ -537,8 +537,16 @@ def fingerprint_hamming_pairs(
         }
     )
     # referenced by both self-join sides + the hot path (see the
-    # minhash persist note)
+    # minhash persist note). Materialized EAGERLY (r19 optimization
+    # round): the self-join needs no exchange (the window already
+    # partitioned by (chunk, val)), so both sides' InMemoryTableScan
+    # iterators open inside the SAME task and race a cold cache —
+    # the full fingerprint lineage (for images: decode + dHash, the
+    # heaviest stage of the operator) ran once per side on top of the
+    # window build (~3x total, stage-profiled on the image bench
+    # row). One count() builds the cache once; the join then reads it.
     chunked = chunked.persist()
+    chunked.count()
     normal = chunked.filter(F.col("_bn") <= max_bucket_size)
     hot = chunked.filter(F.col("_bn") > max_bucket_size)
 
