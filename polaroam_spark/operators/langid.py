@@ -43,6 +43,7 @@ from polaroam_spark.operators.quality import (
     _gather_segment_sums,
     _partials_batch,
     _resolve_engine,
+    gram_bucket_base,
     hashed_gram_buckets,
 )
 
@@ -136,9 +137,28 @@ def score_langid(
         _validate_langid_model(model)
     )
     k = len(classes)
-    buckets = hashed_gram_buckets(
-        text_col, b, seed, portable, feature=feature
+    # project the gram base, then the bucket array, each into its own
+    # column (r19 optimization round — see quality.gram_bucket_base):
+    # the bucket stream references its base ~4x and the literal path
+    # folds over the bucket array once PER CLASS; inline, every
+    # reference re-ran the whole chain
+    base_c = "_hgb_base"
+    bk_c = "_hgb_buckets"
+    while base_c in df.columns:
+        base_c += "_"
+    while bk_c in df.columns:
+        bk_c += "_"
+    src = df.withColumn(
+        base_c, gram_bucket_base(text_col, feature)
+    ).withColumn(
+        bk_c,
+        hashed_gram_buckets(
+            text_col, b, seed, portable,
+            feature=feature, base=F.col(base_c),
+        ),
     )
+    buckets = F.col(bk_c)
+    _tmp_cols = [base_c, bk_c]
     classes_lit = F.array(*[F.lit(c) for c in classes])
     eng = _resolve_engine(engine)
 
@@ -194,7 +214,7 @@ def score_langid(
         }
         _margins_arr = arrow_udf("array<double>")(_margins_arr)
 
-        out = df.withColumn("_margins", _margins_arr(buckets))
+        out = src.withColumn("_margins", _margins_arr(buckets))
     elif k * b <= _LITERAL_MAX:
         # NB: the lookup lambda must take exactly ONE parameter —
         # PySpark treats a 2-arg transform lambda as (element, index)
@@ -218,7 +238,7 @@ def score_langid(
         marr = F.when(
             F.array_size(buckets) > 0, F.array(*margins)
         )
-        out = df.withColumn("_margins", marr)
+        out = src.withColumn("_margins", marr)
     else:
         spark = df.sparkSession
         wtab = spark.createDataFrame(
@@ -232,7 +252,7 @@ def score_langid(
             1.0 / F.count("*") if normalize else F.lit(1.0)
         )
         per_doc = (
-            df.select(id_col, F.explode(buckets).alias("_bucket"))
+            src.select(id_col, F.explode(buckets).alias("_bucket"))
             .join(F.broadcast(wtab), on="_bucket", how="left")
             .groupBy(id_col)
             .agg(
@@ -272,7 +292,7 @@ def score_langid(
             lambda acc, x: acc + x,
         )
         out = out.withColumn(prob_col, F.lit(1.0) / denom)
-    return out.drop("_margins")
+    return out.drop("_margins", *_tmp_cols)
 
 
 def train_langid(
@@ -353,8 +373,11 @@ def train_langid(
     k = len(classes)
     classes_lit = F.array(*[F.lit(c) for c in classes])
 
+    # base projected below the bucket transform so its ~4 references
+    # share one computation (r19 — see quality.gram_bucket_base)
     buckets = hashed_gram_buckets(
-        text_col, b, seed, portable, feature=feature
+        text_col, b, seed, portable,
+        feature=feature, base=F.col("_hgb_base"),
     )
     total = df.count()
     feats = track(
@@ -362,6 +385,10 @@ def train_langid(
             (F.array_position(classes_lit, lbl) - 1)
             .cast("int")
             .alias("_y"),
+            gram_bucket_base(text_col, feature).alias("_hgb_base"),
+        )
+        .select(
+            "_y",
             buckets.alias("_bk"),
         )
         .filter(F.col("_y") >= 0)

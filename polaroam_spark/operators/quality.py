@@ -47,12 +47,41 @@ from pyspark.sql import functions as F
 _LITERAL_MAX = 65_536
 
 
+def gram_bucket_base(
+    text_col: "Column | str", feature: str = "word"
+) -> Column:
+    """The feature stream's shared base expression — the tokenized
+    word array (``feature="word"``) or the normalized string
+    (``"char"``). Project it into its OWN column in a select below
+    the scoring projection and hand the column reference to
+    :func:`hashed_gram_buckets` via ``base=``: the gram stream
+    references its base several times, and an inline base re-runs
+    the lower/split/trim chain per reference (higher-order lambdas
+    are CodegenFallback — no common-subexpression elimination;
+    measured 35-40%% of the bucket-stream cost, r19 optimization
+    round). CollapseProject keeps the lower projection because the
+    alias is non-cheap and multiply referenced."""
+    from polaroam_spark.operators.textstats import (
+        _char_norm,
+    )
+    from polaroam_spark.functions.text import tokens
+
+    if feature == "word":
+        return tokens(text_col)
+    if feature == "char":
+        return _char_norm(text_col)
+    raise ValueError(
+        f"feature must be 'word' or 'char' (got {feature!r})"
+    )
+
+
 def hashed_gram_buckets(
     text_col: "Column | str",
     num_buckets: int,
     seed: int = 17,
     portable: bool = False,
     feature: str = "word",
+    base: "Column | None" = None,
 ) -> Column:
     """``array<int>`` of feature-bucket indices, one per gram
     instance. ``feature="word"`` (default) is DSIR's stream (word
@@ -61,27 +90,32 @@ def hashed_gram_buckets(
     where word features collapse to one unique token per document.
     ``portable`` swaps xxhash64 for the md5-based portable hash so a
     DuckDB oracle can replay bucket membership bit-for-bit; xxhash64
-    is the scale default (~10x cheaper)."""
+    is the scale default (~10x cheaper). ``base`` takes a
+    pre-projected :func:`gram_bucket_base` column and skips the
+    inline base computation (see there); ``text_col`` is ignored
+    when it is given."""
     from polaroam_spark.functions.text import (
         fast_hash64,
         portable_hash64,
     )
     from polaroam_spark.operators.textstats import (
-        _char_grams,
-        _dsir_grams,
+        _char_grams_of,
+        _dsir_grams_of,
     )
 
     b = int(num_buckets)
     if b < 1:
         raise ValueError(f"num_buckets must be >= 1 (got {num_buckets})")
-    if feature == "word":
-        grams = _dsir_grams(text_col)
-    elif feature == "char":
-        grams = _char_grams(text_col)
-    else:
+    if base is None:
+        base = gram_bucket_base(text_col, feature)
+    elif feature not in ("word", "char"):
         raise ValueError(
             f"feature must be 'word' or 'char' (got {feature!r})"
         )
+    if feature == "word":
+        grams = _dsir_grams_of(base)
+    else:
+        grams = _char_grams_of(base)
     hash_fn = portable_hash64 if portable else fast_hash64
     return F.transform(
         grams,
@@ -252,9 +286,29 @@ def score_quality_classifier(
     w, bias, b, seed, portable, normalize, feature = _validate_model(
         model
     )
-    buckets = hashed_gram_buckets(
-        text_col, b, seed, portable, feature=feature
+    # project the gram base, then the bucket array, each into its own
+    # column (r19 optimization round — see gram_bucket_base): the
+    # bucket stream references its base ~4x and the literal scoring
+    # path references the bucket array 3x; inline, every reference
+    # re-ran the whole chain (CodegenFallback lambdas, no
+    # subexpression elimination)
+    base_c = "_hgb_base"
+    bk_c = "_hgb_buckets"
+    while base_c in df.columns:
+        base_c += "_"
+    while bk_c in df.columns:
+        bk_c += "_"
+    src = df.withColumn(
+        base_c, gram_bucket_base(text_col, feature)
+    ).withColumn(
+        bk_c,
+        hashed_gram_buckets(
+            text_col, b, seed, portable,
+            feature=feature, base=F.col(base_c),
+        ),
     )
+    buckets = F.col(bk_c)
+    _tmp_cols = [base_c, bk_c]
     eng = _resolve_engine(engine)
 
     if eng == "arrow":
@@ -297,7 +351,7 @@ def score_quality_classifier(
             _margin_sum
         )
 
-        tmp = df.withColumn("_qsc", _margin_sum(buckets))
+        tmp = src.withColumn("_qsc", _margin_sum(buckets))
         ssum = F.col("_qsc.s")
         cnt = F.col("_qsc.c")
         if normalize:
@@ -305,7 +359,7 @@ def score_quality_classifier(
         margin = F.when(cnt > 0, F.lit(bias) + ssum)
         out = tmp.withColumn(
             out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        ).drop("_qsc")
+        ).drop("_qsc", *_tmp_cols)
     elif b <= _LITERAL_MAX:
         # one parsed SQL array literal, not F.lit(list): the latter
         # walks the list element-by-element over py4j, costing ~2 s
@@ -331,9 +385,9 @@ def score_quality_classifier(
         margin = F.when(
             F.array_size(buckets) > 0, F.lit(bias) + ssum
         )
-        out = df.withColumn(
+        out = src.withColumn(
             out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        )
+        ).drop(*_tmp_cols)
     else:
         spark = df.sparkSession
         wtab = spark.createDataFrame(
@@ -342,7 +396,7 @@ def score_quality_classifier(
         )
         msum = F.sum("_w")
         per_doc = (
-            df.select(id_col, F.explode(buckets).alias("_bucket"))
+            src.select(id_col, F.explode(buckets).alias("_bucket"))
             .join(F.broadcast(wtab), on="_bucket", how="left")
             .groupBy(id_col)
             .agg(
@@ -417,13 +471,20 @@ def train_quality_classifier(
     if iters < 1:
         raise ValueError(f"n_iter must be >= 1 (got {n_iter})")
 
+    # base projected below the bucket transform so its ~4 references
+    # share one computation (r19 — see gram_bucket_base)
     buckets = hashed_gram_buckets(
-        text_col, b, seed, portable, feature=feature
+        text_col, b, seed, portable,
+        feature=feature, base=F.col("_hgb_base"),
     )
     total = df.count()
     feats = track(
         df.select(
             F.col(label_col).cast("double").alias("_y"),
+            gram_bucket_base(text_col, feature).alias("_hgb_base"),
+        )
+        .select(
+            "_y",
             buckets.alias("_bk"),
         )
         .filter(

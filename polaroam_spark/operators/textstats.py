@@ -959,17 +959,19 @@ def kn_trigram_logprob_vs_reference(
     )
 
 
-def _dsir_grams(text_col: str) -> Column:
-    """DSIR's hashed-ngram feature stream: unigrams plus word
-    bigrams (the paper's feature set). Documents with a single token
-    contribute just that unigram — the bigram half is empty rather
-    than duplicating the unigram (word_shingles' short-doc fallback
-    would re-emit the whole text). Bigrams build via zip_with of two
-    bulk slices (t22/t24's shape) rather than word_shingles(k=2)'s
-    per-position slice — the stream is evaluated twice per corpus
-    (count + score passes), so per-gram expression cost is the hot
-    path."""
-    toks = tokens(text_col)
+def _dsir_grams_of(toks: Column) -> Column:
+    """DSIR gram stream built from an ALREADY-TOKENIZED array column
+    (r19 optimization round, guide §1.2 per-task work): the stream
+    references its token array four times (unigram half, two bigram
+    slices, the length guard), and when ``toks`` is the inline
+    ``tokens(text)`` expression each reference re-runs the
+    lower+split+filter chain per row — higher-order lambdas are
+    CodegenFallback, so no common-subexpression elimination saves it
+    (measured 35-40%% of the whole bucket-stream cost). Callers that
+    own a DataFrame should project ``tokens(text)`` into a column in
+    a SEPARATE lower select and pass the column reference here;
+    CollapseProject leaves the two projections split exactly because
+    the alias is non-cheap and multiply referenced."""
     n = F.array_size(toks)
     bigrams = F.when(
         n >= 2,
@@ -982,20 +984,35 @@ def _dsir_grams(text_col: str) -> Column:
     return F.concat(toks, bigrams)
 
 
-def _char_grams(
-    text_col: "Column | str", n_lo: int = 3, n_hi: int = 5
-) -> Column:
-    """fasttext-langid's CHAR n-gram feature stream (default 3–5):
-    lowercase, collapse whitespace runs to one space, trim, then
-    every length-n substring for each n — what makes a trained
-    langid robust on short and NO-WHITESPACE (CJK-like) text, where
-    :func:`_dsir_grams`' word features degenerate to one giant
-    unique token per document. Pure array expressions (sequence →
-    transform → substr), character-based on both engines so a DuckDB
-    oracle replays the stream exactly. NULL text → NULL; text
-    shorter than ``n_lo`` chars → empty array (no evidence)."""
+def _dsir_grams(text_col: str) -> Column:
+    """DSIR's hashed-ngram feature stream: unigrams plus word
+    bigrams (the paper's feature set). Documents with a single token
+    contribute just that unigram — the bigram half is empty rather
+    than duplicating the unigram (word_shingles' short-doc fallback
+    would re-emit the whole text). Bigrams build via zip_with of two
+    bulk slices (t22/t24's shape) rather than word_shingles(k=2)'s
+    per-position slice — the stream is evaluated twice per corpus
+    (count + score passes), so per-gram expression cost is the hot
+    path. Prefer :func:`_dsir_grams_of` over a pre-projected token
+    column when a DataFrame is in hand (see its note)."""
+    return _dsir_grams_of(tokens(text_col))
+
+
+def _char_norm(text_col: "Column | str") -> Column:
+    """The char-gram base string: lowercase, whitespace runs to one
+    space, trimmed. Project this into its own column before
+    :func:`_char_grams_of` — the gram stream references it ~2x per
+    n-gram level (see :func:`_dsir_grams_of`)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _char_grams_of(
+    t: Column, n_lo: int = 3, n_hi: int = 5
+) -> Column:
+    """Char n-gram stream from an ALREADY-NORMALIZED base column
+    (:func:`_char_norm`) — the multiply-referenced-base twin of
+    :func:`_dsir_grams_of`."""
     ln = F.length(t)
 
     def _stream(n: int):
@@ -1017,6 +1034,23 @@ def _char_grams(
             _stream(n) for n in range(int(n_lo), int(n_hi) + 1)
         ]),
     )
+
+
+def _char_grams(
+    text_col: "Column | str", n_lo: int = 3, n_hi: int = 5
+) -> Column:
+    """fasttext-langid's CHAR n-gram feature stream (default 3–5):
+    lowercase, collapse whitespace runs to one space, trim, then
+    every length-n substring for each n — what makes a trained
+    langid robust on short and NO-WHITESPACE (CJK-like) text, where
+    :func:`_dsir_grams`' word features degenerate to one giant
+    unique token per document. Pure array expressions (sequence →
+    transform → substr), character-based on both engines so a DuckDB
+    oracle replays the stream exactly. NULL text → NULL; text
+    shorter than ``n_lo`` chars → empty array (no evidence).
+    Prefer :func:`_char_grams_of` over a pre-projected
+    :func:`_char_norm` column when a DataFrame is in hand."""
+    return _char_grams_of(_char_norm(text_col), n_lo, n_hi)
 
 
 def dsir_importance_weights(
@@ -1075,14 +1109,22 @@ def dsir_importance_weights(
         )
 
     def _buckets(frame: DataFrame, cols: list) -> DataFrame:
-        g = F.explode(_dsir_grams(text_col)).alias("_gram")
+        # tokenize in a LOWER projection so the gram stream's four
+        # references to the token array reuse one computation instead
+        # of re-running lower+split+filter per reference (r19
+        # optimization round — see _dsir_grams_of; CollapseProject
+        # keeps the split because the alias is non-cheap and
+        # multiply referenced)
+        g = F.explode(_dsir_grams_of(F.col("_tk"))).alias("_gram")
         h = (
             portable_hash64(F.col("_gram"), 13)
             if portable
             else fast_hash64("_gram", 13)
         )
-        return frame.select(*cols, g).select(
-            *cols, F.pmod(h, F.lit(b)).alias("_bucket")
+        return (
+            frame.select(*cols, tokens(text_col).alias("_tk"))
+            .select(*cols, g)
+            .select(*cols, F.pmod(h, F.lit(b)).alias("_bucket"))
         )
 
     # persist is load-bearing for BOTH count tables: each is ≤ B rows
