@@ -812,8 +812,25 @@ def kn_ngram_logprob_vs_reference(
             *[F.col(f"_p.{nm}").alias(nm) for nm in names],
         )
 
+    from ..session import fan_out
+
+    # fan_out both text scans (r19 optimization round, guide §2.5
+    # "input skew — one huge unsplittable file"): at bench scale each
+    # parquet arrives as ONE split, so the reference explode+partial-
+    # agg stages and the ENTIRE scored chain (gram generate + the
+    # model-table hash probes + the KN case-when tree, all below the
+    # per-doc agg exchange) ran serially in a single task (~3.5 s of
+    # the 7 s bench row). fan_out is scale-adaptive: at real scale
+    # inputs arrive in >= cores splits and it is a no-op (zero added
+    # exchange). Project to the needed columns BEFORE the exchange
+    # (guide §2.3) so the fan-out never shuffles payload columns.
+    # Results are bit-identical: each document's grams stay inside
+    # one task in generation order, so the per-doc float fold order
+    # is unchanged (t41/t48/t52 oracle gates re-proved hash-exact).
     rtok = track(
-        reference.select(tokens(text_col).alias("_toks")).persist()
+        fan_out(reference.select(_col(text_col).alias("_t")))
+        .select(tokens(F.col("_t")).alias("_toks"))
+        .persist()
     )
     # the one corpus-scaled model table: order-gram type counts
     ng = track(
@@ -837,6 +854,12 @@ def kn_ngram_logprob_vs_reference(
                 F.count("*").alias(f"_cc{k}")
             )
         else:
+            # NOTE (r19 optimization round): rewriting this as
+            # groupBy(keys).countDistinct(first) was tried and
+            # REVERTED — Spark plans a grouped distinct aggregation
+            # as the same two exchanges (partial dedup on keys+first,
+            # then the keys agg) this explicit shape produces, so the
+            # plan was bit-identical and the code less direct.
             sub = gnames[N - k - 1 :]
             types = _gram_stream(
                 rtok, F.col("_toks"), k + 1, sub, False
@@ -884,7 +907,8 @@ def kn_ngram_logprob_vs_reference(
         )
     builds.agg(F.count("_one")).collect()
 
-    tg = _gram_stream(df, tokens(text_col), N, gnames, True)
+    scored_src = fan_out(df.select(id_col, text_col))
+    tg = _gram_stream(scored_src, tokens(text_col), N, gnames, True)
     j = tg.join(ng, on=gnames, how="left").join(
         ctx, on=gnames[:-1], how="left"
     )
