@@ -1220,10 +1220,26 @@ def memorization_scan(
         p_g = F.broadcast(p_g)
     # NULL corpus ids are excluded up front: they cannot be cited
     # in matched_doc_ids (collect_list drops NULL) yet would rank
-    # FIRST in the cap window and crowd a real id out of the list
-    c_toks = corpus.select(
-        F.col(corpus_id).alias("_cid"),
-        tokens(text_col).alias("_ctoks"),
+    # FIRST in the cap window and crowd a real id out of the list.
+    # fan_out (r19 optimization round, guide §2.5 single-split
+    # input): the whole corpus-side chain below — tokenize, per-
+    # position n-token shingle concat, hash, broadcast probe join —
+    # is map-side, so on a single-split input it ran serially in one
+    # task (measured 1.76 -> 1.09 s interleaved A/B at sf0.1).
+    # Scale-adaptive: a no-op once the corpus arrives in >= cores
+    # splits; the 2-column projection keeps everything else out of
+    # the exchange (guide §2.3). Per-probe outputs are aggregates
+    # over an unordered match set — partition layout can't change
+    # them (d16 gate re-proved hash-exact).
+    from ..session import fan_out
+
+    c_toks = fan_out(
+        corpus.select(
+            F.col(corpus_id).alias("_cid"),
+            F.col(text_col).alias("_ctext"),
+        )
+    ).select(
+        "_cid", tokens(F.col("_ctext")).alias("_ctoks")
     ).filter(
         F.col("_cid").isNotNull() & (F.size("_ctoks") >= nn)
     )
