@@ -567,9 +567,16 @@ def fingerprint_hamming_pairs(
         F.col("_rep._fp").alias("_fa"),
         F.col("_fp").alias("_fb"),
     )
-    cand = cand_normal.unionByName(cand_hot).dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    # verify BEFORE the pair dedup (r19 optimization round, guide
+    # §2.3 "aggregate/filter before you shuffle"): hamming is a pure
+    # function of the pair, so filtering first cannot change the
+    # deduplicated set — but it moves the bit_count map-side, drops
+    # every failing candidate before the exchange, and narrows the
+    # shuffled row from (id_a, id_b, _fa, _fb) to (id_a, id_b,
+    # hamming). The old shape shuffled BOTH fingerprints for every
+    # candidate (including the vast majority that fail verification
+    # on a diverse corpus) just to recompute hamming after the dedup.
+    cand = cand_normal.unionByName(cand_hot)
     verified = (
         cand.withColumn(
             "hamming",
@@ -577,6 +584,7 @@ def fingerprint_hamming_pairs(
         )
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return _finalize_pairs(verified, [chunked], materialize)
 
