@@ -501,9 +501,17 @@ def ann_lsh_topk(
         q = q.withColumn("lsh_bucket", F.explode(probe_buckets))
     q = q.drop("_dots")
     joined = d.join(F.broadcast(q), on="lsh_bucket", how="inner")
-    scored = joined.withColumn(
-        "cosine", score("_dvec", "_qvec")
-    ).dropDuplicates([query_id, data_id])
+    # project BEFORE the dedup exchange (r19 optimization round,
+    # guide §2.3): cosine is a pure function of the (query, data)
+    # pair, so multi-probe duplicates carry identical cosines and
+    # deduplicating the 3-column projection yields the identical
+    # result — while the exchange moves one double per candidate
+    # instead of both embedding vectors (~2 x dim doubles).
+    scored = (
+        joined.withColumn("cosine", score("_dvec", "_qvec"))
+        .select(query_id, data_id, "cosine")
+        .dropDuplicates([query_id, data_id])
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(data_id).asc()
     )
