@@ -860,13 +860,20 @@ def embedding_neardup_pairs(
         F.col("_rep._vec").alias("_va"),
         F.col("_vec").alias("_vb"),
     )
-    cand = cand_normal.unionByName(cand_hot).dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    # verify BEFORE the pair dedup (r19 optimization round, guide
+    # §2.3 — the fingerprint_hamming_pairs fix): cosine is a pure
+    # function of the pair, so filter-then-dedup yields the identical
+    # set while the dedup exchange moves (id_a, id_b, cosine) instead
+    # of BOTH embedding vectors per candidate, and sub-threshold
+    # candidates never shuffle at all. (A vector pair can only reach
+    # the dedup once per shared bucket; multi-bucket duplicates carry
+    # identical cosines, so the kept row is identical too.)
+    cand = cand_normal.unionByName(cand_hot)
     verified = (
         cand.withColumn("cosine", score("_va", "_vb"))
         .filter(F.col("cosine") >= F.lit(cosine_threshold))
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return _finalize_pairs(verified, [b], materialize)
 
