@@ -340,9 +340,13 @@ def ann_ivf_topk(
         .join(F.broadcast(q_probe), on="centroid_id")
         .join(F.broadcast(q), on=query_id)
     )
+    # project BEFORE the top-k window exchange (r19 optimization
+    # round, guide §2.3): the window needs only (query, id, cosine);
+    # without the projection the exchange shuffles both embedding
+    # vectors (~2 x dim doubles) per candidate row.
     scored = candidates.withColumn(
         "cosine", score("_dvec", "_qvec")
-    )
+    ).select(query_id, data_id, "cosine")
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(data_id).asc()
     )
@@ -377,11 +381,15 @@ def cosine_topk(
             F.col(query_id), F.col(vec_col).alias("_qvec")
         )
     )
+    # project BEFORE the top-k window exchange (r19 optimization
+    # round, guide §2.3): this exact path scores |data| x |queries|
+    # rows, and without the projection every one of them shuffled
+    # both embedding vectors into the window; now one double each.
     scored = data.select(
         F.col(data_id), F.col(vec_col).alias("_dvec")
     ).crossJoin(q).withColumn(
         "cosine", score("_dvec", "_qvec")
-    )
+    ).select(query_id, data_id, "cosine")
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(data_id).asc()
     )
