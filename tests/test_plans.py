@@ -889,3 +889,65 @@ def test_filtered_udf_outputs_evaluate_once(spark, docs):
     # one evaluation per join SIDE (the two branches are distinct
     # consumers), never two stacked nodes within a branch
     assert len(re.findall(r"Arguments: \[_bucket\(", plan)) <= 2, plan
+
+
+def test_hamming_pair_dedup_shuffles_verified_triples(spark):
+    # r19 optimization round: verification must run BEFORE the pair
+    # dedup, so the dropDuplicates exchange aggregates (id_a, id_b,
+    # hamming) — never the raw fingerprints of every candidate. A
+    # regression reintroduces first(_fa)/first(_fb) aggregates (the
+    # old shape) and ships both fingerprints per candidate.
+    from polaroam_spark.operators.dedup import fingerprint_hamming_pairs
+
+    fps = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 32)) for i in range(40)],
+        "doc_id long, fp long",
+    )
+    plan = _plan(fingerprint_hamming_pairs(fps, "fp", bits=32))
+    assert "first(_fa" not in plan and "first(_fb" not in plan, plan
+    assert "first(hamming" in plan, plan
+
+
+def test_embedding_neardup_dedup_shuffles_verified_triples(spark):
+    # same contract as the fingerprint twin: the dedup exchange must
+    # carry (id_a, id_b, cosine), never both embedding vectors
+    from polaroam_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        (i, [float((i * j) % 7) - 3.0 for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = _plan(embedding_neardup_pairs(emb, cosine_threshold=0.5))
+    assert "first(_va" not in plan and "first(_vb" not in plan, plan
+
+
+def test_topk_windows_rank_projected_candidates(spark):
+    # r19 optimization round: the per-query top-k window must rank the
+    # (query_id, vec_id, cosine) projection — an Input [5] window means
+    # both embedding vectors ride the exchange for every candidate
+    from polaroam_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    rows = [
+        (i, [float((i * j) % 7) - 3.0 for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for df in (
+        cosine_topk(emb, q, k=5),
+        ann_ivf_topk(emb, q, k=5, num_centroids=4),
+        ann_lsh_topk(emb, q, k=5, num_planes=4),
+    ):
+        plan = _plan(df)
+        win = re.search(
+            r"\(\d+\) Window\n(?:.*\n)*?Input \[(\d+)\]", plan
+        )
+        assert win is not None, plan
+        assert int(win.group(1)) == 3, plan
