@@ -173,6 +173,49 @@ def estimate_background(raw_load: float, own_cores: float) -> float:
     return max(0.0, round(raw_load - max(own_cores, 0.0), 1))
 
 
+def pressure_some10() -> float:
+    """The kernel's /proc/pressure/cpu "some avg10" percentage — the
+    fraction of the last 10 s in which at least one runnable task
+    stalled waiting for a CPU. Unlike the 1-minute loadavg this
+    reacts in seconds and sees external stall windows the load gate
+    misses (r19: two driver runs landed in minute-scale stalls with
+    per-query spreads up to 6.6 s while pass_bg_loads read 0.0).
+    Only meaningful as a BACKGROUND gate before the Spark session
+    exists — the suite's own 32 executor threads create pressure
+    once it runs — so the pre-run wait loop uses it and the per-pass
+    stamps record it for diagnosis only. Returns -1 when psi is
+    unavailable."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            line = f.readline()
+        return float(line.split("avg10=")[1].split()[0])
+    except (OSError, IndexError, ValueError):
+        return -1.0
+
+
+def noisy_queries(
+    samples: "dict[str, list[float]]",
+    floor: float = 0.5,
+    frac: float = 0.5,
+) -> "list[str]":
+    """Queries whose kept samples spread wider than
+    ``max(floor, frac * median)`` — the r19 verdict's stall
+    signature (an external stall inflates ONE pass's sample; the
+    load gate cannot see it because the stall is outside this
+    process tree and often outside loadavg's 1-min horizon). These
+    get extra repair-pass samples so the median is taken over
+    enough quiet observations to reject the stalled one. Queries
+    with fewer than 2 samples can't be checked."""
+    bad = []
+    for name, s in samples.items():
+        if len(s) < 2:
+            continue
+        med = sorted(s)[len(s) // 2]
+        if max(s) - min(s) > max(floor, frac * med):
+            bad.append(name)
+    return bad
+
+
 def gate_passes(
     pass_loads: "list[list[float]]", threshold: float
 ) -> "tuple[list[int], bool]":
@@ -214,10 +257,24 @@ def main() -> None:
     wait_budget = float(
         os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300")
     )
-    while _load1() > load_threshold and load_wait < wait_budget:
+    # r19 verdict item: both driver runs landed in external stall
+    # windows the load gate missed. Before Spark exists, the box's
+    # CPU pressure is pure background — wait for it to drain too.
+    pressure_threshold = float(
+        os.environ.get("SPARK_GRAFT_PRESSURE_THRESHOLD", "5.0")
+    )
+
+    def _busy() -> bool:
+        if _load1() > load_threshold:
+            return True
+        p = pressure_some10()
+        return 0 <= pressure_threshold < p
+
+    while _busy() and load_wait < wait_budget:
         time.sleep(20)
         load_wait += 20
     load1_start = _load1()
+    pressure_start = pressure_some10()
 
     spark = get_spark(app_name="polaroam-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -814,6 +871,7 @@ def main() -> None:
     pass_loads: "list[list[float]]" = []
     pass_bg_loads: "list[list[float]]" = []
     pass_own_cores: "list[float]" = []
+    pass_pressure: "list[list[float]]" = []
     samples_by_pass: "list[dict[str, float]]" = []
     def _stamp() -> "tuple[float, float]":
         raw = _load1()
@@ -821,7 +879,7 @@ def main() -> None:
             own = _own_state["ewma"]
         return raw, estimate_background(raw, own)
 
-    for _ in range(runs):
+    def _clear_run_state() -> None:
         em._MATERIALIZED_MEDIANS.clear()
         spark.catalog.clearCache()
         try:
@@ -830,35 +888,96 @@ def main() -> None:
             unpersist_caches()  # dsir/dedup registered caches
         except Exception:
             pass
+
+    def _run_pass(
+        names: "list[str]",
+    ) -> "tuple[dict[str, float], list[float], list[float], list[float]]":
+        """One cold suite pass over ``names`` (cleared memo + Spark
+        cache + operator caches first), stamped with raw/background
+        load and CPU pressure at both endpoints."""
+        _clear_run_state()
         raw_b, bg_b = _stamp()
-        t_pass = time.time()
-        pass_samples: "dict[str, float]" = {}
-        for name, fn in queries.items():
+        pr_b = pressure_some10()
+        out: "dict[str, float]" = {}
+        for name in names:
             t0 = time.time()
-            fn()
-            pass_samples[name] = time.time() - t0
+            queries[name]()
+            out[name] = time.time() - t0
         raw_a, bg_a = _stamp()
-        pass_loads.append([raw_b, raw_a])
-        pass_bg_loads.append([bg_b, bg_a])
+        pr_a = pressure_some10()
+        return out, [raw_b, raw_a], [bg_b, bg_a], [pr_b, pr_a]
+
+    for _ in range(runs):
+        pass_samples, raws, bgs, prs = _run_pass(list(queries))
+        pass_loads.append(raws)
+        pass_bg_loads.append(bgs)
+        pass_pressure.append(prs)
         pass_own_cores.append(
             round(
-                max(raw_a, 0.0) - bg_a
-                if raw_a >= 0
+                max(raws[1], 0.0) - bgs[1]
+                if raws[1] >= 0
                 else 0.0,
                 1,
             )
         )
-        del t_pass
         samples_by_pass.append(pass_samples)
     kept, invalid_load = gate_passes(pass_bg_loads, load_threshold)
     for i in kept:
         for name, sec in samples_by_pass[i].items():
             samples[name].append(sec)
+    # spread over the MAIN kept passes, before any repair sampling —
+    # kept verbatim so rounds stay comparable with pre-r20 artifacts
+    spread_main = {
+        name: round(max(s) - min(s), 3) if s else -1.0
+        for name, s in samples.items()
+    }
+
+    # Repair passes (r19 verdict "what's wrong" #1): external stall
+    # windows — invisible to the load gate because they sit outside
+    # this process tree — inflate ONE pass's sample for the queries
+    # that happened to be running, which shows up as a per-query
+    # spread far above its median (r19 driver artifact: ann_topk
+    # spread 6.6 s vs median 2.0). Queries whose spread exceeds
+    # max(0.5 s, 50% of median) get re-sampled in up to
+    # $SPARK_GRAFT_BENCH_REPAIR_PASSES extra cold passes so the
+    # median aggregates enough quiet observations to reject the
+    # stalled one. Repair passes face the same background-load gate;
+    # a dirty repair pass is discarded and recorded. Methodology is
+    # unchanged — same noop sink, same cold-state clearing, median
+    # over clean samples — repair only ADDS samples.
+    repair_budget = max(
+        0,
+        int(os.environ.get("SPARK_GRAFT_BENCH_REPAIR_PASSES", "2")),
+    )
+    repair_records: "list[dict]" = []
+    repaired: "set[str]" = set()
+    for _ in range(repair_budget):
+        bad = noisy_queries(samples)
+        if not bad:
+            break
+        names = [n for n in queries if n in bad]
+        out, raws, bgs, prs = _run_pass(names)
+        ok = bool(clean_pass_indices([bgs], load_threshold))
+        repair_records.append(
+            {
+                "queries": names,
+                "samples": {n: round(v, 3) for n, v in out.items()},
+                "loads": raws,
+                "bg_loads": bgs,
+                "pressure": prs,
+                "kept": ok,
+            }
+        )
+        if ok:
+            for n, sec in out.items():
+                samples[n].append(sec)
+            repaired.update(names)
+    still_noisy = noisy_queries(samples)
     timings = {
         name: round(sorted(s)[len(s) // 2], 3)
         for name, s in samples.items()
     }
-    # spread = max-min across kept passes: distinguishes a real
+    # spread = max-min across kept samples: distinguishes a real
     # regression from external-load noise when comparing rounds
     spread = {
         name: round(max(s) - min(s), 3) for name, s in samples.items()
@@ -898,6 +1017,23 @@ def main() -> None:
                 "pass_bg_loads": pass_bg_loads,
                 "pass_own_cores": pass_own_cores,
                 "passes_kept": kept,
+                # r20 stall-window hardening (additions-only): CPU
+                # pressure stamps, the pre-repair spread, every raw
+                # sample the medians aggregated, and the repair-pass
+                # records (including discarded ones)
+                "pressure_start": pressure_start,
+                "pass_pressure": pass_pressure,
+                "spread_main_passes": spread_main,
+                "samples": {
+                    n: [round(v, 3) for v in s]
+                    for n, s in samples.items()
+                },
+                "repair_passes": repair_records,
+                "repaired_queries": sorted(repaired),
+                "discarded_repair_passes": sum(
+                    1 for r in repair_records if not r["kept"]
+                ),
+                "still_noisy": sorted(still_noisy),
                 "clean_pass_count": len(
                     clean_pass_indices(pass_bg_loads, load_threshold)
                 ),

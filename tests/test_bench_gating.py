@@ -54,6 +54,42 @@ def test_unknown_load_never_disqualifies():
     assert invalid is False
 
 
+def test_noisy_queries_flags_stall_signature():
+    # the r19 driver artifact: ann_topk median 2.0 with a 6.6 s
+    # spread is the external-stall signature; a tight row is not
+    samples = {
+        "ann_topk": [1.8, 2.0, 8.4],
+        "tpch_agg": [0.40, 0.43, 0.45],
+    }
+    assert bench.noisy_queries(samples) == ["ann_topk"]
+
+
+def test_noisy_queries_absolute_floor():
+    # sub-0.5 s spreads never flag, however small the median —
+    # scheduling jitter on fast rows is not a stall
+    assert bench.noisy_queries({"fast": [0.1, 0.2, 0.55]}) == []
+    # above the floor AND above 50% of median: flagged
+    assert bench.noisy_queries({"q": [0.4, 0.5, 1.0]}) == ["q"]
+
+
+def test_noisy_queries_relative_threshold():
+    # a slow row tolerates proportionally more spread: 2 s of
+    # spread on a 10 s median is within 50%
+    assert bench.noisy_queries({"kn": [9.0, 10.0, 11.0]}) == []
+    assert bench.noisy_queries({"kn": [6.0, 10.0, 12.0]}) == ["kn"]
+
+
+def test_noisy_queries_needs_two_samples():
+    assert bench.noisy_queries({"q": [5.0]}) == []
+    assert bench.noisy_queries({"q": []}) == []
+
+
+def test_pressure_some10_parses_or_sentinel():
+    p = bench.pressure_some10()
+    # on this box psi exists; elsewhere the sentinel is fine
+    assert p == -1.0 or 0.0 <= p <= 100.0
+
+
 def test_own_cpu_ticks_counts_self():
     # burning CPU in this process must advance the counter. The
     # counter sums the LIVE process tree, so a descendant (a Spark
