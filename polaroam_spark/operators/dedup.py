@@ -51,7 +51,12 @@ def _finalize_pairs(
     return out
 
 
-def _shingle_set(text_col: str, shingle_k: int, portable: bool) -> F.Column:
+def _shingle_set(
+    text_col: str,
+    shingle_k: int,
+    portable: bool,
+    toks: "F.Column | None" = None,
+) -> F.Column:
     """Distinct shingle set of a document — THE shared representation
     between :func:`minhash_lsh_pairs` and :func:`build_minhash_index`
     (batch and index signatures must agree bit-for-bit, see the index
@@ -64,12 +69,22 @@ def _shingle_set(text_col: str, shingle_k: int, portable: bool) -> F.Column:
     over the 8-byte longs instead of re-hashing the ~25-byte string
     per seed (~5% wall at sf0.1; grows with num_hashes and shingle
     length). The exact-Jaccard verify then intersects long sets —
-    identical up to 64-bit collisions (~1e-10 at corpus scale)."""
+    identical up to 64-bit collisions (~1e-10 at corpus scale).
+
+    ``toks``: a pre-projected ``tokens(text_col)`` COLUMN reference.
+    Pass it from any per-row hot path (r20, the scorer-base lesson):
+    higher-order lambdas are CodegenFallback with no common-
+    subexpression elimination, and ``word_shingles`` references its
+    token array ``k+1`` times — inlined, the lower+split+filter chain
+    re-runs per reference. ``text_col`` is ignored when given."""
+    base = tokens(text_col) if toks is None else toks
     if portable:
-        return F.array_distinct(word_shingles(tokens(text_col), shingle_k, assume_no_nulls=True))
+        return F.array_distinct(
+            word_shingles(base, shingle_k, assume_no_nulls=True)
+        )
     return F.array_distinct(
         F.transform(
-            word_shingles(tokens(text_col), shingle_k, assume_no_nulls=True),
+            word_shingles(base, shingle_k, assume_no_nulls=True),
             lambda t: F.xxhash64(t),
         )
     )
@@ -150,7 +165,6 @@ def minhash_lsh_pairs(
     """
     from ..session import fan_out
 
-    shingle_set = _shingle_set(text_col, shingle_k, portable)
     # fan_out BEFORE the signature compute (r19 optimization round,
     # guide §2.5): shingling + num_hashes MinHash passes are the
     # heaviest per-row work in this operator, and a single-row-group
@@ -158,12 +172,19 @@ def minhash_lsh_pairs(
     # it onto one task — measured ~2x the row wall. Projected to the
     # two needed columns first (§2.3), so the exchange moves id+text
     # only; at corpus scale the input already has >= cores splits and
-    # fan_out adds nothing.
+    # fan_out adds nothing. The token array is projected into its
+    # OWN column below the shingle projection (r20 — see
+    # _shingle_set's ``toks``): inlined, the CodegenFallback tokenize
+    # chain re-ran once per word_shingles slice.
     sh = fan_out(
         docs.select(F.col(id_col).alias("_id"), F.col(text_col))
     ).select(
+        "_id", tokens(F.col(text_col)).alias("_toks")
+    ).select(
         "_id",
-        shingle_set.alias("_shingles"),
+        _shingle_set(
+            text_col, shingle_k, portable, toks=F.col("_toks")
+        ).alias("_shingles"),
     ).withColumn(
         "_sig",
         minhash_signature("_shingles", num_hashes, portable=portable),
@@ -500,6 +521,14 @@ def fingerprint_hamming_pairs(
     the bucket's min-id member (still hamming-verified);
     member-member pairs inside a hot bucket collapse through the
     representative via :func:`duplicate_components`.
+
+    ``id_col`` is assumed to identify a document (one fingerprint
+    per id). Duplicate-id inputs resolve each pair ANY-MATCH — the
+    pair is emitted if any of an id's fingerprints passes the
+    hamming gate (the verify-before-dedup order, r19) — where the
+    pre-r19 dedup-first order let an arbitrary surviving duplicate
+    decide; both are nondeterministic under duplicate ids, neither
+    is contractual (ADVICE r19).
     """
     if max_hamming >= chunks:
         raise ValueError(
@@ -819,6 +848,13 @@ def embedding_neardup_pairs(
     verification is this operator's dot-product hot loop; keep
     ``'native'`` where the SQL oracle must reproduce scores
     bit-for-bit.
+
+    ``id_col`` is assumed to identify a vector (one embedding per
+    id). Duplicate-id inputs resolve each pair ANY-MATCH — emitted
+    if any of an id's vectors clears the cosine threshold (the
+    verify-before-dedup order, r19) — rather than by an arbitrary
+    surviving duplicate; both are nondeterministic under duplicate
+    ids, neither is contractual (ADVICE r19).
     """
     from polaroam_spark.functions.vectors import make_scorer
     from polaroam_spark.operators.similarity import add_lsh_bucket
@@ -1490,10 +1526,13 @@ def build_minhash_index(
     """
     return (
         docs.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        )
+        .select(
             F.col(id_col),
-            _shingle_set(text_col, shingle_k, portable).alias(
-                "shingles"
-            ),
+            _shingle_set(
+                text_col, shingle_k, portable, toks=F.col("_toks")
+            ).alias("shingles"),
         )
         .withColumn(
             "sig",

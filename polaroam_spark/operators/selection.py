@@ -24,10 +24,6 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fast_hash64
-
-_SAMPLE_MOD = 1 << 20
-
 
 def exact_global_topk(
     df: DataFrame,
@@ -54,28 +50,43 @@ def exact_global_topk(
       merged on the driver, O(k) driver memory, no shuffle of the
       losers.
     - ``k > driver_cap``: iterative threshold refinement (classic
-      distributed selection). Each round (a) counts the candidate
-      band, (b) draws a deterministic hash sample of its scores
-      (``xxhash64(key, seed)`` — a pure function of the data, so
-      retries resample identically), (c) picks candidate thresholds
-      at the sample's ``need/band`` quantile ± a
-      ``4/sqrt(effective samples)`` margin, (d) VERIFIES them with
-      one exact count: rows above ``hi`` are provably in the top-k
-      (kept by filter, never shuffled), rows below ``lo`` provably
-      out. The band between shrinks ~50x per round; once the
-      remaining ``need`` fits ``driver_cap`` (or the band fits
-      ``single_part_cap``) the tail is resolved exactly. The sample
-      only steers EFFICIENCY — correctness comes from the verified
-      counts, so a bad sample costs a retry, never a wrong row.
+      distributed selection). Each round runs exactly TWO passes
+      over the candidate band (r20, guide §2.4/§5 — previously
+      three or more: count, a collected hash sample, verify): (a)
+      ONE aggregation computes the band size together with a
+      fixed-fraction ``percentile_approx`` grid of its scores
+      (O(grid) driver bytes instead of a ``sample_target``-row
+      collect), (b) candidate thresholds are read off the grid
+      around the ``need/band`` quantile ± a margin covering the
+      grid resolution and the sketch's deterministic rank-error
+      bound, and VERIFIED with one exact count: rows above ``hi``
+      are provably in the top-k (kept by filter, never shuffled),
+      rows below ``lo`` provably out. A failed verification widens
+      the margin and re-verifies against the SAME grid — retries
+      re-run only the cheap count pass, never a new sample. The
+      band shrinks ~100x per round; once the remaining ``need``
+      fits ``driver_cap`` (or the band fits ``single_part_cap``)
+      the tail is resolved exactly. The grid only steers
+      EFFICIENCY — correctness comes from the verified counts, so
+      a bad quantile estimate costs a retry, never a wrong row.
 
-    Determinism: thresholds are pure functions of the data and
-    ``seed``; kept sets are filters ``score > hi`` with ``hi`` an
-    exact collected double; ties on ``score`` stay in the band and
-    are resolved by the final exact rank with the ``key`` tiebreak.
+    Determinism: kept sets are filters ``score > hi`` with ``hi``
+    an exact collected double, so task retries within a run filter
+    the identical rows; ties on ``score`` stay in the band and are
+    resolved by the final exact rank with the ``key`` tiebreak. The
+    returned ROWS are the exact top-k regardless of which
+    thresholds a run's sketch happened to produce (every kept
+    filter is count-verified).
 
     Preconditions: ``score_col`` non-NULL (filter first; NaN follows
     Spark's NaN-greatest ordering on both paths but differs from
     ANSI oracles — keep NaN out of scored frames).
+
+    ``sample_target`` sizes the quantile grid
+    (``~16*sqrt(sample_target)`` points, clamped to [16, 2048]) —
+    the name predates the r20 grid rewrite, when it was a collected
+    sample's row budget. ``seed`` is retained for API compatibility;
+    the grid path draws no sample, so it is unused.
 
     Degenerate guard: if a round cannot shrink the band (e.g. nearly
     all scores identical, so no threshold separates it), the band is
@@ -114,28 +125,50 @@ def exact_global_topk(
             f = f & (score > F.lit(lo))
         return f
 
+    # quantile grid: GRID+1 fixed fractions, so the one aggregation
+    # below needs no prior knowledge of the band size; accuracy is
+    # percentile_approx's deterministic rank-error knob (error <=
+    # rows/accuracy)
+    grid_n = max(
+        16, min(2048, int(math.sqrt(max(1, int(sample_target)))) * 16)
+    )
+    acc = 10_000
+    grid_fracs = [i / grid_n for i in range(grid_n + 1)]
+
     prev_cached: "DataFrame | None" = None
     for rnd in range(int(max_rounds)):
         band = df.filter(_band_filter())
         if need <= int(driver_cap):
             tail = _take_ordered(band, need)
             break
-        # each refinement round runs several actions on the band
-        # (count, sample collect, verify counts, retries) — from the
+        # each refinement round runs two actions on the band (the
+        # size+grid aggregation, verify counts, retries) — from the
         # SECOND round on, cache it so they don't each re-derive the
         # upstream lineage (r12 code review). Round 1's band is the
         # whole input: materializing the full corpus to save a few
         # skinny scans is the wrong trade at any scale (measured on
         # the 20M trivial-lineage probe: caching round 1 costs 8.8 s
         # vs 5.9 s uncached), while later bands are a few percent
-        # and shrinking ~50x per round. Pure-filter determinism is
+        # and shrinking ~100x per round. Pure-filter determinism is
         # unaffected: a lost block recomputes the identical rows.
         if rnd >= 1:
             band = band.persist()
             if prev_cached is not None:
                 prev_cached.unpersist()
             prev_cached = band
-        bc = band.count()
+        # ONE pass: band size + the quantile grid (r20 — replaces
+        # the separate count() and the sample_target-row collected
+        # hash sample)
+        row = band.agg(
+            F.count("*").alias("_n"),
+            F.percentile_approx(
+                score,
+                F.array(*[F.lit(f) for f in grid_fracs]),
+                F.lit(acc),
+            ).alias("_g"),
+        ).collect()[0]
+        bc = int(row["_n"])
+        grid = row["_g"]
         if bc <= need:
             # invariant kept + bc >= k means bc == need here: every
             # band row provably qualifies — keep the (distributed,
@@ -146,31 +179,21 @@ def exact_global_topk(
         if bc <= int(single_part_cap):
             tail = _rank_band(band, need)
             break
-        # deterministic hash sample of the band's scores
-        rate = min(1.0, float(sample_target) / float(bc))
-        thresh = max(1, int(rate * _SAMPLE_MOD))
-        samp_rows = (
-            band.filter(
-                F.pmod(
-                    fast_hash64(key.cast("string"), seed + 7919 * rnd),
-                    F.lit(_SAMPLE_MOD),
-                )
-                < F.lit(thresh)
-            )
-            .select(score.alias("_s"))
-            .collect()
-        )
-        samples = sorted((r[0] for r in samp_rows), reverse=True)
-        s = len(samples)
-        frac = float(need) / float(bc)
+        q = 1.0 - float(need) / float(bc)
         new_hi = new_lo = None
-        if s > 0:
-            eps = max(0.02, 4.0 / math.sqrt(max(1.0, s * frac)))
+        if grid:
+            # margin covers one grid cell + the sketch's worst-case
+            # rank error on both candidates
+            eps = 2.0 / grid_n + 2.0 / acc
             for _ in range(4):  # widen margins until counts verify
-                i_hi = int(s * frac * (1.0 - eps)) - 1
-                i_lo = int(math.ceil(s * frac * (1.0 + eps)))
-                cand_hi = samples[i_hi] if i_hi >= 0 else math.inf
-                cand_lo = samples[i_lo] if i_lo < s else -math.inf
+                i_hi = min(grid_n, int(math.ceil((q + eps) * grid_n)))
+                i_lo = max(0, int(math.floor((q - eps) * grid_n)))
+                cand_hi = (
+                    float(grid[i_hi]) if i_hi < grid_n else math.inf
+                )
+                cand_lo = (
+                    float(grid[i_lo]) if i_lo > 0 else -math.inf
+                )
                 cnt = band.agg(
                     F.count(
                         F.when(score > F.lit(cand_hi), 1)

@@ -99,6 +99,30 @@ def render_chat_template(
     return df.withColumn(out_col, rendered)
 
 
+def _is_byte_identity(model: dict) -> bool:
+    """True when ``model`` is the byte-identity BPE model: no merges,
+    no special tokens, the default pre-tokenizer, and a vocab that
+    maps each byte's unicode surrogate to the byte's own value — the
+    model under which ``encode(text) == list(text.encode('utf-8'))``
+    exactly (the default pre-tokenizer PARTITIONS the text, so
+    concatenated per-word byte ids reproduce the text's bytes).
+    This is the model every trained tokenizer shares as its base
+    layer and the one the sft2 oracle gate and the bench's sft_prep
+    row use."""
+    if model.get("type") in ("unigram", "wordpiece"):
+        return False
+    if model.get("merges") or model.get("special"):
+        return False
+    if model.get("rank_by_concat"):
+        return False
+    if model.get("pretokenizer", "default") != "default":
+        return False
+    from polaroam_spark.operators.tokenize import _BYTE_TO_UNI
+
+    vocab = model.get("vocab")
+    return vocab == {u: b for b, u in _BYTE_TO_UNI.items()}
+
+
 def encode_chat_sft(
     df: DataFrame,
     model: dict,
@@ -180,17 +204,90 @@ def encode_chat_sft(
         ]
     )
 
-    @F.pandas_udf(out_type)
-    def _enc(col: pd.Series) -> pd.DataFrame:
-        pairs = col.map(_one)
-        return pd.DataFrame(
-            {
-                "ids": pairs.map(lambda p: None if p is None else p[0]),
-                "mask": pairs.map(
-                    lambda p: None if p is None else p[1]
-                ),
-            }
-        )
+    if _is_byte_identity(model):
+        # r20 fast path (guide §4.2): for a byte-identity BPE model
+        # every segment's ids ARE its UTF-8 bytes (no merges, no
+        # specials, and the pre-tokenizer partitions the text, so
+        # concatenating per-word byte ids reproduces the segment's
+        # bytes — pinned against the generic encoder by
+        # tests/test_sft.py::test_byte_identity_fast_path_matches).
+        # The per-row work drops from regex pre-tokenization + a
+        # per-word merge walk + per-token Python list building to a
+        # handful of b"".join/np.frombuffer calls per row, and the
+        # mask becomes slice assignments on one zeroed vector —
+        # per-SEGMENT Python, never per-token.
+        import numpy as np
+
+        @F.pandas_udf(out_type)
+        def _enc(col: pd.Series) -> pd.DataFrame:
+            hdr_cache: "dict[str, bytes]" = {}
+            f_bytes = footer_py.encode("utf-8")
+            f_len = len(f_bytes)
+            ids_out: "list" = []
+            mask_out: "list" = []
+            for msgs in col:
+                if msgs is None:
+                    ids_out.append(None)
+                    mask_out.append(None)
+                    continue
+                parts: "list[bytes]" = []
+                spans: "list[tuple[int, int]]" = []
+                pos = 0
+                for m in msgs:
+                    role = (
+                        m["role"] if not hasattr(m, "role") else m.role
+                    )
+                    content = (
+                        m["content"]
+                        if not hasattr(m, "content")
+                        else m.content
+                    )
+                    if role is None or content is None:
+                        raise ValueError(
+                            "encode_chat_sft: NULL role/content "
+                            "inside a messages array — validate "
+                            "upstream; a silently dropped turn would "
+                            "shift every downstream span"
+                        )
+                    h = hdr_cache.get(role)
+                    if h is None:
+                        h = header_py(role).encode("utf-8")
+                        hdr_cache[role] = h
+                    c = content.encode("utf-8")
+                    parts.append(h)
+                    parts.append(c)
+                    parts.append(f_bytes)
+                    if role in loss and c:
+                        spans.append(
+                            (pos + len(h), pos + len(h) + len(c))
+                        )
+                    pos += len(h) + len(c) + f_len
+                buf = b"".join(parts)
+                ids = np.frombuffer(buf, dtype=np.uint8).astype(
+                    np.int32
+                )
+                mask = np.zeros(len(buf), dtype=np.int32)
+                for a, b in spans:
+                    mask[a:b] = 1
+                ids_out.append(ids)
+                mask_out.append(mask)
+            return pd.DataFrame({"ids": ids_out, "mask": mask_out})
+
+    else:
+
+        @F.pandas_udf(out_type)
+        def _enc(col: pd.Series) -> pd.DataFrame:
+            pairs = col.map(_one)
+            return pd.DataFrame(
+                {
+                    "ids": pairs.map(
+                        lambda p: None if p is None else p[0]
+                    ),
+                    "mask": pairs.map(
+                        lambda p: None if p is None else p[1]
+                    ),
+                }
+            )
 
     # asNondeterministic is an optimizer fence, not a semantics
     # change (the encode is a pure function of the messages):

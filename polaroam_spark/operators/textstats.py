@@ -9,6 +9,8 @@ reference is a mobility engine with no text surface).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,8 +32,25 @@ def _col(c: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.array_size(tokens(text)).cast("long")
+    """Whitespace token count — the number of ``\\S+`` runs, counted
+    in one codegen'd regexp pass (r20: the higher-order filter inside
+    ``tokens()`` is CodegenFallback, interpreted per row; counts are
+    identical because lowercasing never moves a whitespace boundary
+    and interior ``\\s+`` splits never produce empty tokens)."""
+    return F.regexp_count(_col(text), F.lit(r"\S+")).cast("long")
+
+
+def _token_regexp(words: "list[str]") -> str:
+    """Regex matching a whole whitespace token equal to one of
+    ``words``: the lookarounds pin both match edges to token
+    boundaries, so ``regexp_count`` over the text counts exactly the
+    tokens a ``filter(tokens(text), contains)`` would keep — one
+    codegen pass instead of an interpreted per-token set probe."""
+    return (
+        r"(?<!\S)(?:"
+        + "|".join(_re.escape(w) for w in words)
+        + r")(?!\S)"
+    )
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
@@ -46,25 +65,31 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 
 
 def stopword_hits(text: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
-    toks = tokens(text)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.array_size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    """Number of tokens that are stopwords of ``lang`` — one
+    codegen'd regexp pass (see :func:`_token_regexp`; r20, replacing
+    the interpreted higher-order filter + per-token array probe)."""
+    return F.regexp_count(
+        F.lower(_col(text)), F.lit(_token_regexp(STOPWORDS[lang]))
+    )
 
 
 def detect_language(text: Column | str) -> Column:
     """Heuristic language ID: the language whose stopword list matches
     the largest fraction of tokens; ``und`` (undetermined) when
     nothing matches. Pure expression — a greatest-of-structs trick
-    picks the argmax without a UDF."""
-    toks = tokens(text)
-    n = F.greatest(F.array_size(toks), F.lit(1)).cast("double")
+    picks the argmax without a UDF (hit counting via
+    :func:`_token_regexp`, one codegen'd regexp pass per language)."""
+    low = F.lower(_col(text))
+    n = F.greatest(
+        F.regexp_count(low, F.lit(r"\S+")), F.lit(1)
+    ).cast("double")
 
     def _lang_score(lang: str) -> Column:
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hits = F.filter(toks, lambda t: F.array_contains(sw, t))
+        hits = F.regexp_count(
+            low, F.lit(_token_regexp(STOPWORDS[lang]))
+        )
         return F.struct(
-            (F.array_size(hits).cast("double") / n).alias("score"),
+            (hits.cast("double") / n).alias("score"),
             F.lit(lang).alias("lang"),
         )
 
@@ -235,12 +260,20 @@ def gopher_quality_flags(
     use max(n,1) denominators.
     """
     text = F.coalesce(_col(text_col), F.lit(""))
-    toks = tokens(text)
-    n_words = F.array_size(toks).cast("long")
+    # r20: word stats in codegen'd regexp passes instead of the
+    # interpreted higher-order aggregate/filter over the token array
+    # (CodegenFallback). Identical values: word_chars is the
+    # non-whitespace char count of the lowercased text (== the sum
+    # of lowercased token lengths — lowercasing never changes a
+    # whitespace char), and a token contains a letter iff it yields
+    # one (?<!\S)\S*?\p{L} match (matches can only start at token
+    # boundaries and stop at the first letter).
+    low = F.lower(text)
+    n_words = token_count(text)
     wd = F.greatest(n_words, F.lit(1)).cast("double")
-    word_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    word_chars = F.length(
+        F.regexp_replace(low, r"\s", "")
+    ).cast("long")
     n_hash = F.length(F.regexp_replace(text, r"[^#]", ""))
     n_ellipsis = F.regexp_count(text, F.lit(r"(\.\.\.|…)"))
     lines = _nonblank_lines(text)
@@ -259,9 +292,7 @@ def gopher_quality_flags(
     # \p{L}, not [a-z]: accented and non-Latin words are alphabetic
     # too — an ASCII class would flunk every French/Cyrillic doc on
     # the alpha_word_frac >= 0.8 rule
-    alpha_words = F.array_size(
-        F.filter(toks, lambda t: t.rlike(r"\p{L}"))
-    )
+    alpha_words = F.regexp_count(low, F.lit(r"(?<!\S)\S*?\p{L}"))
     out = df.withColumns(
         {
             "n_words": n_words,
@@ -406,7 +437,12 @@ def document_fingerprint(
     from polaroam_spark.operators.dedup import normalize_text
 
     norm = normalize_text(text_col)
-    grams = word_shingles(tokens(text_col), 5, assume_no_nulls=True)
+    # token array projected to its own column first (r20 CSE fix —
+    # word_shingles references it 6x and tokens() is CodegenFallback)
+    df = df.withColumn("_fp_toks", tokens(text_col))
+    grams = word_shingles(
+        F.col("_fp_toks"), 5, assume_no_nulls=True
+    )
     return df.withColumns(
         {
             "md5_fingerprint": F.md5(norm),
@@ -414,7 +450,7 @@ def document_fingerprint(
                 F.transform(grams, lambda g: portable_hash64(g, 11))
             ),
         }
-    )
+    ).drop("_fp_toks")
 
 
 def calibrate_scores(
@@ -540,21 +576,28 @@ def bigram_logprob(
     lam = float(lambda_bigram)
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lambda_bigram must be in [0, 1]")
-    toks = tokens(text_col)
+    # project the token array into its OWN column before the zip
+    # (r20 CSE fix — tokens() is a CodegenFallback higher-order
+    # filter, re-evaluated per reference when inlined, and the zip
+    # references it 4x)
+    tsrc = df.select(
+        F.col(id_col), tokens(text_col).alias("_bt")
+    )
+    toks = F.col("_bt")
     n = F.size(toks)
     pairs = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    bg = df.select(
+    bg = tsrc.select(
         F.col(id_col), F.explode(pairs).alias("_p")
     ).select(
         id_col, F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
     )
     c12 = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
     c1 = bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
-    uni = df.select(F.explode(toks).alias("_w2")).groupBy("_w2").agg(
+    uni = tsrc.select(F.explode(toks).alias("_w2")).groupBy("_w2").agg(
         F.count("*").alias("_cu")
     )
     total = uni.agg(F.sum("_cu").alias("_n"))
@@ -649,14 +692,19 @@ def bigram_logprob_vs_reference(
         )
 
     def _bigrams(frame: DataFrame) -> DataFrame:
-        toks = tokens(text_col)
+        # token array projected to its own column first (r20 CSE
+        # fix, see bigram_logprob)
+        base = frame.select(
+            F.col(id_col), tokens(text_col).alias("_bt")
+        )
+        toks = F.col("_bt")
         n = F.size(toks)
         pairs = F.zip_with(
             F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
             F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         )
-        return frame.select(
+        return base.select(
             F.col(id_col), F.explode(pairs).alias("_p")
         ).select(
             id_col,
@@ -759,18 +807,21 @@ def kn_ngram_logprob_vs_reference(
 
     Shape: n-gram positions build MAP-SIDE per document (arrays_zip
     over ``order`` bulk slices — no positional self-join); the
-    reference contributes ONE ``order``-gram count table (the single
+    reference is consumed in ONE pass that explodes each position's
+    up-to-``order``-token window and counts window TYPES with a
+    single wide exchange (r20 fan-in) — the ``order``-gram count
+    table is the full-window slice of that table (the single
     corpus-scaled model table — strictly a shuffle join at real
     reference scale; the scored stream hash-partitions ONCE on its
-    N keys against it) plus, per lower level, continuation tables
-    that are near vocabulary-sized (AQE broadcasts them). The
-    persists are load-bearing (the dsir pattern, measured on the
-    trigram case — BASELINE.md r15): the tokenized reference
-    projection feeds N−1 gram extractions, the count table three
-    consumers, each continuation table two; all registered with the
-    session cache registry (``polaroam_spark.unpersist_caches()``).
-    Linear in corpus token volume, no UDF. Documents with fewer than
-    ``order`` tokens get NULL.
+    N keys against it) and each lower level's continuation table
+    derives from distinct window PREFIXES (type-scale work). The
+    persists are load-bearing: the window-type table feeds the
+    scoring join, its context/continuation aggregates and every
+    lower-level prefix dedup; each continuation table feeds two
+    consumers; all registered with the session cache registry
+    (``polaroam_spark.unpersist_caches()``). Linear in corpus token
+    volume, no UDF. Documents with fewer than ``order`` tokens get
+    NULL.
 
     ``discount`` must be in (0, 1): at 0 the model collapses to
     unsmoothed ML with zero backoff mass (an unseen gram under a
@@ -814,30 +865,56 @@ def kn_ngram_logprob_vs_reference(
 
     from ..session import fan_out
 
-    # fan_out both text scans (r19 optimization round, guide §2.5
-    # "input skew — one huge unsplittable file"): at bench scale each
-    # parquet arrives as ONE split, so the reference explode+partial-
-    # agg stages and the ENTIRE scored chain (gram generate + the
-    # model-table hash probes + the KN case-when tree, all below the
-    # per-doc agg exchange) ran serially in a single task (~3.5 s of
-    # the 7 s bench row). fan_out is scale-adaptive: at real scale
-    # inputs arrive in >= cores splits and it is a no-op (zero added
-    # exchange). Project to the needed columns BEFORE the exchange
-    # (guide §2.3) so the fan-out never shuffles payload columns.
-    # Results are bit-identical: each document's grams stay inside
-    # one task in generation order, so the per-doc float fold order
-    # is unchanged (t41/t48/t52 oracle gates re-proved hash-exact).
-    rtok = track(
-        fan_out(reference.select(_col(text_col).alias("_t")))
-        .select(tokens(F.col("_t")).alias("_toks"))
-        .persist()
+    # Model build in ONE pass over the reference (r20 fan-in, guide
+    # §2.3/§2.4 — replaces the r19 shape of four separate gram
+    # extractions: the order-N count stream plus one distinct-
+    # (k+1)-gram stream per lower level, each a full explode of the
+    # persisted token arrays feeding its OWN wide exchange). Every
+    # position's up-to-N-token WINDOW is exploded once — arrays_zip
+    # pads the short document-tail windows with null, and tokens()
+    # never yields null elements, so the padding is unambiguous —
+    # and window TYPES are counted with ONE wide exchange. Every
+    # model table derives from that window-type table:
+    # - the order-N counts are exactly the full (no-null) windows
+    #   (an order-N gram at position i <=> the window at i has N
+    #   real tokens);
+    # - the distinct m-gram types of each lower level are the
+    #   distinct length-m PREFIXES of windows with >= m real tokens
+    #   (every m-gram occurrence is the m-prefix of exactly one
+    #   window — the one starting at its position), so the lower-
+    #   level dedups now run over TYPE-scale rows instead of
+    #   re-exploding the corpus.
+    # Shuffle bytes: the old shape moved ~(N + N-1 + ... + 2) tokens
+    # per position across its four exchanges; this moves ~N once.
+    # The tokenized reference no longer needs a persist at all — it
+    # is consumed exactly once inside the window job. fan_out on the
+    # text scan stays (guide §2.5 "one huge unsplittable file": at
+    # bench scale the parquet is ONE split and the explode+partial-
+    # agg stage would run serially; at corpus scale it is a no-op).
+    # The tokens() projection must stay OWN-column: higher-order
+    # lambdas are CodegenFallback (no CSE), and the window zip
+    # references its token array 2N times.
+    rtok = fan_out(
+        reference.select(_col(text_col).alias("_t"))
+    ).select(tokens(F.col("_t")).alias("_toks"))
+    wtoks = F.col("_toks")
+    wcnt = F.greatest(F.size(wtoks) - 1, F.lit(0))
+    win = rtok.select(
+        F.explode(
+            F.arrays_zip(
+                *[
+                    F.slice(wtoks, j + 1, wcnt).alias(gnames[j])
+                    for j in range(N)
+                ]
+            )
+        ).alias("_p")
+    ).select(*[F.col(f"_p.{nm}").alias(nm) for nm in gnames])
+    wtypes = track(
+        win.groupBy(*gnames).agg(F.count("*").alias("_cW")).persist()
     )
     # the one corpus-scaled model table: order-gram type counts
-    ng = track(
-        _gram_stream(rtok, F.col("_toks"), N, gnames, False)
-        .groupBy(*gnames)
-        .agg(F.count("*").alias("_cN"))
-        .persist()
+    ng = wtypes.filter(F.col(gnames[-1]).isNotNull()).select(
+        *gnames, F.col("_cW").alias("_cN")
     )
     ctx = ng.groupBy(*gnames[:-1]).agg(
         F.sum("_cN").alias("_ctot"),
@@ -860,10 +937,18 @@ def kn_ngram_logprob_vs_reference(
             # as the same two exchanges (partial dedup on keys+first,
             # then the keys agg) this explicit shape produces, so the
             # plan was bit-identical and the code less direct.
+            m = k + 1
             sub = gnames[N - k - 1 :]
-            types = _gram_stream(
-                rtok, F.col("_toks"), k + 1, sub, False
-            ).distinct()
+            types = (
+                wtypes.filter(F.col(gnames[m - 1]).isNotNull())
+                .select(
+                    *[
+                        F.col(gnames[j]).alias(sub[j])
+                        for j in range(m)
+                    ]
+                )
+                .distinct()
+            )
             ck = types.groupBy(*keys).agg(
                 F.count("*").alias(f"_cc{k}")
             )
@@ -884,22 +969,17 @@ def kn_ngram_logprob_vs_reference(
     # launch concurrently when the action starts, and on a cold cache
     # those jobs race to fill the same InMemoryRelation — each
     # model-build stage runs ~twice (~2x model CPU, pairwise-
-    # duplicate stages in the UI). Alternatives measured and
-    # rejected: one count() per table (six job barriers, +1.2s on the
-    # bench row), a thread pool of counts (3-10x worse — concurrent
-    # explode jobs evict each other's cache blocks), a single
-    # union-of-counts action (each branch recomputed the NARROW rtok
-    # lineage — cache-miss scans duplicate un-shuffled parents), and
-    # deriving lower-level type tables from the top count table
-    # (serialized the levels behind ng with no byte savings, since
-    # m-gram types here are ~token volume; the any-order python-
-    # replay differential in tests/test_textstats.py pins the
-    # construction for whoever tries next). This shape: ng.count()
-    # materializes rtok and ng; the union then builds the four
-    # independent continuation tables concurrently inside ONE job,
-    # each branch scanning the now-warm rtok/ng cache, each table
-    # built exactly once.
-    ng.count()
+    # duplicate stages in the UI). The first action now materializes
+    # the ENTIRE heavy build (scan + tokenize + window explode + the
+    # single wide exchange); the union then builds the four
+    # continuation tables concurrently inside ONE job, each branch a
+    # type-scale aggregation over the now-warm wtypes cache, each
+    # table built exactly once. (The r19 alternatives measured and
+    # rejected for the four-extraction shape — per-table count()
+    # barriers, a thread pool of counts, a lazy race — are recorded
+    # in git history; the any-order python-replay differential in
+    # tests/test_textstats.py pins the construction.)
+    wtypes.count()
     builds = conts[N - 1].select(F.lit(1).alias("_one"))
     for k in range(N - 2, 0, -1):
         builds = builds.unionAll(
@@ -907,8 +987,16 @@ def kn_ngram_logprob_vs_reference(
         )
     builds.agg(F.count("_one")).collect()
 
-    scored_src = fan_out(df.select(id_col, text_col))
-    tg = _gram_stream(scored_src, tokens(text_col), N, gnames, True)
+    # Scored side: project the token array into its OWN column
+    # before the gram zip (r20, guide §4.1 note above — tokens() is
+    # a higher-order filter, CodegenFallback, no CSE, and
+    # _gram_stream references its token column 2N times; inline,
+    # the split+lower+filter chain re-ran per reference over the
+    # FULL scored corpus).
+    scored_src = fan_out(df.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("_stoks")
+    )
+    tg = _gram_stream(scored_src, F.col("_stoks"), N, gnames, True)
     j = tg.join(ng, on=gnames, how="left").join(
         ctx, on=gnames[:-1], how="left"
     )

@@ -2,17 +2,23 @@
 every web-scale LLM corpus starts from — as a PySpark 4 Python Data
 Source (``spark.read.format("warc")``).
 
-Scale shape: one input partition per WARC file (the Common Crawl
-layout is ~1 GB files x ~64k files per crawl, so file-granular
-parallelism saturates any cluster; finer byte-range splitting of a
-single .warc.gz is impossible anyway without an external index —
-records are individually-gzipped members and a reader can only find
-boundaries by scanning). Each partition streams its file record by
-record: headers are parsed from the \\r\\n\\r\\n-terminated block,
-the payload is read by exact Content-Length, and nothing beyond the
-current record is buffered — constant memory per task regardless of
-file size. Gzip files (including the multi-member member-per-record
-Common Crawl convention) decompress through the same streaming path.
+Scale shape: one input partition per WARC file. This is the FINAL
+contract, not a to-do (r20 optimization round decision): the Common
+Crawl layout is ~1 GB files x ~64k files per crawl, so file-granular
+parallelism saturates any cluster that could ingest it; and finer
+byte-range splitting is incompatible with this source's record
+identity — ``(source_file, record_index)`` with record_index the
+in-file ordinal of ALL records (pinned by tests/test_sources.py) —
+because a reader starting mid-file cannot know how many records
+precede its range without scanning from byte 0 (member-per-record
+.gz resync could find record BOUNDARIES, but never ordinals, and
+single-stream .warc.gz cannot be entered mid-stream at all). Each
+partition streams its file record by record: headers are parsed
+from the \\r\\n\\r\\n-terminated block, the payload is read by
+exact Content-Length, and nothing beyond the current record is
+buffered — constant memory per task regardless of file size. Gzip
+files (including the multi-member member-per-record Common Crawl
+convention) decompress through the same streaming path.
 
 A Python data source is the SLOW PATH relative to the built-in scans
 (rows cross the Python boundary via Arrow batches) — right for the

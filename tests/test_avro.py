@@ -98,6 +98,7 @@ def typed_df(spark):
     )
 
 
+@pytest.mark.slow
 def test_roundtrip_all_types_and_codecs(spark, typed_df, tmp_path):
     """Exact value roundtrip for every supported type including
     NULLs, under both codecs; deflate writes measurably smaller

@@ -65,6 +65,7 @@ def test_corpus_vocabulary(spark):
     assert vocab == {"a": 4, "b": 3, "c": 1}  # top-3, ties by token
 
 
+@pytest.mark.slow
 def test_duplicate_components_transitive(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"

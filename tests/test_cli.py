@@ -2,9 +2,12 @@
 {stops,cluster,label} chained through parquet stage dirs (the
 reference's disk-staged batch-driver workflow, __main__.py)."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 
+@pytest.mark.slow
 def test_cli_stops_cluster_label(spark, tmpdir):
     from polaroam_spark.__main__ import main
 
@@ -128,6 +131,7 @@ def test_cli_tokenize_encode_and_pack(spark, tmpdir):
     assert {r.shard for r in packs} <= {0, 1}
 
 
+@pytest.mark.slow
 def test_cli_quality_train_score_eval(spark, tmpdir):
     """quality stage: train on a labeled parquet persisting the model
     JSON, score a corpus with the reloaded model (matches the library
@@ -180,6 +184,7 @@ def test_cli_quality_train_score_eval(spark, tmpdir):
     assert ev.n == 60 and ev.accuracy == 1.0 and ev.auc == 1.0
 
 
+@pytest.mark.slow
 def test_cli_corpus_classifier_filter(spark, tmpdir):
     """corpus stage composes the trained classifier: only rows the
     model scores above threshold survive."""
@@ -445,6 +450,7 @@ def test_cli_corpus_mixture_report_artifact(spark, tmpdir):
     assert card["web"].achieved_share == card["web"].achieved_tokens / total
 
 
+@pytest.mark.slow
 def test_cli_perplexity_score_and_filter(spark, tmpdir):
     """perplexity stage: scores match the library call row-for-row;
     --threshold keeps the fluent tail and drops NULL-score rows."""
@@ -494,6 +500,7 @@ def test_cli_perplexity_score_and_filter(spark, tmpdir):
     assert kept == [1]
 
 
+@pytest.mark.slow
 def test_cli_sft_windows(spark, tmpdir):
     """sft stage: BPE-tokenized loss-masked windows match the
     library composition; a malformed batch quarantines loudly; the
@@ -589,6 +596,7 @@ def test_cli_sft_windows(spark, tmpdir):
         ])
 
 
+@pytest.mark.slow
 def test_cli_tokenize_wordpiece_family(spark, tmpdir):
     """tokenize --family wordpiece: trains on the fly, persists a
     BERT vocab.txt via --save-model, reload encodes identically;
@@ -631,6 +639,7 @@ def test_cli_tokenize_wordpiece_family(spark, tmpdir):
         ])
 
 
+@pytest.mark.slow
 def test_cli_perplexity_buckets(spark, tmpdir):
     """perplexity --buckets: per-group CCNet bands match the direct
     perplexity_buckets replay; 'all' labels without dropping;

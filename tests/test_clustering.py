@@ -145,6 +145,7 @@ def _canonical(labeled_rows):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_dbscan_fidelity_vs_distributed(spark):
     med = _medians_fixture(spark)
     a = cluster_stops_dbscan(med, r2=25.0, min_samples=2).collect()
@@ -184,6 +185,7 @@ def test_max_pairwise_distance(spark):
     assert 100 < out.max_distance_m < 120
 
 
+@pytest.mark.slow
 def test_distributed_dbscan_high_latitude_eastwest(spark):
     """Review regression: east-west ε-pairs at high latitude escaped
     the lat-degree-sized grid cells (a longitude degree is cos(lat)
@@ -211,6 +213,7 @@ def test_distributed_dbscan_high_latitude_eastwest(spark):
     assert all(lbl == 0 for _, lbl in b)
 
 
+@pytest.mark.slow
 def test_distributed_dbscan_dense_ids_skip_singletons(spark):
     """Review regression: singleton components consumed dense-rank
     slots, shifting real cluster ids off the fidelity path's 0..k-1."""
@@ -886,6 +889,7 @@ def test_infomap_num_trials_validation():
         vmap(3, [(0, 1)], [1.0], num_trials=0)
 
 
+@pytest.mark.slow
 def test_distributed_dbscan_hot_cell_auto_degrade(spark):
     """r8 verdict #4: a (uid, cell) group over max_cell_points must
     be snapped to the sub-grid automatically and LOUDLY (UserWarning)

@@ -780,6 +780,7 @@ from hypothesis import strategies as st
 
 @settings(max_examples=15, deadline=None)
 @given(st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_leakage_safe_split_property(spark, seed):
     """Property: for random pair graphs (chains, stars, cliques by
     construction of random edges), no connected component ever

@@ -101,6 +101,7 @@ def test_curate_corpus_persist_stages_parity_and_plan(spark):
         spark.catalog.clearCache()
 
 
+@pytest.mark.slow
 def test_curate_corpus_leakage_safe_split(spark):
     """split_test_fraction (r13): the ladder's output gains a
     'split' column assigned by near-dup component representative —
@@ -165,6 +166,7 @@ def test_corpus_report_exact_integers(spark):
     assert web.n_distinct_texts + (1 if web.n_null_text else 0) >= kept
 
 
+@pytest.mark.slow
 def test_mixture_plan_waterfill(spark):
     """Hand-checked waterfill: feasible = exact shares; capped groups
     take all they have and redistribute; infeasible reports unmet."""
@@ -419,6 +421,7 @@ def test_mixture_report_whitespace(spark):
         )
 
 
+@pytest.mark.slow
 def test_mixture_report_model_dispatch(spark):
     """The report counts in the model's exact currency: the
     byte-identity BPE model yields byte counts, a char-identity
@@ -469,6 +472,7 @@ def test_mixture_report_model_dispatch(spark):
     assert rep_u["b"].achieved_tokens == 2
 
 
+@pytest.mark.slow
 def test_curate_corpus_langid_and_perplexity_stages(spark):
     """The r15 CCNet-ladder composition: a trained langid gate keeps
     only the requested language classes (NULL predictions drop), and
@@ -542,6 +546,7 @@ def test_curate_corpus_langid_and_perplexity_stages(spark):
         )
 
 
+@pytest.mark.slow
 def test_curate_corpus_perplexity_buckets(spark):
     """The CCNet bucket gate inside curate_corpus: keeps exactly
     the rows whose per-group bucket is in the keep list, matching

@@ -2,6 +2,8 @@
 primitive (operators/graph.py) — the transitive-closure engine behind
 duplicate_components and distributed DBSCAN."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from polaroam_spark.operators.graph import connected_components
@@ -61,6 +63,7 @@ def test_empty_edge_set(spark):
     assert connected_components(pairs).count() == 0
 
 
+@pytest.mark.slow
 def test_random_graph_matches_bruteforce(spark):
     import random
 
@@ -98,6 +101,7 @@ def test_random_graph_matches_bruteforce(spark):
     assert rows == want
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_rounds_are_deleted(spark, tmp_path):
     """With a checkpoint dir configured, superseded round snapshots
     must be DELETED (Spark never cleans reliable checkpoint files by
@@ -169,6 +173,7 @@ def _np_pagerank(edges, n, d=0.85, iters=15):
     return r
 
 
+@pytest.mark.slow
 def test_pagerank_matches_numpy_power_iteration(spark):
     from polaroam_spark.operators.graph import pagerank
 
@@ -187,6 +192,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_pagerank_star_graph_hub_dominates(spark):
     from polaroam_spark.operators.graph import pagerank
 
@@ -411,6 +417,7 @@ def test_k_core_empty_and_bounds(spark):
         k_core(chain, k=2, max_rounds=1)
 
 
+@pytest.mark.slow
 def test_k_core_chain_collapse_differential(spark):
     """The fragile-chain collapse path (chain_collapse_after=0 forces
     it on EVERY round) must reproduce plain peeling exactly — the
@@ -432,6 +439,7 @@ def test_k_core_chain_collapse_differential(spark):
         assert got == expected, k
 
 
+@pytest.mark.slow
 def test_k_core_long_chain_converges_via_collapse(spark):
     """A path graph peels O(n) rounds under plain peeling (the
     round-5..7 carried scale-killer); the collapse must finish it

@@ -269,6 +269,7 @@ def _no_whitespace_corpus(seed, n_per_class, start_id=0):
     return rows
 
 
+@pytest.mark.slow
 def test_char_feature_holds_where_word_degrades(spark):
     """The fasttext rationale, measured: on a NO-WHITESPACE corpus
     (each doc a unique 60-char string from a class-pure alphabet) a

@@ -778,6 +778,7 @@ def _mk_mkv(m: int) -> bytes:
     return ebml + seg
 
 
+@pytest.mark.slow
 def test_mkv_header_meta_native(spark):
     """EBML/Matroska header walk: doctype, explicit + default
     TimestampScale, float4 AND float8 Duration decoded BIT-EXACTLY
@@ -881,6 +882,7 @@ def _mk_mkv_tracks(m: int) -> bytes:
     return elem(b"\x1a\x45\xdf\xa3", hdr) + seg
 
 
+@pytest.mark.slow
 def test_mkv_track_meta_native(spark):
     """TrackEntry walk: per-track type/kind/codec, video dimensions,
     audio channels/rate (explicit float4 AND float8, spec defaults
@@ -931,6 +933,7 @@ def test_mkv_track_meta_native(spark):
     assert "EvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_mkv_track_meta_truncation_fuzz(spark):
     """Every prefix of a valid tracked MKV plus seeded random
     garbage parses without raising — NULL or partial arrays, never
@@ -957,6 +960,7 @@ def test_mkv_track_meta_truncation_fuzz(spark):
     # parses both tracks (checked in the native test)
 
 
+@pytest.mark.slow
 def test_mkv_header_meta_truncation_fuzz(spark):
     """Every prefix of a valid MKV plus seeded random garbage parses
     without raising — NULL fields, never an errored scan."""

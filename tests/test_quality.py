@@ -428,6 +428,7 @@ def test_eval_and_calibration_skip_nan_scores(spark):
     assert sum(r.n for r in cal) == 2
 
 
+@pytest.mark.slow
 def test_quality_classifier_char_feature(spark):
     """feature='char' trains/scores over the char 3-5-gram stream
     (stored in the model so the scorer follows automatically);

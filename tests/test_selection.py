@@ -129,6 +129,7 @@ from hypothesis import strategies as st
 
 @settings(max_examples=25, deadline=None)
 @given(st.integers(min_value=0, max_value=10_000))
+@pytest.mark.slow
 def test_exact_global_topk_property(spark, seed):
     """Property harness over random frames, duplicate-heavy score
     distributions, and random k/caps: the selected key set must

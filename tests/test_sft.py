@@ -91,6 +91,63 @@ def test_encode_chat_sft_identity_bytes_and_mask(convs, ident):
     assert sum(enc[3].loss_mask) == 0  # no assistant turn
 
 
+def test_byte_identity_fast_path_matches(convs, spark, ident):
+    """The r20 numpy fast path (taken when _is_byte_identity) must
+    produce byte-for-byte the ids/mask of the generic per-word
+    encoder. Force the generic path with a vocab that carries one
+    extra, never-hit entry — encoding is unchanged but the identity
+    detector correctly refuses it."""
+    from polaroam_spark.operators.sft import (
+        _is_byte_identity,
+        encode_chat_sft,
+    )
+
+    not_ident = {
+        "vocab": {**ident["vocab"], "<unused>": 256},
+        "merges": [],
+    }
+    assert _is_byte_identity(ident)
+    assert not _is_byte_identity(not_ident)
+    fast = {
+        r.doc_id: r for r in encode_chat_sft(convs, ident).collect()
+    }
+    slow = {
+        r.doc_id: r
+        for r in encode_chat_sft(convs, not_ident).collect()
+    }
+    assert set(fast) == set(slow)
+    for did in fast:
+        assert (fast[did].token_ids is None) == (
+            slow[did].token_ids is None
+        ), did
+        if fast[did].token_ids is None:
+            continue
+        assert list(fast[did].token_ids) == list(
+            slow[did].token_ids
+        ), did
+        assert list(fast[did].loss_mask) == list(
+            slow[did].loss_mask
+        ), did
+    # the NULL role/content guard holds on the fast path too
+    bad = spark.createDataFrame([(9, [("user", None)])], SCHEMA)
+    with pytest.raises(Exception, match="NULL role/content"):
+        encode_chat_sft(bad, ident).collect()
+
+
+def test_byte_identity_detector_edges(ident):
+    from polaroam_spark.operators.sft import _is_byte_identity
+
+    assert not _is_byte_identity(
+        {**ident, "merges": [("a", "b")]}
+    )
+    assert not _is_byte_identity({**ident, "type": "unigram"})
+    assert not _is_byte_identity({**ident, "special": {"<eot>": 256}})
+    assert not _is_byte_identity({**ident, "rank_by_concat": True})
+    assert not _is_byte_identity(
+        {**ident, "pretokenizer": "whitespace"}
+    )
+
+
 def test_encode_chat_sft_trained_models_and_errors(convs, spark):
     """Both tokenizer families dispatch; NULL role/content raises
     loudly instead of shifting spans."""

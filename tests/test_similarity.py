@@ -122,6 +122,7 @@ def _recall(exact, approx, k=10):
     ) / (k * len(exact))
 
 
+@pytest.mark.slow
 def test_ann_recall_floors(spark, sf_embeddings):
     """recall@10 of the ANN paths vs brute force on the synthetic
     embeddings — floors make probe-parameter regressions visible
@@ -164,6 +165,7 @@ def test_ann_recall_floors(spark, sf_embeddings):
     assert r_ivf3 >= r_ivf0  # Lloyd training must not hurt
 
 
+@pytest.mark.slow
 def test_ivf_prebuilt_index_matches_inline(vectors):
     from polaroam_spark.operators.similarity import (
         ann_ivf_topk,
@@ -186,6 +188,7 @@ def test_ivf_prebuilt_index_matches_inline(vectors):
     assert a == b and len(a) == 20
 
 
+@pytest.mark.slow
 def test_arrow_scorer_matches_native(vectors):
     from polaroam_spark.operators.similarity import ann_ivf_topk
 
@@ -309,6 +312,7 @@ def test_embedding_similarity_join_cross_table(spark):
 
 
 # ------------------------------------------------------------------ PQ
+@pytest.mark.slow
 def test_pq_roundtrip_clustered(spark):
     """Two tight clusters: every member encodes to its cluster's
     codes, and ADC top-k ranks cluster-mates above the other blob."""
@@ -365,6 +369,7 @@ def test_pq_validation_errors(spark):
         pq_encode(bad, books)
 
 
+@pytest.mark.slow
 def test_pq_deterministic(spark):
     from polaroam_spark.operators.similarity import (
         pq_encode,
@@ -382,6 +387,7 @@ def test_pq_deterministic(spark):
     assert ca == cb
 
 
+@pytest.mark.slow
 def test_pq_encode_arrow_matches_native(spark):
     from polaroam_spark.operators.similarity import (
         pq_encode,
@@ -408,6 +414,7 @@ def test_pq_encode_arrow_matches_native(spark):
         pq_encode(emb, books, encoder="fast")
 
 
+@pytest.mark.slow
 def test_pq_codebooks_densify_after_empty_cells(spark):
     """Duplicate vectors routinely empty k-means cells during the
     Lloyd round; trained codebooks must come back with DENSE per-
@@ -461,6 +468,7 @@ def test_pq_topk_nondense_codebook_scores_correctly(spark):
     assert got[1] == (200.0, 2), got
 
 
+@pytest.mark.slow
 def test_ivfpq_prunes_and_finds_neighbors(spark):
     """IVF-PQ composition: candidates are restricted to the probed
     inverted lists, and with probes covering the query's own cluster
@@ -494,6 +502,7 @@ def test_ivfpq_prunes_and_finds_neighbors(spark):
         assert r.vec_id % 3 == r.query_id % 3, (r.query_id, r.vec_id)
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_lossless_exact(spark):
     """The strongest correctness pin for the residual IVF-PQ path:
     with a FULL-corpus codebook (every vector a seed, zero Lloyd
@@ -537,6 +546,7 @@ def test_ivfpq_residual_lossless_exact(spark):
     assert missed == 0
 
 
+@pytest.mark.slow
 def test_residual_convention_warns_on_isotropic_corpus(spark):
     """VERDICT r10 #6: training residual codebooks on a corpus whose
     IVF centroids do not explain variance must emit the one-aggregate

@@ -58,6 +58,7 @@ def test_streaming_event_counts(spark, tmpdir):
     assert {r.event_type for r in out} <= {"click", "view"}
 
 
+@pytest.mark.slow
 def test_streaming_stop_detection_closes_stops(spark, tmpdir):
     src = f"{tmpdir}/pings"
     rows = []
@@ -282,6 +283,7 @@ def test_streaming_session_counts_emits_closed_sessions(spark, tmpdir):
     assert [(r.uid, r.n) for r in rows] == [(1, 2)]
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join(spark, tmpdir):
     """Left-outer emits NULL-padded unmatched rows once the watermark
     passes their window: two micro-batches (maxFilesPerTrigger=1),
@@ -336,6 +338,7 @@ def test_stream_stream_left_outer_join(spark, tmpdir):
         stream_stream_interval_join(ls, rs, on="uid", how="full")
 
 
+@pytest.mark.slow
 def test_streaming_ewma_state_across_batches(spark, tmpdir):
     """Two micro-batches (maxFilesPerTrigger=1): the recursion must
     continue from batch-1 state, and a late row at/behind the key's
@@ -382,6 +385,7 @@ def test_streaming_ewma_state_across_batches(spark, tmpdir):
     assert all(r.key == "a" for r in rows.values())
 
 
+@pytest.mark.slow
 def test_streaming_ewma_nan_and_null_rows_dropped(spark, tmpdir):
     """The poison-pill guards: a NaN value must not fold into state,
     and a NULL epoch must not kill the micro-batch (the int64 cast
@@ -422,6 +426,7 @@ def test_streaming_ewma_nan_and_null_rows_dropped(spark, tmpdir):
     assert rows[T0 + 120].ewma == 0.5 * 30.0 + 0.5 * 10.0
 
 
+@pytest.mark.slow
 def test_streaming_gumbel_topk_equals_batch(spark, tmpdir):
     """The running snapshot after all micro-batches must equal the
     BATCH gumbel_topk_sample over the union — batch-boundary
@@ -498,6 +503,7 @@ def test_streaming_gumbel_topk_equals_batch(spark, tmpdir):
     assert set(range(1000, 1010)) <= set(got2)
 
 
+@pytest.mark.slow
 def test_streaming_gumbel_topk_recovers_from_lost_consumer_view(
     spark, tmpdir
 ):
@@ -583,6 +589,7 @@ def test_streaming_gumbel_topk_recovers_from_lost_consumer_view(
         )
 
 
+@pytest.mark.slow
 def test_streaming_gumbel_topk_file_uri_paths_and_recovery(
     spark, tmpdir
 ):
@@ -635,6 +642,7 @@ def test_streaming_gumbel_topk_file_uri_paths_and_recovery(
     assert len(set(got) & set(want)) == 19
 
 
+@pytest.mark.slow
 def test_streaming_gumbel_topk_redelivered_key_max_merges(
     spark, tmpdir
 ):

@@ -248,6 +248,7 @@ def test_pq_rotation_orthogonal_and_metric_preserving(spark):
     }
 
 
+@pytest.mark.slow
 def test_pq_rotation_improves_recall_on_correlated_corpus(spark):
     """End-to-end OPQ-init claim: on a strongly correlated corpus,
     PQ trained/served in the rotated basis must beat raw-basis PQ
@@ -406,6 +407,7 @@ def test_apply_whitening_null_in_null_out(spark):
         assert np.allclose(rows[i], clean[i])
 
 
+@pytest.mark.slow
 def test_opq_iterative_descends_on_clustered_corpus(spark):
     """Full OPQ (fit_pq_rotation_iterative, Ge et al. CVPR 2013 §5):
     on a clustered non-Gaussian corpus — three differently-oriented
